@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables => T}
+
+/** SURVEY §2.4 aggregations, §2.6 sort/limit/top-k, §2.7 set ops.
+  *
+  * Scale notes: every groupBy here is a hash aggregate with map-side
+  * partial aggregation (HashAggregateExec partial → Exchange → final), so
+  * shuffle volume is proportional to group cardinality, not input rows.
+  * Top-k-per-group uses row_number + filter, which Spark 4 plans with
+  * WindowGroupLimitExec (per-partition top-k before the shuffle). Global
+  * sorts are range-partitioned (sampled boundaries), which scales linearly.
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+  import Det.{dsum, davg, sqlSum, sqlAvg, tbl}
+
+  val queries: Map[String, Q] = Map(
+    // §2.4 global aggregate, single row.
+    "q_agg_global" -> ((s, d) =>
+      T.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    // §2.4 TPC-H Q1 shape — the flagship (also SparkEntry.entry).
+    "q_agg_group" -> ((s, d) => aggGroup(s, d)),
+
+    // §2.4 distinct aggregate alongside plain count.
+    "q_agg_distinct" -> ((s, d) =>
+      T.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    // §2.4 row-level DISTINCT.
+    "q_distinct" -> ((s, d) =>
+      T.customer(s, d).select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))),
+
+    // §2.4 ROLLUP(r_name, n_name) over region⋈nation⋈customer with
+    // GROUPING flags. NULLS FIRST is explicit in both engines (their
+    // defaults differ — Spark ASC=nulls first, DuckDB ASC=nulls last).
+    "q_agg_rollup" -> ((s, d) => {
+      val df = T.customer(s, d)
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      df.rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("sum_bal"),
+          grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    // §2.4 CUBE(o_orderpriority, o_orderstatus).
+    "q_agg_cube" -> ((s, d) =>
+      T.orders(s, d).cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderpriority")).cast("int").as("g_p"),
+          grouping(col("o_orderstatus")).cast("int").as("g_s"))
+        .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))),
+
+    // §2.4 argmax with explicit tiebreak (max acctbal, tie → lowest
+    // custkey) via lexicographic struct max — a single hash aggregate, no
+    // window shuffle. The negated key implements the MIN tiebreak inside MAX.
+    "q_agg_minmaxby" -> ((s, d) =>
+      T.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(max(struct(col("c_acctbal"), (-col("c_custkey")).as("negkey"),
+          col("c_name"))).as("best"))
+        .select(col("c_nationkey"),
+          (-col("best.negkey")).as("c_custkey"),
+          col("best.c_name").as("c_name"),
+          col("best.c_acctbal").as("c_acctbal"))
+        .orderBy(col("c_nationkey"))),
+
+    // §2.4 pivot: user-bucket × event_type counts (explicit value list —
+    // never value-discovery, which would scan twice).
+    "q_pivot" -> ((s, d) =>
+      T.events(s, d)
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy(col("bucket"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .count()
+        .select(col("bucket"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+        .orderBy(col("bucket"))),
+
+    // §2.6 multi-key global sort (range partitioned).
+    "q_sort" -> ((s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc, col("o_orderkey").asc)),
+
+    // §2.6 ordered limit → TakeOrderedAndProject (per-partition top-k, no
+    // global sort materialization).
+    "q_limit" -> ((s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)),
+
+    // §2.6 top-3 per customer (tie → lowest orderkey); WindowGroupLimit.
+    "q_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // §2.7 union all with provenance tags (the reference's stream merge,
+    // batch analog — SURVEY §1.1).
+    "q_union_all" -> ((s, d) => {
+      val o = T.orders(s, d)
+      val hv = o.filter(col("o_totalprice") > 400000)
+        .select(lit("hv").as("tag"), col("o_orderkey"))
+      val rec = o.filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(lit("recent").as("tag"), col("o_orderkey"))
+      hv.unionAll(rec).orderBy(col("tag"), col("o_orderkey"))
+    }),
+
+    // §2.7 union distinct.
+    "q_union" -> ((s, d) => {
+      val o = T.orders(s, d)
+      val hv = o.filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+      val rec = o.filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_orderkey"))
+      hv.union(rec).distinct().orderBy(col("o_orderkey"))
+    }),
+
+    // §2.7 intersect (→ semi join under the hood).
+    "q_intersect" -> ((s, d) => {
+      val b = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val rich = T.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      b.intersect(rich).orderBy(col("c_custkey"))
+    }),
+
+    // §2.7 except (→ anti join under the hood).
+    "q_except" -> ((s, d) => {
+      val b = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val open = T.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("c_custkey"))
+      b.except(open).orderBy(col("c_custkey"))
+    })
+  )
+
+  /** TPC-H Q1 shape; shared with SparkEntry.entry. */
+  def aggGroup(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        Det.dsumProd(col("l_extendedprice"),
+          (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val li = tbl("lineitem"); private val ords = tbl("orders")
+  private val cust = tbl("customer"); private val nat = tbl("nation")
+  private val reg = tbl("region"); private val evt = tbl("events")
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_global" ->
+      s"""SELECT COUNT(*) AS n_rows,
+            ${sqlSum("l_quantity")} AS sum_qty,
+            MIN(l_extendedprice) AS min_price,
+            MAX(l_extendedprice) AS max_price,
+            ${sqlAvg("l_extendedprice")} AS avg_price,
+            COUNT(DISTINCT l_orderkey) AS n_orders
+          FROM $li""",
+    "q_agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            ${sqlSum("l_quantity")} AS sum_qty,
+            ${sqlSum("l_extendedprice")} AS sum_base_price,
+            ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+            ${Det.sqlSumProd("l_extendedprice", "(1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+            ${sqlAvg("l_quantity")} AS avg_qty,
+            ${sqlAvg("l_extendedprice")} AS avg_price,
+            ${sqlAvg("l_discount")} AS avg_disc,
+            COUNT(*) AS count_order
+          FROM $li GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      s"""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+            COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+          FROM $li GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_distinct" ->
+      s"""SELECT DISTINCT c_mktsegment, c_nationkey FROM $cust
+          ORDER BY c_mktsegment, c_nationkey""",
+    "q_agg_rollup" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+            ${sqlSum("c_acctbal")} AS sum_bal,
+            CAST(GROUPING(r_name) AS INTEGER) AS g_r,
+            CAST(GROUPING(n_name) AS INTEGER) AS g_n
+          FROM $cust
+          JOIN $nat ON c_nationkey = n_nationkey
+          JOIN $reg ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP(r_name, n_name)
+          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q_agg_cube" ->
+      s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+            ${sqlSum("o_totalprice")} AS sum_price,
+            CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+            CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s
+          FROM $ords GROUP BY CUBE(o_orderpriority, o_orderstatus)
+          ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""",
+    "q_agg_minmaxby" ->
+      s"""SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM (
+            SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+              ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+            FROM $cust) x
+          WHERE rn = 1 ORDER BY c_nationkey""",
+    "q_pivot" ->
+      s"""SELECT user_id % 10 AS bucket,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+            CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+          FROM $evt GROUP BY 1 ORDER BY bucket""",
+    "q_sort" ->
+      s"""SELECT o_orderkey, o_totalprice, o_orderdate FROM $ords
+          ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC""",
+    "q_limit" ->
+      s"""SELECT o_orderkey, o_totalprice FROM $ords
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q_topk_group" ->
+      s"""SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM $ords) x
+          WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q_union_all" ->
+      s"""SELECT 'hv' AS tag, o_orderkey FROM $ords WHERE o_totalprice > 400000
+          UNION ALL
+          SELECT 'recent' AS tag, o_orderkey FROM $ords
+          WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+          ORDER BY tag, o_orderkey""",
+    "q_union" ->
+      s"""SELECT o_orderkey FROM $ords WHERE o_totalprice > 400000
+          UNION
+          SELECT o_orderkey FROM $ords WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+          ORDER BY o_orderkey""",
+    "q_intersect" ->
+      s"""SELECT c_custkey FROM $cust WHERE c_mktsegment = 'BUILDING'
+          INTERSECT
+          SELECT c_custkey FROM $cust WHERE c_acctbal > 5000
+          ORDER BY c_custkey""",
+    "q_except" ->
+      s"""SELECT c_custkey FROM $cust WHERE c_mktsegment = 'BUILDING'
+          EXCEPT
+          SELECT o_custkey AS c_custkey FROM $ords WHERE o_orderstatus = 'O'
+          ORDER BY c_custkey"""
+  )
+}

@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables => T}
+
+/** SURVEY §2.1–§2.3: scans, projection/filter/predicates, joins.
+  *
+  * Scale notes (100 TB design intent, verified on local plans):
+  *  - Scans: filters + projections push down to the parquet reader
+  *    (`PushedFilters`, `ReadSchema`), so a 2-column filtered query reads
+  *    2 columns' pages, not the table.
+  *  - Dimension joins (`region`/`nation`/`customer`/`supplier`/`part`)
+  *    broadcast — no shuffle of the fact side. `broadcast()` hints are
+  *    explicit where the small side is known small by schema design, which
+  *    stays true at 100 TB (dims grow sub-linearly vs facts).
+  *  - The one genuinely large join (lineitem⋈orders) is a shuffle
+  *    hash/sort-merge join on the join key — the correct plan at scale;
+  *    AQE handles skew splitting at runtime.
+  *  - As-of / interval joins pre-filter both sides before the join and
+  *    carry an equi-key (user_id) so Spark plans a hash join with the
+  *    range predicate as a post-filter, never a cartesian product.
+  */
+object CoreRelational {
+  type Q = (SparkSession, String) => DataFrame
+  import Det.{dsum, sqlSum, tbl}
+
+  val queries: Map[String, Q] = Map(
+    // §2.1 full scan, all columns. NOTE: lineitem's true unique key is
+    // (orderkey, linenumber, partkey, quantity) — (orderkey, linenumber)
+    // alone has duplicates in this data, so order by the full key (§7.4.3).
+    "q_scan" -> ((s, d) =>
+      T.lineitem(s, d).orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"))),
+
+    // §2.1 column pruning + predicate pushdown: 3 columns, pushed filter.
+    // All output columns are in the ORDER BY → remaining ties are
+    // identical rows, so the compare is order-stable.
+    "q_scan_prune" -> ((s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .filter(col("l_quantity") > 45)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // §2.2 computed projection: per-row double arithmetic is IEEE-deterministic.
+    "q_project" -> ((s, d) =>
+      T.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("charge"))),
+
+    // §2.2 compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE.
+    "q_filter" -> ((s, d) =>
+      T.part(s, d)
+        .filter((col("p_name").like("%red%") || col("p_type").isin("ECONOMY", "PROMO"))
+          && col("p_size").between(10, 30)
+          && !(col("p_brand") === "Brand#13"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+        .orderBy(col("p_partkey"))),
+
+    // §2.2 CASE WHEN / coalesce / nullif tiering.
+    "q_case" -> ((s, d) =>
+      T.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("tier"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_adj"),
+        when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("is_urgent"))
+        .orderBy(col("o_orderkey"))),
+
+    // §2.2 casts & coercions. double→int uses explicit floor() in both
+    // engines (Spark truncates, DuckDB rounds — floor removes the divergence).
+    "q_cast" -> ((s, d) =>
+      T.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_orderkey").cast("string").as("key_str"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        col("o_orderdate").cast("date").as("order_date"),
+        expr("try_cast(o_orderstatus AS INT)").as("status_int"),
+        col("o_totalprice").cast("string").isNotNull.as("castable"))
+        .orderBy(col("o_orderkey"))),
+
+    // §2.3 broadcast hash equi-join (dim side broadcast: zero fact shuffle).
+    "q_join_inner" -> ((s, d) =>
+      T.orders(s, d)
+        .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // §2.3 multi-way join, TPC-H Q5 shape: revenue per nation in ASIA, 3 years.
+    // lineitem⋈orders is the only big pair (shuffle join); all dims broadcast.
+    "q_join_multi" -> ((s, d) => {
+      val li = T.lineitem(s, d)
+      val o = T.orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val c = T.customer(s, d)
+      val su = T.supplier(s, d)
+      val n = T.nation(s, d)
+      val r = T.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // §2.3 left outer: every customer + order count (0 when none).
+    // Aggregate-then-join: shrinks the probe side before the join — at scale
+    // this turns a fact-sized shuffle into a key-sized one.
+    "q_join_left" -> ((s, d) => {
+      val perCust = T.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      T.customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.3 full outer on engineered key mismatch (custkey%3=0 vs %5=0 slices).
+    "q_join_full" -> ((s, d) => {
+      val a = T.customer(s, d).filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val b = T.orders(s, d).filter(col("o_custkey") % 5 === 0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      a.join(b, col("c_custkey") === col("o_custkey"), "full")
+        .select(col("c_custkey"), col("o_custkey"),
+          col("c_acctbal"), col("n_orders"),
+          coalesce(col("c_custkey"), col("o_custkey")).as("k"))
+        .orderBy(col("k"))
+    }),
+
+    // §2.3 left semi (EXISTS): customers having ≥1 open ('O') order.
+    "q_join_semi" -> ((s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d).filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // §2.3 left anti (NOT EXISTS): customers with no URGENT order.
+    "q_join_anti" -> ((s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // §2.3 cross join: region × nation (125 rows; BNLJ broadcast).
+    "q_join_cross" -> ((s, d) =>
+      T.region(s, d).crossJoin(T.nation(s, d))
+        .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))),
+
+    // §2.3 non-equi theta join (BNLJ; both sides tiny).
+    "q_join_theta" -> ((s, d) =>
+      T.nation(s, d).join(T.region(s, d), col("n_regionkey") < col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_regionkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"), col("r_regionkey"))),
+
+    // §2.3 equi+band join: equi key drives a hash join, band is a post-filter.
+    "q_join_range" -> ((s, d) =>
+      T.lineitem(s, d)
+        .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey")
+          && col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+          col("l_quantity"), col("p_size"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+          col("l_quantity"))),
+
+    // §2.3 as-of join: for each purchase, most recent prior click by the
+    // same user (tie → highest click event_id). Equi-join on user_id +
+    // range filter, then keep rank-1 per purchase. At 100 TB the same plan
+    // holds: hash-partition both sides by user_id, no cartesian anywhere.
+    "q_join_asof" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("c_us"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("c_us").desc, col("c_id").desc)
+      p.join(c, col("user_id") === col("c_user") && col("c_us") <= col("p_us"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), col("p_us"),
+          col("c_id"), col("c_us"), (col("p_us") - col("c_us")).as("gap_us"))
+        .orderBy(col("p_id"))
+    }),
+
+    // §2.3 interval join (stream-stream join batch analog): click→purchase
+    // pairs within 1h per user, aggregated per user. Micros-integer range
+    // bounds keep interval arithmetic identical across engines.
+    "q_join_interval" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+      c.join(p, col("user_id") === col("p_user")
+          && col("p_us") >= col("c_us")
+          && col("p_us") <= col("c_us") + lit(3600000000L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("p_us") - col("c_us")).as("min_gap_us"),
+          max(col("p_us") - col("c_us")).as("max_gap_us"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  private val li = tbl("lineitem"); private val ords = tbl("orders")
+  private val cust = tbl("customer"); private val prt = tbl("part")
+  private val nat = tbl("nation"); private val reg = tbl("region")
+  private val sup = tbl("supplier"); private val evt = tbl("events")
+
+  val oracle: Map[String, String] = Map(
+    "q_scan" ->
+      s"SELECT * FROM $li ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity",
+    "q_scan_prune" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity FROM $li
+          WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "q_project" ->
+      s"""SELECT l_orderkey, l_linenumber,
+            l_extendedprice * (1 - l_discount) AS revenue,
+            l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+          FROM $li ORDER BY l_orderkey, l_linenumber, revenue, charge""",
+    "q_filter" ->
+      s"""SELECT p_partkey, p_name, p_brand, p_type, p_size FROM $prt
+          WHERE (p_name LIKE '%red%' OR p_type IN ('ECONOMY','PROMO'))
+            AND p_size BETWEEN 10 AND 30 AND NOT (p_brand = 'Brand#13')
+          ORDER BY p_partkey""",
+    "q_case" ->
+      s"""SELECT o_orderkey,
+            CASE WHEN o_totalprice > 300000 THEN 'high'
+                 WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS tier,
+            COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_adj,
+            CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+          FROM $ords ORDER BY o_orderkey""",
+    "q_cast" ->
+      s"""SELECT o_orderkey,
+            CAST(o_orderkey AS VARCHAR) AS key_str,
+            CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+            CAST(o_orderdate AS DATE) AS order_date,
+            TRY_CAST(o_orderstatus AS INTEGER) AS status_int,
+            CAST(o_totalprice AS VARCHAR) IS NOT NULL AS castable
+          FROM $ords ORDER BY o_orderkey""",
+    "q_join_inner" ->
+      s"""SELECT o_orderkey, c_custkey, c_name, o_totalprice
+          FROM $ords JOIN $cust ON o_custkey = c_custkey
+          ORDER BY o_orderkey""",
+    "q_join_multi" ->
+      s"""SELECT n_name,
+            ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+            COUNT(*) AS n_items
+          FROM $li
+          JOIN $ords ON l_orderkey = o_orderkey
+          JOIN $cust ON o_custkey = c_custkey
+          JOIN $sup ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN $nat ON s_nationkey = n_nationkey
+          JOIN $reg ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1999-01-01'
+          GROUP BY n_name ORDER BY n_name""",
+    "q_join_left" ->
+      s"""SELECT c_custkey, c_name, COALESCE(cnt, 0) AS n_orders
+          FROM $cust LEFT JOIN
+            (SELECT o_custkey, COUNT(*) AS cnt FROM $ords GROUP BY o_custkey) o
+            ON c_custkey = o_custkey
+          ORDER BY c_custkey""",
+    "q_join_full" ->
+      s"""SELECT c_custkey, o_custkey, c_acctbal, n_orders,
+            COALESCE(c_custkey, o_custkey) AS k
+          FROM (SELECT c_custkey, c_acctbal FROM $cust WHERE c_custkey % 3 = 0) a
+          FULL OUTER JOIN
+            (SELECT o_custkey, COUNT(*) AS n_orders FROM $ords
+             WHERE o_custkey % 5 = 0 GROUP BY o_custkey) b
+            ON c_custkey = o_custkey
+          ORDER BY k""",
+    "q_join_semi" ->
+      s"""SELECT c_custkey, c_name FROM $cust
+          WHERE EXISTS (SELECT 1 FROM $ords
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+          ORDER BY c_custkey""",
+    "q_join_anti" ->
+      s"""SELECT c_custkey, c_name FROM $cust
+          WHERE NOT EXISTS (SELECT 1 FROM $ords
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+          ORDER BY c_custkey""",
+    "q_join_cross" ->
+      s"""SELECT r_regionkey, n_nationkey, r_name, n_name
+          FROM $reg CROSS JOIN $nat ORDER BY r_regionkey, n_nationkey""",
+    "q_join_theta" ->
+      s"""SELECT n_nationkey, r_regionkey, n_name, r_name
+          FROM $nat JOIN $reg ON n_regionkey < r_regionkey
+          ORDER BY n_nationkey, r_regionkey""",
+    "q_join_range" ->
+      s"""SELECT l_orderkey, l_linenumber, p_partkey, l_quantity, p_size
+          FROM $li JOIN $prt ON l_partkey = p_partkey
+            AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+          ORDER BY l_orderkey, l_linenumber, p_partkey, l_quantity""",
+    "q_join_asof" ->
+      s"""WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+                     FROM $evt WHERE event_type = 'purchase'),
+               c AS (SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
+                     FROM $evt WHERE event_type = 'click')
+          SELECT p_id, user_id, p_us, c_id, c_us, p_us - c_us AS gap_us FROM (
+            SELECT p.*, c.c_id, c.c_us,
+              ROW_NUMBER() OVER (PARTITION BY p_id
+                ORDER BY c_us DESC, c_id DESC) AS rn
+            FROM p LEFT JOIN c ON user_id = c_user AND c_us <= p_us) x
+          WHERE rn = 1 ORDER BY p_id""",
+    "q_join_interval" ->
+      s"""WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM $evt
+                     WHERE event_type = 'click'),
+               p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_us FROM $evt
+                     WHERE event_type = 'purchase')
+          SELECT user_id, COUNT(*) AS n_pairs,
+            MIN(p_us - c_us) AS min_gap_us, MAX(p_us - c_us) AS max_gap_us
+          FROM c JOIN p ON user_id = p_user
+            AND p_us >= c_us AND p_us <= c_us + 3600000000
+          GROUP BY user_id ORDER BY user_id"""
+  )
+}

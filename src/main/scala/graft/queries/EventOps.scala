@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables => T}
+
+/** SURVEY §2.9: the reference's stream-processing semantics, as
+  * batch/stream-unified queries over the `events` table.
+  *
+  * Each query here is registered in its batch form (DuckDB-checkable);
+  * `graft.streaming` holds the streaming twins (MemoryStream parity,
+  * watermark, flatMapGroupsWithState, exactly-once sink), proven
+  * equivalent in the test suite. That unification is the core design
+  * argument of this engine: Spark's `window()` / `session_window()` /
+  * stateful aggregation run identically over bounded and unbounded input,
+  * so causal-ordering semantics are testable against a SQL oracle.
+  *
+  * Scale note: all queries partition by user_id (the causality key).
+  * On a cluster the state for per-key tracking shards across executors by
+  * that key — the same sharding the reference got from Kafka partitions.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Det.{dsum, sqlSum, tbl}
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1h window × event_type.
+    "q_stream_tumble" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("val"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("val"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // Sliding 1h window every 30min — each event lands in exactly 2 windows.
+    "q_stream_slide" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("val"))
+        .select(col("window.start").as("window_start"), col("n"), col("val"))
+        .orderBy(col("window_start"))),
+
+    // Session windows per user, 30min gap. Spark's session end = last
+    // event + gap; a new event at exactly start+gap begins a NEW session
+    // (end-exclusive) — the oracle's `>=` gap flag mirrors that exactly
+    // (pinned by a boundary unit test, SURVEY §7.3.3).
+    "q_stream_session" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("val"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("val"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Keyed dedup with deterministic keep-first (NOT bare dropDuplicates,
+    // which keeps an arbitrary row): earliest event per (user, type).
+    "q_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      T.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // The reference's raison d'être: per-key causal-order audit. In
+    // arrival order (event_id), an event whose ts is behind the running
+    // max of its key's prior ts values violates causal order.
+    "q_causal" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T.events(s, d)
+        .withColumn("prev_max_ts", max(col("ts")).over(w))
+        .withColumn("viol",
+          when(col("ts") < col("prev_max_ts"), 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("viol")).as("n_violations"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Incremental view maintenance: per-key running count + decimal sum as
+    // of each event — the reference's "view" (§1.1), batch form.
+    "q_stream_agg_state" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d).select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("running_n"),
+        round(sum(col("value").cast(Det.Dec)).over(w), 4)
+          .cast("double").as("running_val"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  private val evt = tbl("events")
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+            COUNT(*) AS n, ${sqlSum("value")} AS val
+          FROM $evt GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_stream_slide" ->
+      s"""SELECT window_start, COUNT(*) AS n, ${sqlSum("value")} AS val
+          FROM (SELECT time_bucket(INTERVAL '30 minutes', ts)
+                  - i * INTERVAL '30 minutes' AS window_start, value
+                FROM $evt, (SELECT UNNEST([0, 1]) AS i)) x
+          GROUP BY window_start ORDER BY window_start""",
+    "q_stream_session" ->
+      s"""WITH flagged AS (
+            SELECT user_id, ts, value,
+              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+            FROM $evt
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+          sessions AS (
+            SELECT user_id, ts, value,
+              SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+            FROM flagged)
+          SELECT user_id, MIN(ts) AS session_start,
+            MAX(ts) + INTERVAL '30 minutes' AS session_end,
+            COUNT(*) AS n_events, ${sqlSum("value")} AS val
+          FROM sessions GROUP BY user_id, sess_id
+          ORDER BY user_id, session_start""",
+    "q_dedup" ->
+      s"""SELECT user_id, event_type, event_id, ts FROM (
+            SELECT user_id, event_type, event_id, ts,
+              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                ORDER BY ts ASC, event_id ASC) AS rn
+            FROM $evt) x
+          WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_causal" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+            CAST(SUM(CASE WHEN ts < prev_max_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+          FROM (
+            SELECT user_id, ts,
+              MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_ts
+            FROM $evt) x
+          GROUP BY user_id ORDER BY user_id""",
+    "q_stream_agg_state" ->
+      s"""SELECT event_id, user_id,
+            COUNT(*) OVER w AS running_n,
+            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 4) AS DOUBLE) AS running_val
+          FROM $evt
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ORDER BY event_id"""
+  )
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables => T}
+
+/** North-star text-analysis operators over `documents`: n-gram-heuristic
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All per-doc — embarrassingly parallel map work over the corpus scan; no
+  * shuffle except the fingerprint cluster window (hash-partitioned by
+  * fingerprint, shuffle ∝ corpus keys). Scores use only integer counts and
+  * single double divisions, so both engines agree bit-for-bit.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Det.tbl
+
+  /** Marker-token sets per language (fixed heuristic vocabulary; the
+    * synthetic corpus shares one vocab, so markers are arbitrary but the
+    * classifier is deterministic and identically computed in both engines).
+    * Tie → lexicographically first language. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "row", "scan", "merge"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "value", "query", "join"),
+    "fr" -> Seq("order", "sort", "filter", "hash"),
+    "zh" -> Seq("window", "batch", "column", "agg"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def countIn(set: Seq[String]): Column =
+    size(filter(toks, t => t.isin(set.map(x => x: Any): _*)))
+
+  val queries: Map[String, Q] = Map(
+    // Language ID: marker-token counts per language, argmax with
+    // lexicographic tiebreak; reports accuracy vs the labeled lang.
+    "q_text_langid" -> ((s, d) => {
+      val scored = T.documents(s, d).select(
+        (col("doc_id") +: col("lang").as("actual_lang") +:
+          markers.map { case (l, set) => countIn(set).as(s"s_$l") }): _*)
+      val langs = markers.map(_._1)
+      // argmax with ties to the earliest lang: lang L wins if its score is
+      // >= every later lang's score and > every earlier lang's score.
+      val predicted = langs.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((l, idx), rest) =>
+          val beatsLater = langs.drop(idx + 1)
+            .map(o => col(s"s_$l") >= col(s"s_$o"))
+          val beatsEarlier = langs.take(idx)
+            .map(o => col(s"s_$l") > col(s"s_$o"))
+          val cond = (beatsLater ++ beatsEarlier)
+            .foldLeft(lit(true))(_ && _)
+          when(cond, lit(l)).otherwise(rest)
+      }
+      scored
+        .withColumn("predicted", predicted)
+        .withColumn("hit", (col("predicted") === col("actual_lang")).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: token stats + stopword ratio + type-token ratio,
+    // combined into one bounded score. avg token length uses the
+    // single-space tokenization identity: len(text) = Σ|tok| + (n-1).
+    "q_text_quality" -> ((s, d) =>
+      T.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_txt"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        countIn(stopwords).as("n_stop"))
+        .withColumn("avg_tok_len",
+          (col("n_chars_txt") - (col("n_tokens") - 1)) / col("n_tokens"))
+        .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+        .withColumn("ttr", col("n_distinct") / col("n_tokens"))
+        .withColumn("quality", round(
+          col("ttr") * 0.4 + (lit(1) - col("stop_ratio")) * 0.3
+            + least(lit(1.0), col("n_tokens") / 50) * 0.3, 6))
+        .orderBy(col("doc_id"))),
+
+    // Token counting: whitespace tokens, regex tokens, distinct tokens,
+    // type-token ratio.
+    "q_text_tokens" -> ((s, d) =>
+      T.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_re"),
+        size(array_distinct(toks)).as("n_distinct"))
+        .withColumn("ttr", round(col("n_distinct") / col("n_ws"), 6))
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprint: md5 over the sorted distinct token set
+    // (order-insensitive content identity) + cluster stats per fingerprint.
+    "q_text_fingerprint" -> ((s, d) => {
+      val w = Window.partitionBy(col("fp"))
+      T.documents(s, d)
+        .withColumn("fp",
+          md5(concat_ws(" ", array_sort(array_distinct(toks)))))
+        .select(col("doc_id"), col("fp"),
+          count(lit(1)).over(w).as("cluster_size"),
+          min(col("doc_id")).over(w).as("keeper"))
+        .withColumn("is_keeper", (col("doc_id") === col("keeper")).cast("int"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val doc = tbl("documents")
+
+  private def sqlCountIn(set: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${set.map(x => s"'$x'").mkString(", ")}))) AS INTEGER)"
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" -> {
+      val scores = markers
+        .map { case (l, set) => s"${sqlCountIn(set)} AS s_$l" }
+        .mkString(",\n            ")
+      val langs = markers.map(_._1)
+      val branches = langs.zipWithIndex.init.map { case (l, idx) =>
+        val conds = langs.drop(idx + 1).map(o => s"s_$l >= s_$o") ++
+          langs.take(idx).map(o => s"s_$l > s_$o")
+        s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+      }.mkString("\n              ")
+      s"""SELECT doc_id, actual_lang, s_de, s_en, s_es, s_fr, s_zh,
+            predicted,
+            CAST(predicted = actual_lang AS INTEGER) AS hit
+          FROM (
+            SELECT *,
+              CASE $branches
+                   ELSE '${langs.last}' END AS predicted
+            FROM (
+              SELECT doc_id, lang AS actual_lang,
+                $scores
+              FROM $doc) sc) p
+          ORDER BY doc_id"""
+    },
+    "q_text_quality" ->
+      s"""SELECT doc_id, n_chars_txt, n_tokens, n_distinct, n_stop,
+            (n_chars_txt - (n_tokens - 1)) / n_tokens AS avg_tok_len,
+            n_stop / n_tokens AS stop_ratio,
+            n_distinct / n_tokens AS ttr,
+            round((n_distinct / n_tokens) * 0.4
+              + (1 - n_stop / n_tokens) * 0.3
+              + least(CAST(1.0 AS DOUBLE), n_tokens / 50) * 0.3, 6) AS quality
+          FROM (
+            SELECT doc_id,
+              CAST(length(text) AS INTEGER) AS n_chars_txt,
+              CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+              CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+              ${sqlCountIn(stopwords)} AS n_stop
+            FROM $doc) x
+          ORDER BY doc_id""",
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+            CAST(len(regexp_extract_all(text, '[a-z]+', 0)) AS INTEGER) AS n_re,
+            CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+            round(CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+              / CAST(len(string_split(text, ' ')) AS INTEGER), 6) AS ttr
+          FROM $doc ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      s"""WITH f AS (
+            SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+            FROM $doc)
+          SELECT doc_id, fp,
+            COUNT(*) OVER (PARTITION BY fp) AS cluster_size,
+            MIN(doc_id) OVER (PARTITION BY fp) AS keeper,
+            CAST(doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS INTEGER) AS is_keeper
+          FROM f ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables => T}
+
+/** SURVEY §2.5: window functions (ranking, lag/lead, frames).
+  *
+  * Scale note: WindowExec sorts within hash partitions of the PARTITION BY
+  * key — one shuffle per distinct partitioning, reused across functions
+  * over the same window spec. Running sums use the decimal domain so the
+  * cumulative reduction is order-exact (§7.4).
+  */
+object WindowFns {
+  type Q = (SparkSession, String) => DataFrame
+  import Det.tbl
+
+  val queries: Map[String, Q] = Map(
+    // Ranking family over (nation, acctbal desc, custkey) — fully
+    // deterministic ordering (unique key last).
+    "q_win_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      T.customer(s, d).select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    }),
+
+    // Per-user lag/lead + inter-event gap in µs (the reference's per-key
+    // predecessor lookup, SURVEY §1.1 / §2.5).
+    "q_win_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      T.events(s, d).select(
+        col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Frame-spec aggregates: running revenue per customer + 3-row moving
+    // average, both in the exact decimal domain then cast (§7.4).
+    "q_win_frame" -> ((s, d) => {
+      val base = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = base.rowsBetween(-2, 0)
+      T.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice").cast(Det.Dec)).over(cum), 4)
+          .cast("double").as("running_rev"),
+        (round(sum(col("o_totalprice").cast(Det.Dec)).over(mov), 4).cast("double")
+          / count(lit(1)).over(mov)).as("mov3_avg"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  private val cust = tbl("customer"); private val evt = tbl("events")
+  private val ords = tbl("orders")
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      s"""SELECT c_nationkey, c_custkey, c_acctbal,
+            CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+            CAST(RANK() OVER w AS INTEGER) AS rnk,
+            CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+            CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+            round(PERCENT_RANK() OVER w, 6) AS pct_rank
+          FROM $cust
+          WINDOW w AS (PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC)
+          ORDER BY c_nationkey, c_custkey""",
+    "q_win_lag" ->
+      s"""SELECT event_id, user_id, value,
+            LAG(value, 1) OVER w AS prev_value,
+            LEAD(value, 1) OVER w AS next_value,
+            epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+          FROM $evt
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+          ORDER BY event_id""",
+    "q_win_frame" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER cum, 4) AS DOUBLE) AS running_rev,
+            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER mov, 4) AS DOUBLE)
+              / COUNT(*) OVER mov AS mov3_avg
+          FROM $ords
+          WINDOW cum AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            mov AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+          ORDER BY o_orderkey"""
+  )
+}
