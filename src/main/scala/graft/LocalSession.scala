@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the local session all mains + tests share, so every
+  * session-level knob (timezone, shuffle width, the nanos-parquet legacy
+  * flag) is set once at build time instead of mutated mid-query.
+  *
+  * Scale note: `spark.sql.shuffle.partitions` defaults to the local core
+  * count here; on a real cluster this is the one line a deployment changes
+  * (or leaves to AQE coalescing — AQE stays enabled, Spark 4 default).
+  */
+object LocalSession {
+  def build(cores: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it via
+      // this legacy flag (as a nanos long — Tables.events truncates to µs,
+      // matching DuckDB's read; SURVEY §1.2). Session-level, set at build.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -16,12 +16,13 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as nanos-long
-    * (legacy conf) and truncate to µs — exactly what DuckDB does on read
-    * (SURVEY §1.2), so both engines see identical µs timestamps. */
+    * read as a timestamp (PARQUET_TYPE_ILLEGAL). With the session-level
+    * `spark.sql.legacy.parquet.nanosAsLong` flag (set at session build in
+    * [[LocalSession]]) it reads as a nanos long; truncate to µs — exactly
+    * what DuckDB does on read (SURVEY §1.2), so both engines see identical
+    * µs timestamps. */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -178,24 +178,31 @@ object CoreRelational {
           col("l_quantity"))),
 
     // §2.3 as-of join: for each purchase, most recent prior click by the
-    // same user (tie → highest click event_id). Equi-join on user_id +
-    // range filter, then keep rank-1 per purchase. At 100 TB the same plan
-    // holds: hash-partition both sides by user_id, no cartesian anywhere.
+    // same user (tie → highest click event_id). Plan: NO join at all —
+    // union both event kinds into one per-user timeline and carry the
+    // running max click as a struct max over preceding rows. One shuffle
+    // by user_id, O(n log n) per key, skew-tolerant: a bot user with 10⁵
+    // clicks and 10⁵ purchases costs one 2·10⁵-row sorted pass, not the
+    // 10¹⁰-row expansion a join+rank plan materializes.
+    //
+    // Ordering (us asc, is_p asc, event_id asc) puts every click with
+    // c_us <= p_us strictly before the purchase row (ties on us: clicks
+    // first — the as-of bound is inclusive), and struct max on
+    // (c_us, c_id) encodes "latest click, tie → highest id".
     "q_join_asof" -> ((s, d) => {
       val ev = T.events(s, d)
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"),
-          unix_micros(col("ts")).as("p_us"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-          unix_micros(col("ts")).as("c_us"))
-      val w = Window.partitionBy(col("p_id"))
-        .orderBy(col("c_us").desc, col("c_id").desc)
-      p.join(c, col("user_id") === col("c_user") && col("c_us") <= col("p_us"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("p_id"), col("user_id"), col("p_us"),
-          col("c_id"), col("c_us"), (col("p_us") - col("c_us")).as("gap_us"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          (col("event_type") === "purchase").cast("int").as("is_p"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("is_p").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("lc",
+          max(when(col("is_p") === 0, struct(col("us"), col("event_id")))).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("event_id").as("p_id"), col("user_id"), col("us").as("p_us"),
+          col("lc.event_id").as("c_id"), col("lc.us").as("c_us"),
+          (col("us") - col("lc.us")).as("gap_us"))
         .orderBy(col("p_id"))
     }),
 
