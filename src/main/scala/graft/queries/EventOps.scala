@@ -8,13 +8,14 @@ import graft.{Det, Tables => T}
 /** SURVEY §2.9: the reference's stream-processing semantics, as
   * batch/stream-unified queries over the `events` table.
   *
-  * Each query here is registered in its batch form (DuckDB-checkable);
-  * `graft.streaming` holds the streaming twins (MemoryStream parity,
-  * watermark, flatMapGroupsWithState, exactly-once sink), proven
-  * equivalent in the test suite. That unification is the core design
-  * argument of this engine: Spark's `window()` / `session_window()` /
-  * stateful aggregation run identically over bounded and unbounded input,
-  * so causal-ordering semantics are testable against a SQL oracle.
+  * Each query here is registered in its batch form (DuckDB-checkable).
+  * The windowed queries DELEGATE to [[graft.streaming.StreamOps]] — the
+  * same transformation functions the streaming runtime executes over
+  * MemoryStream micro-batches in the parity suite
+  * (`StreamingParitySuite`) — adding only the deterministic ORDER BY
+  * the oracle compare needs. The stateful forms (causal, running agg)
+  * have `flatMapGroupsWithState` twins in StreamOps whose batch AND
+  * stream evaluations are asserted equal to these oracle-checked forms.
   *
   * Scale note: all queries partition by user_id (the causality key).
   * On a cluster the state for per-key tracking shards across executors by
@@ -23,37 +24,27 @@ import graft.{Det, Tables => T}
 object EventOps {
   type Q = (SparkSession, String) => DataFrame
   import Det.{dsum, sqlSum, tbl}
+  import graft.streaming.StreamOps
 
   val queries: Map[String, Q] = Map(
     // Tumbling 1h window × event_type.
     "q_stream_tumble" -> ((s, d) =>
-      T.events(s, d)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("val"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n"), col("val"))
+      StreamOps.tumble(T.events(s, d))
         .orderBy(col("window_start"), col("event_type"))),
 
     // Sliding 1h window every 30min — each event lands in exactly 2 windows.
     "q_stream_slide" -> ((s, d) =>
-      T.events(s, d)
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("val"))
-        .select(col("window.start").as("window_start"), col("n"), col("val"))
+      StreamOps.slide(T.events(s, d))
         .orderBy(col("window_start"))),
 
     // Session windows per user, 30min gap. Spark's session end = last
-    // event + gap; a new event at exactly start+gap begins a NEW session
-    // (end-exclusive) — the oracle's `>=` gap flag mirrors that exactly
-    // (pinned by a boundary unit test, SURVEY §7.3.3).
+    // event + gap, and an event at EXACTLY start+gap still merges into
+    // the session — only a gap strictly greater than 30min opens a new
+    // one. The oracle's `>` gap flag mirrors that exactly (pinned by a
+    // boundary unit test, SURVEY §7.3.3 — the `>=` variant is wrong and
+    // only survives on data with no exact-gap pairs).
     "q_stream_session" -> ((s, d) =>
-      T.events(s, d)
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("val"))
-        .select(col("user_id"),
-          col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"),
-          col("n_events"), col("val"))
+      StreamOps.session(T.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
 
     // Keyed dedup with deterministic keep-first (NOT bare dropDuplicates,
@@ -113,7 +104,7 @@ object EventOps {
     "q_stream_session" ->
       s"""WITH flagged AS (
             SELECT user_id, ts, value,
-              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
             FROM $evt
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Det
+
+/** One event in the per-key timeline, timestamps at µs (the engine's
+  * timestamp resolution, SURVEY §1.2). */
+case class Event(event_id: Long, ts_us: Long, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Per-key causal-tracker state: running max event-time, event count,
+  * violation count (SURVEY §1.1 — the reference's causal-order audit). */
+case class CausalState(maxTsUs: Long, n: Long, viol: Long)
+
+case class CausalOut(user_id: Long, n_events: Long, n_violations: Long)
+
+case class RunningOut(event_id: Long, user_id: Long,
+                      running_n: Long, running_val: Double)
+
+/** The streaming runtime: event-time windowed aggregation, keyed
+  * stateful processing, and the batch≡stream unification argument.
+  *
+  * Every builder here takes a DataFrame/Dataset and returns a
+  * transformation — the SAME function runs over a bounded scan (the
+  * batch queries in [[graft.queries.EventOps]] delegate to these cores,
+  * adding only the deterministic ORDER BY the oracle needs) and over an
+  * unbounded `readStream` source (the parity suite drives them through
+  * MemoryStream micro-batches). That unification is the core design
+  * argument of this engine: Spark's `window()` / `session_window()` /
+  * `flatMapGroupsWithState` evaluate identically on bounded and
+  * unbounded input, so the reference's causal-ordering semantics are
+  * testable against a SQL oracle AND provable over a stream.
+  *
+  * Scale note: all stateful operators key by user_id (the causality
+  * key). On a cluster, state shards across executors by that key — the
+  * same sharding the reference derived from its partitioned log — and
+  * watermarks bound state size: a session/window closes (and its state
+  * is dropped) once the watermark passes it, so state is O(open windows
+  * per key), not O(history).
+  */
+object StreamOps {
+
+  /** Tumbling 1h window × event_type. Streaming callers watermark `ts`
+    * first; append-mode emission happens when the watermark passes the
+    * window end. */
+  def tumble(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("val"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("val"))
+
+  /** Sliding 1h window every 30min — each event lands in exactly 2 windows. */
+  def slide(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("val"))
+      .select(col("window.start").as("window_start"), col("n"), col("val"))
+
+  /** Session windows per user, 30min gap. Spark's session end = last
+    * event + gap; an event at EXACTLY start+gap still merges — only a
+    * strictly greater gap opens a new session (pinned by a boundary
+    * unit test, SURVEY §7.3.3). */
+  def session(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("val"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("val"))
+
+  /** Keyed streaming dedup: keep the first ARRIVED event per
+    * (user_id, event_type). Equals the batch keep-earliest form exactly
+    * when arrival order respects (ts, event_id) — the parity suite
+    * feeds batches in that order; out-of-order arrivals are what the
+    * watermark variant (`dropDuplicates` within watermark) bounds. */
+  def dedupFirstArrival(events: DataFrame): DataFrame =
+    events.dropDuplicates("user_id", "event_type")
+
+  /** The reference's raison d'être as a stateful streaming operator:
+    * per-key causal-order audit via flatMapGroupsWithState. An event
+    * whose ts is behind the running max of its key's PRIOR events (in
+    * event_id arrival order) violates causal order. Emits the updated
+    * per-key totals every micro-batch (OutputMode.Update); the final
+    * emission per key equals the batch q_causal row for that key.
+    *
+    * The same function body runs in batch mode (state starts empty, one
+    * "batch" containing everything) — flatMapGroupsWithState is defined
+    * on KeyValueGroupedDataset for both — which is exactly the
+    * batch≡stream proof the parity suite asserts.
+    *
+    * State is 3 longs per key — O(keys) total, sharded by user_id. */
+  def causalTracker(events: Dataset[Event]): Dataset[CausalOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[CausalState]) =>
+          // Arrival order within a micro-batch is not guaranteed per key;
+          // event_id IS the arrival order (FIXTURES.md), so restore it.
+          val evs = it.toArray.sortBy(_.event_id)
+          var st = state.getOption.getOrElse(CausalState(Long.MinValue, 0L, 0L))
+          evs.foreach { e =>
+            val viol = if (st.n > 0 && e.ts_us < st.maxTsUs) 1L else 0L
+            st = CausalState(math.max(st.maxTsUs, e.ts_us), st.n + 1, st.viol + viol)
+          }
+          state.update(st)
+          Iterator(CausalOut(uid, st.n, st.viol))
+      }
+  }
+
+  /** Incremental view maintenance (the reference's "view", SURVEY §1.1):
+    * per-key running count + decimal(18,4) sum, one output row PER
+    * EVENT. The decimal-domain state mirrors Det.dsum exactly: each
+    * value is rounded to 4dp (HALF_UP — Spark's decimal cast), summed
+    * exactly, emitted as double. */
+  def runningAgg(events: Dataset[Event]): Dataset[RunningOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[(Long, BigDecimal)]) =>
+          val evs = it.toArray.sortBy(_.event_id)
+          var (n, sum) = state.getOption.getOrElse((0L, BigDecimal(0).setScale(4)))
+          val out = evs.map { e =>
+            n += 1
+            sum += BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            RunningOut(e.event_id, uid, n, sum.toDouble)
+          }
+          state.update((n, sum))
+          out.iterator
+      }
+  }
+}

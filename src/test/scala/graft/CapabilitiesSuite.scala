@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoders
+import java.nio.file.Files
+
+/** SURVEY §2.1/§2.4/§2.8 unit-only capabilities: CSV/JSON source
+  * round-trips, approx_count_distinct tolerance, a typed Aggregator
+  * UDAF, and the registered-UDF surface. */
+class CapabilitiesSuite extends SparkSuite {
+
+  private lazy val sample = Tables.lineitem(spark, sf)
+    .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_returnflag"), col("l_shipdate"))
+    .limit(200)
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.withColumn("ship_s", col("l_shipdate").cast("string")).drop("l_shipdate")
+      .collect().map(_.toSeq).toSet
+
+  test("CSV source: schema-explicit write/read round-trip is lossless") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    sample.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType),
+      StructField("l_shipdate", TimestampNTZType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    assert(canon(back) === canon(sample))
+  }
+
+  test("JSON source: schema-explicit write/read round-trip is lossless") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    sample.write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType),
+      StructField("l_shipdate", TimestampNTZType)))
+    val back = spark.read.schema(schema).json(dir)
+    assert(canon(back) === canon(sample))
+  }
+
+  test("approx_count_distinct within 5% of exact (the first sketch anyone reaches for at 100 TB)") {
+    val df = Tables.lineitem(spark, sf)
+    val exact = df.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    // HLL++ error is ~rsd (1σ); assert within 3×rsd, and that tightening
+    // the rsd parameter actually tightens the estimate's bound.
+    val approx5 = df.select(approx_count_distinct(col("l_orderkey"), 0.05)).collect()(0).getLong(0)
+    assert(math.abs(approx5 - exact).toDouble / exact <= 0.15,
+      s"approx=$approx5 exact=$exact")
+    val approx1 = df.select(approx_count_distinct(col("l_orderkey"), 0.01)).collect()(0).getLong(0)
+    assert(math.abs(approx1 - exact).toDouble / exact <= 0.03,
+      s"approx=$approx1 exact=$exact")
+  }
+
+  test("typed Aggregator UDAF matches the built-in average") {
+    val mean = new Aggregator[Double, (Double, Long), Double] {
+      def zero: (Double, Long) = (0.0, 0L)
+      def reduce(b: (Double, Long), a: Double): (Double, Long) = (b._1 + a, b._2 + 1)
+      def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+        (x._1 + y._1, x._2 + y._2)
+      def finish(r: (Double, Long)): Double = r._1 / r._2
+      def bufferEncoder = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      def outputEncoder = Encoders.scalaDouble
+    }
+    spark.udf.register("graft_mean", udaf(mean))
+    val out = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("graft_mean(l_quantity)").as("m"), avg(col("l_quantity")).as("a"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(math.abs(r.getAs[Double]("m") - r.getAs[Double]("a")) < 1e-9))
+  }
+
+  test("registered UDF surface matches the equivalent built-in expression") {
+    spark.udf.register("graft_tier", (p: Double) =>
+      if (p > 300000) "high" else if (p > 100000) "mid" else "low")
+    val out = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        expr("graft_tier(o_totalprice)").as("via_udf"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("via_builtin"))
+    assert(out.filter(col("via_udf") =!= col("via_builtin")).count() === 0)
+    assert(out.select("via_udf").distinct().count() === 3)
+  }
+}

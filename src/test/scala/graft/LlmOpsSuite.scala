@@ -1,0 +1,162 @@
+package graft
+
+import graft.queries.LlmOps
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** §2.10 semantics on hand-built corpora (FIXTURES.md mini-docs /
+  * mini-vectors), written as real parquet so the queries run their full
+  * path, plus ANN recall on planted-cluster embeddings. */
+class LlmOpsSuite extends SparkSuite {
+  import spark.implicits._
+
+  /** Mini corpus: exact dup (1,2), token-permutation (3), an exactly-0.8
+    * Jaccard pair (4,5), an unrelated doc (6), a marker-laden doc (7). */
+  private lazy val docsDir: String = {
+    val dir = Files.createTempDirectory("graft_docs").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src0"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src0"),
+      (3L, "kappa iota theta eta zeta epsilon delta gamma beta alpha", "en", "src0"),
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "src0"),
+      (5L, "t1 t2 t3 t4 t5 t6 t7 t8 tx", "en", "src0"),
+      (6L, "solo words nothing shared here completely different tongue", "en", "src0"),
+      (7L, "the a fast slow the", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Mini vectors: collinear pair, orthogonal pair, a negated vector and
+    * a cosine tie (v1 vs v4 seen from v0) exercising the id tiebreak. */
+  private lazy val vecsDir: String = {
+    val dir = Files.createTempDirectory("graft_vecs").toString
+    def unit(dim: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == dim) scale else 0.0f)
+    val vecs = Seq(
+      (0L, unit(0, 1.0f), 0),
+      (1L, unit(0, 2.0f), 0),
+      (2L, unit(1, 1.0f), 0),
+      (3L, unit(0, -1.0f), 0),
+      (4L, unit(0, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    vecs.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def q(name: String, dir: String) = LlmOps.queries(name)(spark, dir)
+
+  test("q_llm_dedup: md5 cluster {1,2}, keeper 1, others singletons") {
+    val out = q("q_llm_dedup", docsDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Long]("keeper"))).toMap
+    assert(out(1L) === (2L, 1L) && out(2L) === (2L, 1L))
+    Seq(3L, 4L, 5L, 6L, 7L).foreach(id => assert(out(id) === (1L, id)))
+  }
+
+  test("q_llm_neardup: permutation counts as dup; 0.8 boundary pair included") {
+    val out = q("q_llm_neardup", docsDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jacc"))
+      .toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    assert(out((1L, 2L)) === 1.0 && out((1L, 3L)) === 1.0)
+    assert(out((4L, 5L)) === 0.8) // |∩|=8, |∪|=10 — exactly the threshold
+  }
+
+  test("q_llm_ngram is order-sensitive: permutation is NOT an n-gram dup") {
+    val out = q("q_llm_ngram", docsDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jacc"))
+      .toMap
+    assert(out.keySet === Set((1L, 2L), (4L, 5L)))
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((4L, 5L)) === 0.75) // 6 shared of 8 distinct shingles
+  }
+
+  test("q_llm_minhash: identical docs estimated at 1.0; unrelated docs never candidates") {
+    val out = q("q_llm_minhash", docsDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("est_sim"))
+      .toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out.values.forall(_ >= 0.5))
+    assert(!out.keySet.exists { case (a, b) => Set(a, b).contains(6L) })
+    assert(!out.keySet.contains((1L, 3L))) // permutation: disjoint shingles
+  }
+
+  test("q_llm_simhash: signature depends on the token SET only") {
+    val sig = q("q_llm_simhash", docsDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(1L) === sig(2L) && sig(2L) === sig(3L))
+    assert(sig(1L) !== sig(6L))
+  }
+
+  test("q_llm_wordcount: exact counts with (count desc, word asc) ordering") {
+    val out = q("q_llm_wordcount", docsDir).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("n")))
+    assert(out.length === 20)
+    assert(out.head === ("alpha", 3L)) // 10 words at count 3, alpha first
+    assert(out.count(_._2 == 3L) === 10)
+    assert(out.contains(("the", 2L))) // count-2 band: t1..t8, the
+    assert(out.last === ("a", 1L)) // 19 words at count>=2; 20th: first count-1 word
+  }
+
+  test("q_llm_knn: collinear first, orthogonal mid, negated last; ties break by vec_id") {
+    val probe0 = q("q_llm_knn", vecsDir).filter(col("probe_id") === 0)
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+    assert(probe0.map(_._1).toSeq === Seq(1L, 4L, 2L, 3L))
+    assert(probe0.map(_._2).toSeq === Seq(1.0, 1.0, 0.0, -1.0))
+  }
+
+  test("q_llm_embdup: exactly the three collinear pairs at sim 1.0") {
+    val out = q("q_llm_embdup", vecsDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("sim")))
+    assert(out.toSet === Set((0L, 1L, 1.0), (0L, 4L, 1.0), (1L, 4L, 1.0)))
+  }
+
+  test("q_llm_embdup_lsh finds the same collinear pairs (identical sign pattern)") {
+    val out = q("q_llm_embdup_lsh", vecsDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(out.toSet === Set((0L, 1L), (0L, 4L), (1L, 4L)))
+  }
+
+  test("ANN recall@3 >= 0.8 on clustered embeddings (8 bits, Hamming-1 multi-probe)") {
+    // 200 vectors in 10 tight clusters; ANN is meaningful here, unlike the
+    // sf corpora whose embeddings are structureless (max cos ≈ 0.48 —
+    // measured; no selective LSH can reach 0.8 recall there).
+    val dir = Files.createTempDirectory("graft_clust").toString
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(64)(rng.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq, i % 10)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // driver-side brute-force truth (double precision, same tiebreak)
+    val dense = vecs.map { case (id, e, _) => id -> e.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val truth = (0L until 5L).map { p =>
+      p -> dense.keys.filter(_ != p).toSeq
+        .sortBy(n => (-cos(dense(p), dense(n)), n)).take(3).toSet
+    }.toMap
+
+    val ann = LlmOps.annQuery(spark, dir, bits = 8, radius = 1, k = 3).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val hits = truth.map { case (p, t) => (ann.getOrElse(p, Set.empty) & t).size }.sum
+    val recall = hits.toDouble / (5 * 3)
+    assert(recall >= 0.8, s"recall@3 = $recall")
+  }
+
+  test("multi-probe widens the candidate set monotonically on real sf0.001 embeddings") {
+    val exact = LlmOps.annQuery(spark, sf, bits = 4, radius = 0, k = 3).count()
+    val probed = LlmOps.annQuery(spark, sf, bits = 4, radius = 1, k = 3).count()
+    assert(probed >= exact)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** SURVEY §5.2.3 algebraic laws. Pure-Scala mirrors of the operators'
+  * math run under ScalaCheck (raw Prop API — scalatestplus is not on
+  * the offline classpath); Spark-level laws use the shared session on
+  * generated micro-DataFrames. */
+class PropertySuite extends AnyFunSuite {
+
+  private def check(name: String)(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val tokenSet: Gen[Set[String]] =
+    Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf((1 to 20).map(i => s"t$i"))).map(_.toSet))
+
+  private def jacc(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size
+
+  test("Jaccard: symmetry, bounds, identity") {
+    check("jaccard")(Prop.forAll(tokenSet, tokenSet) { (a, b) =>
+      val j = jacc(a, b)
+      j == jacc(b, a) && j >= 0.0 && j <= 1.0 && jacc(a, a) == 1.0
+    })
+  }
+
+  test("size bound used by the near-dup prefilter: J >= t implies sizes within t ratio") {
+    check("sizebound")(Prop.forAll(tokenSet, tokenSet) { (a, b) =>
+      val t = 0.8
+      jacc(a, b) < t || (t * a.size <= b.size + 1e-9 && t * b.size <= a.size + 1e-9)
+    })
+  }
+
+  test("causal fold: violations equal the naive quadratic definition; prefix max is monotone") {
+    val tsList = Gen.listOf(Gen.chooseNum(0L, 100L))
+    check("causal")(Prop.forAll(tsList) { ts =>
+      var maxTs = Long.MinValue; var n = 0L; var viol = 0L
+      val prefixMaxes = ts.map { t =>
+        if (n > 0 && t < maxTs) viol += 1
+        maxTs = math.max(maxTs, t); n += 1; maxTs
+      }
+      val naive = ts.indices.count(i => i > 0 && ts(i) < ts.take(i).max)
+      viol == naive && prefixMaxes == prefixMaxes.sorted
+    })
+  }
+
+  test("decimal-domain sum is permutation-invariant (the §7.4 determinism argument)") {
+    check("dsum")(Prop.forAll(Gen.listOf(Gen.chooseNum(-1e6, 1e6))) { xs =>
+      def dsum(l: Seq[Double]): BigDecimal =
+        l.map(BigDecimal(_).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      dsum(xs) == dsum(scala.util.Random.shuffle(xs))
+    })
+  }
+
+  test("session labels (strict-gap merge) are monotone and hole-free") {
+    check("session")(Prop.forAll(Gen.listOf(Gen.chooseNum(0L, 60L))) { gaps =>
+      val ts = gaps.scanLeft(0L)(_ + _)
+      val gap = 30L
+      val sessionIds = ts.zip(Long.MinValue +: ts.dropRight(1)).scanLeft(0) {
+        case (sid, (t, prev)) => if (prev == Long.MinValue || t - prev <= gap) sid else sid + 1
+      }.drop(1)
+      sessionIds.length == ts.length &&
+        sessionIds.sorted == sessionIds &&
+        (ts.isEmpty || sessionIds.distinct == (0 to sessionIds.max).toList)
+    })
+  }
+
+  test("Spark law: unionAll count is additive, intersect is exact set intersection") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val small = Gen.resize(20, Gen.listOf(Gen.chooseNum(0, 50)))
+    check("setops")(Prop.forAll(small, small) { (xs: List[Int], ys: List[Int]) =>
+      val a = xs.toDF("v"); val b = ys.toDF("v")
+      val i = a.intersect(b).collect().map(_.getInt(0)).toSet
+      a.unionAll(b).count() == xs.length + ys.length &&
+        i == xs.toSet.intersect(ys.toSet)
+    })
+  }
+}

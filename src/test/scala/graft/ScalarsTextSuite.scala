@@ -1,0 +1,124 @@
+package graft
+
+import graft.queries.TextOps
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** §2.8 scalar surface + text-analysis operators: hand-computed
+  * expectations on sf0.001 rows and the mini-doc corpus. */
+class ScalarsTextSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private lazy val miniDir: String = {
+    val dir = Files.createTempDirectory("graft_minidocs").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src0"),
+      (7L, "the a fast slow the", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_str string functions replicated for one part row") {
+    val row = q("q_str").orderBy(col("p_partkey")).limit(1).collect()(0)
+    val src = Tables.part(spark, sf).orderBy(col("p_partkey")).limit(1).collect()(0)
+    val name = src.getAs[String]("p_name")
+    assert(row.getAs[String]("lo") === name.toLowerCase)
+    assert(row.getAs[String]("up") === name.toUpperCase)
+    assert(row.getAs[String]("sub4") === name.take(4))
+    assert(row.getAs[Int]("len") === name.length)
+    assert(row.getAs[String]("snake") === name.replace(" ", "_"))
+    assert(row.getAs[Boolean]("is_red") === name.startsWith("red"))
+  }
+
+  test("q_date calendar fields replicated for one order row") {
+    val row = q("q_date").orderBy(col("o_orderkey")).limit(1).collect()(0)
+    val src = Tables.orders(spark, sf).orderBy(col("o_orderkey")).limit(1).collect()(0)
+    val d = src.getAs[java.time.LocalDateTime]("o_orderdate").toLocalDate
+    assert(row.getAs[Int]("y") === d.getYear)
+    assert(row.getAs[Int]("m") === d.getMonthValue)
+    assert(row.getAs[Int]("dom") === d.getDayOfMonth)
+    assert(row.getAs[Int]("isodow") === d.getDayOfWeek.getValue)
+  }
+
+  test("q_math expressions replicated for one lineitem row") {
+    val row = q("q_math").limit(1).collect()(0)
+    val qty = {
+      val li = Tables.lineitem(spark, sf)
+        .filter(col("l_orderkey") === row.getAs[Long]("l_orderkey")
+          && col("l_linenumber") === row.getAs[Int]("l_linenumber"))
+        .collect()
+      // key may be non-unique; accept any matching line
+      li.map(_.getAs[Double]("l_quantity"))
+    }
+    assert(qty.exists(v => math.abs(row.getAs[Double]("abs_dev") - math.abs(v - 25)) < 1e-9))
+    assert(qty.exists(v => row.getAs[Double]("qty_sq") === v * v))
+  }
+
+  test("q_array: n_dims 64, l2/esum consistent, n_pos bounded") {
+    val rows = q("q_array").limit(50).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_dims") === 64)
+      assert(r.getAs[Int]("n_pos") >= 0 && r.getAs[Int]("n_pos") <= 64)
+      assert(r.getAs[Double]("l2") >= math.abs(r.getAs[Double]("e0")) - 1e-6)
+    }
+  }
+
+  test("q_json: group count equals raw event count; keys parse as 0..99") {
+    val out = q("q_json").collect()
+    assert(out.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
+  }
+
+  test("q_text_quality formula hand-computed on the mini corpus") {
+    val out = TextOps.queries("q_text_quality")(spark, miniDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 7: "the a fast slow the" — 5 tokens, 4 distinct, 3 stopword hits
+    val d7 = out(7L)
+    assert(d7.getAs[Int]("n_tokens") === 5)
+    assert(d7.getAs[Int]("n_distinct") === 4)
+    assert(d7.getAs[Int]("n_stop") === 3)
+    assert(math.abs(d7.getAs[Double]("quality")
+      - (0.8 * 0.4 + 0.4 * 0.3 + 0.1 * 0.3)) < 1e-6)
+    assert(math.abs(d7.getAs[Double]("avg_tok_len") - 3.0) < 1e-9)
+    // doc 1: all-distinct, no stopwords, 10 tokens
+    val d1 = out(1L)
+    assert(d1.getAs[Double]("ttr") === 1.0)
+    assert(math.abs(d1.getAs[Double]("quality") - (0.4 + 0.3 + 0.2 * 0.3)) < 1e-6)
+  }
+
+  test("q_text_langid: marker-laden doc classified; markerless doc falls to lexicographic tie") {
+    val out = TextOps.queries("q_text_langid")(spark, miniDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(7L).getAs[String]("predicted") === "en") // 'the a fast slow the': all en markers
+    assert(out(7L).getAs[Int]("hit") === 1)
+    assert(out(1L).getAs[String]("predicted") === "de") // zero markers anywhere: tie → first lang
+  }
+
+  test("q_text_tokens: whitespace vs regex tokenization agree on the mini corpus") {
+    val out = TextOps.queries("q_text_tokens")(spark, miniDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(7L).getAs[Int]("n_ws") === 5)
+    assert(out(7L).getAs[Int]("n_re") === 5)
+    assert(out(7L).getAs[Double]("ttr") === 0.8)
+  }
+
+  test("q_text_fingerprint clusters a token-set permutation with its source") {
+    val dir = Files.createTempDirectory("graft_fp").toString
+    Seq(
+      (1L, "a b c", "en", "src0"), (2L, "c b a", "en", "src0"),
+      (3L, "a b d", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.queries("q_text_fingerprint")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Long]("keeper"),
+          r.getAs[Int]("is_keeper"))).toMap
+    assert(out(1L) === (2L, 1L, 1))
+    assert(out(2L) === (2L, 1L, 0)) // permutation: same fingerprint, not keeper
+    assert(out(3L) === (1L, 3L, 1))
+  }
+}

@@ -1,0 +1,220 @@
+package graft.streaming
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import java.nio.file.Files
+
+/** SURVEY §5.2.4: batch ≡ stream parity through MemoryStream
+  * micro-batches, watermark late-drop, the flatMapGroupsWithState
+  * causal tracker, and the exactly-once sink (idempotent replay +
+  * checkpoint restart).
+  *
+  * Mini-events fixture per FIXTURES.md: 2 users, 11 events containing
+  * an out-of-order pair per user, one exact (user, type, ts) duplicate,
+  * a session gap of exactly 30min (boundary) and one of 31min, and an
+  * event exactly on an hour boundary.
+  */
+class StreamingParitySuite extends SparkSuite {
+  import spark.implicits._
+
+  /** 2024-01-01T00:00:00Z in µs. */
+  private val B = 1704067200000000L
+  private def min(m: Long): Long = B + m * 60000000L
+
+  private val miniEvents: Seq[Event] = Seq(
+    Event(1, min(5), 1, "click", 10.0),
+    Event(2, min(20), 1, "view", 1.5),
+    Event(3, min(10), 1, "click", 2.0),   // out of order (20 -> 10): violation
+    Event(4, min(50), 1, "click", 7.0),   // gap of exactly 30min after 20min
+    Event(5, min(60), 1, "purchase", 5.0), // exactly on the hour boundary
+    Event(6, min(0), 2, "view", 3.0),
+    Event(7, min(0), 2, "view", 4.0),     // duplicate (user, type, ts); higher id
+    Event(8, min(29), 2, "click", 1.0),   // 29min gap: same session
+    Event(9, min(60), 2, "purchase", 2.5),
+    Event(10, min(55), 2, "purchase", 1.0), // out of order (60 -> 55): violation
+    Event(11, min(91), 2, "error", 0.5)   // 31min gap after 60: new session
+  )
+  private val batches: Seq[Seq[Event]] =
+    Seq(miniEvents.take(4), miniEvents.slice(4, 8), miniEvents.drop(8))
+
+  private def withTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(col("ts_us")))
+
+  private def batchDf: DataFrame = withTs(miniEvents.toDF())
+
+  /** Runs `core` over the mini events as a 3-micro-batch stream in
+    * `complete` mode and returns the final result. */
+  private def streamComplete(name: String, core: DataFrame => DataFrame): DataFrame = {
+    val ms = MemoryStream[Event](spark)
+    val q = core(withTs(ms.toDF()))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  test("tumbling window: stream (3 micro-batches, complete mode) == batch") {
+    assert(canon(streamComplete("tumble_par", StreamOps.tumble))
+      === canon(StreamOps.tumble(batchDf)))
+  }
+
+  test("sliding window: stream == batch") {
+    assert(canon(streamComplete("slide_par", StreamOps.slide))
+      === canon(StreamOps.slide(batchDf)))
+  }
+
+  test("session window: stream == batch, 30min gap boundary pins MERGE semantics") {
+    val stream = streamComplete("sess_par", StreamOps.session)
+    assert(canon(stream) === canon(StreamOps.session(batchDf)))
+    // user 1: events at 5,10,20,50,60 — the EXACTLY-30min gap after
+    // minute 20 still merges (Spark opens a new session only on a gap
+    // strictly greater than the duration), so one 5-event session.
+    // This is the §7.3.3 boundary pin; the oracle uses `>` accordingly.
+    val u1 = stream.filter(col("user_id") === 1)
+      .select(col("n_events")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(u1 === Seq(5L))
+    // user 2: 29min gap keeps one session (0,0,29,55,60), 31min gap opens one.
+    val u2 = stream.filter(col("user_id") === 2)
+      .select(col("n_events")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(u2 === Seq(1L, 5L))
+  }
+
+  test("keyed dedup: streaming first-arrival == batch keep-earliest when arrival respects (ts, id)") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.dedupFirstArrival(withTs(ms.toDF()))
+      .writeStream.format("memory").queryName("dedup_par").outputMode("append").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table("dedup_par")
+      .select(col("user_id"), col("event_type"), col("event_id")).as[(Long, String, Long)]
+      .collect().toSet
+    // streaming semantics: first ARRIVAL per key (arrival = event_id order)
+    val firstArrival = miniEvents.groupBy(e => (e.user_id, e.event_type))
+      .values.map(_.minBy(_.event_id))
+      .map(e => (e.user_id, e.event_type, e.event_id)).toSet
+    assert(streamed === firstArrival)
+    // where arrival order respects (ts, id) — every key except the
+    // intentionally out-of-order (2, purchase) — first-arrival equals
+    // the batch keep-earliest rule
+    val keepEarliest = miniEvents.groupBy(e => (e.user_id, e.event_type))
+      .values.map(g => g.minBy(e => (e.ts_us, e.event_id)))
+      .map(e => (e.user_id, e.event_type, e.event_id)).toSet
+    assert(streamed.filterNot(_ == ((2L, "purchase", 9L)))
+      === keepEarliest.filterNot(_ == ((2L, "purchase", 10L))))
+    // the duplicate (user 2, view, ts 0): the earlier event_id won
+    assert(streamed.contains((2L, "view", 6L)) && !streamed.contains((2L, "view", 7L)))
+  }
+
+  test("causal tracker: flatMapGroupsWithState stream == same function in batch == expected") {
+    // batch evaluation of the very same function
+    val batchOut = StreamOps.causalTracker(miniEvents.toDS())
+      .collect().map(c => c.user_id -> (c.n_events, c.n_violations)).toMap
+    // streamed evaluation, 3 micro-batches, last Update emission per key wins
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.causalTracker(ms.toDS())
+      .writeStream.format("memory").queryName("causal_par").outputMode("update").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val streamOut = spark.table("causal_par")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("n_violations")).as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(batchOut === Map(1L -> (5L, 1L), 2L -> (6L, 1L)))
+    assert(streamOut === batchOut)
+  }
+
+  test("causal tracker equals the oracle-checked batch q_causal on sf0.001") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val tracked = StreamOps.causalTracker(events)
+      .collect().map(c => c.user_id -> (c.n_events, c.n_violations)).toMap
+    val oracle = graft.queries.EventOps.queries("q_causal")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tracked === oracle)
+    assert(tracked.nonEmpty)
+  }
+
+  test("running agg (incremental view): stateful twin == oracle-checked q_stream_agg_state on sf0.001") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val twin = StreamOps.runningAgg(events)
+      .collect().map(r => r.event_id -> (r.running_n, r.running_val)).toMap
+    val batch = graft.queries.EventOps.queries("q_stream_agg_state")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(twin === batch)
+    assert(twin.size === 1000)
+  }
+
+  test("watermark drops late rows from append-mode windowed aggregation") {
+    val ms = MemoryStream[Event](spark)
+    val agg = StreamOps.tumble(
+      withTs(ms.toDF()).withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("wm_drop")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(Event(1, min(5), 1, "view", 1.0),
+        Event(2, min(90), 1, "view", 1.0))) // watermark -> 01:20
+      q.processAllAvailable()
+      ms.addData(Seq(Event(3, min(30), 1, "view", 1.0),  // LATE: 00:30 < 01:20
+        Event(4, min(160), 1, "view", 1.0))) // watermark -> 02:30
+      q.processAllAvailable()
+      ms.addData(Seq(Event(5, min(240), 1, "view", 1.0))) // close [02:00,03:00)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_drop")
+      .select(col("window_start").cast("long"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // [00:00) closed with n=1 — the late minute-30 row was dropped.
+    assert(out(B / 1000000L) === 1L)
+    // [01:00) closed with n=1, [02:00) closed with n=1.
+    assert(out(min(60) / 1000000L) === 1L)
+    assert(out(min(120) / 1000000L) === 1L)
+  }
+
+  test("exactly-once sink: replayed epoch overwrites itself; checkpoint restart does not double-write") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val cp = Files.createTempDirectory("graft_cp").toString
+    val sink = new IdempotentParquetSink(dir)
+    val ms = MemoryStream[Event](spark)
+    def start(): StreamingQuery =
+      withTs(ms.toDF()).writeStream
+        .foreachBatch((df: Dataset[Row], id: Long) => sink.write(df, id))
+        .option("checkpointLocation", cp).start()
+    val q1 = start()
+    try { ms.addData(batches.head); q1.processAllAvailable() } finally q1.stop()
+    val afterB1 = sink.readAll(spark).count()
+    assert(afterB1 === 4L)
+    // At-least-once redelivery: re-running epoch 0 must not duplicate.
+    sink.write(withTs(batches.head.toDF()), 0L)
+    assert(sink.readAll(spark).count() === 4L)
+    // Restart from the same checkpoint: only NEW data lands.
+    val q2 = start()
+    try { ms.addData(batches(1)); q2.processAllAvailable() } finally q2.stop()
+    assert(sink.readAll(spark).count() === 8L)
+    assert(sink.readAll(spark).select(col("event_id")).distinct().count() === 8L)
+  }
+
+  test("stream-static join: stream enriched against a static dimension == batch join") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val ms = MemoryStream[Event](spark)
+    val joined = withTs(ms.toDF()).join(broadcast(dim), Seq("user_id"))
+      .select(col("event_id"), col("segment"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table("ss_join").as[(Long, String)].collect().toSet
+    val batch = batchDf.join(dim, Seq("user_id"))
+      .select(col("event_id"), col("segment")).as[(Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 11)
+  }
+}
