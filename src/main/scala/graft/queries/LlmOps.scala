@@ -162,9 +162,15 @@ object LlmOps {
       // distinct), never as size(<expensive array expr>) above the
       // explode — projection collapse would re-evaluate that array per
       // exploded row (measured 5× the whole query's cost).
+      // The posting list is consumed three times (both join sides + the
+      // size aggregate); persist materializes it once instead of
+      // re-running scan+explode per consumer. At 100 TB this is the
+      // standard inverted-index materialization (cluster-wide cache or
+      // intermediate table); here it is a few MB.
       val e = T.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           explode(tokensCol).as("tok"))
+        .persist()
       val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = e.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
         col("tok"))
@@ -199,9 +205,14 @@ object LlmOps {
       val hashed = toks.select(
         (col("doc_id") +: (0 until NumHashes).map(i =>
           ((lit(hashA(i)) * col("x") + lit(hashB(i))) % lit(HashP)).as(s"h$i"))): _*)
+      // Three consumers (band buckets + both est_sim join sides) — the
+      // signature table is materialized once (n_docs × 64 longs; at
+      // 100 TB scale this is the LSH signature table every production
+      // pipeline persists before banding).
       val sig = hashed.groupBy(col("doc_id"))
         .agg(min(col("h0")).as("m0"),
           (1 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+        .persist()
       // Band key: md5 of the concatenated in-band signature — one equi-join
       // key per band, so bucket collisions require all 8 in-band rows equal.
       def bandKey(b: Int): Column =
@@ -260,6 +271,7 @@ object LlmOps {
         .filter(size(col("tk")) >= 3)
         .select(col("doc_id"), col("lang"), col("source"),
           explode(shinglesCol(col("tk"))).as("g"))
+        .persist() // see q_llm_neardup — three consumers, one materialization
       val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = e.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
         col("g"))
