@@ -21,7 +21,11 @@ object LocalSession {
       // matching DuckDB's read; SURVEY §1.2). Session-level, set at build.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(graft.functions.DotF64.install)
       .getOrCreate()
+    // getOrCreate can return a pre-existing session the extensions never
+    // saw — the post-hoc registration is idempotent.
+    graft.functions.DotF64.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -87,13 +87,17 @@ object LlmOps {
       concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
         element_at(tk, i + 2))))
 
-  /** Sequential double fold: dot product of two double arrays. A left
-    * fold from 0.0 in list order — the same sequence DuckDB's
-    * list_aggregate 'sum' uses, so results are bit-identical. (An
-    * unrolled 64-term element_at expression was also measured: 3× slower
-    * than this higher-order form — the fused zip_with+aggregate loop
-    * beats 128 individual array probes.) */
+  /** Dot product of two double arrays via the native codegen expression
+    * [[graft.functions.DotF64]] — a sequential left fold from 0.0 in
+    * list order, the same sequence DuckDB's list_aggregate 'sum' uses,
+    * so results are bit-identical to both the oracle and the HOF form
+    * below (asserted in the unit suite). The HOF fold is interpreted
+    * (lambdas block codegen) — the native loop is the hot-path form. */
   private def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** The built-ins-only fold (kept as the parity reference for DotF64). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   private def toDouble(a: Column): Column = transform(a, _.cast("double"))
@@ -114,6 +118,7 @@ object LlmOps {
     * `q_llm_ann` uses (bits = 4, radius = 1, k = 3). */
   def annQuery(s: SparkSession, d: String, bits: Int, radius: Int, k: Int,
                probePred: Column => Column = _ < 5): DataFrame = {
+    graft.functions.DotF64.register(s) // graft_dot used below; idempotent
     val base = T.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
@@ -296,6 +301,7 @@ object LlmOps {
     // Brute-force cosine top-5 for probe vectors (vec_id < 5) — the exact
     // baseline an ANN variant is judged against. Probe side broadcasts.
     "q_llm_knn" -> ((s, d) => {
+      graft.functions.DotF64.register(s)
       val base = T.embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("e"))
         .withColumn("nrm", norm(col("e")))
@@ -320,6 +326,7 @@ object LlmOps {
     // form (labels bound block size here); see q_llm_embdup_lsh for the
     // unbounded-corpus plan.
     "q_llm_embdup" -> ((s, d) => {
+      graft.functions.DotF64.register(s)
       val base = T.embeddings(s, d)
         .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
         .withColumn("nrm", norm(col("e")))
@@ -340,6 +347,7 @@ object LlmOps {
     // then the same cos ≥ 0.35 verify as q_llm_embdup. True near-dups
     // (cos ≥ 0.9) hit a shared band with P ≈ 0.99; random pairs ≈ 3%.
     "q_llm_embdup_lsh" -> ((s, d) => {
+      graft.functions.DotF64.register(s)
       val base = T.embeddings(s, d)
         .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
         .withColumn("nrm", norm(col("e")))

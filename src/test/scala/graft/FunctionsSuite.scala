@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.DotF64
+import graft.queries.LlmOps
+import org.apache.spark.sql.functions._
+
+/** The custom Catalyst expression surface: graft_dot (native codegen
+  * dot product) must agree bitwise with the built-ins-only HOF fold and
+  * be reachable from SQL text. */
+class FunctionsSuite extends SparkSuite {
+  import spark.implicits._
+
+  test("graft_dot == HOF fold bitwise on all sf0.001 embedding pairs (probes < 5)") {
+    DotF64.register(spark)
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("p_id"), col("e").as("pe"))
+    val pairs = base.crossJoin(broadcast(probes))
+    val mismatches = pairs
+      .withColumn("native", call_function("graft_dot", col("pe"), col("e")))
+      .withColumn("hof", LlmOps.dotHof(col("pe"), col("e")))
+      .filter(!(col("native") <=> col("hof"))) // null-safe exact equality
+      .count()
+    assert(mismatches === 0L)
+    assert(pairs.count() === 500L * 5L)
+  }
+
+  test("graft_dot is callable from SQL text (FunctionRegistry injection)") {
+    DotF64.register(spark)
+    val out = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(out === 32.0)
+  }
+
+  test("graft_dot null/length semantics: null array -> null; common-prefix fold") {
+    DotF64.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS a,
+                graft_dot(array(1.0d, 2.0d, 3.0d), array(10.0d)) AS b""")
+      .collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) === 10.0)
+  }
+
+  test("graft_dot participates in whole-stage codegen (no fallback in the plan)") {
+    DotF64.register(spark)
+    // arrays must already be array<double>: a lambda-based transform in the
+    // same projection would block codegen for the whole stage (that is the
+    // very problem this expression exists to avoid)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dotwsc").toString
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(call_function("graft_dot", col("e"), col("e")).as("d"))
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dot"),
+      s"graft_dot fell out of whole-stage codegen:\n$plan")
+    assert(df.agg(min(col("d"))).collect()(0).getDouble(0) >= 0.0) // Σx² ≥ 0
+  }
+}
