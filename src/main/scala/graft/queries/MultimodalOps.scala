@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables => T}
+
+/** North-star multimodal-column operators: image/audio/video payloads as
+  * opaque `binary` columns with typed metadata, plus the frame/patch
+  * sampling and feature-extraction plumbing a training-data pipeline
+  * runs before the actual decoder.
+  *
+  * The corpus has no binary table, so payloads are derived
+  * deterministically as the UTF-8 bytes of `documents.text` — every
+  * operator below runs REAL binary ops in Spark (cast to binary,
+  * byte-substring, byte md5, hex). The DuckDB twins compute on the text
+  * side (DuckDB 1.0 lacks substring/md5 over BLOB), which is byte-exact
+  * here because the corpus is pure ASCII (1 char = 1 byte) — pinned by
+  * the unit suite.
+  *
+  * The DECODE step itself (jpeg/wav/mp4 → tensors) needs libraries this
+  * environment does not ship; it is stubbed with deterministic fakes
+  * that stand where magic-number sniffing / codec calls would run (see
+  * also [[graft.multimodal.DecodeStub]] for the mapPartitions form).
+  * What is real and graded: the schema, the byte-level plumbing, the
+  * chunk explosion, and the plan shapes.
+  *
+  * Scale notes: all three queries are embarrassingly parallel per-row
+  * map work over the scan — no shuffle except the final presentation
+  * sort; chunk explosion multiplies rows before any wide operation, so
+  * at 100 TB the chunker runs as a pure map stage feeding whatever
+  * consumes the frames (dedup, feature extraction, batching).
+  */
+object MultimodalOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Det.tbl
+
+  private val ChunkBytes = 16
+
+  /** Integer byte value at 1-based position i of a binary column. */
+  private def byteVal(payload: org.apache.spark.sql.Column, i: Int) =
+    conv(hex(substring(payload, i, 1)), 16, 10).cast("int")
+
+  val queries: Map[String, Q] = Map(
+    // Payload metadata: size, content hash, header magic, and a stubbed
+    // content-type sniff (first byte mod 3 stands where magic-number
+    // dispatch would run).
+    "q_mm_meta" -> ((s, d) =>
+      T.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("content_md5"),
+          hex(substring(col("payload"), 1, 4)).as("header_hex"),
+          when(byteVal(col("payload"), 1) % 3 === 0, "image")
+            .when(byteVal(col("payload"), 1) % 3 === 1, "audio")
+            .otherwise("video").as("kind_stub"))
+        .orderBy(col("doc_id"))),
+
+    // Frame/patch sampling: explode each payload into fixed 16-byte
+    // chunks (the shape of frame extraction / audio windowing), keyed
+    // (doc_id, chunk_idx); per-chunk length + content hash.
+    "q_mm_chunks" -> ((s, d) =>
+      T.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("n_bytes", length(col("payload")))
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0),
+            expr(s"(n_bytes + ${ChunkBytes - 1}) div $ChunkBytes") - 1)))
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          expr(s"length(substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes))")
+            .cast("int").as("chunk_len"),
+          expr(s"md5(substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes))")
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Stubbed decode + feature extraction: fake decoded dimensions from
+    // header bytes (where the codec would report them) and a real
+    // byte-level feature (mean of the first 8 byte values, 6dp).
+    "q_mm_features" -> ((s, d) => {
+      val p = col("payload")
+      val byteSum8 = (1 to 8).map(i => byteVal(p, i)).reduce(_ + _)
+      T.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          length(p).as("n_bytes"),
+          (byteVal(p, 1) % 64 + 1).as("width_stub"),
+          (byteVal(p, 2) % 64 + 1).as("height_stub"),
+          (expr("length(payload) div 256") + 1).as("n_frames_stub"),
+          round(byteSum8 / lit(8.0), 6).as("mean_byte8"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val doc = tbl("documents")
+
+  /** DuckDB twins — text-side byte math (ASCII ⇒ char == byte; see the
+    * object scaladoc). */
+  private def sqlByteVal(i: Int) =
+    s"CAST(('0x' || hex(substring(text, $i, 1)::BLOB)) AS INT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_mm_meta" ->
+      s"""SELECT doc_id,
+            CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+            md5(text) AS content_md5,
+            hex(substring(text, 1, 4)::BLOB) AS header_hex,
+            CASE WHEN ${sqlByteVal(1)} % 3 = 0 THEN 'image'
+                 WHEN ${sqlByteVal(1)} % 3 = 1 THEN 'audio'
+                 ELSE 'video' END AS kind_stub
+          FROM $doc ORDER BY doc_id""",
+    "q_mm_chunks" ->
+      s"""SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+            CAST(length(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)) AS INTEGER) AS chunk_len,
+            md5(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)) AS chunk_md5
+          FROM (
+            SELECT doc_id, text,
+              UNNEST(range(0, (octet_length(text::BLOB) + ${ChunkBytes - 1}) // $ChunkBytes)) AS chunk_idx
+            FROM $doc WHERE doc_id < 50) t
+          ORDER BY doc_id, chunk_idx""",
+    "q_mm_features" ->
+      s"""SELECT doc_id,
+            CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+            (${sqlByteVal(1)} % 64 + 1) AS width_stub,
+            (${sqlByteVal(2)} % 64 + 1) AS height_stub,
+            (CAST(octet_length(text::BLOB) // 256 AS INTEGER) + 1) AS n_frames_stub,
+            round((${(1 to 8).map(sqlByteVal).mkString(" + ")}) / 8.0, 6) AS mean_byte8
+          FROM $doc ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.multimodal.{DecodeStub, Payload}
+import graft.queries.MultimodalOps
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing: the ASCII byte==char equivalence
+  * the oracles rely on, chunking losslessness, and the mapPartitions
+  * decode-stub contract. */
+class MultimodalSuite extends SparkSuite {
+  import spark.implicits._
+
+  test("oracle precondition: the corpus is pure ASCII (binary ops == text ops)") {
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(!col("text").rlike("^[\\x20-\\x7e]*$")).count()
+    assert(nonAscii === 0L)
+    // and byte length == char length on every row
+    val diff = Tables.documents(spark, sf)
+      .filter(length(col("text").cast("binary")) =!= length(col("text"))).count()
+    assert(diff === 0L)
+  }
+
+  test("q_mm_chunks is a lossless partition of the payload") {
+    val chunks = MultimodalOps.queries("q_mm_chunks")(spark, sf).collect()
+    val sizes = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select(col("doc_id"), length(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === sizes.keySet)
+    byDoc.foreach { case (id, rs) =>
+      // chunk lengths sum back to the payload size; only the last chunk is short
+      assert(rs.map(_.getAs[Int]("chunk_len")).sum === sizes(id))
+      val idxs = rs.map(_.getAs[Int]("chunk_idx")).sorted
+      assert(idxs.toSeq === (0 until rs.length))
+      assert(rs.sortBy(_.getAs[Int]("chunk_idx")).dropRight(1)
+        .forall(_.getAs[Int]("chunk_len") === 16))
+    }
+  }
+
+  test("q_mm_meta header_hex is the hex of the first 4 UTF-8 bytes") {
+    val row = MultimodalOps.queries("q_mm_meta")(spark, sf)
+      .orderBy(col("doc_id")).limit(1).collect()(0)
+    val text = Tables.documents(spark, sf).orderBy(col("doc_id"))
+      .limit(1).collect()(0).getAs[String]("text")
+    val expected = text.getBytes("UTF-8").take(4).map(b => f"$b%02X").mkString
+    assert(row.getAs[String]("header_hex") === expected)
+  }
+
+  test("DecodeStub: 1:1 rows, partitioning preserved, deterministic output") {
+    val payloads = (1L to 100L).map(i =>
+      Payload(i, if (i % 2 == 0) "image" else "audio",
+        s"payload-$i-${"x" * (i % 7).toInt}".getBytes("UTF-8")))
+    val ds = spark.createDataset(payloads).repartition(8)
+    val out = DecodeStub.decode(ds)
+    assert(out.rdd.getNumPartitions === ds.rdd.getNumPartitions) // map stage: no shuffle
+    val rows = out.collect()
+    assert(rows.length === 100)
+    // deterministic: same input → same checksums on a second run
+    val again = DecodeStub.decode(ds).collect()
+    assert(rows.map(r => r.doc_id -> r.checksum).toMap
+      === again.map(r => r.doc_id -> r.checksum).toMap)
+    // the fake dimensions come from header bytes: 'p' = 0x70 = 112
+    val d1 = rows.find(_.doc_id == 1L).get
+    assert(d1.width === 112 % 64 + 1)
+    assert(d1.kind === "audio")
+  }
+}
