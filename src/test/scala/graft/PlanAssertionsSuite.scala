@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** The 100 TB contract, enforced: these tests pin the PHYSICAL PLAN
+  * properties the queries are designed around — pushdown, pruning,
+  * broadcast choices, absence of joins/cartesians where the plan must
+  * not have them. A regression that silently turns a broadcast join
+  * into a shuffle join (or re-introduces the as-of join expansion)
+  * fails here even though results stay correct. */
+class PlanAssertionsSuite extends SparkSuite {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_scan_prune: filter reaches the parquet scan; only 3 columns read") {
+    val plan = planString(q("q_scan_prune"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("q_join_inner: the dimension side is a broadcast hash join, fact side never shuffles for the join") {
+    val plan = planString(q("q_join_inner"))
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+  }
+
+  test("q_join_multi: every dimension broadcasts; only lineitem-orders is a shuffle join") {
+    val plan = planString(q("q_join_multi"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$plan")
+    // the one big pair may be shuffled (SortMergeJoin/ShuffledHashJoin)
+    // but must NOT be a nested-loop/cartesian
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"big join degenerated:\n$plan")
+  }
+
+  test("q_join_asof: NO join operator — one window pass over a union") {
+    val plan = optimized(q("q_join_asof"))
+    assert(!plan.toLowerCase.contains("join"), s"as-of re-grew a join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window pass:\n$plan")
+  }
+
+  test("q_topk_group: per-group top-k runs as WindowGroupLimit before the full sort") {
+    val plan = planString(q("q_topk_group"))
+    assert(plan.contains("WindowGroupLimit"), s"top-k not group-limited:\n$plan")
+  }
+
+  test("q_limit: ordered limit plans as TakeOrderedAndProject (no global sort materialization)") {
+    val plan = planString(q("q_limit"))
+    assert(plan.contains("TakeOrderedAndProject"), s"limit not take-ordered:\n$plan")
+  }
+
+  test("q_llm_knn: probe side broadcasts; corpus is never shuffled before scoring") {
+    val plan = planString(q("q_llm_knn"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probes not broadcast:\n$plan")
+  }
+
+  test("q_llm_neardup: candidate generation is an equi-join (no nested loop, no cartesian)") {
+    val plan = planString(q("q_llm_neardup"))
+    assert(!plan.contains("CartesianProduct"), s"neardup went cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"neardup went BNLJ:\n$plan")
+  }
+
+  test("q_llm_minhash: banded candidate join is an equi-join; no all-pairs operator anywhere") {
+    val plan = planString(q("q_llm_minhash"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"minhash degenerated to all-pairs:\n$plan")
+  }
+
+  test("q_agg_group: hash aggregate with map-side partial aggregation") {
+    val plan = planString(q("q_agg_group"))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, // partial + final
+      s"expected partial+final hash aggregate:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"fell back to sort aggregate:\n$plan")
+  }
+}

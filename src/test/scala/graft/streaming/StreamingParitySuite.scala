@@ -202,6 +202,39 @@ class StreamingParitySuite extends SparkSuite {
     assert(sink.readAll(spark).select(col("event_id")).distinct().count() === 8L)
   }
 
+  test("windowed aggregation state survives a checkpoint restart") {
+    val dir = Files.createTempDirectory("graft_wm_sink").toString
+    val cp = Files.createTempDirectory("graft_wm_cp").toString
+    val sink = new IdempotentParquetSink(dir)
+    val ms = MemoryStream[Event](spark)
+    def start(): StreamingQuery =
+      StreamOps.tumble(withTs(ms.toDF()))
+        .writeStream
+        .foreachBatch((df: Dataset[Row], id: Long) => sink.write(df, id))
+        .outputMode("update")
+        .option("checkpointLocation", cp).start()
+    // 3 events in the [00:00, 01:00) window before the stop...
+    val q1 = start()
+    try {
+      ms.addData(Seq(Event(1, min(5), 1, "view", 1.0),
+        Event(2, min(10), 1, "view", 1.0), Event(3, min(20), 1, "view", 1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // ...2 more after the restart: the final update for that window must
+    // say n=5, proving the aggregation state was restored, not reset.
+    val q2 = start()
+    try {
+      ms.addData(Seq(Event(4, min(30), 1, "view", 1.0),
+        Event(5, min(40), 1, "view", 1.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val lastN = sink.readAll(spark)
+      .filter(col("window_start").cast("long") === B / 1000000L)
+      .orderBy(col("batch_id").desc)
+      .select(col("n")).collect().head.getLong(0)
+    assert(lastN === 5L)
+  }
+
   test("stream-static join: stream enriched against a static dimension == batch join") {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
     val ms = MemoryStream[Event](spark)
