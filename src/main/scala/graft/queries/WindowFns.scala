@@ -45,6 +45,22 @@ object WindowFns {
         .orderBy(col("event_id"))
     }),
 
+    // Distribution + navigation family over the full-partition frame:
+    // first/last/nth value (richest, poorest, runner-up per nation) and
+    // cume_dist. Deterministic: the order key ends in the unique custkey.
+    "q_win_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.customer(s, d).select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        first(col("c_custkey")).over(frame).as("richest"),
+        last(col("c_custkey")).over(frame).as("poorest"),
+        nth_value(col("c_custkey"), 2).over(frame).as("runner_up"),
+        round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    }),
+
     // Frame-spec aggregates: running revenue per customer + 3-row moving
     // average, both in the exact decimal domain then cast (§7.4).
     "q_win_frame" -> ((s, d) => {
@@ -85,6 +101,19 @@ object WindowFns {
           FROM $evt
           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
           ORDER BY event_id""",
+    "q_win_dist" ->
+      s"""SELECT c_nationkey, c_custkey, c_acctbal,
+            FIRST_VALUE(c_custkey) OVER wf AS richest,
+            LAST_VALUE(c_custkey) OVER wf AS poorest,
+            NTH_VALUE(c_custkey, 2) OVER wf AS runner_up,
+            round(CUME_DIST() OVER w, 6) AS cd
+          FROM $cust
+          WINDOW w AS (PARTITION BY c_nationkey
+              ORDER BY c_acctbal DESC, c_custkey ASC),
+            wf AS (PARTITION BY c_nationkey
+              ORDER BY c_acctbal DESC, c_custkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          ORDER BY c_nationkey, c_custkey""",
     "q_win_frame" ->
       s"""SELECT o_custkey, o_orderkey, o_orderdate,
             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER cum, 4) AS DOUBLE) AS running_rev,
