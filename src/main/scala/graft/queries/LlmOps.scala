@@ -322,6 +322,44 @@ object LlmOps {
     // See annQuery for the bits/radius recall-vs-scan tradeoff.
     "q_llm_ann" -> ((s, d) => annQuery(s, d, bits = 4, radius = 1, k = 3)),
 
+    // IVF-flat ANN — the other industry-standard scale path (coarse
+    // quantizer → inverted lists → probe nearest list(s)). Centroids =
+    // every 100th vector (a deterministic coarse quantizer; production
+    // swaps in k-means centroids, the plan shape is identical):
+    // assignment is a broadcast argmax over |centroids| dots per vector,
+    // probes then search ONLY their own list — per-probe work is
+    // O(n/|centroids|), and |centroids| grows with the corpus (√n rule)
+    // so probe cost stays flat at 100 TB. nprobe=1 here; multi-list
+    // probing is the recall knob, same as ANN's Hamming radius.
+    "q_llm_ivf" -> ((s, d) => {
+      graft.functions.DotF64.register(s)
+      val base = T.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", norm(col("e")))
+      val cents = base.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cent_id").asc)
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("csim", round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))
+        .persist() // consumed by both the probe side and the list side
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+          col("nrm").as("pn"), col("cent_id").as("pcent"))
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      assigned.join(broadcast(probes), col("cent_id") === col("pcent")
+          && col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", round(dot(col("pe"), col("e")) / (col("pn") * col("nrm")), 6))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // Embedding-cosine near-duplicate pairs within label blocks — exact
     // form (labels bound block size here); see q_llm_embdup_lsh for the
     // unbounded-corpus plan.
@@ -527,6 +565,35 @@ object LlmOps {
                 / (p.pn * c.nrm), 6) AS sim
             FROM probes p JOIN base c ON c.bucket = p.qbucket
               AND c.vec_id <> p.probe_id)
+          SELECT probe_id, CAST(rk AS INTEGER) AS rk, vec_id AS neighbor_id, sim
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, vec_id ASC) AS rk FROM pairs) x
+          WHERE rk <= 3 ORDER BY probe_id, rk""",
+    "q_llm_ivf" ->
+      s"""WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+              ${normSql("CAST(embedding AS DOUBLE[])")} AS nrm
+            FROM $emb),
+          cents AS (
+            SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+            FROM base WHERE vec_id % 100 = 0),
+          assigned AS (
+            SELECT vec_id, e, nrm, cent_id FROM (
+              SELECT b.vec_id, b.e, b.nrm, c.cent_id,
+                ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                  round(list_aggregate(list_transform(b.e, (x, i) -> x * c.ce[i]), 'sum')
+                    / (b.nrm * c.cn), 6) DESC, c.cent_id ASC) AS crk
+              FROM base b CROSS JOIN cents c) z
+            WHERE crk = 1),
+          probes AS (
+            SELECT vec_id AS probe_id, e AS pe, nrm AS pn, cent_id AS pcent
+            FROM assigned WHERE vec_id < 5),
+          pairs AS (
+            SELECT p.probe_id, a.vec_id,
+              round(list_aggregate(list_transform(p.pe, (x, i) -> x * a.e[i]), 'sum')
+                / (p.pn * a.nrm), 6) AS sim
+            FROM probes p JOIN assigned a ON a.cent_id = p.pcent
+              AND a.vec_id <> p.probe_id)
           SELECT probe_id, CAST(rk AS INTEGER) AS rk, vec_id AS neighbor_id, sim
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
               ORDER BY sim DESC, vec_id ASC) AS rk FROM pairs) x

@@ -202,6 +202,33 @@ class StreamingParitySuite extends SparkSuite {
     assert(sink.readAll(spark).select(col("event_id")).distinct().count() === 8L)
   }
 
+  test("dropDuplicatesWithinWatermark: dedups inside the horizon, expires state after it") {
+    val ms = MemoryStream[Event](spark)
+    val dedup = withTs(ms.toDF())
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = dedup.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      // two duplicates 5min apart: second dropped
+      ms.addData(Seq(Event(1, min(0), 9, "view", 1.0),
+        Event(2, min(5), 9, "view", 1.0)))
+      q.processAllAvailable()
+      // 10h later: watermark has not yet passed the first entry's expiry
+      // at batch start (wm = -25min), so this one is STILL deduped...
+      ms.addData(Seq(Event(3, min(600), 9, "view", 1.0)))
+      q.processAllAvailable()
+      // ...but it advanced the watermark far past the expiry, so the
+      // state is evicted and the key is re-admitted — bounded state is
+      // the entire point of the watermarked variant.
+      ms.addData(Seq(Event(4, min(1200), 9, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("wm_dedup")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(emitted === Set(1L, 4L))
+  }
+
   test("windowed aggregation state survives a checkpoint restart") {
     val dir = Files.createTempDirectory("graft_wm_sink").toString
     val cp = Files.createTempDirectory("graft_wm_cp").toString
