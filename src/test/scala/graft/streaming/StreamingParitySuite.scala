@@ -262,6 +262,46 @@ class StreamingParitySuite extends SparkSuite {
     assert(lastN === 5L)
   }
 
+  test("END-TO-END: events stream → causal tracker → exactly-once sink, with restart, equals batch q_causal") {
+    // The reference's whole identity in one pipeline: per-key causal
+    // audit over an unbounded stream, surviving a failure/restart,
+    // landing exactly-once, and agreeing with the SQL-oracle-checked
+    // batch form on real data (sf0.001, 1000 events, 50 users).
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+      .collect().sortBy(_.event_id).toSeq
+    val chunks = events.grouped(400).toSeq // 3 micro-batches
+    val dir = Files.createTempDirectory("graft_e2e_sink").toString
+    val cp = Files.createTempDirectory("graft_e2e_cp").toString
+    val sink = new IdempotentParquetSink(dir)
+    val ms = MemoryStream[Event](spark)
+    def start(): StreamingQuery =
+      StreamOps.causalTracker(ms.toDS())
+        .writeStream
+        .foreachBatch((df: Dataset[CausalOut], id: Long) => sink.write(df.toDF(), id))
+        .outputMode("update")
+        .option("checkpointLocation", cp).start()
+    val q1 = start()
+    try { ms.addData(chunks(0)); q1.processAllAvailable() } finally q1.stop() // "failure"
+    val q2 = start() // restart from checkpoint: state must carry over
+    try {
+      ms.addData(chunks(1)); q2.processAllAvailable()
+      ms.addData(chunks(2)); q2.processAllAvailable()
+    } finally q2.stop()
+    // latest emission per key across all epochs = final per-key totals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+    val streamed = sink.readAll(spark)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("n_violations"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.queries.EventOps.queries("q_causal")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch)
+    assert(streamed.values.map(_._1).sum === 1000L)
+  }
+
   test("stream-static join: stream enriched against a static dimension == batch join") {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
     val ms = MemoryStream[Event](spark)
