@@ -160,6 +160,48 @@ object Aggregates {
       val open = T.orders(s, d).filter(col("o_orderstatus") === "O")
         .select(col("o_custkey").as("c_custkey"))
       b.except(open).orderBy(col("c_custkey"))
+    }),
+
+    // §2.4 exact percentiles (median / p90): order statistics with linear
+    // interpolation. Interpolation op ORDER can differ between engines in
+    // the last ulp, so results are rounded at 6dp (§7.4.7) — exactness of
+    // the rank selection itself is engine-independent.
+    "q_agg_pctile" -> ((s, d) =>
+      T.orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))),
+
+    // §2.2/§2.7 null semantics: outer-join-produced nulls through
+    // null-safe equality, coalesce chains, and the count(col) vs count(*)
+    // distinction. NULL keys group together (both engines).
+    "q_nulls" -> ((s, d) => {
+      val a = T.customer(s, d).filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val b = T.orders(s, d).filter(col("o_custkey") % 5 === 0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      a.join(b, col("c_custkey") === col("o_custkey"), "full")
+        .groupBy((col("c_custkey") % 2).as("parity")) // NULL for right-only rows
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_custkey")).as("n_cust"), // excludes NULLs
+          count(col("cnt")).as("n_matched"),
+          sum(when(col("c_custkey") <=> col("o_custkey"), 1).otherwise(0)).as("n_nse"),
+          sum(coalesce(col("cnt"), lit(0L))).as("orders_total"))
+        .orderBy(asc_nulls_first("parity"))
+    }),
+
+    // §2.1 synthetic range source: spark.range as a generator-backed scan
+    // (the "sequence source" every engine ships), joined against real data.
+    "q_gen_range" -> ((s, d) => {
+      val buckets = s.range(0, 10).select(col("id").as("bucket"))
+      val counted = T.orders(s, d)
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+      buckets.join(counted, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -276,6 +318,34 @@ object Aggregates {
       s"""SELECT c_custkey FROM $cust WHERE c_mktsegment = 'BUILDING'
           EXCEPT
           SELECT o_custkey AS c_custkey FROM $ords WHERE o_orderstatus = 'O'
-          ORDER BY c_custkey"""
+          ORDER BY c_custkey""",
+    "q_agg_pctile" ->
+      s"""SELECT o_orderstatus,
+            round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+            round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+            COUNT(*) AS n
+          FROM $ords GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_nulls" ->
+      s"""SELECT parity, COUNT(*) AS n_rows,
+            COUNT(c_custkey) AS n_cust,
+            COUNT(cnt) AS n_matched,
+            CAST(SUM(CASE WHEN c_custkey IS NOT DISTINCT FROM o_custkey
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nse,
+            CAST(SUM(COALESCE(cnt, 0)) AS BIGINT) AS orders_total
+          FROM (
+            SELECT a.c_custkey, a.c_acctbal, b.o_custkey, b.cnt,
+              a.c_custkey % 2 AS parity
+            FROM (SELECT c_custkey, c_acctbal FROM $cust WHERE c_custkey % 3 = 0) a
+            FULL OUTER JOIN
+              (SELECT o_custkey, COUNT(*) AS cnt FROM $ords
+               WHERE o_custkey % 5 = 0 GROUP BY o_custkey) b
+              ON a.c_custkey = b.o_custkey) x
+          GROUP BY parity ORDER BY parity ASC NULLS FIRST""",
+    "q_gen_range" ->
+      s"""SELECT bucket, COALESCE(n_orders, 0) AS n_orders
+          FROM (SELECT UNNEST(range(0, 10)) AS bucket) g
+          LEFT JOIN (SELECT o_orderkey % 10 AS ob, COUNT(*) AS n_orders
+                     FROM $ords GROUP BY 1) c ON bucket = ob
+          ORDER BY bucket"""
   )
 }
