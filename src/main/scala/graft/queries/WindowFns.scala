@@ -28,7 +28,10 @@ object WindowFns {
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"))
+        // unrounded: (rank-1)/(n-1) is one IEEE division of exact ints —
+        // bit-identical across engines; rounding would re-introduce the
+        // .5-boundary hazard documented at q_win_dist's cd
+        percent_rank().over(w).as("pct_rank"))
         .orderBy(col("c_nationkey"), col("c_custkey"))
     }),
 
@@ -57,7 +60,13 @@ object WindowFns {
         first(col("c_custkey")).over(frame).as("richest"),
         last(col("c_custkey")).over(frame).as("poorest"),
         nth_value(col("c_custkey"), 2).over(frame).as("runner_up"),
-        round(cume_dist().over(w), 6).as("cd"))
+        // NO rounding: cume_dist = k/n, one IEEE division of two exact
+        // ints — bit-identical across engines. Rounding is the UNSAFE
+        // choice here: partition sizes like 640 = 2⁷·5 make k/n land
+        // exactly on .5×10⁻⁶ boundaries, where Spark's exact-decimal
+        // HALF_UP and DuckDB's float-domain round() disagree (caught by
+        // the sf0.1 parity sweep; sf0.01 never hits a boundary).
+        cume_dist().over(w).as("cd"))
         .orderBy(col("c_nationkey"), col("c_custkey"))
     }),
 
@@ -88,7 +97,7 @@ object WindowFns {
             CAST(RANK() OVER w AS INTEGER) AS rnk,
             CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
             CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
-            round(PERCENT_RANK() OVER w, 6) AS pct_rank
+            PERCENT_RANK() OVER w AS pct_rank
           FROM $cust
           WINDOW w AS (PARTITION BY c_nationkey
             ORDER BY c_acctbal DESC, c_custkey ASC)
@@ -106,7 +115,7 @@ object WindowFns {
             FIRST_VALUE(c_custkey) OVER wf AS richest,
             LAST_VALUE(c_custkey) OVER wf AS poorest,
             NTH_VALUE(c_custkey, 2) OVER wf AS runner_up,
-            round(CUME_DIST() OVER w, 6) AS cd
+            CUME_DIST() OVER w AS cd
           FROM $cust
           WINDOW w AS (PARTITION BY c_nationkey
               ORDER BY c_acctbal DESC, c_custkey ASC),

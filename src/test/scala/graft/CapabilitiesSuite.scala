@@ -74,6 +74,22 @@ class CapabilitiesSuite extends SparkSuite {
     out.foreach(r => assert(math.abs(r.getAs[Double]("m") - r.getAs[Double]("a")) < 1e-9))
   }
 
+  test("partitioned parquet sink + partition-pruned scan (only matching directories read)") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter:\n$plan")
+    // the scan's file listing is restricted to the one partition dir
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("event_type=click"), s"pruning failed:\n$scanned")
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(pruned.count() === expected && expected > 0)
+  }
+
   test("registered UDF surface matches the equivalent built-in expression") {
     spark.udf.register("graft_tier", (p: Double) =>
       if (p > 300000) "high" else if (p > 100000) "mid" else "low")
