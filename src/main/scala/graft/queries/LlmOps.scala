@@ -193,7 +193,10 @@ object LlmOps {
         .withColumn("jacc",
           col("common") / (col("sz_a") + col("sz_b") - col("common")))
         .filter(col("jacc") >= 0.8)
-        .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
+        // unrounded: one IEEE division of exact ints is bit-identical in
+        // both engines; round(.,6) would add a .5-boundary hazard (e.g.
+        // union size 128 with odd intersection) for zero benefit
+        .select(col("doc_a"), col("doc_b"), col("jacc"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -294,7 +297,7 @@ object LlmOps {
         .withColumn("jacc",
           col("common") / (col("sz_a") + col("sz_b") - col("common")))
         .filter(col("jacc") >= 0.2)
-        .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
+        .select(col("doc_a"), col("doc_b"), col("jacc")) // unrounded — see q_llm_neardup
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -461,7 +464,7 @@ object LlmOps {
     "q_llm_neardup" ->
       s"""WITH t AS (SELECT doc_id, lang, source,
               list_distinct(string_split(text, ' ')) AS tk FROM $doc)
-          SELECT doc_a, doc_b, round(jacc, 6) AS jacc FROM (
+          SELECT doc_a, doc_b, jacc FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               CAST(len(list_intersect(a.tk, b.tk)) AS INTEGER)
                 / (CAST(len(a.tk) AS INTEGER) + CAST(len(b.tk) AS INTEGER)
@@ -526,7 +529,7 @@ object LlmOps {
               $shingleSql AS sh
             FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS tk
                   FROM $doc WHERE len(string_split(text, ' ')) >= 3) t)
-          SELECT doc_a, doc_b, round(jacc, 6) AS jacc FROM (
+          SELECT doc_a, doc_b, jacc FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER)
                 / (CAST(len(a.sh) AS INTEGER) + CAST(len(b.sh) AS INTEGER)
