@@ -47,8 +47,12 @@ import graft.{Det, Tables => T}
   *    on ≥1 band are scored. True near-dups (cos ≥ 0.9) collide on a
   *    band with P ≈ 0.99; random pairs with P ≈ 3% — a 32× pair cut that
   *    *grows* with dimensionality, not corpus size.
-  * All similarity math is computed as sequential folds in double and
-  * rounded at 6dp before ordering (§7.4) with unique-id tiebreaks.
+  * All similarity math is computed as sequential folds in double with
+  * unique-id tiebreaks (§7.4). Rounding policy: values that are a SINGLE
+  * IEEE op of exact integers (Jaccard, est_sim) ship unrounded — they
+  * are bit-identical across engines, and rounding would ADD a
+  * .5-boundary hazard; only multi-op float chains (cosines) are rounded
+  * at 6dp, where boundary collisions have measure zero.
   */
 object LlmOps {
   type Q = (SparkSession, String) => DataFrame

@@ -202,6 +202,32 @@ class StreamingParitySuite extends SparkSuite {
     assert(sink.readAll(spark).select(col("event_id")).distinct().count() === 8L)
   }
 
+  test("session windows close and emit in append mode once the watermark passes") {
+    val ms = MemoryStream[Event](spark)
+    val agg = StreamOps.session(
+      withTs(ms.toDF()).withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("sess_wm")
+      .outputMode("append").start()
+    try {
+      // one session: events at 0 and 10min (gap < 30) for user 5
+      ms.addData(Seq(Event(1, min(0), 5, "view", 1.0),
+        Event(2, min(10), 5, "view", 2.0)))
+      q.processAllAvailable()
+      // nothing can be final yet (watermark = 0min < session end 40min)
+      assert(spark.table("sess_wm").count() === 0)
+      // an event far ahead pushes the watermark past session end + gap
+      ms.addData(Seq(Event(3, min(120), 5, "view", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(4, min(240), 5, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_wm")
+      .select(col("session_start").cast("long"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the first session [0, 40min) closed with exactly its 2 events
+    assert(rows(B / 1000000L) === 2L)
+  }
+
   test("dropDuplicatesWithinWatermark: dedups inside the horizon, expires state after it") {
     val ms = MemoryStream[Event](spark)
     val dedup = withTs(ms.toDF())
