@@ -23,6 +23,10 @@ object Tables {
     * µs timestamps. */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // Defensive for foreign sessions (the driver passes its own session,
+    // which may not have been built via LocalSession): idempotent no-op
+    // when already set at session build, required for the nanos read.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

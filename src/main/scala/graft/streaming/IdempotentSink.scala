@@ -8,10 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Structured Streaming guarantees at-least-once `foreachBatch`
   * invocation with a MONOTONIC, checkpoint-stable batchId. Writing each
-  * batch to a `batch_id=<id>` partition directory with dynamic
-  * partition overwrite makes replays overwrite themselves instead of
-  * duplicating — replay-safe end-to-end exactly-once, the same recipe a
-  * production job uses for object-store sinks.
+  * batch as a FULL overwrite of its own `batch_id=<id>` directory makes
+  * replays overwrite themselves instead of duplicating — replay-safe
+  * end-to-end exactly-once, the same recipe a production job uses for
+  * object-store sinks.
   *
   * Scale note: one directory per epoch, files within sized by upstream
   * partitioning; no global coordination, no driver-side state beyond
