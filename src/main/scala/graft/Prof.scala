@@ -15,8 +15,9 @@ object Prof {
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
-        spark.catalog.clearCache()
-        println(f"[prof] $n%-20s run$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // outside the timed window
+        println(f"[prof] $n%-20s run$i $elapsed%8.3f s")
       }
     }
     spark.stop()

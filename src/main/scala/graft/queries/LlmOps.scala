@@ -15,14 +15,17 @@ import graft.{Det, Tables => T}
   * sub-quadratic; nothing in this file enumerates a full block cross
   * product):
   *  - Exact dedup: hash-groupBy on md5(text) — shuffle ∝ distinct hashes.
-  *  - Near-dup (token Jaccard) + n-gram Jaccard: inverted-index
-  *    candidate join — explode features, equi-join on (block, feature),
-  *    |∩| as a COUNT per pair, set sizes joined back from a COUNT
-  *    aggregate. No per-pair array intersection, no all-pairs expansion;
-  *    cost is Σ_feature |posting list|² — at scale, bounded by feature
-  *    selectivity, the textbook AllPairs plan. (A size-bound prefilter
-  *    — Jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t — is the next knob if
-  *    posting lists ever dominate; unnecessary at this selectivity.)
+  *  - Near-dup (token Jaccard) + n-gram Jaccard: prefix-filtered
+  *    AllPairs self-join (see [[jaccardCandidates]]) — features ranked
+  *    by ascending document frequency, only each doc's prefix (the
+  *    first |x| − ceil(t·|x|) + 1 features) is indexed, the candidate
+  *    equi-join carries the exact size bound (J ≥ t ⟹ t·|A| ≤ |B| and
+  *    t·|B| ≤ |A|, integer arithmetic) in its condition, and only
+  *    surviving candidates pay an array_intersect verify. Both filters
+  *    are exact (zero false negatives); high-DF boilerplate features
+  *    sort to the END of the ranking so they fall OUT of prefixes —
+  *    posting lists stay bounded where a naive inverted index goes
+  *    quadratic on one hot token (unit-pinned with a planted hot token).
   *  - MinHash-LSH: 3-gram shingle features (the unigram vocabulary of
   *    this corpus is 31 tokens — unigram signatures are degenerate;
   *    shingle sets are unique per doc), 64 seeded min-hashes, 8 bands of
