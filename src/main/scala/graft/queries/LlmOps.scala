@@ -94,6 +94,72 @@ object LlmOps {
       concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
         element_at(tk, i + 2))))
 
+  /** Prefix-filtered AllPairs candidate generation (the public algorithm
+    * of Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search",
+    * WWW 2007, plus the Jaccard size bound of Arasu/Ganti/Kaushik,
+    * VLDB 2006). EXACT for J ≥ tNum/tDen — zero false negatives:
+    *
+    *  - Every feature gets a global rank (document frequency ASC, then
+    *    feature ASC — any fixed total order is correct; DF-ascending
+    *    minimizes candidates because rare features index fewest docs).
+    *  - Each doc indexes only its PREFIX under that order: the first
+    *    |x| − ⌈t·|x|⌉ + 1 features. If J(x,y) ≥ t then |x∩y| ≥ ⌈t·|x|⌉,
+    *    and the smallest-ranked common feature provably lies in BOTH
+    *    prefixes — so the prefix-prefix equi-join loses no true pair.
+    *  - The join condition carries the exact size bound
+    *    (J ≥ t ⟹ t·max(|x|,|y|) ≤ min ⟹ tNum·|x| ≤ tDen·|y| and vice
+    *    versa — integer arithmetic on long counts, no float boundary).
+    *
+    * This is what bounds hot features at 100 TB: a boilerplate token that
+    * appears in every document has maximal DF, sorts to the END of the
+    * global order, and falls OUT of every prefix — its posting list is
+    * never joined (unit-pinned with a planted hot token in LlmOpsSuite).
+    * Shuffles are all linear: DF is one hash-agg over exploded features,
+    * ranks are a per-doc window (shuffle ∝ corpus tokens, keyed by
+    * doc_id), the candidate join is keyed on (block, feature) over
+    * prefix rows only. No broadcast anywhere — every side is
+    * corpus-proportional, so AQE picks the strategy per actual size.
+    *
+    * @param feats     (doc_id, feat, blockCols...) rows; `feat` values
+    *                  must be DISTINCT per doc_id (Jaccard is over sets).
+    * @param blockCols pair generation is restricted to equal values of
+    *                  these columns (null-excluding equality, matching a
+    *                  plain SQL join on the same columns).
+    * @param tNum/tDen the threshold t as an exact rational tNum/tDen
+    *                  with tNum/tDen ≤ the double threshold applied in
+    *                  the verify step (4/5 ≤ 0.8d, 1/5 ≤ 0.2d — the
+    *                  doubles are above the true rationals, so the
+    *                  integer prefilter is conservative).
+    * @return distinct (doc_a, doc_b) with doc_a < doc_b — candidates
+    *         only; callers must verify the actual Jaccard.
+    */
+  def jaccardCandidates(feats: DataFrame, blockCols: Seq[String],
+                        tNum: Int, tDen: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+    val wOrd = w.orderBy(col("df").asc, col("feat").asc)
+    // feats is read twice (DF table + ranked index) → materialize once;
+    // at cluster scale this is the persisted inverted-index build.
+    val f = feats.persist()
+    val dfTab = f.groupBy(col("feat")).agg(count(lit(1)).as("df"))
+    val ceilT = floor((lit(tNum) * col("sz") + lit(tDen - 1)) / lit(tDen))
+    val prefix = f.join(dfTab, "feat")
+      .withColumn("sz", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= col("sz") - ceilT + 1)
+      .select(col("doc_id") +: col("feat") +: col("sz") +: blockCols.map(col): _*)
+      .persist() // both sides of the self-join below
+    val a = prefix.select(col("doc_id").as("doc_a") +: col("feat") +:
+      col("sz").as("sz_a") +: blockCols.map(col): _*)
+    val b = prefix.select(col("doc_id").as("doc_b") +: col("feat").as("feat_b") +:
+      col("sz").as("sz_b") +: blockCols.map(c => col(c).as(s"${c}_b")): _*)
+    val cond = blockCols.map(c => col(c) === col(s"${c}_b"))
+      .foldLeft(col("feat") === col("feat_b")
+        && col("doc_a") < col("doc_b")
+        && lit(tNum) * col("sz_b") <= lit(tDen) * col("sz_a")
+        && lit(tNum) * col("sz_a") <= lit(tDen) * col("sz_b"))(_ && _)
+    a.join(b, cond).select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   /** Dot product of two double arrays via the native codegen expression
     * [[graft.functions.DotF64]] — a sequential left fold from 0.0 in
     * list order, the same sequence DuckDB's list_aggregate 'sum' uses,
@@ -163,42 +229,32 @@ object LlmOps {
     }),
 
     // Token-set Jaccard ≥ 0.8 between pairs in the same (lang, source)
-    // block — via inverted-index candidate join, NOT an all-pairs block
-    // join. Candidates: pairs sharing ≥1 token AND size-compatible
-    // (J ≥ 0.8 ⟹ 4·max(|A|,|B|) ≤ 5·min — exact, no false negatives,
-    // integer arithmetic only). |∩| = COUNT per pair (tokens are
-    // distinct), so Jaccard needs no per-pair array work at all.
+    // block — prefix-filtered AllPairs (see [[jaccardCandidates]]: only
+    // each doc's DF-ascending prefix is indexed, the candidate join
+    // carries the exact 4·max ≤ 5·min size bound), then only surviving
+    // candidates pay an array_intersect verify. Both filters are exact,
+    // so the result set is identical to the all-pairs oracle.
     "q_llm_neardup" -> ((s, d) => {
       // Explode-first: the token set is evaluated exactly once per doc
-      // inside the generator; set sizes come back as a COUNT (tokens are
-      // distinct), never as size(<expensive array expr>) above the
-      // explode — projection collapse would re-evaluate that array per
+      // inside the generator — never size(<array expr>) above the
+      // explode, where projection collapse re-evaluates the array per
       // exploded row (measured 5× the whole query's cost).
-      // The posting list is consumed three times (both join sides + the
-      // size aggregate); persist materializes it once instead of
-      // re-running scan+explode per consumer. At 100 TB this is the
-      // standard inverted-index materialization (cluster-wide cache or
-      // intermediate table); here it is a few MB.
-      val e = T.documents(s, d)
+      val feats = T.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
-          explode(tokensCol).as("tok"))
-        .persist()
-      val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val a = e.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-        col("tok"))
-      val b = e.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-        col("source").as("source_b"), col("tok").as("tok_b"))
-      a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b")
-          && col("tok") === col("tok_b") && col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("common"))
-        .join(broadcast(sz.select(col("doc_id"), col("sz").as("sz_a"))),
-          col("doc_a") === col("doc_id"))
-        .drop("doc_id")
-        .join(broadcast(sz.select(col("doc_id"), col("sz").as("sz_b"))),
-          col("doc_b") === col("doc_id"))
+          explode(tokensCol).as("feat"))
+      val cand = jaccardCandidates(feats, Seq("lang", "source"), 4, 5)
+      // Verify: plain shuffle equi-joins on doc_id — the doc table is
+      // corpus-sized, so no broadcast hint; AQE broadcasts at small sf
+      // and shuffles at 100 TB, both correct.
+      val docs = T.documents(s, d).select(col("doc_id"), tokensCol.as("tk"))
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("tk").as("tk_a")),
+          col("doc_a") === col("a_id"))
+        .join(docs.select(col("doc_id").as("b_id"), col("tk").as("tk_b")),
+          col("doc_b") === col("b_id"))
+        .withColumn("common", size(array_intersect(col("tk_a"), col("tk_b"))))
         .withColumn("jacc",
-          col("common") / (col("sz_a") + col("sz_b") - col("common")))
+          col("common") / (size(col("tk_a")) + size(col("tk_b")) - col("common")))
         .filter(col("jacc") >= 0.8)
         // unrounded: one IEEE division of exact ints is bit-identical in
         // both engines; round(.,6) would add a .5-boundary hazard (e.g.
@@ -246,9 +302,12 @@ object LlmOps {
       val matches = (0 until NumHashes).map(i =>
         when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
         .reduce(_ + _)
+      // est_sim verify: the signature table has one row per DOCUMENT —
+      // corpus-sized, so never broadcast-hinted; AQE broadcasts at small
+      // sf and shuffle-joins at scale.
       cand
-        .join(broadcast(a), col("doc_a") === col("a_doc_id"))
-        .join(broadcast(b), col("doc_b") === col("b_doc_id"))
+        .join(a, col("doc_a") === col("a_doc_id"))
+        .join(b, col("doc_b") === col("b_doc_id"))
         .withColumn("est_sim", matches / lit(NumHashes))
         .filter(col("est_sim") >= MinHashEstSim)
         .select(col("doc_a"), col("doc_b"), col("est_sim"))
@@ -274,35 +333,25 @@ object LlmOps {
 
     // 3-gram shingle Jaccard ≥ 0.2 within (lang, source) blocks — order-
     // sensitive near-dup (catches reordered-token false-positives of
-    // q_llm_neardup). Inverted index on shingles: J ≥ 0.2 requires ≥1
-    // common shingle, so the posting-list join is exact; size bound
-    // J ≥ 0.2 ⟹ max ≤ 5·min prunes further.
+    // q_llm_neardup). Same prefix-filtered AllPairs as q_llm_neardup
+    // (t = 1/5: prefix is longer — ~80% of shingles — but the hot-shingle
+    // DF ordering and the exact max ≤ 5·min size bound still apply).
     "q_llm_ngram" -> ((s, d) => {
-      // Explode-first, same shape as q_llm_neardup (see the comment
-      // there): shingle arrays are built once per doc in the generator;
-      // distinct-shingle counts come back as a COUNT aggregate.
-      val e = T.documents(s, d)
+      val base = T.documents(s, d)
         .withColumn("tk", split(col("text"), " "))
         .filter(size(col("tk")) >= 3)
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(shinglesCol(col("tk"))).as("g"))
-        .persist() // see q_llm_neardup — three consumers, one materialization
-      val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val a = e.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-        col("g"))
-      val b = e.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-        col("source").as("source_b"), col("g").as("g_b"))
-      a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b")
-          && col("g") === col("g_b") && col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("common"))
-        .join(broadcast(sz.select(col("doc_id"), col("sz").as("sz_a"))),
-          col("doc_a") === col("doc_id"))
-        .drop("doc_id")
-        .join(broadcast(sz.select(col("doc_id"), col("sz").as("sz_b"))),
-          col("doc_b") === col("doc_id"))
+      val feats = base.select(col("doc_id"), col("lang"), col("source"),
+        explode(shinglesCol(col("tk"))).as("feat"))
+      val cand = jaccardCandidates(feats, Seq("lang", "source"), 1, 5)
+      val docs = base.select(col("doc_id"), shinglesCol(col("tk")).as("g"))
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("g").as("g_a")),
+          col("doc_a") === col("a_id"))
+        .join(docs.select(col("doc_id").as("b_id"), col("g").as("g_b")),
+          col("doc_b") === col("b_id"))
+        .withColumn("common", size(array_intersect(col("g_a"), col("g_b"))))
         .withColumn("jacc",
-          col("common") / (col("sz_a") + col("sz_b") - col("common")))
+          col("common") / (size(col("g_a")) + size(col("g_b")) - col("common")))
         .filter(col("jacc") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("jacc")) // unrounded — see q_llm_neardup
         .orderBy(col("doc_a"), col("doc_b"))
@@ -415,8 +464,10 @@ object LlmOps {
         col("nrm").as("na"))
       val eb = base.select(col("vec_id").as("b_id"), col("e").as("eb"),
         col("nrm").as("nb"))
-      cand.join(broadcast(ea), col("vec_a") === col("a_id"))
-        .join(broadcast(eb), col("vec_b") === col("b_id"))
+      // cosine verify: the embedding table is THE corpus-sized table —
+      // plain shuffle equi-joins; AQE decides the strategy per size.
+      cand.join(ea, col("vec_a") === col("a_id"))
+        .join(eb, col("vec_b") === col("b_id"))
         .withColumn("sim",
           round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
         .filter(col("sim") >= 0.35)

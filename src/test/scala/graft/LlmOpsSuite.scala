@@ -73,6 +73,34 @@ class LlmOpsSuite extends SparkSuite {
     assert(out((4L, 5L)) === 0.75) // 6 shared of 8 distinct shingles
   }
 
+  test("jaccardCandidates: planted hot token stays bounded; true near-dup pair survives") {
+    // 60 docs sharing one boilerplate token ("hot", DF = 62) plus 4
+    // unique tokens each: a naive inverted index joins hot's posting
+    // list with itself → 60·59/2 = 1770 candidate pairs. DF-ascending
+    // prefixes (t = 0.8, |x| = 5 ⟹ prefix = 2) rank "hot" LAST, so it
+    // falls out of every prefix → zero cross-doc candidates.
+    val hotDocs = (0 until 60).map(i => (i.toLong, s"hot u${i}a u${i}b u${i}c u${i}d"))
+    // Plus a genuine near-dup pair (J = 9/11 < 0.8 fails verify but MUST
+    // be a candidate; and a J = 1.0 pair) proving the filter loses no
+    // qualifying pair even with the hot token present in both.
+    val dupDocs = Seq(
+      (100L, "hot x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+      (101L, "hot x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+      (102L, "hot x1 x2 x3 x4 x5 x6 x7 x8 zz"))
+    val feats = (hotDocs ++ dupDocs).toDF("doc_id", "text")
+      .select(col("doc_id"), lit("b").as("blk"),
+        explode(array_distinct(split(col("text"), " "))).as("feat"))
+    val cand = LlmOps.jaccardCandidates(feats, Seq("blk"), 4, 5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cand.contains((100L, 101L)), "exact dup pair must be a candidate")
+    assert(cand.contains((100L, 102L)) && cand.contains((101L, 102L)),
+      "J=9/11 pair must be a candidate (size bound 4*10<=5*10 passes)")
+    // no candidate touches the hot-only docs — the hot posting list was
+    // never joined
+    assert(cand.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"hot token leaked into candidates: $cand")
+  }
+
   test("q_llm_minhash: identical docs estimated at 1.0; unrelated docs never candidates") {
     val out = q("q_llm_minhash", docsDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("est_sim"))

@@ -35,6 +35,29 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("prefix filter is exact: every pair with J >= t shares a prefix feature (both prefixes)") {
+    // Pure-Scala mirror of jaccardCandidates' pruning: features ordered
+    // by (DF asc, feature asc); prefix = first |x| - ceil(t*|x|) + 1.
+    // Zero false negatives must hold for every corpus.
+    val corpus: Gen[List[Set[String]]] = Gen.resize(8, Gen.listOf(tokenSet))
+    check("prefixfilter")(Prop.forAll(corpus) { docs =>
+      // same integer arithmetic as the helper: ceil(4|x|/5) = (4|x|+4)/5
+      val df = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(x: Set[String]): Set[String] = {
+        val p = x.size - (4 * x.size + 4) / 5 + 1
+        x.toSeq.sortBy(f => (df(f), f)).take(p).toSet
+      }
+      docs.indices.forall { i =>
+        docs.indices.drop(i + 1).forall { j =>
+          val (a, b) = (docs(i), docs(j))
+          jacc(a, b) < 0.8 ||
+            (prefix(a).intersect(prefix(b)).nonEmpty &&
+              4 * a.size <= 5 * b.size && 4 * b.size <= 5 * a.size)
+        }
+      }
+    })
+  }
+
   test("causal fold: violations equal the naive quadratic definition; prefix max is monotone") {
     val tsList = Gen.listOf(Gen.chooseNum(0L, 100L))
     check("causal")(Prop.forAll(tsList) { ts =>
