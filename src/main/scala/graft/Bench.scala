@@ -34,7 +34,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // method note: since round 4 the inter-query clearCache() runs OUTSIDE
+    // the timed window (rounds 1-3 charged eviction to each query), so
+    // cross-round per-query comparisons against r1-r3 are not
+    // apples-to-apples for persist()-using queries.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"cache-evict-untimed-since-r4","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -214,6 +214,52 @@ object LlmOps {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** IVF-flat ANN, parameterized. Assignment is a broadcast argmax over
+    * |centroids| dots per vector (centroids are k×dim — driver-small BY
+    * CONSTRUCTION, the one legitimate broadcast in this family); each
+    * probe then searches its `nprobe` nearest inverted lists. Per-probe
+    * work is O(nprobe · n/|centroids|); |centroids| grows with the
+    * corpus (√n rule) so probe cost stays flat at 100 TB, and nprobe is
+    * the recall knob (same role as ANN's Hamming radius).
+    *
+    * @param centroids optional coarse quantizer (cent_id, ce, cn) —
+    *                  e.g. [[graft.operators.KMeans.centroids]]; the
+    *                  default is the deterministic every-100th-vector
+    *                  quantizer the DuckDB oracle mirrors. */
+  def ivfQuery(s: SparkSession, d: String, nprobe: Int, k: Int,
+               probePred: Column => Column = _ < 5,
+               centroids: Option[DataFrame] = None): DataFrame = {
+    graft.functions.DotF64.register(s)
+    val base = T.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val cents = centroids.map(_.withColumn("cn", norm(col("ce"))))
+      .getOrElse(base.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val ranked = base.crossJoin(broadcast(cents))
+      .withColumn("csim", round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
+      .withColumn("crk", row_number().over(wAssign))
+      .persist() // consumed by both the probe side and the list side
+    val assigned = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))
+    // nprobe rows per probe — one per probed list; lists partition the
+    // corpus, so the per-probe candidate sets are disjoint (no dedup).
+    val probes = ranked.filter(probePred(col("vec_id")) && col("crk") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+        col("nrm").as("pn"), col("cent_id").as("pcent"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), col("cent_id") === col("pcent")
+        && col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", round(dot(col("pe"), col("e")) / (col("pn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact content dedup: every doc annotated with its md5 cluster
     // (size, keeper = min doc_id). Non-trivial clusters appear via the
@@ -382,42 +428,13 @@ object LlmOps {
     "q_llm_ann" -> ((s, d) => annQuery(s, d, bits = 4, radius = 1, k = 3)),
 
     // IVF-flat ANN — the other industry-standard scale path (coarse
-    // quantizer → inverted lists → probe nearest list(s)). Centroids =
-    // every 100th vector (a deterministic coarse quantizer; production
-    // swaps in k-means centroids, the plan shape is identical):
-    // assignment is a broadcast argmax over |centroids| dots per vector,
-    // probes then search ONLY their own list — per-probe work is
-    // O(n/|centroids|), and |centroids| grows with the corpus (√n rule)
-    // so probe cost stays flat at 100 TB. nprobe=1 here; multi-list
-    // probing is the recall knob, same as ANN's Hamming radius.
-    "q_llm_ivf" -> ((s, d) => {
-      graft.functions.DotF64.register(s)
-      val base = T.embeddings(s, d)
-        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-        .withColumn("nrm", norm(col("e")))
-      val cents = base.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cent_id").asc)
-      val assigned = base.crossJoin(broadcast(cents))
-        .withColumn("csim", round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))
-        .persist() // consumed by both the probe side and the list side
-      val probes = assigned.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"), col("e").as("pe"),
-          col("nrm").as("pn"), col("cent_id").as("pcent"))
-      val wTop = Window.partitionBy(col("probe_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      assigned.join(broadcast(probes), col("cent_id") === col("pcent")
-          && col("vec_id") =!= col("probe_id"))
-        .withColumn("sim", round(dot(col("pe"), col("e")) / (col("pn") * col("nrm")), 6))
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 3)
-        .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
-        .orderBy(col("probe_id"), col("rk"))
-    }),
+    // quantizer → inverted lists → probe the nprobe nearest lists).
+    // Graded form: every-100th-vector quantizer (deterministic, so the
+    // DuckDB twin reproduces it exactly), nprobe = 2. See [[ivfQuery]];
+    // production swaps in [[graft.operators.KMeans]] centroids via the
+    // `centroids` parameter (unit-tested — k-means itself is float-
+    // reduction-order dependent, so it cannot be oracle-graded).
+    "q_llm_ivf" -> ((s, d) => ivfQuery(s, d, nprobe = 2, k = 3)),
 
     // Embedding-cosine near-duplicate pairs within label blocks — exact
     // form (labels bound block size here); see q_llm_embdup_lsh for the
@@ -638,17 +655,17 @@ object LlmOps {
           cents AS (
             SELECT vec_id AS cent_id, e AS ce, nrm AS cn
             FROM base WHERE vec_id % 100 = 0),
+          ranked AS (
+            SELECT b.vec_id, b.e, b.nrm, c.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                round(list_aggregate(list_transform(b.e, (x, i) -> x * c.ce[i]), 'sum')
+                  / (b.nrm * c.cn), 6) DESC, c.cent_id ASC) AS crk
+            FROM base b CROSS JOIN cents c),
           assigned AS (
-            SELECT vec_id, e, nrm, cent_id FROM (
-              SELECT b.vec_id, b.e, b.nrm, c.cent_id,
-                ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-                  round(list_aggregate(list_transform(b.e, (x, i) -> x * c.ce[i]), 'sum')
-                    / (b.nrm * c.cn), 6) DESC, c.cent_id ASC) AS crk
-              FROM base b CROSS JOIN cents c) z
-            WHERE crk = 1),
+            SELECT vec_id, e, nrm, cent_id FROM ranked WHERE crk = 1),
           probes AS (
             SELECT vec_id AS probe_id, e AS pe, nrm AS pn, cent_id AS pcent
-            FROM assigned WHERE vec_id < 5),
+            FROM ranked WHERE vec_id < 5 AND crk <= 2),
           pairs AS (
             SELECT p.probe_id, a.vec_id,
               round(list_aggregate(list_transform(p.pe, (x, i) -> x * a.e[i]), 'sum')

@@ -80,6 +80,33 @@ object StreamOps {
   def dedupFirstArrival(events: DataFrame): DataFrame =
     events.dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream INTERVAL join (the streaming twin of the batch
+    * q_join_interval per SURVEY §2.3): purchases matched to the same
+    * user's clicks at most 30 minutes earlier. Both sides carry a
+    * watermark and the join condition bounds event time in BOTH
+    * directions, so Spark can expire buffered rows: per-side state is
+    * O(events inside watermark + 30min horizon), never O(history).
+    * Equality + time-range is the canonical Structured Streaming
+    * stream-stream join shape; in batch mode withWatermark is a no-op
+    * and the same function evaluates as a plain range join — the parity
+    * suite asserts stream ≡ batch on the mini-events fixture. */
+  def clickPurchaseIntervalJoin(clicks: DataFrame,
+                                purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p, col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** The reference's raison d'être as a stateful streaming operator:
     * per-key causal-order audit via flatMapGroupsWithState. An event
     * whose ts is behind the running max of its key's PRIOR events (in

@@ -343,4 +343,26 @@ class StreamingParitySuite extends SparkSuite {
     assert(streamed === batch)
     assert(streamed.size === 11)
   }
+
+  test("stream-stream interval join: two watermarked streams == batch range join") {
+    val msC = MemoryStream[Event](spark)
+    val msP = MemoryStream[Event](spark)
+    val joined = StreamOps.clickPurchaseIntervalJoin(
+      withTs(msC.toDF()), withTs(msP.toDF()))
+    val q = joined.writeStream.format("memory").queryName("iv_join")
+      .outputMode("append").start()
+    // both streams receive the full fixture; the op filters each side
+    try batches.foreach { b => msC.addData(b); msP.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val pick = (df: DataFrame) => df
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val streamed = pick(spark.table("iv_join"))
+    val batch = pick(StreamOps.clickPurchaseIntervalJoin(batchDf, batchDf))
+    assert(streamed === batch)
+    // fixture truth: user 1 click@50 -> purchase@60 (10min); user 2
+    // click@29 -> purchase@55 (26min); purchase@60 is 31min after the
+    // click — outside the 30min horizon. Clicks at 5/10 are too old.
+    assert(streamed === Set((1L, 4L, 5L), (2L, 8L, 10L)))
+  }
 }
