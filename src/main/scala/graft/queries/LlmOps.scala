@@ -137,12 +137,13 @@ object LlmOps {
                         tNum: Int, tDen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
     val wOrd = w.orderBy(col("df").asc, col("feat").asc)
-    // feats is read twice (DF table + ranked index) → materialize once;
-    // at cluster scale this is the persisted inverted-index build.
-    val f = feats.persist()
-    val dfTab = f.groupBy(col("feat")).agg(count(lit(1)).as("df"))
     val ceilT = floor((lit(tNum) * col("sz") + lit(tDen - 1)) / lit(tDen))
-    val prefix = f.join(dfTab, "feat")
+    // DF as a window count keyed by feature — one exchange, no join-back
+    // of a DF table (a groupBy+join form costs an extra full shuffle of
+    // the exploded corpus); then per-doc size + rank share the second
+    // exchange (same partitioning key).
+    val prefix = feats
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("feat"))))
       .withColumn("sz", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - ceilT + 1)
