@@ -77,6 +77,18 @@ class PlanAssertionsSuite extends SparkSuite {
       s"minhash degenerated to all-pairs:\n$plan")
   }
 
+  test("q_llm_ngram: prefix-filtered candidates are equi-joined; no all-pairs operator") {
+    val plan = planString(q("q_llm_ngram"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ngram degenerated to all-pairs:\n$plan")
+  }
+
+  test("q_llm_embdup_lsh: banded candidate join is an equi-join; no all-pairs operator") {
+    val plan = planString(q("q_llm_embdup_lsh"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"embdup_lsh degenerated to all-pairs:\n$plan")
+  }
+
   test("q_agg_group: hash aggregate with map-side partial aggregation") {
     val plan = planString(q("q_agg_group"))
     assert("HashAggregate".r.findAllIn(plan).length >= 2, // partial + final
