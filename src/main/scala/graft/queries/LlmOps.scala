@@ -239,9 +239,14 @@ object LlmOps {
         .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id").asc)
+    // keep only the top-nprobe assignment rows BEFORE materializing:
+    // persisting the unfiltered ranking would hold n·|centroids| rows
+    // (corpus × quantizer — a scale bug); n·nprobe is corpus-linear.
     val ranked = base.crossJoin(broadcast(cents))
       .withColumn("csim", round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
       .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") <= nprobe)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"), col("crk"))
       .persist() // consumed by both the probe side and the list side
     val assigned = ranked.filter(col("crk") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))
