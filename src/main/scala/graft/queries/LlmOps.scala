@@ -174,10 +174,15 @@ object LlmOps {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  private def toDouble(a: Column): Column = transform(a, _.cast("double"))
+  /** float[]→double[] as a native array cast (codegen'd; element cast is
+    * exact widening) — a `transform` lambda would run interpreted. */
+  private def toDouble(a: Column): Column = a.cast("array<double>")
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** ‖a‖ = sqrt(a·a) via the codegen dot — the SAME left-fold-from-0.0
+    * IEEE sequence as `aggregate(a, 0.0, acc + x*x)` (DotF64 parity is
+    * unit-pinned), so oracle hashes are unchanged while the hot path
+    * stays inside whole-stage codegen. Callers register DotF64 first. */
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Sign-bit bucket over dims [lo+1 .. lo+bits] of a (1-indexed) array:
     * bit i set iff e[lo+i+1] > 0. */
