@@ -40,22 +40,24 @@ class PropertySuite extends AnyFunSuite {
     // by (DF asc, feature asc); prefix = first |x| - ceil(t*|x|) + 1.
     // Zero false negatives must hold for every corpus.
     val corpus: Gen[List[Set[String]]] = Gen.resize(8, Gen.listOf(tokenSet))
-    check("prefixfilter")(Prop.forAll(corpus) { docs =>
-      // same integer arithmetic as the helper: ceil(4|x|/5) = (4|x|+4)/5
-      val df = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
-      def prefix(x: Set[String]): Set[String] = {
-        val p = x.size - (4 * x.size + 4) / 5 + 1
-        x.toSeq.sortBy(f => (df(f), f)).take(p).toSet
-      }
-      docs.indices.forall { i =>
-        docs.indices.drop(i + 1).forall { j =>
-          val (a, b) = (docs(i), docs(j))
-          jacc(a, b) < 0.8 ||
-            (prefix(a).intersect(prefix(b)).nonEmpty &&
-              4 * a.size <= 5 * b.size && 4 * b.size <= 5 * a.size)
+    // both graded thresholds: neardup t=4/5, ngram t=1/5
+    for ((tNum, tDen, tDbl) <- Seq((4, 5, 0.8), (1, 5, 0.2)))
+      check(s"prefixfilter t=$tNum/$tDen")(Prop.forAll(corpus) { docs =>
+        // same integer arithmetic as the helper: ceil(n·|x|/d) = (n|x|+d-1)/d
+        val df = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+        def prefix(x: Set[String]): Set[String] = {
+          val p = x.size - (tNum * x.size + tDen - 1) / tDen + 1
+          x.toSeq.sortBy(f => (df(f), f)).take(p).toSet
         }
-      }
-    })
+        docs.indices.forall { i =>
+          docs.indices.drop(i + 1).forall { j =>
+            val (a, b) = (docs(i), docs(j))
+            jacc(a, b) < tDbl ||
+              (prefix(a).intersect(prefix(b)).nonEmpty &&
+                tNum * a.size <= tDen * b.size && tNum * b.size <= tDen * a.size)
+          }
+        }
+      })
   }
 
   test("causal fold: violations equal the naive quadratic definition; prefix max is monotone") {
