@@ -101,6 +101,18 @@ class LlmOpsSuite extends SparkSuite {
       s"hot token leaked into candidates: $cand")
   }
 
+  test("jaccardCandidates: identical docs in different blocks never pair") {
+    val feats = Seq(
+      (1L, "en", "s0", "w1 w2 w3"), (2L, "en", "s1", "w1 w2 w3"),
+      (3L, "de", "s0", "w1 w2 w3"), (4L, "en", "s0", "w1 w2 w3"))
+      .toDF("doc_id", "lang", "source", "text")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("feat"))
+    val cand = LlmOps.jaccardCandidates(feats, Seq("lang", "source"), 4, 5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cand === Set((1L, 4L))) // only the same-(lang,source) pair
+  }
+
   test("q_llm_minhash: identical docs estimated at 1.0; unrelated docs never candidates") {
     val out = q("q_llm_minhash", docsDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("est_sim"))

@@ -365,4 +365,45 @@ class StreamingParitySuite extends SparkSuite {
     // click — outside the 30min horizon. Clicks at 5/10 are too old.
     assert(streamed === Set((1L, 4L, 5L), (2L, 8L, 10L)))
   }
+
+  test("stream-stream interval join: watermark evicts click state, late purchase finds no match") {
+    // The scale contract of the join is that buffered state is BOUNDED
+    // by watermark + horizon — pinned here by observing its consequence:
+    // once the watermark has passed a click's join window, a late
+    // matching purchase produces NO pair (the state is gone). Note the
+    // inverse is deliberately NOT asserted: Spark may still match late
+    // rows that arrive in the SAME micro-batch (watermarks bound state,
+    // they do not censor intra-batch matches).
+    val msC = MemoryStream[Event](spark)
+    val msP = MemoryStream[Event](spark)
+    val q = StreamOps.clickPurchaseIntervalJoin(
+        withTs(msC.toDF()), withTs(msP.toDF()))
+      .writeStream.format("memory").queryName("iv_late")
+      .outputMode("append").start()
+    try {
+      // the watermark of each side is computed AFTER its event-type
+      // filter, so each side needs its own far-future event to advance:
+      // global watermark = min(click wm 145, purchase wm 140) = 140
+      val b1 = Seq(Event(1, min(0), 1, "click", 1.0),
+        Event(2, min(10), 1, "purchase", 1.0),
+        Event(6, min(20), 2, "click", 1.0), // no purchase yet
+        Event(3, min(200), 99, "purchase", 1.0),
+        Event(8, min(205), 98, "click", 1.0))
+      msC.addData(b1); msP.addData(b1); q.processAllAvailable()
+      // state eviction runs at END of a batch with the watermark set at
+      // its START — push one filler batch so eviction executes under
+      // watermark=140 and click@20 (window closed at min 50) is removed
+      val filler = Seq(Event(7, min(210), 97, "click", 1.0))
+      msC.addData(filler); msP.addData(filler); q.processAllAvailable()
+      // user 2's purchase@45 is inside click@20's 30min window, but the
+      // watermark (min 140) passed that window long ago — state evicted,
+      // so this late arrival must produce nothing
+      val b2 = Seq(Event(5, min(45), 2, "purchase", 1.0))
+      msC.addData(b2); msP.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("iv_late")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 2L)), s"evicted state still matched: $out")
+  }
 }
