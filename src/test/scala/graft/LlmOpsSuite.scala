@@ -101,6 +101,62 @@ class LlmOpsSuite extends SparkSuite {
       s"hot token leaked into candidates: $cand")
   }
 
+  test("neardup/ngram == brute-force all-pairs truth on a randomized corpus") {
+    // End-to-end exactness of the full Spark pipelines (prefix filter,
+    // window ranks, size bound, array_intersect verify) against naive
+    // O(n²) driver-side truth — 60 seeded random docs incl. planted
+    // exact dups and one-token edits, across 2×2 blocks.
+    val rng = new scala.util.Random(99)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val baseDocs = (0 until 50).map { i =>
+      val n = 3 + rng.nextInt(10)
+      val toks = Seq.fill(n)(vocab(rng.nextInt(vocab.size)))
+      (i.toLong, toks.mkString(" "), s"l${i % 2}", s"s${(i / 2) % 2}")
+    }
+    val planted = (0 until 10).map { j =>
+      val (id, text, l, s) = baseDocs(j * 3)
+      val toks = text.split(" ")
+      val edited = if (j % 2 == 0) toks
+        else toks.updated(rng.nextInt(toks.length), "zz")
+      (100L + j, edited.mkString(" "), l, s)
+    }
+    val docs = baseDocs ++ planted
+    val dir = Files.createTempDirectory("graft_rand").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def jaccPairs(feat: ((Long, String, String, String)) => Seq[String],
+                  t: Double): Map[(Long, Long), Double] =
+      (for {
+        a <- docs; b <- docs
+        if a._1 < b._1 && a._3 == b._3 && a._4 == b._4
+        fa = feat(a).distinct; fb = feat(b).distinct
+        if fa.nonEmpty && fb.nonEmpty
+        common = fa.toSet.intersect(fb.toSet).size
+        jacc = common.toDouble / (fa.size + fb.size - common)
+        if jacc >= t
+      } yield (a._1, b._1) -> jacc).toMap
+
+    val tokTruth = jaccPairs(_._2.split(" ").toSeq, 0.8)
+    val spark_nd = q("q_llm_neardup", dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jacc"))
+      .toMap
+    assert(spark_nd === tokTruth)
+
+    def shingles(t: (Long, String, String, String)): Seq[String] = {
+      val tk = t._2.split(" ").toSeq
+      if (tk.length < 3) Seq.empty else tk.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val shTruth = jaccPairs(shingles, 0.2)
+    val spark_ng = q("q_llm_ngram", dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jacc"))
+      .toMap
+    assert(spark_ng === shTruth)
+    // sanity: the planted exact dups actually produced pairs
+    assert(tokTruth.keySet.exists(_._2 >= 100L))
+  }
+
   test("jaccardCandidates: identical docs in different blocks never pair") {
     val feats = Seq(
       (1L, "en", "s0", "w1 w2 w3"), (2L, "en", "s1", "w1 w2 w3"),
