@@ -7,7 +7,8 @@ import graft.{Det, Tables => T}
 
 /** SURVEY §2.10 + north-star LLM-data-pipeline operators: exact dedup,
   * MinHash-LSH / n-gram-Jaccard near-dup, SimHash fingerprints,
-  * brute-force kNN + LSH-bucketed multi-probe ANN over embeddings,
+  * brute-force kNN + LSH-bucketed multi-probe ANN + IVF-flat (with an
+  * optional [[graft.operators.KMeans]] coarse quantizer) over embeddings,
   * embedding-cosine near-dup (exact + LSH-banded scale path), token
   * frequency, corpus stats.
   *
@@ -44,6 +45,9 @@ import graft.{Det, Tables => T}
   *    4 bits/radius 1 scans ~31% for recall@3 ≈ 0.47; on clustered data
   *    (the real use case, unit-tested with planted clusters) recall@3 is
   *    ≥ 0.8 at a few % scan. Thresholds chosen per corpus.
+  *  - IVF-flat: broadcast argmax assignment against a driver-small
+  *    centroid table, probes search their nprobe nearest inverted
+  *    lists — per-probe work O(nprobe·n/|centroids|); see [[ivfQuery]].
   *  - Embedding near-dup: exact form stays label-blocked (labels bound
   *    block size in this schema); `q_llm_embdup_lsh` is the unbounded-scale path — banded
   *    sign-LSH (8 bands × 8 bits) candidate join, so only pairs agreeing
