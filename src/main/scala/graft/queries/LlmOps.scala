@@ -66,10 +66,10 @@ object LlmOps {
   import Det.{davg, dsum, sqlAvg, sqlSum, tbl}
 
   // ---- MinHash-LSH parameters (bands × rowsPerBand = numHashes) ----
-  private val NumHashes = 64
-  private val Bands = 8
-  private val RowsPerBand = NumHashes / Bands
-  private val MinHashEstSim = 0.5
+  private[graft] val NumHashes = 64
+  private[graft] val Bands = 8
+  private[graft] val RowsPerBand = NumHashes / Bands
+  private[graft] val MinHashEstSim = 0.5
 
   /** Universal-hash family h_i(x) = (a_i·x + b_i) mod p over a 31-bit
     * prime: one md5 per feature gives the base x; the 64 signature rows
@@ -78,8 +78,8 @@ object LlmOps {
     * (a_i, b_i) come from a fixed-seed java.util.Random (LCG, spec-stable
     * across JVMs) and are embedded as literals in the DuckDB twin, so
     * both engines evaluate the identical integer expressions. */
-  private val HashP = 2147483647L
-  private val (hashA, hashB) = {
+  private[graft] val HashP = 2147483647L
+  private[graft] val (hashA, hashB) = {
     val rng = new scala.util.Random(42)
     (Array.fill(NumHashes)(1L + rng.nextInt(Int.MaxValue - 1)),
       Array.fill(NumHashes)(rng.nextInt(Int.MaxValue).toLong))

@@ -80,6 +80,16 @@ object StreamOps {
   def dedupFirstArrival(events: DataFrame): DataFrame =
     events.dropDuplicates("user_id", "event_type")
 
+  /** The state-BOUNDED streaming dedup (what an unbounded 100 TB stream
+    * actually runs): duplicates of a key are suppressed only while the
+    * key's first arrival is younger than the watermark delay, so state
+    * is O(keys inside the watermark horizon), not O(all keys ever).
+    * The contract is one-sided: within the horizon dedup is exact;
+    * after state expiry a re-arrival is treated as new (pinned in the
+    * parity suite). Callers watermark `ts` before calling. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Stream-stream INTERVAL join (the streaming twin of the batch
     * q_join_interval per SURVEY §2.3): purchases matched to the same
     * user's clicks at most 30 minutes earlier. Both sides carry a

@@ -157,6 +157,56 @@ class LlmOpsSuite extends SparkSuite {
     assert(tokTruth.keySet.exists(_._2 >= 100L))
   }
 
+  test("q_llm_minhash == independent driver-side mirror on a randomized corpus") {
+    // Full-pipeline mirror: shingles, md5-derived 32-bit base, the
+    // (a·x+b) mod p family, banding (band-key equality == equality of
+    // the in-band signature tuple, since longs joined with '#' are
+    // unambiguous), and the est_sim >= 0.5 emit rule — all recomputed
+    // from scratch on the driver and compared exactly.
+    val rng = new scala.util.Random(123)
+    val vocab = (1 to 25).map(i => s"v$i")
+    val base = (0 until 40).map { i =>
+      val n = 2 + rng.nextInt(10) // includes <3-token docs (shingle filter)
+      (i.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = (0 until 6).map(j => (200L + j, base(j * 5)._2)) // exact dups
+    val docs = base ++ dups
+    val dir = Files.createTempDirectory("graft_mh").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def md5h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val sigs: Map[Long, Seq[Long]] = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ").toSeq
+      if (tk.length < 3) None else {
+        val xs = tk.sliding(3).map(_.mkString(" ")).toSeq.distinct.map(md5h32)
+        Some(id -> (0 until LlmOps.NumHashes).map(i =>
+          xs.map(x => (LlmOps.hashA(i) * x + LlmOps.hashB(i)) % LlmOps.HashP).min))
+      }
+    }.toMap
+    val ids = sigs.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shareBand = (0 until LlmOps.Bands).exists(bd =>
+        sigs(a).slice(bd * 8, bd * 8 + 8) == sigs(b).slice(bd * 8, bd * 8 + 8))
+      if shareBand
+      est = (0 until LlmOps.NumHashes).count(i => sigs(a)(i) == sigs(b)(i)) /
+        LlmOps.NumHashes.toDouble
+      if est >= LlmOps.MinHashEstSim
+    } yield (a, b) -> est).toMap
+    val out = q("q_llm_minhash", dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("est_sim"))
+      .toMap
+    assert(out === expected)
+    assert(expected.nonEmpty) // the planted dups produced est_sim = 1.0 pairs
+  }
+
   test("jaccardCandidates: identical docs in different blocks never pair") {
     val feats = Seq(
       (1L, "en", "s0", "w1 w2 w3"), (2L, "en", "s1", "w1 w2 w3"),

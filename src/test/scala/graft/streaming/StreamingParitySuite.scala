@@ -111,6 +111,32 @@ class StreamingParitySuite extends SparkSuite {
     assert(streamed.contains((2L, "view", 6L)) && !streamed.contains((2L, "view", 7L)))
   }
 
+  test("dedupWithinWatermark: exact inside the horizon, state expires after it") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.dedupWithinWatermark(
+        withTs(ms.toDF()).withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      // first arrival emits; in-horizon duplicate suppressed
+      ms.addData(Seq(Event(1, min(0), 1, "view", 1.0),
+        Event(2, min(5), 1, "view", 1.0)))
+      q.processAllAvailable()
+      // unrelated key advances the watermark to min(50) > min(0)+10min,
+      // expiring (1, view)'s dedup state
+      ms.addData(Seq(Event(3, min(60), 9, "click", 1.0)))
+      q.processAllAvailable()
+      // re-arrival AFTER expiry emits again (state is bounded, not
+      // forever); its own in-batch duplicate is still suppressed
+      ms.addData(Seq(Event(4, min(55), 1, "view", 1.0),
+        Event(5, min(56), 1, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_wm").select(col("event_id"))
+      .as[Long].collect().toSet
+    assert(ids === Set(1L, 3L, 4L), s"got $ids")
+  }
+
   test("causal tracker: flatMapGroupsWithState stream == same function in batch == expected") {
     // batch evaluation of the very same function
     val batchOut = StreamOps.causalTracker(miniEvents.toDS())
