@@ -207,6 +207,35 @@ class LlmOpsSuite extends SparkSuite {
     assert(expected.nonEmpty) // the planted dups produced est_sim = 1.0 pairs
   }
 
+  test("q_llm_simhash == independent driver-side mirror on a randomized corpus") {
+    val rng = new scala.util.Random(321)
+    val vocab = (1 to 20).map(i => s"t$i")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(12))(
+        vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val dir = Files.createTempDirectory("graft_sh").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h16(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val expected = docs.map { case (id, text) =>
+      val hs = text.split(" ").toSeq.distinct.map(h16)
+      id -> (0 until 16).map { bit =>
+        val vote = hs.map(h => if (((h >> bit) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) 1L << bit else 0L
+      }.sum
+    }.toMap
+    val out = q("q_llm_simhash", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(out === expected)
+  }
+
   test("jaccardCandidates: identical docs in different blocks never pair") {
     val feats = Seq(
       (1L, "en", "s0", "w1 w2 w3"), (2L, "en", "s1", "w1 w2 w3"),
