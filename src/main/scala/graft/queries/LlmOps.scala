@@ -142,12 +142,16 @@ object LlmOps {
     val w = Window.partitionBy(col("doc_id"))
     val wOrd = w.orderBy(col("df").asc, col("feat").asc)
     val ceilT = floor((lit(tNum) * col("sz") + lit(tDen - 1)) / lit(tDen))
-    // DF as a window count keyed by feature — one exchange, no join-back
-    // of a DF table (a groupBy+join form costs an extra full shuffle of
-    // the exploded corpus); then per-doc size + rank share the second
-    // exchange (same partitioning key).
-    val prefix = feats
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("feat"))))
+    // DF via groupBy + join-back, deliberately NOT a window keyed by
+    // feature: a window would move EVERY posting of a hot feature into
+    // one partition (the skew this operator exists to avoid), while
+    // groupBy partial-aggregates map-side and the join-back is skew-
+    // splittable by AQE — which also broadcasts the vocabulary-sized DF
+    // table outright when it is small (no hint needed either way). The
+    // per-doc windows below are skew-free (doc sizes are bounded).
+    val f = feats.persist() // two consumers: DF table + the ranked index
+    val dfTab = f.groupBy(col("feat")).agg(count(lit(1)).as("df"))
+    val prefix = f.join(dfTab, "feat")
       .withColumn("sz", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - ceilT + 1)
