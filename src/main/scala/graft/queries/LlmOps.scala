@@ -282,14 +282,18 @@ object LlmOps {
   val queries: Map[String, Q] = Map(
     // Exact content dedup: every doc annotated with its md5 cluster
     // (size, keeper = min doc_id). Non-trivial clusters appear via the
-    // normalized fingerprint variant in TextOps.
+    // normalized fingerprint variant in TextOps. Cluster stats come from
+    // a groupBy + join-back, NOT a window over the hash: a boilerplate
+    // mega-cluster would funnel into one window partition, while the
+    // aggregate partial-combines map-side and the join-back is
+    // AQE-skew-splittable.
     "q_llm_dedup" -> ((s, d) => {
-      val w = Window.partitionBy(col("h"))
-      T.documents(s, d)
-        .withColumn("h", md5(col("text")))
-        .select(col("doc_id"), col("h"),
-          count(lit(1)).over(w).as("cluster_size"),
-          min(col("doc_id")).over(w).as("keeper"))
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val clusters = docs.groupBy(col("h"))
+        .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper"))
+      docs.join(clusters, "h")
+        .select(col("doc_id"), col("h"), col("cluster_size"), col("keeper"))
         .orderBy(col("doc_id"))
     }),
 

@@ -92,15 +92,17 @@ object TextOps {
         .orderBy(col("doc_id"))),
 
     // Document fingerprint: md5 over the sorted distinct token set
-    // (order-insensitive content identity) + cluster stats per fingerprint.
+    // (order-insensitive content identity) + cluster stats per
+    // fingerprint — groupBy + join-back, not a window over fp (see
+    // q_llm_dedup: a mega-cluster would hot-spot one window partition).
     "q_text_fingerprint" -> ((s, d) => {
-      val w = Window.partitionBy(col("fp"))
-      T.documents(s, d)
-        .withColumn("fp",
-          md5(concat_ws(" ", array_sort(array_distinct(toks)))))
-        .select(col("doc_id"), col("fp"),
-          count(lit(1)).over(w).as("cluster_size"),
-          min(col("doc_id")).over(w).as("keeper"))
+      val docs = T.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp"))
+      val clusters = docs.groupBy(col("fp"))
+        .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper"))
+      docs.join(clusters, "fp")
+        .select(col("doc_id"), col("fp"), col("cluster_size"), col("keeper"))
         .withColumn("is_keeper", (col("doc_id") === col("keeper")).cast("int"))
         .orderBy(col("doc_id"))
     })
