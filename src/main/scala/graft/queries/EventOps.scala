@@ -48,16 +48,18 @@ object EventOps {
         .orderBy(col("user_id"), col("session_start"))),
 
     // Keyed dedup with deterministic keep-first (NOT bare dropDuplicates,
-    // which keeps an arbitrary row): earliest event per (user, type).
-    "q_dedup" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts").asc, col("event_id").asc)
+    // which keeps an arbitrary row): earliest (ts, event_id) per
+    // (user, type) as a lexicographic min(struct) — the aggregate
+    // partial-combines map-side (shuffle ∝ keys, skew-safe), where a
+    // row_number window would sort every row of a hot key in one
+    // partition. (ts, event_id) is unique, so the min is deterministic.
+    "q_dedup" -> ((s, d) =>
       T.events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
-        .orderBy(col("user_id"), col("event_type"))
-    }),
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("event_type"),
+          col("m.event_id").as("event_id"), col("m.ts").as("ts"))
+        .orderBy(col("user_id"), col("event_type"))),
 
     // The reference's raison d'être: per-key causal-order audit. In
     // arrival order (event_id), an event whose ts is behind the running
