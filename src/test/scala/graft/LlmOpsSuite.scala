@@ -236,6 +236,42 @@ class LlmOpsSuite extends SparkSuite {
     assert(out === expected)
   }
 
+  test("q_llm_embdup_lsh == independent driver-side mirror on random embeddings") {
+    // Mirror of the banded sign-LSH candidate rule (8 bands × 8 sign
+    // bits over dims) + the cos >= 0.35 verify with 6dp HALF_UP rounding.
+    val rng = new scala.util.Random(77)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(64)((rng.nextGaussian()).toFloat), i % 3)
+    }
+    val dir = Files.createTempDirectory("graft_elsh").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dense = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Double]]("e").toArray))
+    def bucket(e: Array[Double], lo: Int): Int =
+      (0 until 8).map(i => if (e(lo + i) > 0) 1 << i else 0).sum
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      (ia, la, ea) <- dense; (ib, lb, eb) <- dense
+      if ia < ib && la == lb
+      if (0 until 8).exists(bd => bucket(ea, bd * 8) == bucket(eb, bd * 8))
+      sim = cos6(ea, eb) if sim >= 0.35
+    } yield (ia, ib, sim)).toSet
+    val out = q("q_llm_embdup_lsh", dir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("sim")))
+      .toSet
+    assert(out === expected)
+  }
+
   test("jaccardCandidates: identical docs in different blocks never pair") {
     val feats = Seq(
       (1L, "en", "s0", "w1 w2 w3"), (2L, "en", "s1", "w1 w2 w3"),

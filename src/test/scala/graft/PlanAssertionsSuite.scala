@@ -89,6 +89,17 @@ class PlanAssertionsSuite extends SparkSuite {
       s"embdup_lsh degenerated to all-pairs:\n$plan")
   }
 
+  test("q_dedup / q_llm_dedup / q_text_fingerprint: keep-first and cluster stats are aggregates, not key-partitioned windows") {
+    // a Window over the dedup key funnels a mega-cluster into one
+    // partition; these must stay map-side-combining aggregates
+    Seq("q_dedup", "q_llm_dedup", "q_text_fingerprint").foreach { name =>
+      val plan = planString(q(name))
+      assert(!plan.contains("Window"), s"$name regressed to a window plan:\n$plan")
+      assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+        s"$name lost its aggregate:\n$plan")
+    }
+  }
+
   test("q_agg_group: hash aggregate with map-side partial aggregation") {
     val plan = planString(q("q_agg_group"))
     assert("HashAggregate".r.findAllIn(plan).length >= 2, // partial + final
