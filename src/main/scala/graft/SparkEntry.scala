@@ -9,6 +9,14 @@ import graft.queries._
   * per operator, each with a DuckDB-1.0.0 oracle in `oracleSql` where the
   * semantics are SQL-expressible. Column names, orderings, and numeric
   * determinism follow the contract in SURVEY §7.4 via [[Det]].
+  *
+  * Cache contract: some query builders `persist()` multi-consumer
+  * intermediates (LSH posting/signature/prefix tables, IVF assignments).
+  * A returned DataFrame is lazy, so the builder cannot unpersist after
+  * its own action — callers that loop over queries should run
+  * `spark.catalog.clearCache()` between executions (Bench, Verify, and
+  * Prof all do) or unpersist via `spark.sharedState.cacheManager` when
+  * embedding a single query long-term.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
