@@ -31,10 +31,23 @@ object KMeans {
     * @return (cent_id: int from 1, ce: array&lt;double&gt;) — at most k rows
     *         (a centroid that captures no vectors drops out). */
   def centroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
     var cents = vecs.orderBy(col("vec_id")).limit(k)
       .select(row_number().over(Window.orderBy(col("vec_id"))).as("cent_id"),
         col("e").as("ce"))
-    for (_ <- 1 to iters) cents = step(vecs, cents)
+    // Materialize the centroid table on the driver after every Lloyd
+    // step (it is k × dim doubles — driver-small BY CONSTRUCTION; MLlib's
+    // KMeans does the same). Without this, `cents` is an iters-deep lazy
+    // plan: every downstream action re-runs the whole chain of broadcast
+    // assignments, and Catalyst planning cost grows linearly with iters.
+    // This is control-flow collect of a bounded table, not a corpus
+    // collect — the corpus is only ever scanned, never gathered.
+    for (_ <- 1 to iters)
+      cents = step(vecs, cents)
+        .select(col("cent_id"), col("ce"))
+        .as[(Int, Seq[Double])].collect().toSeq
+        .toDF("cent_id", "ce")
     cents
   }
 

@@ -53,6 +53,10 @@ object EventOps {
     // partial-combines map-side (shuffle ∝ keys, skew-safe), where a
     // row_number window would sort every row of a hot key in one
     // partition. (ts, event_id) is unique, so the min is deterministic.
+    // Null semantics pinned: Spark's struct ordering puts a null ts
+    // FIRST, so the oracle's ORDER BY says NULLS FIRST explicitly
+    // (DuckDB would otherwise default to NULLS LAST and the engines
+    // would diverge on the first nullable-ts corpus).
     "q_dedup" -> ((s, d) =>
       T.events(s, d)
         .groupBy(col("user_id"), col("event_type"))
@@ -124,7 +128,7 @@ object EventOps {
       s"""SELECT user_id, event_type, event_id, ts FROM (
             SELECT user_id, event_type, event_id, ts,
               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                ORDER BY ts ASC, event_id ASC) AS rn
+                ORDER BY ts ASC NULLS FIRST, event_id ASC) AS rn
             FROM $evt) x
           WHERE rn = 1 ORDER BY user_id, event_type""",
     "q_causal" ->

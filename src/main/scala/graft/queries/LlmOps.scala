@@ -136,6 +136,13 @@ object LlmOps {
     *                  integer prefilter is conservative).
     * @return distinct (doc_a, doc_b) with doc_a < doc_b — candidates
     *         only; callers must verify the actual Jaccard.
+    * @note Cache lifecycle: this helper `persist()`s two intermediates
+    *       (the feature rows and the ranked prefix index) because each
+    *       feeds two consumers; the marks live until the caller releases
+    *       them. Long-lived callers embedding this in a larger job must
+    *       call `spark.catalog.clearCache()` (or unpersist by plan) after
+    *       materializing the result — the same contract documented on
+    *       [[graft.SparkEntry]], which Bench/Verify honor between queries.
     */
   def jaccardCandidates(feats: DataFrame, blockCols: Seq[String],
                         tNum: Int, tDen: Int): DataFrame = {
