@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list by hash-min label
+  * propagation — the pair→cluster step of a dedup pipeline (near-dup
+  * PAIRS from LSH/AllPairs candidate generation become KEEP/DROP
+  * decisions only once grouped into components and a representative is
+  * chosen; see `q_llm_cc`).
+  *
+  * Algorithm: every node starts labeled with its own id; each round a
+  * node takes the min of its label and its neighbors' labels; stop when
+  * a round changes nothing. All arithmetic is integer min, so the result
+  * is exactly the component-wise min id — deterministic on any cluster
+  * layout, which is what lets the graded query hash-match a DuckDB
+  * recursive-CTE oracle.
+  *
+  * Scale shape: each round is one equi-join of the edge list with the
+  * label table (both shuffled by node id) plus a groupBy-min that
+  * partial-aggregates map-side (a hub node's messages combine before the
+  * shuffle — skew-safe). Rounds ∝ component DIAMETER, not size: dedup
+  * clusters are near-cliques (diameter ≤ ~2), so 100 TB near-dup graphs
+  * converge in a handful of rounds. For adversarial long-path graphs the
+  * textbook upgrade is alternating large-star/small-star (O(log n)
+  * rounds); not needed for the dedup workload this serves.
+  *
+  * Lineage: each round's label table is `localCheckpoint`ed (eager) —
+  * persist() alone is NOT enough for an iterative dataflow, because the
+  * LOGICAL plan still nests one round per iteration and Catalyst/AQE
+  * plan handling grows exponentially with rounds (a 9-node path graph
+  * OOMed the driver on plan STRINGS before this truncation; pinned by
+  * the path-graph unit test). The previous round's blocks are released
+  * eagerly; the final table's blocks are dropped by the ContextCleaner
+  * once unreferenced.
+  */
+object ConnectedComponents {
+
+  /** @param edges two long columns (first = src, second = dst), any names;
+    *              treated as undirected, self-loops and duplicates are fine.
+    * @param maxIter safety cap; convergence is REQUIRED (the result is
+    *                exact only at the fixpoint), so non-convergence throws.
+    * @return (node: long, rep: long) — one row per distinct endpoint,
+    *         rep = min node id in its component. */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val Seq(srcCol, dstCol) = edges.columns.take(2).toSeq
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist() // re-joined every round
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("rep", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 1
+      // neighbor messages ∪ own label, min per node (map-side combine);
+      // eager localCheckpoint truncates lineage AND materializes once
+      // for the two consumers below (changed-count now, join next round)
+      val msgs = e.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("rep"))
+      val next = msgs.union(labels)
+        .groupBy(col("node")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      // one action per round: count of strictly-lowered labels
+      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "node")
+        .filter(col("rep") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+    }
+    e.unpersist()
+    require(converged,
+      s"ConnectedComponents did not converge in $maxIter rounds (diameter > maxIter?)")
+    labels
+  }
+}

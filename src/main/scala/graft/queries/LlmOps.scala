@@ -286,6 +286,39 @@ object LlmOps {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Exact token-set-Jaccard ≥ 0.8 near-dup pairs within (lang, source)
+    * blocks — candidate generation via [[jaccardCandidates]], then an
+    * array_intersect verify on survivors. Shared by q_llm_neardup (the
+    * pair listing) and q_llm_cc (pair→cluster grouping).
+    * Returns (doc_a, doc_b, jacc) with doc_a < doc_b, unordered. */
+  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    // Explode-first: the token set is evaluated exactly once per doc
+    // inside the generator — never size(<array expr>) above the
+    // explode, where projection collapse re-evaluates the array per
+    // exploded row (measured 5× the whole query's cost).
+    val feats = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(tokensCol).as("feat"))
+    val cand = jaccardCandidates(feats, Seq("lang", "source"), 4, 5)
+    // Verify: plain shuffle equi-joins on doc_id — the doc table is
+    // corpus-sized, so no broadcast hint; AQE broadcasts at small sf
+    // and shuffles at 100 TB, both correct.
+    val docs = T.documents(s, d).select(col("doc_id"), tokensCol.as("tk"))
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("tk").as("tk_a")),
+        col("doc_a") === col("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("tk").as("tk_b")),
+        col("doc_b") === col("b_id"))
+      .withColumn("common", size(array_intersect(col("tk_a"), col("tk_b"))))
+      .withColumn("jacc",
+        col("common") / (size(col("tk_a")) + size(col("tk_b")) - col("common")))
+      .filter(col("jacc") >= 0.8)
+      // unrounded: one IEEE division of exact ints is bit-identical in
+      // both engines; round(.,6) would add a .5-boundary hazard (e.g.
+      // union size 128 with odd intersection) for zero benefit
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact content dedup: every doc annotated with its md5 cluster
     // (size, keeper = min doc_id). Non-trivial clusters appear via the
@@ -310,34 +343,43 @@ object LlmOps {
     // carries the exact 4·max ≤ 5·min size bound), then only surviving
     // candidates pay an array_intersect verify. Both filters are exact,
     // so the result set is identical to the all-pairs oracle.
-    "q_llm_neardup" -> ((s, d) => {
-      // Explode-first: the token set is evaluated exactly once per doc
-      // inside the generator — never size(<array expr>) above the
-      // explode, where projection collapse re-evaluates the array per
-      // exploded row (measured 5× the whole query's cost).
-      val feats = T.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(tokensCol).as("feat"))
-      val cand = jaccardCandidates(feats, Seq("lang", "source"), 4, 5)
-      // Verify: plain shuffle equi-joins on doc_id — the doc table is
-      // corpus-sized, so no broadcast hint; AQE broadcasts at small sf
-      // and shuffles at 100 TB, both correct.
-      val docs = T.documents(s, d).select(col("doc_id"), tokensCol.as("tk"))
-      cand
-        .join(docs.select(col("doc_id").as("a_id"), col("tk").as("tk_a")),
-          col("doc_a") === col("a_id"))
-        .join(docs.select(col("doc_id").as("b_id"), col("tk").as("tk_b")),
-          col("doc_b") === col("b_id"))
-        .withColumn("common", size(array_intersect(col("tk_a"), col("tk_b"))))
-        .withColumn("jacc",
-          col("common") / (size(col("tk_a")) + size(col("tk_b")) - col("common")))
-        .filter(col("jacc") >= 0.8)
-        // unrounded: one IEEE division of exact ints is bit-identical in
-        // both engines; round(.,6) would add a .5-boundary hazard (e.g.
-        // union size 128 with odd intersection) for zero benefit
+    "q_llm_neardup" -> ((s, d) =>
+      neardupPairs(s, d)
         .select(col("doc_a"), col("doc_b"), col("jacc"))
-        .orderBy(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Near-dup CLUSTERS: connected components over the q_llm_neardup
+    // pair graph (the pair→cluster step every production dedup pipeline
+    // needs before it can pick keepers) — hash-min label propagation,
+    // see [[graft.operators.ConnectedComponents]]. rep = min doc_id of
+    // the component; cluster stats via groupBy + join-back (skew-safe,
+    // same shape as q_llm_dedup). Only docs in ≥1 near-dup pair appear —
+    // singletons are by definition already deduplicated.
+    "q_llm_cc" -> ((s, d) => {
+      val edges = neardupPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val labels = graft.operators.ConnectedComponents.run(edges)
+      val sizes = labels.groupBy(col("rep").as("r"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, col("rep") === col("r"))
+        .select(col("node").as("doc_id"), col("rep"), col("cluster_size"),
+          (col("node") === col("rep")).cast("int").as("is_rep"))
+        .orderBy(col("doc_id"))
     }),
+
+    // Deterministic train/val/test split: bucket = md5-derived 32-bit
+    // hash of doc_id mod 10 → 80/10/10. Hash-based (not rand()) so the
+    // assignment is reproducible across runs, engines, and cluster
+    // layouts, and any doc's split is computable WITHOUT a scan — the
+    // property a 100 TB pipeline needs to keep train/test disjoint
+    // across re-ingestions. Pure per-row map work; no shuffle.
+    "q_llm_split" -> ((s, d) =>
+      T.documents(s, d)
+        .withColumn("bucket", md5h32(col("doc_id").cast("string")) % 10)
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))),
 
     // MinHash + banded LSH near-dup candidates over 3-gram shingles:
     // 64 min-hashes from the universal family, 8 bands × 8 rows,
@@ -577,6 +619,41 @@ object LlmOps {
             FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
               AND a.doc_id < b.doc_id) x
           WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""",
+    // Transitive closure by recursive CTE (node reaches every member of
+    // its component; MIN(reach) = the component rep the Spark side's
+    // hash-min propagation converges to). The pairs CTE is textually the
+    // q_llm_neardup oracle body — same pair set by construction.
+    "q_llm_cc" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, source,
+              list_distinct(string_split(text, ' ')) AS tk FROM $doc),
+          pairs AS (
+            SELECT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.tk, b.tk)) AS INTEGER)
+                  / (CAST(len(a.tk) AS INTEGER) + CAST(len(b.tk) AS INTEGER)
+                     - CAST(len(list_intersect(a.tk, b.tk)) AS INTEGER)) AS jacc
+              FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+                AND a.doc_id < b.doc_id) x
+            WHERE jacc >= 0.8),
+          e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+          walk AS (
+            SELECT src AS node, src AS reach FROM e
+            UNION
+            SELECT w.node, e.dst FROM walk w JOIN e ON w.reach = e.src),
+          cc AS (SELECT node, MIN(reach) AS rep FROM walk GROUP BY node)
+          SELECT node AS doc_id, rep,
+            COUNT(*) OVER (PARTITION BY rep) AS cluster_size,
+            CAST(node = rep AS INTEGER) AS is_rep
+          FROM cc ORDER BY doc_id""",
+    "q_llm_split" ->
+      s"""SELECT doc_id, lang, bucket,
+            CASE WHEN bucket < 8 THEN 'train'
+                 WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id, lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+                FROM $doc) b
+          ORDER BY doc_id""",
     "q_llm_minhash" -> {
       val mins = (0 until NumHashes).map(i =>
         s"MIN((${hashA(i)} * x + ${hashB(i)}) % $HashP) AS m$i")

@@ -30,6 +30,11 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
 
+  /** Scrub patterns — shared with the oracle (same strings, so both
+    * engines compile the identical regex). URL first, then email. */
+  private[graft] val ScrubUrl = "https?://[^ ]+"
+  private[graft] val ScrubEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
   private def toks: Column = split(col("text"), " ")
 
   private def countIn(set: Seq[String]): Column =
@@ -89,6 +94,23 @@ object TextOps {
         size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_re"),
         size(array_distinct(toks)).as("n_distinct"))
         .withColumn("ttr", round(col("n_distinct") / col("n_ws"), 6))
+        .orderBy(col("doc_id"))),
+
+    // PII/noise scrub: mask URLs then emails (fixed order — both engines
+    // apply the same replacement sequence), report chars removed. Pure
+    // per-row map work, no shuffle; regexes are RE2-and-Java-compatible
+    // (no backrefs/lookaround, so DuckDB's RE2 and Spark's java.util.regex
+    // match identically). The graded corpus contains no PII, so there the
+    // scrub is an identity pass — the planted-PII unit test exercises the
+    // actual masking.
+    "q_text_scrub" -> ((s, d) =>
+      T.documents(s, d)
+        .withColumn("clean_text",
+          regexp_replace(
+            regexp_replace(col("text"), ScrubUrl, "<url>"),
+            ScrubEmail, "<email>"))
+        .select(col("doc_id"), col("clean_text"),
+          (length(col("text")) - length(col("clean_text"))).as("delta_chars"))
         .orderBy(col("doc_id"))),
 
     // Document fingerprint: md5 over the sorted distinct token set
@@ -160,6 +182,18 @@ object TextOps {
             CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
             round(CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
               / CAST(len(string_split(text, ' ')) AS INTEGER), 6) AS ttr
+          FROM $doc ORDER BY doc_id""",
+    // single-quoted SQL literals take backslashes verbatim, so the Scala
+    // pattern strings interpolate into identical RE2 patterns
+    "q_text_scrub" ->
+      s"""SELECT doc_id,
+            regexp_replace(
+              regexp_replace(text, '$ScrubUrl', '<url>', 'g'),
+              '$ScrubEmail', '<email>', 'g') AS clean_text,
+            CAST(length(text) AS INTEGER)
+              - CAST(length(regexp_replace(
+                  regexp_replace(text, '$ScrubUrl', '<url>', 'g'),
+                  '$ScrubEmail', '<email>', 'g')) AS INTEGER) AS delta_chars
           FROM $doc ORDER BY doc_id""",
     "q_text_fingerprint" ->
       s"""WITH f AS (

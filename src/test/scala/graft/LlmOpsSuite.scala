@@ -370,4 +370,31 @@ class LlmOpsSuite extends SparkSuite {
     val probed = LlmOps.annQuery(spark, sf, bits = 4, radius = 1, k = 3).count()
     assert(probed >= exact)
   }
+
+  test("q_llm_cc groups near-dup pairs into clusters: {1,2,3} rep 1, {4,5} rep 4") {
+    // neardup pairs on the mini corpus: (1,2),(1,3),(2,3) and (4,5) —
+    // the transitive triangle must collapse to ONE cluster.
+    val out = q("q_llm_cc", docsDir).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rep"), r.getAs[Long]("cluster_size"), r.getAs[Int]("is_rep"))))
+      .toMap
+    spark.catalog.clearCache()
+    assert(out === Map(
+      1L -> ((1L, 3L, 1)), 2L -> ((1L, 3L, 0)), 3L -> ((1L, 3L, 0)),
+      4L -> ((4L, 2L, 1)), 5L -> ((4L, 2L, 0))))
+  }
+
+  test("q_llm_split: deterministic md5 bucketing, full coverage, fixed mapping") {
+    val out = q("q_llm_split", docsDir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"), r.getAs[String]("split")))
+    assert(out.length === 7) // every doc gets a split
+    assert(out.forall { case (_, b, s) =>
+      b >= 0 && b < 10 &&
+        s == (if (b < 8) "train" else if (b == 8) "val" else "test")
+    })
+    // hash-based, not rand(): a second evaluation is bit-identical
+    val again = q("q_llm_split", docsDir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"), r.getAs[String]("split")))
+    assert(out.toSeq === again.toSeq)
+  }
 }

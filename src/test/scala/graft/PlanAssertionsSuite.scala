@@ -106,4 +106,15 @@ class PlanAssertionsSuite extends SparkSuite {
       s"expected partial+final hash aggregate:\n$plan")
     assert(!plan.contains("SortAggregate"), s"fell back to sort aggregate:\n$plan")
   }
+
+  test("q_llm_split / q_text_scrub: pure per-row map work — the only exchange is the final presentation sort") {
+    Seq("q_llm_split", "q_text_scrub").foreach { name =>
+      val plan = planString(q(name))
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, // rangepartitioning for the ORDER BY only
+        s"$name shuffles beyond the output sort ($exchanges exchanges):\n$plan")
+      assert(!plan.toLowerCase.contains("join") && !plan.contains("Window"),
+        s"$name grew a join/window:\n$plan")
+    }
+  }
 }

@@ -121,4 +121,22 @@ class ScalarsTextSuite extends SparkSuite {
     assert(out(2L) === (2L, 1L, 0)) // permutation: same fingerprint, not keeper
     assert(out(3L) === (1L, 3L, 1))
   }
+
+  test("q_text_scrub masks planted emails and URLs; clean corpus is untouched") {
+    val dir = Files.createTempDirectory("graft_scrub").toString
+    Seq(
+      (1L, "contact me at alice.smith+x@example.co.uk for data", "en", "src0"),
+      (2L, "see https://example.com/path?q=1 and http://t.co/x now", "en", "src0"),
+      (3L, "no pii in this row at all", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.queries("q_text_scrub")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Int]("delta_chars"))).toMap
+    assert(out(1L)._1 === "contact me at <email> for data")
+    assert(out(2L)._1 === "see <url> and <url> now")
+    assert(out(3L) === ("no pii in this row at all", 0))
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0)
+  }
 }
