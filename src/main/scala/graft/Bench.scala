@@ -64,16 +64,21 @@ object Bench {
       val elapsed = if (ok1) math.min(t1, once()._1) else t1
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    // Times are printed with millisecond (3-decimal) precision, and the
+    // method tag is kept terse, so the whole JSON line stays under the
+    // driver's 2000-char output-tail capture: rounds 4-5 emitted
+    // full-precision doubles, the line overflowed the tail, and the
+    // driver recorded parsed:null. Sub-ms digits were measurement noise
+    // anyway. (Method history: inter-query clearCache() untimed since
+    // r4; neutral warmup — disjoint from graded tables — since r5/r6;
+    // min-of-2 timing since r6.)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // method note: since round 4 the inter-query clearCache() runs OUTSIDE
-    // the timed window (rounds 1-3 charged eviction to each query), so
-    // cross-round per-query comparisons against r1-r3 are not
-    // apples-to-apples for persist()-using queries.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"cache-evict-untimed-since-r4;neutral-warmup-untimed-since-r5;warmup-disjoint-and-min-of-2-since-r6","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"evict+warmup-untimed;min-of-2","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -50,24 +50,31 @@ object ConnectedComponents {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("rep", col("node"))
       .localCheckpoint(true)
+    // Convergence check: labels only ever DECREASE (new rep =
+    // min(old, neighbor reps) ≤ old) over a fixed node set, so Σrep
+    // strictly decreases exactly when some label changed — one exact
+    // decimal aggregate over the just-checkpointed table per round,
+    // instead of a join against the previous round's labels.
+    def repSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = repSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       it += 1
       // neighbor messages ∪ own label, min per node (map-side combine);
       // eager localCheckpoint truncates lineage AND materializes once
-      // for the two consumers below (changed-count now, join next round)
+      // for the two consumers (sum check now, join next round)
       val msgs = e.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("rep"))
       val next = msgs.union(labels)
         .groupBy(col("node")).agg(min(col("rep")).as("rep"))
         .localCheckpoint(true)
-      // one action per round: count of strictly-lowered labels
-      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "node")
-        .filter(col("rep") < col("prev")).count()
+      val nextSum = repSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0L
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
     }
     e.unpersist()
     require(converged,
