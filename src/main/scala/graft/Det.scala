@@ -50,6 +50,17 @@ object Det {
     s"""CAST(ROUND(SUM(CAST($base AS DECIMAL(18,4))
        | * CAST(($factor) AS DECIMAL(14,8))), 4) AS DOUBLE)""".stripMargin
 
+  /** md5-derived 32-bit hash — the engine-portable deterministic hash
+    * used for split buckets, per-domain sampling ranks, etc. (never
+    * `rand()`, never engine-specific hashes like xxhash64). Identically
+    * computable in DuckDB via [[sqlMd5h32]]. */
+  def md5h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5h32]]. */
+  def sqlMd5h32(x: String): String =
+    s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+
   /** Oracle table reference. The driver is expected to bind bare table
     * names as DuckDB views over the sf parquet dir (SURVEY §2 preamble);
     * one edit here switches every oracle to read_parquet(...) if round-1

@@ -27,12 +27,12 @@ object SparkEntry {
   private val packs = Seq(
     CoreRelational.queries, Aggregates.queries, Scalars.queries,
     WindowFns.queries, EventOps.queries, LlmOps.queries, TextOps.queries,
-    MultimodalOps.queries, SqlOps.queries)
+    PipelineOps.queries, MultimodalOps.queries, SqlOps.queries)
 
   private val oraclePacks = Seq(
     CoreRelational.oracle, Aggregates.oracle, Scalars.oracle,
     WindowFns.oracle, EventOps.oracle, LlmOps.oracle, TextOps.oracle,
-    MultimodalOps.oracle, SqlOps.oracle)
+    PipelineOps.oracle, MultimodalOps.oracle, SqlOps.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -85,15 +85,17 @@ object LlmOps {
       Array.fill(NumHashes)(rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** md5-derived 32-bit hash, identically computable in DuckDB:
-    * ('0x' || substr(md5(s), 1, 8))::BIGINT. */
-  private def md5h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** md5-derived 32-bit hash, identically computable in DuckDB — shared
+    * with PipelineOps (q_llm_contam re-derives q_llm_split's buckets, so
+    * both MUST hash identically). */
+  private def md5h32(c: Column): Column = Det.md5h32(c)
 
   private def tokensCol: Column = array_distinct(split(col("text"), " "))
 
-  /** Distinct 3-gram word shingles of `tk` (requires size ≥ 3). */
-  private def shinglesCol(tk: Column): Column =
+  /** Distinct 3-gram word shingles of `tk` (requires size ≥ 3). Shared
+    * with [[PipelineOps]] (q_llm_contam intersects test-doc shingles with
+    * the train shingle vocabulary — same construction on both sides). */
+  private[queries] def shinglesCol(tk: Column): Column =
     array_distinct(transform(sequence(lit(1), size(tk) - 2), i =>
       concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
         element_at(tk, i + 2))))
@@ -590,7 +592,7 @@ object LlmOps {
     s"sqrt(list_aggregate(list_transform($e, x -> x * x), 'sum'))"
 
   /** DuckDB shingle list from a `tk` list column (mirrors shinglesCol). */
-  private val shingleSql =
+  private[queries] val shingleSql =
     """list_distinct(list_filter(
         list_transform(tk, (x, i) ->
           CASE WHEN i <= len(tk) - 2

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables => T}
+
+/** Training-data pipeline operators that sit DOWNSTREAM of dedup/split:
+  * contamination audit, deterministic sampling, sequence packing, and
+  * within-document repetition scoring (SURVEY §2.10 north star).
+  *
+  * Common thread: every nondeterministic knob a naive pipeline reaches
+  * for (`rand()` sampling, first-come packing, arbitrary split) is
+  * replaced by the md5-derived hash of [[Det.md5h32]], so each operator
+  * is reproducible across runs, engines, and cluster layouts — the
+  * property that keeps a 100 TB corpus auditable across re-ingestions.
+  *
+  * The helpers take a documents-shaped DataFrame (doc_id, text, lang,
+  * source) so unit tests can plant corpora; the graded queries bind them
+  * to the parquet tables.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+  import Det.tbl
+
+  /** Fixed per-stratum sample size (q_llm_sample) — output is
+    * strata-bounded, not corpus-bounded. */
+  private[graft] val SampleK = 20
+
+  /** Sequence-packing token budget per bin (q_llm_pack). */
+  private[graft] val PackBudget = 256
+
+  /** Parallel packing shards (q_llm_pack): packing is inherently
+    * sequential per stream, so production packs per worker shard; the
+    * shard id is itself hash-derived and deterministic. */
+  private[graft] val PackShards = 8
+
+  /** Contamination flag threshold (q_llm_contam). */
+  private[graft] val ContamThreshold = 0.5
+
+  /** The q_llm_split bucket — MUST derive exactly as q_llm_split does
+    * (same [[Det.md5h32]] over the same cast), or the split and the
+    * contamination audit would disagree about train vs test. */
+  private def bucketCol: org.apache.spark.sql.Column =
+    Det.md5h32(col("doc_id").cast("string")) % 10
+
+  /** Train/test contamination audit: for every TEST-split doc, the
+    * fraction of its distinct 3-gram shingles that also occur anywhere
+    * in the TRAIN split. Scale design: the train side collapses to its
+    * DISTINCT shingle vocabulary first (hash-agg with map-side combine,
+    * shuffle ∝ vocabulary, not corpus), so the probe join is
+    * test-shingles × a one-row-per-shingle table — a hot shingle matches
+    * exactly one row and can never expand the join. No broadcast hint:
+    * the vocabulary is corpus-derived, so AQE decides (broadcasts at
+    * small sf, shuffle-joins at 100 TB). */
+  def contamAudit(docs: DataFrame): DataFrame = {
+    val sh = docs.withColumn("bucket", bucketCol)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("bucket"),
+        LlmOps.shinglesCol(col("tk")).as("sh"))
+    val trainSh = sh.filter(col("bucket") < 8)
+      .select(explode(col("sh")).as("s0")).distinct()
+    val testDocs = sh.filter(col("bucket") === 9)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), col("sh"))
+    val hits = testDocs
+      .select(col("doc_id"), explode(col("sh")).as("s0"))
+      .join(trainSh, "s0")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    testDocs.select(col("doc_id"), col("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contam_rate", col("n_hit") / col("n_sh"))
+      .withColumn("flagged",
+        (col("contam_rate") >= ContamThreshold).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sampling: exactly `k` docs per
+    * (lang, source) stratum, chosen by md5-hash rank (uniform within the
+    * stratum, reproducible, never rand()). The rank filter plans as
+    * WindowGroupLimit (pinned in PlanAssertionsSuite): each group keeps
+    * a k-row heap during the shuffle — no stratum is ever fully sorted,
+    * so a billion-doc stratum costs O(n) scan + O(k) state, and the
+    * output is strata-bounded regardless of corpus size. */
+  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("hk").asc, col("doc_id").asc)
+    docs
+      .withColumn("hk", Det.md5h32(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("source"), col("hk"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing: assign docs to fixed-token-budget training bins.
+    * Packing is inherently sequential per stream, so (as in production
+    * pipelines) the corpus is first split into deterministic hash
+    * shards, each packed independently in doc_id order: a doc's bin is
+    * the bin where its first token lands (contiguous greedy packing,
+    * exclusive running sum). Everything is integer window arithmetic —
+    * bit-identical across engines. The only shuffle is the window's
+    * hash partition by (lang, shard); shard fan-out bounds that window's
+    * partition skew by corpus/|lang×shards|. */
+  def pack(docs: DataFrame, budget: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("shard",
+        Det.md5h32(col("doc_id").cast("string")) % shards)
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / lit(budget)))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        col("cum_before"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Within-document repetition: 1 − (distinct shingles / total
+    * shingles) — the boilerplate/template-text signal every corpus
+    * quality filter computes. Pure per-row map work over the scan (no
+    * shuffle but the output sort); integer counts + one exact IEEE
+    * division, so both engines agree bit-for-bit. */
+  def repScore(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    docs
+      .filter(size(tk) >= 3)
+      .select(col("doc_id"),
+        (size(tk) - 2).as("n_sh"),
+        size(LlmOps.shinglesCol(tk)).as("n_uniq"))
+      .withColumn("rep_ratio",
+        (col("n_sh") - col("n_uniq")) / col("n_sh"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_llm_contam" -> ((s, d) => contamAudit(T.documents(s, d))),
+    "q_llm_sample" -> ((s, d) => stratifiedSample(T.documents(s, d), SampleK)),
+    "q_llm_pack" -> ((s, d) => pack(T.documents(s, d), PackBudget, PackShards)),
+    "q_text_rep" -> ((s, d) => repScore(T.documents(s, d))))
+
+  private val doc = tbl("documents")
+
+  /** The split CTE is textually the q_llm_split bucket derivation. */
+  private val bucketSql =
+    s"""SELECT doc_id,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket,
+          string_split(text, ' ') AS tk
+        FROM $doc"""
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_contam" ->
+      s"""WITH b AS ($bucketSql),
+          sh AS (SELECT doc_id, bucket, ${LlmOps.shingleSql} AS sh
+                 FROM b WHERE len(tk) >= 3),
+          train AS (SELECT DISTINCT UNNEST(sh) AS s0 FROM sh WHERE bucket < 8),
+          test AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh, sh
+                   FROM sh WHERE bucket = 9),
+          tsh AS (SELECT doc_id, UNNEST(sh) AS s0 FROM test),
+          hits AS (SELECT tsh.doc_id, COUNT(*) AS n_hit
+                   FROM tsh JOIN train USING (s0) GROUP BY tsh.doc_id)
+          SELECT test.doc_id, n_sh,
+            COALESCE(n_hit, 0) AS n_hit,
+            COALESCE(n_hit, 0) / n_sh AS contam_rate,
+            CAST(COALESCE(n_hit, 0) / n_sh >= $ContamThreshold AS INTEGER) AS flagged
+          FROM test LEFT JOIN hits ON test.doc_id = hits.doc_id
+          ORDER BY test.doc_id""",
+    "q_llm_sample" ->
+      s"""SELECT doc_id, lang, source, hk, CAST(rk AS INTEGER) AS rk FROM (
+            SELECT doc_id, lang, source, hk,
+              ROW_NUMBER() OVER (PARTITION BY lang, source
+                                 ORDER BY hk ASC, doc_id ASC) AS rk
+            FROM (SELECT doc_id, lang, source,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+                  FROM $doc) h) r
+          WHERE rk <= $SampleK ORDER BY doc_id""",
+    "q_llm_pack" ->
+      s"""SELECT doc_id, lang, shard, n_tok, cum_before,
+            CAST(FLOOR(cum_before / $PackBudget) AS BIGINT) AS bin
+          FROM (
+            SELECT doc_id, lang, shard, n_tok,
+              COALESCE(CAST(SUM(n_tok) OVER (
+                PARTITION BY lang, shard ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS cum_before
+            FROM (SELECT doc_id, lang,
+                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % $PackShards AS shard
+                  FROM $doc) t) w
+          ORDER BY doc_id""",
+    "q_text_rep" ->
+      s"""SELECT doc_id, n_sh, n_uniq, (n_sh - n_uniq) / n_sh AS rep_ratio
+          FROM (SELECT doc_id,
+                  CAST(len(tk) - 2 AS INTEGER) AS n_sh,
+                  CAST(len(${LlmOps.shingleSql}) AS INTEGER) AS n_uniq
+                FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $doc) t
+                WHERE len(tk) >= 3) x
+          ORDER BY doc_id""")
+}

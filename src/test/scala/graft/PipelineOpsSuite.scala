@@ -1,0 +1,92 @@
+package graft
+
+import graft.queries.PipelineOps
+import org.apache.spark.sql.functions._
+
+/** Downstream-pipeline semantics on planted corpora: contamination
+  * audit against the q_llm_split buckets, exact-K deterministic
+  * stratified sampling, sharded sequence packing, repetition scoring.
+  *
+  * Bucket facts used below (md5h32(doc_id)%10, verified in-test rather
+  * than assumed): ids 0–5 land in train (<8), ids 19/26/30/50 land in
+  * the test bucket (9). */
+class PipelineOpsSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def docsDF(rows: Seq[(Long, String, String, String)]) =
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("contamAudit: copied test doc fully contaminated, fresh test doc 0.0, train docs absent") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = docsDF(Seq(
+      (0L, shared, "en", "s0"),                                  // train
+      (1L, "one two three four five six", "en", "s0"),           // train
+      (19L, shared, "en", "s0"),                                 // test, exact copy
+      (26L, "unseen tokens nowhere else in this corpus", "en", "s0"), // test, fresh
+      (30L, "alpha beta gamma completely new tail here", "en", "s0"))) // test, partial
+    // Pin the bucket assumptions the fixture is built on.
+    val buckets = docs.select(col("doc_id"),
+      (graft.Det.md5h32(col("doc_id").cast("string")) % 10).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L).forall(buckets(_) < 8) &&
+      Seq(19L, 26L, 30L).forall(buckets(_) === 9L))
+    val out = PipelineOps.contamAudit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("contam_rate"),
+          r.getAs[Int]("flagged"))).toMap
+    assert(out.keySet === Set(19L, 26L, 30L)) // train/val docs never emitted
+    assert(out(19L) === ((6L, 1.0, 1)))       // 8 tokens → 6 shingles, all hit
+    assert(out(26L) === ((0L, 0.0, 0)))
+    // doc 30: shingles "alpha beta gamma" hits; the other 3 don't.
+    assert(out(30L)._1 === 1L && out(30L)._3 === 0)
+  }
+
+  test("stratifiedSample: exactly k per stratum, short strata kept whole, row-order independent") {
+    val docs = docsDF(
+      (0L until 30L).map(i => (i, s"w$i", "en", "s0")) ++   // 30-doc stratum
+        (30L until 33L).map(i => (i, s"w$i", "de", "s1")))  // 3-doc stratum
+    val out = PipelineOps.stratifiedSample(docs, 5)
+    val byStratum = out.collect().groupBy(_.getAs[String]("lang"))
+    assert(byStratum("en").length === 5 && byStratum("de").length === 3)
+    // Hash-determined membership: reversing input row order changes nothing.
+    val rev = PipelineOps.stratifiedSample(
+      docsDF((0L until 33L).reverse.map(i =>
+        (i, s"w$i", if (i < 30) "en" else "de", if (i < 30) "s0" else "s1"))), 5)
+    assert(out.collect().toSeq === rev.collect().toSeq)
+  }
+
+  test("pack: bins reproduce a driver-side running-sum replay; budget boundaries exact") {
+    val docs = docsDF((0L until 40L).map(i =>
+      (i, Seq.fill(10)("tok").mkString(" "), "en", "s0"))) // 10 tokens each
+    val out = PipelineOps.pack(docs, 25, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Int]("n_tok"), r.getAs[Long]("cum_before"), r.getAs[Long]("bin")))
+    assert(out.length === 40)
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (_, _, n, cumBefore, bin) =>
+        assert(cumBefore === cum, s"cum mismatch in $rs")
+        assert(bin === cum / 25)
+        cum += n
+      }
+    }
+    // 10-token docs against budget 25: bins hold 0,10,20 → next starts a
+    // new bin at cum 30 → ceil: 3 docs per bin pattern (10,10,10 spills).
+    assert(out.map(_._5).max >= 1)
+  }
+
+  test("repScore: templated text scores (total-distinct)/total; all-distinct text scores 0") {
+    val docs = docsDF(Seq(
+      (1L, "a b a b a b a b", "en", "s0"),     // 6 shingles, 2 distinct
+      (2L, "p q r s t", "en", "s0"),           // 3 shingles, all distinct
+      (3L, "x y", "en", "s0")))                // <3 tokens → excluded
+    val out = PipelineOps.repScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_sh"), r.getAs[Int]("n_uniq"),
+          r.getAs[Double]("rep_ratio"))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((6, 2, 4.0 / 6.0)))
+    assert(out(2L) === ((3, 3, 0.0)))
+  }
+}

@@ -107,8 +107,8 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.contains("SortAggregate"), s"fell back to sort aggregate:\n$plan")
   }
 
-  test("q_llm_split / q_text_scrub: pure per-row map work — the only exchange is the final presentation sort") {
-    Seq("q_llm_split", "q_text_scrub").foreach { name =>
+  test("q_llm_split / q_text_scrub / q_text_rep: pure per-row map work — the only exchange is the final presentation sort") {
+    Seq("q_llm_split", "q_text_scrub", "q_text_rep").foreach { name =>
       val plan = planString(q(name))
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges <= 1, // rangepartitioning for the ORDER BY only
@@ -116,5 +116,23 @@ class PlanAssertionsSuite extends SparkSuite {
       assert(!plan.toLowerCase.contains("join") && !plan.contains("Window"),
         s"$name grew a join/window:\n$plan")
     }
+  }
+
+  test("q_llm_sample: per-stratum top-k runs as WindowGroupLimit (no full stratum sort state)") {
+    val plan = planString(q("q_llm_sample"))
+    assert(plan.contains("WindowGroupLimit"), s"sample rank not group-limited:\n$plan")
+  }
+
+  test("q_llm_pack: one hash-partition exchange (the sharded window), plus only the output sort") {
+    val plan = planString(q("q_llm_pack"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"expected exactly 1 window exchange, got $hashEx:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"pack grew a join:\n$plan")
+  }
+
+  test("q_llm_contam: probe is an equi-join against the distinct train vocabulary — no all-pairs operator") {
+    val plan = planString(q("q_llm_contam"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"contam probe degenerated:\n$plan")
   }
 }
