@@ -38,6 +38,9 @@ object PipelineOps {
   /** Contamination flag threshold (q_llm_contam). */
   private[graft] val ContamThreshold = 0.5
 
+  /** Top terms per doc (q_text_tfidf). */
+  private[graft] val TfidfK = 3
+
   /** The q_llm_split bucket — MUST derive exactly as q_llm_split does
     * (same [[Det.md5h32]] over the same cast), or the split and the
     * contamination audit would disagree about train vs test. */
@@ -136,11 +139,43 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-relative term weighting: top-k terms per doc by TF-IDF,
+    * where tfidf = (tf / doc_len) · (n_docs / df). Deliberately NOT the
+    * ln() formulation: libm's log is not guaranteed correctly rounded
+    * and may differ between engines, while this form is two exact-int
+    * IEEE divisions and one multiply — bit-identical everywhere.
+    * Scale: tf is a map-side-combining hash-agg keyed (doc_id, term)
+    * (shuffle ∝ corpus tokens); df aggregates the tf table per term
+    * (∝ vocabulary); the df join-back is one-row-per-term so hot terms
+    * never expand; n_docs is a genuine 1-row scalar (broadcast by
+    * construction); the top-k rank filter plans as WindowGroupLimit
+    * (O(k) state per doc, plan-pinned). */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("doc_len"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(max(col("doc_len")).as("doc_len"), count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfTab, "term").crossJoin(n)
+      .withColumn("tfidf",
+        (col("tf") / col("doc_len")) * (col("n_docs") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_llm_contam" -> ((s, d) => contamAudit(T.documents(s, d))),
     "q_llm_sample" -> ((s, d) => stratifiedSample(T.documents(s, d), SampleK)),
     "q_llm_pack" -> ((s, d) => pack(T.documents(s, d), PackBudget, PackShards)),
-    "q_text_rep" -> ((s, d) => repScore(T.documents(s, d))))
+    "q_text_rep" -> ((s, d) => repScore(T.documents(s, d))),
+    "q_text_tfidf" -> ((s, d) => tfidfTopTerms(T.documents(s, d), TfidfK)))
 
   private val doc = tbl("documents")
 
@@ -192,6 +227,25 @@ object PipelineOps {
                       % $PackShards AS shard
                   FROM $doc) t) w
           ORDER BY doc_id""",
+    "q_text_tfidf" ->
+      s"""WITH tok AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS doc_len,
+              UNNEST(string_split(text, ' ')) AS term
+            FROM $doc),
+          tf AS (SELECT doc_id, term, MAX(doc_len) AS doc_len,
+                   COUNT(*) AS tf
+                 FROM tok GROUP BY doc_id, term),
+          dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT COUNT(*) AS n_docs FROM $doc),
+          scored AS (
+            SELECT doc_id, term, tf, df,
+              (tf / doc_len) * (n_docs / df) AS tfidf
+            FROM tf JOIN dfx USING (term) CROSS JOIN n)
+          SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term ASC) AS rk
+                FROM scored) z
+          WHERE rk <= $TfidfK ORDER BY doc_id, rk""",
     "q_text_rep" ->
       s"""SELECT doc_id, n_sh, n_uniq, (n_sh - n_uniq) / n_sh AS rep_ratio
           FROM (SELECT doc_id,

@@ -76,6 +76,22 @@ class PipelineOpsSuite extends SparkSuite {
     assert(out.map(_._5).max >= 1)
   }
 
+  test("tfidfTopTerms: hand-computed tfidf on a 2-doc corpus; rank ties break by term") {
+    val docs = docsDF(Seq(
+      (1L, "a a b", "en", "s0"),
+      (2L, "b c c", "en", "s0")))
+    val out = PipelineOps.tfidfTopTerms(docs, 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("tfidf"), r.getAs[Int]("rk"))).toMap
+    // N=2. doc1: a tf=2 df=1 → (2/3)*(2/1)=4/3 rk1; b tf=1 df=2 → (1/3)*(1)=1/3 rk2.
+    assert(out((1L, "a")) === ((2L, 1L, (2.0 / 3.0) * 2.0, 1)))
+    assert(out((1L, "b")) === ((1L, 2L, 1.0 / 3.0, 2)))
+    assert(out((2L, "c")) === ((2L, 1L, (2.0 / 3.0) * 2.0, 1)))
+    assert(out((2L, "b")) === ((1L, 2L, 1.0 / 3.0, 2)))
+    assert(out.size === 4)
+  }
+
   test("repScore: templated text scores (total-distinct)/total; all-distinct text scores 0") {
     val docs = docsDF(Seq(
       (1L, "a b a b a b a b", "en", "s0"),     // 6 shingles, 2 distinct

@@ -118,9 +118,11 @@ class PlanAssertionsSuite extends SparkSuite {
     }
   }
 
-  test("q_llm_sample: per-stratum top-k runs as WindowGroupLimit (no full stratum sort state)") {
-    val plan = planString(q("q_llm_sample"))
-    assert(plan.contains("WindowGroupLimit"), s"sample rank not group-limited:\n$plan")
+  test("q_llm_sample / q_text_tfidf: per-group top-k runs as WindowGroupLimit (no full group sort state)") {
+    Seq("q_llm_sample", "q_text_tfidf").foreach { name =>
+      val plan = planString(q(name))
+      assert(plan.contains("WindowGroupLimit"), s"$name rank not group-limited:\n$plan")
+    }
   }
 
   test("q_llm_pack: one hash-partition exchange (the sharded window), plus only the output sort") {
