@@ -90,35 +90,6 @@ class CapabilitiesSuite extends SparkSuite {
     assert(pruned.count() === expected && expected > 0)
   }
 
-  test("bucketed tables co-locate the join: zero exchanges, result equals the plain join") {
-    // The 100 TB pattern for a repeatedly-joined fact pair: bucket both
-    // sides by the join key at write time, and every future join runs
-    // exchange-free (each task zips bucket i with bucket i). Broadcast
-    // is disabled in-test so the assertion proves CO-LOCATION, not a
-    // small-side shortcut.
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      Tables.orders(spark, sf).write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").mode("overwrite").saveAsTable("cap_b_orders")
-      Tables.lineitem(spark, sf)
-        .select(col("l_orderkey"), col("l_quantity"))
-        .write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").mode("overwrite").saveAsTable("cap_b_lineitem")
-      val j = spark.table("cap_b_lineitem").join(spark.table("cap_b_orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      val plan = j.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
-      val expected = Tables.lineitem(spark, sf).join(Tables.orders(spark, sf),
-        col("l_orderkey") === col("o_orderkey")).count()
-      assert(j.count() === expected)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS cap_b_orders")
-      spark.sql("DROP TABLE IF EXISTS cap_b_lineitem")
-    }
-  }
-
   test("registered UDF surface matches the equivalent built-in expression") {
     spark.udf.register("graft_tier", (p: Double) =>
       if (p > 300000) "high" else if (p > 100000) "mid" else "low")
