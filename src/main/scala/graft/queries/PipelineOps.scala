@@ -41,6 +41,15 @@ object PipelineOps {
   /** Top terms per doc (q_text_tfidf). */
   private[graft] val TfidfK = 3
 
+  /** Target mixture share per source (q_llm_mix) — uniform across the
+    * corpus's sources; any constant map works, the operator's point is
+    * the deterministic thinning machinery. */
+  private[graft] val MixTargetShare = 0.2
+
+  /** Hash-thinning resolution (q_llm_mix): keep iff
+    * md5h32(doc_id) % MixMod < rate · MixMod. */
+  private[graft] val MixMod = 1000000L
+
   /** The q_llm_split bucket — MUST derive exactly as q_llm_split does
     * (same [[Det.md5h32]] over the same cast), or the split and the
     * contamination audit would disagree about train vs test. */
@@ -170,12 +179,64 @@ object PipelineOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Domain mixture reweighting: per-source doc counts vs a target mix
+    * share, the downsampling rate that hits the target, and the exact
+    * count a deterministic hash-thinning pass would keep. The keep
+    * decision is per-doc local (hash < rate · MixMod — reproducible,
+    * resumable, no rand()), so at 100 TB the thinning itself is a
+    * scan-only filter; this operator reports the plan. Shuffles: one
+    * per-source hash-agg (map-side combining) + a source-keyed join-back
+    * of a sources-sized rate table (AQE broadcasts it). */
+  def mixPlan(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = docs.select(count(lit(1)).as("n_total"))
+    val rates = counts.crossJoin(total)
+      .withColumn("share", col("n_docs") / col("n_total"))
+      .withColumn("rate",
+        least(lit(1.0), lit(MixTargetShare) * col("n_total") / col("n_docs")))
+    val kept = docs
+      .withColumn("hk", Det.md5h32(col("doc_id").cast("string")) % MixMod)
+      .join(rates.select(col("source"), col("rate").as("r0")), "source")
+      .withColumn("keep", (col("hk") < col("r0") * MixMod).cast("int"))
+      .groupBy(col("source")).agg(sum(col("keep")).as("n_kept"))
+    rates.join(kept, "source")
+      .select(col("source"), col("n_docs"), col("share"), col("rate"),
+        col("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Incremental ingestion dedup: the docs of an incoming batch (split
+    * bucket ∈ {8, 9} — any deterministic batch predicate works) checked
+    * against the EXISTING corpus (bucket < 8) by exact content hash.
+    * Emits every batch doc with its dup flag — the admit/drop decision
+    * of a production ingest tier. Scale: the corpus side collapses to
+    * its DISTINCT md5 set (shuffle ∝ distinct contents), the probe is a
+    * one-row-per-hash left join (no expansion possible), and the
+    * incoming batch is typically orders of magnitude smaller than the
+    * corpus — exactly the asymmetry this plan exploits (AQE broadcasts
+    * whichever side is small). */
+  def ingestDedup(docs: DataFrame): DataFrame = {
+    val withB = docs.withColumn("bucket", bucketCol)
+      .withColumn("h", md5(col("text")))
+    val corpusH = withB.filter(col("bucket") < 8)
+      .select(col("h").as("h0")).distinct()
+    withB.filter(col("bucket") >= 8)
+      .select(col("doc_id"), col("h"))
+      .join(corpusH, col("h") === col("h0"), "left")
+      .withColumn("is_dup", col("h0").isNotNull.cast("int"))
+      .select(col("doc_id"), col("h"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_llm_contam" -> ((s, d) => contamAudit(T.documents(s, d))),
     "q_llm_sample" -> ((s, d) => stratifiedSample(T.documents(s, d), SampleK)),
     "q_llm_pack" -> ((s, d) => pack(T.documents(s, d), PackBudget, PackShards)),
     "q_text_rep" -> ((s, d) => repScore(T.documents(s, d))),
-    "q_text_tfidf" -> ((s, d) => tfidfTopTerms(T.documents(s, d), TfidfK)))
+    "q_text_tfidf" -> ((s, d) => tfidfTopTerms(T.documents(s, d), TfidfK)),
+    "q_llm_mix" -> ((s, d) => mixPlan(T.documents(s, d))),
+    "q_llm_ingest" -> ((s, d) => ingestDedup(T.documents(s, d))))
 
   private val doc = tbl("documents")
 
@@ -246,6 +307,38 @@ object PipelineOps {
                   ORDER BY tfidf DESC, term ASC) AS rk
                 FROM scored) z
           WHERE rk <= $TfidfK ORDER BY doc_id, rk""",
+    // CAST(0.2 AS DOUBLE): DuckDB parses bare decimal literals as
+    // DECIMAL (exact), Spark's lit(0.2) is a double — the cast keeps
+    // both engines in the same IEEE op sequence (README policy #2).
+    "q_llm_mix" ->
+      s"""WITH counts AS (
+            SELECT source, COUNT(*) AS n_docs FROM $doc GROUP BY source),
+          tot AS (SELECT COUNT(*) AS n_total FROM $doc),
+          rates AS (
+            SELECT source, n_docs, n_docs / n_total AS share,
+              LEAST(CAST(1.0 AS DOUBLE),
+                    CAST($MixTargetShare AS DOUBLE) * n_total / n_docs) AS rate
+            FROM counts CROSS JOIN tot),
+          kept AS (
+            SELECT d.source,
+              CAST(SUM(CASE WHEN
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % $MixMod < r.rate * $MixMod
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM $doc d JOIN rates r ON d.source = r.source
+            GROUP BY d.source)
+          SELECT source, n_docs, share, rate, n_kept
+          FROM rates JOIN kept USING (source) ORDER BY source""",
+    "q_llm_ingest" ->
+      s"""WITH b AS (
+            SELECT doc_id, md5(text) AS h,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+            FROM $doc),
+          corpus AS (SELECT DISTINCT h AS h0 FROM b WHERE bucket < 8)
+          SELECT doc_id, h, CAST(h0 IS NOT NULL AS INTEGER) AS is_dup
+          FROM (SELECT doc_id, h FROM b WHERE bucket >= 8) nb
+            LEFT JOIN corpus ON nb.h = corpus.h0
+          ORDER BY doc_id""",
     "q_text_rep" ->
       s"""SELECT doc_id, n_sh, n_uniq, (n_sh - n_uniq) / n_sh AS rep_ratio
           FROM (SELECT doc_id,

@@ -92,6 +92,44 @@ class PipelineOpsSuite extends SparkSuite {
     assert(out.size === 4)
   }
 
+  /** Independent md5h32 reimplementation (java MessageDigest, not Spark)
+    * so hash-dependent expectations aren't circular. */
+  private def md5h32Ref(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("mixPlan: over-represented source thinned to the target share, small source kept whole") {
+    // 8 docs in s_big, 2 in s_small, target share 0.2 of N=10:
+    // rate(s_big) = min(1, 2/8) = 0.25, rate(s_small) = min(1, 2/2) = 1.
+    val docs = docsDF((0L until 10L).map(i =>
+      (i, s"text $i", "en", if (i < 8) "s_big" else "s_small")))
+    val out = PipelineOps.mixPlan(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("share"),
+          r.getAs[Double]("rate"), r.getAs[Long]("n_kept"))).toMap
+    assert(out("s_big")._1 === 8L && out("s_big")._2 === 0.8 &&
+      out("s_big")._3 === 0.25)
+    assert(out("s_small") === ((2L, 0.2, 1.0, 2L)))
+    val expectedBigKept = (0L until 8L).count(i =>
+      md5h32Ref(i.toString) % PipelineOps.MixMod <
+        0.25 * PipelineOps.MixMod)
+    assert(out("s_big")._4 === expectedBigKept.toLong)
+  }
+
+  test("ingestDedup: batch doc copying corpus content flagged dup, fresh batch doc admitted, corpus docs absent") {
+    val shared = "identical corpus content here"
+    val docs = docsDF(Seq(
+      (0L, shared, "en", "s0"),                    // corpus (bucket < 8)
+      (1L, "other corpus text", "en", "s0"),       // corpus
+      (16L, shared, "en", "s0"),                   // batch (bucket 8), dup
+      (19L, "genuinely new content", "en", "s0"))) // batch (bucket 9), fresh
+    val out = PipelineOps.ingestDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_dup")).toMap
+    assert(out === Map(16L -> 1, 19L -> 0))
+  }
+
   test("repScore: templated text scores (total-distinct)/total; all-distinct text scores 0") {
     val docs = docsDF(Seq(
       (1L, "a b a b a b a b", "en", "s0"),     // 6 shingles, 2 distinct
