@@ -78,6 +78,13 @@ object LlmOps {
     * (a_i, b_i) come from a fixed-seed java.util.Random (LCG, spec-stable
     * across JVMs) and are embedded as literals in the DuckDB twin, so
     * both engines evaluate the identical integer expressions. */
+  /** SimHash near-dup knobs (q_llm_simdup): 16-bit signature split into
+    * 4 bands × 4 bits; candidate generation is exact for hamming ≤
+    * bands − 1 = 3 (pigeonhole — see the query comment). */
+  private[graft] val SimBands = 4
+  private[graft] val SimBandBits = 4
+  private[graft] val SimHamMax = SimBands - 1
+
   private[graft] val HashP = 2147483647L
   private[graft] val (hashA, hashB) = {
     val rng = new scala.util.Random(42)
@@ -99,6 +106,27 @@ object LlmOps {
     array_distinct(transform(sequence(lit(1), size(tk) - 2), i =>
       concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
         element_at(tk, i + 2))))
+
+  /** 16-bit SimHash signature per doc, with its (lang, source) block
+    * carried through: per distinct token, a 16-bit md5-derived hash
+    * votes ±1 per bit position; the signature bit is the majority sign.
+    * Shared by q_llm_simhash (signatures) and q_llm_simdup (banded
+    * near-dup pairs). */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(tokensCol).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
+    val votes = (0 until 16).map(bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$bit"))
+    val sigExpr = (0 until 16).map(bit =>
+      when(col(s"v$bit") > 0, 1L << bit).otherwise(0L)).reduce(_ + _)
+    toks.groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), col("lang"), col("source"),
+        sigExpr.as("simhash"))
+  }
 
   /** Prefix-filtered AllPairs candidate generation (the public algorithm
     * of Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search",
@@ -436,19 +464,46 @@ object LlmOps {
 
     // 16-bit SimHash signature per doc from md5-derived token hashes:
     // bit b of the signature = majority vote of bit b over distinct tokens.
-    "q_llm_simhash" -> ((s, d) => {
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), explode(tokensCol).as("tok"))
-        .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
-      val votes = (0 until 16).map(bit =>
-        sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"v$bit"))
-      val sigExpr = (0 until 16).map(bit =>
-        when(col(s"v$bit") > 0, 1L << bit).otherwise(0L)).reduce(_ + _)
-      toks.groupBy(col("doc_id"))
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), sigExpr.as("simhash"))
-        .orderBy(col("doc_id"))
+    "q_llm_simhash" -> ((s, d) =>
+      simhashSigs(T.documents(s, d))
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // SimHash NEAR-DUP pairs: candidates share ≥1 of 4 bands of 4
+    // signature bits within their (lang, source) block, verified at
+    // hamming ≤ 3 via bit_count(xor). EXACT by pigeonhole: ≤3 differing
+    // bits can touch at most 3 of the 4 bands, so every true pair
+    // shares an untouched band — banding loses nothing (mirrored
+    // in-unit by an all-pairs replay). Same banding scale shape as
+    // q_llm_minhash: the band equi-join is keyed (block, band, value),
+    // the signature join-back is one-row-per-doc, nothing broadcasts.
+    "q_llm_simdup" -> ((s, d) => {
+      // Three consumers (band explode + both verify sides) — same
+      // persist + caller-clearCache contract as the other LSH queries.
+      val sigs = simhashSigs(T.documents(s, d)).persist()
+      val bands = sigs.select(col("doc_id"), col("lang"), col("source"),
+        posexplode(array((0 until SimBands).map(b =>
+          shiftright(col("simhash"), b * SimBandBits)
+            .bitwiseAND((1 << SimBandBits) - 1)): _*)).as(Seq("band", "bv")))
+      val x = bands.select(col("doc_id").as("doc_a"), col("lang"),
+        col("source"), col("band"), col("bv"))
+      val y = bands.select(col("doc_id").as("doc_b"),
+        col("lang").as("lang_b"), col("source").as("source_b"),
+        col("band").as("band_b"), col("bv").as("bv_b"))
+      val cand = x.join(y, col("lang") === col("lang_b")
+          && col("source") === col("source_b")
+          && col("band") === col("band_b") && col("bv") === col("bv_b")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(sigs.select(col("doc_id").as("a_id"), col("simhash").as("sig_a")),
+          col("doc_a") === col("a_id"))
+        .join(sigs.select(col("doc_id").as("b_id"), col("simhash").as("sig_b")),
+          col("doc_b") === col("b_id"))
+        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        .filter(col("hamming") <= SimHamMax)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // 3-gram shingle Jaccard ≥ 0.2 within (lang, source) blocks — order-
@@ -706,6 +761,43 @@ object LlmOps {
             FROM h GROUP BY doc_id)
           SELECT doc_id, CAST($sig AS BIGINT) AS simhash
           FROM v ORDER BY doc_id"""
+    },
+    "q_llm_simdup" -> {
+      val votes = (0 until 16).map(bit =>
+        s"SUM(CASE WHEN (h >> $bit) & 1 = 1 THEN 1 ELSE -1 END) AS v$bit")
+        .mkString(",\n              ")
+      val sigExpr = (0 until 16).map(bit =>
+        s"CASE WHEN v$bit > 0 THEN ${1L << bit} ELSE 0 END").mkString(" + ")
+      val bandMask = (1 << SimBandBits) - 1
+      s"""WITH toks AS (
+            SELECT doc_id, lang, source,
+              UNNEST(list_distinct(string_split(text, ' '))) AS tok
+            FROM $doc),
+          h AS (SELECT doc_id, lang, source,
+              ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h
+            FROM toks),
+          v AS (SELECT doc_id, lang, source,
+              $votes
+            FROM h GROUP BY doc_id, lang, source),
+          sig AS (SELECT doc_id, lang, source,
+              CAST($sigExpr AS BIGINT) AS simhash FROM v),
+          bands AS (
+            SELECT doc_id, lang, source, band,
+              (simhash >> ($SimBandBits * band)) & $bandMask AS bv
+            FROM sig CROSS JOIN
+              (SELECT UNNEST([${(0 until SimBands).mkString(",")}]) AS band) b),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.lang = y.lang AND x.source = y.source
+              AND x.band = y.band AND x.bv = y.bv
+              AND x.doc_id < y.doc_id)
+          SELECT doc_a, doc_b,
+            CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+          FROM cand JOIN sig sa ON doc_a = sa.doc_id
+                    JOIN sig sb ON doc_b = sb.doc_id
+          WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $SimHamMax
+          ORDER BY doc_a, doc_b"""
     },
     "q_llm_ngram" ->
       s"""WITH sh AS (

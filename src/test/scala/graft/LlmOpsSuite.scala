@@ -236,6 +236,43 @@ class LlmOpsSuite extends SparkSuite {
     assert(out === expected)
   }
 
+  test("q_llm_simdup == brute-force hamming all-pairs truth (banding is lossless at ham <= 3)") {
+    val rng = new scala.util.Random(77)
+    val vocab = (1 to 15).map(i => s"t$i") // small vocab → sig collisions
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(10))(
+        vocab(rng.nextInt(vocab.size))).mkString(" "),
+        s"l${i % 2}", "s")
+    }
+    val dir = Files.createTempDirectory("graft_sd").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h16(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    def sig(text: String): Long = {
+      val hs = text.split(" ").toSeq.distinct.map(h16)
+      (0 until 16).map { bit =>
+        val vote = hs.map(h => if (((h >> bit) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) 1L << bit else 0L
+      }.sum
+    }
+    val truth = (for {
+      a <- docs; b <- docs
+      if a._1 < b._1 && a._3 == b._3 && a._4 == b._4
+      ham = java.lang.Long.bitCount(sig(a._2) ^ sig(b._2))
+      if ham <= 3
+    } yield (a._1, b._1) -> ham).toMap
+    val out = q("q_llm_simdup", dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(out === truth)
+    assert(truth.nonEmpty, "fixture produced no near-dup pairs — weaken the vocab")
+  }
+
   test("q_llm_embdup_lsh == independent driver-side mirror on random embeddings") {
     // Mirror of the banded sign-LSH candidate rule (8 bands × 8 sign
     // bits over dims) + the cos >= 0.35 verify with 6dp HALF_UP rounding.
