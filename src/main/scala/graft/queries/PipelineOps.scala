@@ -50,6 +50,10 @@ object PipelineOps {
     * md5h32(doc_id) % MixMod < rate · MixMod. */
   private[graft] val MixMod = 1000000L
 
+  /** Token-window chunking (q_llm_chunk): window size / stride. */
+  private[graft] val ChunkSize = 64
+  private[graft] val ChunkStride = 32
+
   /** The q_llm_split bucket — MUST derive exactly as q_llm_split does
     * (same [[Det.md5h32]] over the same cast), or the split and the
     * contamination audit would disagree about train vs test. */
@@ -229,7 +233,30 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-window chunking: each doc exploded into overlapping
+    * `size`-token windows at `stride`-token steps (starts 1, 1+stride, …
+    * up to the last start ≤ n_tok; trailing windows may be short) — the
+    * context-window prep step between cleaning and packing. Chunks are
+    * emitted as (len, md5-of-joined-tokens) rather than text so the
+    * graded output stays narrow. Pure per-row map + generator work over
+    * the scan — no shuffle but the output sort; both engines slice with
+    * the same clamp semantics (Spark `slice`, DuckDB `list_slice`). */
+  def chunk(docs: DataFrame, size0: Int, stride: Int): DataFrame = {
+    val tk = split(col("text"), " ")
+    docs.select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("tk")), lit(stride)),
+          s0 => slice(col("tk"), s0, lit(size0)))).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("chunk_len"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_llm_chunk" -> ((s, d) =>
+      chunk(T.documents(s, d), ChunkSize, ChunkStride)),
     "q_llm_contam" -> ((s, d) => contamAudit(T.documents(s, d))),
     "q_llm_sample" -> ((s, d) => stratifiedSample(T.documents(s, d), SampleK)),
     "q_llm_pack" -> ((s, d) => pack(T.documents(s, d), PackBudget, PackShards)),
@@ -248,6 +275,21 @@ object PipelineOps {
         FROM $doc"""
 
   val oracle: Map[String, String] = Map(
+    // chunk_id: Spark posexplode yields INT positions; DuckDB's //
+    // yields BIGINT → cast. list_slice's inclusive-end clamp matches
+    // Spark slice(start, length)'s length clamp.
+    "q_llm_chunk" ->
+      s"""SELECT doc_id, CAST((st - 1) // $ChunkStride AS INTEGER) AS chunk_id,
+            CAST(len(chunk) AS INTEGER) AS chunk_len,
+            md5(array_to_string(chunk, ' ')) AS chunk_md5
+          FROM (
+            SELECT doc_id, st,
+              list_slice(tk, st, st + ${ChunkSize - 1}) AS chunk
+            FROM (SELECT doc_id, tk,
+                    UNNEST(range(1, len(tk) + 1, $ChunkStride)) AS st
+                  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                        FROM $doc) t) s)
+          ORDER BY doc_id, chunk_id""",
     "q_llm_contam" ->
       s"""WITH b AS ($bucketSql),
           sh AS (SELECT doc_id, bucket, ${LlmOps.shingleSql} AS sh

@@ -130,6 +130,27 @@ class PipelineOpsSuite extends SparkSuite {
     assert(out === Map(16L -> 1, 19L -> 0))
   }
 
+  test("chunk: window starts/lengths/content replay exactly at size 5, stride 2") {
+    val docs = docsDF(Seq(
+      (1L, (1 to 9).map(i => s"w$i").mkString(" "), "en", "s0"), // 9 tokens
+      (2L, "a b", "en", "s0")))                                  // shorter than one stride
+    val out = PipelineOps.chunk(docs, 5, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        (r.getAs[Int]("chunk_len"), r.getAs[String]("chunk_md5"))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: starts 1,3,5,7,9 → lens 5,5,5,3,1
+    val toks = (1 to 9).map(i => s"w$i")
+    val expect = Seq(0 -> toks.slice(0, 5), 1 -> toks.slice(2, 7),
+      2 -> toks.slice(4, 9), 3 -> toks.slice(6, 9), 4 -> toks.slice(8, 9))
+    expect.foreach { case (cid, chunk) =>
+      assert(out((1L, cid)) === ((chunk.length, md5hex(chunk.mkString(" ")))))
+    }
+    assert(out((2L, 0)) === ((2, md5hex("a b"))))
+    assert(out.size === 6)
+  }
+
   test("repScore: templated text scores (total-distinct)/total; all-distinct text scores 0") {
     val docs = docsDF(Seq(
       (1L, "a b a b a b a b", "en", "s0"),     // 6 shingles, 2 distinct

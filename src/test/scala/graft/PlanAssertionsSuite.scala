@@ -118,6 +118,15 @@ class PlanAssertionsSuite extends SparkSuite {
     }
   }
 
+  test("q_llm_chunk: generator over per-row map work — the only exchange is the output sort") {
+    val plan = planString(q("q_llm_chunk"))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"chunk shuffles beyond the output sort:\n$plan")
+    assert(plan.contains("Generate"), s"expected the posexplode generator:\n$plan")
+    assert(!plan.toLowerCase.contains("join") && !plan.contains("Window"),
+      s"chunk grew a join/window:\n$plan")
+  }
+
   test("q_llm_sample / q_text_tfidf: per-group top-k runs as WindowGroupLimit (no full group sort state)") {
     Seq("q_llm_sample", "q_text_tfidf").foreach { name =>
       val plan = planString(q(name))
