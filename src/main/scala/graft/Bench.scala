@@ -73,12 +73,18 @@ object Bench {
     // r4; neutral warmup — disjoint from graded tables — since r5/r6;
     // min-of-2 timing since r6.)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }
+    // Per-query values at centisecond precision: the driver's tail
+    // capture is exactly 2000 chars and also holds sbt's ~75-char epilog,
+    // so the whole line must stay under ~1920 — at 84 queries the 2-digit
+    // form keeps ~300 chars of headroom (3-digit left ~119). Sub-10ms
+    // digits were noise anyway; the total keeps 3 digits.
+    def fmtQ(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => jstr(k) + ":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"evict+warmup-untimed;min-of-2","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"cold-min2","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
