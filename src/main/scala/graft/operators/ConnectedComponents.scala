@@ -47,8 +47,14 @@ object ConnectedComponents {
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist() // re-joined every round
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("rep", col("node"))
+    // Round 1 fused into initialization: from identity labels, a
+    // neighbor's message is just its node id, so the first label table
+    // is one groupBy-min over (neighbor ids ∪ self) — no join, and no
+    // separate distinct-nodes pass (the node set is exactly src of the
+    // symmetrized edge list).
+    var labels = e.select(col("dst").as("node"), col("src").as("rep"))
+      .union(e.select(col("src").as("node"), col("src").as("rep")))
+      .groupBy(col("node")).agg(min(col("rep")).as("rep"))
       .localCheckpoint(true)
     // Convergence check: labels only ever DECREASE (new rep =
     // min(old, neighbor reps) ≤ old) over a fixed node set, so Σrep
