@@ -55,6 +55,20 @@ class CapabilitiesSuite extends SparkSuite {
       s"approx=$approx1 exact=$exact")
   }
 
+  test("approx_percentile brackets the exact percentile (accuracy-bounded sketch)") {
+    // The other sketch a 100 TB pipeline reaches for (quality-score
+    // thresholds over a corpus): with accuracy a, the rank error is
+    // bounded by n/a, so at accuracy 10000 over 60k rows the returned
+    // value must sit within ±1.2% of the true rank 50 value.
+    val vals = Tables.lineitem(spark, sf).select(col("l_extendedprice"))
+    val approx = vals.select(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)")).head.getDouble(0)
+    val n = vals.count()
+    val below = vals.filter(col("l_extendedprice") <= approx).count().toDouble / n
+    assert(below > 0.45 && below < 0.55,
+      s"approx p50 landed at true rank $below")
+  }
+
   test("typed Aggregator UDAF matches the built-in average") {
     val mean = new Aggregator[Double, (Double, Long), Double] {
       def zero: (Double, Long) = (0.0, 0L)
