@@ -40,6 +40,36 @@ object Aggregates {
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))),
 
+    // §2.4 Pearson correlation per group, computed from EXACT decimal
+    // moment sums (never the native corr(), whose running-merge float
+    // order differs per engine/partitioning): Sx/Sy/Sxx/Syy/Sxy are
+    // exact decimals (2dp inputs → ≤4dp products, both engines sum
+    // exactly), each is cast to double once, and the closed form
+    //   (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))
+    // is a PINNED sequence of IEEE ops (sqrt is correctly rounded per
+    // IEEE-754) → identical doubles, rounded once at 6dp (§7.4 #2).
+    "q_agg_corr" -> ((s, d) => {
+      // Input precisions sized so decimal PRODUCTS stay in range in
+      // both engines (DuckDB overflows DECIMAL(18,4)×DECIMAL(18,4)):
+      // qty ≤ 50.00 → (9,2); price 2dp ≤ ~1e6 → (12,2). Products are
+      // ≤4dp exacts at (18..24,4) — no boundary, no overflow.
+      val qty = col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(9, 2))
+      val price = col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      val g = T.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(qty).as("sx"), sum(price).as("sy"),
+        sum(qty * qty).as("sxx"), sum(price * price).as("syy"),
+        sum(qty * price).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = col("n").cast("double")
+      val num = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+      val den = sqrt(nD * dbl("sxx") - dbl("sx") * dbl("sx")) *
+        sqrt(nD * dbl("syy") - dbl("sy") * dbl("sy"))
+      g.select(col("l_returnflag"), col("n"),
+        round(num / den, 6).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // §2.4 row-level DISTINCT.
     "q_distinct" -> ((s, d) =>
       T.customer(s, d).select(col("c_mktsegment"), col("c_nationkey"))
@@ -234,6 +264,30 @@ object Aggregates {
             ${sqlAvg("l_extendedprice")} AS avg_price,
             COUNT(DISTINCT l_orderkey) AS n_orders
           FROM $li""",
+    // The double conversions and op order mirror the Spark side exactly
+    // (each CAST is one correctly-rounded conversion of an exact
+    // decimal; the closed form is then pure IEEE arithmetic).
+    "q_agg_corr" ->
+      s"""SELECT l_returnflag, n,
+            ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+              AS corr_qty_price
+          FROM (
+            SELECT l_returnflag, COUNT(*) AS n,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sx,
+              SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))) AS sxx,
+              SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+            FROM $li GROUP BY l_returnflag) m
+          ORDER BY l_returnflag""",
     "q_agg_group" ->
       s"""SELECT l_returnflag, l_linestatus,
             ${sqlSum("l_quantity")} AS sum_qty,

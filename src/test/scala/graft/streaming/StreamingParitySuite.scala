@@ -354,6 +354,44 @@ class StreamingParitySuite extends SparkSuite {
     assert(streamed.values.map(_._1).sum === 1000L)
   }
 
+  test("streaming ingest dedup: stream-static hash probe == batch ingestDedup") {
+    // The streaming form of q_llm_ingest: a document stream probed
+    // against the static corpus content-hash set. ids 0/1 land in
+    // corpus buckets (<8), 16/19 in batch buckets (8/9) — same planted
+    // fixture as the batch PipelineOpsSuite test.
+    val shared = "identical corpus content here"
+    val all = Seq(
+      (0L, shared), (1L, "other corpus text"),
+      (16L, shared), (19L, "genuinely new content"))
+    val allDf = all.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val corpusH = allDf
+      .withColumn("bucket",
+        graft.Det.md5h32(col("doc_id").cast("string")) % 10)
+      .filter(col("bucket") < 8)
+      .select(md5(col("text")).as("h0")).distinct()
+    val ms = MemoryStream[(Long, String)](spark)
+    val flags = ms.toDF().toDF("doc_id", "text")
+      .withColumn("h", md5(col("text")))
+      .join(broadcast(corpusH), col("h") === col("h0"), "left")
+      .select(col("doc_id"), col("h0").isNotNull.cast("int").as("is_dup"))
+    val q = flags.writeStream.format("memory").queryName("ingest_par")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((16L, shared)))
+      q.processAllAvailable()
+      ms.addData(Seq((19L, "genuinely new content")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ingest_par").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.queries.PipelineOps.ingestDedup(allDf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_dup")).toMap
+    assert(streamed === batch)
+    assert(batch === Map(16L -> 1, 19L -> 0))
+  }
+
   test("stream-static join: stream enriched against a static dimension == batch join") {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
     val ms = MemoryStream[Event](spark)
