@@ -21,11 +21,15 @@ object LocalSession {
       // matching DuckDB's read; SURVEY §1.2). Session-level, set at build.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .withExtensions(graft.functions.DotF64.install)
+      .withExtensions { ext =>
+        graft.functions.DotF64.install(ext)
+        graft.functions.JaccardStr.install(ext)
+      }
       .getOrCreate()
     // getOrCreate can return a pre-existing session the extensions never
-    // saw — the post-hoc registration is idempotent.
+    // saw — the post-hoc registrations are idempotent.
     graft.functions.DotF64.register(spark)
+    graft.functions.JaccardStr.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

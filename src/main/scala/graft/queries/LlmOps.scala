@@ -322,6 +322,7 @@ object LlmOps {
     * pair listing) and q_llm_cc (pair→cluster grouping).
     * Returns (doc_a, doc_b, jacc) with doc_a < doc_b, unordered. */
   private def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.JaccardStr.register(s) // graft_jaccard below; idempotent
     // Explode-first: the token set is evaluated exactly once per doc
     // inside the generator — never size(<array expr>) above the
     // explode, where projection collapse re-evaluates the array per
@@ -339,9 +340,13 @@ object LlmOps {
         col("doc_a") === col("a_id"))
       .join(docs.select(col("doc_id").as("b_id"), col("tk").as("tk_b")),
         col("doc_b") === col("b_id"))
-      .withColumn("common", size(array_intersect(col("tk_a"), col("tk_b"))))
+      // graft_jaccard (functions/JaccardStr): one codegen'd hash-probe
+      // pass per pair, replacing the interpreted-intermediate
+      // size(array_intersect)/sizes composite — bitwise-equal by
+      // construction (exact int counts → one IEEE division; pinned in
+      // FunctionsSuite).
       .withColumn("jacc",
-        col("common") / (size(col("tk_a")) + size(col("tk_b")) - col("common")))
+        call_function("graft_jaccard", col("tk_a"), col("tk_b")))
       .filter(col("jacc") >= 0.8)
       // unrounded: one IEEE division of exact ints is bit-identical in
       // both engines; round(.,6) would add a .5-boundary hazard (e.g.
@@ -512,6 +517,7 @@ object LlmOps {
     // (t = 1/5: prefix is longer — ~80% of shingles — but the hot-shingle
     // DF ordering and the exact max ≤ 5·min size bound still apply).
     "q_llm_ngram" -> ((s, d) => {
+      graft.functions.JaccardStr.register(s) // graft_jaccard; idempotent
       val base = T.documents(s, d)
         .withColumn("tk", split(col("text"), " "))
         .filter(size(col("tk")) >= 3)
@@ -524,9 +530,8 @@ object LlmOps {
           col("doc_a") === col("a_id"))
         .join(docs.select(col("doc_id").as("b_id"), col("g").as("g_b")),
           col("doc_b") === col("b_id"))
-        .withColumn("common", size(array_intersect(col("g_a"), col("g_b"))))
         .withColumn("jacc",
-          col("common") / (size(col("g_a")) + size(col("g_b")) - col("common")))
+          call_function("graft_jaccard", col("g_a"), col("g_b")))
         .filter(col("jacc") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("jacc")) // unrounded — see q_llm_neardup
         .orderBy(col("doc_a"), col("doc_b"))

@@ -6,8 +6,10 @@ import org.apache.spark.sql.expressions.Window
 import graft.{Det, Tables => T}
 
 /** Training-data pipeline operators that sit DOWNSTREAM of dedup/split:
-  * contamination audit, deterministic sampling, sequence packing, and
-  * within-document repetition scoring (SURVEY §2.10 north star).
+  * contamination audit, deterministic stratified sampling, domain
+  * mixture reweighting, incremental-ingest dedup, token-window chunking,
+  * sequence packing, TF-IDF term weighting, and within-document
+  * repetition scoring (SURVEY §2.10 north star).
   *
   * Common thread: every nondeterministic knob a naive pipeline reaches
   * for (`rand()` sampling, first-come packing, arbitrary split) is

@@ -5,10 +5,58 @@ import graft.queries.LlmOps
 import org.apache.spark.sql.functions._
 
 /** The custom Catalyst expression surface: graft_dot (native codegen
-  * dot product) must agree bitwise with the built-ins-only HOF fold and
-  * be reachable from SQL text. */
+  * dot product) and graft_jaccard (native codegen set Jaccard) must
+  * agree bitwise with their built-ins-only composites and be reachable
+  * from SQL text. */
 class FunctionsSuite extends SparkSuite {
   import spark.implicits._
+  import graft.functions.JaccardStr
+
+  test("graft_jaccard == size(array_intersect)/sizes composite bitwise on randomized distinct arrays") {
+    JaccardStr.register(spark)
+    val rng = new scala.util.Random(5)
+    val vocab = (1 to 25).map(i => s"w$i")
+    val rows = (1 to 300).map { i =>
+      (i.toLong, rng.shuffle(vocab).take(1 + rng.nextInt(12)),
+        rng.shuffle(vocab).take(1 + rng.nextInt(12)))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val mismatches = df
+      .withColumn("native", call_function("graft_jaccard", col("a"), col("b")))
+      .withColumn("common", size(array_intersect(col("a"), col("b"))))
+      .withColumn("composite",
+        col("common") / (size(col("a")) + size(col("b")) - col("common")))
+      .filter(!(col("native") <=> col("composite")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("graft_jaccard from SQL text; null array -> null; disjoint -> 0; identical -> 1") {
+    JaccardStr.register(spark)
+    val r = spark.sql(
+      """SELECT graft_jaccard(array('a','b'), array('b','a')) AS eq,
+                graft_jaccard(array('a'), array('b')) AS disj,
+                graft_jaccard(CAST(NULL AS ARRAY<STRING>), array('a')) AS nl,
+                graft_jaccard(array('a','b','c'), array('b','c','d')) AS half""")
+      .collect()(0)
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0)
+    assert(r.isNullAt(2))
+    assert(r.getDouble(3) === 0.5)
+  }
+
+  test("graft_jaccard participates in whole-stage codegen") {
+    JaccardStr.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jacwsc").toString
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(call_function("graft_jaccard", col("tk"), col("tk")).as("j"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_jaccard"),
+      s"graft_jaccard fell out of whole-stage codegen:\n$plan")
+    assert(df.filter(col("j") =!= 1.0).count() === 0L)
+  }
 
   test("graft_dot == HOF fold bitwise on all sf0.001 embedding pairs (probes < 5)") {
     DotF64.register(spark)
