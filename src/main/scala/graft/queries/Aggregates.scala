@@ -70,6 +70,34 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // §2.4 ordered string aggregation (LISTAGG surface). collect_set's
+    // arrival order is nondeterministic — array_sort canonicalizes
+    // before the join, so the result is layout-independent; the oracle's
+    // string_agg(... ORDER BY) pins the identical order.
+    "q_agg_listagg" -> ((s, d) =>
+      T.nation(s, d)
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))),
+
+    // §2.4 modal value (MODE surface) with deterministic tiebreak:
+    // per order priority, the most frequent status, ties → lexicographic
+    // first. min(struct(-cnt, status)) keeps it ONE map-side-combining
+    // aggregate chain (never the native mode(), whose tiebreak is
+    // unspecified, and no key-partitioned window).
+    "q_agg_mode" -> ((s, d) =>
+      T.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("o_orderstatus"))).as("m"))
+        .select(col("o_orderpriority"),
+          col("m.o_orderstatus").as("modal_status"),
+          (-col("m.neg")).as("cnt"))
+        .orderBy(col("o_orderpriority"))),
+
     // §2.4 row-level DISTINCT.
     "q_distinct" -> ((s, d) =>
       T.customer(s, d).select(col("c_mktsegment"), col("c_nationkey"))
@@ -264,6 +292,20 @@ object Aggregates {
             ${sqlAvg("l_extendedprice")} AS avg_price,
             COUNT(DISTINCT l_orderkey) AS n_orders
           FROM $li""",
+    "q_agg_listagg" ->
+      s"""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+            COUNT(*) AS n_nations
+          FROM $nat JOIN $reg ON n_regionkey = r_regionkey
+          GROUP BY r_name ORDER BY r_name""",
+    // Window form only in the ORACLE (tiny grouped input); the Spark
+    // side stays a pure aggregate chain.
+    "q_agg_mode" ->
+      s"""SELECT o_orderpriority, o_orderstatus AS modal_status, cnt FROM (
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                ORDER BY cnt DESC, o_orderstatus ASC) AS rn
+            FROM $ords GROUP BY o_orderpriority, o_orderstatus) x
+          WHERE rn = 1 ORDER BY o_orderpriority""",
     // The double conversions and op order mirror the Spark side exactly
     // (each CAST is one correctly-rounded conversion of an exact
     // decimal; the closed form is then pure IEEE arithmetic).
