@@ -42,6 +42,33 @@ object SqlOps {
         ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
           g_p, g_s"""
 
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    * SQL-text form of top-k-per-group. Spark decorrelates the lateral
+    * into a ranked join (WindowGroupLimit applies); DuckDB executes it
+    * natively; same text, same rows. */
+  private def lateralSql(reg: String, nat: String, cust: String) =
+    s"""SELECT r.r_name, t.n_name, t.n_cust
+        FROM $reg r, LATERAL (
+          SELECT n.n_name, COUNT(*) AS n_cust
+          FROM $nat n JOIN $cust c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_cust DESC, n.n_name ASC
+          LIMIT 2) t
+        ORDER BY r.r_name, t.n_cust DESC, t.n_name"""
+
+  /** Recursive CTE (Spark 4 + DuckDB both run this text): a generated
+    * bucket spine joined back to the fact table — the date-spine /
+    * series-completion pattern that otherwise needs a generator API. */
+  private def recursiveSql(ords: String) =
+    s"""WITH RECURSIVE buckets(b) AS (
+          SELECT 0
+          UNION ALL
+          SELECT b + 1 FROM buckets WHERE b < 9)
+        SELECT b, COUNT(o_orderkey) AS n_orders
+        FROM buckets LEFT JOIN $ords ON o_orderkey % 10 = b
+        GROUP BY b ORDER BY b"""
+
   val queries: Map[String, Q] = Map(
     // Scalar subquery + IN subquery + correlated EXISTS, as SQL text.
     "q_sql_subquery" -> ((s, d) => {
@@ -54,12 +81,28 @@ object SqlOps {
     "q_sql_gsets" -> ((s, d) => {
       T.orders(s, d).createOrReplaceTempView("orders")
       s.sql(gsetsSql("orders"))
+    }),
+
+    // Correlated LATERAL with ORDER BY + LIMIT, as SQL text.
+    "q_sql_lateral" -> ((s, d) => {
+      T.region(s, d).createOrReplaceTempView("region")
+      T.nation(s, d).createOrReplaceTempView("nation")
+      T.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(lateralSql("region", "nation", "customer"))
+    }),
+
+    // WITH RECURSIVE series spine, as SQL text.
+    "q_sql_recursive" -> ((s, d) => {
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(recursiveSql("orders"))
     })
   )
 
   /** The oracle runs the IDENTICAL SQL text over DuckDB's views. */
   val oracle: Map[String, String] = Map(
     "q_sql_subquery" -> subquerySql(tbl("customer"), tbl("orders")),
-    "q_sql_gsets" -> gsetsSql(tbl("orders"))
+    "q_sql_gsets" -> gsetsSql(tbl("orders")),
+    "q_sql_lateral" -> lateralSql(tbl("region"), tbl("nation"), tbl("customer")),
+    "q_sql_recursive" -> recursiveSql(tbl("orders"))
   )
 }
