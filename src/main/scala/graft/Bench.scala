@@ -73,12 +73,15 @@ object Bench {
     // r4; neutral warmup — disjoint from graded tables — since r5/r6;
     // min-of-2 timing since r6.)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // Per-query values at centisecond precision: the driver's tail
-    // capture is exactly 2000 chars and also holds sbt's ~75-char epilog,
-    // so the whole line must stay under ~1920 — at 84 queries the 2-digit
-    // form keeps ~300 chars of headroom (3-digit left ~119). Sub-10ms
-    // digits were noise anyway; the total keeps 3 digits.
-    def fmtQ(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // Per-query values at centisecond precision, dropping to decisecond
+    // once a value reaches 10 s: the driver's tail capture is exactly
+    // 2000 chars and also holds sbt's ~75-char epilog, so the whole line
+    // must stay under ~1920 — at 90 queries the adaptive form caps the
+    // worst case near 1830 (uniform "%.2f" could hit 1908 if a throttled
+    // host pushed every query past 10 s). Sub-1% digits are noise anyway;
+    // the total keeps 3 digits.
+    def fmtQ(v: Double): String =
+      (if (v >= 10) "%.1f" else "%.2f").formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => jstr(k) + ":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }

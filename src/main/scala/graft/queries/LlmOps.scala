@@ -372,6 +372,46 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact-substring duplication audit — the ExactSubstr criterion of
+    // "Deduplicating Training Data Makes Language Models Better"
+    // (Lee et al. 2021, arXiv:2107.06499): a K-token contiguous window
+    // that also occurs in ANOTHER document marks both docs as
+    // substring-duplicated. The paper builds a corpus suffix array; this
+    // is the same predicate as linear dataflow: hash every K-window
+    // (windows ∝ corpus tokens), count distinct docs per hash (hash agg,
+    // map-side combine), flag-join back (≤1 match per window row — no
+    // pair expansion, unlike a window-hash self-join, so a boilerplate
+    // window shared by 10^6 docs costs 10^6 flag lookups, not 10^12
+    // pairs), aggregate per doc. Every shuffle is ∝ corpus tokens.
+    // Per-doc output (window count, duplicated-window count) rather than
+    // pairs: the pair graph at 100 TB lives in q_llm_neardup/q_llm_cc;
+    // this query answers "how much of each doc is copied text".
+    "q_llm_substr" -> ((s, d) => {
+      val K = 5
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // sequence(1, n) requires n >= 1 (Spark descends for n < start —
+      // NOT an empty array), so short docs get an explicit empty list.
+      val wins = docs.select(col("doc_id"), explode(
+          when(size(col("toks")) >= K,
+            transform(
+              sequence(lit(1), size(col("toks")) - (K - 1)),
+              i => md5(concat_ws(" ", slice(col("toks"), i, lit(K))))))
+            .otherwise(array())).as("h"))
+      val dup = wins.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"), lit(1).as("isdup"))
+      val stats = wins.join(dup, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_win"),
+          countDistinct(when(col("isdup") === 1, col("h"))).as("n_dupwin"))
+      docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_win"), lit(0L)).as("n_win"),
+          coalesce(col("n_dupwin"), lit(0L)).as("n_dupwin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-set Jaccard ≥ 0.8 between pairs in the same (lang, source)
     // block — prefix-filtered AllPairs (see [[jaccardCandidates]]: only
     // each doc's DF-ascending prefix is indexed, the candidate join
@@ -670,6 +710,25 @@ object LlmOps {
             COUNT(*) OVER (PARTITION BY md5(text)) AS cluster_size,
             MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
           FROM $doc ORDER BY doc_id""",
+    "q_llm_substr" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM $doc),
+          w AS (SELECT doc_id,
+                  md5(array_to_string(list_slice(toks, g.i, g.i + 4), ' ')) AS h
+                FROM tok,
+                  unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS g(i)),
+          dup AS (SELECT h FROM w GROUP BY h
+                  HAVING COUNT(DISTINCT doc_id) >= 2),
+          stats AS (SELECT w.doc_id, COUNT(*) AS n_win,
+                      COUNT(DISTINCT CASE WHEN dup.h IS NOT NULL
+                                          THEN w.h END) AS n_dupwin
+                    FROM w LEFT JOIN dup ON w.h = dup.h
+                    GROUP BY w.doc_id)
+          SELECT t.doc_id,
+                 COALESCE(s.n_win, 0) AS n_win,
+                 COALESCE(s.n_dupwin, 0) AS n_dupwin
+          FROM tok t LEFT JOIN stats s ON t.doc_id = s.doc_id
+          ORDER BY t.doc_id""",
     "q_llm_neardup" ->
       s"""WITH t AS (SELECT doc_id, lang, source,
               list_distinct(string_split(text, ' ')) AS tk FROM $doc)

@@ -421,6 +421,40 @@ class LlmOpsSuite extends SparkSuite {
       4L -> ((4L, 2L, 1)), 5L -> ((4L, 2L, 0))))
   }
 
+  test("q_llm_substr: shared 5-token windows counted per doc; reversal shares none") {
+    // K=5 windows on the mini corpus: docs 1,2 identical (6 windows, all
+    // shared), doc 3 is the reversal (6 windows, none contiguous-equal),
+    // docs 4,5 differ in the last token (5 windows, the 4 not touching
+    // position 9 shared), docs 6 (4 windows) and 7 (1 window) unique.
+    val out = q("q_llm_substr", docsDir).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_win"), r.getAs[Long]("n_dupwin")))).toMap
+    assert(out === Map(
+      1L -> ((6L, 6L)), 2L -> ((6L, 6L)), 3L -> ((6L, 0L)),
+      4L -> ((5L, 4L)), 5L -> ((5L, 4L)), 6L -> ((4L, 0L)), 7L -> ((1L, 0L)))
+    )
+  }
+
+  test("q_llm_substr edges: short doc has 0 windows; internal repetition is not cross-doc dup") {
+    val dir = Files.createTempDirectory("graft_substr").toString
+    Seq(
+      // 11 tokens: the window "r1..r5" occurs TWICE inside doc 10 (rows
+      // counted in n_win) but in no other doc — not a duplicate.
+      (10L, "r1 r2 r3 r4 r5 z r1 r2 r3 r4 r5", "en", "s"),
+      // shares "r1..r5" once with doc 10's two occurrences — each side
+      // counts the hash ONCE (n_dupwin is over distinct window hashes).
+      (11L, "r1 r2 r3 r4 r5 q7 q8 q9", "en", "s"),
+      (12L, "too short here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q_llm_substr", dir).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_win"), r.getAs[Long]("n_dupwin")))).toMap
+    assert(out === Map(
+      10L -> ((7L, 1L)), 11L -> ((4L, 1L)), 12L -> ((0L, 0L))))
+  }
+
   test("q_llm_split: deterministic md5 bucketing, full coverage, fixed mapping") {
     val out = q("q_llm_split", docsDir).collect().map(r =>
       (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"), r.getAs[String]("split")))

@@ -89,6 +89,18 @@ class PlanAssertionsSuite extends SparkSuite {
       s"embdup_lsh degenerated to all-pairs:\n$plan")
   }
 
+  test("q_llm_substr: window-dedup stats join on the hash key only — no pair join, no window operator") {
+    val plan = planString(q("q_llm_substr"))
+    // the flag join-back must stay an equi-join (≤1 match per window row);
+    // a pair-expanding self-join or cartesian would be quadratic in the
+    // posting size of a boilerplate window
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"substr audit degenerated:\n$plan")
+    // per-doc stats are map-side-combining aggregates, never a window
+    // over the window-hash (a hot window would funnel into one partition)
+    assert(!plan.contains("Window"), s"substr regressed to a window plan:\n$plan")
+  }
+
   test("q_dedup / q_llm_dedup / q_text_fingerprint: keep-first and cluster stats are aggregates, not key-partitioned windows") {
     // a Window over the dedup key funnels a mega-cluster into one
     // partition; these must stay map-side-combining aggregates
