@@ -67,13 +67,26 @@ object KMeans {
     nearest(vecs, cents).select(col("vec_id"), col("cent_id"))
 
   private def nearest(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = aggregate(zip_with(col("e"), col("ce"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-    val wA = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cent_id").asc)
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("d2", d2)
-      .withColumn("rk", row_number().over(wA))
-      .filter(col("rk") === 1)
+    // The centroid table is bounded (k × dim), so it collapses to ONE
+    // array-valued row that broadcasts, and each vector picks its argmin
+    // centroid per-row (scored transform + comparator sort, ties by
+    // cent_id): assignment costs ZERO shuffle at any corpus size. The
+    // previous form (crossJoin + row_number over a vec_id window)
+    // shuffled and sorted the corpus × k expansion rows every iteration.
+    val centArr = cents
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cs"))
+    vecs.crossJoin(broadcast(centArr))
+      .withColumn("best", expr(
+        """element_at(array_sort(
+             transform(cs, c -> struct(
+               aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),
+                 CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d2,
+               c.cent_id AS cent_id)),
+             (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1
+                            WHEN l.d2 > r.d2 THEN 1
+                            WHEN l.cent_id < r.cent_id THEN -1
+                            WHEN l.cent_id > r.cent_id THEN 1
+                            ELSE 0 END), 1)"""))
+      .select(col("vec_id"), col("e"), col("best.cent_id").as("cent_id"))
   }
 }

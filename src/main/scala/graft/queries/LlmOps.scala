@@ -287,16 +287,35 @@ object LlmOps {
     val cents = centroids.map(_.withColumn("cn", norm(col("ce"))))
       .getOrElse(base.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id").asc)
-    // keep only the top-nprobe assignment rows BEFORE materializing:
-    // persisting the unfiltered ranking would hold n·|centroids| rows
-    // (corpus × quantizer — a scale bug); n·nprobe is corpus-linear.
-    val ranked = base.crossJoin(broadcast(cents))
-      .withColumn("csim", round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") <= nprobe)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"), col("crk"))
+    // The quantizer is bounded by construction (k × dim doubles), so it
+    // collapses to ONE array-valued row that broadcasts, and each vector
+    // computes its top-nprobe lists per-row: scored transform →
+    // comparator sort (csim desc, cent_id asc — identical ordering to
+    // the DuckDB twin; comparator instead of sorting on a negated key so
+    // a csim of ±0.0 can never split a tie group) → slice(nprobe).
+    // Assignment therefore costs ZERO shuffle at any corpus size; the
+    // previous form (crossJoin + row_number over a vec_id window)
+    // shuffled AND sorted the corpus × |centroids| expansion — the last
+    // corpus-expansion exchange in the library. Only the top-nprobe rows
+    // per vector are ever materialized (n·nprobe, corpus-linear).
+    val centArr = cents
+      .agg(collect_list(struct(col("cent_id"), col("ce"), col("cn"))).as("cs"))
+    val ranked = base.crossJoin(broadcast(centArr))
+      .withColumn("top", expr(
+        s"""slice(array_sort(
+              transform(cs, c -> struct(
+                round(graft_dot(e, c.ce) / (nrm * c.cn), 6) AS csim,
+                c.cent_id AS cent_id)),
+              (l, r) -> CASE WHEN l.csim > r.csim THEN -1
+                             WHEN l.csim < r.csim THEN 1
+                             WHEN l.cent_id < r.cent_id THEN -1
+                             WHEN l.cent_id > r.cent_id THEN 1
+                             ELSE 0 END),
+            1, $nprobe)"""))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("t.cent_id").as("cent_id"), (col("p") + 1).as("crk"))
       .persist() // consumed by both the probe side and the list side
     val assigned = ranked.filter(col("crk") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))

@@ -101,6 +101,18 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.contains("Window"), s"substr regressed to a window plan:\n$plan")
   }
 
+  test("q_llm_ivf: list assignment is per-row over the broadcast quantizer — the only Window is the bounded per-probe top-k") {
+    // the top-nprobe assignment must NOT be a row_number window over the
+    // corpus × |centroids| crossJoin expansion (that shuffles and sorts
+    // an expansion of the one table guaranteed enormous at 100 TB); it
+    // runs per-row against the collapsed centroid array, so exactly one
+    // Window remains: top-k per probe, partitioned by the tiny probe set
+    val plan = planString(q("q_llm_ivf"))
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected exactly 1 Window (per-probe top-k), got $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"ivf went cartesian:\n$plan")
+  }
+
   test("q_dedup / q_llm_dedup / q_text_fingerprint: keep-first and cluster stats are aggregates, not key-partitioned windows") {
     // a Window over the dedup key funnels a mega-cluster into one
     // partition; these must stay map-side-combining aggregates
