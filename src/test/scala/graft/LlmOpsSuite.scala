@@ -157,6 +157,49 @@ class LlmOpsSuite extends SparkSuite {
     assert(tokTruth.keySet.exists(_._2 >= 100L))
   }
 
+  test("q_llm_substr == driver-side window truth on a randomized corpus") {
+    // Full-pipeline mirror against naive driver-side truth: sliding
+    // K=5 windows per doc, a window is "dup" iff its text occurs in >= 2
+    // distinct docs. Small vocab + planted copies force real sharing.
+    val rng = new scala.util.Random(7)
+    val vocab = (1 to 12).map(i => s"v$i")
+    val baseDocs = (0 until 40).map { i =>
+      val n = 2 + rng.nextInt(12) // includes docs below K (0 windows)
+      (i.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    // planted: exact copies (every window shared) and a shared prefix
+    val planted = (0 until 6).map { j =>
+      val (_, text) = baseDocs(j * 5)
+      val t = if (j % 2 == 0) text
+              else (text.split(" ").take(6) ++ Seq("u1", "u2", "u3")).mkString(" ")
+      (200L + j, t)
+    }
+    val docs = baseDocs ++ planted
+    val dir = Files.createTempDirectory("graft_substr_rand").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val K = 5
+    def wins(text: String): Seq[String] = {
+      val tk = text.split(" ").toSeq
+      if (tk.length < K) Seq.empty else tk.sliding(K).map(_.mkString(" ")).toSeq
+    }
+    val byDoc = docs.map { case (id, t) => id -> wins(t) }.toMap
+    val docsPerWin = byDoc.toSeq.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+    val truth = byDoc.map { case (id, ws) =>
+      id -> ((ws.size.toLong, ws.distinct.count(w => docsPerWin(w) >= 2).toLong))
+    }
+    val out = q("q_llm_substr", dir).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_win"), r.getAs[Long]("n_dupwin")))).toMap
+    assert(out === truth)
+    // sanity: the corpus actually exercised both regimes
+    assert(truth.values.exists(_._2 > 0) && truth.values.exists(_._1 == 0L))
+  }
+
   test("q_llm_minhash == independent driver-side mirror on a randomized corpus") {
     // Full-pipeline mirror: shingles, md5-derived 32-bit base, the
     // (a·x+b) mod p family, banding (band-key equality == equality of
