@@ -82,11 +82,14 @@ object KMeans {
                aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),
                  CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d2,
                c.cent_id AS cent_id)),
-             (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1
-                            WHEN l.d2 > r.d2 THEN 1
-                            WHEN l.cent_id < r.cent_id THEN -1
-                            WHEN l.cent_id > r.cent_id THEN 1
-                            ELSE 0 END), 1)"""))
+             (l, r) -> CASE
+               WHEN l.d2 < r.d2
+                 OR (isnan(r.d2) AND NOT isnan(l.d2)) THEN -1
+               WHEN l.d2 > r.d2
+                 OR (isnan(l.d2) AND NOT isnan(r.d2)) THEN 1
+               WHEN l.cent_id < r.cent_id THEN -1
+               WHEN l.cent_id > r.cent_id THEN 1
+               ELSE 0 END), 1)"""))
       .select(col("vec_id"), col("e"), col("best.cent_id").as("cent_id"))
   }
 }

@@ -292,7 +292,9 @@ object LlmOps {
     // computes its top-nprobe lists per-row: scored transform →
     // comparator sort (csim desc, cent_id asc — identical ordering to
     // the DuckDB twin; comparator instead of sorting on a negated key so
-    // a csim of ±0.0 can never split a tie group) → slice(nprobe).
+    // a csim of ±0.0 can never split a tie group, with explicit
+    // NaN-sorts-first arms mirroring how both engines order NaN under
+    // DESC, in case a zero-norm vector ever yields 0/0) → slice(nprobe).
     // Assignment therefore costs ZERO shuffle at any corpus size; the
     // previous form (crossJoin + row_number over a vec_id window)
     // shuffled AND sorted the corpus × |centroids| expansion — the last
@@ -306,11 +308,14 @@ object LlmOps {
               transform(cs, c -> struct(
                 round(graft_dot(e, c.ce) / (nrm * c.cn), 6) AS csim,
                 c.cent_id AS cent_id)),
-              (l, r) -> CASE WHEN l.csim > r.csim THEN -1
-                             WHEN l.csim < r.csim THEN 1
-                             WHEN l.cent_id < r.cent_id THEN -1
-                             WHEN l.cent_id > r.cent_id THEN 1
-                             ELSE 0 END),
+              (l, r) -> CASE
+                WHEN l.csim > r.csim
+                  OR (isnan(l.csim) AND NOT isnan(r.csim)) THEN -1
+                WHEN l.csim < r.csim
+                  OR (isnan(r.csim) AND NOT isnan(l.csim)) THEN 1
+                WHEN l.cent_id < r.cent_id THEN -1
+                WHEN l.cent_id > r.cent_id THEN 1
+                ELSE 0 END),
             1, $nprobe)"""))
       .select(col("vec_id"), col("e"), col("nrm"),
         posexplode(col("top")).as(Seq("p", "t")))
