@@ -107,6 +107,41 @@ object LlmOps {
       concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
         element_at(tk, i + 2))))
 
+  /** Per-row MinHash LSH band keys — the signature stage of
+    * q_llm_minhash re-expressed as a STATELESS projection: the 64
+    * signature mins are `array_min` over transforms of the per-doc
+    * shingle-hash set instead of an explode + groupBy (identical values
+    * by construction — the min of a set equals the min over its exploded
+    * rows; same shingles, same (aᵢ·x + bᵢ) mod p family, same
+    * md5-of-concat band key). Zero shuffle in batch, and in a STREAM it
+    * is a pure map, so LSH banding runs inside a micro-batch with no
+    * streaming state — the property an incremental ingest pipeline needs
+    * (see [[graft.streaming.StreamOps.neardupIngestProbe]] and its
+    * parity test). Docs with < 3 tokens have no shingles and emit no
+    * rows, matching the graded batch pipeline's filter.
+    *
+    * @param docs (doc_id, text, ...) — batch or streaming.
+    * @return (doc_id, band: int 0-7, bkey: string) — [[Bands]] rows per
+    *         eligible doc. */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+    val withXs = docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("xs", transform(shinglesCol(col("tk")), t => md5h32(t)))
+    // ms materializes as its own projection so the 64 mins are computed
+    // once per row (HOFs run interpreted — no common-subexpression
+    // elimination to save a re-evaluation).
+    val mins = array((0 until NumHashes).map(i =>
+      array_min(transform(col("xs"), x =>
+        (lit(hashA(i)) * x + lit(hashB(i))) % lit(HashP)))): _*)
+    withXs.withColumn("ms", mins)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b =>
+          md5(concat_ws("#", (b * RowsPerBand until (b + 1) * RowsPerBand)
+            .map(i => element_at(col("ms"), i + 1)): _*))): _*))
+          .as(Seq("band", "bkey")))
+  }
+
   /** 16-bit SimHash signature per doc, with its (lang, source) block
     * carried through: per distinct token, a 16-bit md5-derived hash
     * votes ±1 per bit position; the signature bit is the majority sign.

@@ -117,6 +117,34 @@ object StreamOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming NEAR-dup ingest: arriving documents are MinHash-banded
+    * per-row ([[graft.queries.LlmOps.minhashBands]] — a stateless
+    * projection, identical band keys to the batch q_llm_minhash
+    * pipeline) and stream-static equi-joined against a precomputed
+    * corpus band index on (band, bkey). The probe holds ZERO streaming
+    * state — signatures are map work and the static side is a batch
+    * DataFrame — so it is unbounded-stream-safe; per-side cost per
+    * micro-batch is |batch| × Bands probe rows.
+    *
+    * Emits one row per (new doc, corpus doc, shared band); collapsing
+    * to distinct pairs is left to the consumer (foreachBatch or a
+    * downstream aggregation) because a global distinct would buffer
+    * state, while everything up to it is stateless. The same call
+    * evaluates in batch mode unchanged — the parity suite asserts
+    * stream ≡ batch and that a planted copy hits its duplicates on
+    * every band while an unrelated doc hits nothing.
+    *
+    * @param newDocs     (doc_id, text, …) — streaming (or batch) side.
+    * @param corpusIndex (doc_id, band, bkey) from
+    *                    [[graft.queries.LlmOps.minhashBands]] over the
+    *                    existing corpus. */
+  def neardupIngestProbe(newDocs: DataFrame, corpusIndex: DataFrame): DataFrame =
+    graft.queries.LlmOps.minhashBands(newDocs)
+      .join(corpusIndex.select(col("doc_id").as("corpus_doc"),
+          col("band").as("cband"), col("bkey").as("cbkey")),
+        col("band") === col("cband") && col("bkey") === col("cbkey"))
+      .select(col("doc_id"), col("corpus_doc"), col("band"))
+
   /** The reference's raison d'être as a stateful streaming operator:
     * per-key causal-order audit via flatMapGroupsWithState. An event
     * whose ts is behind the running max of its key's PRIOR events (in

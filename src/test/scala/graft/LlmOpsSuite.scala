@@ -374,6 +374,25 @@ class LlmOpsSuite extends SparkSuite {
     assert(!out.keySet.contains((1L, 3L))) // permutation: disjoint shingles
   }
 
+  test("minhashBands (per-row, stateless) candidate pairs cover the graded q_llm_minhash pairs") {
+    // The streaming-safe per-row signature path must band identically to
+    // the explode+groupBy path inside q_llm_minhash: its banded pair set
+    // is a superset of the graded output (which additionally applies the
+    // est_sim >= 0.5 verify), and the planted identical docs collide.
+    val bands = LlmOps.minhashBands(Tables.documents(spark, docsDir))
+    val x = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
+    val y = bands.select(col("doc_id").as("b"),
+      col("band").as("band2"), col("bkey").as("bkey2"))
+    val cand = x.join(y, col("band") === col("band2")
+        && col("bkey") === col("bkey2") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val graded = q("q_llm_minhash", docsDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(graded.subsetOf(cand), s"graded=$graded cand=$cand")
+    assert(cand.contains((1L, 2L)))
+  }
+
   test("q_llm_simhash: signature depends on the token SET only") {
     val sig = q("q_llm_simhash", docsDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -392,6 +392,44 @@ class StreamingParitySuite extends SparkSuite {
     assert(batch === Map(16L -> 1, 19L -> 0))
   }
 
+  test("streaming near-dup ingest: LSH band probe == batch probe; copy hits all bands, unrelated doc none") {
+    // Incremental NEAR-dup: new docs are minhash-banded per-row
+    // (stateless) and probed against the static corpus band index.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"), // exact copy of 1
+      (6L, "solo words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val index = graft.queries.LlmOps.minhashBands(corpus)
+    val newDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta"), // copy → dup of 1,2
+      (101L, "totally different fresh content words here"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val probed = graft.streaming.StreamOps.neardupIngestProbe(
+      ms.toDF().toDF("doc_id", "text"), index)
+    val q = probed.writeStream.format("memory").queryName("neardup_ingest")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(newDocs.head))
+      q.processAllAvailable()
+      ms.addData(Seq(newDocs(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("neardup_ingest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // identical text ⇒ identical signature ⇒ ALL 8 bands collide,
+    // against both copies in the corpus; the unrelated doc hits nothing
+    assert(streamed.map(t => (t._1, t._2)).distinct.toSet ===
+      Set((100L, 1L), (100L, 2L)))
+    assert(streamed.filter(t => t._2 == 1L).map(_._3).sorted.toSeq ===
+      (0 until graft.queries.LlmOps.Bands))
+    // batch evaluation of the SAME call is identical row-for-row
+    val batch = graft.streaming.StreamOps.neardupIngestProbe(
+      newDocs.toDF("doc_id", "text"), index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(streamed.sorted.toSeq === batch.sorted.toSeq)
+  }
+
   test("stream-static join: stream enriched against a static dimension == batch join") {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
     val ms = MemoryStream[Event](spark)
