@@ -34,6 +34,44 @@ class ScaleOpsSuite extends SparkSuite {
     assert(salts >= 4, s"salting degenerated to $salts partitions")
   }
 
+  test("AQE splits a planted skewed join partition at runtime (the no-salt path)") {
+    // The scaling contract (README) leans on AQE skew-join splitting for
+    // hot keys that salting doesn't cover; this pins that the runtime
+    // re-plan actually engages on a planted hot key. Thresholds are
+    // lowered to make local data cross them; the MECHANISM is identical
+    // at production sizes with default thresholds.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+      // 300k rows of ONE key + 50k uniform: the hot key's partition
+      // dwarfs the median, the classic straggler shape
+      val left = spark.range(350000).select(
+        when(col("id") < 300000, lit(42L)).otherwise(col("id")).as("k"),
+        concat(lit("payload_payload_payload_payload_payload_"), col("id")).as("p"))
+      val right = spark.range(400000).select(
+        col("id").as("k2"), concat(lit("v"), col("id")).as("v"))
+      val j = left.join(right, col("k") === col("k2"))
+      // execute THIS QueryExecution (an action like count() builds its
+      // own plan on top and leaves j's adaptive plan un-finalized)
+      j.queryExecution.toRdd.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"adaptive plan not finalized:\n$plan")
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not split the planted skew:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join on co-bucketed tables plans with ZERO exchanges") {
     Seq("t_orders_b", "t_lineitem_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
