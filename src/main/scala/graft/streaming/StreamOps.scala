@@ -19,6 +19,13 @@ case class CausalOut(user_id: Long, n_events: Long, n_violations: Long)
 case class RunningOut(event_id: Long, user_id: Long,
                       running_n: Long, running_val: Double)
 
+/** As-of enrichment state: the max-(ts, id) click seen per key. */
+case class AsofState(cId: Long, cUs: Long)
+
+case class AsofOut(p_id: Long, user_id: Long, p_us: Long,
+                   c_id: Option[Long], c_us: Option[Long],
+                   gap_us: Option[Long])
+
 /** The streaming runtime: event-time windowed aggregation, keyed
   * stateful processing, and the batch≡stream unification argument.
   *
@@ -115,6 +122,50 @@ object StreamOps {
         && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Streaming AS-OF enrichment — the streaming twin of the batch
+    * q_join_asof: each purchase is emitted with the latest click at or
+    * before it by the same user. State per key is ONE row (the
+    * max-(ts, id) click seen so far), so state is O(keys), independent
+    * of history length, with no watermark required.
+    *
+    * Within a micro-batch, events are processed in the batch query's
+    * window order (ts asc, clicks before purchases at equal ts,
+    * event_id asc), so a click at the same microsecond as a purchase
+    * counts as prior — matching the oracle's `c_us <= p_us`. Across
+    * micro-batches the result is exact under per-key causal delivery (a
+    * click must not arrive after a later purchase was already
+    * processed — the reference's ordering guarantee; the same one-sided
+    * contract as [[dedupFirstArrival]]). The same function evaluates in
+    * batch mode — one group-batch holding the whole history, where the
+    * delivery contract is vacuously true — and the parity suite pins
+    * batch evaluation == the graded q_join_asof on the full events
+    * table. */
+  def asofEnrich(events: Dataset[Event]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[AsofState]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          it.toSeq
+            .sortBy(e => (e.ts_us, if (e.event_type == "purchase") 1 else 0,
+              e.event_id))
+            .foreach { e =>
+              if (e.event_type == "click") {
+                if (last.forall(s => s.cUs < e.ts_us
+                    || (s.cUs == e.ts_us && s.cId < e.event_id)))
+                  last = Some(AsofState(e.event_id, e.ts_us))
+              } else out += AsofOut(e.event_id, user, e.ts_us,
+                last.map(_.cId), last.map(_.cUs),
+                last.map(s => e.ts_us - s.cUs))
+            }
+          last.foreach(state.update)
+          out.result().iterator
+      }
   }
 
   /** Streaming NEAR-dup ingest: arriving documents are MinHash-banded

@@ -392,6 +392,47 @@ class StreamingParitySuite extends SparkSuite {
     assert(batch === Map(16L -> 1, 19L -> 0))
   }
 
+  test("as-of enrichment: stream == same function in batch == expected on mini events") {
+    val expected = Set(
+      // user 1, purchase 5 @60min: latest click is 4 @50min
+      (5L, 1L, min(60), Some(4L), Some(min(50)), Some(10L * 60000000L)),
+      // user 2, purchases 9 @60min and 10 @55min: only click is 8 @29min
+      (9L, 2L, min(60), Some(8L), Some(min(29)), Some(31L * 60000000L)),
+      (10L, 2L, min(55), Some(8L), Some(min(29)), Some(26L * 60000000L)))
+    val batchOut = StreamOps.asofEnrich(miniEvents.toDS()).collect()
+      .map(o => (o.p_id, o.user_id, o.p_us, o.c_id, o.c_us, o.gap_us)).toSet
+    assert(batchOut === expected)
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.asofEnrich(ms.toDS())
+      .writeStream.format("memory").queryName("asof_par")
+      .outputMode("append").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table("asof_par").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    assert(streamed === expected)
+  }
+
+  test("as-of enrichment in batch mode == the graded q_join_asof on the full events table") {
+    val events = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val fn = StreamOps.asofEnrich(events).collect()
+      .map(o => (o.p_id, o.user_id, o.p_us, o.c_id, o.c_us, o.gap_us)).toSet
+    val graded = graft.queries.CoreRelational.queries("q_join_asof")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("p_us"),
+        Option(r.get(r.fieldIndex("c_id"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("c_us"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("gap_us"))).map(_.asInstanceOf[Long]))).toSet
+    assert(fn === graded && fn.nonEmpty)
+  }
+
   test("streaming near-dup ingest: LSH band probe == batch probe; copy hits all bands, unrelated doc none") {
     // Incremental NEAR-dup: new docs are minhash-banded per-row
     // (stateless) and probed against the static corpus band index.
