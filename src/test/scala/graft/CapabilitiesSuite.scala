@@ -42,6 +42,15 @@ class CapabilitiesSuite extends SparkSuite {
     assert(canon(back) === canon(sample))
   }
 
+  test("ORC source: write/read round-trip is lossless (self-describing schema)") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    sample.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema.map(f => f.name -> f.dataType) ===
+      sample.schema.map(f => f.name -> f.dataType))
+    assert(canon(back) === canon(sample))
+  }
+
   test("approx_count_distinct within 5% of exact (the first sketch anyone reaches for at 100 TB)") {
     val df = Tables.lineitem(spark, sf)
     val exact = df.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
