@@ -69,6 +69,22 @@ object SqlOps {
         FROM buckets LEFT JOIN $ords ON o_orderkey % 10 = b
         GROUP BY b ORDER BY b"""
 
+  /** Window functions as SQL text: ranking, offset, and both ROWS and
+    * integer-RANGE frames in one pass. Casts pin the dialect-divergent
+    * result types (DuckDB ROW_NUMBER/SUM(BIGINT) return BIGINT/HUGEINT,
+    * Spark INT/BIGINT); (o_custkey, o_orderkey) is unique, so every
+    * window value is deterministic. */
+  private def windowSql(ords: String) =
+    s"""SELECT o_custkey, o_orderkey,
+          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) AS rn,
+          LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key,
+          CAST(SUM(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_key,
+          CAST(SUM(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_key
+        FROM $ords
+        ORDER BY o_custkey, o_orderkey"""
+
   val queries: Map[String, Q] = Map(
     // Scalar subquery + IN subquery + correlated EXISTS, as SQL text.
     "q_sql_subquery" -> ((s, d) => {
@@ -95,6 +111,12 @@ object SqlOps {
     "q_sql_recursive" -> ((s, d) => {
       T.orders(s, d).createOrReplaceTempView("orders")
       s.sql(recursiveSql("orders"))
+    }),
+
+    // Ranking + offset + ROWS/RANGE frames, as SQL text.
+    "q_sql_window" -> ((s, d) => {
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(windowSql("orders"))
     })
   )
 
@@ -103,6 +125,7 @@ object SqlOps {
     "q_sql_subquery" -> subquerySql(tbl("customer"), tbl("orders")),
     "q_sql_gsets" -> gsetsSql(tbl("orders")),
     "q_sql_lateral" -> lateralSql(tbl("region"), tbl("nation"), tbl("customer")),
-    "q_sql_recursive" -> recursiveSql(tbl("orders"))
+    "q_sql_recursive" -> recursiveSql(tbl("orders")),
+    "q_sql_window" -> windowSql(tbl("orders"))
   )
 }
