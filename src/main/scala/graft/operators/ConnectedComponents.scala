@@ -62,7 +62,10 @@ object ConnectedComponents {
     // decimal aggregate over the just-checkpointed table per round,
     // instead of a join against the previous round's labels.
     def repSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+      // SUM over zero rows is NULL — an empty edge list (no near-dup
+      // pairs at all) must converge to an empty result, not NPE
+      Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = repSum(labels)
     var converged = false
     var it = 0

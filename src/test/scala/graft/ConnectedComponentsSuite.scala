@@ -47,6 +47,10 @@ class ConnectedComponentsSuite extends SparkSuite {
     assert(cc(edges) === brute(edges))
   }
 
+  test("empty edge list converges to an empty labeling (no NPE on the null SUM)") {
+    assert(cc(Seq.empty[(Long, Long)]) === Map.empty)
+  }
+
   test("non-convergence throws instead of returning a partial labeling") {
     val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
     intercept[IllegalArgumentException] {
