@@ -392,6 +392,35 @@ class StreamingParitySuite extends SparkSuite {
     assert(batch === Map(16L -> 1, 19L -> 0))
   }
 
+  test("merged streams: union of two sources preserves per-key causal semantics (the reference's stream merge)") {
+    // The reference's merge model (SURVEY §1.1): keys are partitioned
+    // across sources — every key's events arrive via ONE stream, in that
+    // stream's order — and the merge must preserve per-key processing
+    // without imposing any global order across sources. Here user 1
+    // rides source A and user 2 source B, fed in alternating
+    // micro-batches; the unioned stream's causal audit must equal the
+    // single-source batch evaluation over everything.
+    val msA = MemoryStream[Event](spark)
+    val msB = MemoryStream[Event](spark)
+    val q = StreamOps.causalTracker(msA.toDS().union(msB.toDS()))
+      .writeStream.format("memory").queryName("merge_par")
+      .outputMode("update").start()
+    val (u1, u2) = miniEvents.partition(_.user_id == 1L)
+    try {
+      msA.addData(u1.take(3)); msB.addData(u2.take(2))
+      q.processAllAvailable()
+      msA.addData(u1.drop(3)); msB.addData(u2.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = spark.table("merge_par")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("n_violations")).as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = StreamOps.causalTracker(miniEvents.toDS())
+      .collect().map(c => c.user_id -> (c.n_events, c.n_violations)).toMap
+    assert(merged === batch && merged === Map(1L -> (5L, 1L), 2L -> (6L, 1L)))
+  }
+
   test("as-of enrichment: stream == same function in batch == expected on mini events") {
     val expected = Set(
       // user 1, purchase 5 @60min: latest click is 4 @50min
