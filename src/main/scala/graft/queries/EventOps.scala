@@ -80,6 +80,28 @@ object EventOps {
         .orderBy(col("user_id"))
     }),
 
+    // Sequence-gap audit — the reference's delivery-guarantee check
+    // (§1.1 "sequence/version per message"): with per-key sequence
+    // numbers (event_id), a gap between consecutive arrivals means
+    // messages were lost (at-most-once) or not yet delivered. Per key,
+    // in sequence order: gap = id − prev_id − 1 where positive; emit
+    // event count, gap count, total missing, and the largest gap.
+    // Stateful streaming twin: StreamOps.gapAudit (1 row of state/key).
+    "q_seq_gap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      T.events(s, d)
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .withColumn("gap", when(col("prev_id").isNotNull
+            && col("event_id") - col("prev_id") > 1,
+          col("event_id") - col("prev_id") - 1).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+          sum(col("gap")).as("missing_total"),
+          max(col("gap")).as("max_gap"))
+        .orderBy(col("user_id"))
+    }),
+
     // Incremental view maintenance: per-key running count + decimal sum as
     // of each event — the reference's "view" (§1.1), batch form.
     "q_stream_agg_state" -> ((s, d) => {
@@ -139,6 +161,19 @@ object EventOps {
               MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_ts
             FROM $evt) x
+          GROUP BY user_id ORDER BY user_id""",
+    "q_seq_gap" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+            CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+            CAST(SUM(gap) AS BIGINT) AS missing_total,
+            MAX(gap) AS max_gap
+          FROM (
+            SELECT user_id,
+              CASE WHEN LAG(event_id) OVER w IS NOT NULL
+                     AND event_id - LAG(event_id) OVER w > 1
+                   THEN event_id - LAG(event_id) OVER w - 1 ELSE 0 END AS gap
+            FROM $evt
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC)) x
           GROUP BY user_id ORDER BY user_id""",
     "q_stream_agg_state" ->
       s"""SELECT event_id, user_id,

@@ -19,6 +19,13 @@ case class CausalOut(user_id: Long, n_events: Long, n_violations: Long)
 case class RunningOut(event_id: Long, user_id: Long,
                       running_n: Long, running_val: Double)
 
+/** Sequence-gap audit state: last seen sequence id + running totals. */
+case class GapState(lastId: Long, n: Long, nGaps: Long,
+                    missing: Long, maxGap: Long)
+
+case class GapOut(user_id: Long, n_events: Long, n_gaps: Long,
+                  missing_total: Long, max_gap: Long)
+
 /** As-of enrichment state: the max-(ts, id) click seen per key. */
 case class AsofState(cId: Long, cUs: Long)
 
@@ -122,6 +129,34 @@ object StreamOps {
         && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Sequence-gap audit — the reference's delivery-guarantee check as a
+    * stateful streaming operator (twin of the batch q_seq_gap): per key,
+    * a jump in the sequence id between consecutive arrivals means
+    * messages were lost or not yet delivered. State is one row per key
+    * (last id + 4 counters); every micro-batch emits the updated totals
+    * (OutputMode.Update — the last emission per key equals the batch
+    * row). In-batch events are replayed in sequence order; exact across
+    * micro-batches under per-key in-order delivery, the same one-sided
+    * contract as [[asofEnrich]]/[[dedupFirstArrival]]. */
+  def gapAudit(events: Dataset[Event]): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[GapState]) =>
+          var s = state.getOption.getOrElse(GapState(-1L, 0L, 0L, 0L, 0L))
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            if (s.lastId >= 0L && e.event_id - s.lastId > 1L) {
+              val g = e.event_id - s.lastId - 1L
+              s = s.copy(nGaps = s.nGaps + 1L, missing = s.missing + g,
+                maxGap = math.max(s.maxGap, g))
+            }
+            s = s.copy(lastId = e.event_id, n = s.n + 1L)
+          }
+          state.update(s)
+          Iterator.single(GapOut(user, s.n, s.nGaps, s.missing, s.maxGap))
+      }
   }
 
   /** Streaming AS-OF enrichment — the streaming twin of the batch

@@ -421,6 +421,44 @@ class StreamingParitySuite extends SparkSuite {
     assert(merged === batch && merged === Map(1L -> (5L, 1L), 2L -> (6L, 1L)))
   }
 
+  test("sequence-gap audit: stream == batch == graded q_seq_gap; planted gaps counted") {
+    // planted gaps: user 1 rides ids 1,2,5,9 (gaps 2 and 3); user 2
+    // rides 4,6,7 (gap 1) — fed in per-key order across 2 batches
+    def ev(id: Long, u: Long) = Event(id, min(id), u, "view", 1.0)
+    val gapped = Seq(ev(1, 1), ev(2, 1), ev(4, 2), ev(5, 1), ev(9, 1), ev(6, 2), ev(7, 2))
+    val expected = Map(1L -> (4L, 2L, 5L, 3L), 2L -> (3L, 1L, 1L, 1L))
+    val batchOut = StreamOps.gapAudit(gapped.toDS()).collect()
+      .map(o => o.user_id -> ((o.n_events, o.n_gaps, o.missing_total, o.max_gap))).toMap
+    assert(batchOut === expected)
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.gapAudit(ms.toDS())
+      .writeStream.format("memory").queryName("gap_par")
+      .outputMode("update").start()
+    try {
+      ms.addData(gapped.take(3)); q.processAllAvailable()
+      ms.addData(gapped.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gap_par")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("n_gaps")).as("g"),
+        max(col("missing_total")).as("m"), max(col("max_gap")).as("x"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed === expected)
+    // and the stateful function agrees with the graded batch query on
+    // the full events table
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val fn = StreamOps.gapAudit(events).collect()
+      .map(o => o.user_id -> ((o.n_events, o.n_gaps, o.missing_total, o.max_gap))).toMap
+    val graded = graft.queries.EventOps.queries("q_seq_gap")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_gaps"),
+          r.getAs[Long]("missing_total"), r.getAs[Long]("max_gap")))).toMap
+    assert(fn === graded && fn.nonEmpty)
+  }
+
   test("as-of enrichment: stream == same function in batch == expected on mini events") {
     val expected = Set(
       // user 1, purchase 5 @60min: latest click is 4 @50min
