@@ -44,7 +44,12 @@ object ConnectedComponents {
     *         rep = min node id in its component. */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val Seq(srcCol, dstCol) = edges.columns.take(2).toSeq
+    // Persist the raw pair list BEFORE symmetrizing: the union's two
+    // branches would otherwise each evaluate the caller's (potentially
+    // expensive — LSH candidate + verify) edge pipeline once. The first
+    // scan fills the cache, the swapped branch reads it.
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist()
     val e = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist() // re-joined every round
     // Round 1 fused into initialization: from identity labels, a
@@ -56,6 +61,9 @@ object ConnectedComponents {
       .union(e.select(col("src").as("node"), col("src").as("rep")))
       .groupBy(col("node")).agg(min(col("rep")).as("rep"))
       .localCheckpoint(true)
+    // e is materialized by the (eager) init above; the raw list's cache
+    // has served its one purpose
+    fwd.unpersist()
     // Convergence check: labels only ever DECREASE (new rep =
     // min(old, neighbor reps) ≤ old) over a fixed node set, so Σrep
     // strictly decreases exactly when some label changed — one exact
