@@ -94,6 +94,24 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("sequence-gap law: total missing == span minus count for any strictly increasing id set") {
+    // The q_seq_gap / StreamOps.gapAudit invariant: telescoping the
+    // per-adjacent-pair gaps gives missing_total = (last − first) −
+    // (n − 1), independent of where the gaps fall; n_gaps counts the
+    // jumped pairs and max_gap the widest jump.
+    val idSet: Gen[List[Long]] =
+      Gen.chooseNum(1, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(1L, 200L)).map(_.distinct.sorted))
+    check("seqgap")(Prop.forAll(idSet) { ids =>
+      val gaps = ids.zip(ids.drop(1)).map { case (a, b) => b - a - 1 }
+      val missing = gaps.sum
+      val expected = if (ids.isEmpty) 0L else ids.last - ids.head - (ids.length - 1)
+      missing == expected &&
+        gaps.count(_ > 0) <= math.max(0, ids.length - 1) &&
+        (gaps.isEmpty || gaps.max <= missing)
+    })
+  }
+
   test("Spark law: unionAll count is additive, intersect is exact set intersection") {
     val spark = SharedSpark.spark
     import spark.implicits._
