@@ -220,6 +220,28 @@ object Aggregates {
       b.except(open).orderBy(col("c_custkey"))
     }),
 
+    // §2.7 BAG-semantics set ops over a multiset with real duplicates
+    // (customers place many orders): INTERSECT ALL keeps min
+    // multiplicity, EXCEPT ALL the positive difference — distinct
+    // operators from the set forms (they plan as count-aggregate +
+    // generate, not a semi/anti join). Ordering by the single output
+    // column makes remaining ties identical rows (order-stable).
+    "q_intersect_all" -> ((s, d) => {
+      val open = T.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      val big = T.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey"))
+      open.intersectAll(big).orderBy(col("o_custkey"))
+    }),
+
+    "q_except_all" -> ((s, d) => {
+      val open = T.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      val big = T.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey"))
+      open.exceptAll(big).orderBy(col("o_custkey"))
+    }),
+
     // §2.4 exact percentiles (median / p90): order statistics with linear
     // interpolation. Interpolation op ORDER can differ between engines in
     // the last ulp, so results are rounded at 6dp (§7.4.7) — exactness of
@@ -415,6 +437,16 @@ object Aggregates {
           EXCEPT
           SELECT o_custkey AS c_custkey FROM $ords WHERE o_orderstatus = 'O'
           ORDER BY c_custkey""",
+    "q_intersect_all" ->
+      s"""SELECT o_custkey FROM $ords WHERE o_orderstatus = 'O'
+          INTERSECT ALL
+          SELECT o_custkey FROM $ords WHERE o_totalprice > 200000
+          ORDER BY o_custkey""",
+    "q_except_all" ->
+      s"""SELECT o_custkey FROM $ords WHERE o_orderstatus = 'O'
+          EXCEPT ALL
+          SELECT o_custkey FROM $ords WHERE o_totalprice > 200000
+          ORDER BY o_custkey""",
     "q_agg_pctile" ->
       s"""SELECT o_orderstatus,
             round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
