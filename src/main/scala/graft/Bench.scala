@@ -87,7 +87,10 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"cold-min2","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // "m2c" = min-of-2 cache-cold runs per query (see the header comment);
+    // kept to 3 chars because the whole line must fit the driver's
+    // 2000-char tail capture — 94 queries × 4-char values ≈ 1870 chars.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2c","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
