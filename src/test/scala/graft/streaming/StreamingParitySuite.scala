@@ -228,6 +228,39 @@ class StreamingParitySuite extends SparkSuite {
     assert(sink.readAll(spark).select(col("event_id")).distinct().count() === 8L)
   }
 
+  test("stateful state survives a checkpoint restart: gap audit resumes from the last id") {
+    // The reference's offsets-with-state commit (§1.1): per-key
+    // flatMapGroupsWithState state is persisted in the checkpoint's
+    // state store and must be recovered on restart — the post-restart
+    // batch sees the PRE-restart lastId, so the jump 2 -> 5 counts as
+    // one gap of 2 even though the runs never shared a JVM query.
+    val cp = Files.createTempDirectory("graft_gap_cp").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    def ev(id: Long, u: Long) = Event(id, min(id), u, "view", 1.0)
+    val ms = MemoryStream[Event](spark)
+    def start(): StreamingQuery = StreamOps.gapAudit(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[GapOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          buf ++= rows.map(o =>
+            (o.user_id, o.n_events, o.n_gaps, o.missing_total, o.max_gap))
+        }
+        ()
+      }
+      .option("checkpointLocation", cp).outputMode("update").start()
+    val q1 = start()
+    try { ms.addData(Seq(ev(1, 1), ev(2, 1))); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(buf.synchronized(buf.last) === ((1L, 2L, 0L, 0L, 0L)))
+    val q2 = start()
+    try { ms.addData(Seq(ev(5, 1))); q2.processAllAvailable() }
+    finally q2.stop()
+    // 3 events total, one gap (ids 3,4 missing), width 2 — only correct
+    // if lastId=2 was recovered from the checkpointed state
+    assert(buf.synchronized(buf.last) === ((1L, 3L, 1L, 2L, 2L)))
+  }
+
   test("session windows close and emit in append mode once the watermark passes") {
     val ms = MemoryStream[Event](spark)
     val agg = StreamOps.session(
