@@ -125,4 +125,12 @@ class CapabilitiesSuite extends SparkSuite {
     assert(out.filter(col("via_udf") =!= col("via_builtin")).count() === 0)
     assert(out.select("via_udf").distinct().count() === 3)
   }
+
+  test("SparkEntry contract: query and oracle key sets are identical (every graded query is oracle-checked)") {
+    // the driver's correctness gate compares each queries(name) result
+    // against oracleSql(name) in DuckDB — a key present on one side
+    // only would silently weaken the gate to a rows-only check
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+    assert(SparkEntry.queries.size >= 94)
+  }
 }
