@@ -169,8 +169,14 @@ object PipelineOps {
     val tok = docs.select(col("doc_id"),
       size(split(col("text"), " ")).as("doc_len"),
       explode(split(col("text"), " ")).as("term"))
+    // Two consumers (the df derivation and the join below) — without
+    // materialization Catalyst prunes their columns differently, the
+    // canonical subtrees diverge, exchange reuse never fires, and the
+    // corpus is scanned + shuffled twice (read in PLANS.md r6). Same
+    // persist + caller-clearCache contract as the LSH signature tables.
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(max(col("doc_len")).as("doc_len"), count(lit(1)).as("tf"))
+      .persist()
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
