@@ -20,6 +20,24 @@ class PlanAssertionsSuite extends SparkSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("GLOBAL determinism pin: no layout- or time-dependent expression in ANY graded query") {
+    // The §7.4 contract says every graded result is reproducible across
+    // runs, engines, and cluster layouts. These expressions break that
+    // by construction, so none may appear in any analyzed plan — a new
+    // query that sneaks one in fails here before it can flake the
+    // oracle. (Analysis only — nothing executes, so this sweeps all
+    // queries in seconds.)
+    val banned = Seq("rand(", "randn(", "uuid(", "shuffle(",
+      "monotonically_increasing_id", "spark_partition_id",
+      "input_file_name", "current_timestamp", "current_date", "now()")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.analyzed.toString.toLowerCase
+        banned.filter(plan.contains).map(b => s"$name uses $b")
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("q_scan_prune: filter reaches the parquet scan; only 3 columns read") {
     val plan = planString(q("q_scan_prune"))
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
