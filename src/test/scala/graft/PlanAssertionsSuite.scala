@@ -38,6 +38,29 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("GLOBAL order pin: every graded result is explicitly sorted (or provably single-row)") {
+    // The driver's oracle compare hashes rows in result order, so an
+    // unordered graded query is a latent layout-dependent flake even if
+    // it happens to pass today.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def ordered(p: LogicalPlan): Boolean = p match {
+      case _: Sort => true
+      case GlobalLimit(_, child) => ordered(child)
+      case LocalLimit(_, child) => ordered(child)
+      case Project(_, child) => ordered(child)
+      case w: WithCTE => ordered(w.plan) // recursive CTE: ORDER BY is the main query's root
+      case _ => false
+    }
+    // global aggregates produce exactly one row — order vacuous
+    val singleRow = Set("q_agg_global")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !singleRow(name) =>
+        if (ordered(fn(spark, sf).queryExecution.analyzed)) None else Some(name)
+      case _ => None
+    }
+    assert(offenders.isEmpty, s"unordered graded queries: $offenders")
+  }
+
   test("q_scan_prune: filter reaches the parquet scan; only 3 columns read") {
     val plan = planString(q("q_scan_prune"))
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
