@@ -123,6 +123,48 @@ object LlmOps {
     * @param docs (doc_id, text, ...) — batch or streaming.
     * @return (doc_id, band: int 0-7, bkey: string) — [[Bands]] rows per
     *         eligible doc. */
+  /** MinHash signature table (doc_id, m0..m63) in one of two
+    * value-identical physical forms (the min of a set equals the min
+    * over its exploded rows — same shingles, same (aᵢ·x + bᵢ) mod p
+    * family):
+    *  - `perRow = true`: 64 `array_min(transform(...))` columns over the
+    *    per-doc shingle-hash array — ZERO shuffle (a pure projection;
+    *    HOFs run interpreted, the known trade-off).
+    *  - `perRow = false`: explode shingles → 64 codegen'd hash columns →
+    *    hash-aggregate 64 mins. Map-side partial agg collapses each
+    *    doc's shingle rows before the exchange (a doc's shingles all
+    *    live in its own input partition), so the shuffle is
+    *    n_docs × 64 longs — but the explode×64 expression work and agg
+    *    state are paid on every shingle row.
+    * The r7 sf0.1 A/B (min-of-2 cache-cold, interleaved, at BOTH 4 and
+    * 32 cores) measured the graded query end-to-end at explode 1.8 s vs
+    * per-row 2.4 s: 64 interpreted HOF passes per doc cost more than
+    * the codegen'd explode + map-side-combined aggregate, whose
+    * exchange is already only n_docs × 64 longs. The graded form is
+    * therefore explode; per-row remains the STREAMING form (zero
+    * shuffle, zero state — see [[minhashBands]]) and the parity pin. */
+  private[graft] def minhashSig(docs: DataFrame, perRow: Boolean): DataFrame = {
+    val withTk = docs.withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+    if (perRow) {
+      withTk
+        .withColumn("xs", transform(shinglesCol(col("tk")), t => md5h32(t)))
+        .select(col("doc_id") +: (0 until NumHashes).map(i =>
+          array_min(transform(col("xs"), x =>
+            (lit(hashA(i)) * x + lit(hashB(i))) % lit(HashP))).as(s"m$i")): _*)
+    } else {
+      val toks = withTk
+        .select(col("doc_id"), explode(shinglesCol(col("tk"))).as("tok"))
+        .withColumn("x", md5h32(col("tok")))
+      val hashed = toks.select(
+        (col("doc_id") +: (0 until NumHashes).map(i =>
+          ((lit(hashA(i)) * col("x") + lit(hashB(i))) % lit(HashP)).as(s"h$i"))): _*)
+      hashed.groupBy(col("doc_id"))
+        .agg(min(col("h0")).as("m0"),
+          (1 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    }
+  }
+
   private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val withXs = docs
       .withColumn("tk", split(col("text"), " "))
@@ -300,18 +342,38 @@ object LlmOps {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Default IVF coarse quantizer: a FIXED number of centroids (K = 32)
+    * chosen by a deterministic stride `vec_id % max(1, floor(n / K)) = 0`
+    * where n is the corpus count, computed as a one-row scalar INSIDE
+    * the plan (agg → broadcast nested-loop join of one row — no driver
+    * action). Centroid count is therefore ~K at ANY corpus size: at
+    * 100× the data the stride grows 100× and the quantizer row stays
+    * K × dim doubles. (The previous every-100th-vector default made
+    * |centroids| = n/100 — a single collect_list row growing linearly
+    * with the corpus, an unbounded broadcast at scale.) Production
+    * callers pass a real KMeans quantizer via `centroids` and size K
+    * by the √n rule; this default exists to stay oracle-expressible. */
+  private[graft] def ivfDefaultQuantizer(base: DataFrame): DataFrame = {
+    val nRow = base.agg(count(lit(1)).as("qn"))
+    base.crossJoin(broadcast(nRow))
+      .filter(col("vec_id") %
+        greatest(lit(1L), floor(col("qn") / lit(32)).cast("long")) === 0)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
+  }
+
   /** IVF-flat ANN, parameterized. Assignment is a broadcast argmax over
     * |centroids| dots per vector (centroids are k×dim — driver-small BY
     * CONSTRUCTION, the one legitimate broadcast in this family); each
     * probe then searches its `nprobe` nearest inverted lists. Per-probe
-    * work is O(nprobe · n/|centroids|); |centroids| grows with the
-    * corpus (√n rule) so probe cost stays flat at 100 TB, and nprobe is
-    * the recall knob (same role as ANN's Hamming radius).
+    * work is O(nprobe · n/|centroids|); with a caller-supplied KMeans
+    * quantizer |centroids| grows with the corpus (√n rule) so probe
+    * cost stays flat at 100 TB, and nprobe is the recall knob (same
+    * role as ANN's Hamming radius).
     *
     * @param centroids optional coarse quantizer (cent_id, ce, cn) —
     *                  e.g. [[graft.operators.KMeans.centroids]]; the
-    *                  default is the deterministic every-100th-vector
-    *                  quantizer the DuckDB oracle mirrors. */
+    *                  default is [[ivfDefaultQuantizer]] — a fixed-K
+    *                  deterministic stride the DuckDB oracle mirrors. */
   def ivfQuery(s: SparkSession, d: String, nprobe: Int, k: Int,
                probePred: Column => Column = _ < 5,
                centroids: Option[DataFrame] = None): DataFrame = {
@@ -320,8 +382,7 @@ object LlmOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
     val cents = centroids.map(_.withColumn("cn", norm(col("ce"))))
-      .getOrElse(base.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn")))
+      .getOrElse(ivfDefaultQuantizer(base))
     // The quantizer is bounded by construction (k × dim doubles), so it
     // collapses to ONE array-valued row that broadcasts, and each vector
     // computes its top-nprobe lists per-row: scored transform →
@@ -411,6 +472,46 @@ object LlmOps {
       // both engines; round(.,6) would add a .5-boundary hazard (e.g.
       // union size 128 with odd intersection) for zero benefit
       .select(col("doc_a"), col("doc_b"), col("jacc"))
+  }
+
+  /** The full graded q_llm_minhash pipeline, parameterized on the
+    * signature form (see [[minhashSig]]) so both physical variants can
+    * be benchmarked end-to-end and parity-pinned. */
+  private[graft] def minhashQuery(s: SparkSession, d: String,
+                                  perRow: Boolean): DataFrame = {
+    // Three consumers (band buckets + both est_sim join sides) — the
+    // signature table is materialized once (n_docs × 64 longs; at
+    // 100 TB scale this is the LSH signature table every production
+    // pipeline persists before banding).
+    val sig = minhashSig(T.documents(s, d), perRow).persist()
+    // Band key: md5 of the concatenated in-band signature — one equi-join
+    // key per band, so bucket collisions require all 8 in-band rows equal.
+    def bandKey(b: Int): Column =
+      md5(concat_ws("#",
+        (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i")): _*))
+    val buckets = sig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(bandKey): _*)).as(Seq("band", "bkey")))
+    val x = buckets.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val y = buckets.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+      col("bkey").as("bkey_b"))
+    val cand = x.join(y, col("band") === col("band_b")
+        && col("bkey") === col("bkey_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val a = sig.select(sig.columns.map(c => col(c).as(s"a_$c")): _*)
+    val b = sig.select(sig.columns.map(c => col(c).as(s"b_$c")): _*)
+    val matches = (0 until NumHashes).map(i =>
+      when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    // est_sim verify: the signature table has one row per DOCUMENT —
+    // corpus-sized, so never broadcast-hinted; AQE broadcasts at small
+    // sf and shuffle-joins at scale.
+    cand
+      .join(a, col("doc_a") === col("a_doc_id"))
+      .join(b, col("doc_b") === col("b_doc_id"))
+      .withColumn("est_sim", matches / lit(NumHashes))
+      .filter(col("est_sim") >= MinHashEstSim)
+      .select(col("doc_a"), col("doc_b"), col("est_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -519,52 +620,7 @@ object LlmOps {
     // 64 min-hashes from the universal family, 8 bands × 8 rows,
     // candidates share ≥1 band bucket, emitted when est_sim
     // (= agreeing positions / 64) ≥ 0.5.
-    "q_llm_minhash" -> ((s, d) => {
-      val toks = T.documents(s, d)
-        .withColumn("tk", split(col("text"), " "))
-        .filter(size(col("tk")) >= 3)
-        .select(col("doc_id"), explode(shinglesCol(col("tk"))).as("tok"))
-        .withColumn("x", md5h32(col("tok")))
-      val hashed = toks.select(
-        (col("doc_id") +: (0 until NumHashes).map(i =>
-          ((lit(hashA(i)) * col("x") + lit(hashB(i))) % lit(HashP)).as(s"h$i"))): _*)
-      // Three consumers (band buckets + both est_sim join sides) — the
-      // signature table is materialized once (n_docs × 64 longs; at
-      // 100 TB scale this is the LSH signature table every production
-      // pipeline persists before banding).
-      val sig = hashed.groupBy(col("doc_id"))
-        .agg(min(col("h0")).as("m0"),
-          (1 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-        .persist()
-      // Band key: md5 of the concatenated in-band signature — one equi-join
-      // key per band, so bucket collisions require all 8 in-band rows equal.
-      def bandKey(b: Int): Column =
-        md5(concat_ws("#",
-          (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i")): _*))
-      val buckets = sig.select(col("doc_id"),
-        posexplode(array((0 until Bands).map(bandKey): _*)).as(Seq("band", "bkey")))
-      val x = buckets.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-      val y = buckets.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
-        col("bkey").as("bkey_b"))
-      val cand = x.join(y, col("band") === col("band_b")
-          && col("bkey") === col("bkey_b") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val a = sig.select(sig.columns.map(c => col(c).as(s"a_$c")): _*)
-      val b = sig.select(sig.columns.map(c => col(c).as(s"b_$c")): _*)
-      val matches = (0 until NumHashes).map(i =>
-        when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      // est_sim verify: the signature table has one row per DOCUMENT —
-      // corpus-sized, so never broadcast-hinted; AQE broadcasts at small
-      // sf and shuffle-joins at scale.
-      cand
-        .join(a, col("doc_a") === col("a_doc_id"))
-        .join(b, col("doc_b") === col("b_doc_id"))
-        .withColumn("est_sim", matches / lit(NumHashes))
-        .filter(col("est_sim") >= MinHashEstSim)
-        .select(col("doc_a"), col("doc_b"), col("est_sim"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "q_llm_minhash" -> ((s, d) => minhashQuery(s, d, perRow = false)),
 
     // 16-bit SimHash signature per doc from md5-derived token hashes:
     // bit b of the signature = majority vote of bit b over distinct tokens.
@@ -978,7 +1034,8 @@ object LlmOps {
             FROM $emb),
           cents AS (
             SELECT vec_id AS cent_id, e AS ce, nrm AS cn
-            FROM base WHERE vec_id % 100 = 0),
+            FROM base WHERE vec_id % greatest(1,
+              CAST(floor((SELECT COUNT(*) FROM base) / 32) AS BIGINT)) = 0),
           ranked AS (
             SELECT b.vec_id, b.e, b.nrm, c.cent_id,
               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY

@@ -31,3 +31,41 @@ class IdempotentParquetSink(dir: String) extends Serializable {
       .option("basePath", dir)
       .parquet(s"$dir/batch_id=*")
 }
+
+/** AT-MOST-ONCE parquet sink for `foreachBatch` — the third leg of the
+  * reference's delivery-guarantee triple (SURVEY §1.1: at-most-once /
+  * at-least-once / exactly-once side by side; this repo's other two
+  * legs are raw `foreachBatch` and [[IdempotentParquetSink]]).
+  *
+  * The classical construction: COMMIT THE OFFSET BEFORE PROCESSING. A
+  * zero-byte epoch marker is created first; Structured Streaming's
+  * at-least-once replay then finds the marker and SKIPS the epoch, so a
+  * batch that crashed mid-write is dropped — never retried, never
+  * duplicated. The trade-off this makes visible (and the test pins): a
+  * deterministic poison row loses its whole epoch here, where the
+  * at-least-once sink would crash-loop on it and the exactly-once sink
+  * would replay it safely after the poison is fixed.
+  *
+  * Scale note: one marker + one directory per epoch, both driver-side
+  * metadata ops; data files are written by executors exactly as in the
+  * idempotent sink. No coordination beyond the filesystem. */
+class AtMostOnceParquetSink(dir: String) extends Serializable {
+  import org.apache.hadoop.fs.Path
+
+  private def marker(batchId: Long) = new Path(s"$dir/_committed_$batchId")
+
+  /** The foreachBatch body: marker first, data second. */
+  def write(batch: DataFrame, batchId: Long): Unit = {
+    val m = marker(batchId)
+    val fs = m.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(m)) return // replay of a committed epoch: DROP it
+    fs.create(m, false).close() // commit BEFORE processing
+    batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+  }
+
+  /** Rows that actually landed (epochs dropped by a failure are absent). */
+  def readAll(spark: SparkSession): DataFrame =
+    spark.read
+      .option("basePath", dir)
+      .parquet(s"$dir/batch_id=*")
+}

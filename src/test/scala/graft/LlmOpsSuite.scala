@@ -530,4 +530,33 @@ class LlmOpsSuite extends SparkSuite {
       (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"), r.getAs[String]("split")))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("minhashQuery: explode and per-row signature forms are value-identical end-to-end") {
+    // the r7 A/B keeps explode as the graded form on measurement; this
+    // pin guarantees the per-row (streaming) twin can always be swapped
+    // in without touching the oracle
+    val a = LlmOps.minhashQuery(spark, sf, perRow = false).collect().toSeq
+    val b = LlmOps.minhashQuery(spark, sf, perRow = true).collect().toSeq
+    spark.catalog.clearCache()
+    assert(a === b)
+    assert(a.nonEmpty) // sf0.001 has minhash pairs; vacuous parity would hide a broken filter
+  }
+
+  test("ivfDefaultQuantizer: centroid count is bounded and INDEPENDENT of corpus size") {
+    // The 100× pin for the graded q_llm_ivf default: the quantizer that
+    // gets collapsed into one collect_list row (and broadcast) must stay
+    // ~K rows at any n. An every-Nth-vector rule fails this (count ∝ n);
+    // the fixed-K stride passes at 10× the rows with the SAME count
+    // bound, so the broadcast row is K × dim doubles forever.
+    def base(n: Int) = spark.range(n)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0), lit(0.0)).as("e"), lit(1.0).as("nrm"))
+    val small = LlmOps.ivfDefaultQuantizer(base(1000)).count()
+    val big = LlmOps.ivfDefaultQuantizer(base(10000)).count()
+    assert(small >= 32 && small <= 34, s"n=1000 gave $small centroids")
+    assert(big >= 32 && big <= 34, s"n=10000 gave $big centroids (unbounded quantizer?)")
+    // degenerate corpora smaller than K: stride clamps to 1, every row
+    // is a centroid, IVF degrades to exact kNN — correct, never empty
+    assert(LlmOps.ivfDefaultQuantizer(base(5)).count() === 5)
+  }
 }

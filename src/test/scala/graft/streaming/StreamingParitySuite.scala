@@ -228,6 +228,45 @@ class StreamingParitySuite extends SparkSuite {
     assert(sink.readAll(spark).select(col("event_id")).distinct().count() === 8L)
   }
 
+  test("at-most-once sink: a poisoned epoch is DROPPED on replay — never duplicated, never retried") {
+    // The reference's delivery triple, third leg (SURVEY §1.1):
+    // commit-the-offset-BEFORE-processing. Epoch 1 carries a
+    // deterministic poison row that kills its parquet write AFTER the
+    // marker committed; the restarted query replays epoch 1, the sink
+    // finds the marker and skips, so epoch 1's rows are lost — the
+    // at-most-once contract — while epochs 0 and 2 land exactly once.
+    val dir = Files.createTempDirectory("graft_amo_sink").toString
+    val cp = Files.createTempDirectory("graft_amo_cp").toString
+    val sink = new AtMostOnceParquetSink(dir)
+    val ms = MemoryStream[Event](spark)
+    def start(): StreamingQuery =
+      withTs(ms.toDF())
+        .withColumn("value", when(col("event_id") === 6,
+          raise_error(lit("poison row")).cast("double"))
+          .otherwise(col("value")))
+        .writeStream
+        .foreachBatch((df: Dataset[Row], id: Long) => sink.write(df, id))
+        .option("checkpointLocation", cp).start()
+    val q1 = start()
+    try {
+      ms.addData(batches.head) // epoch 0: clean
+      q1.processAllAvailable()
+      ms.addData(batches(1)) // epoch 1: contains event_id 6 (poison)
+      intercept[Exception] { q1.processAllAvailable() }
+    } finally q1.stop()
+    assert(sink.readAll(spark).count() === 4L) // epoch 0 only
+    // Restart replays epoch 1 (Spark is at-least-once); the sink's
+    // pre-committed marker turns the replay into a drop — the poison is
+    // never re-evaluated and the query moves on to epoch 2.
+    val q2 = start()
+    try { ms.addData(batches(2)); q2.processAllAvailable() } finally q2.stop()
+    val ids = sink.readAll(spark).select(col("event_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val kept = (batches.head ++ batches(2)).map(_.event_id).sorted
+    assert(ids === kept, "epochs 0+2 exactly once, epoch 1 dropped")
+    assert(!ids.contains(6L) && !ids.contains(5L), "the whole poisoned epoch is gone")
+  }
+
   test("stateful state survives a checkpoint restart: gap audit resumes from the last id") {
     // The reference's offsets-with-state commit (§1.1): per-key
     // flatMapGroupsWithState state is persisted in the checkpoint's
@@ -259,6 +298,51 @@ class StreamingParitySuite extends SparkSuite {
     // 3 events total, one gap (ids 3,4 missing), width 2 — only correct
     // if lastId=2 was recovered from the checkpointed state
     assert(buf.synchronized(buf.last) === ((1L, 3L, 1L, 2L, 2L)))
+  }
+
+  test("RocksDB state store: gap audit state survives a checkpoint restart under the at-scale provider") {
+    // SURVEY §3.4 names RocksDB as the 100×-state backend (state no
+    // longer bounded by executor heap). Same recovery scenario as the
+    // HDFS-provider test above, but run in a CLONED session (own
+    // SQLConf — the shared session and any concurrently running suite
+    // keep the default provider) with
+    // spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider,
+    // proving the state semantics are provider-independent and the
+    // checkpoint really went through RocksDB.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val cp = Files.createTempDirectory("graft_rocks_cp").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    def ev(id: Long, u: Long) = Event(id, min(id), u, "view", 1.0)
+    val ms = MemoryStream[Event](s2)
+    def start(): StreamingQuery = StreamOps.gapAudit(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[GapOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          buf ++= rows.map(o =>
+            (o.user_id, o.n_events, o.n_gaps, o.missing_total, o.max_gap))
+        }
+        ()
+      }
+      .option("checkpointLocation", cp).outputMode("update").start()
+    val q1 = start()
+    try { ms.addData(Seq(ev(1, 1), ev(2, 1))); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(buf.synchronized(buf.last) === ((1L, 2L, 0L, 0L, 0L)))
+    val q2 = start()
+    try { ms.addData(Seq(ev(5, 1))); q2.processAllAvailable() }
+    finally q2.stop()
+    // identical recovery semantics to the default provider
+    assert(buf.synchronized(buf.last) === ((1L, 3L, 1L, 2L, 2L)))
+    // and the state dir proves RocksDB wrote it (zip snapshots /
+    // changelogs — the default HDFS provider writes .delta/.snapshot)
+    import scala.jdk.CollectionConverters._
+    val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(cp, "state"))
+      .iterator().asScala.map(_.getFileName.toString).toList
+    assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"no RocksDB artifacts under $cp/state: $stateFiles")
   }
 
   test("session windows close and emit in append mode once the watermark passes") {
