@@ -90,7 +90,12 @@ object Bench {
     // "m2c" = min-of-2 cache-cold runs per query (see the header comment);
     // kept to 3 chars because the whole line must fit the driver's
     // 2000-char tail capture — 94 queries × 4-char values ≈ 1870 chars.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2c","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // "yard" = q_scan's own time: the simplest-possible query is a
+    // host-speed self-yardstick (BASELINE.md documents intermittent
+    // CPU throttling on the shared bench host; cross-round comparisons
+    // should normalize by this instead of guessing).
+    val yard = results.getOrElse("q_scan", 0.0)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2c","yard":${fmtQ(yard)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -233,6 +233,11 @@ object LlmOps {
     *
     * @param feats     (doc_id, feat, blockCols...) rows; `feat` values
     *                  must be DISTINCT per doc_id (Jaccard is over sets).
+    *                  May carry a precomputed `sz` column (the doc's
+    *                  feature-set size — trivially `size(<array>)` when
+    *                  the features come from exploding an array); when
+    *                  present the per-doc count window (one full buffered
+    *                  pass over the feature rows) is skipped.
     * @param blockCols pair generation is restricted to equal values of
     *                  these columns (null-excluding equality, matching a
     *                  plain SQL join on the same columns).
@@ -265,8 +270,9 @@ object LlmOps {
     // per-doc windows below are skew-free (doc sizes are bounded).
     val f = feats.persist() // two consumers: DF table + the ranked index
     val dfTab = f.groupBy(col("feat")).agg(count(lit(1)).as("df"))
-    val prefix = f.join(dfTab, "feat")
-      .withColumn("sz", count(lit(1)).over(w))
+    val withDf = f.join(dfTab, "feat")
+    val prefix = (if (feats.columns.contains("sz")) withDf
+      else withDf.withColumn("sz", count(lit(1)).over(w)))
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - ceilT + 1)
       .select(col("doc_id") +: col("feat") +: col("sz") +: blockCols.map(col): _*)
@@ -443,18 +449,20 @@ object LlmOps {
     * Returns (doc_a, doc_b, jacc) with doc_a < doc_b, unordered. */
   private def neardupPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.JaccardStr.register(s) // graft_jaccard below; idempotent
-    // Explode-first: the token set is evaluated exactly once per doc
-    // inside the generator — never size(<array expr>) above the
-    // explode, where projection collapse re-evaluates the array per
-    // exploded row (measured 5× the whole query's cost).
-    val feats = T.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(tokensCol).as("feat"))
+    // ONE tokenized projection of the corpus, persisted, feeds all three
+    // consumers (the exploded feature rows and both verify join sides) —
+    // one parquet scan + one split/array_distinct pass instead of three
+    // (the r7 shave; r6 re-scanned documents per consumer). Explode runs
+    // over the CACHED array, so the token set is still evaluated exactly
+    // once per doc — never size(<array expr>) above the explode, where
+    // projection collapse re-evaluates the array per exploded row
+    // (measured 5× the whole query's cost).
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("tk"))
+      .persist()
+    val feats = docs.select(col("doc_id"), col("lang"), col("source"),
+      size(col("tk")).cast("long").as("sz"), explode(col("tk")).as("feat"))
     val cand = jaccardCandidates(feats, Seq("lang", "source"), 4, 5)
-    // Verify: plain shuffle equi-joins on doc_id — the doc table is
-    // corpus-sized, so no broadcast hint; AQE broadcasts at small sf
-    // and shuffles at 100 TB, both correct.
-    val docs = T.documents(s, d).select(col("doc_id"), tokensCol.as("tk"))
     cand
       .join(docs.select(col("doc_id").as("a_id"), col("tk").as("tk_a")),
         col("doc_a") === col("a_id"))
@@ -673,13 +681,19 @@ object LlmOps {
     // DF ordering and the exact max ≤ 5·min size bound still apply).
     "q_llm_ngram" -> ((s, d) => {
       graft.functions.JaccardStr.register(s) // graft_jaccard; idempotent
-      val base = T.documents(s, d)
+      // One persisted shingle projection feeds the feature explode and
+      // both verify join sides — shinglesCol is evaluated ONCE per doc
+      // and the parquet scan happens once (same r7 shave as
+      // neardupPairs; previously 3 scans × 3 shingle evaluations).
+      val docs = T.documents(s, d)
         .withColumn("tk", split(col("text"), " "))
         .filter(size(col("tk")) >= 3)
-      val feats = base.select(col("doc_id"), col("lang"), col("source"),
-        explode(shinglesCol(col("tk"))).as("feat"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          shinglesCol(col("tk")).as("g"))
+        .persist()
+      val feats = docs.select(col("doc_id"), col("lang"), col("source"),
+        size(col("g")).cast("long").as("sz"), explode(col("g")).as("feat"))
       val cand = jaccardCandidates(feats, Seq("lang", "source"), 1, 5)
-      val docs = base.select(col("doc_id"), shinglesCol(col("tk")).as("g"))
       cand
         .join(docs.select(col("doc_id").as("a_id"), col("g").as("g_a")),
           col("doc_a") === col("a_id"))

@@ -58,4 +58,31 @@ class ConnectedComponentsSuite extends SparkSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("PROPERTY: path graphs swept across the maxIter boundary — exact result or clean throw, never partial") {
+    // The documented adversarial case: hash-min needs ~diameter rounds,
+    // and large-star/small-star is deliberately NOT implemented (dedup
+    // components are near-cliques). This sweep pins the CONTRACT that
+    // makes that omission safe: for every path length, the caller gets
+    // either the exact fixpoint or the convergence `require` — a
+    // diameter past the cap can never silently return the intermediate
+    // (wrong) labeling. Min reaches the far end of an n-node path after
+    // n-1 propagation rounds (round 1 is fused into init) plus one
+    // no-change round to detect the fixpoint.
+    val maxIter = 5
+    (3 to 10).foreach { n =>
+      val chain = (1L to n.toLong).sliding(2).map(s => (s(0), s(1))).toSeq
+      try {
+        val out = ConnectedComponents.run(chain.toDF("a", "b"), maxIter)
+          .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rep")).toMap
+        // converged ⟹ EXACT: every node labeled with the global min
+        assert(out === (1L to n.toLong).map(_ -> 1L).toMap,
+          s"n=$n converged to a non-fixpoint labeling: $out")
+        assert(n <= maxIter + 1, s"n=$n cannot converge in $maxIter rounds yet returned")
+      } catch {
+        case _: IllegalArgumentException =>
+          assert(n > maxIter, s"n=$n (diameter ${n - 1}) should fit in $maxIter rounds")
+      } finally spark.catalog.clearCache()
+    }
+  }
 }
