@@ -112,6 +112,33 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"neardup went BNLJ:\n$plan")
   }
 
+  test("q_llm_neardup / q_llm_ngram: the corpus parquet is scanned ONCE (cached projection feeds all consumers)") {
+    // The r7 shave: feature explode + both verify join sides read one
+    // persisted tokenized projection. A regression (e.g. a select that
+    // breaks cache reuse) silently re-plans extra parquet scans — three
+    // of them before r7 — which at 100 TB is two full corpus re-reads
+    // and re-tokenizations per query.
+    // Count UNCACHED file scans by tree walk: InMemoryTableScan holds
+    // its cached plan as a field (not a child), so the one scan that
+    // fills the cache is invisible here — every remaining
+    // FileSourceScanExec is a consumer bypassing the cache.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def uncached(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => uncached(a.inputPlan)
+      case f: FileSourceScanExec => 1
+      case other => other.children.map(uncached).sum
+    }
+    Seq("q_llm_neardup", "q_llm_ngram").foreach { name =>
+      val df = q(name)
+      val n = uncached(df.queryExecution.executedPlan)
+      assert(n == 0,
+        s"$name has $n parquet scan(s) bypassing the cached projection:\n${planString(df)}")
+      assert(planString(df).contains("InMemoryTableScan"),
+        s"$name lost its cached projection entirely")
+      spark.catalog.clearCache() // release the persisted projections
+    }
+  }
+
   test("q_llm_minhash: banded candidate join is an equi-join; no all-pairs operator anywhere") {
     val plan = planString(q("q_llm_minhash"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
