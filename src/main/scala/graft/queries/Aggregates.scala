@@ -128,6 +128,19 @@ object Aggregates {
           grouping(col("o_orderstatus")).cast("int").as("g_s"))
         .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))),
 
+    // §2.4 fixed-width histogram of order totals: bucket = floor(price /
+    // 20000) — one IEEE double division + floor, bit-identical in both
+    // engines — then count + decimal sum per bucket. The classic OLAP
+    // histogram as one map-side-combining hash aggregate: shuffle ∝
+    // bucket count (fixed), never rows, at any corpus size.
+    "q_agg_histogram" -> ((s, d) =>
+      T.orders(s, d)
+        .withColumn("bucket", floor(col("o_totalprice") / lit(20000.0)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("bucket"))),
+
     // §2.4 argmax with explicit tiebreak (max acctbal, tie → lowest
     // custkey) via lexicographic struct max — a single hash aggregate, no
     // window shuffle. The negated key implements the MIN tiebreak inside MAX.
@@ -388,6 +401,10 @@ object Aggregates {
             CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s
           FROM $ords GROUP BY CUBE(o_orderpriority, o_orderstatus)
           ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""",
+    "q_agg_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+            COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS sum_price
+          FROM $ords GROUP BY 1 ORDER BY bucket""",
     "q_agg_minmaxby" ->
       s"""SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM (
             SELECT c_nationkey, c_custkey, c_name, c_acctbal,

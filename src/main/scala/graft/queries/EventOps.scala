@@ -102,6 +102,37 @@ object EventOps {
         .orderBy(col("user_id"))
     }),
 
+    // First-touch conversion funnel — sequential pattern matching over
+    // each user's causal timeline (§2.9: the batch analog of the
+    // reference's per-key ORDERED processing; order is the whole point —
+    // a click BEFORE the first view does not convert). Stages: earliest
+    // 'view', earliest 'click' at-or-after it, earliest 'purchase'
+    // at-or-after that click; emitted as 0/1 stage flags per user.
+    // Plan: three user-keyed map-side-combining hash aggregates + two
+    // user-keyed joins over one persisted 3-column projection — shuffle
+    // ∝ users, no window (a hot user never sorts in one partition).
+    "q_event_funnel" -> ((s, d) => {
+      val e = T.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts")).persist()
+      val v = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      val c = e.join(v.filter(col("t_view").isNotNull), "user_id")
+        .filter(col("event_type") === "click" && col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c.select(col("user_id").as("cu"), col("t_click")),
+          col("user_id") === col("cu"), "left")
+        .join(p.select(col("user_id").as("pu"), col("t_purchase")),
+          col("user_id") === col("pu"), "left")
+        .select(col("user_id"),
+          col("t_view").isNotNull.cast("int").as("s_view"),
+          col("t_click").isNotNull.cast("int").as("s_click"),
+          col("t_purchase").isNotNull.cast("int").as("s_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     // Incremental view maintenance: per-key running count + decimal sum as
     // of each event — the reference's "view" (§1.1), batch form.
     "q_stream_agg_state" -> ((s, d) => {
@@ -119,6 +150,29 @@ object EventOps {
   private val evt = tbl("events")
 
   val oracle: Map[String, String] = Map(
+    // The funnel CTE chain mirrors the Spark stage derivation 1:1; the
+    // >= keeps simultaneous events converting identically on both sides.
+    "q_event_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, ts FROM $evt),
+          v AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+                FROM e GROUP BY user_id),
+          c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+                FROM e JOIN v ON e.user_id = v.user_id
+                WHERE v.t_view IS NOT NULL AND e.event_type = 'click'
+                  AND e.ts >= v.t_view
+                GROUP BY e.user_id),
+          p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+                FROM e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+                GROUP BY e.user_id)
+          SELECT v.user_id,
+            CAST(t_view IS NOT NULL AS INTEGER) AS s_view,
+            CAST(t_click IS NOT NULL AS INTEGER) AS s_click,
+            CAST(t_purchase IS NOT NULL AS INTEGER) AS s_purchase
+          FROM v LEFT JOIN c ON v.user_id = c.user_id
+          LEFT JOIN p ON v.user_id = p.user_id
+          ORDER BY v.user_id""",
     "q_stream_tumble" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
             COUNT(*) AS n, ${sqlSum("value")} AS val

@@ -41,6 +41,23 @@ object TextOps {
     size(filter(toks, t => t.isin(set.map(x => x: Any): _*)))
 
   val queries: Map[String, Q] = Map(
+    // Corpus duplication stats per (lang, source) block: doc count,
+    // distinct-content count (md5), dup count, dup ratio — the
+    // before/after yardstick every dedup pipeline reports. dup_ratio is
+    // ONE IEEE division of exact integers, so it ships unrounded
+    // (§7.4 rule 1). Plan: a single two-phase hash aggregate —
+    // count-distinct partial-aggregates the (block, md5) pairs map-side,
+    // so shuffle ∝ distinct contents per block, never rows; no window,
+    // no join, skew-safe on a mega-duplicate block.
+    "q_text_dupstats" -> ((s, d) =>
+      T.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_uniq"))
+        .withColumn("n_dup", col("n_docs") - col("n_uniq"))
+        .withColumn("dup_ratio", col("n_dup") / col("n_docs"))
+        .orderBy(col("lang"), col("source"))),
+
     // Language ID: marker-token counts per language, argmax with
     // lexicographic tiebreak; reports accuracy vs the labeled lang.
     "q_text_langid" -> ((s, d) => {
@@ -136,6 +153,12 @@ object TextOps {
     s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${set.map(x => s"'$x'").mkString(", ")}))) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    "q_text_dupstats" ->
+      s"""SELECT lang, source, COUNT(*) AS n_docs,
+            COUNT(DISTINCT md5(text)) AS n_uniq,
+            COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup,
+            (COUNT(*) - COUNT(DISTINCT md5(text))) / COUNT(*) AS dup_ratio
+          FROM $doc GROUP BY lang, source ORDER BY lang, source""",
     "q_text_langid" -> {
       val scores = markers
         .map { case (l, set) => s"${sqlCountIn(set)} AS s_$l" }

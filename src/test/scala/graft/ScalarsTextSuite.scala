@@ -139,4 +139,53 @@ class ScalarsTextSuite extends SparkSuite {
     assert(out(3L) === ("no pii in this row at all", 0))
     assert(out(1L)._2 > 0 && out(2L)._2 > 0)
   }
+
+  test("q_text_dupstats: exact dup/unique counts and ratio on a planted corpus") {
+    val dir = Files.createTempDirectory("graft_dupstats").toString
+    Seq( // en/src0: 3 docs, 2 distinct (one exact dup); de/src1: 1 doc
+      (1L, "same text here", "en", "src0"),
+      (2L, "same text here", "en", "src0"),
+      (3L, "different text here", "en", "src0"),
+      (4L, "einzigartig", "de", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.queries("q_text_dupstats")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_uniq"),
+          r.getAs[Long]("n_dup"), r.getAs[Double]("dup_ratio")))).toMap
+    assert(out(("en", "src0")) === ((3L, 2L, 1L, 1.0 / 3.0)))
+    assert(out(("de", "src1")) === ((1L, 1L, 0L, 0.0)))
+  }
+
+  test("q_event_funnel is ORDER-sensitive: a click before the first view does not convert") {
+    val dir = Files.createTempDirectory("graft_funnel").toString
+    val B = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+    def m(min: Long) = B + min * 60000000L
+    Seq( // user 1: full ordered funnel; user 2: click BEFORE its view
+      // (stage 2 never fires — the pattern is sequential, not a bag);
+      // user 3: view+click but purchase precedes the click; user 4:
+      // simultaneous view/click at the same ts converts (>= contract)
+      (1L, m(0), 1L, "view", 1.0), (2L, m(5), 1L, "click", 1.0),
+      (3L, m(9), 1L, "purchase", 1.0),
+      (4L, m(5), 2L, "click", 1.0), (5L, m(9), 2L, "view", 1.0),
+      (6L, m(0), 3L, "purchase", 1.0), (7L, m(1), 3L, "view", 1.0),
+      (8L, m(2), 3L, "click", 1.0),
+      (9L, m(4), 4L, "view", 1.0), (10L, m(4), 4L, "click", 1.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      // the real events.parquet stores ts as an int64 of NANOS (read back
+      // through Tables.events' div-1000 + timestamp_micros) — mirror that
+      .withColumn("ts", (col("ts_us") * 1000L)).drop("ts_us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_event_funnel")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("s_view"), r.getAs[Int]("s_click"),
+          r.getAs[Int]("s_purchase")))).toMap
+    spark.catalog.clearCache()
+    assert(out(1L) === ((1, 1, 1)), "ordered view->click->purchase converts fully")
+    assert(out(2L) === ((1, 0, 0)), "click before first view must NOT count")
+    assert(out(3L) === ((1, 1, 0)), "purchase before the qualifying click must NOT count")
+    assert(out(4L) === ((1, 1, 0)), "simultaneous view+click converts stage 2 (>= contract)")
+  }
 }
