@@ -73,29 +73,33 @@ object Bench {
     // r4; neutral warmup — disjoint from graded tables — since r5/r6;
     // min-of-2 timing since r6.)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // Per-query values at centisecond precision, dropping to decisecond
-    // once a value reaches 10 s: the driver's tail capture is exactly
-    // 2000 chars and also holds sbt's ~75-char epilog, so the whole line
-    // must stay under ~1920 — at 90 queries the adaptive form caps the
-    // worst case near 1830 (uniform "%.2f" could hit 1908 if a throttled
-    // host pushed every query past 10 s). Sub-1% digits are noise anyway;
-    // the total keeps 3 digits.
-    def fmtQ(v: Double): String =
-      (if (v >= 10) "%.1f" else "%.2f").formatLocal(java.util.Locale.ROOT, v)
+    // LINE BUDGET: the driver's tail capture is exactly 2000 chars and
+    // also holds sbt's ~75-char epilog, so the whole JSON line must stay
+    // under ~1920 or the head of the line is cut and the round's bench
+    // parses as null (happened r4-r5 with full-precision doubles). At 97
+    // queries the r6 format (2dp per query, full sf path, empty errors
+    // object) measures 1971 — OVER budget — so since r7: per-query
+    // values are DECISECOND precision (sub-100ms digits are host noise;
+    // the 3dp total and 2dp yard carry the precision), the errors object
+    // is omitted when empty (kept when not — a failing round must show
+    // its failures even at the cost of the budget), and sf is the
+    // basename (the driver knows which dir it passed). Measures ~1847
+    // at 97 queries ⇒ ~17 chars per future query of headroom.
+    def fmtQ(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => jstr(k) + ":" + fmtQ(v) }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
+    val errJson = if (errors.isEmpty) ""
+      else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // "m2c" = min-of-2 cache-cold runs per query (see the header comment);
-    // kept to 3 chars because the whole line must fit the driver's
-    // 2000-char tail capture — 94 queries × 4-char values ≈ 1870 chars.
+    // "m2c" = min-of-2 cache-cold runs per query (see the header comment).
     // "yard" = q_scan's own time: the simplest-possible query is a
     // host-speed self-yardstick (BASELINE.md documents intermittent
     // CPU throttling on the shared bench host; cross-round comparisons
     // should normalize by this instead of guessing).
     val yard = results.getOrElse("q_scan", 0.0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2c","yard":${fmtQ(yard)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2c","yard":${"%.2f".formatLocal(java.util.Locale.ROOT, yard)},"queries":$qs$errJson,"sf":"$sfName"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
