@@ -29,6 +29,11 @@ case class GapOut(user_id: Long, n_events: Long, n_gaps: Long,
 /** As-of enrichment state: the max-(ts, id) click seen per key. */
 case class AsofState(cId: Long, cUs: Long)
 
+/** Funnel-tracker state: stage timestamps in µs, -1 = stage not reached. */
+case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+
+case class FunnelOut(user_id: Long, s_view: Int, s_click: Int, s_purchase: Int)
+
 case class AsofOut(p_id: Long, user_id: Long, p_us: Long,
                    c_id: Option[Long], c_us: Option[Long],
                    gap_us: Option[Long])
@@ -156,6 +161,56 @@ object StreamOps {
           }
           state.update(s)
           Iterator.single(GapOut(user, s.n, s.nGaps, s.missing, s.maxGap))
+      }
+  }
+
+  /** Streaming funnel tracker — the stateful twin of the graded
+    * q_event_funnel (first-touch view → click-at-or-after → purchase-
+    * at-or-after). State per key is ONE row of three stage timestamps,
+    * so state is O(keys) with no watermark needed, and each event is a
+    * constant-time state transition — the one-pass form of the batch
+    * query's three aggregation passes.
+    *
+    * Within a micro-batch, events process in (ts, stage, event_id)
+    * order — views before clicks before purchases at an equal
+    * timestamp — so a click at the same microsecond as the first view
+    * converts, exactly the batch query's `>=` contract. The greedy
+    * first-match equals the batch min-based derivation BECAUSE of that
+    * order: the first view seen is the min view, and the first
+    * qualifying click seen is the min click ≥ t_view. Across
+    * micro-batches exactness needs per-key causal in-order delivery
+    * (the reference's ordering guarantee — same one-sided contract as
+    * [[dedupFirstArrival]] / [[asofEnrich]]); batch evaluation is one
+    * group holding the whole history, where the contract is vacuous,
+    * and the parity suite pins it equal to the graded query. */
+  def funnel(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def stageRank(t: String): Int =
+      t match { case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3 }
+    // no event_type pre-filter: the graded query reports EVERY user (a
+    // user with only non-funnel events gets a (0,0,0) row), so the twin
+    // must see every key too — non-funnel events are state no-ops
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          it.toSeq.sortBy(e => (e.ts_us, stageRank(e.event_type), e.event_id))
+            .foreach { e =>
+              e.event_type match {
+                case "view" if s.tView < 0L => s = s.copy(tView = e.ts_us)
+                case "click" if s.tClick < 0L && s.tView >= 0L
+                  && e.ts_us >= s.tView => s = s.copy(tClick = e.ts_us)
+                case "purchase" if s.tPurchase < 0L && s.tClick >= 0L
+                  && e.ts_us >= s.tClick => s = s.copy(tPurchase = e.ts_us)
+                case _ => ()
+              }
+            }
+          state.update(s)
+          Iterator.single(FunnelOut(user,
+            if (s.tView >= 0L) 1 else 0,
+            if (s.tClick >= 0L) 1 else 0,
+            if (s.tPurchase >= 0L) 1 else 0))
       }
   }
 

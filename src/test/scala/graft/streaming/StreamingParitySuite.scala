@@ -576,6 +576,45 @@ class StreamingParitySuite extends SparkSuite {
     assert(fn === graded && fn.nonEmpty)
   }
 
+  test("funnel tracker: stream == same function in batch == graded q_event_funnel; order-sensitivity preserved") {
+    // mini-events funnel truth: user 1 has view@5, clicks@10/50, purchase@60
+    // → full conversion; user 2 has views@0, click@29, purchases@55/60
+    // → full conversion. Order-sensitivity is covered by the graded
+    // query's own fixture test; here the STREAM must agree while
+    // receiving the events split across 3 micro-batches.
+    val expected = Map(1L -> ((1, 1, 1)), 2L -> ((1, 1, 1)))
+    val batchOut = StreamOps.funnel(miniEvents.toDS()).collect()
+      .map(o => o.user_id -> ((o.s_view, o.s_click, o.s_purchase))).toMap
+    assert(batchOut === expected)
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.funnel(ms.toDS())
+      .writeStream.format("memory").queryName("funnel_par")
+      .outputMode("update").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // update mode re-emits per batch; the LAST row per user is the final state
+    val streamed = spark.table("funnel_par")
+      .groupBy(col("user_id"))
+      .agg(max(col("s_view")).as("v"), max(col("s_click")).as("c"),
+        max(col("s_purchase")).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(streamed === expected)
+    // and batch evaluation of the stateful function equals the graded
+    // query on the full sf0.001 events table (every user, every flag)
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val fn = StreamOps.funnel(events).collect()
+      .map(o => o.user_id -> ((o.s_view, o.s_click, o.s_purchase))).toMap
+    val graded = graft.queries.EventOps.queries("q_event_funnel")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("s_view"), r.getAs[Int]("s_click"),
+          r.getAs[Int]("s_purchase")))).toMap
+    spark.catalog.clearCache()
+    assert(fn === graded && fn.nonEmpty)
+  }
+
   test("as-of enrichment: stream == same function in batch == expected on mini events") {
     val expected = Set(
       // user 1, purchase 5 @60min: latest click is 4 @50min
