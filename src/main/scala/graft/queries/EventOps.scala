@@ -133,6 +133,35 @@ object EventOps {
         .orderBy(col("user_id"))
     }),
 
+    // Cohort retention — the other classic event-analytics shape (the
+    // funnel's population-level complement): users cohorted by their
+    // FIRST active hour; for each offset k = 0..3, how many of the
+    // cohort were active in cohort-hour + k. All integer/timestamp
+    // arithmetic — layout-independent by construction. Plan: user-keyed
+    // min agg (map-side combining) + user-keyed join-back + distinct on
+    // (cohort, k, user) + final hash agg — shuffle ∝ users then
+    // ∝ distinct (cohort, k, user) triples, never raw events; no window.
+    "q_event_retention" -> ((s, d) => {
+      // distinct-first: raw events collapse to active (user, hour)
+      // pairs BEFORE the join, so the join and everything after run on
+      // the collapsed table; (cohort, k, user) is then already distinct
+      // (h ↔ k is a bijection given cohort). The k division is exact —
+      // both sides are hour-truncated, so the µs diff is an exact
+      // multiple of 3.6e9 and the double quotient is an exact integer.
+      val e = T.events(s, d)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val first = e.groupBy(col("user_id")).agg(min(col("h")).as("cohort"))
+      e.join(first, "user_id")
+        .withColumn("k",
+          ((unix_micros(col("h")) - unix_micros(col("cohort")))
+            / lit(3600000000L)).cast("long"))
+        .filter(col("k") <= 3)
+        .groupBy(col("cohort"), col("k"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("k"))
+    }),
+
     // Incremental view maintenance: per-key running count + decimal sum as
     // of each event — the reference's "view" (§1.1), batch form.
     "q_stream_agg_state" -> ((s, d) => {
@@ -173,6 +202,16 @@ object EventOps {
           FROM v LEFT JOIN c ON v.user_id = c.user_id
           LEFT JOIN p ON v.user_id = p.user_id
           ORDER BY v.user_id""",
+    "q_event_retention" ->
+      s"""WITH e AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+                     FROM $evt),
+          f AS (SELECT user_id, MIN(h) AS cohort FROM e GROUP BY user_id)
+          SELECT f.cohort,
+            CAST((epoch_us(e.h) - epoch_us(f.cohort)) / 3600000000 AS BIGINT) AS k,
+            COUNT(*) AS n_users
+          FROM e JOIN f ON e.user_id = f.user_id
+          WHERE (epoch_us(e.h) - epoch_us(f.cohort)) / 3600000000 <= 3
+          GROUP BY 1, 2 ORDER BY cohort, k""",
     "q_stream_tumble" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
             COUNT(*) AS n, ${sqlSum("value")} AS val

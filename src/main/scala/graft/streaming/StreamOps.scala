@@ -340,4 +340,49 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** The sequence-gap audit on Spark 4's `transformWithState` — the
+    * successor API to `flatMapGroupsWithState` (typed named state via a
+    * [[org.apache.spark.sql.streaming.StatefulProcessorHandle]], TTL,
+    * timers, schema-evolvable state) and the one the 100×-state
+    * machinery is built around: transformWithState REQUIRES the RocksDB
+    * state-store provider, so this path and SURVEY §3.4's at-scale
+    * backend are exercised together. Same per-key transition function
+    * as [[gapAudit]]; the parity test pins both APIs produce identical
+    * audits over identical micro-batches. */
+  def gapAuditTws(events: Dataset[Event]): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new GapAuditProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+}
+
+/** [[StreamOps.gapAuditTws]]'s processor: ONE ValueState row per key —
+  * the same state shape the flatMapGroupsWithState twin keeps. */
+class GapAuditProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, GapOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[GapState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[GapState]("gap",
+      Encoders.product[GapState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[GapOut] = {
+    var s = if (state.exists()) state.get() else GapState(-1L, 0L, 0L, 0L, 0L)
+    rows.toSeq.sortBy(_.event_id).foreach { e =>
+      if (s.lastId >= 0L && e.event_id - s.lastId > 1L) {
+        val g = e.event_id - s.lastId - 1L
+        s = s.copy(nGaps = s.nGaps + 1L, missing = s.missing + g,
+          maxGap = math.max(s.maxGap, g))
+      }
+      s = s.copy(lastId = e.event_id, n = s.n + 1L)
+    }
+    state.update(s)
+    Iterator.single(GapOut(user, s.n, s.nGaps, s.missing, s.maxGap))
+  }
 }

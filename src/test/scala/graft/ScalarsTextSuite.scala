@@ -188,4 +188,29 @@ class ScalarsTextSuite extends SparkSuite {
     assert(out(3L) === ((1, 1, 0)), "purchase before the qualifying click must NOT count")
     assert(out(4L) === ((1, 1, 0)), "simultaneous view+click converts stage 2 (>= contract)")
   }
+
+  test("q_event_retention: hand-computed cohort table on a planted timeline") {
+    val dir = Files.createTempDirectory("graft_retention").toString
+    val B = 1704067200000000L
+    def h(hour: Long, min: Long = 0) = B + hour * 3600000000L + min * 60000000L
+    Seq( // user 1 active hours 0,1,3 (two events in hour 0 — counted once);
+         // user 2 hour 0 only; user 3 hours 2,3 (cohort = hour 2)
+      (1L, h(0), 1L), (2L, h(0, 30), 1L), (3L, h(1), 1L), (4L, h(3), 1L),
+      (5L, h(0), 2L),
+      (6L, h(2), 3L), (7L, h(3), 3L))
+      .toDF("event_id", "ts_us", "user_id")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us") // int64 nanos on disk
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_event_retention")(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("cohort").getTime / 3600000L - B / 3600000000L,
+        r.getAs[Long]("k")) -> r.getAs[Long]("n_users")).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L, // users 1+2 in their cohort hour
+      (0L, 1L) -> 1L, // user 1 returns at +1h
+      (0L, 3L) -> 1L, // user 1 returns at +3h (k=3 inclusive)
+      (2L, 0L) -> 1L, // user 3's own cohort
+      (2L, 1L) -> 1L)) // user 3 returns at +1h
+  }
 }

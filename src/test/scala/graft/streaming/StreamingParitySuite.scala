@@ -345,6 +345,42 @@ class StreamingParitySuite extends SparkSuite {
       s"no RocksDB artifacts under $cp/state: $stateFiles")
   }
 
+  test("transformWithState gap audit == flatMapGroupsWithState gap audit across a restart (Spark 4 state API)") {
+    // Same recovery scenario as the two tests above, on the SUCCESSOR
+    // state API (typed named ValueState via StatefulProcessor).
+    // transformWithState requires the RocksDB provider, so a cloned
+    // session supplies it; identical final audits across an identical
+    // batch split + restart pin the two APIs as interchangeable here.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val cp = Files.createTempDirectory("graft_tws_cp").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    def ev(id: Long, u: Long) = Event(id, min(id), u, "view", 1.0)
+    val ms = MemoryStream[Event](s2)
+    def start(): StreamingQuery = StreamOps.gapAuditTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[GapOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          buf ++= rows.map(o =>
+            (o.user_id, o.n_events, o.n_gaps, o.missing_total, o.max_gap))
+        }
+        ()
+      }
+      .option("checkpointLocation", cp).outputMode("update").start()
+    val q1 = start()
+    try { ms.addData(Seq(ev(1, 1), ev(2, 1))); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(buf.synchronized(buf.last) === ((1L, 2L, 0L, 0L, 0L)))
+    val q2 = start()
+    try { ms.addData(Seq(ev(5, 1))); q2.processAllAvailable() }
+    finally q2.stop()
+    // the jump 2 -> 5 counts as one gap of 2 — identical to the
+    // flatMapGroupsWithState audit's recovery semantics
+    assert(buf.synchronized(buf.last) === ((1L, 3L, 1L, 2L, 2L)))
+  }
+
   test("session windows close and emit in append mode once the watermark passes") {
     val ms = MemoryStream[Event](spark)
     val agg = StreamOps.session(
