@@ -133,4 +133,39 @@ class CapabilitiesSuite extends SparkSuite {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
     assert(SparkEntry.queries.size >= 94)
   }
+
+  test("HeavyHitters (Misra-Gries) guarantee holds under every partitioning: frequent items surface within the floor") {
+    // the sketch's value is the CONTRACT, not the exact estimates: any
+    // item with true count > n/(k+1) appears, with estimate in
+    // [true - floor, true], on ANY layout — verified here across three
+    // very different partitionings of the same word stream against the
+    // exact counts.
+    import graft.operators.HeavyHitters
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("item"))
+    val exact = words.groupBy(col("item")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 50
+    Seq(words.repartition(1), words.repartition(7), words.repartition(32))
+      .foreach { layout =>
+        val sk = HeavyHitters.sketch(layout, k).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        spark.catalog.clearCache()
+        val floor = sk.headOption.map(_._2._2).getOrElse(0L)
+        assert(floor <= n / (k + 1))
+        exact.foreach { case (item, true_) =>
+          if (true_ > n / (k + 1)) {
+            val (est, fl) = sk.getOrElse(item,
+              fail(s"frequent item '$item' (count $true_ > ${n / (k + 1)}) missing"))
+            assert(est <= true_ && est >= true_ - fl,
+              s"'$item' est=$est outside [${true_ - fl}, $true_]")
+          }
+        }
+        // every reported estimate is a lower bound — never an overcount
+        sk.foreach { case (item, (est, _)) =>
+          assert(est <= exact.getOrElse(item, 0L), s"'$item' overcounted")
+        }
+      }
+  }
 }
