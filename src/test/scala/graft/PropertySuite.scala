@@ -112,6 +112,39 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("funnel law: greedy one-pass fold == min-based three-pass definition on any timeline") {
+    // THE equivalence StreamOps.funnel's single pass rests on: processed
+    // in (ts, stage, id) order, greedy first-match produces exactly the
+    // batch query's min-based stage times (t_view = min view ts;
+    // t_click = min click ts >= t_view; t_purchase = min purchase
+    // ts >= t_click). Random timelines with heavy ts collisions
+    // (ts drawn from 0..5) exercise the equal-timestamp edge the
+    // in-batch stage ordering exists for.
+    val event: Gen[(Long, Int, Long)] = for { // (ts, stage, id)
+      ts <- Gen.chooseNum(0L, 5L)
+      st <- Gen.chooseNum(0, 3) // 0=view 1=click 2=purchase 3=other
+      id <- Gen.chooseNum(0L, 1000L)
+    } yield (ts, st, id)
+    check("funnel")(Prop.forAll(Gen.resize(25, Gen.listOf(event))) { evs =>
+      // three-pass min-based definition
+      val tView = evs.collect { case (ts, 0, _) => ts }.minOption
+      val tClick = tView.flatMap(v =>
+        evs.collect { case (ts, 1, _) if ts >= v => ts }.minOption)
+      val tPurch = tClick.flatMap(c =>
+        evs.collect { case (ts, 2, _) if ts >= c => ts }.minOption)
+      // greedy one-pass over (ts, stage, id) order
+      var (gv, gc, gp) = (-1L, -1L, -1L)
+      evs.sortBy { case (ts, st, id) => (ts, st, id) }.foreach {
+        case (ts, 0, _) if gv < 0 => gv = ts
+        case (ts, 1, _) if gc < 0 && gv >= 0 && ts >= gv => gc = ts
+        case (ts, 2, _) if gp < 0 && gc >= 0 && ts >= gc => gp = ts
+        case _ => ()
+      }
+      (tView.getOrElse(-1L), tClick.getOrElse(-1L), tPurch.getOrElse(-1L)) ==
+        ((gv, gc, gp))
+    })
+  }
+
   test("Spark law: unionAll count is additive, intersect is exact set intersection") {
     val spark = SharedSpark.spark
     import spark.implicits._
