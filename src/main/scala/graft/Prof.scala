@@ -6,9 +6,9 @@ object Prof {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q_scan", "q_llm_neardup", "q_llm_ngram", "q_llm_minhash",
-        "q_llm_ann", "q_topk_group", "q_stream_session", "q_llm_embdup_lsh",
-        "q_llm_ivf", "q_join_theta")
+      else Seq("q_scan", "q_llm_cc", "q_llm_minhash", "q_llm_ngram",
+        "q_text_tfidf", "q_llm_neardup", "q_llm_simdup", "q_llm_ivf",
+        "q_event_funnel", "q_event_retention")
     // warmup: pay the cold floor on a trivial query
     SparkEntry.queries("q_scan")(spark, sfDir).count()
     names.foreach { n =>
