@@ -190,4 +190,21 @@ class RelationalSuite extends SparkSuite {
       .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Double]("running_rev")).toMap
     assert(got === expected && got.nonEmpty)
   }
+
+  test("q_agg_histogram: buckets replicate driver-side floor(price/20000); boundary lands up") {
+    // the bucket edge case the oracle could mask: a price EXACTLY on a
+    // bucket boundary (20000.0 / 20000.0 = 1.0 exactly in IEEE double —
+    // the division is exact because 20000 = 2^5 · 625 and the quotient
+    // is representable) must land in the UPPER bucket in both engines.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    import spark.implicits._
+    Seq((1L, 0.0), (2L, 19999.9921875), (3L, 20000.0), (4L, 20000.015625),
+      (5L, 40000.0), (6L, 39999.984375))
+      .toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_agg_histogram")(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_orders")).toMap
+    assert(out === Map(0L -> 2L, 1L -> 3L, 2L -> 1L),
+      s"boundary prices bucketed wrong: $out")
+  }
 }
