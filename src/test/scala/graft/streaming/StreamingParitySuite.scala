@@ -651,6 +651,40 @@ class StreamingParitySuite extends SparkSuite {
     assert(fn === graded && fn.nonEmpty)
   }
 
+  test("funnel tracker contract is ONE-SIDED: a click arriving after its purchase was processed cannot resurrect it") {
+    // The documented degradation under causal-delivery violation (the
+    // same one-sided contract as dedupFirstArrival/asofEnrich): event
+    // time says view@0 -> click@10 -> purchase@20 converts fully, and
+    // batch evaluation sees exactly that; but if the click ARRIVES in a
+    // later micro-batch than the purchase, the purchase was already
+    // judged without a qualifying click and stays unconverted. This
+    // pins that the scaladoc's delivery precondition is real, not
+    // decorative.
+    val evs = Seq(
+      Event(1, min(0), 9L, "view", 1.0),
+      Event(2, min(20), 9L, "purchase", 1.0),
+      Event(3, min(10), 9L, "click", 1.0))
+    val batchOut = StreamOps.funnel(evs.toDS()).collect()
+      .map(o => o.user_id -> ((o.s_view, o.s_click, o.s_purchase))).toMap
+    assert(batchOut === Map(9L -> ((1, 1, 1))), "single-group batch sees the full funnel")
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.funnel(ms.toDS())
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode("update").start()
+    try {
+      ms.addData(evs.take(2)); q.processAllAvailable() // view + purchase
+      ms.addData(evs.drop(2)); q.processAllAvailable() // the late click
+    } finally q.stop()
+    val last = spark.table("funnel_ooo")
+      .groupBy(col("user_id"))
+      .agg(max(col("s_view")).as("v"), max(col("s_click")).as("c"),
+        max(col("s_purchase")).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(last === Map(9L -> ((1, 1, 0))),
+      "late click sets stage 2, but the already-processed purchase is not resurrected")
+  }
+
   test("as-of enrichment: stream == same function in batch == expected on mini events") {
     val expected = Set(
       // user 1, purchase 5 @60min: latest click is 4 @50min
