@@ -170,6 +170,22 @@ object Aggregates {
           coalesce(col("error"), lit(0L)).as("n_error"))
         .orderBy(col("bucket"))),
 
+    // §2.4 unpivot (melt, the pivot inverse): part's numeric metrics
+    // wide→long via the native `unpivot` operator — Catalyst plans one
+    // Expand over a single scan (rows × |metrics|, never |metrics|
+    // scans; the oracle's UNION ALL form is what a naive engine would
+    // run — DuckDB folds it back to one scan too). Metrics share a
+    // DOUBLE type, the Expand is map-side only (the sole exchange is
+    // the contract's final order).
+    "q_unpivot" -> ((s, d) =>
+      T.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "metric", "val")
+        .orderBy(col("p_partkey"), col("metric"))),
+
     // §2.6 multi-key global sort (range partitioned).
     "q_sort" -> ((s, d) =>
       T.orders(s, d)
@@ -420,6 +436,13 @@ object Aggregates {
             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
           FROM $evt GROUP BY 1 ORDER BY bucket""",
+    "q_unpivot" ->
+      s"""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+          FROM ${tbl("part")}
+          UNION ALL
+          SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val
+          FROM ${tbl("part")}
+          ORDER BY p_partkey, metric""",
     "q_sort" ->
       s"""SELECT o_orderkey, o_totalprice, o_orderdate FROM $ords
           ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC""",

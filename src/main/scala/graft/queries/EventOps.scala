@@ -162,6 +162,27 @@ object EventOps {
         .orderBy(col("cohort"), col("k"))
     }),
 
+    // Event-path transition matrix — per-key Markov step counts over the
+    // causal timeline (§1.1's per-key ordering as a path analytic): in
+    // each user's (event_id) arrival order, count every consecutive
+    // (prev_type → next_type) transition corpus-wide. Plan: one lag
+    // window partitioned by the causality key (state ∝ 1 row — lag(1)
+    // never buffers a partition) + a map-side-combining hash agg whose
+    // shuffle is ∝ |type|² (≤25 groups), not rows. event_id is unique
+    // per user, so the order — and the transition multiset — is
+    // deterministic under any layout.
+    "q_event_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"))
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // Incremental view maintenance: per-key running count + decimal sum as
     // of each event — the reference's "view" (§1.1), batch form.
     "q_stream_agg_state" -> ((s, d) => {
@@ -202,6 +223,15 @@ object EventOps {
           FROM v LEFT JOIN c ON v.user_id = c.user_id
           LEFT JOIN p ON v.user_id = p.user_id
           ORDER BY v.user_id""",
+    "q_event_paths" ->
+      s"""WITH seq AS (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id
+                     ORDER BY event_id ASC) AS prev_type,
+                   event_type AS next_type
+            FROM $evt)
+          SELECT prev_type, next_type, COUNT(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2 ORDER BY prev_type, next_type""",
     "q_event_retention" ->
       s"""WITH e AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
                      FROM $evt),

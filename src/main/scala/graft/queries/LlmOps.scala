@@ -795,6 +795,27 @@ object LlmOps {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Per-label exact embedding centroid — the graded counterpart of the
+    // unit-only KMeans training step: mean per (label, dimension) in the
+    // exact decimal domain, so the reduction is order-independent (§7.4)
+    // — restoring precisely the property whose absence makes float
+    // k-means un-oracle-able. Plan: posexplode (rows × 64, map-side
+    // only) → ONE map-side-combining hash agg keyed (label, pos) —
+    // partial aggregation means the shuffle carries |labels| × 64
+    // partial sums per map task, never corpus rows. float→double cast
+    // is exact; 6dp decimal keeps ~full float precision with no
+    // half-even boundary hazard (floats are never exact at 6dp).
+    "q_llm_centroid" -> ((s, d) =>
+      T.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("v").cast("double").cast("decimal(18,6)").as("v"))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("v")), 6).cast("double") / count(lit(1)))
+            .as("centroid"))
+        .orderBy(col("label"), col("pos"))),
+
     // Token frequency: top-20 words (tie → lexicographic).
     "q_llm_wordcount" -> ((s, d) =>
       T.documents(s, d)
@@ -1106,6 +1127,19 @@ object LlmOps {
                       JOIN base b ON vec_b = b.vec_id) z
           WHERE sim >= 0.35 ORDER BY vec_a, vec_b"""
     },
+    // Parallel UNNESTs in one SELECT zip positionally in DuckDB, so
+    // range(len(e)) pairs index i with element i — the posexplode twin.
+    // v casts float→double (exact) before the decimal sum, mirroring
+    // the Spark side bit-for-bit.
+    "q_llm_centroid" ->
+      s"""WITH x AS (SELECT label,
+                 UNNEST(range(len(embedding))) AS pos,
+                 UNNEST(embedding) AS v
+               FROM $emb)
+          SELECT label, pos, COUNT(*) AS n,
+            CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))), 6) AS DOUBLE)
+              / COUNT(*) AS centroid
+          FROM x GROUP BY 1, 2 ORDER BY label, pos""",
     "q_llm_wordcount" ->
       s"""SELECT word, COUNT(*) AS n
           FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM $doc) t

@@ -84,6 +84,28 @@ object WindowFns {
         (round(sum(col("o_totalprice").cast(Det.Dec)).over(mov), 4).cast("double")
           / count(lit(1)).over(mov)).as("mov3_avg"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Value-based RANGE frame (vs q_win_frame's row-based ROWS): per
+    // customer ordered by o_totalprice, how many of their orders fall
+    // within 10000 below this one, and their decimal sum. RANGE frames
+    // are peer-inclusive — rows tied on the order key share one frame —
+    // so the result is deterministic WITHOUT a unique tiebreak column
+    // (ROWS would be ambiguous under ties; RANGE is the frame kind that
+    // tolerates them). Same single hash-partition shuffle as every
+    // window over the customer key.
+    "q_win_rangeframe" -> ((s, d) => {
+      // expr-text frame: the typed rangeBetween(Long) API hard-casts its
+      // boundaries while the SQL path coerces the 10000 literal to the
+      // DOUBLE order key — same analyzed plan, no boundary-type friction.
+      val fr = "PARTITION BY o_custkey ORDER BY o_totalprice ASC " +
+        "RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW"
+      T.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        expr(s"count(1) OVER ($fr)").as("n_band"),
+        expr(s"CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER ($fr), 4) AS DOUBLE)")
+          .as("band_rev"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -135,6 +157,17 @@ object WindowFns {
             mov AS (PARTITION BY o_custkey
               ORDER BY o_orderdate ASC, o_orderkey ASC
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+          ORDER BY o_orderkey""",
+    // n_band is BIGINT on both sides (Spark count → long; DuckDB COUNT →
+    // BIGINT). Peer rows (totalprice ties) share a frame by RANGE
+    // semantics in both engines.
+    "q_win_rangeframe" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice,
+            COUNT(*) OVER band AS n_band,
+            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER band, 4) AS DOUBLE) AS band_rev
+          FROM $ords
+          WINDOW band AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
+              RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
           ORDER BY o_orderkey"""
   )
 }

@@ -26,6 +26,11 @@ case class GapState(lastId: Long, n: Long, nGaps: Long,
 case class GapOut(user_id: Long, n_events: Long, n_gaps: Long,
                   missing_total: Long, max_gap: Long)
 
+/** Path-tracker state: the key's last seen event type ("" = none). */
+case class PathState(lastType: String)
+
+case class PathStep(user_id: Long, prev_type: String, next_type: String)
+
 /** As-of enrichment state: the max-(ts, id) click seen per key. */
 case class AsofState(cId: Long, cUs: Long)
 
@@ -161,6 +166,30 @@ object StreamOps {
           }
           state.update(s)
           Iterator.single(GapOut(user, s.n, s.nGaps, s.missing, s.maxGap))
+      }
+  }
+
+  /** Streaming twin of the graded q_event_paths transition extraction:
+    * ONE row of state per key (the last event type); each event emits at
+    * most one (prev → next) transition step. Within a micro-batch events
+    * replay in event_id order (the batch lag-window's order); across
+    * batches exactness needs per-key causal in-order delivery — the same
+    * one-sided contract as [[gapAudit]]. The graded query's corpus-wide
+    * GROUP BY is downstream of this extraction; the parity suite
+    * aggregates these steps and pins them equal to the batch form. */
+  def paths(events: Dataset[Event]): Dataset[PathStep] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[PathState]) =>
+          var last = state.getOption.map(_.lastType).getOrElse("")
+          val out = Seq.newBuilder[PathStep]
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            if (last.nonEmpty) out += PathStep(user, last, e.event_type)
+            last = e.event_type
+          }
+          state.update(PathState(last))
+          out.result().iterator
       }
   }
 

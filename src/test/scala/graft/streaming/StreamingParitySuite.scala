@@ -612,6 +612,46 @@ class StreamingParitySuite extends SparkSuite {
     assert(fn === graded && fn.nonEmpty)
   }
 
+  test("path tracker: stream == batch == graded q_event_paths transition counts") {
+    // per-key transitions of miniEvents in event_id order:
+    // user 1: click→view→click→click→purchase; user 2:
+    // view→view→click→purchase→purchase→error — 9 steps total.
+    val expected = Map(
+      ("click", "click") -> 1L, ("click", "purchase") -> 2L,
+      ("click", "view") -> 1L, ("purchase", "error") -> 1L,
+      ("purchase", "purchase") -> 1L, ("view", "click") -> 2L,
+      ("view", "view") -> 1L)
+    def toCounts(rows: Array[PathStep]): Map[(String, String), Long] =
+      rows.groupBy(p => (p.prev_type, p.next_type))
+        .map { case (k, v) => k -> v.length.toLong }
+    val batchOut = toCounts(StreamOps.paths(miniEvents.toDS()).collect())
+    assert(batchOut === expected)
+    // stream: same function over 3 micro-batches; state (one last-type
+    // row per key) carries transitions across the batch boundary, and
+    // each step is emitted exactly once
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.paths(ms.toDS())
+      .writeStream.format("memory").queryName("paths_par")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("paths_par")
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === expected)
+    // and the stateful extraction aggregates to the graded corpus query
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val fn = toCounts(StreamOps.paths(events).collect())
+    val graded = graft.queries.EventOps.queries("q_event_paths")(spark, sf)
+      .collect().map(r => (r.getAs[String]("prev_type"),
+        r.getAs[String]("next_type")) -> r.getAs[Long]("n")).toMap
+    assert(fn === graded && fn.nonEmpty)
+  }
+
   test("funnel tracker: stream == same function in batch == graded q_event_funnel; order-sensitivity preserved") {
     // mini-events funnel truth: user 1 has view@5, clicks@10/50, purchase@60
     // → full conversion; user 2 has views@0, click@29, purchases@55/60
