@@ -367,6 +367,48 @@ object LlmOps {
       .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
   }
 
+  /** Per-vector top-`nprobe` centroid ranking — shared by [[ivfQuery]]
+    * (assignment + probe lists) and the graded one-step Lloyd update
+    * (q_llm_kmeans1, nprobe = 1).
+    *
+    * The quantizer is bounded by construction (k × dim doubles), so it
+    * collapses to ONE array-valued row that broadcasts, and each vector
+    * computes its top-nprobe lists per-row: scored transform →
+    * comparator sort (csim desc, cent_id asc — identical ordering to
+    * the DuckDB twin; comparator instead of sorting on a negated key so
+    * a csim of ±0.0 can never split a tie group, with explicit
+    * NaN-sorts-first arms mirroring how both engines order NaN under
+    * DESC, in case a zero-norm vector ever yields 0/0) → slice(nprobe).
+    * Assignment therefore costs ZERO shuffle at any corpus size; the
+    * pre-r6 form (crossJoin + row_number over a vec_id window)
+    * shuffled AND sorted the corpus × |centroids| expansion — the last
+    * corpus-expansion exchange in the library. Only the top-nprobe rows
+    * per vector are ever materialized (n·nprobe, corpus-linear). */
+  private def ivfRanked(base: DataFrame, cents: DataFrame,
+                        nprobe: Int): DataFrame = {
+    val centArr = cents
+      .agg(collect_list(struct(col("cent_id"), col("ce"), col("cn"))).as("cs"))
+    base.crossJoin(broadcast(centArr))
+      .withColumn("top", expr(
+        s"""slice(array_sort(
+              transform(cs, c -> struct(
+                round(graft_dot(e, c.ce) / (nrm * c.cn), 6) AS csim,
+                c.cent_id AS cent_id)),
+              (l, r) -> CASE
+                WHEN l.csim > r.csim
+                  OR (isnan(l.csim) AND NOT isnan(r.csim)) THEN -1
+                WHEN l.csim < r.csim
+                  OR (isnan(r.csim) AND NOT isnan(l.csim)) THEN 1
+                WHEN l.cent_id < r.cent_id THEN -1
+                WHEN l.cent_id > r.cent_id THEN 1
+                ELSE 0 END),
+            1, $nprobe)"""))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("t.cent_id").as("cent_id"), (col("p") + 1).as("crk"))
+  }
+
   /** IVF-flat ANN, parameterized. Assignment is a broadcast argmax over
     * |centroids| dots per vector (centroids are k×dim — driver-small BY
     * CONSTRUCTION, the one legitimate broadcast in this family); each
@@ -389,40 +431,7 @@ object LlmOps {
       .withColumn("nrm", norm(col("e")))
     val cents = centroids.map(_.withColumn("cn", norm(col("ce"))))
       .getOrElse(ivfDefaultQuantizer(base))
-    // The quantizer is bounded by construction (k × dim doubles), so it
-    // collapses to ONE array-valued row that broadcasts, and each vector
-    // computes its top-nprobe lists per-row: scored transform →
-    // comparator sort (csim desc, cent_id asc — identical ordering to
-    // the DuckDB twin; comparator instead of sorting on a negated key so
-    // a csim of ±0.0 can never split a tie group, with explicit
-    // NaN-sorts-first arms mirroring how both engines order NaN under
-    // DESC, in case a zero-norm vector ever yields 0/0) → slice(nprobe).
-    // Assignment therefore costs ZERO shuffle at any corpus size; the
-    // previous form (crossJoin + row_number over a vec_id window)
-    // shuffled AND sorted the corpus × |centroids| expansion — the last
-    // corpus-expansion exchange in the library. Only the top-nprobe rows
-    // per vector are ever materialized (n·nprobe, corpus-linear).
-    val centArr = cents
-      .agg(collect_list(struct(col("cent_id"), col("ce"), col("cn"))).as("cs"))
-    val ranked = base.crossJoin(broadcast(centArr))
-      .withColumn("top", expr(
-        s"""slice(array_sort(
-              transform(cs, c -> struct(
-                round(graft_dot(e, c.ce) / (nrm * c.cn), 6) AS csim,
-                c.cent_id AS cent_id)),
-              (l, r) -> CASE
-                WHEN l.csim > r.csim
-                  OR (isnan(l.csim) AND NOT isnan(r.csim)) THEN -1
-                WHEN l.csim < r.csim
-                  OR (isnan(r.csim) AND NOT isnan(l.csim)) THEN 1
-                WHEN l.cent_id < r.cent_id THEN -1
-                WHEN l.cent_id > r.cent_id THEN 1
-                ELSE 0 END),
-            1, $nprobe)"""))
-      .select(col("vec_id"), col("e"), col("nrm"),
-        posexplode(col("top")).as(Seq("p", "t")))
-      .select(col("vec_id"), col("e"), col("nrm"),
-        col("t.cent_id").as("cent_id"), (col("p") + 1).as("crk"))
+    val ranked = ivfRanked(base, cents, nprobe)
       .persist() // consumed by both the probe side and the list side
     val assigned = ranked.filter(col("crk") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))
@@ -738,6 +747,34 @@ object LlmOps {
     // `centroids` parameter (unit-tested — k-means itself is float-
     // reduction-order dependent, so it cannot be oracle-graded).
     "q_llm_ivf" -> ((s, d) => ivfQuery(s, d, nprobe = 2, k = 3)),
+
+    // One EXACT Lloyd iteration, graded end-to-end — the step the
+    // unit-only float KMeans runs approximately, made oracle-checkable:
+    // the fixed-K stride quantizer seeds ~32 centroids; every vector
+    // assigns to its nearest centroid per-row (the same zero-shuffle
+    // scored-transform argmax as q_llm_ivf, nprobe = 1, cosine with 6dp
+    // round + cent_id tiebreak so both engines pick identical winners);
+    // the update step recomputes each centroid per dimension as the
+    // exact decimal mean of its members (q_llm_centroid's machinery).
+    // Plan: broadcast-assign (zero shuffle) → posexplode (map-side) →
+    // one map-side-combining hash agg; shuffle ∝ K × dims partial sums
+    // per task, never corpus rows — a full Lloyd pass whose only
+    // exchange is K×64 rows wide, at any corpus size.
+    "q_llm_kmeans1" -> ((s, d) => {
+      graft.functions.DotF64.register(s)
+      val base = T.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", norm(col("e")))
+      ivfRanked(base, ivfDefaultQuantizer(base), nprobe = 1)
+        .select(col("cent_id"), posexplode(col("e")).as(Seq("pos", "v")))
+        .select(col("cent_id"), col("pos").cast("long").as("pos"),
+          col("v").cast("decimal(18,6)").as("v"))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(count(lit(1)).as("n_members"),
+          (round(sum(col("v")), 6).cast("double") / count(lit(1)))
+            .as("c_new"))
+        .orderBy(col("cent_id"), col("pos"))
+    }),
 
     // Embedding-cosine near-duplicate pairs within label blocks — exact
     // form (labels bound block size here); see q_llm_embdup_lsh for the
@@ -1092,6 +1129,34 @@ object LlmOps {
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
               ORDER BY sim DESC, vec_id ASC) AS rk FROM pairs) x
           WHERE rk <= 3 ORDER BY probe_id, rk""",
+    // Same base/cents/ranked chain as q_llm_ivf's twin (crk = 1 is the
+    // assignment); the update step is the zip-UNNEST decimal mean of
+    // q_llm_centroid's twin, keyed by the won centroid.
+    "q_llm_kmeans1" ->
+      s"""WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+              ${normSql("CAST(embedding AS DOUBLE[])")} AS nrm
+            FROM $emb),
+          cents AS (
+            SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+            FROM base WHERE vec_id % greatest(1,
+              CAST(floor((SELECT COUNT(*) FROM base) / 32) AS BIGINT)) = 0),
+          ranked AS (
+            SELECT b.vec_id, b.e, c.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                round(list_aggregate(list_transform(b.e, (x, i) -> x * c.ce[i]), 'sum')
+                  / (b.nrm * c.cn), 6) DESC, c.cent_id ASC) AS crk
+            FROM base b CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, e, cent_id FROM ranked WHERE crk = 1),
+          x AS (SELECT cent_id,
+                  UNNEST(range(len(e))) AS pos,
+                  UNNEST(e) AS v
+                FROM assigned)
+          SELECT cent_id, pos, COUNT(*) AS n_members,
+            CAST(ROUND(SUM(CAST(v AS DECIMAL(18,6))), 6) AS DOUBLE)
+              / COUNT(*) AS c_new
+          FROM x GROUP BY 1, 2 ORDER BY cent_id, pos""",
     "q_llm_embdup" ->
       s"""WITH base AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,

@@ -181,6 +181,18 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"ivf went cartesian:\n$plan")
   }
 
+  test("q_llm_kmeans1: the Lloyd pass has no Window and no corpus-expansion join") {
+    // assignment is the same per-row broadcast argmax as q_llm_ivf but
+    // with NO probe side — so no Window may appear anywhere, and the
+    // update step must be a partial-aggregating hash agg (shuffle
+    // bounded by K × dims), never a key window over the members
+    val plan = planString(q("q_llm_kmeans1"))
+    assert(!plan.contains("Window"), s"kmeans1 grew a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"kmeans1 went cartesian:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, // partial + final
+      s"update step lost map-side combining:\n$plan")
+  }
+
   test("q_dedup / q_llm_dedup / q_text_fingerprint: keep-first and cluster stats are aggregates, not key-partitioned windows") {
     // a Window over the dedup key funnels a mega-cluster into one
     // partition; these must stay map-side-combining aggregates
