@@ -31,6 +31,8 @@ case class PathState(lastType: String)
 
 case class PathStep(user_id: Long, prev_type: String, next_type: String)
 
+case class TypeCountOut(user_id: Long, event_type: String, n: Long)
+
 /** As-of enrichment state: the max-(ts, id) click seen per key. */
 case class AsofState(cId: Long, cUs: Long)
 
@@ -385,6 +387,21 @@ object StreamOps {
       .transformWithState(new GapAuditProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
+
+  /** Per-key per-type running counts on the transformWithState MapState
+    * primitive — the sub-keyed-view shape of the new state API (the gap
+    * and causal trackers fit ONE ValueState row; a per-type count view
+    * is a map, and MapState stores each sub-key as its OWN state-store
+    * entry, so updating one type point-writes one row instead of
+    * rewriting the whole per-key blob — the locality that matters once
+    * per-key state stops being a handful of longs). Emits a row per
+    * (key, type) touched in the batch, with the updated running count. */
+  def typeCountsTws(events: Dataset[Event]): Dataset[TypeCountOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
 }
 
 /** [[StreamOps.gapAuditTws]]'s processor: ONE ValueState row per key —
@@ -413,5 +430,34 @@ class GapAuditProcessor
     }
     state.update(s)
     Iterator.single(GapOut(user, s.n, s.nGaps, s.missing, s.maxGap))
+  }
+}
+
+/** [[StreamOps.typeCountsTws]]'s processor: one MapState entry per
+  * (key, event_type) — see the builder's scaladoc for why a map, not a
+  * ValueState blob. Counts are order-insensitive, so no event_id sort
+  * is needed: any arrival order yields the same totals. */
+class TypeCountsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TypeCountOut] {
+  import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("typeCounts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[TypeCountOut] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { e =>
+      val cur =
+        if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+        else 0L
+      counts.updateValue(e.event_type, cur + 1L)
+      touched += e.event_type
+    }
+    touched.iterator.map(t => TypeCountOut(user, t, counts.getValue(t)))
   }
 }

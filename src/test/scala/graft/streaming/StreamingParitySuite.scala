@@ -381,6 +381,30 @@ class StreamingParitySuite extends SparkSuite {
     assert(buf.synchronized(buf.last) === ((1L, 3L, 1L, 2L, 2L)))
   }
 
+  test("transformWithState MapState: per-type running counts == batch groupBy across a batch split") {
+    // the MapState (sub-keyed view) shape of the new state API; counts
+    // are order-insensitive so this pins the map semantics — point
+    // updates per (key, type) accumulating across micro-batches
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.typeCountsTws(ms.toDS())
+      .writeStream.format("memory").queryName("typecounts_par")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // counts only grow, so the final value per (user, type) is the max
+    val streamed = s2.table("typecounts_par")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = miniEvents.groupBy(e => (e.user_id, e.event_type))
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("session windows close and emit in append mode once the watermark passes") {
     val ms = MemoryStream[Event](spark)
     val agg = StreamOps.session(
