@@ -5,14 +5,17 @@ package graft
   * `errors` object, its time is still charged to the total (so a crash
   * can never *improve* the bench), and the process exits non-zero.
   *
-  * Timing is min-of-2 (since r6, declared in the method field): each
-  * query runs twice with a cache evict between, and the faster run is
-  * reported. Rationale: the shared bench host is intermittently
-  * throttled (BASELINE.md records the caveat; BENCH_r05 showed 2–8×
-  * inflation on UNTOUCHED trivial queries vs r4), and min-of-k is the
-  * standard way to report the code's cost rather than the host's worst
-  * moment. Both runs start cache-cold (clearCache between), so the min
-  * still pays the query's own scan/shuffle/codegen work.
+  * Timing is min-of-2 INTERLEAVED passes (since r7, "m2ci" in the
+  * method field; plain back-to-back min-of-2 "m2c" in r6): every query
+  * runs once, then the whole suite runs again, and each query reports
+  * its faster attempt. Rationale: the shared bench host is
+  * intermittently throttled (BASELINE.md records the caveat; BENCH_r05
+  * showed 2–8× inflation on UNTOUCHED trivial queries vs r4), and
+  * min-of-k reports the code's cost rather than the host's worst
+  * moment — but only if the k attempts don't share the throttle
+  * window, hence the pass separation. All runs start cache-cold
+  * (clearCache between), so the min still pays the query's own
+  * scan/shuffle/codegen work.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,26 +45,40 @@ object Bench {
         .write.mode("overwrite").parquet(warmDir)
       spark.read.parquet(warmDir).groupBy("s").count().orderBy("s").collect()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            errors ::= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-            System.err.println(s"[bench] $name FAILED: $e")
-            false
-          }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // Cache hygiene between runs/queries (outside the timed window,
-        // so eviction cost is never charged to the measured query).
-        spark.catalog.clearCache()
-        (elapsed, ok)
-      }
-      val (t1, ok1) = once()
-      // A failed query is charged its single (failed) elapsed time and
-      // not retried — a crash can never improve the bench.
-      val elapsed = if (ok1) math.min(t1, once()._1) else t1
+    def once(name: String,
+             fn: (org.apache.spark.sql.SparkSession, String) =>
+               org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors ::= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          System.err.println(s"[bench] $name FAILED: $e")
+          false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Cache hygiene between runs/queries (outside the timed window,
+      // so eviction cost is never charged to the measured query).
+      spark.catalog.clearCache()
+      (elapsed, ok)
+    }
+    // INTERLEAVED min-of-2 (method "m2ci", since r7): a full pass over
+    // every query, then a second full pass, min per query. The r6 form
+    // ran each query's two attempts back-to-back, so a host-throttle
+    // window (BASELINE.md:29-32) inflated BOTH attempts of whichever
+    // queries it overlapped — r7's first run showed unchanged sub-second
+    // queries at 3× with a healthy yardstick. Separating the passes by
+    // the whole suite (~tens of seconds) decorrelates the throttle
+    // window from any single query, so min-of-2 actually removes it.
+    val qseq = SparkEntry.queries.toSeq
+    val pass1 = qseq.map { case (name, fn) => name -> once(name, fn) }.toMap
+    val results = qseq.map { case (name, fn) =>
+      val (t1, ok1) = pass1(name)
+      // A failed query is charged its (failed) elapsed time — a crash
+      // can never improve the bench.
+      val elapsed =
+        if (!ok1) t1
+        else { val (t2, ok2) = once(name, fn); if (ok2) math.min(t1, t2) else t2 }
       name -> elapsed
     }
     // Times are printed with millisecond (3-decimal) precision, and the
@@ -71,7 +88,7 @@ object Bench {
     // driver recorded parsed:null. Sub-ms digits were measurement noise
     // anyway. (Method history: inter-query clearCache() untimed since
     // r4; neutral warmup — disjoint from graded tables — since r5/r6;
-    // min-of-2 timing since r6.)
+    // min-of-2 timing since r6, interleaved passes since r7.)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // LINE BUDGET: the driver's tail capture is exactly 2000 chars and
     // also holds sbt's ~75-char epilog, so the whole JSON line must stay
@@ -86,20 +103,24 @@ object Bench {
     // basename (the driver knows which dir it passed). Measures ~1847
     // at 97 queries ⇒ ~17 chars per future query of headroom.
     def fmtQ(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => jstr(k) + ":" + fmtQ(v) }
+    // keys drop the uniform "q_" prefix (declared via "qprefix") — at
+    // 103 queries the full-name line measured 1972, over the ~1920
+    // tail budget; the prefix is 2 chars × |queries| of pure redundancy
+    val qs = results.map { case (k, v) =>
+      jstr(k.stripPrefix("q_")) + ":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val errJson = if (errors.isEmpty) ""
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(""","errors":{""", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // "m2c" = min-of-2 cache-cold runs per query (see the header comment).
     // "yard" = q_scan's own time: the simplest-possible query is a
     // host-speed self-yardstick (BASELINE.md documents intermittent
     // CPU throttling on the shared bench host; cross-round comparisons
     // should normalize by this instead of guessing).
-    val yard = results.getOrElse("q_scan", 0.0)
+    val yard = results.toMap.getOrElse("q_scan", 0.0)
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2c","yard":${"%.2f".formatLocal(java.util.Locale.ROOT, yard)},"queries":$qs$errJson,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2ci","qprefix":"q_","yard":${"%.2f".formatLocal(java.util.Locale.ROOT, yard)},"queries":$qs$errJson,"sf":"$sfName"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

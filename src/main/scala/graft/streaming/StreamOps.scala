@@ -33,6 +33,8 @@ case class PathStep(user_id: Long, prev_type: String, next_type: String)
 
 case class TypeCountOut(user_id: Long, event_type: String, n: Long)
 
+case class RollingOut(event_id: Long, user_id: Long, roll3_val: Double)
+
 /** As-of enrichment state: the max-(ts, id) click seen per key. */
 case class AsofState(cId: Long, cUs: Long)
 
@@ -402,6 +404,24 @@ object StreamOps {
       .transformWithState(new TypeCountsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
+
+  /** Rolling 3-event decimal sum per key on the transformWithState
+    * ListState primitive — the bounded-buffer shape of the new state
+    * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
+    * rows — type counts; ListState: an appendable bounded window —
+    * this). The streaming form of a batch
+    * `ROWS BETWEEN 2 PRECEDING AND CURRENT ROW` frame: per event, the
+    * decimal(18,4) sum of the last ≤3 values in event_id order. State
+    * is ≤3 scaled longs per key at any history length; values are
+    * stored 4dp-scaled exact (Det.dsum's decimal contract), so the
+    * emitted sum is layout- and batch-split-independent. Same in-order
+    * per-key delivery contract as [[gapAudit]]. */
+  def rollingSumTws(events: Dataset[Event]): Dataset[RollingOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RollingSumProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
 }
 
 /** [[StreamOps.gapAuditTws]]'s processor: ONE ValueState row per key —
@@ -459,5 +479,40 @@ class TypeCountsProcessor
       touched += e.event_type
     }
     touched.iterator.map(t => TypeCountOut(user, t, counts.getValue(t)))
+  }
+}
+
+/** [[StreamOps.rollingSumTws]]'s processor: ListState holds the last
+  * ≤3 values as 4dp-scaled longs (exact decimal arithmetic — summing
+  * scaled longs IS the decimal sum, and a long survives state-store
+  * round-trips bit-exactly where a double re-encode invites doubt).
+  * The list is rewritten via clear+appendList on each event — O(3), and
+  * the buffer bound makes state size independent of history length. */
+class RollingSumProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RollingOut] {
+  import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var window: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    window = getHandle.getListState[Long]("roll3",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  private def scaled(v: Double): Long =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[RollingOut] = {
+    var buf = window.get().toList
+    val out = rows.toSeq.sortBy(_.event_id).map { e =>
+      buf = (buf :+ scaled(e.value)).takeRight(3)
+      RollingOut(e.event_id, user,
+        BigDecimal(java.math.BigDecimal.valueOf(buf.sum, 4)).toDouble)
+    }
+    window.clear()
+    if (buf.nonEmpty) window.appendList(buf.toArray)
+    out.iterator
   }
 }

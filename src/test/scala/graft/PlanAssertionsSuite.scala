@@ -181,6 +181,16 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"ivf went cartesian:\n$plan")
   }
 
+  test("q_unpivot: melt is a single-scan Expand, not one scan per metric") {
+    // the unpivot must plan as ONE parquet scan feeding an Expand
+    // (rows × |metrics| map-side); the naive UNION-of-scans form reads
+    // the table |metrics| times
+    val plan = planString(q("q_unpivot"))
+    assert(plan.contains("Expand"), s"unpivot lost its Expand:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+  }
+
   test("q_llm_kmeans1: the Lloyd pass has no Window and no corpus-expansion join") {
     // assignment is the same per-row broadcast argmax as q_llm_ivf but
     // with NO probe side — so no Window may appear anywhere, and the

@@ -405,6 +405,34 @@ class StreamingParitySuite extends SparkSuite {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("transformWithState ListState: rolling 3-event sum == batch ROWS frame across a batch split") {
+    // the bounded-buffer (ListState) shape of the new state API: per
+    // event, the decimal sum of the last <=3 values in event_id order,
+    // against the batch rowsBetween(-2, 0) window frame
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.rollingSumTws(ms.toDS())
+      .writeStream.format("memory").queryName("roll3_par")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = s2.table("roll3_par").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("roll3_val")).toMap
+    // batch truth: decimal mov-3 sum over the same per-key event_id order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      .rowsBetween(-2, 0)
+    val batch = miniEvents.toDF()
+      .withColumn("roll3_val",
+        round(sum(col("value").cast(graft.Det.Dec)).over(w), 4).cast("double"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("roll3_val")).toMap
+    assert(streamed === batch && streamed.size === miniEvents.size)
+  }
+
   test("session windows close and emit in append mode once the watermark passes") {
     val ms = MemoryStream[Event](spark)
     val agg = StreamOps.session(
