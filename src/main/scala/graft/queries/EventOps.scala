@@ -162,6 +162,24 @@ object EventOps {
         .orderBy(col("cohort"), col("k"))
     }),
 
+    // Windowed top-k — the classic streaming leaderboard: per tumbling
+    // 1h window, the top-3 users by decimal value sum (tie → lowest
+    // user_id). Two-phase: per-(window, user) map-side-combining hash
+    // agg (shuffle ∝ windows × active users, never raw events), then
+    // the rank filter runs as WindowGroupLimit — O(k) rows per window
+    // retained, never a full per-window sort.
+    "q_stream_topk" -> ((s, d) => {
+      val agg = T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(Det.dsum(col("value")).as("val"))
+        .select(col("w.start").as("window_start"), col("user_id"), col("val"))
+      val rw = Window.partitionBy(col("window_start"))
+        .orderBy(col("val").desc, col("user_id").asc)
+      agg.withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 3)
+        .orderBy(col("window_start"), col("rk"))
+    }),
+
     // Event-path transition matrix — per-key Markov step counts over the
     // causal timeline (§1.1's per-key ordering as a path analytic): in
     // each user's (event_id) arrival order, count every consecutive
@@ -223,6 +241,15 @@ object EventOps {
           FROM v LEFT JOIN c ON v.user_id = c.user_id
           LEFT JOIN p ON v.user_id = p.user_id
           ORDER BY v.user_id""",
+    "q_stream_topk" ->
+      s"""WITH agg AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+              user_id, ${sqlSum("value")} AS val
+            FROM $evt GROUP BY 1, 2)
+          SELECT window_start, user_id, val, CAST(rk AS INTEGER) AS rk
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+              ORDER BY val DESC, user_id ASC) AS rk FROM agg) x
+          WHERE rk <= 3 ORDER BY window_start, rk""",
     "q_event_paths" ->
       s"""WITH seq AS (
             SELECT LAG(event_type) OVER (PARTITION BY user_id

@@ -90,9 +90,11 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(plan.contains("Window"), s"expected a window pass:\n$plan")
   }
 
-  test("q_topk_group: per-group top-k runs as WindowGroupLimit before the full sort") {
-    val plan = planString(q("q_topk_group"))
-    assert(plan.contains("WindowGroupLimit"), s"top-k not group-limited:\n$plan")
+  test("q_topk_group / q_stream_topk: per-group top-k runs as WindowGroupLimit before the full sort") {
+    Seq("q_topk_group", "q_stream_topk").foreach { name =>
+      val plan = planString(q(name))
+      assert(plan.contains("WindowGroupLimit"), s"$name not group-limited:\n$plan")
+    }
   }
 
   test("q_limit: ordered limit plans as TakeOrderedAndProject (no global sort materialization)") {

@@ -112,6 +112,29 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("path law: transition count == events minus active keys, for any keyed timeline") {
+    // The q_event_paths / StreamOps.paths conservation law: each key
+    // with n_k >= 1 events contributes exactly n_k - 1 transitions
+    // (every event except the key's first follows a predecessor), so
+    // summing over keys: |transitions| = |events| - |active keys| —
+    // independent of types, timestamps, or how events interleave.
+    val timeline: Gen[List[(Long, String)]] =
+      Gen.chooseNum(0, 30).flatMap(n =>
+        Gen.listOfN(n, for {
+          k <- Gen.chooseNum(1L, 5L)
+          t <- Gen.oneOf("view", "click", "purchase")
+        } yield (k, t)))
+    check("paths")(Prop.forAll(timeline) { evs =>
+      val byKey = evs.groupBy(_._1)
+      val transitions = byKey.values.map(g =>
+        g.map(_._2).zip(g.map(_._2).drop(1))).toList.flatten
+      transitions.size == evs.size - byKey.size &&
+        // per-key recount: grouping the transition multiset by
+        // (prev, next) loses nothing
+        transitions.groupBy(identity).values.map(_.size).sum == transitions.size
+    })
+  }
+
   test("funnel law: greedy one-pass fold == min-based three-pass definition on any timeline") {
     // THE equivalence StreamOps.funnel's single pass rests on: processed
     // in (ts, stage, id) order, greedy first-match produces exactly the
