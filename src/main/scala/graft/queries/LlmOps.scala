@@ -618,6 +618,29 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Triangle enumeration over the near-dup pair graph — the dedup-QA
+    // clique-ness signal (a cluster whose pairs close into triangles is
+    // a true duplicate clique; a sparse path-shaped component is
+    // chained borderline matches that deserve review before mass
+    // deletion). The a < b < c orientation inherited from the pair
+    // list IS the standard forward enumeration: each triangle is
+    // produced exactly once as wedge (a→b→c) + closing edge (a, c),
+    // and the wedge join is bounded by oriented out-degrees, not raw
+    // degrees. Edges here are near-dup PAIRS (≪ corpus at any scale —
+    // the 0.8 threshold bounds cluster sizes), joined by plain
+    // equi-joins that AQE sizes.
+    "q_llm_tri" -> ((s, d) => {
+      val p = neardupPairs(s, d).select(col("doc_a"), col("doc_b")).persist()
+      val e1 = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e2 = p.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+      val e3 = p.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          col("c").as("doc_c"))
+        .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
+    }),
+
     // Deterministic train/val/test split: bucket = md5-derived 32-bit
     // hash of doc_id mod 10 → 80/10/10. Hash-based (not rand()) so the
     // assignment is reproducible across runs, engines, and cluster
@@ -931,6 +954,24 @@ object LlmOps {
     // its component; MIN(reach) = the component rep the Spark side's
     // hash-min propagation converges to). The pairs CTE is textually the
     // q_llm_neardup oracle body — same pair set by construction.
+    // Same all-pairs pair CTE as the cc twin; the triangle join is the
+    // oriented wedge + closing-edge form (a < b < c by construction).
+    "q_llm_tri" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+              list_distinct(string_split(text, ' ')) AS tk FROM $doc),
+          pairs AS (
+            SELECT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.tk, b.tk)) AS INTEGER)
+                  / (CAST(len(a.tk) AS INTEGER) + CAST(len(b.tk) AS INTEGER)
+                     - CAST(len(list_intersect(a.tk, b.tk)) AS INTEGER)) AS jacc
+              FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+                AND a.doc_id < b.doc_id) x
+            WHERE jacc >= 0.8)
+          SELECT p1.doc_a AS doc_a, p1.doc_b AS doc_b, p2.doc_b AS doc_c
+          FROM pairs p1 JOIN pairs p2 ON p2.doc_a = p1.doc_b
+            JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+          ORDER BY 1, 2, 3""",
     "q_llm_cc" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, lang, source,
               list_distinct(string_split(text, ' ')) AS tk FROM $doc),

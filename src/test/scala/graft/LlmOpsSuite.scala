@@ -55,6 +55,13 @@ class LlmOpsSuite extends SparkSuite {
     Seq(3L, 4L, 5L, 6L, 7L).foreach(id => assert(out(id) === (1L, id)))
   }
 
+  test("q_llm_tri: the {1,2,3} clique closes into exactly one triangle; the lone (4,5) edge into none") {
+    val out = q("q_llm_tri", docsDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("doc_c")))
+    assert(out.toSeq === Seq((1L, 2L, 3L)))
+  }
+
   test("q_llm_neardup: permutation counts as dup; 0.8 boundary pair included") {
     val out = q("q_llm_neardup", docsDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jacc"))

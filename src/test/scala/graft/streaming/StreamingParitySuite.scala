@@ -381,6 +381,46 @@ class StreamingParitySuite extends SparkSuite {
     assert(buf.synchronized(buf.last) === ((1L, 3L, 1L, 2L, 2L)))
   }
 
+  test("windowed leaderboard: streamed per-window user sums rank to the batch top-k (q_stream_topk's stage)") {
+    // q_stream_topk's aggregation stage runs as a standard streaming
+    // windowed agg (update mode); ranking the groups' final sums equals
+    // the batch two-phase form — the leaderboard pattern end-to-end
+    val ms = MemoryStream[Event](spark)
+    val agg = withTs(ms.toDF())
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(graft.Det.dsum(col("value")).as("val"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("val"))
+    val q = agg.writeStream.format("memory").queryName("topk_par")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // final state per (window, user) = the max update (decimal sums of
+    // the all-positive fixture values only grow)
+    val streamed = spark.table("topk_par")
+      .groupBy(col("window_start"), col("user_id"))
+      .agg(max(col("val")).as("val"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("val").desc, col("user_id").asc)
+    val ranked = streamed.withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= 3).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[Long]("user_id")) -> (r.getAs[Double]("val"), r.getAs[Int]("rk")))
+      .toMap
+    // batch truth: the same two-phase form over the full fixture
+    val batchAgg = batchDf
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(graft.Det.dsum(col("value")).as("val"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("val"))
+    val batch = batchAgg.withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= 3).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[Long]("user_id")) -> (r.getAs[Double]("val"), r.getAs[Int]("rk")))
+      .toMap
+    assert(ranked === batch && ranked.nonEmpty)
+  }
+
   test("transformWithState MapState: per-type running counts == batch groupBy across a batch split") {
     // the MapState (sub-keyed view) shape of the new state API; counts
     // are order-insensitive so this pins the map semantics — point
