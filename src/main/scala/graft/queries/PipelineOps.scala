@@ -268,12 +268,46 @@ object PipelineOps {
     "q_llm_contam" -> ((s, d) => contamAudit(T.documents(s, d))),
     "q_llm_sample" -> ((s, d) => stratifiedSample(T.documents(s, d), SampleK)),
     "q_llm_pack" -> ((s, d) => pack(T.documents(s, d), PackBudget, PackShards)),
+    // Packing-efficiency audit — the QA composition over [[pack]]: per
+    // (lang, shard) stream, bins used, docs, total tokens, and the mean
+    // bin fill ratio vs the token budget (the number a training-data
+    // team watches to size the budget). bins are 0-based contiguous by
+    // construction, so n_bins = max(bin)+1; fill_ratio is ONE IEEE
+    // division of exact int64s — ships unrounded per §7.4. Adds one
+    // map-side-combining hash agg (shuffle ∝ lang × shards) on top of
+    // pack's single window exchange.
+    "q_llm_packeff" -> ((s, d) =>
+      pack(T.documents(s, d), PackBudget, PackShards)
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tok"),
+          (max(col("bin")) + 1).as("n_bins"))
+        .withColumn("fill_ratio",
+          col("total_tok") / (col("n_bins") * lit(PackBudget)))
+        .orderBy(col("lang"), col("shard"))),
     "q_text_rep" -> ((s, d) => repScore(T.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidfTopTerms(T.documents(s, d), TfidfK)),
     "q_llm_mix" -> ((s, d) => mixPlan(T.documents(s, d))),
     "q_llm_ingest" -> ((s, d) => ingestDedup(T.documents(s, d))))
 
   private val doc = tbl("documents")
+
+  /** Shared core of the q_llm_pack twin (no ORDER BY) — also the input
+    * CTE of the q_llm_packeff audit. */
+  private val packCoreSql =
+    s"""SELECT doc_id, lang, shard, n_tok, cum_before,
+            CAST(FLOOR(cum_before / $PackBudget) AS BIGINT) AS bin
+          FROM (
+            SELECT doc_id, lang, shard, n_tok,
+              COALESCE(CAST(SUM(n_tok) OVER (
+                PARTITION BY lang, shard ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS cum_before
+            FROM (SELECT doc_id, lang,
+                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % $PackShards AS shard
+                  FROM $doc) t) w"""
 
   /** The split CTE is textually the q_llm_split bucket derivation. */
   private val bucketSql =
@@ -323,21 +357,16 @@ object PipelineOps {
                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
                   FROM $doc) h) r
           WHERE rk <= $SampleK ORDER BY doc_id""",
-    "q_llm_pack" ->
-      s"""SELECT doc_id, lang, shard, n_tok, cum_before,
-            CAST(FLOOR(cum_before / $PackBudget) AS BIGINT) AS bin
-          FROM (
-            SELECT doc_id, lang, shard, n_tok,
-              COALESCE(CAST(SUM(n_tok) OVER (
-                PARTITION BY lang, shard ORDER BY doc_id ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-                0) AS cum_before
-            FROM (SELECT doc_id, lang,
-                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
-                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                      % $PackShards AS shard
-                  FROM $doc) t) w
+    "q_llm_pack" -> s"""$packCoreSql
           ORDER BY doc_id""",
+    "q_llm_packeff" ->
+      s"""WITH p AS ($packCoreSql)
+          SELECT lang, shard, COUNT(*) AS n_docs,
+            CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+            MAX(bin) + 1 AS n_bins,
+            CAST(SUM(n_tok) AS BIGINT) / ((MAX(bin) + 1) * $PackBudget)
+              AS fill_ratio
+          FROM p GROUP BY 1, 2 ORDER BY lang, shard""",
     "q_text_tfidf" ->
       s"""WITH tok AS (
             SELECT doc_id, len(string_split(text, ' ')) AS doc_len,
