@@ -75,6 +75,33 @@ object MultimodalOps {
             .as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Payload dedup storage audit — exact content dedup on the BINARY
+    // path, rolled up per sniffed media kind: how many payloads, how
+    // many distinct contents, how many dups, and the bytes a
+    // content-addressed store would save (the capacity number a
+    // multimodal corpus plans around; copies of one content share its
+    // size by definition). Two stacked map-side-combining hash aggs —
+    // shuffle ∝ distinct contents then ∝ kinds, never a window over
+    // the hash (a viral payload's copies combine map-side).
+    "q_mm_dedupstats" -> ((s, d) => {
+      val p = col("payload")
+      T.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          when(byteVal(p, 1) % 3 === 0, "image")
+            .when(byteVal(p, 1) % 3 === 1, "audio")
+            .otherwise("video").as("kind_stub"),
+          md5(p).as("h"), length(p).cast("long").as("nb"))
+        .groupBy(col("kind_stub"), col("h"))
+        .agg(count(lit(1)).as("copies"), max(col("nb")).as("nb"))
+        .groupBy(col("kind_stub"))
+        .agg(sum(col("copies")).as("n_payloads"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("copies") - 1).as("n_dups"),
+          sum((col("copies") - 1) * col("nb")).as("bytes_dedupable"))
+        .orderBy(col("kind_stub"))
+    }),
+
     // Stubbed decode + feature extraction: fake decoded dimensions from
     // header bytes (where the codec would report them) and a real
     // byte-level feature (mean of the first 8 byte values, 6dp).
@@ -120,6 +147,22 @@ object MultimodalOps {
               UNNEST(range(0, (octet_length(text::BLOB) + ${ChunkBytes - 1}) // $ChunkBytes)) AS chunk_idx
             FROM $doc WHERE doc_id < 50) t
           ORDER BY doc_id, chunk_idx""",
+    "q_mm_dedupstats" ->
+      s"""WITH p AS (SELECT
+              CASE WHEN ${sqlByteVal(1)} % 3 = 0 THEN 'image'
+                   WHEN ${sqlByteVal(1)} % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS kind_stub,
+              md5(text) AS h,
+              CAST(octet_length(text::BLOB) AS BIGINT) AS nb
+            FROM $doc),
+          g AS (SELECT kind_stub, h, COUNT(*) AS copies, MAX(nb) AS nb
+                FROM p GROUP BY 1, 2)
+          SELECT kind_stub,
+            CAST(SUM(copies) AS BIGINT) AS n_payloads,
+            COUNT(*) AS n_distinct,
+            CAST(SUM(copies - 1) AS BIGINT) AS n_dups,
+            CAST(SUM((copies - 1) * nb) AS BIGINT) AS bytes_dedupable
+          FROM g GROUP BY 1 ORDER BY kind_stub""",
     "q_mm_features" ->
       s"""SELECT doc_id,
             CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
