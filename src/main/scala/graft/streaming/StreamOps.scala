@@ -35,6 +35,12 @@ case class TypeCountOut(user_id: Long, event_type: String, n: Long)
 
 case class RollingOut(event_id: Long, user_id: Long, roll3_val: Double)
 
+/** Retention-tracker state: first-active hour (µs) + a 4-bit mask of
+  * active offsets 0..3 relative to it. */
+case class RetState(cohortUs: Long, mask: Int)
+
+case class RetOut(user_id: Long, cohort_us: Long, mask: Int)
+
 /** As-of enrichment state: the max-(ts, id) click seen per key. */
 case class AsofState(cId: Long, cUs: Long)
 
@@ -170,6 +176,45 @@ object StreamOps {
           }
           state.update(s)
           Iterator.single(GapOut(user, s.n, s.nGaps, s.missing, s.maxGap))
+      }
+  }
+
+  /** Streaming twin of the graded q_event_retention cohort derivation:
+    * per key, TWO WORDS of state — the first-active hour (cohort) and a
+    * 4-bit mask of which offsets 0..3 the key was active in. Unlike the
+    * other trackers this one needs NO delivery-order contract at all:
+    * the fold is commutative. An event in an hour at-or-after the
+    * cohort ORs its offset bit in (offsets > 3 are discarded — and once
+    * discardable, forever discardable); an event BEFORE the known
+    * cohort rebases it, left-shifting the mask by the hour gap (old
+    * offsets grow by the shift; bits pushed past 3 drop, which is
+    * exactly where they land relative to the earlier cohort). State is
+    * O(1) per key against an unbounded timeline — the graded query's
+    * distinct-(user, hour) table is the whole history. The parity suite
+    * aggregates the masks to (cohort, k, n_users) and pins them equal
+    * to the graded batch query. */
+  def retention(events: Dataset[Event]): Dataset[RetOut] = {
+    import events.sparkSession.implicits._
+    val HourUs = 3600000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[RetState]) =>
+          var s = state.getOption.getOrElse(RetState(Long.MaxValue, 0))
+          it.foreach { e =>
+            val h = e.ts_us - java.lang.Math.floorMod(e.ts_us, HourUs)
+            if (s.cohortUs == Long.MaxValue) s = RetState(h, 1)
+            else if (h < s.cohortUs) {
+              val shift = (s.cohortUs - h) / HourUs
+              val shifted =
+                if (shift > 3) 1 else ((s.mask << shift.toInt) & 0xF) | 1
+              s = RetState(h, shifted)
+            } else {
+              val k = (h - s.cohortUs) / HourUs
+              if (k <= 3) s = RetState(s.cohortUs, s.mask | (1 << k.toInt))
+            }
+          }
+          state.update(s)
+          Iterator.single(RetOut(uid, s.cohortUs, s.mask))
       }
   }
 

@@ -704,6 +704,46 @@ class StreamingParitySuite extends SparkSuite {
     assert(fn === graded && fn.nonEmpty)
   }
 
+  test("retention tracker: O(1) mask state == graded q_event_retention, including an out-of-order cohort rebase") {
+    def agg(rows: Seq[RetOut]): Map[(Long, Long), Long] =
+      rows.flatMap(r => (0 to 3).filter(k => (r.mask & (1 << k)) != 0)
+          .map(k => (r.cohort_us, k.toLong)))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // planted rebase: user 9's hour-2 event arrives BEFORE its hour-0
+    // cohort event; the shift must relocate the hour-2 bit to offset 2
+    val planted = Seq(
+      Event(1, min(120), 9, "view", 1.0),  // hour 2 first
+      Event(2, min(5), 9, "view", 1.0),    // hour 0 — rebases cohort
+      Event(3, min(65), 9, "view", 1.0))   // hour 1
+    val ms = MemoryStream[Event](spark)
+    val buf = scala.collection.mutable.Map.empty[Long, RetOut]
+    val q = StreamOps.retention(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[RetOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { rows.foreach(r => buf(r.user_id) = r) }
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      planted.grouped(1).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = agg(buf.synchronized(buf.values.toSeq))
+    // B is a whole hour, so user 9's cohort is exactly min(0)
+    assert(streamed === Map((min(0), 0L) -> 1L, (min(0), 1L) -> 1L,
+      (min(0), 2L) -> 1L))
+    // full-table parity: batch evaluation of the same fold == the graded
+    // query (cohort compared at µs = date_trunc('hour') equivalence)
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val fn = agg(StreamOps.retention(events).collect().toSeq)
+    val graded = graft.queries.EventOps.queries("q_event_retention")(spark, sf)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("cohort").getTime * 1000L,
+        r.getAs[Long]("k")) -> r.getAs[Long]("n_users")).toMap
+    assert(fn === graded && fn.nonEmpty)
+  }
+
   test("path tracker: stream == batch == graded q_event_paths transition counts") {
     // per-key transitions of miniEvents in event_id order:
     // user 1: click→view→click→click→purchase; user 2:
