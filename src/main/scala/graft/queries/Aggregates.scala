@@ -170,6 +170,29 @@ object Aggregates {
           coalesce(col("error"), lit(0L)).as("n_error"))
         .orderBy(col("bucket"))),
 
+    // §2.4 exact dispersion stats per group — sample stddev + mean from
+    // EXACT decimal moments (same §7.4 technique as q_agg_corr: never
+    // native stddev(), whose partial-merge order is engine-dependent;
+    // the closed form is a pinned IEEE op sequence over exact sums —
+    // sqrt is correctly rounded per IEEE-754, so both engines agree).
+    // One map-side-combining hash agg; precisions sized so the decimal
+    // square never overflows either engine ((12,2)² → (24,4)).
+    "q_agg_stddev" -> ((s, d) => {
+      val price = col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      val g = T.orders(s, d).groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("n"),
+        sum(price).as("sx"),
+        sum(price * price).as("sxx"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = col("n").cast("double")
+      val varS = (nD * dbl("sxx") - dbl("sx") * dbl("sx")) / (nD * (nD - 1))
+      g.select(col("o_orderstatus"), col("n"),
+        round(sqrt(varS), 6).as("stddev_price"),
+        round(dbl("sx") / nD, 6).as("mean_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // §2.4 unpivot (melt, the pivot inverse): part's numeric metrics
     // wide→long via the native `unpivot` operator — Catalyst plans one
     // Expand over a single scan (rows × |metrics|, never |metrics|
@@ -436,6 +459,20 @@ object Aggregates {
             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
           FROM $evt GROUP BY 1 ORDER BY bucket""",
+    "q_agg_stddev" ->
+      s"""SELECT o_orderstatus, n,
+            ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+              AS stddev_price,
+            ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_price
+          FROM (
+            SELECT o_orderstatus, COUNT(*) AS n,
+              SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sx,
+              SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                  * CAST(o_totalprice AS DECIMAL(12,2))) AS sxx
+            FROM $ords GROUP BY o_orderstatus) m
+          ORDER BY o_orderstatus""",
     "q_unpivot" ->
       s"""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
           FROM ${tbl("part")}
