@@ -35,6 +35,13 @@ case class TypeCountOut(user_id: Long, event_type: String, n: Long)
 
 case class RollingOut(event_id: Long, user_id: Long, roll3_val: Double)
 
+/** Timer-session state: session bounds + running aggregates, value sum
+  * held 4dp-scaled exact. */
+case class SessTimerState(startUs: Long, lastUs: Long, n: Long, sumScaled: Long)
+
+case class SessTimerOut(user_id: Long, session_start: Long,
+                        session_end: Long, n_events: Long, v: Double)
+
 /** Retention-tracker state: first-active hour (µs) + a 4-bit mask of
   * active offsets 0..3 relative to it. */
 case class RetState(cohortUs: Long, mask: Int)
@@ -450,6 +457,32 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 
+  /** Timer-driven sessionization on transformWithState EVENT-TIME
+    * timers — the remaining piece of the new state API after the three
+    * state primitives: the engine itself calls back when the watermark
+    * passes last-event + gap, and THAT callback (not a later event of
+    * the same key) emits the closed session and frees its state. This
+    * is the push-based form of inactivity detection — session_window
+    * (the declarative form, [[session]]) closes sessions inside the
+    * aggregation operator; a timer lets arbitrary custom state do the
+    * same, which is what the reference's "emit view on key
+    * inactivity" semantics need when the view isn't an aggregation
+    * Spark knows. State: ONE row + ONE registered timer per open
+    * session; the timer re-arms as the session extends. Input must
+    * carry a watermark (TimeMode.EventTime requires it). */
+  def sessionTimerTws(events: Dataset[Event],
+                      gapMinutes: Int = 30): Dataset[SessTimerOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
   /** Rolling 3-event decimal sum per key on the transformWithState
     * ListState primitive — the bounded-buffer shape of the new state
     * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
@@ -525,6 +558,67 @@ class TypeCountsProcessor
     }
     touched.iterator.map(t => TypeCountOut(user, t, counts.getValue(t)))
   }
+}
+
+/** [[StreamOps.sessionTimerTws]]'s processor: one ValueState row + one
+  * event-time timer per open session. Events extend the session and
+  * RE-ARM the timer (delete + register — Spark timers are not
+  * updatable in place); the expiry callback emits the closed session
+  * [start, last + gap) and clears state, so memory for an idle key
+  * goes to zero without waiting for that key's next event. */
+class SessionTimerProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessTimerOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var sess: ValueState[SessTimerState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[SessTimerState]("sess",
+      Encoders.product[SessTimerState], TTLConfig.NONE)
+
+  private def scaled(v: Double): Long =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[SessTimerOut] = {
+    val out = Seq.newBuilder[SessTimerOut]
+    var s = if (sess.exists()) sess.get() else null
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      if (s == null) {
+        s = SessTimerState(e.ts_us, e.ts_us, 1L, scaled(e.value))
+      } else if (e.ts_us > s.lastUs + gapMs * 1000L) {
+        // gap exceeded by a LATER event of the same key — close the old
+        // session inline (its timer may not have fired yet) and re-open
+        out += closedOut(user, s)
+        getHandle.deleteTimer(s.lastUs / 1000L + gapMs)
+        s = SessTimerState(e.ts_us, e.ts_us, 1L, scaled(e.value))
+      } else {
+        getHandle.deleteTimer(s.lastUs / 1000L + gapMs)
+        s = SessTimerState(s.startUs, math.max(s.lastUs, e.ts_us),
+          s.n + 1L, s.sumScaled + scaled(e.value))
+      }
+    }
+    if (s != null) {
+      sess.update(s)
+      getHandle.registerTimer(s.lastUs / 1000L + gapMs)
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(user: Long, tv: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[SessTimerOut] = {
+    val out =
+      if (sess.exists()) Iterator.single(closedOut(user, sess.get()))
+      else Iterator.empty
+    sess.clear()
+    out
+  }
+
+  private def closedOut(user: Long, s: SessTimerState): SessTimerOut =
+    SessTimerOut(user, s.startUs, s.lastUs + gapMs * 1000L, s.n,
+      BigDecimal(java.math.BigDecimal.valueOf(s.sumScaled, 4)).toDouble)
 }
 
 /** [[StreamOps.rollingSumTws]]'s processor: ListState holds the last

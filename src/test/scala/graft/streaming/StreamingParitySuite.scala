@@ -473,6 +473,37 @@ class StreamingParitySuite extends SparkSuite {
     assert(streamed === batch && streamed.size === miniEvents.size)
   }
 
+  test("transformWithState event-time timers: inactivity closes the session via the engine callback") {
+    // the push-based half of the new state API: no later event of the
+    // key arrives — the ENGINE's timer callback emits the closed
+    // session once the watermark passes last-event + gap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.sessionTimerTws(ms.toDS())
+      .writeStream.format("memory").queryName("timer_sess")
+      .outputMode("append").start()
+    try {
+      // one open session for user 5 (events at 0 and 10min)
+      ms.addData(Seq(Event(1, min(0), 5, "view", 1.0),
+        Event(2, min(10), 5, "view", 2.5)))
+      q.processAllAvailable()
+      assert(s2.table("timer_sess").count() === 0) // watermark behind
+      // a DIFFERENT key far ahead advances the watermark past
+      // 10min + 30min; the next batch runs user 5's expired timer
+      ms.addData(Seq(Event(3, min(120), 9, "view", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(4, min(130), 9, "view", 1.0)))
+      q.processAllAvailable()
+      val rows = s2.table("timer_sess").collect()
+        .filter(_.getAs[Long]("user_id") == 5L)
+        .map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("v")))
+      assert(rows.toSeq === Seq((min(0), min(40), 2L, 3.5)))
+    } finally q.stop()
+  }
+
   test("session windows close and emit in append mode once the watermark passes") {
     val ms = MemoryStream[Event](spark)
     val agg = StreamOps.session(
