@@ -504,6 +504,44 @@ class StreamingParitySuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState timers: a later same-key event past the gap closes the session inline and re-opens") {
+    // the other close path: the key's OWN next event exceeds the gap
+    // before the timer fires — the old session must emit exactly once
+    // (inline), its timer must be de-registered, and the new session
+    // must still close via the timer later
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.sessionTimerTws(ms.toDS())
+      .writeStream.format("memory").queryName("timer_sess2")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(Event(1, min(0), 5, "view", 1.0)))
+      q.processAllAvailable()
+      // 31min later (> 30min gap): closes [0, 30min) inline, re-opens
+      ms.addData(Seq(Event(2, min(31), 5, "view", 2.0)))
+      q.processAllAvailable()
+      val inline = s2.table("timer_sess2").collect()
+        .map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("v")))
+      assert(inline.toSeq === Seq((min(0), min(30), 1L, 1.0)))
+      // advance the watermark far past 31min + 30min via another key:
+      // the re-opened session closes via its (re-registered) timer,
+      // and the old session's deleted timer never double-fires
+      ms.addData(Seq(Event(3, min(180), 9, "view", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(4, min(190), 9, "view", 1.0)))
+      q.processAllAvailable()
+      val all = s2.table("timer_sess2").collect()
+        .filter(_.getAs[Long]("user_id") == 5L)
+        .map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("v"))).sortBy(_._1)
+      assert(all.toSeq === Seq((min(0), min(30), 1L, 1.0),
+        (min(31), min(61), 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("session windows close and emit in append mode once the watermark passes") {
     val ms = MemoryStream[Event](spark)
     val agg = StreamOps.session(
