@@ -74,11 +74,15 @@ object Bench {
     val pass1 = qseq.map { case (name, fn) => name -> once(name, fn) }.toMap
     val results = qseq.map { case (name, fn) =>
       val (t1, ok1) = pass1(name)
-      // A failed query is charged its (failed) elapsed time — a crash
-      // can never improve the bench.
+      // A failure can never IMPROVE the bench: a query that failed in
+      // either pass is charged its worst observed time (and the run
+      // exits non-zero via the errors list).
       val elapsed =
         if (!ok1) t1
-        else { val (t2, ok2) = once(name, fn); if (ok2) math.min(t1, t2) else t2 }
+        else {
+          val (t2, ok2) = once(name, fn)
+          if (ok2) math.min(t1, t2) else math.max(t1, t2)
+        }
       name -> elapsed
     }
     // Times are printed with millisecond (3-decimal) precision, and the
@@ -113,7 +117,7 @@ object Bench {
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // "m2c" = min-of-2 cache-cold runs per query (see the header comment).
+    // "m2ci" = min of 2 cache-cold INTERLEAVED passes (header comment).
     // "yard" = q_scan's own time: the simplest-possible query is a
     // host-speed self-yardstick (BASELINE.md documents intermittent
     // CPU throttling on the shared bench host; cross-round comparisons

@@ -11,6 +11,13 @@ object Verify {
     // filter and always dumps the full surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
+    // a typo'd or empty filter must fail loudly, not "succeed" having
+    // verified nothing
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>

@@ -83,6 +83,14 @@ case class AsofOut(p_id: Long, user_id: Long, p_us: Long,
   */
 object StreamOps {
 
+  /** The one 4dp decimal-scaling implementation every stateful
+    * processor shares (Det.dsum's per-value contract: setScale(4,
+    * HALF_UP) → exact unscaled long — summing the longs IS the decimal
+    * sum, and a long survives state-store round-trips bit-exactly). */
+  private[streaming] def scaled4(v: Double): Long =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
   /** Tumbling 1h window × event_type. Streaming callers watermark `ts`
     * first; append-mode emission happens when the watermark passes the
     * window end. */
@@ -577,9 +585,16 @@ class SessionTimerProcessor(gapMs: Long)
     sess = getHandle.getValueState[SessTimerState]("sess",
       Encoders.product[SessTimerState], TTLConfig.NONE)
 
-  private def scaled(v: Double): Long =
-    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-      .underlying.unscaledValue.longValueExact
+  private def scaled(v: Double): Long = StreamOps.scaled4(v)
+
+  /** Timer instant for a session: the CEILING of the true µs expiry to
+    * ms (timers are ms-granular) — flooring could fire up to ~1ms early
+    * and close a session that a boundary event (ts_us == lastUs + gap,
+    * which the strict `>` below still extends) should keep open. Delete
+    * and register must both use this so re-arming cancels exactly the
+    * timer that was set. */
+  private def timerMs(s: SessTimerState): Long =
+    (s.lastUs + gapMs * 1000L + 999L) / 1000L
 
   override def handleInputRows(user: Long, rows: Iterator[Event],
                                tv: TimerValues): Iterator[SessTimerOut] = {
@@ -592,17 +607,17 @@ class SessionTimerProcessor(gapMs: Long)
         // gap exceeded by a LATER event of the same key — close the old
         // session inline (its timer may not have fired yet) and re-open
         out += closedOut(user, s)
-        getHandle.deleteTimer(s.lastUs / 1000L + gapMs)
+        getHandle.deleteTimer(timerMs(s))
         s = SessTimerState(e.ts_us, e.ts_us, 1L, scaled(e.value))
       } else {
-        getHandle.deleteTimer(s.lastUs / 1000L + gapMs)
+        getHandle.deleteTimer(timerMs(s))
         s = SessTimerState(s.startUs, math.max(s.lastUs, e.ts_us),
           s.n + 1L, s.sumScaled + scaled(e.value))
       }
     }
     if (s != null) {
       sess.update(s)
-      getHandle.registerTimer(s.lastUs / 1000L + gapMs)
+      getHandle.registerTimer(timerMs(s))
     }
     out.result().iterator
   }
@@ -638,9 +653,7 @@ class RollingSumProcessor
     window = getHandle.getListState[Long]("roll3",
       Encoders.scalaLong, TTLConfig.NONE)
 
-  private def scaled(v: Double): Long =
-    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-      .underlying.unscaledValue.longValueExact
+  private def scaled(v: Double): Long = StreamOps.scaled4(v)
 
   override def handleInputRows(user: Long, rows: Iterator[Event],
                                tv: TimerValues): Iterator[RollingOut] = {

@@ -201,7 +201,11 @@ class PlanAssertionsSuite extends SparkSuite {
     val plan = planString(q("q_llm_kmeans1"))
     assert(!plan.contains("Window"), s"kmeans1 grew a window:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"kmeans1 went cartesian:\n$plan")
-    assert("HashAggregate".r.findAllIn(plan).length >= 2, // partial + final
+    // the UPDATE step specifically: two HashAggregates keyed on
+    // (cent_id, pos) — partial + final. A bare >=2 count would be
+    // satisfied by the quantizer's own count() aggregates and miss the
+    // update step degrading.
+    assert("HashAggregate\\(keys=\\[cent_id".r.findAllIn(plan).length >= 2,
       s"update step lost map-side combining:\n$plan")
   }
 

@@ -128,10 +128,13 @@ class PropertySuite extends AnyFunSuite {
       val byKey = evs.groupBy(_._1)
       val transitions = byKey.values.map(g =>
         g.map(_._2).zip(g.map(_._2).drop(1))).toList.flatten
+      // independent recount via sliding windows — a different pairing
+      // derivation must produce the identical multiset
+      val slid = byKey.values.flatMap(g =>
+        g.map(_._2).sliding(2).collect { case Seq(a, b) => (a, b) }).toList
       transitions.size == evs.size - byKey.size &&
-        // per-key recount: grouping the transition multiset by
-        // (prev, next) loses nothing
-        transitions.groupBy(identity).values.map(_.size).sum == transitions.size
+        transitions.groupBy(identity).view.mapValues(_.size).toMap ==
+          slid.groupBy(identity).view.mapValues(_.size).toMap
     })
   }
 
