@@ -91,6 +91,23 @@ object StreamOps {
     BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
       .underlying.unscaledValue.longValueExact
 
+  /** THE sequence-gap transition function — one definition shared by
+    * the batch fold, [[gapAudit]] (flatMapGroupsWithState),
+    * [[GapAuditProcessor]] (transformWithState), and the warm-start
+    * bootstrap ([[gapBootstrapState]]), so the four evaluation paths
+    * cannot drift. */
+  private[streaming] def gapStep(s: GapState, e: Event): GapState = {
+    val withGap =
+      if (s.lastId >= 0L && e.event_id - s.lastId > 1L) {
+        val g = e.event_id - s.lastId - 1L
+        s.copy(nGaps = s.nGaps + 1L, missing = s.missing + g,
+          maxGap = math.max(s.maxGap, g))
+      } else s
+    withGap.copy(lastId = e.event_id, n = withGap.n + 1L)
+  }
+
+  private[streaming] val gapZero = GapState(-1L, 0L, 0L, 0L, 0L)
+
   /** Tumbling 1h window × event_type. Streaming callers watermark `ts`
     * first; append-mode emission happens when the watermark passes the
     * window end. */
@@ -180,18 +197,39 @@ object StreamOps {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[GapState]) =>
-          var s = state.getOption.getOrElse(GapState(-1L, 0L, 0L, 0L, 0L))
-          it.toSeq.sortBy(_.event_id).foreach { e =>
-            if (s.lastId >= 0L && e.event_id - s.lastId > 1L) {
-              val g = e.event_id - s.lastId - 1L
-              s = s.copy(nGaps = s.nGaps + 1L, missing = s.missing + g,
-                maxGap = math.max(s.maxGap, g))
-            }
-            s = s.copy(lastId = e.event_id, n = s.n + 1L)
-          }
+          val s = it.toSeq.sortBy(_.event_id)
+            .foldLeft(state.getOption.getOrElse(gapZero))(gapStep)
           state.update(s)
           Iterator.single(GapOut(user, s.n, s.nGaps, s.missing, s.maxGap))
       }
+  }
+
+  /** Batch bootstrap for the warm-start path: fold the HISTORY table
+    * into one (key, GapState) row per key — the exact state the live
+    * stream would have reached had it consumed that history. */
+  def gapBootstrapState(history: Dataset[Event]): Dataset[(Long, GapState)] = {
+    import history.sparkSession.implicits._
+    history.groupByKey(_.user_id).mapGroups { (uid, it) =>
+      uid -> it.toSeq.sortBy(_.event_id).foldLeft(gapZero)(gapStep)
+    }
+  }
+
+  /** Warm-started gap audit — the lambda-architecture handoff the
+    * reference's views need at scale: a batch job folds the historical
+    * log into per-key state ([[gapBootstrapState]]), and the live
+    * stream starts FROM that state instead of replaying history
+    * through the stream. Uses transformWithState's initial-state
+    * overload: `handleInitialState` seeds each key's ValueState before
+    * its first live batch; keys absent from the bootstrap start cold.
+    * The parity test pins bootstrap(history) + stream(live) ==
+    * stream(history ++ live). */
+  def gapAuditFrom(events: Dataset[Event],
+                   initial: Dataset[(Long, GapState)]): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new GapAuditInitProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update,
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 
   /** Streaming twin of the graded q_event_retention cohort derivation:
@@ -525,15 +563,38 @@ class GapAuditProcessor
 
   override def handleInputRows(user: Long, rows: Iterator[Event],
                                tv: TimerValues): Iterator[GapOut] = {
-    var s = if (state.exists()) state.get() else GapState(-1L, 0L, 0L, 0L, 0L)
-    rows.toSeq.sortBy(_.event_id).foreach { e =>
-      if (s.lastId >= 0L && e.event_id - s.lastId > 1L) {
-        val g = e.event_id - s.lastId - 1L
-        s = s.copy(nGaps = s.nGaps + 1L, missing = s.missing + g,
-          maxGap = math.max(s.maxGap, g))
-      }
-      s = s.copy(lastId = e.event_id, n = s.n + 1L)
-    }
+    val s = rows.toSeq.sortBy(_.event_id)
+      .foldLeft(if (state.exists()) state.get() else StreamOps.gapZero)(
+        StreamOps.gapStep)
+    state.update(s)
+    Iterator.single(GapOut(user, s.n, s.nGaps, s.missing, s.maxGap))
+  }
+}
+
+/** [[StreamOps.gapAuditFrom]]'s processor: [[GapAuditProcessor]] plus
+  * the initial-state hook — `handleInitialState` runs once per
+  * bootstrapped key (before any live rows) and seeds the same
+  * ValueState the live fold then continues from. */
+class GapAuditInitProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, Event, GapOut, GapState] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[GapState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[GapState]("gap",
+      Encoders.product[GapState], TTLConfig.NONE)
+
+  override def handleInitialState(user: Long, init: GapState,
+                                  tv: TimerValues): Unit =
+    state.update(init)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[GapOut] = {
+    val s = rows.toSeq.sortBy(_.event_id)
+      .foldLeft(if (state.exists()) state.get() else StreamOps.gapZero)(
+        StreamOps.gapStep)
     state.update(s)
     Iterator.single(GapOut(user, s.n, s.nGaps, s.missing, s.maxGap))
   }

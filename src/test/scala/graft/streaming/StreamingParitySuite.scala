@@ -421,6 +421,40 @@ class StreamingParitySuite extends SparkSuite {
     assert(ranked === batch && ranked.nonEmpty)
   }
 
+  test("warm start: batch-bootstrapped state + live stream == streaming the full history") {
+    // the lambda handoff: fold history into per-key state in BATCH,
+    // start the live stream FROM it, and land exactly where streaming
+    // everything would have — including a gap that SPANS the handoff
+    // (user 1's last historical id is 2; first live id is 5)
+    def ev(id: Long, u: Long) = Event(id, min(id), u, "view", 1.0)
+    val history = Seq(ev(1, 1), ev(2, 1), ev(4, 2))
+    val live = Seq(ev(5, 1), ev(9, 1), ev(6, 2), ev(7, 2))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val boot = StreamOps.gapBootstrapState(
+      s2.createDataset(history)(org.apache.spark.sql.Encoders.product[Event]))
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.gapAuditFrom(ms.toDS(), boot)
+      .writeStream.format("memory").queryName("warmstart_par")
+      .outputMode("update").start()
+    try {
+      live.grouped(2).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val warm = s2.table("warmstart_par")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("n_gaps")).as("g"),
+        max(col("missing_total")).as("m"), max(col("max_gap")).as("x"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // truth: the plain stateful audit over the FULL history in batch
+    val full = StreamOps.gapAudit((history ++ live).toDS()).collect()
+      .map(o => o.user_id -> ((o.n_events, o.n_gaps, o.missing_total, o.max_gap))).toMap
+    assert(warm === full)
+    // the handoff-spanning gap (2 -> 5) was seen exactly once
+    assert(warm(1L) === ((4L, 2L, 5L, 3L)))
+  }
+
   test("transformWithState MapState: per-type running counts == batch groupBy across a batch split") {
     // the MapState (sub-keyed view) shape of the new state API; counts
     // are order-insensitive so this pins the map semantics — point
