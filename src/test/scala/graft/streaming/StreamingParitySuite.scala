@@ -455,6 +455,44 @@ class StreamingParitySuite extends SparkSuite {
     assert(warm(1L) === ((4L, 2L, 5L, 3L)))
   }
 
+  test("warm start survives a checkpoint restart without re-applying the bootstrap") {
+    // initial state must seed each key ONCE EVER — a restart recovers
+    // from the checkpoint, and re-running handleInitialState there
+    // would double-count the bootstrapped history
+    def ev(id: Long, u: Long) = Event(id, min(id), u, "view", 1.0)
+    val history = Seq(ev(1, 1), ev(2, 1))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val boot = StreamOps.gapBootstrapState(
+      s2.createDataset(history)(org.apache.spark.sql.Encoders.product[Event]))
+    val cp = Files.createTempDirectory("graft_warm_cp").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    val ms = MemoryStream[Event](s2)
+    def start(): StreamingQuery = StreamOps.gapAuditFrom(ms.toDS(), boot)
+      .writeStream
+      .foreachBatch { (ds: Dataset[GapOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          buf ++= rows.map(o =>
+            (o.user_id, o.n_events, o.n_gaps, o.missing_total, o.max_gap))
+        }
+        ()
+      }
+      .option("checkpointLocation", cp).outputMode("update").start()
+    val q1 = start()
+    try { ms.addData(Seq(ev(5, 1))); q1.processAllAvailable() }
+    finally q1.stop()
+    // bootstrap (ids 1,2) + live id 5: 3 events, one gap of 2
+    assert(buf.synchronized(buf.last) === ((1L, 3L, 1L, 2L, 2L)))
+    val q2 = start()
+    try { ms.addData(Seq(ev(6, 1))); q2.processAllAvailable() }
+    finally q2.stop()
+    // after restart: id 6 continues 5 seamlessly — if the bootstrap
+    // re-applied, n_events/missing would jump instead
+    assert(buf.synchronized(buf.last) === ((1L, 4L, 1L, 2L, 2L)))
+  }
+
   test("transformWithState MapState: per-type running counts == batch groupBy across a batch split") {
     // the MapState (sub-keyed view) shape of the new state API; counts
     // are order-insensitive so this pins the map semantics — point
