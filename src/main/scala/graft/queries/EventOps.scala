@@ -162,6 +162,40 @@ object EventOps {
         .orderBy(col("cohort"), col("k"))
     }),
 
+    // Per-event anomaly score — each event's value against its OWN
+    // key's distribution (the per-key baseline every streaming anomaly
+    // detector keeps): z = (v − mean) / stddev from exact decimal
+    // moments (q_agg_stddev's §7.4 technique — never native stddev),
+    // population form (÷n); zero variance (incl. single-event users)
+    // emits NULL explicitly on both engines. Precisions sized for the
+    // decimal SQUARE ((12,4)² → (24,8) — q_agg_corr documents that
+    // DuckDB overflows an (18,4) square). Plan: one map-side-combining
+    // hash agg (shuffle ∝ users) + a user-keyed join-back that AQE
+    // sizes — never a window (a hot user's events never sort in one
+    // partition). value is 4dp-rounded decimal→double on BOTH sides
+    // before the z-score so the subtraction's operands are
+    // bit-identical.
+    "q_event_zscore" -> ((s, d) => {
+      val v = col("value").cast(org.apache.spark.sql.types.DecimalType(12, 4))
+      val m = T.events(s, d).groupBy(col("user_id").as("u")).agg(
+        count(lit(1)).as("n"),
+        sum(v).as("sx"),
+        sum(v * v).as("sxx"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = col("n").cast("double")
+      val mean = dbl("sx") / nD
+      val sd = sqrt((nD * dbl("sxx") - dbl("sx") * dbl("sx")) / (nD * nD))
+      val stats = m.select(col("u"), mean.as("mean_v"), sd.as("sd_v"))
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          v.cast("double").as("v4"))
+        .join(stats, col("user_id") === col("u"))
+        .select(col("event_id"), col("user_id"),
+          when(col("sd_v") =!= 0.0,
+            round((col("v4") - col("mean_v")) / col("sd_v"), 6)).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Windowed top-k — the classic streaming leaderboard: per tumbling
     // 1h window, the top-3 users by decimal value sum (tie → lowest
     // user_id). Two-phase: per-(window, user) map-side-combining hash
@@ -241,6 +275,26 @@ object EventOps {
           FROM v LEFT JOIN c ON v.user_id = c.user_id
           LEFT JOIN p ON v.user_id = p.user_id
           ORDER BY v.user_id""",
+    "q_event_zscore" ->
+      s"""WITH m AS (
+            SELECT user_id AS u, COUNT(*) AS n,
+              SUM(CAST(value AS DECIMAL(12,4))) AS sx,
+              SUM(CAST(value AS DECIMAL(12,4))
+                  * CAST(value AS DECIMAL(12,4))) AS sxx
+            FROM $evt GROUP BY user_id),
+          stats AS (
+            SELECT u,
+              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+              sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd_v
+            FROM m)
+          SELECT event_id, user_id,
+            CASE WHEN sd_v <> 0
+              THEN ROUND((CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE)
+                          - mean_v) / sd_v, 6) END AS z
+          FROM $evt JOIN stats ON user_id = u
+          ORDER BY event_id""",
     "q_stream_topk" ->
       s"""WITH agg AS (
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
