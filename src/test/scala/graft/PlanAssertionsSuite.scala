@@ -209,6 +209,15 @@ class PlanAssertionsSuite extends SparkSuite {
       s"update step lost map-side combining:\n$plan")
   }
 
+  test("q_event_zscore: per-key baseline is an aggregate + join-back, never a key window") {
+    // a window over user_id would funnel a hot user's events into one
+    // partition; the design is hash agg (shuffle ∝ users) + join-back
+    val plan = planString(q("q_event_zscore"))
+    assert(!plan.contains("Window"), s"zscore regressed to a window plan:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, // partial+final
+      s"baseline lost map-side combining:\n$plan")
+  }
+
   test("q_dedup / q_llm_dedup / q_text_fingerprint: keep-first and cluster stats are aggregates, not key-partitioned windows") {
     // a Window over the dedup key funnels a mega-cluster into one
     // partition; these must stay map-side-combining aggregates
