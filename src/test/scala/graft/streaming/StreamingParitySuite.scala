@@ -614,6 +614,52 @@ class StreamingParitySuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("chained stateful operators: dedup then tumbling agg in ONE streaming query == batch") {
+    // Spark 4 runs multiple stateful operators in one append-mode
+    // query: exact-duplicate removal (watermarked dropDuplicates)
+    // feeding a tumbling count — the dedup-then-aggregate pipeline as
+    // a single streaming dataflow, not two queries with a sink
+    // between. Dedup key includes ts (exact dups only), so the kept
+    // row's window — and the counts — are deterministic.
+    val ms = MemoryStream[Event](spark)
+    val chain = withTs(ms.toDF())
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type", "ts")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+    val q = chain.writeStream.format("memory").queryName("chain_par")
+      .outputMode("append").start()
+    try {
+      // one micro-batch: the fixture's ts-out-of-order events (id 6/7
+      // at min 0 AFTER id 4 at min 50) must not be late-dropped by the
+      // dedup's watermark — the watermark only advances between
+      // batches, so a single batch keeps them all; the late-drop
+      // behavior itself is pinned by the dedicated watermark test
+      ms.addData(miniEvents)
+      q.processAllAvailable()
+      // sentinel far ahead closes hour-0 and hour-1 windows
+      ms.addData(Seq(Event(99, min(300), 99, "view", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(100, min(310), 99, "view", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("chain_par").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime -> r.getAs[Long]("n"))
+      .toMap
+    // batch truth over the same fixture (no sentinel): the one exact
+    // (user, type, ts) dup collapses; windows hour-0 = 7, hour-1 = 3
+    val batch = batchDf.dropDuplicates("user_id", "event_type", "ts")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime -> r.getAs[Long]("n"))
+      .toMap
+    assert(batch.values.sum === 10L)
+    assert(streamed === batch)
+  }
+
   test("session windows close and emit in append mode once the watermark passes") {
     val ms = MemoryStream[Event](spark)
     val agg = StreamOps.session(
