@@ -123,45 +123,54 @@ object LlmOps {
     * @param docs (doc_id, text, ...) — batch or streaming.
     * @return (doc_id, band: int 0-7, bkey: string) — [[Bands]] rows per
     *         eligible doc. */
-  /** MinHash signature table (doc_id, m0..m63) in one of two
+  /** MinHash signature table (doc_id, m0..m63) in one of three
     * value-identical physical forms (the min of a set equals the min
     * over its exploded rows — same shingles, same (aᵢ·x + bᵢ) mod p
-    * family):
-    *  - `perRow = true`: 64 `array_min(transform(...))` columns over the
-    *    per-doc shingle-hash array — ZERO shuffle (a pure projection;
-    *    HOFs run interpreted, the known trade-off).
-    *  - `perRow = false`: explode shingles → 64 codegen'd hash columns →
+    * family; all three bitwise-pinned equal in the unit suite):
+    *  - `"hof"`: 64 `array_min(transform(...))` columns over the
+    *    per-doc shingle-hash array — zero shuffle but THREE interpreted
+    *    HOF layers per row (lambdas block codegen).
+    *  - `"explode"`: explode shingles → 64 codegen'd hash columns →
     *    hash-aggregate 64 mins. Map-side partial agg collapses each
-    *    doc's shingle rows before the exchange (a doc's shingles all
-    *    live in its own input partition), so the shuffle is
-    *    n_docs × 64 longs — but the explode×64 expression work and agg
-    *    state are paid on every shingle row.
-    * The r7 sf0.1 A/B (min-of-2 cache-cold, interleaved, at BOTH 4 and
-    * 32 cores) measured the graded query end-to-end at explode 1.8 s vs
-    * per-row 2.4 s: 64 interpreted HOF passes per doc cost more than
-    * the codegen'd explode + map-side-combined aggregate, whose
-    * exchange is already only n_docs × 64 longs. The graded form is
-    * therefore explode; per-row remains the STREAMING form (zero
-    * shuffle, zero state — see [[minhashBands]]) and the parity pin. */
-  private[graft] def minhashSig(docs: DataFrame, perRow: Boolean): DataFrame = {
+    *    doc's shingle rows before the exchange (shuffle = n_docs × 64
+    *    longs) — the r6/early-r7 graded form; the first r7 A/B measured
+    *    it beating "hof" 1.8 s vs 2.4 s end-to-end at sf0.1.
+    *  - `"native"`: [[graft.functions.MinHashSig]] — the whole stage
+    *    (shingling, md5, 64 mins) as one compiled expression: zero
+    *    shuffle AND zero interpreted lambdas. The late-r7 A/B (same
+    *    Prof invocation shape, same host window, back to back)
+    *    measured the graded query end-to-end at native 1.55 s vs
+    *    explode 2.24 s warm (4.5 vs 6.5 cold), so this is the graded
+    *    form: the signature stage is now a pure scan-side projection
+    *    at any corpus size — the exchange the explode form paid is
+    *    gone entirely.
+    * "hof" remains the STREAMING form's conceptual twin and parity pin
+    * (see [[minhashBands]] — stateless banding in a micro-batch). */
+  private[graft] def minhashSig(docs: DataFrame, form: String): DataFrame = {
     val withTk = docs.withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= 3)
-    if (perRow) {
-      withTk
-        .withColumn("xs", transform(shinglesCol(col("tk")), t => md5h32(t)))
-        .select(col("doc_id") +: (0 until NumHashes).map(i =>
-          array_min(transform(col("xs"), x =>
-            (lit(hashA(i)) * x + lit(hashB(i))) % lit(HashP))).as(s"m$i")): _*)
-    } else {
-      val toks = withTk
-        .select(col("doc_id"), explode(shinglesCol(col("tk"))).as("tok"))
-        .withColumn("x", md5h32(col("tok")))
-      val hashed = toks.select(
-        (col("doc_id") +: (0 until NumHashes).map(i =>
-          ((lit(hashA(i)) * col("x") + lit(hashB(i))) % lit(HashP)).as(s"h$i"))): _*)
-      hashed.groupBy(col("doc_id"))
-        .agg(min(col("h0")).as("m0"),
-          (1 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    form match {
+      case "hof" =>
+        withTk
+          .withColumn("xs", transform(shinglesCol(col("tk")), t => md5h32(t)))
+          .select(col("doc_id") +: (0 until NumHashes).map(i =>
+            array_min(transform(col("xs"), x =>
+              (lit(hashA(i)) * x + lit(hashB(i))) % lit(HashP))).as(s"m$i")): _*)
+      case "native" =>
+        withTk
+          .withColumn("ms", call_function("graft_minhash_sig", col("tk")))
+          .select(col("doc_id") +: (0 until NumHashes).map(i =>
+            element_at(col("ms"), i + 1).as(s"m$i")): _*)
+      case "explode" =>
+        val toks = withTk
+          .select(col("doc_id"), explode(shinglesCol(col("tk"))).as("tok"))
+          .withColumn("x", md5h32(col("tok")))
+        val hashed = toks.select(
+          (col("doc_id") +: (0 until NumHashes).map(i =>
+            ((lit(hashA(i)) * col("x") + lit(hashB(i))) % lit(HashP)).as(s"h$i"))): _*)
+        hashed.groupBy(col("doc_id"))
+          .agg(min(col("h0")).as("m0"),
+            (1 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
     }
   }
 
@@ -492,15 +501,16 @@ object LlmOps {
   }
 
   /** The full graded q_llm_minhash pipeline, parameterized on the
-    * signature form (see [[minhashSig]]) so both physical variants can
+    * signature form (see [[minhashSig]]) so the physical variants can
     * be benchmarked end-to-end and parity-pinned. */
   private[graft] def minhashQuery(s: SparkSession, d: String,
-                                  perRow: Boolean): DataFrame = {
+                                  form: String): DataFrame = {
+    graft.functions.MinHashSig.register(s, hashA.toSeq, hashB.toSeq, HashP)
     // Three consumers (band buckets + both est_sim join sides) — the
     // signature table is materialized once (n_docs × 64 longs; at
     // 100 TB scale this is the LSH signature table every production
     // pipeline persists before banding).
-    val sig = minhashSig(T.documents(s, d), perRow).persist()
+    val sig = minhashSig(T.documents(s, d), form).persist()
     // Band key: md5 of the concatenated in-band signature — one equi-join
     // key per band, so bucket collisions require all 8 in-band rows equal.
     def bandKey(b: Int): Column =
@@ -660,7 +670,7 @@ object LlmOps {
     // 64 min-hashes from the universal family, 8 bands × 8 rows,
     // candidates share ≥1 band bucket, emitted when est_sim
     // (= agreeing positions / 64) ≥ 0.5.
-    "q_llm_minhash" -> ((s, d) => minhashQuery(s, d, perRow = false)),
+    "q_llm_minhash" -> ((s, d) => minhashQuery(s, d, form = "native")),
 
     // 16-bit SimHash signature per doc from md5-derived token hashes:
     // bit b of the signature = majority vote of bit b over distinct tokens.

@@ -538,14 +538,19 @@ class LlmOpsSuite extends SparkSuite {
     assert(out.toSeq === again.toSeq)
   }
 
-  test("minhashQuery: explode and per-row signature forms are value-identical end-to-end") {
-    // the r7 A/B keeps explode as the graded form on measurement; this
-    // pin guarantees the per-row (streaming) twin can always be swapped
-    // in without touching the oracle
-    val a = LlmOps.minhashQuery(spark, sf, perRow = false).collect().toSeq
-    val b = LlmOps.minhashQuery(spark, sf, perRow = true).collect().toSeq
+  test("minhashQuery: explode, per-row HOF, and native signature forms are value-identical end-to-end") {
+    // the three physical forms of the signature stage must agree
+    // bitwise so any of them can be the graded form without touching
+    // the oracle — in particular the native compiled expression must
+    // reproduce the SQL md5/mod arithmetic exactly
+    val a = LlmOps.minhashQuery(spark, sf, form = "explode").collect().toSeq
+    spark.catalog.clearCache()
+    val b = LlmOps.minhashQuery(spark, sf, form = "hof").collect().toSeq
+    spark.catalog.clearCache()
+    val c = LlmOps.minhashQuery(spark, sf, form = "native").collect().toSeq
     spark.catalog.clearCache()
     assert(a === b)
+    assert(a === c)
     assert(a.nonEmpty) // sf0.001 has minhash pairs; vacuous parity would hide a broken filter
   }
 
