@@ -58,6 +58,28 @@ class FunctionsSuite extends SparkSuite {
     assert(df.filter(col("j") =!= 1.0).count() === 0L)
   }
 
+  test("graft_minhash_sig from SQL text; short token arrays -> null; stays in whole-stage codegen") {
+    graft.functions.MinHashSig.register(spark,
+      LlmOps.hashA.toSeq, LlmOps.hashB.toSeq, LlmOps.HashP)
+    // < 3 tokens: no shingles, null signature (callers filter those)
+    val r = spark.sql(
+      """SELECT graft_minhash_sig(array('a', 'b')) AS short,
+                size(graft_minhash_sig(array('a','b','c','d'))) AS n""")
+      .collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getInt(1) === LlmOps.NumHashes)
+    // codegen presence over a parquet scan (same shape as the jaccard pin)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhwsc").toString
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(call_function("graft_minhash_sig", col("tk")).as("ms"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_minhash_sig"),
+      s"graft_minhash_sig fell out of whole-stage codegen:\n$plan")
+  }
+
   test("graft_dot == HOF fold bitwise on all sf0.001 embedding pairs (probes < 5)") {
     DotF64.register(spark)
     val base = Tables.embeddings(spark, sf)
