@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The library front door: the graded query surface re-exposed as
+  * PARAMETERIZED operators over arbitrary DataFrames — a user's corpus
+  * has its own column names, so nothing here assumes the test tables.
+  * Each method delegates to the same engine code the oracle-graded
+  * queries run (one implementation, two entry styles), and the scale
+  * notes on those implementations apply unchanged.
+  *
+  * Where an operator family is already DataFrame-parameterized it is
+  * not wrapped again — use it directly:
+  *  - [[graft.queries.LlmOps.jaccardCandidates]] — prefix-filtered
+  *    AllPairs candidate generation over any (doc_id, feat) rows.
+  *  - [[graft.queries.PipelineOps]]: `pack`, `repScore`,
+  *    `tfidfTopTerms`, `mixPlan`, `ingestDedup` over (doc_id, text)
+  *    corpora.
+  *  - [[graft.operators.ConnectedComponents.run]] — any 2-column edge
+  *    list; [[graft.operators.KMeans]] — any (vec_id, e) vectors;
+  *    [[graft.operators.ScaleOps]] — salted / bucketed joins;
+  *    [[graft.operators.HeavyHitters.sketch]] — Misra-Gries.
+  *  - [[graft.streaming.StreamOps]] — every streaming builder takes a
+  *    Dataset/DataFrame (batch or stream) already.
+  *
+  * Cache contract: [[nearDupPairs]] persists intermediates via the
+  * AllPairs helper — the same lifecycle note as [[SparkEntry]]: release
+  * with `spark.catalog.clearCache()` (or targeted unpersist) after
+  * materializing the result in a long-lived session.
+  */
+object Graft {
+
+  /** Exact content dedup over any (id, content) pair: one row per input
+    * row with its content hash, cluster size, and the cluster keeper
+    * (min id). Aggregate + join-back — never a window over the hash, so
+    * a viral duplicate combines map-side (shuffle ∝ distinct contents).
+    *
+    * @param df         any DataFrame.
+    * @param idCol      unique row id (orderable; min picks the keeper).
+    * @param contentCol the column to hash (string or binary). */
+  def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val clusters = df
+      .select(col(idCol), md5(col(contentCol)).as("content_h"))
+      .groupBy(col("content_h"))
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("keeper"))
+    df.select(col(idCol), md5(col(contentCol)).as("h"))
+      .join(clusters, col("h") === col("content_h"))
+      .select(col(idCol), col("h").as("content_md5"),
+        col("cluster_size"), col("keeper"),
+        (col(idCol) === col("keeper")).cast("int").as("is_keeper"))
+  }
+
+  /** Token-set Jaccard near-duplicate pairs over any corpus — the
+    * prefix-filtered AllPairs plan of the graded `q_llm_neardup`
+    * (Bayardo et al. 2007: DF-ascending prefixes + exact integer size
+    * bound, then a native-codegen Jaccard verify on survivors only; hot
+    * tokens fall out of every prefix, nothing broadcasts).
+    *
+    * @param df        corpus.
+    * @param idCol     unique doc id.
+    * @param textCol   whitespace-tokenizable text; Jaccard is over the
+    *                  DISTINCT token set.
+    * @param blockCols pairs are only formed within equal values of
+    *                  these columns (pass Nil for a global pass —
+    *                  correct, but consider MinHash banding first at
+    *                  corpus scale).
+    * @param tNum,tDen exact rational threshold (e.g. 4/5 for 0.8);
+    *                  pairs with jaccard ≥ tNum/tDen are returned.
+    * @return (id_a, id_b, jaccard) with id_a < id_b, plus blockCols. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], tNum: Int, tDen: Int): DataFrame = {
+    graft.functions.JaccardStr.register(df.sparkSession)
+    val toks = array_distinct(split(col(textCol), " "))
+    val docs = df
+      .select((col(idCol).as("doc_id") +: blockCols.map(col)) :+ toks.as("tk"): _*)
+      .persist()
+    val feats = docs.select(
+      (col("doc_id") +: blockCols.map(col)) :+
+        size(col("tk")).cast("long").as("sz") :+ explode(col("tk")).as("feat"): _*)
+    graft.queries.LlmOps.jaccardCandidates(feats, blockCols, tNum, tDen)
+      .join(docs.select(col("doc_id").as("a_id"), col("tk").as("tk_a")),
+        col("doc_a") === col("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("tk").as("tk_b")),
+        col("doc_b") === col("b_id"))
+      .withColumn("jaccard",
+        call_function("graft_jaccard", col("tk_a"), col("tk_b")))
+      .filter(col("jaccard") >= lit(tNum.toDouble) / lit(tDen.toDouble))
+      .select(col("doc_a").as(s"${idCol}_a"), col("doc_b").as(s"${idCol}_b"),
+        col("jaccard"))
+  }
+
+  /** Native MinHash signatures (64 minima of the universal hash family
+    * over distinct 3-gram shingles) for any corpus — ONE compiled
+    * expression per row, zero shuffle ([[graft.functions.MinHashSig]]).
+    * Rows with fewer than 3 tokens have no shingles and are dropped.
+    *
+    * @return (idCol, sig: array<bigint> of 64). */
+  def minhashSignatures(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import graft.queries.LlmOps
+    graft.functions.MinHashSig.register(df.sparkSession,
+      LlmOps.hashA.toSeq, LlmOps.hashB.toSeq, LlmOps.HashP)
+    df.select(col(idCol), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col(idCol), call_function("graft_minhash_sig", col("tk")).as("sig"))
+  }
+
+  /** Near-dup pair graph → clusters: representative (min id), cluster
+    * size, keeper flag per node — hash-min label propagation
+    * ([[graft.operators.ConnectedComponents]]; rounds ∝ diameter).
+    *
+    * @param pairs any 2-column edge list (first = a, second = b). */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
+    val labels = graft.operators.ConnectedComponents.run(pairs)
+    val sizes = labels.groupBy(col("rep").as("r"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, col("rep") === col("r"))
+      .select(col("node"), col("rep"), col("cluster_size"),
+        (col("node") === col("rep")).cast("int").as("is_rep"))
+  }
+
+  /** Deterministic hash split over any id: engine- and layout-stable
+    * bucket in [0, buckets) — never `rand()` (q_llm_split's contract:
+    * any row's assignment is computable without a scan). */
+  def hashBucket(idCol: Column, buckets: Int): Column =
+    Det.md5h32(idCol.cast("string")) % buckets
+}

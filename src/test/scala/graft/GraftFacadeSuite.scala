@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The public facade must work on a USER's corpus — its own column
+  * names, no test tables — and agree with the graded machinery it
+  * delegates to. */
+class GraftFacadeSuite extends SparkSuite {
+  import spark.implicits._
+
+  // a corpus that looks nothing like the fixtures: item_no / body / shelf
+  private lazy val corpus = Seq(
+    (101L, "alpha beta gamma delta epsilon zeta", "aisle1"),
+    (102L, "alpha beta gamma delta epsilon zeta", "aisle1"), // exact dup of 101
+    (103L, "zeta epsilon delta gamma beta alpha", "aisle1"), // permutation: set-dup
+    (104L, "totally different words live here now", "aisle1"),
+    (105L, "alpha beta gamma delta epsilon zeta", "aisle2")  // dup text, other block
+  ).toDF("item_no", "body", "shelf")
+
+  test("exactDedup clusters by content over arbitrary columns") {
+    val out = Graft.exactDedup(corpus, "item_no", "body").collect()
+      .map(r => r.getAs[Long]("item_no") ->
+        ((r.getAs[Long]("cluster_size"), r.getAs[Long]("keeper"),
+          r.getAs[Int]("is_keeper")))).toMap
+    // 101/102/105 share bytes (blocks don't matter for exact dedup)
+    assert(out(101L) === ((3L, 101L, 1)))
+    assert(out(102L) === ((3L, 101L, 0)))
+    assert(out(105L) === ((3L, 101L, 0)))
+    assert(out(103L) === ((1L, 103L, 1)) && out(104L) === ((1L, 104L, 1)))
+  }
+
+  test("nearDupPairs finds set-duplicates within blocks on a custom-schema corpus") {
+    val pairs = Graft.nearDupPairs(corpus, "item_no", "body",
+        Seq("shelf"), 4, 5).collect()
+      .map(r => (r.getAs[Long]("item_no_a"), r.getAs[Long]("item_no_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    spark.catalog.clearCache()
+    // within aisle1: {101,102,103} are token-set identical; 105 is in
+    // another block and 104 shares nothing
+    assert(pairs.keySet === Set((101L, 102L), (101L, 103L), (102L, 103L)))
+    assert(pairs.values.forall(_ === 1.0))
+  }
+
+  test("minhashSignatures: 64-long signature per eligible row; dup texts share it") {
+    val sigs = Graft.minhashSignatures(corpus, "item_no", "body").collect()
+      .map(r => r.getAs[Long]("item_no") -> r.getSeq[Long](1)).toMap
+    assert(sigs.size === 5)
+    assert(sigs.values.forall(_.length === 64))
+    assert(sigs(101L) === sigs(102L)) // identical text, identical signature
+    assert(sigs(101L) !== sigs(104L))
+  }
+
+  test("clusterPairs groups the near-dup graph; hashBucket is stable") {
+    val pairs = Seq((101L, 102L), (102L, 103L)).toDF("a", "b")
+    val out = Graft.clusterPairs(pairs).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("rep"), r.getAs[Long]("cluster_size")))).toMap
+    assert(out === Map(101L -> ((101L, 3L)), 102L -> ((101L, 3L)),
+      103L -> ((101L, 3L))))
+    val b = corpus.select(Graft.hashBucket(col("item_no"), 10).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b.forall(x => x >= 0 && x < 10))
+    // stable: recomputation yields the identical assignment
+    val b2 = corpus.select(Graft.hashBucket(col("item_no"), 10).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b.toSeq === b2.toSeq)
+  }
+}
