@@ -125,4 +125,47 @@ object Graft {
     * any row's assignment is computable without a scan). */
   def hashBucket(idCol: Column, buckets: Int): Column =
     Det.md5h32(idCol.cast("string")) % buckets
+
+  /** Overlapping token-window chunks over any corpus (the graded
+    * q_llm_chunk shape): `chunkSize`-token windows every `stride`
+    * tokens, trailing windows short; per-row generator work, no shuffle
+    * but the output order.
+    *
+    * @return (idCol, chunk_id, chunk_len, chunk_md5). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame =
+    graft.queries.PipelineOps.chunk(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        chunkSize, stride)
+      .withColumnRenamed("doc_id", idCol)
+
+  /** Exact cosine top-k over any embedding table (the graded q_llm_knn
+    * plan): the probe rows broadcast, the corpus is scanned ONCE and
+    * never shuffled — per-probe work is one native-codegen dot per
+    * corpus row. Ties break to the lower id; self-matches excluded.
+    *
+    * @param df       (idCol, vecCol) rows; vecCol any numeric array.
+    * @param probeIds ids to search for (must be small — they broadcast).
+    * @return (probe_id, rk, neighbor_id, sim 6dp). */
+  def knnExact(df: DataFrame, idCol: String, vecCol: String,
+               probeIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.DotF64.register(df.sparkSession)
+    def d(a: Column, b: Column) = call_function("graft_dot", a, b)
+    val base = df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(d(col("e"), col("e"))))
+    val probes = base.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+        col("nrm").as("pn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", round(d(col("pe"), col("e")) / (col("pn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+  }
 }

@@ -50,6 +50,25 @@ class GraftFacadeSuite extends SparkSuite {
     assert(sigs(101L) !== sigs(104L))
   }
 
+  test("chunkTokens windows a custom corpus; knnExact finds nearest vectors by custom columns") {
+    val chunks = Graft.chunkTokens(corpus, "item_no", "body",
+        chunkSize = 4, stride = 2).collect()
+      .map(r => (r.getAs[Long]("item_no"), r.getAs[Int]("chunk_id")) ->
+        r.getAs[Int]("chunk_len")).toMap
+    // 6-token docs at size 4 / stride 2: windows at 1,3,5 → lens 4,4,2
+    assert(chunks((101L, 0)) === 4 && chunks((101L, 1)) === 4
+      && chunks((101L, 2)) === 2)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("row_key", "feat_vec")
+    val nn = Graft.knnExact(vecs, "row_key", "feat_vec",
+        probeIds = Seq(1L), k = 2).collect()
+      .map(r => r.getAs[Int]("rk") -> r.getAs[Long]("neighbor_id")).toMap
+    // nearest to (1,0): (0.9,0.1), then orthogonal beats negated
+    assert(nn === Map(1 -> 2L, 2 -> 3L))
+  }
+
   test("clusterPairs groups the near-dup graph; hashBucket is stable") {
     val pairs = Seq((101L, 102L), (102L, 103L)).toDF("a", "b")
     val out = Graft.clusterPairs(pairs).collect()
