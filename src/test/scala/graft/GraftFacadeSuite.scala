@@ -69,6 +69,17 @@ class GraftFacadeSuite extends SparkSuite {
     assert(nn === Map(1 -> 2L, 2 -> 3L))
   }
 
+  test("stratifiedSample takes exactly k per custom stratum, deterministically") {
+    val s1 = Graft.stratifiedSample(corpus, "item_no", Seq("shelf"), 2)
+      .collect().map(r => r.getAs[Long]("item_no")).sorted.toSeq
+    val s2 = Graft.stratifiedSample(corpus, "item_no", Seq("shelf"), 2)
+      .collect().map(r => r.getAs[Long]("item_no")).sorted.toSeq
+    assert(s1 === s2) // deterministic
+    // aisle1 has 4 rows -> 2 sampled; aisle2 has 1 -> 1 sampled
+    assert(s1.size === 3)
+    assert(s1.contains(105L))
+  }
+
   test("clusterPairs groups the near-dup graph; hashBucket is stable") {
     val pairs = Seq((101L, 102L), (102L, 103L)).toDF("a", "b")
     val out = Graft.clusterPairs(pairs).collect()
