@@ -157,6 +157,33 @@ object Graft {
         chunkSize, stride)
       .withColumnRenamed("doc_id", idCol)
 
+  /** Greedy sequence packing into fixed token-budget bins over any
+    * corpus (the graded q_llm_pack plan): deterministic hash shards ×
+    * the caller's stream columns, contiguous exclusive-cumsum bins in
+    * id order — ONE hash exchange, integer arithmetic throughout.
+    *
+    * @return (idCol, streamCols, shard, n_tok, cum_before, bin). */
+  def packBins(df: DataFrame, idCol: String, textCol: String,
+               streamCols: Seq[String], budget: Int,
+               shards: Int): DataFrame =
+    graft.queries.PipelineOps.pack(
+        df.select((col(idCol).as("doc_id") +: streamCols.map(col)) :+
+          col(textCol).as("text"): _*),
+        budget, shards, streamCols)
+      .withColumnRenamed("doc_id", idCol)
+
+  /** Train/test contamination audit over any corpus (the graded
+    * q_llm_contam plan): per test-split doc, the fraction of its
+    * distinct 3-gram shingles occurring anywhere in the train split;
+    * the train side collapses to its distinct shingle vocabulary first
+    * (shuffle ∝ vocabulary) and hot shingles can never expand the
+    * probe join. Splits come from [[hashBucket]] over the id. */
+  def contamAudit(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    graft.queries.PipelineOps.contamAudit(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .withColumnRenamed("doc_id", idCol)
+
   /** Exact cosine top-k over any embedding table (the graded q_llm_knn
     * plan): the probe rows broadcast, the corpus is scanned ONCE and
     * never shuffled — per-probe work is one native-codegen dot per

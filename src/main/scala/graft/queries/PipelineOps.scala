@@ -121,8 +121,9 @@ object PipelineOps {
     * bit-identical across engines. The only shuffle is the window's
     * hash partition by (lang, shard); shard fan-out bounds that window's
     * partition skew by corpus/|lang×shards|. */
-  def pack(docs: DataFrame, budget: Int, shards: Int): DataFrame = {
-    val w = Window.partitionBy(col("lang"), col("shard"))
+  def pack(docs: DataFrame, budget: Int, shards: Int,
+           streamCols: Seq[String] = Seq("lang")): DataFrame = {
+    val w = Window.partitionBy(streamCols.map(col) :+ col("shard"): _*)
       .orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
@@ -132,8 +133,8 @@ object PipelineOps {
       .withColumn("cum_before",
         coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("bin", floor(col("cum_before") / lit(budget)))
-      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
-        col("cum_before"), col("bin"))
+      .select((col("doc_id") +: streamCols.map(col)) :+ col("shard") :+
+        col("n_tok") :+ col("cum_before") :+ col("bin"): _*)
       .orderBy(col("doc_id"))
   }
 

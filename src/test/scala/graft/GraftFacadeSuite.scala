@@ -80,6 +80,26 @@ class GraftFacadeSuite extends SparkSuite {
     assert(s1.contains(105L))
   }
 
+  test("packBins packs per custom stream columns; contamAudit runs on a renamed corpus") {
+    val bins = Graft.packBins(corpus, "item_no", "body",
+        Seq("shelf"), budget = 8, shards = 1).collect()
+      .map(r => r.getAs[Long]("item_no") ->
+        ((r.getAs[Long]("cum_before"), r.getAs[Long]("bin")))).toMap
+    // aisle1 stream in id order: 6-token docs at budget 8 →
+    // cum_before 0,6,12,18 → bins 0,0,1,2 (104 has 6 tokens too)
+    assert(bins(101L)._2 === 0L && bins(102L)._2 === 0L)
+    assert(bins(103L)._2 === 1L)
+    // aisle2 is its own stream: 105 starts at 0
+    assert(bins(105L) === ((0L, 0L)))
+    // contamAudit: just must run end-to-end on the renamed corpus and
+    // emit test-split rows with a [0,1] rate (tiny corpus may have an
+    // empty test split; the schema contract is the point)
+    val audit = Graft.contamAudit(corpus, "item_no", "body")
+    val rates = audit.collect().map(_.getAs[Double]("contam_rate"))
+    assert(audit.columns.contains("item_no"))
+    assert(rates.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("clusterPairs groups the near-dup graph; hashBucket is stable") {
     val pairs = Seq((101L, 102L), (102L, 103L)).toDF("a", "b")
     val out = Graft.clusterPairs(pairs).collect()
