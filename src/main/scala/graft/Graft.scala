@@ -120,6 +120,17 @@ object Graft {
         (col("node") === col("rep")).cast("int").as("is_rep"))
   }
 
+  /** Adapt a custom-schema corpus to the (doc_id, text) shape the
+    * remaining [[graft.queries.PipelineOps]] operators expect
+    * (`repScore`, `tfidfTopTerms`, `mixPlan`, `ingestDedup`, …):
+    * `PipelineOps.repScore(Graft.asCorpus(df, "item_no", "body"))`.
+    *
+    * @param keep extra columns to carry through unchanged. */
+  def asCorpus(df: DataFrame, idCol: String, textCol: String,
+               keep: Seq[String] = Nil): DataFrame =
+    df.select((col(idCol).as("doc_id") +: keep.map(col)) :+
+      col(textCol).as("text"): _*)
+
   /** Deterministic hash split over any id: engine- and layout-stable
     * bucket in [0, buckets) — never `rand()` (q_llm_split's contract:
     * any row's assignment is computable without a scan). */

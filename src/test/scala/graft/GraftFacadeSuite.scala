@@ -100,6 +100,14 @@ class GraftFacadeSuite extends SparkSuite {
     assert(rates.forall(r => r >= 0.0 && r <= 1.0))
   }
 
+  test("asCorpus adapts a custom schema for the remaining PipelineOps operators") {
+    val rep = graft.queries.PipelineOps.repScore(
+      Graft.asCorpus(corpus, "item_no", "body")).collect()
+    assert(rep.nonEmpty)
+    // fixture texts have no repeated 3-gram shingles
+    assert(rep.forall(_.getAs[Double]("rep_ratio") === 0.0))
+  }
+
   test("clusterPairs groups the near-dup graph; hashBucket is stable") {
     val pairs = Seq((101L, 102L), (102L, 103L)).toDF("a", "b")
     val out = Graft.clusterPairs(pairs).collect()
