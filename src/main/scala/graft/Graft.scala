@@ -120,6 +120,27 @@ object Graft {
         (col("node") === col("rep")).cast("int").as("is_rep"))
   }
 
+  /** Adapt a custom-schema event stream (batch OR streaming DataFrame)
+    * to the typed [[graft.streaming.Event]] shape every
+    * [[graft.streaming.StreamOps]] builder consumes — the per-key
+    * trackers (causal audit, gap audit, funnel, retention, as-of
+    * enrichment, timer sessions) then run unchanged on the caller's
+    * stream: `StreamOps.gapAudit(Graft.asEvents(df, "seq", "when",
+    * "account", "kind", "amount"))`.
+    *
+    * @param tsCol a timestamp column (converted to µs). */
+  def asEvents(df: DataFrame, idCol: String, tsCol: String, keyCol: String,
+               typeCol: String,
+               valueCol: String): org.apache.spark.sql.Dataset[graft.streaming.Event] = {
+    import org.apache.spark.sql.Encoders
+    df.select(col(idCol).cast("long").as("event_id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(keyCol).cast("long").as("user_id"),
+        col(typeCol).cast("string").as("event_type"),
+        col(valueCol).cast("double").as("value"))
+      .as[graft.streaming.Event](Encoders.product[graft.streaming.Event])
+  }
+
   /** Adapt a custom-schema corpus to the (doc_id, text) shape the
     * remaining [[graft.queries.PipelineOps]] operators expect
     * (`repScore`, `tfidfTopTerms`, `mixPlan`, `ingestDedup`, …):

@@ -108,6 +108,22 @@ class GraftFacadeSuite extends SparkSuite {
     assert(rep.forall(_.getAs[Double]("rep_ratio") === 0.0))
   }
 
+  test("asEvents adapts a custom stream schema onto the per-key trackers") {
+    val raw = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "ping", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 7L, "ping", 2.0),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 7L, "ping", 3.0))
+      .toDF("seq", "when", "account", "kind", "amount")
+    val audit = graft.streaming.StreamOps.gapAudit(
+      Graft.asEvents(raw, "seq", "when", "account", "kind", "amount"))
+      .collect()
+    assert(audit.length === 1)
+    val a = audit.head
+    // ids 1,2,5 -> one gap of 2
+    assert(a.user_id === 7L && a.n_events === 3L && a.n_gaps === 1L
+      && a.missing_total === 2L && a.max_gap === 2L)
+  }
+
   test("clusterPairs groups the near-dup graph; hashBucket is stable") {
     val pairs = Seq((101L, 102L), (102L, 103L)).toDF("a", "b")
     val out = Graft.clusterPairs(pairs).collect()
