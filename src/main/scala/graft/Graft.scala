@@ -216,6 +216,38 @@ object Graft {
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .withColumnRenamed("doc_id", idCol)
 
+  private def vecBase(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.DotF64.register(df.sparkSession)
+    df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .withColumn("nrm",
+        sqrt(call_function("graft_dot", col("e"), col("e"))))
+  }
+
+  /** Multi-probe sign-LSH approximate nearest neighbors over any
+    * embedding table (the graded q_llm_ann plan: sign-bit bucket
+    * equi-join + all Hamming-`radius` probe flips — the scale path when
+    * the corpus is too large for [[knnExact]]'s full scan per probe).
+    *
+    * @return (probe_id, rk, neighbor_id, sim 6dp). */
+  def annCandidates(df: DataFrame, idCol: String, vecCol: String,
+                    probeIds: Seq[Long], bits: Int, radius: Int,
+                    k: Int): DataFrame =
+    graft.queries.LlmOps.annQueryOn(vecBase(df, idCol, vecCol),
+      bits, radius, k, _.isin(probeIds: _*))
+
+  /** IVF-flat approximate nearest neighbors over any embedding table
+    * (the graded q_llm_ivf plan: bounded coarse quantizer → zero-shuffle
+    * per-row assignment → probes search their nprobe nearest inverted
+    * lists). Pass [[graft.operators.KMeans.centroids]] output as
+    * `centroids` for a trained quantizer; the default is the bounded
+    * deterministic stride. */
+  def ivfSearch(df: DataFrame, idCol: String, vecCol: String,
+                probeIds: Seq[Long], nprobe: Int, k: Int,
+                centroids: Option[DataFrame] = None): DataFrame =
+    graft.queries.LlmOps.ivfQueryOn(vecBase(df, idCol, vecCol),
+      nprobe, k, _.isin(probeIds: _*), centroids)
+
   /** Exact cosine top-k over any embedding table (the graded q_llm_knn
     * plan): the probe rows broadcast, the corpus is scanned ONCE and
     * never shuffled — per-probe work is one native-codegen dot per

@@ -333,12 +333,22 @@ object LlmOps {
     * Hamming-1 flips. Exposed for the recall unit tests; the graded
     * `q_llm_ann` uses (bits = 4, radius = 1, k = 3). */
   def annQuery(s: SparkSession, d: String, bits: Int, radius: Int, k: Int,
-               probePred: Column => Column = _ < 5): DataFrame = {
-    graft.functions.DotF64.register(s) // graft_dot used below; idempotent
-    val base = T.embeddings(s, d)
+               probePred: Column => Column = _ < 5): DataFrame =
+    annQueryOn(embBase(s, d), bits, radius, k, probePred)
+
+  /** The normalized (vec_id, e, nrm) view of the embeddings table that
+    * the similarity paths share. */
+  private def embBase(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
-      .withColumn("bucket", signBucket(col("e"), 0, bits))
+
+  /** [[annQuery]] over ANY prepared (vec_id, e, nrm) DataFrame — the
+    * form [[graft.Graft.annCandidates]] exposes to caller corpora. */
+  def annQueryOn(base0: DataFrame, bits: Int, radius: Int, k: Int,
+                 probePred: Column => Column): DataFrame = {
+    graft.functions.DotF64.register(base0.sparkSession) // idempotent
+    val base = base0.withColumn("bucket", signBucket(col("e"), 0, bits))
     val flips = lit(0) +:
       (if (radius >= 1) (0 until bits).map(i => lit(1 << i)) else Seq.empty)
     val probes = base.filter(probePred(col("vec_id")))
@@ -433,11 +443,15 @@ object LlmOps {
     *                  deterministic stride the DuckDB oracle mirrors. */
   def ivfQuery(s: SparkSession, d: String, nprobe: Int, k: Int,
                probePred: Column => Column = _ < 5,
-               centroids: Option[DataFrame] = None): DataFrame = {
-    graft.functions.DotF64.register(s)
-    val base = T.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .withColumn("nrm", norm(col("e")))
+               centroids: Option[DataFrame] = None): DataFrame =
+    ivfQueryOn(embBase(s, d), nprobe, k, probePred, centroids)
+
+  /** [[ivfQuery]] over ANY prepared (vec_id, e, nrm) DataFrame — the
+    * form [[graft.Graft.ivfSearch]] exposes to caller corpora. */
+  def ivfQueryOn(base: DataFrame, nprobe: Int, k: Int,
+                 probePred: Column => Column,
+                 centroids: Option[DataFrame] = None): DataFrame = {
+    graft.functions.DotF64.register(base.sparkSession)
     val cents = centroids.map(_.withColumn("cn", norm(col("ce"))))
       .getOrElse(ivfDefaultQuantizer(base))
     val ranked = ivfRanked(base, cents, nprobe)

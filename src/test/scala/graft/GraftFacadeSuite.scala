@@ -67,6 +67,13 @@ class GraftFacadeSuite extends SparkSuite {
       .map(r => r.getAs[Int]("rk") -> r.getAs[Long]("neighbor_id")).toMap
     // nearest to (1,0): (0.9,0.1), then orthogonal beats negated
     assert(nn === Map(1 -> 2L, 2 -> 3L))
+    // the IVF scale path agrees on rank 1 for this tiny table (every
+    // vector quantizes into the searched lists at this size)
+    val ivf = Graft.ivfSearch(vecs, "row_key", "feat_vec",
+        probeIds = Seq(1L), nprobe = 2, k = 1).collect()
+      .map(r => r.getAs[Int]("rk") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(ivf.get(1).contains(2L))
+    spark.catalog.clearCache() // ivfRanked persists its ranking
   }
 
   test("stratifiedSample takes exactly k per custom stratum, deterministically") {
