@@ -138,6 +138,31 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("packing law: exclusive-cumsum bins are 0-based, monotone, counted exactly, and spill-bounded") {
+    // The q_llm_pack / q_llm_packeff model: within a stream, doc i's bin
+    // is floor(prefix-sum-before-i / budget). Laws for ANY length
+    // sequence: bins start at 0 and never decrease; the bin count is
+    // exactly floor((total − last)/budget) + 1; and total tokens are
+    // bounded by capacity + one spilling doc (a doc is assigned where
+    // its FIRST token lands, so only the stream's final doc can run
+    // past the last bin's capacity): total < n_bins·budget + last_len.
+    val lens: Gen[(List[Long], Long)] = for {
+      n <- Gen.chooseNum(1, 40)
+      ls <- Gen.listOfN(n, Gen.chooseNum(1L, 300L))
+      b <- Gen.chooseNum(16L, 256L)
+    } yield (ls, b)
+    check("pack")(Prop.forAll(lens) { case (ls, budget) =>
+      val cumBefore = ls.scanLeft(0L)(_ + _).init
+      val bins = cumBefore.map(_ / budget)
+      val nBins = bins.last + 1
+      val total = ls.sum
+      bins.head == 0L &&
+        bins.zip(bins.drop(1)).forall { case (a, b) => a <= b } &&
+        nBins == (total - ls.last) / budget + 1 &&
+        total < nBins * budget + ls.last
+    })
+  }
+
   test("funnel law: greedy one-pass fold == min-based three-pass definition on any timeline") {
     // THE equivalence StreamOps.funnel's single pass rests on: processed
     // in (ts, stage, id) order, greedy first-match produces exactly the
