@@ -138,6 +138,44 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("retention-fold law: the shift-rebase mask fold is order-invariant and matches the set definition") {
+    // StreamOps.retention's state transition, modeled exactly: cohort =
+    // min hour seen; mask bit k set iff some event fell in cohort+k,
+    // k <= 3. The fold claims commutativity (delivery-order freedom) —
+    // pin it by folding random permutations and comparing to the
+    // order-free set definition.
+    val HourUs = 3600000000L
+    def fold(tsList: List[Long]): (Long, Int) =
+      tsList.foldLeft((Long.MaxValue, 0)) { case ((cohort, mask), ts) =>
+        val h = ts - java.lang.Math.floorMod(ts, HourUs)
+        if (cohort == Long.MaxValue) (h, 1)
+        else if (h < cohort) {
+          val shift = (cohort - h) / HourUs
+          (h, if (shift > 3) 1 else ((mask << shift.toInt) & 0xF) | 1)
+        } else {
+          val k = (h - cohort) / HourUs
+          if (k <= 3) (cohort, mask | (1 << k.toInt)) else (cohort, mask)
+        }
+      }
+    val timeline: Gen[List[Long]] = for {
+      n <- Gen.chooseNum(1, 12)
+      // hours 0..9 with sub-hour jitter
+      ts <- Gen.listOfN(n, for {
+        hr <- Gen.chooseNum(0L, 9L); m <- Gen.chooseNum(0L, 3599L)
+      } yield hr * HourUs + m * 1000000L)
+    } yield ts
+    check("retention")(Prop.forAll(timeline) { ts =>
+      val hours = ts.map(t => t - java.lang.Math.floorMod(t, HourUs))
+      val cohort = hours.min
+      val expectMask = hours.map(h => (h - cohort) / HourUs)
+        .filter(_ <= 3).map(k => 1 << k.toInt).foldLeft(0)(_ | _)
+      // deterministic shuffle: seeded by the case itself
+      val perms = Seq(ts, ts.reverse,
+        new scala.util.Random(ts.hashCode.toLong).shuffle(ts))
+      perms.forall(p => fold(p) == ((cohort, expectMask)))
+    })
+  }
+
   test("packing law: exclusive-cumsum bins are 0-based, monotone, counted exactly, and spill-bounded") {
     // The q_llm_pack / q_llm_packeff model: within a stream, doc i's bin
     // is floor(prefix-sum-before-i / budget). Laws for ANY length
