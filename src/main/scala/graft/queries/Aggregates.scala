@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Det, Tables => T}
@@ -295,16 +295,51 @@ object Aggregates {
     }),
 
     // §2.4 exact percentiles (median / p90): order statistics with linear
-    // interpolation. Interpolation op ORDER can differ between engines in
-    // the last ulp, so results are rounded at 6dp (§7.4.7) — exactness of
-    // the rank selection itself is engine-independent.
-    "q_agg_pctile" -> ((s, d) =>
-      T.orders(s, d).groupBy(col("o_orderstatus"))
+    // interpolation, computed WITHOUT Spark's native percentile(). The
+    // native form buffers every distinct value of a group inside a
+    // heap-only ObjectHashAggregate buffer — with 3 status groups that is
+    // an OOM at corpus scale. Scale-safe equivalent: pre-aggregate
+    // (status, value) -> count (shuffle ∝ distinct values, map-side
+    // combining), cumulative-count window over the distinct values
+    // (WindowExec sorts spill to disk), flag the two interpolation
+    // neighbours at rank p*(n-1), and interpolate in double. The DuckDB
+    // twin runs the identical CTE, so both engines execute the same IEEE
+    // sequence; results rounded at 6dp (§7.4.7).
+    "q_agg_pctile" -> ((s, d) => {
+      val vc = T.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wRun = Window.partitionBy("o_orderstatus").orderBy("v")
+      val wAll = Window.partitionBy("o_orderstatus")
+      val marked = vc
+        .withColumn("cum_end", sum("cnt").over(wRun))
+        .withColumn("n", sum("cnt").over(wAll))
+        .withColumn("cum_start", col("cum_end") - col("cnt"))
+        .withColumn("r50", lit(0.5) * (col("n") - 1).cast("double"))
+        .withColumn("r90", lit(0.9) * (col("n") - 1).cast("double"))
+      // the single distinct value whose cumulative range covers rank k
+      def hit(r: Column, edge: Column => Column): Column = {
+        val k = edge(r).cast("long")
+        max(when(col("cum_start") <= k && k < col("cum_end"),
+          col("v").cast("double")))
+      }
+      marked.groupBy(col("o_orderstatus"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
-          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"),
-          count(lit(1)).as("n"))
-        .orderBy(col("o_orderstatus"))),
+          hit(col("r50"), floor).as("v50_lo"), hit(col("r50"), ceil).as("v50_hi"),
+          hit(col("r90"), floor).as("v90_lo"), hit(col("r90"), ceil).as("v90_hi"),
+          max(col("r50")).as("r50"), max(col("r90")).as("r90"),
+          max(col("n")).as("n"))
+        .select(
+          col("o_orderstatus"),
+          round(col("v50_lo") +
+            (col("r50") - floor(col("r50"))) * (col("v50_hi") - col("v50_lo")), 6)
+            .as("median_price"),
+          round(col("v90_lo") +
+            (col("r90") - floor(col("r90"))) * (col("v90_hi") - col("v90_lo")), 6)
+            .as("p90_price"),
+          col("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
 
     // §2.2/§2.7 null semantics: outer-join-produced nulls through
     // null-safe equality, coalesce chains, and the count(col) vs count(*)
@@ -525,11 +560,43 @@ object Aggregates {
           SELECT o_custkey FROM $ords WHERE o_totalprice > 200000
           ORDER BY o_custkey""",
     "q_agg_pctile" ->
-      s"""SELECT o_orderstatus,
-            round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
-            round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
-            COUNT(*) AS n
-          FROM $ords GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+      s"""WITH vc AS (
+            SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt
+            FROM $ords GROUP BY 1, 2
+          ), marked AS (
+            SELECT o_orderstatus, v, cnt,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) - cnt AS cum_start,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
+            FROM vc
+          ), rk AS (
+            SELECT *,
+              CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r50,
+              CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r90
+            FROM marked
+          ), ag AS (
+            SELECT o_orderstatus,
+              MAX(CASE WHEN cum_start <= CAST(FLOOR(r50) AS BIGINT)
+                        AND CAST(FLOOR(r50) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS v50_lo,
+              MAX(CASE WHEN cum_start <= CAST(CEIL(r50) AS BIGINT)
+                        AND CAST(CEIL(r50) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS v50_hi,
+              MAX(CASE WHEN cum_start <= CAST(FLOOR(r90) AS BIGINT)
+                        AND CAST(FLOOR(r90) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS v90_lo,
+              MAX(CASE WHEN cum_start <= CAST(CEIL(r90) AS BIGINT)
+                        AND CAST(CEIL(r90) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS v90_hi,
+              MAX(r50) AS r50, MAX(r90) AS r90,
+              CAST(MAX(n) AS BIGINT) AS n
+            FROM rk GROUP BY 1
+          )
+          SELECT o_orderstatus,
+            round(v50_lo + (r50 - FLOOR(r50)) * (v50_hi - v50_lo), 6) AS median_price,
+            round(v90_lo + (r90 - FLOOR(r90)) * (v90_hi - v90_lo), 6) AS p90_price,
+            n
+          FROM ag ORDER BY o_orderstatus""",
     "q_nulls" ->
       s"""SELECT parity, COUNT(*) AS n_rows,
             COUNT(c_custkey) AS n_cust,

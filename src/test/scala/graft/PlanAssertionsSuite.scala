@@ -275,4 +275,39 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"contam probe degenerated:\n$plan")
   }
+
+  test("q_agg_pctile: percentile is window-located over distinct-value counts — no heap-buffered percentile aggregate") {
+    // Native percentile() buffers every distinct value of a group inside
+    // a heap-only ObjectHashAggregate buffer (no spill) — with 3 status
+    // groups that's an OOM at 100×. The scale-safe plan pre-aggregates
+    // (status, value) → count and locates the rank with a spillable
+    // window, so neither "percentile" nor ObjectHashAggregate may appear.
+    val plan = planString(q("q_agg_pctile"))
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"native percentile aggregate is back:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"heap-only object aggregation buffer reappeared:\n$plan")
+    assert(plan.contains("Window"), s"rank locate lost its window:\n$plan")
+  }
+
+  test("q_llm_tri: triangle closure is an equi-join over the pair list — no cartesian, no BNLJ") {
+    val plan = planString(q("q_llm_tri"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration degenerated to all-pairs:\n$plan")
+  }
+
+  test("q_event_retention: events collapse to distinct (user,hour) BEFORE the cohort join") {
+    // The join (and everything downstream) must run on the collapsed
+    // activity table, not raw events — at 100 TB the distinct is what
+    // keeps the join input ∝ users × active hours instead of ∝ events.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = q("q_event_retention").queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"retention lost its cohort join:\n$plan")
+    joins.foreach { j =>
+      assert(j.left.collectFirst { case a: Aggregate => a }.nonEmpty &&
+        j.right.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"cohort join runs on un-collapsed events:\n$plan")
+    }
+  }
 }
