@@ -104,9 +104,13 @@ object Bench {
     // the 3dp total and 2dp yard carry the precision), the errors object
     // is omitted when empty (kept when not — a failing round must show
     // its failures even at the cost of the budget), and sf is the
-    // basename (the driver knows which dir it passed). Measures ~1847
-    // at 97 queries ⇒ ~17 chars per future query of headroom.
-    def fmtQ(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    // basename (the driver knows which dir it passed). Since r8 the
+    // decisecond values print as INTEGERS, declared by "qunit":"ds"
+    // (3.4 s → 34): at 109 queries the r7 "%.1f" form measured 1887 —
+    // 33 chars from truncation — and dropping the redundant ".x" costs
+    // no precision while buying ~200 chars (~26 queries of headroom).
+    // Consumers: divide by 10, honoring "qunit" (as with "qprefix").
+    def fmtQ(v: Double): String = math.round(v * 10).toString
     // keys drop the uniform "q_" prefix (declared via "qprefix") — at
     // 103 queries the full-name line measured 1972, over the ~1920
     // tail budget; the prefix is 2 chars × |queries| of pure redundancy
@@ -124,7 +128,7 @@ object Bench {
     // should normalize by this instead of guessing).
     val yard = results.toMap.getOrElse("q_scan", 0.0)
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2ci","qprefix":"q_","yard":${"%.2f".formatLocal(java.util.Locale.ROOT, yard)},"queries":$qs$errJson,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2ci","qprefix":"q_","qunit":"ds","yard":${"%.2f".formatLocal(java.util.Locale.ROOT, yard)},"queries":$qs$errJson,"sf":"$sfName"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
