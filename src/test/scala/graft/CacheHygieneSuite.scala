@@ -1,0 +1,52 @@
+package graft
+
+/** The cache contract (SparkEntry scaladoc): query builders may
+  * `persist()` multi-consumer intermediates — a returned DataFrame is
+  * lazy, so the builder cannot unpersist after its own action — and the
+  * RUNNER owns the sweep: Verify, Bench, and Prof all call
+  * `spark.catalog.clearCache()` after every query. This suite pins that
+  * the sweep actually returns the session to ZERO persisted RDDs for the
+  * persist()-heavy queries, so a long-lived library session that follows
+  * the contract cannot accumulate cached projections. (q_llm_cc is
+  * exercised for sweep-compatibility too, but its assertion tolerates the
+  * final label table: `localCheckpoint` blocks are released by the
+  * ContextCleaner on dereference, not by the SQL cache sweep.)
+  */
+class CacheHygieneSuite extends SparkSuite {
+
+  private def persisted: Map[Int, org.apache.spark.rdd.RDD[_]] =
+    spark.sparkContext.getPersistentRDDs.toMap
+
+  test("Verify-style clearCache sweep leaves zero persistent RDDs after every persist()-using query") {
+    // every graded query whose builder persists a multi-consumer
+    // intermediate (funnel's event projection, the AllPairs token
+    // projections, LSH signature/posting tables, the IVF assignment)
+    val persistUsers = Seq("q_event_funnel", "q_llm_neardup", "q_llm_ngram",
+      "q_llm_tri", "q_llm_minhash", "q_llm_simhash", "q_llm_simdup",
+      "q_llm_ivf", "q_text_tfidf")
+    spark.catalog.clearCache() // clean slate regardless of suite order
+    persistUsers.foreach { name =>
+      SparkEntry.queries(name)(spark, sf).count()
+      spark.catalog.clearCache() // the documented runner-side sweep
+      val leaked = persisted
+      assert(leaked.isEmpty,
+        s"$name leaked ${leaked.size} RDD(s) past the clearCache sweep: " +
+          leaked.map { case (id, r) => s"#$id ${r.name}" }.mkString(", "))
+    }
+  }
+
+  test("q_llm_cc: sweep drops the SQL-cached intermediates; only checkpoint blocks await the ContextCleaner") {
+    spark.catalog.clearCache()
+    SparkEntry.queries("q_llm_cc")(spark, sf).count()
+    spark.catalog.clearCache()
+    // the builder's persist()s (pair list, symmetrized edges) must be
+    // gone; what MAY remain are locally-checkpointed round tables from
+    // the iteration, which the ContextCleaner reclaims asynchronously
+    // once their references drop
+    val leftovers = persisted.values.toSeq
+    assert(leftovers.forall(_.isCheckpointed),
+      "non-checkpoint RDDs survived the sweep: " +
+        leftovers.filterNot(_.isCheckpointed)
+          .map(_.getClass.getSimpleName).mkString(", "))
+  }
+}
