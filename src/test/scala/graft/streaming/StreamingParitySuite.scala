@@ -1201,4 +1201,53 @@ class StreamingParitySuite extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(out === Set((1L, 1L, 2L)), s"evicted state still matched: $out")
   }
+
+  test("file-directory streaming source: parquet files dropped per micro-batch == batch through the gap audit") {
+    // The closest IMPLEMENTABLE analog to the reference's external
+    // ingress in a zero-egress sandbox (SURVEY §0): a deployed pipeline
+    // tails a landing-zone directory — every new file is a new message
+    // batch. readStream.parquet(dir) discovers files added AFTER the
+    // query starts, so dropping one file per processAllAvailable gives
+    // three real micro-batches through the same stateful tracker the
+    // MemoryStream tests exercise, closing the gap between "MemoryStream
+    // proves semantics" and "a file source feeds the tracker".
+    val landing = Files.createTempDirectory("graft_filesrc").toString
+    val stage = Files.createTempDirectory("graft_filesrc_stage")
+    val cp = Files.createTempDirectory("graft_filesrc_cp").toString
+    def drop(i: Int, evs: Seq[Event]): Unit = {
+      // write via a staging dir, then move the single part file in: the
+      // landing zone must only ever contain COMPLETE files (the file
+      // source has no notion of in-progress writes — same discipline a
+      // real landing-zone producer follows)
+      val tmp = stage.resolve(s"b$i").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, f"batch_$i%03d.parquet"))
+      ()
+    }
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .option("maxFilesPerTrigger", "1") // at scale: bound a micro-batch
+      .parquet(landing)
+      .as[Event]
+    val q = StreamOps.gapAudit(src)
+      .writeStream.format("memory").queryName("filesrc_gap")
+      .option("checkpointLocation", cp).outputMode("update").start()
+    try batches.zipWithIndex.foreach { case (b, i) =>
+      drop(i, b); q.processAllAvailable()
+    } finally q.stop()
+    // last update per key wins; every tracked quantity is monotone
+    val streamOut = spark.table("filesrc_gap")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("n_gaps")).as("g"),
+        max(col("missing_total")).as("m"), max(col("max_gap")).as("x"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    val batchOut = StreamOps.gapAudit(miniEvents.toDS()).collect()
+      .map(o => o.user_id -> (o.n_events, o.n_gaps, o.missing_total, o.max_gap))
+      .toMap
+    assert(streamOut === batchOut, "file-source stream diverged from batch")
+    assert(streamOut.nonEmpty)
+  }
 }
