@@ -24,9 +24,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *  - [[graft.streaming.StreamOps]] — every streaming builder takes a
   *    Dataset/DataFrame (batch or stream) already.
   *
-  * Cache contract: [[nearDupPairs]] persists intermediates via the
-  * AllPairs helper — the same lifecycle note as [[SparkEntry]]: release
-  * with `spark.catalog.clearCache()` (or targeted unpersist) after
+  * Cache contract: [[nearDupPairs]] (via the AllPairs helper) and
+  * [[simDupPairs]] (the signature table) persist intermediates — the
+  * same lifecycle note as [[SparkEntry]]: release with
+  * `spark.catalog.clearCache()` (or targeted unpersist) after
   * materializing the result in a long-lived session.
   */
 object Graft {
@@ -66,11 +67,16 @@ object Graft {
     *                  correct, but consider MinHash banding first at
     *                  corpus scale).
     * @param tNum,tDen exact rational threshold (e.g. 4/5 for 0.8);
-    *                  pairs with jaccard ≥ tNum/tDen are returned.
-    * @return (id_a, id_b, jaccard) with id_a < id_b, plus blockCols. */
+    *                  pairs with jaccard ≥ tNum/tDen are returned — the
+    *                  verify filter compares in INTEGER arithmetic
+    *                  (inter·tDen ≥ union·tNum), so the rational
+    *                  threshold is honored exactly, never through a
+    *                  binary-rounded double boundary.
+    * @return (id_a, id_b, blockCols…, jaccard) with id_a < id_b
+    *         (the pair's block values — both sides agree on them by
+    *         construction). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], tNum: Int, tDen: Int): DataFrame = {
-    graft.functions.JaccardStr.register(df.sparkSession)
     val toks = array_distinct(split(col(textCol), " "))
     val docs = df
       .select((col(idCol).as("doc_id") +: blockCols.map(col)) :+ toks.as("tk"): _*)
@@ -79,15 +85,68 @@ object Graft {
       (col("doc_id") +: blockCols.map(col)) :+
         size(col("tk")).cast("long").as("sz") :+ explode(col("tk")).as("feat"): _*)
     graft.queries.LlmOps.jaccardCandidates(feats, blockCols, tNum, tDen)
-      .join(docs.select(col("doc_id").as("a_id"), col("tk").as("tk_a")),
+      .join(docs.select((col("doc_id").as("a_id") +: blockCols.map(col)) :+
+          col("tk").as("tk_a"): _*),
         col("doc_a") === col("a_id"))
       .join(docs.select(col("doc_id").as("b_id"), col("tk").as("tk_b")),
         col("doc_b") === col("b_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("tk_a"), col("tk_b"))).cast("long"))
+      .withColumn("n_union",
+        size(col("tk_a")).cast("long") + size(col("tk_b")).cast("long")
+          - col("n_inter"))
+      .filter(col("n_inter") * lit(tDen.toLong) >=
+        col("n_union") * lit(tNum.toLong))
       .withColumn("jaccard",
-        call_function("graft_jaccard", col("tk_a"), col("tk_b")))
-      .filter(col("jaccard") >= lit(tNum.toDouble) / lit(tDen.toDouble))
-      .select(col("doc_a").as(s"${idCol}_a"), col("doc_b").as(s"${idCol}_b"),
-        col("jaccard"))
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      .select((col("doc_a").as(s"${idCol}_a") +:
+        col("doc_b").as(s"${idCol}_b") +: blockCols.map(col)) :+
+        col("jaccard"): _*)
+  }
+
+  /** SimHash near-duplicate pairs over any corpus — the banded plan of
+    * the graded `q_llm_simdup`: a 16-bit majority-vote signature per
+    * row ([[graft.queries.LlmOps.simhashSigsOn]]), candidates share ≥1
+    * of 4 signature bands within their block, verified at hamming ≤ 3
+    * via bit_count(xor) — EXACT by pigeonhole (≤3 differing bits touch
+    * at most 3 of the 4 bands). Complements [[nearDupPairs]]: SimHash
+    * weighs token FREQUENCY overlap, Jaccard the distinct-token SET.
+    *
+    * @param blockCols pairs form only within equal values (Nil = global).
+    * @return (id_a, id_b, blockCols…, hamming) with id_a < id_b. */
+  def simDupPairs(df: DataFrame, idCol: String, textCol: String,
+                  blockCols: Seq[String]): DataFrame = {
+    import graft.queries.LlmOps
+    val docs = df.select((col(idCol).as("doc_id") +: blockCols.map(col)) :+
+      array_distinct(split(col(textCol), " ")).as("tk"): _*)
+    LlmOps.simDupPairsOn(LlmOps.simhashSigsOn(docs, blockCols), blockCols)
+      .withColumnRenamed("doc_a", s"${idCol}_a")
+      .withColumnRenamed("doc_b", s"${idCol}_b")
+  }
+
+  /** Banded sign-LSH cosine near-duplicate pairs over any embedding
+    * table — the unbounded-scale plan of the graded `q_llm_embdup_lsh`:
+    * 8 bands × 8 sign bits, so only pairs agreeing on ≥1 band within
+    * their block are cosine-verified (verify input ∝ candidates, never
+    * ∝ corpus²). The scale path when [[nearDupPairs]]/[[simDupPairs]]
+    * don't apply because similarity lives in the embedding space.
+    *
+    * @param vecCol    any numeric array column. Bands read sign bits of
+    *                  dims 1..64; vectors shorter than 64 dims zero-fill
+    *                  the missing bits, which degrades band SELECTIVITY
+    *                  (more candidates verified) but never correctness.
+    * @param blockCols pairs form only within equal values (Nil = global).
+    * @param simMin    cosine threshold (rounded to 6dp before the cut).
+    * @return (idCol_a, idCol_b, blockCols…, sim 6dp) with _a < _b. */
+  def embDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                  blockCols: Seq[String], simMin: Double): DataFrame = {
+    graft.functions.DotF64.register(df.sparkSession)
+    val base = df.select((col(idCol).cast("long").as("vec_id") +:
+        blockCols.map(col)) :+ col(vecCol).cast("array<double>").as("e"): _*)
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("e"), col("e"))))
+    graft.queries.LlmOps.embDupPairsOn(base, blockCols, simMin)
+      .withColumnRenamed("vec_a", s"${idCol}_a")
+      .withColumnRenamed("vec_b", s"${idCol}_b")
   }
 
   /** Native MinHash signatures (64 minima of the universal hash family

@@ -146,4 +146,57 @@ class GraftFacadeSuite extends SparkSuite {
       .collect().map(_.getLong(0))
     assert(b.toSeq === b2.toSeq)
   }
+
+  test("nearDupPairs carries the block columns and honors the exact rational threshold") {
+    // 5 distinct tokens; doc 202 shares exactly 4 of 201's 5 → J = 4/6?
+    // No: 201 has {a b c d e}, 202 has {a b c d f} → inter 4, union 6,
+    // J = 2/3. At t = 2/3 the pair must be INCLUDED (the boundary is
+    // decided in integer arithmetic: 4·3 ≥ 6·2), at t = 7/10 excluded.
+    val c2 = Seq(
+      (201L, "a b c d e", "s1"),
+      (202L, "a b c d f", "s1"),
+      (203L, "a b c d e", "s2") // other block — never paired with 201
+    ).toDF("item_no", "body", "shelf")
+    val boundary = Graft.nearDupPairs(c2, "item_no", "body",
+      Seq("shelf"), 2, 3).collect()
+    spark.catalog.clearCache()
+    assert(boundary.map(r => (r.getAs[Long]("item_no_a"),
+      r.getAs[Long]("item_no_b"), r.getAs[String]("shelf"))).toSet ===
+      Set((201L, 202L, "s1")), "exact 2/3 boundary pair missing or block leaked")
+    assert(boundary.head.getAs[Double]("jaccard") === 4.0 / 6.0)
+    val above = Graft.nearDupPairs(c2, "item_no", "body",
+      Seq("shelf"), 7, 10).collect()
+    spark.catalog.clearCache()
+    assert(above.isEmpty, "J=2/3 pair survived a 7/10 threshold")
+  }
+
+  test("simDupPairs finds frequency-profile near-dups within blocks on a custom schema") {
+    val out = Graft.simDupPairs(corpus, "item_no", "body", Seq("shelf"))
+      .collect()
+      .map(r => (r.getAs[Long]("item_no_a"), r.getAs[Long]("item_no_b")) ->
+        ((r.getAs[String]("shelf"), r.getAs[Number]("hamming").longValue())))
+      .toMap
+    spark.catalog.clearCache()
+    // 101/102/103 are token-set identical in aisle1 → identical
+    // signatures (hamming 0); 105 is blocked away in aisle2; 104 shares
+    // no tokens, so its signature differs by > 3 bits
+    assert(out.keySet === Set((101L, 102L), (101L, 103L), (102L, 103L)))
+    assert(out.values.forall { case (shelf, ham) => shelf == "aisle1" && ham == 0L })
+  }
+
+  test("embDupPairs pairs cosine-close vectors within blocks on a custom schema") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.2f), "g1"),
+      (2L, Seq(0.9f, 0.05f, 0.18f), "g1"), // near-parallel to 1 → high cos
+      (3L, Seq(-1.0f, 0.1f, -0.2f), "g1"), // anti-parallel → negative cos
+      (4L, Seq(1.0f, 0.0f, 0.2f), "g2")    // close to 1 but other block
+    ).toDF("row_key", "feat_vec", "grp")
+    val out = Graft.embDupPairs(vecs, "row_key", "feat_vec",
+        Seq("grp"), simMin = 0.9).collect()
+      .map(r => (r.getAs[Long]("row_key_a"), r.getAs[Long]("row_key_b")) ->
+        ((r.getAs[String]("grp"), r.getAs[Double]("sim")))).toMap
+    assert(out.keySet === Set((1L, 2L)), s"wrong pair set: ${out.keySet}")
+    val (grp, sim) = out((1L, 2L))
+    assert(grp === "g1" && sim > 0.99 && sim <= 1.0)
+  }
 }
