@@ -117,7 +117,16 @@ object MinHashSig {
     new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig")
 
   private def builder(a: Seq[Long], b: Seq[Long], p: Long) =
-    (children: Seq[Expression]) => MinHashSig(children.head, a, b, p)
+    (children: Seq[Expression]) => {
+      // explicit arity check: children.head on an empty list (or a
+      // silently ignored second argument) would surface as a confusing
+      // NoSuchElementException at plan-build time instead of a clean
+      // analysis error naming the expected signature
+      require(children.length == 1,
+        s"graft_minhash_sig expects exactly 1 argument " +
+          s"(tokens: array<string>), got ${children.length}")
+      MinHashSig(children.head, a, b, p)
+    }
 
   /** SessionExtensions registration (the graded family constants live in
     * LlmOps; injected at session build by [[graft.LocalSession]]). */

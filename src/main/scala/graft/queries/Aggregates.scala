@@ -187,8 +187,11 @@ object Aggregates {
       def dbl(c: String) = col(c).cast("double")
       val nD = col("n").cast("double")
       val varS = (nD * dbl("sxx") - dbl("sx") * dbl("sx")) / (nD * (nD - 1))
+      // sample variance divides by n−1: a single-row group is 0/0 = NaN
+      // in double, so degeneracy is decided structurally (n > 1) on both
+      // engines — the contract is NULL, not NaN (q_event_zscore's note).
       g.select(col("o_orderstatus"), col("n"),
-        round(sqrt(varS), 6).as("stddev_price"),
+        when(col("n") > 1, round(sqrt(varS), 6)).as("stddev_price"),
         round(dbl("sx") / nD, 6).as("mean_price"))
         .orderBy(col("o_orderstatus"))
     }),
@@ -496,9 +499,10 @@ object Aggregates {
           FROM $evt GROUP BY 1 ORDER BY bucket""",
     "q_agg_stddev" ->
       s"""SELECT o_orderstatus, n,
-            ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+            CASE WHEN n > 1 THEN
+              ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) END
               AS stddev_price,
             ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_price
           FROM (

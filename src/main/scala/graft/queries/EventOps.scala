@@ -174,24 +174,34 @@ object EventOps {
     // sizes — never a window (a hot user's events never sort in one
     // partition). value is 4dp-rounded decimal→double on BOTH sides
     // before the z-score so the subtraction's operands are
-    // bit-identical.
+    // bit-identical. Degeneracy (single event or constant value) is
+    // decided STRUCTURALLY in the exact decimal domain — n ≤ 1 or
+    // min(v) = max(v) — never by comparing the float sd against 0.0:
+    // the double moment arithmetic can yield a tiny nonzero (or
+    // negative) variance for a constant group, and the contract is
+    // that such users emit NULL, not NaN or a huge z. The sd <> 0
+    // guard stays as well (both engines share the IEEE sequence, so
+    // a catastrophic-cancellation exact zero still nulls identically).
     "q_event_zscore" -> ((s, d) => {
       val v = col("value").cast(org.apache.spark.sql.types.DecimalType(12, 4))
       val m = T.events(s, d).groupBy(col("user_id").as("u")).agg(
         count(lit(1)).as("n"),
         sum(v).as("sx"),
-        sum(v * v).as("sxx"))
+        sum(v * v).as("sxx"),
+        min(v).as("vmin"),
+        max(v).as("vmax"))
       def dbl(c: String) = col(c).cast("double")
       val nD = col("n").cast("double")
       val mean = dbl("sx") / nD
       val sd = sqrt((nD * dbl("sxx") - dbl("sx") * dbl("sx")) / (nD * nD))
-      val stats = m.select(col("u"), mean.as("mean_v"), sd.as("sd_v"))
+      val stats = m.select(col("u"), mean.as("mean_v"), sd.as("sd_v"),
+        (col("n") > 1 && col("vmin") =!= col("vmax")).as("live"))
       T.events(s, d)
         .select(col("event_id"), col("user_id"),
           v.cast("double").as("v4"))
         .join(stats, col("user_id") === col("u"))
         .select(col("event_id"), col("user_id"),
-          when(col("sd_v") =!= 0.0,
+          when(col("live") && col("sd_v") =!= 0.0,
             round((col("v4") - col("mean_v")) / col("sd_v"), 6)).as("z"))
         .orderBy(col("event_id"))
     }),
@@ -280,17 +290,20 @@ object EventOps {
             SELECT user_id AS u, COUNT(*) AS n,
               SUM(CAST(value AS DECIMAL(12,4))) AS sx,
               SUM(CAST(value AS DECIMAL(12,4))
-                  * CAST(value AS DECIMAL(12,4))) AS sxx
+                  * CAST(value AS DECIMAL(12,4))) AS sxx,
+              MIN(CAST(value AS DECIMAL(12,4))) AS vmin,
+              MAX(CAST(value AS DECIMAL(12,4))) AS vmax
             FROM $evt GROUP BY user_id),
           stats AS (
             SELECT u,
               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
               sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd_v
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd_v,
+              (n > 1 AND vmin <> vmax) AS live
             FROM m)
           SELECT event_id, user_id,
-            CASE WHEN sd_v <> 0
+            CASE WHEN live AND sd_v <> 0
               THEN ROUND((CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE)
                           - mean_v) / sd_v, 6) END AS z
           FROM $evt JOIN stats ON user_id = u

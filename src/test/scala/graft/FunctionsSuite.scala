@@ -131,4 +131,16 @@ class FunctionsSuite extends SparkSuite {
       s"graft_dot fell out of whole-stage codegen:\n$plan")
     assert(df.agg(min(col("d"))).collect()(0).getDouble(0) >= 0.0) // Σx² ≥ 0
   }
+
+  test("graft_minhash_sig arity mismatch is a clean error naming the signature, not a NoSuchElementException") {
+    Seq("SELECT graft_minhash_sig()",
+        "SELECT graft_minhash_sig(array('a'), array('b'))").foreach { sql =>
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          String.valueOf(x.getMessage) +: messages(x.getCause))
+      assert(messages(e).exists(_.contains("expects exactly 1 argument")),
+        s"unhelpful arity error for [$sql]: $e")
+    }
+  }
 }
