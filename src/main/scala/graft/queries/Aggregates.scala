@@ -344,6 +344,35 @@ object Aggregates {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // §2.4 DISCRETE percentiles (type-1 order statistic): the smallest
+    // existing value whose cumulative count reaches ⌈p·n⌉ — no
+    // interpolation, so the result carries ZERO float arithmetic: the
+    // rank is pure integer math (⌈a/b⌉ = (a+b−1) div b) and the answer
+    // is a value the table already holds. Same scale-safe machinery as
+    // q_agg_pctile (distinct-value-count pre-agg + spillable cumulative
+    // window), never a heap-buffered percentile aggregate.
+    "q_agg_pctile_disc" -> ((s, d) => {
+      val vc = T.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wRun = Window.partitionBy("o_orderstatus").orderBy("v")
+      val wAll = Window.partitionBy("o_orderstatus")
+      val marked = vc
+        .withColumn("cum_end", sum("cnt").over(wRun))
+        .withColumn("n", sum("cnt").over(wAll))
+        .withColumn("cum_start", col("cum_end") - col("cnt"))
+        .withColumn("k50", expr("(5 * n + 9) div 10"))
+        .withColumn("k90", expr("(9 * n + 9) div 10"))
+      // the distinct value covering 1-based rank k: cum_start < k ≤ cum_end
+      def at(k: Column): Column =
+        max(when(col("cum_start") < k && k <= col("cum_end"), col("v")))
+      marked.groupBy(col("o_orderstatus"))
+        .agg(at(col("k50")).as("median_disc"),
+          at(col("k90")).as("p90_disc"),
+          max(col("n")).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // §2.2/§2.7 null semantics: outer-join-produced nulls through
     // null-safe equality, coalesce chains, and the count(col) vs count(*)
     // distinction. NULL keys group together (both engines).
@@ -601,6 +630,25 @@ object Aggregates {
             round(v90_lo + (r90 - FLOOR(r90)) * (v90_hi - v90_lo), 6) AS p90_price,
             n
           FROM ag ORDER BY o_orderstatus""",
+    "q_agg_pctile_disc" ->
+      s"""WITH vc AS (
+            SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt
+            FROM $ords GROUP BY 1, 2
+          ), marked AS (
+            SELECT o_orderstatus, v, cnt,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) - cnt AS cum_start,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
+            FROM vc
+          ), rk AS (
+            SELECT *, (5 * n + 9) // 10 AS k50, (9 * n + 9) // 10 AS k90
+            FROM marked
+          )
+          SELECT o_orderstatus,
+            MAX(CASE WHEN cum_start < k50 AND k50 <= cum_end THEN v END) AS median_disc,
+            MAX(CASE WHEN cum_start < k90 AND k90 <= cum_end THEN v END) AS p90_disc,
+            CAST(MAX(n) AS BIGINT) AS n
+          FROM rk GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_nulls" ->
       s"""SELECT parity, COUNT(*) AS n_rows,
             COUNT(c_custkey) AS n_cust,

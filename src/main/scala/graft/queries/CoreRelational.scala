@@ -223,6 +223,24 @@ object CoreRelational {
           min(col("p_us") - col("c_us")).as("min_gap_us"),
           max(col("p_us") - col("c_us")).as("max_gap_us"))
         .orderBy(col("user_id"))
+    }),
+
+    // §2.3 skew-safe SALTED join, graded for exactness: the
+    // deterministic left-row-hash salting of ScaleOps.saltedInnerJoin
+    // (a hot key's 10⁸ rows become `salts` parallel tasks instead of
+    // one straggler; the small side replicates salts×) must return
+    // EXACTLY the plain equi-join's rows — salting is plan surgery,
+    // never semantics. The oracle runs the unsalted join; the aggregate
+    // makes the comparison layout-independent.
+    "q_join_skew" -> ((s, d) => {
+      val l = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val r = T.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.ScaleOps.saltedInnerJoin(l, r, "o_custkey", "c_custkey", 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -337,6 +355,11 @@ object CoreRelational {
             MIN(p_us - c_us) AS min_gap_us, MAX(p_us - c_us) AS max_gap_us
           FROM c JOIN p ON user_id = p_user
             AND p_us >= c_us AND p_us <= c_us + 3600000000
-          GROUP BY user_id ORDER BY user_id"""
+          GROUP BY user_id ORDER BY user_id""",
+    "q_join_skew" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+            ${sqlSum("o_totalprice")} AS total_price
+          FROM $ords JOIN $cust ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

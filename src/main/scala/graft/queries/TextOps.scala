@@ -58,6 +58,29 @@ object TextOps {
         .withColumn("dup_ratio", col("n_dup") / col("n_docs"))
         .orderBy(col("lang"), col("source"))),
 
+    // Per-language vocabulary profile: token count, type (distinct
+    // token) count, hapax legomena (types seen exactly once — the
+    // classic corpus-quality signal: a high hapax share means noise or
+    // genuinely diverse text), and type-token ratio. TTR is ONE IEEE
+    // division of exact integers, unrounded (§7.4 rule 1, the
+    // q_text_dupstats precedent). Plan: explode once → two stacked
+    // map-side-combining hash aggs — the first collapses to (lang,
+    // word) counts (shuffle ∝ vocabulary, a hot token combines
+    // map-side), the second to |langs| rows. No window, no join; the
+    // same two-agg shape as q_mm_dedupstats.
+    "q_text_vocab" -> ((s, d) => {
+      val wc = T.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      wc.groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr",
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
+        .orderBy(col("lang"))
+    }),
+
     // Language ID: marker-token counts per language, argmax with
     // lexicographic tiebreak; reports accuracy vs the labeled lang.
     "q_text_langid" -> ((s, d) => {
@@ -159,6 +182,18 @@ object TextOps {
             COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup,
             (COUNT(*) - COUNT(DISTINCT md5(text))) / COUNT(*) AS dup_ratio
           FROM $doc GROUP BY lang, source ORDER BY lang, source""",
+    "q_text_vocab" ->
+      s"""WITH wc AS (
+            SELECT lang, word, COUNT(*) AS c
+            FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS word
+                  FROM $doc)
+            GROUP BY lang, word)
+          SELECT lang,
+            CAST(SUM(c) AS BIGINT) AS n_tokens,
+            COUNT(*) AS n_types,
+            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+            CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr
+          FROM wc GROUP BY lang ORDER BY lang""",
     "q_text_langid" -> {
       val scores = markers
         .map { case (l, set) => s"${sqlCountIn(set)} AS s_$l" }

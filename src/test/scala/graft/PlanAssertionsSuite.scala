@@ -276,18 +276,33 @@ class PlanAssertionsSuite extends SparkSuite {
       s"contam probe degenerated:\n$plan")
   }
 
-  test("q_agg_pctile: percentile is window-located over distinct-value counts — no heap-buffered percentile aggregate") {
+  test("q_agg_pctile / q_agg_pctile_disc: percentile is window-located over distinct-value counts — no heap-buffered percentile aggregate") {
     // Native percentile() buffers every distinct value of a group inside
     // a heap-only ObjectHashAggregate buffer (no spill) — with 3 status
     // groups that's an OOM at 100×. The scale-safe plan pre-aggregates
     // (status, value) → count and locates the rank with a spillable
     // window, so neither "percentile" nor ObjectHashAggregate may appear.
-    val plan = planString(q("q_agg_pctile"))
-    assert(!plan.toLowerCase.contains("percentile"),
-      s"native percentile aggregate is back:\n$plan")
-    assert(!plan.contains("ObjectHashAggregate"),
-      s"heap-only object aggregation buffer reappeared:\n$plan")
-    assert(plan.contains("Window"), s"rank locate lost its window:\n$plan")
+    Seq("q_agg_pctile", "q_agg_pctile_disc").foreach { name =>
+      val plan = planString(q(name))
+      assert(!plan.toLowerCase.contains("percentile"),
+        s"$name: native percentile aggregate is back:\n$plan")
+      assert(!plan.contains("ObjectHashAggregate"),
+        s"$name: heap-only object aggregation buffer reappeared:\n$plan")
+      assert(plan.contains("Window"), s"$name: rank locate lost its window:\n$plan")
+    }
+  }
+
+  test("q_join_skew: the salted join is an equi-join on (key, salt) — no cartesian, no BNLJ, no key-only hot partition") {
+    val plan = planString(q("q_join_skew"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"salted join degenerated:\n$plan")
+    assert(plan.contains("__salt"), s"salt column optimized away entirely:\n$plan")
+  }
+
+  test("q_text_vocab: two stacked hash aggregates, no join, no window") {
+    val plan = planString(q("q_text_vocab"))
+    assert(!plan.toLowerCase.contains("join"), s"vocab grew a join:\n$plan")
+    assert(!plan.contains("WindowExec"), s"vocab grew a window:\n$plan")
   }
 
   test("q_llm_tri: triangle closure is an equi-join over the pair list — no cartesian, no BNLJ") {
