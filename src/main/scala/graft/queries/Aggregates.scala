@@ -307,71 +307,30 @@ object Aggregates {
     // (WindowExec sorts spill to disk), flag the two interpolation
     // neighbours at rank p*(n-1), and interpolate in double. The DuckDB
     // twin runs the identical CTE, so both engines execute the same IEEE
-    // sequence; results rounded at 6dp (§7.4.7).
-    "q_agg_pctile" -> ((s, d) => {
-      val vc = T.orders(s, d)
-        .groupBy(col("o_orderstatus"), col("o_totalprice").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val wRun = Window.partitionBy("o_orderstatus").orderBy("v")
-      val wAll = Window.partitionBy("o_orderstatus")
-      val marked = vc
-        .withColumn("cum_end", sum("cnt").over(wRun))
-        .withColumn("n", sum("cnt").over(wAll))
-        .withColumn("cum_start", col("cum_end") - col("cnt"))
-        .withColumn("r50", lit(0.5) * (col("n") - 1).cast("double"))
-        .withColumn("r90", lit(0.9) * (col("n") - 1).cast("double"))
-      // the single distinct value whose cumulative range covers rank k
-      def hit(r: Column, edge: Column => Column): Column = {
-        val k = edge(r).cast("long")
-        max(when(col("cum_start") <= k && k < col("cum_end"),
-          col("v").cast("double")))
-      }
-      marked.groupBy(col("o_orderstatus"))
-        .agg(
-          hit(col("r50"), floor).as("v50_lo"), hit(col("r50"), ceil).as("v50_hi"),
-          hit(col("r90"), floor).as("v90_lo"), hit(col("r90"), ceil).as("v90_hi"),
-          max(col("r50")).as("r50"), max(col("r90")).as("r90"),
-          max(col("n")).as("n"))
-        .select(
-          col("o_orderstatus"),
-          round(col("v50_lo") +
-            (col("r50") - floor(col("r50"))) * (col("v50_hi") - col("v50_lo")), 6)
-            .as("median_price"),
-          round(col("v90_lo") +
-            (col("r90") - floor(col("r90"))) * (col("v90_hi") - col("v90_lo")), 6)
-            .as("p90_price"),
+    // sequence; results rounded at 6dp (§7.4.7). Delegates to
+    // operators.Percentiles — the parameterized engine the facade
+    // exposes over arbitrary (group, value) columns.
+    "q_agg_pctile" -> ((s, d) =>
+      graft.operators.Percentiles.cont(T.orders(s, d), Seq("o_orderstatus"),
+          "o_totalprice", Seq(0.5 -> "mp", 0.9 -> "pp"))
+        .select(col("o_orderstatus"),
+          round(col("mp"), 6).as("median_price"),
+          round(col("pp"), 6).as("p90_price"),
           col("n"))
-        .orderBy(col("o_orderstatus"))
-    }),
+        .orderBy(col("o_orderstatus"))),
 
     // §2.4 DISCRETE percentiles (type-1 order statistic): the smallest
     // existing value whose cumulative count reaches ⌈p·n⌉ — no
-    // interpolation, so the result carries ZERO float arithmetic: the
+    // interpolation, so the query carries ZERO float arithmetic: the
     // rank is pure integer math (⌈a/b⌉ = (a+b−1) div b) and the answer
     // is a value the table already holds. Same scale-safe machinery as
     // q_agg_pctile (distinct-value-count pre-agg + spillable cumulative
-    // window), never a heap-buffered percentile aggregate.
-    "q_agg_pctile_disc" -> ((s, d) => {
-      val vc = T.orders(s, d)
-        .groupBy(col("o_orderstatus"), col("o_totalprice").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val wRun = Window.partitionBy("o_orderstatus").orderBy("v")
-      val wAll = Window.partitionBy("o_orderstatus")
-      val marked = vc
-        .withColumn("cum_end", sum("cnt").over(wRun))
-        .withColumn("n", sum("cnt").over(wAll))
-        .withColumn("cum_start", col("cum_end") - col("cnt"))
-        .withColumn("k50", expr("(5 * n + 9) div 10"))
-        .withColumn("k90", expr("(9 * n + 9) div 10"))
-      // the distinct value covering 1-based rank k: cum_start < k ≤ cum_end
-      def at(k: Column): Column =
-        max(when(col("cum_start") < k && k <= col("cum_end"), col("v")))
-      marked.groupBy(col("o_orderstatus"))
-        .agg(at(col("k50")).as("median_disc"),
-          at(col("k90")).as("p90_disc"),
-          max(col("n")).as("n"))
-        .orderBy(col("o_orderstatus"))
-    }),
+    // window), never a heap-buffered percentile aggregate; both delegate
+    // to operators.Percentiles (the facade's parameterized form).
+    "q_agg_pctile_disc" -> ((s, d) =>
+      graft.operators.Percentiles.disc(T.orders(s, d), Seq("o_orderstatus"),
+          "o_totalprice", Seq((5, 10, "median_disc"), (9, 10, "p90_disc")))
+        .orderBy(col("o_orderstatus"))),
 
     // §2.2/§2.7 null semantics: outer-join-produced nulls through
     // null-safe equality, coalesce chains, and the count(col) vs count(*)

@@ -184,6 +184,29 @@ class GraftFacadeSuite extends SparkSuite {
     assert(out.values.forall { case (shelf, ham) => shelf == "aisle1" && ham == 0L })
   }
 
+  test("percentiles / percentilesDisc run scale-safe over custom group columns") {
+    val sales = Seq(
+      ("north", 10.0), ("north", 20.0), ("north", 30.0), ("north", 40.0),
+      ("south", 5.0), ("south", 5.0), ("south", 95.0)
+    ).toDF("region", "amount")
+    val cont = Graft.percentiles(sales, Seq("region"), "amount",
+        Seq(0.5 -> "median")).collect()
+      .map(r => r.getAs[String]("region") ->
+        ((r.getAs[Double]("median"), r.getAs[Long]("n")))).toMap
+    // north: 0-based rank 1.5 over [10,20,30,40] → 25.0; south: rank 1 → 5.0
+    assert(cont === Map("north" -> ((25.0, 4L)), "south" -> ((5.0, 3L))))
+    val disc = Graft.percentilesDisc(sales, Seq("region"), "amount",
+        Seq((1, 2, "median"), (1, 1, "pmax"))).collect()
+      .map(r => r.getAs[String]("region") ->
+        ((r.getAs[Double]("median"), r.getAs[Double]("pmax")))).toMap
+    // disc median = value at rank ⌈n/2⌉ (a STORED value); p=1 → max
+    assert(disc === Map("north" -> ((20.0, 40.0)), "south" -> ((5.0, 95.0))))
+    // the plan must never contain the heap-buffered native percentile
+    val plan = Graft.percentiles(sales, Seq("region"), "amount",
+      Seq(0.5 -> "m")).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile") && !plan.contains("ObjectHashAggregate"))
+  }
+
   test("embDupPairs pairs cosine-close vectors within blocks on a custom schema") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.2f), "g1"),

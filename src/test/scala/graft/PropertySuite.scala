@@ -245,4 +245,46 @@ class PropertySuite extends AnyFunSuite {
         i == xs.toSet.intersect(ys.toSet)
     })
   }
+
+  test("Spark law: Percentiles.disc/cont equal the driver-side order statistics on any multiset") {
+    // The distinct-count + cumulative-window locate must be a pure
+    // refactoring of "sort the multiset, pick/interpolate" — pinned
+    // against the textbook definitions for every generated multiset
+    // (duplicates, constants, singletons all arise). disc: smallest
+    // value at 1-based rank ⌈p·n⌉; cont: linear interpolation at
+    // 0-based rank p·(n−1). ScalaCheck shrinks any counterexample to a
+    // minimal multiset. (Fewer iterations than the pure-Scala laws —
+    // each trial is two Spark jobs.)
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val vals = Gen.resize(24, Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)))
+    val prop = Prop.forAll(vals) { (xs: List[Int]) =>
+      val sorted = xs.sorted.toVector
+      val n = sorted.length
+      val df = xs.map(v => ("g", v)).toDF("grp", "v")
+      // disc at 1/2 and 9/10
+      val d = graft.operators.Percentiles
+        .disc(df, Seq("grp"), "v", Seq((1, 2, "p50"), (9, 10, "p90")))
+        .collect()(0)
+      def kth(num: Int, den: Int): Int =
+        sorted(((num.toLong * n + den - 1) / den).toInt - 1) // ⌈p·n⌉, 1-based
+      val discOk = d.getAs[Int]("p50") == kth(1, 2) &&
+        d.getAs[Int]("p90") == kth(9, 10) && d.getAs[Long]("n") == n
+      // cont at .5/.9 — replicate the exact expression shape in Scala
+      val c = graft.operators.Percentiles
+        .cont(df, Seq("grp"), "v", Seq(0.5 -> "p50", 0.9 -> "p90"))
+        .collect()(0)
+      def interp(p: Double): Double = {
+        val r = p * (n - 1).toDouble
+        val lo = sorted(math.floor(r).toInt).toDouble
+        val hi = sorted(math.ceil(r).toInt).toDouble
+        lo + (r - math.floor(r)) * (hi - lo)
+      }
+      val contOk = c.getAs[Double]("p50") == interp(0.5) &&
+        c.getAs[Double]("p90") == interp(0.9)
+      discOk && contOk
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"percentiles: ${res.status}")
+  }
 }
