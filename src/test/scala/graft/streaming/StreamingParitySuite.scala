@@ -1250,4 +1250,36 @@ class StreamingParitySuite extends SparkSuite {
     assert(streamOut === batchOut, "file-source stream diverged from batch")
     assert(streamOut.nonEmpty)
   }
+
+  test("file-directory streaming sink: parquet append lands every row exactly once across a restart (_spark_metadata log)") {
+    // The OUT half of the landing-zone story: Spark's file sink commits
+    // each micro-batch into the _spark_metadata transaction log, and
+    // readers resolve the directory THROUGH that log — files from an
+    // uncommitted batch are invisible, so a crash/restart can never
+    // double-land or half-land a batch. This is the built-in
+    // exactly-once file path (complementing the custom foreachBatch
+    // sinks that pin the semantics by hand).
+    val out = Files.createTempDirectory("graft_filesink_out").toString
+    val cp = Files.createTempDirectory("graft_filesink_cp").toString
+    val ms = MemoryStream[Event](spark)
+    def start(): StreamingQuery = withTs(ms.toDF())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    val q1 = start()
+    try { ms.addData(batches(0)); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the checkpoint, then land the remaining batches
+    val q2 = start()
+    try {
+      ms.addData(batches(1)); q2.processAllAvailable()
+      ms.addData(batches(2)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(new java.io.File(out, "_spark_metadata").exists,
+      "file sink wrote no transaction log")
+    val got = spark.read.parquet(out)
+      .select(col("event_id")).as[Long].collect().sorted.toSeq
+    // exactly once: every event lands, none twice, across the restart
+    assert(got === miniEvents.map(_.event_id).sorted,
+      s"file sink lost or duplicated rows: $got")
+  }
 }
