@@ -942,6 +942,43 @@ object LlmOps {
             .as("centroid"))
         .orderBy(col("label"), col("pos"))),
 
+    // Embedding OUTLIER audit — the mislabeled/noisy-data detector every
+    // embedding pipeline runs before training: per label, the 3 vectors
+    // with the LOWEST cosine to their own label's exact centroid.
+    // Determinism: the centroid reuses q_llm_centroid's decimal-domain
+    // mean (order-independent sums → identical doubles on both engines),
+    // the per-dimension array is reassembled by explicit pos sort (never
+    // collect_list arrival order), and the cosine is the same
+    // fold-from-0.0 + round-6dp form as q_llm_knn. Plan: centroid agg
+    // shuffles |labels|×dims partial sums; the K-row centroid table
+    // broadcasts; scoring is one codegen dot per corpus row; the rank
+    // filter runs as WindowGroupLimit (O(3)/label, plan-pinnable) — the
+    // corpus is scanned twice (moments + scoring) but never shuffled.
+    "q_llm_outlier" -> ((s, d) => {
+      graft.functions.DotF64.register(s)
+      val cent = T.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("v").cast("double").cast("decimal(18,6)").as("v"))
+        .groupBy(col("label"), col("pos"))
+        .agg((round(sum(col("v")), 6).cast("double") / count(lit(1))).as("cv"))
+      val cvec = cent.groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("ce")) // interpreted lambda: K rows only
+      val base = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("sim").asc, col("vec_id").asc)
+      base.join(broadcast(cvec), "label")
+        .withColumn("sim",
+          round(dot(col("e"), col("ce")) / (norm(col("e")) * norm(col("ce"))), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("label"), col("rk"), col("vec_id"), col("sim"))
+        .orderBy(col("label"), col("rk"))
+    }),
+
     // Token frequency: top-20 words (tie → lexicographic).
     "q_llm_wordcount" -> ((s, d) =>
       T.documents(s, d)
@@ -1312,6 +1349,30 @@ object LlmOps {
             CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))), 6) AS DOUBLE)
               / COUNT(*) AS centroid
           FROM x GROUP BY 1, 2 ORDER BY label, pos""",
+    "q_llm_outlier" ->
+      s"""WITH cent AS (
+            SELECT label, pos,
+              CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))), 6) AS DOUBLE)
+                / COUNT(*) AS cv
+            FROM (SELECT label, UNNEST(range(len(embedding))) AS pos,
+                    UNNEST(embedding) AS v FROM $emb) x
+            GROUP BY 1, 2),
+          cvec AS (
+            SELECT label, list(cv ORDER BY pos ASC) AS ce
+            FROM cent GROUP BY label),
+          scored AS (
+            SELECT b.vec_id, b.label,
+              round(list_aggregate(list_transform(
+                  CAST(b.embedding AS DOUBLE[]), (x, i) -> x * c.ce[i]), 'sum')
+                / (${normSql("CAST(b.embedding AS DOUBLE[])")}
+                   * ${normSql("c.ce")}), 6) AS sim
+            FROM $emb b JOIN cvec c USING (label))
+          SELECT label, rk, vec_id, sim FROM (
+            SELECT label, vec_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY label
+                ORDER BY sim ASC, vec_id ASC) AS rk
+            FROM scored) t
+          WHERE rk <= 3 ORDER BY label, rk""",
     "q_llm_wordcount" ->
       s"""SELECT word, COUNT(*) AS n
           FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM $doc) t

@@ -305,6 +305,13 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.contains("WindowExec"), s"vocab grew a window:\n$plan")
   }
 
+  test("q_llm_outlier: centroid table broadcasts, scoring never shuffles the corpus, top-3 runs as WindowGroupLimit") {
+    val plan = planString(q("q_llm_outlier"))
+    assert(plan.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"outlier rank not group-limited:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"outlier went cartesian:\n$plan")
+  }
+
   test("q_llm_tri: triangle closure is an equi-join over the pair list — no cartesian, no BNLJ") {
     val plan = planString(q("q_llm_tri"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
