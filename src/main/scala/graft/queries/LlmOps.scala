@@ -728,6 +728,31 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // KEEP-BEST selection — the decision step that turns dedup clusters
+    // into a training set: per near-dup cluster, keep the doc with the
+    // most content (longest text; tie → lowest doc_id), not the
+    // arbitrary min-id representative. The full pipeline in ONE graded
+    // query: LSH/AllPairs pairs → hash-min clusters → quality argmax.
+    // The argmax is an AGGREGATE over a lexicographic struct max (len,
+    // −doc_id) — one map-side-combining hash agg, shuffle ∝ clusters —
+    // never a per-cluster window (a viral near-dup cluster combines
+    // map-side instead of sorting in one partition; the same skew
+    // argument as q_dedup's keep-first).
+    "q_llm_keepbest" -> ((s, d) => {
+      val labels = graft.operators.ConnectedComponents.run(
+        neardupPairs(s, d).select(col("doc_a"), col("doc_b")))
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      labels.join(docs, col("node") === col("doc_id"))
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("len"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("rep"), col("cluster_size"),
+          (-col("best.nid")).as("keeper"),
+          col("best.len").as("keeper_len"))
+        .orderBy(col("rep"))
+    }),
+
     // Triangle enumeration over the near-dup pair graph — the dedup-QA
     // clique-ness signal (a cluster whose pairs close into triangles is
     // a true duplicate clique; a sparse path-shaped component is
@@ -1098,6 +1123,34 @@ object LlmOps {
             COUNT(*) OVER (PARTITION BY rep) AS cluster_size,
             CAST(node = rep AS INTEGER) AS is_rep
           FROM cc ORDER BY doc_id""",
+    "q_llm_keepbest" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, source,
+              list_distinct(string_split(text, ' ')) AS tk FROM $doc),
+          pairs AS (
+            SELECT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.tk, b.tk)) AS INTEGER)
+                  / (CAST(len(a.tk) AS INTEGER) + CAST(len(b.tk) AS INTEGER)
+                     - CAST(len(list_intersect(a.tk, b.tk)) AS INTEGER)) AS jacc
+              FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+                AND a.doc_id < b.doc_id) x
+            WHERE jacc >= 0.8),
+          e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+          walk AS (
+            SELECT src AS node, src AS reach FROM e
+            UNION
+            SELECT w.node, e.dst FROM walk w JOIN e ON w.reach = e.src),
+          cc AS (SELECT node, MIN(reach) AS rep FROM walk GROUP BY node),
+          ranked AS (
+            SELECT c.rep, c.node, CAST(length(d.text) AS BIGINT) AS len,
+              COUNT(*) OVER (PARTITION BY c.rep) AS cluster_size,
+              ROW_NUMBER() OVER (PARTITION BY c.rep
+                ORDER BY length(d.text) DESC, c.node ASC) AS rn
+            FROM cc c JOIN $doc d ON c.node = d.doc_id)
+          SELECT rep, CAST(cluster_size AS BIGINT) AS cluster_size,
+            node AS keeper, len AS keeper_len
+          FROM ranked WHERE rn = 1 ORDER BY rep""",
     "q_llm_split" ->
       s"""SELECT doc_id, lang, bucket,
             CASE WHEN bucket < 8 THEN 'train'

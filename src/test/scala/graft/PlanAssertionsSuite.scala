@@ -305,6 +305,17 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.contains("WindowExec"), s"vocab grew a window:\n$plan")
   }
 
+  test("q_llm_keepbest: keeper selection is a struct-max aggregate, never a per-cluster window") {
+    // the keep-best argmax must partial-aggregate map-side (a viral
+    // near-dup cluster combines before the shuffle) — the pair
+    // generation upstream legitimately uses per-DOC windows, so the pin
+    // checks for the aggregate form, not window absence
+    val plan = planString(q("q_llm_keepbest"))
+    assert(plan.contains("partial_max") || plan.contains("partial_finalmerge"),
+      s"keep-best argmax lost its map-side partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"keepbest went cartesian:\n$plan")
+  }
+
   test("q_llm_outlier: centroid table broadcasts, scoring never shuffles the corpus, top-3 runs as WindowGroupLimit") {
     val plan = planString(q("q_llm_outlier"))
     assert(plan.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$plan")
