@@ -24,11 +24,17 @@ class CacheHygieneSuite extends SparkSuite {
     val persistUsers = Seq("q_event_funnel", "q_llm_neardup", "q_llm_ngram",
       "q_llm_tri", "q_llm_minhash", "q_llm_simhash", "q_llm_simdup",
       "q_llm_ivf", "q_text_tfidf")
-    spark.catalog.clearCache() // clean slate regardless of suite order
     persistUsers.foreach { name =>
+      spark.catalog.clearCache() // clean slate regardless of suite order
+      // EARLIER suites may have left locally-checkpointed RDDs that only
+      // the ContextCleaner reclaims (clearCache cannot); the leak check
+      // must only see what THIS query creates, so snapshot first and
+      // exclude checkpoint blocks (test 2 covers those).
+      val before = persisted.keySet
       SparkEntry.queries(name)(spark, sf).count()
       spark.catalog.clearCache() // the documented runner-side sweep
-      val leaked = persisted
+      val leaked = persisted.filterNot { case (id, r) =>
+        before(id) || r.isCheckpointed }
       assert(leaked.isEmpty,
         s"$name leaked ${leaked.size} RDD(s) past the clearCache sweep: " +
           leaked.map { case (id, r) => s"#$id ${r.name}" }.mkString(", "))
