@@ -332,6 +332,29 @@ object Aggregates {
           "o_totalprice", Seq((5, 10, "median_disc"), (9, 10, "p90_disc")))
         .orderBy(col("o_orderstatus"))),
 
+    // §2.4 median absolute deviation — THE robust dispersion statistic
+    // (outlier-insensitive, unlike stddev): MAD = median(|x − median(x)|)
+    // per group. Two composed scale-safe percentile passes (never the
+    // native heap-buffered percentile): median per group → broadcastable
+    // |groups|-row join-back → per-row absolute deviation → second
+    // distinct-count + window median over the deviations. Shuffle is
+    // ∝ distinct values in each pass; the deviation step is map-only.
+    // The deviation |x − med| is a multi-op double chain computed with
+    // the identical op sequence on both engines, rounded 6dp (§7.4.7).
+    "q_agg_mad" -> ((s, d) => {
+      val med = graft.operators.Percentiles.cont(T.orders(s, d),
+          Seq("o_orderstatus"), "o_totalprice", Seq(0.5 -> "med"))
+        .select(col("o_orderstatus").as("st"), col("med"))
+      val dev = T.orders(s, d)
+        .join(med, col("o_orderstatus") === col("st"))
+        .select(col("o_orderstatus"),
+          abs(col("o_totalprice").cast("double") - col("med")).as("adev"))
+      graft.operators.Percentiles.cont(dev, Seq("o_orderstatus"), "adev",
+          Seq(0.5 -> "mad"))
+        .select(col("o_orderstatus"), round(col("mad"), 6).as("mad"), col("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // §2.2/§2.7 null semantics: outer-join-produced nulls through
     // null-safe equality, coalesce chains, and the count(col) vs count(*)
     // distinction. NULL keys group together (both engines).
@@ -589,6 +612,61 @@ object Aggregates {
             round(v90_lo + (r90 - FLOOR(r90)) * (v90_hi - v90_lo), 6) AS p90_price,
             n
           FROM ag ORDER BY o_orderstatus""",
+    "q_agg_mad" ->
+      s"""WITH vc1 AS (
+            SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt
+            FROM $ords GROUP BY 1, 2
+          ), m1 AS (
+            SELECT o_orderstatus, v, cnt,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) - cnt AS cum_start,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
+            FROM vc1
+          ), r1 AS (
+            SELECT *, CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r FROM m1
+          ), ag1 AS (
+            SELECT o_orderstatus,
+              MAX(CASE WHEN cum_start <= CAST(FLOOR(r) AS BIGINT)
+                        AND CAST(FLOOR(r) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS vlo,
+              MAX(CASE WHEN cum_start <= CAST(CEIL(r) AS BIGINT)
+                        AND CAST(CEIL(r) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS vhi,
+              MAX(r) AS r
+            FROM r1 GROUP BY 1
+          ), med AS (
+            SELECT o_orderstatus AS st,
+              vlo + (r - FLOOR(r)) * (vhi - vlo) AS med
+            FROM ag1
+          ), dev AS (
+            SELECT o.o_orderstatus,
+              abs(CAST(o.o_totalprice AS DOUBLE) - m.med) AS adev
+            FROM $ords o JOIN med m ON o.o_orderstatus = m.st
+          ), vc2 AS (
+            SELECT o_orderstatus, adev AS v, COUNT(*) AS cnt
+            FROM dev GROUP BY 1, 2
+          ), m2 AS (
+            SELECT o_orderstatus, v, cnt,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) - cnt AS cum_start,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
+            FROM vc2
+          ), r2 AS (
+            SELECT *, CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r FROM m2
+          ), ag2 AS (
+            SELECT o_orderstatus,
+              MAX(CASE WHEN cum_start <= CAST(FLOOR(r) AS BIGINT)
+                        AND CAST(FLOOR(r) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS vlo,
+              MAX(CASE WHEN cum_start <= CAST(CEIL(r) AS BIGINT)
+                        AND CAST(CEIL(r) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS vhi,
+              MAX(r) AS r, CAST(MAX(n) AS BIGINT) AS n
+            FROM r2 GROUP BY 1
+          )
+          SELECT o_orderstatus,
+            round(vlo + (r - FLOOR(r)) * (vhi - vlo), 6) AS mad, n
+          FROM ag2 ORDER BY o_orderstatus""",
     "q_agg_pctile_disc" ->
       s"""WITH vc AS (
             SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt
