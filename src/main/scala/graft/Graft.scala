@@ -277,10 +277,15 @@ object Graft {
     * q_agg_pctile_disc plan).
     *
     * @param ps (numerator, denominator, output name), e.g. (1,2,"median").
-    * @return groupCols…, one column per percentile (value's own type), n. */
+    * @param weightCol optional INTEGRAL per-row weight → the weighted
+    *                  percentile (≡ replicating each row weight times,
+    *                  without replicating).
+    * @return groupCols…, one column per percentile (value's own type),
+    *         n (count or total weight). */
   def percentilesDisc(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                      ps: Seq[(Int, Int, String)]): DataFrame =
-    graft.operators.Percentiles.disc(df, groupCols, valueCol, ps)
+                      ps: Seq[(Int, Int, String)],
+                      weightCol: Option[String] = None): DataFrame =
+    graft.operators.Percentiles.disc(df, groupCols, valueCol, ps, weightCol)
 
   /** Deterministic hash split over any id: engine- and layout-stable
     * bucket in [0, buckets) — never `rand()` (q_llm_split's contract:

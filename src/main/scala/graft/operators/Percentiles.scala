@@ -28,13 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
-  private def marked(df: DataFrame, groupCols: Seq[String],
-                     valueCol: String): DataFrame = {
+  private def marked(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     weightCol: Option[String] = None): DataFrame = {
     val gc = groupCols.map(col)
     val wRun = Window.partitionBy(groupCols.map(col): _*).orderBy(col("v"))
     val wAll = Window.partitionBy(groupCols.map(col): _*)
+    // unweighted = weight 1 per row (sum(1) ≡ count, same plan shape);
+    // weights must be integral — ranks stay exact integer arithmetic
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     df.groupBy((gc :+ col(valueCol).as("v")): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(w).as("cnt"))
       .withColumn("cum_end", sum("cnt").over(wRun))
       .withColumn("n", sum("cnt").over(wAll))
       .withColumn("cum_start", col("cum_end") - col("cnt"))
@@ -86,14 +89,23 @@ object Percentiles {
     *
     * @param ps (numerator, denominator, output column name) per
     *           percentile, e.g. (1, 2, "median").
+    * @param weightCol optional INTEGRAL per-row weight: the result
+    *                  becomes the weighted percentile — the smallest
+    *                  value whose cumulative WEIGHT reaches ⌈p·W⌉ (W =
+    *                  total group weight), exactly equivalent to
+    *                  replicating each row `weight` times. Ranks stay
+    *                  pure integer arithmetic.
     * @return one row per group: groupCols…, one column per requested
-    *         percentile in the VALUE column's own type, `n`. */
+    *         percentile in the VALUE column's own type, `n` (count or
+    *         total weight). */
   def disc(df: DataFrame, groupCols: Seq[String], valueCol: String,
-           ps: Seq[(Int, Int, String)]): DataFrame = {
+           ps: Seq[(Int, Int, String)],
+           weightCol: Option[String] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (a, b, _) => b > 0 && a >= 0 && a <= b },
       s"percentile rationals must be 0 <= num/den <= 1: ${ps.map(t => (t._1, t._2))}")
     val gc = groupCols.map(col)
-    val withRanks = ps.zipWithIndex.foldLeft(marked(df, groupCols, valueCol)) {
+    val withRanks = ps.zipWithIndex.foldLeft(
+      marked(df, groupCols, valueCol, weightCol)) {
       case (acc, ((num, den, _), i)) =>
         acc.withColumn(s"k$i", expr(s"($num * n + ${den - 1}) div $den"))
     }

@@ -332,6 +332,21 @@ object Aggregates {
           "o_totalprice", Seq((5, 10, "median_disc"), (9, 10, "p90_disc")))
         .orderBy(col("o_orderstatus"))),
 
+    // §2.4 WEIGHTED median / p90 — the quantity-weighted order statistic
+    // (equivalent to replicating each row `weight` times, computed
+    // without replication): smallest price whose cumulative QUANTITY
+    // reaches ⌈p·W⌉. Integral weights keep the rank in pure integer
+    // arithmetic (l_quantity is an integer stored as double; the long
+    // cast is exact). Same bounded machinery: shuffle ∝ distinct
+    // (flag, price) pairs with map-side-combined weights.
+    "q_agg_wmedian" -> ((s, d) =>
+      graft.operators.Percentiles.disc(
+          T.lineitem(s, d).select(col("l_returnflag"),
+            col("l_extendedprice"), col("l_quantity")),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq((1, 2, "wmedian"), (9, 10, "wp90")), Some("l_quantity"))
+        .orderBy(col("l_returnflag"))),
+
     // §2.4 median absolute deviation — THE robust dispersion statistic
     // (outlier-insensitive, unlike stddev): MAD = median(|x − median(x)|)
     // per group. Two composed scale-safe percentile passes (never the
@@ -612,6 +627,26 @@ object Aggregates {
             round(v90_lo + (r90 - FLOOR(r90)) * (v90_hi - v90_lo), 6) AS p90_price,
             n
           FROM ag ORDER BY o_orderstatus""",
+    "q_agg_wmedian" ->
+      s"""WITH vc AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+              SUM(CAST(l_quantity AS BIGINT)) AS cnt
+            FROM $li GROUP BY 1, 2
+          ), marked AS (
+            SELECT l_returnflag, v, cnt,
+              SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum_end,
+              SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) - cnt AS cum_start,
+              SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM vc
+          ), rk AS (
+            SELECT *, (1 * n + 1) // 2 AS k0, (9 * n + 9) // 10 AS k1
+            FROM marked
+          )
+          SELECT l_returnflag,
+            MAX(CASE WHEN cum_start < k0 AND k0 <= cum_end THEN v END) AS wmedian,
+            MAX(CASE WHEN cum_start < k1 AND k1 <= cum_end THEN v END) AS wp90,
+            CAST(MAX(n) AS BIGINT) AS n
+          FROM rk GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_mad" ->
       s"""WITH vc1 AS (
             SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt

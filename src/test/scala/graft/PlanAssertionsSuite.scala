@@ -276,13 +276,13 @@ class PlanAssertionsSuite extends SparkSuite {
       s"contam probe degenerated:\n$plan")
   }
 
-  test("q_agg_pctile / q_agg_pctile_disc / q_agg_mad: percentile is window-located over distinct-value counts — no heap-buffered percentile aggregate") {
+  test("q_agg_pctile / _disc / _mad / q_agg_wmedian: percentile is window-located over distinct-value counts — no heap-buffered percentile aggregate") {
     // Native percentile() buffers every distinct value of a group inside
     // a heap-only ObjectHashAggregate buffer (no spill) — with 3 status
     // groups that's an OOM at 100×. The scale-safe plan pre-aggregates
     // (status, value) → count and locates the rank with a spillable
     // window, so neither "percentile" nor ObjectHashAggregate may appear.
-    Seq("q_agg_pctile", "q_agg_pctile_disc", "q_agg_mad").foreach { name =>
+    Seq("q_agg_pctile", "q_agg_pctile_disc", "q_agg_mad", "q_agg_wmedian").foreach { name =>
       val plan = planString(q(name))
       assert(!plan.toLowerCase.contains("percentile"),
         s"$name: native percentile aggregate is back:\n$plan")

@@ -287,4 +287,32 @@ class PropertySuite extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, s"percentiles: ${res.status}")
   }
+
+  test("Spark law: weighted Percentiles.disc == unweighted disc over the replicated multiset") {
+    // The weighted percentile's DEFINING property: attaching weight w to
+    // a row must give exactly the result of physically replicating the
+    // row w times — pinned for generated (value, weight) lists so the
+    // cumulative-weight rank arithmetic can't drift from the semantics
+    // it compresses.
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val rows = Gen.resize(12,
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-20, 20), Gen.chooseNum(1, 4))))
+    val prop = Prop.forAll(rows) { (vw: List[(Int, Int)]) =>
+      val weighted = graft.operators.Percentiles
+        .disc(vw.map { case (v, w) => ("g", v, w) }.toDF("grp", "v", "w"),
+          Seq("grp"), "v", Seq((1, 2, "p50"), (9, 10, "p90")), Some("w"))
+        .collect()(0)
+      val replicated = graft.operators.Percentiles
+        .disc(vw.flatMap { case (v, w) => Seq.fill(w)(("g", v)) }
+            .toDF("grp", "v"),
+          Seq("grp"), "v", Seq((1, 2, "p50"), (9, 10, "p90")))
+        .collect()(0)
+      weighted.getAs[Int]("p50") == replicated.getAs[Int]("p50") &&
+        weighted.getAs[Int]("p90") == replicated.getAs[Int]("p90") &&
+        weighted.getAs[Long]("n") == replicated.getAs[Long]("n")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"weighted percentiles: ${res.status}")
+  }
 }
