@@ -32,6 +32,7 @@ case class PathState(lastType: String)
 case class PathStep(user_id: Long, prev_type: String, next_type: String)
 
 case class TypeCountOut(user_id: Long, event_type: String, n: Long)
+case class TtlCountOut(user_id: Long, n: Long)
 
 case class RollingOut(event_id: Long, user_id: Long, roll3_val: Double)
 
@@ -488,6 +489,22 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 
+  /** Per-key running event count whose state carries a processing-time
+    * TTL — transformWithState's state-expiry primitive (the sessionless
+    * cousin of the timer-driven close): a key idle longer than `ttl`
+    * has its state evicted by the store itself, so the next event
+    * counts from cold. This is what bounds state for an unbounded,
+    * mostly-dormant key population at 100× — no timer bookkeeping, the
+    * store expires rows. TTL requires TimeMode.ProcessingTime. */
+  def ttlCount(events: Dataset[Event],
+               ttl: java.time.Duration): Dataset[TtlCountOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update)
+  }
+
   /** Per-key per-type running counts on the transformWithState MapState
     * primitive — the sub-keyed-view shape of the new state API (the gap
     * and causal trackers fit ONE ValueState row; a per-type count view
@@ -545,6 +562,28 @@ object StreamOps {
     events.groupByKey(_.user_id)
       .transformWithState(new RollingSumProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+}
+
+/** [[StreamOps.ttlCount]]'s processor: ONE TTL'd ValueState row per key.
+  * The TTL is enforced by the state store itself — `exists()` answers
+  * false once the row's processing-time TTL has lapsed, with no timer
+  * or eviction code here. */
+class TtlCountProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TtlCountOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var n: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig(ttl))
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[TtlCountOut] = {
+    val next = (if (n.exists()) n.get() else 0L) + rows.size
+    n.update(next)
+    Iterator.single(TtlCountOut(user, next))
   }
 }
 

@@ -1282,4 +1282,58 @@ class StreamingParitySuite extends SparkSuite {
     assert(got === miniEvents.map(_.event_id).sorted,
       s"file sink lost or duplicated rows: $got")
   }
+
+  test("transformWithState TTL: idle state is evicted by the store; a live key keeps accumulating") {
+    // The state-expiry primitive that bounds state for an unbounded,
+    // mostly-dormant key population: a TTL'd ValueState row reads as
+    // absent once its processing-time TTL lapses — no timers, no
+    // eviction code. Two deterministic scenarios (no race on batch
+    // scheduling): a 10-minute TTL must NOT expire between two
+    // back-to-back batches (count accumulates 1 → 2), and a 500 ms TTL
+    // MUST expire across a 3 s pause (count restarts at 1).
+    // NOTE: TimeMode.ProcessingTime keeps the micro-batch loop ticking
+    // even with no new data (TTL bookkeeping), so processAllAvailable
+    // never settles — the test paces the loop with a short trigger and
+    // POLLS the sink buffer instead (input rows are the only thing that
+    // can append to it).
+    def run(ttl: java.time.Duration, pauseMs: Long): Seq[Long] = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val cp = Files.createTempDirectory("graft_ttl_cp").toString
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val ms = MemoryStream[Event](s2)
+      val q = StreamOps.ttlCount(ms.toDS(), ttl)
+        .writeStream
+        .foreachBatch { (ds: Dataset[TtlCountOut], _: Long) =>
+          val rows = ds.collect()
+          buf.synchronized { buf ++= rows.map(_.n) }
+          ()
+        }
+        .option("checkpointLocation", cp).outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("100 milliseconds"))
+        .start()
+      def awaitRows(k: Int): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (buf.synchronized(buf.size) < k) {
+          assert(System.nanoTime() < deadline,
+            s"sink never reached $k rows: ${buf.synchronized(buf.toSeq)}")
+          Thread.sleep(50)
+        }
+      }
+      try {
+        ms.addData(Seq(Event(1, min(0), 1, "view", 1.0)))
+        awaitRows(1)
+        if (pauseMs > 0) Thread.sleep(pauseMs)
+        ms.addData(Seq(Event(2, min(1), 1, "view", 1.0)))
+        awaitRows(2)
+      } finally q.stop()
+      buf.synchronized(buf.toSeq)
+    }
+    assert(run(java.time.Duration.ofMinutes(10), 0) === Seq(1L, 2L),
+      "state expired within its TTL — accumulation broken")
+    assert(run(java.time.Duration.ofMillis(500), 3000) === Seq(1L, 1L),
+      "state survived past its TTL — eviction broken")
+  }
 }
