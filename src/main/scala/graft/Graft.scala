@@ -141,7 +141,10 @@ object Graft {
   def embDupPairs(df: DataFrame, idCol: String, vecCol: String,
                   blockCols: Seq[String], simMin: Double): DataFrame = {
     graft.functions.DotF64.register(df.sparkSession)
-    val base = df.select((col(idCol).cast("long").as("vec_id") +:
+    // the id keeps its ORIGINAL type (any orderable type works for the
+    // a < b orientation) — a silent cast("long") would turn string ids
+    // into NULLs and return an empty result with no error
+    val base = df.select((col(idCol).as("vec_id") +:
         blockCols.map(col)) :+ col(vecCol).cast("array<double>").as("e"): _*)
       .withColumn("nrm", sqrt(call_function("graft_dot", col("e"), col("e"))))
     graft.queries.LlmOps.embDupPairsOn(base, blockCols, simMin)
@@ -189,20 +192,29 @@ object Graft {
     *
     * @param pairs    any 2-column LONG edge list (e.g. [[nearDupPairs]]
     *                 output ids).
-    * @param scores   one row per node: (idCol, scoreCol).
+    * @param scores   one row per node: (idCol, scoreCol). Cluster
+    *                 members MISSING from `scores` (or with a NULL
+    *                 score) still count toward cluster_size and still
+    *                 win on the id tiebreak among unscored members, but
+    *                 lose to ANY scored member; a fully unscored
+    *                 cluster reports keeper_score = NULL.
     * @param idCol    long node id in `scores` matching the pair ids.
     * @param scoreCol numeric quality score — higher is better.
     * @return (rep, cluster_size, keeper, keeper_score) per cluster. */
   def keepBest(pairs: DataFrame, scores: DataFrame, idCol: String,
                scoreCol: String): DataFrame = {
     val labels = graft.operators.ConnectedComponents.run(pairs)
+    // LEFT join: an inner join would silently drop unscored members,
+    // undercounting the cluster and mis-electing the keeper
     labels.join(
         scores.select(col(idCol).cast("long").as("kb_id"),
           col(scoreCol).cast("double").as("sc")),
-        col("node") === col("kb_id"))
+        col("node") === col("kb_id"), "left")
       .groupBy(col("rep"))
       .agg(count(lit(1)).as("cluster_size"),
-        max(struct(col("sc"), (-col("node")).as("nid"))).as("best"))
+        max(struct(
+          coalesce(col("sc"), lit(Double.NegativeInfinity)).as("rank_sc"),
+          (-col("node")).as("nid"), col("sc"))).as("best"))
       .select(col("rep"), col("cluster_size"),
         (-col("best.nid")).as("keeper"), col("best.sc").as("keeper_score"))
   }
@@ -218,8 +230,10 @@ object Graft {
   def embOutliers(df: DataFrame, idCol: String, vecCol: String,
                   labelCol: String, k: Int): DataFrame = {
     graft.functions.DotF64.register(df.sparkSession)
+    // id keeps its original type (any orderable type serves the
+    // deterministic tiebreak) — see embDupPairs
     graft.queries.LlmOps.embOutliersOn(
-        df.select(col(idCol).cast("long").as("vec_id"),
+        df.select(col(idCol).as("vec_id"),
           col(labelCol).as("label"),
           col(vecCol).cast("array<double>").as("e")), k)
       .withColumnRenamed("vec_id", idCol)

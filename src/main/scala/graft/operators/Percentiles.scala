@@ -34,10 +34,18 @@ object Percentiles {
     val wRun = Window.partitionBy(groupCols.map(col): _*).orderBy(col("v"))
     val wAll = Window.partitionBy(groupCols.map(col): _*)
     // unweighted = weight 1 per row (sum(1) ≡ count, same plan shape);
-    // weights must be integral — ranks stay exact integer arithmetic
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
-    df.groupBy((gc :+ col(valueCol).as("v")): _*)
+    // weights must be integral (non-integral values TRUNCATE toward
+    // zero via the long cast) — ranks stay exact integer arithmetic.
+    // NULL weights count as 0, and zero-total values are dropped below.
+    val w = weightCol.map(c => coalesce(col(c).cast("long"), lit(0L)))
+      .getOrElse(lit(1L))
+    // NULL values are EXCLUDED, matching SQL percentile_cont/_disc —
+    // counted in, they would shift every rank AND sort to opposite ends
+    // on Spark (nulls first) vs DuckDB (nulls last).
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((gc :+ col(valueCol).as("v")): _*)
       .agg(sum(w).as("cnt"))
+      .filter(col("cnt") > 0)
       .withColumn("cum_end", sum("cnt").over(wRun))
       .withColumn("n", sum("cnt").over(wAll))
       .withColumn("cum_start", col("cum_end") - col("cnt"))
@@ -46,6 +54,8 @@ object Percentiles {
   /** Continuous (interpolated, SQL `percentile_cont`) percentiles: rank
     * r = p·(n−1) over the 0-based sorted multiset, linear interpolation
     * between the two neighbouring stored values, computed in double.
+    * NULL values are excluded (SQL semantics); a group with only NULLs
+    * disappears from the result.
     *
     * @param ps (fraction in [0,1], output column name) per percentile.
     * @return one row per group: groupCols…, one double column per
@@ -94,7 +104,10 @@ object Percentiles {
     *                  value whose cumulative WEIGHT reaches ⌈p·W⌉ (W =
     *                  total group weight), exactly equivalent to
     *                  replicating each row `weight` times. Ranks stay
-    *                  pure integer arithmetic.
+    *                  pure integer arithmetic. Non-integral weights
+    *                  TRUNCATE toward zero; NULL weights count as 0;
+    *                  values whose total weight is 0 are dropped.
+    *                  NULL values are excluded, as in [[cont]].
     * @return one row per group: groupCols…, one column per requested
     *         percentile in the VALUE column's own type, `n` (count or
     *         total weight). */
@@ -107,7 +120,10 @@ object Percentiles {
     val withRanks = ps.zipWithIndex.foldLeft(
       marked(df, groupCols, valueCol, weightCol)) {
       case (acc, ((num, den, _), i)) =>
-        acc.withColumn(s"k$i", expr(s"($num * n + ${den - 1}) div $den"))
+        // clamp to rank 1: ⌈0·n⌉ = 0 matches no cumulative range, but
+        // percentile_disc(0) is defined as the group minimum
+        acc.withColumn(s"k$i",
+          expr(s"greatest(1L, ($num * n + ${den - 1}) div $den)"))
     }
     // the distinct value covering 1-based rank k: cum_start < k ≤ cum_end
     val aggs = ps.zipWithIndex.map { case ((_, _, name), i) =>

@@ -414,8 +414,12 @@ object LlmOps {
     * verify input is ∝ candidates, never ∝ corpus². Callers register
     * [[graft.functions.DotF64]] first.
     * @return (vec_a, vec_b, blockCols…, sim 6dp), vec_a < vec_b. */
-  private[graft] def embDupPairsOn(base: DataFrame, blockCols: Seq[String],
+  private[graft] def embDupPairsOn(base0: DataFrame, blockCols: Seq[String],
                                    simMin: Double): DataFrame = {
+    // three consumers (band explode + both verify sides) — without the
+    // persist each re-runs the caller's scan + cast + norm pipeline;
+    // same cache contract as the other LSH helpers (caller clearCache)
+    val base = base0.persist()
     val bc = blockCols.map(col)
     val bands = base.select((col("vec_id") +: bc) :+
       posexplode(array((0 until 8).map(bd =>

@@ -233,6 +233,44 @@ class GraftFacadeSuite extends SparkSuite {
     assert(!plan.toLowerCase.contains("percentile") && !plan.contains("ObjectHashAggregate"))
   }
 
+  test("percentiles edge semantics: NULL values excluded, p=0 is the minimum, unscored keepBest members count") {
+    // NULLs excluded (SQL percentile semantics): median of [10,20,30,NULL]
+    // is 20, not an interpolation over a 4-rank NULLs-first ordering
+    val withNull = Seq(("a", Some(10.0)), ("a", Some(20.0)),
+      ("a", Some(30.0)), ("a", None)).toDF("grp", "v")
+    val m = Graft.percentiles(withNull, Seq("grp"), "v", Seq(0.5 -> "med"))
+      .collect()(0)
+    assert(m.getAs[Double]("med") === 20.0 && m.getAs[Long]("n") === 3L)
+    // percentile_disc(0) = the group minimum (rank clamps to 1)
+    val d = Graft.percentilesDisc(withNull, Seq("grp"), "v",
+      Seq((0, 1, "pmin"), (1, 1, "pmax"))).collect()(0)
+    assert(d.getAs[Double]("pmin") === 10.0 && d.getAs[Double]("pmax") === 30.0)
+    // keepBest: an UNSCORED member still counts toward cluster_size and
+    // loses the keeper election to any scored member
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val scores = Seq((1L, 0.4), (3L, 0.7)).toDF("item_no", "quality") // 2 unscored
+    val kept = Graft.keepBest(pairs, scores, "item_no", "quality").collect()(0)
+    spark.catalog.clearCache()
+    assert(kept.getAs[Long]("cluster_size") === 3L, "unscored member dropped")
+    assert(kept.getAs[Long]("keeper") === 3L &&
+      kept.getAs[Double]("keeper_score") === 0.7)
+  }
+
+  test("embDupPairs and embOutliers keep non-numeric ids instead of silently nulling them") {
+    val vecs = Seq(
+      ("doc-a", Seq(1.0f, 0.0f), "g"), ("doc-b", Seq(0.95f, 0.05f), "g"),
+      ("doc-c", Seq(-1.0f, 0.0f), "g"))
+      .toDF("uid", "feat_vec", "grp")
+    val pairs = Graft.embDupPairs(vecs, "uid", "feat_vec", Seq("grp"), 0.9)
+      .collect().map(r => (r.getAs[String]("uid_a"), r.getAs[String]("uid_b")))
+    spark.catalog.clearCache()
+    assert(pairs.toSeq === Seq(("doc-a", "doc-b")),
+      s"string ids lost through the pipeline: ${pairs.toSeq}")
+    val outs = Graft.embOutliers(vecs, "uid", "feat_vec", "grp", 1)
+      .collect().map(r => r.getAs[String]("uid"))
+    assert(outs.toSeq === Seq("doc-c"), s"string-id outlier wrong: ${outs.toSeq}")
+  }
+
   test("embDupPairs pairs cosine-close vectors within blocks on a custom schema") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.2f), "g1"),
