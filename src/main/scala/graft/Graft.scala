@@ -24,11 +24,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   *  - [[graft.streaming.StreamOps]] — every streaming builder takes a
   *    Dataset/DataFrame (batch or stream) already.
   *
-  * Cache contract: [[nearDupPairs]] (via the AllPairs helper) and
-  * [[simDupPairs]] (the signature table) persist intermediates — the
-  * same lifecycle note as [[SparkEntry]]: release with
-  * `spark.catalog.clearCache()` (or targeted unpersist) after
-  * materializing the result in a long-lived session.
+  * Cache contract: [[nearDupPairs]] (via the AllPairs helper),
+  * [[simDupPairs]] (the signature table), and [[embDupPairs]] (the
+  * prepared embedding table) persist intermediates — the same lifecycle
+  * note as [[SparkEntry]]: release with `spark.catalog.clearCache()`
+  * (or targeted unpersist) after materializing the result in a
+  * long-lived session.
   */
 object Graft {
 
@@ -279,10 +280,16 @@ object Graft {
     * per-group buffer OOMs at corpus scale with few groups).
     *
     * @param ps (fraction in [0,1], output column name) per percentile.
-    * @return groupCols…, one double column per percentile, n. */
+    * @param weightCol optional INTEGRAL per-row weight → the weighted
+    *                  interpolated percentile (≡ replicating each row
+    *                  weight times, without replicating; PropertySuite
+    *                  pins the equivalence law).
+    * @return groupCols…, one double column per percentile, n (count or
+    *         total weight). */
   def percentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  ps: Seq[(Double, String)]): DataFrame =
-    graft.operators.Percentiles.cont(df, groupCols, valueCol, ps)
+                  ps: Seq[(Double, String)],
+                  weightCol: Option[String] = None): DataFrame =
+    graft.operators.Percentiles.cont(df, groupCols, valueCol, ps, weightCol)
 
   /** Scale-safe discrete percentiles (SQL `percentile_disc`, type-1
     * order statistic): the smallest stored value reaching rank ⌈p·n⌉,

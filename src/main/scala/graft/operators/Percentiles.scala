@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   *     whose cumulative range covers it, and reduce with `max(when…)` —
   *     a plain hash aggregate down to one row per group.
   *
+  * All working columns are `__pct_`-prefixed so a caller's own columns
+  * (including ones literally named `n`, `cnt`, `v`, …) are never
+  * clobbered; the only reserved OUTPUT names are the requested
+  * percentile names and `n`, enforced by `require` with a clear message.
+  *
   * Determinism (§7.4): the continuous form interpolates in double with a
   * fixed expression shape, so an engine twin running the same CTE
   * produces the identical IEEE sequence; the discrete form carries ZERO
@@ -28,10 +33,31 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
+  // Internal working-column names. Prefixed so they can never collide
+  // with (and silently REPLACE via withColumn) a caller's group column —
+  // a pre-r9 bug: a group column named "n" was overwritten by the window
+  // total and the final groupBy merged unrelated groups.
+  private val V = "__pct_v"
+  private val CNT = "__pct_cnt"
+  private val N = "__pct_n"
+  private val CUM_END = "__pct_cum_end"
+  private val CUM_START = "__pct_cum_start"
+
+  private def checkNames(groupCols: Seq[String], outNames: Seq[String]): Unit = {
+    val reserved = outNames :+ "n"
+    val clash = groupCols.intersect(reserved)
+    require(clash.isEmpty,
+      s"group columns ${clash.mkString(", ")} collide with output columns " +
+        s"(requested percentile names plus the group-count column `n`); " +
+        "rename the group column or the percentile output")
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate percentile output names: $outNames")
+  }
+
   private def marked(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      weightCol: Option[String] = None): DataFrame = {
     val gc = groupCols.map(col)
-    val wRun = Window.partitionBy(groupCols.map(col): _*).orderBy(col("v"))
+    val wRun = Window.partitionBy(groupCols.map(col): _*).orderBy(col(V))
     val wAll = Window.partitionBy(groupCols.map(col): _*)
     // unweighted = weight 1 per row (sum(1) ≡ count, same plan shape);
     // weights must be integral (non-integral values TRUNCATE toward
@@ -43,12 +69,12 @@ object Percentiles {
     // counted in, they would shift every rank AND sort to opposite ends
     // on Spark (nulls first) vs DuckDB (nulls last).
     df.filter(col(valueCol).isNotNull)
-      .groupBy((gc :+ col(valueCol).as("v")): _*)
-      .agg(sum(w).as("cnt"))
-      .filter(col("cnt") > 0)
-      .withColumn("cum_end", sum("cnt").over(wRun))
-      .withColumn("n", sum("cnt").over(wAll))
-      .withColumn("cum_start", col("cum_end") - col("cnt"))
+      .groupBy((gc :+ col(valueCol).as(V)): _*)
+      .agg(sum(w).as(CNT))
+      .filter(col(CNT) > 0)
+      .withColumn(CUM_END, sum(CNT).over(wRun))
+      .withColumn(N, sum(CNT).over(wAll))
+      .withColumn(CUM_START, col(CUM_END) - col(CNT))
   }
 
   /** Continuous (interpolated, SQL `percentile_cont`) percentiles: rank
@@ -58,31 +84,44 @@ object Percentiles {
     * disappears from the result.
     *
     * @param ps (fraction in [0,1], output column name) per percentile.
+    * @param weightCol optional INTEGRAL per-row weight: the result is
+    *                  the weighted interpolated percentile — rank
+    *                  r = p·(W−1) over the 0-based sorted multiset in
+    *                  which each row appears `weight` times (W = total
+    *                  group weight), exactly equivalent to replicating
+    *                  each row `weight` times and running the unweighted
+    *                  form (PropertySuite pins the law). Non-integral
+    *                  weights TRUNCATE toward zero; NULL weights count
+    *                  as 0; values whose total weight is 0 are dropped.
     * @return one row per group: groupCols…, one double column per
-    *         requested percentile, `n` (group count). */
+    *         requested percentile, `n` (group count or total weight). */
   def cont(df: DataFrame, groupCols: Seq[String], valueCol: String,
-           ps: Seq[(Double, String)]): DataFrame = {
+           ps: Seq[(Double, String)],
+           weightCol: Option[String] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0 && p <= 1 },
       s"percentile fractions must be in [0,1]: ${ps.map(_._1)}")
+    checkNames(groupCols, ps.map(_._2))
     val gc = groupCols.map(col)
-    val withRanks = ps.zipWithIndex.foldLeft(marked(df, groupCols, valueCol)) {
+    val withRanks = ps.zipWithIndex.foldLeft(
+      marked(df, groupCols, valueCol, weightCol)) {
       case (acc, ((p, _), i)) =>
-        acc.withColumn(s"r$i", lit(p) * (col("n") - 1).cast("double"))
+        acc.withColumn(s"__pct_r$i", lit(p) * (col(N) - 1).cast("double"))
     }
     // the single distinct value whose cumulative range covers rank k
     def hit(r: Column, edge: Column => Column): Column = {
       val k = edge(r).cast("long")
-      max(when(col("cum_start") <= k && k < col("cum_end"),
-        col("v").cast("double")))
+      max(when(col(CUM_START) <= k && k < col(CUM_END),
+        col(V).cast("double")))
     }
     val aggs = ps.zipWithIndex.flatMap { case (_, i) =>
-      Seq(hit(col(s"r$i"), floor).as(s"lo$i"),
-        hit(col(s"r$i"), ceil).as(s"hi$i"),
-        max(col(s"r$i")).as(s"r$i"))
-    } :+ max(col("n")).as("n")
+      Seq(hit(col(s"__pct_r$i"), floor).as(s"__pct_lo$i"),
+        hit(col(s"__pct_r$i"), ceil).as(s"__pct_hi$i"),
+        max(col(s"__pct_r$i")).as(s"__pct_r$i"))
+    } :+ max(col(N)).as("n")
     val outs = ps.zipWithIndex.map { case ((_, name), i) =>
-      (col(s"lo$i") +
-        (col(s"r$i") - floor(col(s"r$i"))) * (col(s"hi$i") - col(s"lo$i")))
+      (col(s"__pct_lo$i") +
+        (col(s"__pct_r$i") - floor(col(s"__pct_r$i"))) *
+          (col(s"__pct_hi$i") - col(s"__pct_lo$i")))
         .as(name)
     }
     withRanks.groupBy(gc: _*)
@@ -116,20 +155,21 @@ object Percentiles {
            weightCol: Option[String] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (a, b, _) => b > 0 && a >= 0 && a <= b },
       s"percentile rationals must be 0 <= num/den <= 1: ${ps.map(t => (t._1, t._2))}")
+    checkNames(groupCols, ps.map(_._3))
     val gc = groupCols.map(col)
     val withRanks = ps.zipWithIndex.foldLeft(
       marked(df, groupCols, valueCol, weightCol)) {
       case (acc, ((num, den, _), i)) =>
         // clamp to rank 1: ⌈0·n⌉ = 0 matches no cumulative range, but
         // percentile_disc(0) is defined as the group minimum
-        acc.withColumn(s"k$i",
-          expr(s"greatest(1L, ($num * n + ${den - 1}) div $den)"))
+        acc.withColumn(s"__pct_k$i",
+          expr(s"greatest(1L, ($num * $N + ${den - 1}) div $den)"))
     }
     // the distinct value covering 1-based rank k: cum_start < k ≤ cum_end
     val aggs = ps.zipWithIndex.map { case ((_, _, name), i) =>
-      max(when(col("cum_start") < col(s"k$i") && col(s"k$i") <= col("cum_end"),
-        col("v"))).as(name)
-    } :+ max(col("n")).as("n")
+      max(when(col(CUM_START) < col(s"__pct_k$i") &&
+        col(s"__pct_k$i") <= col(CUM_END), col(V))).as(name)
+    } :+ max(col(N)).as("n")
     withRanks.groupBy(gc: _*)
       .agg(aggs.head, aggs.tail: _*)
       .select((gc ++ ps.map(t => col(t._3))) :+ col("n"): _*)

@@ -592,7 +592,7 @@ object Aggregates {
     "q_agg_pctile" ->
       s"""WITH vc AS (
             SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt
-            FROM $ords GROUP BY 1, 2
+            FROM $ords WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
           ), marked AS (
             SELECT o_orderstatus, v, cnt,
               SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
@@ -630,8 +630,9 @@ object Aggregates {
     "q_agg_wmedian" ->
       s"""WITH vc AS (
             SELECT l_returnflag, l_extendedprice AS v,
-              SUM(CAST(l_quantity AS BIGINT)) AS cnt
-            FROM $li GROUP BY 1, 2
+              SUM(COALESCE(CAST(TRUNC(l_quantity) AS BIGINT), 0)) AS cnt
+            FROM $li WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+            HAVING SUM(COALESCE(CAST(TRUNC(l_quantity) AS BIGINT), 0)) > 0
           ), marked AS (
             SELECT l_returnflag, v, cnt,
               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum_end,
@@ -639,7 +640,8 @@ object Aggregates {
               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
             FROM vc
           ), rk AS (
-            SELECT *, (1 * n + 1) // 2 AS k0, (9 * n + 9) // 10 AS k1
+            SELECT *, GREATEST(1, (1 * n + 1) // 2) AS k0,
+              GREATEST(1, (9 * n + 9) // 10) AS k1
             FROM marked
           )
           SELECT l_returnflag,
@@ -650,7 +652,7 @@ object Aggregates {
     "q_agg_mad" ->
       s"""WITH vc1 AS (
             SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt
-            FROM $ords GROUP BY 1, 2
+            FROM $ords WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
           ), m1 AS (
             SELECT o_orderstatus, v, cnt,
               SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
@@ -679,7 +681,7 @@ object Aggregates {
             FROM $ords o JOIN med m ON o.o_orderstatus = m.st
           ), vc2 AS (
             SELECT o_orderstatus, adev AS v, COUNT(*) AS cnt
-            FROM dev GROUP BY 1, 2
+            FROM dev WHERE adev IS NOT NULL GROUP BY 1, 2
           ), m2 AS (
             SELECT o_orderstatus, v, cnt,
               SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
@@ -705,7 +707,7 @@ object Aggregates {
     "q_agg_pctile_disc" ->
       s"""WITH vc AS (
             SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt
-            FROM $ords GROUP BY 1, 2
+            FROM $ords WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
           ), marked AS (
             SELECT o_orderstatus, v, cnt,
               SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
@@ -713,7 +715,8 @@ object Aggregates {
               SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
             FROM vc
           ), rk AS (
-            SELECT *, (5 * n + 9) // 10 AS k50, (9 * n + 9) // 10 AS k90
+            SELECT *, GREATEST(1, (5 * n + 9) // 10) AS k50,
+              GREATEST(1, (9 * n + 9) // 10) AS k90
             FROM marked
           )
           SELECT o_orderstatus,

@@ -233,6 +233,37 @@ class GraftFacadeSuite extends SparkSuite {
     assert(!plan.toLowerCase.contains("percentile") && !plan.contains("ObjectHashAggregate"))
   }
 
+  test("percentiles survive caller columns named like the working columns (n, cnt, v)") {
+    // r9 regression (ADVICE): internal withColumns used bare names, so a
+    // group column literally named "n" was REPLACED by the window total
+    // and the final groupBy merged unrelated groups. Internals are now
+    // __pct_-prefixed; a caller's n/cnt/v group columns must pass
+    // through untouched.
+    val byCnt = Seq((1, 10.0), (1, 20.0), (2, 30.0), (2, 50.0))
+      .toDF("cnt", "amount")
+    val m = Graft.percentiles(byCnt, Seq("cnt"), "amount", Seq(0.5 -> "med"))
+      .collect().map(r => r.getAs[Int]("cnt") -> r.getAs[Double]("med")).toMap
+    assert(m === Map(1 -> 15.0, 2 -> 40.0), s"groups merged or clobbered: $m")
+    val cntV = Seq(("a", 1.0), ("a", 2.0), ("b", 9.0)).toDF("cum_end", "v")
+    val d = Graft.percentilesDisc(cntV, Seq("cum_end"), "v", Seq((1, 1, "pmax")))
+      .collect().map(r => r.getAs[String]("cum_end") ->
+        r.getAs[Double]("pmax")).toMap
+    assert(d === Map("a" -> 2.0, "b" -> 9.0))
+    // names that WOULD be ambiguous in the output — a group column named
+    // like the count column `n`, or an output name equal to a group
+    // column — fail fast with a clear message instead of silently
+    // merging groups (the pre-r9 behavior) or duplicating columns
+    val byN = byCnt.withColumnRenamed("cnt", "n")
+    val errN = intercept[IllegalArgumentException] {
+      Graft.percentiles(byN, Seq("n"), "amount", Seq(0.5 -> "med"))
+    }
+    assert(errN.getMessage.contains("collide"))
+    val errOut = intercept[IllegalArgumentException] {
+      Graft.percentiles(byCnt, Seq("cnt"), "amount", Seq(0.5 -> "cnt"))
+    }
+    assert(errOut.getMessage.contains("collide"))
+  }
+
   test("percentiles edge semantics: NULL values excluded, p=0 is the minimum, unscored keepBest members count") {
     // NULLs excluded (SQL percentile semantics): median of [10,20,30,NULL]
     // is 20, not an interpolation over a 4-rank NULLs-first ordering

@@ -315,4 +315,32 @@ class PropertySuite extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, s"weighted percentiles: ${res.status}")
   }
+
+  test("Spark law: weighted Percentiles.cont == unweighted cont over the replicated multiset") {
+    // r9: cont gained the weightCol that disc had — same defining
+    // property, and EXACT double equality is required (not tolerance):
+    // the weighted path ranks at p·(W−1) over the same cumulative
+    // ranges the replicated multiset produces, and the interpolation
+    // expression shape is identical, so the IEEE sequences coincide.
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val rows = Gen.resize(12,
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-20, 20), Gen.chooseNum(1, 4))))
+    val prop = Prop.forAll(rows) { (vw: List[(Int, Int)]) =>
+      val weighted = graft.operators.Percentiles
+        .cont(vw.map { case (v, w) => ("g", v, w) }.toDF("grp", "v", "w"),
+          Seq("grp"), "v", Seq(0.5 -> "p50", 0.9 -> "p90"), Some("w"))
+        .collect()(0)
+      val replicated = graft.operators.Percentiles
+        .cont(vw.flatMap { case (v, w) => Seq.fill(w)(("g", v)) }
+            .toDF("grp", "v"),
+          Seq("grp"), "v", Seq(0.5 -> "p50", 0.9 -> "p90"))
+        .collect()(0)
+      weighted.getAs[Double]("p50") == replicated.getAs[Double]("p50") &&
+        weighted.getAs[Double]("p90") == replicated.getAs[Double]("p90") &&
+        weighted.getAs[Long]("n") == replicated.getAs[Long]("n")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"weighted cont percentiles: ${res.status}")
+  }
 }
