@@ -46,8 +46,11 @@ object Graft {
       .select(col(idCol), md5(col(contentCol)).as("content_h"))
       .groupBy(col("content_h"))
       .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("keeper"))
+    // null-SAFE join-back: groupBy clusters null contents together, but
+    // a plain === join-back would then silently DROP those rows from
+    // the result (null = null is never true) — r9 edge-sweep find
     df.select(col(idCol), md5(col(contentCol)).as("h"))
-      .join(clusters, col("h") === col("content_h"))
+      .join(clusters, col("h") <=> col("content_h"))
       .select(col(idCol), col("h").as("content_md5"),
         col("cluster_size"), col("keeper"),
         (col(idCol) === col("keeper")).cast("int").as("is_keeper"))

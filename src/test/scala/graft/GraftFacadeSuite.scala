@@ -317,4 +317,121 @@ class GraftFacadeSuite extends SparkSuite {
     val (grp, sim) = out((1L, 2L))
     assert(grp === "g1" && sim > 0.99 && sim <= 1.0)
   }
+
+  test("edge sweep: every facade entry point tolerates an EMPTY input — no throw, empty result") {
+    // r9 (verdict task 7): r8's review found facade edge bugs by hand;
+    // this makes the degenerate-input contract systematic. An empty
+    // corpus/edge-list/embedding table must flow through every entry
+    // point as an empty RESULT — not an NPE from a collected head, a
+    // divide-by-zero, or a require on a missing fixpoint.
+    val emptyCorpus = Seq.empty[(Long, String, String)]
+      .toDF("item_no", "body", "shelf")
+    val emptyVecs = Seq.empty[(Long, Seq[Double], String)]
+      .toDF("vid", "vec", "lbl")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val emptyScores = Seq.empty[(Long, Double)].toDF("item_no", "quality")
+    val emptyGv = Seq.empty[(String, Double)].toDF("grp", "v")
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("eid", "when", "acct", "kind", "amt")
+    val cases: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "exactDedup" -> (() => Graft.exactDedup(emptyCorpus, "item_no", "body")),
+      "nearDupPairs" -> (() =>
+        Graft.nearDupPairs(emptyCorpus, "item_no", "body", Seq("shelf"), 8, 10)),
+      "simDupPairs" -> (() =>
+        Graft.simDupPairs(emptyCorpus, "item_no", "body", Seq("shelf"))),
+      "embDupPairs" -> (() =>
+        Graft.embDupPairs(emptyVecs, "vid", "vec", Seq("lbl"), 0.9)),
+      "minhashSignatures" -> (() =>
+        Graft.minhashSignatures(emptyCorpus, "item_no", "body")),
+      "clusterPairs" -> (() => Graft.clusterPairs(emptyPairs)),
+      "keepBest" -> (() =>
+        Graft.keepBest(emptyPairs, emptyScores, "item_no", "quality")),
+      "embOutliers" -> (() => Graft.embOutliers(emptyVecs, "vid", "vec", "lbl", 2)),
+      "percentiles" -> (() =>
+        Graft.percentiles(emptyGv, Seq("grp"), "v", Seq(0.5 -> "med"))),
+      "percentilesDisc" -> (() =>
+        Graft.percentilesDisc(emptyGv, Seq("grp"), "v", Seq((1, 2, "med")))),
+      "stratifiedSample" -> (() =>
+        Graft.stratifiedSample(emptyCorpus, "item_no", Seq("shelf"), 2)),
+      "chunkTokens" -> (() => Graft.chunkTokens(emptyCorpus, "item_no", "body", 4, 2)),
+      "packBins" -> (() =>
+        Graft.packBins(emptyCorpus, "item_no", "body", Seq("shelf"), 16, 2)),
+      "contamAudit" -> (() => Graft.contamAudit(emptyCorpus, "item_no", "body")),
+      "annCandidates" -> (() =>
+        Graft.annCandidates(emptyVecs, "vid", "vec", Seq(1L), 8, 1, 2)),
+      "ivfSearch" -> (() => Graft.ivfSearch(emptyVecs, "vid", "vec", Seq(1L), 2, 2)),
+      "knnExact" -> (() => Graft.knnExact(emptyVecs, "vid", "vec", Seq(1L), 2)),
+      "asCorpus" -> (() => Graft.asCorpus(emptyCorpus, "item_no", "body")),
+      "asEvents" -> (() =>
+        Graft.asEvents(emptyEvents, "eid", "when", "acct", "kind", "amt").toDF))
+    cases.foreach { case (name, mk) =>
+      val rows =
+        try mk().collect()
+        catch { case e: Throwable => fail(s"$name threw on empty input: $e") }
+      assert(rows.isEmpty, s"$name produced rows from an empty input")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("edge sweep: NULL texts, vectors, blocks, and scores degrade per documented semantics, never throw") {
+    // The NULL half of the degenerate-input contract. Documented
+    // semantics pinned here: null text = no tokens (excluded from every
+    // token-derived result; null CONTENTS still form one exact-dup
+    // cluster since the hash groups them); a null block value joins
+    // nothing (SQL null equality) so blocked ops never pair it; a null
+    // score ranks below every real score; a null vector yields null
+    // similarity and loses every desc-ordered ranking.
+    val corpus = Seq[(java.lang.Long, String, String)](
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, null, "s1"),
+      (3L, "alpha beta gamma delta", null),
+      (4L, null, "s1")
+    ).toDF("item_no", "body", "shelf")
+    // exact dedup: the two null contents hash identically (null) → one
+    // cluster of 2; the two identical texts cluster regardless of shelf
+    val ded = Graft.exactDedup(corpus, "item_no", "body").collect()
+      .map(r => r.getAs[Long]("item_no") -> r.getAs[Long]("cluster_size")).toMap
+    assert(ded === Map(1L -> 2L, 3L -> 2L, 2L -> 2L, 4L -> 2L), s"$ded")
+    // token ops: null-text docs contribute no tokens, null-shelf doc
+    // pairs with nothing in a blocked run → no pairs at all here
+    val nd = Graft.nearDupPairs(corpus, "item_no", "body", Seq("shelf"), 8, 10)
+      .collect()
+    assert(nd.isEmpty, s"null text/block rows leaked into pairs: ${nd.toSeq}")
+    val sd = Graft.simDupPairs(corpus, "item_no", "body", Seq("shelf")).collect()
+    assert(sd.isEmpty, s"null text/block rows leaked into simhash pairs: ${sd.toSeq}")
+    val sigs = Graft.minhashSignatures(corpus, "item_no", "body").collect()
+      .map(_.getAs[Long]("item_no")).toSet
+    assert(sigs === Set(1L, 3L), s"null-text docs got signatures: $sigs")
+    val chunks = Graft.chunkTokens(corpus, "item_no", "body", 3, 2).collect()
+      .map(_.getAs[Long]("item_no")).toSet
+    assert(chunks === Set(1L, 3L), s"null-text docs got chunks: $chunks")
+    Graft.contamAudit(corpus, "item_no", "body").collect() // no-throw
+    Graft.packBins(corpus, "item_no", "body", Seq("shelf"), 16, 2).collect()
+    // null stratum is its own group: doc 3 survives sampling as rank 1
+    val samp = Graft.stratifiedSample(corpus, "item_no", Seq("shelf"), 1)
+      .collect().map(r => Option(r.getAs[String]("shelf")) ->
+        r.getAs[Long]("item_no")).toMap
+    assert(samp(None) === 3L, s"null stratum lost: $samp")
+    // a NULL score loses the keeper election to any real score
+    val kb = Graft.keepBest(
+      Seq((1L, 2L)).toDF("a", "b"),
+      Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, 0.1))
+        .toDF("item_no", "quality"),
+      "item_no", "quality").collect()(0)
+    assert(kb.getAs[Long]("keeper") === 2L && kb.getAs[Double]("keeper_score") === 0.1)
+    // null vector: null similarity → excluded from threshold pairs and
+    // ranked below every real neighbor in desc order
+    val vecs = Seq[(Long, Option[Seq[Double]], String)](
+      (10L, Some(Seq(1.0, 0.0)), "g"),
+      (11L, None, "g"),
+      (12L, Some(Seq(0.9, 0.1)), "g")
+    ).toDF("vid", "vec", "lbl")
+    val ep = Graft.embDupPairs(vecs, "vid", "vec", Seq("lbl"), 0.9).collect()
+      .map(r => (r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b")))
+    assert(ep.toSet === Set((10L, 12L)), s"null vector leaked into pairs: ${ep.toSeq}")
+    val knn = Graft.knnExact(vecs, "vid", "vec", Seq(10L), 2).collect()
+      .map(r => r.getAs[Int]("rk") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(knn(1) === 12L, s"null vector outranked a real neighbor: $knn")
+    spark.catalog.clearCache()
+  }
 }

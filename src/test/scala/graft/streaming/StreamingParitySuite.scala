@@ -381,6 +381,55 @@ class StreamingParitySuite extends SparkSuite {
     assert(buf.synchronized(buf.last) === ((1L, 3L, 1L, 2L, 2L)))
   }
 
+  test("RocksDB changelog checkpointing: gap audit recovery with per-batch changelogs instead of full snapshots") {
+    // r9: the 100×-STATE-SIZE recovery story. Full-snapshot checkpointing
+    // re-uploads the whole RocksDB instance per commit — at corpus-scale
+    // state (billions of keys) that is the streaming bottleneck. Spark
+    // 4's rocksdb.changelogCheckpointing=true uploads only the batch's
+    // delta as a .changelog and snapshots lazily in the background, so
+    // commit cost is ∝ CHANGED keys, not total state. Same restart
+    // scenario as the tws test above; recovery then replays
+    // snapshot + changelog chain. Asserted: identical audit semantics
+    // AND .changelog artifacts actually present in the checkpoint (the
+    // proof the commit path really was changelog-based).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    val cp = Files.createTempDirectory("graft_clog_cp").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    def ev(id: Long, u: Long) = Event(id, min(id), u, "view", 1.0)
+    val ms = MemoryStream[Event](s2)
+    def start(): StreamingQuery = StreamOps.gapAuditTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[GapOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          buf ++= rows.map(o =>
+            (o.user_id, o.n_events, o.n_gaps, o.missing_total, o.max_gap))
+        }
+        ()
+      }
+      .option("checkpointLocation", cp).outputMode("update").start()
+    val q1 = start()
+    try { ms.addData(Seq(ev(1, 1), ev(2, 1))); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(buf.synchronized(buf.last) === ((1L, 2L, 0L, 0L, 0L)))
+    val q2 = start()
+    try { ms.addData(Seq(ev(5, 1))); q2.processAllAvailable() }
+    finally q2.stop()
+    // recovery across the restart must replay the changelog chain to the
+    // same lastId=2 state the snapshot-based providers recover
+    assert(buf.synchronized(buf.last) === ((1L, 3L, 1L, 2L, 2L)))
+    import scala.jdk.CollectionConverters._
+    val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(cp, "state"))
+      .iterator().asScala.map(_.getFileName.toString).toList
+    assert(stateFiles.exists(_.endsWith(".changelog")),
+      s"changelog checkpointing produced no .changelog files under $cp/state: $stateFiles")
+  }
+
   test("windowed leaderboard: streamed per-window user sums rank to the batch top-k (q_stream_topk's stage)") {
     // q_stream_topk's aggregation stage runs as a standard streaming
     // windowed agg (update mode); ranking the groups' final sums equals
@@ -1289,8 +1338,10 @@ class StreamingParitySuite extends SparkSuite {
     // absent once its processing-time TTL lapses — no timers, no
     // eviction code. Two deterministic scenarios (no race on batch
     // scheduling): a 10-minute TTL must NOT expire between two
-    // back-to-back batches (count accumulates 1 → 2), and a 500 ms TTL
-    // MUST expire across a 3 s pause (count restarts at 1).
+    // back-to-back batches (count accumulates 1 → 2), and a 1 s TTL
+    // MUST expire across a 5 s pause (count restarts at 1) — the 5×
+    // ratio (widened from 500 ms/3 s in r9) keeps a stalled runner's
+    // scheduling jitter well inside the margin on both sides.
     // NOTE: TimeMode.ProcessingTime keeps the micro-batch loop ticking
     // even with no new data (TTL bookkeeping), so processAllAvailable
     // never settles — the test paces the loop with a short trigger and
@@ -1333,7 +1384,7 @@ class StreamingParitySuite extends SparkSuite {
     }
     assert(run(java.time.Duration.ofMinutes(10), 0) === Seq(1L, 2L),
       "state expired within its TTL — accumulation broken")
-    assert(run(java.time.Duration.ofMillis(500), 3000) === Seq(1L, 1L),
+    assert(run(java.time.Duration.ofSeconds(1), 5000) === Seq(1L, 1L),
       "state survived past its TTL — eviction broken")
   }
 }
