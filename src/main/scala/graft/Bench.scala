@@ -113,10 +113,33 @@ object Bench {
     def fmtQ(v: Double): String = math.round(v * 10).toString
     // keys drop the uniform "q_" prefix (declared via "qprefix") — at
     // 103 queries the full-name line measured 1972, over the ~1920
-    // tail budget; the prefix is 2 chars × |queries| of pure redundancy
-    val qs = results.map { case (k, v) =>
-      jstr(k.stripPrefix("q_")) + ":" + fmtQ(v) }
-      .mkString("{", ",", "}")
+    // tail budget; the prefix is 2 chars × |queries| of pure redundancy.
+    //
+    // Since r9 the queries object is NESTED BY FAMILY PREFIX, declared
+    // by "qenc":"pfx" — the planned-ahead re-budget (at 116 queries the
+    // flat form measured 1801 of the ~1921 ceiling; this one measures
+    // ~1483, ≥400 chars of headroom ≈ 40 more queries). LOSSLESS, unlike
+    // collapsing sub-decisecond queries into a sum: every per-query
+    // value stays readable, so cross-round diffs still work. Encoding:
+    // split each (q_-stripped) name at its FIRST '_'; prefixes with ≥2
+    // members become one nested object keyed by the remainder, where
+    // the EMPTY-string key is the bare prefix itself (handles "union"
+    // alongside "union_all"); singleton prefixes stay flat. Decode:
+    // name = prefix, or prefix + "_" + innerKey (innerKey "" → just
+    // prefix); values unchanged (integer deciseconds per "qunit").
+    val split = results.map { case (k, v) =>
+      val name = k.stripPrefix("q_")
+      val i = name.indexOf('_')
+      if (i < 0) (name, "", v) else (name.take(i), name.drop(i + 1), v)
+    }
+    val qs = split.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, ms) =>
+      if (ms.size == 1) {
+        val (_, rest, v) = ms.head
+        jstr(if (rest.isEmpty) p else s"${p}_$rest") + ":" + fmtQ(v)
+      } else
+        jstr(p) + ":" + ms.sortBy(_._2).map { case (_, rest, v) =>
+          jstr(rest) + ":" + fmtQ(v) }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val errJson = if (errors.isEmpty) ""
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(""","errors":{""", ",", "}")
@@ -128,7 +151,7 @@ object Bench {
     // should normalize by this instead of guessing).
     val yard = results.toMap.getOrElse("q_scan", 0.0)
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2ci","qprefix":"q_","qunit":"ds","yard":${"%.2f".formatLocal(java.util.Locale.ROOT, yard)},"queries":$qs$errJson,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2ci","qprefix":"q_","qunit":"ds","qenc":"pfx","yard":${"%.2f".formatLocal(java.util.Locale.ROOT, yard)},"queries":$qs$errJson,"sf":"$sfName"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

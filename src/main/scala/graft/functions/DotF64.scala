@@ -94,5 +94,7 @@ object DotF64 {
   /** Idempotent post-hoc registration on an existing session (getOrCreate
     * may return a session built before extensions could apply). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    // idempotent AND quiet (no replacement WARN on re-register)
+    if (!spark.sessionState.functionRegistry.functionExists(ident))
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
 }

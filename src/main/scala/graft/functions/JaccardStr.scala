@@ -99,5 +99,7 @@ object JaccardStr {
 
   /** Idempotent post-hoc registration for pre-existing sessions. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    // idempotent AND quiet (no replacement WARN on re-register)
+    if (!spark.sessionState.functionRegistry.functionExists(ident))
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
 }

@@ -137,6 +137,11 @@ object MinHashSig {
   /** Idempotent post-hoc registration on an existing session. */
   def register(spark: SparkSession, a: Seq[Long], b: Seq[Long],
                p: Long): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(ident, info, builder(a, b, p))
+    // idempotent AND quiet: re-registering logs a replacement WARN per
+    // call (noise, and it eats the driver's bench output-tail budget).
+    // Every caller in this library passes the same LlmOps hash family,
+    // so first-registration-wins is safe.
+    if (!spark.sessionState.functionRegistry.functionExists(ident))
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder(a, b, p))
 }
