@@ -25,11 +25,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    Dataset/DataFrame (batch or stream) already.
   *
   * Cache contract: [[nearDupPairs]] (via the AllPairs helper),
-  * [[simDupPairs]] (the signature table), and [[embDupPairs]] (the
-  * prepared embedding table) persist intermediates — the same lifecycle
-  * note as [[SparkEntry]]: release with `spark.catalog.clearCache()`
-  * (or targeted unpersist) after materializing the result in a
-  * long-lived session.
+  * [[simDupPairs]] (the signature table), [[embDupPairs]] (the prepared
+  * embedding table), and [[ivfSearch]] (the centroid-assignment table)
+  * persist intermediates — the same lifecycle note as [[SparkEntry]]:
+  * release with `spark.catalog.clearCache()` (or targeted unpersist)
+  * after materializing the result in a long-lived session.
   */
 object Graft {
 
