@@ -347,6 +347,26 @@ object Aggregates {
           Seq((1, 2, "wmedian"), (9, 10, "wp90")), Some("l_quantity"))
         .orderBy(col("l_returnflag"))),
 
+    // §2.4 weighted CONTINUOUS median / p90 (r9) — the interpolated
+    // counterpart of q_agg_wmedian: rank p·(W−1) over the quantity-
+    // replicated multiset, computed WITHOUT replication
+    // (Percentiles.cont weightCol, new in r9; the replicated-multiset
+    // equivalence is property-law-pinned). Identical CTE on DuckDB →
+    // identical IEEE interpolation sequence, rounded 6dp (§7.4.7). Same
+    // bounded machinery as every percentile query: shuffle ∝ distinct
+    // (flag, price) pairs with map-side-combined weights.
+    "q_agg_wmedian_cont" -> ((s, d) =>
+      graft.operators.Percentiles.cont(
+          T.lineitem(s, d).select(col("l_returnflag"),
+            col("l_extendedprice"), col("l_quantity")),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.5 -> "wm", 0.9 -> "wp"), Some("l_quantity"))
+        .select(col("l_returnflag"),
+          round(col("wm"), 6).as("wmedian_c"),
+          round(col("wp"), 6).as("wp90_c"),
+          col("n"))
+        .orderBy(col("l_returnflag"))),
+
     // §2.4 median absolute deviation — THE robust dispersion statistic
     // (outlier-insensitive, unlike stddev): MAD = median(|x − median(x)|)
     // per group. Two composed scale-safe percentile passes (never the
@@ -649,6 +669,46 @@ object Aggregates {
             MAX(CASE WHEN cum_start < k1 AND k1 <= cum_end THEN v END) AS wp90,
             CAST(MAX(n) AS BIGINT) AS n
           FROM rk GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_wmedian_cont" ->
+      s"""WITH vc AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+              SUM(COALESCE(CAST(TRUNC(l_quantity) AS BIGINT), 0)) AS cnt
+            FROM $li WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+            HAVING SUM(COALESCE(CAST(TRUNC(l_quantity) AS BIGINT), 0)) > 0
+          ), marked AS (
+            SELECT l_returnflag, v, cnt,
+              SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum_end,
+              SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) - cnt AS cum_start,
+              SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM vc
+          ), rk AS (
+            SELECT *,
+              CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r50,
+              CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r90
+            FROM marked
+          ), ag AS (
+            SELECT l_returnflag,
+              MAX(CASE WHEN cum_start <= CAST(FLOOR(r50) AS BIGINT)
+                        AND CAST(FLOOR(r50) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS v50_lo,
+              MAX(CASE WHEN cum_start <= CAST(CEIL(r50) AS BIGINT)
+                        AND CAST(CEIL(r50) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS v50_hi,
+              MAX(CASE WHEN cum_start <= CAST(FLOOR(r90) AS BIGINT)
+                        AND CAST(FLOOR(r90) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS v90_lo,
+              MAX(CASE WHEN cum_start <= CAST(CEIL(r90) AS BIGINT)
+                        AND CAST(CEIL(r90) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS v90_hi,
+              MAX(r50) AS r50, MAX(r90) AS r90,
+              CAST(MAX(n) AS BIGINT) AS n
+            FROM rk GROUP BY 1
+          )
+          SELECT l_returnflag,
+            round(v50_lo + (r50 - FLOOR(r50)) * (v50_hi - v50_lo), 6) AS wmedian_c,
+            round(v90_lo + (r90 - FLOOR(r90)) * (v90_hi - v90_lo), 6) AS wp90_c,
+            n
+          FROM ag ORDER BY l_returnflag""",
     "q_agg_mad" ->
       s"""WITH vc1 AS (
             SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt

@@ -282,7 +282,8 @@ class PlanAssertionsSuite extends SparkSuite {
     // groups that's an OOM at 100×. The scale-safe plan pre-aggregates
     // (status, value) → count and locates the rank with a spillable
     // window, so neither "percentile" nor ObjectHashAggregate may appear.
-    Seq("q_agg_pctile", "q_agg_pctile_disc", "q_agg_mad", "q_agg_wmedian").foreach { name =>
+    Seq("q_agg_pctile", "q_agg_pctile_disc", "q_agg_mad", "q_agg_wmedian",
+        "q_agg_wmedian_cont").foreach { name =>
       val plan = planString(q(name))
       assert(!plan.toLowerCase.contains("percentile"),
         s"$name: native percentile aggregate is back:\n$plan")
