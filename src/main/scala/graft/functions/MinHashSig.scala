@@ -131,17 +131,39 @@ object MinHashSig {
   /** SessionExtensions registration (the graded family constants live in
     * LlmOps; injected at session build by [[graft.LocalSession]]). */
   def install(a: Seq[Long], b: Seq[Long], p: Long)(
-      ext: SparkSessionExtensions): Unit =
+      ext: SparkSessionExtensions): Unit = {
+    installedFam = Some((a, b, p))
     ext.injectFunction((ident, info, builder(a, b, p)))
+  }
 
-  /** Idempotent post-hoc registration on an existing session. */
+  // the family injected via SessionExtensions (no session to key on at
+  // install time) — lets register() stay quiet when an extension-built
+  // session is re-registered with the same family
+  @volatile private var installedFam: Option[(Seq[Long], Seq[Long], Long)] = None
+
+  // The hash family last registered per session, so a repeat register
+  // with the SAME family can be a quiet no-op (re-registering logs a
+  // replacement WARN per call — log noise that also eats the driver's
+  // bench output-tail budget) while a DIFFERENT family still replaces
+  // the function: a silent first-wins no-op would compute signatures
+  // with stale constants for a caller supplying their own family.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (Seq[Long], Seq[Long], Long)]())
+
+  /** Idempotent post-hoc registration on an existing session: quiet when
+    * the session already carries this exact (a, b, p) family, a real
+    * (WARN-logged) replacement when the family differs. */
   def register(spark: SparkSession, a: Seq[Long], b: Seq[Long],
-               p: Long): Unit =
-    // idempotent AND quiet: re-registering logs a replacement WARN per
-    // call (noise, and it eats the driver's bench output-tail budget).
-    // Every caller in this library passes the same LlmOps hash family,
-    // so first-registration-wins is safe.
-    if (!spark.sessionState.functionRegistry.functionExists(ident))
+               p: Long): Unit = {
+    val fam = (a, b, p)
+    val known = Option(registered.get(spark)).orElse(installedFam)
+    val same = known.contains(fam) &&
+      spark.sessionState.functionRegistry.functionExists(ident)
+    if (!same) {
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder(a, b, p))
+      registered.put(spark, fam)
+    }
+  }
 }

@@ -52,6 +52,16 @@ object Percentiles {
         "rename the group column or the percentile output")
     require(outNames.distinct.size == outNames.size,
       s"duplicate percentile output names: $outNames")
+    // `n` is the result's group-count/total-weight column, and __pct_*
+    // are the working columns — a percentile OUTPUT by either name would
+    // emit a duplicate/ambiguous column instead of an error
+    require(!outNames.contains("n"),
+      "percentile output name `n` collides with the group-count column " +
+        "`n` the result always carries; pick another name")
+    val pref = outNames.filter(_.startsWith("__pct_"))
+    require(pref.isEmpty,
+      s"percentile output names $pref collide with the engine's internal " +
+        "__pct_* working columns; pick other names")
   }
 
   private def marked(df: DataFrame, groupCols: Seq[String], valueCol: String,

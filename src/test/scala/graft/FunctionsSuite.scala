@@ -80,6 +80,33 @@ class FunctionsSuite extends SparkSuite {
       s"graft_minhash_sig fell out of whole-stage codegen:\n$plan")
   }
 
+  test("MinHashSig.register: same family = quiet no-op, DIFFERENT family really replaces") {
+    // r9 review find: the idempotent-quiet guard must not become
+    // first-registration-WINS — a caller supplying their own hash family
+    // would silently keep computing with the stale constants. Run in a
+    // cloned session so the shared session's registration is untouched.
+    val s2 = spark.newSession()
+    def sig(): Long = s2.sql(
+      "SELECT graft_minhash_sig(array('a','b','c','d'))[0] AS m")
+      .collect()(0).getLong(0)
+    graft.functions.MinHashSig.register(s2,
+      LlmOps.hashA.toSeq, LlmOps.hashB.toSeq, LlmOps.HashP)
+    val libSig = sig()
+    // same family again: result unchanged (and no replacement happens —
+    // the quiet path — though quietness itself isn't assertable here)
+    graft.functions.MinHashSig.register(s2,
+      LlmOps.hashA.toSeq, LlmOps.hashB.toSeq, LlmOps.HashP)
+    assert(sig() === libSig)
+    // a different family must actually take effect
+    val a2 = LlmOps.hashA.toSeq.map(_ + 1)
+    graft.functions.MinHashSig.register(s2, a2, LlmOps.hashB.toSeq, LlmOps.HashP)
+    assert(sig() !== libSig, "different hash family was silently ignored")
+    // and registering the library family back restores the signatures
+    graft.functions.MinHashSig.register(s2,
+      LlmOps.hashA.toSeq, LlmOps.hashB.toSeq, LlmOps.HashP)
+    assert(sig() === libSig)
+  }
+
   test("graft_dot == HOF fold bitwise on all sf0.001 embedding pairs (probes < 5)") {
     DotF64.register(spark)
     val base = Tables.embeddings(spark, sf)

@@ -262,6 +262,18 @@ class GraftFacadeSuite extends SparkSuite {
       Graft.percentiles(byCnt, Seq("cnt"), "amount", Seq(0.5 -> "cnt"))
     }
     assert(errOut.getMessage.contains("collide"))
+    // an OUTPUT percentile named "n" would duplicate the group-count
+    // column the result always carries (cont silently emitted two `n`
+    // columns pre-r9-review); "__pct_*" outputs would collide with the
+    // working columns — both fail fast now
+    val errOutN = intercept[IllegalArgumentException] {
+      Graft.percentiles(byCnt, Seq("cnt"), "amount", Seq(0.5 -> "n"))
+    }
+    assert(errOutN.getMessage.contains("collide"))
+    val errPref = intercept[IllegalArgumentException] {
+      Graft.percentilesDisc(byCnt, Seq("cnt"), "amount", Seq((1, 2, "__pct_v")))
+    }
+    assert(errPref.getMessage.contains("collide"))
   }
 
   test("percentiles edge semantics: NULL values excluded, p=0 is the minimum, unscored keepBest members count") {

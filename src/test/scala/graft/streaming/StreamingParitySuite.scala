@@ -338,9 +338,7 @@ class StreamingParitySuite extends SparkSuite {
     assert(buf.synchronized(buf.last) === ((1L, 3L, 1L, 2L, 2L)))
     // and the state dir proves RocksDB wrote it (zip snapshots /
     // changelogs — the default HDFS provider writes .delta/.snapshot)
-    import scala.jdk.CollectionConverters._
-    val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(cp, "state"))
-      .iterator().asScala.map(_.getFileName.toString).toList
+    val stateFiles = listStateFiles(cp)
     assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
       s"no RocksDB artifacts under $cp/state: $stateFiles")
   }
@@ -423,11 +421,19 @@ class StreamingParitySuite extends SparkSuite {
     // recovery across the restart must replay the changelog chain to the
     // same lastId=2 state the snapshot-based providers recover
     assert(buf.synchronized(buf.last) === ((1L, 3L, 1L, 2L, 2L)))
-    import scala.jdk.CollectionConverters._
-    val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(cp, "state"))
-      .iterator().asScala.map(_.getFileName.toString).toList
+    val stateFiles = listStateFiles(cp)
     assert(stateFiles.exists(_.endsWith(".changelog")),
       s"changelog checkpointing produced no .changelog files under $cp/state: $stateFiles")
+  }
+
+  /** File names under a checkpoint's state dir — walk stream CLOSED
+    * (an unclosed Files.walk leaks directory handles for the JVM's
+    * lifetime; on a loaded runner that compounds into fd exhaustion). */
+  private def listStateFiles(cp: String): List[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(cp, "state"))
+    try s.iterator().asScala.map(_.getFileName.toString).toList
+    finally s.close()
   }
 
   test("windowed leaderboard: streamed per-window user sums rank to the batch top-k (q_stream_topk's stage)") {
