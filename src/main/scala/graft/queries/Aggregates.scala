@@ -441,6 +441,100 @@ object Aggregates {
   private val cust = tbl("customer"); private val nat = tbl("nation")
   private val reg = tbl("region"); private val evt = tbl("events")
 
+
+  // ---- DuckDB twin generator for operators.Percentiles ----------------
+  // Every percentile oracle below is GENERATED from these helpers, so
+  // the twin CTEs cannot drift from the engine's guards (both r8 and r9
+  // advice flagged hand-copied twins missing the NULL-value exclusion /
+  // zero-weight drop / truncating weight cast / p=0 clamp — this is the
+  // structural fix). The emitted text mirrors Percentiles.marked/cont/
+  // disc expression-for-expression: COUNT or truncating-coalescing
+  // weighted SUM, cumulative window over distinct values, rank
+  // p·(n−1) in double (cont) or integer-rational ⌈p·n⌉ with the
+  // GREATEST(1, …) clamp (disc). The interpolation expression SHAPE is
+  // identical on both engines, so the IEEE sequences coincide (§7.4).
+
+  /** SUM-of-weights (truncate-toward-zero like Spark's cast long; NULL
+    * weight = 0) or COUNT(*) — the `cnt` expression of the vc CTE. */
+  private def pctCnt(weight: Option[String]): String = weight
+    .map(w => s"SUM(COALESCE(CAST(TRUNC($w) AS BIGINT), 0))")
+    .getOrElse("COUNT(*)")
+
+  /** The shared CTE chain `<p>vc → <p>marked` (distinct-value counts +
+    * cumulative ranges), prefix `p` so chains compose (q_agg_mad). */
+  private def pctMarked(p: String, src: String, grp: String, v: String,
+                        weight: Option[String]): String = {
+    val cnt = pctCnt(weight)
+    val having = weight.map(_ => s"\n            HAVING $cnt > 0").getOrElse("")
+    s"""${p}vc AS (
+            SELECT $grp, $v AS v, $cnt AS cnt
+            FROM $src WHERE $v IS NOT NULL GROUP BY 1, 2$having
+          ), ${p}marked AS (
+            SELECT $grp, v, cnt,
+              SUM(cnt) OVER (PARTITION BY $grp ORDER BY v) AS cum_end,
+              SUM(cnt) OVER (PARTITION BY $grp ORDER BY v) - cnt AS cum_start,
+              SUM(cnt) OVER (PARTITION BY $grp) AS n
+            FROM ${p}vc
+          )"""
+  }
+
+  /** Continuous chain `<p>vc → <p>marked → <p>rk → <p>ag`; `<p>ag` has
+    * one (lo$i, hi$i, r$i) triple per fraction plus `n` — interpolate
+    * with [[pctContVal]]. Fractions as decimal strings ("0.5"). */
+  private def pctContCtes(p: String, src: String, grp: String, v: String,
+                          weight: Option[String], ps: Seq[String]): String = {
+    val ranks = ps.zipWithIndex.map { case (f, i) =>
+      s"CAST($f AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r$i"
+    }.mkString(",\n              ")
+    val hits = ps.indices.map { i =>
+      s"""MAX(CASE WHEN cum_start <= CAST(FLOOR(r$i) AS BIGINT)
+                        AND CAST(FLOOR(r$i) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS lo$i,
+              MAX(CASE WHEN cum_start <= CAST(CEIL(r$i) AS BIGINT)
+                        AND CAST(CEIL(r$i) AS BIGINT) < cum_end
+                       THEN CAST(v AS DOUBLE) END) AS hi$i,
+              MAX(r$i) AS r$i"""
+    }.mkString(",\n              ")
+    s"""${pctMarked(p, src, grp, v, weight)}, ${p}rk AS (
+            SELECT *,
+              $ranks
+            FROM ${p}marked
+          ), ${p}ag AS (
+            SELECT $grp,
+              $hits,
+              CAST(MAX(n) AS BIGINT) AS n
+            FROM ${p}rk GROUP BY 1
+          )"""
+  }
+
+  /** The interpolation over `<p>ag`'s i-th triple — the exact engine
+    * expression shape: lo + (r − ⌊r⌋)·(hi − lo). */
+  private def pctContVal(i: Int): String =
+    s"lo$i + (r$i - FLOOR(r$i)) * (hi$i - lo$i)"
+
+  /** Complete discrete-percentile oracle: smallest stored value whose
+    * cumulative count/weight reaches ⌈num/den·n⌉ (rank clamped to ≥1 so
+    * p=0 is the minimum), one output column per (num, den, alias). */
+  private def pctDiscSql(src: String, grp: String, v: String,
+                         weight: Option[String],
+                         ps: Seq[(Int, Int, String)]): String = {
+    val ranks = ps.zipWithIndex.map { case ((num, den, _), i) =>
+      s"GREATEST(1, ($num * n + ${den - 1}) // $den) AS k$i"
+    }.mkString(",\n              ")
+    val outs = ps.zipWithIndex.map { case ((_, _, alias), i) =>
+      s"MAX(CASE WHEN cum_start < k$i AND k$i <= cum_end THEN v END) AS $alias"
+    }.mkString(",\n            ")
+    s"""WITH ${pctMarked("", src, grp, v, weight)}, rk AS (
+            SELECT *,
+              $ranks
+            FROM marked
+          )
+          SELECT $grp,
+            $outs,
+            CAST(MAX(n) AS BIGINT) AS n
+          FROM rk GROUP BY $grp ORDER BY $grp"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q_agg_global" ->
       s"""SELECT COUNT(*) AS n_rows,
@@ -610,180 +704,36 @@ object Aggregates {
           SELECT o_custkey FROM $ords WHERE o_totalprice > 200000
           ORDER BY o_custkey""",
     "q_agg_pctile" ->
-      s"""WITH vc AS (
-            SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt
-            FROM $ords WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
-          ), marked AS (
-            SELECT o_orderstatus, v, cnt,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) - cnt AS cum_start,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
-            FROM vc
-          ), rk AS (
-            SELECT *,
-              CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r50,
-              CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r90
-            FROM marked
-          ), ag AS (
-            SELECT o_orderstatus,
-              MAX(CASE WHEN cum_start <= CAST(FLOOR(r50) AS BIGINT)
-                        AND CAST(FLOOR(r50) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS v50_lo,
-              MAX(CASE WHEN cum_start <= CAST(CEIL(r50) AS BIGINT)
-                        AND CAST(CEIL(r50) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS v50_hi,
-              MAX(CASE WHEN cum_start <= CAST(FLOOR(r90) AS BIGINT)
-                        AND CAST(FLOOR(r90) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS v90_lo,
-              MAX(CASE WHEN cum_start <= CAST(CEIL(r90) AS BIGINT)
-                        AND CAST(CEIL(r90) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS v90_hi,
-              MAX(r50) AS r50, MAX(r90) AS r90,
-              CAST(MAX(n) AS BIGINT) AS n
-            FROM rk GROUP BY 1
-          )
+      s"""WITH ${pctContCtes("", ords, "o_orderstatus", "o_totalprice", None, Seq("0.5", "0.9"))}
           SELECT o_orderstatus,
-            round(v50_lo + (r50 - FLOOR(r50)) * (v50_hi - v50_lo), 6) AS median_price,
-            round(v90_lo + (r90 - FLOOR(r90)) * (v90_hi - v90_lo), 6) AS p90_price,
+            round(${pctContVal(0)}, 6) AS median_price,
+            round(${pctContVal(1)}, 6) AS p90_price,
             n
           FROM ag ORDER BY o_orderstatus""",
     "q_agg_wmedian" ->
-      s"""WITH vc AS (
-            SELECT l_returnflag, l_extendedprice AS v,
-              SUM(COALESCE(CAST(TRUNC(l_quantity) AS BIGINT), 0)) AS cnt
-            FROM $li WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
-            HAVING SUM(COALESCE(CAST(TRUNC(l_quantity) AS BIGINT), 0)) > 0
-          ), marked AS (
-            SELECT l_returnflag, v, cnt,
-              SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum_end,
-              SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) - cnt AS cum_start,
-              SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
-            FROM vc
-          ), rk AS (
-            SELECT *, GREATEST(1, (1 * n + 1) // 2) AS k0,
-              GREATEST(1, (9 * n + 9) // 10) AS k1
-            FROM marked
-          )
-          SELECT l_returnflag,
-            MAX(CASE WHEN cum_start < k0 AND k0 <= cum_end THEN v END) AS wmedian,
-            MAX(CASE WHEN cum_start < k1 AND k1 <= cum_end THEN v END) AS wp90,
-            CAST(MAX(n) AS BIGINT) AS n
-          FROM rk GROUP BY l_returnflag ORDER BY l_returnflag""",
+      pctDiscSql(li, "l_returnflag", "l_extendedprice", Some("l_quantity"),
+        Seq((1, 2, "wmedian"), (9, 10, "wp90"))),
     "q_agg_wmedian_cont" ->
-      s"""WITH vc AS (
-            SELECT l_returnflag, l_extendedprice AS v,
-              SUM(COALESCE(CAST(TRUNC(l_quantity) AS BIGINT), 0)) AS cnt
-            FROM $li WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
-            HAVING SUM(COALESCE(CAST(TRUNC(l_quantity) AS BIGINT), 0)) > 0
-          ), marked AS (
-            SELECT l_returnflag, v, cnt,
-              SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum_end,
-              SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) - cnt AS cum_start,
-              SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
-            FROM vc
-          ), rk AS (
-            SELECT *,
-              CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r50,
-              CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r90
-            FROM marked
-          ), ag AS (
-            SELECT l_returnflag,
-              MAX(CASE WHEN cum_start <= CAST(FLOOR(r50) AS BIGINT)
-                        AND CAST(FLOOR(r50) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS v50_lo,
-              MAX(CASE WHEN cum_start <= CAST(CEIL(r50) AS BIGINT)
-                        AND CAST(CEIL(r50) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS v50_hi,
-              MAX(CASE WHEN cum_start <= CAST(FLOOR(r90) AS BIGINT)
-                        AND CAST(FLOOR(r90) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS v90_lo,
-              MAX(CASE WHEN cum_start <= CAST(CEIL(r90) AS BIGINT)
-                        AND CAST(CEIL(r90) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS v90_hi,
-              MAX(r50) AS r50, MAX(r90) AS r90,
-              CAST(MAX(n) AS BIGINT) AS n
-            FROM rk GROUP BY 1
-          )
+      s"""WITH ${pctContCtes("", li, "l_returnflag", "l_extendedprice",
+              Some("l_quantity"), Seq("0.5", "0.9"))}
           SELECT l_returnflag,
-            round(v50_lo + (r50 - FLOOR(r50)) * (v50_hi - v50_lo), 6) AS wmedian_c,
-            round(v90_lo + (r90 - FLOOR(r90)) * (v90_hi - v90_lo), 6) AS wp90_c,
+            round(${pctContVal(0)}, 6) AS wmedian_c,
+            round(${pctContVal(1)}, 6) AS wp90_c,
             n
           FROM ag ORDER BY l_returnflag""",
     "q_agg_mad" ->
-      s"""WITH vc1 AS (
-            SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt
-            FROM $ords WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
-          ), m1 AS (
-            SELECT o_orderstatus, v, cnt,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) - cnt AS cum_start,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
-            FROM vc1
-          ), r1 AS (
-            SELECT *, CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r FROM m1
-          ), ag1 AS (
-            SELECT o_orderstatus,
-              MAX(CASE WHEN cum_start <= CAST(FLOOR(r) AS BIGINT)
-                        AND CAST(FLOOR(r) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS vlo,
-              MAX(CASE WHEN cum_start <= CAST(CEIL(r) AS BIGINT)
-                        AND CAST(CEIL(r) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS vhi,
-              MAX(r) AS r
-            FROM r1 GROUP BY 1
-          ), med AS (
-            SELECT o_orderstatus AS st,
-              vlo + (r - FLOOR(r)) * (vhi - vlo) AS med
-            FROM ag1
+      s"""WITH ${pctContCtes("m1", ords, "o_orderstatus", "o_totalprice", None, Seq("0.5"))}, med AS (
+            SELECT o_orderstatus AS st, ${pctContVal(0)} AS med FROM m1ag
           ), dev AS (
             SELECT o.o_orderstatus,
               abs(CAST(o.o_totalprice AS DOUBLE) - m.med) AS adev
             FROM $ords o JOIN med m ON o.o_orderstatus = m.st
-          ), vc2 AS (
-            SELECT o_orderstatus, adev AS v, COUNT(*) AS cnt
-            FROM dev WHERE adev IS NOT NULL GROUP BY 1, 2
-          ), m2 AS (
-            SELECT o_orderstatus, v, cnt,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) - cnt AS cum_start,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
-            FROM vc2
-          ), r2 AS (
-            SELECT *, CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r FROM m2
-          ), ag2 AS (
-            SELECT o_orderstatus,
-              MAX(CASE WHEN cum_start <= CAST(FLOOR(r) AS BIGINT)
-                        AND CAST(FLOOR(r) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS vlo,
-              MAX(CASE WHEN cum_start <= CAST(CEIL(r) AS BIGINT)
-                        AND CAST(CEIL(r) AS BIGINT) < cum_end
-                       THEN CAST(v AS DOUBLE) END) AS vhi,
-              MAX(r) AS r, CAST(MAX(n) AS BIGINT) AS n
-            FROM r2 GROUP BY 1
-          )
-          SELECT o_orderstatus,
-            round(vlo + (r - FLOOR(r)) * (vhi - vlo), 6) AS mad, n
-          FROM ag2 ORDER BY o_orderstatus""",
+          ), ${pctContCtes("m2", "dev", "o_orderstatus", "adev", None, Seq("0.5"))}
+          SELECT o_orderstatus, round(${pctContVal(0)}, 6) AS mad, n
+          FROM m2ag ORDER BY o_orderstatus""",
     "q_agg_pctile_disc" ->
-      s"""WITH vc AS (
-            SELECT o_orderstatus, o_totalprice AS v, COUNT(*) AS cnt
-            FROM $ords WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
-          ), marked AS (
-            SELECT o_orderstatus, v, cnt,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum_end,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v) - cnt AS cum_start,
-              SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
-            FROM vc
-          ), rk AS (
-            SELECT *, GREATEST(1, (5 * n + 9) // 10) AS k50,
-              GREATEST(1, (9 * n + 9) // 10) AS k90
-            FROM marked
-          )
-          SELECT o_orderstatus,
-            MAX(CASE WHEN cum_start < k50 AND k50 <= cum_end THEN v END) AS median_disc,
-            MAX(CASE WHEN cum_start < k90 AND k90 <= cum_end THEN v END) AS p90_disc,
-            CAST(MAX(n) AS BIGINT) AS n
-          FROM rk GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+      pctDiscSql(ords, "o_orderstatus", "o_totalprice", None,
+        Seq((5, 10, "median_disc"), (9, 10, "p90_disc"))),
     "q_nulls" ->
       s"""SELECT parity, COUNT(*) AS n_rows,
             COUNT(c_custkey) AS n_cust,
