@@ -329,7 +329,7 @@ object Aggregates {
     // to operators.Percentiles (the facade's parameterized form).
     "q_agg_pctile_disc" -> ((s, d) =>
       graft.operators.Percentiles.disc(T.orders(s, d), Seq("o_orderstatus"),
-          "o_totalprice", Seq((5, 10, "median_disc"), (9, 10, "p90_disc")))
+          "o_totalprice", Seq((0, 1, "pmin_disc"), (5, 10, "median_disc"), (9, 10, "p90_disc")))
         .orderBy(col("o_orderstatus"))),
 
     // §2.4 WEIGHTED median / p90 — the quantity-weighted order statistic
@@ -733,7 +733,7 @@ object Aggregates {
           FROM m2ag ORDER BY o_orderstatus""",
     "q_agg_pctile_disc" ->
       pctDiscSql(ords, "o_orderstatus", "o_totalprice", None,
-        Seq((5, 10, "median_disc"), (9, 10, "p90_disc"))),
+        Seq((0, 1, "pmin_disc"), (5, 10, "median_disc"), (9, 10, "p90_disc"))),
     "q_nulls" ->
       s"""SELECT parity, COUNT(*) AS n_rows,
             COUNT(c_custkey) AS n_cust,
