@@ -317,6 +317,16 @@ object Graft {
   def hashBucket(idCol: Column, buckets: Int): Column =
     Det.md5h32(idCol.cast("string")) % buckets
 
+  /** Deterministic weighted Bernoulli sample over any id/weight pair:
+    * keeps a row iff md5h32(id) mod `den` < its integral weight —
+    * inclusion probability weight/den (weights ≥ den always keep, NULL
+    * weights never; the graded q_llm_wsample plan). Never `rand()`:
+    * any row's inclusion is recomputable from its id alone, on any
+    * engine, at any layout. Pure map-side filter — no shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     den: Int): DataFrame =
+    graft.queries.PipelineOps.weightedSample(df, idCol, weightCol, den)
+
   /** Deterministic stratified sample over arbitrary strata: exactly k
     * rows per stratum by md5-hash rank (never `rand()` — reproducible
     * across runs, engines, and layouts; the graded q_llm_sample

@@ -56,6 +56,12 @@ object PipelineOps {
   private[graft] val ChunkSize = 64
   private[graft] val ChunkStride = 32
 
+  /** Weighted sampling (q_llm_wsample): weight = token count capped at
+    * [[WsCap]], keep iff md5h32(doc_id) % [[WsDen]] < weight — keep
+    * probability min(n_tok, cap)/den. */
+  private[graft] val WsCap = 100
+  private[graft] val WsDen = 200
+
   /** The q_llm_split bucket — MUST derive exactly as q_llm_split does
     * (same [[Det.md5h32]] over the same cast), or the split and the
     * contamination audit would disagree about train vs test. */
@@ -263,7 +269,32 @@ object PipelineOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Deterministic weighted Bernoulli keep-filter: a row survives iff
+    * md5h32(id) mod `den` < its integral weight — inclusion probability
+    * weight/den (weights ≥ den always keep; NULL weights never). The
+    * same never-`rand()` contract as the split/sample ops: any row's
+    * inclusion is recomputable from its id alone, on any engine, at any
+    * layout — a resumable 100-TB pipeline can re-derive its own sample.
+    * Pure map-side filter; no shuffle, no state, pushes below wider
+    * plans. */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     den: Int): DataFrame = {
+    require(den > 0, s"sampling denominator must be positive: $den")
+    docs.filter(graft.Det.md5h32(col(idCol).cast("string")) % den <
+      coalesce(col(weightCol).cast("long"), lit(0L)))
+  }
+
   val queries: Map[String, Q] = Map(
+    // §2.10 weighted sampling (r9): keep probability ∝ capped token
+    // count — longer docs oversampled, the curriculum/quality-weighting
+    // primitive. Integer hash-vs-weight comparison only (no floats to
+    // drift); the token-count twin is the q_text_tokens precedent.
+    "q_llm_wsample" -> ((s, d) =>
+      weightedSample(
+        T.documents(s, d).select(col("doc_id"), col("lang"),
+          least(size(split(col("text"), " ")), lit(WsCap)).cast("long").as("w")),
+        "doc_id", "w", WsDen)
+        .orderBy(col("doc_id"))),
     "q_llm_chunk" -> ((s, d) =>
       chunk(T.documents(s, d), ChunkSize, ChunkStride)),
     "q_llm_contam" -> ((s, d) => contamAudit(T.documents(s, d))),
@@ -349,6 +380,13 @@ object PipelineOps {
             CAST(COALESCE(n_hit, 0) / n_sh >= $ContamThreshold AS INTEGER) AS flagged
           FROM test LEFT JOIN hits ON test.doc_id = hits.doc_id
           ORDER BY test.doc_id""",
+    "q_llm_wsample" ->
+      s"""SELECT doc_id, lang, w FROM (
+            SELECT doc_id, lang,
+              CAST(LEAST(len(string_split(text, ' ')), $WsCap) AS BIGINT) AS w
+            FROM $doc) x
+          WHERE ${Det.sqlMd5h32("CAST(doc_id AS VARCHAR)")} % $WsDen < w
+          ORDER BY doc_id""",
     "q_llm_sample" ->
       s"""SELECT doc_id, lang, source, hk, CAST(rk AS INTEGER) AS rk FROM (
             SELECT doc_id, lang, source, hk,

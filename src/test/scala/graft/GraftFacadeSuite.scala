@@ -365,6 +365,8 @@ class GraftFacadeSuite extends SparkSuite {
         Graft.percentilesDisc(emptyGv, Seq("grp"), "v", Seq((1, 2, "med")))),
       "stratifiedSample" -> (() =>
         Graft.stratifiedSample(emptyCorpus, "item_no", Seq("shelf"), 2)),
+      "weightedSample" -> (() =>
+        Graft.weightedSample(emptyScores, "item_no", "quality", 10)),
       "chunkTokens" -> (() => Graft.chunkTokens(emptyCorpus, "item_no", "body", 4, 2)),
       "packBins" -> (() =>
         Graft.packBins(emptyCorpus, "item_no", "body", Seq("shelf"), 16, 2)),
@@ -424,6 +426,13 @@ class GraftFacadeSuite extends SparkSuite {
       .collect().map(r => Option(r.getAs[String]("shelf")) ->
         r.getAs[Long]("item_no")).toMap
     assert(samp(None) === 3L, s"null stratum lost: $samp")
+    // weightedSample: NULL weight = never kept, weight >= den = always
+    // kept (the two documented boundary behaviors)
+    val ws = Graft.weightedSample(
+      Seq[(java.lang.Long, java.lang.Long)]((1L, null), (2L, 10L), (3L, 0L))
+        .toDF("item_no", "wt"),
+      "item_no", "wt", 10).collect().map(_.getAs[Long]("item_no")).toSet
+    assert(ws === Set(2L), s"weighted sample boundary wrong: $ws")
     // a NULL score loses the keeper election to any real score
     val kb = Graft.keepBest(
       Seq((1L, 2L)).toDF("a", "b"),
