@@ -236,8 +236,8 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.contains("SortAggregate"), s"fell back to sort aggregate:\n$plan")
   }
 
-  test("q_llm_split / q_text_scrub / q_text_rep: pure per-row map work — the only exchange is the final presentation sort") {
-    Seq("q_llm_split", "q_text_scrub", "q_text_rep").foreach { name =>
+  test("q_llm_split / q_text_scrub / q_text_rep / q_llm_wsample: pure per-row map work — the only exchange is the final presentation sort") {
+    Seq("q_llm_split", "q_text_scrub", "q_text_rep", "q_llm_wsample").foreach { name =>
       val plan = planString(q(name))
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges <= 1, // rangepartitioning for the ORDER BY only
