@@ -19,7 +19,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    corpora.
   *  - [[graft.operators.ConnectedComponents.run]] — any 2-column edge
   *    list; [[graft.operators.KMeans]] — any (vec_id, e) vectors;
-  *    [[graft.operators.ScaleOps]] — salted / bucketed joins;
+  *    [[graft.operators.ScaleOps]] — salted / bucketed joins and the
+  *    Bloom-prefiltered membership probe (`bloomPrefilter`);
   *    [[graft.operators.HeavyHitters.sketch]] — Misra-Gries.
   *  - [[graft.streaming.StreamOps]] — every streaming builder takes a
   *    Dataset/DataFrame (batch or stream) already.

@@ -52,4 +52,45 @@ object ScaleOps {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Bloom-prefiltered membership probe — the sketch that replaces a
+    * corpus×corpus membership JOIN for cross-dataset dedup / contam
+    * screening at 100 TB. The build side collapses to ONE binary row
+    * (per-partition filters merge in a TypedImperativeAggregate), which
+    * broadcasts; the probe side is then a pure map-side scan — zero
+    * shuffle of either dataset (plan-pinned in ScaleOpsSuite).
+    *
+    * Contract: NO false negatives (every probe value present in the
+    * build side has `might_match` = true — callers can drop
+    * `might_match = false` rows outright); false POSITIVES at ≈ the
+    * configured `fpp` (so a keep-decision needs an exact verify join
+    * over the tiny surviving fraction; a drop-decision needs nothing).
+    * NULL probe values yield NULL (unknown membership), matching SQL
+    * three-valued logic.
+    *
+    * @param expectedItems build-side cardinality estimate; numBits is
+    *                      sized from it as ⌈−n·ln(fpp)/ln²2⌉ (the
+    *                      standard Bloom formula). */
+  def bloomPrefilter(build: DataFrame, buildCol: String,
+                     probe: DataFrame, probeCol: String,
+                     expectedItems: Long, fpp: Double): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    graft.functions.BloomFns.register(build.sparkSession)
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // might_contain requires its bloom input be a constant or a SCALAR
+    // SUBQUERY (not a join column) — Dataset.scalar() (Spark 4) embeds
+    // the one-row build aggregate as exactly that; the physical plan is
+    // a broadcast-reused subquery, the probe stays a pure map
+    val bf = build.agg(call_function("graft_bloom_agg",
+      xxhash64(col(buildCol)), lit(expectedItems), lit(numBits)).as("__bf"))
+    // xxhash64(NULL) is NOT null (it hashes the null marker), so the
+    // documented NULL→NULL three-valued semantics need an explicit
+    // guard — otherwise a NULL probe value gets an arbitrary answer
+    probe.withColumn("might_match",
+      when(col(probeCol).isNotNull,
+        call_function("graft_might_contain", bf.scalar(),
+          xxhash64(col(probeCol)))))
+  }
 }

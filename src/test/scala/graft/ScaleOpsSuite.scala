@@ -105,4 +105,33 @@ class ScaleOpsSuite extends SparkSuite {
       assert(joined.count() === Tables.lineitem(spark, sf).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("bloomPrefilter: zero false negatives, fpp-bounded false positives, probe side never shuffles") {
+    import spark.implicits._
+    val build = (0L until 1000L).toDF("k")
+    val probe = (0L until 2000L).toDF("p")
+    val flagged = ScaleOps.bloomPrefilter(build, "k", probe, "p",
+      expectedItems = 1000L, fpp = 0.01)
+    val rows = flagged.collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Boolean]("might_match")).toMap
+    // the contract that makes drop-decisions safe: NO false negatives
+    val falseNeg = (0L until 1000L).filterNot(rows(_))
+    assert(falseNeg.isEmpty, s"members missed by the bloom: $falseNeg")
+    // false positives ≈ fpp of the non-members; 10× slack kills flake
+    val falsePos = (1000L until 2000L).count(rows(_))
+    assert(falsePos <= 100, s"false-positive rate blew past 10x fpp: $falsePos/1000")
+    // NULL probe value = NULL membership (SQL three-valued logic)
+    val nullRow = ScaleOps.bloomPrefilter(build, "k",
+      Seq[java.lang.Long](null).toDF("p"), "p", 1000L, 0.01).collect()(0)
+    assert(nullRow.isNullAt(nullRow.fieldIndex("might_match")))
+    // the scale contract: the 1-row sketch is an inlined scalar
+    // subquery (its only exchange is the SinglePartition merge of the
+    // per-partition filters); the probe side is a pure map — no
+    // hash/range repartitioning of EITHER dataset
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("Subquery"), s"bloom not a scalar subquery:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning")
+        && !plan.contains("Exchange rangepartitioning"),
+      s"bloomPrefilter shuffled a dataset:\n$plan")
+  }
 }
