@@ -134,4 +134,36 @@ class ScaleOpsSuite extends SparkSuite {
         && !plan.contains("Exchange rangepartitioning"),
       s"bloomPrefilter shuffled a dataset:\n$plan")
   }
+
+  test("bloom-prescreened exact membership == the plain exact join (the screen is semantics-free)") {
+    // The composition that makes the sketch USABLE in a correctness-
+    // gated pipeline: prefilter (drops most non-members for free), then
+    // the exact join over survivors only. No false negatives ⇒ the
+    // result is IDENTICAL to joining everything — pinned on the real
+    // fixture corpus (train-split text hashes probed by the test split,
+    // the q_llm_ingest shape).
+    val docs = Tables.documents(spark, sf)
+      .withColumn("b", graft.Det.md5h32(col("doc_id").cast("string")) % 10)
+      .withColumn("h", md5(col("text")))
+    val train = docs.filter(col("b") < 8).select(col("h").as("h0")).distinct()
+    // plant one guaranteed member probe (the sf0.001 splits happen to
+    // share no text hash, which would leave the dup path unexercised)
+    val planted = docs.filter(col("b") < 8).limit(1)
+      .select(lit(-1L).as("doc_id"), col("h"))
+    val test0 = docs.filter(col("b") >= 8).select(col("doc_id"), col("h"))
+      .unionAll(planted)
+    val plain = test0.join(train, col("h") === col("h0"), "left")
+      .select(col("doc_id"), col("h0").isNotNull.cast("int").as("is_dup"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val screened = ScaleOps.bloomPrefilter(train, "h0", test0, "h", 10000L, 0.01)
+    val survivors = screened.filter(col("might_match"))
+      .join(train, col("h") === col("h0"), "left")
+      .select(col("doc_id"), col("h0").isNotNull.cast("int").as("is_dup"))
+    val dropped = screened.filter(!col("might_match"))
+      .select(col("doc_id"), lit(0).as("is_dup"))
+    val composed = survivors.unionAll(dropped)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(composed === plain, "bloom prescreen changed membership results")
+    assert(plain.nonEmpty && plain.values.sum > 0, "fixture has no dups to screen")
+  }
 }
