@@ -49,7 +49,11 @@ object BloomFns {
   }
 
   /** Idempotent post-hoc registration on an existing session. */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = synchronized {
+    // synchronized: the exists-then-register pair is check-then-act —
+    // two racing threads would both pass the check and the second
+    // re-registration logs the replacement WARN this guard exists to
+    // silence (behavior would stay correct; the builders are constants)
     val reg = spark.sessionState.functionRegistry
     // idempotent AND quiet (no replacement WARN on re-register); both
     // builders are parameterless constants, so first-wins is safe

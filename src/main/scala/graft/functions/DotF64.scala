@@ -93,8 +93,10 @@ object DotF64 {
 
   /** Idempotent post-hoc registration on an existing session (getOrCreate
     * may return a session built before extensions could apply). */
-  def register(spark: SparkSession): Unit =
-    // idempotent AND quiet (no replacement WARN on re-register)
+  def register(spark: SparkSession): Unit = synchronized {
+    // idempotent AND quiet (no replacement WARN on re-register);
+    // synchronized because exists-then-register is check-then-act
     if (!spark.sessionState.functionRegistry.functionExists(ident))
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
 }

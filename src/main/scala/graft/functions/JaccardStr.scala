@@ -98,8 +98,10 @@ object JaccardStr {
     ext.injectFunction((ident, info, builder))
 
   /** Idempotent post-hoc registration for pre-existing sessions. */
-  def register(spark: SparkSession): Unit =
-    // idempotent AND quiet (no replacement WARN on re-register)
+  def register(spark: SparkSession): Unit = synchronized {
+    // idempotent AND quiet (no replacement WARN on re-register);
+    // synchronized because exists-then-register is check-then-act
     if (!spark.sessionState.functionRegistry.functionExists(ident))
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
 }

@@ -155,7 +155,9 @@ object MinHashSig {
     * the session already carries this exact (a, b, p) family, a real
     * (WARN-logged) replacement when the family differs. */
   def register(spark: SparkSession, a: Seq[Long], b: Seq[Long],
-               p: Long): Unit = {
+               p: Long): Unit = synchronized {
+    // synchronized: the known-family check and the re-registration are
+    // check-then-act; racing threads would double-register (WARN noise)
     val fam = (a, b, p)
     val known = Option(registered.get(spark)).orElse(installedFam)
     val same = known.contains(fam) &&

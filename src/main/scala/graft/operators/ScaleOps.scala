@@ -76,21 +76,45 @@ object ScaleOps {
                      expectedItems: Long, fpp: Double): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    require(!probe.columns.contains("might_match"),
+      "probe already has a might_match column (a previous screen's " +
+        "verdict?) — withColumn would silently overwrite it; rename it " +
+        "before re-screening")
     graft.functions.BloomFns.register(build.sparkSession)
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // BloomFilterAggregate silently CLAMPS its parameters to the session
+    // caps — at corpus scale that quietly degrades the advertised fpp
+    // toward 1 and the "fpp-sized survivor set" becomes the whole probe
+    // side. Fail loudly instead, naming the knobs to raise.
+    val conf = build.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sizing (items=$expectedItems, bits=$numBits) exceeds the " +
+        s"session caps (maxNumItems=$maxItems, maxNumBits=$maxBits) and " +
+        "would be silently clamped, degrading fpp; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        "or lower expectedItems/fpp")
     // might_contain requires its bloom input be a constant or a SCALAR
     // SUBQUERY (not a join column) — Dataset.scalar() (Spark 4) embeds
     // the one-row build aggregate as exactly that; the physical plan is
     // a broadcast-reused subquery, the probe stays a pure map
     val bf = build.agg(call_function("graft_bloom_agg",
       xxhash64(col(buildCol)), lit(expectedItems), lit(numBits)).as("__bf"))
-    // xxhash64(NULL) is NOT null (it hashes the null marker), so the
-    // documented NULL→NULL three-valued semantics need an explicit
-    // guard — otherwise a NULL probe value gets an arbitrary answer
+    // Two NULL guards: xxhash64(NULL) is NOT null (it hashes the null
+    // marker), so the documented NULL→NULL semantics for a NULL probe
+    // VALUE need the when(); and an EMPTY build side makes the
+    // aggregate itself NULL, which must read as a definite "not a
+    // member" (false) for every real probe value — not a NULL that
+    // silently fails BOTH branches of a might_match filter.
     probe.withColumn("might_match",
       when(col(probeCol).isNotNull,
-        call_function("graft_might_contain", bf.scalar(),
-          xxhash64(col(probeCol)))))
+        coalesce(
+          call_function("graft_might_contain", bf.scalar(),
+            xxhash64(col(probeCol))),
+          lit(false))))
   }
 }

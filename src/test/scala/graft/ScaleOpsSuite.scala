@@ -135,6 +135,34 @@ class ScaleOpsSuite extends SparkSuite {
       s"bloomPrefilter shuffled a dataset:\n$plan")
   }
 
+  test("bloomPrefilter edges: empty build = definite false, oversize sizing and column collisions fail fast") {
+    import spark.implicits._
+    val probe = (0L until 5L).toDF("p")
+    // EMPTY build: the bloom aggregate itself is NULL — that must read
+    // as "not a member" (false) for real probe values, or the
+    // documented filter/negated-filter composition silently drops
+    // every row (r9 review find)
+    val emptyBuild = Seq.empty[Long].toDF("k")
+    val got = ScaleOps.bloomPrefilter(emptyBuild, "k", probe, "p", 10L, 0.01)
+      .collect().map(r => r.getAs[Long]("p") -> r.getAs[Boolean]("might_match"))
+    assert(got.forall(!_._2) && got.length === 5,
+      s"empty build must flag every probe false: ${got.toSeq}")
+    // sizing beyond the session caps would be silently CLAMPED by the
+    // aggregate (fpp degrades toward 1 with no signal) — fail loudly
+    val big = intercept[IllegalArgumentException] {
+      ScaleOps.bloomPrefilter(emptyBuild, "k", probe, "p",
+        expectedItems = 100000000L, fpp = 0.01)
+    }
+    assert(big.getMessage.contains("maxNumBits"))
+    // a probe that already carries might_match (a previous screen) must
+    // not be silently overwritten
+    val rescreen = intercept[IllegalArgumentException] {
+      ScaleOps.bloomPrefilter(emptyBuild, "k",
+        probe.withColumn("might_match", lit(true)), "p", 10L, 0.01)
+    }
+    assert(rescreen.getMessage.contains("might_match"))
+  }
+
   test("bloom-prescreened exact membership == the plain exact join (the screen is semantics-free)") {
     // The composition that makes the sketch USABLE in a correctness-
     // gated pipeline: prefilter (drops most non-members for free), then
