@@ -436,6 +436,29 @@ class StreamingParitySuite extends SparkSuite {
     finally s.close()
   }
 
+  test("weightedSample on a stream == on the batch (the deterministic filter is batch-split-invariant)") {
+    // The r9 weighted sampler is stateless, so it runs on a stream
+    // unchanged — and because inclusion depends only on the row itself
+    // (hash-vs-weight), the streamed selection across ANY micro-batch
+    // split must equal the batch selection over the same rows.
+    val ms = MemoryStream[Event](spark)
+    val q = graft.queries.PipelineOps
+      .weightedSample(ms.toDF(), "event_id", "value", 12)
+      .writeStream.format("memory").queryName("wsample_par")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("wsample_par")
+      .select(col("event_id")).as[Long].collect().sorted.toSeq
+    val batch = graft.queries.PipelineOps
+      .weightedSample(miniEvents.toDF(), "event_id", "value", 12)
+      .select(col("event_id")).as[Long].collect().sorted.toSeq
+    assert(streamed === batch, s"stream/batch sample diverged: $streamed vs $batch")
+    assert(batch.nonEmpty && batch.size < miniEvents.size,
+      s"fixture sample is degenerate (all or nothing): $batch")
+  }
+
   test("windowed leaderboard: streamed per-window user sums rank to the batch top-k (q_stream_topk's stage)") {
     // q_stream_topk's aggregation stage runs as a standard streaming
     // windowed agg (update mode); ranking the groups' final sums equals
