@@ -27,8 +27,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Cache contract: [[nearDupPairs]] (via the AllPairs helper),
   * [[simDupPairs]] (the signature table), [[embDupPairs]] (the prepared
-  * embedding table), and [[ivfSearch]] (the centroid-assignment table)
-  * persist intermediates — the same lifecycle note as [[SparkEntry]]:
+  * embedding table), [[ivfSearch]] (the centroid-assignment table), and
+  * [[graft.operators.Percentiles.contSelect]] (the range-partitioned
+  * pre-agg; the empty-input branch self-releases) persist
+  * intermediates — the same lifecycle note as [[SparkEntry]]:
   * release with `spark.catalog.clearCache()` (or targeted unpersist)
   * after materializing the result in a long-lived session.
   */
@@ -43,18 +45,26 @@ object Graft {
     * @param idCol      unique row id (orderable; min picks the keeper).
     * @param contentCol the column to hash (string or binary). */
   def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val clusters = df
+    // NULL contents are SINGLETON clusters (cluster_size=1, keeper=self):
+    // missing content is not evidence of duplication, and grouping nulls
+    // together (what a bare groupBy over the hash does) would make a
+    // keeper-only consumer silently drop every null-content row but one
+    // — r9 edge-sweep found the row DROP, r10 advice found the
+    // cluster-merge; both halves are pinned in GraftFacadeSuite
+    val nn = df.filter(col(contentCol).isNotNull)
+    val clusters = nn
       .select(col(idCol), md5(col(contentCol)).as("content_h"))
       .groupBy(col("content_h"))
       .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("keeper"))
-    // null-SAFE join-back: groupBy clusters null contents together, but
-    // a plain === join-back would then silently DROP those rows from
-    // the result (null = null is never true) — r9 edge-sweep find
-    df.select(col(idCol), md5(col(contentCol)).as("h"))
-      .join(clusters, col("h") <=> col("content_h"))
+    nn.select(col(idCol), md5(col(contentCol)).as("h"))
+      .join(clusters, col("h") === col("content_h"))
       .select(col(idCol), col("h").as("content_md5"),
         col("cluster_size"), col("keeper"),
         (col(idCol) === col("keeper")).cast("int").as("is_keeper"))
+      .unionByName(df.filter(col(contentCol).isNull)
+        .select(col(idCol), lit(null).cast("string").as("content_md5"),
+          lit(1L).as("cluster_size"), col(idCol).as("keeper"),
+          lit(1).as("is_keeper")))
   }
 
   /** Token-set Jaccard near-duplicate pairs over any corpus — the

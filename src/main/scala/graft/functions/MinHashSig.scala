@@ -131,15 +131,8 @@ object MinHashSig {
   /** SessionExtensions registration (the graded family constants live in
     * LlmOps; injected at session build by [[graft.LocalSession]]). */
   def install(a: Seq[Long], b: Seq[Long], p: Long)(
-      ext: SparkSessionExtensions): Unit = {
-    installedFam = Some((a, b, p))
+      ext: SparkSessionExtensions): Unit =
     ext.injectFunction((ident, info, builder(a, b, p)))
-  }
-
-  // the family injected via SessionExtensions (no session to key on at
-  // install time) — lets register() stay quiet when an extension-built
-  // session is re-registered with the same family
-  @volatile private var installedFam: Option[(Seq[Long], Seq[Long], Long)] = None
 
   // The hash family last registered per session, so a repeat register
   // with the SAME family can be a quiet no-op (re-registering logs a
@@ -158,8 +151,15 @@ object MinHashSig {
                p: Long): Unit = synchronized {
     // synchronized: the known-family check and the re-registration are
     // check-then-act; racing threads would double-register (WARN noise)
+    // no JVM-global fallback for extension-built sessions: a global
+    // "installed family" is last-wins across sessions, so two sessions
+    // extension-built with DIFFERENT families could make register()
+    // silently no-op on the wrong one and keep computing signatures
+    // with stale constants (r10 advice). The price is one replacement
+    // WARN on the first post-hoc register of an extension-built
+    // session; every later register with the same family stays quiet.
     val fam = (a, b, p)
-    val known = Option(registered.get(spark)).orElse(installedFam)
+    val known = Option(registered.get(spark))
     val same = known.contains(fam) &&
       spark.sessionState.functionRegistry.functionExists(ident)
     if (!same) {

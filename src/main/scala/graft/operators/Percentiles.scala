@@ -224,7 +224,12 @@ object Percentiles {
           "subtotals — this variant targets FEW groups; use cont for " +
           "many groups")
       if (subs.isEmpty) {
-        // empty input: same empty-result contract as cont
+        // empty input: same empty-result contract as cont. Unpersist
+        // eagerly — there is no second consumer, and the returned
+        // (empty) frame recomputes its lineage trivially; leaving the
+        // cached empty RDD behind would accumulate across calls in a
+        // long-lived session (r10 advice).
+        vc.unpersist()
         return vc.groupBy(gc: _*)
           .agg(max(col(CNT)).cast("long").as("n"))
           .select((gc ++ ps.map { case (_, name) =>

@@ -87,11 +87,16 @@ object ScaleOps {
     // caps — at corpus scale that quietly degrades the advertised fpp
     // toward 1 and the "fpp-sized survivor set" becomes the whole probe
     // side. Fail loudly instead, naming the knobs to raise.
-    val conf = build.sparkSession.conf
-    val maxItems = conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    val maxBits = conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    // read the caps through SQLConf so the guard tracks the RUNTIME's
+    // actual clamp values: session.conf.get with a hardcoded fallback
+    // only sees user-set values, so a Spark upgrade changing the
+    // built-in defaults would silently drift the guard away from
+    // BloomFilterAggregate's real behavior (r10 advice)
+    val sqlConf = build.sparkSession.sessionState.conf
+    val maxItems = sqlConf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = sqlConf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
     require(expectedItems <= maxItems && numBits <= maxBits,
       s"bloom sizing (items=$expectedItems, bits=$numBits) exceeds the " +
         s"session caps (maxNumItems=$maxItems, maxNumBits=$maxBits) and " +

@@ -396,22 +396,26 @@ class GraftFacadeSuite extends SparkSuite {
   test("edge sweep: NULL texts, vectors, blocks, and scores degrade per documented semantics, never throw") {
     // The NULL half of the degenerate-input contract. Documented
     // semantics pinned here: null text = no tokens (excluded from every
-    // token-derived result; null CONTENTS still form one exact-dup
-    // cluster since the hash groups them); a null block value joins
-    // nothing (SQL null equality) so blocked ops never pair it; a null
-    // score ranks below every real score; a null vector yields null
-    // similarity and loses every desc-ordered ranking.
+    // token-derived result; null CONTENTS are SINGLETON exact-dup
+    // clusters — missing content is not evidence of duplication); a
+    // null block value joins nothing (SQL null equality) so blocked ops
+    // never pair it; a null score ranks below every real score; a null
+    // vector yields null similarity and loses every desc-ordered ranking.
     val corpus = Seq[(java.lang.Long, String, String)](
       (1L, "alpha beta gamma delta", "s1"),
       (2L, null, "s1"),
       (3L, "alpha beta gamma delta", null),
       (4L, null, "s1")
     ).toDF("item_no", "body", "shelf")
-    // exact dedup: the two null contents hash identically (null) → one
-    // cluster of 2; the two identical texts cluster regardless of shelf
+    // exact dedup: each null content is its OWN singleton cluster
+    // (keeper=self, so a keeper-only consumer retains both); the two
+    // identical texts cluster regardless of shelf
     val ded = Graft.exactDedup(corpus, "item_no", "body").collect()
-      .map(r => r.getAs[Long]("item_no") -> r.getAs[Long]("cluster_size")).toMap
-    assert(ded === Map(1L -> 2L, 3L -> 2L, 2L -> 2L, 4L -> 2L), s"$ded")
+      .map(r => r.getAs[Long]("item_no") ->
+        ((r.getAs[Long]("cluster_size"), r.getAs[Long]("keeper"),
+          r.getAs[Int]("is_keeper")))).toMap
+    assert(ded === Map(1L -> ((2L, 1L, 1)), 3L -> ((2L, 1L, 0)),
+      2L -> ((1L, 2L, 1)), 4L -> ((1L, 4L, 1))), s"$ded")
     // token ops: null-text docs contribute no tokens, null-shelf doc
     // pairs with nothing in a blocked run → no pairs at all here
     val nd = Graft.nearDupPairs(corpus, "item_no", "body", Seq("shelf"), 8, 10)
