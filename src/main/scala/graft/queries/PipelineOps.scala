@@ -62,6 +62,14 @@ object PipelineOps {
   private[graft] val WsCap = 100
   private[graft] val WsDen = 200
 
+  /** Build-side cardinality estimate for q_llm_bloomscreen's sketch —
+    * a deliberate over-estimate of the corpus's distinct hash count at
+    * every graded sf (the bloom formula sizes bits from it; an
+    * under-estimate degrades fpp, never correctness — the verify join
+    * keeps the RESULT exact either way). */
+  private[graft] val BloomScreenItems = 1L << 17
+  private[graft] val BloomScreenFpp = 0.01
+
   /** The q_llm_split bucket — MUST derive exactly as q_llm_split does
     * (same [[Det.md5h32]] over the same cast), or the split and the
     * contamination audit would disagree about train vs test. */
@@ -284,6 +292,43 @@ object PipelineOps {
       coalesce(col(weightCol).cast("long"), lit(0L)))
   }
 
+  /** Bloom-prescreened incremental-ingest dedup (q_llm_bloomscreen):
+    * the SAME admit/drop decision as [[ingestDedup]], produced through
+    * the 100-TB screen. The corpus's distinct content hashes collapse
+    * to ONE Bloom sketch row
+    * ([[graft.operators.ScaleOps.bloomPrefilter]] — a scalar subquery;
+    * neither dataset shuffles for the screen), every definite-false
+    * probe ships is_dup=0 with NO join at all (the no-false-negatives
+    * contract makes that sound), and only the fpp-sized surviving
+    * fraction pays the exact verify join — where bloom false positives
+    * die. Result-identical to the plain membership join, which is
+    * exactly what the oracle runs (the q_join_skew precedent:
+    * engine-specific plan, plain-join semantics). At 100 TB this turns
+    * a corpus×batch membership join into sketch-build + map-side scan +
+    * a verify join over ~fpp of the batch. */
+  def bloomScreenDedup(docs: DataFrame): DataFrame = {
+    val withB = docs.withColumn("bucket", bucketCol)
+      .withColumn("h", md5(col("text")))
+    val corpusH = withB.filter(col("bucket") < 8)
+      .select(col("h").as("h0")).distinct()
+    val batch = withB.filter(col("bucket") >= 8)
+      .select(col("doc_id"), col("h"))
+    val screened = graft.operators.ScaleOps.bloomPrefilter(
+      corpusH, "h0", batch, "h", BloomScreenItems, BloomScreenFpp)
+    // NULL-content probes get might_match=NULL: they land in the
+    // cleared branch (a null hash equals nothing, so non-dup is the
+    // plain join's answer for them too)
+    val cleared = screened
+      .filter(!coalesce(col("might_match"), lit(false)))
+      .select(col("doc_id"), col("h"), lit(0).as("is_dup"))
+    val verified = screened
+      .filter(coalesce(col("might_match"), lit(false)))
+      .join(corpusH, col("h") === col("h0"), "left")
+      .select(col("doc_id"), col("h"),
+        col("h0").isNotNull.cast("int").as("is_dup"))
+    verified.unionByName(cleared).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // §2.10 weighted sampling (r9): keep probability ∝ capped token
     // count — longer docs oversampled, the curriculum/quality-weighting
@@ -320,7 +365,11 @@ object PipelineOps {
     "q_text_rep" -> ((s, d) => repScore(T.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidfTopTerms(T.documents(s, d), TfidfK)),
     "q_llm_mix" -> ((s, d) => mixPlan(T.documents(s, d))),
-    "q_llm_ingest" -> ((s, d) => ingestDedup(T.documents(s, d))))
+    "q_llm_ingest" -> ((s, d) => ingestDedup(T.documents(s, d))),
+    // §2.4/§2.10 bloom-prescreen composition (r10): graded against the
+    // PLAIN membership join — the sketch is engine machinery, the
+    // semantics are exact (q_join_skew precedent)
+    "q_llm_bloomscreen" -> ((s, d) => bloomScreenDedup(T.documents(s, d))))
 
   private val doc = tbl("documents")
 
@@ -447,6 +496,19 @@ object PipelineOps {
             GROUP BY d.source)
           SELECT source, n_docs, share, rate, n_kept
           FROM rates JOIN kept USING (source) ORDER BY source""",
+    // the q_llm_bloomscreen oracle IS the plain membership join — the
+    // bloom prescreen + verify composition must be semantics-free, so
+    // its twin is ingestDedup's un-prescreened form verbatim
+    "q_llm_bloomscreen" ->
+      s"""WITH b AS (
+            SELECT doc_id, md5(text) AS h,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+            FROM $doc),
+          corpus AS (SELECT DISTINCT h AS h0 FROM b WHERE bucket < 8)
+          SELECT doc_id, h, CAST(h0 IS NOT NULL AS INTEGER) AS is_dup
+          FROM (SELECT doc_id, h FROM b WHERE bucket >= 8) nb
+            LEFT JOIN corpus ON nb.h = corpus.h0
+          ORDER BY doc_id""",
     "q_llm_ingest" ->
       s"""WITH b AS (
             SELECT doc_id, md5(text) AS h,

@@ -293,6 +293,24 @@ class PlanAssertionsSuite extends SparkSuite {
     }
   }
 
+  test("q_llm_bloomscreen: the prescreen is a scalar-subquery bloom probe; only survivors reach the ONE verify join") {
+    // The 100-TB shape this query exists to prove: the corpus collapses
+    // to a one-row sketch consumed as a scalar subquery (the probe side
+    // never shuffles FOR THE SCREEN), the definite-false branch carries
+    // no join at all, and the only join in the whole plan is the exact
+    // verify over bloom survivors. A second join operator appearing
+    // here means the cleared branch regressed to joining everything —
+    // the plain plan this query is supposed to beat.
+    val plan = planString(q("q_llm_bloomscreen"))
+    assert(plan.contains("might_contain"), s"bloom probe gone:\n$plan")
+    assert(plan.contains("Subquery"), s"sketch not a scalar subquery:\n$plan")
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length
+    assert(joins === 1, s"expected exactly 1 verify join, got $joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"bloomscreen degenerated:\n$plan")
+  }
+
   test("q_join_skew: the salted join is an equi-join on (key, salt) — no cartesian, no BNLJ, no key-only hot partition") {
     val plan = planString(q("q_join_skew"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
