@@ -329,6 +329,26 @@ object PipelineOps {
     verified.unionByName(cleared).orderBy(col("doc_id"))
   }
 
+  /** End-to-end pipeline composition (q_llm_pipeline): split → exact
+    * dedup keep-filter → sequence packing, chained as one lazy plan —
+    * the minimal real training-data pipeline, graded to prove the
+    * stages compose under the hash gate (each stage alone already has a
+    * green twin). Stage plans are the graded ones unchanged: the split
+    * is the q_llm_split bucket filter (pure map), the keep-filter is
+    * q_llm_dedup's agg + join-back (keeper = min doc_id per content
+    * hash; shuffle ∝ distinct contents — never a window), and the pack
+    * stage is [[pack]] verbatim (one hash exchange). Composing adds NO
+    * new shuffle beyond the stages' own. */
+  def pipeline(docs: DataFrame): DataFrame = {
+    val withB = docs.withColumn("bucket", bucketCol)
+      .withColumn("h", md5(col("text")))
+    val train = withB.filter(col("bucket") < 8)
+    val keepers = train.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val kept = train.join(keepers, train("doc_id") === keepers("keep_id"))
+      .select(train("doc_id"), col("lang"), col("text"))
+    pack(kept, PackBudget, PackShards)
+  }
+
   val queries: Map[String, Q] = Map(
     // §2.10 weighted sampling (r9): keep probability ∝ capped token
     // count — longer docs oversampled, the curriculum/quality-weighting
@@ -369,13 +389,20 @@ object PipelineOps {
     // §2.4/§2.10 bloom-prescreen composition (r10): graded against the
     // PLAIN membership join — the sketch is engine machinery, the
     // semantics are exact (q_join_skew precedent)
-    "q_llm_bloomscreen" -> ((s, d) => bloomScreenDedup(T.documents(s, d))))
+    "q_llm_bloomscreen" -> ((s, d) => bloomScreenDedup(T.documents(s, d))),
+    // §2.10 end-to-end composition (r10): split → dedup → pack as one
+    // plan, twin assembled from the SAME stage CTEs the single-stage
+    // twins use
+    "q_llm_pipeline" -> ((s, d) => pipeline(T.documents(s, d))))
 
   private val doc = tbl("documents")
 
   /** Shared core of the q_llm_pack twin (no ORDER BY) — also the input
-    * CTE of the q_llm_packeff audit. */
-  private val packCoreSql =
+    * CTE of the q_llm_packeff audit and the pack STAGE of the
+    * q_llm_pipeline composition, parameterized by the source relation
+    * so every consumer reuses the same text verbatim (twin drift across
+    * the pack family is structurally impossible). */
+  private def packCoreSqlOn(src: String): String =
     s"""SELECT doc_id, lang, shard, n_tok, cum_before,
             CAST(FLOOR(cum_before / $PackBudget) AS BIGINT) AS bin
           FROM (
@@ -388,7 +415,9 @@ object PipelineOps {
                     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                       % $PackShards AS shard
-                  FROM $doc) t) w"""
+                  FROM $src) t) w"""
+
+  private def packCoreSql = packCoreSqlOn(doc)
 
   /** The split CTE is textually the q_llm_split bucket derivation. */
   private val bucketSql =
@@ -496,6 +525,22 @@ object PipelineOps {
             GROUP BY d.source)
           SELECT source, n_docs, share, rate, n_kept
           FROM rates JOIN kept USING (source) ORDER BY source""",
+    // the pipeline twin is assembled from the stage twins: the split
+    // bucket derivation (q_llm_split's expression), the dedup keeper
+    // selection (q_llm_dedup's MIN-per-hash), and packCoreSqlOn — the
+    // exact text q_llm_pack/q_llm_packeff run, pointed at the kept CTE
+    "q_llm_pipeline" ->
+      s"""WITH b AS (
+            SELECT doc_id, lang, text, md5(text) AS h,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+            FROM $doc),
+          train AS (SELECT doc_id, lang, text, h FROM b WHERE bucket < 8),
+          keep AS (SELECT MIN(doc_id) AS kid FROM train GROUP BY h),
+          kept AS (SELECT doc_id, lang, text FROM train
+                   WHERE doc_id IN (SELECT kid FROM keep)),
+          p AS (${packCoreSqlOn("kept")})
+          SELECT doc_id, lang, shard, n_tok, cum_before, bin FROM p
+          ORDER BY doc_id""",
     // the q_llm_bloomscreen oracle IS the plain membership join — the
     // bloom prescreen + verify composition must be semantics-free, so
     // its twin is ingestDedup's un-prescreened form verbatim

@@ -311,6 +311,21 @@ class PlanAssertionsSuite extends SparkSuite {
       s"bloomscreen degenerated:\n$plan")
   }
 
+  test("q_llm_pipeline: composing split → dedup → pack adds no operator beyond the stages' own") {
+    // split is a pure map filter, dedup is ONE hash aggregate + an
+    // equi-join-back (never a window over the content hash), pack is
+    // ONE partition window — so the whole composition may contain
+    // exactly one Window and one equi-join, and nothing degenerate.
+    val plan = planString(q("q_llm_pipeline"))
+    val windows = "Window ".r.findAllIn(plan).length
+    assert(windows === 1, s"expected exactly the pack window, got $windows:\n$plan")
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length
+    assert(joins === 1, s"expected exactly the dedup join-back, got $joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pipeline degenerated:\n$plan")
+  }
+
   test("q_join_skew: the salted join is an equi-join on (key, salt) — no cartesian, no BNLJ, no key-only hot partition") {
     val plan = planString(q("q_join_skew"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
