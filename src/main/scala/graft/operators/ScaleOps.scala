@@ -71,28 +71,23 @@ object ScaleOps {
     * @param expectedItems build-side cardinality estimate; numBits is
     *                      sized from it as ⌈−n·ln(fpp)/ln²2⌉ (the
     *                      standard Bloom formula). */
-  def bloomPrefilter(build: DataFrame, buildCol: String,
-                     probe: DataFrame, probeCol: String,
-                     expectedItems: Long, fpp: Double): DataFrame = {
+  /** Bloom bit-count for `expectedItems` at `fpp` (the standard formula
+    * ⌈−n·ln(fpp)/ln²2⌉), failing LOUDLY when BloomFilterAggregate would
+    * silently CLAMP the sizing to the session caps — at corpus scale
+    * that clamp quietly degrades the advertised fpp toward 1 and the
+    * "fpp-sized survivor set" becomes the whole probe side. The caps
+    * are read through SQLConf so the guard tracks the RUNTIME's actual
+    * clamp values: session.conf.get with a hardcoded fallback only sees
+    * user-set values, so a Spark upgrade changing the built-in defaults
+    * would silently drift the guard away from BloomFilterAggregate's
+    * real behavior (r10 advice). */
+  private def sizedBloomBits(spark: SparkSession, expectedItems: Long,
+                             fpp: Double): Long = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
-    require(!probe.columns.contains("might_match"),
-      "probe already has a might_match column (a previous screen's " +
-        "verdict?) — withColumn would silently overwrite it; rename it " +
-        "before re-screening")
-    graft.functions.BloomFns.register(build.sparkSession)
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    // BloomFilterAggregate silently CLAMPS its parameters to the session
-    // caps — at corpus scale that quietly degrades the advertised fpp
-    // toward 1 and the "fpp-sized survivor set" becomes the whole probe
-    // side. Fail loudly instead, naming the knobs to raise.
-    // read the caps through SQLConf so the guard tracks the RUNTIME's
-    // actual clamp values: session.conf.get with a hardcoded fallback
-    // only sees user-set values, so a Spark upgrade changing the
-    // built-in defaults would silently drift the guard away from
-    // BloomFilterAggregate's real behavior (r10 advice)
-    val sqlConf = build.sparkSession.sessionState.conf
+    val sqlConf = spark.sessionState.conf
     val maxItems = sqlConf.getConf(
       org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
     val maxBits = sqlConf.getConf(
@@ -103,6 +98,35 @@ object ScaleOps {
         "would be silently clamped, degrading fpp; raise " +
         "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
         "or lower expectedItems/fpp")
+    numBits
+  }
+
+  /** Materialize the build side's Bloom sketch as bytes — ONE job, the
+    * ingest-tier form of [[bloomPrefilter]]: build the sketch once over
+    * the existing corpus, then probe every incoming (micro-)batch
+    * statelessly with the sketch as a LITERAL
+    * ([[graft.streaming.StreamOps.bloomIngestProbe]]). None = empty
+    * build side (the aggregate is NULL) — probes must then read
+    * definite-false. Same sizing + clamp guard as the inline form. */
+  def bloomSketch(build: DataFrame, buildCol: String,
+                  expectedItems: Long, fpp: Double): Option[Array[Byte]] = {
+    graft.functions.BloomFns.register(build.sparkSession)
+    val numBits = sizedBloomBits(build.sparkSession, expectedItems, fpp)
+    val row = build.agg(call_function("graft_bloom_agg",
+      xxhash64(col(buildCol)), lit(expectedItems), lit(numBits)).as("__bf"))
+      .head()
+    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+  }
+
+  def bloomPrefilter(build: DataFrame, buildCol: String,
+                     probe: DataFrame, probeCol: String,
+                     expectedItems: Long, fpp: Double): DataFrame = {
+    require(!probe.columns.contains("might_match"),
+      "probe already has a might_match column (a previous screen's " +
+        "verdict?) — withColumn would silently overwrite it; rename it " +
+        "before re-screening")
+    graft.functions.BloomFns.register(build.sparkSession)
+    val numBits = sizedBloomBits(build.sparkSession, expectedItems, fpp)
     // might_contain requires its bloom input be a constant or a SCALAR
     // SUBQUERY (not a join column) — Dataset.scalar() (Spark 4) embeds
     // the one-row build aggregate as exactly that; the physical plan is

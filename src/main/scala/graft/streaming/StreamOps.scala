@@ -418,6 +418,32 @@ object StreamOps {
         col("band") === col("cband") && col("bkey") === col("cbkey"))
       .select(col("doc_id"), col("corpus_doc"), col("band"))
 
+  /** Streaming EXACT-membership prescreen — the cheap first screen a
+    * real ingest runs before [[neardupIngestProbe]] or an exact verify:
+    * the EXISTING corpus collapses ONCE (driver-side, at stream build
+    * time) to a Bloom sketch ([[graft.operators.ScaleOps.bloomSketch]])
+    * that rides into every micro-batch as a LITERAL — zero streaming
+    * state, zero shuffle, no stream-static join; per-row cost is one
+    * xxhash64 + a codegen'd bit probe. Same verdict contract as the
+    * batch [[graft.operators.ScaleOps.bloomPrefilter]] (the parity
+    * suite asserts row identity): `might_match` false ⇒ definitely NOT
+    * in the corpus (admit with no further work — no false negatives),
+    * true ⇒ verify exactly (≈fpp of clean rows), NULL content ⇒ NULL.
+    * An empty corpus screens everything definite-false. */
+  def bloomIngestProbe(newDocs: DataFrame, contentCol: String,
+                       corpus: DataFrame, corpusCol: String,
+                       expectedItems: Long, fpp: Double): DataFrame = {
+    val sketch = graft.operators.ScaleOps.bloomSketch(
+      corpus, corpusCol, expectedItems, fpp)
+    graft.functions.BloomFns.register(newDocs.sparkSession)
+    newDocs.withColumn("might_match",
+      when(col(contentCol).isNotNull,
+        sketch.map(b => coalesce(
+            call_function("graft_might_contain", lit(b),
+              xxhash64(col(contentCol))), lit(false)))
+          .getOrElse(lit(false))))
+  }
+
   /** The reference's raison d'être as a stateful streaming operator:
     * per-key causal-order audit via flatMapGroupsWithState. An event
     * whose ts is behind the running max of its key's PRIOR events (in

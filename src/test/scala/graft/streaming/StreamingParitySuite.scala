@@ -1201,6 +1201,51 @@ class StreamingParitySuite extends SparkSuite {
     assert(streamed.sorted.toSeq === batch.sorted.toSeq)
   }
 
+  test("streaming bloom ingest prescreen == batch bloomPrefilter; dups always flagged, zero streaming state") {
+    // The cheap FIRST screen of a real ingest tier: the corpus collapses
+    // once to a Bloom sketch literal, each micro-batch probes it
+    // statelessly. Verdict parity with the batch prescreen is row-exact.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "the quick brown fox jumps over dogs"),
+      (3L, "solo words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta"), // planted dup
+      (101L, "totally different fresh content words here"), // clean
+      (102L, "the quick brown fox jumps over dogs"), // planted dup
+      (103L, "another clean document with novel text")) // clean
+    val ms = MemoryStream[(Long, String)](spark)
+    val probed = graft.streaming.StreamOps.bloomIngestProbe(
+      ms.toDF().toDF("doc_id", "text"), "text", corpus, "text", 1000L, 0.01)
+    val q = probed.writeStream.format("memory").queryName("bloom_ingest")
+      .outputMode("append").start()
+    try {
+      ms.addData(newDocs.take(2))
+      q.processAllAvailable()
+      ms.addData(newDocs.drop(2))
+      q.processAllAvailable()
+      // zero streaming state: the probe is a stateless projection —
+      // no state store operator may appear in the running query
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"bloom probe grew streaming state: ${q.lastProgress.prettyJson}")
+    } finally q.stop()
+    val streamed = spark.table("bloom_ingest").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // no false negatives, micro-batch split notwithstanding
+    assert(streamed(100L) && streamed(102L),
+      s"planted dups missed by the stream screen: $streamed")
+    // batch evaluation of the SAME screen via bloomPrefilter is
+    // verdict-identical row-for-row (including any false positives —
+    // both paths probe the identically-sized, identically-hashed sketch)
+    val batch = graft.operators.ScaleOps.bloomPrefilter(
+      corpus.select(col("text")), "text",
+      newDocs.toDF("doc_id", "text"), "text", 1000L, 0.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(streamed === batch,
+      s"stream screen diverged from batch: stream=$streamed batch=$batch")
+  }
+
   test("stream-static join: stream enriched against a static dimension == batch join") {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
     val ms = MemoryStream[Event](spark)
