@@ -19,15 +19,16 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    corpora.
   *  - [[graft.operators.ConnectedComponents.run]] — any 2-column edge
   *    list; [[graft.operators.KMeans]] — any (vec_id, e) vectors;
-  *    [[graft.operators.ScaleOps]] — salted / bucketed joins and the
-  *    Bloom-prefiltered membership probe (`bloomPrefilter`);
-  *    [[graft.operators.HeavyHitters.sketch]] — Misra-Gries.
+  *    [[graft.operators.ScaleOps]] — salted / bucketed joins (the
+  *    Bloom screen and Misra-Gries have facades here: [[bloomScreen]],
+  *    [[heavyHitters]]).
   *  - [[graft.streaming.StreamOps]] — every streaming builder takes a
   *    Dataset/DataFrame (batch or stream) already.
   *
   * Cache contract: [[nearDupPairs]] (via the AllPairs helper),
   * [[simDupPairs]] (the signature table), [[embDupPairs]] (the prepared
-  * embedding table), [[ivfSearch]] (the centroid-assignment table), and
+  * embedding table), [[ivfSearch]] (the centroid-assignment table),
+  * [[heavyHitters]] (the per-partition summary table), and
   * [[graft.operators.Percentiles.contSelect]] (the range-partitioned
   * pre-agg; the empty-input branch self-releases) persist
   * intermediates — the same lifecycle note as [[SparkEntry]]:
@@ -395,6 +396,47 @@ object Graft {
     graft.queries.PipelineOps.contamAudit(
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .withColumnRenamed("doc_id", idCol)
+
+  /** Bloom-prescreened membership screen over any probe/corpus pair —
+    * [[graft.operators.ScaleOps.bloomPrefilter]] with the probe side
+    * first (the facade's subject-first convention): appends a
+    * `might_match` verdict to every row of `df`. False ⇒ the value is
+    * DEFINITELY not in `corpus` (no false negatives — admit/drop with
+    * no further work); true ⇒ verify exactly (≈ `fpp` of clean rows
+    * survive the screen); NULL probe value ⇒ NULL. The corpus collapses
+    * to ONE sketch row consumed as a scalar subquery — neither dataset
+    * shuffles for the screen. The graded q_llm_bloomscreen is this
+    * screen composed with an exact verify join;
+    * [[graft.streaming.StreamOps.bloomIngestProbe]] is the streaming
+    * (sketch-as-literal) form of the same screen.
+    *
+    * @param expectedItems corpus-cardinality estimate the sketch is
+    *                      sized from (over-estimating wastes bits;
+    *                      under-estimating degrades fpp, never
+    *                      correctness). Sizing that would hit Spark's
+    *                      silent clamp caps fails loudly instead. */
+  def bloomScreen(df: DataFrame, probeCol: String,
+                  corpus: DataFrame, corpusCol: String,
+                  expectedItems: Long, fpp: Double): DataFrame =
+    graft.operators.ScaleOps.bloomPrefilter(corpus, corpusCol,
+      df, probeCol, expectedItems, fpp)
+
+  /** Heavy hitters over any item column — the Misra-Gries sketch of
+    * [[graft.operators.HeavyHitters]]: every item with true count
+    * > n/(k+1) is GUARANTEED to surface, estimate in [true − floor,
+    * true], under ANY partitioning; the shuffle is O(k · partitions)
+    * summary rows regardless of input size (an exact groupBy shuffles
+    * O(distinct items) — the sketch is the 100-TB path when the
+    * vocabulary itself is too large). NULL items are dropped (a NULL
+    * occurrence is not an item — the same contract as the token ops).
+    *
+    * @param k counters per partition summary; the result's `floor`
+    *          column reports the n/(k+1) error bound to threshold by.
+    * @return (item: string, est_count, floor), est_count descending. */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame =
+    graft.operators.HeavyHitters.sketch(
+      df.filter(col(itemCol).isNotNull)
+        .select(col(itemCol).cast("string")), k)
 
   private def vecBase(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.DotF64.register(df.sparkSession)

@@ -330,6 +330,43 @@ class GraftFacadeSuite extends SparkSuite {
     assert(grp === "g1" && sim > 0.99 && sim <= 1.0)
   }
 
+  test("bloomScreen: members always flagged, NULL probe is NULL, clean rows mostly cleared") {
+    val corpus = (0L until 500L).map(i => s"known-$i").toDF("content")
+    val probe = ((0L until 100L).map(i => i -> s"known-$i") ++
+      (100L until 600L).map(i => i -> s"novel-$i"))
+      .toDF("item_no", "body")
+    val got = Graft.bloomScreen(probe, "body", corpus, "content", 500L, 0.01)
+      .collect().map(r => r.getAs[Long]("item_no") ->
+        r.getAs[Boolean]("might_match")).toMap
+    val missed = (0L until 100L).filterNot(got(_))
+    assert(missed.isEmpty, s"members missed (false negatives!): $missed")
+    // ≈fpp of the 500 clean rows may survive; 10× slack kills flake
+    val fp = (100L until 600L).count(got(_))
+    assert(fp <= 50, s"false positives blew past 10x fpp: $fp/500")
+    // NULL probe value = NULL verdict (three-valued logic), pinned at
+    // the facade so the screen composes with filter AND negated filter
+    val nullRow = Graft.bloomScreen(
+      Seq((1L, Option.empty[String])).toDF("item_no", "body"),
+      "body", corpus, "content", 500L, 0.01).collect()(0)
+    assert(nullRow.isNullAt(nullRow.fieldIndex("might_match")))
+  }
+
+  test("heavyHitters: planted heavy item surfaces above its floor; NULL occurrences dropped") {
+    val items = (Seq.fill(400)("viral") ++ (0 until 600).map(i => s"rare-$i") ++
+      Seq.fill(50)(null: String)).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("row_id", "token")
+    val out = Graft.heavyHitters(items, "token", 20).collect()
+      .map(r => r.getAs[String]("item") ->
+        ((r.getAs[Long]("est_count"), r.getAs[Long]("floor")))).toMap
+    spark.catalog.clearCache()
+    // n = 1000 non-null rows, floor = 1000/21 = 47 < 400 → guaranteed
+    val (est, floor) = out("viral")
+    assert(floor === 1000L / 21,
+      s"floor must count only non-null occurrences: $floor")
+    assert(est <= 400L && est >= 400L - floor, s"estimate out of band: $est")
+    assert(!out.contains(null), s"null leaked into the sketch: ${out.keySet}")
+  }
+
   test("edge sweep: every facade entry point tolerates an EMPTY input — no throw, empty result") {
     // r9 (verdict task 7): r8's review found facade edge bugs by hand;
     // this makes the degenerate-input contract systematic. An empty
@@ -375,6 +412,9 @@ class GraftFacadeSuite extends SparkSuite {
         Graft.annCandidates(emptyVecs, "vid", "vec", Seq(1L), 8, 1, 2)),
       "ivfSearch" -> (() => Graft.ivfSearch(emptyVecs, "vid", "vec", Seq(1L), 2, 2)),
       "knnExact" -> (() => Graft.knnExact(emptyVecs, "vid", "vec", Seq(1L), 2)),
+      "bloomScreen" -> (() =>
+        Graft.bloomScreen(emptyCorpus, "body", emptyCorpus, "body", 10L, 0.01)),
+      "heavyHitters" -> (() => Graft.heavyHitters(emptyCorpus, "body", 4)),
       "asCorpus" -> (() => Graft.asCorpus(emptyCorpus, "item_no", "body")),
       "asEvents" -> (() =>
         Graft.asEvents(emptyEvents, "eid", "when", "acct", "kind", "amt").toDF))
