@@ -35,7 +35,28 @@ import org.apache.spark.sql.functions._
   * be heap-sized); callers with many small groups get parallelism
   * back automatically (tasks = groups).
   *
+  * Pair-generation family (r10, verdict item 2): the most expensive
+  * graded queries rest on "candidates ∝ shared-feature collisions, not
+  * corpus²" (neardup/ngram), "rounds ∝ diameter, per-round cost ∝
+  * edges" (cc), and "shuffle ∝ clusters" (keepbest). Probed at 600k /
+  * 6M synthetic docs — 16 tokens each over an n-sized vocabulary, one
+  * hot token in every doc (exercises the hot-feature prefix drop), and
+  * a planted near-copy per even doc (one token changed → J = 15/17 for
+  * token sets, 13/15 for shingles — both above their graded
+  * thresholds), so the true pair count is exactly n/2 at every size:
+  *  - `neardup_pairs`: the full q_llm_neardup engine (prefix-filtered
+  *    AllPairs + codegen Jaccard verify) via Graft.nearDupPairs.
+  *  - `ngram_pairs`: the q_llm_ngram shape (3-gram shingles, t = 1/5 —
+  *    the long-prefix regime) over the same corpus.
+  *  - `cc_flat` / `cc_chain8`: hash-min label propagation on n/2
+  *    planted pair edges (diameter 1) vs 8-node chains over the same
+  *    node count (diameter 7 — isolates the rounds ∝ diameter cost).
+  *  - `keepbest`: pair edges → clusters → struct-max keeper, end to
+  *    end via Graft.keepBest.
+  *
   * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleRehearsal"
+  *        [probe-name substring filter as arg, e.g. "pairs" to run
+  *         only the pair-family probes]
   * Prints one JSON line per (probe, rows) with wall seconds.
   */
 object ScaleRehearsal {
@@ -54,25 +75,85 @@ object ScaleRehearsal {
       spark.catalog.clearCache()
       println(f"""{"probe":"$label","rows":$n,"secs":${"%.2f".formatLocal(java.util.Locale.ROOT, secs)},"out":$rows}""")
     }
+    // arg = probe-name substring filter ("pairs" → pair family only)
+    val only = args.headOption.getOrElse("")
+    def want(label: String) = only.isEmpty || label.contains(only)
+
+    // 16 tokens/doc: 1 corpus-wide hot token, 14 base-derived tokens
+    // from an n-sized vocabulary (DF-ascending prefixes pick the rare
+    // ones), 1 unique-per-doc token. base = id - id%2 ⇒ every even/odd
+    // pair differs ONLY in the unique token: planted J = 15/17 (sets),
+    // 13/15 (3-gram shingles) — the ground truth is n/2 pairs exactly.
+    def synthDocs(n: Long) = {
+      val base = (col("id") - pmod(col("id"), lit(2L))) * 16L
+      spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          (lit("the") +:
+            (1 to 14).map(j =>
+              concat(lit("w"), pmod(xxhash64(base + j), lit(n))))) :+
+            concat(lit("u"), col("id")): _*).as("text"))
+    }
+    def pairEdges(n: Long) = spark.range(n).filter(pmod(col("id"), lit(2L)) === 0)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    def chainEdges(n: Long) = spark.range(n).filter(pmod(col("id"), lit(8L)) =!= 7)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+
+    Seq(600000L, 6000000L).foreach { n =>
+      if (want("neardup_pairs")) time("neardup_pairs", n) {
+        Graft.nearDupPairs(synthDocs(n), "doc_id", "text", Nil, 4, 5).count()
+      }
+      if (want("ngram_pairs")) time("ngram_pairs", n) {
+        // the q_llm_ngram shape on the synthetic corpus: 3-gram
+        // shingles, prefix filter at t = 1/5, codegen Jaccard verify
+        graft.functions.JaccardStr.register(spark)
+        val docs = synthDocs(n)
+          .withColumn("tk", split(col("text"), " "))
+          .select(col("doc_id"),
+            graft.queries.LlmOps.shinglesCol(col("tk")).as("g"))
+          .persist()
+        val feats = docs.select(col("doc_id"),
+          size(col("g")).cast("long").as("sz"), explode(col("g")).as("feat"))
+        graft.queries.LlmOps.jaccardCandidates(feats, Nil, 1, 5)
+          .join(docs.select(col("doc_id").as("a_id"), col("g").as("g_a")),
+            col("doc_a") === col("a_id"))
+          .join(docs.select(col("doc_id").as("b_id"), col("g").as("g_b")),
+            col("doc_b") === col("b_id"))
+          .filter(call_function("graft_jaccard", col("g_a"), col("g_b")) >= 0.2)
+          .count()
+      }
+      if (want("cc_flat")) time("cc_flat", n) {
+        graft.operators.ConnectedComponents.run(pairEdges(n)).count()
+      }
+      if (want("cc_chain8")) time("cc_chain8", n) {
+        graft.operators.ConnectedComponents.run(chainEdges(n)).count()
+      }
+      if (want("keepbest")) time("keepbest", n) {
+        val scores = spark.range(n).select(col("id").as("doc_id"),
+          pmod(xxhash64(col("id")), lit(1000L)).cast("double").as("sc"))
+        Graft.keepBest(pairEdges(n), scores, "doc_id", "sc").count()
+      }
+    }
+
     sizes.foreach { n =>
       val df = synth(n)
-      time("pct_engine", n) {
+      if (want("pct_engine")) time("pct_engine", n) {
         graft.operators.Percentiles.cont(df, Seq("st"), "price",
           Seq(0.5 -> "p50", 0.9 -> "p90")).count()
       }
-      time("pct_select", n) {
+      if (want("pct_select")) time("pct_select", n) {
         // the r9 distributed-selection variant built FROM this
         // harness's finding — parallelism groups × partitions
         graft.operators.Percentiles.contSelect(df, Seq("st"), "price",
           Seq(0.5 -> "p50", 0.9 -> "p90")).count()
       }
-      time("pct_native", n) {
+      if (want("pct_native")) time("pct_native", n) {
         // the refused plan, for contrast — buffers n/3 doubles per
         // group in a no-spill ObjectHashAggregate buffer
         df.groupBy(col("st"))
           .agg(expr("percentile(price, array(0.5, 0.9))").as("ps")).count()
       }
-      time("topk_group", n) {
+      if (want("topk_group")) time("topk_group", n) {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("st")).orderBy(col("price").desc)
         df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).count()

@@ -102,7 +102,7 @@ object LlmOps {
   /** Distinct 3-gram word shingles of `tk` (requires size ≥ 3). Shared
     * with [[PipelineOps]] (q_llm_contam intersects test-doc shingles with
     * the train shingle vocabulary — same construction on both sides). */
-  private[queries] def shinglesCol(tk: Column): Column =
+  private[graft] def shinglesCol(tk: Column): Column =
     array_distinct(transform(sequence(lit(1), size(tk) - 2), i =>
       concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
         element_at(tk, i + 2))))
