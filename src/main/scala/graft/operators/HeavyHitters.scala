@@ -35,8 +35,23 @@ object HeavyHitters {
     *               n/(k+1), reported per row as `floor`.
     * @return (item, est_count, floor) sorted by est_count desc. The
     *         total row count n is recovered from one sentinel row per
-    *         partition (null item), so the input is scanned ONCE. */
-  def sketch(items: Dataset[Row], k: Int): DataFrame = {
+    *         partition (null item), so the input is scanned ONCE.
+    *
+    * Fully LAZY since r10 (n reaches the floor column as a one-row
+    * scalar crossJoin, the tfidf n_docs pattern — no driver action at
+    * build time), so the sketch can sit inside a graded query plan.
+    * The persist() on the tiny summary table (≤ (k+1)·partitions + 1
+    * rows) has two consumers (n recovery + the merge agg) and follows
+    * the caller-clearCache cache contract (SparkEntry scaladoc). */
+  def sketch(items: Dataset[Row], k: Int): DataFrame =
+    merged(items, k).orderBy(col("est_count").desc, col("item").asc)
+
+  /** [[sketch]] without the presentation sort — the candidate-set form
+    * a prescreen composition joins against (q_text_hhwords; sorting
+    * candidates that feed a semi join would be wasted plan). */
+  def candidates(items: Dataset[Row], k: Int): DataFrame = merged(items, k)
+
+  private def merged(items: Dataset[Row], k: Int): DataFrame = {
     require(k > 0)
     val spark = items.sparkSession
     import spark.implicits._
@@ -61,10 +76,14 @@ object HeavyHitters {
       counters.iterator.map { case (item, c) => (Some(item), c, 0L) } ++ sentinel
     }.toDF("item", "cnt", "part_n").persist()
     val nTotal = summaries.filter(col("item").isNull)
-      .agg(coalesce(sum(col("part_n")), lit(0L))).head.getLong(0)
+      .agg(coalesce(sum(col("part_n")), lit(0L)).as("n_total"))
     summaries.filter(col("item").isNotNull)
       .groupBy(col("item")).agg(sum(col("cnt")).as("est_count"))
-      .withColumn("floor", lit(nTotal / (k + 1)))
-      .orderBy(col("est_count").desc, col("item").asc)
+      .crossJoin(nTotal) // 1-row scalar — broadcast by construction
+      // floor(double) ≡ integer n/(k+1) for n < 2^52 — far above any
+      // realistic occurrence count
+      .withColumn("floor",
+        floor(col("n_total") / lit(k + 1)).cast("long"))
+      .drop("n_total")
   }
 }

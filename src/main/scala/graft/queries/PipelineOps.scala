@@ -70,6 +70,12 @@ object PipelineOps {
   private[graft] val BloomScreenItems = 1L << 17
   private[graft] val BloomScreenFpp = 0.01
 
+  /** Training-order shuffle shards (q_llm_shuffle): the parallelism
+    * knob — each shard is hash-partitioned then locally sorted, so at
+    * 100 TB the shard count scales with the cluster and no shard ever
+    * exceeds a spillable sort. */
+  private[graft] val ShuffleShards = 16
+
   /** The q_llm_split bucket — MUST derive exactly as q_llm_split does
     * (same [[Det.md5h32]] over the same cast), or the split and the
     * contamination audit would disagree about train vs test. */
@@ -292,6 +298,31 @@ object PipelineOps {
       coalesce(col(weightCol).cast("long"), lit(0L)))
   }
 
+  /** Deterministic training-order shuffle (q_llm_shuffle): the global
+    * randomized example order every training run needs, produced the
+    * way a 100 TB pipeline must — never a single global sort by a
+    * random key. Each row gets a seeded hash SHARD (hash partition)
+    * and a position within its shard (row_number over a second,
+    * independently-salted hash; id tiebreak) — the global order is
+    * (shard, pos), the exact Exchange + per-partition-Sort shape of a
+    * distributed shuffle, with [[ShuffleShards]] as the parallelism
+    * knob. Same never-`rand()` contract as split/sample/wsample: any
+    * row's placement is recomputable from its id alone, on any engine,
+    * at any layout — a resumed run re-derives the identical order, and
+    * an epoch-e reshuffle is one seed change ("shuf:e:" salt). One
+    * hash exchange + in-partition sort; no global sort, no window over
+    * an unpartitioned frame. */
+  def shuffleOrder(docs: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shard count must be positive: $shards")
+    val idS = col(idCol).cast("string")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord").asc, col(idCol).asc)
+    docs
+      .withColumn("shard", Det.md5h32(concat(lit("shuf:"), idS)) % shards)
+      .withColumn("ord", Det.md5h32(concat(lit("ord:"), idS)))
+      .withColumn("pos", row_number().over(w))
+  }
+
   /** Bloom-prescreened incremental-ingest dedup (q_llm_bloomscreen):
     * the SAME admit/drop decision as [[ingestDedup]], produced through
     * the 100-TB screen. The corpus's distinct content hashes collapse
@@ -393,7 +424,13 @@ object PipelineOps {
     // §2.10 end-to-end composition (r10): split → dedup → pack as one
     // plan, twin assembled from the SAME stage CTEs the single-stage
     // twins use
-    "q_llm_pipeline" -> ((s, d) => pipeline(T.documents(s, d))))
+    "q_llm_pipeline" -> ((s, d) => pipeline(T.documents(s, d))),
+    // §2.10 deterministic training-order shuffle (r10)
+    "q_llm_shuffle" -> ((s, d) =>
+      shuffleOrder(T.documents(s, d).select(col("doc_id")),
+        "doc_id", ShuffleShards)
+        .select(col("doc_id"), col("shard"), col("ord"), col("pos"))
+        .orderBy(col("doc_id"))))
 
   private val doc = tbl("documents")
 
@@ -563,6 +600,19 @@ object PipelineOps {
           SELECT doc_id, h, CAST(h0 IS NOT NULL AS INTEGER) AS is_dup
           FROM (SELECT doc_id, h FROM b WHERE bucket >= 8) nb
             LEFT JOIN corpus ON nb.h = corpus.h0
+          ORDER BY doc_id""",
+    // the two salts are string-literal prefixes, so the twin expressions
+    // are the verbatim md5 machinery of the split/sample oracles
+    "q_llm_shuffle" ->
+      s"""SELECT doc_id, shard, ord, CAST(pos AS INTEGER) AS pos FROM (
+            SELECT doc_id, shard, ord,
+              ROW_NUMBER() OVER (PARTITION BY shard
+                                 ORDER BY ord ASC, doc_id ASC) AS pos
+            FROM (SELECT doc_id,
+                    ${Det.sqlMd5h32("'shuf:' || CAST(doc_id AS VARCHAR)")}
+                      % $ShuffleShards AS shard,
+                    ${Det.sqlMd5h32("'ord:' || CAST(doc_id AS VARCHAR)")} AS ord
+                  FROM $doc) h) r
           ORDER BY doc_id""",
     "q_text_rep" ->
       s"""SELECT doc_id, n_sh, n_uniq, (n_sh - n_uniq) / n_sh AS rep_ratio

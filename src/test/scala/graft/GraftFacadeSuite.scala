@@ -367,6 +367,32 @@ class GraftFacadeSuite extends SparkSuite {
     assert(!out.contains(null), s"null leaked into the sketch: ${out.keySet}")
   }
 
+  test("topKFrequent: certified exact on a skewed corpus; refuses loudly when k is too small; shuffleOrder resumable") {
+    val items = (Seq.fill(300)("hot_a") ++ Seq.fill(200)("hot_b") ++
+      (0 until 400).map(i => s"rare-$i")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("row_id", "token")
+    val top = Graft.topKFrequent(items, "token", 2, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    assert(top.toSeq === Seq(("hot_a", 300L), ("hot_b", 200L)))
+    // k=1 on 900 rows → floor 450 ≥ every count: must refuse, not
+    // silently return a wrong top-2
+    val ex = intercept[IllegalArgumentException] {
+      Graft.topKFrequent(items, "token", 2, 1)
+    }
+    spark.catalog.clearCache()
+    assert(ex.getMessage.contains("not certified"))
+    // shuffleOrder: custom id column, placement independent of layout
+    val a = Graft.shuffleOrder(items, "row_id", 4)
+      .select("row_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val b = Graft.shuffleOrder(items.repartition(9), "row_id", 4)
+      .select("row_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(t => (t._2, t._3)).distinct.length === a.length)
+  }
+
   test("edge sweep: every facade entry point tolerates an EMPTY input — no throw, empty result") {
     // r9 (verdict task 7): r8's review found facade edge bugs by hand;
     // this makes the degenerate-input contract systematic. An empty
@@ -415,6 +441,8 @@ class GraftFacadeSuite extends SparkSuite {
       "bloomScreen" -> (() =>
         Graft.bloomScreen(emptyCorpus, "body", emptyCorpus, "body", 10L, 0.01)),
       "heavyHitters" -> (() => Graft.heavyHitters(emptyCorpus, "body", 4)),
+      "topKFrequent" -> (() => Graft.topKFrequent(emptyCorpus, "body", 3, 4)),
+      "shuffleOrder" -> (() => Graft.shuffleOrder(emptyCorpus, "item_no", 4)),
       "asCorpus" -> (() => Graft.asCorpus(emptyCorpus, "item_no", "body")),
       "asEvents" -> (() =>
         Graft.asEvents(emptyEvents, "eid", "when", "acct", "kind", "amt").toDF))
@@ -490,6 +518,12 @@ class GraftFacadeSuite extends SparkSuite {
         .toDF("item_no", "quality"),
       "item_no", "quality").collect()(0)
     assert(kb.getAs[Long]("keeper") === 2L && kb.getAs[Double]("keeper_score") === 0.1)
+    // topKFrequent: NULL items dropped (two null bodies are not an
+    // "item" with count 2); floor=0 on the 2 surviving rows certifies
+    val tk = Graft.topKFrequent(corpus, "body", 1, 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(tk.toSeq === Seq(("alpha beta gamma delta", 2L)),
+      s"null items leaked into topKFrequent: ${tk.toSeq}")
     // null vector: null similarity → excluded from threshold pairs and
     // ranked below every real neighbor in desc order
     val vecs = Seq[(Long, Option[Seq[Double]], String)](

@@ -151,6 +151,35 @@ class PipelineOpsSuite extends SparkSuite {
     assert(out.size === 6)
   }
 
+  test("shuffleOrder: (shard, pos) is a bijection, pos contiguous per shard, layout-independent, salt-decoupled from the split hash") {
+    val docs = docsDF((0L until 200L).map(i =>
+      (i, s"tok$i body", "en", "s0")))
+    val base = PipelineOps.shuffleOrder(docs, "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+    val got = base.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // bijection: every doc placed exactly once, (shard, pos) unique
+    assert(got.length === 200)
+    assert(got.map(t => (t._2, t._3)).distinct.length === 200)
+    // contiguity: each shard's positions are exactly 1..count
+    got.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted === (1 to rs.length).toSeq, s"shard $shard")
+    }
+    // layout independence: a different input partitioning places every
+    // doc identically (the resumability contract)
+    val re = PipelineOps.shuffleOrder(docs.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(re.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+    // the "shuf:" salt decouples the shard from the split bucket — a
+    // doc's train/test fate must not correlate with its training order
+    val split = docs.select(col("doc_id"),
+      (Det.md5h32(col("doc_id").cast("string")) % 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.count { case (id, sh, _) => split(id) == sh } < 60,
+      "shuffle shards must not mirror split buckets")
+  }
+
   test("repScore: templated text scores (total-distinct)/total; all-distinct text scores 0") {
     val docs = docsDF(Seq(
       (1L, "a b a b a b a b", "en", "s0"),     // 6 shingles, 2 distinct

@@ -326,6 +326,42 @@ class PlanAssertionsSuite extends SparkSuite {
       s"pipeline degenerated:\n$plan")
   }
 
+  test("q_llm_shuffle: one shard-hash window, never a global sort by the random key") {
+    // The design point: training-order shuffle at 100 TB is a hash
+    // exchange + per-partition sort, NOT orderBy(random_key) (range
+    // exchange + global sort) and NOT row_number over an unpartitioned
+    // window (single-task). Exactly one Window, partitioned by shard.
+    val plan = planString(q("q_llm_shuffle"))
+    val windows = "Window ".r.findAllIn(plan).length
+    assert(windows === 1, s"expected exactly the shard window, got $windows:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"window not hash-partitioned by shard:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"something collapsed to one partition:\n$plan")
+  }
+
+  test("q_text_hhwords: candidate set broadcasts into a semi join; top-K is TakeOrderedAndProject") {
+    // The prescreen contract: the exact pass filters the scan through
+    // the BROADCAST candidate set (shuffle ∝ candidates, never ∝
+    // vocabulary) and the final top-K never globally sorts the counts.
+    val plan = planString(q("q_text_hhwords"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate semi join not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K regressed to a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"hhwords degenerated:\n$plan")
+  }
+
+  test("q_text_novelty: df join-back is an equi-join, aggregation partials map-side, no window") {
+    val plan = planString(q("q_text_novelty"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty degenerated:\n$plan")
+    assert(!plan.contains("Window "), s"unexpected window:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
   test("q_join_skew: the salted join is an equi-join on (key, salt) — no cartesian, no BNLJ, no key-only hot partition") {
     val plan = planString(q("q_join_skew"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

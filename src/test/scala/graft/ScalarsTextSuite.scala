@@ -158,6 +158,29 @@ class ScalarsTextSuite extends SparkSuite {
     assert(out(("de", "src1")) === ((1L, 1L, 0L, 0.0)))
   }
 
+  test("q_text_novelty: solo-bigram shares hand-computed; shared bigrams discount both holders; sub-bigram docs excluded") {
+    val dir = Files.createTempDirectory("graft_novelty").toString
+    Seq( // "a b" occurs in docs 1 AND 2 → solo nowhere; each doc's
+         // other bigram is its own; doc 3 is fully novel; doc 4 has no
+         // bigram at all and must not appear
+      (1L, "a b c", "en", "src0"),   // bigrams {a b, b c} → solo {b c}
+      (2L, "a b x", "en", "src0"),   // bigrams {a b, b x} → solo {b x}
+      (3L, "q r s t", "en", "src0"), // all 3 solo
+      (4L, "alone", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.queries("q_text_novelty")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bg"), r.getAs[Long]("n_solo"),
+          r.getAs[Double]("novelty")))).toMap
+    spark.catalog.clearCache()
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((3L, 3L, 1.0)))
+    assert(!out.contains(4L))
+  }
+
   test("q_event_funnel is ORDER-sensitive: a click before the first view does not convert") {
     val dir = Files.createTempDirectory("graft_funnel").toString
     val B = 1704067200000000L // 2024-01-01T00:00:00Z in µs
