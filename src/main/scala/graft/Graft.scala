@@ -418,9 +418,10 @@ object Graft {
     *                      silent clamp caps fails loudly instead. */
   def bloomScreen(df: DataFrame, probeCol: String,
                   corpus: DataFrame, corpusCol: String,
-                  expectedItems: Long, fpp: Double): DataFrame =
+                  expectedItems: Long, fpp: Double,
+                  buildPartitions: Int = 0): DataFrame =
     graft.operators.ScaleOps.bloomPrefilter(corpus, corpusCol,
-      df, probeCol, expectedItems, fpp)
+      df, probeCol, expectedItems, fpp, buildPartitions)
 
   /** Heavy hitters over any item column — the Misra-Gries sketch of
     * [[graft.operators.HeavyHitters]]: every item with true count

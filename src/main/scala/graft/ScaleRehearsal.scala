@@ -53,6 +53,10 @@ import org.apache.spark.sql.functions._
   *    node count (diameter 7 — isolates the rounds ∝ diameter cost).
   *  - `keepbest`: pair edges → clusters → struct-max keeper, end to
   *    end via Graft.keepBest.
+  *  - `bloom_screen` / `bloom_plain` (r10): the q_llm_bloomscreen
+  *    shape (one-row sketch + map-side probe + verify join over
+  *    survivors) vs the plain membership semi join it replaces, on an
+  *    n-hash corpus × n/10-probe batch with n/20 planted members.
   *
   * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleRehearsal"
   *        [probe-name substring filter as arg, e.g. "pairs" to run
@@ -68,12 +72,29 @@ object ScaleRehearsal {
       concat(lit("S"), (col("id") % 3)).as("st"),
       ((abs(xxhash64(col("id"))) % 100000000L).cast("double") / 100.0).as("price"),
       (col("id") % 50 + 1).as("qty"))
+    // shuffle-bytes accounting: on a single node every probe's wall
+    // clock hides the cluster cost (shuffles are loopback memcpys
+    // here); total shuffle WRITE bytes is the layout-independent
+    // number that survives the 1000-executor extrapolation. Listener
+    // events are async — the post-body sleep drains the bus (crude,
+    // fine for a rehearsal harness).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
     def time(label: String, n: Long)(body: => Long): Unit = {
+      Thread.sleep(300); shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       val rows = body
       val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"""{"probe":"$label","rows":$n,"secs":${"%.2f".formatLocal(java.util.Locale.ROOT, secs)},"out":$rows}""")
+      Thread.sleep(1000) // drain the listener bus before reading
+      val mb = shuffleBytes.get / 1e6
+      println(f"""{"probe":"$label","rows":$n,"secs":${"%.2f".formatLocal(java.util.Locale.ROOT, secs)},"out":$rows,"shuffle_mb":${"%.1f".formatLocal(java.util.Locale.ROOT, mb)}}""")
     }
     // arg = probe-name substring filter ("pairs" → pair family only)
     val only = args.headOption.getOrElse("")
@@ -132,6 +153,64 @@ object ScaleRehearsal {
         val scores = spark.range(n).select(col("id").as("doc_id"),
           pmod(xxhash64(col("id")), lit(1000L)).cast("double").as("sc"))
         Graft.keepBest(pairEdges(n), scores, "doc_id", "sc").count()
+      }
+      // Bloom-prescreen family (r10): corpus = n hashes, batch = n/10
+      // probes with a planted member every `every`-th probe — ground
+      // truth n/(10·every) dups exactly. bloom_screen is the graded
+      // q_llm_bloomscreen verify orientation (sketch prescreen →
+      // survivors on the broadcast-ELIGIBLE side of the corpus join →
+      // found-set dedup ≤ survivors); bloom_plain is the plain
+      // membership semi join it replaces. Two regimes: 50% dups (the
+      // screen can drop little — its worst case) and 1% dups (the
+      // ingest regime the screen exists for). The load-bearing number
+      // is shuffle_mb, not secs: single-node shuffles are loopback
+      // memcpys, cluster shuffles are the network.
+      def bloomCorpus = spark.range(n)
+        .select(md5(concat(lit("c"), col("id"))).as("h0"))
+      def bloomBatch(every: Long) = spark.range(n / 10)
+        .select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(every)) === 0,
+            md5(concat(lit("c"), col("id"))))
+            .otherwise(md5(concat(lit("x"), col("id")))).as("h"))
+      // bloomPrefilter's clamp guard fires (loudly, by design) past
+      // Spark's default 4M-item sizing cap — the 6M probe documents
+      // the knob a larger build side requires (the bits cap's default
+      // 64M bits still accommodates 6M items at fpp 0.01)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 10000000L)
+      Seq(2L -> "hidup", 100L -> "lodup").foreach { case (every, tag) =>
+        if (want(s"bloom_screen_$tag")) time(s"bloom_screen_$tag", n) {
+          val corpus = bloomCorpus
+          val survivors = graft.operators.ScaleOps
+            .bloomPrefilter(corpus, "h0", bloomBatch(every), "h", n, 0.01)
+            .filter(coalesce(col("might_match"), lit(false)))
+            .select(col("doc_id"), col("h"))
+          val found = corpus
+            .join(survivors.select(col("h").as("hs")), col("h0") === col("hs"))
+            .select(col("hs").as("hf")).distinct()
+          survivors.join(found, col("h") === col("hf"), "left_semi").count()
+        }
+        if (want(s"bloom_plain_$tag")) time(s"bloom_plain_$tag", n) {
+          bloomBatch(every)
+            .join(bloomCorpus.distinct(), col("h") === col("h0"), "left_semi")
+            .count()
+        }
+      }
+      // the buildPartitions knob: the sketch build ships one full-size
+      // partial buffer per map partition, so coalescing the build to 8
+      // should cut the screen's shuffle ~4× (32 → 8 partials) at some
+      // build-scan parallelism cost — measured, not asserted
+      if (want("bloom_screen_bp8")) time("bloom_screen_bp8", n) {
+        val corpus = bloomCorpus
+        val survivors = graft.operators.ScaleOps
+          .bloomPrefilter(corpus, "h0", bloomBatch(100L), "h", n, 0.01,
+            buildPartitions = 8)
+          .filter(coalesce(col("might_match"), lit(false)))
+          .select(col("doc_id"), col("h"))
+        val found = corpus
+          .join(survivors.select(col("h").as("hs")), col("h0") === col("hs"))
+          .select(col("hs").as("hf")).distinct()
+        survivors.join(found, col("h") === col("hf"), "left_semi").count()
       }
     }
 

@@ -108,19 +108,38 @@ object ScaleOps {
     * ([[graft.streaming.StreamOps.bloomIngestProbe]]). None = empty
     * build side (the aggregate is NULL) — probes must then read
     * definite-false. Same sizing + clamp guard as the inline form. */
+  /** Bound the sketch-build's partial-buffer shuffle. EVERY map
+    * partition serializes a FULL-SIZE partial bloom buffer to the one
+    * final reducer, so the build shuffle is partitions × numBits/8
+    * bytes regardless of data — measured in ScaleRehearsal (r10): at
+    * 6M items / fpp 0.01 / 32 partitions that is 32 × 7.2 MB
+    * (~107 MB compressed), the screen's whole shuffle cost. On a
+    * 10k-partition corpus scan it would be tens of GB into one task —
+    * `buildPartitions` coalesces the build projection first (0 =
+    * leave the scan's layout), trading build-scan parallelism for a
+    * bounded partial count; size it ≈ the executor count. */
+  private def buildSide(build: DataFrame, buildCol: String,
+                        buildPartitions: Int): DataFrame = {
+    val proj = build.select(col(buildCol))
+    if (buildPartitions > 0) proj.coalesce(buildPartitions) else proj
+  }
+
   def bloomSketch(build: DataFrame, buildCol: String,
-                  expectedItems: Long, fpp: Double): Option[Array[Byte]] = {
+                  expectedItems: Long, fpp: Double,
+                  buildPartitions: Int = 0): Option[Array[Byte]] = {
     graft.functions.BloomFns.register(build.sparkSession)
     val numBits = sizedBloomBits(build.sparkSession, expectedItems, fpp)
-    val row = build.agg(call_function("graft_bloom_agg",
-      xxhash64(col(buildCol)), lit(expectedItems), lit(numBits)).as("__bf"))
+    val row = buildSide(build, buildCol, buildPartitions)
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col(buildCol)), lit(expectedItems), lit(numBits)).as("__bf"))
       .head()
     if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
   }
 
   def bloomPrefilter(build: DataFrame, buildCol: String,
                      probe: DataFrame, probeCol: String,
-                     expectedItems: Long, fpp: Double): DataFrame = {
+                     expectedItems: Long, fpp: Double,
+                     buildPartitions: Int = 0): DataFrame = {
     require(!probe.columns.contains("might_match"),
       "probe already has a might_match column (a previous screen's " +
         "verdict?) — withColumn would silently overwrite it; rename it " +
@@ -131,8 +150,9 @@ object ScaleOps {
     // SUBQUERY (not a join column) — Dataset.scalar() (Spark 4) embeds
     // the one-row build aggregate as exactly that; the physical plan is
     // a broadcast-reused subquery, the probe stays a pure map
-    val bf = build.agg(call_function("graft_bloom_agg",
-      xxhash64(col(buildCol)), lit(expectedItems), lit(numBits)).as("__bf"))
+    val bf = buildSide(build, buildCol, buildPartitions)
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col(buildCol)), lit(expectedItems), lit(numBits)).as("__bf"))
     // Two NULL guards: xxhash64(NULL) is NOT null (it hashes the null
     // marker), so the documented NULL→NULL semantics for a NULL probe
     // VALUE need the when(); and an EMPTY build side makes the

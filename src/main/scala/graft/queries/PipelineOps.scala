@@ -340,8 +340,10 @@ object PipelineOps {
   def bloomScreenDedup(docs: DataFrame): DataFrame = {
     val withB = docs.withColumn("bucket", bucketCol)
       .withColumn("h", md5(col("text")))
-    val corpusH = withB.filter(col("bucket") < 8)
-      .select(col("h").as("h0")).distinct()
+    // RAW corpus hashes — the sketch aggregate absorbs duplicates, and
+    // the verify below dedups only the FOUND set, so the corpus-wide
+    // distinct() shuffle the plain ingestDedup pays never happens here
+    val corpusH = withB.filter(col("bucket") < 8).select(col("h").as("h0"))
     val batch = withB.filter(col("bucket") >= 8)
       .select(col("doc_id"), col("h"))
     val screened = graft.operators.ScaleOps.bloomPrefilter(
@@ -352,11 +354,27 @@ object PipelineOps {
     val cleared = screened
       .filter(!coalesce(col("might_match"), lit(false)))
       .select(col("doc_id"), col("h"), lit(0).as("is_dup"))
-    val verified = screened
+    val survivors = screened
       .filter(coalesce(col("might_match"), lit(false)))
-      .join(corpusH, col("h") === col("h0"), "left")
+      .select(col("doc_id"), col("h"))
+    // Verify orientation (r10, measured via ScaleRehearsal's
+    // shuffle-bytes probes): survivors sit on the broadcast-ELIGIBLE
+    // side of both joins. A LeftOuter(survivors, corpus) — the r9 form
+    // — can only build RIGHT, so the corpus had to shuffle no matter
+    // how few survivors the screen left. Inner(corpus, survivors) lets
+    // AQE broadcast the survivors whenever the screen did its job
+    // (the low-dup-rate ingest regime: survivors ≈ dups + fpp·batch),
+    // and then the corpus is scan-only end to end — no shuffle, no
+    // corpus-wide distinct; the found-hash set (≤ survivors) dedups
+    // instead. When a high-dup batch leaves survivors too big to
+    // broadcast, AQE falls back to the shuffle join gracefully.
+    val found = corpusH
+      .join(survivors.select(col("h").as("hs")), col("h0") === col("hs"))
+      .select(col("hs").as("hf")).distinct()
+    val verified = survivors
+      .join(found, col("h") === col("hf"), "left")
       .select(col("doc_id"), col("h"),
-        col("h0").isNotNull.cast("int").as("is_dup"))
+        col("hf").isNotNull.cast("int").as("is_dup"))
     verified.unionByName(cleared).orderBy(col("doc_id"))
   }
 

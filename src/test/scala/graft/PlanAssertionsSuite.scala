@@ -293,20 +293,54 @@ class PlanAssertionsSuite extends SparkSuite {
     }
   }
 
-  test("q_llm_bloomscreen: the prescreen is a scalar-subquery bloom probe; only survivors reach the ONE verify join") {
+  test("q_llm_bloomscreen: scalar-subquery bloom prescreen; survivors broadcast-eligible in the verify; corpus never aggregated corpus-wide") {
     // The 100-TB shape this query exists to prove: the corpus collapses
     // to a one-row sketch consumed as a scalar subquery (the probe side
     // never shuffles FOR THE SCREEN), the definite-false branch carries
-    // no join at all, and the only join in the whole plan is the exact
-    // verify over bloom survivors. A second join operator appearing
-    // here means the cleared branch regressed to joining everything —
-    // the plain plan this query is supposed to beat.
-    val plan = planString(q("q_llm_bloomscreen"))
+    // no join at all, and the verify joins put the SURVIVORS on the
+    // broadcast-eligible side (r10 re-orientation, measured in
+    // ScaleRehearsal: the r9 LeftOuter form could only build the corpus
+    // side, forcing a corpus shuffle however few survivors remained).
+    // At graded sf both verify joins must therefore BE broadcasts, and
+    // no corpus-wide distinct aggregate may appear — the found-set
+    // dedup aggregates ≤ survivors rows AFTER the corpus join.
+    // the found-side join's pre-AQE size estimate is unknowable (it
+    // hangs below a join + aggregate), so the eligibility claim is
+    // asserted on the FINAL adaptive plan: run, then check what AQE
+    // actually chose. The graded sf0.001 corpus yields ZERO survivors
+    // (no cross-bucket dups, no false positives) — AQE then deletes
+    // the whole verified branch (also asserted: the ideal outcome) —
+    // so the verify-join shape is pinned on a PLANTED corpus whose
+    // batch doc 19 duplicates train doc 0 (bucket facts per
+    // PipelineOpsSuite).
+    import org.apache.spark.sql.functions.{length => flen}
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // count() would execute a DIFFERENT QueryExecution
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+      p
+    }
+    val graded = finalPlan(q("q_llm_bloomscreen"))
+    assert(graded.contains("might_contain"), s"bloom probe gone:\n$graded")
+    assert(!graded.contains("SortMergeJoin") && !graded.contains("CartesianProduct"),
+      s"graded bloomscreen shuffles or degenerates:\n$graded")
+    val sess = spark
+    import sess.implicits._
+    val planted = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta epsilon zeta"),
+      (2L, "eta theta iota"), (19L, "alpha beta gamma"),
+      (26L, "fresh new content")).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("n_chars", flen($"text").cast("long"))
+    val plan = finalPlan(
+      graft.queries.PipelineOps.bloomScreenDedup(planted))
     assert(plan.contains("might_contain"), s"bloom probe gone:\n$plan")
-    assert(plan.contains("Subquery"), s"sketch not a scalar subquery:\n$plan")
-    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
-      .findAllIn(plan).length
-    assert(joins === 1, s"expected exactly 1 verify join, got $joins:\n$plan")
+    val bjoins = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bjoins === 2, s"expected 2 broadcast verify joins, got $bjoins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"verify join shuffles despite tiny survivors:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"bloomscreen degenerated:\n$plan")
   }
