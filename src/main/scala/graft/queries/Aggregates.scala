@@ -390,6 +390,25 @@ object Aggregates {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // §2.4 WINSORIZED mean — the robust mean (outliers clipped to the
+    // p05/p95 cut values rather than dropped; the quality-score
+    // aggregation a data pipeline reports when a handful of degenerate
+    // docs would otherwise own the mean). Cut points are DISCRETE
+    // percentiles (values the table already holds — zero float in the
+    // cut derivation, same scale-safe Percentiles.disc machinery as
+    // q_agg_pctile_disc), the clip runs in the exact DECIMAL domain
+    // (least/greatest of decimals), and the mean is one decimal sum →
+    // one double cast → ONE division, rounded 6dp (§7.4.7). Shuffle:
+    // the percentile pre-agg (∝ distinct values) + a |groups|-row
+    // broadcast join-back + one map-side-combined final agg.
+    "q_agg_winsor" -> ((s, d) =>
+      graft.operators.Percentiles.winsorizedMean(
+          T.orders(s, d).select(col("o_orderstatus"), col("o_totalprice")),
+          Seq("o_orderstatus"), "o_totalprice")
+        .select(col("o_orderstatus"), col("winsor_lo"), col("winsor_hi"),
+          round(col("winsor_mean"), 6).as("winsor_mean"), col("n"))
+        .orderBy(col("o_orderstatus"))),
+
     // §2.2/§2.7 null semantics: outer-join-produced nulls through
     // null-safe equality, coalesce chains, and the count(col) vs count(*)
     // distinction. NULL keys group together (both engines).
@@ -734,6 +753,34 @@ object Aggregates {
     "q_agg_pctile_disc" ->
       pctDiscSql(ords, "o_orderstatus", "o_totalprice", None,
         Seq((0, 1, "pmin_disc"), (5, 10, "median_disc"), (9, 10, "p90_disc"))),
+    // Cut derivation is the GENERATED discrete-percentile chain (the
+    // same pctMarked CTE the engine's disc twin uses — twin drift
+    // structurally impossible); the clip stays in the exact decimal
+    // domain with NULL prices excluded explicitly (the two engines'
+    // LEAST/GREATEST NULL semantics differ).
+    "q_agg_winsor" ->
+      s"""WITH ${pctMarked("", ords, "o_orderstatus", "o_totalprice", None)}, rk AS (
+            SELECT *,
+              GREATEST(1, (1 * n + 19) // 20) AS k0,
+              GREATEST(1, (19 * n + 19) // 20) AS k1
+            FROM marked
+          ), cuts AS (
+            SELECT o_orderstatus AS st,
+              MAX(CASE WHEN cum_start < k0 AND k0 <= cum_end THEN v END) AS winsor_lo,
+              MAX(CASE WHEN cum_start < k1 AND k1 <= cum_end THEN v END) AS winsor_hi
+            FROM rk GROUP BY 1
+          )
+          SELECT o.o_orderstatus,
+            c.winsor_lo, c.winsor_hi,
+            round(CAST(SUM(LEAST(GREATEST(o.o_totalprice, c.winsor_lo),
+                                 c.winsor_hi)) AS DOUBLE)
+                  / COUNT(*), 6) AS winsor_mean,
+            COUNT(*) AS n
+          FROM $ords o JOIN cuts c
+            ON o.o_orderstatus IS NOT DISTINCT FROM c.st
+          WHERE o.o_totalprice IS NOT NULL
+          GROUP BY 1, c.winsor_lo, c.winsor_hi
+          ORDER BY o.o_orderstatus""",
     "q_nulls" ->
       s"""SELECT parity, COUNT(*) AS n_rows,
             COUNT(c_custkey) AS n_cust,

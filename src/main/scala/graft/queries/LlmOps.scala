@@ -342,6 +342,64 @@ object LlmOps {
     a.join(b, cond).select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Candidate ORDERED pairs for set CONTAINMENT c(a→b) = |a∩b|/|a| ≥
+    * tNum/tDen — the asymmetric near-dup criterion (a doc whose shingle
+    * or token set is swallowed by a larger doc: quote farms, page
+    * wrappers, re-hosted articles with added chrome; the Jaccard of
+    * such a pair can sit far below any symmetric threshold while the
+    * contained side is pure duplication).
+    *
+    * Asymmetric prefix filter: if c(a→b) ≥ t then |a∩b| ≥ ⌈t·|a|⌉, and
+    * a's suffix beyond its first |a| − ⌈t·|a|⌉ + 1 features (global
+    * DF-ascending rank, as [[jaccardCandidates]]) holds only ⌈t·|a|⌉ − 1
+    * features — strictly fewer than |a∩b|, so at least one common
+    * feature lies in a's PREFIX (pigeonhole). The container side b has
+    * no such bound (any of b's features can be the witness), so b
+    * indexes its FULL posting rows: only the probe side prunes. That is
+    * the honest cost shape of containment at scale — the b-side join
+    * input is ∝ corpus features (exactly like q_llm_contam's probe
+    * join) — but the join OUTPUT stays bounded the same way Jaccard's
+    * does: a max-DF boilerplate feature falls out of every a-prefix, so
+    * its full-length b posting list joins against an (almost) empty
+    * probe side and never expands. The one-sided size bound
+    * (⌈t·|a|⌉ ≤ |b|, carried as the conservative integer form
+    * tNum·|a| ≤ tDen·|b|) prunes small-container pairs in the join
+    * condition itself.
+    *
+    * @param feats as [[jaccardCandidates]]: DISTINCT (doc_id, feat,
+    *              blockCols…) rows, optional precomputed `sz`.
+    * @return distinct ORDERED (doc_a, doc_b), doc_a ≠ doc_b — doc_a is
+    *         the candidate CONTAINED side; callers verify the actual
+    *         containment. Cache lifecycle: persists the feature rows and
+    *         the probe prefix (same contract as [[jaccardCandidates]]).
+    */
+  def containmentCandidates(feats: DataFrame, blockCols: Seq[String],
+                            tNum: Int, tDen: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+    val wOrd = w.orderBy(col("df").asc, col("feat").asc)
+    val ceilT = floor((lit(tNum) * col("sz") + lit(tDen - 1)) / lit(tDen))
+    val f = feats.persist() // two consumers: DF table + both join sides
+    val dfTab = f.groupBy(col("feat")).agg(count(lit(1)).as("df"))
+    val withDf = f.join(dfTab, "feat")
+    val sized = (if (feats.columns.contains("sz")) withDf
+      else withDf.withColumn("sz", count(lit(1)).over(w)))
+      .persist() // two consumers: the probe prefix AND the container side
+    // probe side: a-prefix only (the pigeonhole bound above)
+    val prefix = sized
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= col("sz") - ceilT + 1)
+    val a = prefix.select(col("doc_id").as("doc_a") +: col("feat") +:
+      col("sz").as("sz_a") +: blockCols.map(col): _*)
+    // container side: FULL posting rows (no prefix — see scaladoc)
+    val b = sized.select(col("doc_id").as("doc_b") +: col("feat").as("feat_b") +:
+      col("sz").as("sz_b") +: blockCols.map(c => col(c).as(s"${c}_b")): _*)
+    val cond = blockCols.map(c => col(c) === col(s"${c}_b"))
+      .foldLeft(col("feat") === col("feat_b")
+        && col("doc_a") =!= col("doc_b")
+        && lit(tNum) * col("sz_a") <= lit(tDen) * col("sz_b"))(_ && _)
+    a.join(b, cond).select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   /** Dot product of two double arrays via the native codegen expression
     * [[graft.functions.DotF64]] — a sequential left fold from 0.0 in
     * list order, the same sequence DuckDB's list_aggregate 'sum' uses,
@@ -744,6 +802,35 @@ object LlmOps {
         .select(col("doc_a"), col("doc_b"), col("jacc"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Token-set CONTAINMENT ≥ 0.9 between ORDERED pairs in the same
+    // (lang, source) block — the asymmetric dup criterion Jaccard
+    // misses (a short doc swallowed by a long one scores low Jaccard
+    // but is pure duplication on the contained side; the signal
+    // RefinedWeb/CCNet-class pipelines act on before symmetric dedup).
+    // Candidates via [[containmentCandidates]] (a-prefix × b-full with
+    // the integer size bound — lossless, see its scaladoc); only
+    // survivors pay the array_intersect verify. cont = |a∩b|/|a|:
+    // exact int counts, ONE IEEE division, unrounded (the q_llm_neardup
+    // float discipline; 9/10 ≤ 0.9d keeps the prefilter conservative).
+    "q_llm_contain" -> ((s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("tk"))
+        .persist() // three consumers: feature rows + both verify sides
+      val feats = docs.select(col("doc_id"), col("lang"), col("source"),
+        size(col("tk")).cast("long").as("sz"), explode(col("tk")).as("feat"))
+      val cand = containmentCandidates(feats, Seq("lang", "source"), 9, 10)
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("tk").as("tk_a")),
+          col("doc_a") === col("a_id"))
+        .join(docs.select(col("doc_id").as("b_id"), col("tk").as("tk_b")),
+          col("doc_b") === col("b_id"))
+        .withColumn("cont",
+          size(array_intersect(col("tk_a"), col("tk_b"))) / size(col("tk_a")))
+        .filter(col("cont") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("cont"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Near-dup CLUSTERS: connected components over the q_llm_neardup
     // pair graph (the pair→cluster step every production dedup pipeline
     // needs before it can pick keepers) — hash-min label propagation,
@@ -1096,6 +1183,18 @@ object LlmOps {
             FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
               AND a.doc_id < b.doc_id) x
           WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""",
+    // Ordered pairs (doc_id <>, not <) — containment is asymmetric;
+    // same t CTE as the neardup family, |a∩b|/|a| instead of Jaccard.
+    "q_llm_contain" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+              list_distinct(string_split(text, ' ')) AS tk FROM $doc)
+          SELECT doc_a, doc_b, cont FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(len(list_intersect(a.tk, b.tk)) AS INTEGER)
+                / CAST(len(a.tk) AS INTEGER) AS cont
+            FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+              AND a.doc_id <> b.doc_id) x
+          WHERE cont >= 0.9 ORDER BY doc_a, doc_b""",
     // Transitive closure by recursive CTE (node reaches every member of
     // its component; MIN(reach) = the component rep the Spark side's
     // hash-min propagation converges to). The pairs CTE is textually the

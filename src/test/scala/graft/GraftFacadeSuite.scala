@@ -170,6 +170,47 @@ class GraftFacadeSuite extends SparkSuite {
     assert(above.isEmpty, "J=2/3 pair survived a 7/10 threshold")
   }
 
+  test("containPairs is asymmetric, honors the exact rational boundary, and respects blocks") {
+    // 301 has 10 distinct tokens, 302 holds 9 of them plus chrome →
+    // cont(301→302) = 9/10 — at t = 9/10 the pair must be INCLUDED (the
+    // boundary is integer arithmetic: 9·10 ≥ 10·9, never a double
+    // compare), and ONLY in that direction (cont(302→301) = 9/13).
+    // 303 is token-set-identical to 301 but in another block.
+    val c3 = Seq(
+      (301L, "a b c d e f g h i j", "s1"),
+      (302L, "a b c d e f g h i x y z w", "s1"),
+      (303L, "a b c d e f g h i j", "s2")
+    ).toDF("item_no", "body", "shelf")
+    val out = Graft.containPairs(c3, "item_no", "body", Seq("shelf"), 9, 10)
+      .collect()
+      .map(r => (r.getAs[Long]("item_no_a"), r.getAs[Long]("item_no_b")) ->
+        ((r.getAs[String]("shelf"), r.getAs[Double]("containment")))).toMap
+    spark.catalog.clearCache()
+    assert(out.keySet === Set((301L, 302L)),
+      s"asymmetry or block or boundary broken: $out")
+    assert(out((301L, 302L)) === (("s1", 0.9)))
+    // one token tighter (10/11): the 9/10 pair must fall out
+    val tighter = Graft.containPairs(c3, "item_no", "body",
+      Seq("shelf"), 10, 11).collect()
+    spark.catalog.clearCache()
+    assert(tighter.isEmpty, "cont=9/10 pair survived a 10/11 threshold")
+  }
+
+  test("winsorizedMean clips at the disc cuts over custom group columns") {
+    // group g1: values 1..20 → p05 cut = 1 (rank ⌈20/20⌉=1), p95 cut =
+    // 19 (rank ⌈19·20/20⌉=19); only the 20 clips → mean = 209/20.
+    // group g2: constant values — winsorization is the identity.
+    val df = ((1 to 20).map(v => ("g1", v)) ++ Seq(("g2", 7), ("g2", 7)))
+      .toDF("region", "amount")
+    val out = Graft.winsorizedMean(df, Seq("region"), "amount")
+      .collect().map(r => r.getAs[String]("region") ->
+        ((r.getAs[Int]("winsor_lo"), r.getAs[Int]("winsor_hi"),
+          r.getAs[Double]("winsor_mean"), r.getAs[Long]("n")))).toMap
+    assert(out === Map(
+      "g1" -> ((1, 19, 209.0 / 20.0, 20L)),
+      "g2" -> ((7, 7, 7.0, 2L))), s"$out")
+  }
+
   test("simDupPairs finds frequency-profile near-dups within blocks on a custom schema") {
     val out = Graft.simDupPairs(corpus, "item_no", "body", Seq("shelf"))
       .collect()
@@ -412,6 +453,10 @@ class GraftFacadeSuite extends SparkSuite {
       "exactDedup" -> (() => Graft.exactDedup(emptyCorpus, "item_no", "body")),
       "nearDupPairs" -> (() =>
         Graft.nearDupPairs(emptyCorpus, "item_no", "body", Seq("shelf"), 8, 10)),
+      "containPairs" -> (() =>
+        Graft.containPairs(emptyCorpus, "item_no", "body", Seq("shelf"), 9, 10)),
+      "winsorizedMean" -> (() =>
+        Graft.winsorizedMean(emptyGv, Seq("grp"), "v")),
       "simDupPairs" -> (() =>
         Graft.simDupPairs(emptyCorpus, "item_no", "body", Seq("shelf"))),
       "embDupPairs" -> (() =>
@@ -491,6 +536,9 @@ class GraftFacadeSuite extends SparkSuite {
     assert(nd.isEmpty, s"null text/block rows leaked into pairs: ${nd.toSeq}")
     val sd = Graft.simDupPairs(corpus, "item_no", "body", Seq("shelf")).collect()
     assert(sd.isEmpty, s"null text/block rows leaked into simhash pairs: ${sd.toSeq}")
+    val cp = Graft.containPairs(corpus, "item_no", "body", Seq("shelf"), 9, 10)
+      .collect()
+    assert(cp.isEmpty, s"null text/block rows leaked into containment pairs: ${cp.toSeq}")
     val sigs = Graft.minhashSignatures(corpus, "item_no", "body").collect()
       .map(_.getAs[Long]("item_no")).toSet
     assert(sigs === Set(1L, 3L), s"null-text docs got signatures: $sigs")

@@ -80,6 +80,59 @@ class LlmOpsSuite extends SparkSuite {
     assert(out((4L, 5L)) === 0.75) // 6 shared of 8 distinct shingles
   }
 
+  test("q_llm_contain: permutation clique pairs BOTH directions; the 8/9 pair is excluded") {
+    val out = q("q_llm_contain", docsDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("cont"))
+      .toMap
+    // docs 1/2/3 share one token SET → containment 1.0 in all 6 ordered
+    // directions; (4,5) has cont = 8/9 < 0.9 and must NOT appear even
+    // though its Jaccard (0.8) clears the symmetric query's threshold.
+    assert(out.keySet === Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L)))
+    assert(out.values.forall(_ === 1.0))
+  }
+
+  test("q_llm_contain: a short doc swallowed by a long one is caught (low Jaccard, high containment)") {
+    // THE case Jaccard misses: |a|=10, b = a's tokens + 10 more chrome
+    // tokens → J = 10/20 = 0.5 (far below 0.8) but cont(a→b) = 1.0.
+    val dir = Files.createTempDirectory("graft_contain").toString
+    Seq(
+      (1L, (1 to 10).map(i => s"c$i").mkString(" "), "en", "s0"),
+      (2L, ((1 to 10).map(i => s"c$i") ++ (1 to 10).map(i => s"w$i")).mkString(" "), "en", "s0"),
+      (3L, "unrelated tokens entirely other text body", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q_llm_contain", dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("cont"))
+      .toMap
+    assert(out.keySet === Set((1L, 2L)), s"got $out") // ordered: 1 ⊂ 2 only
+    assert(out((1L, 2L)) === 1.0)
+  }
+
+  test("containmentCandidates: hot token stays bounded; the contained side prunes, the container side does not") {
+    // Same hot-token economics as the Jaccard pin, asymmetric form: the
+    // probe (contained) side indexes only its DF-ascending prefix, so
+    // the max-DF "hot" token joins against an empty probe side — no
+    // cross-pairing among the 60 hot-only docs. The planted contained
+    // doc (120 ⊂ 121) must survive: its witness is a RARE token in the
+    // probe prefix, found in the container's FULL posting list.
+    val hotDocs = (0 until 60).map(i => (i.toLong, s"hot u${i}a u${i}b u${i}c u${i}d"))
+    val pair = Seq(
+      (120L, "hot p1 p2 p3 p4 p5 p6 p7 p8 p9"),
+      (121L, ("hot" +: (1 to 9).map(i => s"p$i") ++: (1 to 6).map(i => s"q$i")).mkString(" ")))
+    val feats = (hotDocs ++ pair).toDF("doc_id", "text")
+      .select(col("doc_id"), lit("b").as("blk"),
+        explode(array_distinct(split(col("text"), " "))).as("feat"))
+    val cand = LlmOps.containmentCandidates(feats, Seq("blk"), 9, 10).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cand.contains((120L, 121L)), s"contained pair lost: $cand")
+    // no candidate pairs two hot-only docs — the hot posting list never
+    // joined a probe prefix
+    assert(cand.forall { case (a, b) => a >= 120L || b >= 120L },
+      s"hot token leaked into candidates: $cand")
+  }
+
   test("jaccardCandidates: planted hot token stays bounded; true near-dup pair survives") {
     // 60 docs sharing one boilerplate token ("hot", DF = 62) plus 4
     // unique tokens each: a naive inverted index joins hot's posting
@@ -106,6 +159,43 @@ class LlmOpsSuite extends SparkSuite {
     // never joined
     assert(cand.forall { case (a, b) => a >= 100L && b >= 100L },
       s"hot token leaked into candidates: $cand")
+  }
+
+  test("q_llm_contain == brute-force ordered all-pairs containment truth on a randomized corpus") {
+    // End-to-end exactness of the asymmetric pipeline (a-prefix × b-full
+    // candidates, one-sided size bound, verify) against naive O(n²)
+    // ordered truth — seeded random docs plus planted strict subsets.
+    val rng = new scala.util.Random(7)
+    val vocab = (1 to 25).map(i => s"w$i")
+    val base = (0 until 40).map { i =>
+      val n = 3 + rng.nextInt(10)
+      (i.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "),
+        s"l${i % 2}", s"s${(i / 2) % 2}")
+    }
+    val planted = (0 until 8).map { j =>
+      val (_, text, l, s) = base(j * 4)
+      val toks = text.split(" ").distinct
+      val keep = toks.take(math.max(1, toks.length - (j % 2)))
+      (200L + j, keep.mkString(" "), l, s)
+    }
+    val docs = base ++ planted
+    val dir = Files.createTempDirectory("graft_contain_rand").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val truth = (for {
+      a <- docs; b <- docs
+      if a._1 != b._1 && a._3 == b._3 && a._4 == b._4
+      fa = a._2.split(" ").distinct
+      fb = b._2.split(" ").distinct.toSet
+      cont = fa.count(fb).toDouble / fa.length
+      if cont >= 0.9
+    } yield (a._1, b._1) -> cont).toMap
+    val out = q("q_llm_contain", dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("cont"))
+      .toMap
+    assert(truth.nonEmpty, "fixture degenerated: no containment pairs planted")
+    assert(out === truth)
   }
 
   test("neardup/ngram == brute-force all-pairs truth on a randomized corpus") {

@@ -114,6 +114,16 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"neardup went BNLJ:\n$plan")
   }
 
+  test("q_llm_contain: candidate generation is an equi-join; corpus scanned once through the cache") {
+    val df = q("q_llm_contain")
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct"), s"contain went cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"contain went BNLJ:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"contain lost its cached tokenized projection:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("q_llm_neardup / q_llm_ngram: the corpus parquet is scanned ONCE (cached projection feeds all consumers)") {
     // The r7 shave: feature explode + both verify join sides read one
     // persisted tokenized projection. A regression (e.g. a select that

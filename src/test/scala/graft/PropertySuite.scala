@@ -60,6 +60,32 @@ class PropertySuite extends AnyFunSuite {
       })
   }
 
+  test("containment prefix filter is exact: every ordered pair with cont >= t shares a feature in a's prefix") {
+    // Pure-Scala mirror of containmentCandidates' pruning (asymmetric:
+    // only the CONTAINED side a prunes to its DF-ascending prefix; the
+    // container b keeps every feature). Pigeonhole: |a∩b| ≥ ⌈t|a|⌉ >
+    // |a's suffix|, so a witness lies in a's prefix. Zero false
+    // negatives must hold for every corpus, plus the one-sided size
+    // bound tNum·|a| ≤ tDen·|b|.
+    val corpus: Gen[List[Set[String]]] = Gen.resize(8, Gen.listOf(tokenSet))
+    val (tNum, tDen, tDbl) = (9, 10, 0.9) // the graded threshold
+    check("containprefix t=9/10")(Prop.forAll(corpus) { docs =>
+      val df = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(x: Set[String]): Set[String] = {
+        val p = x.size - (tNum * x.size + tDen - 1) / tDen + 1
+        x.toSeq.sortBy(f => (df(f), f)).take(p).toSet
+      }
+      docs.indices.forall { i =>
+        docs.indices.forall { j =>
+          val (a, b) = (docs(i), docs(j))
+          i == j || a.isEmpty ||
+            a.intersect(b).size.toDouble / a.size < tDbl ||
+            (prefix(a).intersect(b).nonEmpty && tNum * a.size <= tDen * b.size)
+        }
+      }
+    })
+  }
+
   test("causal fold: violations equal the naive quadratic definition; prefix max is monotone") {
     val tsList = Gen.listOf(Gen.chooseNum(0L, 100L))
     check("causal")(Prop.forAll(tsList) { ts =>
@@ -286,6 +312,42 @@ class PropertySuite extends AnyFunSuite {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, s"percentiles: ${res.status}")
+  }
+
+  test("Spark law: winsorizedMean equals the driver-side clip-at-disc-cuts mean on any multiset") {
+    // The winsorized mean must be a pure refactoring of "find the disc
+    // p05/p95 values, clip, average" — pinned against the naive
+    // definition for every generated multiset, with EXACT double
+    // equality (the engine's sum is exact integer arithmetic here, one
+    // final IEEE division; the mirror runs the same sequence). Also
+    // pins the degenerate law: (0,1)/(1,1) cuts clip nothing, so the
+    // winsorized mean IS the plain mean.
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val vals = Gen.resize(24, Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)))
+    val prop = Prop.forAll(vals) { (xs: List[Int]) =>
+      val sorted = xs.sorted.toVector
+      val n = sorted.length
+      def kth(num: Int, den: Int): Int =
+        sorted(math.max(1, ((num.toLong * n + den - 1) / den).toInt) - 1)
+      val df = xs.map(v => ("g", v)).toDF("grp", "v")
+      val w = graft.operators.Percentiles
+        .winsorizedMean(df, Seq("grp"), "v").collect()(0)
+      val (lo, hi) = (kth(1, 20), kth(19, 20))
+      val clippedSum = xs.map(v => math.min(math.max(v, lo), hi).toLong).sum
+      val winsorOk = w.getAs[Int]("winsor_lo") == lo &&
+        w.getAs[Int]("winsor_hi") == hi &&
+        w.getAs[Double]("winsor_mean") == clippedSum.toDouble / n &&
+        w.getAs[Long]("n") == n
+      val full = graft.operators.Percentiles
+        .winsorizedMean(df, Seq("grp"), "v", lo = (0, 1), hi = (1, 1))
+        .collect()(0)
+      val meanOk =
+        full.getAs[Double]("winsor_mean") == xs.map(_.toLong).sum.toDouble / n
+      winsorOk && meanOk
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"winsorizedMean: ${res.status}")
   }
 
   test("Spark law: weighted Percentiles.disc == unweighted disc over the replicated multiset") {
