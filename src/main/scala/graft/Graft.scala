@@ -139,6 +139,7 @@ object Graft {
     *         id_a is the contained side. */
   def containPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], tNum: Int, tDen: Int): DataFrame = {
+    graft.functions.OverlapCount.register(df.sparkSession) // idempotent
     val toks = array_distinct(split(col(textCol), " "))
     val docs = df
       .select((col(idCol).as("doc_id") +: blockCols.map(col)) :+ toks.as("tk"): _*)
@@ -153,7 +154,7 @@ object Graft {
       .join(docs.select(col("doc_id").as("b_id"), col("tk").as("tk_b")),
         col("doc_b") === col("b_id"))
       .withColumn("n_inter",
-        size(array_intersect(col("tk_a"), col("tk_b"))).cast("long"))
+        call_function("graft_overlap", col("tk_a"), col("tk_b")))
       .withColumn("sz_a", size(col("tk_a")).cast("long"))
       .filter(col("n_inter") * lit(tDen.toLong) >= col("sz_a") * lit(tNum.toLong))
       .withColumn("containment",

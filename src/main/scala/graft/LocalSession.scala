@@ -24,12 +24,14 @@ object LocalSession {
       .withExtensions { ext =>
         graft.functions.DotF64.install(ext)
         graft.functions.JaccardStr.install(ext)
+        graft.functions.OverlapCount.install(ext)
       }
       .getOrCreate()
     // getOrCreate can return a pre-existing session the extensions never
     // saw — the post-hoc registrations are idempotent.
     graft.functions.DotF64.register(spark)
     graft.functions.JaccardStr.register(spark)
+    graft.functions.OverlapCount.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -809,10 +809,15 @@ object LlmOps {
     // RefinedWeb/CCNet-class pipelines act on before symmetric dedup).
     // Candidates via [[containmentCandidates]] (a-prefix × b-full with
     // the integer size bound — lossless, see its scaladoc); only
-    // survivors pay the array_intersect verify. cont = |a∩b|/|a|:
-    // exact int counts, ONE IEEE division, unrounded (the q_llm_neardup
-    // float discipline; 9/10 ≤ 0.9d keeps the prefilter conservative).
+    // survivors pay the verify, and that verify is the codegen
+    // `graft_overlap` count (functions/OverlapCount — one hash-probe
+    // pass, no intermediate intersection array; bitwise parity vs the
+    // size(array_intersect) composite pinned in FunctionsSuite).
+    // cont = |a∩b|/|a|: exact int counts, ONE IEEE division, unrounded
+    // (the q_llm_neardup float discipline; 9/10 ≤ 0.9d keeps the
+    // prefilter conservative).
     "q_llm_contain" -> ((s, d) => {
+      graft.functions.OverlapCount.register(s) // graft_overlap; idempotent
       val docs = T.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("tk"))
         .persist() // three consumers: feature rows + both verify sides
@@ -825,7 +830,8 @@ object LlmOps {
         .join(docs.select(col("doc_id").as("b_id"), col("tk").as("tk_b")),
           col("doc_b") === col("b_id"))
         .withColumn("cont",
-          size(array_intersect(col("tk_a"), col("tk_b"))) / size(col("tk_a")))
+          call_function("graft_overlap", col("tk_a"), col("tk_b"))
+            / size(col("tk_a")))
         .filter(col("cont") >= 0.9)
         .select(col("doc_a"), col("doc_b"), col("cont"))
         .orderBy(col("doc_a"), col("doc_b"))

@@ -31,6 +31,50 @@ class FunctionsSuite extends SparkSuite {
     assert(mismatches === 0L)
   }
 
+  test("graft_overlap == size(array_intersect) bitwise on randomized arrays incl. duplicates") {
+    graft.functions.OverlapCount.register(spark)
+    val rng = new scala.util.Random(11)
+    val vocab = (1 to 25).map(i => s"w$i")
+    // NOT distinct-only: duplicate elements on either side must count
+    // once, matching array_intersect's dedup (remove-on-match)
+    val rows = (1 to 300).map { i =>
+      def arr = Seq.fill(1 + rng.nextInt(14))(vocab(rng.nextInt(vocab.size)))
+      (i.toLong, arr, arr)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val mismatches = df
+      .withColumn("native", call_function("graft_overlap", col("a"), col("b")))
+      .withColumn("composite",
+        size(array_intersect(col("a"), col("b"))).cast("long"))
+      .filter(!(col("native") <=> col("composite")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("graft_overlap from SQL text; null array -> null; whole-stage codegen; division parity with the composite") {
+    graft.functions.OverlapCount.register(spark)
+    val r = spark.sql(
+      """SELECT graft_overlap(array('a','b','c'), array('b','c','d')) AS two,
+                graft_overlap(array('a'), array('b')) AS zero,
+                graft_overlap(CAST(NULL AS ARRAY<STRING>), array('a')) AS nl,
+                graft_overlap(array('a','a','b'), array('a')) AS dedup""")
+      .collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L)
+    assert(r.isNullAt(2))
+    assert(r.getLong(3) === 1L, "duplicates must count once")
+    // the graded q_llm_contain verify shape stays inside codegen, and
+    // its division is bitwise the composite's (exact ints, one IEEE op)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+    val df = docs.select(
+      (call_function("graft_overlap", col("tk"), col("tk")) / size(col("tk"))).as("c"),
+      (size(array_intersect(col("tk"), col("tk"))) / size(col("tk"))).as("comp"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_overlap") && plan.contains("*(1)"),
+      s"graft_overlap fell out of whole-stage codegen:\n$plan")
+    assert(df.filter(!(col("c") <=> col("comp"))).count() === 0L)
+  }
+
   test("graft_jaccard from SQL text; null array -> null; disjoint -> 0; identical -> 1") {
     JaccardStr.register(spark)
     val r = spark.sql(
