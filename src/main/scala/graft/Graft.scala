@@ -386,6 +386,17 @@ object Graft {
                      hi: (Int, Int) = (19, 20)): DataFrame =
     graft.operators.Percentiles.winsorizedMean(df, groupCols, valueCol, lo, hi)
 
+  /** Trimmed mean per group — [[winsorizedMean]]'s sibling: rows
+    * outside the lo/hi discrete-percentile cuts are DROPPED rather
+    * than clipped (the graded q_agg_trimmed plan; both robust means
+    * share the [[percentilesDisc]] cut engine and scale shape). The
+    * result carries n_kept alongside n so the trimmed-away count is
+    * auditable. */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  lo: (Int, Int) = (1, 20),
+                  hi: (Int, Int) = (19, 20)): DataFrame =
+    graft.operators.Percentiles.trimmedMean(df, groupCols, valueCol, lo, hi)
+
   /** Deterministic hash split over any id: engine- and layout-stable
     * bucket in [0, buckets) — never `rand()` (q_llm_split's contract:
     * any row's assignment is computable without a scan). */

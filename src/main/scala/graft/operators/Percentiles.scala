@@ -406,4 +406,41 @@ object Percentiles {
         (col("__pct_clsum").cast("double") / col("n")).as("winsor_mean") :+
         col("n"): _*)
   }
+
+  /** Trimmed mean per group — [[winsorizedMean]]'s sibling: rows
+    * OUTSIDE the lo/hi discrete-percentile cut values are DROPPED
+    * (winsor clips them to the cuts). Same engine shape: the [[disc]]
+    * cut pass, a |groups|-row join-back, then a map-only filter + one
+    * combined agg; the mean is one sum → one double cast → ONE IEEE
+    * division (unrounded; graded callers round per §7.4.7). The cut
+    * values themselves survive the trim (`between` is inclusive), so a
+    * constant group trims nothing. NULL values are excluded explicitly.
+    * @return groupCols…, trim_lo, trim_hi (value's own type),
+    *         trimmed_mean (double), n_kept (surviving rows), n (all
+    *         non-NULL rows — n − n_kept is the trimmed-away count). */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  lo: (Int, Int) = (1, 20),
+                  hi: (Int, Int) = (19, 20)): DataFrame = {
+    checkNames(groupCols, Seq("trim_lo", "trim_hi", "trimmed_mean", "n_kept"))
+    val gc = groupCols.map(col)
+    val cuts = disc(df, groupCols, valueCol,
+        Seq((lo._1, lo._2, "trim_lo"), (hi._1, hi._2, "trim_hi")))
+      .select(groupCols.map(c => col(c).as(s"__pct_g_$c")) :+
+        col("trim_lo") :+ col("trim_hi"): _*)
+    val joinCond = groupCols.map(c => col(c) <=> col(s"__pct_g_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    df.filter(col(valueCol).isNotNull)
+      .join(cuts, joinCond)
+      .groupBy(gc: _*)
+      .agg(max(col("trim_lo")).as("trim_lo"),
+        max(col("trim_hi")).as("trim_hi"),
+        sum(when(col(valueCol).between(col("trim_lo"), col("trim_hi")),
+          col(valueCol))).as("__pct_ksum"),
+        count(when(col(valueCol).between(col("trim_lo"), col("trim_hi")),
+          lit(1))).as("n_kept"),
+        count(lit(1)).as("n"))
+      .select(gc :+ col("trim_lo") :+ col("trim_hi") :+
+        (col("__pct_ksum").cast("double") / col("n_kept")).as("trimmed_mean") :+
+        col("n_kept") :+ col("n"): _*)
+  }
 }

@@ -409,6 +409,21 @@ object Aggregates {
           round(col("winsor_mean"), 6).as("winsor_mean"), col("n"))
         .orderBy(col("o_orderstatus"))),
 
+    // §2.4 TRIMMED mean — q_agg_winsor's sibling: rows outside the
+    // p05/p95 cuts are DROPPED, not clipped (the two standard robust
+    // means; reporting both n_kept and n makes the trimmed-away count
+    // auditable). Same engine, same scale shape — the only new work is
+    // a map-only conditional agg; zero new float surface (exact sums,
+    // one division, 6dp).
+    "q_agg_trimmed" -> ((s, d) =>
+      graft.operators.Percentiles.trimmedMean(
+          T.orders(s, d).select(col("o_orderstatus"), col("o_totalprice")),
+          Seq("o_orderstatus"), "o_totalprice")
+        .select(col("o_orderstatus"), col("trim_lo"), col("trim_hi"),
+          round(col("trimmed_mean"), 6).as("trimmed_mean"),
+          col("n_kept"), col("n"))
+        .orderBy(col("o_orderstatus"))),
+
     // §2.2/§2.7 null semantics: outer-join-produced nulls through
     // null-safe equality, coalesce chains, and the count(col) vs count(*)
     // distinction. NULL keys group together (both engines).
@@ -780,6 +795,36 @@ object Aggregates {
             ON o.o_orderstatus IS NOT DISTINCT FROM c.st
           WHERE o.o_totalprice IS NOT NULL
           GROUP BY 1, c.winsor_lo, c.winsor_hi
+          ORDER BY o.o_orderstatus""",
+    // Same generated-cut chain as q_agg_winsor; survivors filtered by
+    // inclusive BETWEEN instead of clipped.
+    "q_agg_trimmed" ->
+      s"""WITH ${pctMarked("", ords, "o_orderstatus", "o_totalprice", None)}, rk AS (
+            SELECT *,
+              GREATEST(1, (1 * n + 19) // 20) AS k0,
+              GREATEST(1, (19 * n + 19) // 20) AS k1
+            FROM marked
+          ), cuts AS (
+            SELECT o_orderstatus AS st,
+              MAX(CASE WHEN cum_start < k0 AND k0 <= cum_end THEN v END) AS trim_lo,
+              MAX(CASE WHEN cum_start < k1 AND k1 <= cum_end THEN v END) AS trim_hi
+            FROM rk GROUP BY 1
+          )
+          SELECT o.o_orderstatus,
+            c.trim_lo, c.trim_hi,
+            round(CAST(SUM(CASE WHEN o.o_totalprice
+                                BETWEEN c.trim_lo AND c.trim_hi
+                                THEN o.o_totalprice END) AS DOUBLE)
+                  / COUNT(CASE WHEN o.o_totalprice
+                               BETWEEN c.trim_lo AND c.trim_hi
+                               THEN 1 END), 6) AS trimmed_mean,
+            COUNT(CASE WHEN o.o_totalprice BETWEEN c.trim_lo AND c.trim_hi
+                       THEN 1 END) AS n_kept,
+            COUNT(*) AS n
+          FROM $ords o JOIN cuts c
+            ON o.o_orderstatus IS NOT DISTINCT FROM c.st
+          WHERE o.o_totalprice IS NOT NULL
+          GROUP BY 1, c.trim_lo, c.trim_hi
           ORDER BY o.o_orderstatus""",
     "q_nulls" ->
       s"""SELECT parity, COUNT(*) AS n_rows,

@@ -209,6 +209,16 @@ class GraftFacadeSuite extends SparkSuite {
     assert(out === Map(
       "g1" -> ((1, 19, 209.0 / 20.0, 20L)),
       "g2" -> ((7, 7, 7.0, 2L))), s"$out")
+    // trimmed sibling on the same frame: the 20 is DROPPED (mean over
+    // 1..19 = 10.0, n_kept 19), not clipped; constant group unchanged
+    val tr = Graft.trimmedMean(df, Seq("region"), "amount")
+      .collect().map(r => r.getAs[String]("region") ->
+        ((r.getAs[Int]("trim_lo"), r.getAs[Int]("trim_hi"),
+          r.getAs[Double]("trimmed_mean"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n")))).toMap
+    assert(tr === Map(
+      "g1" -> ((1, 19, 10.0, 19L, 20L)),
+      "g2" -> ((7, 7, 7.0, 2L, 2L))), s"$tr")
   }
 
   test("simDupPairs finds frequency-profile near-dups within blocks on a custom schema") {
@@ -457,6 +467,8 @@ class GraftFacadeSuite extends SparkSuite {
         Graft.containPairs(emptyCorpus, "item_no", "body", Seq("shelf"), 9, 10)),
       "winsorizedMean" -> (() =>
         Graft.winsorizedMean(emptyGv, Seq("grp"), "v")),
+      "trimmedMean" -> (() =>
+        Graft.trimmedMean(emptyGv, Seq("grp"), "v")),
       "simDupPairs" -> (() =>
         Graft.simDupPairs(emptyCorpus, "item_no", "body", Seq("shelf"))),
       "embDupPairs" -> (() =>

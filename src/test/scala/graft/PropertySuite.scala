@@ -344,10 +344,21 @@ class PropertySuite extends AnyFunSuite {
         .collect()(0)
       val meanOk =
         full.getAs[Double]("winsor_mean") == xs.map(_.toLong).sum.toDouble / n
-      winsorOk && meanOk
+      // the trimmed sibling against ITS naive definition (drop, not
+      // clip; inclusive cuts) on the same multiset
+      val t = graft.operators.Percentiles
+        .trimmedMean(df, Seq("grp"), "v").collect()(0)
+      val kept = xs.filter(v => v >= lo && v <= hi)
+      val trimOk = t.getAs[Int]("trim_lo") == lo &&
+        t.getAs[Int]("trim_hi") == hi &&
+        t.getAs[Long]("n_kept") == kept.length &&
+        t.getAs[Long]("n") == n &&
+        t.getAs[Double]("trimmed_mean") ==
+          kept.map(_.toLong).sum.toDouble / kept.length
+      winsorOk && meanOk && trimOk
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
-    assert(res.passed, s"winsorizedMean: ${res.status}")
+    assert(res.passed, s"winsorizedMean/trimmedMean: ${res.status}")
   }
 
   test("Spark law: weighted Percentiles.disc == unweighted disc over the replicated multiset") {
