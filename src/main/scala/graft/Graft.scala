@@ -397,6 +397,17 @@ object Graft {
                   hi: (Int, Int) = (19, 20)): DataFrame =
     graft.operators.Percentiles.trimmedMean(df, groupCols, valueCol, lo, hi)
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic per group — the
+    * split/sample QA audit (graded q_llm_ksdrift's engine): max CDF gap
+    * of `valueCol` between the rows where `sideACol` is true (sample A)
+    * and false (sample B); NULL side or value → excluded. Returns
+    * groupCols…, ks_stat (unrounded double; NULL if either side is
+    * empty), ks_at (smallest value attaining the max gap), n_a, n_b.
+    * Shuffle ∝ distinct (group, value) pairs, never ∝ rows. */
+  def ksDrift(df: DataFrame, groupCols: Seq[String], valueCol: String,
+              sideACol: String): DataFrame =
+    graft.operators.Drift.ksDrift(df, groupCols, valueCol, col(sideACol))
+
   /** Deterministic hash split over any id: engine- and layout-stable
     * bucket in [0, buckets) — never `rand()` (q_llm_split's contract:
     * any row's assignment is computable without a scan). */

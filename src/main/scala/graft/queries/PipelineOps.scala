@@ -409,6 +409,20 @@ object PipelineOps {
           least(size(split(col("text"), " ")), lit(WsCap)).cast("long").as("w")),
         "doc_id", "w", WsDen)
         .orderBy(col("doc_id"))),
+    // §2.10 split-drift audit (r10): two-sample KS of the doc-length
+    // distribution between the train (bucket < 8) and holdout sides of
+    // THE q_llm_split hash split, per language — the QA gate that
+    // catches a biased split before training does. Scale shape: the
+    // corpus collapses to distinct (lang, length) pairs first (shuffle
+    // ∝ the length domain, not rows); counts stay integer end-to-end;
+    // the CDF gap is two IEEE divisions + one subtraction, shipped
+    // UNROUNDED (deterministic primitives — §7.4 without rounding).
+    "q_llm_ksdrift" -> ((s, d) =>
+      graft.operators.Drift.ksDrift(
+          T.documents(s, d).select(col("lang"), col("n_chars"),
+            (bucketCol < 8).as("is_train")),
+          Seq("lang"), "n_chars", col("is_train"))
+        .orderBy(col("lang"))),
     "q_llm_chunk" -> ((s, d) =>
       chunk(T.documents(s, d), ChunkSize, ChunkStride)),
     "q_llm_contam" -> ((s, d) => contamAudit(T.documents(s, d))),
@@ -520,6 +534,40 @@ object PipelineOps {
             FROM $doc) x
           WHERE ${Det.sqlMd5h32("CAST(doc_id AS VARCHAR)")} % $WsDen < w
           ORDER BY doc_id""",
+    // Split-drift KS: pooled per-(lang, length) side counts → integer
+    // cumulative sums → CDF gap (the only floats: two divisions + one
+    // subtraction, unrounded) → max + smallest-argmax. The CTE chain
+    // mirrors the Spark window plan stage for stage.
+    "q_llm_ksdrift" ->
+      s"""WITH s AS (
+            SELECT lang, n_chars AS v,
+              (${Det.sqlMd5h32("CAST(doc_id AS VARCHAR)")} % 10 < 8) AS a
+            FROM $doc WHERE n_chars IS NOT NULL
+          ), pooled AS (
+            SELECT lang, v,
+              SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+              SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cb
+            FROM s GROUP BY 1, 2
+          ), c AS (
+            SELECT lang, v,
+              SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS cum_a,
+              SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS cum_b,
+              SUM(ca) OVER (PARTITION BY lang) AS na,
+              SUM(cb) OVER (PARTITION BY lang) AS nb
+            FROM pooled
+          ), g AS (
+            SELECT lang, v, na, nb,
+              CASE WHEN na > 0 AND nb > 0 THEN
+                ABS(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE)) END AS gap
+            FROM c
+          ), m AS (
+            SELECT *, MAX(gap) OVER (PARTITION BY lang) AS mx FROM g
+          )
+          SELECT lang, MAX(gap) AS ks_stat,
+            MIN(CASE WHEN gap = mx THEN v END) AS ks_at,
+            CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
+          FROM m GROUP BY 1 ORDER BY lang""",
     "q_llm_sample" ->
       s"""SELECT doc_id, lang, source, hk, CAST(rk AS INTEGER) AS rk FROM (
             SELECT doc_id, lang, source, hk,

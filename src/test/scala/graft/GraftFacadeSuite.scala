@@ -221,6 +221,24 @@ class GraftFacadeSuite extends SparkSuite {
       "g2" -> ((7, 7, 7.0, 2L, 2L))), s"$tr")
   }
 
+  test("ksDrift computes the exact two-sample KS gap, smallest argmax, and NULLs a one-sided group") {
+    // g1: A={1,2,3,4}, B={3,4,5,6} — F_A/F_B gaps over the pooled axis
+    // are .25,.5,.5,.5,.25,0 → ks=.5 first attained at v=2 (smallest
+    // argmax is the documented tie-break). g2 is one-sided: no defined
+    // KS → NULL stat/argmax but real n_a/n_b counts.
+    val df = (Seq(1, 2, 3, 4).map(v => ("g1", v, true)) ++
+      Seq(3, 4, 5, 6).map(v => ("g1", v, false)) ++
+      Seq(9, 10).map(v => ("g2", v, true)))
+      .toDF("region", "amount", "in_train")
+    val out = Graft.ksDrift(df, Seq("region"), "amount", "in_train")
+      .collect().map(r => r.getAs[String]("region") ->
+        ((Option(r.getAs[Any]("ks_stat")), Option(r.getAs[Any]("ks_at")),
+          r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))).toMap
+    assert(out === Map(
+      "g1" -> ((Some(0.5), Some(2), 4L, 4L)),
+      "g2" -> ((None, None, 2L, 0L))), s"$out")
+  }
+
   test("simDupPairs finds frequency-profile near-dups within blocks on a custom schema") {
     val out = Graft.simDupPairs(corpus, "item_no", "body", Seq("shelf"))
       .collect()
@@ -469,6 +487,9 @@ class GraftFacadeSuite extends SparkSuite {
         Graft.winsorizedMean(emptyGv, Seq("grp"), "v")),
       "trimmedMean" -> (() =>
         Graft.trimmedMean(emptyGv, Seq("grp"), "v")),
+      "ksDrift" -> (() =>
+        Graft.ksDrift(emptyGv.withColumn("a", col("v") > 0),
+          Seq("grp"), "v", "a")),
       "simDupPairs" -> (() =>
         Graft.simDupPairs(emptyCorpus, "item_no", "body", Seq("shelf"))),
       "embDupPairs" -> (() =>

@@ -280,6 +280,33 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.toLowerCase.contains("join"), s"pack grew a join:\n$plan")
   }
 
+  test("q_llm_ksdrift: corpus collapses to distinct (lang, length) pairs; all three windows ride ONE group exchange; text never read") {
+    val df = q("q_llm_ksdrift")
+    val plan = planString(df)
+    // exactly 3 exchanges: the pooled hash agg (∝ distinct values — the
+    // only row-proportional stage), the lang window partition, and the
+    // presentation sort. A 4th would mean a window or the final agg
+    // stopped reusing the lang partitioning.
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 3,
+      s"ksDrift expected 3 exchanges (pool, group, sort), got $exchanges:\n$plan")
+    assert("Window".r.findAllIn(plan).length === 3, // cum, totals, argmax-max
+      s"ksDrift window fusion changed:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"ksDrift grew a join:\n$plan")
+    // text is the byte-dominant column — the scan must prune it, or a
+    // 100 TB audit reads the whole corpus to compare two histograms
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val read = scans(df.queryExecution.executedPlan)
+      .flatMap(_.requiredSchema.fieldNames).toSet
+    assert(read == Set("doc_id", "lang", "n_chars"),
+      s"ksDrift scan reads $read — text must stay pruned")
+  }
+
   test("q_llm_contam: probe is an equi-join against the distinct train vocabulary — no all-pairs operator") {
     val plan = planString(q("q_llm_contam"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -361,6 +361,44 @@ class PropertySuite extends AnyFunSuite {
     assert(res.passed, s"winsorizedMean/trimmedMean: ${res.status}")
   }
 
+  test("Spark law: ksDrift equals the naive pooled-CDF max-gap on any two-sample multiset") {
+    // The engine must be a pure refactoring of "walk the pooled distinct
+    // values, compare the two empirical CDFs, take the max gap and its
+    // smallest witness". EXACT double equality: both sides run the same
+    // IEEE primitives (long→double cast, divide, subtract, abs) in the
+    // same order, so not even an ulp may differ. One-sided inputs (a
+    // generator case) must yield NULL stat/argmax, never a throw or an
+    // engine-specific x/0 artifact.
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val rows = Gen.resize(28,
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-20, 20), Gen.oneOf(true, false))))
+    val prop = Prop.forAll(rows) { (xs: List[(Int, Boolean)]) =>
+      val df = xs.map { case (v, a) => ("g", v, a) }.toDF("grp", "v", "a")
+      val r = graft.operators.Drift
+        .ksDrift(df, Seq("grp"), "v", org.apache.spark.sql.functions.col("a"))
+        .collect()(0)
+      val va = xs.filter(_._2).map(_._1)
+      val vb = xs.filterNot(_._2).map(_._1)
+      val (na, nb) = (va.length, vb.length)
+      val cntOk = r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb
+      if (na == 0 || nb == 0)
+        cntOk && r.isNullAt(r.fieldIndex("ks_stat")) &&
+          r.isNullAt(r.fieldIndex("ks_at"))
+      else {
+        val gaps = xs.map(_._1).distinct.sorted.map { v =>
+          (v, math.abs(va.count(_ <= v).toLong.toDouble / na.toLong.toDouble
+            - vb.count(_ <= v).toLong.toDouble / nb.toLong.toDouble))
+        }
+        val ks = gaps.map(_._2).max
+        cntOk && r.getAs[Double]("ks_stat") == ks &&
+          r.getAs[Int]("ks_at") == gaps.filter(_._2 == ks).map(_._1).min
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"ksDrift: ${res.status}")
+  }
+
   test("Spark law: weighted Percentiles.disc == unweighted disc over the replicated multiset") {
     // The weighted percentile's DEFINING property: attaching weight w to
     // a row must give exactly the result of physically replicating the
