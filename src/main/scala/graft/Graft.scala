@@ -408,6 +408,24 @@ object Graft {
               sideACol: String): DataFrame =
     graft.operators.Drift.ksDrift(df, groupCols, valueCol, col(sideACol))
 
+  /** 1-D Wasserstein (earth mover's) drift per group — [[ksDrift]]'s
+    * magnitude-sensitive companion (graded q_llm_emddrift's engine):
+    * total CDF-gap area between the two sides of `sideACol`. The sum is
+    * exact integer arithmetic (order-free); emd ships at 6dp. Returns
+    * groupCols…, emd, n_a, n_b. */
+  def emdDrift(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               sideACol: String): DataFrame =
+    graft.operators.Drift.emdDrift(df, groupCols, valueCol, col(sideACol))
+
+  /** Chi-squared independence audit of two categorical columns with
+    * Cramér's V (graded q_text_chisq's engine) — the "is my source mix
+    * the same in every language" stratification-bias gate. ONE global
+    * row: chi2 (6dp), dof, cramers_v (6dp; NULL when dof=0), n_cells,
+    * n. The corpus collapses to its contingency cells first (shuffle ∝
+    * ∣A∣·∣B∣, KBs at any corpus size). */
+  def chiSquared(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    graft.operators.Drift.chiSquared(df, aCol, bCol)
+
   /** Deterministic hash split over any id: engine- and layout-stable
     * bucket in [0, buckets) — never `rand()` (q_llm_split's contract:
     * any row's assignment is computable without a scan). */

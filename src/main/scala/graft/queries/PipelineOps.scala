@@ -423,6 +423,18 @@ object PipelineOps {
             (bucketCol < 8).as("is_train")),
           Seq("lang"), "n_chars", col("is_train"))
         .orderBy(col("lang"))),
+    // §2.10 split-drift EMD (r10): the 1-D Wasserstein companion to
+    // q_llm_ksdrift — total probability-mass × distance between the
+    // split sides' length distributions (KS flags the worst point; EMD
+    // sizes the whole shift). The sum is EXACT integer arithmetic
+    // carried in decimal (order-free — a float sum would be
+    // layout-dependent); the one float division is rounded at 6dp.
+    "q_llm_emddrift" -> ((s, d) =>
+      graft.operators.Drift.emdDrift(
+          T.documents(s, d).select(col("lang"), col("n_chars"),
+            (bucketCol < 8).as("is_train")),
+          Seq("lang"), "n_chars", col("is_train"))
+        .orderBy(col("lang"))),
     "q_llm_chunk" -> ((s, d) =>
       chunk(T.documents(s, d), ChunkSize, ChunkStride)),
     "q_llm_contam" -> ((s, d) => contamAudit(T.documents(s, d))),
@@ -568,6 +580,41 @@ object PipelineOps {
             MIN(CASE WHEN gap = mx THEN v END) AS ks_at,
             CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
           FROM m GROUP BY 1 ORDER BY lang""",
+    // Split-drift EMD: same pooled-CDF chain; the per-value term
+    // |cum_a·n_b − cum_b·n_a|·Δv stays integer (HUGEINT — the twin of
+    // the engine's DECIMAL(38,0)), summed exactly; one rounded division.
+    "q_llm_emddrift" ->
+      s"""WITH s AS (
+            SELECT lang, n_chars AS v,
+              (${Det.sqlMd5h32("CAST(doc_id AS VARCHAR)")} % 10 < 8) AS a
+            FROM $doc WHERE n_chars IS NOT NULL
+          ), pooled AS (
+            SELECT lang, v,
+              SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+              SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cb
+            FROM s GROUP BY 1, 2
+          ), c AS (
+            SELECT lang, v,
+              SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS cum_a,
+              SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS cum_b,
+              SUM(ca) OVER (PARTITION BY lang) AS na,
+              SUM(cb) OVER (PARTITION BY lang) AS nb
+            FROM pooled
+          ), g AS (
+            SELECT lang, na, nb,
+              LEAD(v) OVER (PARTITION BY lang ORDER BY v) - v AS dv,
+              ABS(CAST(cum_a AS HUGEINT) * CAST(nb AS HUGEINT)
+                - CAST(cum_b AS HUGEINT) * CAST(na AS HUGEINT)) AS num
+            FROM c
+          )
+          SELECT lang,
+            CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+              round(COALESCE(CAST(SUM(CASE WHEN dv IS NOT NULL
+                                         THEN num * dv END) AS DOUBLE), 0.0)
+                / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)), 6)
+            END AS emd,
+            CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
+          FROM g GROUP BY 1 ORDER BY lang""",
     "q_llm_sample" ->
       s"""SELECT doc_id, lang, source, hk, CAST(rk AS INTEGER) AS rk FROM (
             SELECT doc_id, lang, source, hk,

@@ -227,6 +227,15 @@ object TextOps {
     // (order-insensitive content identity) + cluster stats per
     // fingerprint — groupBy + join-back, not a window over fp (see
     // q_llm_dedup: a mega-cluster would hot-spot one window partition).
+    // §2.10 corpus-composition audit (r10): Pearson chi-squared of the
+    // lang × source contingency table + Cramér's V — "is the source mix
+    // the same in every language?", the stratification-bias gate behind
+    // mixture reweighting. The corpus collapses to its ≤|lang|·|source|
+    // cells first; (O−E)²/E terms are summed by an ORDERED running
+    // window (layout-independent; order-matched to the oracle) and chi2
+    // and V ship at 6dp. Single global row — provably ordered.
+    "q_text_chisq" -> ((s, d) =>
+      graft.operators.Drift.chiSquared(T.documents(s, d), "lang", "source")),
     "q_text_fingerprint" -> ((s, d) => {
       val docs = T.documents(s, d)
         .select(col("doc_id"),
@@ -246,6 +255,42 @@ object TextOps {
     s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${set.map(x => s"'$x'").mkString(", ")}))) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    // chi-squared composition audit: cells → window totals → per-cell
+    // (O−E)²/E → ORDERED running sum (the same (a,b)-ordered additions
+    // as the Spark window, so even the float sum is order-matched);
+    // chi2/V rounded at 6dp, V's sqrt from the UNROUNDED sum.
+    "q_text_chisq" ->
+      s"""WITH cells AS (
+            SELECT lang AS a, source AS b, COUNT(*) AS o
+            FROM $doc WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1, 2
+          ), t AS (
+            SELECT a, b, o,
+              SUM(o) OVER (PARTITION BY a) AS ra,
+              SUM(o) OVER (PARTITION BY b) AS cb,
+              SUM(o) OVER () AS n
+            FROM cells
+          ), e AS (
+            SELECT a, b, o, n,
+              CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) AS ev
+            FROM t
+          ), r AS (
+            SELECT a, b, n,
+              SUM((CAST(o AS DOUBLE) - ev) * (CAST(o AS DOUBLE) - ev) / ev)
+                OVER (ORDER BY a, b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+            FROM e
+          )
+          SELECT round(MAX(run), 6) AS chi2,
+            CASE WHEN COUNT(*) > 0 THEN
+              (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) END AS dof,
+            CASE WHEN LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1 > 0 THEN
+              round(sqrt(MAX(run) / (CAST(MAX(n) AS DOUBLE) *
+                CAST(LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1
+                     AS DOUBLE))), 6)
+            END AS cramers_v,
+            COUNT(*) AS n_cells, CAST(MAX(n) AS BIGINT) AS n
+          FROM r""",
     "q_text_dupstats" ->
       s"""SELECT lang, source, COUNT(*) AS n_docs,
             COUNT(DISTINCT md5(text)) AS n_uniq,

@@ -239,6 +239,45 @@ class GraftFacadeSuite extends SparkSuite {
       "g2" -> ((None, None, 2L, 0L))), s"$out")
   }
 
+  test("emdDrift integrates the exact CDF-gap area; chiSquared matches the textbook 2×2 identity") {
+    // g1: A={1,2}, B={3,4} fully separated — gaps over pooled values
+    // 1,2,3 are .5, 1, .5 with unit steps → EMD = 2.0 (mean shift of
+    // 2, the textbook answer for disjoint equal-size samples).
+    // g2: identical single-point supports → 0.0. One-sided g3 → NULL.
+    val df = (Seq(1, 2).map(v => ("g1", v, true)) ++
+      Seq(3, 4).map(v => ("g1", v, false)) ++
+      Seq(("g2", 5, true), ("g2", 5, false), ("g3", 1, true)))
+      .toDF("region", "amount", "in_train")
+    val out = Graft.emdDrift(df, Seq("region"), "amount", "in_train")
+      .collect().map(r => r.getAs[String]("region") ->
+        ((Option(r.getAs[Any]("emd")), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b")))).toMap
+    assert(out === Map("g1" -> ((Some(2.0), 2L, 2L)),
+      "g2" -> ((Some(0.0), 1L, 1L)),
+      "g3" -> ((None, 1L, 0L))), s"$out")
+    // 2×2 chi-squared identity: chi2 = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d));
+    // cells a=3,b=1,c=1,d=3 → chi2 = 8·(9−1)²/(4·4·4·4) = 2.0, dof 1,
+    // V = sqrt(2/8) = 0.5, 4 cells, N=8.
+    val cat = (Seq.fill(3)(("en", "web")) ++ Seq(("en", "book")) ++
+      Seq(("fr", "web")) ++ Seq.fill(3)(("fr", "book")))
+      .toDF("lang_c", "src_c")
+    val c = Graft.chiSquared(cat, "lang_c", "src_c").collect()(0)
+    assert(c.getAs[Double]("chi2") === 2.0 && c.getAs[Long]("dof") === 1L &&
+      c.getAs[Double]("cramers_v") === 0.5 &&
+      c.getAs[Long]("n_cells") === 4L && c.getAs[Long]("n") === 8L, s"$c")
+    // chiSquared is a GLOBAL aggregate: an empty input still yields its
+    // one row, with NULL stats and a zero cell count — not the
+    // (0−1)·(0−1)=1 dof artifact
+    val empty = Graft.chiSquared(
+      Seq.empty[(String, String)].toDF("lang_c", "src_c"), "lang_c", "src_c")
+      .collect()
+    assert(empty.length === 1)
+    assert(empty(0).isNullAt(empty(0).fieldIndex("chi2")) &&
+      empty(0).isNullAt(empty(0).fieldIndex("dof")) &&
+      empty(0).isNullAt(empty(0).fieldIndex("cramers_v")) &&
+      empty(0).getAs[Long]("n_cells") === 0L, s"${empty(0)}")
+  }
+
   test("simDupPairs finds frequency-profile near-dups within blocks on a custom schema") {
     val out = Graft.simDupPairs(corpus, "item_no", "body", Seq("shelf"))
       .collect()
@@ -489,6 +528,9 @@ class GraftFacadeSuite extends SparkSuite {
         Graft.trimmedMean(emptyGv, Seq("grp"), "v")),
       "ksDrift" -> (() =>
         Graft.ksDrift(emptyGv.withColumn("a", col("v") > 0),
+          Seq("grp"), "v", "a")),
+      "emdDrift" -> (() =>
+        Graft.emdDrift(emptyGv.withColumn("a", col("v") > 0),
           Seq("grp"), "v", "a")),
       "simDupPairs" -> (() =>
         Graft.simDupPairs(emptyCorpus, "item_no", "body", Seq("shelf"))),

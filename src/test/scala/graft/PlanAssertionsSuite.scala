@@ -52,7 +52,7 @@ class PlanAssertionsSuite extends SparkSuite {
       case _ => false
     }
     // global aggregates produce exactly one row — order vacuous
-    val singleRow = Set("q_agg_global")
+    val singleRow = Set("q_agg_global", "q_text_chisq")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !singleRow(name) =>
         if (ordered(fn(spark, sf).queryExecution.analyzed)) None else Some(name)
@@ -305,6 +305,52 @@ class PlanAssertionsSuite extends SparkSuite {
       .flatMap(_.requiredSchema.fieldNames).toSet
     assert(read == Set("doc_id", "lang", "n_chars"),
       s"ksDrift scan reads $read — text must stay pruned")
+  }
+
+  test("q_llm_emddrift: same distinct-value collapse as ksdrift; exact-decimal sum (no float aggregate); text pruned") {
+    val df = q("q_llm_emddrift")
+    val plan = planString(df)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 3,
+      s"emdDrift expected 3 exchanges (pool, group, sort), got $exchanges:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"emdDrift grew a join:\n$plan")
+    // the integral must be summed as decimal (exact, order-free); a
+    // sum(double) in the final aggregate would be layout-dependent
+    val agg = df.queryExecution.optimizedPlan.toString
+    assert(agg.contains("sum(__ks_num"), s"emdDrift lost its decimal sum:\n$agg")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val read = scans(df.queryExecution.executedPlan)
+      .flatMap(_.requiredSchema.fieldNames).toSet
+    assert(read == Set("doc_id", "lang", "n_chars"),
+      s"emdDrift scan reads $read — text must stay pruned")
+  }
+
+  test("q_text_chisq: corpus collapses to contingency cells BEFORE the single-partition window section") {
+    // The windows (row/col/grand totals, ordered sum) run on ONE
+    // partition by design — sound only because the input is the cell
+    // table (≤ |lang|·|source| rows), never the corpus. The pin: every
+    // SinglePartition exchange must sit ABOVE the cell-collapse
+    // aggregate, so corpus rows can never reach the serial section.
+    // (Textual: the plan tree is a straight line here, so "below a
+    // node" = later toString lines; NOTE AdaptiveSparkPlanExec
+    // .inputPlan is pre-EnsureRequirements — it has NO exchanges — so a
+    // structural walk would vacuously pass. The toString shows the
+    // prepared plan.)
+    val df = q("q_text_chisq")
+    val lines = planString(df).linesIterator.toSeq
+    val lastSingle = lines.lastIndexWhere(_.contains("Exchange SinglePartition"))
+    assert(lastSingle >= 0,
+      s"expected the single-partition window section:\n${planString(df)}")
+    val below = lines.drop(lastSingle + 1)
+    assert(below.count(_.contains("HashAggregate")) >= 2, // partial+final cells
+      s"corpus rows reach the single-partition section unaggregated:\n${planString(df)}")
+    assert(!planString(df).toLowerCase.contains("join"),
+      s"chisq grew a join:\n${planString(df)}")
   }
 
   test("q_llm_contam: probe is an equi-join against the distinct train vocabulary — no all-pairs operator") {

@@ -399,6 +399,84 @@ class PropertySuite extends AnyFunSuite {
     assert(res.passed, s"ksDrift: ${res.status}")
   }
 
+  test("Spark law: emdDrift equals the naive exact-rational CDF-area on any two-sample multiset") {
+    // The engine's sum is exact integer arithmetic, so the mirror can be
+    // an exact BigInt rational: Σ |cum_a·n_b − cum_b·n_a|·Δv over the
+    // pooled axis, divided once and rounded the way Spark's round(_, 6)
+    // rounds (BigDecimal HALF_UP). Any mismatch — a lost term, a
+    // precision-truncated decimal, a different rounding mode — fails
+    // exactly, not approximately.
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val rows = Gen.resize(28,
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-30, 30), Gen.oneOf(true, false))))
+    val prop = Prop.forAll(rows) { (xs: List[(Int, Boolean)]) =>
+      val df = xs.map { case (v, a) => ("g", v, a) }.toDF("grp", "v", "a")
+      val r = graft.operators.Drift
+        .emdDrift(df, Seq("grp"), "v", org.apache.spark.sql.functions.col("a"))
+        .collect()(0)
+      val va = xs.filter(_._2).map(_._1)
+      val vb = xs.filterNot(_._2).map(_._1)
+      val (na, nb) = (va.length, vb.length)
+      val cntOk = r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb
+      if (na == 0 || nb == 0) cntOk && r.isNullAt(r.fieldIndex("emd"))
+      else {
+        val pooled = xs.map(_._1).distinct.sorted
+        val s = pooled.zip(pooled.drop(1)).map { case (v, nxt) =>
+          (BigInt(va.count(_ <= v)) * nb - BigInt(vb.count(_ <= v)) * na).abs *
+            (nxt - v)
+        }.sum
+        val expect = BigDecimal(
+          s.toDouble / (na.toDouble * nb.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        cntOk && r.getAs[Double]("emd") == expect
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"emdDrift: ${res.status}")
+  }
+
+  test("Spark law: chiSquared equals the naive ordered-sum chi2 on any categorical pair sample") {
+    // The mirror replays the SAME float program: per-cell (O−E)²/E in
+    // (a, b) cell order, accumulated left-to-right — so equality is
+    // exact pre-round, and the 6dp HALF_UP round is mirrored too. Also
+    // pins dof/V/n_cells and the one-column degenerate (dof 0 → V NULL).
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val rows = Gen.resize(30, Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("p", "q", "r"), Gen.oneOf("x", "y"))))
+    val prop = Prop.forAll(rows) { (xs: List[(String, String)]) =>
+      val df = xs.toDF("ca", "cb")
+      val r = graft.operators.Drift.chiSquared(df, "ca", "cb").collect()(0)
+      val cells = xs.groupBy(identity).map { case ((a, b), g) => (a, b, g.size) }
+        .toList.sortBy(c => (c._1, c._2))
+      val n = xs.length
+      val ra = cells.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+      val cb = cells.groupBy(_._2).map { case (k, g) => k -> g.map(_._3).sum }
+      var chi2 = 0.0
+      cells.foreach { case (a, b, o) =>
+        val e = ra(a).toDouble * cb(b).toDouble / n.toDouble
+        chi2 += (o.toDouble - e) * (o.toDouble - e) / e
+      }
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nA, nB) = (ra.size, cb.size)
+      val dof = (nA - 1L) * (nB - 1L)
+      val mindim = math.min(nA, nB) - 1
+      val chiOk = r.getAs[Double]("chi2") == r6(chi2) &&
+        r.getAs[Long]("dof") == dof &&
+        r.getAs[Long]("n_cells") == cells.length && r.getAs[Long]("n") == n
+      val vOk =
+        if (mindim > 0)
+          r.getAs[Double]("cramers_v") ==
+            r6(math.sqrt(chi2 / (n.toDouble * mindim.toDouble)))
+        else r.isNullAt(r.fieldIndex("cramers_v"))
+      chiOk && vOk
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"chiSquared: ${res.status}")
+  }
+
   test("Spark law: weighted Percentiles.disc == unweighted disc over the replicated multiset") {
     // The weighted percentile's DEFINING property: attaching weight w to
     // a row must give exactly the result of physically replicating the
