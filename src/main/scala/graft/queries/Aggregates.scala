@@ -70,6 +70,35 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // §2.4 least-squares regression (r10) — q_agg_corr's sibling on
+    // the SAME exact-decimal power sums: price = slope·qty + intercept
+    // per returnflag, with R². One distributive agg (map-side combine,
+    // shuffle ∝ groups); the sums are exact decimals, the statistics a
+    // deterministic IEEE chain off them (products/divisions only), 6dp.
+    // Zero-variance groups → NULL slope/intercept/r2, never x/0.
+    "q_agg_regr" -> ((s, d) => {
+      val qty = col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(9, 2))
+      val price = col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      val g = T.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(qty).as("sx"), sum(price).as("sy"),
+        sum(qty * qty).as("sxx"), sum(price * price).as("syy"),
+        sum(qty * price).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = col("n").cast("double")
+      val a = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+      val b = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+      val c2 = nD * dbl("syy") - dbl("sy") * dbl("sy")
+      g.select(col("l_returnflag"),
+        when(b =!= 0.0, round(a / b, 6)).as("slope"),
+        when(b =!= 0.0,
+          round((dbl("sy") - (a / b) * dbl("sx")) / nD, 6)).as("intercept"),
+        when(b =!= 0.0 && c2 =!= 0.0,
+          round((a * a) / (b * c2), 6)).as("r2"),
+        col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // §2.4 ordered string aggregation (LISTAGG surface). collect_set's
     // arrival order is nondeterministic — array_sort canonicalizes
     // before the join, so the result is layout-independent; the oracle's
@@ -604,6 +633,51 @@ object Aggregates {
                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
               AS corr_qty_price
+          FROM (
+            SELECT l_returnflag, COUNT(*) AS n,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sx,
+              SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))) AS sxx,
+              SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+            FROM $li GROUP BY l_returnflag) m
+          ORDER BY l_returnflag""",
+    // Same power-sum subquery as q_agg_corr; slope/intercept/R² are the
+    // identical IEEE chain (same parenthesization) off the exact sums.
+    "q_agg_regr" ->
+      s"""SELECT l_returnflag,
+            CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+              ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope,
+            CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+              ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE), 6) END AS intercept,
+            CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0 THEN
+              ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            END AS r2,
+            n
           FROM (
             SELECT l_returnflag, COUNT(*) AS n,
               SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sx,
