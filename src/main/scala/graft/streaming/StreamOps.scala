@@ -52,6 +52,18 @@ case class RetOut(user_id: Long, cohort_us: Long, mask: Int)
 /** As-of enrichment state: the max-(ts, id) click seen per key. */
 case class AsofState(cId: Long, cUs: Long)
 
+/** Drift-monitor input: group, orderable value, side flag (true = A). */
+case class DriftRowIn(grp: String, v: Long, a: Boolean)
+
+/** Drift-monitor state: the distinct-value histogram — (side-A count,
+  * side-B count) per pooled value. Integer-only, arrival-order-free. */
+case class DriftHist(vs: Map[Long, (Long, Long)])
+
+/** Drift-monitor emission: current KS per group (None when a side is
+  * still empty), smallest argmax value, and both side counts. */
+case class DriftOut(grp: String, ks_stat: Option[Double],
+                    ks_at: Option[Long], n_a: Long, n_b: Long)
+
 /** Funnel-tracker state: stage timestamps in µs, -1 = stage not reached. */
 case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
 
@@ -442,6 +454,53 @@ object StreamOps {
             call_function("graft_might_contain", lit(b),
               xxhash64(col(contentCol))), lit(false)))
           .getOrElse(lit(false))))
+  }
+
+  /** Streaming drift monitor — the stateful twin of the batch
+    * [[graft.operators.Drift.ksDrift]] (graded q_llm_ksdrift): per
+    * group, the two-sample KS statistic of everything ingested SO FAR,
+    * refreshed on every micro-batch — the live "is my ingest drifting
+    * from the reference sample" gauge.
+    *
+    * State per group is the distinct-value histogram (two integer
+    * counts per pooled value) — EXACTLY the rows the batch plan
+    * shuffles, so state is bounded by the VALUE DOMAIN (doc lengths,
+    * scores), never by the stream. Counts are integers, so state is
+    * arrival-order-free across micro-batches; the KS double is a pure
+    * function of state recomputed at each emission by the SAME IEEE
+    * program as the batch engine (long→double casts, two divisions,
+    * subtract, abs; strict-> scan in ascending value order = the batch
+    * smallest-argmax tie-break) — so stream ≡ batch is EXACT double
+    * equality, and no [[scaled4]] state scaling is needed (that
+    * contract exists for SUMS accumulated in state, which this op
+    * never does). */
+  def ksDriftMonitor(rows: Dataset[DriftRowIn]): Dataset[DriftOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.grp)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[DriftRowIn], state: GroupState[DriftHist]) =>
+          val m = collection.mutable.Map.empty[Long, (Long, Long)]
+          state.getOption.foreach(h => m ++= h.vs)
+          it.foreach { r =>
+            val (ca, cb) = m.getOrElse(r.v, (0L, 0L))
+            m(r.v) = if (r.a) (ca + 1L, cb) else (ca, cb + 1L)
+          }
+          state.update(DriftHist(m.toMap))
+          val na = m.valuesIterator.map(_._1).sum
+          val nb = m.valuesIterator.map(_._2).sum
+          if (na == 0L || nb == 0L) DriftOut(grp, None, None, na, nb)
+          else {
+            var cumA = 0L; var cumB = 0L
+            var best = Double.NegativeInfinity; var bestAt = 0L
+            m.keysIterator.toSeq.sorted.foreach { v =>
+              val c = m(v); cumA += c._1; cumB += c._2
+              val gap = math.abs(cumA.toDouble / na.toDouble
+                - cumB.toDouble / nb.toDouble)
+              if (gap > best) { best = gap; bestAt = v }
+            }
+            DriftOut(grp, Some(best), Some(bestAt), na, nb)
+          }
+      }
   }
 
   /** The reference's raison d'être as a stateful streaming operator:

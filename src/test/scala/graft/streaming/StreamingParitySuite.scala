@@ -1246,6 +1246,49 @@ class StreamingParitySuite extends SparkSuite {
       s"stream screen diverged from batch: stream=$streamed batch=$batch")
   }
 
+  test("streaming drift monitor: per-batch KS over accumulated state; final emission == batch ksDrift exactly") {
+    import graft.streaming.{DriftRowIn, DriftOut}
+    // g1 interleaves sides across batches; g2 stays ONE-SIDED until the
+    // last batch (the mid-stream None contract), then completes.
+    val b1 = Seq(DriftRowIn("g1", 1L, true), DriftRowIn("g1", 3L, false),
+      DriftRowIn("g2", 10L, true))
+    val b2 = Seq(DriftRowIn("g1", 2L, true), DriftRowIn("g1", 4L, false),
+      DriftRowIn("g2", 11L, true))
+    val b3 = Seq(DriftRowIn("g1", 2L, false), DriftRowIn("g1", 5L, true),
+      DriftRowIn("g2", 12L, false))
+    val ms = MemoryStream[DriftRowIn](spark)
+    val q = graft.streaming.StreamOps.ksDriftMonitor(ms.toDS())
+      .writeStream.format("memory").queryName("drift_mon")
+      .outputMode("update").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      // one-sided g2 must emit None, not a throw or an x/0 artifact
+      val early = spark.table("drift_mon").as[DriftOut].collect()
+        .filter(o => o.grp == "g2").sortBy(o => o.n_a + o.n_b).head
+      assert(early.ks_stat.isEmpty && early.ks_at.isEmpty &&
+        early.n_a == 1L && early.n_b == 0L, s"$early")
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // the monitor emits once per (group, batch); the final emission per
+    // group is the one with the largest ingested count (monotone)
+    val fin = spark.table("drift_mon").as[DriftOut].collect()
+      .groupBy(_.grp).map { case (g, os) => g -> os.maxBy(o => o.n_a + o.n_b) }
+    val batch = graft.operators.Drift.ksDrift(
+        (b1 ++ b2 ++ b3).toDF("grp", "v", "a"), Seq("grp"), "v", col("a"))
+      .collect().map { r =>
+        r.getAs[String]("grp") ->
+          ((Option(r.getAs[Any]("ks_stat")), Option(r.getAs[Any]("ks_at")),
+            r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      }.toMap
+    assert(fin.keySet == batch.keySet)
+    fin.foreach { case (g, o) =>
+      // EXACT double equality: both sides run the same IEEE program
+      assert((o.ks_stat, o.ks_at, o.n_a, o.n_b) === batch(g),
+        s"group $g: stream $o vs batch ${batch(g)}")
+    }
+  }
+
   test("stream-static join: stream enriched against a static dimension == batch join") {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
     val ms = MemoryStream[Event](spark)
