@@ -15,19 +15,34 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp (PARQUET_TYPE_ILLEGAL). With the session-level
-    * `spark.sql.legacy.parquet.nanosAsLong` flag (set at session build in
-    * [[LocalSession]]) it reads as a nanos long; truncate to µs — exactly
-    * what DuckDB does on read (SURVEY §1.2), so both engines see identical
-    * µs timestamps. */
+  /** `events.ts` has shipped in two physical generations of the testdata:
+    * parquet TIMESTAMP(NANOS) (read as a nanos long via the session-level
+    * `spark.sql.legacy.parquet.nanosAsLong` flag, then truncated to µs) and,
+    * since the 2026-08-13 regen, native timestamp[us] without UTC adjustment
+    * (read as TIMESTAMP_NTZ). The loader branches on the dtype actually
+    * loaded so both generations normalize to the same logical column:
+    * `ts: TimestampType` at µs precision. The session TZ is pinned UTC
+    * ([[LocalSession]]), so the NTZ→Timestamp cast is value-identical, and
+    * DuckDB reads the µs-native file directly — both engines see identical
+    * µs timestamps either way (SURVEY §1.2). */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // Defensive for foreign sessions (the driver passes its own session,
     // which may not have been built via LocalSession): idempotent no-op
-    // when already set at session build, required for the nanos read.
+    // when already set at session build, required only for the legacy
+    // nanos read; inert when the file stores a real timestamp type.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unexpected dtype $other; Tables.eventsRaw knows " +
+            "LongType (legacy nanos), TimestampNTZType (µs-native), TimestampType")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")

@@ -153,6 +153,57 @@ object Drift {
         col("n_a") :+ col("n_b"): _*)
   }
 
+  /** Two-sample total-variation distance per group:
+    * TV = ½ · Σ over the pooled support of ∣p_A(v) − p_B(v)∣, where
+    * p_A/p_B are the empirical pmfs of the rows with `sideA`
+    * true/false. 0 = identical distributions, 1 = disjoint supports —
+    * the L1 sibling of [[ksDrift]] (KS is the sup-norm of the CDF gap;
+    * TV the half-L1 norm of the pmf gap) and the bound behind every
+    * "a classifier can distinguish the splits with advantage ≤ TV"
+    * argument, which is why distribution-shift audits quote it.
+    *
+    * Scale shape: identical to [[ksDrift]]'s distinct-value collapse,
+    * but with NO cumulative window at all — each pooled value's term is
+    * local, so after the hash-agg (shuffle ∝ distinct values) the whole
+    * statistic is one more map-side-combining agg. Cheapest of the
+    * family; the per-group windows of KS/EMD are not needed.
+    *
+    * Float discipline (§7.4, the [[emdDrift]] rule): TV is a SUM, so
+    * the sum never touches floats — each term ∣ca·n_b − cb·n_a∣ is
+    * exact integer arithmetic in DECIMAL(38,0) (the oracle's HUGEINT
+    * twin), aggregated order-free; the ONLY float work is the final
+    * sum∕(2·n_a·n_b) division, rounded to 6dp to insulate the one
+    * decimal→double conversion's ulp.
+    *
+    * @return one row per group: groupCols…, tv (double, 6dp; NULL if
+    *         either side is empty), n_a, n_b (long). */
+  def tvDrift(df: DataFrame, groupCols: Seq[String], valueCol: String,
+              sideA: Column): DataFrame = {
+    checkNames(groupCols, valueCol)
+    val gc = groupCols.map(col)
+    val wAll = Window.partitionBy(gc: _*)
+    df.filter(col(valueCol).isNotNull && sideA.isNotNull)
+      .select((gc :+ col(valueCol) :+ sideA.as("__ks_a")): _*)
+      .groupBy((gc :+ col(valueCol)): _*)
+      .agg(sum(when(col("__ks_a"), 1L).otherwise(0L)).as("__ks_ca"),
+        sum(when(!col("__ks_a"), 1L).otherwise(0L)).as("__ks_cb"))
+      .withColumn("__ks_na", sum(col("__ks_ca")).over(wAll))
+      .withColumn("__ks_nb", sum(col("__ks_cb")).over(wAll))
+      .withColumn("__ks_num",
+        abs(col("__ks_ca").cast(Dec38) * col("__ks_nb").cast(Dec19)
+          - col("__ks_cb").cast(Dec38) * col("__ks_na").cast(Dec19)))
+      .groupBy(gc: _*)
+      .agg(sum(col("__ks_num")).as("__ks_s"),
+        max(col("__ks_na")).as("n_a"),
+        max(col("__ks_nb")).as("n_b"))
+      .select(gc :+
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__ks_s").cast("double")
+            / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")), 6))
+          .as("tv") :+
+        col("n_a") :+ col("n_b"): _*)
+  }
+
   /** Pearson chi-squared independence audit between two categorical
     * columns, with Cramér's V — "is my corpus's `source` mix the same
     * in every `lang`?", the stratification-bias check behind mixture

@@ -435,6 +435,19 @@ object PipelineOps {
             (bucketCol < 8).as("is_train")),
           Seq("lang"), "n_chars", col("is_train"))
         .orderBy(col("lang"))),
+    // §2.10 split-drift TV (r11): total-variation distance between the
+    // split sides' length distributions — the half-L1 pmf gap, the
+    // "a classifier distinguishes the splits with advantage ≤ tv"
+    // bound. Cheapest of the drift family: distinct-value collapse then
+    // ONE more map-side agg, no cumulative window at all. The sum is
+    // exact integer arithmetic in decimal (order-free); the one float
+    // division is rounded at 6dp (the q_llm_emddrift discipline).
+    "q_llm_tvdrift" -> ((s, d) =>
+      graft.operators.Drift.tvDrift(
+          T.documents(s, d).select(col("lang"), col("n_chars"),
+            (bucketCol < 8).as("is_train")),
+          Seq("lang"), "n_chars", col("is_train"))
+        .orderBy(col("lang"))),
     "q_llm_chunk" -> ((s, d) =>
       chunk(T.documents(s, d), ChunkSize, ChunkStride)),
     "q_llm_contam" -> ((s, d) => contamAudit(T.documents(s, d))),
@@ -615,6 +628,35 @@ object PipelineOps {
             END AS emd,
             CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
           FROM g GROUP BY 1 ORDER BY lang""",
+    // Split-drift TV: pooled per-(lang, length) side counts → per-value
+    // |ca·n_b − cb·n_a| in HUGEINT (the engine's DECIMAL(38,0) twin),
+    // exact sum, one rounded division by 2·n_a·n_b. No cumulative
+    // window — each pooled value's term is local.
+    "q_llm_tvdrift" ->
+      s"""WITH s AS (
+            SELECT lang, n_chars AS v,
+              (${Det.sqlMd5h32("CAST(doc_id AS VARCHAR)")} % 10 < 8) AS a
+            FROM $doc WHERE n_chars IS NOT NULL
+          ), pooled AS (
+            SELECT lang, v,
+              SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+              SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cb
+            FROM s GROUP BY 1, 2
+          ), c AS (
+            SELECT lang, v, ca, cb,
+              SUM(ca) OVER (PARTITION BY lang) AS na,
+              SUM(cb) OVER (PARTITION BY lang) AS nb
+            FROM pooled
+          )
+          SELECT lang,
+            CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+              round(CAST(SUM(ABS(CAST(ca AS HUGEINT) * CAST(nb AS HUGEINT)
+                               - CAST(cb AS HUGEINT) * CAST(na AS HUGEINT)))
+                         AS DOUBLE)
+                / (2.0 * CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)), 6)
+            END AS tv,
+            CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
+          FROM c GROUP BY 1 ORDER BY lang""",
     "q_llm_sample" ->
       s"""SELECT doc_id, lang, source, hk, CAST(rk AS INTEGER) AS rk FROM (
             SELECT doc_id, lang, source, hk,

@@ -151,6 +151,32 @@ class FunctionsSuite extends SparkSuite {
     assert(sig() === libSig)
   }
 
+  test("MinHashSig.register: two sessions with DIFFERENT families stay independent") {
+    // r10 advice closure pin: the known-family record is per-session
+    // (WeakHashMap keyed by SparkSession, MinHashSig.scala), never a
+    // JVM-global last-wins. Two sessions carrying different families
+    // must each keep computing with their OWN constants, and a repeat
+    // register on either side must not cross-contaminate the other.
+    val sA = spark.newSession()
+    val sB = spark.newSession()
+    def sig(s: org.apache.spark.sql.SparkSession): Long = s.sql(
+      "SELECT graft_minhash_sig(array('a','b','c','d'))[0] AS m")
+      .collect()(0).getLong(0)
+    val famA = LlmOps.hashA.toSeq
+    val famB = LlmOps.hashA.toSeq.map(_ + 7)
+    graft.functions.MinHashSig.register(sA, famA, LlmOps.hashB.toSeq, LlmOps.HashP)
+    graft.functions.MinHashSig.register(sB, famB, LlmOps.hashB.toSeq, LlmOps.HashP)
+    val aSig = sig(sA)
+    val bSig = sig(sB)
+    assert(aSig !== bSig, "distinct families must produce distinct signatures")
+    // a JVM-global record would make these re-registers no-op on the
+    // WRONG session's family; per-session records keep both stable
+    graft.functions.MinHashSig.register(sA, famA, LlmOps.hashB.toSeq, LlmOps.HashP)
+    graft.functions.MinHashSig.register(sB, famB, LlmOps.hashB.toSeq, LlmOps.HashP)
+    assert(sig(sA) === aSig, "session A drifted after re-register")
+    assert(sig(sB) === bSig, "session B drifted after re-register")
+  }
+
   test("graft_dot == HOF fold bitwise on all sf0.001 embedding pairs (probes < 5)") {
     DotF64.register(spark)
     val base = Tables.embeddings(spark, sf)

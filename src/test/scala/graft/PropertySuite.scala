@@ -436,6 +436,40 @@ class PropertySuite extends AnyFunSuite {
     assert(res.passed, s"emdDrift: ${res.status}")
   }
 
+  test("Spark law: tvDrift equals the naive half-L1 pmf gap on any two-sample multiset") {
+    // TV = ½ Σ_v |p_A(v) − p_B(v)| over the pooled support. The engine's
+    // sum is exact integer arithmetic (Σ |ca·n_b − cb·n_a| in decimal),
+    // so the mirror is an exact BigInt rational divided once and rounded
+    // the way Spark's round(_, 6) rounds (BigDecimal HALF_UP). One-sided
+    // inputs must yield NULL tv, never a throw or an x/0 artifact.
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val rows = Gen.resize(28,
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-30, 30), Gen.oneOf(true, false))))
+    val prop = Prop.forAll(rows) { (xs: List[(Int, Boolean)]) =>
+      val df = xs.map { case (v, a) => ("g", v, a) }.toDF("grp", "v", "a")
+      val r = graft.operators.Drift
+        .tvDrift(df, Seq("grp"), "v", org.apache.spark.sql.functions.col("a"))
+        .collect()(0)
+      val va = xs.filter(_._2).map(_._1)
+      val vb = xs.filterNot(_._2).map(_._1)
+      val (na, nb) = (va.length, vb.length)
+      val cntOk = r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb
+      if (na == 0 || nb == 0) cntOk && r.isNullAt(r.fieldIndex("tv"))
+      else {
+        val s = xs.map(_._1).distinct.map { v =>
+          (BigInt(va.count(_ == v)) * nb - BigInt(vb.count(_ == v)) * na).abs
+        }.sum
+        val expect = BigDecimal(
+          s.toDouble / (2.0 * na.toDouble * nb.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        cntOk && r.getAs[Double]("tv") == expect
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"tvDrift: ${res.status}")
+  }
+
   test("Spark law: chiSquared equals the naive ordered-sum chi2 on any categorical pair sample") {
     // The mirror replays the SAME float program: per-cell (O−E)²/E in
     // (a, b) cell order, accumulated left-to-right — so equality is
