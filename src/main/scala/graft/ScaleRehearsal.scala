@@ -99,6 +99,13 @@ object ScaleRehearsal {
     // arg = probe-name substring filter ("pairs" → pair family only)
     val only = args.headOption.getOrElse("")
     def want(label: String) = only.isEmpty || label.contains(only)
+    // full-evaluation sink for probes whose cost lives in row-count-
+    // preserving operators (windows, per-row expressions): count()
+    // prunes every column it doesn't need, so a counted probe can
+    // silently measure a fraction of the plan (the §5 gotcha)
+    def noop(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); -1L
+    }
 
     // 16 tokens/doc: 1 corpus-wide hot token, 14 base-derived tokens
     // from an n-sized vocabulary (DF-ascending prefixes pick the rare
@@ -205,6 +212,19 @@ object ScaleRehearsal {
       if (want("contain_pairs")) time("contain_pairs", n) {
         Graft.containPairs(synthDocs(n), "doc_id", "text", Nil, 9, 10).count()
       }
+      // Pipeline composition (r11, verdict item 8): the graded
+      // q_llm_pipeline chain (split → md5-dedup keep-filter → pack) on
+      // the synthetic corpus with a 5-way lang mix. The claim: composing
+      // adds NO shuffle beyond the stages' own — dedup ∝ distinct
+      // contents, pack one hash exchange — so shuffle ∝ kept rows
+      // (linear), never a second corpus-wide exchange, and secs track
+      // the dedup agg + the 40-task pack window. noop-written: count()
+      // would prune pack's bin-assignment window (row-count-preserving).
+      if (want("pipeline")) time("pipeline", n) {
+        noop(graft.queries.PipelineOps.pipeline(
+          synthDocs(n).withColumn("lang",
+            concat(lit("L"), pmod(col("doc_id"), lit(5L))))))
+      }
       // the buildPartitions knob: the sketch build ships one full-size
       // partial buffer per map partition, so coalescing the build to 8
       // should cut the screen's shuffle ~4× (32 → 8 partials) at some
@@ -276,15 +296,48 @@ object ScaleRehearsal {
         skewTokens.groupBy(col("tok")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("tok").asc).limit(10).count()
       }
+      // Drift family (r11, verdict item 8): the family's 100-TB claim
+      // is "the corpus collapses to its DISTINCT (group, value) domain
+      // BEFORE any window — shuffle ∝ value domain, never rows". Probe:
+      // n rows over 5 langs × a 5,000-value bounded domain (the n_chars
+      // shape), hash-split side flag. The load-bearing number is
+      // shuffle_mb staying ~FLAT as rows grow 100× (the domain doesn't
+      // grow); secs grow ~linearly with the scan + map-side partials.
+      // chisq collapses further (5 × 20 contingency cells). noop-written,
+      // NOT counted: count() prunes every non-grouping column, so a
+      // counted probe measures only distinct(lang) — the statistic's
+      // windows and sums never execute (the §5 gotcha; first observed
+      // HERE as an all-zeros shuffle_mb column).
+      def driftRows = spark.range(n).select(
+        concat(lit("L"), pmod(col("id"), lit(5L))).as("lang"),
+        pmod(xxhash64(col("id")), lit(5000L)).as("len"),
+        (pmod(xxhash64(concat(lit("s:"), col("id"))), lit(10L)) < 8)
+          .as("is_a"))
+      if (want("drift_ks")) time("drift_ks", n) {
+        noop(graft.operators.Drift
+          .ksDrift(driftRows, Seq("lang"), "len", col("is_a")))
+      }
+      if (want("drift_emd")) time("drift_emd", n) {
+        noop(graft.operators.Drift
+          .emdDrift(driftRows, Seq("lang"), "len", col("is_a")))
+      }
+      if (want("drift_tv")) time("drift_tv", n) {
+        noop(graft.operators.Drift
+          .tvDrift(driftRows, Seq("lang"), "len", col("is_a")))
+      }
+      if (want("drift_chisq")) time("drift_chisq", n) {
+        noop(graft.operators.Drift.chiSquared(
+          spark.range(n).select(
+            concat(lit("L"), pmod(col("id"), lit(5L))).as("la"),
+            concat(lit("s"), pmod(xxhash64(col("id")), lit(20L))).as("sb")),
+          "la", "sb"))
+      }
       // Deterministic training-order shuffle (late r10): one hash
       // exchange + per-partition sort vs the global range sort by the
       // same random-looking key (sampling pass + range exchange + full
       // sort) a naive ORDER BY hash would plan. noop-written, not
       // counted: EliminateSorts strips a global ORDER BY under count()
       // and the probe would measure nothing (the §5 gotcha).
-      def noop(df: org.apache.spark.sql.DataFrame): Long = {
-        df.write.format("noop").mode("overwrite").save(); -1L
-      }
       if (want("shuffle_order")) time("shuffle_order", n) {
         noop(Graft.shuffleOrder(spark.range(n).select(col("id")), "id", 1024))
       }
