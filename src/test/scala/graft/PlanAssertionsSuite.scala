@@ -91,7 +91,7 @@ class PlanAssertionsSuite extends SparkSuite {
   }
 
   test("q_topk_group / q_stream_topk: per-group top-k runs as WindowGroupLimit before the full sort") {
-    Seq("q_topk_group", "q_stream_topk").foreach { name =>
+    Seq("q_topk_group", "q_stream_topk", "q_session_topk").foreach { name =>
       val plan = planString(q(name))
       assert(plan.contains("WindowGroupLimit"), s"$name not group-limited:\n$plan")
     }
