@@ -27,12 +27,14 @@ object SparkEntry {
   private val packs = Seq(
     CoreRelational.queries, Aggregates.queries, Scalars.queries,
     WindowFns.queries, EventOps.queries, LlmOps.queries, TextOps.queries,
-    PipelineOps.queries, MultimodalOps.queries, SqlOps.queries)
+    PipelineOps.queries, MultimodalOps.queries, SqlOps.queries,
+    GraphOps.queries)
 
   private val oraclePacks = Seq(
     CoreRelational.oracle, Aggregates.oracle, Scalars.oracle,
     WindowFns.oracle, EventOps.oracle, LlmOps.oracle, TextOps.oracle,
-    PipelineOps.oracle, MultimodalOps.oracle, SqlOps.oracle)
+    PipelineOps.oracle, MultimodalOps.oracle, SqlOps.oracle,
+    GraphOps.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

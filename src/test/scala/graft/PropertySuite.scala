@@ -470,6 +470,43 @@ class PropertySuite extends AnyFunSuite {
     assert(res.passed, s"tvDrift: ${res.status}")
   }
 
+  test("Spark law: PageRank equals the naive ordered-sum iteration on any digraph") {
+    // The engine must be a pure refactoring of "for each node, fold its
+    // in-neighbors' r(u)/outdeg(u) contributions in ascending src order,
+    // then round(0.15/n + 0.85·s, 6)". The mirror replays that exact
+    // float program (same divisions, same left-to-right additions, same
+    // BigDecimal HALF_UP rounding Spark's round(_, 6) uses), so equality
+    // is EXACT double equality per node, iteration by iteration —
+    // self-loops, dangling nodes, and duplicate input edges included.
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val edgesGen = Gen.resize(20,
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 8))))
+    val prop = Prop.forAll(edgesGen) { (es: List[(Int, Int)]) =>
+      val df = es.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      val got = graft.operators.PageRank.run(df, 3).collect()
+        .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+      val edges = es.map { case (a, b) => (a.toLong, b.toLong) }.distinct
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val n = nodes.length.toDouble
+      val outdeg = edges.groupBy(_._1).map { case (u, l) => u -> l.length }
+      val inBySrc = edges.groupBy(_._2)
+      var rank = nodes.map(v => v -> 1.0 / n).toMap
+      for (_ <- 1 to 3) {
+        val prev = rank
+        rank = nodes.map { v =>
+          val s = inBySrc.getOrElse(v, Nil).map(_._1).sorted
+            .foldLeft(0.0)((acc, u) => acc + prev(u) / outdeg(u).toDouble)
+          v -> BigDecimal(0.15 / n + 0.85 * s)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toMap
+      }
+      got == rank
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"PageRank: ${res.status}")
+  }
+
   test("Spark law: chiSquared equals the naive ordered-sum chi2 on any categorical pair sample") {
     // The mirror replays the SAME float program: per-cell (O−E)²/E in
     // (a, b) cell order, accumulated left-to-right — so equality is
