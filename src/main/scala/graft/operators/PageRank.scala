@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** PageRank over an edge list — the link-authority signal a
   * training-data pipeline uses to score document quality from a
@@ -11,33 +11,45 @@ import org.apache.spark.sql.functions._
   * [[ConnectedComponents]].
   *
   * Semantics: r₀(v) = 1∕N; per iteration
-  * r'(v) = (1−d)∕N + d · Σ_{u→v} r(u)∕outdeg(u), d = 0.85, over the
-  * DISTINCT edge set. Dangling nodes (no out-edges) contribute nothing
-  * — the plain non-redistributing formulation, stated so both engines
-  * (and any reader) agree on the mass bookkeeping; nodes with no
-  * IN-edges still receive the (1−d)∕N floor.
+  * r'(v) = (1−d)∕N + d · Σ_{u→v} q(r(u)∕outdeg(u)), d = 0.85, over the
+  * DISTINCT edge set, where q(·) quantizes each contribution at 1e−12
+  * (round-half-up of c·10¹²) — the DEFINED semantics of this operator,
+  * not an approximation bolted on afterwards. Dangling nodes (no
+  * out-edges) contribute nothing — the plain non-redistributing
+  * formulation; nodes with no IN-edges still receive the (1−d)∕N floor.
   *
-  * Float discipline (§7.4, the chi-squared pattern): each node's
-  * incoming sum is an ORDERED running sum over its in-edges in src
-  * order — layout-independent inside Spark and order-matched to the
-  * oracle's identical window — and each iteration's rank ships ROUNDED
-  * at 6dp, so the one summation chain per (node, iteration) is the
-  * same IEEE sequence on both engines and rounding stops cross-
-  * iteration drift compounding. Contributions are strictly positive
-  * (ranks ≥ (1−d)∕N > 0), so the running sum is monotone and
-  * max(run) = the complete sum.
+  * Float discipline (§7.4, the emdDrift rule, NOT the chi² ordered-sum
+  * rule): a float sum over a node's in-edges would be summation-order-
+  * dependent, and an ORDERED window sum (the first-cut design) fixes
+  * that at the price of an EDGE-SIZED sort + exchange per hop — the
+  * 100-TB bottleneck. Quantizing first makes each contribution an exact
+  * integer (c·10¹² ≤ 10¹² < 2⁵³, integral doubles are exact; the one
+  * rounding is HALF_UP on both engines, and a landing exactly on .5
+  * would need a dyadic c with 5¹² in its denominator — impossible), so
+  * the per-node sum is an exact DECIMAL(38,0) aggregate: order-free,
+  * map-side-combining, bitwise portable. Each iteration's rank then
+  * ships as ONE double division + multiply-add, rounded at 6dp so
+  * cross-iteration drift cannot compound. Quantization error is
+  * ≤ indegree·5e−13 per node per iteration — invisible at the 6dp
+  * contract, but semantically PINNED either way (both engines and the
+  * law mirror replay q(·) exactly).
   *
   * Scale shape: the edge table joins the rank table once per iteration
-  * on src — shuffle ∝ edges, with the edge side pre-partitioned by src
-  * ONCE (persist) so only the node-sized rank table re-shuffles per
-  * hop, the [[ConnectedComponents]] economics. The running-sum window
-  * partitions by dst (parallelism ∝ nodes, frame state O(1) per row);
-  * N is carried as a broadcast one-row aggregate, never a driver-side
-  * collect. Iterations are a fixed small constant (3 graded) — plan
-  * depth stays shallow, no checkpoint needed; callers running tens of
-  * hops should localCheckpoint the rank table like CC does.
+  * on src — the edge side pre-partitioned by src ONCE (persist) so only
+  * the node-sized rank table re-shuffles per hop, the
+  * [[ConnectedComponents]] economics — and the contribution sum is a
+  * hash aggregate whose map side combines per dst BEFORE the exchange:
+  * shuffle ∝ distinct dst per partition (collapses hard on hub-heavy
+  * graphs), never an edge-sized sort. N is carried as a broadcast
+  * one-row aggregate, never a driver-side collect. Iterations are a
+  * fixed small constant (3 graded) — plan depth stays shallow; callers
+  * running tens of hops should localCheckpoint the rank table like CC
+  * does.
   */
 object PageRank {
+
+  private val Dec38 = DecimalType(38, 0)
+  private val Q = 1e12
 
   /** @param edges0     directed edges (`src`, `dst`), any integral
     *                   type; duplicates are removed.
@@ -59,20 +71,21 @@ object PageRank {
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"),
         col("n_nodes"))
-    val wRun = Window.partitionBy(col("dst")).orderBy(col("src").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     for (_ <- 1 to iterations) {
       val sums = e
         .join(ranks.select(col("node"), col("r")), col("src") === col("node"))
-        .select(col("dst"), col("src"),
-          (col("r") / col("outdeg").cast("double")).as("c"))
-        .withColumn("run", sum(col("c")).over(wRun))
-        .groupBy(col("dst")).agg(max(col("run")).as("s"))
+        // q(c): one IEEE division + one multiply by the exact power-of-
+        // ten double, HALF_UP to an integral double, exact decimal cast
+        .select(col("dst"),
+          round(col("r") / col("outdeg").cast("double") * lit(Q))
+            .cast(Dec38).as("cq"))
+        .groupBy(col("dst")).agg(sum(col("cq")).as("s"))
       ranks = ranks
         .join(sums, ranks("node") === sums("dst"), "left")
         .select(ranks("node"),
           round(lit(0.15) / col("n_nodes")
-            + lit(0.85) * coalesce(col("s"), lit(0.0)), 6).as("r"),
+            + lit(0.85) * (coalesce(col("s"), lit(0)).cast("double") / lit(Q)),
+            6).as("r"),
           col("n_nodes"))
     }
     ranks.select(col("node"), col("r"))

@@ -24,12 +24,13 @@ object GraphOps {
   val queries: Map[String, Q] = Map(
     // PageRank (r11): supplier/part centrality in the co-purchase
     // graph — the link-authority quality prior, 3 rounds, d = 0.85.
-    // Engine: operators.PageRank (ordered per-node running sums, 6dp
-    // per-iteration rounding — the §7.4 chi-squared discipline; see
-    // the operator's scaladoc for the full determinism argument).
-    // Plan: edge table pre-partitioned by src once; per-hop shuffle
-    // moves only the node-sized rank table; the running-sum window
-    // partitions by dst (parallelism ∝ nodes).
+    // Engine: operators.PageRank (contributions quantized at 1e-12 →
+    // exact order-free decimal sums, 6dp per-iteration rounding — the
+    // §7.4 emdDrift discipline; see the operator's scaladoc for the
+    // determinism argument and why the ordered-window alternative was
+    // rejected: it costs an edge-sized sort + exchange per hop).
+    // Plan: edge table pre-partitioned by src once; per-hop movement =
+    // the node-sized rank table + map-side-combined dst partials.
     "q_graph_pagerank" -> ((s, d) =>
       graft.operators.PageRank.run(
         T.lineitem(s, d).select(
@@ -46,26 +47,24 @@ object GraphOps {
   private val li = tbl("lineitem")
 
   /** One CTE chain per iteration, unrolled (PrIters is a fixed small
-    * constant): contributions → per-dst ordered running sum → max →
-    * rounded rank — mirroring the engine's window program stage for
-    * stage so both engines run the identical IEEE sequence. */
+    * constant): quantized contributions (ROUND(c·1e12) — HUGEINT, the
+    * engine's DECIMAL(38,0) twin) → exact order-free sum per dst →
+    * rounded rank — mirroring the engine's quantize-sum-divide program
+    * stage for stage so both engines run the identical IEEE sequence. */
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> {
       def iter(k: Int): String =
-        s"""c$k AS (
-           |  SELECT e.dst, e.src,
-           |    r${k - 1}.r / CAST(e.outdeg AS DOUBLE) AS c
-           |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node),
-           |s$k AS (
-           |  SELECT dst, MAX(run) AS s FROM (
-           |    SELECT dst,
-           |      SUM(c) OVER (PARTITION BY dst ORDER BY src ASC
-           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-           |    FROM c$k) x GROUP BY dst),
+        s"""s$k AS (
+           |  SELECT e.dst,
+           |    SUM(CAST(ROUND(r${k - 1}.r / CAST(e.outdeg AS DOUBLE) * 1e12)
+           |             AS HUGEINT)) AS s
+           |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+           |  GROUP BY e.dst),
            |r$k AS (
            |  SELECT n.node,
            |    ROUND(CAST(0.15 AS DOUBLE) / nn.n
-           |      + CAST(0.85 AS DOUBLE) * COALESCE(s$k.s, CAST(0.0 AS DOUBLE)),
+           |      + CAST(0.85 AS DOUBLE)
+           |        * (CAST(COALESCE(s$k.s, 0) AS DOUBLE) / 1e12),
            |      6) AS r
            |  FROM nodes n CROSS JOIN nn LEFT JOIN s$k ON n.node = s$k.dst)"""
           .stripMargin

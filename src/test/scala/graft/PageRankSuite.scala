@@ -63,4 +63,17 @@ class PageRankSuite extends SparkSuite {
       s"PageRank planned a CartesianProduct (the N carrier must stay a " +
         s"broadcast nested loop over ONE row):\n$plan")
   }
+
+  test("plan: the contribution sum is a hash aggregate — NO per-hop Window") {
+    // The rejected first-cut design summed contributions through an
+    // ordered running-sum window: an EDGE-SIZED sort + exchange per hop,
+    // the 100-TB bottleneck. The quantized-decimal design needs no
+    // ordering at all (exact integer sum, map-side combining) — pin
+    // that no Window node can sneak back into the iteration body.
+    val df = graft.operators.PageRank.run(
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L).toDF("src", "dst"), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"PageRank re-grew a Window stage (edge-sized sort per hop):\n$plan")
+  }
 }

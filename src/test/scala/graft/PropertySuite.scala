@@ -470,14 +470,15 @@ class PropertySuite extends AnyFunSuite {
     assert(res.passed, s"tvDrift: ${res.status}")
   }
 
-  test("Spark law: PageRank equals the naive ordered-sum iteration on any digraph") {
-    // The engine must be a pure refactoring of "for each node, fold its
-    // in-neighbors' r(u)/outdeg(u) contributions in ascending src order,
-    // then round(0.15/n + 0.85·s, 6)". The mirror replays that exact
-    // float program (same divisions, same left-to-right additions, same
-    // BigDecimal HALF_UP rounding Spark's round(_, 6) uses), so equality
-    // is EXACT double equality per node, iteration by iteration —
-    // self-loops, dangling nodes, and duplicate input edges included.
+  test("Spark law: PageRank equals the naive quantized-sum iteration on any digraph") {
+    // The engine must be a pure refactoring of "for each node, sum its
+    // in-neighbors' QUANTIZED contributions round(r(u)/outdeg(u)·1e12)
+    // as exact integers, then round(0.15/n + 0.85·(s/1e12), 6)". The
+    // mirror replays that exact program (same divisions, BigInt sum —
+    // order-free by construction, which is the point of the quantized
+    // design — same BigDecimal HALF_UP roundings Spark's round uses),
+    // so equality is EXACT double equality per node, iteration by
+    // iteration — self-loops, dangling nodes, duplicate edges included.
     val spark = SharedSpark.spark
     import spark.implicits._
     val edgesGen = Gen.resize(20,
@@ -495,9 +496,12 @@ class PropertySuite extends AnyFunSuite {
       for (_ <- 1 to 3) {
         val prev = rank
         rank = nodes.map { v =>
-          val s = inBySrc.getOrElse(v, Nil).map(_._1).sorted
-            .foldLeft(0.0)((acc, u) => acc + prev(u) / outdeg(u).toDouble)
-          v -> BigDecimal(0.15 / n + 0.85 * s)
+          val s = inBySrc.getOrElse(v, Nil).map(_._1)
+            .map { u =>
+              BigDecimal(prev(u) / outdeg(u).toDouble * 1e12)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+            }.sum
+          v -> BigDecimal(0.15 / n + 0.85 * (BigDecimal(s).toDouble / 1e12))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         }.toMap
       }
