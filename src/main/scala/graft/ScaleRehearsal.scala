@@ -225,6 +225,18 @@ object ScaleRehearsal {
           synthDocs(n).withColumn("lang",
             concat(lit("L"), pmod(col("doc_id"), lit(5L))))))
       }
+      // PageRank (r11): per-hop movement = the node-sized rank table +
+      // map-side-combined dst partials (the quantized order-free sum);
+      // the edge table shuffles ONCE at persist. Graph: n edges, n/10
+      // hub targets with 10 in-edges each (exercises the map-side
+      // collapse). noop-written: count() would prune the entire rank
+      // computation (ranks keep the node count regardless).
+      if (want("pagerank")) time("pagerank", n) {
+        noop(graft.operators.PageRank.run(
+          spark.range(n).select(
+            col("id").as("src"), pmod(col("id"), lit(n / 10L)).as("dst")),
+          3))
+      }
       // the buildPartitions knob: the sketch build ships one full-size
       // partial buffer per map partition, so coalescing the build to 8
       // should cut the screen's shuffle ~4× (32 → 8 partials) at some

@@ -56,10 +56,27 @@ object PageRank {
     * @param iterations fixed iteration count (≥ 0).
     * @return (`node`, `r`): every node of the graph with its rank after
     *         `iterations` rounds, 6dp-rounded double. */
-  def run(edges0: DataFrame, iterations: Int): DataFrame = {
+  def run(edges0: DataFrame, iterations: Int): DataFrame =
+    runImpl(edges0.select(col("src"), col("dst")).distinct()
+        .withColumn("w", lit(1L)),
+      iterations)
+
+  /** Weighted variant: each edge carries a positive integer weight
+    * (e.g. transition counts from an event-path matrix) and a src's
+    * mass splits ∝ weight — c(u→v) = r(u)·w(u→v)∕W(u), W(u) the src's
+    * total out-weight. Same quantized-sum determinism contract; the
+    * float program per edge is ONE multiply then ONE divide (r·w first
+    * — both engines evaluate the same tree), then q(·). Duplicate
+    * (src, dst) rows are summed into one weighted edge. */
+  def runWeighted(edges0: DataFrame, iterations: Int): DataFrame =
+    runImpl(edges0.select(col("src"), col("dst"), col("w"))
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("w")).as("w")),
+      iterations)
+
+  private def runImpl(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    val edges = edges0.select(col("src"), col("dst")).distinct()
-    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outd = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // static across iterations: pre-partition by the join key once so
     // per-hop shuffles move only the node-sized rank table
     val e = edges.join(outd, "src")
@@ -74,10 +91,13 @@ object PageRank {
     for (_ <- 1 to iterations) {
       val sums = e
         .join(ranks.select(col("node"), col("r")), col("src") === col("node"))
-        // q(c): one IEEE division + one multiply by the exact power-of-
-        // ten double, HALF_UP to an integral double, exact decimal cast
+        // q(c): multiply by the integer weight, ONE IEEE division, one
+        // multiply by the exact power-of-ten double, HALF_UP to an
+        // integral double, exact decimal cast. (w = 1, outw = outdeg
+        // in the unweighted form — same program.)
         .select(col("dst"),
-          round(col("r") / col("outdeg").cast("double") * lit(Q))
+          round(col("r") * col("w").cast("double")
+              / col("outw").cast("double") * lit(Q))
             .cast(Dec38).as("cq"))
         .groupBy(col("dst")).agg(sum(col("cq")).as("s"))
       ranks = ranks

@@ -42,7 +42,30 @@ object GraphOps {
                 (col("l_suppkey") * 2 + 1).as("src"),
                 (col("l_partkey") * 2).as("dst"))),
         PrIters)
-        .orderBy(col("node"))))
+        .orderBy(col("node"))),
+
+    // Weighted PageRank (r11): the event-type transition graph from
+    // q_event_paths (per-user consecutive transitions, counted
+    // corpus-wide) ranked by transition mass — "which event type is
+    // the attention sink of user journeys", the Markov-stationary-ish
+    // composition of the path matrix. Mass splits ∝ transition count:
+    // c = r·w∕W(src), same quantized-sum §7.4 contract as the
+    // unweighted form. Node ids are the event_type strings (no
+    // ordering requirement survives in the order-free design).
+    "q_graph_pagerank_w" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      graft.operators.PageRank.runWeighted(
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .select(col("prev_type").as("src"), col("event_type").as("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("w")),
+        PrIters)
+        .orderBy(col("node"))
+    }))
 
   private val li = tbl("lineitem")
 
@@ -77,6 +100,43 @@ object GraphOps {
          |  SELECT q AS src, p AS dst FROM pairs),
          |outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
          |e AS (SELECT edges.src, edges.dst, outd.outdeg
+         |      FROM edges JOIN outd ON edges.src = outd.src),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r
+         |       FROM nodes CROSS JOIN nn),
+         |${(1 to PrIters).map(iter).mkString(",\n")}
+         |SELECT node, r FROM r$PrIters ORDER BY node""".stripMargin
+    },
+    "q_graph_pagerank_w" -> {
+      // weighted twin: c = r·w∕outw, same quantize-sum-divide chain;
+      // the transition-edge derivation is the q_event_paths lag CTE
+      def iter(k: Int): String =
+        s"""s$k AS (
+           |  SELECT e.dst,
+           |    SUM(CAST(ROUND(r${k - 1}.r * CAST(e.w AS DOUBLE)
+           |                   / CAST(e.outw AS DOUBLE) * 1e12)
+           |             AS HUGEINT)) AS s
+           |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+           |  GROUP BY e.dst),
+           |r$k AS (
+           |  SELECT n.node,
+           |    ROUND(CAST(0.15 AS DOUBLE) / nn.n
+           |      + CAST(0.85 AS DOUBLE)
+           |        * (CAST(COALESCE(s$k.s, 0) AS DOUBLE) / 1e12),
+           |      6) AS r
+           |  FROM nodes n CROSS JOIN nn LEFT JOIN s$k ON n.node = s$k.dst)"""
+          .stripMargin
+      s"""WITH seq AS (
+         |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY event_id ASC) AS src,
+         |         event_type AS dst
+         |  FROM ${tbl("events")}),
+         |edges AS (SELECT src, dst, COUNT(*) AS w FROM seq
+         |          WHERE src IS NOT NULL GROUP BY 1, 2),
+         |outd AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+         |e AS (SELECT edges.src, edges.dst, edges.w, outd.outw
          |      FROM edges JOIN outd ON edges.src = outd.src),
          |nodes AS (SELECT src AS node FROM edges
          |          UNION SELECT dst FROM edges),

@@ -511,6 +511,58 @@ class PropertySuite extends AnyFunSuite {
     assert(res.passed, s"PageRank: ${res.status}")
   }
 
+  test("Spark law: weighted PageRank equals the naive quantized mirror; w=1 equals unweighted") {
+    // Two laws in one pass: (a) runWeighted replays the quantized
+    // program with c = r·w/W(src) exactly (duplicate (src,dst) rows sum
+    // into one weighted edge first — the engine's groupBy contract);
+    // (b) on all-1 weights it is bitwise the unweighted run (r·1.0 is
+    // an IEEE identity), so the two entry points cannot drift apart.
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val edgesGen = Gen.resize(16, Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0, 6), Gen.chooseNum(0, 6), Gen.chooseNum(1L, 5L))))
+    // noShrink: the shrinker ignores chooseNum's lower bound and
+    // produces w = 0 edges, which the operator's contract excludes
+    val prop = Prop.forAllNoShrink(edgesGen) { (es: List[(Int, Int, Long)]) =>
+      val df = es.map { case (a, b, w) => (a.toLong, b.toLong, w) }
+        .toDF("src", "dst", "w")
+      val got = graft.operators.PageRank.runWeighted(df, 3).collect()
+        .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+      val edges = es.groupBy(t => (t._1.toLong, t._2.toLong))
+        .map { case ((a, b), l) => (a, b, l.map(_._3).sum) }.toList
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val n = nodes.length.toDouble
+      val outw = edges.groupBy(_._1).map { case (u, l) => u -> l.map(_._3).sum }
+      val inBySrc = edges.groupBy(_._2)
+      var rank = nodes.map(v => v -> 1.0 / n).toMap
+      for (_ <- 1 to 3) {
+        val prev = rank
+        rank = nodes.map { v =>
+          val s = inBySrc.getOrElse(v, Nil)
+            .map { case (u, _, w) =>
+              BigDecimal(prev(u) * w.toDouble / outw(u).toDouble * 1e12)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+            }.sum
+          v -> BigDecimal(0.15 / n + 0.85 * (BigDecimal(s).toDouble / 1e12))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toMap
+      }
+      val mirrorOk = got == rank
+      // w=1 equivalence holds on DEDUPED edges only: runWeighted SUMS
+      // duplicate (src,dst) weights by contract, run() distincts them
+      val ones = df.select($"src", $"dst").distinct()
+        .withColumn("w", org.apache.spark.sql.functions.lit(1L))
+      val viaW = graft.operators.PageRank.runWeighted(ones, 2).collect()
+        .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+      val viaU = graft.operators.PageRank.run(
+        df.select($"src", $"dst"), 2).collect()
+        .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+      mirrorOk && viaW == viaU
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"weighted PageRank: ${res.status}")
+  }
+
   test("Spark law: chiSquared equals the naive ordered-sum chi2 on any categorical pair sample") {
     // The mirror replays the SAME float program: per-cell (O−E)²/E in
     // (a, b) cell order, accumulated left-to-right — so equality is
