@@ -594,6 +594,37 @@ object Graft {
   def shuffleOrder(df: DataFrame, idCol: String, shards: Int): DataFrame =
     graft.queries.PipelineOps.shuffleOrder(df, idCol, shards)
 
+  /** Product-quantization codebooks + codes for an embedding table —
+    * the MEMORY half of the ANN scale story ([[annCandidates]]/ivf
+    * bound compute; PQ bounds bytes: dim floats → `m` small codes, so
+    * a 100 TB corpus holds codes in memory and never decodes back).
+    * Returns (books, codes): train once, encode as a zero-shuffle
+    * broadcast map pass. Unit-tested (recall floor, plan shape), not
+    * oracle-graded — inherits [[graft.operators.KMeans]]'s float-mean
+    * layout caveat like the IVF quantizer knob. */
+  def pqIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val vecs = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("e"))
+    val books =
+      graft.operators.ProductQuantizer.codebooks(vecs, dim, m, k, iters)
+    (books, graft.operators.ProductQuantizer.encode(vecs, books, dim, m))
+  }
+
+  /** ADC top-k search over [[pqIndex]] codes: each probe precomputes
+    * its m×k subspace-distance table against the broadcast codebooks;
+    * the corpus scan sums m lookups per (probe, vector) and the rank
+    * runs as WindowGroupLimit — codes-only, the corpus is never
+    * shuffled or decoded.
+    * @return (probe_id, vec_id, rk 1..k, ad2: approx squared L2). */
+  def pqSearch(codes: DataFrame, books: DataFrame, probes: DataFrame,
+               idCol: String, vecCol: String, dim: Int, m: Int,
+               k: Int): DataFrame =
+    graft.operators.ProductQuantizer.adcSearch(codes, books,
+      probes.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("e")),
+      dim, m, k)
+
   private def vecBase(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.DotF64.register(df.sparkSession)
     df.select(col(idCol).cast("long").as("vec_id"),

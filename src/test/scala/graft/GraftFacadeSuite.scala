@@ -438,6 +438,28 @@ class GraftFacadeSuite extends SparkSuite {
     assert(grp === "g1" && sim > 0.99 && sim <= 1.0)
   }
 
+  test("pqIndex/pqSearch: cluster-structured vectors retrieve their own cluster on a custom schema") {
+    // two well-separated clusters in 8-dim: PQ codes must keep ADC
+    // neighbors inside the probe's cluster even at this tiny scale
+    val base = (0 until 10).map { i =>
+      (100L + i, Seq.tabulate(8)(d => 5.0f + (i * 8 + d) % 3 * 0.1f), "a")
+    } ++ (0 until 10).map { i =>
+      (200L + i, Seq.tabulate(8)(d => -5.0f - (i * 8 + d) % 3 * 0.1f), "b")
+    }
+    val vecs = base.toDF("item_no", "feat_vec", "grp")
+    val (books, codes) =
+      Graft.pqIndex(vecs, "item_no", "feat_vec", dim = 8, m = 4, k = 4,
+        iters = 2)
+    assert(codes.count() === 20)
+    val res = Graft.pqSearch(codes, books,
+        vecs.filter($"item_no" === 100L), "item_no", "feat_vec",
+        dim = 8, m = 4, k = 5)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(res.length === 5)
+    assert(res.forall(id => id >= 100L && id < 200L),
+      s"probe 100's neighbors left its cluster: ${res.mkString(",")}")
+  }
+
   test("bloomScreen: members always flagged, NULL probe is NULL, clean rows mostly cleared") {
     val corpus = (0L until 500L).map(i => s"known-$i").toDF("content")
     val probe = ((0L until 100L).map(i => i -> s"known-$i") ++
