@@ -73,6 +73,11 @@ case class AsofOut(p_id: Long, user_id: Long, p_us: Long,
                    c_id: Option[Long], c_us: Option[Long],
                    gap_us: Option[Long])
 
+case class TopkState(sums: Map[Long, Long], n: Long)
+
+case class TopkOut(window_us: Long, rk: Int, user_id: Long, value: Double,
+                   n_events: Long)
+
 /** The streaming runtime: event-time windowed aggregation, keyed
   * stateful processing, and the batch≡stream unification argument.
   *
@@ -500,6 +505,48 @@ object StreamOps {
             }
             DriftOut(grp, Some(best), Some(bestAt), na, nb)
           }
+      }
+  }
+
+  /** Windowed top-k leaderboard monitor (r11) — the stateful streaming
+    * twin of graded q_stream_topk: per tumbling 1h window, the top-`k`
+    * users by decimal value sum, re-emitted every micro-batch as the
+    * window's standings update (OutputMode.Update; the final emission
+    * per window equals the batch query's rows for that window).
+    *
+    * State per window = the user→scaled-sum map plus an event count —
+    * O(active users per window), the exact-leaderboard floor (a sketch
+    * bounds it at the cost of exactness; [[graft.operators
+    * .HeavyHitters]] is that trade's batch form). Sums accumulate as
+    * [[scaled4]] longs (Det.dsum's per-value contract), so state-store
+    * round-trips are bit-exact and the final double equals the batch
+    * decimal sum. Ranking compares scaled longs (sum desc, user asc) —
+    * order-identical to the batch rank over the 4dp doubles. n_events
+    * is monotone per window, so "final emission" is well-defined for
+    * consumers (maxBy n_events).
+    *
+    * The same function body runs in batch (state starts empty, one
+    * batch holding everything) — the parity proof the suite asserts
+    * against the oracle-checked graded query on sf0.001. */
+  def windowTopkMonitor(events: Dataset[Event], k: Int = 3): Dataset[TopkOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => math.floorDiv(e.ts_us, 3600000000L) * 3600000000L)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (winUs: Long, it: Iterator[Event], state: GroupState[TopkState]) =>
+          val m = collection.mutable.Map.empty[Long, Long]
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          state.getOption.foreach(s => m ++= s.sums)
+          it.foreach { e =>
+            m(e.user_id) = m.getOrElse(e.user_id, 0L) + scaled4(e.value)
+            n += 1L
+          }
+          state.update(TopkState(m.toMap, n))
+          m.toSeq.sortBy { case (u, s) => (-s, u) }.take(k).zipWithIndex
+            .map { case ((u, s), i) =>
+              TopkOut(winUs, i + 1, u,
+                BigDecimal(java.math.BigDecimal.valueOf(s, 4)).toDouble, n)
+            }.iterator
       }
   }
 

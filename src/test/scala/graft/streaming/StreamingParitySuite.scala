@@ -167,6 +167,45 @@ class StreamingParitySuite extends SparkSuite {
     assert(tracked.nonEmpty)
   }
 
+  test("windowed top-k leaderboard: stateful twin == oracle-checked q_stream_topk on sf0.001") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val twin = StreamOps.windowTopkMonitor(events, k = 3)
+      .collect().map(o => (o.window_us, o.rk) -> ((o.user_id, o.value))).toMap
+    val batch = graft.queries.EventOps.queries("q_stream_topk")(spark, sf)
+      .collect().map { r =>
+        // window starts are whole hours — epoch ms × 1000 is exact µs
+        (r.getTimestamp(0).getTime * 1000L, r.getInt(3)) ->
+          ((r.getLong(1), r.getDouble(2)))
+      }.toMap
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+  }
+
+  test("windowed top-k leaderboard: standings update per micro-batch; final == batch") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.windowTopkMonitor(ms.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk_mon")
+      .outputMode("update").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val all = spark.table("topk_mon").as[TopkOut].collect()
+    // final emission per window = the one with the largest n_events
+    val fin = all.groupBy(_.window_us).map { case (w, os) =>
+      val lastN = os.map(_.n_events).max
+      w -> os.filter(_.n_events == lastN).sortBy(_.rk)
+        .map(o => (o.rk, o.user_id, o.value)).toSeq
+    }
+    val batch = StreamOps.windowTopkMonitor(miniEvents.toDS(), k = 2)
+      .collect().groupBy(_.window_us).map { case (w, os) =>
+        w -> os.sortBy(_.rk).map(o => (o.rk, o.user_id, o.value)).toSeq }
+    assert(fin === batch)
+    // mid-stream standings EXIST for the first window (it re-emitted)
+    assert(all.groupBy(_.window_us).exists(_._2.map(_.n_events).distinct.size > 1),
+      "no window ever updated its standings across batches")
+  }
+
   test("running agg (incremental view): stateful twin == oracle-checked q_stream_agg_state on sf0.001") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
