@@ -250,6 +250,52 @@ object EventOps {
         .orderBy(col("day"), col("rk"))
     }),
 
+    // Sessionized funnel (r11) — the conversion funnel scoped to a
+    // session: per user, how many 30min-gap sessions exist and how
+    // many contain the COMPLETE ordered view → click-at-or-after →
+    // purchase-at-or-after chain. The product-analytics composition of
+    // q_stream_session (sessionization) and q_event_funnel (ordered
+    // stages): a purchase in a LATER session than its view does not
+    // convert. Sessionization is explicit gaps-and-islands (lag +
+    // cumsum; `>` boundary = the pinned session_window semantics) with
+    // (ts, event_id) ordering so ties cannot reorder flags; the funnel
+    // is the q_event_funnel agg + join-back chain with (user, sess)
+    // keys — shuffle ∝ sessions, no window after the sessionizer.
+    "q_session_funnel" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val e = T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("new_sess",
+          when(col("ts").isNull, 0L)
+            .when(lag(col("ts"), 1).over(wOrd).isNull, 1L)
+            .when(unix_micros(col("ts"))
+              - lag(unix_micros(col("ts")), 1).over(wOrd) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("new_sess")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .persist()
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("ts")).as("t_view"))
+      val c = e.join(v, Seq("user_id", "sess"))
+        .filter(col("event_type") === "click" && col("ts") >= col("t_view"))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("ts")).as("t_click"))
+      val p = e.join(c, Seq("user_id", "sess"))
+        .filter(col("event_type") === "purchase" && col("ts") >= col("t_click"))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("ts")).as("t_purchase"))
+      val base = e.groupBy(col("user_id"))
+        .agg(countDistinct(col("sess")).as("n_sessions"))
+      val conv = p.groupBy(col("user_id")).agg(count(lit(1)).as("nc"))
+      base.join(conv.select(col("user_id").as("cu"), col("nc")),
+          col("user_id") === col("cu"), "left")
+        .select(col("user_id"), col("n_sessions"),
+          coalesce(col("nc"), lit(0L)).as("n_converted"))
+        .orderBy(col("user_id"))
+    }),
+
     // Event-path transition matrix — per-key Markov step counts over the
     // causal timeline (§1.1's per-key ordering as a path analytic): in
     // each user's (event_id) arrival order, count every consecutive
@@ -389,6 +435,40 @@ object EventOps {
             COUNT(*) AS n_events, ${sqlSum("value")} AS val
           FROM sessions GROUP BY user_id, sess_id
           ORDER BY user_id, session_start""",
+    // Sessionized funnel: gaps-and-islands with (ts, event_id) tie-safe
+    // ordering, then the funnel CTE chain keyed by (user, sess).
+    "q_session_funnel" ->
+      s"""WITH flagged AS (
+            SELECT user_id, event_id, event_type, ts,
+              CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                   WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM $evt
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC)),
+          e AS (
+            SELECT user_id, event_type, ts,
+              SUM(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            FROM flagged),
+          v AS (SELECT user_id, sess, MIN(ts) AS t_view FROM e
+                WHERE event_type = 'view' GROUP BY 1, 2),
+          c AS (SELECT e.user_id, e.sess, MIN(e.ts) AS t_click
+                FROM e JOIN v ON e.user_id = v.user_id AND e.sess = v.sess
+                WHERE e.event_type = 'click' AND e.ts >= v.t_view
+                GROUP BY 1, 2),
+          p AS (SELECT e.user_id, e.sess, MIN(e.ts) AS t_purchase
+                FROM e JOIN c ON e.user_id = c.user_id AND e.sess = c.sess
+                WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+                GROUP BY 1, 2),
+          base AS (SELECT user_id, COUNT(DISTINCT sess) AS n_sessions
+                   FROM e GROUP BY 1),
+          conv AS (SELECT user_id, COUNT(*) AS nc FROM p GROUP BY 1)
+          SELECT base.user_id, base.n_sessions,
+            COALESCE(conv.nc, 0) AS n_converted
+          FROM base LEFT JOIN conv ON base.user_id = conv.user_id
+          ORDER BY base.user_id""",
     // Session leaderboard: the q_stream_session CTE chain verbatim
     // (same `>` gap-boundary semantics), then the day-partitioned rank.
     "q_session_topk" ->

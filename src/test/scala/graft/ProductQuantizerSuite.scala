@@ -93,6 +93,34 @@ class ProductQuantizerSuite extends SparkSuite {
     assert(approx.forall { case (p, ids) => !ids.contains(p) })
   }
 
+  test("streaming ingest: encode over a MemoryStream == batch codes (stateless, static codebooks)") {
+    // the PQ form of the neardup/bloom ingest probes: new vectors
+    // arriving on a stream encode against the FROZEN codebooks as a
+    // pure stream-static broadcast map — no streaming state at all
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val sample = vecs.filter(col("vec_id") < 20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val ms = MemoryStream[(Long, Seq[Double])](spark)
+    val enc = graft.operators.ProductQuantizer.encode(
+      ms.toDF().toDF("vec_id", "e"), books, Dim, M)
+    val q = enc.writeStream.format("memory").queryName("pq_ingest")
+      .outputMode("append").start()
+    try {
+      ms.addData(sample.take(10).toSeq); q.processAllAvailable()
+      ms.addData(sample.drop(10).toSeq); q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"PQ encode grew streaming state: ${q.lastProgress.prettyJson}")
+    } finally q.stop()
+    val streamed = spark.table("pq_ingest").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val batch = graft.operators.ProductQuantizer.encode(
+        vecs.filter(col("vec_id") < 20), books, Dim, M)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(streamed === batch)
+    assert(streamed.size === 20)
+  }
+
   test("adcSearch distances: nonnegative, and monotone within a probe's rank order") {
     val probes = vecs.filter(col("vec_id") === 0)
     val rows = graft.operators.ProductQuantizer.adcSearch(
