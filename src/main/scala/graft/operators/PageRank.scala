@@ -81,8 +81,15 @@ object PageRank {
     // per-hop shuffles move only the node-sized rank table
     val e = edges.join(outd, "src")
       .repartition(col("src")).persist()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // node set and N read the PERSISTED e, not the raw edge lineage:
+    // the caller's edge derivation may be an expensive scan (a lag
+    // window over an event log; a full corpus scan at 100 TB), and
+    // deriving nodes/nn from `edges` would recompute it two more times
+    // per action (measured: pagerank_w's event-window derivation ran
+    // 3× before this — the persisted join output has the same
+    // (src, dst) set by construction)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
     // N as a broadcast one-row aggregate — lazy, no driver action
     val nn = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(nn))
