@@ -162,6 +162,26 @@ object EventOps {
         .orderBy(col("cohort"), col("k"))
     }),
 
+    // Day-cohort retention at deep offsets (r11, the k>3 variant): the
+    // industry-standard daily shape — users cohorted by FIRST active
+    // day, offsets k = 0..7 (a full week) — alongside q_event_retention's
+    // hourly k<=3. Same distinct-first engine, day truncation, exact
+    // integer k (µs diff is an exact multiple of 8.64e10).
+    "q_event_retention7" -> ((s, d) => {
+      val e = T.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("h"))
+        .distinct()
+      val first = e.groupBy(col("user_id")).agg(min(col("h")).as("cohort"))
+      e.join(first, "user_id")
+        .withColumn("k",
+          ((unix_micros(col("h")) - unix_micros(col("cohort")))
+            / lit(86400000000L)).cast("long"))
+        .filter(col("k") <= 7)
+        .groupBy(col("cohort"), col("k"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("k"))
+    }),
+
     // Per-event anomaly score — each event's value against its OWN
     // key's distribution (the per-key baseline every streaming anomaly
     // detector keeps): z = (v − mean) / stddev from exact decimal
@@ -407,6 +427,19 @@ object EventOps {
             COUNT(*) AS n_users
           FROM e JOIN f ON e.user_id = f.user_id
           WHERE (epoch_us(e.h) - epoch_us(f.cohort)) / 3600000000 <= 3
+          GROUP BY 1, 2 ORDER BY cohort, k""",
+    // day-cohort twin: DuckDB date_trunc('day') yields DATE — cast to
+    // TIMESTAMP to match Spark (the q_session_topk precedent)
+    "q_event_retention7" ->
+      s"""WITH e AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS h
+                     FROM $evt),
+          f AS (SELECT user_id, MIN(h) AS cohort FROM e GROUP BY user_id)
+          SELECT f.cohort,
+            CAST((epoch_us(e.h) - epoch_us(f.cohort)) / 86400000000 AS BIGINT) AS k,
+            COUNT(*) AS n_users
+          FROM e JOIN f ON e.user_id = f.user_id
+          WHERE (epoch_us(e.h) - epoch_us(f.cohort)) / 86400000000 <= 7
           GROUP BY 1, 2 ORDER BY cohort, k""",
     "q_stream_tumble" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
