@@ -417,6 +417,32 @@ object Graft {
                sideACol: String): DataFrame =
     graft.operators.Drift.emdDrift(df, groupCols, valueCol, col(sideACol))
 
+  /** Total-variation drift per group — the half-L1 pmf gap between the
+    * two sides of `sideACol` (graded q_llm_tvdrift's engine): the
+    * "a classifier distinguishes the splits with advantage ≤ tv" bound,
+    * and the cheapest of the drift family (no cumulative window — one
+    * map-side agg after the distinct-value collapse). Exact decimal
+    * sum; tv ships at 6dp. Returns groupCols…, tv, n_a, n_b. */
+  def tvDrift(df: DataFrame, groupCols: Seq[String], valueCol: String,
+              sideACol: String): DataFrame =
+    graft.operators.Drift.tvDrift(df, groupCols, valueCol, col(sideACol))
+
+  /** PageRank over any (src, dst) edge list (graded q_graph_pagerank's
+    * engine): the link-authority quality prior, d = 0.85, contributions
+    * quantized at 1e−12 so iteration sums are exact and order-free.
+    * `weightCol` switches to the weighted form (mass splits ∝ weight;
+    * duplicate edges sum their weights). Returns (node, r 6dp). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, weightCol: Option[String] = None): DataFrame =
+    weightCol match {
+      case Some(w) => graft.operators.PageRank.runWeighted(
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(w).as("w")), iterations)
+      case None => graft.operators.PageRank.run(
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+        iterations)
+    }
+
   /** Chi-squared independence audit of two categorical columns with
     * Cramér's V (graded q_text_chisq's engine) — the "is my source mix
     * the same in every language" stratification-bias gate. ONE global

@@ -438,6 +438,33 @@ class GraftFacadeSuite extends SparkSuite {
     assert(grp === "g1" && sim > 0.99 && sim <= 1.0)
   }
 
+  test("pageRank facade: custom columns, weighted == pre-expanded unweighted on uniform weights") {
+    val edges = Seq((10L, 20L), (20L, 30L), (30L, 10L), (10L, 30L))
+      .toDF("from_id", "to_id")
+    val pr = Graft.pageRank(edges, "from_id", "to_id", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet === Set(10L, 20L, 30L))
+    assert(pr.values.forall(v => v > 0.0 && v < 1.0))
+    val weighted = Graft.pageRank(
+        edges.withColumn("n", lit(1L)), "from_id", "to_id",
+        iterations = 3, weightCol = Some("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(weighted === pr, "uniform weights must equal the unweighted run")
+  }
+
+  test("tvDrift facade: disjoint supports = 1, identical multisets = 0, on custom columns") {
+    val rows = (Seq.tabulate(6)(i => (i.toLong, "x", true)) ++
+      Seq.tabulate(6)(i => (i.toLong + 100L, "x", false)))
+      .toDF("metric", "shelf", "in_train")
+    val d = Graft.tvDrift(rows, Seq("shelf"), "metric", "in_train").collect()(0)
+    assert(d.getAs[Double]("tv") === 1.0, "disjoint supports must give TV=1")
+    val same = (Seq.tabulate(6)(i => (i.toLong % 3, "x", true)) ++
+      Seq.tabulate(6)(i => (i.toLong % 3, "x", false)))
+      .toDF("metric", "shelf", "in_train")
+    val z = Graft.tvDrift(same, Seq("shelf"), "metric", "in_train").collect()(0)
+    assert(z.getAs[Double]("tv") === 0.0, "identical multisets must give TV=0")
+  }
+
   test("pqIndex/pqSearch: cluster-structured vectors retrieve their own cluster on a custom schema") {
     // two well-separated clusters in 8-dim: PQ codes must keep ADC
     // neighbors inside the probe's cluster even at this tiny scale
