@@ -33,6 +33,11 @@ object Tables {
     // when already set at session build, required only for the legacy
     // nanos read; inert when the file stores a real timestamp type.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Same defensive treatment for the timezone (r11 advice): the
+    // NTZ→Timestamp cast below is value-identical ONLY under UTC, and
+    // every date_trunc/unix_micros downstream assumes it — a non-UTC
+    // foreign session would silently shift every event timestamp.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -33,12 +33,12 @@ object Drift {
       "__ks_s")
 
   private def checkNames(groupCols: Seq[String], valueCol: String): Unit = {
-    val reserved = Seq("ks_stat", "ks_at", "emd", "n_a", "n_b") ++ WorkCols
+    val reserved = Seq("ks_stat", "ks_at", "emd", "tv", "n_a", "n_b") ++ WorkCols
     val clash = (groupCols :+ valueCol).intersect(reserved)
     require(clash.isEmpty,
-      s"input columns ${clash.mkString(", ")} collide with ksDrift's " +
-        "output (ks_stat, ks_at, n_a, n_b) or its __ks_* working " +
-        "columns; rename them before calling")
+      s"input columns ${clash.mkString(", ")} collide with the drift " +
+        "family's outputs (ks_stat, ks_at, emd, tv, n_a, n_b) or their " +
+        "__ks_* working columns; rename them before calling")
   }
 
   /** Two-sample Kolmogorov–Smirnov drift statistic per group:

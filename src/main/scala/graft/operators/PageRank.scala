@@ -78,7 +78,16 @@ object PageRank {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val outd = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // static across iterations: pre-partition by the join key once so
-    // per-hop shuffles move only the node-sized rank table
+    // per-hop shuffles move only the node-sized rank table.
+    // CACHE CONTRACT (r11 advice): the returned DataFrame is lazy, so
+    // this operator cannot unpersist e after the caller's action (unlike
+    // the eager ConnectedComponents, which checkpoints internally and
+    // cleans up before returning). Callers looping over many invocations
+    // must clearCache() between them — the SparkEntry cache contract;
+    // Bench/Verify/Prof all do — or unpersist via the cacheManager when
+    // embedding one ranking long-term. An eager-checkpoint variant was
+    // considered and rejected: it would hide the iteration body from
+    // every plan assertion (the returned plan collapses to an RDD scan).
     val e = edges.join(outd, "src")
       .repartition(col("src")).persist()
     // node set and N read the PERSISTED e, not the raw edge lineage:

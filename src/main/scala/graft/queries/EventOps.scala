@@ -284,16 +284,22 @@ object EventOps {
     "q_session_funnel" -> ((s, d) => {
       val wOrd = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
+      // ts IS NOT NULL on BOTH twins (r11 advice): Spark sorts NULLS
+      // FIRST asc, DuckDB NULLS LAST, so a null-ts event would place at
+      // opposite ends of the session ordering — filtering keeps the
+      // sessionization aligned by construction rather than by data.
       val e = T.events(s, d)
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
         .withColumn("new_sess",
-          when(col("ts").isNull, 0L)
-            .when(lag(col("ts"), 1).over(wOrd).isNull, 1L)
+          when(lag(col("ts"), 1).over(wOrd).isNull, 1L)
             .when(unix_micros(col("ts"))
               - lag(unix_micros(col("ts")), 1).over(wOrd) > 1800000000L, 1L)
             .otherwise(0L))
         .withColumn("sess", sum(col("new_sess")).over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // persisted for the 4 downstream consumers; released by the
+        // caller's clearCache between queries (SparkEntry cache contract)
         .persist()
       val v = e.filter(col("event_type") === "view")
         .groupBy(col("user_id"), col("sess"))
@@ -476,7 +482,7 @@ object EventOps {
               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
                    WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                    THEN 1 ELSE 0 END AS new_sess
-            FROM $evt
+            FROM $evt WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY ts ASC, event_id ASC)),
           e AS (

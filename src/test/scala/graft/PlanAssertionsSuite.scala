@@ -516,6 +516,33 @@ class PlanAssertionsSuite extends SparkSuite {
       s"triangle enumeration degenerated to all-pairs:\n$plan")
   }
 
+  test("q_graph_pagerank edges: ONE lineitem scan — both orientations explode from one distinct pair set") {
+    // The r11 verdict's only weak plan: leg 2 re-scanned lineitem raw
+    // and shipped every duplicate (supplier,part) row into the
+    // operator's union-distinct. The r12 derivation computes the
+    // distinct pair set once and explodes both orientations from it, so
+    // each evaluation of the edge lineage costs exactly one fact-table
+    // scan and no join.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(scans).sum
+    }
+    val edges = graft.queries.GraphOps.copurchaseEdges(spark, sf)
+    val n = scans(edges.queryExecution.executedPlan)
+    assert(n === 1, s"edge derivation scans lineitem $n times:\n${planString(edges)}")
+    assert(!planString(edges).toLowerCase.contains("join"),
+      s"edge derivation grew a join:\n${planString(edges)}")
+    // and the distinct runs BEFORE the explode (2·n_distinct dedup mass,
+    // never n_rows): the plan's Generate sits above the aggregate
+    val plan = planString(edges)
+    val gen = plan.linesIterator.indexWhere(_.contains("Generate"))
+    val agg = plan.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(gen >= 0 && agg > gen,
+      s"explode does not ride the collapsed pair set:\n$plan")
+  }
+
   test("q_event_retention: events collapse to distinct (user,hour) BEFORE the cohort join") {
     // The join (and everything downstream) must run on the collapsed
     // activity table, not raw events — at 100 TB the distinct is what
