@@ -53,6 +53,25 @@ object ScaleOps {
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** [[bucketWrite]] that first clears any STALE table/location: a fresh
+    * JVM starts with an empty in-memory catalog but the warehouse
+    * directory persists, and `saveAsTable` refuses to create a managed
+    * table over an orphaned location — so repeated Verify/Bench runs
+    * need the drop-then-write form. Idempotent; safe when neither
+    * exists. */
+  def bucketRewrite(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    bucketWrite(df, table, key, buckets)
+  }
+
   /** Bloom-prefiltered membership probe — the sketch that replaces a
     * corpus×corpus membership JOIN for cross-dataset dedup / contam
     * screening at 100 TB. The build side collapses to ONE binary row

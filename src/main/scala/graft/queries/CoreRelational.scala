@@ -241,6 +241,36 @@ object CoreRelational {
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("total_price"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // §2.3 bucketed CO-LOCATED join, graded for exactness (r12; the
+    // q_join_skew precedent — plan surgery graded against the PLAIN
+    // join's oracle): both sides persist bucketed+sorted 8-way on the
+    // join key (ScaleOps.bucketRewrite — the one-time write that, at
+    // 100 TB, replaces a star-schema pipeline's recurring shuffles),
+    // then join through the catalog. The graded aggregate keys on the
+    // bucket key too, so join AND aggregation both ride the bucket
+    // layout: with the dim broadcast disabled the whole plan's only
+    // exchange is the presentation sort (pinned in ScaleOpsSuite; the
+    // zero-exchange SMJ pin lives there as well). The eager writes run
+    // at build time — bench charges them to this query, honestly: the
+    // write IS the operator's cost model.
+    "q_join_bucketed" -> ((s, d) => {
+      val sfx = d.split('/').filter(_.nonEmpty).last
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val (ot, ct) = (s"graft_bkt_orders_$sfx", s"graft_bkt_customer_$sfx")
+      graft.operators.ScaleOps.bucketRewrite(
+        T.orders(s, d).select(col("o_custkey").as("c_custkey"),
+          col("o_totalprice")),
+        ot, "c_custkey", 8)
+      graft.operators.ScaleOps.bucketRewrite(
+        T.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        ct, "c_custkey", 8)
+      graft.operators.ScaleOps.bucketedJoin(s, ot, ct, "c_custkey")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -360,6 +390,12 @@ object CoreRelational {
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
             ${sqlSum("o_totalprice")} AS total_price
           FROM $ords JOIN $cust ON o_custkey = c_custkey
-          GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // The plain join — bucketing is plan surgery, never semantics.
+    "q_join_bucketed" ->
+      s"""SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+            ${sqlSum("o_totalprice")} AS total_price
+          FROM $ords JOIN $cust ON o_custkey = c_custkey
+          GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey"""
   )
 }
