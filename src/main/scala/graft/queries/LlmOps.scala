@@ -1040,6 +1040,73 @@ object LlmOps {
         .orderBy(col("cent_id"), col("pos"))
     }),
 
+    // PQ + ADC search (r12), graded end-to-end — the oracle-checkable
+    // twin of operators.ProductQuantizer exactly as q_llm_kmeans1 twins
+    // the float KMeans: codebooks are STRIDE-SEEDED (every ⌊n/8⌋-th
+    // vector's subspace slices — deterministic, so DuckDB reproduces
+    // them; the trained-float-codebook form keeps its recall sweeps
+    // unit-side where bitwise grading is impossible). m = 4 subspaces ×
+    // 16 dims; each subspace L2² is ONE fold in slice order then
+    // quantized at 1e-6 (round-half-up ·1e6 → exact integral double →
+    // BIGINT — the PageRank §7.4 rule), so encode argmins compare
+    // INTEGERS (cent_id tiebreak) and the ADC score is an exact integer
+    // sum ÷ 1e6: order-free, bitwise portable. Plan mirrors the
+    // operator: codebooks collapse to one broadcast row; encode and the
+    // per-probe m×k tables are pure map passes (zero corpus shuffle);
+    // scoring is m array lookups per (code, probe) against the
+    // broadcast tables; top-k runs as WindowGroupLimit (map-side
+    // partial top-k, shuffle ∝ partitions × probes × k — plan-pinned).
+    "q_llm_pqadc" -> ((s, d) => {
+      val base = T.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      val nRow = base.agg(count(lit(1)).as("qn"))
+      val cents = base.crossJoin(broadcast(nRow))
+        .filter(col("vec_id") %
+          greatest(lit(1L), floor(col("qn") / lit(8)).cast("long")) === 0)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      val bk = cents
+        .agg(collect_list(struct(col("cent_id"), col("ce"))).as("bks"))
+      // quantized subspace distance of a vector column against codebook
+      // entry b in subspace s (both 1-sliced from the full 64-dim array)
+      val d2q =
+        """CAST(round(aggregate(zip_with(
+               slice(e, s * 16 + 1, 16), slice(b.ce, s * 16 + 1, 16),
+               (x, y) -> (x - y) * (x - y)),
+             CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1e6) AS BIGINT)"""
+      val coded = base.crossJoin(broadcast(bk))
+        .withColumn("code", expr(
+          s"""transform(sequence(0, 3), s ->
+                element_at(array_sort(
+                  transform(bks, b -> struct($d2q AS d2q,
+                    b.cent_id AS cent_id)),
+                  (l, r) -> CASE
+                    WHEN l.d2q < r.d2q THEN -1 WHEN l.d2q > r.d2q THEN 1
+                    WHEN l.cent_id < r.cent_id THEN -1
+                    WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END),
+                1).cent_id)"""))
+        .select(col("vec_id"), col("code"))
+      val pt = base.filter(col("vec_id") < 5).crossJoin(broadcast(bk))
+        .withColumn("dt", expr(
+          s"""transform(sequence(0, 3), s ->
+                transform(bks, b -> struct(b.cent_id AS cent_id,
+                  $d2q AS d2q)))"""))
+        .select(col("vec_id").as("probe_id"), col("dt"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("ad2").asc, col("vec_id").asc)
+      coded.crossJoin(broadcast(pt))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("ad2", expr(
+          """CAST(aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, s) ->
+               acc + filter(element_at(dt, s + 1),
+                 c -> c.cent_id = element_at(code, s + 1))[0].d2q)
+             AS DOUBLE) / 1e6"""))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"),
+          col("ad2"))
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // Embedding-cosine near-duplicate pairs within label blocks — exact
     // form (labels bound block size here); see q_llm_embdup_lsh for the
     // unbounded-corpus plan.
@@ -1477,6 +1544,48 @@ object LlmOps {
             CAST(ROUND(SUM(CAST(v AS DECIMAL(18,6))), 6) AS DOUBLE)
               / COUNT(*) AS c_new
           FROM x GROUP BY 1, 2 ORDER BY cent_id, pos""",
+    // Stride codebooks (the cents CTE, k ≈ 8); d2 computes EVERY
+    // (vector, subspace, centroid) quantized distance once — codes are
+    // its per-(vector, subspace) argmin rows, the probe tables its
+    // vec_id < 5 rows, so the ADC join sums the probe's own entries at
+    // the corpus vector's codes: exact integers ÷ 1e6, mirroring the
+    // Spark fold term for term (DuckDB lambda index i is 1-based over
+    // the slice, so ce[sub*16+i] realigns the codebook slice).
+    "q_llm_pqadc" ->
+      s"""WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM $emb),
+          cents AS (
+            SELECT vec_id AS cent_id, e AS ce FROM base
+            WHERE vec_id % greatest(1,
+              CAST(floor((SELECT COUNT(*) FROM base) / 8) AS BIGINT)) = 0),
+          d2 AS (
+            SELECT b.vec_id, s.sub, c.cent_id,
+              CAST(round(list_aggregate(list_transform(
+                  list_slice(b.e, s.sub * 16 + 1, s.sub * 16 + 16),
+                  (x, i) -> (x - c.ce[s.sub * 16 + i])
+                            * (x - c.ce[s.sub * 16 + i])),
+                'sum') * 1e6) AS BIGINT) AS d2q
+            FROM base b
+            CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS sub) s
+            CROSS JOIN cents c),
+          codes AS (
+            SELECT vec_id, sub, cent_id FROM (
+              SELECT vec_id, sub, cent_id,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                  ORDER BY d2q ASC, cent_id ASC) AS crk
+              FROM d2) x WHERE crk = 1),
+          scored AS (
+            SELECT p.vec_id AS probe_id, c.vec_id,
+              CAST(SUM(p.d2q) AS DOUBLE) / 1e6 AS ad2
+            FROM codes c JOIN d2 p
+              ON p.sub = c.sub AND p.cent_id = c.cent_id
+              AND p.vec_id < 5 AND c.vec_id <> p.vec_id
+            GROUP BY 1, 2)
+          SELECT probe_id, CAST(rk AS INTEGER) AS rk,
+            vec_id AS neighbor_id, ad2
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY ad2 ASC, vec_id ASC) AS rk FROM scored) x
+          WHERE rk <= 3 ORDER BY probe_id, rk""",
     "q_llm_embdup" ->
       s"""WITH base AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,

@@ -516,6 +516,19 @@ class PlanAssertionsSuite extends SparkSuite {
       s"triangle enumeration degenerated to all-pairs:\n$plan")
   }
 
+  test("q_llm_pqadc: codebooks/probe tables broadcast, corpus never hash-shuffled before scoring, top-k is WindowGroupLimit") {
+    // The PQ/ADC scale contract: the only exchanges touching corpus-
+    // proportional rows are the WindowGroupLimit top-k's (map-side
+    // partial limit first — ≤ partitions × probes × k rows move) and
+    // the presentation sort; encode and scoring ride broadcasts.
+    val plan = planString(q("q_llm_pqadc"))
+    assert(plan.contains("WindowGroupLimit"), s"pqadc rank not group-limited:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"pqadc went cartesian:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx <= 1, // the top-k window's final-merge exchange only
+      s"pqadc hash-shuffles beyond the top-k merge ($hashEx):\n$plan")
+  }
+
   test("q_graph_pagerank edges: ONE lineitem scan — both orientations explode from one distinct pair set") {
     // The r11 verdict's only weak plan: leg 2 re-scanned lineitem raw
     // and shipped every duplicate (supplier,part) row into the
