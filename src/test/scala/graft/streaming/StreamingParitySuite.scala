@@ -1240,6 +1240,46 @@ class StreamingParitySuite extends SparkSuite {
     assert(streamed.sorted.toSeq === batch.sorted.toSeq)
   }
 
+  test("streaming incremental CC: per-batch pair folds == batch ConnectedComponents == graded q_llm_cc labels") {
+    // The pair→cluster decision, maintained incrementally (r12): the
+    // graded near-dup pair graph arrives in 3 micro-batches; after each
+    // fold the parquet state is a full (node, rep) assignment, and the
+    // FINAL state must equal the batch operator over all pairs — label
+    // values included — and therefore the graded q_llm_cc assignment.
+    val pairs = graft.queries.LlmOps.queries("q_llm_neardup")(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(pairs.size > 10, s"fixture too small to exercise folding: ${pairs.size}")
+    spark.catalog.clearCache() // release the neardup builder's persists
+    val batches = pairs.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1)) // deterministic 3-way interleave: clusters span batches
+    val stateDir = Files.createTempDirectory("graft_cc_state").toString
+    val cp = Files.createTempDirectory("graft_cc_cp").toString
+    val ms = MemoryStream[(Long, Long)](spark)
+    val q = graft.streaming.StreamOps.ccClusterMaintainer(
+        ms.toDF().toDF("doc_a", "doc_b"), stateDir)
+      .option("checkpointLocation", cp).start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      val mid = spark.read.parquet(stateDir).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rep")).toMap
+      // idempotent redelivery: re-folding batch 2 must not move a label
+      ms.addData(batches(1)); q.processAllAvailable()
+      val fin = spark.read.parquet(stateDir).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rep")).toMap
+      assert(fin === mid, "redelivered pairs moved cluster labels")
+      val batch = graft.operators.ConnectedComponents.run(
+          pairs.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rep")).toMap
+      assert(fin === batch, "incremental fold diverged from batch CC")
+      val graded = graft.queries.LlmOps.queries("q_llm_cc")(spark, sf)
+        .select(col("doc_id"), col("rep")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      assert(fin === graded, "incremental fold diverged from graded q_llm_cc")
+    } finally q.stop()
+  }
+
   test("streaming bloom ingest prescreen == batch bloomPrefilter; dups always flagged, zero streaming state") {
     // The cheap FIRST screen of a real ingest tier: the corpus collapses
     // once to a Bloom sketch literal, each micro-batch probes it
