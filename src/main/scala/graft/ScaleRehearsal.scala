@@ -255,6 +255,58 @@ object ScaleRehearsal {
       }
     }
 
+    // Session family (r12, verdict item 5 — the one graded family with
+    // no rehearsal row). Synthetic log: n/50 users × 50 events each, ts
+    // stepped 20 min with a 2h jump every 5th step (≈10 sessions/user)
+    // plus ≤1 min hash jitter; 3-type mix; hash values. Probes drive
+    // the EXACT graded code paths (EventOps.sessionFunnelOn /
+    // retentionOn, StreamOps.session) on 10×/100× sf0.1's event count.
+    // Claims: the sessionizer pays ONE user-hash exchange (shuffle ∝
+    // events, once) and per-user sort state only; the funnel's joins
+    // run ∝ sessions after it; retention collapses to distinct
+    // (user, hour) BEFORE its cohort join so its shuffle is ∝ distinct
+    // pairs, ~flat in events per active hour. noop-written (count()
+    // would prune the value/aggregate columns).
+    def synthEvents(n: Long) = {
+      val u = n / 50L
+      val step = expr(s"id div $u") // integer event index within the user
+      spark.range(n).select(
+        col("id").as("event_id"),
+        pmod(col("id"), lit(u)).as("user_id"),
+        timestamp_micros(lit(1700000000000000L)
+          + step * 1200000000L
+          + expr(s"(id div $u) div 5") * 7200000000L
+          + pmod(xxhash64(col("id")), lit(60000000L))).as("ts"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase")),
+          (pmod(xxhash64(concat(lit("t"), col("id"))), lit(3L)) + 1)
+            .cast("int")).as("event_type"),
+        (pmod(xxhash64(concat(lit("v"), col("id"))), lit(10000L))
+          .cast("double") / 100.0).as("value"))
+    }
+    Seq(6000000L, 60000000L).foreach { n =>
+      if (want("session_agg")) time("session_agg", n) {
+        noop(graft.streaming.StreamOps.session(synthEvents(n)))
+      }
+      if (want("session_topk")) time("session_topk", n) {
+        // the q_session_topk shape: session agg → day-partitioned
+        // rank ≤ 3 (WindowGroupLimit)
+        val rw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("day")).orderBy(col("val").desc,
+            col("session_start").asc, col("user_id").asc)
+        noop(graft.streaming.StreamOps.session(synthEvents(n))
+          .withColumn("day", date_trunc("day", col("session_start")))
+          .withColumn("rk", row_number().over(rw))
+          .filter(col("rk") <= 3))
+      }
+      if (want("session_funnel")) time("session_funnel", n) {
+        noop(graft.queries.EventOps.sessionFunnelOn(synthEvents(n)))
+      }
+      if (want("retention_join")) time("retention_join", n) {
+        noop(graft.queries.EventOps.retentionOn(synthEvents(n), 3))
+      }
+    }
+
     sizes.foreach { n =>
       val df = synth(n)
       if (want("pct_engine")) time("pct_engine", n) {

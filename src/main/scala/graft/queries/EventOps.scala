@@ -26,6 +26,75 @@ object EventOps {
   import Det.{dsum, sqlSum, tbl}
   import graft.streaming.StreamOps
 
+  /** The q_session_funnel engine over ANY (user_id, event_id,
+    * event_type, ts) event log — extracted (r12) so the scale rehearsal
+    * drives the EXACT graded code path on synthetic 6M/60M logs.
+    * Sessionization is explicit gaps-and-islands (lag + cumsum; `>`
+    * boundary = the pinned session_window semantics) with (ts,
+    * event_id) ordering so ties cannot reorder flags; the funnel is
+    * the q_event_funnel agg + join-back chain with (user, sess) keys —
+    * shuffle ∝ sessions after the one sessionizer window exchange.
+    * ts IS NOT NULL on BOTH twins (r11 advice): Spark sorts NULLS FIRST
+    * asc, DuckDB NULLS LAST, so a null-ts event would place at opposite
+    * ends of the session ordering — filtering keeps the twins aligned
+    * by construction rather than by data. */
+  private[graft] def sessionFunnelOn(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val e = events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(wOrd).isNull, 1L)
+          .when(unix_micros(col("ts"))
+            - lag(unix_micros(col("ts")), 1).over(wOrd) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // persisted for the 4 downstream consumers; released by the
+      // caller's clearCache between queries (SparkEntry cache contract)
+      .persist()
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts")).as("t_view"))
+    val c = e.join(v, Seq("user_id", "sess"))
+      .filter(col("event_type") === "click" && col("ts") >= col("t_view"))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts")).as("t_click"))
+    val p = e.join(c, Seq("user_id", "sess"))
+      .filter(col("event_type") === "purchase" && col("ts") >= col("t_click"))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts")).as("t_purchase"))
+    val base = e.groupBy(col("user_id"))
+      .agg(countDistinct(col("sess")).as("n_sessions"))
+    val conv = p.groupBy(col("user_id")).agg(count(lit(1)).as("nc"))
+    base.join(conv.select(col("user_id").as("cu"), col("nc")),
+        col("user_id") === col("cu"), "left")
+      .select(col("user_id"), col("n_sessions"),
+        coalesce(col("nc"), lit(0L)).as("n_converted"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The q_event_retention engine over any (user_id, ts) log, hour
+    * truncation, offsets ≤ `maxK` — extracted (r12) for the same
+    * rehearsal reuse. Distinct-first: raw events collapse to active
+    * (user, hour) pairs BEFORE the cohort join (plan-pinned), so the
+    * join and everything after run ∝ distinct pairs, never events. */
+  private[graft] def retentionOn(events: DataFrame, maxK: Int): DataFrame = {
+    val e = events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    val first = e.groupBy(col("user_id")).agg(min(col("h")).as("cohort"))
+    e.join(first, "user_id")
+      .withColumn("k",
+        ((unix_micros(col("h")) - unix_micros(col("cohort")))
+          / lit(3600000000L)).cast("long"))
+      .filter(col("k") <= maxK)
+      .groupBy(col("cohort"), col("k"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("k"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1h window × event_type.
     "q_stream_tumble" -> ((s, d) =>
@@ -141,26 +210,11 @@ object EventOps {
     // min agg (map-side combining) + user-keyed join-back + distinct on
     // (cohort, k, user) + final hash agg — shuffle ∝ users then
     // ∝ distinct (cohort, k, user) triples, never raw events; no window.
-    "q_event_retention" -> ((s, d) => {
-      // distinct-first: raw events collapse to active (user, hour)
-      // pairs BEFORE the join, so the join and everything after run on
-      // the collapsed table; (cohort, k, user) is then already distinct
-      // (h ↔ k is a bijection given cohort). The k division is exact —
-      // both sides are hour-truncated, so the µs diff is an exact
-      // multiple of 3.6e9 and the double quotient is an exact integer.
-      val e = T.events(s, d)
-        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-        .distinct()
-      val first = e.groupBy(col("user_id")).agg(min(col("h")).as("cohort"))
-      e.join(first, "user_id")
-        .withColumn("k",
-          ((unix_micros(col("h")) - unix_micros(col("cohort")))
-            / lit(3600000000L)).cast("long"))
-        .filter(col("k") <= 3)
-        .groupBy(col("cohort"), col("k"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy(col("cohort"), col("k"))
-    }),
+    // The k division is exact — both sides are hour-truncated, so the
+    // µs diff is an exact multiple of 3.6e9 and the double quotient is
+    // an exact integer. (cohort, k, user) is already distinct after the
+    // (user, hour) collapse (h ↔ k is a bijection given cohort).
+    "q_event_retention" -> ((s, d) => retentionOn(T.events(s, d), 3)),
 
     // Day-cohort retention at deep offsets (r11, the k>3 variant): the
     // industry-standard daily shape — users cohorted by FIRST active
@@ -281,46 +335,7 @@ object EventOps {
     // (ts, event_id) ordering so ties cannot reorder flags; the funnel
     // is the q_event_funnel agg + join-back chain with (user, sess)
     // keys — shuffle ∝ sessions, no window after the sessionizer.
-    "q_session_funnel" -> ((s, d) => {
-      val wOrd = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      // ts IS NOT NULL on BOTH twins (r11 advice): Spark sorts NULLS
-      // FIRST asc, DuckDB NULLS LAST, so a null-ts event would place at
-      // opposite ends of the session ordering — filtering keeps the
-      // sessionization aligned by construction rather than by data.
-      val e = T.events(s, d)
-        .filter(col("ts").isNotNull)
-        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-        .withColumn("new_sess",
-          when(lag(col("ts"), 1).over(wOrd).isNull, 1L)
-            .when(unix_micros(col("ts"))
-              - lag(unix_micros(col("ts")), 1).over(wOrd) > 1800000000L, 1L)
-            .otherwise(0L))
-        .withColumn("sess", sum(col("new_sess")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        // persisted for the 4 downstream consumers; released by the
-        // caller's clearCache between queries (SparkEntry cache contract)
-        .persist()
-      val v = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("sess"))
-        .agg(min(col("ts")).as("t_view"))
-      val c = e.join(v, Seq("user_id", "sess"))
-        .filter(col("event_type") === "click" && col("ts") >= col("t_view"))
-        .groupBy(col("user_id"), col("sess"))
-        .agg(min(col("ts")).as("t_click"))
-      val p = e.join(c, Seq("user_id", "sess"))
-        .filter(col("event_type") === "purchase" && col("ts") >= col("t_click"))
-        .groupBy(col("user_id"), col("sess"))
-        .agg(min(col("ts")).as("t_purchase"))
-      val base = e.groupBy(col("user_id"))
-        .agg(countDistinct(col("sess")).as("n_sessions"))
-      val conv = p.groupBy(col("user_id")).agg(count(lit(1)).as("nc"))
-      base.join(conv.select(col("user_id").as("cu"), col("nc")),
-          col("user_id") === col("cu"), "left")
-        .select(col("user_id"), col("n_sessions"),
-          coalesce(col("nc"), lit(0L)).as("n_converted"))
-        .orderBy(col("user_id"))
-    }),
+    "q_session_funnel" -> ((s, d) => sessionFunnelOn(T.events(s, d))),
 
     // Event-path transition matrix — per-key Markov step counts over the
     // causal timeline (§1.1's per-key ordering as a path analytic): in

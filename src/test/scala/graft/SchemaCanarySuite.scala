@@ -92,6 +92,45 @@ class SchemaCanarySuite extends SparkSuite {
         "teach Tables.eventsRaw (Tables.scala) the new branch and update FIXTURES.md.")
   }
 
+  test("canary: parquet FOOTER physical types — the pre-loader truth (r11 verdict item 7)") {
+    // The loaded-dtype pins above see the world AFTER Spark's parquet
+    // conversions; a regen that changes the PHYSICAL encoding while
+    // landing on the same loaded dtype (µs-NTZ → nanos-long did NOT —
+    // that was the r10 break; adjusted-to-UTC or int96 would) should
+    // still be diagnosed HERE, with the footer's own words.
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def footer(table: String): String = {
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$sf/$table.parquet"),
+        spark.sparkContext.hadoopConfiguration)
+      val r = ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema.toString
+        .replaceAll("\\s+", " ")
+      finally r.close()
+    }
+    def pin(table: String, fragments: Seq[String]): Unit = {
+      val sch = footer(table)
+      fragments.foreach(f => assert(sch.contains(f),
+        s"\nPhysical-type drift in '$table' footer: expected fragment '$f'" +
+          s"\n  footer: $sch" +
+          s"\nTestdata regenerated with a new physical encoding — re-probe " +
+          s"(pyarrow), update FIXTURES.md, adapt graft.Tables if the loaded " +
+          s"dtype shifted (Tables.eventsRaw for events.ts)."))
+    }
+    // events.ts: THE column whose physical generation broke round 10 —
+    // today µs, NOT UTC-adjusted, stored as annotated int64
+    pin("events", Seq("int64 ts (TIMESTAMP(MICROS,false))",
+      "int64 event_id", "binary event_type (STRING)", "double value"))
+    pin("lineitem", Seq("int64 l_shipdate (TIMESTAMP(MICROS,false))",
+      "int32 l_linenumber", "double l_quantity", "int64 l_orderkey"))
+    pin("orders", Seq("int64 o_orderdate (TIMESTAMP(MICROS,false))",
+      "double o_totalprice"))
+    pin("documents", Seq("binary text (STRING)", "int64 n_chars"))
+    pin("embeddings", Seq("group embedding (LIST)", "float element",
+      "int32 label"))
+  }
+
   test("canary: documents schema") {
     assertSchema("documents", Tables.documents(spark, sf), Seq(
       "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
