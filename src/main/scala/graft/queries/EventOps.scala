@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Det, Tables => T}
@@ -369,6 +369,72 @@ object EventOps {
         round(sum(col("value").cast(Det.Dec)).over(w), 4)
           .cast("double").as("running_val"))
         .orderBy(col("event_id"))
+    }),
+
+    // Rolling active users (r12) — DAU + 7-day-window WAU per calendar
+    // day, the standard engagement surface over an event log. Scale
+    // design is distinct-FIRST (the retention family's discipline): raw
+    // events collapse to active (user, day) pairs before anything
+    // windowed happens, so every later stage is ∝ active pairs, never
+    // rows. WAU avoids the naive day-range self-join (a range join that
+    // rescans the pair set per day) by the offset-explode dual: an
+    // active (user, day) contributes to report days day..day+6, so
+    // explode k = 0..6, re-distinct (user, rday) — a user active twice
+    // inside one window still counts once — and hash-count per rday.
+    // Day arithmetic is integer µs (exact; the retention7 precedent).
+    // Report days are restricted to days present in the log via a
+    // broadcast semi-join (calendar-sized). Shuffle: pairs + 7·pairs,
+    // both map-side combined; no window function, no range join.
+    "q_event_wau" -> ((s, d) => {
+      val e = T.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+        .persist() // 3 consumers (dau, contrib, days); caller clearCache
+      val days = e.select(col("day")).distinct()
+      val dau = e.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = e
+        .select(col("user_id"),
+          explode(sequence(lit(0L), lit(6L))).as("k"),
+          unix_micros(col("day")).as("dus"))
+        .select(col("user_id"),
+          timestamp_micros(col("dus") + col("k") * lit(86400000000L))
+            .as("rday"))
+        .distinct()
+        .join(days.select(col("day").as("rday")), Seq("rday"), "semi")
+        .groupBy(col("rday")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, dau("day") === wau("rday"))
+        .select(dau("day"), col("dau"), col("wau"))
+        .orderBy(col("day"))
+    }),
+
+    // Truncated EWMA smoothing (r12) — per-key exponential smoothing of
+    // `value` with α = 1/2 truncated at depth 8 (an 8-tap FIR: weight
+    // 2^-(j+1) on lag j). The truncation is what makes the float
+    // discipline (§7.4) unnecessary: every tap weight is a power of
+    // two, so each product is an exact IEEE exponent shift, and the
+    // 8-term sum is written as ONE left-associated chain evaluated in
+    // the identical order by both engines — bit-reproducible without
+    // the decimal detour, and on a cluster the per-row value is
+    // layout-independent because the (ts, event_id) order is total.
+    // Plan: one user-keyed window exchange, 8 lag() taps in a single
+    // WindowExec (lag buffers O(depth) rows, never the partition);
+    // output ∝ events. ts IS NOT NULL on both twins (session_funnel
+    // precedent: Spark sorts NULLS FIRST asc, DuckDB NULLS LAST).
+    "q_event_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      def tap(j: Int): Column =
+        coalesce(lag(col("value"), j).over(w), lit(0.0))
+      val weights = Seq(0.5, 0.25, 0.125, 0.0625,
+        0.03125, 0.015625, 0.0078125, 0.00390625)
+      val ewma = weights.zipWithIndex.map { case (wt, j) =>
+        (if (j == 0) col("value") else tap(j)) * lit(wt)
+      }.reduceLeft(_ + _) // left-assoc: the order the oracle SQL writes
+      T.events(s, d)
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("ewma", ewma)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
     })
   )
 
@@ -589,6 +655,41 @@ object EventOps {
           FROM $evt
           WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          ORDER BY event_id"""
+          ORDER BY event_id""",
+    // Distinct-first + offset-explode, mirroring the Spark derivation;
+    // day arithmetic in integer µs (make_timestamp(µs) = Spark's
+    // timestamp_micros), day_trunc cast to TIMESTAMP (retention7
+    // precedent: DuckDB's date_trunc('day') yields DATE).
+    "q_event_wau" ->
+      s"""WITH e AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                     FROM $evt),
+          days AS (SELECT DISTINCT day FROM e),
+          dau AS (SELECT day, COUNT(*) AS dau FROM e GROUP BY day),
+          contrib AS (
+            SELECT DISTINCT user_id,
+              make_timestamp(epoch_us(day) + i * 86400000000) AS rday
+            FROM e, (SELECT UNNEST([0,1,2,3,4,5,6]) AS i)),
+          wau AS (
+            SELECT c.rday, COUNT(*) AS wau
+            FROM contrib c WHERE c.rday IN (SELECT day FROM days)
+            GROUP BY c.rday)
+          SELECT dau.day, dau.dau, wau.wau
+          FROM dau JOIN wau ON dau.day = wau.rday
+          ORDER BY dau.day""",
+    // The identical left-associated 8-tap chain (power-of-two weights:
+    // each product is an exact exponent shift; the fixed evaluation
+    // order makes the IEEE sum bit-identical across engines).
+    "q_event_ewma" -> {
+      val taps = Seq(0.5, 0.25, 0.125, 0.0625,
+        0.03125, 0.015625, 0.0078125, 0.00390625).zipWithIndex.map {
+        case (wt, 0) => s"value * $wt"
+        case (wt, j) => s"COALESCE(LAG(value, $j) OVER w, 0.0) * $wt"
+      }.mkString(" + ")
+      s"""SELECT user_id, event_id, ts, value, $taps AS ewma
+          FROM $evt WHERE ts IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+          ORDER BY user_id, ts, event_id"""
+    }
   )
 }

@@ -570,4 +570,49 @@ class PlanAssertionsSuite extends SparkSuite {
         s"cohort join runs on un-collapsed events:\n$plan")
     }
   }
+
+  test("q_event_wau: no window, no range join; explode rides the collapsed pair set") {
+    // The 7-day WAU must be the offset-explode dual, not a day-range
+    // self-join (a range join rescans the pair set per report day) and
+    // not a sliding count-distinct window (unsupported/partition-bound).
+    // The explode's child must already be an Aggregate (the distinct
+    // (user, day) collapse) — at 100 TB that collapse is what keeps the
+    // 7× expansion ∝ active pairs instead of ∝ raw events.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join}
+    val df = q("q_event_wau")
+    val plan = df.queryExecution.optimizedPlan
+    val phys = planString(df)
+    assert(!phys.contains("Window"), s"WAU must not use a window:\n$phys")
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoop"),
+      s"WAU degenerated into a non-equi join:\n$phys")
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, s"offset-explode missing:\n$plan")
+    gens.foreach { g =>
+      // the collapse is an Aggregate, or the persisted InMemoryRelation
+      // wrapping it (the distinct pair set is cached for its 3 consumers)
+      val collapsed = g.child.collectFirst { case a: Aggregate => a }.nonEmpty ||
+        g.child.toString.contains("InMemoryRelation")
+      assert(collapsed, s"explode runs on un-collapsed events:\n$plan")
+    }
+    // the day-restriction is a semi-join over the calendar-sized day
+    // set — broadcastable by size at any corpus scale
+    val semis = plan.collect { case j: Join if j.joinType.sql == "LEFT SEMI" => j }
+    assert(semis.nonEmpty, s"report-day restriction semi-join missing:\n$plan")
+  }
+
+  test("q_event_ewma: all 8 taps fold into ONE window exchange") {
+    // 8 lag() taps over the same (user_id, ts, event_id) window spec
+    // must plan as a single WindowExec on a single user-hash exchange —
+    // a per-tap window (or a re-sort between taps) would multiply the
+    // only shuffle this query has.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = q("q_event_ewma")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 1, s"expected exactly 1 Window node, got ${wins.size}")
+    assert(wins.head.windowExpressions.size >= 7,
+      "taps did not fold into the single window")
+    val phys = planString(df)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(phys).length <= 1,
+      s"more than one user-hash exchange:\n$phys")
+  }
 }
