@@ -37,6 +37,68 @@ object PipelineOps {
     * shard id is itself hash-derived and deterministic. */
   private[graft] val PackShards = 8
 
+  /** The q_profile column set: (column name, SQL cast expression with a
+    * `%T` placeholder for the engine's string type — Spark STRING,
+    * DuckDB VARCHAR). String-domain profiling is what makes one schema
+    * serve every column type deterministically: int→string is exact and
+    * its binary (UTF8) MIN/MAX ordering is identical in both engines;
+    * doubles go through DECIMAL(18,4) first because double→string
+    * formatting is engine-specific while decimal→string is fixed-scale
+    * ("4.5000") in both. */
+  private[graft] val ProfileCols: Seq[(String, String)] = Seq(
+    "l_returnflag" -> "CAST(l_returnflag AS %T)",
+    "l_linestatus" -> "CAST(l_linestatus AS %T)",
+    "l_orderkey" -> "CAST(l_orderkey AS %T)",
+    "l_partkey" -> "CAST(l_partkey AS %T)",
+    "l_suppkey" -> "CAST(l_suppkey AS %T)",
+    "l_linenumber" -> "CAST(l_linenumber AS %T)",
+    "l_quantity" -> "CAST(CAST(l_quantity AS DECIMAL(18,4)) AS %T)")
+
+  /** The q_profile engine over any frame: per column — row count, null
+    * count, exact distinct count, lexicographic (binary-collation)
+    * min/max of the string-cast values. TWO-LEVEL aggregation: first
+    * collapse to ((col, value) → n) — map-side combine bounds the
+    * shuffle by Σ per-column distinct values, never n_cols × rows —
+    * then fold the per-value counts into the per-column stats. The
+    * naive one-level form (COUNT(DISTINCT) over the stacked stream)
+    * would Expand and ship every row per column. For columns where
+    * distinct ≈ rows (keys) the exact count is inherently row-sized;
+    * [[profileApproxOn]] is the 100 TB alternative (HLL sketches,
+    * shuffle ∝ n_cols × sketch size). */
+  private[graft] def profileOn(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    val stackArgs = cols.map { case (n, e) =>
+      s"'$n', ${e.replace("%T", "STRING")}" }.mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("n"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("n")).as("n_rows"),
+        sum(when(col("v").isNull, col("n")).otherwise(0L)).as("n_nulls"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy(col("col_name"))
+  }
+
+  /** The sketch-backed profile for corpora where exact distinct counts
+    * are row-sized (key columns at 100 TB): one single-pass hash agg —
+    * no per-value collapse, HLL++ (`approx_count_distinct`, rsd 2%)
+    * instead of the exact count — so shuffle is n_cols × (sketch +
+    * min/max/counters), independent of cardinality. Unit-pinned against
+    * [[profileOn]] within HLL error; NOT graded (approximate by
+    * design, so no bitwise oracle can exist). */
+  private[graft] def profileApproxOn(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    val stackArgs = cols.map { case (n, e) =>
+      s"'$n', ${e.replace("%T", "STRING")}" }.mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        approx_count_distinct(col("v"), 0.02).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy(col("col_name"))
+  }
+
   /** Contamination flag threshold (q_llm_contam). */
   private[graft] val ContamThreshold = 0.5
 
@@ -399,6 +461,12 @@ object PipelineOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // Data-quality profiler (r12): the audit every ingest runs first —
+    // per column of the fact table: rows, nulls, exact distinct count,
+    // binary-collation min/max over the string-cast domain. See
+    // [[profileOn]] for the two-level shuffle bound and [[ProfileCols]]
+    // for why profiling happens in the string domain.
+    "q_profile" -> ((s, d) => profileOn(T.lineitem(s, d), ProfileCols)),
     // §2.10 weighted sampling (r9): keep probability ∝ capped token
     // count — longer docs oversampled, the curriculum/quality-weighting
     // primitive. Integer hash-vs-weight comparison only (no floats to
@@ -521,6 +589,23 @@ object PipelineOps {
         FROM $doc"""
 
   val oracle: Map[String, String] = Map(
+    // Generated from the SAME ProfileCols list (lockstep by
+    // construction); VARCHAR where Spark says STRING, SUMs cast back
+    // from DuckDB's HUGEINT (the q_seq_gap precedent).
+    "q_profile" -> {
+      val branches = ProfileCols.map { case (n, e) =>
+        s"SELECT '$n' AS col_name, ${e.replace("%T", "VARCHAR")} AS v FROM ${tbl("lineitem")}"
+      }.mkString("\n          UNION ALL ")
+      s"""WITH s AS (
+            $branches),
+          g AS (SELECT col_name, v, COUNT(*) AS n FROM s GROUP BY 1, 2)
+          SELECT col_name,
+            CAST(SUM(n) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN v IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_nulls,
+            COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+            MIN(v) AS min_v, MAX(v) AS max_v
+          FROM g GROUP BY col_name ORDER BY col_name"""
+    },
     // chunk_id: Spark posexplode yields INT positions; DuckDB's //
     // yields BIGINT → cast. list_slice's inclusive-end clamp matches
     // Spark slice(start, length)'s length clamp.

@@ -193,4 +193,39 @@ class PipelineOpsSuite extends SparkSuite {
     assert(out(1L) === ((6, 2, 4.0 / 6.0)))
     assert(out(2L) === ((3, 3, 0.0)))
   }
+
+  test("profileOn: null counting, distinct excludes nulls, min/max binary order (the path sf data can't reach)") {
+    // the graded tables carry zero nulls, so the null branch is pinned
+    // here on a planted frame; also pins the lexicographic ("10" < "9")
+    // string-domain ordering the scaladoc promises
+    val df = Seq[(java.lang.Long, String)](
+      (9L, "b"), (10L, null), (null, "a"), (10L, "a"))
+      .toDF("k", "s")
+    val out = queries.PipelineOps.profileOn(df,
+      Seq("k" -> "CAST(k AS %T)", "s" -> "CAST(s AS %T)"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(out("k") === ((4L, 1L, 2L, "10", "9"))) // binary order: "10" < "9"
+    assert(out("s") === ((4L, 1L, 2L, "a", "b")))  // distinct ignores null, dup "a" once
+  }
+
+  test("profileApproxOn: HLL profile matches the exact profile within rsd on every non-distinct stat, ±5% on distinct") {
+    val df = spark.range(0, 5000).selectExpr(
+      "id AS k", "CAST(id % 37 AS STRING) AS s")
+    val cols = Seq("k" -> "CAST(k AS %T)", "s" -> "CAST(s AS %T)")
+    val exact = queries.PipelineOps.profileOn(df, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = queries.PipelineOps.profileApproxOn(df, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("k", "s")) {
+      val (e, a) = (exact(c), approx(c))
+      assert(a.getLong(1) === e.getLong(1)) // n_rows exact
+      assert(a.getLong(2) === e.getLong(2)) // n_nulls exact
+      assert(a.getString(4) === e.getString(4) && a.getString(5) === e.getString(5))
+      val (de, da) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(da - de) / de <= 0.05,
+        s"$c: approx distinct $da vs exact $de")
+    }
+  }
 }
