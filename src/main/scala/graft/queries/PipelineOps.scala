@@ -99,6 +99,13 @@ object PipelineOps {
       .orderBy(col("col_name"))
   }
 
+  /** q_llm_dsir: hashed-feature buckets / target language / emitted
+    * top-k. 1024 buckets is the graded constant; the operator is
+    * bucket-count-agnostic (shuffle ∝ buckets in the histogram stages). */
+  private[graft] val DsirBuckets = 1024
+  private[graft] val DsirTargetLang = "en"
+  private[graft] val DsirTopK = 100
+
   /** Contamination flag threshold (q_llm_contam). */
   private[graft] val ContamThreshold = 0.5
 
@@ -467,6 +474,53 @@ object PipelineOps {
     // [[profileOn]] for the two-level shuffle bound and [[ProfileCols]]
     // for why profiling happens in the string domain.
     "q_profile" -> ((s, d) => profileOn(T.lineitem(s, d), ProfileCols)),
+    // DSIR-style importance weighting (r12; Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling" — public
+    // arXiv:2302.03169): score each document by how much its hashed
+    // n-gram features look like the TARGET distribution (lang = en)
+    // relative to the RAW corpus. The paper's per-feature log-ratio
+    // log(p_t/p_r) is replaced by the exact integer cross-product
+    // ct·Nr − cr·Nt (same sign, same zero point: positive iff the
+    // bucket is over-represented in the target) because log() is a
+    // libm call with no cross-engine bit guarantee (§7.4) — the
+    // monotone-integer substitution is this file's md5-for-rand()
+    // discipline applied to the scoring function. Arithmetic is
+    // DECIMAL(38,0)/HUGEINT so the cross-products cannot overflow at
+    // any corpus size (ct·Nr ≤ Nt·Nr ~ 1e24 at 100 TB ≪ 1e38).
+    // Plan: one shingle explode (∝ shingles, persisted for its 3
+    // consumers) → two B-bounded histogram aggs (map-side combine
+    // collapses each task to ≤B rows) + one broadcast 1-row total →
+    // per-doc score = broadcast join of the B-row weight table back
+    // onto the shingle stream + doc-keyed agg (shuffle ∝ docs) →
+    // global top-k as TakeOrdered. Never a corpus-sized shuffle.
+    "q_llm_dsir" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+      val sh = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(LlmOps.shinglesCol(col("tk"))).as("s0"))
+        .select(col("doc_id"), col("lang"),
+          (Det.md5h32(col("s0")) % DsirBuckets).as("bkt"))
+        .persist() // 3 consumers (cr, ct+tot, score); caller clearCache
+      val cr = sh.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+      val ct = sh.filter(col("lang") === DsirTargetLang)
+        .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+      val tot = sh.agg(
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+      val w = cr.join(ct, Seq("bkt"), "left").crossJoin(broadcast(tot))
+        .select(col("bkt"),
+          (coalesce(col("ct"), lit(0L)).cast(dec) * col("nr").cast(dec)
+            - col("cr").cast(dec) * col("nt").cast(dec)).as("wgt"))
+      sh.join(broadcast(w), Seq("bkt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), sum(col("wgt")).as("sraw"))
+        .select(col("doc_id"), col("n_sh"),
+          col("sraw").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(DsirTopK)
+    }),
     // §2.10 weighted sampling (r9): keep probability ∝ capped token
     // count — longer docs oversampled, the curriculum/quality-weighting
     // primitive. Integer hash-vs-weight comparison only (no floats to
@@ -606,6 +660,31 @@ object PipelineOps {
             MIN(v) AS min_v, MAX(v) AS max_v
           FROM g GROUP BY col_name ORDER BY col_name"""
     },
+    // Same integer cross-product program; SUM over BIGINT promotes to
+    // HUGEINT (the DECIMAL(38,0) twin), final CAST AS DOUBLE is the one
+    // correctly-rounded conversion both engines share.
+    "q_llm_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+                     FROM $doc),
+          b AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(s0), 1, 8))::BIGINT % $DsirBuckets AS bkt
+                FROM (SELECT doc_id, lang, UNNEST(${LlmOps.shingleSql}) AS s0
+                      FROM t WHERE len(tk) >= 3) sh),
+          cr AS (SELECT bkt, COUNT(*) AS cr FROM b GROUP BY bkt),
+          ct AS (SELECT bkt, COUNT(*) AS ct FROM b
+                 WHERE lang = '$DsirTargetLang' GROUP BY bkt),
+          tot AS (SELECT
+                    SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS nt,
+                    COUNT(*) AS nr
+                  FROM b),
+          w AS (SELECT cr.bkt,
+                  COALESCE(ct.ct, 0) * tot.nr - cr.cr * tot.nt AS wgt
+                FROM cr LEFT JOIN ct ON cr.bkt = ct.bkt CROSS JOIN tot)
+          SELECT b.doc_id, COUNT(*) AS n_sh,
+            CAST(SUM(w.wgt) AS DOUBLE) AS score
+          FROM b JOIN w ON b.bkt = w.bkt
+          GROUP BY b.doc_id
+          ORDER BY score DESC, doc_id ASC LIMIT $DsirTopK""",
     // chunk_id: Spark posexplode yields INT positions; DuckDB's //
     // yields BIGINT → cast. list_slice's inclusive-end clamp matches
     // Spark slice(start, length)'s length clamp.

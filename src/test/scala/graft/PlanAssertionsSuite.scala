@@ -615,4 +615,18 @@ class PlanAssertionsSuite extends SparkSuite {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(phys).length <= 1,
       s"more than one user-hash exchange:\n$phys")
   }
+
+  test("q_llm_dsir: weight table broadcasts back onto the shingle stream; top-k is TakeOrdered") {
+    // The per-doc scoring join must be broadcast (the weight table is
+    // B = 1024 rows at ANY corpus size) — a shuffle join there would
+    // re-exchange the whole shingle stream; and the global top-100 must
+    // be TakeOrderedAndProject (per-partition heaps), never a full sort.
+    val phys = planString(q("q_llm_dsir"))
+    assert(phys.contains("BroadcastHashJoin"),
+      s"weight join not broadcast:\n$phys")
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-k is not TakeOrdered:\n$phys")
+    assert(!phys.contains("CartesianProduct"),
+      s"cartesian leaked into dsir:\n$phys")
+  }
 }
