@@ -80,7 +80,20 @@ object GraphOps {
           .agg(count(lit(1)).as("w")),
         PrIters)
         .orderBy(col("node"))
-    }))
+    }),
+
+    // Degree distribution (r12) — the first sanity profile of any
+    // graph pipeline (power-law check, max-degree hub detection) over
+    // the same co-purchase graph PageRank ranks. Two collapses: the
+    // directed edge list (2·distinct pairs) hash-aggregates to per-node
+    // degrees (shuffle ∝ nodes), then degrees to (deg, n_nodes)
+    // (shuffle ∝ distinct degrees). Everything after the pair-distinct
+    // is sub-edge-sized; no window, no join.
+    "q_graph_degdist" -> ((s, d) =>
+      copurchaseEdges(s, d)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))))
 
   private val li = tbl("lineitem")
 
@@ -160,5 +173,17 @@ object GraphOps {
          |       FROM nodes CROSS JOIN nn),
          |${(1 to PrIters).map(iter).mkString(",\n")}
          |SELECT node, r FROM r$PrIters ORDER BY node""".stripMargin
-    })
+    },
+    // Same pairs-CTE edge derivation as pagerank; two integer collapses.
+    "q_graph_degdist" ->
+      s"""WITH pairs AS (
+            SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+            FROM $li),
+          edges AS (
+            SELECT p AS src, q AS dst FROM pairs
+            UNION
+            SELECT q AS src, p AS dst FROM pairs),
+          degs AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+          SELECT deg, COUNT(*) AS n_nodes FROM degs
+          GROUP BY deg ORDER BY deg""")
 }
