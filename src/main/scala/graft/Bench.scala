@@ -29,30 +29,33 @@ object Bench {
   // are host noise; the 3dp total and 2dp yard carry the precision.
   private[graft] def fmtQ(v: Double): String = math.round(v * 10).toString
 
-  /** The `"queries"` object of the bench line — the load-bearing piece
+  /** The `"queries"` value of the bench line — the load-bearing piece
     * the per-round grading parses, so it is extracted and round-trip
     * unit-tested (BenchLineSuite) rather than living inline in main.
     *
-    * Encoding ("qenc":"pfx", since r9 — see main's line-budget comment):
-    * names are q_-stripped and split at their FIRST underscore; prefixes
-    * with ≥2 members nest as one object keyed by the remainders (empty
-    * key = the bare prefix itself), singleton prefixes stay flat.
-    * Lossless; decode name = prefix (+ "_" + innerKey when non-empty). */
-  private[graft] def encodeQueries(results: Seq[(String, Double)]): String = {
-    val split = results.map { case (k, v) =>
-      val name = k.stripPrefix("q_")
-      val i = name.indexOf('_')
-      if (i < 0) (name, "", v) else (name.take(i), name.drop(i + 1), v)
-    }
-    split.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, ms) =>
-      if (ms.size == 1) {
-        val (_, rest, v) = ms.head
-        jstr(if (rest.isEmpty) p else s"${p}_$rest") + ":" + fmtQ(v)
-      } else
-        jstr(p) + ":" + ms.sortBy(_._2).map { case (_, rest, v) =>
-          jstr(rest) + ":" + fmtQ(v) }.mkString("{", ",", "}")
-    }.mkString("{", ",", "}")
-  }
+    * Encoding ("qenc":"idx", since r12 — the planned-ahead re-budget;
+    * see main's line-budget comment): a JSON ARRAY of integer
+    * decisecond values, one per registered query, in ASCENDING ORDER of
+    * the FULL query name (ASCII code-unit compare — all names are
+    * [a-z0-9_], so Scala's String ordering, Python's sorted(), and SQL
+    * binary collation all agree). The names themselves are NOT in the
+    * line: they are recoverable exactly, per round, as the sorted key
+    * set of the SAME round's CORRECTNESS_r{N}.json (equivalently
+    * Verify's oracle_sql.json) — both are generated from the identical
+    * SparkEntry.queries registry this array iterates, so the zip cannot
+    * skew. Decode: dict(zip(sorted(names), values)), values ÷ 10 per
+    * "qunit":"ds". Cross-checks carried in the line: "qn" = array
+    * length (must equal the name count), "yard" = q_scan's seconds
+    * (must equal values[index of q_scan]/10 within rounding).
+    *
+    * History: r9's "pfx" nested-name object (names split at the first
+    * underscore) measured 1893 of the ~1920 tail budget at r12's 147
+    * queries — 27 chars from the truncation that voided r4-r5 — and
+    * every name-bearing scheme grows ∝ Σ|name|. The values-only array
+    * is ~460 chars at 147 queries and stays lossless because the name
+    * list ships in the round's own correctness artifact. */
+  private[graft] def encodeQueries(results: Seq[(String, Double)]): String =
+    results.sortBy(_._1).map { case (_, v) => fmtQ(v) }.mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,13 +147,18 @@ object Bench {
     // 103 queries the full-name line measured 1972, over the ~1920
     // tail budget; the prefix is 2 chars × |queries| of pure redundancy.
     //
-    // Since r9 the queries object is NESTED BY FAMILY PREFIX, declared
-    // by "qenc":"pfx" — the planned-ahead re-budget (at 116 queries the
-    // flat form measured 1801 of the ~1921 ceiling; this one measures
-    // ~1497, ≥400 chars of headroom ≈ 40 more queries). LOSSLESS, unlike
-    // collapsing sub-decisecond queries into a sum: every per-query
-    // value stays readable, so cross-round diffs still work. The
-    // encoder is [[encodeQueries]], round-trip-pinned by BenchLineSuite.
+    // Since r9 the queries object was NESTED BY FAMILY PREFIX
+    // ("qenc":"pfx" — at 116 queries the flat form measured 1801 of the
+    // ~1921 ceiling; pfx measured ~1497). At r12's 147 queries pfx
+    // itself measured 1893 — 27 chars from truncation — so since r12
+    // "qenc":"idx": `queries` is a values-only array in ascending
+    // full-name order, names recoverable from the round's own
+    // CORRECTNESS/oracle_sql key set (see [[encodeQueries]] scaladoc
+    // for the exact decode contract; BASELINE.md documents it too).
+    // Still LOSSLESS — every per-query value remains individually
+    // readable — and the line stops growing ∝ Σ|name|, so this is the
+    // last re-budget. Round-trip-pinned by BenchLineSuite; "qn" is the
+    // in-line count cross-check.
     val qs = encodeQueries(results)
     val errJson = if (errors.isEmpty) ""
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
@@ -163,7 +171,9 @@ object Bench {
     // should normalize by this instead of guessing).
     val yard = results.toMap.getOrElse("q_scan", 0.0)
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2ci","qprefix":"q_","qunit":"ds","qenc":"pfx","yard":${"%.2f".formatLocal(java.util.Locale.ROOT, yard)},"queries":$qs$errJson,"sf":"$sfName"}""")
+    // ("qprefix" dropped with idx: names no longer appear in `queries`,
+    // and the errors object always carries FULL q_… names.)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"m2ci","qunit":"ds","qenc":"idx","qn":${results.size},"yard":${"%.2f".formatLocal(java.util.Locale.ROOT, yard)},"queries":$qs$errJson,"sf":"$sfName"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

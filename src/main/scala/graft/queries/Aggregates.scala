@@ -481,6 +481,29 @@ object Aggregates {
       buckets.join(counted, Seq("bucket"), "left")
         .select(col("bucket"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
         .orderBy(col("bucket"))
+    }),
+
+    // §2.4 bitwise aggregate family (r12) — BIT_OR / BIT_XOR / BIT_COUNT,
+    // the bitmap-index aggregation class (presence masks, bloom-ish
+    // compaction) that no other graded row exercises. Per customer: the
+    // months-active bitmap (bit j−1 set ⇔ an order in calendar month j —
+    // month() is engine-identical 1..12 on DATE, unlike day-of-week whose
+    // start-of-week differs), its popcount, and the XOR parity mask (bit
+    // set ⇔ an ODD number of orders that month). All integer bit algebra:
+    // exact, order-free (OR/XOR are commutative-associative), so a
+    // 1000-executor partial→final merge cannot change a bit. Plan: ONE
+    // map-side-combining hash aggregate, shuffle ∝ customers with a
+    // 3-long-column payload — the whole point of bitmaps at 100 TB: a
+    // 12-month presence set costs 8 bytes, not a distinct-count buffer.
+    "q_agg_bitmask" -> ((s, d) => {
+      val bit = expr("shiftleft(CAST(1 AS BIGINT), month(o_orderdate) - 1)")
+      T.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(bit_or(bit).as("month_mask"),
+          bit_xor(bit).as("parity_mask"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("n_active_months", bit_count(col("month_mask")))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -921,6 +944,16 @@ object Aggregates {
           FROM (SELECT UNNEST(range(0, 10)) AS bucket) g
           LEFT JOIN (SELECT o_orderkey % 10 AS ob, COUNT(*) AS n_orders
                      FROM $ords GROUP BY 1) c ON bucket = ob
-          ORDER BY bucket"""
+          ORDER BY bucket""",
+    // integer bit algebra end to end — the only float-free aggregate row;
+    // bit_count is cast to INT (DuckDB returns TINYINT, Spark INT)
+    "q_agg_bitmask" ->
+      s"""SELECT o_custkey,
+            bit_or(CAST(1 AS BIGINT) << (month(o_orderdate) - 1)) AS month_mask,
+            bit_xor(CAST(1 AS BIGINT) << (month(o_orderdate) - 1)) AS parity_mask,
+            COUNT(*) AS n_orders,
+            CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (month(o_orderdate) - 1)))
+                 AS INTEGER) AS n_active_months
+          FROM $ords GROUP BY o_custkey ORDER BY o_custkey"""
   )
 }

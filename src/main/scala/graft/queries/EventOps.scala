@@ -435,6 +435,43 @@ object EventOps {
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         .withColumn("ewma", ewma)
         .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // Event-type co-occurrence (r12) — the SET-based dual of
+    // q_event_paths' sequential transitions: for every unordered type
+    // pair {a, b}, how many users did BOTH (market-basket affinity), with
+    // the user-set Jaccard as the association strength. Scale design is
+    // distinct-FIRST (the retention/wau discipline): raw events collapse
+    // to distinct (user, type) rows — ∝ users × |types|, never events —
+    // BEFORE the user-keyed self-join; the pair agg then shuffles
+    // ∝ |types|² (≤ 25·24/2 groups, map-side combined), and the per-type
+    // user counts join back as two BROADCAST hash joins (|types| rows).
+    // jaccard = n_ab / (n_a + n_b − n_ab): ONE IEEE division of exact
+    // integers, unrounded (§7.4 rule 1). The `<` pair orientation is
+    // binary-collation string compare, identical in both engines (the
+    // q_profile min/max precedent). No cartesian: the self-join is an
+    // equi-join on user_id (plan-pinned).
+    "q_event_cooccur" -> ((s, d) => {
+      val ut = T.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+        .persist() // 2 consumers (pair join + per-type counts); caller clearCache
+      val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+      ut.as("a")
+        .join(ut.as("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(perType.select(
+          col("event_type").as("type_a"), col("nt").as("n_a"))), Seq("type_a"))
+        .join(broadcast(perType.select(
+          col("event_type").as("type_b"), col("nt").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          col("n_a"), col("n_b"),
+          (col("n_ab") / (col("n_a") + col("n_b") - col("n_ab")))
+            .as("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
     })
   )
 
@@ -690,6 +727,21 @@ object EventOps {
           FROM $evt WHERE ts IS NOT NULL
           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
           ORDER BY user_id, ts, event_id"""
-    }
+    },
+    // distinct-first CTE mirrors the Spark derivation; integer / integer
+    // division is DOUBLE in DuckDB 1.0, matching Spark's long / long
+    "q_event_cooccur" ->
+      s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM $evt),
+          pt AS (SELECT event_type, COUNT(*) AS nt FROM ut GROUP BY 1),
+          pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_ab
+                 FROM ut a JOIN ut b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+          SELECT type_a, type_b, n_ab, pa.nt AS n_a, pb.nt AS n_b,
+            n_ab / (pa.nt + pb.nt - n_ab) AS jaccard
+          FROM pr JOIN pt pa ON pr.type_a = pa.event_type
+          JOIN pt pb ON pr.type_b = pb.event_type
+          ORDER BY type_a, type_b"""
   )
 }

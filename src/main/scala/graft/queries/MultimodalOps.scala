@@ -36,6 +36,9 @@ object MultimodalOps {
 
   private val ChunkBytes = 16
 
+  /** q_mm_framesample: per-payload frame budget. */
+  private val MaxFrames = 8
+
   /** Integer byte value at 1-based position i of a binary column. */
   private def byteVal(payload: org.apache.spark.sql.Column, i: Int) =
     conv(hex(substring(payload, i, 1)), 16, 10).cast("int")
@@ -118,7 +121,38 @@ object MultimodalOps {
           (expr("length(payload) div 256") + 1).as("n_frames_stub"),
           round(byteSum8 / lit(8.0), 6).as("mean_byte8"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Budgeted keyframe sampling (r12) — the video-pipeline step between
+    // q_mm_chunks (ALL frames) and the decoder: pick ≤ MaxFrames frames
+    // per payload at a uniform integer stride, stride = ⌈n_chunks ∕
+    // MaxFrames⌉, sampled indices 0, s, 2s, … < n_chunks (frame 0 always
+    // kept — the keyframe convention). All integer math; the sampled-set
+    // row count is exactly ⌈n_chunks ∕ stride⌉ per doc, so output is
+    // bounded by MaxFrames × docs no matter how large payloads grow —
+    // the property that makes the stage safe to fan into a decoder at
+    // 100 TB (q_mm_chunks' output is ∝ bytes; this one is ∝ docs).
+    // Plan: pure per-row map + generator over the scan, zero shuffle
+    // before the presentation sort (the family contract); Spark
+    // sequence(0, n−1, s) ≡ DuckDB range(0, n, s) — both emit the
+    // multiples of s below n.
+    "q_mm_framesample" -> ((s, d) =>
+      T.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("n_chunks",
+          expr(s"(length(payload) + ${ChunkBytes - 1}) div $ChunkBytes"))
+        .filter(col("n_chunks") >= 1) // stride-0 guard for empty payloads
+        .withColumn("stride",
+          expr(s"(n_chunks + ${MaxFrames - 1}) div $MaxFrames"))
+        .withColumn("chunk_idx",
+          explode(expr("sequence(0, n_chunks - 1, stride)")))
+        .select(col("doc_id"),
+          col("n_chunks").cast("int").as("n_chunks"),
+          col("stride").cast("int").as("stride"),
+          col("chunk_idx").cast("int").as("chunk_idx"),
+          expr(s"md5(substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes))")
+            .as("frame_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")))
   )
 
   private val doc = tbl("documents")
@@ -170,6 +204,22 @@ object MultimodalOps {
             (${sqlByteVal(2)} % 64 + 1) AS height_stub,
             (CAST(octet_length(text::BLOB) // 256 AS INTEGER) + 1) AS n_frames_stub,
             round((${(1 to 8).map(sqlByteVal).mkString(" + ")}) / 8.0, 6) AS mean_byte8
-          FROM $doc ORDER BY doc_id"""
+          FROM $doc ORDER BY doc_id""",
+    "q_mm_framesample" ->
+      s"""SELECT doc_id, CAST(n_chunks AS INTEGER) AS n_chunks,
+            CAST(stride AS INTEGER) AS stride,
+            CAST(chunk_idx AS INTEGER) AS chunk_idx,
+            md5(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)) AS frame_md5
+          FROM (
+            SELECT doc_id, text, n_chunks, stride,
+              UNNEST(range(0, n_chunks, stride)) AS chunk_idx
+            FROM (
+              SELECT doc_id, text,
+                (octet_length(text::BLOB) + ${ChunkBytes - 1}) // $ChunkBytes AS n_chunks,
+                ((octet_length(text::BLOB) + ${ChunkBytes - 1}) // $ChunkBytes
+                  + $MaxFrames - 1) // $MaxFrames AS stride
+              FROM $doc) b
+            WHERE n_chunks >= 1) t
+          ORDER BY doc_id, chunk_idx"""
   )
 }

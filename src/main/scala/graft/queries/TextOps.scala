@@ -40,6 +40,11 @@ object TextOps {
   /** q_text_hhwords: exact top-K words emitted. */
   private[graft] val HhTopK = 10
 
+  /** q_text_zipf: checkpoint ranks (powers of two) and the top-R cut
+    * that bounds the TakeOrdered heap. */
+  private[graft] val ZipfRanks = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
+  private[graft] val ZipfMaxRank = 256
+
   /** Scrub patterns — shared with the oracle (same strings, so both
     * engines compile the identical regex). URL first, then email. */
   private[graft] val ScrubUrl = "https?://[^ ]+"
@@ -246,6 +251,34 @@ object TextOps {
         .select(col("doc_id"), col("fp"), col("cluster_size"), col("keeper"))
         .withColumn("is_keeper", (col("doc_id") === col("keeper")).cast("int"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Zipf rank-frequency checkpoints (r12) — word frequency at
+    // power-of-two ranks, the standard log-log corpus-health profile
+    // (a natural corpus halves-ish per doubling; a flat curve means
+    // templated text). Exact integers only: the slope stays a
+    // reader-side division because log() has no cross-engine bit
+    // guarantee (the DSIR discipline). Scale design: the vocabulary
+    // NEVER takes a global sort — counts hash-aggregate (map-side
+    // combined, shuffle ∝ vocab), then orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition top-R heaps, R·partitions
+    // rows to the driver-side merge — plan-pinned, no Sort/Exchange of
+    // the vocab), and row_number runs on the ≤R-row frame (a one-row
+    // single-partition window, deliberately post-limit). Rank ties
+    // break by word (binary collation, both engines); the rank-then-
+    // filter oracle equals limit-then-rank because the (n desc, word)
+    // order is total.
+    "q_text_zipf" -> ((s, d) => {
+      val top = T.documents(s, d)
+        .select(explode(toks).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(ZipfMaxRank)
+      top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("word").asc)))
+        .filter(col("rank").isin(ZipfRanks.map(x => x: Any): _*))
+        .select(col("rank"), col("word"), col("n"))
+        .orderBy(col("rank"))
     })
   )
 
@@ -402,6 +435,19 @@ object TextOps {
             COUNT(*) OVER (PARTITION BY fp) AS cluster_size,
             MIN(doc_id) OVER (PARTITION BY fp) AS keeper,
             CAST(doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS INTEGER) AS is_keeper
-          FROM f ORDER BY doc_id"""
+          FROM f ORDER BY doc_id""",
+    // rank over the FULL vocab then filter — equal to the Spark side's
+    // limit-then-rank because the (n DESC, word ASC) order is total
+    "q_text_zipf" ->
+      s"""WITH c AS (
+            SELECT word, COUNT(*) AS n
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM $doc) t
+            GROUP BY word),
+          r AS (SELECT word, n,
+                  ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rank
+                FROM c)
+          SELECT CAST(rank AS INTEGER) AS rank, word, n FROM r
+          WHERE rank IN (${ZipfRanks.mkString(", ")})
+          ORDER BY rank"""
   )
 }

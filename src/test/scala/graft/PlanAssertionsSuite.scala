@@ -629,4 +629,67 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!phys.contains("CartesianProduct"),
       s"cartesian leaked into dsir:\n$phys")
   }
+
+  test("q_agg_bitmask: one map-side-combining hash aggregate, no join, no window") {
+    // bitmaps exist to make the presence-set aggregation cheap: the
+    // whole query must be a single partial+final hash agg over the scan
+    val plan = planString(q("q_agg_bitmask"))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final hash aggregate:\n$plan")
+    assert(!plan.toLowerCase.contains("join") && !plan.contains("WindowExec"),
+      s"bitmask grew a join/window:\n$plan")
+  }
+
+  test("q_event_cooccur: distinct-first self-join is an equi-join; per-type counts broadcast back") {
+    // The self-join must run over the COLLAPSED (user, type) pair set
+    // (∝ users × types, never events) as a plain equi-join on user_id;
+    // the n_a/n_b join-backs are |types|-row tables and must broadcast.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = q("q_event_cooccur")
+    val phys = planString(df)
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoop"),
+      s"cooccur degenerated into a non-equi join:\n$phys")
+    assert("BroadcastHashJoin".r.findAllIn(phys).length >= 2,
+      s"per-type count join-backs not broadcast:\n$phys")
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // every join input is the distinct collapse (Aggregate) or a
+    // derivative of the persisted pair set (InMemoryRelation)
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val collapsed = side.collectFirst { case a: Aggregate => a }.nonEmpty ||
+          side.toString.contains("InMemoryRelation")
+        assert(collapsed, s"join side reads un-collapsed events:\n$side")
+      }
+    }
+  }
+
+  test("q_text_zipf: vocab never globally sorts — top-R is TakeOrdered; rank window runs post-limit") {
+    // The rank window is DELIBERATELY post-limit: it sees ≤ ZipfMaxRank
+    // rows, so the single-partition exchange it needs is a constant-size
+    // move, while the vocabulary itself only ever passes a hash agg and
+    // per-partition top-R heaps.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
+    val df = q("q_text_zipf")
+    val phys = planString(df)
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-R regressed to a global vocab sort:\n$phys")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 1, s"expected exactly 1 rank window, got ${wins.size}")
+    val postLimit = wins.head.collectFirst {
+      case l: GlobalLimit => l
+      case l: LocalLimit => l
+    }.nonEmpty
+    assert(postLimit,
+      "rank window is not post-limit — it would sort the whole vocabulary")
+  }
+
+  test("q_mm_framesample: generator over per-row map work — the only exchange is the output sort") {
+    val plan = planString(q("q_mm_framesample"))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"framesample shuffles beyond the output sort:\n$plan")
+    assert(plan.contains("Generate"), s"expected the stride-sequence generator:\n$plan")
+    assert(!plan.toLowerCase.contains("join") && !plan.contains("WindowExec"),
+      s"framesample grew a join/window:\n$plan")
+  }
 }
