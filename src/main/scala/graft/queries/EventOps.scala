@@ -38,10 +38,16 @@ object EventOps {
     * asc, DuckDB NULLS LAST, so a null-ts event would place at opposite
     * ends of the session ordering — filtering keeps the twins aligned
     * by construction rather than by data. */
-  private[graft] def sessionFunnelOn(events: DataFrame): DataFrame = {
+  /** The shared gaps-and-islands sessionizer: (user_id, event_id,
+    * event_type, ts) → + (sess) with the pinned `>` 30-min boundary and
+    * tie-safe (ts, event_id) ordering; ts IS NOT NULL by contract (r11
+    * advice: Spark and DuckDB sort nulls at opposite ends). One window
+    * exchange on the causality key; extracted (r12) so funnel AND the
+    * session-stats query grade the identical session labels. */
+  private[graft] def sessionizedOn(events: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
-    val e = events
+    events
       .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       .withColumn("new_sess",
@@ -51,6 +57,10 @@ object EventOps {
           .otherwise(0L))
       .withColumn("sess", sum(col("new_sess")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private[graft] def sessionFunnelOn(events: DataFrame): DataFrame = {
+    val e = sessionizedOn(events)
       // persisted for the 4 downstream consumers; released by the
       // caller's clearCache between queries (SparkEntry cache contract)
       .persist()
@@ -472,7 +482,27 @@ object EventOps {
           (col("n_ab") / (col("n_a") + col("n_b") - col("n_ab")))
             .as("jaccard"))
         .orderBy(col("type_a"), col("type_b"))
-    })
+    }),
+
+    // Per-session statistics (r12) — the session-table view every
+    // engagement analysis starts from: for each (user, session) of the
+    // SHARED sessionizer (sessionizedOn — the exact labels
+    // q_session_funnel/q_stream_session grade), event count, distinct
+    // type count, start time, and duration. Duration is exact integer
+    // µs (max − min of unix_micros — no float time math). Plan: the one
+    // sessionizer window exchange, then a hash agg already partitioned
+    // by user_id (the groupBy keys prefix the window key, so no second
+    // exchange of the event stream); shuffle ∝ events once, output ∝
+    // sessions.
+    "q_session_stats" -> ((s, d) =>
+      sessionizedOn(T.events(s, d))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("ts")).as("t_start"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("dur_us"))
+        .orderBy(col("user_id"), col("sess")))
   )
 
   private val evt = tbl("events")
@@ -742,6 +772,31 @@ object EventOps {
             n_ab / (pa.nt + pb.nt - n_ab) AS jaccard
           FROM pr JOIN pt pa ON pr.type_a = pa.event_type
           JOIN pt pb ON pr.type_b = pb.event_type
-          ORDER BY type_a, type_b"""
+          ORDER BY type_a, type_b""",
+    // the session_funnel flagged/e CTEs verbatim (the shared sessionizer
+    // labels), then one grouped pass; sess is HUGEINT in DuckDB (SUM of
+    // ints) → cast BIGINT to match Spark's long cumsum
+    "q_session_stats" ->
+      s"""WITH flagged AS (
+            SELECT user_id, event_id, event_type, ts,
+              CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                   WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM $evt WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC)),
+          e AS (
+            SELECT user_id, event_type, ts,
+              SUM(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            FROM flagged)
+          SELECT user_id, CAST(sess AS BIGINT) AS sess,
+            COUNT(*) AS n_events,
+            COUNT(DISTINCT event_type) AS n_types,
+            MIN(ts) AS t_start,
+            MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+          FROM e GROUP BY user_id, sess
+          ORDER BY user_id, sess"""
   )
 }

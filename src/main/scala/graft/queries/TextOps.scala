@@ -45,6 +45,11 @@ object TextOps {
   private[graft] val ZipfRanks = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
   private[graft] val ZipfMaxRank = 256
 
+  /** q_text_colloc: minimum pair count (kills one-off noise pairs) and
+    * the emitted top-k. */
+  private[graft] val CollocMinPair = 5
+  private[graft] val CollocTopK = 20
+
   /** Scrub patterns — shared with the oracle (same strings, so both
     * engines compile the identical regex). URL first, then email. */
   private[graft] val ScrubUrl = "https?://[^ ]+"
@@ -279,6 +284,48 @@ object TextOps {
         .filter(col("rank").isin(ZipfRanks.map(x => x: Any): _*))
         .select(col("rank"), col("word"), col("n"))
         .orderBy(col("rank"))
+    }),
+
+    // Collocation detection (r12) — top bigrams by PMI LIFT
+    // c_ab·N ∕ (c_a·c_b), the "which word pairs travel together"
+    // phrase-mining primitive. The log() of true PMI is monotone in the
+    // lift, so ranking by lift IS the PMI ranking — and lift needs no
+    // log(), which has no cross-engine bit guarantee (the DSIR
+    // discipline). Determinism: numerator and denominator are computed
+    // as EXACT wide-integer products (DECIMAL(38,0) / HUGEINT — no
+    // overflow at any corpus size), then ONE correctly-rounded
+    // int→double conversion each + one IEEE division, unrounded (§7.4
+    // rule 1); ties rank by (w1, w2). Plan: raw consecutive-pair
+    // explode → hash agg (map-side combined, shuffle ∝ bigram vocab);
+    // unigram agg (∝ vocab) joins back per side (equi-joins — AQE
+    // broadcasts at graded size, SMJ at open-vocab scale, the tfidf
+    // shape); the one-row bigram total BROADCASTs (the HeavyHitters
+    // scalar precedent); final top-k is TakeOrdered, never a full sort.
+    "q_text_colloc" -> ((s, d) => {
+      val tk = toks
+      val docs = T.documents(s, d)
+      val pairs = docs
+        .filter(size(tk) >= 2)
+        .select(explode(transform(sequence(lit(1), size(tk) - 1), i =>
+          struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+        .persist() // 2 consumers (total + ranked); caller clearCache
+      val uni = docs.select(explode(tk).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nTot = bg.agg(sum(col("n_ab")).as("n_bg"))
+      bg.filter(col("n_ab") >= CollocMinPair)
+        .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("lift",
+          (col("n_ab").cast("decimal(38,0)") * col("n_bg")).cast("double")
+            / (col("c_a").cast("decimal(38,0)") * col("c_b")).cast("double"))
+        .select(col("w1"), col("w2"), col("n_ab"), col("c_a"), col("c_b"),
+          col("lift"))
+        .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+        .limit(CollocTopK)
     })
   )
 
@@ -448,6 +495,24 @@ object TextOps {
                 FROM c)
           SELECT CAST(rank AS INTEGER) AS rank, word, n FROM r
           WHERE rank IN (${ZipfRanks.mkString(", ")})
-          ORDER BY rank"""
+          ORDER BY rank""",
+    // HUGEINT products mirror Spark's DECIMAL(38,0); one int→double
+    // conversion each then a single IEEE division, unrounded
+    "q_text_colloc" ->
+      s"""WITH tk AS (SELECT string_split(text, ' ') AS t FROM $doc),
+          p AS (SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT t, UNNEST(range(1, len(t))) AS i
+                      FROM tk WHERE len(t) >= 2) x),
+          bg AS (SELECT w1, w2, COUNT(*) AS n_ab FROM p GROUP BY 1, 2),
+          uc AS (SELECT w, COUNT(*) AS c
+                 FROM (SELECT UNNEST(t) AS w FROM tk) u GROUP BY w),
+          nt AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bg FROM bg)
+          SELECT w1, w2, n_ab, a.c AS c_a, b.c AS c_b,
+            CAST(CAST(n_ab AS HUGEINT) * n_bg AS DOUBLE)
+              / CAST(CAST(a.c AS HUGEINT) * b.c AS DOUBLE) AS lift
+          FROM bg JOIN uc a ON bg.w1 = a.w JOIN uc b ON bg.w2 = b.w
+          CROSS JOIN nt
+          WHERE n_ab >= $CollocMinPair
+          ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT $CollocTopK"""
   )
 }

@@ -80,6 +80,12 @@ case class AsofOut(p_id: Long, user_id: Long, p_us: Long,
                    c_id: Option[Long], c_us: Option[Long],
                    gap_us: Option[Long])
 
+/** Presence-bitmap state: OR mask, XOR parity mask, event count. */
+case class BitmaskState(orMask: Long, xorMask: Long, n: Long)
+
+case class BitmaskOut(user_id: Long, hour_or: Long, hour_xor: Long,
+                      n_events: Long, n_active_hours: Int)
+
 case class TopkState(sums: Map[Long, Long], n: Long)
 
 case class TopkOut(window_us: Long, rk: Int, user_id: Long, value: Double,
@@ -271,6 +277,34 @@ object StreamOps {
           }
           state.update(EwmaState(recent))
           out.iterator
+      }
+  }
+
+  /** Streaming presence-bitmap maintainer — the stateful twin of the
+    * graded q_agg_bitmask's bit algebra (hour-of-day bits over the
+    * event stream standing where the graded query uses order months):
+    * per key, OR- and XOR-fold `1L << hour(ts)` in 24 bits of state
+    * (plus the count), one standings emission per key per micro-batch.
+    * OR and XOR are commutative AND associative, so the final emission
+    * is bit-identical to the batch aggregate under ANY micro-batch
+    * split or in-batch arrival order — no in-order-delivery requirement
+    * at all (stronger than ewmaSmooth's contract; the parity suite pins
+    * it with a deliberately shuffled replay). Hour is exact integer µs
+    * arithmetic on the UTC timeline — the same value Spark's hour()
+    * yields under the session's pinned UTC zone. */
+  def bitmaskMonitor(events: Dataset[Event]): Dataset[BitmaskOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[BitmaskState]) =>
+          var s = state.getOption.getOrElse(BitmaskState(0L, 0L, 0L))
+          it.foreach { e =>
+            val bit = 1L << ((e.ts_us % 86400000000L) / 3600000000L)
+            s = BitmaskState(s.orMask | bit, s.xorMask ^ bit, s.n + 1L)
+          }
+          state.update(s)
+          Iterator.single(BitmaskOut(user, s.orMask, s.xorMask, s.n,
+            java.lang.Long.bitCount(s.orMask)))
       }
   }
 

@@ -23,7 +23,9 @@ class CacheHygieneSuite extends SparkSuite {
     // projections, LSH signature/posting tables, the IVF assignment)
     val persistUsers = Seq("q_event_funnel", "q_llm_neardup", "q_llm_ngram",
       "q_llm_tri", "q_llm_minhash", "q_llm_simhash", "q_llm_simdup",
-      "q_llm_ivf", "q_text_tfidf", "q_text_hhwords", "q_llm_contain")
+      "q_llm_ivf", "q_text_tfidf", "q_text_hhwords", "q_llm_contain",
+      "q_session_funnel", "q_event_wau", "q_event_cooccur",
+      "q_graph_pagerank", "q_llm_dsir")
     persistUsers.foreach { name =>
       spark.catalog.clearCache() // clean slate regardless of suite order
       // EARLIER suites may have left locally-checkpointed RDDs that only

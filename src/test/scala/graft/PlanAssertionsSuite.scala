@@ -684,6 +684,28 @@ class PlanAssertionsSuite extends SparkSuite {
       "rank window is not post-limit — it would sort the whole vocabulary")
   }
 
+  test("q_session_stats: the session agg rides the sessionizer's user-hash exchange — no second event-stream shuffle") {
+    // groupBy(user_id, sess) is keyed by a superset of the window's
+    // partition key, so hashpartitioning(user_id) already clusters the
+    // groups: Spark must plan the aggregate WITHOUT another exchange of
+    // the event stream (at 100 TB that reuse halves the query's shuffle).
+    val phys = planString(q("q_session_stats"))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(phys).length <= 1,
+      s"session stats re-shuffles the event stream:\n$phys")
+    assert(!phys.toLowerCase.contains("join"), s"grew a join:\n$phys")
+  }
+
+  test("q_text_colloc: one-row total broadcasts; top-k is TakeOrdered; no cartesian beyond the scalar") {
+    val phys = planString(q("q_text_colloc"))
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-k regressed to a global sort:\n$phys")
+    assert(!phys.contains("CartesianProduct"),
+      s"a real cartesian leaked in:\n$phys")
+    // the only nested-loop join allowed is the broadcast ONE-ROW total
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(phys).length
+    assert(bnlj <= 1, s"unexpected extra nested-loop joins:\n$phys")
+  }
+
   test("q_mm_framesample: generator over per-row map work — the only exchange is the output sort") {
     val plan = planString(q("q_mm_framesample"))
     val exchanges = "Exchange".r.findAllIn(plan).length

@@ -198,6 +198,50 @@ class StreamingParitySuite extends SparkSuite {
       16.0 * 0.5 + 8.0 * 0.25 + 4.0 * 0.125 + 2.0 * 0.0625 + 1.0 * 0.03125)
   }
 
+  test("bitmask monitor: stateful twin == batch bit_or/bit_xor aggregate on sf0.001 (bit-exact)") {
+    // the streaming analog of the graded q_agg_bitmask bit algebra:
+    // hour-of-day presence + parity masks per user over the event log
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val twin = StreamOps.bitmaskMonitor(events)
+      .collect().map(o => o.user_id -> ((o.hour_or, o.hour_xor, o.n_events, o.n_active_hours))).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), hour(ts)))").as("o"),
+        expr("bit_xor(shiftleft(CAST(1 AS BIGINT), hour(ts)))").as("x"),
+        count(lit(1)).as("n"))
+      .withColumn("h", bit_count(col("o")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+  }
+
+  test("bitmask monitor: ANY micro-batch split and arrival order reach the identical final masks") {
+    // OR/XOR commutativity+associativity is the twin's whole contract:
+    // replay the mini events REVERSED and re-split — final standings per
+    // key must equal the single-batch run over the original order
+    val es = miniEvents
+    def finalStandings(bs: Seq[Seq[Event]]): Map[Long, (Long, Long, Long)] = {
+      val ms = MemoryStream[Event](spark)
+      val name = s"bm_par_${bs.size}_${bs.head.head.event_id}"
+      val q = StreamOps.bitmaskMonitor(ms.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try bs.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      // Update mode re-emits standings per batch; the LAST row per key
+      // (max n_events) is the final state
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._3) }
+    }
+    val whole = finalStandings(Seq(es))
+    val shuffledSplit = finalStandings(
+      Seq(es.reverse.take(3), es.reverse.slice(3, 9), es.reverse.drop(9)))
+    assert(whole === shuffledSplit)
+  }
+
   test("causal tracker equals the oracle-checked batch q_causal on sf0.001") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
