@@ -502,7 +502,49 @@ object EventOps {
           min(col("ts")).as("t_start"),
           (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
             .as("dur_us"))
-        .orderBy(col("user_id"), col("sess")))
+        .orderBy(col("user_id"), col("sess"))),
+
+    // Calendar gap-fill + forward-fill (r12) — the time-series
+    // regularization every state-of-the-world table needs: per user, a
+    // DENSE daily grid from first to last active day, each day carrying
+    // that day's event count (0 on silent days) and the LAST observed
+    // `value` carried forward (the as-of daily state). Determinism: the
+    // per-day "last" is picked by the total (unix_micros, event_id)
+    // order packed into a struct-max ((ts, id) unique ⇒ value never
+    // decides); the carry-forward is last(ignoreNulls) over the same
+    // total day order; day arithmetic is exact integer µs (the wau
+    // precedent — never interval/float time math). Plan: events
+    // collapse to per-(user, day) rows FIRST (hash agg, shuffle ∝
+    // active pairs — the distinct-first discipline); the grid is a
+    // per-user explode of the day span (output-sized, not a range
+    // join); one equi-join grid←days and one user-keyed window for the
+    // fill. Output ∝ Σ user spans.
+    "q_event_fillforward" -> ((s, d) => {
+      val perDay = T.events(s, d)
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000 * 86400000000").as("dus"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+        .groupBy(col("user_id"), col("dus"))
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("us"), col("event_id"), col("value")))
+            .getField("value").as("v_day"))
+        .persist() // 2 consumers (span + join-back); caller clearCache
+      val grid = perDay.groupBy(col("user_id"))
+        .agg(min(col("dus")).as("d0"), max(col("dus")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(lit(0L),
+            expr("(d1 - d0) div 86400000000"))).as("k"), col("d0"))
+        .select(col("user_id"),
+          (col("d0") + col("k") * 86400000000L).as("dus"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dus").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(perDay, Seq("user_id", "dus"), "left")
+        .select(col("user_id"), timestamp_micros(col("dus")).as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("v_day"), ignoreNulls = true).over(w).as("v_ff"))
+        .orderBy(col("user_id"), col("day"))
+    })
   )
 
   private val evt = tbl("events")
@@ -797,6 +839,37 @@ object EventOps {
             MIN(ts) AS t_start,
             MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
           FROM e GROUP BY user_id, sess
-          ORDER BY user_id, sess"""
+          ORDER BY user_id, sess""",
+    // integer-µs day keys (// = exact floor div); per-day last via the
+    // (us, event_id) row_number twin of Spark's struct-max; grid =
+    // per-user integer range; IGNORE NULLS carry over the same order
+    "q_event_fillforward" ->
+      s"""WITH ev AS (
+            SELECT user_id,
+              epoch_us(ts) // 86400000000 * 86400000000 AS dus,
+              epoch_us(ts) AS us, event_id, value
+            FROM $evt WHERE ts IS NOT NULL),
+          pd AS (SELECT user_id, dus, COUNT(*) AS n_events
+                 FROM ev GROUP BY 1, 2),
+          lastv AS (
+            SELECT user_id, dus, value AS v_day FROM (
+              SELECT user_id, dus, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id, dus
+                  ORDER BY us DESC, event_id DESC) AS rn
+              FROM ev) x WHERE rn = 1),
+          grid AS (
+            SELECT user_id, UNNEST(range(d0, d1 + 86400000000, 86400000000))
+              AS dus
+            FROM (SELECT user_id, MIN(dus) AS d0, MAX(dus) AS d1
+                  FROM ev GROUP BY 1) s)
+          SELECT g.user_id, make_timestamp(g.dus) AS day,
+            COALESCE(pd.n_events, 0) AS n_events,
+            last_value(lastv.v_day IGNORE NULLS) OVER (
+              PARTITION BY g.user_id ORDER BY g.dus ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+          FROM grid g
+          LEFT JOIN pd ON g.user_id = pd.user_id AND g.dus = pd.dus
+          LEFT JOIN lastv ON g.user_id = lastv.user_id AND g.dus = lastv.dus
+          ORDER BY g.user_id, day"""
   )
 }

@@ -25,7 +25,8 @@ class CacheHygieneSuite extends SparkSuite {
       "q_llm_tri", "q_llm_minhash", "q_llm_simhash", "q_llm_simdup",
       "q_llm_ivf", "q_text_tfidf", "q_text_hhwords", "q_llm_contain",
       "q_session_funnel", "q_event_wau", "q_event_cooccur",
-      "q_graph_pagerank", "q_llm_dsir")
+      "q_graph_pagerank", "q_llm_dsir", "q_text_colloc",
+      "q_event_fillforward")
     persistUsers.foreach { name =>
       spark.catalog.clearCache() // clean slate regardless of suite order
       // EARLIER suites may have left locally-checkpointed RDDs that only

@@ -706,6 +706,25 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(bnlj <= 1, s"unexpected extra nested-loop joins:\n$phys")
   }
 
+  test("q_event_fillforward: grid explodes from the collapsed per-day table; equi-joins only") {
+    // The daily grid must be derived from the per-(user, day) COLLAPSE
+    // (shuffle ∝ active pairs, never events) and re-attached by plain
+    // equi-joins — a range join or cartesian against the calendar would
+    // rescan per day at 100 TB.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val df = q("q_event_fillforward")
+    val phys = planString(df)
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoop"),
+      s"fillforward degenerated into a non-equi join:\n$phys")
+    val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, s"span explode missing")
+    gens.foreach { g =>
+      val collapsed = g.child.collectFirst { case a: Aggregate => a }.nonEmpty ||
+        g.child.toString.contains("InMemoryRelation")
+      assert(collapsed, s"grid explodes from un-collapsed events:\n${g.child}")
+    }
+  }
+
   test("q_mm_framesample: generator over per-row map work — the only exchange is the output sort") {
     val plan = planString(q("q_mm_framesample"))
     val exchanges = "Exchange".r.findAllIn(plan).length
