@@ -225,6 +225,52 @@ object Aggregates {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // §2.4 higher central moments (r12): per-group skewness + excess
+    // kurtosis — the distribution-SHAPE audit beside q_agg_stddev's
+    // dispersion (a data pipeline watches skew/kurtosis of quality and
+    // length metrics to catch one-sided drift a stddev can't see).
+    // l_quantity is integral (1..50), so qi = CAST AS BIGINT is exact
+    // and qi²/qi³/qi⁴ are small exact longs computed per row; each power
+    // is summed as DECIMAL(38,0) (exact, order-free, map-side-combining
+    // — the PageRank HUGEINT-twin domain, immune to both float order
+    // and at-scale 2⁵³ overflow). The central moments and ratios are
+    // then ONE pinned IEEE op sequence over the exact sums — no pow(),
+    // which has no cross-engine bit guarantee; skew uses m2·√m2 (√ is
+    // correctly rounded per IEEE-754) — rounded once at 6dp (§7.4.7).
+    // Degeneracy structurally: n>1 AND m2>0, else NULL (both engines
+    // branch on the same computed double). ONE map-side-combining hash
+    // agg — shuffle ∝ groups; the moment math runs on ≤|groups| rows.
+    "q_agg_moments" -> ((s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val qi = col("l_quantity").cast("long")
+      val g = T.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(qi.cast(dec38)).as("s1"),
+        sum((qi * qi).cast(dec38)).as("s2"),
+        sum((qi * qi * qi).cast(dec38)).as("s3"),
+        sum((qi * qi * qi * qi).cast(dec38)).as("s4"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = col("n").cast("double")
+      // textual twins of the oracle's m2/m3/m4 — identical op trees
+      // (Scala and SQL share *-over-± precedence and left associativity)
+      val m2 = (nD * dbl("s2") - dbl("s1") * dbl("s1")) / (nD * nD)
+      val m3 = (nD * nD * dbl("s3") - lit(3.0) * nD * dbl("s1") * dbl("s2")
+        + lit(2.0) * dbl("s1") * dbl("s1") * dbl("s1")) / (nD * nD * nD)
+      val m4 = (nD * nD * nD * dbl("s4")
+        - lit(4.0) * nD * nD * dbl("s1") * dbl("s3")
+        + lit(6.0) * nD * dbl("s1") * dbl("s1") * dbl("s2")
+        - lit(3.0) * dbl("s1") * dbl("s1") * dbl("s1") * dbl("s1")) /
+        (nD * nD * nD * nD)
+      g.select(col("l_returnflag"), col("n"),
+          round(dbl("s1") / nD, 6).as("mean_qty"),
+          round(m2, 6).as("var_pop"),
+          when(col("n") > 1 && m2 > 0,
+            round(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
+          when(col("n") > 1 && m2 > 0,
+            round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // §2.4 unpivot (melt, the pivot inverse): part's numeric metrics
     // wide→long via the native `unpivot` operator — Catalyst plans one
     // Expand over a single scan (rows × |metrics|, never |metrics|
@@ -783,6 +829,44 @@ object Aggregates {
                   * CAST(o_totalprice AS DECIMAL(12,2))) AS sxx
             FROM $ords GROUP BY o_orderstatus) m
           ORDER BY o_orderstatus""",
+    // HUGEINT = DuckDB's DECIMAL(38,0)-twin exact-integer domain (the
+    // PageRank precedent); m2/m3/m4 and the ratios are textually the
+    // Spark op trees — identical IEEE sequences.
+    "q_agg_moments" ->
+      s"""WITH q AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qi FROM $li),
+          m AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+              SUM(CAST(qi AS HUGEINT)) AS s1,
+              SUM(CAST(qi * qi AS HUGEINT)) AS s2,
+              SUM(CAST(qi * qi * qi AS HUGEINT)) AS s3,
+              SUM(CAST(qi * qi * qi * qi AS HUGEINT)) AS s4
+            FROM q GROUP BY 1),
+          d AS (
+            SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+              CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+              CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+            FROM m),
+          c AS (
+            SELECT l_returnflag, n, nd, s1,
+              (nd * s2 - s1 * s1) / (nd * nd) AS m2,
+              (nd * nd * s3 - CAST(3 AS DOUBLE) * nd * s1 * s2
+               + CAST(2 AS DOUBLE) * s1 * s1 * s1) / (nd * nd * nd) AS m3,
+              (nd * nd * nd * s4
+               - CAST(4 AS DOUBLE) * nd * nd * s1 * s3
+               + CAST(6 AS DOUBLE) * nd * s1 * s1 * s2
+               - CAST(3 AS DOUBLE) * s1 * s1 * s1 * s1)
+                / (nd * nd * nd * nd) AS m4
+            FROM d)
+          SELECT l_returnflag, n,
+            ROUND(s1 / nd, 6) AS mean_qty,
+            ROUND(m2, 6) AS var_pop,
+            CASE WHEN n > 1 AND m2 > 0
+                 THEN ROUND(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+            CASE WHEN n > 1 AND m2 > 0
+                 THEN ROUND(m4 / (m2 * m2) - CAST(3 AS DOUBLE), 6)
+            END AS kurtosis
+          FROM c ORDER BY l_returnflag""",
     "q_unpivot" ->
       s"""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
           FROM ${tbl("part")}

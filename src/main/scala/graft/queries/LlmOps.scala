@@ -903,6 +903,41 @@ object LlmOps {
         .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
     }),
 
+    // Local clustering coefficient (r12) — q_llm_tri's per-NODE readout:
+    // cc(v) = 2·T(v) ∕ deg(v)·(deg(v)−1), the clique-ness score that
+    // decides PER DOCUMENT whether its near-dup neighborhood is a true
+    // duplicate clique (cc → 1: safe to mass-drop) or a chain of
+    // borderline matches (cc → 0: review before deleting) — the
+    // row-level triage q_llm_tri's global triangle list only implies.
+    // Plan: the SAME oriented wedge enumeration as q_llm_tri (each
+    // triangle counted once, wedge join bounded by oriented
+    // out-degrees), then each triangle explodes to its 3 corners into a
+    // map-side-combining count — shuffle ∝ 3·triangles; degrees are one
+    // hash agg over the symmetrized pair list (∝ 2·pairs); the final
+    // left join is node-sized. All counts exact integers; cc is ONE
+    // IEEE division (unrounded §7.4), NULL at deg ≤ 1 (structural on
+    // both engines). Same persist + caller-clearCache contract as tri.
+    "q_llm_clustco" -> ((s, d) => {
+      val p = neardupPairs(s, d).select(col("doc_a"), col("doc_b")).persist()
+      val degs = p.union(p.select(col("doc_b"), col("doc_a")))
+        .groupBy(col("doc_a").as("node")).agg(count(lit(1)).as("deg"))
+      val e1 = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e2 = p.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+      val e3 = p.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+      val tpn = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("tnode"))
+        .groupBy(col("tnode")).agg(count(lit(1)).as("n_tri"))
+      degs.join(tpn, col("node") === col("tnode"), "left")
+        .select(col("node").as("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("clustco",
+          when(col("deg") > 1,
+            (lit(2) * col("n_tri")).cast("double")
+              / (col("deg") * (col("deg") - 1)).cast("double")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/val/test split: bucket = md5-derived 32-bit
     // hash of doc_id mod 10 → 80/10/10. Hash-based (not rand()) so the
     // assignment is reproducible across runs, engines, and cluster
@@ -1290,6 +1325,40 @@ object LlmOps {
           FROM pairs p1 JOIN pairs p2 ON p2.doc_a = p1.doc_b
             JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
           ORDER BY 1, 2, 3""",
+    // Same pairs CTE + wedge join as q_llm_tri; per-node counts via the
+    // 3-corner UNION ALL, degrees over the symmetrized pair list.
+    "q_llm_clustco" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+              list_distinct(string_split(text, ' ')) AS tk FROM $doc),
+          pairs AS (
+            SELECT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.tk, b.tk)) AS INTEGER)
+                  / (CAST(len(a.tk) AS INTEGER) + CAST(len(b.tk) AS INTEGER)
+                     - CAST(len(list_intersect(a.tk, b.tk)) AS INTEGER)) AS jacc
+              FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+                AND a.doc_id < b.doc_id) x
+            WHERE jacc >= 0.8),
+          e AS (SELECT doc_a AS src FROM pairs
+                UNION ALL SELECT doc_b FROM pairs),
+          degs AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+          tris AS (
+            SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+            FROM pairs p1 JOIN pairs p2 ON p2.doc_a = p1.doc_b
+              JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+          tpn AS (
+            SELECT node, COUNT(*) AS n_tri FROM (
+              SELECT a AS node FROM tris
+              UNION ALL SELECT b FROM tris
+              UNION ALL SELECT c FROM tris) u
+            GROUP BY 1)
+          SELECT d.node AS doc_id, d.deg,
+            COALESCE(p.n_tri, 0) AS n_tri,
+            CASE WHEN d.deg > 1 THEN
+              CAST(2 * COALESCE(p.n_tri, 0) AS DOUBLE)
+                / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS clustco
+          FROM degs d LEFT JOIN tpn p ON d.node = p.node
+          ORDER BY doc_id""",
     "q_llm_cc" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, lang, source,
               list_distinct(string_split(text, ' ')) AS tk FROM $doc),

@@ -156,6 +156,38 @@ object TextOps {
         .withColumn("ttr", round(col("n_distinct") / col("n_ws"), 6))
         .orderBy(col("doc_id"))),
 
+    // Lexical diversity via the Simpson repeat probability (r12):
+    // P(two tokens drawn without replacement are the same type) =
+    // Σc·(c−1) ∕ n·(n−1) — the collision-weighted diversity signal TTR
+    // misses (TTR counts types once; Simpson weights hot tokens
+    // quadratically, so boilerplate with a long tail of one-off types
+    // still scores high-repeat). Pure per-row map work: the per-type
+    // counts come from higher-order array functions INSIDE the row
+    // (distinct-types × tokens per doc — docs are short), never an
+    // explode + per-doc groupBy (that would shuffle ∝ corpus tokens for
+    // a per-doc statistic). All counts are exact integers; simpson is
+    // ONE IEEE division of two exact longs (unrounded, §7.4), NULL for
+    // n ≤ 1 (0/0 is decided structurally on both engines).
+    "q_text_simpson" -> ((s, d) => {
+      val tk = toks
+      val cc = aggregate(
+        transform(array_distinct(tk), t =>
+          size(filter(tk, x => x === t)).cast("long")
+            * (size(filter(tk, x => x === t)).cast("long") - 1)),
+        lit(0L), (acc, x) => acc + x)
+      T.documents(s, d).select(
+          col("doc_id"),
+          size(tk).as("n_tokens"),
+          size(array_distinct(tk)).as("n_types"),
+          cc.as("n_coll"))
+        .withColumn("simpson",
+          when(col("n_tokens") > 1,
+            col("n_coll").cast("double")
+              / (col("n_tokens").cast("long")
+                 * (col("n_tokens").cast("long") - 1)).cast("double")))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII/noise scrub: mask URLs then emails (fixed order — both engines
     // apply the same replacement sequence), report chars removed. Pure
     // per-row map work, no shuffle; regexes are RE2-and-Java-compatible
@@ -436,6 +468,26 @@ object TextOps {
             round(CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
               / CAST(len(string_split(text, ' ')) AS INTEGER), 6) AS ttr
           FROM $doc ORDER BY doc_id""",
+    // per-type counts by nested lambda capture (outer list_transform's
+    // t inside list_filter — DuckDB 1.0 closes over it); counts are
+    // exact BIGINTs, one division, NULL for n <= 1 via CASE
+    "q_text_simpson" ->
+      s"""SELECT doc_id,
+            CAST(len(tk) AS INTEGER) AS n_tokens,
+            CAST(len(list_distinct(tk)) AS INTEGER) AS n_types,
+            CAST(cc AS BIGINT) AS n_coll,
+            CASE WHEN len(tk) > 1 THEN
+              CAST(cc AS DOUBLE)
+                / CAST(CAST(len(tk) AS BIGINT)
+                       * (CAST(len(tk) AS BIGINT) - 1) AS DOUBLE)
+            END AS simpson
+          FROM (
+            SELECT doc_id, tk,
+              list_aggregate(list_transform(list_distinct(tk), t ->
+                len(list_filter(tk, x -> x = t))
+                  * (len(list_filter(tk, x -> x = t)) - 1)), 'sum') AS cc
+            FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $doc) z
+          ) y ORDER BY doc_id""",
     // single-quoted SQL literals take backslashes verbatim, so the Scala
     // pattern strings interpolate into identical RE2 patterns
     "q_text_scrub" ->

@@ -126,6 +126,27 @@ class CapabilitiesSuite extends SparkSuite {
     assert(out.select("via_udf").distinct().count() === 3)
   }
 
+  test("q_agg_moments matches Spark's native skewness/kurtosis definitions (population g1 / excess g2)") {
+    // the graded query computes the moments from exact decimal power
+    // sums (§7.4 — native skewness()/kurtosis() merge partials in float
+    // order); same definition, so the values must agree to float noise
+    val exact = SparkEntry.queries("q_agg_moments")(spark, sf)
+      .select(col("l_returnflag"), col("skewness"), col("kurtosis"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val native = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("l_quantity")).as("sk"),
+        kurtosis(col("l_quantity")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(exact.keySet === native.keySet)
+    exact.foreach { case (k, (sk, ku)) =>
+      assert(math.abs(sk - native(k)._1) < 1e-6, s"skew mismatch at $k")
+      assert(math.abs(ku - native(k)._2) < 1e-6, s"kurt mismatch at $k")
+    }
+  }
+
   test("SparkEntry contract: query and oracle key sets are identical (every graded query is oracle-checked)") {
     // the driver's correctness gate compares each queries(name) result
     // against oracleSql(name) in DuckDB — a key present on one side
