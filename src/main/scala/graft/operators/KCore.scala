@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-round k-core peel over a symmetrized edge list — the
+  * density-core extractor of the graph family ([[PageRank]] ranks
+  * authority, [[ConnectedComponents]] groups, this TRIMS): repeatedly
+  * drop nodes with degree < k, keeping only the subgraph where every
+  * survivor has ≥ k surviving neighbors. A training-data pipeline runs
+  * it on link/co-occurrence graphs to separate the densely-connected
+  * core (spam rings, template farms, genuinely-central hubs) from the
+  * long periphery that one-pass degree filters cannot distinguish — the
+  * cascade is the point: dropping a degree-1 node may push its neighbor
+  * below k, which a single degree cut misses.
+  *
+  * Semantics: `rounds` peel iterations (the DEFINED contract, mirroring
+  * [[PageRank]]'s fixed iteration count — the oracle unrolls the same
+  * rounds; a fixpoint variant would not be oracle-expressible). Each
+  * round recomputes degrees over the SURVIVING edge set and keeps edges
+  * whose BOTH endpoints have degree ≥ k. All arithmetic is integer
+  * count/compare — bit-free of float concerns, deterministic on any
+  * partitioning. Early exit when a round removes nothing is
+  * result-identical to running the remaining rounds (peeling is
+  * monotone: a stable edge set reproduces itself), so it is taken.
+  *
+  * Scale shape: each round is ONE map-side-combining degree hash agg
+  * (shuffle ∝ surviving nodes) plus two semi-joins of the edge list
+  * against the ≥k node set (AQE broadcasts the node side when the
+  * survivor set collapses — the common case after round 1). Edge-set
+  * size is monotone non-increasing, so per-round cost shrinks. Lineage
+  * is truncated per round with eager `localCheckpoint` (the
+  * [[ConnectedComponents]] discipline — each round references the
+  * previous edge set THREE times: degree agg + two semi-joins; without
+  * truncation the logical plan grows 3^rounds).
+  */
+object KCore {
+
+  /** @param edges  symmetrized directed edge list (`src`, `dst`) — both
+    *               orientations of every undirected edge present (the
+    *               [[graft.queries.GraphOps]] edge builders' contract),
+    *               no duplicates.
+    * @param k      minimum surviving degree (≥ 1).
+    * @param rounds fixed peel rounds (≥ 0).
+    * @return (`node`, `deg`): surviving nodes with their degree in the
+    *         peeled subgraph. */
+  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var prevCount = e.count()
+    var stable = false
+    var it = 0
+    while (!stable && it < rounds) {
+      it += 1
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("kn"))
+      val next = e
+        .join(keep, e("src") === keep("kn"), "left_semi")
+        .join(keep, e("dst") === keep("kn"), "left_semi")
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      e.unpersist()
+      e = next
+      stable = nextCount == prevCount
+      prevCount = nextCount
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+}

@@ -21,6 +21,14 @@ object GraphOps {
 
   private val PrIters = 3
 
+  /** q_graph_kcore: min per-pair lineitem count for an edge (thresholds
+    * the bipartite graph down to REPEATED co-purchases — the raw graph's
+    * min degree is ≥ 8 at every sf, which would make any k-core peel a
+    * no-op), minimum surviving degree, and fixed peel rounds. */
+  private[graft] val CoreMinPair = 2
+  private[graft] val CoreK = 3
+  private[graft] val CoreRounds = 4
+
   /** The graded co-purchase edge list: distinct (part,supplier) pairs
     * computed ONCE, both directed orientations derived from that one
     * aggregate by a map-side explode (never a second raw scan — the r11
@@ -32,6 +40,23 @@ object GraphOps {
     T.lineitem(s, d)
       .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("q"))
       .distinct()
+      .select(explode(array(
+        struct(col("p").as("src"), col("q").as("dst")),
+        struct(col("q").as("src"), col("p").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
+  /** The q_graph_kcore edge list: same one-aggregate-both-orientations
+    * shape as [[copurchaseEdges]], but thresholded — only (part,
+    * supplier) pairs appearing ≥ `minCnt` times in lineitem become
+    * edges. The count rides the SAME hash aggregate that dedups the
+    * pair (groupBy + HAVING, not distinct-then-rejoin), so the
+    * threshold costs zero extra shuffles over the unthresholded form. */
+  private[graft] def copurchaseEdgesMin(s: SparkSession, d: String,
+                                        minCnt: Int): DataFrame =
+    T.lineitem(s, d)
+      .groupBy((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("q"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCnt)
       .select(explode(array(
         struct(col("p").as("src"), col("q").as("dst")),
         struct(col("q").as("src"), col("p").as("dst")))).as("e"))
@@ -93,7 +118,20 @@ object GraphOps {
       copurchaseEdges(s, d)
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("deg"))))
+        .orderBy(col("deg"))),
+
+    // k-core peel (r12): the dense REPEAT-co-purchase core — nodes
+    // whose every surviving neighbor also has ≥ CoreK repeat partners
+    // after CoreRounds cascaded peels. Engine: operators.KCore (fixed
+    // rounds, integer-only — the oracle unrolls the identical rounds;
+    // scale/lineage notes there). Edges: copurchaseEdgesMin — the
+    // ≥ CoreMinPair threshold makes the peel non-trivial (the raw
+    // graph's min degree is ≥ 8; at sf0.01 the thresholded graph peels
+    // ~1/4 of its 2061 nodes across the cascade).
+    "q_graph_kcore" -> ((s, d) =>
+      graft.operators.KCore
+        .peel(copurchaseEdgesMin(s, d, CoreMinPair), CoreK, CoreRounds)
+        .orderBy(col("node"))))
 
   private val li = tbl("lineitem")
 
@@ -185,5 +223,29 @@ object GraphOps {
             SELECT q AS src, p AS dst FROM pairs),
           degs AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
           SELECT deg, COUNT(*) AS n_nodes FROM degs
-          GROUP BY deg ORDER BY deg""")
+          GROUP BY deg ORDER BY deg""",
+    // Unrolled peel rounds (CoreRounds is a fixed small constant, the
+    // PageRank-iter precedent); the pairs CTE carries the count
+    // threshold in its HAVING, orientations UNION ALL (parity-disjoint,
+    // already distinct via the GROUP BY).
+    "q_graph_kcore" -> {
+      def round(r: Int): String =
+        s"""k$r AS (
+           |  SELECT src FROM e${r - 1} GROUP BY src
+           |  HAVING COUNT(*) >= $CoreK),
+           |e$r AS (
+           |  SELECT e.src, e.dst FROM e${r - 1} e
+           |  JOIN k$r a ON e.src = a.src
+           |  JOIN k$r b ON e.dst = b.src)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li GROUP BY 1, 2 HAVING COUNT(*) >= $CoreMinPair),
+         |e0 AS (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |${(1 to CoreRounds).map(round).mkString(",\n")}
+         |SELECT src AS node, COUNT(*) AS deg FROM e$CoreRounds
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
 }

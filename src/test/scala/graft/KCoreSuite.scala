@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class KCoreSuite extends SparkSuite {
+  import spark.implicits._
+
+  /** Symmetrize an undirected pair list (the GraphOps edge contract). */
+  private def sym(pairs: Seq[(Long, Long)]) = {
+    val p = pairs.toDF("src", "dst")
+    p.union(p.select(col("dst"), col("src")))
+  }
+
+  // triangle {1,2,3} with a pendant path 3-4-5 hanging off it
+  private val triPath = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+
+  test("2-core peels the pendant path CASCADE (one degree cut would only drop the leaf)") {
+    val out = operators.KCore.peel(sym(triPath), k = 2, rounds = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // round 1 drops 5 (deg 1); that pushes 4 to deg 1 → round 2 drops it
+    assert(out === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("one round is NOT enough for the cascade — fixed-round semantics are real") {
+    val out = operators.KCore.peel(sym(triPath), k = 2, rounds = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // only the leaf is gone; 4 survives round 1 with its stale degree 2
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("k=1 is the identity peel; early exit keeps extra rounds free") {
+    val base = sym(triPath).groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    val out = operators.KCore.peel(sym(triPath), k = 1, rounds = 10)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out === base)
+  }
+
+  test("k above the max degree empties the graph (no rows, not a crash)") {
+    val out = operators.KCore.peel(sym(triPath), k = 10, rounds = 2)
+    assert(out.count() === 0)
+  }
+
+  test("graded q_graph_kcore at sf0.001 peels nothing below k (every survivor has >= k surviving neighbors)") {
+    val out = SparkEntry.queries("q_graph_kcore")(spark, sf)
+    val minDeg = out.agg(min(col("deg"))).head.getLong(0)
+    assert(out.count() > 0)
+    assert(minDeg >= queries.GraphOps.CoreK)
+  }
+}
