@@ -32,6 +32,11 @@ object PipelineOps {
   /** Sequence-packing token budget per bin (q_llm_pack). */
   private[graft] val PackBudget = 256
 
+  /** q_llm_budget: corpus token budget for the quality-ordered greedy
+    * selection (≈ 44% of sf0.01's tokens — the cut lands mid-corpus at
+    * every graded sf, so both branches of the selection are exercised). */
+  private[graft] val BudgetTok = 12000L
+
   /** Parallel packing shards (q_llm_pack): packing is inherently
     * sequential per stream, so production packs per worker shard; the
     * shard id is itself hash-derived and deterministic. */
@@ -199,6 +204,52 @@ object PipelineOps {
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("lang"), col("source"), col("hk"), col("rk"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget selection (q_llm_budget): keep documents in quality
+    * order (distinct-token count DESC, doc_id ASC) until a corpus token
+    * budget is spent — the "fill the training mix from the top" step
+    * between scoring and packing. Semantics: kept ⇔ the running token
+    * total up to and including the doc (over the GLOBAL quality order)
+    * is ≤ budget — i.e. a plain ordered cumulative sum, which is
+    * exactly what the oracle runs.
+    *
+    * Scale shape — the naive global-window cumsum would sort the whole
+    * corpus into ONE partition; instead the selection decomposes by
+    * quality BUCKET: (1) one map-side-combining hash agg to per-quality
+    * token totals (quality values are bounded by max doc length — tens
+    * of distinct values at any corpus size), (2) an ordered cumsum over
+    * that bucket-sized table (single-partition window over ≤ dozens of
+    * rows — provably bounded, the q_text_chisq precedent), (3) a
+    * broadcast join-back: buckets fully inside the budget keep
+    * everything, buckets fully outside drop everything, and ONLY the
+    * one straddling bucket runs a within-bucket cumsum window (its
+    * partition is that bucket's docs — the exact-selection boundary
+    * cost any engine pays). Integer arithmetic end-to-end. */
+  def budgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    val tk = split(col("text"), " ")
+    val d = docs.select(col("doc_id"),
+      size(tk).cast("long").as("n_tok"),
+      size(array_distinct(tk)).as("quality"))
+    val wb = Window.orderBy(col("qb").desc)
+    val buckets = d.groupBy(col("quality").as("qb"))
+      .agg(sum(col("n_tok")).as("btok"))
+      .withColumn("cum_end", sum(col("btok")).over(wb))
+      .withColumn("cum_start", col("cum_end") - col("btok"))
+      .select(col("qb"), col("cum_start"), col("cum_end"))
+    val j = d.join(broadcast(buckets), col("quality") === col("qb"))
+    val out = Seq(col("doc_id"), col("quality"), col("n_tok"))
+    val full = j.filter(col("cum_end") <= budget)
+      .select(out :+ lit(1).as("kept"): _*)
+    val none = j.filter(col("cum_start") >= budget)
+      .select(out :+ lit(0).as("kept"): _*)
+    val wIn = Window.partitionBy(col("qb")).orderBy(col("doc_id").asc)
+    val boundary = j
+      .filter(col("cum_start") < budget && col("cum_end") > budget)
+      .withColumn("cum_in", sum(col("n_tok")).over(wIn))
+      .select(out :+
+        ((col("cum_start") + col("cum_in")) <= budget).cast("int").as("kept"): _*)
+    full.union(none).union(boundary).orderBy(col("doc_id"))
   }
 
   /** Sequence packing: assign docs to fixed-token-budget training bins.
@@ -574,6 +625,10 @@ object PipelineOps {
       chunk(T.documents(s, d), ChunkSize, ChunkStride)),
     "q_llm_contam" -> ((s, d) => contamAudit(T.documents(s, d))),
     "q_llm_sample" -> ((s, d) => stratifiedSample(T.documents(s, d), SampleK)),
+    // §2.10 quality-ordered token-budget selection (r12) — see
+    // [[budgetSelect]] for the bucket-decomposed scale shape (the
+    // oracle runs the equivalent naive global-window cumsum).
+    "q_llm_budget" -> ((s, d) => budgetSelect(T.documents(s, d), BudgetTok)),
     "q_llm_pack" -> ((s, d) => pack(T.documents(s, d), PackBudget, PackShards)),
     // Packing-efficiency audit — the QA composition over [[pack]]: per
     // (lang, shard) stream, bins used, docs, total tokens, and the mean
@@ -832,6 +887,23 @@ object PipelineOps {
           WHERE rk <= $SampleK ORDER BY doc_id""",
     "q_llm_pack" -> s"""$packCoreSql
           ORDER BY doc_id""",
+    // The naive form of budgetSelect: ONE global ordered cumsum —
+    // semantically the contract; the Spark side decomposes it by
+    // quality bucket so no corpus-sized single-partition window runs.
+    "q_llm_budget" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+                AS quality
+            FROM $doc),
+          c AS (
+            SELECT *, SUM(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
+              ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d)
+          SELECT doc_id, quality, n_tok,
+            CAST(cum <= $BudgetTok AS INTEGER) AS kept
+          FROM c ORDER BY doc_id""",
     "q_llm_packeff" ->
       s"""WITH p AS ($packCoreSql)
           SELECT lang, shard, COUNT(*) AS n_docs,

@@ -228,4 +228,29 @@ class PipelineOpsSuite extends SparkSuite {
         s"$c: approx distinct $da vs exact $de")
     }
   }
+
+  test("budgetSelect: bucket decomposition ≡ the naive global ordered cumsum, boundary bucket split mid-way") {
+    // qualities: 4-type docs (10 tok each), 3-type docs (6 tok each),
+    // 2-type docs (4 tok) — budget 24 keeps both 4-type docs (20),
+    // then inside the 3-type bucket only doc 10 fits (20+6 > 24 → none
+    // of the 3-type docs fit... use budget 27: 20 + 6 = 26 ≤ 27 keeps
+    // doc 10, doc 11 would reach 32 → dropped); 2-type bucket all out.
+    val docs = docsDF(Seq(
+      (10L, "a b c a b c", "en", "s0"),                 // q3, 6 tok
+      (11L, "x y z x y z", "en", "s0"),                 // q3, 6 tok
+      (1L, "a b c d a b c d a b", "en", "s0"),          // q4, 10 tok
+      (2L, "p q r s p q r s p q", "en", "s0"),          // q4, 10 tok
+      (20L, "m n m n", "en", "s0")))                    // q2, 4 tok
+    val out = PipelineOps.budgetSelect(docs, 27L)
+      .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 1, 2L -> 1, 10L -> 1, 11L -> 0, 20L -> 0))
+    // exact-fit boundary: budget 26 still keeps doc 10 (cum = 26 ≤ 26)
+    val exact = PipelineOps.budgetSelect(docs, 26L)
+      .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+    assert(exact(10L) === 1 && exact(11L) === 0)
+    // bucket-edge fit: budget 20 keeps exactly the full q4 bucket
+    val edge = PipelineOps.budgetSelect(docs, 20L)
+      .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+    assert(edge === Map(1L -> 1, 2L -> 1, 10L -> 0, 11L -> 0, 20L -> 0))
+  }
 }

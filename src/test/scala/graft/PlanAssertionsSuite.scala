@@ -733,4 +733,27 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!plan.toLowerCase.contains("join") && !plan.contains("WindowExec"),
       s"framesample grew a join/window:\n$plan")
   }
+
+  test("q_llm_budget: the global (unpartitioned) cumsum window runs over the BUCKET aggregate, never the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = q("q_llm_budget")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.nonEmpty, "expected the bucket-cumsum window")
+    // each unpartitioned window must sit on an Aggregate (the
+    // per-quality collapse — tens of rows at any corpus size); the
+    // per-doc boundary window is partitioned by the bucket key
+    global.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"unpartitioned window reads un-collapsed rows:\n$w")
+    }
+    wins.filterNot(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.partitionSpec.nonEmpty)
+    }
+    // broadcast join-back, no shuffle of the corpus side for the flags
+    val phys = planString(df)
+    assert(phys.contains("BroadcastHashJoin"),
+      s"bucket join-back not broadcast:\n$phys")
+  }
 }
