@@ -105,6 +105,62 @@ object EventOps {
       .orderBy(col("cohort"), col("k"))
   }
 
+  /** RFM user scoring (q_event_rfm) — the classic recency/frequency/
+    * monetary quartile segmentation: per user, days since last activity
+    * (vs the corpus's own last day), event count, and exact value
+    * total; each metric scored 1–4 against the corpus's quartile CUT
+    * VALUES and packed into the 3-digit rfm segment. The cuts are
+    * DISCRETE percentiles ([[graft.operators.Percentiles.disc]] —
+    * values the table already holds, integer rank math, zero float in
+    * the cut derivation), NOT a global ntile(): ranking every user
+    * needs a corpus-wide total-order window (one partition at 100 TB);
+    * thresholding needs 9 scalars and a broadcast.
+    *
+    * Scale shape: one map-side-combining user collapse (shuffle ∝
+    * users) → three percentile chains over the COLLAPSED table
+    * (shuffle ∝ distinct metric values) → one-row cut tables broadcast
+    * back → pure map scoring. Monetary is the exact §7.4 decimal sum;
+    * day arithmetic is exact integer µs (the wau precedent); scores
+    * are integer compares — no new float surface. Direction: LOW
+    * recency is good (strictly-below cuts), HIGH freq/monetary are
+    * good (strictly-above cuts); ties with a cut value fall to the
+    * lower score on both engines by the strict compare. */
+  private[graft] def rfmOn(events: DataFrame): DataFrame = {
+    import graft.operators.Percentiles
+    val u = events.filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(expr("unix_micros(ts) div 86400000000")).as("uday"),
+        count(lit(1)).as("freq"),
+        dsum(col("value")).as("monetary"))
+    val gmax = u.agg(max(col("uday")).as("gday"))
+    val ru = u.crossJoin(broadcast(gmax))
+      .select(col("user_id"), (col("gday") - col("uday")).as("rec_days"),
+        col("freq"), col("monetary"))
+      .persist() // 4 consumers (3 cut chains + scoring); caller clearCache
+    def quartiles(c: String, p: String) =
+      Percentiles.disc(ru.select(col(c)), Nil, c,
+        Seq((1, 4, s"${p}1"), (2, 4, s"${p}2"), (3, 4, s"${p}3")))
+        .drop("n")
+    def score(v: Column, cuts: (Column, Column, Column),
+              below: Boolean): Column = {
+      def hit(cut: Column) = (if (below) v < cut else v > cut).cast("int")
+      lit(1) + hit(cuts._1) + hit(cuts._2) + hit(cuts._3)
+    }
+    ru.crossJoin(broadcast(quartiles("rec_days", "r")))
+      .crossJoin(broadcast(quartiles("freq", "f")))
+      .crossJoin(broadcast(quartiles("monetary", "m")))
+      .select(col("user_id"), col("rec_days"), col("freq"), col("monetary"),
+        score(col("rec_days"), (col("r1"), col("r2"), col("r3")),
+          below = true).as("r_score"),
+        score(col("freq"), (col("f1"), col("f2"), col("f3")),
+          below = false).as("f_score"),
+        score(col("monetary"), (col("m1"), col("m2"), col("m3")),
+          below = false).as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1h window × event_type.
     "q_stream_tumble" -> ((s, d) =>
@@ -416,6 +472,26 @@ object EventOps {
         .select(dau("day"), col("dau"), col("wau"))
         .orderBy(col("day"))
     }),
+
+    // RFM user scoring (r12) — the classic recency/frequency/monetary
+    // quartile segmentation: per user, days since last activity, event
+    // count, and exact value total; each metric scored 1–4 against the
+    // corpus's own quartile CUT VALUES and packed into the 3-digit rfm
+    // segment. The cuts are DISCRETE percentiles (operators.Percentiles
+    // — values the table already holds, integer rank math, zero float
+    // in the cut derivation; the scale-honest engine behind
+    // q_agg_pctile_disc), NOT a global ntile() — ranking every user
+    // needs a corpus-wide total-order window (one partition at 100 TB);
+    // thresholding needs 9 scalars and a broadcast. Scale shape: one
+    // map-side-combining user collapse (shuffle ∝ users) → three
+    // percentile chains over the COLLAPSED table (shuffle ∝ distinct
+    // metric values) → one-row cut tables broadcast back → pure map
+    // scoring. Monetary is the exact §7.4 decimal sum; day arithmetic
+    // is exact integer µs (the wau precedent); scores are integer
+    // compares against cut values — no float surface anywhere new.
+    // Direction: LOW recency is good (strictly-below cuts), HIGH
+    // freq/monetary are good (strictly-above cuts).
+    "q_event_rfm" -> ((s, d) => rfmOn(T.events(s, d))),
 
     // Truncated EWMA smoothing (r12) — per-key exponential smoothing of
     // `value` with α = 1/2 truncated at depth 8 (an 8-tap FIR: weight
@@ -786,6 +862,56 @@ object EventOps {
           SELECT dau.day, dau.dau, wau.wau
           FROM dau JOIN wau ON dau.day = wau.rday
           ORDER BY dau.day""",
+    // Three generated discrete-percentile chains (the q_agg_winsor
+    // oracle pattern at den 4, global group) over the user collapse;
+    // scoring is integer compares against the one-row cut tables.
+    "q_event_rfm" -> {
+      def cut(p: String, metric: String): String = {
+        def k(i: Int) = s"GREATEST(1, ($i * n + 3) // 4)"
+        val hits = (1 to 3).map(i =>
+          s"""MAX(CASE WHEN cum_start < ${k(i)}
+             |  AND ${k(i)} <= cum_end THEN v END) AS $p$i""".stripMargin)
+          .mkString(",\n              ")
+        s"""${p}vc AS (
+           |  SELECT $metric AS v, COUNT(*) AS cnt FROM ru
+           |  WHERE $metric IS NOT NULL GROUP BY 1),
+           |${p}mk AS (
+           |  SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum_end,
+           |    SUM(cnt) OVER (ORDER BY v) - cnt AS cum_start,
+           |    SUM(cnt) OVER () AS n FROM ${p}vc),
+           |${p}ct AS (
+           |  SELECT $hits
+           |  FROM ${p}mk)""".stripMargin
+      }
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    MAX(epoch_us(ts) // 86400000000) AS uday,
+         |    COUNT(*) AS freq,
+         |    ${Det.sqlSum("value")} AS monetary
+         |  FROM $evt WHERE ts IS NOT NULL GROUP BY 1),
+         |g AS (SELECT MAX(uday) AS gday FROM u),
+         |ru AS (SELECT user_id, g.gday - u.uday AS rec_days, freq, monetary
+         |       FROM u CROSS JOIN g),
+         |${cut("r", "rec_days")},
+         |${cut("f", "freq")},
+         |${cut("m", "monetary")},
+         |scored AS (
+         |  SELECT user_id, rec_days, freq, monetary,
+         |    1 + CAST(rec_days < r1 AS INTEGER)
+         |      + CAST(rec_days < r2 AS INTEGER)
+         |      + CAST(rec_days < r3 AS INTEGER) AS r_score,
+         |    1 + CAST(freq > f1 AS INTEGER)
+         |      + CAST(freq > f2 AS INTEGER)
+         |      + CAST(freq > f3 AS INTEGER) AS f_score,
+         |    1 + CAST(monetary > m1 AS INTEGER)
+         |      + CAST(monetary > m2 AS INTEGER)
+         |      + CAST(monetary > m3 AS INTEGER) AS m_score
+         |  FROM ru CROSS JOIN rct CROSS JOIN fct CROSS JOIN mct)
+         |SELECT user_id, rec_days, freq, monetary,
+         |  r_score, f_score, m_score,
+         |  r_score * 100 + f_score * 10 + m_score AS rfm
+         |FROM scored ORDER BY user_id""".stripMargin
+    },
     // The identical left-associated 8-tap chain (power-of-two weights:
     // each product is an exact exponent shift; the fixed evaluation
     // order makes the IEEE sum bit-identical across engines).

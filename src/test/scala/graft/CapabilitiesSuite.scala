@@ -147,6 +147,31 @@ class CapabilitiesSuite extends SparkSuite {
     }
   }
 
+  test("rfmOn: quartile scores land exactly on a planted 8-user pyramid (strict-compare cut semantics)") {
+    import spark.implicits._
+    // user i (1..8): i events, all on day 19000+i, value 10 each →
+    // freq = i, monetary = 10i, recency = 8 − i days; 8 distinct values
+    // per metric → disc quartile cuts at the 2nd/4th/6th order stats
+    val events = (1 to 8).flatMap(i => (0 until i).map(j =>
+      (i.toLong, (19000L + i) * 86400000000L + j * 1000000L, 10.0)))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"),
+        col("value"))
+    val out = queries.EventOps.rfmOn(events)
+      .select("user_id", "r_score", "f_score", "m_score", "rfm")
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val fm = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 2, 5 -> 3, 6 -> 3, 7 -> 4, 8 -> 4)
+    val rs = Map(0 -> 4, 1 -> 3, 2 -> 3, 3 -> 2, 4 -> 2, 5 -> 1, 6 -> 1, 7 -> 1)
+    (1 to 8).foreach { i =>
+      val (r, f, m, seg) = out(i.toLong)
+      assert(f === fm(i) && m === fm(i), s"f/m score off for user $i")
+      assert(r === rs(8 - i), s"r score off for user $i")
+      assert(seg === r * 100 + f * 10 + m)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("SparkEntry contract: query and oracle key sets are identical (every graded query is oracle-checked)") {
     // the driver's correctness gate compares each queries(name) result
     // against oracleSql(name) in DuckDB — a key present on one side
