@@ -86,6 +86,18 @@ case class BitmaskState(orMask: Long, xorMask: Long, n: Long)
 case class BitmaskOut(user_id: Long, hour_or: Long, hour_xor: Long,
                       n_events: Long, n_active_hours: Int)
 
+/** Exact power sums in cents units, carried as BigInteger DECIMAL
+  * STRINGS: s4 of a 49,000-cent value is ~6e18 PER ROW — past any
+  * fixed-precision encodable type at stream lifetimes — while string
+  * state is unbounded-precision, exactly encodable, and adds O(digits)
+  * per fold. */
+case class MomentsState(n: Long, s1: String, s2: String, s3: String,
+                        s4: String)
+
+case class MomentsOut(user_id: Long, n: Long, mean_cents: Double,
+                      var_cents: Double, skewness: Option[Double],
+                      kurtosis: Option[Double])
+
 case class TopkState(sums: Map[Long, Long], n: Long)
 
 case class TopkOut(window_us: Long, rk: Int, user_id: Long, value: Double,
@@ -277,6 +289,66 @@ object StreamOps {
           }
           state.update(EwmaState(recent))
           out.iterator
+      }
+  }
+
+  /** Streaming exact-moments maintainer — the stateful twin of the
+    * graded q_agg_moments discipline (skew/kurtosis from exact integer
+    * power sums) over the event stream: per key, `value` quantizes to
+    * exact integer CENTS (2dp HALF_UP — the scaled-long family
+    * precedent) and the state folds n and the four power sums
+    * Σc, Σc², Σc³, Σc⁴ as arbitrary-precision integers (BigInteger,
+    * string-encoded — see [[MomentsState]]). Integer addition is
+    * commutative AND associative, so the final standings are
+    * bit-identical under ANY micro-batch split or arrival order (the
+    * bitmaskMonitor contract class, pinned with a shuffled replay).
+    * Each emission ships the same pinned IEEE combine as the batch
+    * query — m2/m3/m4 in cents units, skew = m3∕(m2·√m2), excess
+    * kurtosis = m4∕m2² − 3, no pow() — from one correctly-rounded
+    * BigInteger→double conversion per sum (the very conversion Spark's
+    * DECIMAL(38,0)→double cast performs: the parity suite pins bitwise
+    * equality against the batch decimal-sum aggregation). Degeneracy
+    * (n ≤ 1 or m2 ≤ 0) is None, never NaN. Skew/kurtosis are
+    * scale-free, so the cents domain reports the same statistic the
+    * raw-units batch would — mean/variance ship in cents by contract. */
+  def momentsMonitor(events: Dataset[Event]): Dataset[MomentsOut] = {
+    import events.sparkSession.implicits._
+    import java.math.BigInteger
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[MomentsState]) =>
+          var n = 0L
+          var s1 = BigInteger.ZERO; var s2 = BigInteger.ZERO
+          var s3 = BigInteger.ZERO; var s4 = BigInteger.ZERO
+          state.getOption.foreach { s =>
+            n = s.n
+            s1 = new BigInteger(s.s1); s2 = new BigInteger(s.s2)
+            s3 = new BigInteger(s.s3); s4 = new BigInteger(s.s4)
+          }
+          it.foreach { e =>
+            val c = BigDecimal(e.value)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .underlying.unscaledValue
+            val c2 = c.multiply(c)
+            n += 1L
+            s1 = s1.add(c); s2 = s2.add(c2)
+            s3 = s3.add(c2.multiply(c)); s4 = s4.add(c2.multiply(c2))
+          }
+          state.update(MomentsState(n, s1.toString, s2.toString,
+            s3.toString, s4.toString))
+          val nD = n.toDouble
+          val (d1, d2, d3, d4) =
+            (s1.doubleValue, s2.doubleValue, s3.doubleValue, s4.doubleValue)
+          val m2 = (nD * d2 - d1 * d1) / (nD * nD)
+          val m3 = (nD * nD * d3 - 3.0 * nD * d1 * d2 + 2.0 * d1 * d1 * d1) /
+            (nD * nD * nD)
+          val m4 = (nD * nD * nD * d4 - 4.0 * nD * nD * d1 * d3 +
+            6.0 * nD * d1 * d1 * d2 - 3.0 * d1 * d1 * d1 * d1) /
+            (nD * nD * nD * nD)
+          val ok = n > 1 && m2 > 0
+          Iterator.single(MomentsOut(user, n, d1 / nD, m2,
+            if (ok) Some(m3 / (m2 * math.sqrt(m2))) else None,
+            if (ok) Some(m4 / (m2 * m2) - 3.0) else None))
       }
   }
 

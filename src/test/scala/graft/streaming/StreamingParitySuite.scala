@@ -198,6 +198,65 @@ class StreamingParitySuite extends SparkSuite {
       16.0 * 0.5 + 8.0 * 0.25 + 4.0 * 0.125 + 2.0 * 0.0625 + 1.0 * 0.03125)
   }
 
+  test("moments monitor: stateful twin == batch decimal power-sum combine on sf0.001 (bitwise doubles)") {
+    // the streaming analog of the graded q_agg_moments discipline: the
+    // batch side sums exact cents powers as DECIMAL(38,0) and runs the
+    // identical IEEE combine — every emitted double must match bitwise
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val twin = StreamOps.momentsMonitor(events)
+      .collect().map(o => o.user_id ->
+        ((o.n, o.mean_cents, o.var_cents, o.skewness, o.kurtosis))).toMap
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // cents via the double→DECIMAL(18,2) cast (HALF_UP on the shortest
+    // decimal representation — the same quantization the twin's scala
+    // BigDecimal(double).setScale(2, HALF_UP) performs), then exact
+    // integer powers as longs (49002⁴ < 2⁶³) summed in DECIMAL(38,0)
+    val c = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val g = Tables.events(spark, sf).groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(c.cast(dec38)).as("s1"), sum((c * c).cast(dec38)).as("s2"),
+      sum((c * c * c).cast(dec38)).as("s3"),
+      sum((c * c * (c * c)).cast(dec38)).as("s4"))
+    val batch = g.collect().map { r =>
+      val n = r.getLong(1); val nD = n.toDouble
+      val Seq(d1, d2, d3, d4) = (2 to 5).map(i =>
+        r.getDecimal(i).toBigInteger.doubleValue)
+      val m2 = (nD * d2 - d1 * d1) / (nD * nD)
+      val m3 = (nD * nD * d3 - 3.0 * nD * d1 * d2 + 2.0 * d1 * d1 * d1) /
+        (nD * nD * nD)
+      val m4 = (nD * nD * nD * d4 - 4.0 * nD * nD * d1 * d3 +
+        6.0 * nD * d1 * d1 * d2 - 3.0 * d1 * d1 * d1 * d1) /
+        (nD * nD * nD * nD)
+      val ok = n > 1 && m2 > 0
+      r.getLong(0) -> ((n, d1 / nD, m2,
+        if (ok) Some(m3 / (m2 * math.sqrt(m2))) else None,
+        if (ok) Some(m4 / (m2 * m2) - 3.0) else None))
+    }.toMap
+    assert(twin === batch)
+    assert(twin.nonEmpty && twin.values.exists(_._4.isDefined))
+  }
+
+  test("moments monitor: ANY micro-batch split and arrival order reach identical final sums") {
+    val es = miniEvents
+    def finalStandings(bs: Seq[Seq[Event]]): Map[Long, (Long, Double, Double)] = {
+      val ms = MemoryStream[Event](spark)
+      val name = s"mm_par_${bs.size}_${bs.head.head.event_id}"
+      val q = StreamOps.momentsMonitor(ms.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try bs.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._1) }
+    }
+    val whole = finalStandings(Seq(es))
+    val shuffledSplit = finalStandings(
+      Seq(es.reverse.take(3), es.reverse.slice(3, 9), es.reverse.drop(9)))
+    assert(whole === shuffledSplit)
+  }
+
   test("bitmask monitor: stateful twin == batch bit_or/bit_xor aggregate on sf0.001 (bit-exact)") {
     // the streaming analog of the graded q_agg_bitmask bit algebra:
     // hour-of-day presence + parity masks per user over the event log
