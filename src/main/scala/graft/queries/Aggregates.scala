@@ -99,6 +99,58 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // §2.4 TWO-regressor least squares (r12) — the multivariate step
+    // past q_agg_regr: price = b0 + b1·qty + b2·disc per returnflag,
+    // closed-form normal equations over centered second-moment sums
+    // (S11·S22 − S12² determinant solve — no iteration, no matrix
+    // library), plus R². Same engine discipline: ONE distributive agg
+    // of 9 exact decimal sums (map-side combine, shuffle ∝ groups;
+    // precisions sized so every decimal product fits both engines),
+    // then a pinned IEEE chain (products/divisions only — the S/det/b
+    // intermediates are each computed ONCE per engine in matching CTE
+    // stages so the op trees stay textually identical), 6dp. Singular
+    // design (det = 0) or zero y-variance → NULL coefficients/R².
+    "q_agg_regr2" -> ((s, d) => {
+      val DT = org.apache.spark.sql.types.DecimalType
+      val x1 = col("l_quantity").cast(DT(9, 2))
+      val x2 = col("l_discount").cast(DT(8, 4))
+      val y = col("l_extendedprice").cast(DT(12, 2))
+      val g = T.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+        sum(x1 * x1).as("s11"), sum(x2 * x2).as("s22"),
+        sum(x1 * x2).as("s12"),
+        sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"),
+        sum(y * y).as("syy"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = col("n").cast("double")
+      // centered sums — each ONCE, mirroring the oracle's s CTE
+      val c1 = g.select(col("l_returnflag"), col("n"), nD.as("nd"),
+        dbl("s1").as("s1"), dbl("s2").as("s2"), dbl("sy").as("sy"),
+        (nD * dbl("s11") - dbl("s1") * dbl("s1")).as("c11"),
+        (nD * dbl("s22") - dbl("s2") * dbl("s2")).as("c22"),
+        (nD * dbl("s12") - dbl("s1") * dbl("s2")).as("c12"),
+        (nD * dbl("s1y") - dbl("s1") * dbl("sy")).as("c1y"),
+        (nD * dbl("s2y") - dbl("s2") * dbl("sy")).as("c2y"),
+        (nD * dbl("syy") - dbl("sy") * dbl("sy")).as("cyy"))
+      val c2 = c1.withColumn("det",
+          col("c11") * col("c22") - col("c12") * col("c12"))
+        .withColumn("b1",
+          (col("c22") * col("c1y") - col("c12") * col("c2y")) / col("det"))
+        .withColumn("b2",
+          (col("c11") * col("c2y") - col("c12") * col("c1y")) / col("det"))
+      c2.select(col("l_returnflag"), col("n"),
+          when(col("det") =!= 0.0, round(col("b1"), 6)).as("b_qty"),
+          when(col("det") =!= 0.0, round(col("b2"), 6)).as("b_disc"),
+          when(col("det") =!= 0.0,
+            round((col("sy") - col("b1") * col("s1")
+              - col("b2") * col("s2")) / col("nd"), 6)).as("intercept"),
+          when(col("det") =!= 0.0 && col("cyy") =!= 0.0,
+            round((col("b1") * col("c1y") + col("b2") * col("c2y"))
+              / col("cyy"), 6)).as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // §2.4 ordered string aggregation (LISTAGG surface). collect_set's
     // arrival order is nondeterministic — array_sort canonicalizes
     // before the join, so the result is layout-independent; the oracle's
@@ -594,7 +646,7 @@ object Aggregates {
 
   /** The shared CTE chain `<p>vc → <p>marked` (distinct-value counts +
     * cumulative ranges), prefix `p` so chains compose (q_agg_mad). */
-  private def pctMarked(p: String, src: String, grp: String, v: String,
+  private[queries] def pctMarked(p: String, src: String, grp: String, v: String,
                         weight: Option[String]): String = {
     val cnt = pctCnt(weight)
     val having = weight.map(_ => s"\n            HAVING $cnt > 0").getOrElse("")
@@ -613,7 +665,7 @@ object Aggregates {
   /** Continuous chain `<p>vc → <p>marked → <p>rk → <p>ag`; `<p>ag` has
     * one (lo$i, hi$i, r$i) triple per fraction plus `n` — interpolate
     * with [[pctContVal]]. Fractions as decimal strings ("0.5"). */
-  private def pctContCtes(p: String, src: String, grp: String, v: String,
+  private[queries] def pctContCtes(p: String, src: String, grp: String, v: String,
                           weight: Option[String], ps: Seq[String]): String = {
     val ranks = ps.zipWithIndex.map { case (f, i) =>
       s"CAST($f AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r$i"
@@ -641,7 +693,7 @@ object Aggregates {
 
   /** The interpolation over `<p>ag`'s i-th triple — the exact engine
     * expression shape: lo + (r − ⌊r⌋)·(hi − lo). */
-  private def pctContVal(i: Int): String =
+  private[queries] def pctContVal(i: Int): String =
     s"lo$i + (r$i - FLOOR(r$i)) * (hi$i - lo$i)"
 
   /** Complete discrete-percentile oracle: smallest stored value whose
@@ -829,6 +881,57 @@ object Aggregates {
                   * CAST(o_totalprice AS DECIMAL(12,2))) AS sxx
             FROM $ords GROUP BY o_orderstatus) m
           ORDER BY o_orderstatus""",
+    // Staged CTEs mirror the Spark builder's val chain: sums → doubles
+    // → centered sums (each ONCE) → det/b1/b2 → guarded output.
+    "q_agg_regr2" ->
+      s"""WITH m AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))) AS s1,
+              SUM(CAST(l_discount AS DECIMAL(8,4))) AS s2,
+              SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))) AS s11,
+              SUM(CAST(l_discount AS DECIMAL(8,4))
+                  * CAST(l_discount AS DECIMAL(8,4))) AS s22,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_discount AS DECIMAL(8,4))) AS s12,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS s1y,
+              SUM(CAST(l_discount AS DECIMAL(8,4))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS s2y,
+              SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+            FROM $li GROUP BY 1),
+          c AS (
+            SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+              CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+              CAST(sy AS DOUBLE) AS sy,
+              CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c11,
+              CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c22,
+              CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c12,
+              CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1y,
+              CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+                - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2y,
+              CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy
+            FROM m),
+          b AS (
+            SELECT *, c11 * c22 - c12 * c12 AS det,
+              (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+              (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+            FROM c)
+          SELECT l_returnflag, n,
+            CASE WHEN det <> 0 THEN ROUND(b1, 6) END AS b_qty,
+            CASE WHEN det <> 0 THEN ROUND(b2, 6) END AS b_disc,
+            CASE WHEN det <> 0 THEN
+              ROUND((sy - b1 * s1 - b2 * s2) / nd, 6) END AS intercept,
+            CASE WHEN det <> 0 AND cyy <> 0 THEN
+              ROUND((b1 * c1y + b2 * c2y) / cyy, 6) END AS r2
+          FROM b ORDER BY l_returnflag""",
     // HUGEINT = DuckDB's DECIMAL(38,0)-twin exact-integer domain (the
     // PageRank precedent); m2/m3/m4 and the ratios are textually the
     // Spark op trees — identical IEEE sequences.

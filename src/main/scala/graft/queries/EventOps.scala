@@ -161,6 +161,33 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** The q_event_anomaly engine (extracted for planted-spike unit
+    * coverage): daily-volume robust outlier flags — see the graded
+    * entry's scaladoc-style comment at the registration site above for
+    * the full scale/determinism argument. */
+  private[graft] def anomalyOn(events: DataFrame): DataFrame = {
+    import graft.operators.Percentiles
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // 3 consumers (median chain, dev, output); caller clearCache
+    val med = Percentiles.cont(daily.select(col("n")), Nil, "n",
+      Seq(0.5 -> "med")).select(col("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .select(col("day"), col("n"), col("med"),
+        abs(col("n").cast("double") - col("med")).as("adev"))
+    val mad = Percentiles.cont(dev.select(col("adev")), Nil, "adev",
+      Seq(0.5 -> "mad")).select(col("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        when(col("mad") > 0, round(col("adev") / col("mad"), 6))
+          .as("robust_z"),
+        (col("mad") > 0 && col("adev") / col("mad") > 3)
+          .cast("int").as("flagged"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1h window × event_type.
     "q_stream_tumble" -> ((s, d) =>
@@ -448,6 +475,20 @@ object EventOps {
     // explode k = 0..6, re-distinct (user, rday) — a user active twice
     // inside one window still counts once — and hash-count per rday.
     // Day arithmetic is integer µs (exact; the retention7 precedent).
+    // Daily-volume anomaly detection (r12) — robust spike/drop flagging
+    // on the event-count time series: per day, |n − median| ∕ MAD > 3
+    // flags the day (the outlier rule that survives the outliers
+    // themselves — a mean/stddev gate moves WITH the spike it should
+    // catch; the robust pair does not). Composition of the exact
+    // percentile engine on the DAYS domain: the corpus collapses to
+    // (day, n) FIRST (one map-side-combining hash agg, shuffle ∝ days
+    // — the whole pipeline after it is calendar-sized), then two cont
+    // median chains (days-bounded windows) and two one-row broadcast
+    // join-backs; med/mad/z ship at 6dp, the flag is an integer
+    // compare. mad = 0 (≥ half the days share the median count) →
+    // robust_z NULL, flagged 0 — decided structurally on both engines.
+    "q_event_anomaly" -> ((s, d) => anomalyOn(T.events(s, d))),
+
     // Report days are restricted to days present in the log via a
     // broadcast semi-join (calendar-sized). Shuffle: pairs + 7·pairs,
     // both map-side combined; no window function, no range join.
@@ -862,6 +903,35 @@ object EventOps {
           SELECT dau.day, dau.dau, wau.wau
           FROM dau JOIN wau ON dau.day = wau.rday
           ORDER BY dau.day""",
+    // The GENERATED cont-median chain (Aggregates.pctContCtes — the
+    // q_agg_mad oracle pattern, with a literal `g` group column since
+    // the domain is global) run twice over the days collapse; twin
+    // drift vs the Spark engine is structurally impossible.
+    "q_event_anomaly" -> {
+      import Aggregates.{pctContCtes, pctContVal}
+      s"""WITH daily AS (
+         |  SELECT 1 AS g, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |    COUNT(*) AS n
+         |  FROM $evt WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |${pctContCtes("a1", "daily", "g", "n", None, Seq("0.5"))},
+         |med AS (SELECT ${pctContVal(0)} AS med FROM a1ag),
+         |dev AS (
+         |  SELECT 1 AS g, d.day, d.n,
+         |    abs(CAST(d.n AS DOUBLE) - m.med) AS adev
+         |  FROM daily d CROSS JOIN med m),
+         |${pctContCtes("a2", "dev", "g", "adev", None, Seq("0.5"))},
+         |madt AS (SELECT ${pctContVal(0)} AS mad FROM a2ag)
+         |SELECT d.day, d.n,
+         |  round(m.med, 6) AS med, round(x.mad, 6) AS mad,
+         |  CASE WHEN x.mad > 0 THEN
+         |    round(abs(CAST(d.n AS DOUBLE) - m.med) / x.mad, 6)
+         |  END AS robust_z,
+         |  CAST(CASE WHEN x.mad > 0
+         |        AND abs(CAST(d.n AS DOUBLE) - m.med) / x.mad > 3
+         |       THEN 1 ELSE 0 END AS INTEGER) AS flagged
+         |FROM daily d CROSS JOIN med m CROSS JOIN madt x
+         |ORDER BY d.day""".stripMargin
+    },
     // Three generated discrete-percentile chains (the q_agg_winsor
     // oracle pattern at den 4, global group) over the user collapse;
     // scoring is integer compares against the one-row cut tables.

@@ -152,7 +152,37 @@ object MultimodalOps {
           col("chunk_idx").cast("int").as("chunk_idx"),
           expr(s"md5(substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes))")
             .as("frame_md5"))
-        .orderBy(col("doc_id"), col("chunk_idx")))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Header byte-value histogram per media kind (r12) — the
+    // corruption/format-drift signature over the binary column: the
+    // distribution of the first 16 header bytes per sniffed kind (a
+    // codec change, encoding corruption, or mislabeled batch shifts
+    // this fingerprint before any decoder runs — the cheap gate a
+    // multimodal pipeline checks per ingest batch). Byte positions
+    // explode map-side (≤16 rows/payload regardless of payload size —
+    // header-bounded, unlike q_mm_chunks' ∝ bytes), then ONE
+    // map-side-combining hash agg: shuffle ∝ kinds × 256 no matter the
+    // corpus. Integer byte values end to end.
+    "q_mm_bytehist" -> ((s, d) =>
+      T.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        // empty payloads emit no rows on either engine (Spark's
+        // sequence(1, 0) would DESCEND, not empty out — filter first)
+        .filter(length(col("payload")) >= 1)
+        .select(
+          when(byteVal(col("payload"), 1) % 3 === 0, "image")
+            .when(byteVal(col("payload"), 1) % 3 === 1, "audio")
+            .otherwise("video").as("kind_stub"),
+          explode(sequence(lit(1),
+            least(length(col("payload")), lit(16)))).as("i"),
+          col("payload"))
+        .select(col("kind_stub"),
+          expr("CAST(conv(hex(substring(payload, i, 1)), 16, 10) AS INT)")
+            .as("byte_val"))
+        .groupBy(col("kind_stub"), col("byte_val"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("kind_stub"), col("byte_val")))
   )
 
   private val doc = tbl("documents")
@@ -220,6 +250,21 @@ object MultimodalOps {
                   + $MaxFrames - 1) // $MaxFrames AS stride
               FROM $doc) b
             WHERE n_chunks >= 1) t
-          ORDER BY doc_id, chunk_idx"""
+          ORDER BY doc_id, chunk_idx""",
+    // generate_series is inclusive-both-ends (the Spark sequence twin);
+    // header positions capped at 16, kind from the first byte.
+    "q_mm_bytehist" ->
+      s"""SELECT kind_stub, byte_val, COUNT(*) AS cnt FROM (
+            SELECT
+              CASE WHEN ${sqlByteVal(1)} % 3 = 0 THEN 'image'
+                   WHEN ${sqlByteVal(1)} % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS kind_stub,
+              CAST(('0x' || hex(substring(text, g.i, 1)::BLOB)) AS INT)
+                AS byte_val
+            FROM $doc,
+              unnest(generate_series(1,
+                least(octet_length(text::BLOB), 16))) AS g(i)
+            WHERE octet_length(text::BLOB) >= 1) z
+          GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -147,6 +147,60 @@ class CapabilitiesSuite extends SparkSuite {
     }
   }
 
+  test("q_agg_regr2 matches a driver-side normal-equation solve (two-regressor OLS semantics)") {
+    val out = SparkEntry.queries("q_agg_regr2")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"),
+        col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .groupBy(_._1)
+    rows.foreach { case (flag, rs) =>
+      val n = rs.length.toDouble
+      def s(f: ((String, Double, Double, Double)) => Double) = rs.map(f).sum
+      val (s1, s2, sy) = (s(_._2), s(_._3), s(_._4))
+      val c11 = n * s(t => t._2 * t._2) - s1 * s1
+      val c22 = n * s(t => t._3 * t._3) - s2 * s2
+      val c12 = n * s(t => t._2 * t._3) - s1 * s2
+      val c1y = n * s(t => t._2 * t._4) - s1 * sy
+      val c2y = n * s(t => t._3 * t._4) - s2 * sy
+      val cyy = n * s(t => t._4 * t._4) - sy * sy
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c22 * c1y - c12 * c2y) / det
+      val b2 = (c11 * c2y - c12 * c1y) / det
+      val b0 = (sy - b1 * s1 - b2 * s2) / n
+      val r2 = (b1 * c1y + b2 * c2y) / cyy
+      val (gb1, gb2, gb0, gr2) = out(flag)
+      // driver-side float sums are order-noisy vs the exact decimal agg
+      assert(math.abs(gb1 - b1) / math.abs(b1) < 1e-4, s"b_qty at $flag")
+      assert(math.abs(gb2 - b2) / math.abs(b2) < 1e-4, s"b_disc at $flag")
+      assert(math.abs(gb0 - b0) / math.abs(b0) < 1e-4, s"intercept at $flag")
+      assert(math.abs(gr2 - r2) < 1e-6 && gr2 >= 0 && gr2 <= 1, s"r2 at $flag")
+    }
+  }
+
+  test("anomalyOn: a planted 12x spike day flags, ordinary jitter days do not (robust med/MAD gate)") {
+    import spark.implicits._
+    // day k gets counts(k) events; med = 10, MAD = 1, spike z = 90
+    val counts = Seq(8, 9, 10, 10, 11, 12, 9, 11, 100)
+    val events = counts.zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map(j => (19100L + day) * 86400000000L + j * 1000000L)
+    }.toDF("us").select(expr("timestamp_micros(us)").as("ts"))
+    val out = queries.EventOps.anomalyOn(events)
+      .select("n", "med", "mad", "robust_z", "flagged").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), Option(r.get(3)), r.getInt(4))))
+      .toMap
+    assert(out(100L) === ((10.0, 1.0, Some(90.0), 1)))
+    assert(out(8L) === ((10.0, 1.0, Some(2.0), 0)))
+    assert(out(10L) === ((10.0, 1.0, Some(0.0), 0)))
+    assert(out.values.map(_._4).sum === 1) // exactly the spike flags
+    spark.catalog.clearCache()
+  }
+
   test("rfmOn: quartile scores land exactly on a planted 8-user pyramid (strict-compare cut semantics)") {
     import spark.implicits._
     // user i (1..8): i events, all on day 19000+i, value 10 each →
