@@ -188,6 +188,39 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** The q_event_abtest engine (extracted for planted-effect unit
+    * coverage): deterministic md5 variant split → per-user conversion
+    * flag → two-proportion z. See the registration comment for the
+    * scale/determinism argument. */
+  private[graft] def abtestOn(events: DataFrame): DataFrame = {
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select((Det.md5h32(col("user_id").cast("string")) % 2).as("variant"),
+        col("conv"))
+    val row = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .agg(
+        coalesce(sum(when(col("variant") === 0, col("n"))), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("variant") === 0, col("c"))), lit(0L)).as("conv_a"),
+        coalesce(sum(when(col("variant") === 1, col("n"))), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("variant") === 1, col("c"))), lit(0L)).as("conv_b"))
+    def dbl(c: String) = col(c).cast("double")
+    val ra = dbl("conv_a") / dbl("n_a")
+    val rb = dbl("conv_b") / dbl("n_b")
+    val p = (dbl("conv_a") + dbl("conv_b")) / (dbl("n_a") + dbl("n_b"))
+    val z = (ra - rb) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / dbl("n_a") + lit(1.0) / dbl("n_b")))
+    row.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0, round(ra, 6)).as("rate_a"),
+      when(col("n_b") > 0, round(rb, 6)).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && p > 0 && p < 1,
+        round(z, 6)).as("z"),
+      when(col("n_a") > 0 && col("n_b") > 0 && p > 0 && p < 1,
+        (abs(z) > 1.96).cast("int")).as("significant"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1h window × event_type.
     "q_stream_tumble" -> ((s, d) =>
@@ -488,6 +521,22 @@ object EventOps {
     // compare. mad = 0 (≥ half the days share the median count) →
     // robust_z NULL, flagged 0 — decided structurally on both engines.
     "q_event_anomaly" -> ((s, d) => anomalyOn(T.events(s, d))),
+
+    // A/B conversion test (r12) — the experiment-analysis endpoint: a
+    // deterministic hash split of users into two variants (md5-derived,
+    // exactly how a real experiment buckets — never rand()), per-user
+    // conversion = any 'purchase' event, and the two-proportion z
+    // statistic with the ±1.96 significance call. On the synthetic
+    // corpus the split is a null experiment (both arms draw the same
+    // population), so the graded expectation is |z| small — the query
+    // grades the MACHINERY (the planted-effect unit test grades the
+    // detection). Scale: events collapse to per-user conversion flags
+    // (map-side-combining agg, shuffle ∝ users), variants collapse to
+    // 2 rows, the z combine runs on ONE row — a pinned IEEE chain over
+    // exact integer counts (divisions + one correctly-rounded sqrt),
+    // 6dp. Degenerate arms (empty, or pooled rate 0/1) → NULL z
+    // structurally on both engines.
+    "q_event_abtest" -> ((s, d) => abtestOn(T.events(s, d))),
 
     // Report days are restricted to days present in the log via a
     // broadcast semi-join (calendar-sized). Shuffle: pairs + 7·pairs,
@@ -903,6 +952,46 @@ object EventOps {
           SELECT dau.day, dau.dau, wau.wau
           FROM dau JOIN wau ON dau.day = wau.rday
           ORDER BY dau.day""",
+    // Staged CTEs mirror the engine: user collapse → 2-row variant
+    // agg → 1-row conditional pivot → pinned z chain (ra/rb/p each
+    // once; sqrt correctly rounded). CASE guards match the Spark
+    // when() guards structurally.
+    "q_event_abtest" ->
+      s"""WITH u AS (
+         |  SELECT ${Det.sqlMd5h32("CAST(user_id AS VARCHAR)")} % 2 AS variant,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM $evt GROUP BY user_id),
+         |v AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS c
+         |      FROM u GROUP BY 1),
+         |r AS (SELECT
+         |    COALESCE(SUM(CASE WHEN variant = 0 THEN n END), 0) AS n_a,
+         |    COALESCE(SUM(CASE WHEN variant = 0 THEN c END), 0) AS conv_a,
+         |    COALESCE(SUM(CASE WHEN variant = 1 THEN n END), 0) AS n_b,
+         |    COALESCE(SUM(CASE WHEN variant = 1 THEN c END), 0) AS conv_b
+         |  FROM v),
+         |d AS (SELECT CAST(n_a AS BIGINT) AS n_a,
+         |    CAST(conv_a AS BIGINT) AS conv_a,
+         |    CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+         |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+         |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+         |    (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p
+         |  FROM r)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  CASE WHEN n_a > 0 THEN round(ra, 6) END AS rate_a,
+         |  CASE WHEN n_b > 0 THEN round(rb, 6) END AS rate_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND p > 0 AND p < 1 THEN
+         |    round((ra - rb) / sqrt(p * (CAST(1 AS DOUBLE) - p)
+         |      * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |         + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))), 6)
+         |  END AS z,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND p > 0 AND p < 1 THEN
+         |    CAST(abs((ra - rb) / sqrt(p * (CAST(1 AS DOUBLE) - p)
+         |      * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |         + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))) > 1.96
+         |      AS INTEGER)
+         |  END AS significant
+         |FROM d""".stripMargin,
     // The GENERATED cont-median chain (Aggregates.pctContCtes — the
     // q_agg_mad oracle pattern, with a literal `g` group column since
     // the domain is global) run twice over the days collapse; twin

@@ -81,6 +81,12 @@ object LlmOps {
   /** SimHash near-dup knobs (q_llm_simdup): 16-bit signature split into
     * 4 bands × 4 bits; candidate generation is exact for hamming ≤
     * bands − 1 = 3 (pigeonhole — see the query comment). */
+  /** q_llm_winnow: gram size K and window W — the (K, W) guarantee is
+    * that any shared token run of length ≥ K+W−1 yields ≥ 1 shared
+    * fingerprint, storing only ~2/(W+1) of the gram hashes. */
+  private[graft] val WinnowK = 4
+  private[graft] val WinnowW = 5
+
   private[graft] val SimBands = 4
   private[graft] val SimBandBits = 4
   private[graft] val SimHamMax = SimBands - 1
@@ -657,6 +663,46 @@ object LlmOps {
     * array_intersect verify on survivors. Shared by q_llm_neardup (the
     * pair listing) and q_llm_cc (pair→cluster grouping).
     * Returns (doc_a, doc_b, jacc) with doc_a < doc_b, unordered. */
+  /** The q_llm_winnow engine over any documents-shaped frame
+    * (extracted for the (K,W)-guarantee unit test): per doc, winnowed
+    * fingerprints — min K-gram hash per W-window of the gram-hash
+    * sequence, deduped; see the registration comment for the full
+    * semantics/scale argument. */
+  private[graft] def winnowOn(docs: DataFrame): DataFrame =
+    winnowFps(docs)
+      .select(col("doc_id"), col("n_grams"), col("n_wins"),
+        size(col("fps")).as("n_fp"),
+        md5(concat_ws(",",
+          transform(array_sort(col("fps")), x => x.cast("string"))))
+          .as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  /** [[winnowOn]]'s selection stage with the raw fingerprint SET still
+    * attached — the unit surface the (K,W)-guarantee law tests against
+    * (the graded projection ships only count + canonical hash: the
+    * set's in-array order is engine-specific on both sides). */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    val k = WinnowK; val w = WinnowW
+    val tk = split(col("text"), " ")
+    val grams = filter(
+      transform(sequence(lit(1), size(tk)), i =>
+        when(i <= size(tk) - (k - 1), concat_ws(" ", slice(tk, i, lit(k))))),
+      x => x.isNotNull)
+    val hashes = transform(grams, g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    docs
+      .select(col("doc_id"), hashes.as("h"))
+      .select(col("doc_id"), col("h"),
+        greatest(size(col("h")) - (w - 1),
+          least(size(col("h")), lit(1))).as("n_wins"))
+      .select(col("doc_id"),
+        size(col("h")).as("n_grams"), col("n_wins"),
+        when(size(col("h")) >= 1,
+          array_distinct(transform(sequence(lit(1), col("n_wins")),
+            j => array_min(slice(col("h"), j, lit(w))))))
+          .otherwise(array().cast("array<bigint>")).as("fps"))
+  }
+
   private def neardupPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.JaccardStr.register(s) // graft_jaccard below; idempotent
     // ONE tokenized projection of the corpus, persisted, feeds all three
@@ -937,6 +983,23 @@ object LlmOps {
               / (col("deg") * (col("deg") - 1)).cast("double")))
         .orderBy(col("doc_id"))
     }),
+
+    // Winnowing fingerprints (r12) — the MOSS-family selection rule,
+    // the THIRD fingerprinting scheme beside q_text_fingerprint (whole-
+    // doc set hash) and q_llm_substr (every K-window): per doc, hash
+    // all K-grams, slide a W-window over the hash sequence, keep the
+    // MIN hash of each window, dedupe. The (K,W) guarantee: any shared
+    // run of ≥ K+W−1 tokens contributes ≥ 1 shared fingerprint, with
+    // only ~2/(W+1) of grams stored — the document-sketch density a
+    // 100 TB near-dup index actually wants. Selection is min-by-VALUE
+    // (fingerprints are values, so tie position is irrelevant — the
+    // rule is engine-order-free by construction). Pure per-row map:
+    // grams, hashes, and window minima are in-row higher-order array
+    // fns (≤ tokens × W work per doc), never an explode + self-join;
+    // zero shuffle before the presentation sort. Short docs: fewer
+    // grams than W ⇒ ONE window over what exists (both engines' slice
+    // clamps); no grams ⇒ zero fingerprints, md5 of the empty join.
+    "q_llm_winnow" -> ((s, d) => winnowOn(T.documents(s, d))),
 
     // Deterministic train/val/test split: bucket = md5-derived 32-bit
     // hash of doc_id mod 10 → 80/10/10. Hash-based (not rand()) so the
@@ -1325,6 +1388,39 @@ object LlmOps {
           FROM pairs p1 JOIN pairs p2 ON p2.doc_a = p1.doc_b
             JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
           ORDER BY 1, 2, 3""",
+    // In-row list pipeline mirroring the Spark HOF chain stage for
+    // stage; K/W appear as the inclusive-slice arithmetic (i..i+K−1,
+    // j..j+W−1); generate_series(1, 0) is EMPTY in DuckDB (no Spark
+    // descending trap to guard on this side).
+    "q_llm_winnow" -> {
+      val k1 = WinnowK - 1; val w1 = WinnowW - 1
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $doc),
+          g AS (SELECT doc_id,
+              list_filter(list_transform(generate_series(1, len(tk)), i ->
+                CASE WHEN i <= len(tk) - $k1
+                     THEN array_to_string(list_slice(tk, i, i + $k1), ' ')
+                END), x -> x IS NOT NULL) AS grams
+            FROM t),
+          h AS (SELECT doc_id,
+              list_transform(grams, s ->
+                ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+            FROM g),
+          wn AS (SELECT doc_id, h,
+              GREATEST(len(h) - $w1, LEAST(len(h), 1)) AS n_wins
+            FROM h),
+          f AS (SELECT doc_id,
+              CAST(len(h) AS INTEGER) AS n_grams,
+              CAST(n_wins AS INTEGER) AS n_wins,
+              CASE WHEN len(h) >= 1 THEN
+                list_distinct(list_transform(generate_series(1, n_wins),
+                  j -> list_aggregate(list_slice(h, j, j + $w1), 'min')))
+              ELSE [] END AS fps
+            FROM wn)
+          SELECT doc_id, n_grams, n_wins,
+            CAST(len(fps) AS INTEGER) AS n_fp,
+            md5(array_to_string(list_sort(fps), ',')) AS fp_md5
+          FROM f ORDER BY doc_id"""
+    },
     // Same pairs CTE + wedge join as q_llm_tri; per-node counts via the
     // 3-corner UNION ALL, degrees over the symmetrized pair list.
     "q_llm_clustco" ->

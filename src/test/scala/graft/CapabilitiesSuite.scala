@@ -201,6 +201,32 @@ class CapabilitiesSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("abtestOn: a planted one-sided conversion effect is significant; arms follow the md5 split exactly") {
+    import spark.implicits._
+    // assign variants with the SAME hash the engine uses, then give
+    // every variant-0 user a purchase and no variant-1 user one
+    val ids = (1L to 40L)
+    val vmap = spark.range(1, 41).select(col("id"),
+        (graft.Det.md5h32(col("id").cast("string")) % 2).as("v"))
+      .as[(Long, Long)].collect().toMap
+    assert(vmap.values.toSet === Set(0L, 1L)) // both arms populated
+    val events = ids.flatMap { u =>
+      val base = Seq((u, "view"))
+      if (vmap(u) == 0L) base :+ ((u, "purchase")) else base
+    }.zipWithIndex.map { case ((u, t), i) =>
+      (u, t, 1700000000000000L + i * 1000000L)
+    }.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val r = queries.EventOps.abtestOn(events).collect().head
+    val nA = r.getAs[Long]("n_a"); val nB = r.getAs[Long]("n_b")
+    assert(nA === vmap.values.count(_ == 0L) && nA + nB === 40L)
+    assert(r.getAs[Double]("rate_a") === 1.0 &&
+      r.getAs[Double]("rate_b") === 0.0)
+    assert(r.getAs[Int]("significant") === 1)
+    assert(r.getAs[Double]("z") > 1.96)
+  }
+
   test("rfmOn: quartile scores land exactly on a planted 8-user pyramid (strict-compare cut semantics)") {
     import spark.implicits._
     // user i (1..8): i events, all on day 19000+i, value 10 each →

@@ -661,4 +661,34 @@ class LlmOpsSuite extends SparkSuite {
     // is a centroid, IVF degrades to exact kNN — correct, never empty
     assert(LlmOps.ivfDefaultQuantizer(base(5)).count() === 5)
   }
+
+  test("winnow (K,W) guarantee: any shared run of >= K+W-1 tokens shares a fingerprint; short docs still sketch") {
+    import spark.implicits._
+    // run = exactly K+W−1 = 8 tokens; A is the bare run, B/C embed it
+    // in different surroundings — all three must share >= 1 fingerprint
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, run),
+      (2L, s"prefix words here $run and a trailing tail too"),
+      (3L, s"$run completely different continuation of text"),
+      (4L, "unrelated content with no overlap whatsoever at all"),
+      (5L, "tiny doc")) // < K tokens → zero grams, zero fingerprints
+      .toDF("doc_id", "text")
+    val fps = queries.LlmOps.winnowFps(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_grams"), r.getAs[Seq[Long]]("fps").toSet)).toMap
+    val a = fps(1L)._2
+    assert(a.nonEmpty && (a intersect fps(2L)._2).nonEmpty,
+      "embedded run lost its fingerprint (guarantee broken)")
+    assert((a intersect fps(3L)._2).nonEmpty)
+    assert((a intersect fps(4L)._2).isEmpty, "unrelated docs collide")
+    assert(fps(5L) === ((0, Set.empty[Long]))) // no grams → no fps
+    // density: stored fingerprints ≪ grams on a long doc
+    val (ng, f2) = fps(2L)
+    assert(f2.size < ng, "winnowing stored every gram")
+    // graded projection agrees with the set stage
+    val out = queries.LlmOps.winnowOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_fp")).toMap
+    assert(out === fps.view.mapValues(_._2.size).toMap)
+  }
 }
