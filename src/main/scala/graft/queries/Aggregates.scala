@@ -323,6 +323,50 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // §2.4 exact Gini concentration (r12) — the inequality/concentration
+    // audit (vendor concentration, revenue skew: "what share of the
+    // total do the top orders own"): per status, the weighted Gini of
+    // o_totalprice by the trapezoid Lorenz form
+    //   G = 1 − Σᵢ wᵢ·(Sᵢ₋₁ + Sᵢ) ∕ (W·Sₙ)
+    // over the (value → count) collapse sorted by value. EVERYTHING
+    // left of the final division is exact integer arithmetic in the
+    // cents domain carried as DECIMAL(38,0) (Sᵢ₋₁ = Sᵢ − wᵢ·cᵢ, so one
+    // cumulative sum serves both; a float cumulative would be
+    // order-fragile): shuffle ∝ distinct values (map-side-combined
+    // counts), one per-group cumulative window over the DISTINCT-value
+    // table (the Percentiles discipline — spillable, parallelism =
+    // groups), then G is TWO correctly-rounded decimal→double casts +
+    // ONE division + one subtraction, 6dp. All-equal values → G = 0
+    // exactly; empty/zero-total groups → NULL structurally.
+    "q_agg_gini" -> ((s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cents = (col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")
+      val vc = T.orders(s, d)
+        .filter(col("o_totalprice").isNotNull)
+        .groupBy(col("o_orderstatus"), cents.as("c"))
+        .agg(count(lit(1)).as("w"))
+      val wOrd = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("c").asc)
+      val cum = vc
+        .withColumn("s_cum", sum((col("w") * col("c")).cast(dec38)).over(wOrd))
+        .withColumn("term",
+          col("w").cast(dec38)
+            * (col("s_cum") + col("s_cum") - (col("w") * col("c")).cast(dec38)))
+      cum.groupBy(col("o_orderstatus"))
+        .agg(sum(col("term")).as("x"),
+          sum((col("w") * col("c")).cast(dec38)).as("s_tot"),
+          sum(col("w")).as("w_tot"))
+        .select(col("o_orderstatus"), col("w_tot").as("n"),
+          when(col("s_tot") > 0,
+            round(lit(1.0)
+              - col("x").cast("double")
+                / (col("w_tot").cast(dec38) * col("s_tot")).cast("double"),
+              6)).as("gini"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // §2.4 unpivot (melt, the pivot inverse): part's numeric metrics
     // wide→long via the native `unpivot` operator — Catalyst plans one
     // Expand over a single scan (rows × |metrics|, never |metrics|
@@ -881,6 +925,36 @@ object Aggregates {
                   * CAST(o_totalprice AS DECIMAL(12,2))) AS sxx
             FROM $ords GROUP BY o_orderstatus) m
           ORDER BY o_orderstatus""",
+    // Same cents-domain HUGEINT chain as the Spark side: one ordered
+    // cumulative per group over the distinct-value collapse, exact
+    // integer terms, one division at the end.
+    "q_agg_gini" ->
+      s"""WITH vc AS (
+            SELECT o_orderstatus,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+              COUNT(*) AS w
+            FROM $ords WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+          cum AS (
+            SELECT o_orderstatus, c, w,
+              SUM(CAST(w * c AS HUGEINT))
+                OVER (PARTITION BY o_orderstatus ORDER BY c) AS s_cum
+            FROM vc),
+          t AS (
+            SELECT o_orderstatus, w,
+              CAST(w * c AS HUGEINT) AS wc,
+              CAST(w AS HUGEINT)
+                * (s_cum + s_cum - CAST(w * c AS HUGEINT)) AS term
+            FROM cum),
+          g AS (
+            SELECT o_orderstatus, SUM(term) AS x, SUM(wc) AS s_tot,
+              SUM(w) AS w_tot
+            FROM t GROUP BY 1)
+          SELECT o_orderstatus, CAST(w_tot AS BIGINT) AS n,
+            CASE WHEN s_tot > 0 THEN
+              ROUND(CAST(1 AS DOUBLE) - CAST(x AS DOUBLE)
+                / CAST(CAST(w_tot AS HUGEINT) * s_tot AS DOUBLE), 6)
+            END AS gini
+          FROM g ORDER BY o_orderstatus""",
     // Staged CTEs mirror the Spark builder's val chain: sums → doubles
     // → centered sums (each ONCE) → det/b1/b2 → guarded output.
     "q_agg_regr2" ->

@@ -201,6 +201,28 @@ class CapabilitiesSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_agg_gini equals a driver-side exact cents-domain Gini (trapezoid Lorenz replay)") {
+    val out = SparkEntry.queries("q_agg_gini")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val groups = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0),
+        BigInt(new java.math.BigDecimal(r.getDouble(1))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).toBigIntegerExact)))
+      .groupBy(_._1)
+    groups.foreach { case (st, rows) =>
+      val vals = rows.map(_._2).sorted
+      var s = BigInt(0); var x = BigInt(0)
+      vals.foreach { c => val prev = s; s += c; x += prev + s }
+      val g = BigDecimal(1.0
+        - x.toDouble / (BigInt(vals.length) * s).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(out(st) - g) < 1e-9, s"gini mismatch at $st")
+      assert(out(st) > 0 && out(st) < 1)
+    }
+  }
+
   test("abtestOn: a planted one-sided conversion effect is significant; arms follow the md5 split exactly") {
     import spark.implicits._
     // assign variants with the SAME hash the engine uses, then give
