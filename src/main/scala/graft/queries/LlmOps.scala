@@ -87,6 +87,13 @@ object LlmOps {
   private[graft] val WinnowK = 4
   private[graft] val WinnowW = 5
 
+  /** q_llm_winnowdup: posting-list cap (a fingerprint in more docs is
+    * boilerplate, not duplication — dropping it bounds the pair join's
+    * fan-out by df², the standard inverted-index discipline) and the
+    * minimum shared-fingerprint count for a candidate pair. */
+  private[graft] val WinnowMaxPosting = 50
+  private[graft] val WinnowMinShared = 2
+
   private[graft] val SimBands = 4
   private[graft] val SimBandBits = 4
   private[graft] val SimHamMax = SimBands - 1
@@ -677,6 +684,36 @@ object LlmOps {
           .as("fp_md5"))
       .orderBy(col("doc_id"))
 
+  /** The q_llm_winnowdup engine over any documents-shaped frame
+    * (extracted for the planted-pair / boilerplate-cap unit tests):
+    * winnow sketches → capped posting lists → shared-fingerprint pair
+    * candidates with set-Jaccard. See the registration comment for the
+    * scale argument. */
+  private[graft] def winnowDupOn(docs: DataFrame): DataFrame = {
+    val f = winnowFps(docs).select(col("doc_id"), col("fps")).persist()
+    val e = f.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val keepFp = e.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxPosting).select(col("fp"))
+    val el = e.join(keepFp, Seq("fp"), "left_semi").persist()
+    val pairs = el.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(el.select(col("fp").as("fp2"), col("doc_id").as("doc_b")),
+        col("fp") === col("fp2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    val nf = f.select(col("doc_id"), size(col("fps")).as("nfp"))
+    pairs
+      .join(nf.select(col("doc_id").as("da"), col("nfp").as("nfa")),
+        col("doc_a") === col("da"))
+      .join(nf.select(col("doc_id").as("db"), col("nfp").as("nfb")),
+        col("doc_b") === col("db"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double")
+          / (col("nfa") + col("nfb") - col("n_shared")).cast("double"))
+          .as("jacc"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** [[winnowOn]]'s selection stage with the raw fingerprint SET still
     * attached — the unit surface the (K,W)-guarantee law tests against
     * (the graded projection ships only count + canonical hash: the
@@ -1001,6 +1038,20 @@ object LlmOps {
     // clamps); no grams ⇒ zero fingerprints, md5 of the empty join.
     "q_llm_winnow" -> ((s, d) => winnowOn(T.documents(s, d))),
 
+    // Winnow-powered near-dup candidates (r12) — the INDEX use of
+    // q_llm_winnow's sketches, closing the loop from fingerprint to
+    // dedup decision (the same role banding plays for MinHash): explode
+    // (doc, fingerprint) postings, drop boilerplate fingerprints
+    // (df > MaxPosting — a hash in 50+ docs is template text, not
+    // duplication; the cap bounds the pair join's fan-out by df², the
+    // inverted-index discipline), equi-join postings into pairs, keep
+    // pairs sharing ≥ MinShared fingerprints, score by fingerprint-set
+    // Jaccard. Scale: shuffle ∝ postings (≈ 2/(W+1) of corpus grams —
+    // the winnow density win), the pair agg map-side combines, the two
+    // set-size join-backs are one-row-per-doc equi-joins; never
+    // all-pairs. Integer counts; jacc is ONE IEEE division, unrounded.
+    "q_llm_winnowdup" -> ((s, d) => winnowDupOn(T.documents(s, d))),
+
     // Deterministic train/val/test split: bucket = md5-derived 32-bit
     // hash of doc_id mod 10 → 80/10/10. Hash-based (not rand()) so the
     // assignment is reproducible across runs, engines, and cluster
@@ -1300,6 +1351,36 @@ object LlmOps {
 
   private val doc = tbl("documents"); private val emb = tbl("embeddings")
 
+  /** The winnow selection chain as oracle CTEs `t → g → h → wn → f`,
+    * f = (doc_id, n_grams, n_wins, fps) — shared by q_llm_winnow and
+    * q_llm_winnowdup so the index query's sketches cannot drift from
+    * the graded sketch query's. */
+  private lazy val winnowFpsSql: String = {
+    val k1 = WinnowK - 1; val w1 = WinnowW - 1
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $doc),
+          g AS (SELECT doc_id,
+              list_filter(list_transform(generate_series(1, len(tk)), i ->
+                CASE WHEN i <= len(tk) - $k1
+                     THEN array_to_string(list_slice(tk, i, i + $k1), ' ')
+                END), x -> x IS NOT NULL) AS grams
+            FROM t),
+          h AS (SELECT doc_id,
+              list_transform(grams, s ->
+                ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+            FROM g),
+          wn AS (SELECT doc_id, h,
+              GREATEST(len(h) - $w1, LEAST(len(h), 1)) AS n_wins
+            FROM h),
+          f AS (SELECT doc_id,
+              CAST(len(h) AS INTEGER) AS n_grams,
+              CAST(n_wins AS INTEGER) AS n_wins,
+              CASE WHEN len(h) >= 1 THEN
+                list_distinct(list_transform(generate_series(1, n_wins),
+                  j -> list_aggregate(list_slice(h, j, j + $w1), 'min')))
+              ELSE [] END AS fps
+            FROM wn)"""
+  }
+
   /** DuckDB twins. Shared fragments kept textually identical across
     * queries so both engines compute the same double op sequence. */
   private def normSql(e: String) =
@@ -1392,35 +1473,33 @@ object LlmOps {
     // stage; K/W appear as the inclusive-slice arithmetic (i..i+K−1,
     // j..j+W−1); generate_series(1, 0) is EMPTY in DuckDB (no Spark
     // descending trap to guard on this side).
-    "q_llm_winnow" -> {
-      val k1 = WinnowK - 1; val w1 = WinnowW - 1
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $doc),
-          g AS (SELECT doc_id,
-              list_filter(list_transform(generate_series(1, len(tk)), i ->
-                CASE WHEN i <= len(tk) - $k1
-                     THEN array_to_string(list_slice(tk, i, i + $k1), ' ')
-                END), x -> x IS NOT NULL) AS grams
-            FROM t),
-          h AS (SELECT doc_id,
-              list_transform(grams, s ->
-                ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
-            FROM g),
-          wn AS (SELECT doc_id, h,
-              GREATEST(len(h) - $w1, LEAST(len(h), 1)) AS n_wins
-            FROM h),
-          f AS (SELECT doc_id,
-              CAST(len(h) AS INTEGER) AS n_grams,
-              CAST(n_wins AS INTEGER) AS n_wins,
-              CASE WHEN len(h) >= 1 THEN
-                list_distinct(list_transform(generate_series(1, n_wins),
-                  j -> list_aggregate(list_slice(h, j, j + $w1), 'min')))
-              ELSE [] END AS fps
-            FROM wn)
+    "q_llm_winnow" ->
+      s"""WITH $winnowFpsSql
           SELECT doc_id, n_grams, n_wins,
             CAST(len(fps) AS INTEGER) AS n_fp,
             md5(array_to_string(list_sort(fps), ',')) AS fp_md5
-          FROM f ORDER BY doc_id"""
-    },
+          FROM f ORDER BY doc_id""",
+    // The SAME generated winnow chain feeding the posting-list index;
+    // cap, pair join, and join-backs mirror the Spark stages.
+    "q_llm_winnowdup" ->
+      s"""WITH $winnowFpsSql,
+          e AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
+          keepfp AS (SELECT fp FROM e GROUP BY fp
+                     HAVING COUNT(*) <= $WinnowMaxPosting),
+          el AS (SELECT e.doc_id, e.fp FROM e
+                 WHERE e.fp IN (SELECT fp FROM keepfp)),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  COUNT(*) AS n_shared
+                FROM el a JOIN el b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared),
+          nf AS (SELECT doc_id, CAST(len(fps) AS INTEGER) AS nfp FROM f)
+          SELECT p.doc_a, p.doc_b, p.n_shared,
+            CAST(p.n_shared AS DOUBLE)
+              / CAST(na.nfp + nb.nfp - p.n_shared AS DOUBLE) AS jacc
+          FROM p JOIN nf na ON p.doc_a = na.doc_id
+            JOIN nf nb ON p.doc_b = nb.doc_id
+          ORDER BY p.doc_a, p.doc_b""",
     // Same pairs CTE + wedge join as q_llm_tri; per-node counts via the
     // 3-corner UNION ALL, degrees over the symmetrized pair list.
     "q_llm_clustco" ->

@@ -691,4 +691,28 @@ class LlmOpsSuite extends SparkSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_fp")).toMap
     assert(out === fps.view.mapValues(_._2.size).toMap)
   }
+
+  test("winnowdup: true duplicates pair up; boilerplate shared by > MaxPosting docs cannot create pairs") {
+    import spark.implicits._
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val longText = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // 55 docs = the shared 8-token boilerplate run + ONE unique token:
+    // 2 windows each, window 1's min is always a shared run gram
+    // (df = 55 > cap → dropped), window 2 contributes at most one more
+    // shared fp — so boiler docs can share at most ONE kept fp, under
+    // the MinShared=2 floor. Plus 2 true near-duplicates.
+    val docs = ((1L to 55L).map(i => (i, s"$boiler unique$i")) ++
+      Seq((100L, longText), (101L, longText + " tail")))
+      .toDF("doc_id", "text")
+    val pairs = queries.LlmOps.winnowDupOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jacc")).toMap
+    assert(pairs.contains((100L, 101L)), "true dup pair missing")
+    assert(pairs((100L, 101L)) > 0.5)
+    // the boilerplate fingerprint's posting list (55 > 50) is dropped,
+    // and the unique tails share nothing — no boilerplate-only pairs
+    assert(pairs.keySet.forall { case (a, b) => a == 100L && b == 101L },
+      s"boilerplate leaked pairs: ${pairs.keySet}")
+    spark.catalog.clearCache()
+  }
 }
