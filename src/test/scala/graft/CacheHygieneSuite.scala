@@ -26,7 +26,9 @@ class CacheHygieneSuite extends SparkSuite {
       "q_llm_ivf", "q_text_tfidf", "q_text_hhwords", "q_llm_contain",
       "q_session_funnel", "q_event_wau", "q_event_cooccur",
       "q_graph_pagerank", "q_llm_dsir", "q_text_colloc",
-      "q_event_fillforward")
+      "q_event_fillforward",
+      // r12 third wave persist users
+      "q_llm_clustco", "q_event_rfm", "q_event_anomaly", "q_llm_winnowdup")
     persistUsers.foreach { name =>
       spark.catalog.clearCache() // clean slate regardless of suite order
       // EARLIER suites may have left locally-checkpointed RDDs that only

@@ -52,7 +52,7 @@ class PlanAssertionsSuite extends SparkSuite {
       case _ => false
     }
     // global aggregates produce exactly one row — order vacuous
-    val singleRow = Set("q_agg_global", "q_text_chisq")
+    val singleRow = Set("q_agg_global", "q_text_chisq", "q_event_abtest")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !singleRow(name) =>
         if (ordered(fn(spark, sf).queryExecution.analyzed)) None else Some(name)
@@ -732,6 +732,54 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(plan.contains("Generate"), s"expected the stride-sequence generator:\n$plan")
     assert(!plan.toLowerCase.contains("join") && !plan.contains("WindowExec"),
       s"framesample grew a join/window:\n$plan")
+  }
+
+  test("r12 stats aggregates (moments, regr2, gini): no join, no cartesian; gini's one window reads the distinct-value collapse") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (name <- Seq("q_agg_moments", "q_agg_regr2")) {
+      val plan = planString(q(name))
+      assert("HashAggregate".r.findAllIn(plan).length >= 2,
+        s"$name: expected partial+final hash aggregate:\n$plan")
+      assert(!plan.toLowerCase.contains("join") && !plan.contains("WindowExec"),
+        s"$name grew a join/window:\n$plan")
+    }
+    val gini = q("q_agg_gini")
+    assert(!planString(gini).toLowerCase.contains("join"))
+    val wins = gini.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size === 1 && wins.head.partitionSpec.nonEmpty)
+    assert(wins.head.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+      "gini's cumulative window reads un-collapsed rows")
+  }
+
+  test("q_event_rfm: percentile cuts broadcast back; no cartesian of corpus-sized sides") {
+    val phys = planString(q("q_event_rfm"))
+    assert(!phys.contains("CartesianProduct"), s"rfm cartesian:\n$phys")
+    // the 4 one-row broadcasts: gday + 3 cut tables (BroadcastNestedLoop
+    // for the one-row cross joins is the intended plan)
+    assert("BroadcastExchange".r.findAllIn(phys).length >= 4,
+      s"rfm cut tables not broadcast:\n$phys")
+  }
+
+  test("q_llm_winnowdup: posting pair join and set-size join-backs are equi joins, never cartesian") {
+    val phys = planString(q("q_llm_winnowdup"))
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoop"),
+      s"winnowdup degenerated into a non-equi join:\n$phys")
+  }
+
+  test("q_graph_kcore: returned plan is one degree agg over the checkpointed peel result (rounds ran eagerly)") {
+    // like ConnectedComponents, each peel round localCheckpoints eagerly
+    // — the semi-join shape lives inside the rounds (exercised by
+    // KCoreSuite's cascade semantics); the RETURNED plan must be just
+    // partial+final count over the checkpoint scan, nothing wider
+    val phys = planString(q("q_graph_kcore"))
+    assert(!phys.contains("CartesianProduct"), s"kcore cartesian:\n$phys")
+    assert("HashAggregate".r.findAllIn(phys).length >= 2,
+      s"kcore final degree agg missing:\n$phys")
+    assert(phys.contains("Scan ExistingRDD") || phys.contains("LocalTableScan"),
+      s"kcore final plan does not read the checkpointed edges:\n$phys")
+    assert(!phys.toLowerCase.contains("join"),
+      s"kcore returned an un-truncated iteration plan:\n$phys")
   }
 
   test("q_llm_budget: the global (unpartitioned) cumsum window runs over the BUCKET aggregate, never the corpus") {
