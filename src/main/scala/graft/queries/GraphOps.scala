@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Det, Tables => T}
 
 /** Graph analytics over relations derived from the corpus tables —
@@ -28,6 +29,14 @@ object GraphOps {
   private[graft] val CoreMinPair = 2
   private[graft] val CoreK = 3
   private[graft] val CoreRounds = 4
+
+  /** q_graph_cosim: hub cap on part degree (a part supplied by > cap
+    * suppliers is a commodity — it says nothing about supplier
+    * similarity and fans the pair join out by degree²; dropping it is
+    * the posting-cap discipline) and the minimum shared-part count. */
+  private[graft] val CosimMaxDeg = 50
+  private[graft] val CosimMinCommon = 2
+  private[graft] val CosimTopK = 5
 
   /** The graded co-purchase edge list: distinct (part,supplier) pairs
     * computed ONCE, both directed orientations derived from that one
@@ -119,6 +128,61 @@ object GraphOps {
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("deg"))),
+
+    // Bipartite projection similarity (r12) — "related items": supplier
+    // pairs scored by the Jaccard of their PART SETS, the co-occurrence
+    // recommender primitive ("suppliers who stock what you stock") and
+    // the set-based sibling of q_graph_pagerank's link analysis over
+    // the SAME co-purchase bipartite graph — shipped in the TOP-K form
+    // a recommender actually serves (k most-similar per supplier, both
+    // directions), so output is ∝ suppliers × k even when the graph is
+    // dense enough that every pair clears the floor (the graded corpus
+    // is; the all-pairs list would be C(n,2) ≈ 500k rows at sf0.1).
+    // Candidates come from an equi-join through the shared part (never
+    // supplier × supplier): shuffle ∝ Σ deg(part)² with the hub cap
+    // bounding the quadratic term (a commodity part supplied by > cap
+    // suppliers carries no similarity signal — the winnowdup posting
+    // discipline; set sizes stay TRUE sizes, so the cap only thins
+    // candidates, never inflates jacc). Pair agg map-side combines;
+    // two one-row-per-supplier size join-backs; jacc = ONE IEEE
+    // division of exact ints; the rank filter plans as WindowGroupLimit
+    // (per-partition k-heaps — no supplier's candidate list fully
+    // sorts); rank ties are total via (jacc desc, nbr asc).
+    "q_graph_cosim" -> ((s, d) => {
+      val ps = T.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+        .distinct().persist() // 3 consumers; caller clearCache
+      val keep = ps.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+        .filter(col("pd") <= CosimMaxDeg).select(col("p"))
+      val el = ps.join(keep, Seq("p"), "left_semi")
+      val sz = ps.groupBy(col("sp")).agg(count(lit(1)).as("nparts"))
+      val pairs = el.select(col("p"), col("sp").as("sa"))
+        .join(el.select(col("p").as("p2"), col("sp").as("sb")),
+          col("p") === col("p2") && col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= CosimMinCommon)
+      val scored = pairs
+        .join(sz.select(col("sp").as("qa"), col("nparts").as("na")),
+          col("sa") === col("qa"))
+        .join(sz.select(col("sp").as("qb"), col("nparts").as("nb")),
+          col("sb") === col("qb"))
+        .select(col("sa"), col("sb"), col("n_common"),
+          (col("n_common").cast("double")
+            / (col("na") + col("nb") - col("n_common")).cast("double"))
+            .as("jacc"))
+      // both directions, then k best neighbors per supplier
+      val sym = scored.select(col("sa").as("supp"), col("sb").as("nbr"),
+          col("n_common"), col("jacc"))
+        .union(scored.select(col("sb"), col("sa"),
+          col("n_common"), col("jacc")))
+      val w = Window.partitionBy(col("supp"))
+        .orderBy(col("jacc").desc, col("nbr").asc)
+      sym.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= CosimTopK)
+        .select(col("supp"), col("rk"), col("nbr"), col("n_common"),
+          col("jacc"))
+        .orderBy(col("supp"), col("rk"))
+    }),
 
     // k-core peel (r12): the dense REPEAT-co-purchase core — nodes
     // whose every surviving neighbor also has ≥ CoreK repeat partners
@@ -224,6 +288,35 @@ object GraphOps {
           degs AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
           SELECT deg, COUNT(*) AS n_nodes FROM degs
           GROUP BY deg ORDER BY deg""",
+    // Mirrors the Spark stages: distinct pair set → hub-capped part
+    // list → through-part equi-join → TRUE set-size join-backs.
+    "q_graph_cosim" ->
+      s"""WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM $li),
+          keep AS (SELECT p FROM ps GROUP BY p
+                   HAVING COUNT(*) <= $CosimMaxDeg),
+          el AS (SELECT ps.p, ps.sp FROM ps
+                 WHERE ps.p IN (SELECT p FROM keep)),
+          sz AS (SELECT sp, COUNT(*) AS nparts FROM ps GROUP BY sp),
+          pairs AS (
+            SELECT a.sp AS sa, b.sp AS sb, COUNT(*) AS n_common
+            FROM el a JOIN el b ON a.p = b.p AND a.sp < b.sp
+            GROUP BY 1, 2 HAVING COUNT(*) >= $CosimMinCommon),
+          scored AS (
+            SELECT p.sa, p.sb, p.n_common,
+              CAST(p.n_common AS DOUBLE)
+                / CAST(za.nparts + zb.nparts - p.n_common AS DOUBLE) AS jacc
+            FROM pairs p JOIN sz za ON p.sa = za.sp
+              JOIN sz zb ON p.sb = zb.sp),
+          sym AS (
+            SELECT sa AS supp, sb AS nbr, n_common, jacc FROM scored
+            UNION ALL
+            SELECT sb, sa, n_common, jacc FROM scored)
+          SELECT supp, CAST(rk AS INTEGER) AS rk, nbr, n_common, jacc
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY supp
+                  ORDER BY jacc DESC, nbr ASC) AS rk
+                FROM sym) z
+          WHERE rk <= $CosimTopK ORDER BY supp, rk""",
     // Unrolled peel rounds (CoreRounds is a fixed small constant, the
     // PageRank-iter precedent); the pairs CTE carries the count
     // threshold in its HAVING, orientations UNION ALL (parity-disjoint,

@@ -834,6 +834,33 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonicalized dedup (r12) — the normalization layer between exact
+    // dedup (byte-identical only) and near-dup (Jaccard): documents are
+    // duplicates if they match after lowercasing, punctuation→space,
+    // and whitespace collapse+trim — the scrape-twin case (same article,
+    // different casing/punctuation/spacing) that q_llm_dedup misses and
+    // q_llm_neardup finds only above its 0.8 threshold. The canonical
+    // form is a FIXED 3-step regex/transform chain, applied in the same
+    // order on both engines (RE2-and-Java-compatible patterns — the
+    // q_text_scrub contract); clustering is the q_llm_dedup shape:
+    // hash agg + join-back (shuffle ∝ distinct canon hashes; a viral
+    // canon cluster combines map-side — never a window over the hash).
+    // is_exact distinguishes byte-dups from canon-only dups per row.
+    "q_llm_canondedup" -> ((s, d) => {
+      val canon = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), md5(canon).as("ch"), md5(col("text")).as("eh"))
+      val clusters = docs.groupBy(col("ch"))
+        .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper"),
+          countDistinct(col("eh")).as("n_exact_forms"))
+      docs.join(clusters, "ch")
+        .select(col("doc_id"), col("ch"), col("cluster_size"),
+          col("keeper"), col("n_exact_forms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact-substring duplication audit — the ExactSubstr criterion of
     // "Deduplicating Training Data Makes Language Models Better"
     // (Lee et al. 2021, arXiv:2107.06499): a K-token contiguous window
@@ -1400,6 +1427,23 @@ object LlmOps {
       .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // Same 3-step canon chain, single-quoted literals → identical RE2;
+    // lower/trim/md5 are byte-identical on the ASCII corpus.
+    "q_llm_canondedup" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+              md5(trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g'))) AS ch,
+              md5(text) AS eh
+            FROM $doc),
+          cl AS (
+            SELECT ch, COUNT(*) AS cluster_size, MIN(doc_id) AS keeper,
+              COUNT(DISTINCT eh) AS n_exact_forms
+            FROM d GROUP BY ch)
+          SELECT d.doc_id, d.ch, cl.cluster_size, cl.keeper, cl.n_exact_forms
+          FROM d JOIN cl ON d.ch = cl.ch
+          ORDER BY d.doc_id""",
     "q_llm_dedup" ->
       s"""SELECT doc_id, md5(text) AS h,
             COUNT(*) OVER (PARTITION BY md5(text)) AS cluster_size,

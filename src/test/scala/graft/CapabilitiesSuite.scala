@@ -201,6 +201,30 @@ class CapabilitiesSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_llm_canondedup: case/punctuation/whitespace twins cluster; byte-dups counted inside the canon cluster") {
+    // the graded corpus is already canonical (lowercase, single-space),
+    // so canon clusters == exact clusters there; the planted variants
+    // exercise the actual normalization — run the same builder exprs
+    // via the graded query's canon chain on a planted frame
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "The  Quick Brown FOX"),   // case + double space
+      (3L, "the quick, brown fox!"),  // punctuation
+      (4L, "the quick brown fox"),    // byte-identical to 1
+      (5L, "a different document"))
+      .toDF("doc_id", "text")
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val out = docs
+      .select(col("doc_id"), md5(canon).as("ch"), md5(col("text")).as("eh"))
+    val clusters = out.groupBy(col("ch"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("eh")).as("nef"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toSeq.sorted
+    // one 4-doc canon cluster with 3 distinct byte forms + a singleton
+    assert(clusters === Seq((1L, 1L), (4L, 3L)))
+  }
+
   test("q_agg_gini equals a driver-side exact cents-domain Gini (trapezoid Lorenz replay)") {
     val out = SparkEntry.queries("q_agg_gini")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap

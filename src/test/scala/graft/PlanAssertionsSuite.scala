@@ -782,6 +782,15 @@ class PlanAssertionsSuite extends SparkSuite {
       s"kcore returned an un-truncated iteration plan:\n$phys")
   }
 
+  test("q_graph_cosim: through-part equi join (no cartesian), top-k as WindowGroupLimit") {
+    val phys = planString(q("q_graph_cosim"))
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoop"),
+      s"cosim degenerated into a non-equi join:\n$phys")
+    assert(phys.contains("WindowGroupLimit"),
+      s"cosim top-k lost its per-partition heap:\n$phys")
+  }
+
   test("q_llm_budget: the global (unpartitioned) cumsum window runs over the BUCKET aggregate, never the corpus") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = q("q_llm_budget")
