@@ -443,6 +443,58 @@ object Graft {
         iterations)
     }
 
+  /** Fixed-round k-core peel over any undirected edge list (graded
+    * q_graph_kcore's engine, [[graft.operators.KCore]]): nodes
+    * surviving `rounds` cascaded degree-< k peels, with their degree in
+    * the peeled subgraph. The input lists each undirected edge ONCE in
+    * either orientation; symmetrization happens here. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    graft.operators.KCore.peel(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      k, rounds)
+  }
+
+  /** Winnowing fingerprints over any (id, text) corpus (graded
+    * q_llm_winnow's engine): per doc, gram/window counts plus the
+    * deduped min-per-window fingerprint count and the canonical
+    * sorted-set md5 — the MOSS-family document sketch with the (K,W)
+    * shared-run guarantee. */
+  def winnowFingerprints(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    graft.queries.LlmOps.winnowOn(asCorpus(df, idCol, textCol))
+
+  /** Winnow-indexed near-dup candidate pairs over any (id, text)
+    * corpus (graded q_llm_winnowdup's engine): capped posting lists →
+    * pairs sharing ≥ 2 fingerprints with fingerprint-set Jaccard.
+    * Persists the sketch + posting tables (cache contract above). */
+  def winnowDupPairs(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    graft.queries.LlmOps.winnowDupOn(asCorpus(df, idCol, textCol))
+
+  /** RFM quartile segmentation over any event log (graded
+    * q_event_rfm's engine): per key, recency/frequency/monetary scored
+    * 1–4 against broadcast discrete-percentile cuts. Adapt columns
+    * with [[asEvents]]-style names: needs `user_id`, `ts`, `value`. */
+  def rfm(events: DataFrame): DataFrame =
+    graft.queries.EventOps.rfmOn(events)
+
+  /** Robust daily-volume anomaly flags over any event log (graded
+    * q_event_anomaly's engine): per day, count, median, MAD, robust z,
+    * flagged at z > 3. Needs a `ts` column. */
+  def volumeAnomalies(events: DataFrame): DataFrame =
+    graft.queries.EventOps.anomalyOn(events)
+
+  /** Quality-ordered token-budget selection over any (id, text) corpus
+    * (graded q_llm_budget's engine): kept flag per doc under the
+    * global-cumsum contract, computed bucket-decomposed (no
+    * corpus-sized window). */
+  def budgetSelect(df: DataFrame, idCol: String, textCol: String,
+                   budgetTokens: Long): DataFrame =
+    graft.queries.PipelineOps.budgetSelect(
+      asCorpus(df, idCol, textCol), budgetTokens)
+
   /** Chi-squared independence audit of two categorical columns with
     * Cramér's V (graded q_text_chisq's engine) — the "is my source mix
     * the same in every language" stratification-bias gate. ONE global

@@ -613,6 +613,19 @@ class GraftFacadeSuite extends SparkSuite {
       "topKFrequent" -> (() => Graft.topKFrequent(emptyCorpus, "body", 3, 4)),
       "shuffleOrder" -> (() => Graft.shuffleOrder(emptyCorpus, "item_no", 4)),
       "asCorpus" -> (() => Graft.asCorpus(emptyCorpus, "item_no", "body")),
+      "kCore" -> (() => Graft.kCore(emptyPairs, "a", "b", 2, 3)),
+      "winnowFingerprints" -> (() =>
+        Graft.winnowFingerprints(emptyCorpus, "item_no", "body")),
+      "winnowDupPairs" -> (() =>
+        Graft.winnowDupPairs(emptyCorpus, "item_no", "body")),
+      "rfm" -> (() => Graft.rfm(
+        Seq.empty[(Long, java.sql.Timestamp, Double)]
+          .toDF("user_id", "ts", "value"))),
+      "volumeAnomalies" -> (() => Graft.volumeAnomalies(
+        Seq.empty[(Long, java.sql.Timestamp, Double)]
+          .toDF("user_id", "ts", "value"))),
+      "budgetSelect" -> (() =>
+        Graft.budgetSelect(emptyCorpus, "item_no", "body", 100L)),
       "asEvents" -> (() =>
         Graft.asEvents(emptyEvents, "eid", "when", "acct", "kind", "amt").toDF))
     cases.foreach { case (name, mk) =>
