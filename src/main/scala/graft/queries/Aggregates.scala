@@ -151,6 +151,56 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // §2.4 Mahalanobis outliers (r12) — MULTIVARIATE outlier detection,
+    // the covariance-aware step past q_event_zscore's univariate flag
+    // and q_llm_outlier's embedding distance: per returnflag, the top-3
+    // (qty, price) rows by squared Mahalanobis distance
+    //   d² = n²·(c22·dx² − 2·c12·dx·dy + c11·dy²) ∕ (c11·c22 − c12²)
+    // using the SAME exact centered sums as q_agg_regr2 (a correlated
+    // pair can be individually unremarkable yet jointly impossible —
+    // the case per-column z-scores cannot see). Scale: one distributive
+    // agg to |groups| stat rows → BROADCAST join-back → pure map d² per
+    // row (pinned IEEE chain off exact sums) → top-3 per group as
+    // WindowGroupLimit (per-partition heaps — never a full sort);
+    // ranking on the UNROUNDED d² (identical doubles both engines),
+    // ties total via (orderkey, linenumber); 6dp at output only.
+    // Degenerate covariance (det = 0) → NULL d², sinks below every
+    // real distance (desc ⇒ NULLS LAST on both engines).
+    "q_agg_mahal" -> ((s, d) => {
+      val DT = org.apache.spark.sql.types.DecimalType
+      val x = col("l_quantity").cast(DT(9, 2))
+      val y = col("l_extendedprice").cast(DT(12, 2))
+      val g = T.lineitem(s, d).groupBy(col("l_returnflag").as("rf")).agg(
+        count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = dbl("n")
+      val stats = g.select(col("rf"), nD.as("nd"),
+        dbl("sx").as("sx"), dbl("sy").as("sy"),
+        (nD * dbl("sxx") - dbl("sx") * dbl("sx")).as("c11"),
+        (nD * dbl("syy") - dbl("sy") * dbl("sy")).as("c22"),
+        (nD * dbl("sxy") - dbl("sx") * dbl("sy")).as("c12"))
+      val dx = col("l_quantity") - col("sx") / col("nd")
+      val dy = col("l_extendedprice") - col("sy") / col("nd")
+      val det = col("c11") * col("c22") - col("c12") * col("c12")
+      val d2 = (col("c22") * dx * dx - lit(2.0) * col("c12") * dx * dy
+        + col("c11") * dy * dy) * col("nd") * col("nd") / det
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("d2").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      T.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(stats), col("l_returnflag") === col("rf"))
+        .withColumn("d2", when(det =!= 0.0, d2))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          round(col("d2"), 6).as("mahal_d2"))
+        .orderBy(col("l_returnflag"), col("rk"))
+    }),
+
     // §2.4 ordered string aggregation (LISTAGG surface). collect_set's
     // arrival order is nondeterministic — array_sort canonicalizes
     // before the join, so the result is layout-independent; the oracle's
@@ -925,6 +975,52 @@ object Aggregates {
                   * CAST(o_totalprice AS DECIMAL(12,2))) AS sxx
             FROM $ords GROUP BY o_orderstatus) m
           ORDER BY o_orderstatus""",
+    // Same staged shape as regr2: sums CTE → doubles/centered CTE →
+    // per-row d² → ranked top 3; rank on the UNROUNDED d².
+    "q_agg_mahal" ->
+      s"""WITH m AS (
+            SELECT l_returnflag AS rf, COUNT(*) AS n,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sx,
+              SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))) AS sxx,
+              SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+            FROM $li GROUP BY 1),
+          st AS (
+            SELECT rf, CAST(n AS DOUBLE) AS nd,
+              CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+              CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS c11,
+              CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS c22,
+              CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS c12
+            FROM m),
+          r AS (
+            SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+              l.l_quantity, l.l_extendedprice,
+              CASE WHEN st.c11 * st.c22 - st.c12 * st.c12 <> 0 THEN
+                (st.c22 * (l.l_quantity - st.sx / st.nd)
+                    * (l.l_quantity - st.sx / st.nd)
+                 - CAST(2 AS DOUBLE) * st.c12
+                    * (l.l_quantity - st.sx / st.nd)
+                    * (l.l_extendedprice - st.sy / st.nd)
+                 + st.c11 * (l.l_extendedprice - st.sy / st.nd)
+                    * (l.l_extendedprice - st.sy / st.nd))
+                * st.nd * st.nd
+                / (st.c11 * st.c22 - st.c12 * st.c12)
+              END AS d2
+            FROM $li l JOIN st ON l.l_returnflag = st.rf)
+          SELECT l_returnflag, CAST(rk AS INTEGER) AS rk, l_orderkey,
+            l_linenumber, l_quantity, l_extendedprice,
+            round(d2, 6) AS mahal_d2
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                  ORDER BY d2 DESC, l_orderkey ASC, l_linenumber ASC) AS rk
+                FROM r) z
+          WHERE rk <= 3 ORDER BY l_returnflag, rk""",
     // Same cents-domain HUGEINT chain as the Spark side: one ordered
     // cumulative per group over the distinct-value collapse, exact
     // integer terms, one division at the end.

@@ -201,6 +201,35 @@ class CapabilitiesSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_agg_mahal: top-3 per group, d2 positive-descending, and the covariance term steers a planted pair") {
+    val out = SparkEntry.queries("q_agg_mahal")(spark, sf).collect()
+    val byFlag = out.groupBy(_.getString(0))
+    assert(byFlag.keySet.size === 3)
+    byFlag.foreach { case (flag, rows) =>
+      assert(rows.length === 3, s"$flag: expected top-3")
+      val d2s = rows.sortBy(_.getInt(1)).map(_.getDouble(6))
+      assert(d2s.forall(_ > 0) && d2s.sameElements(d2s.sorted.reverse),
+        s"$flag: d2 not descending: ${d2s.toSeq}")
+    }
+    // the covariance term is live: on a planted correlated cloud, the
+    // against-the-grain point (unremarkable marginals) must outrank an
+    // along-the-diagonal extreme — the case per-column z cannot see
+    def d2Of(rows: Seq[(Double, Double)], pt: (Double, Double)): Double = {
+      val n = rows.length.toDouble
+      val (sx, sy) = (rows.map(_._1).sum, rows.map(_._2).sum)
+      val c11 = n * rows.map(t => t._1 * t._1).sum - sx * sx
+      val c22 = n * rows.map(t => t._2 * t._2).sum - sy * sy
+      val c12 = n * rows.map(t => t._1 * t._2).sum - sx * sy
+      val (dx, dy) = (pt._1 - sx / n, pt._2 - sy / n)
+      (c22 * dx * dx - 2 * c12 * dx * dy + c11 * dy * dy) * n * n /
+        (c11 * c22 - c12 * c12)
+    }
+    val diag = (1 to 20).map(i => (i.toDouble, i.toDouble))
+    val cloud = diag ++ Seq((5.0, 16.0), (21.0, 21.0))
+    assert(d2Of(cloud, (5.0, 16.0)) > d2Of(cloud, (21.0, 21.0)),
+      "covariance term lost: anti-diagonal point should dominate")
+  }
+
   test("q_llm_canondedup: case/punctuation/whitespace twins cluster; byte-dups counted inside the canon cluster") {
     // the graded corpus is already canonical (lowercase, single-space),
     // so canon clusters == exact clusters there; the planted variants
