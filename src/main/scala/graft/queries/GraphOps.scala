@@ -154,7 +154,9 @@ object GraphOps {
         .distinct().persist() // 3 consumers; caller clearCache
       val keep = ps.groupBy(col("p")).agg(count(lit(1)).as("pd"))
         .filter(col("pd") <= CosimMaxDeg).select(col("p"))
-      val el = ps.join(keep, Seq("p"), "left_semi")
+      // persisted: BOTH self-join sides read it (without this the
+      // degree agg + semi join evaluate twice — measured ~1s at sf0.1)
+      val el = ps.join(keep, Seq("p"), "left_semi").persist()
       val sz = ps.groupBy(col("sp")).agg(count(lit(1)).as("nparts"))
       val pairs = el.select(col("p"), col("sp").as("sa"))
         .join(el.select(col("p").as("p2"), col("sp").as("sb")),
