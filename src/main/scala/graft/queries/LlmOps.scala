@@ -714,6 +714,24 @@ object LlmOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** (doc_id, fp) posting rows from the winnow sketch — the pure
+    * per-row (STATELESS, hence streamable) half of the winnow index. */
+  private[graft] def winnowPostings(docs: DataFrame): DataFrame =
+    winnowFps(docs).select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** The standing winnow posting INDEX over a corpus: postings with the
+    * boilerplate cap applied (fp df ≤ [[WinnowMaxPosting]] — the
+    * q_llm_winnowdup discipline). Built batch-side; the streaming
+    * ingest probe ([[graft.streaming.StreamOps.winnowIngestProbe]])
+    * stream-static joins arriving docs' postings against it. */
+  def winnowPostingIndex(docs: DataFrame): DataFrame = {
+    val e = winnowPostings(docs)
+    e.join(
+      e.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxPosting).select(col("fp")),
+      Seq("fp"), "left_semi")
+  }
+
   /** [[winnowOn]]'s selection stage with the raw fingerprint SET still
     * attached — the unit surface the (K,W)-guarantee law tests against
     * (the graded projection ships only count + canonical hash: the

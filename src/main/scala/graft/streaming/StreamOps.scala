@@ -593,6 +593,26 @@ object StreamOps {
         col("band") === col("cband") && col("bkey") === col("cbkey"))
       .select(col("doc_id"), col("corpus_doc"), col("band"))
 
+  /** Streaming winnow-ingest probe (r12) — [[neardupIngestProbe]]'s
+    * sibling on the winnow index (q_llm_winnowdup's scheme instead of
+    * MinHash banding): arriving docs sketch to winnow fingerprints
+    * (pure per-row map — STATELESS, no watermark, no state store) and
+    * stream-static join against the standing capped posting index
+    * ([[graft.queries.LlmOps.winnowPostingIndex]]). Emits one row per
+    * (new doc, corpus doc, shared fp) — deliberately ungrouped, the
+    * minhash-probe contract: the ≥ MinShared decision and any cluster
+    * fold compose downstream (foreachBatch / [[ccIncrementalFold]]),
+    * keeping THIS stage stateless at any corpus size. Index semantics:
+    * fingerprint dfs are the CORPUS's (a standing index does not
+    * re-count on probe) — same documented asymmetry as the minhash
+    * ingest path. */
+  def winnowIngestProbe(newDocs: DataFrame, corpusIndex: DataFrame): DataFrame =
+    graft.queries.LlmOps.winnowPostings(newDocs)
+      .join(corpusIndex.select(col("doc_id").as("corpus_doc"),
+          col("fp").as("cfp")),
+        col("fp") === col("cfp"))
+      .select(col("doc_id"), col("corpus_doc"), col("fp"))
+
   /** Incremental near-dup CLUSTER maintenance, the fold (r12) — the
     * missing decision step between [[neardupIngestProbe]] (candidate
     * pairs per micro-batch) and the batch cluster assignment (q_llm_cc):

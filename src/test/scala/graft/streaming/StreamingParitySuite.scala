@@ -1386,6 +1386,50 @@ class StreamingParitySuite extends SparkSuite {
     assert(streamed.sorted.toSeq === batch.sorted.toSeq)
   }
 
+  test("streaming winnow ingest: fingerprint probe == batch probe; shared-run doc nominates, unrelated and boilerplate-capped do not") {
+    // winnow sibling of the LSH band probe: arriving docs sketch
+    // stateless and stream-static join the capped posting index
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = ((1L to 55L).map(i => (i, s"$run unique$i")) ++ Seq(
+      (200L, "one two three four five six seven eight nine ten eleven"),
+      (201L, "completely separate corpus content with other tokens here")))
+      .toDF("doc_id", "text")
+    val index = graft.queries.LlmOps.winnowPostingIndex(corpus)
+    val newDocs = Seq(
+      // shares an 11-token run with 200 → guaranteed shared fingerprint
+      (300L, "one two three four five six seven eight nine ten eleven plus tail"),
+      (301L, "wholly novel text matching nothing in the standing corpus"),
+      // the 55-doc boilerplate run: its fingerprint df = 55 > cap →
+      // dropped from the index → must NOT nominate 55 candidates
+      (302L, s"$run freshtoken"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val probed = graft.streaming.StreamOps.winnowIngestProbe(
+      ms.toDF().toDF("doc_id", "text"), index)
+    val q = probed.writeStream.format("memory").queryName("winnow_ingest")
+      .outputMode("append").start()
+    try {
+      ms.addData(newDocs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("winnow_ingest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nominated = streamed.map(t => (t._1, t._2)).distinct.toSet
+    assert(nominated.contains((300L, 200L)), "shared-run candidate missing")
+    assert(!nominated.exists(_._1 == 301L), "novel doc nominated")
+    // 302's run-fingerprint was capped out of the index; its unique
+    // window-2 fp may survive in ≤ cap corpus docs, but the full 55-way
+    // boilerplate fan-out must not happen
+    assert(nominated.count(_._1 == 302L) <= graft.queries.LlmOps.WinnowMaxPosting,
+      s"boilerplate fanned out: ${nominated.count(_._1 == 302L)}")
+    // batch evaluation of the SAME call is identical row-for-row
+    val batch = graft.streaming.StreamOps.winnowIngestProbe(
+      newDocs.toDF("doc_id", "text"), index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.sorted.toSeq === batch.sorted.toSeq)
+    assert(streamed.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("streaming incremental CC: per-batch pair folds == batch ConnectedComponents == graded q_llm_cc labels") {
     // The pair→cluster decision, maintained incrementally (r12): the
     // graded near-dup pair graph arrives in 3 micro-batches; after each
