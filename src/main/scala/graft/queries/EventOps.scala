@@ -508,6 +508,35 @@ object EventOps {
     // explode k = 0..6, re-distinct (user, rday) — a user active twice
     // inside one window still counts once — and hash-count per rday.
     // Day arithmetic is integer µs (exact; the retention7 precedent).
+    // Cohort LTV (r12) — the VALUE composition of q_event_retention7:
+    // per day-cohort and age k ≤ 7, the active-user count, the exact
+    // decimal value contributed at that age, and the running
+    // (cumulative) value — "how much is a day's cohort worth by day k",
+    // the revenue twin of the retention triangle. Scale: the cohort
+    // derivation and join are user-keyed (the retention shape — shuffle
+    // ∝ users then ∝ events once); the (cohort, k) collapse map-side
+    // combines to a calendar-sized table; the cumulative window runs
+    // over ≤ 8 rows per cohort (provably bounded) and sums in the EXACT
+    // decimal domain (order-free) — both engines round once at the end.
+    "q_event_ltv" -> ((s, d) => {
+      val e = T.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("dd"), col("value"))
+      val cohorts = e.groupBy(col("user_id")).agg(min(col("dd")).as("cd"))
+      val g = e.join(cohorts, Seq("user_id"))
+        .withColumn("k", col("dd") - col("cd"))
+        .filter(col("k") <= 7)
+        .groupBy(timestamp_micros(col("cd") * lit(86400000000L)).as("cohort"),
+          col("k"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(Det.Dec)).as("sv"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("k").asc)
+      g.select(col("cohort"), col("k"), col("n_users"),
+          round(col("sv"), 4).cast("double").as("val_k"),
+          round(sum(col("sv")).over(w), 4).cast("double").as("cum_val"))
+        .orderBy(col("cohort"), col("k"))
+    }),
+
     // Daily-volume anomaly detection (r12) — robust spike/drop flagging
     // on the event-count time series: per day, |n − median| ∕ MAD > 3
     // flags the day (the outlier rule that survives the outliers
@@ -992,6 +1021,26 @@ object EventOps {
          |      AS INTEGER)
          |  END AS significant
          |FROM d""".stripMargin,
+    // Same user-keyed cohort shape as retention7; decimal sums cum'd
+    // in-window, ONE round + cast at the end on both engines.
+    "q_event_ltv" ->
+      s"""WITH e AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS dd, value
+            FROM $evt WHERE ts IS NOT NULL),
+          c AS (SELECT user_id, MIN(dd) AS cd FROM e GROUP BY 1),
+          j AS (
+            SELECT e.user_id, e.dd - c.cd AS k, c.cd, e.value
+            FROM e JOIN c USING (user_id) WHERE e.dd - c.cd <= 7),
+          g AS (
+            SELECT make_timestamp(cd * 86400000000) AS cohort, k,
+              COUNT(DISTINCT user_id) AS n_users,
+              SUM(CAST(value AS DECIMAL(18,4))) AS sv
+            FROM j GROUP BY 1, 2)
+          SELECT cohort, k, n_users,
+            CAST(ROUND(sv, 4) AS DOUBLE) AS val_k,
+            CAST(ROUND(SUM(sv) OVER (PARTITION BY cohort ORDER BY k), 4)
+                 AS DOUBLE) AS cum_val
+          FROM g ORDER BY cohort, k""",
     // The GENERATED cont-median chain (Aggregates.pctContCtes — the
     // q_agg_mad oracle pattern, with a literal `g` group column since
     // the domain is global) run twice over the days collapse; twin
