@@ -275,6 +275,27 @@ object ScaleRehearsal {
             col("id").as("src"), pmod(col("id"), lit(n / 10L)).as("dst")),
           3))
       }
+      // Winnow dedup family (r12): same planted-near-copy corpus as the
+      // Jaccard probes (even/odd docs share 12 of 13 4-grams — multiple
+      // guaranteed shared fingerprints, truth ≈ n/2 pairs). Claim under
+      // test: postings ≈ 2/(W+1) of grams (the sketch density) and the
+      // capped posting self-join stays ∝ Σ df² — never corpus².
+      if (want("winnowdup")) time("winnowdup", n) {
+        Graft.winnowDupPairs(synthDocs(n), "doc_id", "text").count()
+      }
+      // Bipartite projection (r12): n edges, part degree fixed at 25
+      // (under the 50 cap — nothing drops, the honest worst case), so
+      // wedges = Σ deg² = 25·n exactly; suppliers fixed at 1000 → the
+      // pair agg collapses 25n wedges into ≤ C(1000,2) candidates and
+      // top-5 bounds the output. Claim: secs ∝ wedges (linear in n at
+      // fixed degree), shuffle ∝ wedges + candidate table.
+      if (want("cosim")) time("cosim", n) {
+        graft.queries.GraphOps.cosimOn(
+          spark.range(n).select(
+            expr("id div 25").as("p"),
+            pmod(col("id"), lit(1000L)).as("sp"))
+          .distinct()).count()
+      }
       // the buildPartitions knob: the sketch build ships one full-size
       // partial buffer per map partition, so coalescing the build to 8
       // should cut the screen's shuffle ~4× (32 → 8 partials) at some
