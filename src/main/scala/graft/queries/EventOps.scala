@@ -508,6 +508,25 @@ object EventOps {
     // explode k = 0..6, re-distinct (user, rday) — a user active twice
     // inside one window still counts once — and hash-count per rday.
     // Day arithmetic is integer µs (exact; the retention7 precedent).
+    // Activity heatmap (r12) — the (day-of-week × hour-of-day) usage
+    // matrix every ops dashboard opens with. Day-of-week is the
+    // ENGINE-NEUTRAL integer epoch-day mod 7 (day 0 ⇔ the 1970-01-01
+    // Thursday column) — never dayofweek()/dow(): engines disagree on
+    // week start and 0- vs 1-basing (the q_agg_bitmask month note's
+    // sharper sibling); hour is exact integer µs on the UTC timeline.
+    // ONE map-side-combining hash agg — shuffle ∝ 7×24 cells; the
+    // distinct-user count is the only per-cell expansion and collapses
+    // in the same aggregate.
+    "q_event_heatmap" -> ((s, d) =>
+      T.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(
+          expr("(unix_micros(ts) div 86400000000) % 7").as("dow7"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("val"))
+        .orderBy(col("dow7"), col("hod"))),
+
     // Cohort LTV (r12) — the VALUE composition of q_event_retention7:
     // per day-cohort and age k ≤ 7, the active-user count, the exact
     // decimal value contributed at that age, and the running
@@ -1021,6 +1040,15 @@ object EventOps {
          |      AS INTEGER)
          |  END AS significant
          |FROM d""".stripMargin,
+    // Engine-neutral integer day/hour math; the dsum twin.
+    "q_event_heatmap" ->
+      s"""SELECT (epoch_us(ts) // 86400000000) % 7 AS dow7,
+            (epoch_us(ts) // 3600000000) % 24 AS hod,
+            COUNT(*) AS n_events,
+            COUNT(DISTINCT user_id) AS n_users,
+            ${Det.sqlSum("value")} AS val
+          FROM $evt WHERE ts IS NOT NULL
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     // Same user-keyed cohort shape as retention7; decimal sums cum'd
     // in-window, ONE round + cast at the end on both engines.
     "q_event_ltv" ->
