@@ -508,6 +508,43 @@ object EventOps {
     // explode k = 0..6, re-distinct (user, rday) — a user active twice
     // inside one window still counts once — and hash-count per rday.
     // Day arithmetic is integer µs (exact; the retention7 precedent).
+    // Time-to-convert (r12) — the LATENCY face of the funnel: per
+    // first-view day cohort, the exact interpolated median and p90 of
+    // (first purchase-at-or-after − first view) in integer µs, over
+    // users who completed the pair (the q_event_funnel at-or-after
+    // ordering semantics). Scale: user-keyed min-aggregations and join
+    // (shuffle ∝ users), then the scale-safe percentile engine over the
+    // CONVERTER latencies (distinct-value collapse + bounded cumulative
+    // window per cohort — never a native heap percentile); latencies
+    // are exact integers and the interpolation is the engine's pinned
+    // IEEE chain, shipped UNROUNDED: at µs magnitudes (~4e11) a 6dp
+    // round is the hazard, not the cure — DuckDB's float-domain
+    // round() multiplies by 1e6 past 2⁵³ and comes back a ulp off the
+    // exact-decimal HALF_UP (observed at sf0.01/sf0.1 before this;
+    // §7.4.7's rule generalized: rounding is only safe when
+    // magnitude·10ⁿ stays exactly representable).
+    "q_event_convtime" -> ((s, d) => {
+      import graft.operators.Percentiles
+      val e = T.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .filter(col("us") >= col("tv"))
+        .groupBy(col("user_id"), col("tv")).agg(min(col("us")).as("tp"))
+      val lat = p.select(
+        timestamp_micros(expr("tv div 86400000000 * 86400000000"))
+          .as("cohort"),
+        (col("tp") - col("tv")).as("lat_us"))
+      Percentiles.cont(lat, Seq("cohort"), "lat_us",
+          Seq(0.5 -> "med", 0.9 -> "p90"))
+        .select(col("cohort"), col("med").as("median_us"),
+          col("p90").as("p90_us"), col("n"))
+        .orderBy(col("cohort"))
+    }),
+
     // Activity heatmap (r12) — the (day-of-week × hour-of-day) usage
     // matrix every ops dashboard opens with. Day-of-week is the
     // ENGINE-NEUTRAL integer epoch-day mod 7 (day 0 ⇔ the 1970-01-01
@@ -1040,6 +1077,31 @@ object EventOps {
          |      AS INTEGER)
          |  END AS significant
          |FROM d""".stripMargin,
+    // The funnel min-pair derivation + the GENERATED cont chain
+    // (Aggregates.pctContCtes — the q_agg_pctile oracle shape) over
+    // converter latencies, cohort-grouped.
+    "q_event_convtime" -> {
+      import Aggregates.{pctContCtes, pctContVal}
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us
+         |  FROM $evt WHERE ts IS NOT NULL),
+         |v AS (SELECT user_id, MIN(us) AS tv FROM e
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |pp AS (
+         |  SELECT e.user_id, v.tv, MIN(e.us) AS tp
+         |  FROM e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.us >= v.tv
+         |  GROUP BY 1, 2),
+         |lat AS (
+         |  SELECT make_timestamp(tv // 86400000000 * 86400000000) AS cohort,
+         |    tp - tv AS lat_us
+         |  FROM pp),
+         |${pctContCtes("c1", "lat", "cohort", "lat_us", None, Seq("0.5", "0.9"))}
+         |SELECT cohort,
+         |  ${pctContVal(0)} AS median_us,
+         |  ${pctContVal(1)} AS p90_us, n
+         |FROM c1ag ORDER BY cohort""".stripMargin
+    },
     // Engine-neutral integer day/hour math; the dsum twin.
     "q_event_heatmap" ->
       s"""SELECT (epoch_us(ts) // 86400000000) % 7 AS dow7,
