@@ -508,6 +508,35 @@ object EventOps {
     // explode k = 0..6, re-distinct (user, rday) — a user active twice
     // inside one window still counts once — and hash-count per rday.
     // Day arithmetic is integer µs (exact; the retention7 precedent).
+    // Activity streaks (r12) — gaps-and-islands on the DAY domain (the
+    // session family's calendar-scale sibling, and q_event_fillforward's
+    // analytical complement): per user, total active days, the longest
+    // consecutive-day streak, and the streak containing the user's last
+    // active day (the "current streak" a retention surface shows).
+    // Plan: events collapse to distinct (user, day) FIRST (shuffle ∝
+    // active pairs), ONE user-keyed window builds island ids (dd −
+    // row_number — the classic constant-gap trick, exact integer), then
+    // two stacked map-side-combining aggs (islands, then users).
+    // "Current" is a struct-max on (island max-day, len) — island
+    // max-days are unique per user, so the argmax is total.
+    "q_event_streak" -> ((s, d) => {
+      val days = T.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("dd"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dd").asc)
+      val streaks = days
+        .withColumn("grp", col("dd") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), max(col("dd")).as("gmax"))
+      streaks.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          max(struct(col("gmax"), col("len"))).getField("len")
+            .as("current_streak"))
+        .orderBy(col("user_id"))
+    }),
+
     // Time-to-convert (r12) — the LATENCY face of the funnel: per
     // first-view day cohort, the exact interpolated median and p90 of
     // (first purchase-at-or-after − first view) in integer µs, over
@@ -1077,6 +1106,25 @@ object EventOps {
          |      AS INTEGER)
          |  END AS significant
          |FROM d""".stripMargin,
+    // Same island trick; arg_max(len, gmax) twins the struct-max
+    // (island max-days unique per user ⇒ both argmaxes total).
+    "q_event_streak" ->
+      s"""WITH days AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dd
+            FROM $evt WHERE ts IS NOT NULL),
+          isl AS (
+            SELECT user_id, dd,
+              dd - ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY dd) AS grp
+            FROM days),
+          st AS (
+            SELECT user_id, grp, COUNT(*) AS len, MAX(dd) AS gmax
+            FROM isl GROUP BY 1, 2)
+          SELECT user_id,
+            CAST(SUM(len) AS BIGINT) AS n_active_days,
+            MAX(len) AS longest_streak,
+            arg_max(len, gmax) AS current_streak
+          FROM st GROUP BY 1 ORDER BY user_id""",
     // The funnel min-pair derivation + the GENERATED cont chain
     // (Aggregates.pctContCtes — the q_agg_pctile oracle shape) over
     // converter latencies, cohort-grouped.

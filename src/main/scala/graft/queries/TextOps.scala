@@ -50,6 +50,11 @@ object TextOps {
   private[graft] val CollocMinPair = 5
   private[graft] val CollocTopK = 20
 
+  /** q_text_burst: minimum document frequency (variance over < 5 docs
+    * is noise) and the emitted top-k. */
+  private[graft] val BurstMinDf = 5
+  private[graft] val BurstTopK = 20
+
   /** Scrub patterns — shared with the oracle (same strings, so both
     * engines compile the identical regex). URL first, then email. */
   private[graft] val ScrubUrl = "https?://[^ ]+"
@@ -155,6 +160,36 @@ object TextOps {
         size(array_distinct(toks)).as("n_distinct"))
         .withColumn("ttr", round(col("n_distinct") / col("n_ws"), 6))
         .orderBy(col("doc_id"))),
+
+    // Token burstiness (r12) — per-token variance-to-mean ratio of its
+    // per-document counts over the docs CONTAINING it: VMR ≈ 1 is
+    // Poisson background vocabulary; VMR ≫ 1 is a bursty topical term
+    // that floods the few docs it appears in — the corpus-linguistics
+    // signal separating content words from glue, and (at pipeline
+    // scale) template spam from organic text. Exact integer counts →
+    // DECIMAL(38,0)/HUGEINT power sums (the moments rule) → the pinned
+    // chain (m·s2 − s1²) ∕ (m·s1), 6dp; ties after rounding break by
+    // word. Plan: (word, doc) counts map-side combine (∝ doc-token
+    // pairs), per-word power sums (∝ vocabulary), top-20 as
+    // TakeOrderedAndProject — no vocabulary-sized sort, no window.
+    "q_text_burst" -> ((s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val g = T.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("word"))
+        .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("word")).agg(
+          count(lit(1)).as("df"),
+          sum(col("c").cast(dec38)).as("s1"),
+          sum((col("c") * col("c")).cast(dec38)).as("s2"))
+        .filter(col("df") >= BurstMinDf)
+      def dbl(c: String) = col(c).cast("double")
+      val m = dbl("df")
+      g.select(col("word"), col("df"), col("s1").cast("long").as("total"),
+          round((m * dbl("s2") - dbl("s1") * dbl("s1")) / (m * dbl("s1")),
+            6).as("vmr"))
+        .orderBy(col("vmr").desc, col("word").asc)
+        .limit(BurstTopK)
+    }),
 
     // Lexical diversity via the Simpson repeat probability (r12):
     // P(two tokens drawn without replacement are the same type) =
@@ -468,6 +503,23 @@ object TextOps {
             round(CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
               / CAST(len(string_split(text, ' ')) AS INTEGER), 6) AS ttr
           FROM $doc ORDER BY doc_id""",
+    // HUGEINT power sums over (word, doc) counts; the pinned VMR chain.
+    "q_text_burst" ->
+      s"""WITH tc AS (
+            SELECT word, doc_id, COUNT(*) AS c FROM (
+              SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+              FROM $doc) z
+            GROUP BY 1, 2),
+          g AS (
+            SELECT word, COUNT(*) AS df,
+              SUM(CAST(c AS HUGEINT)) AS s1,
+              SUM(CAST(c * c AS HUGEINT)) AS s2
+            FROM tc GROUP BY 1 HAVING COUNT(*) >= $BurstMinDf)
+          SELECT word, df, CAST(s1 AS BIGINT) AS total,
+            round((CAST(df AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(df AS DOUBLE) * CAST(s1 AS DOUBLE)), 6) AS vmr
+          FROM g ORDER BY vmr DESC, word ASC LIMIT $BurstTopK""",
     // per-type counts by nested lambda capture (outer list_transform's
     // t inside list_filter — DuckDB 1.0 closes over it); counts are
     // exact BIGINTs, one division, NULL for n <= 1 via CASE
