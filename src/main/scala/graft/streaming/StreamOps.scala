@@ -98,6 +98,12 @@ case class MomentsOut(user_id: Long, n: Long, mean_cents: Double,
                       var_cents: Double, skewness: Option[Double],
                       kurtosis: Option[Double])
 
+case class StreakState(lastDay: Long, current: Long, longest: Long,
+                       nActive: Long)
+
+case class StreakOut(user_id: Long, n_active_days: Long,
+                     longest_streak: Long, current_streak: Long)
+
 case class TopkState(sums: Map[Long, Long], n: Long)
 
 case class TopkOut(window_us: Long, rk: Int, user_id: Long, value: Double,
@@ -289,6 +295,43 @@ object StreamOps {
           }
           state.update(EwmaState(recent))
           out.iterator
+      }
+  }
+
+  /** Streaming streak maintainer — the stateful twin of the graded
+    * q_event_streak (gaps-and-islands on the day domain): per key,
+    * FOUR LONGS of state (last day, current streak, longest streak,
+    * active days) folded per event — O(1) against an unbounded
+    * timeline, where the batch query's distinct (user, day) table is
+    * the whole history. Same-day events are no-ops; day = lastDay + 1
+    * extends the current streak; a larger gap resets it to 1; longest
+    * and the active-day count fold monotonically. Delivery contract:
+    * per-key NON-DECREASING day order across batches (the ewmaSmooth
+    * class — event-time replays and in-order logs satisfy it; the
+    * commutative families — bitmask, moments, retention — are the ones
+    * with no order contract). One standings emission per key per
+    * micro-batch; the parity suite pins final standings == the graded
+    * batch query on sf0.001. */
+  def streakMonitor(events: Dataset[Event]): Dataset[StreakOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[StreakState]) =>
+          var s = state.getOption.getOrElse(StreakState(Long.MinValue, 0L, 0L, 0L))
+          // within-batch arrival order is partition order, not event
+          // time — sort the batch slice (O(batch/key) memory, the
+          // bootstrap-fold discipline); the cross-BATCH order contract
+          // remains the caller's
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val day = Math.floorDiv(e.ts_us, 86400000000L)
+            if (day != s.lastDay) {
+              val cur = if (day == s.lastDay + 1) s.current + 1 else 1L
+              s = StreakState(day, cur, math.max(s.longest, cur),
+                s.nActive + 1)
+            }
+          }
+          state.update(s)
+          Iterator.single(StreakOut(user, s.nActive, s.longest, s.current))
       }
   }
 

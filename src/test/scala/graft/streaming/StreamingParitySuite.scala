@@ -198,6 +198,36 @@ class StreamingParitySuite extends SparkSuite {
       16.0 * 0.5 + 8.0 * 0.25 + 4.0 * 0.125 + 2.0 * 0.0625 + 1.0 * 0.03125)
   }
 
+  test("streak monitor: stateful twin == graded q_event_streak on sf0.001; split replay carries streaks across batches") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val twin = StreamOps.streakMonitor(events)
+      .collect().map(o => o.user_id ->
+        ((o.n_active_days, o.longest_streak, o.current_streak))).toMap
+    val batch = graft.queries.EventOps.queries("q_event_streak")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+    // a streak SPLIT ACROSS batches must keep extending: days 10,11 in
+    // batch 1 and 12 in batch 2 → current 3; a gap then resets
+    val mini = Seq((10L, 1L), (11L, 2L), (12L, 3L), (15L, 4L)).map {
+      case (day, id) => Event(id, day * 86400000000L + 5L, 7L, "view", 1.0)
+    }
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.streakMonitor(ms.toDS())
+      .writeStream.format("memory").queryName("streak_mini")
+      .outputMode("update").start()
+    try {
+      ms.addData(mini.take(2)); q.processAllAvailable()
+      ms.addData(mini.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("streak_mini").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet === Set((2L, 2L, 2L), (4L, 3L, 1L)))
+  }
+
   test("moments monitor: stateful twin == batch decimal power-sum combine on sf0.001 (bitwise doubles)") {
     // the streaming analog of the graded q_agg_moments discipline: the
     // batch side sums exact cents powers as DECIMAL(38,0) and runs the
