@@ -824,8 +824,76 @@ object EventOps {
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           last(col("v_day"), ignoreNulls = true).over(w).as("v_ff"))
         .orderBy(col("user_id"), col("day"))
-    })
+    }),
+
+    // New-vs-returning split (r12) — the growth-accounting face of DAU:
+    // per activity day, how many active users are first-ever-seen that
+    // day vs returning. Plan: events collapse to distinct (user, day)
+    // FIRST (shuffle ∝ active pairs — the wau/streak discipline), then
+    // two stacked map-side-combining aggs — per-user first day
+    // (∝ users) and per-day DAU (∝ pairs) — joined on the DAY-sized
+    // axis (calendar-bounded rows: AQE broadcasts it at any corpus).
+    // Exact integer day µs math (the wau precedent); counts are
+    // BIGINTs; no window function, no float surface at all.
+    "q_event_newret" -> ((s, d) => newretOn(T.events(s, d))),
+
+    // Last-touch attribution (r12) — the marketing-credit primitive:
+    // each purchase is credited to the user's most recent PRIOR
+    // non-purchase event type ('direct' when no touch precedes it).
+    // Ordering is the total (ts, event_id) key (ts IS NOT NULL on both
+    // twins — the session_funnel NULLS discipline); the carry is
+    // last(ignoreNulls) over the STRICTLY-prior frame — the
+    // fillforward pattern with an exclusive upper bound, so a purchase
+    // never credits itself or a simultaneous later event. Plan: ONE
+    // user-hash window exchange (∝ events) → map-side-combining agg
+    // ∝ |types|; the share denominator is an unpartitioned window over
+    // that AGGREGATE (≤ |types| rows — the §7.4.12 bucket rule);
+    // share is ONE IEEE division of exact ints, unrounded (§7.4.7).
+    "q_event_attrib" -> ((s, d) => attribOn(T.events(s, d)))
   )
+
+  /** q_event_newret core over any frame with (user_id, ts) — the planted
+    * unit fixture enters here. */
+  private[graft] def newretOn(events: DataFrame): DataFrame = {
+    val days = events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("dd"))
+      .distinct()
+      .persist() // 2 consumers (firsts, dau); caller clearCache
+    val newu = days.groupBy(col("user_id"))
+      .agg(min(col("dd")).as("dd"))
+      .groupBy(col("dd")).agg(count(lit(1)).as("new_users"))
+    val dau = days.groupBy(col("dd")).agg(count(lit(1)).as("dau"))
+    dau.join(newu, Seq("dd"), "left")
+      .select(
+        timestamp_micros(col("dd") * 86400000000L).as("day"),
+        col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        (col("dau") - coalesce(col("new_users"), lit(0L)))
+          .as("returning_users"))
+      .orderBy(col("day"))
+  }
+
+  /** q_event_attrib core over any frame with (user_id, event_type, ts,
+    * event_id) — the planted unit fixture enters here. */
+  private[graft] def attribOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .withColumn("share",
+        col("n_purchases") /
+          sum(col("n_purchases")).over(Window.partitionBy()))
+      .orderBy(col("touch_type"))
+  }
 
   private val evt = tbl("events")
 
@@ -1342,6 +1410,42 @@ object EventOps {
           FROM grid g
           LEFT JOIN pd ON g.user_id = pd.user_id AND g.dus = pd.dus
           LEFT JOIN lastv ON g.user_id = lastv.user_id AND g.dus = lastv.dus
-          ORDER BY g.user_id, day"""
+          ORDER BY g.user_id, day""",
+    // Distinct-first day collapse, stacked first-day/DAU aggs, day-keyed
+    // left join — the Spark chain 1:1.
+    "q_event_newret" ->
+      s"""WITH days AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dd
+            FROM $evt WHERE ts IS NOT NULL),
+          f AS (SELECT user_id, MIN(dd) AS dd FROM days GROUP BY 1),
+          n AS (SELECT dd, COUNT(*) AS new_users FROM f GROUP BY 1),
+          a AS (SELECT dd, COUNT(*) AS dau FROM days GROUP BY 1)
+          SELECT make_timestamp(a.dd * 86400000000) AS day,
+            CAST(a.dau AS BIGINT) AS dau,
+            CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+            CAST(a.dau - COALESCE(n.new_users, 0) AS BIGINT)
+              AS returning_users
+          FROM a LEFT JOIN n USING (dd) ORDER BY day""",
+    // The strictly-prior last_value(IGNORE NULLS) carry (the fillforward
+    // idiom with a 1-PRECEDING bound), then the type-sized share agg.
+    "q_event_attrib" ->
+      s"""WITH e AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM $evt WHERE ts IS NOT NULL),
+          t AS (
+            SELECT event_type,
+              last_value(CASE WHEN event_type <> 'purchase'
+                  THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS touch
+            FROM e),
+          g AS (
+            SELECT COALESCE(touch, 'direct') AS touch_type,
+              COUNT(*) AS n_purchases
+            FROM t WHERE event_type = 'purchase' GROUP BY 1)
+          SELECT touch_type, CAST(n_purchases AS BIGINT) AS n_purchases,
+            n_purchases / SUM(n_purchases) OVER () AS share
+          FROM g ORDER BY touch_type"""
   )
 }

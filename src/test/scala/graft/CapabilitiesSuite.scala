@@ -327,6 +327,45 @@ class CapabilitiesSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("newretOn: first-seen day counts as new, later days as returning, same-day repeats dedupe") {
+    import spark.implicits._
+    // u1 active days {0,1}; u2 {1}; u3 {0,2} with two same-day events
+    val events = Seq((1L, 0L, 0L), (1L, 1L, 1L), (2L, 1L, 2L),
+      (3L, 0L, 3L), (3L, 0L, 4L), (3L, 2L, 5L))
+      .toDF("user_id", "day", "j")
+      .select(col("user_id"),
+        expr("timestamp_micros(day * 86400000000 + j)").as("ts"))
+    val out = queries.EventOps.newretOn(events)
+      .select(expr("unix_micros(day) div 86400000000"),
+        col("dau"), col("new_users"), col("returning_users"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(0L -> ((2L, 2L, 0L)), 1L -> ((2L, 1L, 1L)),
+      2L -> ((1L, 0L, 1L))))
+    spark.catalog.clearCache()
+  }
+
+  test("attribOn: purchases credit the last PRIOR non-purchase touch; first-event and simultaneous-later purchases go direct") {
+    import spark.implicits._
+    // u1 view→click→purchase (credit click); u2 purchase first (direct)
+    // then view→purchase (view); u3 view→purchase→purchase (view twice:
+    // the carry skips intervening purchases); u4 purchase at the same ts
+    // as a LATER-id click — the strictly-prior frame must not see it
+    val events = Seq(
+      (1L, "view", 10L, 1L), (1L, "click", 20L, 2L), (1L, "purchase", 30L, 3L),
+      (2L, "purchase", 10L, 4L), (2L, "view", 20L, 5L), (2L, "purchase", 30L, 6L),
+      (3L, "view", 10L, 7L), (3L, "purchase", 20L, 8L), (3L, "purchase", 30L, 9L),
+      (4L, "purchase", 10L, 10L), (4L, "click", 10L, 11L))
+      .toDF("user_id", "event_type", "us", "event_id")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"), col("event_id"))
+    val out = queries.EventOps.attribOn(events)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map("click" -> ((1L, 1.0 / 6)),
+      "direct" -> ((2L, 2.0 / 6)), "view" -> ((3L, 3.0 / 6))))
+  }
+
   test("SparkEntry contract: query and oracle key sets are identical (every graded query is oracle-checked)") {
     // the driver's correctness gate compares each queries(name) result
     // against oracleSql(name) in DuckDB — a key present on one side
