@@ -393,8 +393,57 @@ object TextOps {
           col("lift"))
         .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
         .limit(CollocTopK)
-    })
+    }),
+
+    // Gopher quality-filter rules (r12; Rae et al. 2021, arXiv:2112.11446
+    // Table A1) — the published rule set LLM corpora are actually gated
+    // with, as pure integer comparisons (each ratio threshold cleared of
+    // its division: mean word length in [3,10] becomes 3n ≤ Σ|w| ≤ 10n —
+    // zero float surface, bit-portable by construction). Rules shipped:
+    // word count in [50, 100k]; mean word length in [3,10] (via the
+    // single-space identity Σ|w| = len − (n−1), the q_text_quality
+    // precedent); symbol-to-word ratio ('#' + '…'-as-'...') ≤ 0.1;
+    // ≥ 80% of words contain an alphabetic char; ≥ 2 of the paper's 8
+    // stopwords present. The paper's line-based rules (bullet/ellipsis
+    // line fractions) are omitted: the corpus contract has no newlines
+    // (probed: 0 docs), so they'd grade a constant — the symbol rule
+    // carries their spirit and the planted unit fixture exercises every
+    // flag both ways. Plan: pure per-row map over the scan, no shuffle
+    // before the presentation sort.
+    "q_llm_gopher" -> ((s, d) => gopherOn(T.documents(s, d)))
   )
+
+  /** The 8 Gopher "stop words" (Rae et al. 2021 Table A1: the, be, to,
+    * of, and, that, have, with) — a doc must contain ≥ 2. */
+  private[graft] val GopherStop =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** q_llm_gopher core over any frame with (doc_id, text) — the planted
+    * unit fixture enters here. */
+  private[graft] def gopherOn(docs: DataFrame): DataFrame = {
+    val nWords = size(toks)
+    val sumWlen = length(col("text")) - (nWords - lit(1))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val nStop = GopherStop.map(w => array_contains(toks, w).cast("int"))
+      .reduce(_ + _)
+    val nHash = expr("length(text) - length(replace(text, '#', ''))")
+    val nEll = expr("(length(text) - length(replace(text, '...', ''))) div 3")
+    docs.select(col("doc_id"),
+      nWords.as("n_words"), sumWlen.as("sum_wlen"), nAlpha.as("n_alpha"),
+      nStop.as("n_stop"), (nHash + nEll).as("n_sym"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int")
+          .as("f_words"),
+        (col("sum_wlen") >= col("n_words") * 3 &&
+          col("sum_wlen") <= col("n_words") * 10).cast("int").as("f_wlen"),
+        (col("n_sym") * 10 <= col("n_words")).cast("int").as("f_sym"),
+        (col("n_alpha") * 5 >= col("n_words") * 4).cast("int").as("f_alpha"),
+        (col("n_stop") >= 2).cast("int").as("f_stop"))
+      .withColumn("keep_flag",
+        (col("f_words") * col("f_wlen") * col("f_sym") * col("f_alpha")
+          * col("f_stop")).as("keep_flag"))
+      .orderBy(col("doc_id"))
+  }
 
   private val doc = tbl("documents")
 
@@ -617,6 +666,35 @@ object TextOps {
           FROM bg JOIN uc a ON bg.w1 = a.w JOIN uc b ON bg.w2 = b.w
           CROSS JOIN nt
           WHERE n_ab >= $CollocMinPair
-          ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT $CollocTopK"""
+          ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT $CollocTopK""",
+    // The identical integer rule forms: thresholds cleared of divisions,
+    // counts via the same split/replace/regex primitives.
+    "q_llm_gopher" ->
+      s"""WITH b AS (
+            SELECT doc_id,
+              len(string_split(text, ' ')) AS n_words,
+              length(text) - (len(string_split(text, ' ')) - 1) AS sum_wlen,
+              len(list_filter(string_split(text, ' '),
+                t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+              (${TextOps.GopherStop.map(w =>
+                s"CASE WHEN list_contains(string_split(text, ' '), '$w') THEN 1 ELSE 0 END")
+                .mkString(" + ")}) AS n_stop,
+              (length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) // 3
+                AS n_sym
+            FROM $doc)
+          SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+            CAST(n_words BETWEEN 50 AND 100000 AS INTEGER) AS f_words,
+            CAST(sum_wlen BETWEEN 3 * n_words AND 10 * n_words AS INTEGER)
+              AS f_wlen,
+            CAST(10 * n_sym <= n_words AS INTEGER) AS f_sym,
+            CAST(5 * n_alpha >= 4 * n_words AS INTEGER) AS f_alpha,
+            CAST(n_stop >= 2 AS INTEGER) AS f_stop,
+            CAST((n_words BETWEEN 50 AND 100000)
+              AND (sum_wlen BETWEEN 3 * n_words AND 10 * n_words)
+              AND (10 * n_sym <= n_words)
+              AND (5 * n_alpha >= 4 * n_words)
+              AND (n_stop >= 2) AS INTEGER) AS keep_flag
+          FROM b ORDER BY doc_id"""
   )
 }

@@ -89,6 +89,35 @@ class ScalarsTextSuite extends SparkSuite {
     assert(math.abs(d1.getAs[Double]("quality") - (0.4 + 0.3 + 0.2 * 0.3)) < 1e-6)
   }
 
+  test("gopherOn: each Gopher rule flags exactly its planted violator, and only it") {
+    // every doc passes all rules except the one it plants a violation of
+    val good = (("the of " + Seq.fill(58)("word").mkString(" ")), "all pass")
+    val short = ("the of word word", "f_words: 4 < 50")
+    val longw = (("the of " + Seq.fill(58)("a" * 11).mkString(" ")),
+      "f_wlen: mean word length > 10")
+    val symb = (("the of " + Seq.fill(51)("word").mkString(" ")
+      + " " + Seq.fill(7)("#").mkString(" ")), "f_sym: 7 symbols > 60/10")
+    // word lengths chosen so the wlen rule still passes: 5 + 20*7 + 67
+    // digit chars = 212 ∈ [180, 600]
+    val nums = (("the of " + Seq.fill(20)("welcome").mkString(" ")
+      + " " + (1 to 38).map(_.toString).mkString(" ")),
+      "f_alpha: 22 alpha words < 0.8*60")
+    val nostop = (Seq.fill(60)("word").mkString(" "), "f_stop: 0 stopwords")
+    val docs = Seq(good, short, longw, symb, nums, nostop).zipWithIndex
+      .map { case ((t, _), i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = queries.TextOps.gopherOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Seq("f_words", "f_wlen", "f_sym", "f_alpha", "f_stop", "keep_flag")
+          .map(r.getAs[Int])).toMap
+    assert(out(0L) === Seq(1, 1, 1, 1, 1, 1))
+    assert(out(1L) === Seq(0, 1, 1, 1, 1, 0))
+    assert(out(2L) === Seq(1, 0, 1, 1, 1, 0))
+    assert(out(3L) === Seq(1, 1, 0, 1, 1, 0)) // 53/60 alpha still ≥ 0.8
+    assert(out(4L) === Seq(1, 1, 1, 0, 1, 0))
+    assert(out(5L) === Seq(1, 1, 1, 1, 0, 0))
+  }
+
   test("q_text_langid: marker-laden doc classified; markerless doc falls to lexicographic tie") {
     val out = TextOps.queries("q_text_langid")(spark, miniDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
