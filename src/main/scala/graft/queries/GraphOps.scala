@@ -38,6 +38,9 @@ object GraphOps {
   private[graft] val CosimMinCommon = 2
   private[graft] val CosimTopK = 5
 
+  /** q_graph_linkpred: emitted top-k predicted links. */
+  private[graft] val LinkTopK = 100
+
   /** The graded co-purchase edge list: distinct (part,supplier) pairs
     * computed ONCE, both directed orientations derived from that one
     * aggregate by a map-side explode (never a second raw scan — the r11
@@ -110,6 +113,39 @@ object GraphOps {
       .select(col("supp"), col("rk"), col("nbr"), col("n_common"),
         col("jacc"))
       .orderBy(col("supp"), col("rk"))
+  }
+
+  /** q_graph_linkpred core over a bipartite (p, sp) edge frame — the
+    * planted unit fixture enters here.
+    *
+    * Resource-Allocation link prediction (Zhou, Lü, Zhang 2009): score a
+    * supplier pair by Σ over shared parts of 1∕deg(part) — each common
+    * neighbor discounted by its OWN degree, so two rare shared parts
+    * outrank three commodity hubs (the signal plain common-neighbor and
+    * Jaccard counting miss; RA is the best-performing local index in the
+    * paper's benchmark). Determinism: the weight is FLOOR-quantized —
+    * 1000000 div deg, exact integer division in both engines (never
+    * round(1e6/deg): half-up rounding of an IEEE quotient lands on .5
+    * boundaries where the engines' paths disagree — deg 128 ⇒ 7812.5) —
+    * and ra_micro is an exact BIGINT sum, order-free. deg is the TRUE
+    * part degree, computed BEFORE the hub cap (the cosim discipline: the
+    * cap thins wedge candidates, it never changes a weight). */
+  private[graft] def linkpredOn(pairs0: DataFrame): DataFrame = {
+    val ps = pairs0.select(col("p"), col("sp"))
+      .persist() // 2 consumers (degree agg + edge join); caller clearCache
+    val deg = ps.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+    // one inner join both thins hubs AND attaches the weight
+    val el = ps.join(deg.filter(col("pd") <= CosimMaxDeg), Seq("p"))
+      .select(col("p"), col("sp"), expr("1000000 div pd").as("wt"))
+      .persist() // both wedge-join sides read it; caller clearCache
+    el.select(col("p"), col("sp").as("sa"), col("wt"))
+      .join(el.select(col("p").as("p2"), col("sp").as("sb")),
+        col("p") === col("p2") && col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_common"), sum(col("wt")).as("ra_micro"))
+      .filter(col("n_common") >= CosimMinCommon)
+      .orderBy(col("ra_micro").desc, col("sa").asc, col("sb").asc)
+      .limit(LinkTopK)
   }
 
   val queries: Map[String, Q] = Map(
@@ -205,7 +241,20 @@ object GraphOps {
     "q_graph_kcore" -> ((s, d) =>
       graft.operators.KCore
         .peel(copurchaseEdgesMin(s, d, CoreMinPair), CoreK, CoreRounds)
-        .orderBy(col("node"))))
+        .orderBy(col("node"))),
+
+    // Resource-Allocation link prediction (r12): top-100 predicted
+    // supplier links by hub-discounted shared-part mass — the
+    // recommendation sibling of q_graph_cosim that weights each shared
+    // part by 1∕deg instead of counting it (semantics + determinism in
+    // linkpredOn's scaladoc). Plan: same through-part wedge join as
+    // cosim (shuffle ∝ Σ deg(part)² under the hub cap), weight attached
+    // by the SAME join that thins hubs; pair agg map-side combines;
+    // all-integer; top-k is TakeOrderedAndProject, never a full sort.
+    "q_graph_linkpred" -> ((s, d) => linkpredOn(
+      T.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+        .distinct())))
 
   private val li = tbl("lineitem")
 
@@ -350,5 +399,20 @@ object GraphOps {
          |${(1 to CoreRounds).map(round).mkString(",\n")}
          |SELECT src AS node, COUNT(*) AS deg FROM e$CoreRounds
          |GROUP BY 1 ORDER BY 1""".stripMargin
-    })
+    },
+    // True-degree weights attached by the same join that thins hubs;
+    // 1000000 // pd is the engines' shared exact floor division.
+    "q_graph_linkpred" ->
+      s"""WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM $li),
+          deg AS (SELECT p, COUNT(*) AS pd FROM ps GROUP BY 1),
+          el AS (
+            SELECT ps.p, ps.sp, 1000000 // pd AS wt
+            FROM ps JOIN deg USING (p) WHERE pd <= $CosimMaxDeg)
+          SELECT a.sp AS sa, b.sp AS sb,
+            CAST(COUNT(*) AS BIGINT) AS n_common,
+            CAST(SUM(a.wt) AS BIGINT) AS ra_micro
+          FROM el a JOIN el b ON a.p = b.p AND a.sp < b.sp
+          GROUP BY 1, 2 HAVING COUNT(*) >= $CosimMinCommon
+          ORDER BY ra_micro DESC, sa ASC, sb ASC LIMIT $LinkTopK""")
 }

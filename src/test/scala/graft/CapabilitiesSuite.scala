@@ -366,6 +366,22 @@ class CapabilitiesSuite extends SparkSuite {
       "direct" -> ((2L, 2.0 / 6)), "view" -> ((3L, 3.0 / 6))))
   }
 
+  test("linkpredOn: two rare shared parts outrank three commodity hubs (the RA hub discount), sub-threshold pairs drop") {
+    import spark.implicits._
+    // suppliers 1,2 share rare parts 101,102 (deg 2 → wt 500000 each);
+    // suppliers 3,4 share hub parts 201..203, each padded to deg 10 by
+    // disjoint filler suppliers (wt 100000) — more common parts, less RA
+    val rare = Seq(101L, 102L).flatMap(p => Seq((p, 1L), (p, 2L)))
+    val hubs = Seq(201L, 202L, 203L).zipWithIndex.flatMap { case (p, i) =>
+      Seq((p, 3L), (p, 4L)) ++ (0 until 8).map(j => (p, 100L + i * 8 + j))
+    }
+    val out = queries.GraphOps.linkpredOn(
+      (rare ++ hubs).toDF("p", "sp"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 2L, 1000000L), (3L, 4L, 3L, 300000L)))
+    spark.catalog.clearCache()
+  }
+
   test("SparkEntry contract: query and oracle key sets are identical (every graded query is oracle-checked)") {
     // the driver's correctness gate compares each queries(name) result
     // against oracleSql(name) in DuckDB — a key present on one side

@@ -791,6 +791,15 @@ class PlanAssertionsSuite extends SparkSuite {
       s"cosim top-k lost its per-partition heap:\n$phys")
   }
 
+  test("q_graph_linkpred: through-part equi join (no cartesian), top-k as TakeOrdered — never a full pair sort") {
+    val phys = planString(q("q_graph_linkpred"))
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoop"),
+      s"linkpred degenerated into a non-equi join:\n$phys")
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"linkpred top-k lost its per-partition heap:\n$phys")
+  }
+
   test("q_llm_budget: the global (unpartitioned) cumsum window runs over the BUCKET aggregate, never the corpus") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = q("q_llm_budget")
