@@ -104,6 +104,12 @@ case class StreakState(lastDay: Long, current: Long, longest: Long,
 case class StreakOut(user_id: Long, n_active_days: Long,
                      longest_streak: Long, current_streak: Long)
 
+/** Per-key last-touch state: the most recent non-purchase event type seen
+  * so far ("" = none yet — the batch query's 'direct' case). */
+case class AttribState(touch: String)
+
+case class AttribOut(user_id: Long, event_id: Long, touch_type: String)
+
 case class TopkState(sums: Map[Long, Long], n: Long)
 
 case class TopkOut(window_us: Long, rk: Int, user_id: Long, value: Double,
@@ -332,6 +338,36 @@ object StreamOps {
           }
           state.update(s)
           Iterator.single(StreakOut(user, s.nActive, s.longest, s.current))
+      }
+  }
+
+  /** Streaming last-touch attribution — the stateful twin of
+    * q_event_attrib's strictly-prior carry: ONE STRING of state per key
+    * (the most recent non-purchase type), each arriving purchase emitted
+    * once with the touch it credits ('direct' when none precedes it).
+    * Emissions are final (Append — a credit never revises), and the
+    * type-level count/share aggregation composes downstream exactly as
+    * winnowIngestProbe's ungrouped rows do. Within-batch slices sort by
+    * (ts, id) — sequential replay of the batch window's total order —
+    * and the purchase-before-update iteration IS the strictly-prior
+    * frame (a purchase reads the state before its own row; a
+    * simultaneous later-id touch hasn't been folded yet). Cross-batch
+    * needs the ewma-class in-order contract. */
+  def attribMonitor(events: Dataset[Event]): Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[AttribState]) =>
+          var touch = state.getOption.map(_.touch).getOrElse("")
+          val out = Seq.newBuilder[AttribOut]
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase")
+              out += AttribOut(user, e.event_id,
+                if (touch.isEmpty) "direct" else touch)
+            else touch = e.event_type
+          }
+          state.update(AttribState(touch))
+          out.result().iterator
       }
   }
 

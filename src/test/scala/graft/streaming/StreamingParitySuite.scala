@@ -198,6 +198,34 @@ class StreamingParitySuite extends SparkSuite {
       16.0 * 0.5 + 8.0 * 0.25 + 4.0 * 0.125 + 2.0 * 0.0625 + 1.0 * 0.03125)
   }
 
+  test("attrib monitor: per-touch credit counts == graded q_event_attrib on sf0.001; the touch carries across batches") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val twin = StreamOps.attribMonitor(events).collect()
+      .groupBy(_.touch_type).view.mapValues(_.length.toLong).toMap
+    val batch = graft.queries.EventOps.queries("q_event_attrib")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twin === batch)
+    assert(twin.values.sum > 0)
+    // the carry must survive a batch boundary: view in batch 1 credits
+    // the purchase arriving in batch 2; a purchase-first user is direct
+    val mini = Seq(
+      Event(1L, 10L, 7L, "view", 1.0), Event(2L, 20L, 8L, "purchase", 1.0),
+      Event(3L, 30L, 7L, "purchase", 1.0), Event(4L, 40L, 7L, "purchase", 1.0))
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.attribMonitor(ms.toDS())
+      .writeStream.format("memory").queryName("attrib_mini")
+      .outputMode("append").start()
+    try {
+      ms.addData(mini.take(2)); q.processAllAvailable()
+      ms.addData(mini.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attrib_mini").collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(rows === Map(2L -> "direct", 3L -> "view", 4L -> "view"))
+  }
+
   test("streak monitor: stateful twin == graded q_event_streak on sf0.001; split replay carries streaks across batches") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
