@@ -664,7 +664,41 @@ object PipelineOps {
       shuffleOrder(T.documents(s, d).select(col("doc_id")),
         "doc_id", ShuffleShards)
         .select(col("doc_id"), col("shard"), col("ord"), col("pos"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+    // §2.10 rank-percentile score normalization (r12)
+    "q_llm_qnorm" -> ((s, d) => qnormOn(T.documents(s, d))))
+
+  /** Rank-percentile score normalization (q_llm_qnorm): map each doc's
+    * quality signal (distinct-token count — budgetSelect's score) onto
+    * [0, 1] as SQL PERCENT_RANK — (rank − 1)∕(n − 1), ties sharing the
+    * min rank — the step that puts heterogeneous quality signals on ONE
+    * scale before mixing/reweighting composes them.
+    *
+    * Scale shape: the naive form is a corpus-total-order window (one
+    * partition at any size). Instead rank − 1 = #docs with a STRICTLY
+    * lower score = the cumulative count of lower score buckets:
+    * (1) hash agg to (score, cnt) buckets (∝ distinct scores, bounded
+    * by max doc length), (2) ordered cumsum + total over the
+    * bucket-sized table (single-partition windows over an AGGREGATE —
+    * §7.4.12), (3) broadcast join-back; pure map after. pr =
+    * below∕(n−1) is ONE IEEE division of exact ints, shipped UNROUNDED
+    * (§7.4.7 — the cume_dist/percent_rank rule); a 1-doc corpus → NULL
+    * structurally on both engines. Native-percent_rank equivalence
+    * (incl. ties) pinned in-unit. */
+  def qnormOn(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).as("score"))
+    val wb = Window.orderBy(col("score").asc)
+    val buckets = d.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(sum(col("cnt"))
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    d.join(broadcast(buckets), Seq("score"))
+      .select(col("doc_id"), col("score"),
+        when(col("n") > 1, col("below") / (col("n") - 1)).as("pr"))
+      .orderBy(col("doc_id"))
+  }
 
   private val doc = tbl("documents")
 
@@ -1012,5 +1046,22 @@ object PipelineOps {
                   CAST(len(${LlmOps.shingleSql}) AS INTEGER) AS n_uniq
                 FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $doc) t
                 WHERE len(tk) >= 3) x
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+    // bucket-decomposed PERCENT_RANK: rank−1 = cumulative count of
+    // strictly-lower score buckets; ONE unrounded IEEE division
+    "q_llm_qnorm" ->
+      s"""WITH s AS (
+            SELECT doc_id, len(list_distinct(string_split(text, ' ')))
+              AS score
+            FROM $doc),
+          b AS (SELECT score, COUNT(*) AS cnt FROM s GROUP BY 1),
+          c AS (SELECT score,
+                  COALESCE(SUM(cnt) OVER (ORDER BY score ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS below,
+                  SUM(cnt) OVER () AS n
+                FROM b)
+          SELECT s.doc_id, CAST(s.score AS INTEGER) AS score,
+            CASE WHEN n > 1 THEN below / (n - 1) END AS pr
+          FROM s JOIN c USING (score) ORDER BY doc_id""")
 }

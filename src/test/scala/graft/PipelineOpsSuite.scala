@@ -253,4 +253,28 @@ class PipelineOpsSuite extends SparkSuite {
       .select("doc_id", "kept").as[(Long, Int)].collect().toMap
     assert(edge === Map(1L -> 1, 2L -> 1, 10L -> 0, 11L -> 0, 20L -> 0))
   }
+
+  test("qnormOn: bucket decomposition ≡ native PERCENT_RANK under ties; 1-doc corpus → NULL pr") {
+    // scores: 1,2,2,4,4,4,7 — ties must share the MIN rank
+    val docs = docsDF(Seq(
+      (1L, "a", "en", "s0"),
+      (2L, "a b", "en", "s0"), (3L, "c d", "en", "s0"),
+      (4L, "a b c d", "en", "s0"), (5L, "e f g h", "en", "s0"),
+      (6L, "i j k l", "en", "s0"),
+      (7L, "a b c d e f g", "en", "s0")))
+    val out = PipelineOps.qnormOn(docs)
+      .select("doc_id", "pr").as[(Long, Double)].collect().toMap
+    val native = docs
+      .select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).as("score"))
+      .withColumn("pr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score").asc)))
+      .select("doc_id", "pr").as[(Long, Double)].collect().toMap
+    assert(out === native)
+    assert(out(1L) === 0.0 && out(7L) === 1.0)
+    assert(out(2L) === out(3L) && out(2L) === 1.0 / 6)
+    val one = PipelineOps.qnormOn(docsDF(Seq((1L, "a b", "en", "s0"))))
+      .select("pr").collect()
+    assert(one.length === 1 && one(0).isNullAt(0))
+  }
 }

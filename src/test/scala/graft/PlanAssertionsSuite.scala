@@ -791,6 +791,18 @@ class PlanAssertionsSuite extends SparkSuite {
       s"cosim top-k lost its per-partition heap:\n$phys")
   }
 
+  test("q_llm_qnorm: both unpartitioned windows run over the score-bucket aggregate, never the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = q("q_llm_qnorm").queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.isEmpty)
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"unpartitioned window reads un-collapsed rows:\n$w")
+    }
+  }
+
   test("q_graph_linkpred: through-part equi join (no cartesian), top-k as TakeOrdered — never a full pair sort") {
     val phys = planString(q("q_graph_linkpred"))
     assert(!phys.contains("CartesianProduct") &&
