@@ -540,6 +540,45 @@ object Aggregates {
           col("n"))
         .orderBy(col("o_orderstatus"))),
 
+    // Box-plot profile (r12) — the five-number summary + Tukey fences
+    // per group: n, min, q1, median, q3, max, and the count of rows
+    // beyond q1 − 1.5·IQR / q3 + 1.5·IQR on each side — the standard
+    // distribution triage a dashboard draws before any modeling.
+    // Quartiles ride the SAME scale-safe Percentiles.cont engine as
+    // q_agg_pctile (distinct-value collapse, bounded per-group window —
+    // never a native heap percentile); fences are IEEE arithmetic on
+    // the UNROUNDED quartiles (both engines run the identical chain;
+    // ·1.5 is exact dyadic), outputs round at 6dp (price·10⁶ ≈ 5e11 <
+    // 2⁵³, and 2dp-price interpolation at dyadic fractions carries ≤
+    // 4dp — no .5-boundary exists); outlier counts are one broadcast
+    // join-back of the 3-row fence table + a map-side-combining agg.
+    "q_agg_boxplot" -> ((s, d) => {
+      val o = T.orders(s, d)
+      val q = graft.operators.Percentiles.cont(o, Seq("o_orderstatus"),
+        "o_totalprice", Seq(0.25 -> "q1v", 0.5 -> "medv", 0.75 -> "q3v"))
+      val mm = o.groupBy(col("o_orderstatus"))
+        .agg(min(col("o_totalprice")).as("min_v"),
+          max(col("o_totalprice")).as("max_v"))
+      val fences = q.join(mm, Seq("o_orderstatus"))
+        .withColumn("f_lo", col("q1v") - (col("q3v") - col("q1v")) * 1.5)
+        .withColumn("f_hi", col("q3v") + (col("q3v") - col("q1v")) * 1.5)
+      val outs = o.join(
+          broadcast(fences.select(col("o_orderstatus"), col("f_lo"),
+            col("f_hi"))), Seq("o_orderstatus"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum((col("o_totalprice") < col("f_lo")).cast("long"))
+            .as("n_out_lo"),
+          sum((col("o_totalprice") > col("f_hi")).cast("long"))
+            .as("n_out_hi"))
+      fences.join(outs, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n"), col("min_v"),
+          round(col("q1v"), 6).as("q1"),
+          round(col("medv"), 6).as("median"),
+          round(col("q3v"), 6).as("q3"),
+          col("max_v"), col("n_out_lo"), col("n_out_hi"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // §2.4 DISCRETE percentiles (type-1 order statistic): the smallest
     // existing value whose cumulative count reaches ⌈p·n⌉ — no
     // interpolation, so the query carries ZERO float arithmetic: the
@@ -1198,6 +1237,39 @@ object Aggregates {
             round(${pctContVal(1)}, 6) AS p90_price,
             n
           FROM ag ORDER BY o_orderstatus""",
+    // The GENERATED cont chain at the quartiles, fence arithmetic on the
+    // unrounded values in the Spark operand order, 6dp only at output.
+    "q_agg_boxplot" ->
+      s"""WITH ${pctContCtes("b", ords, "o_orderstatus", "o_totalprice", None, Seq("0.25", "0.5", "0.75"))},
+          fen AS (
+            SELECT o_orderstatus,
+              ${pctContVal(0)} AS q1v, ${pctContVal(1)} AS medv,
+              ${pctContVal(2)} AS q3v, n
+            FROM bag),
+          mm AS (
+            SELECT o_orderstatus, MIN(o_totalprice) AS min_v,
+              MAX(o_totalprice) AS max_v
+            FROM $ords GROUP BY 1),
+          fl AS (
+            SELECT fen.*, mm.min_v, mm.max_v,
+              q1v - (q3v - q1v) * 1.5 AS f_lo,
+              q3v + (q3v - q1v) * 1.5 AS f_hi
+            FROM fen JOIN mm USING (o_orderstatus)),
+          oc AS (
+            SELECT o.o_orderstatus,
+              SUM(CASE WHEN o.o_totalprice < f.f_lo THEN 1 ELSE 0 END)
+                AS n_out_lo,
+              SUM(CASE WHEN o.o_totalprice > f.f_hi THEN 1 ELSE 0 END)
+                AS n_out_hi
+            FROM $ords o JOIN fl f ON o.o_orderstatus = f.o_orderstatus
+            GROUP BY 1)
+          SELECT f.o_orderstatus, n, min_v,
+            ROUND(q1v, 6) AS q1, ROUND(medv, 6) AS median,
+            ROUND(q3v, 6) AS q3, max_v,
+            CAST(n_out_lo AS BIGINT) AS n_out_lo,
+            CAST(n_out_hi AS BIGINT) AS n_out_hi
+          FROM fl f JOIN oc USING (o_orderstatus)
+          ORDER BY o_orderstatus""",
     "q_agg_wmedian" ->
       pctDiscSql(li, "l_returnflag", "l_extendedprice", Some("l_quantity"),
         Seq((1, 2, "wmedian"), (9, 10, "wp90"))),

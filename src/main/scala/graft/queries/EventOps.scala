@@ -849,7 +849,29 @@ object EventOps {
     // ∝ |types|; the share denominator is an unpartitioned window over
     // that AGGREGATE (≤ |types| rows — the §7.4.12 bucket rule);
     // share is ONE IEEE division of exact ints, unrounded (§7.4.7).
-    "q_event_attrib" -> ((s, d) => attribOn(T.events(s, d)))
+    "q_event_attrib" -> ((s, d) => attribOn(T.events(s, d))),
+
+    // Markov transition matrix (r12) — q_event_paths' counts made
+    // row-conditional: P(next ∣ prev) = n(prev→next) ∕ Σ_next n — the
+    // first-order user-journey model (and THE object of the reference's
+    // causal-ordering domain: transition structure is only meaningful
+    // because per-key order is preserved). Same per-user lag derivation
+    // as paths (ONE user-hash window exchange, order on the unique
+    // event_id); the row normalizer is a window over the ≤ ∣types∣²
+    // AGGREGATE partitioned by prev_type (§7.4.12); p is ONE IEEE
+    // division of exact ints, unrounded (§7.4.7).
+    "q_event_markov" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+        .orderBy(col("prev_type"), col("next_type"))
+    })
   )
 
   /** q_event_newret core over any frame with (user_id, ts) — the planted
@@ -1446,6 +1468,19 @@ object EventOps {
             FROM t WHERE event_type = 'purchase' GROUP BY 1)
           SELECT touch_type, CAST(n_purchases AS BIGINT) AS n_purchases,
             n_purchases / SUM(n_purchases) OVER () AS share
-          FROM g ORDER BY touch_type"""
+          FROM g ORDER BY touch_type""",
+    // The paths lag chain + the row-conditional normalizer.
+    "q_event_markov" ->
+      s"""WITH e AS (
+            SELECT user_id, event_id, event_type,
+              LAG(event_type) OVER (PARTITION BY user_id
+                ORDER BY event_id) AS prev_type
+            FROM $evt),
+          t AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+          SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+            n / SUM(n) OVER (PARTITION BY prev_type) AS p
+          FROM t ORDER BY prev_type, next_type"""
   )
 }

@@ -85,7 +85,68 @@ object SqlOps {
         FROM $ords
         ORDER BY o_custkey, o_orderkey"""
 
+  /** TPC-H Q3 (shipping priority), adapted to the driver's schema
+    * (o_orderpriority stands in for the missing o_shippriority; the
+    * date cutoff sits inside the generated 1995–2001 span). Revenue is
+    * the §7.4 decimal-product sum; the top-10 order is total via the
+    * (o_orderdate, l_orderkey) tiebreak. */
+  private def tpch3Sql(cust: String, ords: String, li: String) =
+    s"""SELECT l_orderkey,
+          ${Det.sqlSumProd("l_extendedprice", "1 - l_discount")} AS revenue,
+          o_orderdate, o_orderpriority
+        FROM $cust c
+          JOIN $ords o ON c.c_custkey = o.o_custkey
+          JOIN $li l ON l.l_orderkey = o.o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10"""
+
+  /** TPC-H Q5 (local supplier volume): the 6-table snowflake join with
+    * the customer-and-supplier same-nation constraint, one year, one
+    * region. Same decimal revenue discipline; n_name is unique per
+    * group so the DESC order is total. */
+  private def tpch5Sql(cust: String, ords: String, li: String,
+                       supp: String, nat: String, reg: String) =
+    s"""SELECT n_name,
+          ${Det.sqlSumProd("l_extendedprice", "1 - l_discount")} AS revenue
+        FROM $cust c
+          JOIN $ords o ON c.c_custkey = o.o_custkey
+          JOIN $li l ON l.l_orderkey = o.o_orderkey
+          JOIN $supp s ON l.l_suppkey = s.s_suppkey
+            AND c.c_nationkey = s.s_nationkey
+          JOIN $nat n ON s.s_nationkey = n.n_nationkey
+          JOIN $reg r ON n.n_regionkey = r.r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC"""
+
   val queries: Map[String, Q] = Map(
+    // TPC-H Q3/Q5 as SQL text — the canonical decision-support join
+    // pyramids. Catalyst gets the join order right from the declared
+    // plan (AQE broadcasts the dimension sides at graded scale; the
+    // snowflake's nation/region legs broadcast at ANY scale).
+    "q_sql_tpch3" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(tpch3Sql("customer", "orders", "lineitem"))
+    }),
+    "q_sql_tpch5" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.supplier(s, d).createOrReplaceTempView("supplier")
+      T.nation(s, d).createOrReplaceTempView("nation")
+      T.region(s, d).createOrReplaceTempView("region")
+      s.sql(tpch5Sql("customer", "orders", "lineitem", "supplier",
+        "nation", "region"))
+    }),
+
     // Scalar subquery + IN subquery + correlated EXISTS, as SQL text.
     "q_sql_subquery" -> ((s, d) => {
       T.customer(s, d).createOrReplaceTempView("customer")
@@ -122,6 +183,9 @@ object SqlOps {
 
   /** The oracle runs the IDENTICAL SQL text over DuckDB's views. */
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch3" -> tpch3Sql(tbl("customer"), tbl("orders"), tbl("lineitem")),
+    "q_sql_tpch5" -> tpch5Sql(tbl("customer"), tbl("orders"),
+      tbl("lineitem"), tbl("supplier"), tbl("nation"), tbl("region")),
     "q_sql_subquery" -> subquerySql(tbl("customer"), tbl("orders")),
     "q_sql_gsets" -> gsetsSql(tbl("orders")),
     "q_sql_lateral" -> lateralSql(tbl("region"), tbl("nation"), tbl("customer")),

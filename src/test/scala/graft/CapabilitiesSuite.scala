@@ -327,6 +327,41 @@ class CapabilitiesSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_agg_boxplot: quartiles ordered inside [min,max]; outlier counts equal a driver-side fence replay") {
+    val rows = SparkEntry.queries("q_agg_boxplot")(spark, sf).collect()
+    assert(rows.length === 3)
+    val raw = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val (st, q1, med, q3) = (r.getString(0), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      val (mn, mx) = (r.getDouble(2), r.getDouble(6))
+      assert(mn <= q1 && q1 <= med && med <= q3 && q3 <= mx, s"$st order")
+      // fences from the unrounded quartiles differ from these rounded
+      // ones by < 1e-6 while prices are 2dp — the replay is exact
+      val (fLo, fHi) = (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+      assert(r.getLong(7) === raw(st).count(_ < fLo - 1e-4).toLong ||
+        r.getLong(7) === raw(st).count(_ < fLo + 1e-4).toLong, s"$st lo")
+      assert(r.getLong(8) === raw(st).count(_ > fHi - 1e-4).toLong ||
+        r.getLong(8) === raw(st).count(_ > fHi + 1e-4).toLong, s"$st hi")
+    }
+  }
+
+  test("q_event_markov: per-prev probabilities are n/rowsum and sum to 1") {
+    val rows = SparkEntry.queries("q_event_markov")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (prev, g) =>
+      val tot = g.map(_._2).sum
+      g.foreach { case (_, n, p) =>
+        assert(p === n.toDouble / tot, s"$prev p mismatch") }
+      assert(math.abs(g.map(_._3).sum - 1.0) < 1e-12, s"$prev row sum")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("newretOn: first-seen day counts as new, later days as returning, same-day repeats dedupe") {
     import spark.implicits._
     // u1 active days {0,1}; u2 {1}; u3 {0,2} with two same-day events
