@@ -206,6 +206,49 @@ object CoreRelational {
         .orderBy(col("p_id"))
     }),
 
+    // NEAREST-event as-of (r12) — the symmetric variant of q_join_asof:
+    // each purchase pairs with its click of minimum ∣Δt∣ in EITHER
+    // direction, equal distance → the earlier (backward) click — the
+    // sensor-alignment/event-matching semantics a backward-only as-of
+    // misses when the nearest reading sits just ahead. Same single-scan
+    // interleaved-window engine (never the join+rank expansion): the
+    // SAME (us, is_p, event_id) ordering carries TWO frames — the
+    // inclusive backward struct-max of q_join_asof and a currentRow..
+    // following struct-min (same-µs clicks sort before the purchase, so
+    // the forward frame is strictly c_us > p_us by construction) — one
+    // user-hash exchange, one WindowExec, both carries in it. Side pick
+    // and delta are exact integer µs compares; NULL-side cases resolve
+    // structurally ('none' when the user has no clicks at all).
+    "q_join_asof_near" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          (col("event_type") === "purchase").cast("int").as("is_p"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("is_p").asc, col("event_id").asc)
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val cl = when(col("is_p") === 0, struct(col("us"), col("event_id")))
+      ev.withColumn("cb", max(cl).over(back))
+        .withColumn("cf", min(cl).over(fwd))
+        .filter(col("is_p") === 1)
+        .withColumn("side",
+          when(col("cb").isNull && col("cf").isNull, "none")
+            .when(col("cf").isNull, "back")
+            .when(col("cb").isNull, "fwd")
+            .when(col("us") - col("cb.us") <= col("cf.us") - col("us"),
+              "back")
+            .otherwise("fwd"))
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("us").as("p_us"), col("side"),
+          when(col("side") === "back", col("cb.event_id"))
+            .when(col("side") === "fwd", col("cf.event_id")).as("c_id"),
+          when(col("side") === "back", col("cb.us"))
+            .when(col("side") === "fwd", col("cf.us")).as("c_us"))
+        .withColumn("delta_us", col("c_us") - col("p_us"))
+        .orderBy(col("p_id"))
+    }),
+
     // §2.3 interval join (stream-stream join batch analog): click→purchase
     // pairs within 1h per user, aggregated per user. Micros-integer range
     // bounds keep interval arithmetic identical across engines.
@@ -376,6 +419,40 @@ object CoreRelational {
                 ORDER BY c_us DESC, c_id DESC) AS rn
             FROM p LEFT JOIN c ON user_id = c_user AND c_us <= p_us) x
           WHERE rn = 1 ORDER BY p_id""",
+    // Backward/forward nearest candidates by ranked joins (the oracle's
+    // machinery), the identical integer side pick.
+    "q_join_asof_near" ->
+      s"""WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+                     FROM $evt WHERE event_type = 'purchase'),
+               c AS (SELECT event_id AS c_id, user_id AS c_user,
+                       epoch_us(ts) AS c_us
+                     FROM $evt WHERE event_type = 'click'),
+               b AS (SELECT p_id, c_id AS b_id, c_us AS b_us FROM (
+                 SELECT p.p_id, c.c_id, c.c_us,
+                   ROW_NUMBER() OVER (PARTITION BY p_id
+                     ORDER BY c_us DESC, c_id DESC) AS rn
+                 FROM p JOIN c ON user_id = c_user AND c_us <= p_us) x
+                 WHERE rn = 1),
+               f AS (SELECT p_id, c_id AS f_id, c_us AS f_us FROM (
+                 SELECT p.p_id, c.c_id, c.c_us,
+                   ROW_NUMBER() OVER (PARTITION BY p_id
+                     ORDER BY c_us ASC, c_id ASC) AS rn
+                 FROM p JOIN c ON user_id = c_user AND c_us > p_us) x
+                 WHERE rn = 1),
+               j AS (
+                 SELECT p.p_id, p.user_id, p.p_us, b_id, b_us, f_id, f_us,
+                   CASE WHEN b_id IS NULL AND f_id IS NULL THEN 'none'
+                        WHEN f_id IS NULL THEN 'back'
+                        WHEN b_id IS NULL THEN 'fwd'
+                        WHEN (p_us - b_us) <= (f_us - p_us) THEN 'back'
+                        ELSE 'fwd' END AS side
+                 FROM p LEFT JOIN b USING (p_id) LEFT JOIN f USING (p_id))
+          SELECT p_id, user_id, p_us, side,
+            CASE side WHEN 'back' THEN b_id WHEN 'fwd' THEN f_id END AS c_id,
+            CASE side WHEN 'back' THEN b_us WHEN 'fwd' THEN f_us END AS c_us,
+            CASE side WHEN 'back' THEN b_us WHEN 'fwd' THEN f_us END - p_us
+              AS delta_us
+          FROM j ORDER BY p_id""",
     "q_join_interval" ->
       s"""WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM $evt
                      WHERE event_type = 'click'),

@@ -61,6 +61,33 @@ class RelationalSuite extends SparkSuite {
     assert(viaWindow === viaJoin && viaWindow.nonEmpty)
   }
 
+  test("q_join_asof_near: planted tie→back, same-µs click→back delta 0, fwd-only, and no-click→none") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_near").toString
+    // (id, us, user, type): u1 fwd nearer; u2 exact tie → back;
+    // u3 no clicks → none; u4 same-µs click → back, delta 0;
+    // u5 forward-only
+    Seq(
+      (1L, 10L, 1L, "click"), (2L, 15L, 1L, "purchase"), (3L, 18L, 1L, "click"),
+      (4L, 10L, 2L, "click"), (5L, 15L, 2L, "purchase"), (6L, 20L, 2L, "click"),
+      (7L, 10L, 3L, "purchase"),
+      (40L, 30L, 4L, "click"), (41L, 30L, 4L, "purchase"), (42L, 31L, 4L, "click"),
+      (50L, 10L, 5L, "purchase"), (51L, 12L, 5L, "click"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_join_asof_near")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(3), Option(r.get(4)), Option(r.get(6))))).toMap
+    assert(out(2L) === (("fwd", Some(3L), Some(3L))))
+    assert(out(5L) === (("back", Some(4L), Some(-5L))))
+    assert(out(7L) === (("none", None, None)))
+    assert(out(41L) === (("back", Some(40L), Some(0L))))
+    assert(out(50L) === (("fwd", Some(51L), Some(2L))))
+  }
+
   test("q_agg_group: per-row avg identities and total count") {
     val rows = q("q_agg_group").collect()
     val liCount = Tables.lineitem(spark, sf).count()
