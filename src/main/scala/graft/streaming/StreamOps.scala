@@ -104,6 +104,14 @@ case class StreakState(lastDay: Long, current: Long, longest: Long,
 case class StreakOut(user_id: Long, n_active_days: Long,
                      longest_streak: Long, current_streak: Long)
 
+/** Per-key growth-accounting state: first-ever active day and the last
+  * active day emitted (MinValue = none yet). */
+case class NewretState(firstDay: Long, lastDay: Long)
+
+/** One row per (user, active day), emitted the first time the day is
+  * seen; is_new = 1 only on the user's first-ever active day. */
+case class NewretOut(user_id: Long, day_us: Long, is_new: Int)
+
 /** Per-key last-touch state: the most recent non-purchase event type seen
   * so far ("" = none yet — the batch query's 'direct' case). */
 case class AttribState(touch: String)
@@ -338,6 +346,38 @@ object StreamOps {
           }
           state.update(s)
           Iterator.single(StreakOut(user, s.nActive, s.longest, s.current))
+      }
+  }
+
+  /** Streaming new-vs-returning feed — the stateful twin of
+    * q_event_newret's distinct (user, day) collapse: TWO LONGS of state
+    * per key (first-ever active day, last active day), one final row
+    * emitted per (user, day) the first time the day appears, flagged
+    * is_new=1 only on the key's first-ever day. The per-day
+    * dau/new/returning aggregation composes downstream (the
+    * winnowIngestProbe pattern: groupBy day_us, count + sum(is_new)).
+    * Day transitions only move forward under the ewma-class in-order
+    * contract, so "day != lastDay" IS the distinct-pair dedup — a
+    * same-day slice split across micro-batches emits once (pinned). */
+  def newretMonitor(events: Dataset[Event]): Dataset[NewretOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[NewretState]) =>
+          var s = state.getOption
+            .getOrElse(NewretState(Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[NewretOut]
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val day = Math.floorDiv(e.ts_us, 86400000000L)
+            if (day != s.lastDay) {
+              val isNew = if (s.firstDay == Long.MinValue) 1 else 0
+              out += NewretOut(user, day * 86400000000L, isNew)
+              s = NewretState(
+                if (s.firstDay == Long.MinValue) day else s.firstDay, day)
+            }
+          }
+          state.update(s)
+          out.result().iterator
       }
   }
 

@@ -198,6 +198,39 @@ class StreamingParitySuite extends SparkSuite {
       16.0 * 0.5 + 8.0 * 0.25 + 4.0 * 0.125 + 2.0 * 0.0625 + 1.0 * 0.03125)
   }
 
+  test("newret monitor: day-aggregated feed == graded q_event_newret on sf0.001; split same-day slice emits once") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val twin = StreamOps.newretMonitor(events).collect()
+      .groupBy(_.day_us).view.mapValues { g =>
+        val nw = g.map(_.is_new.toLong).sum
+        (g.length.toLong, nw, g.length - nw) }.toMap
+    val batch = graft.queries.EventOps.queries("q_event_newret")(spark, sf)
+      .select(unix_micros(col("day")), col("dau"), col("new_users"),
+        col("returning_users"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+    // a same-day slice split across batches must not double-emit, and
+    // day 2 of user 7 must flag returning
+    val mini = Seq((10L, 1L, 1L), (10L, 2L, 2L), (11L, 3L, 3L)).map {
+      case (day, id, j) => Event(id, day * 86400000000L + j, 7L, "view", 1.0)
+    }
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.newretMonitor(ms.toDS())
+      .writeStream.format("memory").queryName("newret_mini")
+      .outputMode("append").start()
+    try {
+      ms.addData(mini.take(1)); q.processAllAvailable()
+      ms.addData(mini.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("newret_mini").collect()
+      .map(r => (r.getLong(1) / 86400000000L, r.getInt(2)))
+    assert(rows.sorted.toSeq === Seq((10L, 1), (11L, 0)))
+  }
+
   test("attrib monitor: per-touch credit counts == graded q_event_attrib on sf0.001; the touch carries across batches") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
