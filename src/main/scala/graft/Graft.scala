@@ -495,6 +495,59 @@ object Graft {
     graft.queries.PipelineOps.budgetSelect(
       asCorpus(df, idCol, textCol), budgetTokens)
 
+  /** Box-plot profile over arbitrary (group, value) columns (graded
+    * q_agg_boxplot's engine): per group n, min, q1, median, q3, max and
+    * the per-side Tukey-fence outlier counts. Quartiles ride the
+    * scale-safe percentile engine (never a native heap percentile). */
+  def boxplot(df: DataFrame, groupCols: Seq[String],
+              valueCol: String): DataFrame =
+    graft.queries.Aggregates.boxplotOn(df, groupCols, valueCol)
+
+  /** First-order Markov transition matrix over any per-key ordered event
+    * log (graded q_event_markov's engine): (prev, next, n, p) with
+    * P(next ∣ prev) row-conditional. Needs (user_id, event_id,
+    * event_type) — adapt via [[asEvents]]-style renames. */
+  def transitionMatrix(events: DataFrame): DataFrame =
+    graft.queries.EventOps.markovOn(events)
+
+  /** New-vs-returning split per activity day over any event log (graded
+    * q_event_newret's engine): day, dau, new_users, returning_users.
+    * Needs (user_id, ts). */
+  def newVsReturning(events: DataFrame): DataFrame =
+    graft.queries.EventOps.newretOn(events)
+
+  /** Last-touch purchase attribution over any event log (graded
+    * q_event_attrib's engine): per touch type, purchases credited +
+    * share. Needs (user_id, event_type, ts, event_id); the streaming
+    * twin is [[graft.streaming.StreamOps.attribMonitor]]. */
+  def lastTouchAttribution(events: DataFrame): DataFrame =
+    graft.queries.EventOps.attribOn(events)
+
+  /** Gopher quality-filter flags (Rae et al. 2021) over any (id, text)
+    * corpus (graded q_llm_gopher's engine): per-rule integer flags +
+    * keep_flag. */
+  def gopherFlags(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    graft.queries.TextOps.gopherOn(asCorpus(df, idCol, textCol))
+
+  /** Rank-percentile quality-score normalization over any (id, text)
+    * corpus (graded q_llm_qnorm's engine): PERCENT_RANK of the
+    * distinct-token score, computed bucket-decomposed (no corpus-sized
+    * window). */
+  def qualityPercentile(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    graft.queries.PipelineOps.qnormOn(asCorpus(df, idCol, textCol))
+
+  /** Resource-Allocation link prediction over any bipartite edge list
+    * (graded q_graph_linkpred's engine): top-k (sa, sb) node pairs by
+    * hub-discounted shared-neighbor mass Σ 1∕deg(through), with
+    * common-neighbor counts. `throughCol` is the shared-neighbor side
+    * (parts / items / features), `nodeCol` the projected side. */
+  def raLinkPrediction(edges: DataFrame, throughCol: String,
+                       nodeCol: String): DataFrame =
+    graft.queries.GraphOps.linkpredOn(
+      edges.select(col(throughCol).as("p"), col(nodeCol).as("sp")))
+
   /** Chi-squared independence audit of two categorical columns with
     * Cramér's V (graded q_text_chisq's engine) — the "is my source mix
     * the same in every language" stratification-bias gate. ONE global

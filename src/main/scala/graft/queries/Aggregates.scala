@@ -552,32 +552,9 @@ object Aggregates {
     // 2⁵³, and 2dp-price interpolation at dyadic fractions carries ≤
     // 4dp — no .5-boundary exists); outlier counts are one broadcast
     // join-back of the 3-row fence table + a map-side-combining agg.
-    "q_agg_boxplot" -> ((s, d) => {
-      val o = T.orders(s, d)
-      val q = graft.operators.Percentiles.cont(o, Seq("o_orderstatus"),
-        "o_totalprice", Seq(0.25 -> "q1v", 0.5 -> "medv", 0.75 -> "q3v"))
-      val mm = o.groupBy(col("o_orderstatus"))
-        .agg(min(col("o_totalprice")).as("min_v"),
-          max(col("o_totalprice")).as("max_v"))
-      val fences = q.join(mm, Seq("o_orderstatus"))
-        .withColumn("f_lo", col("q1v") - (col("q3v") - col("q1v")) * 1.5)
-        .withColumn("f_hi", col("q3v") + (col("q3v") - col("q1v")) * 1.5)
-      val outs = o.join(
-          broadcast(fences.select(col("o_orderstatus"), col("f_lo"),
-            col("f_hi"))), Seq("o_orderstatus"))
-        .groupBy(col("o_orderstatus"))
-        .agg(sum((col("o_totalprice") < col("f_lo")).cast("long"))
-            .as("n_out_lo"),
-          sum((col("o_totalprice") > col("f_hi")).cast("long"))
-            .as("n_out_hi"))
-      fences.join(outs, Seq("o_orderstatus"))
-        .select(col("o_orderstatus"), col("n"), col("min_v"),
-          round(col("q1v"), 6).as("q1"),
-          round(col("medv"), 6).as("median"),
-          round(col("q3v"), 6).as("q3"),
-          col("max_v"), col("n_out_lo"), col("n_out_hi"))
-        .orderBy(col("o_orderstatus"))
-    }),
+    "q_agg_boxplot" -> ((s, d) =>
+      boxplotOn(T.orders(s, d), Seq("o_orderstatus"), "o_totalprice")
+        .orderBy(col("o_orderstatus"))),
 
     // §2.4 DISCRETE percentiles (type-1 order statistic): the smallest
     // existing value whose cumulative count reaches ⌈p·n⌉ — no
@@ -737,6 +714,38 @@ object Aggregates {
         .orderBy(col("o_custkey"))
     })
   )
+
+  /** Box-plot profile over arbitrary (group, value) columns — the
+    * q_agg_boxplot engine, exposed for [[graft.Graft.boxplot]]: per
+    * group n, min, q1, median, q3 (6dp), max, and the per-side counts
+    * beyond the Tukey fences q1 ∓/± 1.5·IQR. Quartiles ride the
+    * scale-safe Percentiles.cont engine; fences are IEEE arithmetic on
+    * the UNROUNDED quartiles (·1.5 exact dyadic); outlier counts are
+    * one broadcast join-back of the group-sized fence table plus a
+    * map-side-combining aggregate. Unordered — callers append their
+    * own total ORDER BY (the graded query orders by its group key). */
+  def boxplotOn(df: DataFrame, groupCols: Seq[String],
+                valueCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val q = graft.operators.Percentiles.cont(df, groupCols, valueCol,
+      Seq(0.25 -> "q1v", 0.5 -> "medv", 0.75 -> "q3v"))
+    val mm = df.groupBy(gc: _*)
+      .agg(min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+    val fences = q.join(mm, groupCols)
+      .withColumn("f_lo", col("q1v") - (col("q3v") - col("q1v")) * 1.5)
+      .withColumn("f_hi", col("q3v") + (col("q3v") - col("q1v")) * 1.5)
+    val outs = df.join(
+        broadcast(fences.select((gc :+ col("f_lo")) :+ col("f_hi"): _*)),
+        groupCols)
+      .groupBy(gc: _*)
+      .agg(sum((col(valueCol) < col("f_lo")).cast("long")).as("n_out_lo"),
+        sum((col(valueCol) > col("f_hi")).cast("long")).as("n_out_hi"))
+    fences.join(outs, groupCols)
+      .select(gc ++ Seq(col("n"), col("min_v"),
+        round(col("q1v"), 6).as("q1"), round(col("medv"), 6).as("median"),
+        round(col("q3v"), 6).as("q3"), col("max_v"),
+        col("n_out_lo"), col("n_out_hi")): _*)
+  }
 
   /** TPC-H Q1 shape; shared with SparkEntry.entry. */
   def aggGroup(s: SparkSession, d: String): DataFrame =

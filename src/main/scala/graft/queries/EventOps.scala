@@ -860,19 +860,23 @@ object EventOps {
     // event_id); the row normalizer is a window over the ≤ ∣types∣²
     // AGGREGATE partitioned by prev_type (§7.4.12); p is ONE IEEE
     // division of exact ints, unrounded (§7.4.7).
-    "q_event_markov" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
-      T.events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNotNull)
-        .groupBy(col("prev_type"), col("event_type").as("next_type"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p", col("n") /
-          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
-        .orderBy(col("prev_type"), col("next_type"))
-    })
+    "q_event_markov" -> ((s, d) => markovOn(T.events(s, d)))
   )
+
+  /** q_event_markov core over any frame with (user_id, event_id,
+    * event_type) — [[graft.Graft.transitionMatrix]] enters here. */
+  private[graft] def markovOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
 
   /** q_event_newret core over any frame with (user_id, ts) — the planted
     * unit fixture enters here. */

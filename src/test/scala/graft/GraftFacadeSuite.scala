@@ -29,6 +29,54 @@ class GraftFacadeSuite extends SparkSuite {
     assert(out(103L) === ((1L, 103L, 1)) && out(104L) === ((1L, 104L, 1)))
   }
 
+  test("r12 facade wave: boxplot, transitionMatrix, newVsReturning, lastTouchAttribution, gopherFlags, qualityPercentile, raLinkPrediction run on custom schemas") {
+    // boxplot over a custom (grp, v) frame: symmetric 1..9 + an outlier
+    val bx = Graft.boxplot((Seq.tabulate(9)(i => ("g", (i + 1).toDouble))
+      :+ ("g", 100.0)).toDF("grp", "v"), Seq("grp"), "v").collect()
+    assert(bx.length === 1)
+    val r = bx(0)
+    assert(r.getAs[Double]("min_v") === 1.0 &&
+      r.getAs[Double]("max_v") === 100.0)
+    assert(r.getAs[Long]("n_out_hi") === 1L &&
+      r.getAs[Long]("n_out_lo") === 0L)
+    // events shared by the event-facade calls
+    val ev = Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 20L), (3L, 1L, "purchase", 30L),
+      (4L, 2L, "view", 86400000000L + 10L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val tm = Graft.transitionMatrix(ev).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3)).toMap
+    assert(tm === Map(("view", "click") -> 1.0, ("click", "purchase") -> 1.0))
+    // u1's three events collapse to one day-0 row; u2 first appears on
+    // day 1 → both days are all-new, dau 1
+    val nr = Graft.newVsReturning(ev).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(nr.toSeq === Seq((1L, 1L, 0L), (1L, 1L, 0L)))
+    val at = Graft.lastTouchAttribution(ev).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(at === Map("click" -> 1L))
+    // text facade calls over the custom corpus columns
+    val gf = Graft.gopherFlags(corpus, "item_no", "body").collect()
+    assert(gf.length === 5 && gf.forall(_.getAs[Int]("f_words") === 0))
+    // every corpus doc has exactly 6 distinct tokens — a full tie block
+    // shares the min rank, so ALL percent-ranks are 0
+    val qp = Graft.qualityPercentile(corpus, "item_no", "body").collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(qp.values.toSet === Set(0.0) && qp.size === 5)
+    // RA link prediction on a custom bipartite frame: 1-2 share two
+    // rare features, 3-4 three hub features (deg 10)
+    val edges = (Seq((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L)) ++
+      Seq(201L, 202L, 203L).zipWithIndex.flatMap { case (p, i) =>
+        Seq((p, 3L), (p, 4L)) ++ (0 until 8).map(j => (p, 100L + i * 8 + j))
+      }).toDF("feature", "node")
+    val lp = Graft.raLinkPrediction(edges, "feature", "node")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(3)).toMap
+    assert(lp === Map((1L, 2L) -> 1000000L, (3L, 4L) -> 300000L))
+    spark.catalog.clearCache()
+  }
+
   test("nearDupPairs finds set-duplicates within blocks on a custom-schema corpus") {
     val pairs = Graft.nearDupPairs(corpus, "item_no", "body",
         Seq("shelf"), 4, 5).collect()
