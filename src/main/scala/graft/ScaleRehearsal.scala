@@ -296,6 +296,16 @@ object ScaleRehearsal {
             pmod(col("id"), lit(1000L)).as("sp"))
           .distinct()).count()
       }
+      // the same through-node wedge family as cosim, plus the degree
+      // join that attaches RA weights — the shuffle delta vs cosim IS
+      // the weight-attachment cost (deg is computed either way)
+      if (want("linkpred")) time("linkpred", n) {
+        graft.queries.GraphOps.linkpredOn(
+          spark.range(n).select(
+            expr("id div 25").as("p"),
+            pmod(col("id"), lit(1000L)).as("sp"))
+          .distinct()).count()
+      }
       // the buildPartitions knob: the sketch build ships one full-size
       // partial buffer per map partition, so coalescing the build to 8
       // should cut the screen's shuffle ~4× (32 → 8 partials) at some
