@@ -675,7 +675,22 @@ class GraftFacadeSuite extends SparkSuite {
       "budgetSelect" -> (() =>
         Graft.budgetSelect(emptyCorpus, "item_no", "body", 100L)),
       "asEvents" -> (() =>
-        Graft.asEvents(emptyEvents, "eid", "when", "acct", "kind", "amt").toDF))
+        Graft.asEvents(emptyEvents, "eid", "when", "acct", "kind", "amt").toDF),
+      // r12 final-wave facade entries
+      "boxplot" -> (() => Graft.boxplot(emptyGv, Seq("grp"), "v")),
+      "transitionMatrix" -> (() => Graft.transitionMatrix(
+        Seq.empty[(Long, Long, String)]
+          .toDF("event_id", "user_id", "event_type"))),
+      "newVsReturning" -> (() => Graft.newVsReturning(
+        Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts"))),
+      "lastTouchAttribution" -> (() => Graft.lastTouchAttribution(
+        Seq.empty[(Long, String, java.sql.Timestamp, Long)]
+          .toDF("user_id", "event_type", "ts", "event_id"))),
+      "gopherFlags" -> (() => Graft.gopherFlags(emptyCorpus, "item_no", "body")),
+      "qualityPercentile" -> (() =>
+        Graft.qualityPercentile(emptyCorpus, "item_no", "body")),
+      "raLinkPrediction" -> (() =>
+        Graft.raLinkPrediction(emptyPairs, "a", "b")))
     cases.foreach { case (name, mk) =>
       val rows =
         try mk().collect()
