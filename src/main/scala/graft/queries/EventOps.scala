@@ -26,6 +26,10 @@ object EventOps {
   import Det.{dsum, sqlSum, tbl}
   import graft.streaming.StreamOps
 
+  /** q_session_path: head length kept per session and emitted top-k. */
+  private[graft] val PathLen = 5
+  private[graft] val PathTopK = 20
+
   /** The q_session_funnel engine over ANY (user_id, event_id,
     * event_type, ts) event log — extracted (r12) so the scale rehearsal
     * drives the EXACT graded code path on synthetic 6M/60M logs.
@@ -772,6 +776,38 @@ object EventOps {
     // µs (max − min of unix_micros — no float time math). Plan: the one
     // sessionizer window exchange, then a hash agg already partitioned
     // by user_id (the groupBy keys prefix the window key, so no second
+    // Top session paths (r12) — clickstream path analysis over the
+    // SHARED sessionizer: each session reduced to its first-PathLen
+    // event-type sequence ('view>click>purchase'), top-PathTopK paths
+    // by session count — "how do sessions actually start", the
+    // navigation-analysis classic. Determinism: within-session order is
+    // the total (ts, event_id) key; the head is assembled by rank-
+    // pivoted MAX(CASE rn=k) cells (never collect_list — no reliance on
+    // aggregation order), concat_ws skips the NULL tail of short
+    // sessions identically in both engines; top-k order is total via
+    // (n desc, path asc). Plan: the sessionizer's user-hash exchange is
+    // the ONLY exchange before the path agg — the (user, sess) window
+    // and groupBy both satisfy their clustering from the user
+    // partitioning (sort-only, no re-shuffle); path agg map-side
+    // combines (∝ distinct paths ≤ ∣types∣^PathLen); top-k is
+    // TakeOrderedAndProject.
+    "q_session_path" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id"), col("sess"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val heads = (1 to PathLen).map(k =>
+        max(when(col("rn") === k, col("event_type"))).as(s"t$k"))
+      sessionizedOn(T.events(s, d))
+        .withColumn("rn", row_number().over(wOrd))
+        .filter(col("rn") <= PathLen)
+        .groupBy(col("user_id"), col("sess"))
+        .agg(heads.head, heads.tail: _*)
+        .select(concat_ws(">",
+          (1 to PathLen).map(k => col(s"t$k")): _*).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(PathTopK)
+    }),
+
     // exchange of the event stream); shuffle ∝ events once, output ∝
     // sessions.
     "q_session_stats" -> ((s, d) =>
@@ -1406,6 +1442,39 @@ object EventOps {
             MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
           FROM e GROUP BY user_id, sess
           ORDER BY user_id, sess""",
+    // The shared sessionizer text + rank-pivoted head cells; concat_ws
+    // skips the NULL tail of short sessions in both engines.
+    "q_session_path" -> {
+      val cells = (1 to PathLen).map(k =>
+        s"MAX(CASE WHEN rn = $k THEN event_type END)").mkString(",\n                ")
+      s"""WITH flagged AS (
+            SELECT user_id, event_id, event_type, ts,
+              CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                   WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM $evt WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC)),
+          e AS (
+            SELECT user_id, event_id, event_type, ts,
+              SUM(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            FROM flagged),
+          r AS (
+            SELECT user_id, sess, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                ORDER BY ts ASC, event_id ASC) AS rn
+            FROM e),
+          p AS (
+            SELECT user_id, sess,
+              concat_ws('>',
+                $cells) AS path
+            FROM r WHERE rn <= $PathLen GROUP BY 1, 2)
+          SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+          ORDER BY n_sessions DESC, path ASC LIMIT $PathTopK"""
+    },
+
     // integer-µs day keys (// = exact floor div); per-day last via the
     // (us, event_id) row_number twin of Spark's struct-max; grid =
     // per-user integer range; IGNORE NULLS carry over the same order

@@ -791,6 +791,19 @@ class PlanAssertionsSuite extends SparkSuite {
       s"cosim top-k lost its per-partition heap:\n$phys")
   }
 
+  test("q_session_path: the (user, sess) window and head agg RIDE the sessionizer's user-hash exchange; top-k is TakeOrdered") {
+    val phys = planString(q("q_session_path"))
+    // two shuffles total: the sessionizer's user hash + the path agg's
+    // (∝ distinct paths); the (user, sess) window and head groupBy must
+    // satisfy their clustering from the user partitioning (sort only)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(phys).length
+    assert(exchanges === 2,
+      s"expected 2 hash exchanges (user + path agg), got $exchanges:\n$phys")
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"session_path top-k lost its per-partition heap:\n$phys")
+  }
+
   test("q_llm_qnorm: both unpartitioned windows run over the score-bucket aggregate, never the corpus") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val wins = q("q_llm_qnorm").queryExecution.optimizedPlan
