@@ -896,7 +896,34 @@ object EventOps {
     // event_id); the row normalizer is a window over the ≤ ∣types∣²
     // AGGREGATE partitioned by prev_type (§7.4.12); p is ONE IEEE
     // division of exact ints, unrounded (§7.4.7).
-    "q_event_markov" -> ((s, d) => markovOn(T.events(s, d)))
+    "q_event_markov" -> ((s, d) => markovOn(T.events(s, d))),
+
+    // Recency-decayed user value (r12) — the "hotness" score every
+    // ranking/recommendation surface keeps: per user, Σ value·2^−age
+    // where age = days since the event vs the corpus's LAST day (the
+    // rfm recency reference). Exact by construction: value quantizes to
+    // integer cents (the pinned DECIMAL(18,2) cast both engines share —
+    // the q_agg_moments discipline) and the halving is an ARITHMETIC
+    // RIGHT SHIFT — floor-quantized integer halving, no float decay
+    // weights, and the sum is an exact BIGINT reduction, order-free.
+    // Shift capped at 62 (past that both engines' shift semantics
+    // diverge; contributions are 0 cents there anyway). Plan: one
+    // 1-row ref-day broadcast + ONE map-side-combining user agg.
+    "q_event_decay" -> ((s, d) => {
+      val e = T.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("dd"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val ref = e.agg(max(col("dd")).as("ref_dd"))
+      e.crossJoin(broadcast(ref))
+        .withColumn("age", least(col("ref_dd") - col("dd"), lit(62L)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("shiftright(cents, CAST(age AS INT))")).as("hot_cents"),
+          max(col("dd")).as("last_dd"))
+        .orderBy(col("user_id"))
+    })
   )
 
   /** q_event_markov core over any frame with (user_id, event_id,
@@ -1554,6 +1581,19 @@ object EventOps {
             FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2)
           SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
             n / SUM(n) OVER (PARTITION BY prev_type) AS p
-          FROM t ORDER BY prev_type, next_type"""
+          FROM t ORDER BY prev_type, next_type""",
+    // The identical cents quantization and arithmetic-shift halving;
+    // >> is arithmetic in both engines, capped at 62.
+    "q_event_decay" ->
+      s"""WITH e AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS dd,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM $evt WHERE ts IS NOT NULL),
+          r AS (SELECT MAX(dd) AS ref_dd FROM e)
+          SELECT user_id, COUNT(*) AS n_events,
+            CAST(SUM(cents >> LEAST(ref_dd - dd, 62)) AS BIGINT)
+              AS hot_cents,
+            MAX(dd) AS last_dd
+          FROM e CROSS JOIN r GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -362,6 +362,25 @@ class CapabilitiesSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_event_decay: hot_cents equals a driver-side shift replay (cent quantization + arithmetic halving)") {
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val refDd = raw.map(_._2).max
+    val expected = raw.groupBy(_._1).view.mapValues { g =>
+      g.map { case (_, dd, v) =>
+        val cents = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact
+        cents >> math.min(refDd - dd, 62L).toInt
+      }.sum
+    }.toMap
+    val out = SparkEntry.queries("q_event_decay")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === expected && out.nonEmpty)
+  }
+
   test("newretOn: first-seen day counts as new, later days as returning, same-day repeats dedupe") {
     import spark.implicits._
     // u1 active days {0,1}; u2 {1}; u3 {0,2} with two same-day events
