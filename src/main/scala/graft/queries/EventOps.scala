@@ -30,6 +30,11 @@ object EventOps {
   private[graft] val PathLen = 5
   private[graft] val PathTopK = 20
 
+  /** q_event_funnel_win conversion windows: click within 1 day of the
+    * first view, purchase within 7 days of that click. */
+  private[graft] val ClickWinUs = 86400000000L
+  private[graft] val BuyWinUs = 604800000000L
+
   /** The q_session_funnel engine over ANY (user_id, event_id,
     * event_type, ts) event log — extracted (r12) so the scale rehearsal
     * drives the EXACT graded code path on synthetic 6M/60M logs.
@@ -321,6 +326,43 @@ object EventOps {
       val p = e.join(c, "user_id")
         .filter(col("event_type") === "purchase" && col("ts") >= col("t_click"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c.select(col("user_id").as("cu"), col("t_click")),
+          col("user_id") === col("cu"), "left")
+        .join(p.select(col("user_id").as("pu"), col("t_purchase")),
+          col("user_id") === col("pu"), "left")
+        .select(col("user_id"),
+          col("t_view").isNotNull.cast("int").as("s_view"),
+          col("t_click").isNotNull.cast("int").as("s_click"),
+          col("t_purchase").isNotNull.cast("int").as("s_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Conversion-window funnel (r12) — q_event_funnel with DEADLINES:
+    // click within ClickWinUs (1 day) of the first view, purchase
+    // within BuyWinUs (7 days) of that click — the GA-style "counts
+    // only if it converts in time" semantics a marketing funnel
+    // actually reports. Anchors stay strict (the FIRST view / the
+    // earliest in-window click — the base funnel's at-or-after
+    // contract; a user whose first window lapses does not re-anchor on
+    // a later view, documented simplification). Same scale shape:
+    // three user-keyed map-side-combining aggs + two user-keyed joins
+    // over one persisted projection, all bounds exact integer µs.
+    "q_event_funnel_win" -> ((s, d) => {
+      val e = T.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .persist() // 3 consumers; caller clearCache
+      val v = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"))
+      val c = e.join(v.filter(col("t_view").isNotNull), "user_id")
+        .filter(col("event_type") === "click" && col("us") >= col("t_view")
+          && col("us") <= col("t_view") + ClickWinUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+      val p = e.join(c, "user_id")
+        .filter(col("event_type") === "purchase"
+          && col("us") >= col("t_click")
+          && col("us") <= col("t_click") + BuyWinUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
       v.join(c.select(col("user_id").as("cu"), col("t_click")),
           col("user_id") === col("cu"), "left")
         .join(p.select(col("user_id").as("pu"), col("t_purchase")),
@@ -1002,6 +1044,30 @@ object EventOps {
           p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
                 FROM e JOIN c ON e.user_id = c.user_id
                 WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+                GROUP BY e.user_id)
+          SELECT v.user_id,
+            CAST(t_view IS NOT NULL AS INTEGER) AS s_view,
+            CAST(t_click IS NOT NULL AS INTEGER) AS s_click,
+            CAST(t_purchase IS NOT NULL AS INTEGER) AS s_purchase
+          FROM v LEFT JOIN c ON v.user_id = c.user_id
+          LEFT JOIN p ON v.user_id = p.user_id
+          ORDER BY v.user_id""",
+    // The funnel chain with exact-µs deadline bounds on each step.
+    "q_event_funnel_win" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                     FROM $evt),
+          v AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view
+                FROM e GROUP BY user_id),
+          c AS (SELECT e.user_id, MIN(e.us) AS t_click
+                FROM e JOIN v ON e.user_id = v.user_id
+                WHERE v.t_view IS NOT NULL AND e.event_type = 'click'
+                  AND e.us >= v.t_view AND e.us <= v.t_view + $ClickWinUs
+                GROUP BY e.user_id),
+          p AS (SELECT e.user_id, MIN(e.us) AS t_purchase
+                FROM e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.us >= c.t_click
+                  AND e.us <= c.t_click + $BuyWinUs
                 GROUP BY e.user_id)
           SELECT v.user_id,
             CAST(t_view IS NOT NULL AS INTEGER) AS s_view,
