@@ -183,6 +183,34 @@ object MultimodalOps {
         .groupBy(col("kind_stub"), col("byte_val"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("kind_stub"), col("byte_val")))
+    ,
+
+    // Byte-level SimHash near-dup (r12) — the perceptual-hash analog
+    // for OPAQUE payloads: 16-bit majority-vote signature over distinct
+    // 4-byte grams, banded candidates within the sniffed-kind block,
+    // hamming ≤ 3 verified — q_llm_simdup's EXACT pigeonhole machinery
+    // (LlmOps.simhashSigsOn/simDupPairsOn, reused verbatim) pointed at
+    // byte grams instead of tokens: a re-encoded/lightly-corrupted copy
+    // shares most byte windows the way a lightly-edited doc shares most
+    // tokens — caught before any decoder runs. Gram build is pure
+    // per-row map (transform over a length-guarded sequence — §7.4.9);
+    // len < 4 payloads drop structurally on both engines.
+    "q_mm_simdup" -> ((s, d) => {
+      val base = T.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .filter(length(col("payload")) >= 4)
+        .select(col("doc_id"),
+          when(byteVal(col("payload"), 1) % 3 === 0, "image")
+            .when(byteVal(col("payload"), 1) % 3 === 1, "audio")
+            .otherwise("video").as("kind_stub"),
+          array_distinct(expr(
+            "transform(sequence(1, length(payload) - 3)," +
+              " i -> hex(substring(payload, i, 4)))")).as("tk"))
+      LlmOps.simDupPairsOn(
+          LlmOps.simhashSigsOn(base, Seq("kind_stub")), Seq("kind_stub"))
+        .select(col("doc_a"), col("doc_b"), col("kind_stub"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
   )
 
   private val doc = tbl("documents")
@@ -265,6 +293,54 @@ object MultimodalOps {
               unnest(generate_series(1,
                 least(octet_length(text::BLOB), 16))) AS g(i)
             WHERE octet_length(text::BLOB) >= 1) z
-          GROUP BY 1, 2 ORDER BY 1, 2"""
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // The q_llm_simdup vote/band chain verbatim over byte-gram tokens
+    // (hex of 4-char windows — char == byte on the ASCII corpus).
+    "q_mm_simdup" -> {
+      import LlmOps.{SimBandBits, SimBands, SimHamMax}
+      val votes = (0 until 16).map(bit =>
+        s"SUM(CASE WHEN (h >> $bit) & 1 = 1 THEN 1 ELSE -1 END) AS v$bit")
+        .mkString(",\n              ")
+      val sig = (0 until 16).map(bit =>
+        s"CASE WHEN v$bit > 0 THEN ${1L << bit} ELSE 0 END").mkString(" + ")
+      val bandMask = (1 << SimBandBits) - 1
+      s"""WITH base AS (
+            SELECT doc_id,
+              CASE WHEN ${sqlByteVal(1)} % 3 = 0 THEN 'image'
+                   WHEN ${sqlByteVal(1)} % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS kind_stub,
+              text
+            FROM $doc WHERE octet_length(text::BLOB) >= 4),
+          toks AS (
+            SELECT doc_id, kind_stub, UNNEST(list_distinct(
+              list_transform(range(1, length(text) - 2),
+                i -> hex(substring(text, i, 4)::BLOB)))) AS tok
+            FROM base),
+          h AS (SELECT doc_id, kind_stub,
+              ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h
+            FROM toks),
+          v AS (SELECT doc_id, kind_stub,
+              $votes
+            FROM h GROUP BY 1, 2),
+          sig AS (SELECT doc_id, kind_stub, CAST($sig AS BIGINT) AS simhash
+            FROM v),
+          bands AS (
+            SELECT doc_id, kind_stub, band,
+              (simhash >> (band * $SimBandBits)) & $bandMask AS bv
+            FROM sig CROSS JOIN
+              (SELECT UNNEST([${(0 until SimBands).mkString(",")}]) AS band) b),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.kind_stub = y.kind_stub AND x.band = y.band
+              AND x.bv = y.bv AND x.doc_id < y.doc_id)
+          SELECT doc_a, doc_b, sa.kind_stub,
+            CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER)
+              AS hamming
+          FROM cand JOIN sig sa ON doc_a = sa.doc_id
+                    JOIN sig sb ON doc_b = sb.doc_id
+          WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $SimHamMax
+          ORDER BY doc_a, doc_b"""
+    }
   )
 }
