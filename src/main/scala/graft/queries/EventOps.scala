@@ -374,6 +374,44 @@ object EventOps {
         .orderBy(col("user_id"))
     }),
 
+    // Daily-volume autocorrelation (r12) — Pearson r of the per-day
+    // event-count series against itself at lags 1..7: the weekly-
+    // seasonality detector (a strong lag-7 spike = weekday structure;
+    // lag-1 = day-to-day momentum) that decides whether q_event_anomaly
+    // should deseasonalize. The corpus collapses to (day, n) FIRST
+    // (map-side-combining agg, shuffle ∝ days — everything after is
+    // calendar-sized); the lag join is day-table × 7 (tiny, AQE
+    // broadcasts); power sums are exact BIGINTs and r is the
+    // q_agg_corr pinned IEEE chain (identical operand order both
+    // engines), 6dp; zero-variance sides → NULL structurally.
+    "q_event_acf" -> ((s, d) => {
+      val daily = T.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("dd"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // both lag-join sides; caller clearCache
+      val pairs = daily
+        .select(col("dd"), col("n").as("x"),
+          explode(array((1 to 7).map(lit): _*)).as("lag"))
+        .withColumn("dd_prev", col("dd") - col("lag"))
+        .join(daily.select(col("dd").as("dd_prev"), col("n").as("y")),
+          Seq("dd_prev"))
+      val g = pairs.groupBy(col("lag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = col("n").cast("double")
+      val vx = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+      val vy = nD * dbl("syy") - dbl("sy") * dbl("sy")
+      val num = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+      g.select(col("lag"), col("n").as("n_pairs"),
+        when(vx > 0 && vy > 0,
+          round(num / (sqrt(vx) * sqrt(vy)), 6)).as("acf"))
+        .orderBy(col("lag"))
+    }),
+
     // Cohort retention — the other classic event-analytics shape (the
     // funnel's population-level complement): users cohorted by their
     // FIRST active hour; for each offset k = 0..3, how many of the
@@ -1660,6 +1698,35 @@ object EventOps {
             CAST(SUM(cents >> LEAST(ref_dd - dd, 62)) AS BIGINT)
               AS hot_cents,
             MAX(dd) AS last_dd
-          FROM e CROSS JOIN r GROUP BY user_id ORDER BY user_id"""
+          FROM e CROSS JOIN r GROUP BY user_id ORDER BY user_id""",
+    // Day collapse, 7-lag self join, the q_agg_corr IEEE chain in the
+    // identical operand order; zero-variance sides → NULL.
+    "q_event_acf" ->
+      s"""WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS dd, COUNT(*) AS n
+            FROM $evt WHERE ts IS NOT NULL GROUP BY 1),
+          pairs AS (
+            SELECT l.lag, a.n AS x, b.n AS y
+            FROM daily a
+            CROSS JOIN (SELECT UNNEST([1,2,3,4,5,6,7]) AS lag) l
+            JOIN daily b ON b.dd = a.dd - l.lag),
+          g AS (
+            SELECT lag, COUNT(*) AS n,
+              SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+              SUM(y * y) AS syy, SUM(x * y) AS sxy
+            FROM pairs GROUP BY 1)
+          SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+            CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                  AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+              THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            END AS acf
+          FROM g ORDER BY lag"""
   )
 }
