@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-round synchronous label propagation over a symmetrized edge
+  * list — the COMMUNITY detector of the graph family ([[PageRank]]
+  * ranks, [[ConnectedComponents]] groups by reachability, [[KCore]]
+  * trims to the dense core; this partitions by neighborhood majority):
+  * every node starts as its own label, and each round adopts the label
+  * most common among its neighbors (Raghavan et al. 2007). On dup/
+  * co-occurrence graphs it separates the cliquish neighborhoods
+  * connected-components over-merges — CC unions anything reachable,
+  * LPA keeps chained-but-distinct districts apart.
+  *
+  * Semantics: `rounds` SYNCHRONOUS rounds (the defined contract — the
+  * [[PageRank]]/[[KCore]] precedent; the oracle unrolls the identical
+  * rounds; asynchronous/fixpoint variants are not oracle-expressible
+  * and can oscillate). The majority vote ties break to the SMALLEST
+  * label ((cnt desc, label asc) — a total order, so every round is
+  * deterministic on any partitioning; all arithmetic is integer
+  * count/compare). Self-label does not vote — only neighbors do (the
+  * paper's form; isolated nodes cannot occur in a degree-≥1 edge set).
+  *
+  * Scale shape: each round is ONE node-keyed equi-join (labels onto the
+  * dst side, shuffle ∝ edges) + two stacked map-side-combining hash
+  * aggs ((src, label) counts ∝ edges, then the per-src argmax ∝ nodes —
+  * the argmax is a struct-max AGGREGATE, never a window over the edge
+  * list). Lineage truncated per round with eager `localCheckpoint` (the
+  * [[ConnectedComponents]] discipline).
+  */
+object LabelProp {
+
+  /** @param edges  symmetrized directed edge list (`src`, `dst`), both
+    *               orientations of every undirected edge present;
+    *               integer node ids.
+    * @return (node, label) — the label after `rounds` rounds. */
+  def run(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    (1 to rounds).foreach { _ =>
+      labels = e
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        // (cnt desc, label asc) argmax as a struct max: larger cnt wins,
+        // then larger -label = SMALLER label
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+}

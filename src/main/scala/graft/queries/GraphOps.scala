@@ -41,6 +41,9 @@ object GraphOps {
   /** q_graph_linkpred: emitted top-k predicted links. */
   private[graft] val LinkTopK = 100
 
+  /** q_graph_labelprop: synchronous majority-vote rounds. */
+  private[graft] val LpRounds = 3
+
   /** The graded co-purchase edge list: distinct (part,supplier) pairs
     * computed ONCE, both directed orientations derived from that one
     * aggregate by a map-side explode (never a second raw scan — the r11
@@ -254,7 +257,24 @@ object GraphOps {
     "q_graph_linkpred" -> ((s, d) => linkpredOn(
       T.lineitem(s, d)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
-        .distinct())))
+        .distinct())),
+
+    // Label-propagation communities (r12): LpRounds synchronous
+    // majority-vote rounds over the ≥2-repeat co-purchase graph (the
+    // kcore edge set — repeat edges carry the community signal), each
+    // node reported with its final label and the community's size —
+    // the neighborhood-district partition CC's reachability union
+    // over-merges (semantics, tiebreak, and the per-round two-agg
+    // scale shape in operators/LabelProp's scaladoc; the oracle
+    // unrolls the identical rounds — the KCore precedent).
+    "q_graph_labelprop" -> ((s, d) => {
+      val l = graft.operators.LabelProp
+        .run(copurchaseEdgesMin(s, d, CoreMinPair), LpRounds)
+      val sizes = l.groupBy(col("label")).agg(count(lit(1)).as("comm_size"))
+      l.join(sizes, Seq("label"))
+        .select(col("node"), col("label"), col("comm_size"))
+        .orderBy(col("node"))
+    }))
 
   private val li = tbl("lineitem")
 
@@ -414,5 +434,34 @@ object GraphOps {
             CAST(SUM(a.wt) AS BIGINT) AS ra_micro
           FROM el a JOIN el b ON a.p = b.p AND a.sp < b.sp
           GROUP BY 1, 2 HAVING COUNT(*) >= $CosimMinCommon
-          ORDER BY ra_micro DESC, sa ASC, sb ASC LIMIT $LinkTopK""")
+          ORDER BY ra_micro DESC, sa ASC, sb ASC LIMIT $LinkTopK""",
+    // The identical synchronous rounds unrolled; (cnt desc, label asc)
+    // row_number = the Spark struct-max argmax.
+    "q_graph_labelprop" -> {
+      def round(r: Int): String =
+        s"""c$r AS (
+           |  SELECT e.src, l.label, COUNT(*) AS cnt
+           |  FROM e0 e JOIN l${r - 1} l ON e.dst = l.node
+           |  GROUP BY 1, 2),
+           |l$r AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label,
+           |      ROW_NUMBER() OVER (PARTITION BY src
+           |        ORDER BY cnt DESC, label ASC) AS rn
+           |    FROM c$r) x WHERE rn = 1)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li GROUP BY 1, 2 HAVING COUNT(*) >= $CoreMinPair),
+         |e0 AS (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
+         |${(1 to LpRounds).map(round).mkString(",\n")},
+         |sz AS (SELECT label, COUNT(*) AS comm_size
+         |       FROM l$LpRounds GROUP BY 1)
+         |SELECT node, l.label, CAST(comm_size AS BIGINT) AS comm_size
+         |FROM l$LpRounds l JOIN sz USING (label)
+         |ORDER BY node""".stripMargin
+    })
 }

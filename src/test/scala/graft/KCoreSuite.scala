@@ -48,4 +48,21 @@ class KCoreSuite extends SparkSuite {
     assert(out.count() > 0)
     assert(minDeg >= queries.GraphOps.CoreK)
   }
+
+  test("LabelProp: disjoint triangles each converge to one community; a bridge does not merge them in 3 rounds") {
+    // triangles {1,2,3} and {11,12,13}, bridged by one 3–11 edge
+    val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L)))
+    val out = operators.LabelProp.run(g, 3)
+      .as[(Long, Long)].collect().toMap
+    // each triangle settles on a single internal label; the bridge
+    // gives 3 and 11 one extra foreign vote — not a majority
+    assert(Set(1L, 2L, 3L).map(out).size === 1)
+    assert(Set(11L, 12L, 13L).map(out).size === 1)
+    assert(out(1L) !== out(11L), "bridge merged distinct communities")
+    // a replay of the same rounds is bit-identical (determinism)
+    val again = operators.LabelProp.run(g, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again === out)
+  }
 }
