@@ -230,6 +230,53 @@ object EventOps {
         (abs(z) > 1.96).cast("int")).as("significant"))
   }
 
+  /** The q_event_abtest_t engine: the CONTINUOUS-metric companion of
+    * [[abtestOn]] — Welch's unequal-variance t on per-user value
+    * totals. The metric is exact integer cents (the pinned
+    * DECIMAL(18,2) quantization), per-arm Σm / Σm² are exact
+    * DECIMAL(38,0) sums (order-free — the moments discipline), and the
+    * statistic is one pinned IEEE chain off them: sample variance
+    * (n·S2 − S1²) ∕ (n·(n−1)), Welch se = √(va∕na + vb∕nb), t rounded
+    * 6dp; significance at ∣t∣ > 1.96 (the large-sample normal cut —
+    * exact Welch dof adds a fragile float chain for a threshold that
+    * moves past 1.96 only below ~n=30/arm, documented simplification).
+    * Means ship UNROUNDED (single IEEE division of exacts — §7.4.7).
+    * Degenerate arms (n ≤ 1) or zero pooled spread → NULL t/flag. */
+  private[graft] def abtestTOn(events: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val users = events.groupBy(col("user_id"))
+      .agg(sum(cents).as("m"))
+      .select((Det.md5h32(col("user_id").cast("string")) % 2).as("variant"),
+        col("m").cast(dec38).as("m"))
+    val row = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
+        sum(col("m") * col("m")).as("s2"))
+      .agg(
+        coalesce(sum(when(col("variant") === 0, col("n"))), lit(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("s1"))).as("s1a"),
+        sum(when(col("variant") === 0, col("s2"))).as("s2a"),
+        coalesce(sum(when(col("variant") === 1, col("n"))), lit(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("s1"))).as("s1b"),
+        sum(when(col("variant") === 1, col("s2"))).as("s2b"))
+    def dbl(c: String) = col(c).cast("double")
+    val (na, nb) = (dbl("n_a"), dbl("n_b"))
+    val meanA = dbl("s1a") / na
+    val meanB = dbl("s1b") / nb
+    val va = (na * dbl("s2a") - dbl("s1a") * dbl("s1a")) /
+      (na * (na - lit(1.0)))
+    val vb = (nb * dbl("s2b") - dbl("s1b") * dbl("s1b")) /
+      (nb * (nb - lit(1.0)))
+    val se = sqrt(va / na + vb / nb)
+    val t = (meanA - meanB) / se
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se > 0
+    row.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, meanA).as("mean_cents_a"),
+      when(col("n_b") > 0, meanB).as("mean_cents_b"),
+      when(ok, round(t, 6)).as("t"),
+      when(ok, (abs(t) > 1.96).cast("int")).as("significant"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1h window × event_type.
     "q_stream_tumble" -> ((s, d) =>
@@ -384,6 +431,14 @@ object EventOps {
     // broadcasts); power sums are exact BIGINTs and r is the
     // q_agg_corr pinned IEEE chain (identical operand order both
     // engines), 6dp; zero-variance sides → NULL structurally.
+    // Welch t on per-user value totals (r12) — the continuous-metric
+    // companion of q_event_abtest (semantics/determinism in abtestTOn's
+    // scaladoc; the graded corpus is the same null experiment — the
+    // query grades the machinery, the planted-shift unit test grades
+    // detection). Shape: one user collapse (∝ users) → 2-row arm agg →
+    // 1-row pivot → pinned IEEE chain.
+    "q_event_abtest_t" -> ((s, d) => abtestTOn(T.events(s, d))),
+
     "q_event_acf" -> ((s, d) => {
       val daily = T.events(s, d).filter(col("ts").isNotNull)
         .groupBy(expr("unix_micros(ts) div 86400000000").as("dd"))
@@ -1367,6 +1422,48 @@ object EventOps {
          |      AS INTEGER)
          |  END AS significant
          |FROM d""".stripMargin,
+    // Welch chain over HUGEINT power sums in the identical operand
+    // order; the same md5 arms as q_event_abtest.
+    "q_event_abtest_t" ->
+      s"""WITH u AS (
+         |  SELECT ${Det.sqlMd5h32("CAST(user_id AS VARCHAR)")} % 2 AS variant,
+         |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS m
+         |  FROM $evt GROUP BY user_id),
+         |v AS (SELECT variant, COUNT(*) AS n, SUM(m) AS s1,
+         |        SUM(m * m) AS s2
+         |      FROM u GROUP BY 1),
+         |r AS (SELECT
+         |    COALESCE(SUM(CASE WHEN variant = 0 THEN n END), 0) AS n_a,
+         |    SUM(CASE WHEN variant = 0 THEN s1 END) AS s1a,
+         |    SUM(CASE WHEN variant = 0 THEN s2 END) AS s2a,
+         |    COALESCE(SUM(CASE WHEN variant = 1 THEN n END), 0) AS n_b,
+         |    SUM(CASE WHEN variant = 1 THEN s1 END) AS s1b,
+         |    SUM(CASE WHEN variant = 1 THEN s2 END) AS s2b
+         |  FROM v),
+         |d AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |    CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+         |    CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+         |    (CAST(n_a AS DOUBLE) * CAST(s2a AS DOUBLE)
+         |      - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE)
+         |         - CAST(1 AS DOUBLE))) AS va,
+         |    (CAST(n_b AS DOUBLE) * CAST(s2b AS DOUBLE)
+         |      - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+         |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE)
+         |         - CAST(1 AS DOUBLE))) AS vb
+         |  FROM r),
+         |e AS (SELECT *,
+         |    sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) AS se
+         |  FROM d)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 THEN mean_a END AS mean_cents_a,
+         |  CASE WHEN n_b > 0 THEN mean_b END AS mean_cents_b,
+         |  CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+         |    THEN round((mean_a - mean_b) / se, 6) END AS t,
+         |  CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+         |    THEN CAST(abs((mean_a - mean_b) / se) > 1.96 AS INTEGER)
+         |  END AS significant
+         |FROM e""".stripMargin,
     // Same island trick; arg_max(len, gmax) twins the struct-max
     // (island max-days unique per user ⇒ both argmaxes total).
     "q_event_streak" ->

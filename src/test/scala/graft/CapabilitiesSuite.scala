@@ -302,6 +302,32 @@ class CapabilitiesSuite extends SparkSuite {
     assert(r.getAs[Double]("z") > 1.96)
   }
 
+  test("abtestTOn: a planted mean shift is significant with the right sign; identical arms are not") {
+    import spark.implicits._
+    val vmap = spark.range(1, 41).select(col("id"),
+        (graft.Det.md5h32(col("id").cast("string")) % 2).as("v"))
+      .as[(Long, Long)].collect().toMap
+    // two events per user; arm 0 pays 10.00 per event with ±1 jitter,
+    // arm 1 pays 2.00 — a large standardized shift
+    def frame(shift: Boolean) = (1L to 40L).flatMap { u =>
+      val base = if (!shift || vmap(u) == 0L) 10.0 else 2.0
+      Seq((u, base + (u % 3) - 1.0), (u, base + ((u + 1) % 3) - 1.0))
+    }.zipWithIndex.map { case ((u, v), i) =>
+      (u, "view", 1700000000000000L + i * 1000000L, v)
+    }.toDF("user_id", "event_type", "us", "value")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"), col("value"))
+    val shifted = queries.EventOps.abtestTOn(frame(shift = true))
+      .collect().head
+    assert(shifted.getAs[Int]("significant") === 1)
+    assert(shifted.getAs[Double]("t") > 1.96) // arm 0 mean is higher
+    assert(shifted.getAs[Double]("mean_cents_a")
+      > shifted.getAs[Double]("mean_cents_b"))
+    val flat = queries.EventOps.abtestTOn(frame(shift = false))
+      .collect().head
+    assert(flat.getAs[Int]("significant") === 0)
+  }
+
   test("rfmOn: quartile scores land exactly on a planted 8-user pyramid (strict-compare cut semantics)") {
     import spark.implicits._
     // user i (1..8): i events, all on day 19000+i, value 10 each →
