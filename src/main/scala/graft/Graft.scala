@@ -456,6 +456,26 @@ object Graft {
       k, rounds)
   }
 
+  /** Label-propagation communities over any undirected edge list
+    * (graded q_graph_labelprop's engine): `rounds` synchronous
+    * majority-vote rounds, ties to the smallest label; returns (node,
+    * label). Complements [[kCore]] (trim) and `clusterPairs`
+    * (reachability union) with the neighborhood-district partition. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                     rounds: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    graft.operators.LabelProp.run(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      rounds)
+  }
+
+  /** Welch unequal-variance t-test of per-user value totals between the
+    * deterministic md5 arms (graded q_event_abtest_t's engine). Needs
+    * (user_id, value) columns; the proportions companion is [[abTest]]
+    * semantics via queries.EventOps.abtestOn. */
+  def welchAbTest(events: DataFrame): DataFrame =
+    graft.queries.EventOps.abtestTOn(events)
+
   /** Winnowing fingerprints over any (id, text) corpus (graded
     * q_llm_winnow's engine): per doc, gram/window counts plus the
     * deduped min-per-window fingerprint count and the canonical

@@ -690,7 +690,19 @@ class GraftFacadeSuite extends SparkSuite {
       "qualityPercentile" -> (() =>
         Graft.qualityPercentile(emptyCorpus, "item_no", "body")),
       "raLinkPrediction" -> (() =>
-        Graft.raLinkPrediction(emptyPairs, "a", "b")))
+        Graft.raLinkPrediction(emptyPairs, "a", "b")),
+      "labelPropagate" -> (() =>
+        Graft.labelPropagate(emptyPairs, "a", "b", 3)),
+      "welchAbTest" -> (() => {
+        // 1-row degenerate pivot is the contract (the abtest shape):
+        // zero counts, NULL means/t — assert that instead of emptiness
+        val r = Graft.welchAbTest(
+          Seq.empty[(Long, String, java.sql.Timestamp, Double)]
+            .toDF("user_id", "event_type", "ts", "value")).collect()
+        assert(r.length === 1 && r(0).getLong(0) === 0L &&
+          r(0).isNullAt(4) && r(0).isNullAt(5))
+        spark.emptyDataFrame
+      }))
     cases.foreach { case (name, mk) =>
       val rows =
         try mk().collect()
