@@ -640,6 +640,51 @@ object StreamOps {
       }
   }
 
+  /** Streaming CONVERSION-WINDOW funnel — the stateful twin of the
+    * graded q_event_funnel_win: [[funnel]]'s one-row state machine with
+    * each transition additionally gated by its deadline (click within
+    * ClickWinUs of the first view, purchase within BuyWinUs of that
+    * click). Greedy-first-match still equals the batch min-based
+    * derivation: in (ts, stage, id) order the first IN-WINDOW click is
+    * the min in-window click, and an out-of-window event is a state
+    * no-op on both sides. A lapsed window stays lapsed (no re-anchor on
+    * a later view — the batch query's documented strict-anchor
+    * contract, which is exactly what makes O(1) state sufficient).
+    * Same cross-batch in-order contract and parity pinning as
+    * [[funnel]]. */
+  def funnelWindowed(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    import graft.queries.EventOps.{BuyWinUs, ClickWinUs}
+    def stageRank(t: String): Int =
+      t match { case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3 }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          it.toSeq.sortBy(e => (e.ts_us, stageRank(e.event_type), e.event_id))
+            .foreach { e =>
+              e.event_type match {
+                case "view" if s.tView < 0L => s = s.copy(tView = e.ts_us)
+                case "click" if s.tClick < 0L && s.tView >= 0L
+                  && e.ts_us >= s.tView
+                  && e.ts_us <= s.tView + ClickWinUs =>
+                  s = s.copy(tClick = e.ts_us)
+                case "purchase" if s.tPurchase < 0L && s.tClick >= 0L
+                  && e.ts_us >= s.tClick
+                  && e.ts_us <= s.tClick + BuyWinUs =>
+                  s = s.copy(tPurchase = e.ts_us)
+                case _ => ()
+              }
+            }
+          state.update(s)
+          Iterator.single(FunnelOut(user,
+            if (s.tView >= 0L) 1 else 0,
+            if (s.tClick >= 0L) 1 else 0,
+            if (s.tPurchase >= 0L) 1 else 0))
+      }
+  }
+
   /** Streaming AS-OF enrichment — the streaming twin of the batch
     * q_join_asof: each purchase is emitted with the latest click at or
     * before it by the same user. State per key is ONE row (the

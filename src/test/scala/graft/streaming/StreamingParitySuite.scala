@@ -198,6 +198,40 @@ class StreamingParitySuite extends SparkSuite {
       16.0 * 0.5 + 8.0 * 0.25 + 4.0 * 0.125 + 2.0 * 0.0625 + 1.0 * 0.03125)
   }
 
+  test("windowed funnel: stateful twin == graded q_event_funnel_win on sf0.001; a lapsed deadline stays lapsed across batches") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val twin = StreamOps.funnelWindowed(events).collect()
+      .map(o => o.user_id -> ((o.s_view, o.s_click, o.s_purchase))).toMap
+    val batch = graft.queries.EventOps
+      .queries("q_event_funnel_win")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+    spark.catalog.clearCache()
+    // deadlines across batches: u1's click lands inside the 1-day
+    // window; u2's identical click arrives past it and must NOT convert
+    val day = 86400000000L
+    val mini = Seq(
+      Event(1L, 0L, 1L, "view", 1.0), Event(2L, day - 1L, 1L, "click", 1.0),
+      Event(3L, 0L, 2L, "view", 1.0), Event(4L, day + 1L, 2L, "click", 1.0))
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.funnelWindowed(ms.toDS())
+      .writeStream.format("memory").queryName("fwin_mini")
+      .outputMode("update").start()
+    try {
+      ms.addData(mini.take(1) ++ mini.drop(2).take(1)); q.processAllAvailable()
+      ms.addData(mini.slice(1, 2) ++ mini.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("fwin_mini").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3))))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    assert(last(1L) === ((1, 1, 0)))
+    assert(last(2L) === ((1, 0, 0)))
+  }
+
   test("newret monitor: day-aggregated feed == graded q_event_newret on sf0.001; split same-day slice emits once") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
