@@ -98,6 +98,10 @@ object LlmOps {
   private[graft] val SimBandBits = 4
   private[graft] val SimHamMax = SimBands - 1
 
+  /** q_llm_semdedup: within-cluster cosine threshold (the q_llm_embdup
+    * corpus precedent — the synthetic embeddings' near-dup band). */
+  private[graft] val SemTau = 0.35
+
   private[graft] val HashP = 2147483647L
   private[graft] val (hashA, hashB) = {
     val rng = new scala.util.Random(42)
@@ -1367,6 +1371,42 @@ object LlmOps {
     // broadcasts; scoring is one codegen dot per corpus row; the rank
     // filter runs as WindowGroupLimit (O(3)/label, plan-pinnable) — the
     // corpus is scanned twice (moments + scoring) but never shuffled.
+    // SemDeDup (r12; Abbas et al. 2023, arXiv:2303.09540) — semantic
+    // dedup in CLUSTER scope: assign every vector to its nearest
+    // coarse centroid (the zero-shuffle ivfRanked broadcast argmax,
+    // nprobe=1 — the kmeans1 assignment), then inside each cluster
+    // drop any vector with a ≥ SemTau cosine to a LOWER-id member
+    // (keep-lowest-id — deterministic, no fixpoint). The paper's point
+    // is the SCOPE: the pair join is cluster-keyed, so the quadratic
+    // term is Σ cluster_size², never corpus² — the same economics
+    // banding buys MinHash, bought here by the quantizer the ANN
+    // index already maintains. Stride quantizer (oracle-expressible;
+    // production passes KMeans centroids through ivfQuery's knob);
+    // 6dp cosine + id tiebreaks per §7.4.7.
+    "q_llm_semdedup" -> ((s, d) => {
+      graft.functions.DotF64.register(s)
+      val base = embBase(s, d)
+      val assigned = ivfRanked(base, ivfDefaultQuantizer(base), nprobe = 1)
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))
+        .persist() // both pair-join sides + the output; caller clearCache
+      val pairs = assigned
+        .select(col("cent_id"), col("vec_id").as("ia"), col("e").as("ea"),
+          col("nrm").as("na"))
+        .join(assigned.select(col("cent_id"), col("vec_id").as("ib"),
+          col("e").as("eb"), col("nrm").as("nb")), Seq("cent_id"))
+        .filter(col("ia") < col("ib"))
+        .withColumn("sim", round(
+          expr("graft_dot(ea, eb)") / (col("na") * col("nb")), 6))
+      val dropped = pairs.filter(col("sim") >= SemTau)
+        .select(col("ib").as("vec_id")).distinct()
+        .withColumn("dropped", lit(1))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cent_id"),
+          col("dropped").isNull.cast("int").as("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_llm_outlier" -> ((s, d) => {
       graft.functions.DotF64.register(s)
       embOutliersOn(
@@ -1850,6 +1890,37 @@ object LlmOps {
             CAST(ROUND(SUM(CAST(v AS DECIMAL(18,6))), 6) AS DOUBLE)
               / COUNT(*) AS c_new
           FROM x GROUP BY 1, 2 ORDER BY cent_id, pos""",
+    // The kmeans1 assignment CTEs (with nrm carried through) + a
+    // cluster-keyed pair join and keep-lowest-id drop rule.
+    "q_llm_semdedup" ->
+      s"""WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+              ${normSql("CAST(embedding AS DOUBLE[])")} AS nrm
+            FROM $emb),
+          cents AS (
+            SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+            FROM base WHERE vec_id % greatest(1,
+              CAST(floor((SELECT COUNT(*) FROM base) / 32) AS BIGINT)) = 0),
+          ranked AS (
+            SELECT b.vec_id, b.e, b.nrm, c.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                round(list_aggregate(list_transform(b.e, (x, i) -> x * c.ce[i]), 'sum')
+                  / (b.nrm * c.cn), 6) DESC, c.cent_id ASC) AS crk
+            FROM base b CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, e, nrm, cent_id FROM ranked WHERE crk = 1),
+          pairs AS (
+            SELECT a.cent_id, a.vec_id AS ia, b.vec_id AS ib,
+              round(list_aggregate(list_transform(a.e, (x, i) -> x * b.e[i]), 'sum')
+                / (a.nrm * b.nrm), 6) AS sim
+            FROM assigned a JOIN assigned b
+              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+          dropped AS (
+            SELECT DISTINCT ib AS vec_id FROM pairs WHERE sim >= $SemTau)
+          SELECT a.vec_id, a.cent_id,
+            CAST(d.vec_id IS NULL AS INTEGER) AS keep
+          FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+          ORDER BY a.vec_id""",
     // Stride codebooks (the cents CTE, k ≈ 8); d2 computes EVERY
     // (vector, subspace, centroid) quantized distance once — codes are
     // its per-(vector, subspace) argmin rows, the probe tables its
