@@ -52,7 +52,8 @@ class PlanAssertionsSuite extends SparkSuite {
       case _ => false
     }
     // global aggregates produce exactly one row — order vacuous
-    val singleRow = Set("q_agg_global", "q_text_chisq", "q_event_abtest")
+    val singleRow = Set("q_agg_global", "q_text_chisq", "q_event_abtest",
+      "q_event_abtest_t")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !singleRow(name) =>
         if (ordered(fn(spark, sf).queryExecution.analyzed)) None else Some(name)
