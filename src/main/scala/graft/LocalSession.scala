@@ -25,6 +25,7 @@ object LocalSession {
         graft.functions.DotF64.install(ext)
         graft.functions.JaccardStr.install(ext)
         graft.functions.OverlapCount.install(ext)
+        graft.functions.SimHash16.install(ext)
       }
       .getOrCreate()
     // getOrCreate can return a pre-existing session the extensions never
@@ -32,6 +33,7 @@ object LocalSession {
     graft.functions.DotF64.register(spark)
     graft.functions.JaccardStr.register(spark)
     graft.functions.OverlapCount.register(spark)
+    graft.functions.SimHash16.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

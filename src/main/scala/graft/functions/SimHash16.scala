@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 16-bit SimHash signature over a token array — one compiled
+  * pass per row, replacing the explode → 16-vote hash-aggregate stage
+  * (`LlmOps.simhashSigsAggOn`) that shuffled ∝ corpus tokens. With this
+  * expression the signature stage of the SimHash family (q_llm_simhash /
+  * q_llm_simdup over word tokens, q_mm_simdup over byte grams) is a
+  * pure scan-side projection at ANY corpus size — the same rung of the
+  * SURVEY §4.3 ladder [[MinHashSig]] climbed for MinHash (measured
+  * there: the compiled pass beat both the interpreted-lambda per-row
+  * form and the exchange-paying aggregate form).
+  *
+  * Value contract (bit-exact vs the SQL vote chain, unit-pinned):
+  * tokens are deduplicated (Set semantics — the callers'
+  * `array_distinct`; a repeated token votes once); per distinct token
+  * h = unsigned value of the first 4 hex chars of md5(token) (= the
+  * first 2 digest bytes = Spark `conv(substring(md5(t),1,4),16,10)`);
+  * bit b of the signature is 1 iff Σ over distinct tokens of
+  * (((h >> b) & 1) == 1 ? +1 : −1) is > 0 — integer votes, no float
+  * anywhere. An empty array yields signature 0 (all votes 0, no bit
+  * set); the graded callers never produce one (whitespace split yields
+  * ≥ 1 token; byte-gram callers filter len ≥ 4). NULL input → NULL.
+  */
+case class SimHash16(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash16"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    SimHash16.compute(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, tk => {
+      s"""
+         |${ev.value} = graft.functions.SimHash16.compute($tk);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  /** Distinct-token md5 majority-vote core (static — called from
+    * whole-stage-generated code). */
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val seen = new java.util.HashSet[String](math.max(16, n * 2))
+    val votes = new Array[Int](16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val u = tokens.getUTF8String(i)
+      val t = if (u == null) "" else u.toString
+      if (seen.add(t)) {
+        md.reset()
+        val d = md.digest(UTF8String.fromString(t).getBytes)
+        // unsigned value of the first 4 hex chars == first 2 bytes
+        val h = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+        var b = 0
+        while (b < 16) {
+          votes(b) += (if (((h >> b) & 1) == 1) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 16) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  private val ident = FunctionIdentifier("graft_simhash16")
+  private val info =
+    new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16")
+  private val builder = (children: Seq[Expression]) => {
+    require(children.length == 1,
+      s"graft_simhash16 expects exactly 1 argument " +
+        s"(tokens: array<string>), got ${children.length}")
+    SimHash16(children.head)
+  }
+
+  /** Production registration path (SparkSessionExtensions). */
+  def install(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((ident, info, builder))
+
+  /** Idempotent post-hoc registration on an existing session. */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!spark.sessionState.functionRegistry.functionExists(ident))
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}

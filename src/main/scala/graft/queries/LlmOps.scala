@@ -221,10 +221,26 @@ object LlmOps {
 
   /** [[simhashSigs]] over ANY (doc_id, tk: array<string>, blockCols…)
     * rows — the form [[graft.Graft.simDupPairs]] exposes to caller
-    * corpora. One map-side-combining hash agg keyed (doc_id, blockCols);
-    * shuffle ∝ corpus tokens. */
+    * corpora. Since r12 this is the native [[graft.functions.SimHash16]]
+    * compiled expression — the whole signature stage as ONE scan-side
+    * projection (zero shuffle at any corpus size; the prior explode +
+    * 16-vote hash aggregate shuffled ∝ corpus tokens and is retained
+    * below as [[simhashSigsAggOn]], bitwise-pinned equal in-unit —
+    * the MinHashSig retention discipline). */
   private[graft] def simhashSigsOn(docs: DataFrame,
                                    blockCols: Seq[String]): DataFrame = {
+    graft.functions.SimHash16.register(docs.sparkSession)
+    val bc = blockCols.map(col)
+    docs.select((col("doc_id") +: bc) :+
+      expr("graft_simhash16(tk)").as("simhash"): _*)
+  }
+
+  /** The pre-r12 aggregate form of [[simhashSigsOn]] — explode + 16
+    * integer vote sums + signature reassembly (shuffle ∝ corpus
+    * tokens). Kept as the independently-derived twin the unit suite
+    * pins the compiled expression against, bit for bit. */
+  private[graft] def simhashSigsAggOn(docs: DataFrame,
+                                      blockCols: Seq[String]): DataFrame = {
     val bc = blockCols.map(col)
     val toks = docs
       .select((col("doc_id") +: bc) :+ explode(col("tk")).as("tok"): _*)

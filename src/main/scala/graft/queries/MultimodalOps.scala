@@ -206,8 +206,15 @@ object MultimodalOps {
           array_distinct(expr(
             "transform(sequence(1, length(payload) - 3)," +
               " i -> hex(substring(payload, i, 4)))")).as("tk"))
+      // signature stage: the AGGREGATE form, not the compiled
+      // graft_simhash16 expression — measured A/B (BASELINE.md r12):
+      // byte-gram rows carry ~n_chars grams each, and the explode +
+      // vote agg redistributes that md5 work across every core while
+      // the per-row expression serializes it inside few heavy rows
+      // (2.3 s vs 3.9 s warm at sf0.1) — the opposite verdict from the
+      // light word-token rows, recorded honestly
       LlmOps.simDupPairsOn(
-          LlmOps.simhashSigsOn(base, Seq("kind_stub")), Seq("kind_stub"))
+          LlmOps.simhashSigsAggOn(base, Seq("kind_stub")), Seq("kind_stub"))
         .select(col("doc_a"), col("doc_b"), col("kind_stub"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     })

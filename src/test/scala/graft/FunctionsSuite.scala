@@ -124,6 +124,44 @@ class FunctionsSuite extends SparkSuite {
       s"graft_minhash_sig fell out of whole-stage codegen:\n$plan")
   }
 
+  test("graft_simhash16 == the explode+vote aggregate form BITWISE on the corpus, for word tokens AND byte grams; dups vote once; stays in codegen") {
+    graft.functions.SimHash16.register(spark)
+    // word-token caller shape (q_llm_simhash/simdup)
+    val words = Tables.documents(spark, sf)
+      .select(col("doc_id"), lit("x").as("blk"),
+        array_distinct(split(col("text"), " ")).as("tk"))
+    // byte-gram caller shape (q_mm_simdup)
+    val grams = Tables.documents(spark, sf)
+      .withColumn("payload", col("text").cast("binary"))
+      .filter(length(col("payload")) >= 4)
+      .select(col("doc_id"), lit("x").as("blk"),
+        array_distinct(expr(
+          "transform(sequence(1, length(payload) - 3)," +
+            " i -> hex(substring(payload, i, 4)))")).as("tk"))
+    Seq(words, grams).foreach { docs =>
+      val fast = queries.LlmOps.simhashSigsOn(docs, Seq("blk"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val agg = queries.LlmOps.simhashSigsAggOn(docs, Seq("blk"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(fast === agg && fast.nonEmpty)
+    }
+    // a repeated token votes once (Set semantics = array_distinct)
+    val dup = spark.sql(
+      """SELECT graft_simhash16(array('a','a','b')) AS d,
+                graft_simhash16(array('a','b')) AS u""").collect()(0)
+    assert(dup.getLong(0) === dup.getLong(1))
+    // codegen presence over a parquet scan (the jaccard/minhash pin)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shwsc").toString
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(call_function("graft_simhash16", col("tk")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_simhash16"),
+      s"graft_simhash16 fell out of whole-stage codegen:\n$plan")
+  }
+
   test("MinHashSig.register: same family = quiet no-op, DIFFERENT family really replaces") {
     // r9 review find: the idempotent-quiet guard must not become
     // first-registration-WINS — a caller supplying their own hash family
