@@ -1432,6 +1432,56 @@ object LlmOps {
         .orderBy(col("label"), col("rk"))
     }),
 
+    // Nearest-centroid confusion matrix (r12) — the classifier-eval
+    // readout over q_llm_centroid/outlier's exact decimal label
+    // centroids: every vector predicted as its max-cosine centroid
+    // over ALL labels (6dp + label tiebreak — the ivfRanked in-row
+    // comparator, so assignment is a ZERO-shuffle broadcast argmax),
+    // then (label, predicted, n) — the per-class mislabel surface
+    // (outlier ranks within the OWN label; this asks which OTHER label
+    // captures a vector). Centroids are order-free exact decimal sums
+    // (K × dims rows), collapse to ONE broadcast array row; confusion
+    // agg shuffles ≤ ∣labels∣² rows.
+    "q_llm_confusion" -> ((s, d) => {
+      graft.functions.DotF64.register(s)
+      val base = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          toDouble(col("embedding")).as("e"))
+      val cvec = base
+        .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("v").cast("decimal(18,6)").as("v"))
+        .groupBy(col("label"), col("pos"))
+        .agg((round(sum(col("v")), 6).cast("double") / count(lit(1)))
+          .as("cv"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("ce")) // interpreted lambda: K rows
+        .select(col("label").as("clabel"), col("ce"),
+          norm(col("ce")).as("cn"))
+      val centArr = cvec.agg(collect_list(
+        struct(col("clabel"), col("ce"), col("cn"))).as("cs"))
+      base.crossJoin(broadcast(centArr))
+        .withColumn("nrm", norm(col("e")))
+        .withColumn("predicted", expr(
+          """element_at(array_sort(
+                transform(cs, c -> struct(
+                  round(graft_dot(e, c.ce) / (nrm * c.cn), 6) AS csim,
+                  c.clabel AS clabel)),
+                (l, r) -> CASE
+                  WHEN l.csim > r.csim
+                    OR (isnan(l.csim) AND NOT isnan(r.csim)) THEN -1
+                  WHEN l.csim < r.csim
+                    OR (isnan(r.csim) AND NOT isnan(l.csim)) THEN 1
+                  WHEN l.clabel < r.clabel THEN -1
+                  WHEN l.clabel > r.clabel THEN 1
+                  ELSE 0 END), 1).clabel"""))
+        .groupBy(col("label"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("predicted"))
+    }),
+
     // Token frequency: top-20 words (tie → lexicographic).
     "q_llm_wordcount" -> ((s, d) =>
       T.documents(s, d)
@@ -2051,6 +2101,31 @@ object LlmOps {
                 ORDER BY sim ASC, vec_id ASC) AS rk
             FROM scored) t
           WHERE rk <= 3 ORDER BY label, rk""",
+    // The outlier centroid CTEs + an all-labels cross argmax
+    // ((sim desc, clabel asc) row_number = the in-row comparator).
+    "q_llm_confusion" ->
+      s"""WITH cent AS (
+            SELECT label, pos,
+              CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))), 6) AS DOUBLE)
+                / COUNT(*) AS cv
+            FROM (SELECT label, UNNEST(range(len(embedding))) AS pos,
+                    UNNEST(embedding) AS v FROM $emb) x
+            GROUP BY 1, 2),
+          cvec AS (
+            SELECT label AS clabel, list(cv ORDER BY pos ASC) AS ce
+            FROM cent GROUP BY label),
+          pred AS (
+            SELECT vec_id, label, clabel AS predicted FROM (
+              SELECT b.vec_id, b.label, c.clabel,
+                ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                  round(list_aggregate(list_transform(
+                      CAST(b.embedding AS DOUBLE[]), (x, i) -> x * c.ce[i]), 'sum')
+                    / (${normSql("CAST(b.embedding AS DOUBLE[])")}
+                       * ${normSql("c.ce")}), 6) DESC, c.clabel ASC) AS rk
+              FROM $emb b CROSS JOIN cvec c) z
+            WHERE rk = 1)
+          SELECT label, predicted, COUNT(*) AS n
+          FROM pred GROUP BY 1, 2 ORDER BY label, predicted""",
     "q_llm_wordcount" ->
       s"""SELECT word, COUNT(*) AS n
           FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM $doc) t
