@@ -38,6 +38,33 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("GLOBAL §7.4.12 pin: every unpartitioned Window in EVERY graded plan reads a bounded child (Aggregate or post-Limit)") {
+    // An unpartitioned window is ONE partition at any scale. The
+    // contract (§7.4 rule 12, pinned individually for budget/qnorm
+    // since r12): such a window may only run over a provably-bounded
+    // frame — a collapse Aggregate (bucket tables, contingency cells,
+    // 1-row pivots) or a post-Limit frame (zipf's ≤256 checkpoint
+    // rows). A new query sneaking a corpus-wide global window fails
+    // here before it can melt at 100×.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case u: UnaryNode => bounded(u.child)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        }
+        if (bad.isEmpty) None else Some(name)
+    }
+    assert(offenders.isEmpty,
+      s"corpus-wide unpartitioned windows in: $offenders")
+  }
+
   test("GLOBAL order pin: every graded result is explicitly sorted (or provably single-row)") {
     // The driver's oracle compare hashes rows in result order, so an
     // unordered graded query is a latent layout-dependent flake even if
