@@ -556,6 +556,34 @@ object Aggregates {
       boxplotOn(T.orders(s, d), Seq("o_orderstatus"), "o_totalprice")
         .orderBy(col("o_orderstatus"))),
 
+    // Top-k revenue concentration (r12) — the practical "80/20"
+    // readout beside q_agg_gini's whole-curve coefficient: what share
+    // of total order revenue the top-10 / top-100 customers hold.
+    // Customer revenues are exact decimal sums; the top-k cut is total
+    // under (rev desc, custkey asc) — decimals are exact, so both
+    // engines pick the identical k-set; share is ONE IEEE division of
+    // two already-deterministic doubles, unrounded (§7.4.7). Plan: one
+    // map-side-combining customer collapse (∝ customers), each top-k
+    // is TakeOrderedAndProject + a 1-row agg, total is a 1-row
+    // broadcast — no global sort anywhere.
+    "q_agg_topshare" -> ((s, d) => {
+      val byCust = T.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(Det.Dec)).as("rev"))
+        .persist() // total + two top-k consumers; caller clearCache
+      val total = byCust.agg(sum(col("rev")).as("tot"))
+      def top(k: Int) = byCust
+        .orderBy(col("rev").desc, col("o_custkey").asc).limit(k)
+        .agg(sum(col("rev")).as("top_rev"))
+        .select(lit(k).as("k"), col("top_rev"))
+      top(10).union(top(100)).crossJoin(broadcast(total))
+        .select(col("k"),
+          round(col("top_rev"), 4).cast("double").as("top_rev"),
+          round(col("tot"), 4).cast("double").as("total_rev"),
+          (round(col("top_rev"), 4).cast("double")
+            / round(col("tot"), 4).cast("double")).as("share"))
+        .orderBy(col("k"))
+    }),
+
     // §2.4 DISCRETE percentiles (type-1 order statistic): the smallest
     // existing value whose cumulative count reaches ⌈p·n⌉ — no
     // interpolation, so the query carries ZERO float arithmetic: the
@@ -1246,6 +1274,29 @@ object Aggregates {
             round(${pctContVal(1)}, 6) AS p90_price,
             n
           FROM ag ORDER BY o_orderstatus""",
+    // Exact decimal customer revenues, identical (rev desc, custkey)
+    // top-k cuts, one unrounded IEEE division.
+    "q_agg_topshare" ->
+      s"""WITH c AS (
+            SELECT o_custkey,
+              SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+            FROM $ords GROUP BY 1),
+          tot AS (SELECT SUM(rev) AS tot FROM c),
+          t10 AS (
+            SELECT 10 AS k, SUM(rev) AS top_rev FROM (
+              SELECT rev FROM c
+              ORDER BY rev DESC, o_custkey ASC LIMIT 10) x),
+          t100 AS (
+            SELECT 100 AS k, SUM(rev) AS top_rev FROM (
+              SELECT rev FROM c
+              ORDER BY rev DESC, o_custkey ASC LIMIT 100) x)
+          SELECT k,
+            CAST(ROUND(top_rev, 4) AS DOUBLE) AS top_rev,
+            CAST(ROUND(tot, 4) AS DOUBLE) AS total_rev,
+            CAST(ROUND(top_rev, 4) AS DOUBLE)
+              / CAST(ROUND(tot, 4) AS DOUBLE) AS share
+          FROM (SELECT * FROM t10 UNION ALL SELECT * FROM t100) u
+          CROSS JOIN tot ORDER BY k""",
     // The GENERATED cont chain at the quartiles, fence arithmetic on the
     // unrounded values in the Spark operand order, 6dp only at output.
     "q_agg_boxplot" ->
