@@ -460,10 +460,15 @@ object Graft {
     * (graded q_graph_labelprop's engine): `rounds` synchronous
     * majority-vote rounds, ties to the smallest label; returns (node,
     * label). Complements [[kCore]] (trim) and `clusterPairs`
-    * (reachability union) with the neighborhood-district partition. */
+    * (reachability union) with the neighborhood-district partition.
+    * Self-loop edges (src == dst) are dropped here, upholding
+    * LabelProp's "a node's own label does not vote" contract for
+    * arbitrary caller graphs (the graded copurchase graph is
+    * bipartite-parity-encoded and cannot carry one). */
   def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
                      rounds: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
     graft.operators.LabelProp.run(
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
       rounds)

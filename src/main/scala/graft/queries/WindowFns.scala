@@ -106,6 +106,34 @@ object WindowFns {
         expr(s"CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER ($fr), 4) AS DOUBLE)")
           .as("band_rev"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // TIME-interval RANGE frame (r13) — the event-time rolling
+    // aggregate q_win_rangeframe's value-range frame can't express: per
+    // user at each event, the count and decimal value sum of that
+    // user's events in the trailing hour (current row inclusive). The
+    // frame orders by the raw TIMESTAMP with an INTERVAL boundary —
+    // identical ANSI text both engines; RANGE peers (same-µs events)
+    // share one frame, so no unique tiebreak is needed INSIDE the
+    // frame (the q_win_rangeframe determinism argument) while the
+    // presentation order keys on the unique event_id. The sum rides
+    // the exact decimal domain (order-free across engines); null ts
+    // rows are excluded up front (the r13 as-of discipline — a null
+    // order key sorts differently across engines). Plan: ONE user-hash
+    // exchange + in-partition sort; WindowExec's sliding time frame is
+    // O(rows) two-pointer state per partition — at 100 TB this is the
+    // per-key linear pass a trailing-window metric costs at minimum.
+    "q_win_timerange" -> ((s, d) => {
+      val fr = "PARTITION BY user_id ORDER BY ts ASC " +
+        "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW"
+      T.events(s, d)
+        .filter(col("ts").isNotNull)
+        .select(
+          col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          expr(s"count(1) OVER ($fr)").as("n_1h"),
+          expr(s"CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER ($fr), 4) AS DOUBLE)")
+            .as("val_1h"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -168,6 +196,16 @@ object WindowFns {
           FROM $ords
           WINDOW band AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
               RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
-          ORDER BY o_orderkey"""
+          ORDER BY o_orderkey""",
+    // Identical INTERVAL frame text both engines; n_1h is BIGINT on
+    // both sides; the decimal sum is order-free.
+    "q_win_timerange" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS us,
+            COUNT(*) OVER band AS n_1h,
+            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER band, 4) AS DOUBLE) AS val_1h
+          FROM $evt WHERE ts IS NOT NULL
+          WINDOW band AS (PARTITION BY user_id ORDER BY ts ASC
+              RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+          ORDER BY event_id"""
   )
 }

@@ -162,6 +162,35 @@ class FunctionsSuite extends SparkSuite {
       s"graft_simhash16 fell out of whole-stage codegen:\n$plan")
   }
 
+  test("graft_simhash16 edge inputs: NULL element votes -1/bit like the aggregate twin; empty array = sig-0 row vs explode drop") {
+    graft.functions.SimHash16.register(spark)
+    // null-element arrays: compiled form must match the aggregate twin
+    // (md5(NULL)=NULL -> otherwise(-1) on every bit), and a null entry
+    // is distinct from the "" token.
+    val docs = spark.sql(
+      """SELECT * FROM VALUES
+           (1L, 'x', array('a', CAST(NULL AS STRING), 'b')),
+           (2L, 'x', array(CAST(NULL AS STRING))),
+           (3L, 'x', array('', CAST(NULL AS STRING))),
+           (4L, 'x', array('a', 'b'))
+         AS t(doc_id, blk, tk)""")
+    val fast = queries.LlmOps.simhashSigsOn(docs, Seq("blk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val agg = queries.LlmOps.simhashSigsAggOn(docs, Seq("blk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fast === agg && fast.size === 4)
+    // an all-null array votes -1 on all 16 bits -> signature 0
+    assert(fast(2L) === 0L)
+    // empty array: documented divergence — compiled emits a sig-0 row,
+    // the explode-based twin drops the doc.
+    val empty = spark.sql(
+      "SELECT * FROM VALUES (9L, 'x', array_remove(array('q'), 'q')) AS t(doc_id, blk, tk)")
+    val fe = queries.LlmOps.simhashSigsOn(empty, Seq("blk")).collect()
+    val ae = queries.LlmOps.simhashSigsAggOn(empty, Seq("blk")).collect()
+    assert(fe.length === 1 && fe(0).getLong(2) === 0L)
+    assert(ae.isEmpty)
+  }
+
   test("MinHashSig.register: same family = quiet no-op, DIFFERENT family really replaces") {
     // r9 review find: the idempotent-quiet guard must not become
     // first-registration-WINS — a caller supplying their own hash family

@@ -799,4 +799,25 @@ class GraftFacadeSuite extends SparkSuite {
     assert(knn(1) === 12L, s"null vector outranked a real neighbor: $knn")
     spark.catalog.clearCache()
   }
+
+  test("labelPropagate drops self-loop edges: a node's own label never votes") {
+    // Node 1 carries a self-loop plus one real edge to 2; 2-3 is a
+    // second real edge. With the self-loop dropped, 1 round of LPA
+    // gives node 1 its sole NEIGHBOR label (2) — were the self-loop
+    // voting, the (cnt desc, label asc) tie-break would keep label 1.
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graft.labelPropagate(edges, "a", "b", 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 2L, s"self-loop voted for node 1's own label: $got")
+    // identical result to pre-filtered input — self-loops are plan
+    // no-ops, not semantics
+    val pre = Graft.labelPropagate(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b", 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === pre)
+    // a purely self-loop graph has no voting edges at all
+    val only = Graft.labelPropagate(
+      Seq((7L, 7L)).toDF("a", "b"), "a", "b", 1).collect()
+    assert(only.isEmpty, s"self-loop-only graph produced rows: ${only.toSeq}")
+  }
 }
