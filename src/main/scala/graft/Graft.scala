@@ -528,6 +528,21 @@ object Graft {
               valueCol: String): DataFrame =
     graft.queries.Aggregates.boxplotOn(df, groupCols, valueCol)
 
+  /** Sketch-grade approximate quantiles of a numeric column (r13,
+    * [[graft.operators.QuantileSketch]] — mergeable KLL-family
+    * compactors): one row per requested q with the estimate, exact n,
+    * and the deterministic rank-error bound H·n/k. The 100-TB
+    * percentile SCREEN — shuffle is O(k·log(n/k)·partitions) coreset
+    * rows at any input size, vs the exact [[boxplot]]/percentile
+    * engine's shuffle ∝ distinct values. Estimates are
+    * layout-dependent within the pinned bound (the heavy-hitters
+    * sketch contract); reach for the exact engine when the number
+    * itself must be reproducible. */
+  def approxQuantiles(df: DataFrame, valueCol: String, k: Int,
+                      qs: Seq[Double]): DataFrame =
+    graft.operators.QuantileSketch.quantiles(
+      df.select(col(valueCol).cast("double")), k, qs)
+
   /** First-order Markov transition matrix over any per-key ordered event
     * log (graded q_event_markov's engine): (prev, next, n, p) with
     * P(next ∣ prev) row-conditional. Needs (user_id, event_id,
