@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The library front door: the graded query surface re-exposed as
   * PARAMETERIZED operators over arbitrary DataFrames — a user's corpus
@@ -542,6 +542,33 @@ object Graft {
                       qs: Seq[Double]): DataFrame =
     graft.operators.QuantileSketch.quantiles(
       df.select(col(valueCol).cast("double")), k, qs)
+
+  /** Run `body` in a persist SCOPE (r13): cache entries created inside
+    * it — the engine's internal multi-consumer persist()s the caller
+    * never holds a reference to — are uncached (blocking) on the way
+    * out, while cache entries that existed before are left untouched.
+    * This is the long-lived-embedder alternative to the documented
+    * runner contract (Verify/Bench call `clearCache()` after every
+    * query, which would also evict the HOST application's caches).
+    * `body` must MATERIALIZE whatever it needs (collect/write/count)
+    * before returning — a lazy DataFrame escaping the scope recomputes
+    * its formerly-persisted intermediates on later actions (correct,
+    * just uncached). */
+  def cacheScoped[A](spark: SparkSession)(body: => A): A = {
+    val before = org.apache.spark.sql.graftbridge.CacheBridge.snapshot(spark)
+    try body
+    finally org.apache.spark.sql.graftbridge.CacheBridge
+      .uncacheDelta(spark, before)
+  }
+
+  /** [[cacheScoped]] loaned over one graded query: builds
+    * `SparkEntry.queries(name)`, hands it to `use` for materialization,
+    * then drops every cache entry the query created — zero residual
+    * cached RDDs from the engine, host caches intact (pinned in
+    * CacheHygieneSuite). */
+  def runScoped[A](name: String, spark: SparkSession, sfDir: String)
+                  (use: DataFrame => A): A =
+    cacheScoped(spark)(use(graft.SparkEntry.queries(name)(spark, sfDir)))
 
   /** First-order Markov transition matrix over any per-key ordered event
     * log (graded q_event_markov's engine): (prev, next, n, p) with

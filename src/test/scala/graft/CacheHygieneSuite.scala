@@ -62,4 +62,39 @@ class CacheHygieneSuite extends SparkSuite {
         leftovers.filterNot(_.isCheckpointed)
           .map(_.getClass.getSimpleName).mkString(", "))
   }
+
+  test("Graft.runScoped: drops exactly the query's cache entries, host caches intact (r13)") {
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val before = persisted.keySet
+    // the HOST application's own cache, which clearCache would evict
+    // but the scoped runner must not
+    val hostDf = Tables.nation(spark, sf).select(col("n_nationkey"))
+    hostDf.persist()
+    assert(hostDf.count() > 0)
+    assert(hostDf.storageLevel.useMemory, "host cache did not engage")
+    // a persist()-heavy graded query, materialized inside the scope
+    val n = Graft.runScoped("q_agg_topshare", spark, sf)(_.count())
+    assert(n > 0L)
+    // the engine's entries are gone ...
+    val leaked = persisted.filterNot { case (id, r) =>
+      before(id) || r.isCheckpointed }
+    // ... except the host's one RDD
+    assert(leaked.size === 1 && hostDf.storageLevel.useMemory,
+      s"runScoped left ${leaked.size} RDD(s) / host useMemory=" +
+        s"${hostDf.storageLevel.useMemory}: " +
+        leaked.map { case (id, r) => s"#$id ${r.name}" }.mkString(", "))
+    hostDf.unpersist(blocking = true)
+    // empty scope is a no-op; nested scopes compose
+    val r = Graft.cacheScoped(spark) {
+      Graft.cacheScoped(spark) {
+        Graft.runScoped("q_llm_simhash", spark, sf)(_.count())
+      }
+    }
+    assert(r > 0L)
+    val after = persisted.filterNot { case (id, rdd) =>
+      before(id) || rdd.isCheckpointed }
+    assert(after.isEmpty,
+      s"nested scopes leaked: ${after.keys.mkString(", ")}")
+  }
 }
