@@ -310,6 +310,56 @@ object ScaleRehearsal {
       // partial buffer per map partition, so coalescing the build to 8
       // should cut the screen's shuffle ~4× (32 → 8 partials) at some
       // build-scan parallelism cost — measured, not asserted
+      // Graph-community family (r13, verdict item 6 — the two r12
+      // newcomers with no rehearsal row). Planted truths: labelprop
+      // over n/2 disjoint pair-communities must emit one label per
+      // node (out = n; flat vs 8-chain isolates the neighborhood-size
+      // term at fixed rounds); kcore over a 4-regular ring core of
+      // n/100 nodes with degree-1 tails on every other node — the k=3
+      // peel eats ALL tails in round 1 and the survivors are EXACTLY
+      // the core (out = n/100, each at ring degree 4). Claims: both ∝
+      // edges·rounds (per-round equi-join + map-side-combining aggs),
+      // shuffle ∝ edges per round, never a window over the edge list.
+      def sym(e: org.apache.spark.sql.DataFrame) =
+        e.select(col("a").as("src"), col("b").as("dst"))
+          .union(e.select(col("b").as("src"), col("a").as("dst"))).distinct()
+      if (want("labelprop_flat")) time("labelprop_flat", n) {
+        graft.operators.LabelProp.run(sym(pairEdges(n)), 3).count()
+      }
+      if (want("labelprop_chain8")) time("labelprop_chain8", n) {
+        graft.operators.LabelProp.run(sym(chainEdges(n)), 3).count()
+      }
+      if (want("kcore_peel")) time("kcore_peel", n) {
+        val m = n / 100L
+        val ring = spark.range(m).select(col("id").as("a"),
+            pmod(col("id") + 1L, lit(m)).as("b"))
+          .union(spark.range(m).select(col("id").as("a"),
+            pmod(col("id") + 2L, lit(m)).as("b")))
+        val tails = spark.range(m, n).select(col("id").as("a"),
+          pmod(col("id"), lit(m)).as("b"))
+        graft.operators.KCore.peel(sym(ring.union(tails)), 3, 4).count()
+      }
+      // DSIR scoring (r13, same verdict item): the EXACT graded path
+      // (PipelineOps.dsirOn) on the synthetic corpus with a 5-way lang
+      // mix (L0 is the target). Claim: the shingle stream persists
+      // once; both histograms collapse map-side to ≤ B=1024 rows; the
+      // per-doc score shuffles ∝ docs; top-k is a Limit — so shuffle
+      // grows ∝ docs, NEVER ∝ shingles.
+      if (want("dsir_score")) time("dsir_score", n) {
+        graft.queries.PipelineOps.dsirOn(
+          synthDocs(n).withColumn("lang",
+            concat(lit("L"), pmod(col("doc_id"), lit(5L))))).count()
+      }
+      // Collocation lift (r13, same verdict item): the EXACT graded
+      // path (TextOps.collocOn) on the synthetic corpus. The 14
+      // vocabulary tokens per doc give an n-sized bigram vocabulary
+      // with planted repeats (even/odd near-copies repeat 13 of 15
+      // bigrams), so the bigram agg's map-side combine has real work.
+      // Claim: shuffle ∝ bigram vocab (not corpus bigrams), top-k is
+      // TakeOrdered.
+      if (want("colloc_lift")) time("colloc_lift", n) {
+        graft.queries.TextOps.collocOn(synthDocs(n)).count()
+      }
       if (want("bloom_screen_bp8")) time("bloom_screen_bp8", n) {
         val corpus = bloomCorpus
         val survivors = graft.operators.ScaleOps
@@ -478,6 +528,35 @@ object ScaleRehearsal {
         noop(spark.range(n).select(col("id"),
             xxhash64(concat(lit("ep1:"), col("id"))).as("hk"))
           .orderBy(col("hk"), col("id")))
+      }
+      // Mahalanobis top-3 (r13, verdict item 6): the EXACT graded path
+      // (Aggregates.mahalOn) on the synth rows renamed to the lineitem
+      // shape (price/qty correlated via the shared id hash is fine —
+      // cost, not answers, is under test; (st, id, id) keeps the
+      // rank-tiebreak columns unique). Claims: ONE distributive stats
+      // agg to 3 rows broadcast back; d² is a pure map; the rk ≤ 3
+      // filter plans as WindowGroupLimit so the window exchange ships
+      // ≤ 3 rows per map partition — shuffle ~FLAT as rows grow 100×.
+      if (want("mahal_top3")) time("mahal_top3", n) {
+        graft.queries.Aggregates.mahalOn(
+          spark.range(n).select(
+            concat(lit("S"), pmod(col("id"), lit(3L))).as("l_returnflag"),
+            col("id").as("l_orderkey"),
+            lit(1).as("l_linenumber"),
+            (pmod(col("id"), lit(50L)) + 1L).cast("double").as("l_quantity"),
+            ((abs(xxhash64(col("id"))) % 100000000L).cast("double") / 100.0)
+              .as("l_extendedprice"))).count()
+      }
+      // Quantile sketch vs exact engine (r13, verdict item 4's
+      // rehearsal row): operators.QuantileSketch at k=200 on the same
+      // (st, price) rows the pct_* probes use — same three quantiles.
+      // The load-bearing number is shuffle_mb: the sketch ships ONLY
+      // the per-partition coresets (k·log(n/k)·partitions rows at any
+      // input size) where pct_engine's first agg shuffles the distinct
+      // value domain. secs should track the scan.
+      if (want("sk_quantile")) time("sk_quantile", n) {
+        graft.operators.QuantileSketch.quantiles(
+          df.select(col("price")), 200, Seq(0.25, 0.5, 0.9)).count()
       }
     }
     spark.stop()

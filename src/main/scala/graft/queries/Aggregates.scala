@@ -166,40 +166,7 @@ object Aggregates {
     // ties total via (orderkey, linenumber); 6dp at output only.
     // Degenerate covariance (det = 0) → NULL d², sinks below every
     // real distance (desc ⇒ NULLS LAST on both engines).
-    "q_agg_mahal" -> ((s, d) => {
-      val DT = org.apache.spark.sql.types.DecimalType
-      val x = col("l_quantity").cast(DT(9, 2))
-      val y = col("l_extendedprice").cast(DT(12, 2))
-      val g = T.lineitem(s, d).groupBy(col("l_returnflag").as("rf")).agg(
-        count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
-      def dbl(c: String) = col(c).cast("double")
-      val nD = dbl("n")
-      val stats = g.select(col("rf"), nD.as("nd"),
-        dbl("sx").as("sx"), dbl("sy").as("sy"),
-        (nD * dbl("sxx") - dbl("sx") * dbl("sx")).as("c11"),
-        (nD * dbl("syy") - dbl("sy") * dbl("sy")).as("c22"),
-        (nD * dbl("sxy") - dbl("sx") * dbl("sy")).as("c12"))
-      val dx = col("l_quantity") - col("sx") / col("nd")
-      val dy = col("l_extendedprice") - col("sy") / col("nd")
-      val det = col("c11") * col("c22") - col("c12") * col("c12")
-      val d2 = (col("c22") * dx * dx - lit(2.0) * col("c12") * dx * dy
-        + col("c11") * dy * dy) * col("nd") * col("nd") / det
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("d2").desc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
-      T.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"), col("l_extendedprice"))
-        .join(broadcast(stats), col("l_returnflag") === col("rf"))
-        .withColumn("d2", when(det =!= 0.0, d2))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
-          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-          round(col("d2"), 6).as("mahal_d2"))
-        .orderBy(col("l_returnflag"), col("rk"))
-    }),
+    "q_agg_mahal" -> ((s, d) => mahalOn(T.lineitem(s, d))),
 
     // §2.4 ordered string aggregation (LISTAGG surface). collect_set's
     // arrival order is nondeterministic — array_sort canonicalizes
@@ -744,6 +711,44 @@ object Aggregates {
         .orderBy(col("o_custkey"))
     })
   )
+
+  /** q_agg_mahal's engine over any lineitem-shaped (l_returnflag,
+    * l_orderkey, l_linenumber, l_quantity, l_extendedprice) rows —
+    * extracted (r13) so ScaleRehearsal drives the EXACT graded path.
+    * See the registration comment for the semantics/plan story. */
+  private[graft] def mahalOn(li: DataFrame): DataFrame = {
+    val DT = org.apache.spark.sql.types.DecimalType
+    val x = col("l_quantity").cast(DT(9, 2))
+    val y = col("l_extendedprice").cast(DT(12, 2))
+    val g = li.groupBy(col("l_returnflag").as("rf")).agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    def dbl(c: String) = col(c).cast("double")
+    val nD = dbl("n")
+    val stats = g.select(col("rf"), nD.as("nd"),
+      dbl("sx").as("sx"), dbl("sy").as("sy"),
+      (nD * dbl("sxx") - dbl("sx") * dbl("sx")).as("c11"),
+      (nD * dbl("syy") - dbl("sy") * dbl("sy")).as("c22"),
+      (nD * dbl("sxy") - dbl("sx") * dbl("sy")).as("c12"))
+    val dx = col("l_quantity") - col("sx") / col("nd")
+    val dy = col("l_extendedprice") - col("sy") / col("nd")
+    val det = col("c11") * col("c22") - col("c12") * col("c12")
+    val d2 = (col("c22") * dx * dx - lit(2.0) * col("c12") * dx * dy
+      + col("c11") * dy * dy) * col("nd") * col("nd") / det
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("d2").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(stats), col("l_returnflag") === col("rf"))
+      .withColumn("d2", when(det =!= 0.0, d2))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        round(col("d2"), 6).as("mahal_d2"))
+      .orderBy(col("l_returnflag"), col("rk"))
+  }
 
   /** Box-plot profile over arbitrary (group, value) columns — the
     * q_agg_boxplot engine, exposed for [[graft.Graft.boxplot]]: per

@@ -508,6 +508,40 @@ object PipelineOps {
     * hash; shuffle ∝ distinct contents — never a window), and the pack
     * stage is [[pack]] verbatim (one hash exchange). Composing adds NO
     * new shuffle beyond the stages' own. */
+  /** q_llm_dsir's engine over any (doc_id, lang, text) corpus —
+    * extracted (r13) so ScaleRehearsal drives the EXACT graded path.
+    * See the registration comment for the integer-exact scoring story
+    * (arXiv:2302.03169 with the log-ratio replaced by the monotone
+    * integer cross-product). */
+  private[graft] def dsirOn(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val sh = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(LlmOps.shinglesCol(col("tk"))).as("s0"))
+      .select(col("doc_id"), col("lang"),
+        (Det.md5h32(col("s0")) % DsirBuckets).as("bkt"))
+      .persist() // 3 consumers (cr, ct+tot, score); caller clearCache
+    val cr = sh.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+    val ct = sh.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+    val tot = sh.agg(
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"))
+    val w = cr.join(ct, Seq("bkt"), "left").crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        (coalesce(col("ct"), lit(0L)).cast(dec) * col("nr").cast(dec)
+          - col("cr").cast(dec) * col("nt").cast(dec)).as("wgt"))
+    sh.join(broadcast(w), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), sum(col("wgt")).as("sraw"))
+      .select(col("doc_id"), col("n_sh"),
+        col("sraw").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(DsirTopK)
+  }
+
   def pipeline(docs: DataFrame): DataFrame = {
     val withB = docs.withColumn("bucket", bucketCol)
       .withColumn("h", md5(col("text")))
@@ -544,34 +578,7 @@ object PipelineOps {
     // per-doc score = broadcast join of the B-row weight table back
     // onto the shingle stream + doc-keyed agg (shuffle ∝ docs) →
     // global top-k as TakeOrdered. Never a corpus-sized shuffle.
-    "q_llm_dsir" -> ((s, d) => {
-      val dec = org.apache.spark.sql.types.DecimalType(19, 0)
-      val sh = T.documents(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 3)
-        .select(col("doc_id"), col("lang"),
-          explode(LlmOps.shinglesCol(col("tk"))).as("s0"))
-        .select(col("doc_id"), col("lang"),
-          (Det.md5h32(col("s0")) % DsirBuckets).as("bkt"))
-        .persist() // 3 consumers (cr, ct+tot, score); caller clearCache
-      val cr = sh.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
-      val ct = sh.filter(col("lang") === DsirTargetLang)
-        .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
-      val tot = sh.agg(
-        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("nt"),
-        count(lit(1)).as("nr"))
-      val w = cr.join(ct, Seq("bkt"), "left").crossJoin(broadcast(tot))
-        .select(col("bkt"),
-          (coalesce(col("ct"), lit(0L)).cast(dec) * col("nr").cast(dec)
-            - col("cr").cast(dec) * col("nt").cast(dec)).as("wgt"))
-      sh.join(broadcast(w), Seq("bkt"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_sh"), sum(col("wgt")).as("sraw"))
-        .select(col("doc_id"), col("n_sh"),
-          col("sraw").cast("double").as("score"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .limit(DsirTopK)
-    }),
+    "q_llm_dsir" -> ((s, d) => dsirOn(T.documents(s, d))),
     // §2.10 weighted sampling (r9): keep probability ∝ capped token
     // count — longer docs oversampled, the curriculum/quality-weighting
     // primitive. Integer hash-vs-weight comparison only (no floats to

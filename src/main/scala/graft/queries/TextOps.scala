@@ -62,6 +62,35 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** q_text_colloc's engine over any (text) corpus — extracted (r13)
+    * so ScaleRehearsal drives the EXACT graded path. See the
+    * registration comment for the plan story. */
+  private[graft] def collocOn(docs: DataFrame): DataFrame = {
+    val tk = toks
+    val pairs = docs
+      .filter(size(tk) >= 2)
+      .select(explode(transform(sequence(lit(1), size(tk) - 1), i =>
+        struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .persist() // 2 consumers (total + ranked); caller clearCache
+    val uni = docs.select(explode(tk).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTot = bg.agg(sum(col("n_ab")).as("n_bg"))
+    bg.filter(col("n_ab") >= CollocMinPair)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("lift",
+        (col("n_ab").cast("decimal(38,0)") * col("n_bg")).cast("double")
+          / (col("c_a").cast("decimal(38,0)") * col("c_b")).cast("double"))
+      .select(col("w1"), col("w2"), col("n_ab"), col("c_a"), col("c_b"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(CollocTopK)
+  }
+
   private def countIn(set: Seq[String]): Column =
     size(filter(toks, t => t.isin(set.map(x => x: Any): _*)))
 
@@ -368,32 +397,7 @@ object TextOps {
     // broadcasts at graded size, SMJ at open-vocab scale, the tfidf
     // shape); the one-row bigram total BROADCASTs (the HeavyHitters
     // scalar precedent); final top-k is TakeOrdered, never a full sort.
-    "q_text_colloc" -> ((s, d) => {
-      val tk = toks
-      val docs = T.documents(s, d)
-      val pairs = docs
-        .filter(size(tk) >= 2)
-        .select(explode(transform(sequence(lit(1), size(tk) - 1), i =>
-          struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
-          .as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
-        .persist() // 2 consumers (total + ranked); caller clearCache
-      val uni = docs.select(explode(tk).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val nTot = bg.agg(sum(col("n_ab")).as("n_bg"))
-      bg.filter(col("n_ab") >= CollocMinPair)
-        .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
-        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
-        .crossJoin(broadcast(nTot))
-        .withColumn("lift",
-          (col("n_ab").cast("decimal(38,0)") * col("n_bg")).cast("double")
-            / (col("c_a").cast("decimal(38,0)") * col("c_b")).cast("double"))
-        .select(col("w1"), col("w2"), col("n_ab"), col("c_a"), col("c_b"),
-          col("lift"))
-        .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
-        .limit(CollocTopK)
-    }),
+    "q_text_colloc" -> ((s, d) => collocOn(T.documents(s, d))),
 
     // Gopher quality-filter rules (r12; Rae et al. 2021, arXiv:2112.11446
     // Table A1) — the published rule set LLM corpora are actually gated

@@ -875,4 +875,48 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(phys.contains("BroadcastHashJoin"),
       s"bucket join-back not broadcast:\n$phys")
   }
+
+  test("q_win_timerange (r13): ONE user-hash exchange; the INTERVAL range frame is a single WindowExec") {
+    // The trailing-1h frame must ride one user-hash exchange and plan
+    // as one Window node — a per-metric window or an extra exchange
+    // would double the only shuffle a rolling event-time metric needs.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = q("q_win_timerange")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 1, s"expected exactly 1 Window node, got ${wins.size}")
+    assert(wins.head.partitionSpec.nonEmpty, "frame lost its user partition")
+    val phys = planString(df)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(phys).length == 1,
+      s"expected exactly one user-hash exchange:\n$phys")
+  }
+
+  test("q_event_scd2 (r13): both windows RIDE one user-hash exchange (the change filter preserves distribution)") {
+    // lag (change detection) and lead (range close) share the user
+    // partitioning; the filter between them preserves hash
+    // distribution, so the whole SCD build costs ONE shuffle + the
+    // presentation sort. Two user-hash exchanges = the filter broke
+    // distribution reuse; fail before it ships.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = q("q_event_scd2")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected lag + lead Window nodes, got ${wins.size}")
+    assert(wins.forall(_.partitionSpec.nonEmpty))
+    val phys = planString(df)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(phys).length == 1,
+      s"expected exactly one user-hash exchange:\n$phys")
+    assert(!phys.contains("CartesianProduct") && !phys.contains("SortMergeJoin"),
+      s"SCD build must be window-only, no join:\n$phys")
+  }
+
+  test("q_sql_tpch10 / q_sql_tpch18 (r13): dims broadcast, top-k is TakeOrdered, no cartesian") {
+    Seq("q_sql_tpch10", "q_sql_tpch18").foreach { name =>
+      val phys = planString(q(name))
+      assert(phys.contains("TakeOrderedAndProject"),
+        s"$name: LIMIT after ORDER BY should be TakeOrdered:\n$phys")
+      assert(phys.contains("BroadcastHashJoin"),
+        s"$name: no broadcast join at graded scale:\n$phys")
+      assert(!phys.contains("CartesianProduct"),
+        s"$name: cartesian leaked:\n$phys")
+    }
+  }
 }
