@@ -474,6 +474,14 @@ object Graft {
       rounds)
   }
 
+  /** SCD2 dimension-history build over any (user_id, event_id, ts,
+    * event_type) change log (graded q_event_scd2's engine, r13):
+    * half-open [eff_from, eff_to) µs ranges per attribute change, INT
+    * current-row flag; null-ts rows dropped. One user-hash exchange —
+    * the change-log → dimension-table compaction at its minimum cost. */
+  def scd2(events: DataFrame): DataFrame =
+    graft.queries.EventOps.scd2On(events)
+
   /** Welch unequal-variance t-test of per-user value totals between the
     * deterministic md5 arms (graded q_event_abtest_t's engine). Needs
     * (user_id, value) columns; the proportions companion is [[abTest]]

@@ -345,10 +345,17 @@ object ScaleRehearsal {
       // once; both histograms collapse map-side to ≤ B=1024 rows; the
       // per-doc score shuffles ∝ docs; top-k is a Limit — so shuffle
       // grows ∝ docs, NEVER ∝ shingles.
+      // noop-written; round-robin repartition first: spark.range
+      // carries RangePartitioning(id), which SATISFIES the doc-keyed
+      // clustering (equal ids co-located), so without the break the
+      // per-doc score agg pays NO exchange — a freebie the graded
+      // parquet scan (UnknownPartitioning) never gets (measured: 0.0 MB
+      // score-stage shuffle at 600k with the freebie; the honest probe
+      // must model the scan)
       if (want("dsir_score")) time("dsir_score", n) {
-        graft.queries.PipelineOps.dsirOn(
-          synthDocs(n).withColumn("lang",
-            concat(lit("L"), pmod(col("doc_id"), lit(5L))))).count()
+        noop(graft.queries.PipelineOps.dsirOn(
+          synthDocs(n).repartition(32).withColumn("lang",
+            concat(lit("L"), pmod(col("doc_id"), lit(5L))))))
       }
       // Collocation lift (r13, same verdict item): the EXACT graded
       // path (TextOps.collocOn) on the synthetic corpus. The 14
@@ -358,7 +365,7 @@ object ScaleRehearsal {
       // Claim: shuffle ∝ bigram vocab (not corpus bigrams), top-k is
       // TakeOrdered.
       if (want("colloc_lift")) time("colloc_lift", n) {
-        graft.queries.TextOps.collocOn(synthDocs(n)).count()
+        noop(graft.queries.TextOps.collocOn(synthDocs(n)))
       }
       if (want("bloom_screen_bp8")) time("bloom_screen_bp8", n) {
         val corpus = bloomCorpus

@@ -134,6 +134,26 @@ object EventOps {
     * recency is good (strictly-below cuts), HIGH freq/monetary are
     * good (strictly-above cuts); ties with a cut value fall to the
     * lower score on both engines by the strict compare. */
+  /** q_event_scd2's engine over any (user_id, event_id, ts,
+    * event_type) log — the SCD2 dimension-history build; see the
+    * registration comment for semantics and the one-exchange plan
+    * story. Exposed via [[graft.Graft.scd2]]. */
+  private[graft] def scd2On(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val ev = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("attr"))
+    ev.withColumn("prev", lag(col("attr"), 1).over(ord))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      .withColumn("eff_to_us", lead(col("us"), 1).over(ord))
+      .select(col("user_id"), col("attr"),
+        col("us").as("eff_from_us"), col("event_id").as("eff_from_id"),
+        col("eff_to_us"),
+        col("eff_to_us").isNull.cast("int").as("is_current"))
+      .orderBy(col("user_id"), col("eff_from_us"), col("eff_from_id"))
+  }
+
   private[graft] def rfmOn(events: DataFrame): DataFrame = {
     import graft.operators.Percentiles
     val u = events.filter(col("ts").isNotNull)
@@ -1016,21 +1036,7 @@ object EventOps {
     // sort). At 100 TB: shuffle ∝ events, output ∝ attribute changes —
     // the SCD build is a linear per-key pass, exactly what a
     // change-log → dimension-table compaction should cost.
-    "q_event_scd2" -> ((s, d) => {
-      val ord = Window.partitionBy(col("user_id"))
-        .orderBy(col("us").asc, col("event_id").asc)
-      val ev = T.events(s, d).filter(col("ts").isNotNull)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"), col("event_type").as("attr"))
-      ev.withColumn("prev", lag(col("attr"), 1).over(ord))
-        .filter(col("prev").isNull || col("prev") =!= col("attr"))
-        .withColumn("eff_to_us", lead(col("us"), 1).over(ord))
-        .select(col("user_id"), col("attr"),
-          col("us").as("eff_from_us"), col("event_id").as("eff_from_id"),
-          col("eff_to_us"),
-          col("eff_to_us").isNull.cast("int").as("is_current"))
-        .orderBy(col("user_id"), col("eff_from_us"), col("eff_from_id"))
-    }),
+    "q_event_scd2" -> ((s, d) => scd2On(T.events(s, d))),
 
     // New-vs-returning split (r12) — the growth-accounting face of DAU:
     // per activity day, how many active users are first-ever-seen that

@@ -168,6 +168,60 @@ object SqlOps {
         ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
         LIMIT 100"""
 
+  /** TPC-H Q7 (volume shipping): bidirectional nation-pair revenue by
+    * ship year — the OR-of-symmetric-pairs join predicate plus the
+    * date-part grouping Q3/Q5/Q10/Q18 don't exercise. EXTRACT(YEAR)
+    * carries a CAST because DuckDB returns BIGINT where Spark returns
+    * INT; NATION_18/19 both hold suppliers at every SF (probed).
+    * Ordinal GROUP BY is the dialect intersection for grouping by an
+    * aliased expression. */
+  private def tpch7Sql(supp: String, li: String, ords: String,
+                       cust: String, nat: String) =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+          ${Det.sqlSumProd("l_extendedprice", "1 - l_discount")} AS revenue
+        FROM $supp s
+          JOIN $li l ON s.s_suppkey = l.l_suppkey
+          JOIN $ords o ON o.o_orderkey = l.l_orderkey
+          JOIN $cust c ON c.c_custkey = o.o_custkey
+          JOIN $nat n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN $nat n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+           OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3"""
+
+  /** TPC-H Q14 (promotion effect): conditional revenue share in one
+    * month — the CASE-inside-aggregate shape. Both revenue sums ride
+    * the §7.4 decimal-product domain (the CASE sits INSIDE the base
+    * cast, so promo and total run the identical chain); the share is
+    * one IEEE division ×100, shipped unrounded. */
+  private def tpch14Sql(li: String, prt: String) =
+    s"""SELECT 100 * ${Det.sqlSumProd(
+            "CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0 END",
+            "1 - l_discount")}
+          / ${Det.sqlSumProd("l_extendedprice", "1 - l_discount")}
+          AS promo_revenue_pct
+        FROM $li l JOIN $prt p ON p.p_partkey = l.l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'"""
+
+  /** TPC-H Q19 (discounted revenue): the disjunction-of-conjunctions
+    * predicate over joined tables — the shape that exercises OR
+    * pushdown through a join (Catalyst extracts the common p_partkey
+    * equi-condition; the brand/size/qty triples filter both sides).
+    * Single-row decimal-product aggregate. */
+  private def tpch19Sql(li: String, prt: String) =
+    s"""SELECT ${Det.sqlSumProd("l_extendedprice", "1 - l_discount")}
+          AS revenue
+        FROM $li l JOIN $prt p ON p.p_partkey = l.l_partkey
+        WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 5 AND 25
+               AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 40
+               AND l_quantity BETWEEN 20 AND 40)"""
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q3/Q5 as SQL text — the canonical decision-support join
     // pyramids. Catalyst gets the join order right from the declared
@@ -204,6 +258,27 @@ object SqlOps {
       T.orders(s, d).createOrReplaceTempView("orders")
       T.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(tpch18Sql("customer", "orders", "lineitem"))
+    }),
+    // TPC-H Q7/Q14/Q19 (r13 second wave) — nation-pair-by-year,
+    // CASE-in-aggregate share, and OR-of-conjunctions predicates.
+    "q_sql_tpch7" -> ((s, d) => {
+      T.supplier(s, d).createOrReplaceTempView("supplier")
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(tpch7Sql("supplier", "lineitem", "orders", "customer",
+        "nation"))
+    }),
+    "q_sql_tpch14" -> ((s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.part(s, d).createOrReplaceTempView("part")
+      s.sql(tpch14Sql("lineitem", "part"))
+    }),
+    "q_sql_tpch19" -> ((s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.part(s, d).createOrReplaceTempView("part")
+      s.sql(tpch19Sql("lineitem", "part"))
     }),
 
     // Scalar subquery + IN subquery + correlated EXISTS, as SQL text.
@@ -249,6 +324,10 @@ object SqlOps {
       tbl("lineitem"), tbl("nation")),
     "q_sql_tpch18" -> tpch18Sql(tbl("customer"), tbl("orders"),
       tbl("lineitem")),
+    "q_sql_tpch7" -> tpch7Sql(tbl("supplier"), tbl("lineitem"),
+      tbl("orders"), tbl("customer"), tbl("nation")),
+    "q_sql_tpch14" -> tpch14Sql(tbl("lineitem"), tbl("part")),
+    "q_sql_tpch19" -> tpch19Sql(tbl("lineitem"), tbl("part")),
     "q_sql_subquery" -> subquerySql(tbl("customer"), tbl("orders")),
     "q_sql_gsets" -> gsetsSql(tbl("orders")),
     "q_sql_lateral" -> lateralSql(tbl("region"), tbl("nation"), tbl("customer")),

@@ -686,6 +686,10 @@ class GraftFacadeSuite extends SparkSuite {
       "lastTouchAttribution" -> (() => Graft.lastTouchAttribution(
         Seq.empty[(Long, String, java.sql.Timestamp, Long)]
           .toDF("user_id", "event_type", "ts", "event_id"))),
+      // r13 facade entries
+      "scd2" -> (() => Graft.scd2(
+        Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+          .toDF("user_id", "event_id", "ts", "event_type"))),
       "gopherFlags" -> (() => Graft.gopherFlags(emptyCorpus, "item_no", "body")),
       "qualityPercentile" -> (() =>
         Graft.qualityPercentile(emptyCorpus, "item_no", "body")),
@@ -819,5 +823,29 @@ class GraftFacadeSuite extends SparkSuite {
     val only = Graft.labelPropagate(
       Seq((7L, 7L)).toDF("a", "b"), "a", "b", 1).collect()
     assert(only.isEmpty, s"self-loop-only graph produced rows: ${only.toSeq}")
+  }
+
+  test("scd2: ranges tile the timeline half-open, same-attr runs merge, null ts dropped") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val log = Seq(
+      // user 1: A A B A — runs merge, changes cut
+      (1L, 10L, ts(1000000L), "A"),
+      (1L, 11L, ts(2000000L), "A"),
+      (1L, 12L, ts(3000000L), "B"),
+      (1L, 13L, ts(4000000L), "A"),
+      // user 2: single event
+      (2L, 20L, ts(5000000L), "C")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+      .union(Seq((3L, 30L, Option.empty[java.sql.Timestamp].orNull, "X"))
+        .toDF("user_id", "event_id", "ts", "event_type"))
+    val out = Graft.scd2(log).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getInt(5)))
+    assert(out.toSeq === Seq(
+      (1L, "A", 1000000L, 3000000L, 0),
+      (1L, "B", 3000000L, 4000000L, 0),
+      (1L, "A", 4000000L, -1L, 1),
+      (2L, "C", 5000000L, -1L, 1)),
+      s"unexpected SCD2 ranges: ${out.toSeq}")
   }
 }
