@@ -118,6 +118,18 @@ case class AttribState(touch: String)
 
 case class AttribOut(user_id: Long, event_id: Long, touch_type: String)
 
+/** Per-key open SCD2 range: the current attribute and its effective-from
+  * (µs, event_id). */
+case class Scd2State(attr: String, fromUs: Long, fromId: Long)
+
+/** One SCD2 range emission, upsert-keyed by (user_id, eff_from_us,
+  * eff_from_id): is_current = 1 opens a range (eff_to_us = -1 sentinel),
+  * a later change re-emits the SAME key closed (is_current = 0,
+  * eff_to_us set) — last-write-wins materialization reproduces the
+  * batch build exactly. */
+case class Scd2Out(user_id: Long, attr: String, eff_from_us: Long,
+                   eff_from_id: Long, eff_to_us: Long, is_current: Int)
+
 case class TopkState(sums: Map[Long, Long], n: Long)
 
 case class TopkOut(window_us: Long, rk: Int, user_id: Long, value: Double,
@@ -346,6 +358,46 @@ object StreamOps {
           }
           state.update(s)
           Iterator.single(StreakOut(user, s.nActive, s.longest, s.current))
+      }
+  }
+
+  /** Streaming SCD2 dimension-history maintainer — the stateful twin of
+    * q_event_scd2's lag/lead build (r13): ONE open range per key in
+    * state; each attribute CHANGE emits two upserts — the previous
+    * range re-emitted closed (its eff_to = the change point) and the
+    * new range opened (eff_to = −1 sentinel, is_current = 1). A
+    * downstream materialization keyed (user, eff_from_us, eff_from_id)
+    * with last-write-wins holds EXACTLY the batch build at every
+    * instant — the incremental-materialized-view form of the warehouse
+    * staple (the reference's per-key view-maintenance core, SURVEY
+    * §1.1). Update mode (a range row is revised once, when it closes);
+    * within-batch slices sort by (ts, id) — the ewma-class cross-batch
+    * in-order contract; same-attr repeats fold silently (no emission,
+    * the batch run-merge). Parity-pinned vs the graded batch query in
+    * StreamingParitySuite, including a change across a batch boundary. */
+  def scd2Monitor(events: Dataset[Event]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[Scd2State]) =>
+          var open = state.getOption
+          val out = Seq.newBuilder[Scd2Out]
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            open match {
+              case None =>
+                open = Some(Scd2State(e.event_type, e.ts_us, e.event_id))
+                out += Scd2Out(user, e.event_type, e.ts_us, e.event_id,
+                  -1L, 1)
+              case Some(o) if o.attr != e.event_type =>
+                out += Scd2Out(user, o.attr, o.fromUs, o.fromId, e.ts_us, 0)
+                open = Some(Scd2State(e.event_type, e.ts_us, e.event_id))
+                out += Scd2Out(user, e.event_type, e.ts_us, e.event_id,
+                  -1L, 1)
+              case _ => // same attr: the run merges, nothing to emit
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
       }
   }
 

@@ -265,6 +265,46 @@ class StreamingParitySuite extends SparkSuite {
     assert(rows.sorted.toSeq === Seq((10L, 1), (11L, 0)))
   }
 
+  test("scd2 monitor: last-write-wins materialization == graded q_event_scd2 on sf0.001; a change across batches closes the carried range") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    // upsert materialization: last emission per (user, from_us, from_id)
+    val twin = StreamOps.scd2Monitor(events).collect()
+      .groupBy(o => (o.user_id, o.eff_from_us, o.eff_from_id))
+      .view.mapValues(_.last).toMap.values
+      .map(o => (o.user_id, o.attr, o.eff_from_us, o.eff_from_id,
+        o.eff_to_us, o.is_current)).toSet
+    val batch = graft.queries.EventOps.queries("q_event_scd2")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getInt(5))).toSet
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+    spark.catalog.clearCache()
+    // a change arriving in batch 2 must CLOSE the range opened in
+    // batch 1 (revising its row), and open the new current range
+    val mini = Seq(
+      Event(1L, 100L, 7L, "view", 1.0), Event(2L, 200L, 7L, "view", 1.0),
+      Event(3L, 300L, 7L, "click", 1.0))
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.scd2Monitor(ms.toDS())
+      .writeStream.format("memory").queryName("scd2_mini")
+      .outputMode("update").start()
+    try {
+      ms.addData(mini.take(2)); q.processAllAvailable()
+      ms.addData(mini.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("scd2_mini").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    // emissions in order: open view@100, then (close view, open click)
+    assert(rows.toSeq.sortBy(r => (r._3, r._5)) === Seq(
+      (7L, "view", 100L, 1L, -1L, 1),
+      (7L, "view", 100L, 1L, 300L, 0),
+      (7L, "click", 300L, 3L, -1L, 1)))
+  }
+
   test("attrib monitor: per-touch credit counts == graded q_event_attrib on sf0.001; the touch carries across batches") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
