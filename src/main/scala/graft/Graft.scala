@@ -551,6 +551,16 @@ object Graft {
     graft.operators.QuantileSketch.quantiles(
       df.select(col(valueCol).cast("double")), k, qs)
 
+  /** Grouped [[approxQuantiles]]: one sketch per group per partition
+    * (memory O(groups-per-partition · k·log(n/k)) — pre-repartition by
+    * the group key when it is high-cardinality), per-group estimates
+    * with each group's own H·n/k bound. */
+  def approxQuantilesBy(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, k: Int,
+                        qs: Seq[Double]): DataFrame =
+    graft.operators.QuantileSketch.quantilesBy(df, groupCols, valueCol,
+      k, qs)
+
   /** Run `body` in a persist SCOPE (r13): cache entries created inside
     * it — the engine's internal multi-consumer persist()s the caller
     * never holds a reference to — are uncached (blocking) on the way

@@ -133,6 +133,73 @@ object QuantileSketch {
     }
   }
 
+  /** Per-partition GROUPED fold → (groupCols…, v, w) weighted coreset
+    * rows: one [[Summary]] per group key per partition (memory
+    * O(groups-per-partition · k·(H+1)); high-cardinality group keys
+    * should pre-repartition by group so each partition holds ~G/P
+    * sketches). Shuffle-free; output ≤ groups · k·(H+1) rows per
+    * partition at ANY input size. Null group values are legitimate
+    * keys (SQL GROUP BY semantics); null/NaN values are skipped. */
+  def coresetBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "use coreset() for the ungrouped form")
+    val in = df.select(groupCols.map(col) :+
+      col(valueCol).cast("double").as("__v"): _*)
+    val g = groupCols.size
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.fields.dropRight(1) ++ Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType)))
+    in.mapPartitions { it =>
+      val sums = scala.collection.mutable.HashMap.empty[Seq[Any], Summary]
+      it.foreach { r =>
+        if (!r.isNullAt(g)) {
+          val key = (0 until g).map(r.get)
+          sums.getOrElseUpdate(key, new Summary(k)).update(r.getDouble(g))
+        }
+      }
+      sums.iterator.flatMap { case (key, s) =>
+        // Seq[Any] — a bare Seq(v, w) would unify Double|Long and
+        // numerically WIDEN the weight to Double, breaking the encoder
+        s.coreset.map { case (v, w) => Row.fromSeq(key ++ Seq[Any](v, w)) }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Grouped [[quantiles]]: per group, one row per q with the estimate,
+    * exact group count n, and that group's H·n/k bound (H from the
+    * group's own shipped weights). Same screen economics per group. */
+  def quantilesBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty)
+    val gc = groupCols.map(col)
+    val cs = coresetBy(df, groupCols, valueCol, k)
+      .groupBy(gc :+ col("v"): _*).agg(sum(col("w")).as("w"))
+    val tot = cs.groupBy(gc: _*).agg(sum(col("w")).as("n"),
+      (round(log2(max(col("w")))).cast("double") * sum(col("w")) / k)
+        .as("err_bound"))
+    val cum = cs.withColumn("cw",
+      sum(col("w")).over(Window.partitionBy(gc: _*).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qdf = df.sparkSession.createDataFrame(qs.map(Tuple1.apply)).toDF("q")
+    // null-safe group join: a NULL group value is a legitimate key
+    // (SQL GROUP BY semantics), which a plain equi-join would drop
+    val totR = tot.select(groupCols.map(c => col(c).as(s"__t_$c")) ++
+      Seq(col("n"), col("err_bound")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    cum.join(totR, cond)
+      .drop(groupCols.map(c => s"__t_$c"): _*)
+      .crossJoin(qdf)
+      .filter(col("cw") >= greatest(lit(1L), ceil(col("q") * col("n"))))
+      .groupBy(gc ++ Seq(col("q"), col("n"), col("err_bound")): _*)
+      .agg(min(col("v")).as("v_est"))
+      .select(gc ++ Seq(col("q"), col("v_est"), col("n"),
+        col("err_bound")): _*)
+      .orderBy(gc :+ col("q"): _*)
+  }
+
   /** Per-partition fold → (v, w) weighted coreset rows. Input: the
     * single double column of `values`. Shuffle-free; the output is
     * ≤ k·(H+1) rows per partition at ANY input size. */

@@ -222,6 +222,34 @@ object SqlOps {
            OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 40
                AND l_quantity BETWEEN 20 AND 40)"""
 
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-predicate
+    * aggregate — every filter (date range, discount band, quantity cap)
+    * pushes to the parquet scan; revenue = Σ price·discount in the
+    * exact decimal-product domain. Boundary compares run on the SAME
+    * parquet doubles and literals in both engines. One row. */
+  private def tpch6Sql(li: String) =
+    s"""SELECT ${Det.sqlSumProd("l_extendedprice", "l_discount")} AS revenue
+        FROM $li
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24"""
+
+  /** TPC-H Q13 (customer distribution): LEFT JOIN + double aggregation
+    * — order counts per customer INCLUDING zero-order customers, then
+    * the distribution of those counts (the shape that catches an inner
+    * join silently dropping the empty group). The o_comment filter of
+    * the official query has no column here; counts are BIGINT both
+    * engines; c_count is unique per output row ⇒ the DESC order is
+    * total. */
+  private def tpch13Sql(cust: String, ords: String) =
+    s"""SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM $cust c LEFT JOIN $ords o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC"""
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q3/Q5 as SQL text — the canonical decision-support join
     // pyramids. Catalyst gets the join order right from the declared
@@ -274,6 +302,15 @@ object SqlOps {
       T.lineitem(s, d).createOrReplaceTempView("lineitem")
       T.part(s, d).createOrReplaceTempView("part")
       s.sql(tpch14Sql("lineitem", "part"))
+    }),
+    "q_sql_tpch6" -> ((s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(tpch6Sql("lineitem"))
+    }),
+    "q_sql_tpch13" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(tpch13Sql("customer", "orders"))
     }),
     "q_sql_tpch19" -> ((s, d) => {
       T.lineitem(s, d).createOrReplaceTempView("lineitem")
@@ -328,6 +365,8 @@ object SqlOps {
       tbl("orders"), tbl("customer"), tbl("nation")),
     "q_sql_tpch14" -> tpch14Sql(tbl("lineitem"), tbl("part")),
     "q_sql_tpch19" -> tpch19Sql(tbl("lineitem"), tbl("part")),
+    "q_sql_tpch6" -> tpch6Sql(tbl("lineitem")),
+    "q_sql_tpch13" -> tpch13Sql(tbl("customer"), tbl("orders")),
     "q_sql_subquery" -> subquerySql(tbl("customer"), tbl("orders")),
     "q_sql_gsets" -> gsetsSql(tbl("orders")),
     "q_sql_lateral" -> lateralSql(tbl("region"), tbl("nation"), tbl("customer")),

@@ -124,6 +124,38 @@ class QuantileSketchSuite extends SparkSuite {
       s"coreset $csRows rows exceeds k(H+1)P = ${k.toLong * (h + 1) * parts}")
   }
 
+  test("grouped quantilesBy: per-group bound holds vs the exact definition; null group is a key; empty groups absent") {
+    val df = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+    val byG = df.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSeq)
+    val out = QuantileSketch.quantilesBy(df, Seq("o_orderstatus"),
+      "o_totalprice", 128, Seq(0.25, 0.5, 0.9)).collect()
+    assert(out.map(_.getString(0)).distinct.sorted.toSeq ===
+      byG.keys.toSeq.sorted)
+    out.foreach { r =>
+      val xs = byG(r.getString(0))
+      val q = r.getAs[Double]("q")
+      val est = r.getAs[Double]("v_est")
+      val n = r.getAs[Long]("n")
+      val bound = r.getAs[Double]("err_bound")
+      assert(n === xs.size.toLong, s"group ${r.getString(0)} n mismatch")
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val (below, atOrBelow) = ranks(xs, est)
+      assert(below < target + bound && atOrBelow >= target - bound,
+        s"group ${r.getString(0)} q=$q est=$est target=$target " +
+          s"ranks=($below,$atOrBelow) bound=$bound")
+    }
+    // a null group value is a legitimate key; null values are skipped
+    val mixed = Seq((Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+      (None, Some(5.0)), (Some("a"), None))
+      .toDF("g", "x")
+    val m = QuantileSketch.quantilesBy(mixed, Seq("g"), "x", 8, Seq(0.5))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getAs[Double]("v_est"), r.getAs[Long]("n"))).toMap
+    assert(m === Map(Some("a") -> ((1.0, 2L)), None -> ((5.0, 1L))))
+  }
+
   test("facade Graft.approxQuantiles: casts the column, empty input yields zero rows") {
     val out = Graft.approxQuantiles(
       Tables.orders(spark, sf).select(col("o_orderkey")), "o_orderkey",
