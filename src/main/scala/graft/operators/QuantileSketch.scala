@@ -49,8 +49,15 @@ object QuantileSketch {
   final class Summary(val k: Int) extends Serializable {
     require(k >= 4 && k % 2 == 0, s"k must be even and >= 4, got $k")
     private[QuantileSketch] val levels = ArrayBuffer(ArrayBuffer.empty[Double])
-    private val parity = ArrayBuffer(false)
+    private[QuantileSketch] val parity = ArrayBuffer(false)
     var n: Long = 0L
+
+    /** Exact structural snapshot (n, parity flags, level contents) —
+      * the state-store round-trip form for streaming monitors; restore
+      * with [[QuantileSketch.restore]] reproduces the sketch
+      * BIT-EXACTLY (same future compactions, same estimates). */
+    def snapshot: (Long, Seq[Boolean], Seq[Seq[Double]]) =
+      (n, parity.toList, levels.map(_.toList).toList)
 
     def update(v: Double): Unit = if (!v.isNaN) {
       levels(0) += v
@@ -131,6 +138,23 @@ object QuantileSketch {
         Some(out)
       }
     }
+  }
+
+  /** Rebuild a [[Summary]] from a [[Summary.snapshot]] — bit-exact:
+    * the restored sketch compacts and estimates identically to the
+    * original (pinned in the streaming parity suite's split-batch
+    * case). */
+  def restore(k: Int, n: Long, parity: Seq[Boolean],
+              levels: Seq[Seq[Double]]): Summary = {
+    val s = new Summary(k)
+    s.levels.clear()
+    levels.foreach(l => s.levels += ArrayBuffer(l: _*))
+    if (s.levels.isEmpty) s.levels += ArrayBuffer.empty[Double]
+    s.parity.clear()
+    parity.foreach(s.parity += _)
+    while (s.parity.size < s.levels.size) s.parity += false
+    s.n = n
+    s
   }
 
   /** Per-partition GROUPED fold → (groupCols…, v, w) weighted coreset

@@ -130,6 +130,17 @@ case class Scd2State(attr: String, fromUs: Long, fromId: Long)
 case class Scd2Out(user_id: Long, attr: String, eff_from_us: Long,
                    eff_from_id: Long, eff_to_us: Long, is_current: Int)
 
+/** Per-key KLL sketch state — the exact structural snapshot of
+  * [[graft.operators.QuantileSketch.Summary]] (level contents + parity
+  * flags + n), losslessly restorable: state-store round-trips change
+  * NOTHING about future compactions or estimates. */
+case class KllState(n: Long, parity: Seq[Boolean], levels: Seq[Seq[Double]])
+
+/** Running per-key quantile readout: exact count, sketch p50/p90, and
+  * the deterministic H·n/k rank-error bound. */
+case class QuantOut(user_id: Long, n: Long, p50: Double, p90: Double,
+                    err_bound: Double)
+
 case class TopkState(sums: Map[Long, Long], n: Long)
 
 case class TopkOut(window_us: Long, rk: Int, user_id: Long, value: Double,
@@ -358,6 +369,38 @@ object StreamOps {
           }
           state.update(s)
           Iterator.single(StreakOut(user, s.nActive, s.longest, s.current))
+      }
+  }
+
+  /** Streaming per-key quantile sketch (r13) — the
+    * [[graft.operators.QuantileSketch]] compactor hierarchy carried as
+    * keyed state: each micro-batch folds its slice (sorted by (ts, id)
+    * — the ewma-class replay contract) into the key's sketch and
+    * re-emits the running p50/p90 with the deterministic H·n/k bound
+    * (Update mode — estimates revise as data arrives). The state is
+    * the sketch's EXACT structural snapshot, so a batch split changes
+    * nothing: fold(A++B) ≡ fold(B) ∘ restore(fold(A)) bit-for-bit —
+    * pinned in the parity suite against a driver-side fold of the same
+    * ordered values. State per key is O(k·log(n/k)) doubles however
+    * long the stream runs — the sketch IS the bounded-state story that
+    * an exact per-key percentile (state ∝ distinct values) cannot
+    * offer a stream. */
+  def quantileMonitor(events: Dataset[Event], k: Int = 64): Dataset[QuantOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[KllState]) =>
+          val s = state.getOption
+            .map(st => graft.operators.QuantileSketch
+              .restore(k, st.n, st.parity, st.levels))
+            .getOrElse(new graft.operators.QuantileSketch.Summary(k))
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            .foreach(e => s.update(e.value))
+          val (sn, sp, sl) = s.snapshot
+          state.update(KllState(sn, sp, sl))
+          if (s.n == 0L) Iterator.empty
+          else Iterator.single(QuantOut(user, s.n,
+            s.quantile(0.5).get, s.quantile(0.9).get, s.errBound))
       }
   }
 

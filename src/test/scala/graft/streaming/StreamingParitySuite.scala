@@ -265,6 +265,45 @@ class StreamingParitySuite extends SparkSuite {
     assert(rows.sorted.toSeq === Seq((10L, 1), (11L, 0)))
   }
 
+  test("quantile monitor: per-key sketch == driver-side fold of the same ordered values on sf0.001; split-batch state round-trip is bit-exact") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val k = 64
+    val twin = StreamOps.quantileMonitor(events, k).collect()
+      .map(o => o.user_id -> ((o.n, o.p50, o.p90, o.err_bound))).toMap
+    // driver-side truth: the identical (ts, id)-ordered fold per key —
+    // the sketch is deterministic, so equality is EXACT, not bounded
+    val byUser = events.collect().toSeq
+      .groupBy(_.user_id).view.mapValues { es =>
+        val s = new graft.operators.QuantileSketch.Summary(k)
+        es.sortBy(e => (e.ts_us, e.event_id)).foreach(e => s.update(e.value))
+        (s.n, s.quantile(0.5).get, s.quantile(0.9).get, s.errBound)
+      }.toMap
+    assert(twin === byUser)
+    assert(twin.nonEmpty)
+    spark.catalog.clearCache()
+    // split-batch: restore(fold(A)) then fold(B) must equal fold(A++B)
+    // bit-for-bit — the state round-trip exactness claim
+    val vals = (1 to 300).map(i => Event(i.toLong, i.toLong * 1000, 5L,
+      "view", (i * 37 % 101).toDouble))
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.quantileMonitor(ms.toDS(), k)
+      .writeStream.format("memory").queryName("kll_mini")
+      .outputMode("update").start()
+    try {
+      ms.addData(vals.take(137)); q.processAllAvailable()
+      ms.addData(vals.drop(137)); q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("kll_mini").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .last
+    val whole = new graft.operators.QuantileSketch.Summary(k)
+    vals.foreach(e => whole.update(e.value))
+    assert(last === ((whole.n, whole.quantile(0.5).get,
+      whole.quantile(0.9).get, whole.errBound)))
+  }
+
   test("scd2 monitor: last-write-wins materialization == graded q_event_scd2 on sf0.001; a change across batches closes the carried range") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
