@@ -474,13 +474,92 @@ object Graft {
       rounds)
   }
 
-  /** SCD2 dimension-history build over any (user_id, event_id, ts,
-    * event_type) change log (graded q_event_scd2's engine, r13):
-    * half-open [eff_from, eff_to) µs ranges per attribute change, INT
+  /** As-of join over ARBITRARY left/right tables (r13) — the graded
+    * q_join_asof / q_join_asof_near single-scan engine generalized:
+    * for each left row, the matching right row within the same key by
+    * event-time proximity, WITHOUT the join+rank expansion (10⁵ rights
+    * × 10⁵ lefts per key costs one 2·10⁵-row sorted pass, not 10¹⁰
+    * candidate rows — the windowed as-of is the 100-TB shape).
+    *
+    * `direction`:
+    *  - "backward" (default): latest right with r_ts ≤ l_ts; ties on
+    *    (r_ts) break to the HIGHEST right id (the graded contract).
+    *  - "forward": earliest right with r_ts ≥ l_ts; ties break lowest.
+    *  - "nearest": min ∣Δt∣ either way, equal distance → backward;
+    *    same-instant rights count as backward (the q_join_asof_near
+    *    documented semantic).
+    * `toleranceUs`: matches farther than this are nulled (gap included
+    * up to and including the bound), Merge-as-of style.
+    *
+    * Null right-side rows (no match in range) survive with null match
+    * columns — the left-outer as-of contract. Null timestamps on
+    * EITHER side are dropped first (a null order key sorts differently
+    * across engines — the r13 discipline). One key-hash exchange.
+    * @return (key, left_id, l_us, right_id, r_us, gap_us =
+    *         l_us − r_us; negative for forward matches). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTsCol: String, leftIdCol: String,
+               rightTsCol: String, rightIdCol: String,
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    toleranceUs.foreach(t => require(t >= 0, s"toleranceUs < 0: $t"))
+    val l = left.filter(col(leftTsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(leftIdCol).as("eid"),
+        unix_micros(col(leftTsCol)).as("us"), lit(1).as("is_l"))
+    val r = right.filter(col(rightTsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(rightIdCol).as("eid"),
+        unix_micros(col(rightTsCol)).as("us"), lit(0).as("is_l"))
+    // interleaved ordering, tie side per direction: backward/nearest
+    // sort rights BEFORE lefts at equal us (same-instant right is a
+    // backward match — the q_join_asof_near semantic); forward sorts
+    // lefts first so its ≥ is inclusive too
+    val tieFirst =
+      if (direction == "forward") col("is_l").desc else col("is_l").asc
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("us").asc, tieFirst, col("eid").asc)
+    val back = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val fwd = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.currentRow,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rRow = when(col("is_l") === 0, struct(col("us"), col("eid")))
+    val interleaved = l.unionByName(r)
+      .withColumn("cb", max(rRow).over(back))
+      .withColumn("cf", min(rRow).over(fwd))
+      .filter(col("is_l") === 1)
+    val picked = direction match {
+      case "backward" => interleaved.withColumn("m", col("cb"))
+      case "forward" => interleaved.withColumn("m", col("cf"))
+      case "nearest" => interleaved.withColumn("m",
+        when(col("cb").isNull, col("cf"))
+          .when(col("cf").isNull, col("cb"))
+          .when(col("us") - col("cb.us") <= col("cf.us") - col("us"),
+            col("cb"))
+          .otherwise(col("cf")))
+    }
+    val tolerated = toleranceUs match {
+      case Some(t) => picked.withColumn("m",
+        when(abs(col("us") - col("m.us")) <= t, col("m")))
+      case None => picked
+    }
+    tolerated.select(col("key"), col("eid").as("left_id"),
+      col("us").as("l_us"),
+      col("m.eid").as("right_id"), col("m.us").as("r_us"),
+      (col("us") - col("m.us")).as("gap_us"))
+  }
+
+  /** SCD2 dimension-history build over any (user_id, event_id, ts)
+    * change log (graded q_event_scd2's engine, r13): half-open
+    * [eff_from, eff_to) µs ranges per change of `attrCol`, INT
     * current-row flag; null-ts rows dropped. One user-hash exchange —
     * the change-log → dimension-table compaction at its minimum cost. */
-  def scd2(events: DataFrame): DataFrame =
-    graft.queries.EventOps.scd2On(events)
+  def scd2(events: DataFrame, attrCol: String = "event_type"): DataFrame =
+    graft.queries.EventOps.scd2On(events.select(col("user_id"),
+      col("event_id"), col("ts"), col(attrCol).as("event_type")))
 
   /** Welch unequal-variance t-test of per-user value totals between the
     * deterministic md5 arms (graded q_event_abtest_t's engine). Needs

@@ -825,6 +825,37 @@ class GraftFacadeSuite extends SparkSuite {
     assert(only.isEmpty, s"self-loop-only graph produced rows: ${only.toSeq}")
   }
 
+  test("asofJoin: backward inclusive / forward inclusive / nearest with tolerance, over arbitrary tables") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val trades = Seq((1L, 100L, ts(10000000L)), (1L, 101L, ts(20000000L)),
+      (2L, 102L, ts(10000000L)))
+      .toDF("sym", "tid", "t_ts")
+    val quotes = Seq((1L, 900L, ts(8000000L)), (1L, 901L, ts(10000000L)),
+      (1L, 902L, ts(25000000L)))
+      .toDF("sym", "qid", "q_ts")
+    def run(dir: String, tol: Option[Long] = None) =
+      Graft.asofJoin(trades, quotes, "sym", "t_ts", "tid", "q_ts", "qid",
+          dir, tol)
+        .collect().map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // backward: same-instant quote matches (inclusive); latest-≤ wins
+    assert(run("backward") === Map(100L -> 901L, 101L -> 901L, 102L -> -1L))
+    // forward: same-instant inclusive; earliest-≥ wins
+    assert(run("forward") === Map(100L -> 901L, 101L -> 902L, 102L -> -1L))
+    // nearest: 101 is 10s from 901 backward vs 5s from 902 forward
+    assert(run("nearest") === Map(100L -> 901L, 101L -> 902L, 102L -> -1L))
+    // tolerance: backward match 10s away nulls out at 6s bound;
+    // the same-instant match survives
+    assert(run("backward", Some(6000000L)) ===
+      Map(100L -> 901L, 101L -> -1L, 102L -> -1L))
+    // null timestamps drop on both sides; empty right = all unmatched
+    val nullq = Seq((1L, 903L, Option.empty[java.sql.Timestamp].orNull))
+      .toDF("sym", "qid", "q_ts")
+    val unmatched = Graft.asofJoin(trades, nullq, "sym", "t_ts", "tid",
+        "q_ts", "qid").collect()
+    assert(unmatched.length === 3 && unmatched.forall(_.isNullAt(3)))
+  }
+
   test("scd2: ranges tile the timeline half-open, same-attr runs merge, null ts dropped") {
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
     val log = Seq(
