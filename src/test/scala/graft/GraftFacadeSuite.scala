@@ -825,6 +825,28 @@ class GraftFacadeSuite extends SparkSuite {
     assert(only.isEmpty, s"self-loop-only graph produced rows: ${only.toSeq}")
   }
 
+  test("trailingAgg: per-key trailing window counts/sums, peers share frames, null ts dropped") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val rows = Seq(
+      (1L, ts(0L), 1.0), (1L, ts(5000000L), 2.0), (1L, ts(10000000L), 4.0),
+      (1L, ts(10000000L), 8.0), // same-µs peer: shares the frame
+      (2L, ts(0L), 100.0))
+      .toDF("k", "t", "v")
+      .union(Seq((3L, Option.empty[java.sql.Timestamp].orNull, 1.0))
+        .toDF("k", "t", "v"))
+    // 6-second trailing window
+    val out = Graft.trailingAgg(rows, "k", "t", "v", 6000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 0L, 1L, 1.0),          // only itself
+      (1L, 5000000L, 2L, 3.0),    // 0s + 5s
+      (1L, 10000000L, 3L, 14.0),  // 5s + both 10s peers (peer-shared)
+      (1L, 10000000L, 3L, 14.0),
+      (2L, 0L, 1L, 100.0)), s"unexpected: $out")
+    assert(out.size === 4) // the two peers collapse to one tuple in the set
+  }
+
   test("asofJoin: backward inclusive / forward inclusive / nearest with tolerance, over arbitrary tables") {
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
     val trades = Seq((1L, 100L, ts(10000000L)), (1L, 101L, ts(20000000L)),
