@@ -496,6 +496,35 @@ object Graft {
           "AS DOUBLE)").as("val_win"))
   }
 
+  /** Interval join over ARBITRARY left/right tables (r13) — the graded
+    * q_join_interval shape generalized (the stream-stream interval join
+    * batch analog): every (left, right) pair within the same key whose
+    * time delta r_ts − l_ts lies in [lowerUs, upperUs] (both bounds
+    * inclusive; negative lower bound = right may precede left). The
+    * plan is the correct one at any scale: ONE key equi-join (shuffle
+    * ∝ rows, AQE broadcasts a small side) with the range bounds as
+    * residual predicates — never a cartesian; output ∝ qualifying
+    * pairs. Exact integer µs bounds; null-ts rows dropped.
+    * @return (key, left_id, l_us, right_id, r_us, delta_us). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, leftIdCol: String,
+                   rightTsCol: String, rightIdCol: String,
+                   lowerUs: Long, upperUs: Long): DataFrame = {
+    require(lowerUs <= upperUs, s"lowerUs $lowerUs > upperUs $upperUs")
+    val l = left.filter(col(leftTsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(leftIdCol).as("left_id"),
+        unix_micros(col(leftTsCol)).as("l_us"))
+    val r = right.filter(col(rightTsCol).isNotNull)
+      .select(col(keyCol).as("__rk"), col(rightIdCol).as("right_id"),
+        unix_micros(col(rightTsCol)).as("r_us"))
+    l.join(r, col("key") === col("__rk")
+        && col("r_us") >= col("l_us") + lowerUs
+        && col("r_us") <= col("l_us") + upperUs)
+      .select(col("key"), col("left_id"), col("l_us"),
+        col("right_id"), col("r_us"),
+        (col("r_us") - col("l_us")).as("delta_us"))
+  }
+
   /** As-of join over ARBITRARY left/right tables (r13) — the graded
     * q_join_asof / q_join_asof_near single-scan engine generalized:
     * for each left row, the matching right row within the same key by

@@ -847,6 +847,25 @@ class GraftFacadeSuite extends SparkSuite {
     assert(out.size === 4) // the two peers collapse to one tuple in the set
   }
 
+  test("intervalJoin: key-scoped pairs within inclusive time bounds; negative lower bound allows preceding rights") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val l = Seq((1L, 10L, ts(10000000L)), (2L, 11L, ts(10000000L)))
+      .toDF("k", "lid", "lt")
+    val r = Seq((1L, 90L, ts(8000000L)), (1L, 91L, ts(10000000L)),
+      (1L, 92L, ts(13000000L)), (1L, 93L, ts(20000000L)))
+      .toDF("k", "rid", "rt")
+    def run(lo: Long, hi: Long) =
+      Graft.intervalJoin(l, r, "k", "lt", "lid", "rt", "rid", lo, hi)
+        .collect().map(x => (x.getLong(1), x.getLong(3))).toSet
+    // forward window [0, 5s]: same-instant and +3s qualify
+    assert(run(0L, 5000000L) === Set((10L, 91L), (10L, 92L)))
+    // symmetric window [-3s, 3s]: the preceding right joins too
+    assert(run(-3000000L, 3000000L) ===
+      Set((10L, 90L), (10L, 91L), (10L, 92L)))
+    // bounds inclusive on both edges
+    assert(run(10000000L, 10000000L) === Set((10L, 93L)))
+  }
+
   test("asofJoin: backward inclusive / forward inclusive / nearest with tolerance, over arbitrary tables") {
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
     val trades = Seq((1L, 100L, ts(10000000L)), (1L, 101L, ts(20000000L)),
