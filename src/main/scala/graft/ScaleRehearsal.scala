@@ -431,6 +431,46 @@ object ScaleRehearsal {
       if (want("retention_join")) time("retention_join", n) {
         noop(graft.queries.EventOps.retentionOn(synthEvents(n), 3))
       }
+      // As-of engine A/B (r13): the facade's single-scan windowed
+      // as-of vs the join+rank plan it replaces, on an n/10-left ×
+      // 9n/10-right split of the same synthetic log (clicks enrich
+      // purchases — the graded q_join_asof economics at rehearsal
+      // sizes). The windowed form sorts 2 streams once per key; the
+      // join+rank form materializes every (left, right-before) pair
+      // and ranks them — candidates ∝ Σ per-key L·R. Round-robin
+      // repartition breaks the range-source co-location freebie (the
+      // dsir probe note).
+      def asofSides(ev: org.apache.spark.sql.DataFrame) = (
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") =!= "purchase"))
+      if (want("asof_window")) time("asof_window", n) {
+        val (p, c) = asofSides(synthEvents(n).repartition(32))
+        noop(Graft.asofJoin(p, c, "user_id", "ts", "event_id",
+          "ts", "event_id"))
+      }
+      if (want("asof_joinrank")) time("asof_joinrank", n) {
+        val (p, c) = asofSides(synthEvents(n).repartition(32))
+        val l = p.select(col("user_id").as("k"), col("event_id").as("lid"),
+          unix_micros(col("ts")).as("l_us"))
+        val r = c.select(col("user_id").as("rk"), col("event_id").as("rid"),
+          unix_micros(col("ts")).as("r_us"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lid"))
+          .orderBy(col("r_us").desc, col("rid").desc)
+        noop(l.join(r, col("k") === col("rk") && col("r_us") <= col("l_us"),
+            "left")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1))
+      }
+      // Trailing event-time rolling aggregate (r13): the
+      // q_win_timerange engine via Graft.trailingAgg — one key
+      // exchange, O(rows) two-pointer frame state. Expect secs ∝ rows,
+      // shuffle ∝ rows (the event stream itself), never a pair
+      // expansion.
+      if (want("trailing_agg")) time("trailing_agg", n) {
+        noop(Graft.trailingAgg(synthEvents(n).repartition(32),
+          "user_id", "ts", "value", 3600000000L))
+      }
     }
 
     sizes.foreach { n =>
