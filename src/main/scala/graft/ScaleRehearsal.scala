@@ -462,6 +462,39 @@ object ScaleRehearsal {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1))
       }
+      // Hot-key variant of the as-of A/B (6M only — the joinrank side
+      // is ∝ Σ per-key L·R, which is the POINT): every 120th user
+      // collapses onto key 0, so ONE key holds ~50k events (≈17k lefts
+      // × 33k rights ≈ 5·10⁸ candidate pairs for that key) while the
+      // windowed form still sorts its 50k rows once. The uniform A/B
+      // above shows the two plans near parity when per-key products
+      // are bounded; THIS pair shows why the windowed form is the
+      // engine: skew breaks the join+rank, not the window.
+      if (n <= 6000000L) {
+        def hotEvents = synthEvents(n).repartition(32)
+          .withColumn("user_id",
+            when(pmod(col("user_id"), lit(120L)) === 0, 0L)
+              .otherwise(col("user_id")))
+        if (want("asofhot_window")) time("asofhot_window", n) {
+          val (p, c) = asofSides(hotEvents)
+          noop(Graft.asofJoin(p, c, "user_id", "ts", "event_id",
+            "ts", "event_id"))
+        }
+        if (want("asofhot_joinrank")) time("asofhot_joinrank", n) {
+          val (p, c) = asofSides(hotEvents)
+          val l = p.select(col("user_id").as("k"), col("event_id").as("lid"),
+            unix_micros(col("ts")).as("l_us"))
+          val r = c.select(col("user_id").as("rk"), col("event_id").as("rid"),
+            unix_micros(col("ts")).as("r_us"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lid"))
+            .orderBy(col("r_us").desc, col("rid").desc)
+          noop(l.join(r, col("k") === col("rk") && col("r_us") <= col("l_us"),
+              "left")
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1))
+        }
+      }
       // Trailing event-time rolling aggregate (r13): the
       // q_win_timerange engine via Graft.trailingAgg — one key
       // exchange, O(rows) two-pointer frame state. Expect secs ∝ rows,
