@@ -251,6 +251,26 @@ object CoreRelational {
         .orderBy(col("p_id"))
     }),
 
+    // TOLERANCE-bounded as-of (r13) — pandas merge_asof's `tolerance`
+    // semantic: each purchase takes its latest ≤-click ONLY if the gap
+    // is within 30 minutes; farther matches null out (the row
+    // survives — left-outer). Runs THROUGH the public facade
+    // (graft.Graft.asofJoin), so the generalized engine itself is
+    // oracle-graded, not just its events-specific specialization:
+    // same single-scan interleaved-window plan, same (us, id) tie
+    // discipline, one user-hash exchange.
+    "q_join_asof_tol" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+      val c = ev.filter(col("event_type") === "click")
+      graft.Graft.asofJoin(p, c, "user_id", "ts", "event_id",
+          "ts", "event_id", "backward", Some(1800000000L))
+        .select(col("key").as("user_id"), col("left_id").as("p_id"),
+          col("l_us").as("p_us"), col("right_id").as("c_id"),
+          col("r_us").as("c_us"), col("gap_us"))
+        .orderBy(col("p_id"))
+    }),
+
     // §2.3 interval join (stream-stream join batch analog): click→purchase
     // pairs within 1h per user, aggregated per user. Micros-integer range
     // bounds keep interval arithmetic identical across engines.
@@ -421,6 +441,25 @@ object CoreRelational {
                 ORDER BY c_us DESC, c_id DESC) AS rn
             FROM p LEFT JOIN c ON user_id = c_user AND c_us <= p_us) x
           WHERE rn = 1 ORDER BY p_id""",
+    // The q_join_asof ranked-join machinery + a CASE gate at the
+    // 30-minute bound (inclusive — the facade's <= tolerance).
+    "q_join_asof_tol" ->
+      s"""WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+                     FROM $evt WHERE event_type = 'purchase' AND ts IS NOT NULL),
+               c AS (SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
+                     FROM $evt WHERE event_type = 'click' AND ts IS NOT NULL),
+               m AS (SELECT p_id, user_id, p_us, c_id, c_us FROM (
+                 SELECT p.*, c.c_id, c.c_us,
+                   ROW_NUMBER() OVER (PARTITION BY p_id
+                     ORDER BY c_us DESC, c_id DESC) AS rn
+                 FROM p LEFT JOIN c ON user_id = c_user AND c_us <= p_us) x
+                 WHERE rn = 1)
+          SELECT user_id, p_id, p_us,
+            CASE WHEN p_us - c_us <= 1800000000 THEN c_id END AS c_id,
+            CASE WHEN p_us - c_us <= 1800000000 THEN c_us END AS c_us,
+            CASE WHEN p_us - c_us <= 1800000000 THEN p_us - c_us END AS gap_us
+          FROM m ORDER BY p_id""",
+
     // Backward/forward nearest candidates by ranked joins (the oracle's
     // machinery), the identical integer side pick.
     "q_join_asof_near" ->
