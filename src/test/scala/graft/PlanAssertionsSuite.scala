@@ -908,6 +908,17 @@ class PlanAssertionsSuite extends SparkSuite {
       s"SCD build must be window-only, no join:\n$phys")
   }
 
+  test("q_join_asof_tol (r13): facade-engine as-of — NO join operator, one user-hash exchange, both frames in one WindowExec") {
+    // graded through Graft.asofJoin: must keep the q_join_asof plan
+    // shape — a union + interleaved window, never a join+rank
+    // expansion (the 31x hot-key rehearsal is the why, BASELINE r13)
+    val phys = planString(q("q_join_asof_tol"))
+    assert(!phys.contains("Join"), s"as-of planned a join:\n$phys")
+    assert("Exchange hashpartitioning\\(key".r.findAllIn(phys).length == 1,
+      s"expected exactly one key-hash exchange:\n$phys")
+    assert(phys.contains("Window"), s"no window operator:\n$phys")
+  }
+
   test("q_sql_tpch10 / q_sql_tpch18 (r13): dims broadcast, top-k is TakeOrdered, no cartesian") {
     Seq("q_sql_tpch10", "q_sql_tpch18").foreach { name =>
       val phys = planString(q(name))
