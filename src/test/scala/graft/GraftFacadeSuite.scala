@@ -690,6 +690,23 @@ class GraftFacadeSuite extends SparkSuite {
       "scd2" -> (() => Graft.scd2(
         Seq.empty[(Long, Long, java.sql.Timestamp, String)]
           .toDF("user_id", "event_id", "ts", "event_type"))),
+      "asofJoin" -> (() => {
+        val e = Seq.empty[(Long, Long, java.sql.Timestamp)]
+          .toDF("k", "id", "t")
+        Graft.asofJoin(e, e, "k", "t", "id", "t", "id")
+      }),
+      "intervalJoin" -> (() => {
+        val e = Seq.empty[(Long, Long, java.sql.Timestamp)]
+          .toDF("k", "id", "t")
+        Graft.intervalJoin(e, e, "k", "t", "id", "t", "id",
+          0L, 3600000000L)
+      }),
+      "trailingAgg" -> (() => Graft.trailingAgg(
+        Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("k", "t", "v"),
+        "k", "t", "v", 3600000000L)),
+      "approxQuantilesBy" -> (() => Graft.approxQuantilesBy(
+        Seq.empty[(String, Double)].toDF("g", "x"), Seq("g"), "x", 8,
+        Seq(0.5))),
       "gopherFlags" -> (() => Graft.gopherFlags(emptyCorpus, "item_no", "body")),
       "qualityPercentile" -> (() =>
         Graft.qualityPercentile(emptyCorpus, "item_no", "body")),
