@@ -877,6 +877,25 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicate-multiplicity distribution (r13) — the dedup REPORT
+    // figure every corpus audit opens with: how many exact-content
+    // clusters exist at each size, and how many docs they hold (size 1
+    // = unique docs; the tail is the boilerplate). Two stacked
+    // map-side-combining hash aggs: contents collapse to clusters
+    // (shuffle ∝ distinct contents — the q_llm_dedup stage), clusters
+    // collapse to sizes (∝ distinct sizes, a handful of rows at any
+    // corpus); n_docs = sz · n_clusters is exact integer arithmetic.
+    // Never a window, never a join.
+    "q_llm_dupdist" -> ((s, d) =>
+      T.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("sz"))),
+
     // Canonicalized dedup (r12) — the normalization layer between exact
     // dedup (byte-identical only) and near-dup (Jaccard): documents are
     // duplicates if they match after lowercasing, punctuation→space,
@@ -1578,6 +1597,11 @@ object LlmOps {
             COUNT(*) OVER (PARTITION BY md5(text)) AS cluster_size,
             MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
           FROM $doc ORDER BY doc_id""",
+    "q_llm_dupdist" ->
+      s"""WITH c AS (SELECT md5(text) AS h, COUNT(*) AS sz
+                     FROM $doc GROUP BY 1)
+          SELECT sz, COUNT(*) AS n_clusters, sz * COUNT(*) AS n_docs
+          FROM c GROUP BY sz ORDER BY sz""",
     "q_llm_substr" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
               FROM $doc),

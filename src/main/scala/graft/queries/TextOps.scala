@@ -190,6 +190,24 @@ object TextOps {
         .withColumn("ttr", round(col("n_distinct") / col("n_ws"), 6))
         .orderBy(col("doc_id"))),
 
+    // Power-of-2 length histogram (r13) — the corpus length profile on
+    // the log scale every corpus report draws (linear fixed-width bins
+    // under-resolve the short tail and over-resolve the long one).
+    // Bucket = number of binary digits of n_chars (floor(log2)+1) via
+    // LENGTH(bin(x)) — INTEGER-EXACT in both engines, sidestepping the
+    // libm log2() boundary hazard at exact powers of two (the colloc/
+    // dsir no-log discipline applied to bucketing). One map-side-
+    // combining hash agg, shuffle ∝ distinct buckets (≤ 64 rows ever).
+    "q_text_lenhist" -> ((s, d) =>
+      T.documents(s, d)
+        .withColumn("b", length(bin(col("n_chars"))))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("b"))),
+
     // Token burstiness (r12) — per-token variance-to-mean ratio of its
     // per-document counts over the docs CONTAINING it: VMR ≈ 1 is
     // Poisson background vocabulary; VMR ≫ 1 is a bursty topical term
@@ -556,6 +574,14 @@ object TextOps {
             round(CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
               / CAST(len(string_split(text, ' ')) AS INTEGER), 6) AS ttr
           FROM $doc ORDER BY doc_id""",
+    // LENGTH(bin(x)) is the integer-exact log2 bucket both engines
+    // agree on; casts pin the dialect-divergent length/sum types.
+    "q_text_lenhist" ->
+      s"""SELECT CAST(LENGTH(bin(n_chars)) AS INTEGER) AS b,
+            COUNT(*) AS n_docs,
+            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM $doc GROUP BY 1 ORDER BY 1""",
     // HUGEINT power sums over (word, doc) counts; the pinned VMR chain.
     "q_text_burst" ->
       s"""WITH tc AS (
