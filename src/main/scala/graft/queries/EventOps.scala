@@ -836,6 +836,38 @@ object EventOps {
         .orderBy(col("day"))
     }),
 
+    // DAU/MAU stickiness (r13) — the growth-accounting ratio beside
+    // q_event_wau: per activity day, DAU, the trailing-28-day MAU, and
+    // stickiness = DAU/MAU (the "how often do monthly users show up
+    // daily" product metric). Same engine shape as wau with 28 taps:
+    // events collapse to distinct (user, day) FIRST (shuffle ∝ active
+    // pairs), each pair contributes to its next 28 days via a bounded
+    // explode (output ∝ 28·pairs — never a range join), semi-joined to
+    // REAL activity days; exact integer day µs; stickiness is ONE IEEE
+    // division of exact counts, unrounded (§7.4.7).
+    "q_event_stickiness" -> ((s, d) => {
+      val e = T.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+        .persist() // 3 consumers (dau, contrib, days); caller clearCache
+      val days = e.select(col("day")).distinct()
+      val dau = e.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val mau = e
+        .select(col("user_id"),
+          explode(sequence(lit(0L), lit(27L))).as("k"),
+          unix_micros(col("day")).as("dus"))
+        .select(col("user_id"),
+          timestamp_micros(col("dus") + col("k") * lit(86400000000L))
+            .as("rday"))
+        .distinct()
+        .join(days.select(col("day").as("rday")), Seq("rday"), "semi")
+        .groupBy(col("rday")).agg(count(lit(1)).as("mau"))
+      dau.join(mau, dau("day") === mau("rday"))
+        .select(dau("day"), col("dau"), col("mau"),
+          (col("dau").cast("double") / col("mau")).as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
     // RFM user scoring (r12) — the classic recency/frequency/monetary
     // quartile segmentation: per user, days since last activity, event
     // count, and exact value total; each metric scored 1–4 against the
@@ -1422,6 +1454,25 @@ object EventOps {
             GROUP BY c.rday)
           SELECT dau.day, dau.dau, wau.wau
           FROM dau JOIN wau ON dau.day = wau.rday
+          ORDER BY dau.day""",
+    // The wau chain at 28 taps + ONE unrounded IEEE division.
+    "q_event_stickiness" ->
+      s"""WITH e AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                     FROM $evt),
+          days AS (SELECT DISTINCT day FROM e),
+          dau AS (SELECT day, COUNT(*) AS dau FROM e GROUP BY day),
+          contrib AS (
+            SELECT DISTINCT user_id,
+              make_timestamp(epoch_us(day) + i * 86400000000) AS rday
+            FROM e, (SELECT UNNEST(range(0, 28)) AS i)),
+          mau AS (
+            SELECT c.rday, COUNT(*) AS mau
+            FROM contrib c WHERE c.rday IN (SELECT day FROM days)
+            GROUP BY c.rday)
+          SELECT dau.day, dau.dau, mau.mau,
+            CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+          FROM dau JOIN mau ON dau.day = mau.rday
           ORDER BY dau.day""",
     // Staged CTEs mirror the engine: user collapse → 2-row variant
     // agg → 1-row conditional pivot → pinned z chain (ra/rb/p each

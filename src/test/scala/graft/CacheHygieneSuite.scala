@@ -30,7 +30,9 @@ class CacheHygieneSuite extends SparkSuite {
       // r12 third wave persist users
       "q_llm_clustco", "q_event_rfm", "q_event_anomaly", "q_llm_winnowdup",
       "q_event_newret", "q_graph_linkpred", "q_event_funnel_win",
-      "q_mm_simdup", "q_event_acf", "q_llm_semdedup", "q_agg_topshare")
+      "q_mm_simdup", "q_event_acf", "q_llm_semdedup", "q_agg_topshare",
+      // r13 persist users
+      "q_event_stickiness")
     persistUsers.foreach { name =>
       spark.catalog.clearCache() // clean slate regardless of suite order
       // EARLIER suites may have left locally-checkpointed RDDs that only
