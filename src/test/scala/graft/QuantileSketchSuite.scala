@@ -76,6 +76,30 @@ class QuantileSketchSuite extends SparkSuite {
     })
   }
 
+  test("ScalaCheck law: snapshot/restore round-trip is BIT-EXACT — fold(A++B) == fold(B) . restore(fold(A))") {
+    val input: Gen[(List[Double], List[Double])] = for {
+      a <- Gen.listOf(Gen.chooseNum(-1e6, 1e6))
+      b <- Gen.listOf(Gen.chooseNum(-1e6, 1e6))
+    } yield (a, b)
+    scCheck("kll-roundtrip")(Prop.forAll(input, Gen.chooseNum(3, 32)) {
+      case ((a, b), k2) =>
+        val k = k2 * 2
+        val whole = new Summary(k)
+        (a ++ b).foreach(whole.update)
+        val first = new Summary(k)
+        a.foreach(first.update)
+        val (n, par, lv) = first.snapshot
+        val resumed = QuantileSketch.restore(k, n, par, lv)
+        b.foreach(resumed.update)
+        val (n1, p1, l1) = whole.snapshot
+        val (n2, p2, l2) = resumed.snapshot
+        // identical STRUCTURE, not merely identical estimates — the
+        // state-store round-trip changes nothing about the future
+        n1 == n2 && p1 == p2 && l1 == l2 &&
+          Seq(0.1, 0.5, 0.9).forall(q => whole.quantile(q) == resumed.quantile(q))
+    })
+  }
+
   test("exactness below capacity: fewer than k items = exact lower quantile") {
     val s = new Summary(64)
     val xs = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
