@@ -481,19 +481,27 @@ object Graft {
     * peers (same-µs rows) share one frame. One key-hash exchange;
     * WindowExec's sliding frame is O(rows) two-pointer state per
     * partition. Null-ts rows dropped (the r13 as-of discipline).
-    * @return (key, left input id column verbatim…, us, n_win, val_win). */
+    * Rows sharing (key, us) are indistinguishable in the default
+    * shape; pass `idCol` to carry an input id column verbatim so
+    * results join back to input rows (RANGE-frame peer semantics are
+    * unaffected by carried columns) — r14, ADVICE fix.
+    * @return (key, us, n_win, val_win), plus the id column (its input
+    *         name, placed after `key`) when `idCol` is given. */
   def trailingAgg(df: DataFrame, keyCol: String, tsCol: String,
-                  valueCol: String, windowUs: Long): DataFrame = {
+                  valueCol: String, windowUs: Long,
+                  idCol: Option[String] = None): DataFrame = {
     require(windowUs >= 0, s"windowUs < 0: $windowUs")
     val fr = s"PARTITION BY __k ORDER BY __us ASC " +
       s"RANGE BETWEEN $windowUs PRECEDING AND CURRENT ROW"
+    val id = idCol.toSeq
     df.filter(col(tsCol).isNotNull)
-      .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__us"),
-        col(valueCol).cast("double").as("__v"))
-      .select(col("__k").as("key"), col("__us").as("us"),
+      .select(Seq(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__us"),
+        col(valueCol).cast("double").as("__v")) ++ id.map(col): _*)
+      .select(Seq(col("__k").as("key")) ++ id.map(col) ++ Seq(
+        col("__us").as("us"),
         expr(s"count(1) OVER ($fr)").as("n_win"),
         expr(s"CAST(ROUND(SUM(CAST(__v AS DECIMAL(18,4))) OVER ($fr), 4) " +
-          "AS DOUBLE)").as("val_win"))
+          "AS DOUBLE)").as("val_win")): _*)
   }
 
   /** Interval join over ARBITRARY left/right tables (r13) — the graded

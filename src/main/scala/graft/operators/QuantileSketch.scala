@@ -65,6 +65,18 @@ object QuantileSketch {
       compress()
     }
 
+    /** Merge `other` into this sketch (union per level, then one
+      * compaction sweep). Weight-conservation caveat (r14, ADVICE):
+      * a merge can leave a level ODD-sized at compaction (the update
+      * path always compacts at exactly k, which is even), and an
+      * odd-size compaction promotes ceil/floor(m/2) items, drifting
+      * Σ coreset weights by ±2^i per such compaction. `n` (summed
+      * exactly here) is therefore AUTHORITATIVE after any merge;
+      * [[quantile]] already targets ranks against `n`, never Σw. The
+      * DataFrame paths ([[coreset]]/[[coresetBy]]) union per-partition
+      * coresets without ever merging sketches, so Σw = n holds exactly
+      * there. Callers composing mergeInPlace with the weighted-quantile
+      * path must carry `n` alongside rather than re-deriving it. */
     def mergeInPlace(other: Summary): Unit = {
       require(other.k == k, s"cannot merge sketches of k=$k and k=${other.k}")
       while (levels.size < other.levels.size) {
@@ -199,10 +211,17 @@ object QuantileSketch {
                   k: Int, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty)
     val gc = groupCols.map(col)
+    // mw = max RAW coreset weight per value, carried through the
+    // value-collapse: identical values accumulate SUMMED weight across
+    // levels/partitions, so max of the collapsed w could exceed 2^H and
+    // overstate the bound; max-of-per-value-max of the raw weights is
+    // exactly 2^H_max (each raw weight is a true power of two) — r14,
+    // ADVICE fix
     val cs = coresetBy(df, groupCols, valueCol, k)
-      .groupBy(gc :+ col("v"): _*).agg(sum(col("w")).as("w"))
+      .groupBy(gc :+ col("v"): _*)
+      .agg(sum(col("w")).as("w"), max(col("w")).as("mw"))
     val tot = cs.groupBy(gc: _*).agg(sum(col("w")).as("n"),
-      (round(log2(max(col("w")))).cast("double") * sum(col("w")) / k)
+      (round(log2(max(col("mw")))).cast("double") * sum(col("w")) / k)
         .as("err_bound"))
     val cum = cs.withColumn("cw",
       sum(col("w")).over(Window.partitionBy(gc: _*).orderBy(col("v").asc)
@@ -247,12 +266,16 @@ object QuantileSketch {
     * totals — no stage touches more than the summary. */
   def quantiles(values: Dataset[Row], k: Int, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty)
+    // mw = max RAW coreset weight (a true power of two) carried through
+    // the value-collapse — max of the SUMMED w would overstate H on
+    // duplicate-heavy inputs (a constant column would report ~log2(n)
+    // instead of the realized level) — r14, ADVICE fix
     val cs = coreset(values, k)
-      .groupBy(col("v")).agg(sum(col("w")).as("w"))
-    // H = log2(max weight) is an exact small integer; round() (not a
-    // truncating cast) absorbs log2's few-ulp slack on powers of two
+      .groupBy(col("v")).agg(sum(col("w")).as("w"), max(col("w")).as("mw"))
+    // H = log2(max raw weight) is an exact small integer; round() (not
+    // a truncating cast) absorbs log2's few-ulp slack on powers of two
     val tot = cs.agg(sum(col("w")).as("n"),
-      (round(log2(max(col("w")))).cast("double") * sum(col("w")) / k)
+      (round(log2(max(col("mw")))).cast("double") * sum(col("w")) / k)
         .as("err_bound"))
     val cum = cs.withColumn("cw",
       sum(col("w")).over(Window.orderBy(col("v").asc)

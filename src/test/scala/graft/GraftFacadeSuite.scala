@@ -862,6 +862,18 @@ class GraftFacadeSuite extends SparkSuite {
       (1L, 10000000L, 3L, 14.0),
       (2L, 0L, 1L, 100.0)), s"unexpected: $out")
     assert(out.size === 4) // the two peers collapse to one tuple in the set
+
+    // idCol (r14, ADVICE fix): same-(key, us) peers become
+    // distinguishable and results join back to input rows verbatim
+    val withIds = Seq(
+      (1L, 10L, ts(10000000L), 4.0), (1L, 11L, ts(10000000L), 8.0))
+      .toDF("k", "rid", "t", "v")
+    val keyed = Graft.trailingAgg(withIds, "k", "t", "v", 6000000L,
+      idCol = Some("rid")).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("rid"),
+        r.getAs[Long]("n_win"), r.getAs[Double]("val_win"))).toSet
+    assert(keyed === Set((1L, 10L, 2L, 12.0), (1L, 11L, 2L, 12.0)),
+      s"unexpected: $keyed")
   }
 
   test("intervalJoin: key-scoped pairs within inclusive time bounds; negative lower bound allows preceding rights") {

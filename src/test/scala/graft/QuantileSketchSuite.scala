@@ -180,6 +180,40 @@ class QuantileSketchSuite extends SparkSuite {
     assert(m === Map(Some("a") -> ((1.0, 2L)), None -> ((5.0, 1L))))
   }
 
+  test("duplicate-heavy input: err_bound uses the RAW coreset H, not the value-collapsed weight (r14 ADVICE fix)") {
+    // a CONSTANT column is the worst case: the value-collapse sums all
+    // weights into one row (≈ n per partition), so deriving H from the
+    // collapsed max would report ~log2(n)·n/k where the realized bound
+    // is H_raw·n/k (and the true error is 0)
+    val k = 64
+    val df = spark.range(5000).select(lit(42.0).as("x"))
+    val out = QuantileSketch.quantiles(df, k, Seq(0.5)).collect()
+    assert(out.length === 1)
+    val n = out(0).getAs[Long]("n")
+    assert(n === 5000L)
+    val maxW = QuantileSketch.coreset(df, k).agg(max(col("w"))).head.getLong(0)
+    val h = java.lang.Long.numberOfTrailingZeros(maxW)
+    val bound = out(0).getAs[Double]("err_bound")
+    assert(bound === h.toDouble * n / k,
+      s"bound=$bound expected H_raw*n/k=${h.toDouble * n / k}")
+    // the collapsed weight for the single value is n itself — the old
+    // derivation would have reported round(log2(n))·n/k, strictly looser
+    assert(bound < math.round(math.log(n.toDouble) / math.log(2.0)).toDouble * n / k)
+    assert(out(0).getAs[Double]("v_est") === 42.0)
+    // grouped form, same degenerate shape per group
+    val g = spark.range(4000).select((col("id") % 2).as("g"), lit(7.0).as("x"))
+    val gout = QuantileSketch.quantilesBy(g, Seq("g"), "x", k, Seq(0.5)).collect()
+    assert(gout.length === 2)
+    gout.foreach { r =>
+      assert(r.getAs[Double]("v_est") === 7.0)
+      val gn = r.getAs[Long]("n")
+      assert(gn === 2000L)
+      // the bound must stay well under the collapsed-weight derivation
+      assert(r.getAs[Double]("err_bound") <
+        math.round(math.log(gn.toDouble) / math.log(2.0)).toDouble * gn / k)
+    }
+  }
+
   test("facade Graft.approxQuantiles: casts the column, empty input yields zero rows") {
     val out = Graft.approxQuantiles(
       Tables.orders(spark, sf).select(col("o_orderkey")), "o_orderkey",
