@@ -80,7 +80,8 @@ class PlanAssertionsSuite extends SparkSuite {
     }
     // global aggregates produce exactly one row — order vacuous
     val singleRow = Set("q_agg_global", "q_text_chisq", "q_event_abtest",
-      "q_event_abtest_t", "q_sql_tpch14", "q_sql_tpch19", "q_sql_tpch6")
+      "q_event_abtest_t", "q_sql_tpch14", "q_sql_tpch19", "q_sql_tpch6",
+      "q_sql_tpch17")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !singleRow(name) =>
         if (ordered(fn(spark, sf).queryExecution.analyzed)) None else Some(name)
@@ -929,5 +930,48 @@ class PlanAssertionsSuite extends SparkSuite {
       assert(!phys.contains("CartesianProduct"),
         s"$name: cartesian leaked:\n$phys")
     }
+  }
+
+  test("q_sql_tpch4 / tpch21 / tpch22 (r14): correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins — never nested-loop") {
+    // Q4: one LeftSemi; Q21: LeftSemi + LeftAnti; Q22: LeftAnti + a
+    // 1-row scalar-subquery broadcast. All correlations are single
+    // equi-keys by construction (the orders-join-inside-subquery
+    // rewrite), so none may survive as BroadcastNestedLoopJoin over a
+    // fact table or a CartesianProduct.
+    val q4 = planString(q("q_sql_tpch4"))
+    assert(q4.contains("LeftSemi"), s"tpch4 EXISTS not a semi join:\n$q4")
+    val q21 = planString(q("q_sql_tpch21"))
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"tpch21 EXISTS/NOT EXISTS not semi+anti:\n$q21")
+    val q22 = planString(q("q_sql_tpch22"))
+    assert(q22.contains("LeftAnti"), s"tpch22 NOT EXISTS not anti:\n$q22")
+    Seq("q_sql_tpch4" -> q4, "q_sql_tpch21" -> q21, "q_sql_tpch22" -> q22)
+      .foreach { case (n, p) =>
+        assert(!p.contains("CartesianProduct"), s"$n: cartesian leaked:\n$p")
+      }
+  }
+
+  test("q_sql_tpch1 (r14): pure scan aggregate — shipdate filter pushed, single agg exchange, no join") {
+    val phys = planString(q("q_sql_tpch1"))
+    assert(phys.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed to parquet:\n$phys")
+    assert(!phys.contains("Join"), s"Q1 must be join-free:\n$phys")
+    assert("Exchange hashpartitioning".r.findAllIn(phys).length == 1,
+      s"expected exactly one agg exchange:\n$phys")
+  }
+
+  test("q_sql_tpch8 / tpch15 (r14): snowflake dims broadcast / CTE reuse keeps one fact scan per consumer, no cartesian") {
+    val q8 = planString(q("q_sql_tpch8"))
+    // part gates the fact scan; supplier/customer/nation×2/region all
+    // broadcast at graded scale
+    assert("BroadcastHashJoin".r.findAllIn(q8).length >= 5,
+      s"tpch8 snowflake legs not broadcast:\n$q8")
+    assert(!q8.contains("CartesianProduct"), s"tpch8 cartesian:\n$q8")
+    val q15 = planString(q("q_sql_tpch15"))
+    // the scalar MAX over the revenue CTE broadcasts one row back; the
+    // revenue-to-supplier match must stay an equi-join
+    assert(!q15.contains("CartesianProduct") &&
+      !q15.contains("BroadcastNestedLoopJoin"),
+      s"tpch15 degenerated:\n$q15")
   }
 }
