@@ -60,6 +60,18 @@ object TextOps {
   private[graft] val ScrubUrl = "https?://[^ ]+"
   private[graft] val ScrubEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 
+  /** q_text_rarity: the integer IDF scale (floor(n_docs·SCALE ∕ df) —
+    * the q_graph_linkpred floor-quantized-integer-weight discipline, so
+    * rarity sums are BIGINT-exact, never a float reduction) and the
+    * emitted top-k. */
+  private[graft] val RarityScale = 10000L
+  private[graft] val RarityTopK = 50
+
+  /** q_text_keyness: minimum in-source count (kills one-off noise) and
+    * keywords emitted per source. */
+  private[graft] val KeynessMinCount = 5
+  private[graft] val KeynessTopK = 5
+
   private def toks: Column = split(col("text"), " ")
 
   /** q_text_colloc's engine over any (text) corpus — extracted (r13)
@@ -432,8 +444,87 @@ object TextOps {
     // carries their spirit and the planted unit fixture exercises every
     // flag both ways. Plan: pure per-row map over the scan, no shuffle
     // before the presentation sort.
-    "q_llm_gopher" -> ((s, d) => gopherOn(T.documents(s, d)))
+    "q_llm_gopher" -> ((s, d) => gopherOn(T.documents(s, d))),
+
+    // Document rarity scoring (r14) — per-doc mean inverse document
+    // frequency over its DISTINCT words, the "how much low-frequency
+    // vocabulary does this doc carry" data-selection signal (rare-token
+    // docs are the high-information / high-noise tail both selection
+    // and QA want surfaced; the tfidf sibling at document grain).
+    // Determinism: the classic mean-log-IDF would put a libm log() in
+    // the graded value (no cross-engine bit guarantee — the DSIR/colloc
+    // discipline), so each word scores the FLOOR-QUANTIZED integer
+    // floor(n_docs·10⁴ ∕ df) instead (monotone in 1/df, rank-order
+    // equivalent at 10⁴ granularity); sums are BIGINT-exact and the
+    // mean is ONE IEEE division of exact ints, unrounded (§7.4 rule 1).
+    // Plan: array_distinct dedups INSIDE the row (no distinct
+    // exchange), df is a map-side-combining hash agg (shuffle ∝
+    // vocabulary), the df table joins back by word (AQE broadcasts at
+    // graded scale — vocab ≪ pairs always), the 1-row corpus count
+    // BROADCASTs, per-doc agg shuffles ∝ (doc, word) pairs, and the
+    // top-k is TakeOrdered — no global sort, no window.
+    "q_text_rarity" -> ((s, d) => rarityOn(T.documents(s, d))),
+
+    // Keyword extraction per source (r14) — which words are
+    // over-represented in a source vs the rest of the corpus, the
+    // corpus-comparison primitive behind contamination triage and
+    // source profiling. Ranked by the Haldane-smoothed odds ratio
+    // (a+1)(B−b+1) ∕ (b+1)(A−a+1) — monotone in the log-odds keyness
+    // score but needing NO log() (the colloc lift discipline):
+    // numerator and denominator are EXACT wide-integer products
+    // (DECIMAL(38,0) / HUGEINT), one int→double conversion each, ONE
+    // IEEE division; +1 smoothing removes the b=0 pole exactly the
+    // same way in both engines. Plan: one explode → (source, word)
+    // hash agg (map-side combined, shuffle ∝ per-source vocab,
+    // persisted — 4 consumers); word/source/corpus totals re-aggregate
+    // THAT table (never the corpus); joins back are equi-joins (AQE
+    // broadcasts); per-source top-k runs as a rank window
+    // WindowGroupLimit-prefiltered, never a global sort.
+    "q_text_keyness" -> ((s, d) => keynessOn(T.documents(s, d)))
   )
+
+  /** q_text_rarity's engine over any (doc_id, text) corpus. */
+  private[graft] def rarityOn(docs: DataFrame): DataFrame = {
+    val pairs = docs.select(col("doc_id"),
+      explode(array_distinct(toks)).as("word"))
+    val dfc = pairs.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    pairs.join(dfc, Seq("word"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"),
+        expr(s"(n_docs * ${RarityScale}L) div df").as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("r")).as("rarity_sum"))
+      .withColumn("mean_rarity", col("rarity_sum") / col("n_terms"))
+      .orderBy(col("mean_rarity").desc, col("doc_id").asc)
+      .limit(RarityTopK)
+  }
+
+  /** q_text_keyness's engine over any (source, text) corpus. */
+  private[graft] def keynessOn(docs: DataFrame): DataFrame = {
+    val sw = docs.select(col("source"), explode(toks).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("a"))
+      .persist() // 4 consumers (word/source/corpus totals + main); caller clearCache
+    val wt = sw.groupBy(col("word")).agg(sum(col("a")).as("w_tot"))
+    val st = sw.groupBy(col("source")).agg(sum(col("a")).as("s_tot"))
+    val nt = sw.agg(sum(col("a")).as("n_tot"))
+    val scored = sw.join(wt, Seq("word")).join(st, Seq("source"))
+      .crossJoin(broadcast(nt))
+      .filter(col("a") >= KeynessMinCount)
+      .withColumn("b", col("w_tot") - col("a"))
+      .withColumn("odds_ratio",
+        ((col("a") + 1).cast("decimal(38,0)")
+          * (col("n_tot") - col("s_tot") - col("b") + 1)).cast("double")
+          / ((col("b") + 1).cast("decimal(38,0)")
+            * (col("s_tot") - col("a") + 1)).cast("double"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("odds_ratio").desc, col("word").asc)))
+      .filter(col("rk") <= KeynessTopK)
+      .select(col("source"), col("word"), col("a").as("n_in"),
+        col("b").as("n_out"), col("odds_ratio"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
 
   /** The 8 Gopher "stop words" (Rae et al. 2021 Table A1: the, be, to,
     * of, and, that, have, with) — a doc must contain ≥ 2. */
@@ -725,6 +816,52 @@ object TextOps {
               AND (10 * n_sym <= n_words)
               AND (5 * n_alpha >= 4 * n_words)
               AND (n_stop >= 2) AS INTEGER) AS keep_flag
-          FROM b ORDER BY doc_id"""
+          FROM b ORDER BY doc_id""",
+
+    // Same floor-quantized integer IDF: list_distinct dedups in-row,
+    // // is DuckDB's integer division (Spark `div`), the mean is one
+    // int/int float division both engines.
+    "q_text_rarity" ->
+      s"""WITH pairs AS (
+            SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS word
+            FROM $doc),
+          dfx AS (SELECT word, COUNT(*) AS df FROM pairs GROUP BY word),
+          nd AS (SELECT COUNT(*) AS n_docs FROM $doc),
+          scored AS (
+            SELECT doc_id, (n_docs * $RarityScale) // df AS r
+            FROM pairs JOIN dfx USING (word) CROSS JOIN nd)
+          SELECT doc_id, COUNT(*) AS n_terms,
+            CAST(SUM(r) AS BIGINT) AS rarity_sum,
+            CAST(SUM(r) AS BIGINT) / COUNT(*) AS mean_rarity
+          FROM scored GROUP BY doc_id
+          ORDER BY mean_rarity DESC, doc_id ASC LIMIT $RarityTopK""",
+
+    // Same exact wide-integer odds-ratio products (HUGEINT here,
+    // DECIMAL(38,0) in Spark), one int→double conversion per side,
+    // one IEEE division; CAST(rk AS INTEGER) pins the dialect-divergent
+    // ROW_NUMBER type (the tfidf precedent).
+    "q_text_keyness" ->
+      s"""WITH c AS (
+            SELECT source, word, COUNT(*) AS a FROM (
+              SELECT source, UNNEST(string_split(text, ' ')) AS word
+              FROM $doc) sw
+            GROUP BY source, word),
+          wt AS (SELECT word, CAST(SUM(a) AS BIGINT) AS w_tot FROM c GROUP BY word),
+          st AS (SELECT source, CAST(SUM(a) AS BIGINT) AS s_tot FROM c GROUP BY source),
+          nt AS (SELECT CAST(SUM(a) AS BIGINT) AS n_tot FROM c),
+          scored AS (
+            SELECT c.source, c.word, a, (w_tot - a) AS b,
+              CAST(CAST(a + 1 AS HUGEINT)
+                   * ((n_tot - s_tot) - (w_tot - a) + 1) AS DOUBLE)
+              / CAST(CAST((w_tot - a) + 1 AS HUGEINT)
+                     * (s_tot - a + 1) AS DOUBLE) AS odds_ratio
+            FROM c JOIN wt USING (word) JOIN st USING (source) CROSS JOIN nt
+            WHERE a >= $KeynessMinCount)
+          SELECT source, word, a AS n_in, b AS n_out, odds_ratio,
+            CAST(rk AS INTEGER) AS rk
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY odds_ratio DESC, word ASC) AS rk
+                FROM scored) z
+          WHERE rk <= $KeynessTopK ORDER BY source, rk"""
   )
 }

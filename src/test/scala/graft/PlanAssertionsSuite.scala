@@ -960,6 +960,21 @@ class PlanAssertionsSuite extends SparkSuite {
       s"expected exactly one agg exchange:\n$phys")
   }
 
+  test("q_text_rarity / q_text_keyness (r14): top-k never global-sorts; no cartesian over the corpus") {
+    // rarity: TakeOrdered top-k, the only window-free path; keyness:
+    // the per-source rank prefilters as WindowGroupLimit. Both
+    // crossJoin a 1-ROW broadcast total (legitimate); the corpus-sized
+    // sides must stay equi-joined.
+    val rar = planString(q("q_text_rarity"))
+    assert(rar.contains("TakeOrderedAndProject"),
+      s"rarity top-k not TakeOrdered:\n$rar")
+    assert(!rar.contains("Window"), s"rarity grew a window:\n$rar")
+    val key = planString(q("q_text_keyness"))
+    assert(key.contains("WindowGroupLimit"),
+      s"keyness per-source top-k not group-limited:\n$key")
+    assert(!key.contains("CartesianProduct"), s"keyness cartesian:\n$key")
+  }
+
   test("q_sql_tpch8 / tpch15 (r14): snowflake dims broadcast / CTE reuse keeps one fact scan per consumer, no cartesian") {
     val q8 = planString(q("q_sql_tpch8"))
     // part gates the fact scan; supplier/customer/nation×2/region all

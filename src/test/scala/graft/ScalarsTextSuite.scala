@@ -210,6 +210,41 @@ class ScalarsTextSuite extends SparkSuite {
     assert(!out.contains(4L))
   }
 
+  test("rarityOn: integer IDF hand-computed; in-doc repeats dedup; mean ties break by doc_id") {
+    // n_docs=4; df: x=1, y=1, common=4 → scores 40000 / 40000 / 10000
+    val docs = Seq(
+      (1L, "x common"),
+      (2L, "common y y"), // y repeats in-doc: array_distinct counts it once
+      (3L, "common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val out = TextOps.rarityOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("rarity_sum"), r.getAs[Double]("mean_rarity")))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 50000L, 25000.0), // {x:40000, common:10000}
+      (2L, 2L, 50000L, 25000.0), // tie with doc 1 → doc_id breaks it
+      (3L, 1L, 10000L, 10000.0),
+      (4L, 1L, 10000L, 10000.0)))
+  }
+
+  test("keynessOn: Haldane-smoothed odds ratio hand-computed on a two-source corpus") {
+    // srcA: k×5 z×5; srcB: w×5 z×5. N=20, each s_tot=10.
+    // (A,k): a=5,b=0 → (6·11)/(1·6) = 11.0; (A,z): a=5,b=5 → (6·6)/(6·6) = 1.0
+    val docs = Seq(
+      ("srcA", "k k k k k z z z z z"),
+      ("srcB", "z z z z z w w w w w")).toDF("source", "text")
+    val out = TextOps.keynessOn(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("word"),
+        r.getAs[Long]("n_in"), r.getAs[Long]("n_out"),
+        r.getAs[Double]("odds_ratio"), r.getAs[Int]("rk")))
+    spark.catalog.clearCache()
+    assert(out.toSeq === Seq(
+      ("srcA", "k", 5L, 0L, 11.0, 1),
+      ("srcA", "z", 5L, 5L, 1.0, 2),
+      ("srcB", "w", 5L, 0L, 11.0, 1),
+      ("srcB", "z", 5L, 5L, 1.0, 2)))
+  }
+
   test("q_event_funnel is ORDER-sensitive: a click before the first view does not convert") {
     val dir = Files.createTempDirectory("graft_funnel").toString
     val B = 1704067200000000L // 2024-01-01T00:00:00Z in µs
