@@ -64,6 +64,58 @@ class CapabilitiesSuite extends SparkSuite {
       s"approx=$approx1 exact=$exact")
   }
 
+  test("mergeable HLL sketch bytes (r14): partial per-group sketches union to the global estimate — the rollup contract") {
+    // approx_count_distinct returns only the NUMBER; warehouse rollups
+    // need the SKETCH BYTES so daily partials merge into weekly/monthly
+    // counts without rescanning. Spark 4 ships Apache DataSketches HLL:
+    // hll_sketch_agg → binary, hll_union_agg → merged binary,
+    // hll_sketch_estimate → count. Contract pinned here: the union of
+    // per-group sketches estimates the SAME cardinality as one global
+    // sketch (merge = union, associative), within HLL's error at
+    // lgConfigK=12 (~1.6% rsd → assert 5%).
+    val df = Tables.lineitem(spark, sf)
+    val exact = df.select(countDistinct(col("l_orderkey"))).head.getLong(0)
+    val partials = df.groupBy(col("l_returnflag"))
+      .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"))
+    val merged = partials
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      .head.getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"merged HLL est=$merged exact=$exact")
+    val global = df
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 12))"))
+      .head.getLong(0)
+    // merge-vs-global: estimates of the same set from the same lgConfigK
+    // — NOT bit-identical (DataSketches sparse→dense mode transitions
+    // differ between one-shot and union builds; measured 1467 vs 1473 on
+    // 1.5k keys), but both must sit inside the same error envelope
+    assert(math.abs(global - exact).toDouble / exact <= 0.05,
+      s"global HLL est=$global exact=$exact")
+    assert(math.abs(merged - global).toDouble / exact <= 0.04,
+      s"union-of-partials $merged strayed from single global sketch $global")
+  }
+
+  test("count-min sketch (r14): point-frequency estimates never underestimate and hit exact counts on a small domain") {
+    // The frequency sibling of Misra-Gries: CMS answers "how often did
+    // key x occur" from a fixed-size mergeable summary, one-sided error
+    // (over-count only, bounded by eps·n at confidence 1−delta).
+    val df = Tables.lineitem(spark, sf)
+    val exact = df.groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val skBytes = df.agg(
+      expr("count_min_sketch(l_returnflag, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .head.getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val n = exact.values.sum
+    exact.foreach { case (k, c) =>
+      val est = sketch.estimateCount(k)
+      assert(est >= c, s"CMS underestimated $k: $est < $c")
+      assert(est <= c + math.ceil(0.001 * n).toLong,
+        s"CMS overran eps*n bound for $k: $est vs $c + ${0.001 * n}")
+    }
+  }
+
   test("approx_percentile brackets the exact percentile (accuracy-bounded sketch)") {
     // The other sketch a 100 TB pipeline reaches for (quality-score
     // thresholds over a corpus): with accuracy a, the rank error is
