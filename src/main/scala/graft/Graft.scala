@@ -753,6 +753,26 @@ object Graft {
                   textCol: String): DataFrame =
     graft.queries.TextOps.gopherOn(asCorpus(df, idCol, textCol))
 
+  /** Document rarity scores over any (id, text) corpus (graded
+    * q_text_rarity's engine, r14): top-k docs by mean floor-quantized
+    * integer IDF over their DISTINCT words — the rare-vocabulary
+    * selection/QA signal. BIGINT-exact sums; one IEEE division for the
+    * mean; top-k is TakeOrdered, window-free. */
+  def rarityScores(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    graft.queries.TextOps.rarityOn(asCorpus(df, idCol, textCol))
+
+  /** Per-group keyword extraction over any (group, text) corpus
+    * (graded q_text_keyness's engine, r14): top words over-represented
+    * in each group vs the rest, by exact-integer Haldane-smoothed odds
+    * ratio. Persists its (group, word) count table — callers should
+    * clearCache (the SparkEntry cache contract) or wrap in
+    * [[runScoped]]. */
+  def keywords(df: DataFrame, groupCol: String,
+               textCol: String): DataFrame =
+    graft.queries.TextOps.keynessOn(
+      df.select(col(groupCol).as("source"), col(textCol).as("text")))
+
   /** Rank-percentile quality-score normalization over any (id, text)
     * corpus (graded q_llm_qnorm's engine): PERCENT_RANK of the
     * distinct-token score, computed bucket-decomposed (no corpus-sized

@@ -868,6 +868,28 @@ object EventOps {
         .orderBy(col("day"))
     }),
 
+    // User-lifetime survival curve (r14) — the churn-analysis staple:
+    // per observed lifetime L (days between a user's first and last
+    // event, day grain), how many users' lifetimes END there and what
+    // fraction of ALL users survives ≥ L. Pure Kaplan-Meier in the
+    // no-censoring case (the log is fully observed), so the curve is
+    // exact integer arithmetic — no hazard products, no float chains;
+    // survival_frac is ONE IEEE division of exact ints, unrounded
+    // (§7.4 rule 1). Plan: per-user min/max agg (shuffle ∝ users) →
+    // lifetime hash agg (∝ distinct lifetimes ≤ calendar span) → the
+    // DESC running sum is a window over that AGGREGATE (§7.4.12
+    // bounded-window discipline) → 1-row total broadcast.
+    "q_event_survival" -> ((s, d) => survivalOn(T.events(s, d))),
+
+    // Per-user activity power-law histogram (r14) — events-per-user at
+    // power-of-2 buckets, the "how heavy is the heavy tail" audit
+    // behind sampling/salting decisions (a top bucket holding one mega
+    // user is the skew-join warning light). Bucket = LENGTH(bin(n)) =
+    // floor(log2(n))+1, INTEGER-EXACT both engines (the q_text_lenhist
+    // discipline — no libm log2() boundary hazard). Plan: two stacked
+    // map-side-combining hash aggs (users, then ≤64 buckets).
+    "q_event_powerlaw" -> ((s, d) => powerlawOn(T.events(s, d))),
+
     // RFM user scoring (r12) — the classic recency/frequency/monetary
     // quartile segmentation: per user, days since last activity, event
     // count, and exact value total; each metric scored 1–4 against the
@@ -1136,6 +1158,41 @@ object EventOps {
 
   /** q_event_markov core over any frame with (user_id, event_id,
     * event_type) — [[graft.Graft.transitionMatrix]] enters here. */
+  /** q_event_survival's engine over any (user_id, ts) event log. */
+  private[graft] def survivalOn(events: DataFrame): DataFrame = {
+    val life = events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("dix"))
+      .groupBy(col("user_id"))
+      .agg((max(col("dix")) - min(col("dix"))).as("lifetime_days"))
+    val counts = life.groupBy(col("lifetime_days"))
+      .agg(count(lit(1)).as("n_ending"))
+    val tot = counts.agg(sum(col("n_ending")).as("n_users"))
+    counts
+      .withColumn("n_surviving",
+        sum(col("n_ending")).over(
+          Window.orderBy(col("lifetime_days").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("survival_frac",
+        col("n_surviving").cast("double") / col("n_users"))
+      .select(col("lifetime_days"), col("n_ending"), col("n_surviving"),
+        col("n_users"), col("survival_frac"))
+      .orderBy(col("lifetime_days"))
+  }
+
+  /** q_event_powerlaw's engine over any (user_id) event log. */
+  private[graft] def powerlawOn(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+      .withColumn("b", length(bin(col("n_ev"))))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("n_ev")).as("min_ev"),
+        max(col("n_ev")).as("max_ev"),
+        sum(col("n_ev")).as("sum_ev"))
+      .orderBy(col("b"))
+
   private[graft] def markovOn(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
     events
@@ -1474,6 +1531,35 @@ object EventOps {
             CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
           FROM dau JOIN mau ON dau.day = mau.rday
           ORDER BY dau.day""",
+    // Same integer Kaplan-Meier: DESC running sum over the lifetime
+    // aggregate, CAST pins DuckDB's HUGEINT window sum to BIGINT.
+    "q_event_survival" ->
+      s"""WITH life AS (
+            SELECT user_id,
+              MAX(epoch_us(ts) // 86400000000)
+                - MIN(epoch_us(ts) // 86400000000) AS lifetime_days
+            FROM $evt WHERE ts IS NOT NULL GROUP BY user_id),
+          c AS (SELECT lifetime_days, COUNT(*) AS n_ending
+                FROM life GROUP BY 1),
+          t AS (SELECT CAST(SUM(n_ending) AS BIGINT) AS n_users FROM c)
+          SELECT lifetime_days, n_ending,
+            CAST(SUM(n_ending) OVER (ORDER BY lifetime_days DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_surviving,
+            n_users,
+            CAST(SUM(n_ending) OVER (ORDER BY lifetime_days DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / n_users AS survival_frac
+          FROM c CROSS JOIN t ORDER BY lifetime_days""",
+    // Same LENGTH(bin()) integer bucket as q_text_lenhist.
+    "q_event_powerlaw" ->
+      s"""WITH u AS (SELECT user_id, COUNT(*) AS n_ev FROM $evt
+                     GROUP BY user_id)
+          SELECT CAST(LENGTH(bin(n_ev)) AS INTEGER) AS b,
+            COUNT(*) AS n_users,
+            MIN(n_ev) AS min_ev, MAX(n_ev) AS max_ev,
+            CAST(SUM(n_ev) AS BIGINT) AS sum_ev
+          FROM u GROUP BY 1 ORDER BY 1""",
     // Staged CTEs mirror the engine: user collapse → 2-row variant
     // agg → 1-row conditional pivot → pinned z chain (ra/rb/p each
     // once; sqrt correctly rounded). CASE guards match the Spark

@@ -77,6 +77,29 @@ class GraftFacadeSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("r14 facade wave: rarityScores and keywords run on custom schemas") {
+    // rarity over the 5-doc corpus: doc 104's six words are unique to it
+    // (df=1 each → score 50000·6), the dup trio's words all appear in 4
+    // docs (101/102/103/105 → df=4 → 12500) — 104 must rank first
+    val rs = Graft.rarityScores(corpus, "item_no", "body").collect()
+    assert(rs.head.getAs[Long]("doc_id") === 104L)
+    assert(rs.head.getAs[Double]("mean_rarity") === 50000.0)
+    assert(rs.map(_.getAs[Long]("doc_id")).toSet ===
+      Set(101L, 102L, 103L, 104L, 105L))
+    // keywords by shelf: every aisle1 word count is < KeynessMinCount=5
+    // except none — so seed a corpus where one group over-uses a word
+    val kw = Graft.keywords(Seq(
+      ("g1", "hot hot hot hot hot cold cold cold cold cold"),
+      ("g2", "cold cold cold cold cold mild mild mild mild mild"))
+      .toDF("grp", "txt"), "grp", "txt").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("word"),
+        r.getAs[Double]("odds_ratio")))
+    spark.catalog.clearCache()
+    assert(kw.toSeq === Seq(
+      ("g1", "hot", 11.0), ("g1", "cold", 1.0),
+      ("g2", "mild", 11.0), ("g2", "cold", 1.0)))
+  }
+
   test("nearDupPairs finds set-duplicates within blocks on a custom-schema corpus") {
     val pairs = Graft.nearDupPairs(corpus, "item_no", "body",
         Seq("shelf"), 4, 5).collect()
@@ -708,6 +731,9 @@ class GraftFacadeSuite extends SparkSuite {
         Seq.empty[(String, Double)].toDF("g", "x"), Seq("g"), "x", 8,
         Seq(0.5))),
       "gopherFlags" -> (() => Graft.gopherFlags(emptyCorpus, "item_no", "body")),
+      // r14 facade entries
+      "rarityScores" -> (() => Graft.rarityScores(emptyCorpus, "item_no", "body")),
+      "keywords" -> (() => Graft.keywords(emptyCorpus, "item_no", "body")),
       "qualityPercentile" -> (() =>
         Graft.qualityPercentile(emptyCorpus, "item_no", "body")),
       "raLinkPrediction" -> (() =>

@@ -276,6 +276,37 @@ class ScalarsTextSuite extends SparkSuite {
     assert(out(4L) === ((1, 1, 0)), "simultaneous view+click converts stage 2 (>= contract)")
   }
 
+  test("q_event_survival / q_event_powerlaw: hand-computed on a planted timeline (r14)") {
+    val dir = Files.createTempDirectory("graft_survival").toString
+    val B = 1704067200000000L
+    def d(day: Long, evId: Long, user: Long) = (evId, B + day * 86400000000L, user)
+    Seq( // u1: days 0,2 (lifetime 2, 2 events); u2: day 0 (lifetime 0, 1 ev);
+         // u3: day 1 twice + day 5 (lifetime 4, 3 events)
+      d(0, 1L, 1L), d(2, 2L, 1L),
+      d(0, 3L, 2L),
+      d(1, 4L, 3L), d(1, 5L, 3L), d(5, 6L, 3L))
+      .toDF("event_id", "ts_us", "user_id")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val surv = SparkEntry.queries("q_event_survival")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("lifetime_days"), r.getAs[Long]("n_ending"),
+        r.getAs[Long]("n_surviving"), r.getAs[Long]("n_users"),
+        r.getAs[Double]("survival_frac")))
+    assert(surv.toSeq === Seq(
+      (0L, 1L, 3L, 3L, 1.0),
+      (2L, 1L, 2L, 3L, 2.0 / 3.0),
+      (4L, 1L, 1L, 3L, 1.0 / 3.0)))
+    val pl = SparkEntry.queries("q_event_powerlaw")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("b"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("min_ev"), r.getAs[Long]("max_ev"),
+        r.getAs[Long]("sum_ev")))
+    assert(pl.toSeq === Seq(
+      (1, 1L, 1L, 1L, 1L),    // u2: 1 event → bucket len(bin(1))=1
+      (2, 2L, 2L, 3L, 5L)))   // u1 (2 ev), u3 (3 ev) → bucket 2
+  }
+
   test("q_event_retention: hand-computed cohort table on a planted timeline") {
     val dir = Files.createTempDirectory("graft_retention").toString
     val B = 1704067200000000L
