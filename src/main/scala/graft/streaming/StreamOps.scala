@@ -112,6 +112,15 @@ case class NewretState(firstDay: Long, lastDay: Long)
   * seen; is_new = 1 only on the user's first-ever active day. */
 case class NewretOut(user_id: Long, day_us: Long, is_new: Int)
 
+/** Per-key lifetime state: first and last active day indices (r14). */
+case class LifetimeState(firstDay: Long, lastDay: Long)
+
+/** Upsert row per user, re-emitted whenever the lifetime grows —
+  * last-write-wins materialization holds each user's current lifetime;
+  * the survival curve composes downstream (r14). */
+case class LifetimeOut(user_id: Long, first_day_us: Long,
+                       lifetime_days: Long)
+
 /** Per-key last-touch state: the most recent non-purchase event type seen
   * so far ("" = none yet — the batch query's 'direct' case). */
 case class AttribState(touch: String)
@@ -473,6 +482,40 @@ object StreamOps {
           }
           state.update(s)
           out.result().iterator
+      }
+  }
+
+  /** Streaming user-lifetime feed (r14) — the stateful twin of
+    * q_event_survival's per-user min/max collapse: TWO LONGS of state
+    * per key (first/last active day index), one upserted (user,
+    * first_day, lifetime_days) row whenever the lifetime GROWS (Update
+    * mode, last-write-wins — a user's current row is always their
+    * current lifetime; silent fold otherwise). The survival curve
+    * composes downstream exactly as the batch tail does (groupBy
+    * lifetime → counts → DESC running share over the aggregate).
+    * Within-batch order is irrelevant (min/max fold); cross-batch
+    * out-of-order arrivals are also correct — min/max are commutative
+    * — unlike the ewma-class monitors this twin needs NO in-order
+    * contract. Parity-pinned vs the graded batch query. */
+  def lifetimeMonitor(events: Dataset[Event]): Dataset[LifetimeOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[LifetimeState]) =>
+          val days = it.map(e => Math.floorDiv(e.ts_us, 86400000000L)).toSeq
+          if (days.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption
+            val nf = math.min(prev.map(_.firstDay).getOrElse(Long.MaxValue),
+              days.min)
+            val nl = math.max(prev.map(_.lastDay).getOrElse(Long.MinValue),
+              days.max)
+            val changed = prev.forall(p => p.firstDay != nf || p.lastDay != nl)
+            state.update(LifetimeState(nf, nl))
+            if (changed)
+              Iterator.single(LifetimeOut(user, nf * 86400000000L, nl - nf))
+            else Iterator.empty
+          }
       }
   }
 

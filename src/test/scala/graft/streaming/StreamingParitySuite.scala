@@ -344,6 +344,49 @@ class StreamingParitySuite extends SparkSuite {
       (7L, "click", 300L, 3L, -1L, 1)))
   }
 
+  test("lifetime monitor: survival curve from last-write-wins rows == graded q_event_survival on sf0.001; growth re-emits across batches, in-span repeats fold silently") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    // upsert materialization: last emission per user is their lifetime;
+    // compose the survival curve exactly as the batch tail does
+    val lifetimes = StreamOps.lifetimeMonitor(events).collect()
+      .groupBy(_.user_id).view.mapValues(_.last.lifetime_days).toMap
+    val counts = lifetimes.values.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val nUsers = lifetimes.size.toLong
+    val twin = counts.keys.toSeq.sorted.map { l =>
+      val surviving = counts.filter(_._1 >= l).values.sum
+      (l, counts(l), surviving, nUsers, surviving.toDouble / nUsers)
+    }
+    val batch = graft.queries.EventOps.queries("q_event_survival")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+    spark.catalog.clearCache()
+    // growth across a batch boundary re-emits the user's row; a repeat
+    // INSIDE the known span emits nothing (last-write-wins holds)
+    val mini = Seq(
+      Event(1L, 10L * 86400000000L, 7L, "view", 1.0),
+      Event(2L, 12L * 86400000000L + 5L, 7L, "view", 1.0),
+      Event(3L, 11L * 86400000000L, 7L, "view", 1.0)) // inside [10, 12]
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.lifetimeMonitor(ms.toDS())
+      .writeStream.format("memory").queryName("lifetime_mini")
+      .outputMode("update").start()
+    try {
+      ms.addData(mini.take(1)); q.processAllAvailable()
+      ms.addData(mini.slice(1, 2)); q.processAllAvailable()
+      ms.addData(mini.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("lifetime_mini").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      (7L, 10L * 86400000000L, 0L),   // batch 1: first sighting
+      (7L, 10L * 86400000000L, 2L)))  // batch 2: grew; batch 3: silent
+  }
+
   test("attrib monitor: per-touch credit counts == graded q_event_attrib on sf0.001; the touch carries across batches") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
