@@ -128,6 +128,22 @@ object ScaleRehearsal {
       .select(col("id").as("a"), (col("id") + 1L).as("b"))
 
     Seq(600000L, 6000000L).foreach { n =>
+      // r14 text newcomers, driven through the EXACT graded engines.
+      // rarity over synthDocs is the WORST case: the vocabulary is
+      // n-sized (df table ∝ corpus), so expect time/shuffle ∝ the
+      // (doc, distinct-word) pair count; output pinned at top-50.
+      // keyness groups the same corpus into 20 sources; its hot path
+      // is the (source, word) agg ∝ per-source vocab. repartition(32)
+      // breaks range's clustering freebie (the r13 honesty note).
+      if (want("rarity")) time("rarity", n) {
+        Graft.rarityScores(synthDocs(n).repartition(32),
+          "doc_id", "text").count()
+      }
+      if (want("keyness")) time("keyness", n) {
+        Graft.keywords(synthDocs(n).repartition(32)
+          .withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(20L)))),
+          "src", "text").count()
+      }
       if (want("neardup_pairs")) time("neardup_pairs", n) {
         Graft.nearDupPairs(synthDocs(n), "doc_id", "text", Nil, 4, 5).count()
       }
@@ -504,26 +520,12 @@ object ScaleRehearsal {
         noop(Graft.trailingAgg(synthEvents(n).repartition(32),
           "user_id", "ts", "value", 3600000000L))
       }
-      // r14 text newcomers, driven through the EXACT graded engines.
-      // rarity over synthDocs is the WORST case: the vocabulary is
-      // n-sized (df table ∝ corpus), so expect time/shuffle ∝ the
-      // (doc, distinct-word) pair count; output pinned at top-50.
-      // keyness groups the same corpus into 20 sources; its hot path
-      // is the (source, word) agg ∝ per-source vocab. repartition(32)
-      // breaks range's clustering freebie (the r13 honesty note).
-      if (want("rarity")) time("rarity", n) {
-        Graft.rarityScores(synthDocs(n).repartition(32),
-          "doc_id", "text").count()
-      }
-      if (want("keyness")) time("keyness", n) {
-        Graft.keywords(synthDocs(n).repartition(32)
-          .withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(20L)))),
-          "src", "text").count()
-      }
-      // r14 event newcomers: survival = per-user agg → lifetime agg →
-      // bounded window (expect ∝ rows, shuffle ∝ users); powerlaw =
-      // two stacked aggs. Planted truth: every synthetic user has the
-      // same 50-event history → EXACTLY ONE output row each.
+      // r14 event newcomers (6M/60M — cheap agg shapes): survival =
+      // per-user agg → lifetime agg → bounded window (expect ∝ rows,
+      // shuffle ∝ users); powerlaw = two stacked aggs. Planted truth:
+      // every synthetic user has the same 50-event history → EXACTLY
+      // ONE output row each. repartition(32) breaks range's clustering
+      // freebie (the r13 honesty note).
       if (want("survival")) time("survival", n) {
         graft.queries.EventOps.survivalOn(synthEvents(n).repartition(32))
           .count()

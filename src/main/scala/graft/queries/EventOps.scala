@@ -1167,6 +1167,9 @@ object EventOps {
       .agg((max(col("dix")) - min(col("dix"))).as("lifetime_days"))
     val counts = life.groupBy(col("lifetime_days"))
       .agg(count(lit(1)).as("n_ending"))
+      .persist() // 2 consumers (total + window) — one events scan, not
+                 // two; the table is ≤ calendar-span rows at any size;
+                 // caller clearCache (the SparkEntry cache contract)
     val tot = counts.agg(sum(col("n_ending")).as("n_users"))
     counts
       .withColumn("n_surviving",
