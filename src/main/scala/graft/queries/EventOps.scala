@@ -1167,16 +1167,18 @@ object EventOps {
       .agg((max(col("dix")) - min(col("dix"))).as("lifetime_days"))
     val counts = life.groupBy(col("lifetime_days"))
       .agg(count(lit(1)).as("n_ending"))
-      .persist() // 2 consumers (total + window) — one events scan, not
-                 // two; the table is ≤ calendar-span rows at any size;
-                 // caller clearCache (the SparkEntry cache contract)
-    val tot = counts.agg(sum(col("n_ending")).as("n_users"))
+    // both the running and the grand total ride ONE window pass over
+    // the same ordered frame (two frames, one WindowExec, one branch —
+    // no second events scan, no cache, no crossJoin)
+    val wDesc = Window.orderBy(col("lifetime_days").desc)
     counts
       .withColumn("n_surviving",
         sum(col("n_ending")).over(
-          Window.orderBy(col("lifetime_days").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(tot))
+          wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_users",
+        sum(col("n_ending")).over(
+          wDesc.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
       .withColumn("survival_frac",
         col("n_surviving").cast("double") / col("n_users"))
       .select(col("lifetime_days"), col("n_ending"), col("n_surviving"),

@@ -102,6 +102,11 @@ object LlmOps {
     * corpus precedent — the synthetic embeddings' near-dup band). */
   private[graft] val SemTau = 0.35
 
+  /** q_llm_editdup: maximum character edit distance. Doubles as the
+    * length-band width — a pair within D edits differs by ≤ D chars of
+    * length, so banding by len∕D (±1 neighbor post) is LOSSLESS. */
+  private[graft] val EditDupMaxD = 64
+
   private[graft] val HashP = 2147483647L
   private[graft] val (hashA, hashB) = {
     val rng = new scala.util.Random(42)
@@ -818,6 +823,43 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), col("jacc"))
   }
 
+  /** q_llm_editdup's engine over any (doc_id, text [, blockCols…])
+    * corpus: unordered pairs within the same block at character edit
+    * distance ≤ maxD, with the distance. Candidates via the LOSSLESS
+    * length band (bucket = len∕maxD; the left side keeps its native
+    * bucket, the right side posts to bucket−1/bucket/bucket+1, so a
+    * qualifying pair — whose lengths differ by ≤ maxD, hence whose
+    * buckets differ by ≤ 1 — matches on EXACTLY one posted key; the
+    * join is an equi-join on (block, bucket), never a block cartesian).
+    * Survivors pay Spark's thresholded levenshtein(a, b, maxD) — the
+    * O(maxD·n) banded DP that returns −1 past the threshold and the
+    * exact distance inside it. Integer distances; no float surface. */
+  private[graft] def editDupPairsOn(docs: DataFrame,
+                                    blockCols: Seq[String],
+                                    maxD: Int): DataFrame = {
+    require(maxD >= 1, s"maxD must be >= 1, got $maxD")
+    val t = docs
+      .select(Seq(col("doc_id"), col("text"),
+        length(col("text")).as("len")) ++ blockCols.map(col): _*)
+    val bkt = expr(s"len div $maxD")
+    val a = t.select(Seq(col("doc_id").as("doc_a"), col("text").as("t_a"),
+      col("len").as("l_a"), bkt.as("bk")) ++
+      blockCols.map(c => col(c).as(s"a_$c")): _*)
+    val b = t.select(Seq(col("doc_id").as("doc_b"), col("text").as("t_b"),
+      col("len").as("l_b"),
+      explode(array(bkt - 1, bkt, bkt + 1)).as("bkp")) ++
+      blockCols.map(c => col(c).as(s"b_$c")): _*)
+    val cond = (Seq(col("bk") === col("bkp"),
+      col("doc_a") < col("doc_b"),
+      abs(col("l_a") - col("l_b")) <= maxD) ++
+      blockCols.map(c => col(s"a_$c") === col(s"b_$c"))).reduce(_ && _)
+    a.join(b, cond)
+      .withColumn("dist", expr(s"levenshtein(t_a, t_b, $maxD)"))
+      .filter(col("dist") >= 0 && col("dist") <= maxD)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The full graded q_llm_minhash pipeline, parameterized on the
     * signature form (see [[minhashSig]]) so the physical variants can
     * be benchmarked end-to-end and parity-pinned. */
@@ -973,6 +1015,24 @@ object LlmOps {
       neardupPairs(s, d)
         .select(col("doc_a"), col("doc_b"), col("jacc"))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Character-EDIT near-dup pairs (r14) — levenshtein ≤ 64 within the
+    // same (lang, source) block: the near-identical-bytes criterion the
+    // token-set/shingle/simhash/embedding families all miss (a doc with
+    // small in-word edits — OCR noise, version strings, typo farms —
+    // keeps high edit similarity while its token SETS diverge). The
+    // candidate generator is the lossless length band: a pair within D
+    // edits differs by ≤ D in length, so each doc joins its len∕D
+    // bucket against both neighbors (equi-join on the bucket key —
+    // never a block cartesian), and only band survivors pay the DP.
+    // The verify is Spark's THRESHOLDED levenshtein(a, b, D) — the
+    // banded O(D·n) early-abort form, value-identical to the full
+    // distance whenever ≤ D (pairs beyond D return −1 and drop, which
+    // the oracle's plain levenshtein filter reproduces exactly);
+    // integer distances, no float surface.
+    "q_llm_editdup" -> ((s, d) =>
+      editDupPairsOn(T.documents(s, d), Seq("lang", "source"),
+        EditDupMaxD)),
 
     // Token-set CONTAINMENT ≥ 0.9 between ORDERED pairs in the same
     // (lang, source) block — the asymmetric dup criterion Jaccard
@@ -1632,6 +1692,21 @@ object LlmOps {
             FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
               AND a.doc_id < b.doc_id) x
           WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""",
+    // Naive blocked + length-filtered all-pairs with the FULL
+    // levenshtein — result-identical to the banded+thresholded engine
+    // (the band is lossless; the threshold form equals the full
+    // distance inside it). CAST pins DuckDB's BIGINT to Spark's INT.
+    "q_llm_editdup" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, text,
+              length(text) AS len FROM $doc)
+          SELECT doc_a, doc_b, CAST(dist AS INTEGER) AS dist FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              levenshtein(a.text, b.text) AS dist
+            FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+              AND a.doc_id < b.doc_id
+              AND abs(a.len - b.len) <= $EditDupMaxD) x
+          WHERE dist <= $EditDupMaxD ORDER BY doc_a, doc_b""",
+
     // Ordered pairs (doc_id <>, not <) — containment is asymmetric;
     // same t CTE as the neardup family, |a∩b|/|a| instead of Jaccard.
     "q_llm_contain" ->

@@ -580,6 +580,25 @@ class LlmOpsSuite extends SparkSuite {
       4L -> ((4L, 2L, 1)), 5L -> ((4L, 2L, 0))))
   }
 
+  test("editDupPairsOn: band is lossless at the length boundary, threshold is inclusive at D and exclusive at D+1, blocks scope pairs (r14)") {
+    val D = 64
+    val corpus = Seq(
+      (1L, "abcdef", "en", "s0"),                    // len 6, bucket 0
+      (2L, "abcxef", "en", "s0"),                    // dist(1,2) = 1
+      (3L, "z" * 100, "en", "s0"),                   // far from everything
+      (4L, "abcdef", "en", "s1"),                    // other block: no pair
+      (5L, "abcdef" + "y" * D, "en", "s0"))          // len 70, bucket 1:
+      .toDF("doc_id", "text", "lang", "source")      //   dist(1,5) = 64 exactly
+    val out = LlmOps.editDupPairsOn(corpus, Seq("lang", "source"), D)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (1,5): length diff == D and dist == D — the band's ±1 neighbor
+    // post and the inclusive threshold both at their boundary.
+    // (2,5): dist 65 == D+1 — excluded by the verify, not the band.
+    // (1,3)/(2,3): length diff 94 > D — excluded by the band itself.
+    // (1,4): identical bytes but different block — never considered.
+    assert(out.toSeq === Seq((1L, 2L, 1), (1L, 5L, D)))
+  }
+
   test("q_llm_substr: shared 5-token windows counted per doc; reversal shares none") {
     // K=5 windows on the mini corpus: docs 1,2 identical (6 windows, all
     // shared), doc 3 is the reversal (6 windows, none contiguous-equal),

@@ -960,6 +960,15 @@ class PlanAssertionsSuite extends SparkSuite {
       s"expected exactly one agg exchange:\n$phys")
   }
 
+  test("q_llm_editdup (r14): length-band candidates are an EQUI-join — never a block cartesian") {
+    val phys = planString(q("q_llm_editdup"))
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"),
+      s"editdup degenerated to an all-pairs join:\n$phys")
+    // the join keys must include the length bucket, not just the block
+    assert(phys.contains("bk"), s"bucket key missing from the plan:\n$phys")
+  }
+
   test("q_text_rarity / q_text_keyness (r14): top-k never global-sorts; no cartesian over the corpus") {
     // rarity: TakeOrdered top-k, the only window-free path; keyness:
     // the per-source rank prefilters as WindowGroupLimit. Both
