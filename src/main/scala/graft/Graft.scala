@@ -753,6 +753,19 @@ object Graft {
                   textCol: String): DataFrame =
     graft.queries.TextOps.gopherOn(asCorpus(df, idCol, textCol))
 
+  /** Character-edit near-dup pairs over any (id, text [, blocks…])
+    * corpus (graded q_llm_editdup's engine, r14): unordered same-block
+    * pairs at levenshtein ≤ maxD with the distance. Candidates via the
+    * LOSSLESS length band (equi-join on (block, len∕maxD bucket) with
+    * ±1 neighbor posts — never a block cartesian); survivors pay the
+    * thresholded O(maxD·n) banded DP. Blocks bound the quadratic term
+    * — pass the tightest natural scoping (lang, domain, shard) the
+    * corpus has, exactly as every edit-dedup pipeline pre-blocks. */
+  def editDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], maxD: Int): DataFrame =
+    graft.queries.LlmOps.editDupPairsOn(
+      asCorpus(df, idCol, textCol, keep = blockCols), blockCols, maxD)
+
   /** Document rarity scores over any (id, text) corpus (graded
     * q_text_rarity's engine, r14): top-k docs by mean floor-quantized
     * integer IDF over their DISTINCT words — the rare-vocabulary

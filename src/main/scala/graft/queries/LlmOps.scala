@@ -1016,6 +1016,26 @@ object LlmOps {
         .select(col("doc_a"), col("doc_b"), col("jacc"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Boilerplate-prefix clusters (r14) — documents sharing their first
+    // 32 characters VERBATIM (templated headers, scraped banners, form
+    // letters): the cheapest dup-family screen, catching the
+    // shared-opening shape exact dedup (whole bytes), substr (interior
+    // 5-token windows), and fingerprint (whole token set) each slice
+    // differently. Per cluster with ≥ 2 docs: the prefix, doc count,
+    // keeper (min doc_id), total chars held. Plan: ONE map-side-
+    // combining hash agg keyed on the 32-char prefix (shuffle ∝
+    // distinct prefixes, never docs — a mega-cluster combines
+    // map-side), HAVING prunes singletons; (n_docs desc, prefix) is a
+    // total order because the prefix is the group key.
+    "q_llm_prefixdup" -> ((s, d) =>
+      T.documents(s, d)
+        .filter(length(col("text")) >= 32)
+        .groupBy(substring(col("text"), 1, 32).as("prefix"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix").asc)),
+
     // Character-EDIT near-dup pairs (r14) — levenshtein ≤ 64 within the
     // same (lang, source) block: the near-identical-bytes criterion the
     // token-set/shingle/simhash/embedding families all miss (a doc with
@@ -1692,6 +1712,16 @@ object LlmOps {
             FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
               AND a.doc_id < b.doc_id) x
           WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""",
+    // Same one-agg shape; substr is 1-based in both dialects, the
+    // ASCII corpus has no grapheme divergence.
+    "q_llm_prefixdup" ->
+      s"""SELECT substr(text, 1, 32) AS prefix, COUNT(*) AS n_docs,
+            MIN(doc_id) AS keeper,
+            CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+          FROM $doc WHERE length(text) >= 32
+          GROUP BY 1 HAVING COUNT(*) >= 2
+          ORDER BY n_docs DESC, prefix ASC""",
+
     // Naive blocked + length-filtered all-pairs with the FULL
     // levenshtein — result-identical to the banded+thresholded engine
     // (the band is lossless; the threshold form equals the full

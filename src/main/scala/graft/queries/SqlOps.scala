@@ -425,6 +425,27 @@ object SqlOps {
         GROUP BY cntrycode
         ORDER BY cntrycode"""
 
+  /** TPC-H Q16 (parts/supplier relationship), adapted to the driver's
+    * schema: the partsupp relation it needs EXISTS IMPLICITLY as the
+    * distinct (l_partkey, l_suppkey) pairs of lineitem (every
+    * part-supplier pairing the business transacted), and the official
+    * "complaints comment" supplier exclusion becomes the deterministic
+    * s_acctbal < 0 gate (no s_comment column). The NOT-IN subquery
+    * compiles to a null-aware anti join; supplier_cnt is a
+    * COUNT(DISTINCT) over the derived relation. */
+  private def tpch16Sql(li: String, prt: String, supp: String) =
+    s"""SELECT p_brand, p_type, p_size,
+          CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM $li) ps
+          JOIN $prt p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> 'Brand#5'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND ps.l_suppkey NOT IN (
+            SELECT s_suppkey FROM $supp WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q3/Q5 as SQL text — the canonical decision-support join
     // pyramids. Catalyst gets the join order right from the declared
@@ -543,6 +564,12 @@ object SqlOps {
       T.orders(s, d).createOrReplaceTempView("orders")
       s.sql(tpch22Sql("customer", "orders"))
     }),
+    "q_sql_tpch16" -> ((s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.part(s, d).createOrReplaceTempView("part")
+      T.supplier(s, d).createOrReplaceTempView("supplier")
+      s.sql(tpch16Sql("lineitem", "part", "supplier"))
+    }),
 
     // Scalar subquery + IN subquery + correlated EXISTS, as SQL text.
     "q_sql_subquery" -> ((s, d) => {
@@ -604,6 +631,8 @@ object SqlOps {
     "q_sql_tpch21" -> tpch21Sql(tbl("supplier"), tbl("lineitem"),
       tbl("orders"), tbl("nation")),
     "q_sql_tpch22" -> tpch22Sql(tbl("customer"), tbl("orders")),
+    "q_sql_tpch16" -> tpch16Sql(tbl("lineitem"), tbl("part"),
+      tbl("supplier")),
     "q_sql_subquery" -> subquerySql(tbl("customer"), tbl("orders")),
     "q_sql_gsets" -> gsetsSql(tbl("orders")),
     "q_sql_lateral" -> lateralSql(tbl("region"), tbl("nation"), tbl("customer")),

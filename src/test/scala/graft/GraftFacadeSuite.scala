@@ -77,6 +77,16 @@ class GraftFacadeSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("editDupPairs: custom schema + block scoping; one-char edit pairs, cross-block twins do not (r14)") {
+    val out = Graft.editDupPairs(Seq(
+      (1L, "hello world this is a header", "a1"),
+      (2L, "hello world this is a headex", "a1"),  // 1 substitution
+      (3L, "hello world this is a header", "a2"))  // identical, other block
+      .toDF("item_no", "body", "shelf"), "item_no", "body", Seq("shelf"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1)))
+  }
+
   test("r14 facade wave: rarityScores and keywords run on custom schemas") {
     // rarity over the 5-doc corpus: doc 104's six words are unique to it
     // (df=1 each → score 50000·6), the dup trio's words all appear in 4
@@ -734,6 +744,8 @@ class GraftFacadeSuite extends SparkSuite {
       // r14 facade entries
       "rarityScores" -> (() => Graft.rarityScores(emptyCorpus, "item_no", "body")),
       "keywords" -> (() => Graft.keywords(emptyCorpus, "item_no", "body")),
+      "editDupPairs" -> (() => Graft.editDupPairs(emptyCorpus, "item_no",
+        "body", Seq("shelf"), 16)),
       "qualityPercentile" -> (() =>
         Graft.qualityPercentile(emptyCorpus, "item_no", "body")),
       "raLinkPrediction" -> (() =>
