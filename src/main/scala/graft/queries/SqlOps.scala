@@ -446,6 +446,101 @@ object SqlOps {
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
 
+  /** TPC-H Q2 (best supplier per part), adapted: the partsupp relation
+    * derives from lineitem (the Q16 rewrite) and "minimum supply cost"
+    * — a column no table carries — becomes MAXIMUM account balance,
+    * preserving the query's defining shape: a correlated scalar
+    * subquery EQUALITY re-running the region-scoped join per part.
+    * acctbal doubles compare raw (identical parquet values both
+    * engines); (s_name, p_partkey) is unique per row ⇒ total order. */
+  private def tpch2Sql(li: String, prt: String, supp: String,
+                       nat: String, reg: String) =
+    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM $li)
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+        FROM $prt p
+          JOIN ps ON ps.l_partkey = p.p_partkey
+          JOIN $supp s ON s.s_suppkey = ps.l_suppkey
+          JOIN $nat n ON s.s_nationkey = n.n_nationkey
+          JOIN $reg r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size = 15 AND p.p_type = 'SMALL' AND r.r_name = 'EUROPE'
+          AND s.s_acctbal = (
+            SELECT MAX(s2.s_acctbal) FROM ps ps2
+              JOIN $supp s2 ON s2.s_suppkey = ps2.l_suppkey
+              JOIN $nat n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN $reg r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100"""
+
+  /** TPC-H Q9 (product-type profit), adapted: unit supply cost — the
+    * partsupp column no table carries — becomes p_retailprice, keeping
+    * the defining shape intact (LIKE-filtered part gate, 5-table join,
+    * revenue−cost amount, (nation, year) grouping). The amount is a
+    * DIFFERENCE of two exact decimal products summed in the exact
+    * domain — Spark (18,4)×(14,8)→(33,12) and DuckDB run identical
+    * exact decimal arithmetic — rounded once, cast to DOUBLE once. */
+  private def tpch9Sql(li: String, prt: String, supp: String,
+                       ords: String, nat: String) =
+    s"""SELECT n.n_name AS nation,
+          CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+          CAST(ROUND(SUM(
+            CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST((1 - l_discount) AS DECIMAL(14,8))
+            - CAST(p_retailprice AS DECIMAL(18,4))
+              * CAST(l_quantity AS DECIMAL(14,8))), 4) AS DOUBLE)
+            AS sum_profit
+        FROM $prt p
+          JOIN $li l ON p.p_partkey = l.l_partkey
+          JOIN $supp s ON s.s_suppkey = l.l_suppkey
+          JOIN $ords o ON o.o_orderkey = l.l_orderkey
+          JOIN $nat n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC"""
+
+  /** TPC-H Q11 (important stock identification), adapted: part "value"
+    * — availqty·supplycost over partsupp — becomes discounted revenue
+    * through ASIA-nation suppliers, and the official SF-dependent
+    * fraction becomes a scale-invariant 2× average, preserving the
+    * defining shape: a HAVING/WHERE threshold that is a scalar
+    * subquery over the SAME aggregated view consumed twice. The
+    * threshold re-sums the 4dp-rounded vals in the exact decimal
+    * domain (each is exactly representable at (18,4) — the detAvgPrice
+    * pattern), so the cut is one IEEE product of deterministic
+    * operands. */
+  private def tpch11Sql(li: String, supp: String, nat: String) =
+    s"""WITH v AS (
+          SELECT l_partkey,
+            ${Det.sqlSumProd("l_extendedprice", "1 - l_discount")} AS val
+          FROM $li l
+            JOIN $supp s ON s.s_suppkey = l.l_suppkey
+            JOIN $nat n ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = 2
+          GROUP BY l_partkey)
+        SELECT l_partkey AS p_partkey, val AS part_value
+        FROM v
+        WHERE val > (SELECT 2 * (${Det.sqlAvg("val")}) FROM v)
+        ORDER BY part_value DESC, p_partkey"""
+
+  /** TPC-H Q20 (potential part promotion), adapted: "availqty exceeds
+    * half the shipped quantity" — partsupp again — becomes a shipped-
+    * volume gate per (supplier, part) pair, preserving the defining
+    * shape: nested IN subqueries (supplier ← lineitem group ← LIKE
+    * part gate) with a per-pair HAVING aggregate, one ship year. The
+    * HAVING sum rides the exact decimal domain. */
+  private def tpch20Sql(li: String, prt: String, supp: String) =
+    s"""SELECT s_name, s_suppkey
+        FROM $supp
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM $li
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM $prt WHERE p_name LIKE '%widget%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 50)
+        ORDER BY s_suppkey"""
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q3/Q5 as SQL text — the canonical decision-support join
     // pyramids. Catalyst gets the join order right from the declared
@@ -570,6 +665,34 @@ object SqlOps {
       T.supplier(s, d).createOrReplaceTempView("supplier")
       s.sql(tpch16Sql("lineitem", "part", "supplier"))
     }),
+    "q_sql_tpch2" -> ((s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.part(s, d).createOrReplaceTempView("part")
+      T.supplier(s, d).createOrReplaceTempView("supplier")
+      T.nation(s, d).createOrReplaceTempView("nation")
+      T.region(s, d).createOrReplaceTempView("region")
+      s.sql(tpch2Sql("lineitem", "part", "supplier", "nation", "region"))
+    }),
+    "q_sql_tpch9" -> ((s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.part(s, d).createOrReplaceTempView("part")
+      T.supplier(s, d).createOrReplaceTempView("supplier")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      T.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(tpch9Sql("lineitem", "part", "supplier", "orders", "nation"))
+    }),
+    "q_sql_tpch11" -> ((s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.supplier(s, d).createOrReplaceTempView("supplier")
+      T.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(tpch11Sql("lineitem", "supplier", "nation"))
+    }),
+    "q_sql_tpch20" -> ((s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.part(s, d).createOrReplaceTempView("part")
+      T.supplier(s, d).createOrReplaceTempView("supplier")
+      s.sql(tpch20Sql("lineitem", "part", "supplier"))
+    }),
 
     // Scalar subquery + IN subquery + correlated EXISTS, as SQL text.
     "q_sql_subquery" -> ((s, d) => {
@@ -632,6 +755,14 @@ object SqlOps {
       tbl("orders"), tbl("nation")),
     "q_sql_tpch22" -> tpch22Sql(tbl("customer"), tbl("orders")),
     "q_sql_tpch16" -> tpch16Sql(tbl("lineitem"), tbl("part"),
+      tbl("supplier")),
+    "q_sql_tpch2" -> tpch2Sql(tbl("lineitem"), tbl("part"),
+      tbl("supplier"), tbl("nation"), tbl("region")),
+    "q_sql_tpch9" -> tpch9Sql(tbl("lineitem"), tbl("part"),
+      tbl("supplier"), tbl("orders"), tbl("nation")),
+    "q_sql_tpch11" -> tpch11Sql(tbl("lineitem"), tbl("supplier"),
+      tbl("nation")),
+    "q_sql_tpch20" -> tpch20Sql(tbl("lineitem"), tbl("part"),
       tbl("supplier")),
     "q_sql_subquery" -> subquerySql(tbl("customer"), tbl("orders")),
     "q_sql_gsets" -> gsetsSql(tbl("orders")),

@@ -960,6 +960,19 @@ class PlanAssertionsSuite extends SparkSuite {
       s"expected exactly one agg exchange:\n$phys")
   }
 
+  test("q_sql_tpch2 / tpch20 (r14): correlated scalar equality and nested INs decorrelate — no cartesian, no per-row subquery loop") {
+    // Q2's defining shape is the correlated MAX-equality per part —
+    // Spark must decorrelate it into an aggregate + join, never a
+    // nested-loop re-execution; Q20's nested INs become semi joins.
+    val q2 = planString(q("q_sql_tpch2"))
+    assert(!q2.contains("CartesianProduct"), s"tpch2 cartesian:\n$q2")
+    assert(q2.contains("BroadcastHashJoin") || q2.contains("SortMergeJoin"),
+      s"tpch2 lost its joins:\n$q2")
+    val q20 = planString(q("q_sql_tpch20"))
+    assert(q20.contains("LeftSemi"), s"tpch20 INs not semi joins:\n$q20")
+    assert(!q20.contains("CartesianProduct"), s"tpch20 cartesian:\n$q20")
+  }
+
   test("q_llm_editdup (r14): length-band candidates are an EQUI-join — never a block cartesian") {
     val phys = planString(q("q_llm_editdup"))
     assert(!phys.contains("CartesianProduct") &&
