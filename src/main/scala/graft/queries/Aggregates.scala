@@ -880,7 +880,7 @@ object Aggregates {
   /** Complete discrete-percentile oracle: smallest stored value whose
     * cumulative count/weight reaches ⌈num/den·n⌉ (rank clamped to ≥1 so
     * p=0 is the minimum), one output column per (num, den, alias). */
-  private def pctDiscSql(src: String, grp: String, v: String,
+  private[queries] def pctDiscSql(src: String, grp: String, v: String,
                          weight: Option[String],
                          ps: Seq[(Int, Int, String)]): String = {
     val ranks = ps.zipWithIndex.map { case ((num, den, _), i) =>

@@ -890,6 +890,31 @@ object EventOps {
     // map-side-combining hash aggs (users, then ≤64 buckets).
     "q_event_powerlaw" -> ((s, d) => powerlawOn(T.events(s, d))),
 
+    // Inter-arrival gap percentiles (r14) — per event type, the median
+    // and p90 of the µs gap back to the SAME USER's previous event (any
+    // type): the latency/engagement profile behind session-timeout and
+    // cadence decisions, and the composition proof that the per-key lag
+    // window feeds the scale-safe Percentiles engine directly. Gaps are
+    // exact integer µs; disc percentiles are values the data holds
+    // (zero float). Plan: one user-hash window exchange (lag), then the
+    // pctile machinery's distinct-value collapse (shuffle ∝ distinct
+    // (type, gap) pairs); the oracle is the GENERATED discrete-
+    // percentile chain over the identical lag CTE — twin drift
+    // structurally impossible (the q_agg_winsor discipline).
+    "q_event_interarrival" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val gaps = T.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .select(col("event_type"),
+          (col("us") - lag(col("us"), 1).over(w)).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+      graft.operators.Percentiles.disc(gaps, Seq("event_type"), "gap_us",
+          Seq((1, 2, "med_gap_us"), (9, 10, "p90_gap_us")))
+        .orderBy(col("event_type"))
+    }),
+
     // RFM user scoring (r12) — the classic recency/frequency/monetary
     // quartile segmentation: per user, days since last activity, event
     // count, and exact value total; each metric scored 1–4 against the
@@ -1556,6 +1581,19 @@ object EventOps {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
               / n_users AS survival_frac
           FROM c CROSS JOIN t ORDER BY lifetime_days""",
+    // The generated discrete-percentile chain over the identical lag
+    // CTE (Aggregates.pctDiscSql — the same generator the agg-family
+    // percentile oracles use).
+    "q_event_interarrival" ->
+      Aggregates.pctDiscSql(
+        s"""(SELECT event_type,
+              epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                AS gap_us
+            FROM $evt WHERE ts IS NOT NULL) g""",
+        "event_type", "gap_us", None,
+        Seq((1, 2, "med_gap_us"), (9, 10, "p90_gap_us"))),
+
     // Same LENGTH(bin()) integer bucket as q_text_lenhist.
     "q_event_powerlaw" ->
       s"""WITH u AS (SELECT user_id, COUNT(*) AS n_ev FROM $evt

@@ -44,6 +44,27 @@ object MultimodalOps {
     conv(hex(substring(payload, i, 1)), 16, 10).cast("int")
 
   val queries: Map[String, Q] = Map(
+    // Power-of-2 payload size histogram per sniffed kind (r14) — the
+    // storage-profile audit every multimodal lake report leads with
+    // (q_text_lenhist's log-scale profile at (kind, bytes) grain):
+    // bucket = LENGTH(bin(n_bytes)) = floor(log2)+1, INTEGER-EXACT
+    // both engines. Plan: per-row map (sniff + bucket) → one map-side-
+    // combining hash agg (shuffle ∝ kinds × ≤64 buckets).
+    "q_mm_sizehist" -> ((s, d) =>
+      T.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          when(byteVal(col("payload"), 1) % 3 === 0, "image")
+            .when(byteVal(col("payload"), 1) % 3 === 1, "audio")
+            .otherwise("video").as("kind_stub"),
+          length(col("payload")).as("n_bytes"))
+        .groupBy(col("kind_stub"), length(bin(col("n_bytes"))).as("b"))
+        .agg(count(lit(1)).as("n_payloads"),
+          min(col("n_bytes")).as("min_bytes"),
+          max(col("n_bytes")).as("max_bytes"),
+          sum(col("n_bytes").cast("long")).as("sum_bytes"))
+        .orderBy(col("kind_stub"), col("b"))),
+
     // Payload metadata: size, content hash, header magic, and a stubbed
     // content-type sniff (first byte mod 3 stands where magic-number
     // dispatch would run).
@@ -228,6 +249,20 @@ object MultimodalOps {
     s"CAST(('0x' || hex(substring(text, $i, 1)::BLOB)) AS INT)"
 
   val oracle: Map[String, String] = Map(
+    // Same integer LENGTH(bin()) bucket (the q_text_lenhist twin).
+    "q_mm_sizehist" ->
+      s"""WITH m AS (
+            SELECT CASE WHEN ${sqlByteVal(1)} % 3 = 0 THEN 'image'
+                        WHEN ${sqlByteVal(1)} % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind_stub,
+              octet_length(text::BLOB) AS n_bytes
+            FROM $doc)
+          SELECT kind_stub, CAST(LENGTH(bin(n_bytes)) AS INTEGER) AS b,
+            COUNT(*) AS n_payloads,
+            CAST(MIN(n_bytes) AS INTEGER) AS min_bytes,
+            CAST(MAX(n_bytes) AS INTEGER) AS max_bytes,
+            CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes
+          FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_mm_meta" ->
       s"""SELECT doc_id,
             CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
