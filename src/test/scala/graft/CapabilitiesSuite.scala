@@ -31,6 +31,46 @@ class CapabilitiesSuite extends SparkSuite {
     assert(canon(back) === canon(sample))
   }
 
+  test("malformed-record handling (r14): PERMISSIVE quarantines, DROPMALFORMED filters, FAILFAST throws — the dirty-ingest contract") {
+    // A 100 TB ingest WILL contain broken rows; the three documented
+    // CSV modes are the contract a pipeline picks from. Plant one bad
+    // row among two good ones and pin each mode's behavior.
+    val dir = Files.createTempDirectory("graft_badcsv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.csv"),
+      "id,qty\n1,10\nnot_a_number,oops,extra\n3,30\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("_corrupt_record", StringType)))
+    // Spark disallows referencing ONLY _corrupt_record from a raw scan
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — read full rows, then split
+    val rows = spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE").schema(schema).csv(dir).collect()
+    val bad = rows.filter(!_.isNullAt(2)).map(_.getString(2))
+    assert(bad.toSeq === Seq("not_a_number,oops,extra"),
+      s"quarantined: ${bad.toSeq}")
+    assert(rows.count(_.isNullAt(2)) === 2)
+    val dropped = spark.read.option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .schema(StructType(schema.dropRight(1))).csv(dir)
+    assert(dropped.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq === Seq((1L, 10L), (3L, 30L)))
+    val failfast = spark.read.option("header", "true")
+      .option("mode", "FAILFAST")
+      .schema(StructType(schema.dropRight(1))).csv(dir)
+    intercept[org.apache.spark.SparkException](failfast.collect())
+  }
+
+  test("AQE partition coalescing (r14): a small shuffle's reducer count shrinks below the configured 32 — the many-small-files guard") {
+    // With AQE on (the session default), a shuffle whose data is tiny
+    // must NOT fan out to spark.sql.shuffle.partitions reducers — the
+    // runtime coalesces post-shuffle partitions, which at warehouse
+    // scale is the difference between 32 files and 32,000.
+    val df = Tables.nation(spark, sf)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+    val parts = df.rdd.getNumPartitions
+    assert(parts < 32, s"AQE did not coalesce: $parts partitions")
+  }
+
   test("JSON source: schema-explicit write/read round-trip is lossless") {
     val dir = Files.createTempDirectory("graft_json").toString
     sample.write.mode("overwrite").json(dir)
