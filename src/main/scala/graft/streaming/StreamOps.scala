@@ -112,6 +112,15 @@ case class NewretState(firstDay: Long, lastDay: Long)
   * seen; is_new = 1 only on the user's first-ever active day. */
 case class NewretOut(user_id: Long, day_us: Long, is_new: Int)
 
+/** Per-key inter-arrival state: the last event's µs (r14). */
+case class TimeGapState(lastUs: Long)
+
+/** One row per event after a key's first: the µs gap back to the same
+  * key's previous event, tagged with the arriving event's type (r14).
+  * Emissions are final (Append); per-type percentile aggregation
+  * composes downstream. */
+case class TimeGapOut(user_id: Long, event_type: String, gap_us: Long)
+
 /** Per-key lifetime state: first and last active day indices (r14). */
 case class LifetimeState(firstDay: Long, lastDay: Long)
 
@@ -481,6 +490,33 @@ object StreamOps {
             }
           }
           state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming inter-arrival feed (r14) — the stateful twin of
+    * q_event_interarrival's per-user lag: ONE LONG of state per key
+    * (the last event's µs); every event after a key's first emits its
+    * gap back, tagged with the ARRIVING event's type (the batch lag
+    * orientation). Emissions are final (Append — a gap never revises);
+    * the per-type percentile aggregation composes downstream (exact
+    * Percentiles in batch, [[quantileMonitor]]'s KLL as the streaming
+    * screen). Within-batch slices sort by (ts, id) — the batch
+    * window's total order; cross-batch exactness under the ewma-class
+    * in-order contract. Parity-pinned: the emitted multiset equals the
+    * batch lag CTE on sf0.001. */
+  def timeGapMonitor(events: Dataset[Event]): Dataset[TimeGapOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[TimeGapState]) =>
+          var last = state.getOption.map(_.lastUs)
+          val out = Seq.newBuilder[TimeGapOut]
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            last.foreach(l => out += TimeGapOut(user, e.event_type, e.ts_us - l))
+            last = Some(e.ts_us)
+          }
+          last.foreach(l => state.update(TimeGapState(l)))
           out.result().iterator
       }
   }

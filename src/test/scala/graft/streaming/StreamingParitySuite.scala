@@ -344,6 +344,43 @@ class StreamingParitySuite extends SparkSuite {
       (7L, "click", 300L, 3L, -1L, 1)))
   }
 
+  test("timegap monitor: emitted gap multiset == the batch lag window on sf0.001; the gap spans a batch boundary, a key's first event emits nothing") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val twin = StreamOps.timeGapMonitor(events).collect()
+      .map(o => (o.event_type, o.gap_us)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    // the batch side: the IDENTICAL lag the graded q_event_interarrival
+    // feeds its percentile engine
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val batch = events.toDF()
+      .select(col("event_type"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+    spark.catalog.clearCache()
+    // cross-batch: u7's second event arrives in batch 2 → ONE gap row
+    // spanning the boundary; the first event emitted nothing
+    val mini = Seq(Event(1L, 100L, 7L, "view", 1.0),
+      Event(2L, 350L, 7L, "click", 1.0))
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.timeGapMonitor(ms.toDS())
+      .writeStream.format("memory").queryName("timegap_mini")
+      .outputMode("append").start()
+    try {
+      ms.addData(mini.take(1)); q.processAllAvailable()
+      ms.addData(mini.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("timegap_mini").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((7L, "click", 250L)))
+  }
+
   test("lifetime monitor: survival curve from last-write-wins rows == graded q_event_survival on sf0.001; growth re-emits across batches, in-span repeats fold silently") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
