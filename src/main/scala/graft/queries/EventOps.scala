@@ -1178,8 +1178,59 @@ object EventOps {
           sum(expr("shiftright(cents, CAST(age AS INT))")).as("hot_cents"),
           max(col("dd")).as("last_dd"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // CUSUM changepoint detection (r14) — per event type, the single
+    // day that best splits the daily-count series into two mean
+    // regimes: argmax over split points k of the CUSUM statistic
+    // |S_k − (k∕N)·S_N| (Page 1954's cumulative-sum form at the
+    // one-changepoint grain — the drift sibling that localizes WHEN,
+    // where q_llm_ksdrift only scores WHETHER). Determinism: the
+    // argmax runs on the INTEGER-EXACT scaled statistic
+    // |N·S_k − k·S_N| (BIGINT — multiplying out the ∕N kills the
+    // float before the compare; the linkpred floor-quantized-weight
+    // discipline, exact here since no quantization is even needed),
+    // day-ascending tiebreak; cusum/mean_before/mean_after are single
+    // IEEE divisions of exact ints, unrounded (§7.4 rule 1). Types
+    // with a single active day have no valid split and drop out.
+    // Plan: one map-side-combining day-grain hash agg (shuffle ∝
+    // type×days — calendar-bounded forever), then three windows ALL
+    // partitioned by event_type over that Aggregate child (running
+    // sum, partition totals, rank — bounded per the §7.4.12 pin); no
+    // join, no self-union, the raw event scan is read ONCE.
+    "q_event_changepoint" -> ((s, d) => changepointOn(T.events(s, d)))
   )
+
+  /** q_event_changepoint's engine over any (event_type, ts) stream —
+    * extracted for the planted-step unit fixture. */
+  private[graft] def changepointOn(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = daily
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("s_k", sum(col("n")).over(wCum))
+      .withColumn("s_n", sum(col("n")).over(wAll))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .filter(col("k") < col("n_days"))
+      .withColumn("dstat",
+        abs(col("n_days") * col("s_k") - col("k") * col("s_n")))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("dstat").desc, col("day").asc)
+    cum.withColumn("rn", row_number().over(wRank)).filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"), col("k"),
+        col("n_days"), col("s_k"), col("s_n"), col("dstat"),
+        (col("dstat").cast("double") / col("n_days").cast("double"))
+          .as("cusum"),
+        (col("s_k").cast("double") / col("k").cast("double"))
+          .as("mean_before"),
+        ((col("s_n") - col("s_k")).cast("double")
+          / (col("n_days") - col("k")).cast("double")).as("mean_after"))
+      .orderBy(col("event_type"))
+  }
 
   /** q_event_markov core over any frame with (user_id, event_id,
     * event_type) — [[graft.Graft.transitionMatrix]] enters here. */
@@ -2066,6 +2117,42 @@ object EventOps {
                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
             END AS acf
-          FROM g ORDER BY lag"""
+          FROM g ORDER BY lag""",
+
+    // Same integer-exact scaled CUSUM |N·S_k − k·S_N| over the same
+    // day-grain CTE; CAST(k AS INTEGER) pins the dialect-divergent
+    // ROW_NUMBER type (the keyness rk precedent), BIGINT casts pin the
+    // window sums; the three ratios are single int→double divisions.
+    "q_event_changepoint" ->
+      s"""WITH daily AS (
+            SELECT event_type,
+              CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              COUNT(*) AS n
+            FROM $evt WHERE ts IS NOT NULL GROUP BY 1, 2),
+          cum AS (
+            SELECT event_type, day, n,
+              CAST(ROW_NUMBER() OVER wo AS INTEGER) AS k,
+              CAST(SUM(n) OVER wc AS BIGINT) AS s_k,
+              CAST(SUM(n) OVER wa AS BIGINT) AS s_n,
+              CAST(COUNT(*) OVER wa AS BIGINT) AS n_days
+            FROM daily
+            WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+              wc AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wa AS (PARTITION BY event_type)),
+          d AS (
+            SELECT *, abs(n_days * s_k - k * s_n) AS dstat
+            FROM cum WHERE k < n_days),
+          r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY dstat DESC, day ASC) AS rn
+            FROM d)
+          SELECT event_type, day AS cp_day, k, n_days, s_k, s_n,
+            CAST(dstat AS BIGINT) AS dstat,
+            CAST(dstat AS DOUBLE) / CAST(n_days AS DOUBLE) AS cusum,
+            CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before,
+            CAST(s_n - s_k AS DOUBLE)
+              / CAST(n_days - k AS DOUBLE) AS mean_after
+          FROM r WHERE rn = 1 ORDER BY event_type"""
   )
 }

@@ -293,6 +293,32 @@ class CapabilitiesSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("changepointOn: a planted 10→20 step lands the split on the last low day; single-day types drop out") {
+    import spark.implicits._
+    // type a: daily counts 10,10,10,20,20,20 → N=6, S_N=90;
+    //   D_k = |6·S_k − k·90| peaks at k=3 (D=90) → cp = day 3,
+    //   cusum 90/6=15, means 10 vs 20. type b: one active day → no split.
+    val rows = Seq.tabulate(6)(d => ("a", d, if (d < 3) 10 else 20)) :+
+      (("b", 0, 4))
+    val events = rows.flatMap { case (t, day, c) =>
+      (0 until c).map(j =>
+        (t, (19200L + day) * 86400000000L + j * 1000000L))
+    }.toDF("event_type", "us")
+      .select(col("event_type"), expr("timestamp_micros(us)").as("ts"))
+    val out = queries.EventOps.changepointOn(events).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("event_type") === "a")
+    assert(r.getAs[Int]("k") === 3 && r.getAs[Long]("n_days") === 6L)
+    assert(r.getAs[Long]("s_k") === 30L && r.getAs[Long]("s_n") === 90L)
+    assert(r.getAs[Long]("dstat") === 90L)
+    assert(r.getAs[Double]("cusum") === 15.0)
+    assert(r.getAs[Double]("mean_before") === 10.0)
+    assert(r.getAs[Double]("mean_after") === 20.0)
+    assert(r.getAs[java.sql.Timestamp]("cp_day").toInstant
+      .equals(java.time.Instant.ofEpochSecond((19200L + 2) * 86400L)))
+  }
+
   test("q_agg_mahal: top-3 per group, d2 positive-descending, and the covariance term steers a planted pair") {
     val out = SparkEntry.queries("q_agg_mahal")(spark, sf).collect()
     val byFlag = out.groupBy(_.getString(0))

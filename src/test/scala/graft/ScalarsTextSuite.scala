@@ -245,6 +245,39 @@ class ScalarsTextSuite extends SparkSuite {
       ("srcB", "z", 5L, 5L, 1.0, 2)))
   }
 
+  test("langmixOn: power sums hand-computed; mode tie breaks to the lexicographically first lang") {
+    // srcA: en 3, fr 1 → n=4, s2=10, simpson=(16-10)/16=0.375, top en 0.75
+    // srcB: de 2, en 2 → tie → top_lang de; simpson=(16-8)/16=0.5
+    val docs = Seq(
+      ("srcA", "en"), ("srcA", "en"), ("srcA", "en"), ("srcA", "fr"),
+      ("srcB", "de"), ("srcB", "en"), ("srcB", "de"), ("srcB", "en"))
+      .toDF("source", "lang")
+    val out = TextOps.langmixOn(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_langs"), r.getAs[String]("top_lang"),
+        r.getAs[Long]("top_n"), r.getAs[Double]("top_share"),
+        r.getAs[Double]("simpson_div")))
+    assert(out.toSeq === Seq(
+      ("srcA", 4L, 2L, "en", 3L, 0.75, 0.375),
+      ("srcB", 4L, 2L, "de", 2L, 0.5, 0.5)))
+  }
+
+  test("readabilityOn: planted punctuation splits sentences; an unpunctuated doc floors at one") {
+    // doc 1: 7 words, 2 long (dinosaurs, wandered), 3 sentence runs
+    //   lix = 7/3 + 200/7 = 30.904761904761905 → 30.904762
+    // doc 2: no [.!?] → n_sent floors at 1; no long words → lix = 3.0
+    val docs = Seq(
+      (1L, "big dinosaurs wandered here. they left! why?"),
+      (2L, "plain words only")).toDF("doc_id", "text")
+    val out = TextOps.readabilityOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_sent"),
+        r.getAs[Int]("n_words"), r.getAs[Int]("n_long"),
+        r.getAs[Double]("lix")))
+    assert(out.toSeq === Seq(
+      (1L, 3, 7, 2, 30.904762),
+      (2L, 1, 3, 0, 3.0)))
+  }
+
   test("q_event_funnel is ORDER-sensitive: a click before the first view does not convert") {
     val dir = Files.createTempDirectory("graft_funnel").toString
     val B = 1704067200000000L // 2024-01-01T00:00:00Z in µs
