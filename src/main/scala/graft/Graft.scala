@@ -786,6 +786,34 @@ object Graft {
     graft.queries.TextOps.keynessOn(
       df.select(col(groupCol).as("source"), col(textCol).as("text")))
 
+  /** Per-group category-mix profile over any (group, category) frame
+    * (graded q_text_langmix's engine, r14): dominant category (ties →
+    * lexicographically first), its share, and the exact-integer
+    * Gini-Simpson diversity (n² − Σc²) ∕ n². Output columns keep the
+    * graded names (`source`, `top_lang`, …). */
+  def categoryMix(df: DataFrame, groupCol: String,
+                  catCol: String): DataFrame =
+    graft.queries.TextOps.langmixOn(
+      df.select(col(groupCol).as("source"), col(catCol).as("lang")))
+
+  /** LIX readability over any (id, text) corpus (graded
+    * q_text_readability's engine, r14): words∕sentences +
+    * 100·longwords∕words from three integer counts; sentence runs of
+    * [.!?] floor at 1 so the score is total on unpunctuated text. */
+  def readability(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    graft.queries.TextOps.readabilityOn(asCorpus(df, idCol, textCol))
+
+  /** CUSUM changepoint over any keyed timestamped stream (graded
+    * q_event_changepoint's engine, r14): per key, the day maximizing
+    * the integer-exact scaled CUSUM \|N·S_k − k·S_N\| over the
+    * daily-count series, with before/after means. Keys with a single
+    * active day have no valid split and drop out. */
+  def changepoint(df: DataFrame, keyCol: String,
+                  tsCol: String): DataFrame =
+    graft.queries.EventOps.changepointOn(
+      df.select(col(keyCol).as("event_type"), col(tsCol).as("ts")))
+
   /** Rank-percentile quality-score normalization over any (id, text)
     * corpus (graded q_llm_qnorm's engine): PERCENT_RANK of the
     * distinct-token score, computed bucket-decomposed (no corpus-sized

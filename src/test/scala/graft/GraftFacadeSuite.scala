@@ -110,6 +110,37 @@ class GraftFacadeSuite extends SparkSuite {
       ("g2", "mild", 11.0), ("g2", "cold", 1.0)))
   }
 
+  test("r14 wave-2 facades: categoryMix, readability, changepoint on custom schemas") {
+    // categoryMix over (warehouse, status): w1 has ok 3 / dmg 1 →
+    // top ok 0.75, simpson (16-10)/16 = 0.375
+    val cm = Graft.categoryMix(Seq(
+      ("w1", "ok"), ("w1", "ok"), ("w1", "ok"), ("w1", "dmg"))
+      .toDF("warehouse", "status"), "warehouse", "status").collect()
+    assert(cm.length === 1)
+    assert(cm.head.getAs[String]("top_lang") === "ok")
+    assert(cm.head.getAs[Double]("top_share") === 0.75)
+    assert(cm.head.getAs[Double]("simpson_div") === 0.375)
+    // readability on the custom corpus column names
+    val rd = Graft.readability(Seq((7L, "all short here"))
+      .toDF("item_no", "body"), "item_no", "body").collect()
+    assert(rd.head.getAs[Int]("n_sent") === 1 &&
+      rd.head.getAs[Double]("lix") === 3.0)
+    // changepoint over (machine, seen_at): 2+2 days of 10 then 20
+    val ts = (0 until 4).flatMap { day =>
+      val c = if (day < 2) 10 else 20
+      (0 until c).map(j => ("m1",
+        new java.sql.Timestamp((19300L + day) * 86400000L + j * 1000L)))
+    }.toDF("machine", "seen_at")
+    val cp = Graft.changepoint(ts, "machine", "seen_at").collect()
+    // N=4, S=60; D_k=|4·S_k−k·60|: k1 |40−60|=20, k2 |80−120|=40,
+    // k3 |120−180|=60?? — no: counts 10,10,20,20 → S=(10,20,40);
+    // D=(|40−60|,|80−120|,|160−180|)=(20,40,20) → split after k=2
+    assert(cp.length === 1 && cp.head.getAs[Int]("k") === 2)
+    assert(cp.head.getAs[Double]("mean_before") === 10.0 &&
+      cp.head.getAs[Double]("mean_after") === 20.0)
+    spark.catalog.clearCache()
+  }
+
   test("nearDupPairs finds set-duplicates within blocks on a custom-schema corpus") {
     val pairs = Graft.nearDupPairs(corpus, "item_no", "body",
         Seq("shelf"), 4, 5).collect()
@@ -746,6 +777,13 @@ class GraftFacadeSuite extends SparkSuite {
       "keywords" -> (() => Graft.keywords(emptyCorpus, "item_no", "body")),
       "editDupPairs" -> (() => Graft.editDupPairs(emptyCorpus, "item_no",
         "body", Seq("shelf"), 16)),
+      // r14 wave-2 facade entries
+      "categoryMix" -> (() => Graft.categoryMix(
+        Seq.empty[(String, String)].toDF("grp", "cat"), "grp", "cat")),
+      "readability" -> (() =>
+        Graft.readability(emptyCorpus, "item_no", "body")),
+      "changepoint" -> (() => Graft.changepoint(
+        Seq.empty[(String, java.sql.Timestamp)].toDF("k", "t"), "k", "t")),
       "qualityPercentile" -> (() =>
         Graft.qualityPercentile(emptyCorpus, "item_no", "body")),
       "raLinkPrediction" -> (() =>
