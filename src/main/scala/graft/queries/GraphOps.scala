@@ -274,7 +274,56 @@ object GraphOps {
       l.join(sizes, Seq("label"))
         .select(col("node"), col("label"), col("comm_size"))
         .orderBy(col("node"))
-    }))
+    }),
+
+    // Degree assortativity (r14) — Newman 2002's single-number mixing
+    // summary: the Pearson correlation of (deg(src), deg(dst)) over the
+    // directed edge list of the same co-purchase graph (bipartite here,
+    // so the structural prior is disassortative — hubs of one side link
+    // leaves of the other; the coefficient quantifies how strongly).
+    // The scale/degree-profile companion to q_graph_degdist: degdist
+    // shows WHO the hubs are, assort shows WHOM they attach to — the
+    // second sanity number every graph pipeline reports. Determinism:
+    // the q_event_acf discipline verbatim — power sums are EXACT
+    // integer reductions (DECIMAL(38,0)/HUGEINT, order-free), the
+    // correlation is one fixed double expression tree with IEEE-exact
+    // sqrt (correctly rounded per 754, unlike ln), ROUND 6, NULL-guarded
+    // on zero variance (a degree-regular graph has no assortativity).
+    // Plan: per-node degree hash agg (shuffle ∝ nodes, persisted — 3
+    // consumers), two equi join-backs onto the edge list (AQE
+    // broadcasts the node-sized side at graded scale; ∝ edges
+    // otherwise), ONE map-side-combining global agg to 6 power sums,
+    // 1-row node count broadcast — output is a single row forever.
+    "q_graph_assort" -> ((s, d) => assortOn(copurchaseEdges(s, d))))
+
+  /** q_graph_assort's engine over any directed (src, dst) edge list —
+    * extracted for the planted star/regular fixtures. */
+  private[graft] def assortOn(edges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist() // 3 consumers (both join-backs + node count); caller clearCache
+    val e2 = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+    val g = e2.agg(
+      count(lit(1)).as("m"),
+      sum(col("dx").cast(dec)).as("sx"),
+      sum(col("dy").cast(dec)).as("sy"),
+      sum(col("dx").cast(dec) * col("dx")).as("sxx"),
+      sum(col("dy").cast(dec) * col("dy")).as("syy"),
+      sum(col("dx").cast(dec) * col("dy")).as("sxy"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    def dbl(c: String) = col(c).cast("double")
+    val vx = dbl("m") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val vy = dbl("m") * dbl("syy") - dbl("sy") * dbl("sy")
+    g.crossJoin(broadcast(nn))
+      .select(col("m").as("m_edges"), col("n_nodes"),
+        (dbl("sx") / dbl("m")).as("mean_deg"),
+        when(vx > 0 && vy > 0,
+          round((dbl("m") * dbl("sxy") - dbl("sx") * dbl("sy"))
+            / (sqrt(vx) * sqrt(vy)), 6)).as("assort"))
+  }
 
   private val li = tbl("lineitem")
 
@@ -463,5 +512,45 @@ object GraphOps {
          |SELECT node, l.label, CAST(comm_size AS BIGINT) AS comm_size
          |FROM l$LpRounds l JOIN sz USING (label)
          |ORDER BY node""".stripMargin
-    })
+    },
+    // Same pairs-CTE edge derivation as degdist; HUGEINT power sums
+    // (the q_event_acf chain), IEEE-exact SQRT, ROUND 6, zero-variance
+    // CASE guard — the identical fixed expression tree as the engine.
+    "q_graph_assort" ->
+      s"""WITH pairs AS (
+            SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+            FROM $li),
+          edges AS (
+            SELECT p AS src, q AS dst FROM pairs
+            UNION ALL
+            SELECT q AS src, p AS dst FROM pairs),
+          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+          e2 AS (
+            SELECT dx.deg AS dx, dy.deg AS dy
+            FROM edges e
+              JOIN deg dx ON e.src = dx.src
+              JOIN deg dy ON e.dst = dy.src),
+          g AS (
+            SELECT COUNT(*) AS m,
+              SUM(CAST(dx AS HUGEINT)) AS sx,
+              SUM(CAST(dy AS HUGEINT)) AS sy,
+              SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+              SUM(CAST(dy AS HUGEINT) * dy) AS syy,
+              SUM(CAST(dx AS HUGEINT) * dy) AS sxy
+            FROM e2),
+          nn AS (SELECT COUNT(*) AS n_nodes FROM deg)
+          SELECT CAST(m AS BIGINT) AS m_edges, n_nodes,
+            CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) AS mean_deg,
+            CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                  AND (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+              THEN ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            END AS assort
+          FROM g CROSS JOIN nn""")
 }

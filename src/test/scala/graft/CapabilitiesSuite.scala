@@ -580,6 +580,26 @@ class CapabilitiesSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("assortOn: a star is exactly -1, a degree-regular triangle NULL-guards, power sums hand-check") {
+    import spark.implicits._
+    // star K1,3 both orientations: m=6, sx=sy=12, sxx=syy=30, sxy=18
+    // → vx=vy=36, num=6·18−144=−36 → assort = −36/36 = −1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val s = queries.GraphOps.assortOn(star).collect().head
+    assert(s.getAs[Long]("m_edges") === 6L &&
+      s.getAs[Long]("n_nodes") === 4L)
+    assert(s.getAs[Double]("mean_deg") === 2.0)
+    assert(s.getAs[Double]("assort") === -1.0)
+    spark.catalog.clearCache()
+    // triangle both orientations: every degree 2 → zero variance → NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (3L, 2L), (1L, 3L)).toDF("src", "dst")
+    val t = queries.GraphOps.assortOn(tri).collect().head
+    assert(t.getAs[Long]("m_edges") === 6L && t.isNullAt(t.fieldIndex("assort")))
+    spark.catalog.clearCache()
+  }
+
   test("SparkEntry contract: query and oracle key sets are identical (every graded query is oracle-checked)") {
     // the driver's correctness gate compares each queries(name) result
     // against oracleSql(name) in DuckDB — a key present on one side
