@@ -130,6 +130,14 @@ case class LifetimeState(firstDay: Long, lastDay: Long)
 case class LifetimeOut(user_id: Long, first_day_us: Long,
                        lifetime_days: Long)
 
+/** Per-(type, day) running count (r14). */
+case class DayCountState(n: Long)
+
+/** Upsert row per (type, day), re-emitted whenever the count grows —
+  * last-write-wins materialization holds the current day-grain series;
+  * the CUSUM changepoint tail composes downstream (r14). */
+case class DayCountOut(event_type: String, day_us: Long, n: Long)
+
 /** Per-key last-touch state: the most recent non-purchase event type seen
   * so far ("" = none yet — the batch query's 'direct' case). */
 case class AttribState(touch: String)
@@ -551,6 +559,32 @@ object StreamOps {
             if (changed)
               Iterator.single(LifetimeOut(user, nf * 86400000000L, nl - nf))
             else Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming day-grain count maintainer — the stateful feed of
+    * q_event_changepoint's daily collapse: ONE LONG of state per
+    * (type, day) key, an upserted (type, day, n) row per batch that
+    * touches the key (Update mode — last write wins). Counting is
+    * increment-only and commutative, so this twin needs NO in-order
+    * contract (the lifetimeMonitor class, unlike ewma's); the CUSUM
+    * tail composes downstream over the last-write-wins rows exactly as
+    * the batch query's windows run over its day-grain aggregate. */
+  def dailyCountMonitor(events: Dataset[Event]): Dataset[DayCountOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.event_type, Math.floorDiv(e.ts_us, 86400000000L)))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), it: Iterator[Event],
+         state: GroupState[DayCountState]) =>
+          var add = 0L
+          while (it.hasNext) { it.next(); add += 1 }
+          if (add == 0) Iterator.empty
+          else {
+            val n = state.getOption.map(_.n).getOrElse(0L) + add
+            state.update(DayCountState(n))
+            Iterator.single(DayCountOut(key._1, key._2 * 86400000000L, n))
           }
       }
   }

@@ -424,6 +424,61 @@ class StreamingParitySuite extends SparkSuite {
       (7L, 10L * 86400000000L, 2L)))  // batch 2: grew; batch 3: silent
   }
 
+  test("daily-count monitor: CUSUM changepoint from last-write-wins rows == graded q_event_changepoint on sf0.001; counts grow across batches") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    // upsert materialization: last emission per (type, day) is the
+    // current count; the CUSUM tail composes exactly as the batch query
+    val counts = StreamOps.dailyCountMonitor(events).collect()
+      .groupBy(o => (o.event_type, o.day_us)).view
+      .mapValues(_.last.n).toMap
+    val twin = counts.groupBy(_._1._1).flatMap { case (t, m) =>
+      val days = m.toSeq.map { case ((_, d), n) => (d, n) }.sortBy(_._1)
+      val nD = days.size
+      if (nD < 2) None
+      else {
+        val s = days.map(_._2).scanLeft(0L)(_ + _).drop(1)
+        val sn = s.last
+        val cands = (1 until nD).map(k =>
+          (math.abs(nD.toLong * s(k - 1) - k.toLong * sn), k))
+        val dmax = cands.map(_._1).max
+        val k = cands.filter(_._1 == dmax).map(_._2).min
+        Some((t, days(k - 1)._1, k, nD.toLong, s(k - 1), sn, dmax))
+      }
+    }.toSeq.sortBy(_._1)
+    val batch = graft.queries.EventOps.queries("q_event_changepoint")(
+      spark, sf).collect().map(r => (r.getString(0),
+        r.getAs[java.sql.Timestamp]("cp_day").toInstant.toEpochMilli * 1000L,
+        r.getAs[Int]("k"), r.getAs[Long]("n_days"), r.getAs[Long]("s_k"),
+        r.getAs[Long]("s_n"), r.getAs[Long]("dstat"))).toSeq
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+    spark.catalog.clearCache()
+    // a second batch touching a known (type, day) re-emits the grown
+    // count; an untouched key stays silent
+    val D = 86400000000L
+    val mini = Seq(
+      Event(1L, 10L * D, 7L, "view", 1.0),
+      Event(2L, 10L * D + 5L, 8L, "view", 1.0),
+      Event(3L, 11L * D, 7L, "click", 1.0),
+      Event(4L, 10L * D + 9L, 9L, "view", 1.0))
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.dailyCountMonitor(ms.toDS())
+      .writeStream.format("memory").queryName("daycount_mini")
+      .outputMode("update").start()
+    try {
+      ms.addData(mini.take(3)); q.processAllAvailable()
+      ms.addData(mini.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("daycount_mini").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(rows === Seq(
+      ("click", 11L * D, 1L),
+      ("view", 10L * D, 2L),   // batch 1: two views that day
+      ("view", 10L * D, 3L))) // batch 2: grew to 3; click day silent
+  }
+
   test("attrib monitor: per-touch credit counts == graded q_event_attrib on sf0.001; the touch carries across batches") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
