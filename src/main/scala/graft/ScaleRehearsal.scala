@@ -144,6 +144,28 @@ object ScaleRehearsal {
           .withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(20L)))),
           "src", "text").count()
       }
+      // Assortativity (r14): planted star forest, fanout 50 — every
+      // edge joins a deg-50 center to a deg-1 leaf, so assort = −1
+      // EXACTLY at every scale (planted truth recovered inside the
+      // curve). Claim: degree agg shuffles ∝ nodes, the two equi
+      // join-backs ∝ edges (AQE broadcasts the node side while it
+      // fits), the power-sum collapse is ONE map-side-combining global
+      // agg to a single row. repartition(32) breaks range's clustering
+      // freebie (the r13 honesty note).
+      if (want("graph_assort")) time("graph_assort", n) {
+        val pairs = spark.range(n).select(
+          expr("(id div 50) * 2").as("p"), (col("id") * 2L + 1L).as("q"))
+        val edges = pairs.select(explode(array(
+            struct(col("p").as("src"), col("q").as("dst")),
+            struct(col("q").as("src"), col("p").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .repartition(32)
+        val r = graft.queries.GraphOps.assortOn(edges).collect().head
+        require(r.getAs[Double]("assort") == -1.0,
+          s"planted star-forest assort != -1: $r")
+        spark.catalog.clearCache()
+        r.getAs[Long]("m_edges")
+      }
       if (want("neardup_pairs")) time("neardup_pairs", n) {
         Graft.nearDupPairs(synthDocs(n), "doc_id", "text", Nil, 4, 5).count()
       }
