@@ -470,12 +470,16 @@ object EventOps {
         .withColumn("dd_prev", col("dd") - col("lag"))
         .join(daily.select(col("dd").as("dd_prev"), col("n").as("y")),
           Seq("dd_prev"))
+      // power sums on DECIMAL(38,0) (r14 upgrade — a 100-TB day is
+      // ~10⁹ events, so Σx² crosses BIGINT near 10³ such days; exact
+      // either way at graded scale, schema unchanged)
+      val dec = "decimal(38,0)"
       val g = pairs.groupBy(col("lag")).agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
       def dbl(c: String) = col(c).cast("double")
       val nD = col("n").cast("double")
       val vx = nD * dbl("sxx") - dbl("sx") * dbl("sx")
@@ -484,6 +488,52 @@ object EventOps {
       g.select(col("lag"), col("n").as("n_pairs"),
         when(vx > 0 && vy > 0,
           round(num / (sqrt(vx) * sqrt(vy)), 6)).as("acf"))
+        .orderBy(col("lag"))
+    }),
+
+    // Cross-correlation at lags 0-3 (r14) — does view volume LEAD
+    // purchase volume? corr(views on day d, purchases on day d+ℓ) for
+    // ℓ = 0..3, the leading-indicator read every growth dashboard wants
+    // beside q_event_acf's within-series momentum (acf asks "does
+    // today predict tomorrow", lagcorr asks "does THIS series predict
+    // THAT one"). Pairs are co-observed days only (the acf join-lag
+    // discipline — no zero-filled spine, so a quiet day is absent, not
+    // a planted 0). Determinism: the acf chain verbatim — exact
+    // integer daily counts and power sums, one fixed double expression
+    // tree with IEEE-exact sqrt, ROUND 6, zero-variance NULL guard.
+    // Plan: ONE day-grain (type, day) hash agg over the filtered scan
+    // (map-side combined, shuffle ∝ type×days, persisted — both series
+    // read it), 4-way lag explode on the view side (≤ 4·days rows),
+    // one equi join to the purchase side (AQE broadcasts — both sides
+    // are day-grain forever), final agg to 4 rows.
+    "q_event_lagcorr" -> ((s, d) => {
+      val daily = T.events(s, d).filter(col("ts").isNotNull)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("dd"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // both series slices; caller clearCache
+      val pairs = daily.filter(col("event_type") === "view")
+        .select(col("dd"), col("n").as("x"),
+          explode(array((0 to 3).map(lit): _*)).as("lag"))
+        .withColumn("dd_b", col("dd") + col("lag"))
+        .join(daily.filter(col("event_type") === "purchase")
+          .select(col("dd").as("dd_b"), col("n").as("y")), Seq("dd_b"))
+      val dec = "decimal(38,0)"
+      val g = pairs.groupBy(col("lag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = col("n").cast("double")
+      val vx = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+      val vy = nD * dbl("syy") - dbl("sy") * dbl("sy")
+      val num = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+      g.select(col("lag"), col("n").as("n_pairs"),
+        when(vx > 0 && vy > 0,
+          round(num / (sqrt(vx) * sqrt(vy)), 6)).as("xcorr"))
         .orderBy(col("lag"))
     }),
 
@@ -2102,8 +2152,10 @@ object EventOps {
             JOIN daily b ON b.dd = a.dd - l.lag),
           g AS (
             SELECT lag, COUNT(*) AS n,
-              SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
-              SUM(y * y) AS syy, SUM(x * y) AS sxy
+              SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+              SUM(CAST(x AS HUGEINT) * x) AS sxx,
+              SUM(CAST(y AS HUGEINT) * y) AS syy,
+              SUM(CAST(x AS HUGEINT) * y) AS sxy
             FROM pairs GROUP BY 1)
           SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
             CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
@@ -2117,6 +2169,43 @@ object EventOps {
                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
             END AS acf
+          FROM g ORDER BY lag""",
+
+    // The acf oracle chain with the two series split by type and the
+    // lag joining FORWARD (b.dd = a.dd + lag): same power sums, same
+    // guard, same casts.
+    "q_event_lagcorr" ->
+      s"""WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS dd,
+              COUNT(*) AS n
+            FROM $evt
+            WHERE ts IS NOT NULL AND event_type IN ('view', 'purchase')
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT l.lag, a.n AS x, b.n AS y
+            FROM (SELECT dd, n FROM daily WHERE event_type = 'view') a
+            CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS lag) l
+            JOIN (SELECT dd, n FROM daily WHERE event_type = 'purchase') b
+              ON b.dd = a.dd + l.lag),
+          g AS (
+            SELECT lag, COUNT(*) AS n,
+              SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+              SUM(CAST(x AS HUGEINT) * x) AS sxx,
+              SUM(CAST(y AS HUGEINT) * y) AS syy,
+              SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM pairs GROUP BY 1)
+          SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+            CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                  AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+              THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            END AS xcorr
           FROM g ORDER BY lag""",
 
     // Same integer-exact scaled CUSUM |N·S_k − k·S_N| over the same

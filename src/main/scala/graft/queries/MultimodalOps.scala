@@ -43,6 +43,27 @@ object MultimodalOps {
   private def byteVal(payload: org.apache.spark.sql.Column, i: Int) =
     conv(hex(substring(payload, i, 1)), 16, 10).cast("int")
 
+  /** The (kind_stub, byte_val, cnt) first-16-bytes histogram shared by
+    * q_mm_bytehist (raw rows) and q_mm_diversity (its langmix tail). */
+  private def byteHistOn(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      // empty payloads emit no rows on either engine (Spark's
+      // sequence(1, 0) would DESCEND, not empty out — filter first)
+      .filter(length(col("payload")) >= 1)
+      .select(
+        when(byteVal(col("payload"), 1) % 3 === 0, "image")
+          .when(byteVal(col("payload"), 1) % 3 === 1, "audio")
+          .otherwise("video").as("kind_stub"),
+        explode(sequence(lit(1),
+          least(length(col("payload")), lit(16)))).as("i"),
+        col("payload"))
+      .select(col("kind_stub"),
+        expr("CAST(conv(hex(substring(payload, i, 1)), 16, 10) AS INT)")
+          .as("byte_val"))
+      .groupBy(col("kind_stub"), col("byte_val"))
+      .agg(count(lit(1)).as("cnt"))
+
   val queries: Map[String, Q] = Map(
     // Power-of-2 payload size histogram per sniffed kind (r14) — the
     // storage-profile audit every multimodal lake report leads with
@@ -186,25 +207,40 @@ object MultimodalOps {
     // map-side-combining hash agg: shuffle ∝ kinds × 256 no matter the
     // corpus. Integer byte values end to end.
     "q_mm_bytehist" -> ((s, d) =>
-      T.documents(s, d)
-        .withColumn("payload", col("text").cast("binary"))
-        // empty payloads emit no rows on either engine (Spark's
-        // sequence(1, 0) would DESCEND, not empty out — filter first)
-        .filter(length(col("payload")) >= 1)
-        .select(
-          when(byteVal(col("payload"), 1) % 3 === 0, "image")
-            .when(byteVal(col("payload"), 1) % 3 === 1, "audio")
-            .otherwise("video").as("kind_stub"),
-          explode(sequence(lit(1),
-            least(length(col("payload")), lit(16)))).as("i"),
-          col("payload"))
-        .select(col("kind_stub"),
-          expr("CAST(conv(hex(substring(payload, i, 1)), 16, 10) AS INT)")
-            .as("byte_val"))
-        .groupBy(col("kind_stub"), col("byte_val"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("kind_stub"), col("byte_val")))
+      byteHistOn(s, d).orderBy(col("kind_stub"), col("byte_val")))
     ,
+
+    // Header-byte diversity per sniffed kind (r14) — the corruption /
+    // mis-sniff tripwire: a media kind whose first-16-bytes histogram
+    // is too concentrated (low Gini-Simpson, one dominant byte) is
+    // padding or a stuck encoder; too flat is random corruption. The
+    // q_text_langmix tail over the SAME shared histogram q_mm_bytehist
+    // reports raw (byteHistOn — one derivation, two graded views):
+    // dominant byte (ties → smallest value), its share, and
+    // 1 − Σ(c∕n)² from EXACT integer power sums on DECIMAL(38,0)/
+    // HUGEINT (n² crosses BIGINT near 10¹⁰ sampled bytes per kind —
+    // inside 100-TB range), single unrounded IEEE divisions (§7.4
+    // rule 1). Plan: the histogram's explode-agg (shuffle ∝ kind×256)
+    // then one ∝-kinds collapse; mode via min-of-struct, never a
+    // window.
+    "q_mm_diversity" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      byteHistOn(s, d).groupBy(col("kind_stub")).agg(
+          sum(col("cnt")).as("n_bytes"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("cnt").cast(dec) * col("cnt")).as("s2"),
+          min(struct((-col("cnt")).as("nc"), col("byte_val").as("b")))
+            .as("m"))
+        .select(col("kind_stub"), col("n_bytes"), col("n_distinct"),
+          col("m.b").as("top_byte"), (-col("m.nc")).as("top_n"),
+          ((-col("m.nc")).cast("double") / col("n_bytes").cast("double"))
+            .as("top_share"),
+          ((col("n_bytes").cast(dec) * col("n_bytes") - col("s2"))
+            .cast("double")
+            / (col("n_bytes").cast(dec) * col("n_bytes")).cast("double"))
+            .as("simpson_div"))
+        .orderBy(col("kind_stub"))
+    }),
 
     // Byte-level SimHash near-dup (r12) — the perceptual-hash analog
     // for OPAQUE payloads: 16-bit majority-vote signature over distinct
@@ -336,6 +372,43 @@ object MultimodalOps {
                 least(octet_length(text::BLOB), 16))) AS g(i)
             WHERE octet_length(text::BLOB) >= 1) z
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    // The bytehist CTE + the langmix mode/power-sum tail (HUGEINT —
+    // the Spark side's DECIMAL(38,0) twin), two single int→double
+    // divisions.
+    "q_mm_diversity" ->
+      s"""WITH h AS (
+            SELECT kind_stub, byte_val, COUNT(*) AS cnt FROM (
+              SELECT
+                CASE WHEN ${sqlByteVal(1)} % 3 = 0 THEN 'image'
+                     WHEN ${sqlByteVal(1)} % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS kind_stub,
+                CAST(('0x' || hex(substring(text, g.i, 1)::BLOB)) AS INT)
+                  AS byte_val
+              FROM $doc,
+                unnest(generate_series(1,
+                  least(octet_length(text::BLOB), 16))) AS g(i)
+              WHERE octet_length(text::BLOB) >= 1) z
+            GROUP BY 1, 2),
+          mx AS (SELECT kind_stub, MAX(cnt) AS cmax FROM h GROUP BY 1),
+          tp AS (
+            SELECT h.kind_stub, MIN(h.byte_val) AS top_byte
+            FROM h JOIN mx ON h.kind_stub = mx.kind_stub
+              AND h.cnt = mx.cmax
+            GROUP BY 1),
+          g AS (
+            SELECT kind_stub, CAST(SUM(cnt) AS BIGINT) AS n_bytes,
+              COUNT(*) AS n_distinct,
+              SUM(CAST(cnt AS HUGEINT) * cnt) AS s2
+            FROM h GROUP BY 1)
+          SELECT g.kind_stub, n_bytes, n_distinct, top_byte,
+            CAST(cmax AS BIGINT) AS top_n,
+            CAST(cmax AS DOUBLE) / CAST(n_bytes AS DOUBLE) AS top_share,
+            CAST(CAST(n_bytes AS HUGEINT) * n_bytes - s2 AS DOUBLE)
+              / CAST(CAST(n_bytes AS HUGEINT) * n_bytes AS DOUBLE)
+              AS simpson_div
+          FROM g JOIN mx ON g.kind_stub = mx.kind_stub
+            JOIN tp ON g.kind_stub = tp.kind_stub
+          ORDER BY g.kind_stub""",
     // The q_llm_simdup vote/band chain verbatim over byte-gram tokens
     // (hex of 4-char windows — char == byte on the ASCII corpus).
     "q_mm_simdup" -> {

@@ -555,21 +555,25 @@ object TextOps {
       .orderBy(col("source"), col("rk"))
   }
 
-  /** q_text_langmix's engine over any (source, lang) corpus. */
+  /** q_text_langmix's engine over any (source, lang) corpus. Power
+    * sums ride DECIMAL(38,0) (HUGEINT in the twin) — n² and Σc²
+    * overflow BIGINT near 10¹⁰ docs per group, inside 100-TB range. */
   private[graft] def langmixOn(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val cl = docs.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("c"))
     cl.groupBy(col("source")).agg(
         sum(col("c")).as("n_docs"),
         count(lit(1)).as("n_langs"),
-        sum(col("c") * col("c")).as("s2"),
+        sum(col("c").cast(dec) * col("c")).as("s2"),
         min(struct((-col("c")).as("nc"), col("lang").as("l"))).as("m"))
       .select(col("source"), col("n_docs"), col("n_langs"),
         col("m.l").as("top_lang"), (-col("m.nc")).as("top_n"),
         ((-col("m.nc")).cast("double") / col("n_docs").cast("double"))
           .as("top_share"),
-        ((col("n_docs") * col("n_docs") - col("s2")).cast("double")
-          / (col("n_docs") * col("n_docs")).cast("double"))
+        ((col("n_docs").cast(dec) * col("n_docs") - col("s2"))
+          .cast("double")
+          / (col("n_docs").cast(dec) * col("n_docs")).cast("double"))
           .as("simpson_div"))
       .orderBy(col("source"))
   }
@@ -938,13 +942,15 @@ object TextOps {
             GROUP BY cl.source),
           g AS (
             SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
-              COUNT(*) AS n_langs, CAST(SUM(c * c) AS BIGINT) AS s2
+              COUNT(*) AS n_langs,
+              SUM(CAST(c AS HUGEINT) * c) AS s2
             FROM cl GROUP BY source)
           SELECT g.source, n_docs, n_langs, top_lang,
             CAST(cmax AS BIGINT) AS top_n,
             CAST(cmax AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share,
-            CAST(n_docs * n_docs - s2 AS DOUBLE)
-              / CAST(n_docs * n_docs AS DOUBLE) AS simpson_div
+            CAST(CAST(n_docs AS HUGEINT) * n_docs - s2 AS DOUBLE)
+              / CAST(CAST(n_docs AS HUGEINT) * n_docs AS DOUBLE)
+              AS simpson_div
           FROM g JOIN mx ON g.source = mx.source
             JOIN tp ON g.source = tp.source
           ORDER BY g.source""",

@@ -37,6 +37,31 @@ class MultimodalSuite extends SparkSuite {
     }
   }
 
+  test("q_mm_diversity is exactly the langmix tail of q_mm_bytehist (one shared derivation, two graded views)") {
+    val hist = MultimodalOps.queries("q_mm_bytehist")(spark, sf).collect()
+      .map(r => (r.getAs[String]("kind_stub"), r.getAs[Int]("byte_val"),
+        r.getAs[Long]("cnt")))
+    val expected = hist.groupBy(_._1).view.mapValues { rows =>
+      val n = rows.map(_._3).sum
+      val s2 = rows.map(c => BigInt(c._3) * BigInt(c._3)).sum
+      val cmax = rows.map(_._3).max
+      val topByte = rows.filter(_._3 == cmax).map(_._2).min
+      (n, rows.length.toLong, topByte, cmax,
+        cmax.toDouble / n.toDouble,
+        (BigInt(n) * BigInt(n) - s2).toDouble / (BigInt(n) * BigInt(n)).toDouble)
+    }.toMap
+    val out = MultimodalOps.queries("q_mm_diversity")(spark, sf).collect()
+      .map(r => r.getAs[String]("kind_stub") ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[Long]("n_distinct"),
+          r.getAs[Int]("top_byte"), r.getAs[Long]("top_n"),
+          r.getAs[Double]("top_share"), r.getAs[Double]("simpson_div"))))
+      .toMap
+    spark.catalog.clearCache()
+    assert(out.keySet === expected.keySet)
+    out.foreach { case (k, v) => assert(v === expected(k), s"kind $k") }
+    assert(out.values.forall(v => v._6 > 0 && v._6 < 1))
+  }
+
   test("q_mm_meta header_hex is the hex of the first 4 UTF-8 bytes") {
     val row = MultimodalOps.queries("q_mm_meta")(spark, sf)
       .orderBy(col("doc_id")).limit(1).collect()(0)

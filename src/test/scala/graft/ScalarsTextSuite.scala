@@ -309,6 +309,34 @@ class ScalarsTextSuite extends SparkSuite {
     assert(out(4L) === ((1, 1, 0)), "simultaneous view+click converts stage 2 (>= contract)")
   }
 
+  test("q_event_lagcorr: a planted 2-day lead correlates 1.0 exactly at lag 2; pair counts shrink with overlap") {
+    val dir = Files.createTempDirectory("graft_lagcorr").toString
+    val B = 1704067200000000L
+    // views days 0-4 count (3,1,4,1,5); purchases = same pattern 2 days
+    // later (days 2-6) → lag-2 series identical → xcorr = 1.0 exactly
+    val pat = Seq(3, 1, 4, 1, 5)
+    val rows = pat.zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map(j => ("view", day.toLong, j)) ++
+        (0 until c).map(j => ("purchase", day.toLong + 2, j))
+    }.zipWithIndex.map { case ((t, day, j), id) =>
+      (id.toLong, B + day * 86400000000L + j * 1000000L, 1L + id % 7, t, 1.0)
+    }
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_event_lagcorr")(spark, dir).collect()
+      .map(r => r.getAs[Int]("lag") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("xcorr")))).toMap
+    spark.catalog.clearCache()
+    assert(out(2) === ((5L, 1.0)))
+    assert(out.view.mapValues(_._1).toMap === Map(0 -> 3L, 1 -> 4L, 2 -> 5L, 3 -> 4L))
+    // lag 0 overlap days 2-4: x=(4,1,5), y=(3,1,4) — the acf chain
+    val exp0 = BigDecimal(19.0 / math.sqrt(26.0 * 14.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._2 === exp0)
+  }
+
   test("q_event_survival / q_event_powerlaw: hand-computed on a planted timeline (r14)") {
     val dir = Files.createTempDirectory("graft_survival").toString
     val B = 1704067200000000L
