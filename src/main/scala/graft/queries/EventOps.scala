@@ -1248,7 +1248,74 @@ object EventOps {
     // partitioned by event_type over that Aggregate child (running
     // sum, partition totals, rank — bounded per the §7.4.12 pin); no
     // join, no self-union, the raw event scan is read ONCE.
-    "q_event_changepoint" -> ((s, d) => changepointOn(T.events(s, d)))
+    "q_event_changepoint" -> ((s, d) => changepointOn(T.events(s, d))),
+
+    // Day-of-week concentration audit (r14) — per event type: how far
+    // the weekday profile sits from uniform, as the chi-square
+    // statistic against the flat 1∕7 expectation plus the dominant
+    // weekday and its share — the weekly-seasonality read behind
+    // send-time / capacity / anomaly-threshold decisions (a type whose
+    // chisq suddenly collapses lost its weekly rhythm; one whose
+    // top_share grows is concentrating into batch jobs). Determinism:
+    // X² = Σ(o_d − n∕7)²∕(n∕7) multiplies out EXACTLY to
+    // (7·Σo_d² − n²)∕n — integer numerator on DECIMAL(38,0)/HUGEINT
+    // (Σo² crosses BIGINT near 10¹⁰ events/type — inside 100-TB
+    // range), ONE unrounded IEEE division (§7.4 rule 1); weekday is
+    // the ENGINE-NEUTRAL epoch-day mod 7 (the q_event_heatmap
+    // discipline — never dayofweek(), where engines disagree on week
+    // start); dominant dow via min-of-struct (ties → smallest index),
+    // never a window. Plan: two stacked map-side-combining hash aggs
+    // (events → type×7 cells → types) — shuffle ∝ types × 7 forever.
+    "q_event_seasonality" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val perDow = T.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          expr("(unix_micros(ts) div 86400000000) % 7").as("dow7"))
+        .agg(count(lit(1)).as("c"))
+      perDow.groupBy(col("event_type")).agg(
+          sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_dows"),
+          sum(col("c").cast(dec) * col("c")).as("s2"),
+          min(struct((-col("c")).as("nc"), col("dow7").as("d"))).as("m"))
+        .select(col("event_type"), col("n_events"), col("n_dows"),
+          col("m.d").as("top_dow"), (-col("m.nc")).as("top_n"),
+          ((-col("m.nc")).cast("double") / col("n_events").cast("double"))
+            .as("top_share"),
+          ((lit(7).cast(dec) * col("s2")
+            - col("n_events").cast(dec) * col("n_events")).cast("double")
+            / col("n_events").cast("double")).as("chisq_uniform"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Silent-day gap audit (r14) — per event type over its ACTIVE days:
+    // calendar span, active/silent day counts, the LONGEST consecutive
+    // silent run, and how many gaps there were — the outage/ingest-hole
+    // detector an ops review opens with (a type whose max_gap jumps
+    // stopped flowing; q_event_changepoint localizes a LEVEL shift,
+    // this localizes ABSENCE). All integer µs/day arithmetic end to
+    // end — zero float anywhere. Plan: one map-side-combining
+    // day-grain hash agg (shuffle ∝ type×days, calendar-bounded), one
+    // lag window partitioned by event_type over that Aggregate child
+    // (§7.4.12 bounded — a type's active days fit one partition
+    // forever), final hash agg to ∝ types rows; the raw scan is read
+    // ONCE, no join.
+    "q_event_quiet" -> ((s, d) => {
+      val daily = T.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("dd"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("dd"))
+      daily
+        .withColumn("gap", col("dd") - lag(col("dd"), 1).over(w) - 1)
+        .groupBy(col("event_type"))
+        .agg((max(col("dd")) - min(col("dd")) + 1).as("span_days"),
+          count(lit(1)).as("active_days"),
+          (max(col("dd")) - min(col("dd")) + 1 - count(lit(1)))
+            .as("silent_days"),
+          coalesce(max(col("gap")), lit(0L)).as("max_gap"),
+          sum(when(col("gap") > 0, 1).otherwise(0)).as("n_gaps"))
+        .orderBy(col("event_type"))
+    })
   )
 
   /** q_event_changepoint's engine over any (event_type, ts) stream —
@@ -2242,6 +2309,56 @@ object EventOps {
             CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before,
             CAST(s_n - s_k AS DOUBLE)
               / CAST(n_days - k AS DOUBLE) AS mean_after
-          FROM r WHERE rn = 1 ORDER BY event_type"""
+          FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // The langmix mode/power-sum tail over the (type, epoch-dow) cell
+    // counts; chi-square multiplied out to (7·Σo² − n²)∕n — HUGEINT
+    // numerator (the Spark side's DECIMAL(38,0) twin), one int→double
+    // division.
+    "q_event_seasonality" ->
+      s"""WITH pd AS (
+            SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow7,
+              COUNT(*) AS c
+            FROM $evt WHERE ts IS NOT NULL GROUP BY 1, 2),
+          mx AS (SELECT event_type, MAX(c) AS cmax FROM pd GROUP BY 1),
+          tp AS (
+            SELECT pd.event_type, MIN(pd.dow7) AS top_dow
+            FROM pd JOIN mx ON pd.event_type = mx.event_type
+              AND pd.c = mx.cmax
+            GROUP BY 1),
+          g AS (
+            SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+              COUNT(*) AS n_dows, SUM(CAST(c AS HUGEINT) * c) AS s2
+            FROM pd GROUP BY 1)
+          SELECT g.event_type, n_events, n_dows, top_dow,
+            CAST(cmax AS BIGINT) AS top_n,
+            CAST(cmax AS DOUBLE) / CAST(n_events AS DOUBLE) AS top_share,
+            CAST(7 * s2 - CAST(n_events AS HUGEINT) * n_events AS DOUBLE)
+              / CAST(n_events AS DOUBLE) AS chisq_uniform
+          FROM g JOIN mx ON g.event_type = mx.event_type
+            JOIN tp ON g.event_type = tp.event_type
+          ORDER BY g.event_type""",
+
+    // The changepoint day-grain CTE, one lag window, integer tail; an
+    // all-NULL gap column (single active day) sums to 0 on both
+    // engines via the CASE/otherwise(0) guard.
+    "q_event_quiet" ->
+      s"""WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS dd
+            FROM $evt WHERE ts IS NOT NULL GROUP BY 1, 2),
+          g AS (
+            SELECT event_type, dd,
+              dd - LAG(dd) OVER (PARTITION BY event_type ORDER BY dd) - 1
+                AS gap
+            FROM daily)
+          SELECT event_type,
+            CAST(MAX(dd) - MIN(dd) + 1 AS BIGINT) AS span_days,
+            COUNT(*) AS active_days,
+            CAST(MAX(dd) - MIN(dd) + 1 - COUNT(*) AS BIGINT)
+              AS silent_days,
+            CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap,
+            CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_gaps
+          FROM g GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -147,6 +147,47 @@ object MultimodalOps {
         .orderBy(col("kind_stub"))
     }),
 
+    // Chunk-level dedup storage audit (r14) — q_mm_dedupstats at the
+    // BLOCK grain: payloads split into the fixed 16-byte chunks of
+    // q_mm_chunks, deduped by chunk content per sniffed kind — the
+    // content-defined-chunking economics a block-addressed store
+    // banks on, where two payloads sharing a prefix dedup their common
+    // blocks even though whole-payload dedup (q_mm_dedupstats) sees two
+    // distinct contents. Plan: budget-bounded explode (rows ∝ bytes∕16
+    // — this IS the block-dedup workload's honest size), then the
+    // dedupstats two-stacked-hash-agg shape: shuffle ∝ DISTINCT chunks
+    // (viral blocks combine map-side), then ∝ kinds; never a window
+    // over the chunk hash. Integer byte math end to end; empty
+    // payloads filtered structurally on both engines (Spark
+    // sequence(0,−1) would DESCEND).
+    "q_mm_chunkdup" -> ((s, d) => {
+      val p = col("payload")
+      T.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .filter(length(p) >= 1)
+        .select(
+          when(byteVal(p, 1) % 3 === 0, "image")
+            .when(byteVal(p, 1) % 3 === 1, "audio")
+            .otherwise("video").as("kind_stub"),
+          explode(sequence(lit(0),
+            expr(s"(length(payload) + ${ChunkBytes - 1}) div $ChunkBytes")
+              - 1)).as("chunk_idx"),
+          col("payload"))
+        .select(col("kind_stub"),
+          expr(s"md5(substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes))")
+            .as("h"),
+          expr(s"length(substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes))")
+            .cast("long").as("nb"))
+        .groupBy(col("kind_stub"), col("h"))
+        .agg(count(lit(1)).as("copies"), max(col("nb")).as("nb"))
+        .groupBy(col("kind_stub"))
+        .agg(sum(col("copies")).as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("copies") - 1).as("n_dups"),
+          sum((col("copies") - 1) * col("nb")).as("bytes_dedupable"))
+        .orderBy(col("kind_stub"))
+    }),
+
     // Stubbed decode + feature extraction: fake decoded dimensions from
     // header bytes (where the codec would report them) and a real
     // byte-level feature (mean of the first 8 byte values, 6dp).
@@ -329,6 +370,32 @@ object MultimodalOps {
                 FROM p GROUP BY 1, 2)
           SELECT kind_stub,
             CAST(SUM(copies) AS BIGINT) AS n_payloads,
+            COUNT(*) AS n_distinct,
+            CAST(SUM(copies - 1) AS BIGINT) AS n_dups,
+            CAST(SUM((copies - 1) * nb) AS BIGINT) AS bytes_dedupable
+          FROM g GROUP BY 1 ORDER BY kind_stub""",
+    // The dedupstats rollup over q_mm_chunks' fixed-16-byte explode
+    // (substring on the ASCII corpus: char == byte, the chunks-oracle
+    // precedent).
+    "q_mm_chunkdup" ->
+      s"""WITH c AS (
+            SELECT
+              CASE WHEN ${sqlByteVal(1)} % 3 = 0 THEN 'image'
+                   WHEN ${sqlByteVal(1)} % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS kind_stub,
+              md5(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes))
+                AS h,
+              CAST(length(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes))
+                AS BIGINT) AS nb
+            FROM (
+              SELECT text,
+                UNNEST(range(0, (octet_length(text::BLOB) + ${ChunkBytes - 1}) // $ChunkBytes))
+                  AS chunk_idx
+              FROM $doc WHERE octet_length(text::BLOB) >= 1) t),
+          g AS (SELECT kind_stub, h, COUNT(*) AS copies, MAX(nb) AS nb
+                FROM c GROUP BY 1, 2)
+          SELECT kind_stub,
+            CAST(SUM(copies) AS BIGINT) AS n_chunks,
             COUNT(*) AS n_distinct,
             CAST(SUM(copies - 1) AS BIGINT) AS n_dups,
             CAST(SUM((copies - 1) * nb) AS BIGINT) AS bytes_dedupable

@@ -37,6 +37,34 @@ class MultimodalSuite extends SparkSuite {
     }
   }
 
+  test("q_mm_chunkdup: planted shared prefix dedups at the block grain where whole-payload dedup sees distinct contents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunkdup").toString
+    // 'A' (65 % 3 == 2) sniffs video, '0' (48 % 3 == 0) sniffs image.
+    // video docs share their first 16-byte block but differ after —
+    // whole-payload dedup sees 2 distinct contents, block dedup saves 16B.
+    Seq(
+      (1L, "A" * 16 + "B" * 16),       // chunks: A16, B16
+      (2L, "A" * 16 + "C" * 10),       // chunks: A16 (dup), C10 (short tail)
+      (3L, "0123456789"))              // image: one 10-byte chunk
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = MultimodalOps.queries("q_mm_chunkdup")(spark, dir).collect()
+      .map(r => r.getAs[String]("kind_stub") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("n_dups"), r.getAs[Long]("bytes_dedupable"))))
+      .toMap
+    assert(out === Map(
+      "video" -> ((4L, 3L, 1L, 16L)),
+      "image" -> ((1L, 1L, 0L, 0L))))
+    // the whole-payload audit on the same corpus sees zero dups
+    val whole = MultimodalOps.queries("q_mm_dedupstats")(spark, dir)
+      .collect().map(r => r.getAs[String]("kind_stub") ->
+        r.getAs[Long]("n_dups")).toMap
+    assert(whole === Map("video" -> 0L, "image" -> 0L))
+  }
+
   test("q_mm_diversity is exactly the langmix tail of q_mm_bytehist (one shared derivation, two graded views)") {
     val hist = MultimodalOps.queries("q_mm_bytehist")(spark, sf).collect()
       .map(r => (r.getAs[String]("kind_stub"), r.getAs[Int]("byte_val"),

@@ -337,6 +337,56 @@ class ScalarsTextSuite extends SparkSuite {
     assert(out(0)._2 === exp0)
   }
 
+  test("q_event_seasonality: planted dow profiles — skewed type's exact chi-square, uniform type scores 0") {
+    val dir = Files.createTempDirectory("graft_season").toString
+    val B = 1704067200000000L // epoch day 19723; 19723 % 7 == 4
+    // view: 3 events day0 + 1 event day1 → cells (dow4: 3, dow5: 1);
+    // click: 1 event on each of days 0..6 → perfectly uniform
+    val rows =
+      (0 until 3).map(j => ("view", 0L, j)) ++ Seq(("view", 1L, 0)) ++
+        (0 until 7).map(day => ("click", day.toLong, 0))
+    rows.zipWithIndex.map { case ((t, day, j), id) =>
+      (id.toLong, B + day * 86400000000L + j * 1000000L, 1L + id % 5, t, 1.0)
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_event_seasonality")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_dows"),
+          r.getAs[Long]("top_dow"), r.getAs[Long]("top_n"),
+          r.getAs[Double]("top_share"), r.getAs[Double]("chisq_uniform"))))
+      .toMap
+    // view: X² = (7·(9+1) − 16)∕4 = 54∕4 = 13.5, dominant dow4 at 3∕4
+    assert(out("view") === ((4L, 2L, 4L, 3L, 0.75, 13.5)))
+    // click: Σc²=7, n=7 → (49−49)∕7 = 0; tie on every dow → smallest
+    assert(out("click") === ((7L, 7L, 0L, 1L, 1.0 / 7.0, 0.0)))
+  }
+
+  test("q_event_quiet: planted silent runs — gap lengths, counts, and the single-day degenerate type") {
+    val dir = Files.createTempDirectory("graft_quiet").toString
+    val B = 1704067200000000L
+    // view: active days 0,1,5,6 → span 7, one 3-day hole after day 1;
+    // click: single day 2 → no gap is even defined (lag is NULL);
+    // buy: days 0 and 10 → one 9-day hole
+    val rows = Seq(("view", 0L), ("view", 1L), ("view", 5L), ("view", 6L),
+      ("click", 2L), ("buy", 0L), ("buy", 10L))
+    rows.zipWithIndex.map { case ((t, day), id) =>
+      (id.toLong, B + day * 86400000000L + id, 1L + id % 3, t, 1.0)
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_event_quiet")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("span_days"), r.getAs[Long]("active_days"),
+          r.getAs[Long]("silent_days"), r.getAs[Long]("max_gap"),
+          r.getAs[Long]("n_gaps")))).toMap
+    assert(out("view") === ((7L, 4L, 3L, 3L, 1L)))
+    assert(out("click") === ((1L, 1L, 0L, 0L, 0L)))
+    assert(out("buy") === ((11L, 2L, 9L, 9L, 1L)))
+  }
+
   test("q_event_survival / q_event_powerlaw: hand-computed on a planted timeline (r14)") {
     val dir = Files.createTempDirectory("graft_survival").toString
     val B = 1704067200000000L
