@@ -424,6 +424,47 @@ class StreamingParitySuite extends SparkSuite {
       (7L, 10L * 86400000000L, 2L)))  // batch 2: grew; batch 3: silent
   }
 
+  test("daily-count monitor: lagcorr tail from last-write-wins rows == graded q_event_lagcorr on sf0.001") {
+    val events = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    // ONE maintained day-grain table feeds changepoint AND lagcorr —
+    // the monitor is the shared stateful ingress of the daily family
+    val counts = StreamOps.dailyCountMonitor(events).collect()
+      .groupBy(o => (o.event_type, o.day_us)).view
+      .mapValues(_.last.n).toMap
+    def series(t: String) = counts.collect {
+      case ((`t`, d), n) => d / 86400000000L -> n }.toMap
+    val (xs, ys) = (series("view"), series("purchase"))
+    val twin = (0 to 3).flatMap { lag =>
+      val pairs = xs.toSeq.collect { case (d, x) if ys.contains(d + lag) =>
+        (BigInt(x), BigInt(ys(d + lag))) }
+      if (pairs.isEmpty) None else {
+        val n = pairs.size
+        val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val vx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+        val vy = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+        val xc = if (vx > 0 && vy > 0)
+          Some(BigDecimal((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble)
+            / (math.sqrt(vx) * math.sqrt(vy)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+        Some((lag, n.toLong, xc))
+      }
+    }
+    val batch = graft.queries.EventOps.queries("q_event_lagcorr")(spark, sf)
+      .collect().map(r => (r.getAs[Int]("lag"), r.getAs[Long]("n_pairs"),
+        Option(r.getAs[java.lang.Double]("xcorr")).map(_.doubleValue)))
+      .toSeq
+    spark.catalog.clearCache()
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+  }
+
   test("daily-count monitor: CUSUM changepoint from last-write-wins rows == graded q_event_changepoint on sf0.001; counts grow across batches") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
