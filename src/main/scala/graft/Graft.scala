@@ -804,6 +804,25 @@ object Graft {
                   textCol: String): DataFrame =
     graft.queries.TextOps.readabilityOn(asCorpus(df, idCol, textCol))
 
+  /** Day-of-week concentration over any keyed timestamped stream
+    * (graded q_event_seasonality's engine, r14): per key, the exact
+    * chi-square of the weekday profile against uniform — multiplied
+    * out to the integer form (7·Σo² − n²)∕n — plus the dominant
+    * epoch-weekday (epoch-day mod 7; ties → smallest) and its share. */
+  def weekdayProfile(df: DataFrame, keyCol: String,
+                     tsCol: String): DataFrame =
+    graft.queries.EventOps.seasonalityOn(
+      df.select(col(keyCol).as("event_type"), col(tsCol).as("ts")))
+
+  /** Silent-day gap audit over any keyed timestamped stream (graded
+    * q_event_quiet's engine, r14): per key, calendar span vs active
+    * days, the longest consecutive silent run, and the gap count —
+    * the outage/ingest-hole detector. All integer day arithmetic. */
+  def silentGaps(df: DataFrame, keyCol: String,
+                 tsCol: String): DataFrame =
+    graft.queries.EventOps.quietOn(
+      df.select(col(keyCol).as("event_type"), col(tsCol).as("ts")))
+
   /** CUSUM changepoint over any keyed timestamped stream (graded
     * q_event_changepoint's engine, r14): per key, the day maximizing
     * the integer-exact scaled CUSUM \|N·S_k − k·S_N\| over the

@@ -1266,26 +1266,7 @@ object EventOps {
     // start); dominant dow via min-of-struct (ties → smallest index),
     // never a window. Plan: two stacked map-side-combining hash aggs
     // (events → type×7 cells → types) — shuffle ∝ types × 7 forever.
-    "q_event_seasonality" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val perDow = T.events(s, d).filter(col("ts").isNotNull)
-        .groupBy(col("event_type"),
-          expr("(unix_micros(ts) div 86400000000) % 7").as("dow7"))
-        .agg(count(lit(1)).as("c"))
-      perDow.groupBy(col("event_type")).agg(
-          sum(col("c")).as("n_events"),
-          count(lit(1)).as("n_dows"),
-          sum(col("c").cast(dec) * col("c")).as("s2"),
-          min(struct((-col("c")).as("nc"), col("dow7").as("d"))).as("m"))
-        .select(col("event_type"), col("n_events"), col("n_dows"),
-          col("m.d").as("top_dow"), (-col("m.nc")).as("top_n"),
-          ((-col("m.nc")).cast("double") / col("n_events").cast("double"))
-            .as("top_share"),
-          ((lit(7).cast(dec) * col("s2")
-            - col("n_events").cast(dec) * col("n_events")).cast("double")
-            / col("n_events").cast("double")).as("chisq_uniform"))
-        .orderBy(col("event_type"))
-    }),
+    "q_event_seasonality" -> ((s, d) => seasonalityOn(T.events(s, d))),
 
     // Silent-day gap audit (r14) — per event type over its ACTIVE days:
     // calendar span, active/silent day counts, the LONGEST consecutive
@@ -1299,24 +1280,51 @@ object EventOps {
     // (§7.4.12 bounded — a type's active days fit one partition
     // forever), final hash agg to ∝ types rows; the raw scan is read
     // ONCE, no join.
-    "q_event_quiet" -> ((s, d) => {
-      val daily = T.events(s, d).filter(col("ts").isNotNull)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("dd"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("dd"))
-      daily
-        .withColumn("gap", col("dd") - lag(col("dd"), 1).over(w) - 1)
-        .groupBy(col("event_type"))
-        .agg((max(col("dd")) - min(col("dd")) + 1).as("span_days"),
-          count(lit(1)).as("active_days"),
-          (max(col("dd")) - min(col("dd")) + 1 - count(lit(1)))
-            .as("silent_days"),
-          coalesce(max(col("gap")), lit(0L)).as("max_gap"),
-          sum(when(col("gap") > 0, 1).otherwise(0)).as("n_gaps"))
-        .orderBy(col("event_type"))
-    })
+    "q_event_quiet" -> ((s, d) => quietOn(T.events(s, d)))
   )
+
+  /** q_event_seasonality's engine over any (event_type, ts) stream —
+    * [[graft.Graft.weekdayProfile]] enters here. */
+  private[graft] def seasonalityOn(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perDow = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("dow7"))
+      .agg(count(lit(1)).as("c"))
+    perDow.groupBy(col("event_type")).agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_dows"),
+        sum(col("c").cast(dec) * col("c")).as("s2"),
+        min(struct((-col("c")).as("nc"), col("dow7").as("d"))).as("m"))
+      .select(col("event_type"), col("n_events"), col("n_dows"),
+        col("m.d").as("top_dow"), (-col("m.nc")).as("top_n"),
+        ((-col("m.nc")).cast("double") / col("n_events").cast("double"))
+          .as("top_share"),
+        ((lit(7).cast(dec) * col("s2")
+          - col("n_events").cast(dec) * col("n_events")).cast("double")
+          / col("n_events").cast("double")).as("chisq_uniform"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_event_quiet's engine over any (event_type, ts) stream —
+    * [[graft.Graft.silentGaps]] enters here. */
+  private[graft] def quietOn(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("dd"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dd"))
+    daily
+      .withColumn("gap", col("dd") - lag(col("dd"), 1).over(w) - 1)
+      .groupBy(col("event_type"))
+      .agg((max(col("dd")) - min(col("dd")) + 1).as("span_days"),
+        count(lit(1)).as("active_days"),
+        (max(col("dd")) - min(col("dd")) + 1 - count(lit(1)))
+          .as("silent_days"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap"),
+        sum(when(col("gap") > 0, 1).otherwise(0)).as("n_gaps"))
+      .orderBy(col("event_type"))
+  }
 
   /** q_event_changepoint's engine over any (event_type, ts) stream —
     * extracted for the planted-step unit fixture. */

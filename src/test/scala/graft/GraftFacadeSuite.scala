@@ -141,6 +141,25 @@ class GraftFacadeSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("r14 wave-3 facades: weekdayProfile and silentGaps on custom schemas") {
+    // sensor s1 pings days 19301,19302,19306:
+    // span 6, active 3, silent 3, one 3-day hole
+    val pings = Seq(19301L, 19302L, 19306L).map(day => ("s1",
+      new java.sql.Timestamp(day * 86400000L))).toDF("sensor", "seen_at")
+    val sg = Graft.silentGaps(pings, "sensor", "seen_at").collect()
+    assert(sg.length === 1)
+    assert((sg.head.getAs[Long]("span_days"), sg.head.getAs[Long]("active_days"),
+      sg.head.getAs[Long]("silent_days"), sg.head.getAs[Long]("max_gap"),
+      sg.head.getAs[Long]("n_gaps")) === ((6L, 3L, 3L, 3L, 1L)))
+    // weekday profile: 19301%7=2, 19302%7=3, 19306%7=0 → three cells of
+    // 1: X² = (7·3 − 9)∕3 = 4, top dow = smallest index 0 on the tie
+    val wp = Graft.weekdayProfile(pings, "sensor", "seen_at").collect()
+    assert(wp.length === 1)
+    assert((wp.head.getAs[Long]("n_events"), wp.head.getAs[Long]("n_dows"),
+      wp.head.getAs[Long]("top_dow"), wp.head.getAs[Double]("chisq_uniform"))
+      === ((3L, 3L, 0L, 4.0)))
+  }
+
   test("nearDupPairs finds set-duplicates within blocks on a custom-schema corpus") {
     val pairs = Graft.nearDupPairs(corpus, "item_no", "body",
         Seq("shelf"), 4, 5).collect()
