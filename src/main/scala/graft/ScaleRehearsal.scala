@@ -166,6 +166,33 @@ object ScaleRehearsal {
         spark.catalog.clearCache()
         r.getAs[Long]("m_edges")
       }
+      // Chunk-level dedup (r14): 128-byte payloads = 8 fixed 16-byte
+      // blocks — 7 drawn from a 1000-per-position pool (id mod 1000,
+      // exactly 7000 distinct pooled blocks) + 1 unique tail. Planted
+      // truth at every n: total = 8n, distinct = 7000 + n, dedupable
+      // bytes = 16·(total − distinct) — recovered exactly inside the
+      // curve. Claim: explode rows ∝ bytes∕16 (the workload's honest
+      // size), shuffle ∝ DISTINCT chunks (the n unique tails dominate;
+      // pooled viral blocks combine map-side). repartition(32) breaks
+      // range's clustering freebie.
+      if (want("mm_chunkdup")) time("mm_chunkdup", n) {
+        val docs = spark.range(n).select(
+          concat(
+            ((0 until 7).map(j =>
+              lpad(concat(lit("b"), pmod(col("id"), lit(1000L)),
+                lit("j"), lit(j)), 16, "x")) :+
+              lpad(concat(lit("u"), col("id")), 16, "x")): _*)
+            .cast("binary").as("payload"))
+          .repartition(32)
+        val r = graft.queries.MultimodalOps.chunkDedupOn(docs).collect()
+        val (tot, dist, bytes) = (r.map(_.getAs[Long]("n_chunks")).sum,
+          r.map(_.getAs[Long]("n_distinct")).sum,
+          r.map(_.getAs[Long]("bytes_dedupable")).sum)
+        require(tot == 8L * n && dist == 7000L + n
+          && bytes == 16L * (tot - dist),
+          s"planted chunk-dedup truth missed: tot=$tot dist=$dist bytes=$bytes")
+        dist
+      }
       if (want("neardup_pairs")) time("neardup_pairs", n) {
         Graft.nearDupPairs(synthDocs(n), "doc_id", "text", Nil, 4, 5).count()
       }

@@ -43,6 +43,35 @@ object MultimodalOps {
   private def byteVal(payload: org.apache.spark.sql.Column, i: Int) =
     conv(hex(substring(payload, i, 1)), 16, 10).cast("int")
 
+  /** q_mm_chunkdup's engine over any frame with a binary `payload`
+    * column — the ScaleRehearsal chunk-dedup probe enters here. */
+  private[graft] def chunkDedupOn(docs: DataFrame): DataFrame = {
+    val p = col("payload")
+    docs
+      .filter(length(p) >= 1)
+      .select(
+        when(byteVal(p, 1) % 3 === 0, "image")
+          .when(byteVal(p, 1) % 3 === 1, "audio")
+          .otherwise("video").as("kind_stub"),
+        explode(sequence(lit(0),
+          expr(s"(length(payload) + ${ChunkBytes - 1}) div $ChunkBytes")
+            - 1)).as("chunk_idx"),
+        col("payload"))
+      .select(col("kind_stub"),
+        expr(s"md5(substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes))")
+          .as("h"),
+        expr(s"length(substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes))")
+          .cast("long").as("nb"))
+      .groupBy(col("kind_stub"), col("h"))
+      .agg(count(lit(1)).as("copies"), max(col("nb")).as("nb"))
+      .groupBy(col("kind_stub"))
+      .agg(sum(col("copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("copies") - 1).as("n_dups"),
+        sum((col("copies") - 1) * col("nb")).as("bytes_dedupable"))
+      .orderBy(col("kind_stub"))
+  }
+
   /** The (kind_stub, byte_val, cnt) first-16-bytes histogram shared by
     * q_mm_bytehist (raw rows) and q_mm_diversity (its langmix tail). */
   private def byteHistOn(s: SparkSession, d: String): DataFrame =
@@ -160,33 +189,9 @@ object MultimodalOps {
     // over the chunk hash. Integer byte math end to end; empty
     // payloads filtered structurally on both engines (Spark
     // sequence(0,−1) would DESCEND).
-    "q_mm_chunkdup" -> ((s, d) => {
-      val p = col("payload")
-      T.documents(s, d)
-        .withColumn("payload", col("text").cast("binary"))
-        .filter(length(p) >= 1)
-        .select(
-          when(byteVal(p, 1) % 3 === 0, "image")
-            .when(byteVal(p, 1) % 3 === 1, "audio")
-            .otherwise("video").as("kind_stub"),
-          explode(sequence(lit(0),
-            expr(s"(length(payload) + ${ChunkBytes - 1}) div $ChunkBytes")
-              - 1)).as("chunk_idx"),
-          col("payload"))
-        .select(col("kind_stub"),
-          expr(s"md5(substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes))")
-            .as("h"),
-          expr(s"length(substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes))")
-            .cast("long").as("nb"))
-        .groupBy(col("kind_stub"), col("h"))
-        .agg(count(lit(1)).as("copies"), max(col("nb")).as("nb"))
-        .groupBy(col("kind_stub"))
-        .agg(sum(col("copies")).as("n_chunks"),
-          count(lit(1)).as("n_distinct"),
-          sum(col("copies") - 1).as("n_dups"),
-          sum((col("copies") - 1) * col("nb")).as("bytes_dedupable"))
-        .orderBy(col("kind_stub"))
-    }),
+    "q_mm_chunkdup" -> ((s, d) =>
+      chunkDedupOn(T.documents(s, d).withColumn("payload",
+        col("text").cast("binary")))),
 
     // Stubbed decode + feature extraction: fake decoded dimensions from
     // header bytes (where the codec would report them) and a real
