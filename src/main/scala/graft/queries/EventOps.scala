@@ -1280,7 +1280,78 @@ object EventOps {
     // (§7.4.12 bounded — a type's active days fit one partition
     // forever), final hash agg to ∝ types rows; the raw scan is read
     // ONCE, no join.
-    "q_event_quiet" -> ((s, d) => quietOn(T.events(s, d)))
+    "q_event_quiet" -> ((s, d) => quietOn(T.events(s, d))),
+
+    // Theil-Sen robust trend (r14) — per event type: the MEDIAN of all
+    // pairwise slopes of the daily-count series — the robust
+    // (breakdown 29%) trend read beside q_event_changepoint's level
+    // split; an outage day or a viral spike barely moves it where OLS
+    // (q_agg_regr's machinery) chases the outlier. Determinism: each
+    // slope is ONE IEEE division of exact integers (Δn∕Δday — §7.4
+    // rule 1, both engines divide the same ints); the median is
+    // DISCRETE (lower median at rank ⌈m∕2⌉ in (slope, d1, d2) total
+    // order — a value the data holds, never an interpolation). Scale:
+    // pairs ∝ days²∕2 per type — CALENDAR-bounded, corpus-independent
+    // (10 years ≈ 6.7M pairs∕type), so the per-type rank window is
+    // bounded the §7.4.12 way even though its child is a join: both
+    // join inputs are the SAME persisted day-grain aggregate (the
+    // lagcorr one-derivation discipline), shuffle ∝ type×days², raw
+    // scan read ONCE.
+    "q_event_trend" -> ((s, d) => {
+      val daily = T.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("dd"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // both join sides; caller clearCache
+      val pairs = daily.select(col("event_type"), col("dd").as("d1"),
+          col("n").as("n1"))
+        .join(daily.select(col("event_type"), col("dd").as("d2"),
+          col("n").as("n2")), Seq("event_type"))
+        .filter(col("d1") < col("d2"))
+        .select(col("event_type"), col("d1"), col("d2"),
+          ((col("n2") - col("n1")).cast("double")
+            / (col("d2") - col("d1")).cast("double")).as("slope"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("slope"), col("d1"), col("d2"))
+      val wAll = Window.partitionBy(col("event_type"))
+      pairs
+        .withColumn("rk", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .filter(col("rk") === expr("(m + 1) div 2"))
+        .select(col("event_type"), col("m").as("n_pairs"),
+          col("slope").as("slope_med"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Benford leading-digit audit (r14) — per event type: the
+    // distribution of the first significant digit of `value` — the
+    // classic fabricated-data / instrumentation-bug tripwire (organic
+    // monetary amounts lean low per Benford's law; a uniform or spiked
+    // profile is synthetic filling or a unit mix-up). The digit is
+    // extracted EXACTLY: value → DECIMAL(18,4) (round-to-nearest of a
+    // binary double has no reachable half-way case) → plain string →
+    // first [1-9] — never floor(log10) (libm boundary hazard, §7.4).
+    // Zero/null values carry no digit and drop out structurally. Plan:
+    // per-row map → ONE map-side-combining hash agg (shuffle ∝
+    // types × 9) → share from a ≤9-row type-partitioned window over
+    // that Aggregate (§7.4.12 bounded), single unrounded IEEE
+    // division.
+    "q_event_benford" -> ((s, d) => {
+      val digits = T.events(s, d)
+        .select(col("event_type"),
+          regexp_extract(abs(col("value")).cast("decimal(18,4)")
+            .cast("string"), "[1-9]", 0).as("digit"))
+        .filter(col("digit") =!= "")
+        .select(col("event_type"), col("digit").cast("int").as("digit"))
+      val wAll = Window.partitionBy(col("event_type"))
+      digits.groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_type", sum(col("n")).over(wAll))
+        .select(col("event_type"), col("digit"), col("n"),
+          (col("n").cast("double") / col("n_type").cast("double"))
+            .as("share"))
+        .orderBy(col("event_type"), col("digit"))
+    })
   )
 
   /** q_event_seasonality's engine over any (event_type, ts) stream —
@@ -2367,6 +2438,53 @@ object EventOps {
             CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap,
             CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_gaps
-          FROM g GROUP BY 1 ORDER BY 1"""
+          FROM g GROUP BY 1 ORDER BY 1""",
+
+    // The day-grain CTE self-joined (d1 < d2); each slope ONE division
+    // of exact ints, lower median by ROW_NUMBER in (slope, d1, d2)
+    // total order at rank (m+1)//2.
+    "q_event_trend" ->
+      s"""WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS dd,
+              COUNT(*) AS n
+            FROM $evt WHERE ts IS NOT NULL GROUP BY 1, 2),
+          pairs AS (
+            SELECT a.event_type,
+              a.dd AS d1, b.dd AS d2,
+              CAST(b.n - a.n AS DOUBLE) / CAST(b.dd - a.dd AS DOUBLE)
+                AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.dd < b.dd),
+          r AS (
+            SELECT event_type, slope,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY slope, d1, d2) AS rk,
+              COUNT(*) OVER (PARTITION BY event_type) AS m
+            FROM pairs)
+          SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+            slope AS slope_med
+          FROM r WHERE rk = (m + 1) // 2 ORDER BY event_type""",
+
+    // Digit from the DECIMAL(18,4) plain string (both engines
+    // round-to-nearest the double, print plain, and take the first
+    // [1-9]); share from a ≤9-row window over the agg.
+    "q_event_benford" ->
+      s"""WITH d AS (
+            SELECT event_type,
+              CAST(regexp_extract(
+                CAST(CAST(abs(value) AS DECIMAL(18,4)) AS VARCHAR),
+                '[1-9]') AS INTEGER) AS digit
+            FROM $evt
+            WHERE regexp_extract(
+                CAST(CAST(abs(value) AS DECIMAL(18,4)) AS VARCHAR),
+                '[1-9]') <> ''),
+          g AS (
+            SELECT event_type, digit, COUNT(*) AS n
+            FROM d GROUP BY 1, 2)
+          SELECT event_type, digit, n,
+            CAST(n AS DOUBLE)
+              / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+              AS share
+          FROM g ORDER BY event_type, digit"""
   )
 }

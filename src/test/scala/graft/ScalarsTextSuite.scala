@@ -387,6 +387,48 @@ class ScalarsTextSuite extends SparkSuite {
     assert(out("buy") === ((11L, 2L, 9L, 9L, 1L)))
   }
 
+  test("q_event_trend: hand-computed pairwise-slope medians, odd and even pair counts") {
+    val dir = Files.createTempDirectory("graft_trend").toString
+    val B = 1704067200000000L
+    // view: daily counts (1,3,4) → slopes {2, 1.5, 1}, m=3 → median 1.5
+    // click: daily counts (2,1,3,1) → m=6, sorted slopes
+    //   (−2, −1, −1∕3, 0, 0.5, 2) → lower median rank 3 → −1∕3
+    val days = Seq(("view", Seq(1, 3, 4)), ("click", Seq(2, 1, 3, 1)))
+    val rows = days.flatMap { case (t, cs) =>
+      cs.zipWithIndex.flatMap { case (c, day) =>
+        (0 until c).map(j => (t, day.toLong, j)) } }
+    rows.zipWithIndex.map { case ((t, day, j), id) =>
+      (id.toLong, B + day * 86400000000L + j * 1000000L, 1L, t, 1.0)
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_event_trend")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("slope_med")))).toMap
+    spark.catalog.clearCache()
+    assert(out("view") === ((3L, 1.5)))
+    assert(out("click") === ((6L, (1.0 - 2.0) / 3.0)))
+  }
+
+  test("q_event_benford: leading significant digits on planted values; zeros carry no digit") {
+    val dir = Files.createTempDirectory("graft_benford").toString
+    val B = 1704067200000000L
+    val vals = Seq(185.22, 12.5, 0.075, 0.0) // digits 1, 1, 7; zero drops
+    vals.zipWithIndex.map { case (v, id) =>
+      (id.toLong, B + id * 1000000L, 1L, "view", v)
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_event_benford")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("digit"),
+        r.getAs[Long]("n"), r.getAs[Double]("share")))
+    assert(out.toSeq === Seq(
+      ("view", 1, 2L, 2.0 / 3.0),
+      ("view", 7, 1L, 1.0 / 3.0)))
+  }
+
   test("q_event_survival / q_event_powerlaw: hand-computed on a planted timeline (r14)") {
     val dir = Files.createTempDirectory("graft_survival").toString
     val B = 1704067200000000L
