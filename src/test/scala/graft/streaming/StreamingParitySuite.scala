@@ -465,6 +465,66 @@ class StreamingParitySuite extends SparkSuite {
     assert(twin.nonEmpty)
   }
 
+  test("daily-count monitor: quiet, seasonality and trend tails from last-write-wins rows == their graded queries on sf0.001") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    // the one maintained (type, day, n) table feeds the entire daily
+    // family: changepoint, lagcorr (pinned above), quiet, seasonality,
+    // trend — five graded queries off ONE O(keys) stateful ingress
+    val byType = StreamOps.dailyCountMonitor(events).collect()
+      .groupBy(o => (o.event_type, o.day_us)).view
+      .mapValues(_.last.n).toMap
+      .groupBy(_._1._1).view.mapValues(m =>
+        m.toSeq.map { case ((_, d), n) => (d / 86400000000L, n) }
+          .sortBy(_._1)).toMap
+
+    val quietTwin = byType.view.mapValues { days =>
+      val ds = days.map(_._1)
+      val gaps = ds.zip(ds.tail).map { case (a, b) => b - a - 1 }
+      (ds.max - ds.min + 1, ds.size.toLong,
+        ds.max - ds.min + 1 - ds.size,
+        if (gaps.isEmpty) 0L else math.max(gaps.max, 0L),
+        gaps.count(_ > 0).toLong)
+    }.toMap
+    val quietBatch = graft.queries.EventOps.queries("q_event_quiet")(
+      spark, sf).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(quietTwin === quietBatch)
+
+    val seasTwin = byType.view.mapValues { days =>
+      val cells = days.groupBy(_._1 % 7).view.mapValues(_.map(_._2).sum)
+      val n = cells.values.sum
+      val s2 = cells.values.map(c => BigInt(c) * BigInt(c)).sum
+      val (topDow, topN) = cells.toSeq.map { case (d, c) => (-c, d) }
+        .min match { case (nc, d) => (d, -nc) }
+      (n, cells.size.toLong, topDow, topN,
+        topN.toDouble / n.toDouble,
+        (BigInt(7) * s2 - BigInt(n) * BigInt(n)).toDouble / n.toDouble)
+    }.toMap
+    val seasBatch = graft.queries.EventOps.queries("q_event_seasonality")(
+      spark, sf).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(seasTwin === seasBatch)
+
+    val trendTwin = byType.view.mapValues { days =>
+      val slopes = for {
+        (d1, n1) <- days; (d2, n2) <- days if d1 < d2
+      } yield ((n2 - n1).toDouble / (d2 - d1).toDouble, d1, d2)
+      val sorted = slopes.sortBy(identity)
+      val m = sorted.size
+      (m.toLong, sorted((m + 1) / 2 - 1)._1)
+    }.toMap
+    val trendBatch = graft.queries.EventOps.queries("q_event_trend")(
+      spark, sf).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    spark.catalog.clearCache()
+    assert(trendTwin === trendBatch)
+    assert(trendTwin.nonEmpty && quietTwin.nonEmpty)
+  }
+
   test("daily-count monitor: CUSUM changepoint from last-write-wins rows == graded q_event_changepoint on sf0.001; counts grow across batches") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
