@@ -271,6 +271,29 @@ object CoreRelational {
         .orderBy(col("p_id"))
     }),
 
+    // FORWARD as-of (r14) — pandas merge_asof direction='forward',
+    // graded through the same public facade as q_join_asof_tol: each
+    // purchase takes its EARLIEST same-or-later click (the
+    // post-purchase follow-up read — "how fast does the user come
+    // back"; q_join_asof looks backward, _near symmetric, this
+    // forward). Same single-scan interleaved-window plan — the forward
+    // frame is a currentRow..following struct-MIN with lefts sorted
+    // first at equal us so the ≥ is inclusive; ties at one µs pick the
+    // smallest event_id; unmatched purchases survive (left-outer),
+    // gap_us = p_us − c_us ≤ 0 by construction. One user-hash
+    // exchange.
+    "q_join_asof_fwd" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+      val c = ev.filter(col("event_type") === "click")
+      graft.Graft.asofJoin(p, c, "user_id", "ts", "event_id",
+          "ts", "event_id", "forward")
+        .select(col("key").as("user_id"), col("left_id").as("p_id"),
+          col("l_us").as("p_us"), col("right_id").as("c_id"),
+          col("r_us").as("c_us"), col("gap_us"))
+        .orderBy(col("p_id"))
+    }),
+
     // §2.3 interval join (stream-stream join batch analog): click→purchase
     // pairs within 1h per user, aggregated per user. Micros-integer range
     // bounds keep interval arithmetic identical across engines.
@@ -459,6 +482,22 @@ object CoreRelational {
             CASE WHEN p_us - c_us <= 1800000000 THEN c_us END AS c_us,
             CASE WHEN p_us - c_us <= 1800000000 THEN p_us - c_us END AS gap_us
           FROM m ORDER BY p_id""",
+
+    // The asof ranked-join machinery with the inequality flipped
+    // (c_us >= p_us) and the rank ascending — earliest following
+    // click, ties to the smallest id.
+    "q_join_asof_fwd" ->
+      s"""WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+                     FROM $evt WHERE event_type = 'purchase' AND ts IS NOT NULL),
+               c AS (SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
+                     FROM $evt WHERE event_type = 'click' AND ts IS NOT NULL)
+          SELECT user_id, p_id, p_us, c_id, c_us, p_us - c_us AS gap_us
+          FROM (
+            SELECT p.*, c.c_id, c.c_us,
+              ROW_NUMBER() OVER (PARTITION BY p_id
+                ORDER BY c_us ASC, c_id ASC) AS rn
+            FROM p LEFT JOIN c ON user_id = c_user AND c_us >= p_us) x
+          WHERE rn = 1 ORDER BY p_id""",
 
     // Backward/forward nearest candidates by ranked joins (the oracle's
     // machinery), the identical integer side pick.
