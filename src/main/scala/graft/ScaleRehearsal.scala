@@ -193,6 +193,48 @@ object ScaleRehearsal {
           s"planted chunk-dedup truth missed: tot=$tot dist=$dist bytes=$bytes")
         dist
       }
+      // Theil-Sen trend (r14): 32 types × √n planted PERFECT-LINE days
+      // (count = 5 + 2·day) — every pairwise slope is exactly 2.0, so
+      // the median is 2.0 at every scale (truth inside the curve).
+      // Claim: pairs ∝ days²∕2 per type (calendar-bounded, corpus-
+      // independent) and the per-type rank window sorts that bounded
+      // set; day-grain input is synthesized directly (the graded
+      // query's event scan + day agg is ∝ corpus and measured by the
+      // bench — this probes the pair stage's days² asymptotics alone).
+      // √n days∕type (775 at 600k, 2450 at 6M — both inside a real
+      // decade's 3650) makes the PAIR count grow exactly 10× per step:
+      // 9.6M → 96M total pairs.
+      if (want("event_trend")) time("event_trend", n) {
+        val days = math.sqrt(n.toDouble).toLong
+        val daily = spark.range(32L * days).select(
+          concat(lit("t"), pmod(col("id"), lit(32L))).as("event_type"),
+          expr("id div 32").as("dd"),
+          expr("5 + (id div 32) * 2").as("n")).repartition(32)
+          .persist()
+        val pairs = daily.select(col("event_type"), col("dd").as("d1"),
+            col("n").as("n1"))
+          .join(daily.select(col("event_type"), col("dd").as("d2"),
+            col("n").as("n2")), Seq("event_type"))
+          .filter(col("d1") < col("d2"))
+          .select(col("event_type"), col("d1"), col("d2"),
+            ((col("n2") - col("n1")).cast("double")
+              / (col("d2") - col("d1")).cast("double")).as("slope"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("slope"), col("d1"), col("d2"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        val meds = pairs
+          .withColumn("rk", row_number().over(w))
+          .withColumn("m", count(lit(1)).over(wAll))
+          .filter(col("rk") === expr("(m + 1) div 2"))
+          .select(col("event_type"), col("slope")).collect()
+        require(meds.length == 32 &&
+          meds.forall(_.getAs[Double]("slope") == 2.0),
+          s"planted perfect-line trend missed: ${meds.take(3).mkString}")
+        spark.catalog.clearCache()
+        meds.length.toLong
+      }
       if (want("neardup_pairs")) time("neardup_pairs", n) {
         Graft.nearDupPairs(synthDocs(n), "doc_id", "text", Nil, 4, 5).count()
       }
