@@ -999,6 +999,53 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!key.contains("CartesianProduct"), s"keyness cartesian:\n$key")
   }
 
+  test("r14 daily family (lagcorr/trend): ONE parquet scan through the persisted day-grain aggregate") {
+    // lagcorr's two series slices and trend's two join sides must all
+    // read the single persisted (type, day) aggregate — an uncached
+    // FileSourceScanExec is a full raw-event re-read at 100 TB.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def uncached(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => uncached(a.inputPlan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(uncached).sum
+    }
+    Seq("q_event_lagcorr", "q_event_trend").foreach { name =>
+      val df = q(name)
+      val n = uncached(df.queryExecution.executedPlan)
+      assert(n == 0,
+        s"$name has $n scan(s) bypassing the cached day table:\n${planString(df)}")
+      assert(planString(df).contains("InMemoryTableScan"),
+        s"$name lost its cached day-grain table")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("r14 map-agg newcomers (seasonality/chunkdup/benford/quiet/diversity): no join, no cartesian; every window type-partitioned over an aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    Seq("q_event_seasonality", "q_mm_chunkdup", "q_event_benford",
+      "q_event_quiet", "q_mm_diversity").foreach { name =>
+      val opt = q(name).queryExecution.optimizedPlan
+      assert(opt.collect { case j: Join => j }.isEmpty,
+        s"$name grew a join:\n$opt")
+      opt.collect { case w: LWindow => w }.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name window is unpartitioned:\n$opt")
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$name window reads raw rows, not an aggregate:\n$opt")
+      }
+      val phys = planString(q(name))
+      assert(!phys.contains("CartesianProduct"), s"$name cartesian:\n$phys")
+    }
+  }
+
+  test("q_join_asof_fwd (r14): facade third direction keeps the windowed plan — NO join, one key-hash exchange") {
+    val phys = planString(q("q_join_asof_fwd"))
+    assert(!phys.contains("Join"), s"forward as-of planned a join:\n$phys")
+    assert("Exchange hashpartitioning\\(key".r.findAllIn(phys).length == 1,
+      s"expected exactly one key-hash exchange:\n$phys")
+    assert(phys.contains("Window"), s"no window operator:\n$phys")
+  }
+
   test("q_sql_tpch8 / tpch15 (r14): snowflake dims broadcast / CTE reuse keeps one fact scan per consumer, no cartesian") {
     val q8 = planString(q("q_sql_tpch8"))
     // part gates the fact scan; supplier/customer/nation×2/region all
