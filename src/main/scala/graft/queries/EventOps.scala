@@ -1323,6 +1323,49 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // Point-in-time SCD2 lookup (r14) — the feature-store join the
+    // q_event_scd2 build exists to serve: each purchase takes the
+    // browsing-context attribute (the SCD2 dimension compacted from
+    // the user's NON-purchase events) active at the purchase instant,
+    // plus the range start and the context AGE at purchase — the
+    // point-in-time-correctness primitive (no leakage: only ranges
+    // effective at t match). Purchases before any context NULL out and
+    // survive (left-outer). Determinism: the (us, event_id) total
+    // order everywhere; half-open [eff_from, eff_to) ranges make the
+    // match unique even when changes share a µs (zero-width ranges
+    // match nothing). Plan: the dimension lookup is NOT a range join —
+    // "active range at t" = "latest change ≤ t", so the compacted
+    // change rows interleave with purchases in ONE more window pass
+    // (the q_join_asof single-scan discipline; the oracle checks the
+    // same semantics through an INDEPENDENT BETWEEN range join): two
+    // user-hash window stages total, no join operator anywhere.
+    "q_event_pit" -> ((s, d) => {
+      val ev = T.events(s, d).filter(col("ts").isNotNull)
+      val ctx = scd2On(ev.filter(col("event_type") =!= "purchase"))
+        .select(col("user_id"), col("eff_from_us").as("us"),
+          col("eff_from_id").as("eid"), col("attr"), lit(0).as("is_l"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("eid"), lit(null).cast("string").as("attr"),
+          lit(1).as("is_l"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("is_l").asc, col("eid").asc)
+      val back = ord.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      // (us, eid) is unique per user, so attr rides the struct without
+      // ever deciding the max
+      val cRow = when(col("is_l") === 0,
+        struct(col("us"), col("eid"), col("attr")))
+      ctx.unionByName(p)
+        .withColumn("m", max(cRow).over(back))
+        .filter(col("is_l") === 1)
+        .select(col("user_id"), col("eid").as("p_id"),
+          col("us").as("p_us"), col("m.attr").as("ctx_attr"),
+          col("m.us").as("ctx_from_us"),
+          (col("us") - col("m.us")).as("ctx_age_us"))
+        .orderBy(col("p_id"))
+    }),
+
     // Benford leading-digit audit (r14) — per event type: the
     // distribution of the first significant digit of `value` — the
     // classic fabricated-data / instrumentation-bug tripwire (organic
@@ -2464,6 +2507,36 @@ object EventOps {
           SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
             slope AS slope_med
           FROM r WHERE rk = (m + 1) // 2 ORDER BY event_type""",
+
+    // INDEPENDENT derivation from the Spark side's windowed as-of: the
+    // SCD2 dimension CTE (the q_event_scd2 oracle machinery over
+    // non-purchase events) range-joined half-open — agreement between
+    // the two derivations is the point-in-time-correctness check
+    // itself.
+    "q_event_pit" ->
+      s"""WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+              event_type AS attr
+            FROM $evt WHERE ts IS NOT NULL AND event_type <> 'purchase'),
+          ch AS (
+            SELECT user_id, attr, us AS eff_from_us,
+              event_id AS eff_from_id
+            FROM (SELECT *, LAG(attr) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS prev FROM e) x
+            WHERE prev IS NULL OR prev <> attr),
+          dim AS (
+            SELECT *, LEAD(eff_from_us) OVER (PARTITION BY user_id
+              ORDER BY eff_from_us, eff_from_id) AS eff_to_us
+            FROM ch),
+          p AS (
+            SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+            FROM $evt WHERE event_type = 'purchase' AND ts IS NOT NULL)
+          SELECT p.user_id, p_id, p_us, attr AS ctx_attr,
+            eff_from_us AS ctx_from_us, p_us - eff_from_us AS ctx_age_us
+          FROM p LEFT JOIN dim ON p.user_id = dim.user_id
+            AND eff_from_us <= p_us
+            AND (eff_to_us IS NULL OR p_us < eff_to_us)
+          ORDER BY p_id""",
 
     // Digit from the DECIMAL(18,4) plain string (both engines
     // round-to-nearest the double, print plain, and take the first

@@ -1046,6 +1046,17 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(phys.contains("Window"), s"no window operator:\n$phys")
   }
 
+  test("q_event_pit (r14): the PIT lookup is NOT a range join — windowed as-of over the union, no join operator") {
+    // "active SCD2 range at t" = "latest change ≤ t": the compacted
+    // change rows interleave with purchases in one more window pass.
+    // A regression to the BETWEEN range join (the oracle's independent
+    // machinery) would explode per-user candidates at 100 TB.
+    val phys = planString(q("q_event_pit"))
+    assert(!phys.contains("Join"), s"PIT lookup planned a join:\n$phys")
+    assert(phys.contains("Window"), s"no window operator:\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"PIT cartesian:\n$phys")
+  }
+
   test("q_sql_tpch8 / tpch15 (r14): snowflake dims broadcast / CTE reuse keeps one fact scan per consumer, no cartesian") {
     val q8 = planString(q("q_sql_tpch8"))
     // part gates the fact scan; supplier/customer/nation×2/region all

@@ -429,6 +429,35 @@ class ScalarsTextSuite extends SparkSuite {
       ("view", 7, 1L, 1.0 / 3.0)))
   }
 
+  test("q_event_pit: planted PIT edges — pre-context null, same-instant change wins, compaction start, zero-width range") {
+    val dir = Files.createTempDirectory("graft_pit").toString
+    val B = 1704067200000000L
+    def r(us: Long, id: Long, u: Long, t: String) = (id, B + us, u, t, 1.0)
+    Seq(
+      // user 1: view run [10,30) compacted from two views, click [30,∞)
+      r(10, 1, 1, "view"), r(20, 2, 1, "view"), r(30, 3, 1, "click"),
+      r(5, 100, 1, "purchase"),   // before any context → NULL
+      r(25, 101, 1, "purchase"),  // inside the view run → from 10, age 15
+      r(30, 102, 1, "purchase"),  // same µs as the click change → click, age 0
+      // user 2: two changes share µs 40 → view range is zero-width,
+      // click [40,∞) is the only containing range
+      r(40, 4, 2, "view"), r(40, 5, 2, "click"),
+      r(40, 103, 2, "purchase"), r(50, 104, 2, "purchase"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_event_pit")(spark, dir).collect()
+      .map(r => r.getAs[Long]("p_id") ->
+        ((r.getAs[String]("ctx_attr"), Option(r.getAs[java.lang.Long]("ctx_age_us")).map(_.longValue))))
+      .toMap
+    assert(out(100L) === ((null, None)))
+    assert(out(101L) === (("view", Some(15L))))
+    assert(out(102L) === (("click", Some(0L))))
+    assert(out(103L) === (("click", Some(0L))))
+    assert(out(104L) === (("click", Some(10L))))
+  }
+
   test("q_event_survival / q_event_powerlaw: hand-computed on a planted timeline (r14)") {
     val dir = Files.createTempDirectory("graft_survival").toString
     val B = 1704067200000000L
