@@ -691,4 +691,61 @@ class PropertySuite extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, s"contSelect law: ${res.status}")
   }
+
+  test("quiet law: consecutive gaps exactly tile the silence for any active-day set") {
+    // span = active + silent AND Σ gaps == silent AND max_gap ≤ silent
+    // — the q_event_quiet identities (silent days are exactly the
+    // union of the inter-active holes, disjoint by construction)
+    val daySet: Gen[List[Long]] = Gen.chooseNum(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 400L)).map(_.distinct.sorted))
+    check("quiet")(Prop.forAll(daySet) { ds =>
+      val span = ds.max - ds.min + 1
+      val silent = span - ds.size
+      val gaps = ds.zip(ds.tail).map { case (a, b) => b - a - 1 }
+      gaps.sum == silent &&
+        (gaps.isEmpty || gaps.max <= silent) &&
+        gaps.count(_ > 0) <= silent
+    })
+  }
+
+  test("seasonality law: the multiplied-out chi-square is non-negative, zero exactly on the uniform 7-cell profile, and scales linearly") {
+    // 7·Σo² − n² ≥ 0 (Cauchy-Schwarz over ≤7 cells), == 0 iff all 7
+    // equal; scaling every count by m scales X² = (7Σo²−n²)/n by m —
+    // the q_event_seasonality statistic's integer identities
+    val cells: Gen[List[Long]] = Gen.chooseNum(1, 7).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(1L, 1000L)))
+    check("seasonality")(Prop.forAll(cells, Gen.chooseNum(1L, 9L)) { (cs, m) =>
+      def stat(xs: List[Long]) = {
+        val n = BigInt(xs.sum); val s2 = xs.map(c => BigInt(c) * c).sum
+        (BigInt(7) * s2 - n * n, n)
+      }
+      val (num, n) = stat(cs)
+      val (numM, nM) = stat(cs.map(_ * m))
+      num >= 0 &&
+        ((num == 0) == (cs.size == 7 && cs.distinct.size == 1)) &&
+        numM * n == num * nM * m // X²(m·c) = m·X²(c), cross-multiplied
+    })
+  }
+
+  test("Theil-Sen law: a perfect line's median slope is its slope; translation never moves any slope; the median is bracketed") {
+    val series: Gen[List[(Long, Long)]] = Gen.chooseNum(2, 14).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(Gen.chooseNum(0L, 200L), Gen.chooseNum(1L, 50L)))
+        .map(_.groupBy(_._1).map { case (d, vs) => d -> vs.head._2 }
+          .toList.sortBy(_._1))
+        .suchThat(_.size >= 2))
+    def slopes(xs: List[(Long, Long)]) = for {
+      (d1, n1) <- xs; (d2, n2) <- xs if d1 < d2
+    } yield ((n2 - n1).toDouble / (d2 - d1).toDouble, d1, d2)
+    def med(ss: List[(Double, Long, Long)]) = {
+      val s = ss.sortBy(identity); s((s.size + 1) / 2 - 1)._1
+    }
+    check("theilsen")(Prop.forAll(series, Gen.chooseNum(-5L, 5L),
+      Gen.chooseNum(1L, 100L)) { (xs, a, shift) =>
+      val line = xs.map { case (d, _) => (d, 100L + a * d) } // planted slope a
+      val ss = slopes(xs)
+      med(slopes(line)) == a.toDouble &&
+        slopes(xs.map { case (d, n) => (d, n + shift) }) == ss &&
+        (med(ss) >= ss.map(_._1).min && med(ss) <= ss.map(_._1).max)
+    })
+  }
 }
