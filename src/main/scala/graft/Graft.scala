@@ -833,6 +833,35 @@ object Graft {
     graft.queries.EventOps.changepointOn(
       df.select(col(keyCol).as("event_type"), col(tsCol).as("ts")))
 
+  /** Point-in-time SCD2 lookup over arbitrary fact + change-log tables
+    * (graded q_event_pit's engine, r14): each fact row takes the
+    * attribute active at its instant from the dimension compacted out
+    * of the change log (consecutive same-attr entries merge), plus the
+    * range start and the attribute's AGE at the fact — point-in-time
+    * correctness with no leakage; facts before any change NULL out and
+    * survive. Never a range join: one scd2 window pass + one
+    * interleaved as-of window pass. Output keeps the graded names
+    * (`p_id`, `ctx_attr`, `ctx_from_us`, `ctx_age_us`). */
+  def pitLookup(facts: DataFrame, changeLog: DataFrame, keyCol: String,
+                factTsCol: String, factIdCol: String,
+                logTsCol: String, logIdCol: String,
+                attrCol: String): DataFrame =
+    graft.queries.EventOps.pitOn(
+      facts.select(col(keyCol).as("user_id"),
+        col(factIdCol).as("event_id"), col(factTsCol).as("ts")),
+      changeLog.select(col(keyCol).as("user_id"),
+        col(logIdCol).as("event_id"), col(logTsCol).as("ts"),
+        col(attrCol).as("event_type")))
+
+  /** Theil-Sen robust trend over any keyed timestamped stream (graded
+    * q_event_trend's engine, r14): per key, the discrete lower-median
+    * of all pairwise slopes of the daily-count series — 29%-breakdown
+    * robust where OLS chases outliers. Persists its day-grain table —
+    * callers should clearCache or wrap in [[runScoped]]. */
+  def trendSlope(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    graft.queries.EventOps.trendOn(
+      df.select(col(keyCol).as("event_type"), col(tsCol).as("ts")))
+
   /** Rank-percentile quality-score normalization over any (id, text)
     * corpus (graded q_llm_qnorm's engine): PERCENT_RANK of the
     * distinct-token score, computed bucket-decomposed (no corpus-sized

@@ -1297,31 +1297,7 @@ object EventOps {
     // join inputs are the SAME persisted day-grain aggregate (the
     // lagcorr one-derivation discipline), shuffle ∝ type×days², raw
     // scan read ONCE.
-    "q_event_trend" -> ((s, d) => {
-      val daily = T.events(s, d).filter(col("ts").isNotNull)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("dd"))
-        .agg(count(lit(1)).as("n"))
-        .persist() // both join sides; caller clearCache
-      val pairs = daily.select(col("event_type"), col("dd").as("d1"),
-          col("n").as("n1"))
-        .join(daily.select(col("event_type"), col("dd").as("d2"),
-          col("n").as("n2")), Seq("event_type"))
-        .filter(col("d1") < col("d2"))
-        .select(col("event_type"), col("d1"), col("d2"),
-          ((col("n2") - col("n1")).cast("double")
-            / (col("d2") - col("d1")).cast("double")).as("slope"))
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("slope"), col("d1"), col("d2"))
-      val wAll = Window.partitionBy(col("event_type"))
-      pairs
-        .withColumn("rk", row_number().over(w))
-        .withColumn("m", count(lit(1)).over(wAll))
-        .filter(col("rk") === expr("(m + 1) div 2"))
-        .select(col("event_type"), col("m").as("n_pairs"),
-          col("slope").as("slope_med"))
-        .orderBy(col("event_type"))
-    }),
+    "q_event_trend" -> ((s, d) => trendOn(T.events(s, d))),
 
     // Point-in-time SCD2 lookup (r14) — the feature-store join the
     // q_event_scd2 build exists to serve: each purchase takes the
@@ -1341,29 +1317,8 @@ object EventOps {
     // user-hash window stages total, no join operator anywhere.
     "q_event_pit" -> ((s, d) => {
       val ev = T.events(s, d).filter(col("ts").isNotNull)
-      val ctx = scd2On(ev.filter(col("event_type") =!= "purchase"))
-        .select(col("user_id"), col("eff_from_us").as("us"),
-          col("eff_from_id").as("eid"), col("attr"), lit(0).as("is_l"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("us"),
-          col("event_id").as("eid"), lit(null).cast("string").as("attr"),
-          lit(1).as("is_l"))
-      val ord = Window.partitionBy(col("user_id"))
-        .orderBy(col("us").asc, col("is_l").asc, col("eid").asc)
-      val back = ord.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      // (us, eid) is unique per user, so attr rides the struct without
-      // ever deciding the max
-      val cRow = when(col("is_l") === 0,
-        struct(col("us"), col("eid"), col("attr")))
-      ctx.unionByName(p)
-        .withColumn("m", max(cRow).over(back))
-        .filter(col("is_l") === 1)
-        .select(col("user_id"), col("eid").as("p_id"),
-          col("us").as("p_us"), col("m.attr").as("ctx_attr"),
-          col("m.us").as("ctx_from_us"),
-          (col("us") - col("m.us")).as("ctx_age_us"))
-        .orderBy(col("p_id"))
+      pitOn(ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") =!= "purchase"))
     }),
 
     // Benford leading-digit audit (r14) — per event type: the
@@ -1396,6 +1351,65 @@ object EventOps {
         .orderBy(col("event_type"), col("digit"))
     })
   )
+
+  /** q_event_pit's engine — [[graft.Graft.pitLookup]] enters here.
+    * facts: (user_id, event_id, ts); changeLog: (user_id, event_id,
+    * ts, event_type=attr). The change log compacts through [[scd2On]],
+    * then the ranges interleave with the facts in ONE more window pass
+    * (never a range join — "active range at t" = "latest change ≤ t"). */
+  private[graft] def pitOn(facts: DataFrame, changeLog: DataFrame): DataFrame = {
+    val ctx = scd2On(changeLog)
+      .select(col("user_id"), col("eff_from_us").as("us"),
+        col("eff_from_id").as("eid"), col("attr"), lit(0).as("is_l"))
+    val p = facts.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id").as("eid"), lit(null).cast("string").as("attr"),
+        lit(1).as("is_l"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("is_l").asc, col("eid").asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    // (us, eid) is unique per user, so attr rides the struct without
+    // ever deciding the max
+    val cRow = when(col("is_l") === 0,
+      struct(col("us"), col("eid"), col("attr")))
+    ctx.unionByName(p)
+      .withColumn("m", max(cRow).over(back))
+      .filter(col("is_l") === 1)
+      .select(col("user_id"), col("eid").as("p_id"),
+        col("us").as("p_us"), col("m.attr").as("ctx_attr"),
+        col("m.us").as("ctx_from_us"),
+        (col("us") - col("m.us")).as("ctx_age_us"))
+      .orderBy(col("p_id"))
+  }
+
+  /** q_event_trend's engine over any (event_type, ts) stream —
+    * [[graft.Graft.trendSlope]] enters here. */
+  private[graft] def trendOn(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("dd"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // both join sides; caller clearCache
+    val pairs = daily.select(col("event_type"), col("dd").as("d1"),
+        col("n").as("n1"))
+      .join(daily.select(col("event_type"), col("dd").as("d2"),
+        col("n").as("n2")), Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        ((col("n2") - col("n1")).cast("double")
+          / (col("d2") - col("d1")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    val wAll = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .filter(col("rk") === expr("(m + 1) div 2"))
+      .select(col("event_type"), col("m").as("n_pairs"),
+        col("slope").as("slope_med"))
+      .orderBy(col("event_type"))
+  }
 
   /** q_event_seasonality's engine over any (event_type, ts) stream —
     * [[graft.Graft.weekdayProfile]] enters here. */

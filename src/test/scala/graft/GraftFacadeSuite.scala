@@ -160,6 +160,39 @@ class GraftFacadeSuite extends SparkSuite {
       === ((3L, 3L, 0L, 4.0)))
   }
 
+  test("r14 wave-5 facades: pitLookup and trendSlope on custom schemas") {
+    // config change log for machine m1: tier A at t=10 (id 1), tier A
+    // again at 20 (compacts), tier B at 30; alerts at 5 / 25 / 30
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L) // ms grain
+    val log = Seq((1L, 10000000L, "A"), (2L, 20000000L, "A"),
+      (3L, 30000000L, "B")).map { case (id, us, a) =>
+      ("m1", id, ts(us), a) }.toDF("machine", "chg_id", "seen", "tier")
+    val alerts = Seq((100L, 5000000L), (101L, 25000000L),
+      (102L, 30000000L)).map { case (id, us) => ("m1", id, ts(us)) }
+      .toDF("machine", "alert_id", "at")
+    val pit = Graft.pitLookup(alerts, log, "machine", "at", "alert_id",
+        "seen", "chg_id", "tier").collect()
+      .map(r => r.getAs[Long]("p_id") ->
+        ((r.getAs[String]("ctx_attr"),
+          Option(r.getAs[java.lang.Long]("ctx_age_us")).map(_.longValue))))
+      .toMap
+    assert(pit(100L) === ((null, None)))            // before any config
+    assert(pit(101L) === (("A", Some(15000000L))))  // run start 10s, not 20s
+    assert(pit(102L) === (("B", Some(0L))))         // same-instant change
+    // trendSlope: m1 pings 3/1/4 per day over 3 days → slopes
+    // (−2, 0.5, 3) → median 0.5
+    val B = 1704067200000000L
+    val pings = Seq(3, 1, 4).zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map(j =>
+        ("m1", new java.sql.Timestamp((B + day * 86400000000L) / 1000L + j)))
+    }.toDF("machine", "seen_at")
+    val tr = Graft.trendSlope(pings, "machine", "seen_at").collect()
+    spark.catalog.clearCache()
+    assert(tr.length === 1)
+    assert((tr.head.getAs[Long]("n_pairs"),
+      tr.head.getAs[Double]("slope_med")) === ((3L, 0.5)))
+  }
+
   test("nearDupPairs finds set-duplicates within blocks on a custom-schema corpus") {
     val pairs = Graft.nearDupPairs(corpus, "item_no", "body",
         Seq("shelf"), 4, 5).collect()
