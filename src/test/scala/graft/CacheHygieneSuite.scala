@@ -32,7 +32,9 @@ class CacheHygieneSuite extends SparkSuite {
       "q_event_newret", "q_graph_linkpred", "q_event_funnel_win",
       "q_mm_simdup", "q_event_acf", "q_llm_semdedup", "q_agg_topshare",
       // r13 persist users
-      "q_event_stickiness")
+      "q_event_stickiness",
+      // r14 persist users (the day-grain table feeding both consumers)
+      "q_event_lagcorr", "q_event_trend")
     persistUsers.foreach { name =>
       spark.catalog.clearCache() // clean slate regardless of suite order
       // EARLIER suites may have left locally-checkpointed RDDs that only
