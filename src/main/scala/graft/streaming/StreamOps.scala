@@ -138,6 +138,17 @@ case class DayCountState(n: Long)
   * the CUSUM changepoint tail composes downstream (r14). */
 case class DayCountOut(event_type: String, day_us: Long, n: Long)
 
+/** Per-key current SCD2 run: the active attribute and the µs its RUN
+  * started (same-attr changes compact — the run start survives). */
+case class PitState(attr: String, fromUs: Long)
+
+/** One point-in-time enrichment per arriving fact, final (Append):
+  * the attribute active at the fact's instant, its run start, and its
+  * age — q_event_pit's row, emitted at ingest time. */
+case class PitOut(user_id: Long, p_id: Long, p_us: Long,
+                  ctx_attr: Option[String], ctx_from_us: Option[Long],
+                  ctx_age_us: Option[Long])
+
 /** Per-key last-touch state: the most recent non-purchase event type seen
   * so far ("" = none yet — the batch query's 'direct' case). */
 case class AttribState(touch: String)
@@ -601,6 +612,39 @@ object StreamOps {
     * frame (a purchase reads the state before its own row; a
     * simultaneous later-id touch hasn't been folded yet). Cross-batch
     * needs the ewma-class in-order contract. */
+  /** Streaming point-in-time enrichment — the stateful twin of
+    * q_event_pit (the feature-store join at ingest time): each
+    * arriving fact (purchase) is emitted ONCE, final, with the
+    * attribute active at its instant, the attribute run's start, and
+    * its age; non-purchase events are the change log, folded into ONE
+    * (attr, run-start) row of state per key — O(keys) however long
+    * the history. Same-attr changes compact (the run start survives
+    * — the batch scd2On semantics); at one µs, changes apply before
+    * facts in event_id order (the batch interleave's (us, is_l, eid)
+    * tie rule). Exact under per-key in-order delivery (the ewma-class
+    * contract — the reference's causal-ordering guarantee, §1.1). */
+  def pitMonitor(events: Dataset[Event]): Dataset[PitOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[PitState]) =>
+          var cur = state.getOption
+          val out = Seq.newBuilder[PitOut]
+          it.toSeq
+            .sortBy(e => (e.ts_us, e.event_type == "purchase", e.event_id))
+            .foreach { e =>
+              if (e.event_type == "purchase")
+                out += PitOut(user, e.event_id, e.ts_us,
+                  cur.map(_.attr), cur.map(_.fromUs),
+                  cur.map(e.ts_us - _.fromUs))
+              else if (!cur.exists(_.attr == e.event_type))
+                cur = Some(PitState(e.event_type, e.ts_us))
+            }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def attribMonitor(events: Dataset[Event]): Dataset[AttribOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

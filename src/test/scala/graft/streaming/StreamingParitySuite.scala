@@ -525,6 +525,45 @@ class StreamingParitySuite extends SparkSuite {
     assert(trendTwin.nonEmpty && quietTwin.nonEmpty)
   }
 
+  test("pit monitor: streaming point-in-time enrichment == graded q_event_pit on sf0.001; run start carries across batches") {
+    val events = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val twin = StreamOps.pitMonitor(events).collect()
+      .map(o => o.p_id -> ((o.ctx_attr.orNull, o.ctx_from_us, o.ctx_age_us)))
+      .toMap
+    val batch = graft.queries.EventOps.queries("q_event_pit")(spark, sf)
+      .collect().map(r => r.getAs[Long]("p_id") ->
+        ((r.getAs[String]("ctx_attr"),
+          Option(r.getAs[java.lang.Long]("ctx_from_us")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("ctx_age_us")).map(_.longValue))))
+      .toMap
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+    // the attribute RUN (not just the attr) must survive a batch split:
+    // view@10 (b1), view@20 (b2, compacts into the SAME run), purchase
+    // @25 (b2) → age 15 from run start 10, not 5 from the later view
+    val mini = Seq(
+      Event(1L, 10L, 7L, "view", 1.0), Event(2L, 20L, 7L, "view", 1.0),
+      Event(3L, 25L, 7L, "purchase", 1.0),
+      Event(4L, 30L, 7L, "click", 1.0), Event(5L, 30L, 7L, "purchase", 1.0))
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.pitMonitor(ms.toDS())
+      .writeStream.format("memory").queryName("pit_mini")
+      .outputMode("append").start()
+    try {
+      ms.addData(mini.take(1)); q.processAllAvailable()
+      ms.addData(mini.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("pit_mini").collect()
+      .map(r => r.getLong(1) -> ((r.getAs[String]("ctx_attr"),
+        r.getAs[Long]("ctx_age_us")))).toMap
+    assert(rows === Map(
+      3L -> (("view", 15L)),   // run start 10 carried from batch 1
+      5L -> (("click", 0L))))  // same-µs change applies before the fact
+  }
+
   test("daily-count monitor: CUSUM changepoint from last-write-wins rows == graded q_event_changepoint on sf0.001; counts grow across batches") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
