@@ -239,6 +239,36 @@ object Aggregates {
           dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("bucket"))),
 
+    // Equi-DEPTH histogram (r14) — q_agg_histogram's profiling
+    // complement: 4 buckets holding ~equal ROW counts (count, min/max
+    // per bucket), cut at the exact discrete quartiles — the
+    // distribution profile that stays readable on skewed data where
+    // equi-WIDTH buckets collapse into one bar. Determinism: cuts come
+    // from `Percentiles.disc` (integer rank math over the distinct-
+    // value collapse — zero float in the derivation, values the data
+    // holds); bucket = 1 + Σ(v > cut) with the strict-compare tie rule
+    // (a value EQUAL to a cut stays low — the q_event_rfm discipline),
+    // so ties make counts deterministically unequal, never split.
+    // Plan: the pctile chain (shuffle ∝ distinct values) → 1-row cut
+    // table broadcast → pure map + ONE map-side-combining 4-row agg.
+    "q_agg_eqdepth" -> ((s, d) => {
+      import graft.operators.Percentiles
+      val cuts = Percentiles.disc(
+        T.orders(s, d).select(col("o_totalprice")), Nil, "o_totalprice",
+        Seq((1, 4, "c1"), (2, 4, "c2"), (3, 4, "c3"))).drop("n")
+      T.orders(s, d).crossJoin(broadcast(cuts))
+        .select(
+          (lit(1) + (col("o_totalprice") > col("c1")).cast("int")
+            + (col("o_totalprice") > col("c2")).cast("int")
+            + (col("o_totalprice") > col("c3")).cast("int")).as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_v"),
+          max(col("o_totalprice")).as("max_v"))
+        .orderBy(col("bucket"))
+    }),
+
     // §2.4 argmax with explicit tiebreak (max acctbal, tie → lowest
     // custkey) via lexicographic struct max — a single hash aggregate, no
     // window shuffle. The negated key implements the MIN tiebreak inside MAX.
@@ -1032,6 +1062,32 @@ object Aggregates {
       s"""SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
             COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS sum_price
           FROM $ords GROUP BY 1 ORDER BY bucket""",
+    // The rfm cut machinery over a global group (distinct-value
+    // collapse + integer rank), strict-compare bucket assignment.
+    "q_agg_eqdepth" -> {
+      def k(i: Int) = s"GREATEST(1, ($i * n + 3) // 4)"
+      val hits = (1 to 3).map(i =>
+        s"MAX(CASE WHEN cum_start < ${k(i)} AND ${k(i)} <= cum_end THEN v END) AS c$i")
+        .mkString(",\n              ")
+      s"""WITH vc AS (
+            SELECT o_totalprice AS v, COUNT(*) AS cnt FROM $ords
+            WHERE o_totalprice IS NOT NULL GROUP BY 1),
+          mk AS (
+            SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum_end,
+              SUM(cnt) OVER (ORDER BY v) - cnt AS cum_start,
+              SUM(cnt) OVER () AS n FROM vc),
+          ct AS (
+            SELECT $hits
+            FROM mk)
+          SELECT bucket, COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v
+          FROM (
+            SELECT 1 + CAST(o_totalprice > c1 AS INTEGER)
+                     + CAST(o_totalprice > c2 AS INTEGER)
+                     + CAST(o_totalprice > c3 AS INTEGER) AS bucket,
+              o_totalprice AS v
+            FROM $ords CROSS JOIN ct) x
+          GROUP BY 1 ORDER BY 1"""
+    },
     "q_agg_minmaxby" ->
       s"""SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM (
             SELECT c_nationkey, c_custkey, c_name, c_acctbal,

@@ -234,4 +234,23 @@ class RelationalSuite extends SparkSuite {
     assert(out === Map(0L -> 2L, 1L -> 3L, 2L -> 1L),
       s"boundary prices bucketed wrong: $out")
   }
+
+  test("q_agg_eqdepth: quartile cuts and the strict-compare tie rule on a planted value set") {
+    // values (1,2,2,3,4,5,6,7): disc cuts c1=2, c2=3, c3=5; the
+    // duplicated 2 EQUALS c1 so both copies stay LOW (bucket counts
+    // are deterministically unequal, never split): (3,1,2,2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_eqd").toString
+    import spark.implicits._
+    Seq(1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_agg_eqdepth")(spark, dir).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("min_v"),
+          r.getAs[Double]("max_v")))).toMap
+    assert(out === Map(
+      1 -> ((3L, 1.0, 2.0)), 2 -> ((1L, 3.0, 3.0)),
+      3 -> ((2L, 4.0, 5.0)), 4 -> ((2L, 6.0, 7.0))))
+  }
 }
