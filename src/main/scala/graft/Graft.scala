@@ -833,6 +833,14 @@ object Graft {
     graft.queries.EventOps.changepointOn(
       df.select(col(keyCol).as("event_type"), col(tsCol).as("ts")))
 
+  /** Equi-depth histogram over any numeric column (graded
+    * q_agg_eqdepth's engine, r14): k ~equal-count buckets cut at the
+    * exact discrete i∕k percentiles (`Percentiles.disc` integer rank
+    * math — zero float in the derivation), strict-compare tie rule.
+    * Output: bucket 1..k, n, min_v, max_v. */
+  def equiDepth(df: DataFrame, valueCol: String, k: Int = 4): DataFrame =
+    graft.queries.Aggregates.eqDepthOn(df, valueCol, k)
+
   /** Point-in-time SCD2 lookup over arbitrary fact + change-log tables
     * (graded q_event_pit's engine, r14): each fact row takes the
     * attribute active at its instant from the dimension compacted out

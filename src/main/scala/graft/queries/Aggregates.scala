@@ -251,23 +251,8 @@ object Aggregates {
     // so ties make counts deterministically unequal, never split.
     // Plan: the pctile chain (shuffle ∝ distinct values) → 1-row cut
     // table broadcast → pure map + ONE map-side-combining 4-row agg.
-    "q_agg_eqdepth" -> ((s, d) => {
-      import graft.operators.Percentiles
-      val cuts = Percentiles.disc(
-        T.orders(s, d).select(col("o_totalprice")), Nil, "o_totalprice",
-        Seq((1, 4, "c1"), (2, 4, "c2"), (3, 4, "c3"))).drop("n")
-      T.orders(s, d).crossJoin(broadcast(cuts))
-        .select(
-          (lit(1) + (col("o_totalprice") > col("c1")).cast("int")
-            + (col("o_totalprice") > col("c2")).cast("int")
-            + (col("o_totalprice") > col("c3")).cast("int")).as("bucket"),
-          col("o_totalprice"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"),
-          min(col("o_totalprice")).as("min_v"),
-          max(col("o_totalprice")).as("max_v"))
-        .orderBy(col("bucket"))
-    }),
+    "q_agg_eqdepth" -> ((s, d) =>
+      eqDepthOn(T.orders(s, d), "o_totalprice", 4)),
 
     // §2.4 argmax with explicit tiebreak (max acctbal, tie → lowest
     // custkey) via lexicographic struct max — a single hash aggregate, no
@@ -910,6 +895,28 @@ object Aggregates {
   /** Complete discrete-percentile oracle: smallest stored value whose
     * cumulative count/weight reaches ⌈num/den·n⌉ (rank clamped to ≥1 so
     * p=0 is the minimum), one output column per (num, den, alias). */
+  /** q_agg_eqdepth's engine over any frame — [[graft.Graft.equiDepth]]
+    * enters here: k ~equal-count buckets cut at the exact discrete
+    * i∕k percentiles, strict-compare tie rule (a value equal to a cut
+    * stays low). NULL values drop on both the cut and bucket sides. */
+  private[graft] def eqDepthOn(df: DataFrame, valueCol: String,
+                               k: Int): DataFrame = {
+    require(k >= 2, s"equi-depth needs k >= 2 buckets, got $k")
+    import graft.operators.Percentiles
+    val cuts = Percentiles.disc(
+      df.select(col(valueCol)), Nil, valueCol,
+      (1 until k).map(i => (i, k, s"c$i"))).drop("n")
+    val bucket = (1 until k).foldLeft(lit(1)) { (acc, i) =>
+      acc + (col(valueCol) > col(s"c$i")).cast("int") }
+    df.filter(col(valueCol).isNotNull).crossJoin(broadcast(cuts))
+      .select(bucket.as("bucket"), col(valueCol))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+      .orderBy(col("bucket"))
+  }
+
   private[queries] def pctDiscSql(src: String, grp: String, v: String,
                          weight: Option[String],
                          ps: Seq[(Int, Int, String)]): String = {

@@ -193,6 +193,19 @@ class GraftFacadeSuite extends SparkSuite {
       tr.head.getAs[Double]("slope_med")) === ((3L, 0.5)))
   }
 
+  test("equiDepth: k=3 cuts on a custom column; nulls drop; strict ties stay low") {
+    val df = Seq(Some(1.0), Some(2.0), Some(2.0), Some(4.0), Some(5.0),
+      Some(9.0), None).toDF("latency")
+    // n=6, thirds: c1 at rank 2 → 2.0, c2 at rank 4 → 4.0; the tied
+    // 2.0s both stay in bucket 1 → counts (3, 1, 2)
+    val out = Graft.equiDepth(df, "latency", 3).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("min_v"),
+          r.getAs[Double]("max_v")))).toMap
+    assert(out === Map(1 -> ((3L, 1.0, 2.0)), 2 -> ((1L, 4.0, 4.0)),
+      3 -> ((2L, 5.0, 9.0))))
+  }
+
   test("nearDupPairs finds set-duplicates within blocks on a custom-schema corpus") {
     val pairs = Graft.nearDupPairs(corpus, "item_no", "body",
         Seq("shelf"), 4, 5).collect()
