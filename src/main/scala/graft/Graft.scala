@@ -833,6 +833,16 @@ object Graft {
     graft.queries.EventOps.changepointOn(
       df.select(col(keyCol).as("event_type"), col(tsCol).as("ts")))
 
+  /** Benford leading-digit profile over any keyed numeric column
+    * (graded q_event_benford's engine, r14): per key, count + share of
+    * the first significant digit 1-9, extracted exactly through the
+    * DECIMAL(18,4) plain string (never floor(log10)); zeros/nulls
+    * drop. The fabricated-data / unit-mix-up tripwire. */
+  def benfordProfile(df: DataFrame, keyCol: String,
+                     valueCol: String): DataFrame =
+    graft.queries.EventOps.benfordOn(
+      df.select(col(keyCol).as("event_type"), col(valueCol).as("value")))
+
   /** Equi-depth histogram over any numeric column (graded
     * q_agg_eqdepth's engine, r14): k ~equal-count buckets cut at the
     * exact discrete i∕k percentiles (`Percentiles.disc` integer rank

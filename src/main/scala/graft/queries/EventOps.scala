@@ -1334,23 +1334,27 @@ object EventOps {
     // types × 9) → share from a ≤9-row type-partitioned window over
     // that Aggregate (§7.4.12 bounded), single unrounded IEEE
     // division.
-    "q_event_benford" -> ((s, d) => {
-      val digits = T.events(s, d)
-        .select(col("event_type"),
-          regexp_extract(abs(col("value")).cast("decimal(18,4)")
-            .cast("string"), "[1-9]", 0).as("digit"))
-        .filter(col("digit") =!= "")
-        .select(col("event_type"), col("digit").cast("int").as("digit"))
-      val wAll = Window.partitionBy(col("event_type"))
-      digits.groupBy(col("event_type"), col("digit"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("n_type", sum(col("n")).over(wAll))
-        .select(col("event_type"), col("digit"), col("n"),
-          (col("n").cast("double") / col("n_type").cast("double"))
-            .as("share"))
-        .orderBy(col("event_type"), col("digit"))
-    })
+    "q_event_benford" -> ((s, d) => benfordOn(T.events(s, d)))
   )
+
+  /** q_event_benford's engine over any (event_type, value) frame —
+    * [[graft.Graft.benfordProfile]] enters here. */
+  private[graft] def benfordOn(events: DataFrame): DataFrame = {
+    val digits = events
+      .select(col("event_type"),
+        regexp_extract(abs(col("value")).cast("decimal(18,4)")
+          .cast("string"), "[1-9]", 0).as("digit"))
+      .filter(col("digit") =!= "")
+      .select(col("event_type"), col("digit").cast("int").as("digit"))
+    val wAll = Window.partitionBy(col("event_type"))
+    digits.groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_type", sum(col("n")).over(wAll))
+      .select(col("event_type"), col("digit"), col("n"),
+        (col("n").cast("double") / col("n_type").cast("double"))
+          .as("share"))
+      .orderBy(col("event_type"), col("digit"))
+  }
 
   /** q_event_pit's engine — [[graft.Graft.pitLookup]] enters here.
     * facts: (user_id, event_id, ts); changeLog: (user_id, event_id,

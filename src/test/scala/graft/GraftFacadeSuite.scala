@@ -193,6 +193,18 @@ class GraftFacadeSuite extends SparkSuite {
       tr.head.getAs[Double]("slope_med")) === ((3L, 0.5)))
   }
 
+  test("benfordProfile: leading digits per key on a custom schema; zero amounts drop") {
+    val out = Graft.benfordProfile(Seq(
+        ("w1", 185.22), ("w1", 12.5), ("w1", 0.075), ("w1", 0.0),
+        ("w2", 9.0))
+        .toDF("warehouse", "amount"), "warehouse", "amount").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("digit")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("share")))).toMap
+    assert(out === Map(
+      ("w1", 1) -> ((2L, 2.0 / 3.0)), ("w1", 7) -> ((1L, 1.0 / 3.0)),
+      ("w2", 9) -> ((1L, 1.0))))
+  }
+
   test("equiDepth: k=3 cuts on a custom column; nulls drop; strict ties stay low") {
     val df = Seq(Some(1.0), Some(2.0), Some(2.0), Some(4.0), Some(5.0),
       Some(9.0), None).toDF("latency")
