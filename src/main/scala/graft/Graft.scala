@@ -758,13 +758,30 @@ object Graft {
     * pairs at levenshtein ≤ maxD with the distance. Candidates via the
     * LOSSLESS length band (equi-join on (block, len∕maxD bucket) with
     * ±1 neighbor posts — never a block cartesian); survivors pay the
-    * thresholded O(maxD·n) banded DP. Blocks bound the quadratic term
-    * — pass the tightest natural scoping (lang, domain, shard) the
-    * corpus has, exactly as every edit-dedup pipeline pre-blocks. */
+    * TWO lossless gates — the char-histogram L1 prescreen
+    * (editDistance ≥ ceil(L1∕2), functions/EditPrefilter.scala) and
+    * the thresholded O(maxD·n) banded DP. Blocks bound the quadratic
+    * term — pass the tightest natural scoping (lang, domain, shard)
+    * the corpus has, exactly as every edit-dedup pipeline pre-blocks —
+    * and `bandCap` bounds each (block, band) to its cap lowest ids
+    * (candidates ≤ cap²∕2 per band; audit clipped bands with
+    * [[editDupOverflow]] — no silent truncation). */
   def editDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockCols: Seq[String], maxD: Int): DataFrame =
+                   blockCols: Seq[String], maxD: Int,
+                   bandCap: Int = graft.queries.LlmOps.EditDupBandCap): DataFrame =
     graft.queries.LlmOps.editDupPairsOn(
-      asCorpus(df, idCol, textCol, keep = blockCols), blockCols, maxD)
+      asCorpus(df, idCol, textCol, keep = blockCols), blockCols, maxD,
+      bandCap = bandCap)
+
+  /** [[editDupPairs]]'s cap audit: one row per CLIPPED (block, band)
+    * group — (blocks…, band, n_docs, n_dropped). Empty when the cap is
+    * inert. Run it alongside any capped dedup pass; a non-empty result
+    * is the signal to tighten blocks or raise the cap knowingly. */
+  def editDupOverflow(df: DataFrame, idCol: String, textCol: String,
+                      blockCols: Seq[String], maxD: Int,
+                      bandCap: Int = graft.queries.LlmOps.EditDupBandCap): DataFrame =
+    graft.queries.LlmOps.editDupOverflowOn(
+      asCorpus(df, idCol, textCol, keep = blockCols), blockCols, maxD, bandCap)
 
   /** Document rarity scores over any (id, text) corpus (graded
     * q_text_rarity's engine, r14): top-k docs by mean floor-quantized

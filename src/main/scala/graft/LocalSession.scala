@@ -26,6 +26,8 @@ object LocalSession {
         graft.functions.JaccardStr.install(ext)
         graft.functions.OverlapCount.install(ext)
         graft.functions.SimHash16.install(ext)
+        graft.functions.CharHist64.install(ext)
+        graft.functions.HistL1.install(ext)
       }
       .getOrCreate()
     // getOrCreate can return a pre-existing session the extensions never
@@ -34,6 +36,8 @@ object LocalSession {
     graft.functions.JaccardStr.register(spark)
     graft.functions.OverlapCount.register(spark)
     graft.functions.SimHash16.register(spark)
+    graft.functions.CharHist64.register(spark)
+    graft.functions.HistL1.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

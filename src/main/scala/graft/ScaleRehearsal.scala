@@ -602,6 +602,32 @@ object ScaleRehearsal {
             .filter(col("rn") === 1))
         }
       }
+      // 10⁶-EVENT hot key (r15, ADVICE 7): the asof/PIT skew ceiling.
+      // At 6M events every 6th user collapses onto key 0 → ONE key
+      // holds 1M events. The joinrank plan's per-key L·R product is
+      // ~10¹¹ candidate pairs — unpayable, omitted by design (the 50k
+      // A/B above already shows the blowup shape). The windowed engine
+      // pays ONE 10⁶-row sorted spill-safe pass for that key; expect
+      // secs within small-multiple of the uniform asof_window at the
+      // same n, shuffle ∝ rows. Same rehearsal for the PIT lookup
+      // (scd2-compact + interleave window — q_event_pit's engine).
+      if (n == 6000000L) {
+        def hot1m = synthEvents(n).repartition(32)
+          .withColumn("user_id",
+            when(pmod(col("user_id"), lit(6L)) === 0, 0L)
+              .otherwise(col("user_id")))
+        if (want("asofhot1m_window")) time("asofhot1m_window", n) {
+          val (p, c) = asofSides(hot1m)
+          noop(Graft.asofJoin(p, c, "user_id", "ts", "event_id",
+            "ts", "event_id"))
+        }
+        if (want("pithot1m_window")) time("pithot1m_window", n) {
+          val ev = hot1m
+          noop(graft.queries.EventOps.pitOn(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") =!= "purchase")))
+        }
+      }
       // Trailing event-time rolling aggregate (r13): the
       // q_win_timerange engine via Graft.trailingAgg — one key
       // exchange, O(rows) two-pointer frame state. Expect secs ∝ rows,
@@ -758,6 +784,33 @@ object ScaleRehearsal {
       if (want("sk_quantile")) time("sk_quantile", n) {
         graft.operators.QuantileSketch.quantiles(
           df.select(col("price")), 200, Seq(0.25, 0.5, 0.9)).count()
+      }
+    }
+
+    // Edit-dedup mega-band (r15, ADVICE 2): ONE (lang, source, length-
+    // band) group of g docs — the adversarial shape for the banded DP
+    // (candidates = g(g−1)∕2, no content prefilter can save a shared-
+    // vocab band: the measured L1 prescreen prunes 3.1% at sf0.1).
+    // 96-char md5-hex texts, all in band len∕64 = 1. Expect: uncapped
+    // secs ∝ g² (the honest quadratic); capped at 1000 the candidate
+    // count — and the cost — goes FLAT as g grows 10×, with the
+    // overflow audit counting the g−1000 dropped docs. This is the
+    // protection q_llm_editdup ships with (EditDupBandCap = 2000).
+    def synthBand(g: Long) = spark.range(g).select(
+      col("id").as("doc_id"),
+      concat_ws("", transform(sequence(lit(1), lit(12)),
+        i => substring(md5(concat(col("id"), lit("#"), i)), 1, 8))).as("text"),
+      lit("en").as("lang"), lit("web").as("source"))
+    Seq(1000L, 2000L, 4000L).foreach { g =>
+      if (want("editdup_megaband_uncap")) time("editdup_megaband_uncap", g) {
+        graft.queries.LlmOps.editDupPairsOn(synthBand(g),
+          Seq("lang", "source"), 64, bandCap = Int.MaxValue).count()
+      }
+    }
+    Seq(4000L, 40000L).foreach { g =>
+      if (want("editdup_megaband_cap1k")) time("editdup_megaband_cap1k", g) {
+        graft.queries.LlmOps.editDupPairsOn(synthBand(g),
+          Seq("lang", "source"), 64, bandCap = 1000).count()
       }
     }
     spark.stop()

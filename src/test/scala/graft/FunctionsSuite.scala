@@ -296,6 +296,56 @@ class FunctionsSuite extends SparkSuite {
     assert(df.agg(min(col("d"))).collect()(0).getDouble(0) >= 0.0) // Σx² ≥ 0
   }
 
+  test("graft_charhist: ASCII counts by lead byte & 63; multibyte chars count ONCE; total == char count (r15)") {
+    graft.functions.CharHist64.register(spark)
+    graft.functions.HistL1.register(spark)
+    val r = spark.sql(
+      """SELECT graft_charhist('aab') AS h1,
+                graft_charhist('') AS h0,
+                graft_charhist('héé') AS hm,
+                graft_charhist(CAST(NULL AS STRING)) AS hn""").collect()(0)
+    val h1 = r.getSeq[Int](0)
+    assert(h1.length === 64 && h1.sum === 3)
+    assert(h1('a' & 63) === 2 && h1('b' & 63) === 1)
+    assert(r.getSeq[Int](1).sum === 0)
+    // 'é' is 2 UTF-8 bytes (0xC3 0xA9): continuation byte skipped, so
+    // each char contributes exactly one unit — 3 chars, 3 units
+    val hm = r.getSeq[Int](2)
+    assert(hm.sum === 3 && hm('h' & 63) === 1 && hm(0xC3 & 63) === 2)
+    assert(r.isNullAt(3))
+  }
+
+  test("graft_l1: elementwise abs-diff sum; LOSSLESS edit bound ceil(L1/2) <= levenshtein on randomized pairs (r15)") {
+    graft.functions.CharHist64.register(spark)
+    graft.functions.HistL1.register(spark)
+    assert(spark.sql(
+      "SELECT graft_l1(array(1,5,0), array(3,2,4))").collect()(0).getInt(0) === 9)
+    // Empirical check of the prescreen's safety theorem: for any pair,
+    // ceil(graft_l1(hist_a, hist_b) / 2) <= levenshtein(a, b). Random
+    // near-dup-ish strings (shared prefix + noise) + unicode mixes.
+    val rng = new scala.util.Random(17)
+    val alpha = "abcdefgh éß日"
+    def randStr() = {
+      val n = rng.nextInt(40)
+      (0 until n).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    }
+    val rows = (1 to 400).map { i =>
+      val base = randStr()
+      val mutated = base.map(c =>
+        if (rng.nextInt(10) == 0) alpha(rng.nextInt(alpha.length)) else c) +
+        (if (rng.nextBoolean()) randStr().take(3) else "")
+      (i, base, mutated)
+    }
+    val viol = rows.toDF("id", "a", "b")
+      .withColumn("l1", call_function("graft_l1",
+        call_function("graft_charhist", col("a")),
+        call_function("graft_charhist", col("b"))))
+      .withColumn("ed", levenshtein(col("a"), col("b")))
+      .filter(ceil(col("l1") / 2.0) > col("ed"))
+      .count()
+    assert(viol === 0L, "char-histogram L1/2 exceeded true edit distance — prescreen would be LOSSY")
+  }
+
   test("graft_minhash_sig arity mismatch is a clean error naming the signature, not a NoSuchElementException") {
     Seq("SELECT graft_minhash_sig()",
         "SELECT graft_minhash_sig(array('a'), array('b'))").foreach { sql =>

@@ -599,6 +599,63 @@ class LlmOpsSuite extends SparkSuite {
     assert(out.toSeq === Seq((1L, 2L, 1), (1L, 5L, D)))
   }
 
+  test("editDupPairsOn: the L1 prescreen is LOSSLESS — identical pairs+distances with and without it on a randomized near-dup corpus (r15)") {
+    // The prescreen (graft_charhist + graft_l1 <= 2*maxD) may only drop
+    // pairs the DP would reject anyway. Randomized corpus engineered for
+    // near-dups: mutations of a few base strings, unicode included.
+    val rng = new scala.util.Random(23)
+    val alpha = "abcdefgh xyéß"
+    def base() = (0 until 30 + rng.nextInt(40))
+      .map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    val bases = Seq.fill(8)(base())
+    val rows = (1 to 120).map { i =>
+      val b = bases(rng.nextInt(bases.length))
+      val t = b.map(c =>
+        if (rng.nextInt(12) == 0) alpha(rng.nextInt(alpha.length)) else c)
+      (i.toLong, t, "en", s"s${rng.nextInt(2)}")
+    }
+    val corpus = rows.toDF("doc_id", "text", "lang", "source")
+    val D = 8
+    def run(pre: Boolean) =
+      LlmOps.editDupPairsOn(corpus, Seq("lang", "source"), D, prescreen = pre)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(run(true) === run(false),
+      "prescreen changed the result set — the L1 bound is not lossless")
+  }
+
+  test("editDupPairsOn: planted mega-band is clipped to the cap's lowest ids; overflow audit reports the drop count (r15)") {
+    val D = 8
+    // 30 near-identical docs land in one (en, s0, band) group; two far
+    // docs in another band stay untouched.
+    val rows = (1 to 30).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog " + (i % 3),
+        "en", "s0")) ++
+      Seq((100L, "z" * 200, "en", "s0"), (101L, "z" * 199 + "y", "en", "s0"))
+    val corpus = rows.toDF("doc_id", "text", "lang", "source")
+    val cap = 10
+    val pairs = LlmOps.editDupPairsOn(corpus, Seq("lang", "source"), D,
+      bandCap = cap).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // only ids 1..10 (the cap lowest) may appear from the mega-band;
+    // the small band's (100,101) pair survives untouched
+    val mega = pairs.filter(_._1 < 100L)
+    assert(mega.nonEmpty && mega.forall { case (x, y) => x <= cap && y <= cap },
+      s"cap leaked ids beyond the $cap lowest: ${mega.toSeq}")
+    assert(pairs.contains((100L, 101L)), "uncapped band lost its pair")
+    val audit = LlmOps.editDupOverflowOn(corpus, Seq("lang", "source"), D, cap)
+      .collect()
+    assert(audit.length === 1)
+    assert(audit(0).getAs[Long]("n_docs") === 30L &&
+      audit(0).getAs[Long]("n_dropped") === 20L)
+    // default cap is inert here: full pair set, empty audit
+    val full = LlmOps.editDupPairsOn(corpus, Seq("lang", "source"), D)
+      .collect().length
+    val capped = LlmOps.editDupPairsOn(corpus, Seq("lang", "source"), D,
+      bandCap = cap).collect().length
+    assert(full > capped)
+    assert(LlmOps.editDupOverflowOn(corpus, Seq("lang", "source"), D)
+      .collect().isEmpty)
+  }
+
   test("q_llm_substr: shared 5-token windows counted per doc; reversal shares none") {
     // K=5 windows on the mini corpus: docs 1,2 identical (6 windows, all
     // shared), doc 3 is the reversal (6 windows, none contiguous-equal),
