@@ -897,6 +897,16 @@ object Graft {
     graft.queries.EventOps.trendOn(
       df.select(col(keyCol).as("event_type"), col(tsCol).as("ts")))
 
+  /** Censored Kaplan-Meier survival over any (key, timestamp) activity
+    * log (graded q_event_survival_km's engine, r15): keys whose last
+    * activity falls on the log's last observed day are right-censored;
+    * per distinct lifetime — endings, censored, deaths, at-risk, and
+    * the product-limit S(t) as a pinned-order exact-factor fold.
+    * `tsCol` must be a timestamp column. */
+  def kmSurvival(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    graft.queries.EventOps.survivalKmOn(
+      df.select(col(keyCol).as("user_id"), col(tsCol).as("ts")))
+
   /** Rank-percentile quality-score normalization over any (id, text)
     * corpus (graded q_llm_qnorm's engine): PERCENT_RANK of the
     * distinct-token score, computed bucket-decomposed (no corpus-sized

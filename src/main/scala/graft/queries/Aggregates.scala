@@ -226,6 +226,123 @@ object Aggregates {
           grouping(col("o_orderstatus")).cast("int").as("g_s"))
         .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))),
 
+    // §2.4 Spearman rank correlation per group (r15) — Pearson on
+    // AVERAGE ranks, made exact-integer by the 2× trick: with ties,
+    // avg-rank = (2·cum − cnt + 1)∕2 over the cumulative tie counts,
+    // so DOUBLED avg-ranks are integers and Pearson's scale invariance
+    // makes rho identical. Engine discipline (the Percentiles shape,
+    // NEVER a per-row rank window over the fact table): rank tables
+    // come from DISTINCT-VALUE collapses ((g,x) / (g,y) aggregates)
+    // with a bounded cumulative window each; marginal power sums read
+    // the rank tables ALONE (rank is a function of the value); only
+    // the cross term joins the (g,x,y) pair aggregate back to the two
+    // rank tables — shuffle ∝ distinct values/pairs, never rows. Sums
+    // in DECIMAL(38,0) (the oracle uses HUGEINT) — both exact, one
+    // cast to double, the q_agg_corr pinned chain, 6dp.
+    "q_agg_spearman" -> ((s, d) => {
+      val DT = org.apache.spark.sql.types.DecimalType
+      val base = T.lineitem(s, d).select(col("l_returnflag").as("g"),
+        col("l_quantity").cast(DT(9, 2)).as("x"),
+        col("l_extendedprice").cast(DT(12, 2)).as("y")).persist()
+      def ranks(c: String) = {
+        val w = Window.partitionBy(col("g")).orderBy(col(c).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.groupBy(col("g"), col(c)).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .select(col("g"), col(c), col("cnt"),
+            (lit(2L) * col("cum") - col("cnt") + lit(1L))
+              .cast(DT(18, 0)).as(s"r_$c"))
+      }
+      val xr = ranks("x").persist()
+      val yr = ranks("y").persist()
+      def cd(c: Column) = c.cast(DT(18, 0))
+      val xs = xr.groupBy(col("g")).agg(
+        sum(col("cnt")).as("n"),
+        sum(cd(col("cnt")) * col("r_x")).as("sx"),
+        sum(cd(col("cnt")) * col("r_x") * col("r_x")).as("sxx"))
+      val ys = yr.groupBy(col("g")).agg(
+        sum(cd(col("cnt")) * col("r_y")).as("sy"),
+        sum(cd(col("cnt")) * col("r_y") * col("r_y")).as("syy"))
+      val pairs = base.groupBy(col("g"), col("x"), col("y"))
+        .agg(count(lit(1)).as("np"))
+      val ps = pairs
+        .join(xr.select(col("g").as("gx"), col("x").as("xx"), col("r_x")),
+          col("g") === col("gx") && col("x") === col("xx"))
+        .join(yr.select(col("g").as("gy"), col("y").as("yy"), col("r_y")),
+          col("g") === col("gy") && col("y") === col("yy"))
+        .groupBy(col("g"))
+        .agg(sum(cd(col("np")) * col("r_x") * col("r_y")).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = col("n").cast("double")
+      val num = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+      val den = sqrt(nD * dbl("sxx") - dbl("sx") * dbl("sx")) *
+        sqrt(nD * dbl("syy") - dbl("sy") * dbl("sy"))
+      xs.join(ys, Seq("g")).join(ps, Seq("g"))
+        .select(col("g").as("l_returnflag"), col("n"),
+          round(num / den, 6).as("rho_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.4 one-way ANOVA (r15): does mean extendedprice differ across
+    // the return flags? F = (SSB∕(k−1)) ∕ (SSW∕(N−k)) over the FIXED
+    // 3-flag domain. Engine discipline: ONE conditional aggregate
+    // (map-side combine, 1 output row — shuffle ∝ 1) of nine EXACT
+    // decimal power sums, then a TEXTUALLY PINNED IEEE chain — the
+    // per-group terms are pivoted to COLUMNS so the 3-term additions
+    // associate left-to-right identically in both engines (a SUM over
+    // group rows would add doubles in engine-chosen order). Output is
+    // SCALE-FREE statistics only (F, η²=SSB∕SST — both O(1), where 6dp
+    // truly absorbs ulp noise): the raw sums of squares are ~1e14 at
+    // sf0.1, big enough that (a) round(·,6) is a no-op on them and
+    // (b) the 22-digit Σx² decimals exceed the exact-double range, so
+    // the two engines' DECIMAL→DOUBLE conversions can differ by 1 ulp
+    // — caught by the sf0.1 sweep, §7.4's scale-dependent-boundary
+    // lesson.
+    "q_agg_anova" -> ((s, d) => {
+      val DT = org.apache.spark.sql.types.DecimalType
+      val price = col("l_extendedprice").cast(DT(12, 2))
+      def nIf(f: String) = count(when(col("l_returnflag") === f, lit(1)))
+      def sIf(f: String) = sum(when(col("l_returnflag") === f, price))
+      def ssIf(f: String) =
+        sum(when(col("l_returnflag") === f, price * price))
+      val g = T.lineitem(s, d).agg(
+        nIf("A").as("n_a"), nIf("N").as("n_n"), nIf("R").as("n_r"),
+        sIf("A").as("s_a"), sIf("N").as("s_n"), sIf("R").as("s_r"),
+        ssIf("A").as("ss_a"), ssIf("N").as("ss_n"), ssIf("R").as("ss_r"))
+      def dbl(c: String) = col(c).cast("double")
+      val n = (col("n_a") + col("n_n") + col("n_r")).cast("double")
+      val sTot = (col("s_a") + col("s_n") + col("s_r")).cast("double")
+      val ssTot = (col("ss_a") + col("ss_n") + col("ss_r")).cast("double")
+      val ssb = (dbl("s_a") * dbl("s_a") / dbl("n_a")
+        + dbl("s_n") * dbl("s_n") / dbl("n_n")
+        + dbl("s_r") * dbl("s_r") / dbl("n_r")) - sTot * sTot / n
+      val sst = ssTot - sTot * sTot / n
+      val ssw = sst - ssb
+      g.select((col("n_a") + col("n_n") + col("n_r")).as("n_rows"),
+        round(ssb / sst, 6).as("eta_sq"),
+        round((ssb / 2.0) / (ssw / (n - 3.0)), 6).as("f_stat"))
+    }),
+
+    // §2.4 arbitrary GROUPING SETS (r15) — the general form rollup/cube
+    // specialize: ((priority, status), (priority), ()) — the exact set
+    // list, not a hierarchy — through Spark 4's NATIVE
+    // Dataset.groupingSets (the SQL-text twin is q_sql_gsets; this row
+    // pins the DataFrame API surface). Plans ONE Expand + one hash
+    // aggregate (same operator as rollup — shuffle ∝ Σ per-set group
+    // counts, never rows × sets re-scans).
+    "q_agg_gsets" -> ((s, d) =>
+      T.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderpriority")).cast("int").as("g_p"),
+          grouping(col("o_orderstatus")).cast("int").as("g_s"))
+        .orderBy(asc_nulls_first("o_orderpriority"),
+          asc_nulls_first("o_orderstatus"))),
+
     // §2.4 fixed-width histogram of order totals: bucket = floor(price /
     // 20000) — one IEEE double division + floor, bit-identical in both
     // engines — then count + decimal sum per bucket. The classic OLAP
@@ -1065,6 +1182,97 @@ object Aggregates {
             CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s
           FROM $ords GROUP BY CUBE(o_orderpriority, o_orderstatus)
           ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""",
+    // Doubled-average-rank Spearman: the rank CTEs mirror the Spark
+    // distinct-value collapse; HUGEINT keeps the power sums exact
+    // (Spark side: DECIMAL(38,0)); the final chain is q_agg_corr's.
+    "q_agg_spearman" ->
+      s"""WITH b AS (SELECT l_returnflag AS g,
+              CAST(l_quantity AS DECIMAL(9,2)) AS x,
+              CAST(l_extendedprice AS DECIMAL(12,2)) AS y FROM $li),
+          xr0 AS (SELECT g, x, COUNT(*) AS c FROM b GROUP BY g, x),
+          xr AS (SELECT g, x, c,
+              2 * SUM(c) OVER (PARTITION BY g ORDER BY x ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - c + 1 AS r FROM xr0),
+          yr0 AS (SELECT g, y, COUNT(*) AS c FROM b GROUP BY g, y),
+          yr AS (SELECT g, y, c,
+              2 * SUM(c) OVER (PARTITION BY g ORDER BY y ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - c + 1 AS r FROM yr0),
+          xs AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+              SUM(CAST(c AS HUGEINT) * CAST(r AS HUGEINT)) AS sx,
+              SUM(CAST(c AS HUGEINT) * CAST(r AS HUGEINT)
+                  * CAST(r AS HUGEINT)) AS sxx
+            FROM xr GROUP BY g),
+          ys AS (SELECT g,
+              SUM(CAST(c AS HUGEINT) * CAST(r AS HUGEINT)) AS sy,
+              SUM(CAST(c AS HUGEINT) * CAST(r AS HUGEINT)
+                  * CAST(r AS HUGEINT)) AS syy
+            FROM yr GROUP BY g),
+          p AS (SELECT g, x, y, COUNT(*) AS np FROM b GROUP BY 1, 2, 3),
+          ps AS (SELECT p.g,
+              SUM(CAST(p.np AS HUGEINT) * CAST(xr.r AS HUGEINT)
+                  * CAST(yr.r AS HUGEINT)) AS sxy
+            FROM p JOIN xr ON p.g = xr.g AND p.x = xr.x
+                   JOIN yr ON p.g = yr.g AND p.y = yr.y GROUP BY 1)
+          SELECT xs.g AS l_returnflag, n,
+            ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+              AS rho_qty_price
+          FROM xs JOIN ys ON xs.g = ys.g JOIN ps ON xs.g = ps.g
+          ORDER BY l_returnflag""",
+    // Mirrors the pivoted-terms discipline: decimal sums exact, ONE
+    // cast to double each, the 3-term SSB addition textually
+    // left-to-right — identical IEEE sequence, 6dp once.
+    "q_agg_anova" ->
+      s"""WITH a AS (
+            SELECT
+              COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_a,
+              COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_n,
+              COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_r,
+              SUM(CASE WHEN l_returnflag = 'A'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2)) END) AS ss_a,
+              SUM(CASE WHEN l_returnflag = 'N'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2)) END) AS ss_n,
+              SUM(CASE WHEN l_returnflag = 'R'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2)) END) AS ss_r,
+              SUM(CASE WHEN l_returnflag = 'A'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS s_a,
+              SUM(CASE WHEN l_returnflag = 'N'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS s_n,
+              SUM(CASE WHEN l_returnflag = 'R'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS s_r
+            FROM $li),
+          t AS (SELECT *,
+              CAST(n_a + n_n + n_r AS DOUBLE) AS nd,
+              CAST(s_a + s_n + s_r AS DOUBLE) AS st,
+              CAST(ss_a + ss_n + ss_r AS DOUBLE) AS sst FROM a),
+          f AS (SELECT *,
+              (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               + CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / CAST(n_n AS DOUBLE)
+               + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                - st * st / nd AS ssb,
+              sst - st * st / nd AS stot FROM t)
+          SELECT CAST(n_a + n_n + n_r AS BIGINT) AS n_rows,
+            ROUND(ssb / stot, 6) AS eta_sq,
+            ROUND((ssb / 2.0) / ((stot - ssb) / (nd - 3.0)), 6) AS f_stat
+          FROM f""",
+    "q_agg_gsets" ->
+      s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+            ${sqlSum("o_totalprice")} AS sum_price,
+            CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+            CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s
+          FROM $ords GROUP BY GROUPING SETS
+            ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+          ORDER BY o_orderpriority ASC NULLS FIRST,
+            o_orderstatus ASC NULLS FIRST""",
     "q_agg_histogram" ->
       s"""SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
             COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS sum_price

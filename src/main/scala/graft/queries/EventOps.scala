@@ -931,6 +931,14 @@ object EventOps {
     // bounded-window discipline) → 1-row total broadcast.
     "q_event_survival" -> ((s, d) => survivalOn(T.events(s, d))),
 
+    // TRUE (censored) Kaplan-Meier (r15, ADVICE 5): the fully-observed
+    // curve above is exact only because the log ends; real churn
+    // analysis right-censors users still active at the corpus edge.
+    // Users whose last day == the global last day are censored; the
+    // product-limit S(t) folds exact-int factors in pinned order —
+    // bit-identical across engines, unrounded (see [[survivalKmOn]]).
+    "q_event_survival_km" -> ((s, d) => survivalKmOn(T.events(s, d))),
+
     // Per-user activity power-law histogram (r14) — events-per-user at
     // power-of-2 buckets, the "how heavy is the heavy tail" audit
     // behind sampling/salting decisions (a top bucket holding one mega
@@ -1519,6 +1527,53 @@ object EventOps {
       .orderBy(col("lifetime_days"))
   }
 
+  /** q_event_survival_km's engine (r15, ADVICE 5) — TRUE Kaplan-Meier
+    * with right-censoring at the corpus edge: users whose last activity
+    * falls on the globally LAST observed day are censored (still alive
+    * at observation end), everyone else's lifetime end is a death.
+    * Product-limit estimator S(t) = Π_{t'≤t} (n_risk − d)∕n_risk with
+    * every factor ONE IEEE division of exact ints (d = 0 ⟹ factor =
+    * n∕n = exactly 1.0 — censor-only times leave S unchanged with no
+    * conditional) and the cumulative product a PINNED-ORDER left fold
+    * (`aggregate` over the frame-ordered `collect_list`; the oracle's
+    * `list_reduce(list() OVER ...)` multiplies in the same order, and
+    * IEEE 1.0·x = x makes the seeds agree) — bit-identical across
+    * engines with no rounding at all. Plan: per-user min/max agg
+    * (shuffle ∝ users) → lifetime hash agg (∝ distinct lifetimes ≤
+    * calendar span) → 1-row max-day broadcast → both running sums and
+    * the fold ride unpartitioned windows over that BOUNDED aggregate
+    * (§7.4.12). */
+  private[graft] def survivalKmOn(events: DataFrame): DataFrame = {
+    val days = events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("dix"))
+    val life = days.groupBy(col("user_id"))
+      .agg((max(col("dix")) - min(col("dix"))).as("lifetime_days"),
+        max(col("dix")).as("last_dix"))
+    val gmax = days.agg(max(col("dix")).as("gmax")) // 1 row, broadcast
+    val byLife = life.crossJoin(gmax)
+      .withColumn("censored",
+        (col("last_dix") === col("gmax")).cast("long"))
+      .groupBy(col("lifetime_days"))
+      .agg(count(lit(1)).as("n_ending"),
+        sum(col("censored")).as("n_censored"),
+        (count(lit(1)) - sum(col("censored"))).as("n_deaths"))
+    val wDesc = Window.orderBy(col("lifetime_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("lifetime_days").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byLife
+      .withColumn("n_risk", sum(col("n_ending")).over(wDesc))
+      .withColumn("factor",
+        (col("n_risk") - col("n_deaths")).cast("double") / col("n_risk"))
+      .withColumn("km_survival",
+        aggregate(collect_list(col("factor")).over(wAsc),
+          lit(1.0), (acc, x) => acc * x))
+      .select(col("lifetime_days"), col("n_ending"), col("n_censored"),
+        col("n_deaths"), col("n_risk"), col("km_survival"))
+      .orderBy(col("lifetime_days"))
+  }
+
   /** q_event_powerlaw's engine over any (user_id) event log. */
   private[graft] def powerlawOn(events: DataFrame): DataFrame =
     events
@@ -1889,6 +1944,35 @@ object EventOps {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
               / n_users AS survival_frac
           FROM c CROSS JOIN t ORDER BY lifetime_days""",
+    // Censored Kaplan-Meier twin: factors are one exact-int division
+    // each; the cumulative product is list_reduce over the frame-
+    // ordered window list — the SAME left-to-right multiplication
+    // order as the Spark fold (IEEE 1.0*x = x aligns the seeds), so
+    // km_survival matches bitwise with no rounding.
+    "q_event_survival_km" ->
+      s"""WITH days AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS dix
+            FROM $evt WHERE ts IS NOT NULL),
+          life AS (SELECT user_id, MAX(dix) - MIN(dix) AS lifetime_days,
+                     MAX(dix) AS last_dix FROM days GROUP BY 1),
+          g AS (SELECT MAX(dix) AS gmax FROM days),
+          c AS (SELECT lifetime_days, COUNT(*) AS n_ending,
+                  CAST(SUM(CASE WHEN last_dix = gmax THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_censored,
+                  CAST(COUNT(*) - SUM(CASE WHEN last_dix = gmax
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_deaths
+                FROM life CROSS JOIN g GROUP BY 1),
+          r AS (SELECT *, CAST(SUM(n_ending) OVER (
+                  ORDER BY lifetime_days DESC ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+                FROM c),
+          f AS (SELECT *, CAST(n_risk - n_deaths AS DOUBLE) / n_risk
+                  AS factor FROM r)
+          SELECT lifetime_days, n_ending, n_censored, n_deaths, n_risk,
+            list_reduce(list(factor) OVER (ORDER BY lifetime_days ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              (x, y) -> x * y) AS km_survival
+          FROM f ORDER BY lifetime_days""",
     // The generated discrete-percentile chain over the identical lag
     // CTE (Aggregates.pctDiscSql — the same generator the agg-family
     // percentile oracles use).

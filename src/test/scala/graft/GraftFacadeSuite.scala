@@ -193,6 +193,21 @@ class GraftFacadeSuite extends SparkSuite {
       tr.head.getAs[Double]("slope_med")) === ((3L, 0.5)))
   }
 
+  test("kmSurvival facade (r15): censored product-limit on a custom schema") {
+    // machines m1 (days 0..2, dies), m2 (days 0..5, alive at edge),
+    // m3 (days 1..3, dies), m4 (day 5 only, alive), m5 (days 0..4,
+    // dies) — the planted-censoring fixture over a sensors frame
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val pings = Seq(("m1", 0L), ("m1", 2L), ("m2", 0L), ("m2", 5L),
+      ("m3", 1L), ("m3", 3L), ("m4", 5L), ("m5", 0L), ("m5", 4L))
+      .map { case (m, d) => (m, ts(d)) }.toDF("machine", "seen_at")
+    val km = Graft.kmSurvival(pings, "machine", "seen_at").collect()
+      .map(r => (r.getAs[Long]("lifetime_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Double]("km_survival")))
+    assert(km.toSeq === Seq((0L, 5L, 1.0), (2L, 4L, 0.5),
+      (4L, 2L, 0.25), (5L, 1L, 0.25)))
+  }
+
   test("benfordProfile: leading digits per key on a custom schema; zero amounts drop") {
     val out = Graft.benfordProfile(Seq(
         ("w1", 185.22), ("w1", 12.5), ("w1", 0.075), ("w1", 0.0),

@@ -489,6 +489,39 @@ class ScalarsTextSuite extends SparkSuite {
       (2, 2L, 2L, 3L, 5L)))   // u1 (2 ev), u3 (3 ev) → bucket 2
   }
 
+  test("q_event_survival_km: planted censoring — edge-day users censored, product-limit hand-computed (r15)") {
+    val dir = Files.createTempDirectory("graft_survkm").toString
+    val B = 1704067200000000L
+    def d(day: Long, evId: Long, user: Long) = (evId, B + day * 86400000000L, user)
+    Seq( // global last day = 5.
+         // u1: days 0..2 (L=2, death); u2: days 0..5 (L=5, CENSORED);
+         // u3: days 1..3 (L=2, death); u4: day 5 only (L=0, CENSORED);
+         // u5: days 0..4 (L=4, death)
+      d(0, 1L, 1L), d(2, 2L, 1L),
+      d(0, 3L, 2L), d(5, 4L, 2L),
+      d(1, 5L, 3L), d(3, 6L, 3L),
+      d(5, 7L, 4L),
+      d(0, 8L, 5L), d(4, 9L, 5L))
+      .toDF("event_id", "ts_us", "user_id")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val km = SparkEntry.queries("q_event_survival_km")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("lifetime_days"), r.getAs[Long]("n_ending"),
+        r.getAs[Long]("n_censored"), r.getAs[Long]("n_deaths"),
+        r.getAs[Long]("n_risk"), r.getAs[Double]("km_survival")))
+    // KM: L=0 censor-only (risk 5, factor 1) → S=1; L=2 two deaths of
+    // risk 4 → S=0.5; L=4 one death of risk 2 → S=0.25; L=5 censor-only
+    // (risk 1, factor 1) → S stays 0.25. The fully-observed curve would
+    // instead read 4/5 at L=2 — censoring is load-bearing.
+    assert(km.toSeq === Seq(
+      (0L, 1L, 1L, 0L, 5L, 1.0),
+      (2L, 2L, 0L, 2L, 4L, 0.5),
+      (4L, 1L, 0L, 1L, 2L, 0.25),
+      (5L, 1L, 1L, 0L, 1L, 0.25)))
+  }
+
   test("q_event_retention: hand-computed cohort table on a planted timeline") {
     val dir = Files.createTempDirectory("graft_retention").toString
     val B = 1704067200000000L

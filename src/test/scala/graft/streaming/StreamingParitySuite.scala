@@ -619,6 +619,132 @@ class StreamingParitySuite extends SparkSuite {
       ("view", 10L * D, 3L))) // batch 2: grew to 3; click day silent
   }
 
+  test("transformWithState daily-count maintainer (r15): RocksDB stream == fMGWS twin == batch day grain; CUSUM tail == graded q_event_changepoint") {
+    // The GRADED daily family's ingress on the successor state API:
+    // sf0.001 events streamed in 3 micro-batches through the TTL'd
+    // ValueState processor under the RocksDB provider; the last-write-
+    // wins (type, day, n) table must equal BOTH the fMGWS twin's and
+    // the direct batch aggregate — and composing the changepoint tail
+    // from it must reproduce the graded query byte-for-byte (the other
+    // four daily tails are pinned to the same map by the fMGWS tests).
+    val evDs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val all = evDs.collect().toSeq
+    val grain = Tables.events(spark, sf).filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        (expr("unix_micros(ts) div 86400000000") * 86400000000L).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TimeMode.ProcessingTime (the TTL's requirement) makes the engine
+    // re-trigger for state cleanup, so processAllAvailable never
+    // latches — the ttlCount-test discipline applies: a throttling
+    // trigger + a polled foreachBatch buffer with a deadline.
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.dailyCountMonitorTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[DayCountOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { buf ++= rows.map(o => (o.event_type, o.day_us, o.n)) }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsdaily_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def lww = buf.synchronized(buf.toSeq)
+      .groupBy(o => (o._1, o._2)).view.mapValues(_.map(_._3).max).toMap
+    try {
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (lww != grain) {
+        assert(System.nanoTime() < deadline,
+          s"TWS table never converged to the batch day grain: " +
+            s"${lww.size} keys vs ${grain.size}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    // counts only grow, so max emission per key == the final upsert
+    val twsMap = lww
+    val fmgws = StreamOps.dailyCountMonitor(evDs).collect()
+      .groupBy(o => (o.event_type, o.day_us)).view
+      .mapValues(_.last.n).toMap
+    assert(twsMap === fmgws)
+    assert(twsMap === grain)
+    // CUSUM changepoint tail composed from the TWS table
+    val twin = twsMap.groupBy(_._1._1).flatMap { case (t, m) =>
+      val days = m.toSeq.map { case ((_, d), n) => (d, n) }.sortBy(_._1)
+      val nD = days.size
+      if (nD < 2) None
+      else {
+        val s = days.map(_._2).scanLeft(0L)(_ + _).drop(1)
+        val sn = s.last
+        val cands = (1 until nD).map(k =>
+          (math.abs(nD.toLong * s(k - 1) - k.toLong * sn), k))
+        val dmax = cands.map(_._1).max
+        val k = cands.filter(_._1 == dmax).map(_._2).min
+        Some((t, days(k - 1)._1, k, nD.toLong, s(k - 1), sn, dmax))
+      }
+    }.toSeq.sortBy(_._1)
+    val batch = graft.queries.EventOps.queries("q_event_changepoint")(
+      spark, sf).collect().map(r => (r.getString(0),
+        r.getAs[java.sql.Timestamp]("cp_day").toInstant.toEpochMilli * 1000L,
+        r.getAs[Int]("k"), r.getAs[Long]("n_days"), r.getAs[Long]("s_k"),
+        r.getAs[Long]("s_n"), r.getAs[Long]("dstat"))).toSeq
+    assert(twin === batch)
+    assert(twin.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("transformWithState daily-count TTL: an idle (type, day) counter expires and recounts from cold (r15)") {
+    // The at-scale point of the TWS port: the store itself evicts
+    // dormant day counters. A 150 ms TTL + an idle wait makes the
+    // same key recount from zero, while without expiry it would grow.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val D = 86400000000L
+    def ev(id: Long) = Event(id, 10L * D + id, 7L, "view", 1.0)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.dailyCountMonitorTws(ms.toDS(),
+        java.time.Duration.ofSeconds(1))
+      .writeStream
+      .foreachBatch { (ds: Dataset[DayCountOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { buf ++= rows.map(_.n) }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsttl_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitRows(k: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.size) < k) {
+        assert(System.nanoTime() < deadline,
+          s"sink never reached $k rows: ${buf.synchronized(buf.toSeq)}")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      ms.addData(Seq(ev(1), ev(2))); awaitRows(1)
+      Thread.sleep(5000) // let the 1 s TTL lapse while the key idles
+      ms.addData(Seq(ev(3))); awaitRows(2)
+    } finally q.stop()
+    val ns = buf.synchronized(buf.toSeq)
+    assert(ns === Seq(2L, 1L), // expired: 2 then back to 1, not 3
+      s"TTL did not expire the idle counter: $ns")
+  }
+
   test("attrib monitor: per-touch credit counts == graded q_event_attrib on sf0.001; the touch carries across batches") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
