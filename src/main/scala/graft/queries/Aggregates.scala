@@ -226,6 +226,36 @@ object Aggregates {
           grouping(col("o_orderstatus")).cast("int").as("g_s"))
         .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))),
 
+    // §2.4 Herfindahl-Hirschman concentration index per market segment
+    // (r15): HHI = Σᵢ (revᵢ∕Σrev)² over each segment's customers — the
+    // antitrust-standard concentration measure (q_agg_gini's square-
+    // share sibling; 1∕n uniform → 1 monopoly). Engine discipline: two
+    // stacked exact-decimal aggs (per-customer revenue, then per-
+    // segment Σrev² + Σrev — shuffle ∝ customers then segments), the
+    // square at an explicit (18,2) cast so the (37,4) product is exact
+    // in BOTH engines (an uncast square of the (22,2) sum would exceed
+    // 38 digits and silently round scale). HHI is SCALE-FREE O(1) →
+    // one IEEE division chain, 6dp absorbs ulp noise (the anova
+    // lesson).
+    "q_agg_hhi" -> ((s, d) => {
+      val DT = org.apache.spark.sql.types.DecimalType
+      val rev = T.orders(s, d)
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(col("o_totalprice").cast(DT(12, 2))).as("rev"))
+        .select(col("c_mktsegment"),
+          col("rev").cast(DT(18, 2)).as("rev"))
+      val g = rev.groupBy(col("c_mktsegment")).agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("rev")).as("s"),
+        sum(col("rev") * col("rev")).as("s2"))
+      g.select(col("c_mktsegment"), col("n_cust"),
+        round(col("s2").cast("double")
+          / (col("s").cast("double") * col("s").cast("double")), 6)
+          .as("hhi"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // §2.4 Spearman rank correlation per group (r15) — Pearson on
     // AVERAGE ranks, made exact-integer by the 2× trick: with ties,
     // avg-rank = (2·cum − cnt + 1)∕2 over the cumulative tie counts,
@@ -1182,6 +1212,23 @@ object Aggregates {
             CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s
           FROM $ords GROUP BY CUBE(o_orderpriority, o_orderstatus)
           ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""",
+    // Two stacked decimal aggs; the (18,2) cast before the square
+    // keeps the product exact in both engines; one division chain.
+    "q_agg_hhi" ->
+      s"""WITH r AS (
+            SELECT c_mktsegment,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                AS DECIMAL(18,2)) AS rev
+            FROM $ords JOIN $cust ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, c_custkey),
+          g AS (
+            SELECT c_mktsegment, COUNT(*) AS n_cust,
+              SUM(rev) AS s, SUM(rev * rev) AS s2
+            FROM r GROUP BY c_mktsegment)
+          SELECT c_mktsegment, CAST(n_cust AS BIGINT) AS n_cust,
+            ROUND(CAST(s2 AS DOUBLE)
+              / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS hhi
+          FROM g ORDER BY c_mktsegment""",
     // Doubled-average-rank Spearman: the rank CTEs mirror the Spark
     // distinct-value collapse; HUGEINT keeps the power sums exact
     // (Spark side: DECIMAL(38,0)); the final chain is q_agg_corr's.

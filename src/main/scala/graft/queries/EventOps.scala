@@ -1211,6 +1211,9 @@ object EventOps {
     // division of exact ints, unrounded (§7.4.7).
     "q_event_markov" -> ((s, d) => markovOn(T.events(s, d))),
 
+    // Second-order transition matrix (r15) — see [[markov2On]].
+    "q_event_markov2" -> ((s, d) => markov2On(T.events(s, d))),
+
     // Recency-decayed user value (r12) — the "hotness" score every
     // ranking/recommendation surface keeps: per user, Σ value·2^−age
     // where age = days since the event vs the corpus's LAST day (the
@@ -1597,6 +1600,28 @@ object EventOps {
       .withColumn("p", col("n") /
         sum(col("n")).over(Window.partitionBy(col("prev_type"))))
       .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** q_event_markov2's engine (r15): SECOND-order transition matrix —
+    * trigram (prev2, prev1, next) counts with the conditional
+    * p(next | prev2, prev1). The matrix-power-free way to ask "does
+    * more history change the prediction" (exact counts; p is ONE IEEE
+    * division of exact ints, the markovOn discipline). BOTH lags ride
+    * the SAME user-hash window pass; the conditional total is a
+    * type-pair-partitioned window over the ≤|types|³ AGGREGATE
+    * (§7.4.12 bounded). */
+  private[graft] def markov2On(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev1", lag(col("event_type"), 1).over(w))
+      .withColumn("prev2", lag(col("event_type"), 2).over(w))
+      .filter(col("prev2").isNotNull)
+      .groupBy(col("prev2"), col("prev1"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") /
+        sum(col("n")).over(Window.partitionBy(col("prev2"), col("prev1"))))
+      .orderBy(col("prev2"), col("prev1"), col("next_type"))
   }
 
   /** q_event_newret core over any frame with (user_id, ts) — the planted
@@ -2417,6 +2442,21 @@ object EventOps {
           SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
             n / SUM(n) OVER (PARTITION BY prev_type) AS p
           FROM t ORDER BY prev_type, next_type""",
+    // Same shape one lag deeper; p is one exact-int division.
+    "q_event_markov2" ->
+      s"""WITH e AS (
+            SELECT user_id, event_id, event_type,
+              LAG(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY event_id) AS prev1,
+              LAG(event_type, 2) OVER (PARTITION BY user_id
+                ORDER BY event_id) AS prev2
+            FROM $evt),
+          t AS (
+            SELECT prev2, prev1, event_type AS next_type, COUNT(*) AS n
+            FROM e WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3)
+          SELECT prev2, prev1, next_type, CAST(n AS BIGINT) AS n,
+            n / SUM(n) OVER (PARTITION BY prev2, prev1) AS p
+          FROM t ORDER BY prev2, prev1, next_type""",
     // The identical cents quantization and arithmetic-shift halving;
     // >> is arithmetic in both engines, capped at 62.
     "q_event_decay" ->

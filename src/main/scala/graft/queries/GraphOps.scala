@@ -21,6 +21,7 @@ object GraphOps {
   import Det.tbl
 
   private val PrIters = 3
+  private val HitsIters = 2
 
   /** q_graph_kcore: min per-pair lineitem count for an edge (thresholds
     * the bipartite graph down to REPEATED co-purchases — the raw graph's
@@ -172,6 +173,21 @@ object GraphOps {
     "q_graph_pagerank" -> ((s, d) =>
       graft.operators.PageRank.run(copurchaseEdges(s, d), PrIters)
         .orderBy(col("node"))),
+
+    // HITS hubs & authorities (r15) — the role-separating third
+    // iterative beside pagerank/cc, on the DIRECTED bipartite
+    // basket→item graph (src = orderkey, dst = partkey, distinct):
+    // hub score = "good basket" (points at popular parts), authority
+    // = "popular part" (appears in good baskets). L1-normalized
+    // variant in the PageRank quantize-sum-divide contract — see
+    // operators/Hits.scala for the full determinism argument. The
+    // oracle unrolls the identical program CTE-for-CTE.
+    "q_graph_hits" -> ((s, d) =>
+      graft.operators.Hits.run(
+        T.lineitem(s, d).select(col("l_orderkey").as("src"),
+          col("l_partkey").as("dst")),
+        HitsIters)
+        .orderBy(col("role"), col("node"))),
 
     // Weighted PageRank (r11): the event-type transition graph from
     // q_event_paths (per-user consecutive transitions, counted
@@ -366,6 +382,44 @@ object GraphOps {
          |       FROM nodes CROSS JOIN nn),
          |${(1 to PrIters).map(iter).mkString(",\n")}
          |SELECT node, r FROM r$PrIters ORDER BY node""".stripMargin
+    },
+    // HITS: unrolled half-step CTE chain mirroring operators/Hits
+    // stage for stage (quantize → exact HUGEINT sums → one division →
+    // 6dp), the pagerank-oracle discipline.
+    "q_graph_hits" -> {
+      def iter(k: Int): String =
+        s"""ar$k AS (
+           |  SELECT p.dst,
+           |    SUM(CAST(ROUND(h${k - 1}.h * 1e12) AS HUGEINT)) AS raw
+           |  FROM pairs p JOIN h${k - 1} ON p.src = h${k - 1}.src
+           |  GROUP BY p.dst),
+           |at$k AS (SELECT CAST(SUM(raw) AS HUGEINT) AS tot FROM ar$k),
+           |a$k AS (
+           |  SELECT dst, ROUND(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE),
+           |    6) AS a
+           |  FROM ar$k CROSS JOIN at$k),
+           |hr$k AS (
+           |  SELECT p.src,
+           |    SUM(CAST(ROUND(a$k.a * 1e12) AS HUGEINT)) AS raw
+           |  FROM pairs p JOIN a$k ON p.dst = a$k.dst
+           |  GROUP BY p.src),
+           |ht$k AS (SELECT CAST(SUM(raw) AS HUGEINT) AS tot FROM hr$k),
+           |h$k AS (
+           |  SELECT src, ROUND(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE),
+           |    6) AS h
+           |  FROM hr$k CROSS JOIN ht$k)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM $li),
+         |srcs AS (SELECT DISTINCT src FROM pairs),
+         |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM srcs),
+         |h0 AS (SELECT src, CAST(1.0 AS DOUBLE) / ns.n AS h
+         |       FROM srcs CROSS JOIN ns),
+         |${(1 to HitsIters).map(iter).mkString(",\n")}
+         |SELECT node, role, score FROM (
+         |  SELECT src AS node, 'hub' AS role, h AS score FROM h$HitsIters
+         |  UNION ALL
+         |  SELECT dst AS node, 'auth' AS role, a AS score FROM a$HitsIters)
+         |ORDER BY role, node""".stripMargin
     },
     "q_graph_pagerank_w" -> {
       // weighted twin: c = r·w∕outw, same quantize-sum-divide chain;
