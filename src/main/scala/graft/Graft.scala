@@ -907,6 +907,42 @@ object Graft {
     graft.queries.EventOps.survivalKmOn(
       df.select(col(keyCol).as("user_id"), col(tsCol).as("ts")))
 
+  /** Kendall tau-b rank correlation per group over any (group, x, y)
+    * frame (graded q_agg_kendall's engine, r15): exact concordant∕
+    * discordant weighted pair counts off the JOINT distinct-value
+    * cell table — work ∝ ∣domain_x × domain_y∣² per group,
+    * SF-invariant, never a row-pair join. Best for discrete∕bucketed
+    * columns; continuous columns should be quantized first (e.g.
+    * through [[equiDepth]] cuts). Returns (g, n, tau_b); all-tied-x
+    * groups drop out, all-tied-y groups carry a NULL tau_b. */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame =
+    graft.queries.Aggregates.kendallOn(
+      df.select(col(groupCol).as("g"), col(xCol).as("x"),
+        col(yCol).as("y")))
+
+  /** Mann-Whitney U two-sample rank test over any (arm, value) frame
+    * (graded q_agg_mwu's engine, r15): U for `armA` plus the
+    * tie-corrected normal z. Value collapse ∝ distinct values;
+    * doubled-avg-rank exact-integer discipline. Returns one row
+    * (n_a, n_b, u_stat, z). */
+  def mannWhitney(df: DataFrame, armCol: String, valueCol: String,
+                  armA: String, armB: String): DataFrame =
+    graft.queries.Aggregates.mwuOn(
+      df.select(col(armCol).as("arm"), col(valueCol).as("v")),
+      armA, armB)
+
+  /** Kruskal-Wallis H over any (group, value) frame with ARBITRARY
+    * group count (general-k sibling of the graded 3-flag
+    * q_agg_kruskal; see [[graft.queries.Aggregates.kruskalOn]] for
+    * why the general form is unit-tested rather than oracle-graded).
+    * Returns one row (n_rows, k, h_stat, eps_sq) — H is χ²(k−1) under
+    * the null; eps_sq is the ε² effect size. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame =
+    graft.queries.Aggregates.kruskalOn(
+      df.select(col(groupCol).as("g"), col(valueCol).as("v")))
+
   /** Rank-percentile quality-score normalization over any (id, text)
     * corpus (graded q_llm_qnorm's engine): PERCENT_RANK of the
     * distinct-token score, computed bucket-decomposed (no corpus-sized

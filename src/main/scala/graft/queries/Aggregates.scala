@@ -353,6 +353,92 @@ object Aggregates {
         round((ssb / 2.0) / (ssw / (n - 3.0)), 6).as("f_stat"))
     }),
 
+    // §2.4 Kruskal-Wallis H (r15) — the rank-based (nonparametric)
+    // companion of q_agg_anova: does the l_quantity DISTRIBUTION
+    // differ across the return flags, free of normality assumptions.
+    // Tie-corrected H over global average ranks, made exact-integer by
+    // the Spearman 2× trick (doubled avg-ranks are integers; group
+    // rank sums R_i = S_i∕2 halve exactly in doubles). Engine
+    // discipline: ONE value collapse (∝ distinct quantities — a FIXED
+    // 50-value domain, SF-invariant) carrying per-flag conditional
+    // counts, one bounded unpartitioned cumulative window over that
+    // aggregate (§7.4.12), one global agg of exact DECIMAL(38,0)
+    // sums (all < 2^53 — no big-decimal→double cast divergence, the
+    // anova lesson), then a TEXTUALLY PINNED IEEE chain staged so the
+    // unrounded H feeds ε² identically in both engines; 6dp once.
+    // Near-zero rounded stats get + 0.0 in BOTH engines: round(−1e−9, 6)
+    // is −0.0 in one engine and +0.0 in the other (bitwise compare —
+    // caught by the sf0.1 sweep), and x + 0.0 canonicalizes both.
+    "q_agg_kruskal" -> ((s, d) => {
+      val DT = org.apache.spark.sql.types.DecimalType
+      def cIf(f: String) = count(when(col("l_returnflag") === f, lit(1)))
+      val vc = T.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast(DT(9, 2)).as("q"))
+        .groupBy(col("q")).agg(count(lit(1)).as("n"),
+          cIf("A").as("n_a"), cIf("N").as("n_n"), cIf("R").as("n_r"))
+      val w = Window.orderBy(col("q").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rk = vc.withColumn("cum", sum(col("n")).over(w))
+        .withColumn("r",
+          (lit(2L) * col("cum") - col("n") + lit(1L)).cast(DT(18, 0)))
+      def cd(c: Column) = c.cast(DT(12, 0))
+      val g = rk.agg(
+        sum(col("n")).as("nn"), sum(col("n_a")).as("na"),
+        sum(col("n_n")).as("nb"), sum(col("n_r")).as("nc"),
+        sum(cd(col("n_a")) * col("r")).as("sa"),
+        sum(cd(col("n_n")) * col("r")).as("sb"),
+        sum(cd(col("n_r")) * col("r")).as("sc"),
+        sum(cd(col("n")) * cd(col("n")) * cd(col("n")) - cd(col("n")))
+          .as("t3"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = dbl("nn")
+      def rterm(sc: String, nc: String) =
+        (dbl(sc) / 2.0) * (dbl(sc) / 2.0) / dbl(nc)
+      val h = (lit(12.0) / (nD * (nD + 1.0))
+        * (rterm("sa", "na") + rterm("sb", "nb") + rterm("sc", "nc"))
+        - lit(3.0) * (nD + 1.0))
+        .divide(lit(1.0) - dbl("t3") / (nD * nD * nD - nD))
+      g.select(col("nn").as("n_rows"), h.as("h"))
+        .select(col("n_rows"), round(col("h"), 6).as("h_stat"),
+          (round((col("h") - 2.0) / (col("n_rows").cast("double") - 3.0), 6)
+            + lit(0.0)).as("eps_sq"))
+    }),
+
+    // §2.4 Mann-Whitney U (r15) — the two-sample rank test between the
+    // l_linestatus arms on l_quantity: U, and the tie-corrected normal
+    // z (the large-sample call, q_event_abtest_t's cut). Identical
+    // machinery to q_agg_kruskal: 50-value collapse with per-arm
+    // conditional counts, bounded rank window, exact integer sums, one
+    // pinned IEEE chain. U itself is exact (R_O halves a < 2^53
+    // integer; the n(n+1)∕2 term is integral) and ships UNROUNDED
+    // (§7.4.7); z rounds 6dp.
+    "q_agg_mwu" -> ((s, d) => {
+      val DT = org.apache.spark.sql.types.DecimalType
+      mwuOn(T.lineitem(s, d).select(col("l_linestatus").as("arm"),
+        col("l_quantity").cast(DT(9, 2)).as("v")), "O", "F")
+        .withColumnRenamed("n_a", "n_o").withColumnRenamed("n_b", "n_f")
+    }),
+
+    // §2.4 Kendall tau-b per group (r15) — the concordance-based rank
+    // correlation beside q_agg_spearman, exact over the JOINT
+    // distinct-value table: per returnflag, concordant∕discordant
+    // weighted pair counts between l_quantity (50-value domain) and
+    // l_discount (11-value domain). Engine discipline: the corpus
+    // collapses to ≤ 3·50·11 joint cells FIRST; the pair enumeration
+    // is a self-join of that aggregate on (g, x<x2) — work ∝
+    // ∣domain_x × domain_y∣² per group, SF-INVARIANT (never a row-pair
+    // join); marginal tie terms off the cell table's own collapses;
+    // everything left of the division exact DECIMAL(38,0)/HUGEINT;
+    // tau-b = (C−D)∕(√((n(n−1)−Σtx(tx−1))∕2)·√(…y…)) as ONE pinned
+    // chain (sqrt is correctly rounded per 754), 6dp.
+    "q_agg_kendall" -> ((s, d) => {
+      val DT = org.apache.spark.sql.types.DecimalType
+      kendallOn(T.lineitem(s, d).select(col("l_returnflag").as("g"),
+        col("l_quantity").cast(DT(9, 2)).as("x"),
+        col("l_discount").cast(DT(4, 2)).as("y")))
+        .withColumnRenamed("g", "l_returnflag")
+    }),
+
     // §2.4 arbitrary GROUPING SETS (r15) — the general form rollup/cube
     // specialize: ((priority, status), (priority), ()) — the exact set
     // list, not a hierarchy — through Spark 4's NATIVE
@@ -1046,6 +1132,141 @@ object Aggregates {
     * enters here: k ~equal-count buckets cut at the exact discrete
     * i∕k percentiles, strict-compare tie rule (a value equal to a cut
     * stays low). NULL values drop on both the cut and bucket sides. */
+  /** q_agg_mwu's engine (r15) over any (arm, v) two-sample frame:
+    * Mann-Whitney U between `armA` and `armB` with the tie-corrected
+    * normal z. Value collapse ∝ distinct v (rows never ranked
+    * individually), doubled-avg-rank trick, exact DECIMAL(38,0) sums,
+    * one pinned IEEE chain; U ships unrounded (exact — a halved
+    * < 2^53 integer), z rounds 6dp with signed-zero canonicalized. */
+  private[graft] def mwuOn(base: DataFrame, armA: String,
+                           armB: String): DataFrame = {
+    val DT = org.apache.spark.sql.types.DecimalType
+    def cIf(a: String) = count(when(col("arm") === a, lit(1)))
+    val vc = base.groupBy(col("v")).agg(count(lit(1)).as("n"),
+      cIf(armA).as("c_a"), cIf(armB).as("c_b"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rk = vc.withColumn("cum", sum(col("n")).over(w))
+      .withColumn("r",
+        (lit(2L) * col("cum") - col("n") + lit(1L)).cast(DT(18, 0)))
+    def cd(c: Column) = c.cast(DT(12, 0))
+    // counts coalesce to 0 so the EMPTY-input degenerate pivot reads
+    // (0, 0, NULL u, NULL z) instead of an all-NULL row
+    val g = rk.agg(
+      coalesce(sum(col("n")), lit(0L)).as("nn"),
+      coalesce(sum(col("c_a")), lit(0L)).as("na"),
+      coalesce(sum(col("c_b")), lit(0L)).as("nb"),
+      sum(cd(col("c_a")) * col("r")).as("sa"),
+      sum(cd(col("n")) * cd(col("n")) * cd(col("n")) - cd(col("n")))
+        .as("t3"))
+    def dbl(c: String) = col(c).cast("double")
+    val nD = dbl("nn"); val naD = dbl("na"); val nbD = dbl("nb")
+    val u = dbl("sa") / 2.0 - naD * (naD + 1.0) / 2.0
+    // nullif guards (ANSI): n<2 zeroes the tie-term divisor; an
+    // all-tied sample zeroes sig2 -> z NULL, never a throw
+    val sig2 = (naD * nbD / 12.0) *
+      ((nD + 1.0) - dbl("t3") / nullif(nD * (nD - 1.0), lit(0.0)))
+    g.select(col("na").as("n_a"), col("nb").as("n_b"),
+      u.as("u_stat"), sig2.as("sig2"))
+      .select(col("n_a"), col("n_b"), col("u_stat"),
+        (round((col("u_stat") - col("n_a").cast("double")
+          * col("n_b").cast("double") / 2.0)
+          / nullif(sqrt(col("sig2")), lit(0.0)), 6)
+          + lit(0.0)).as("z"))
+  }
+
+  /** q_agg_kendall's engine (r15) over any (g, x, y) frame: per-group
+    * Kendall tau-b, exact over the JOINT distinct-value table — the
+    * pair enumeration self-joins the (g, x, y, count) AGGREGATE on
+    * (g, x<x2), so work is ∝ ∣domain_x × domain_y∣² per group and
+    * SF-invariant; marginal tie terms come off the cell table's own
+    * collapses; everything left of the division is exact
+    * DECIMAL(38,0); tau-b is ONE pinned IEEE chain (two sqrt factors
+    * multiplied, NOT sqrt of the product), 6dp, signed zero
+    * canonicalized. Degenerate groups: all-tied x → no (x1<x2) pairs →
+    * the group drops out (inner join); all-tied y → tau_b NULL
+    * (0-variance denominator over an exact 0∕0). */
+  private[graft] def kendallOn(base: DataFrame): DataFrame = {
+    val DT = org.apache.spark.sql.types.DecimalType
+    val jt = base.groupBy(col("g"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c")).persist()
+    def cd(c: Column) = c.cast(DT(18, 0))
+    val ns = jt.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val n1 = jt.groupBy(col("g"), col("x")).agg(sum(col("c")).as("tx"))
+      .groupBy(col("g"))
+      .agg(sum(cd(col("tx")) * (cd(col("tx")) - lit(1L))).as("n1p"))
+    val n2 = jt.groupBy(col("g"), col("y")).agg(sum(col("c")).as("ty"))
+      .groupBy(col("g"))
+      .agg(sum(cd(col("ty")) * (cd(col("ty")) - lit(1L))).as("n2p"))
+    val a = jt.select(col("g"), col("x").as("x1"), col("y").as("y1"),
+      col("c").as("c1"))
+    val b = jt.select(col("g").as("g2"), col("x").as("x2"),
+      col("y").as("y2"), col("c").as("c2"))
+    // an all-concordant (or all-discordant) group sums an empty when-
+    // branch -> NULL; tau must read it as 0 pairs, not NULL
+    val cdp = a.join(b, col("g") === col("g2") && col("x1") < col("x2"))
+      .groupBy(col("g")).agg(
+        coalesce(sum(when(col("y1") < col("y2"), cd(col("c1")) * col("c2"))),
+          lit(0L).cast(DT(18, 0))).as("ncon"),
+        coalesce(sum(when(col("y1") > col("y2"), cd(col("c1")) * col("c2"))),
+          lit(0L).cast(DT(18, 0))).as("ndis"))
+    def dbl(c: String) = col(c).cast("double")
+    val nD = dbl("n")
+    def half(tp: String) = (nD * (nD - 1.0) - dbl(tp)) / 2.0
+    ns.join(cdp, Seq("g")).join(n1, Seq("g")).join(n2, Seq("g"))
+      .select(col("g"), col("n"),
+        (round((dbl("ncon") - dbl("ndis"))
+          // nullif: ANSI double division throws on a 0 divisor; an
+          // all-tied-y group has exactly-0 denominator -> NULL tau
+          / nullif(sqrt(half("n1p")) * sqrt(half("n2p")), lit(0.0)), 6)
+          + lit(0.0)).as("tau_b"))
+      .orderBy(col("g"))
+  }
+
+  /** General-k Kruskal-Wallis over any (g, v) frame (facade path).
+    * The graded q_agg_kruskal pins a PIVOTED 3-term IEEE chain so the
+    * oracle can match bitwise; with arbitrary k the per-group terms
+    * must be summed over group ROWS, whose addition order is engine-
+    * chosen — harmless at 6dp for k doubles of O(1..100) magnitude,
+    * but not textually pinnable, hence unit-tested rather than
+    * oracle-graded. Shape: value collapse (∝ distinct v) + bounded
+    * rank window + per-group exact rank sums (∝ k) + one k-row agg. */
+  private[graft] def kruskalOn(base: DataFrame): DataFrame = {
+    val DT = org.apache.spark.sql.types.DecimalType
+    val vc = base.groupBy(col("v")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rk = vc.withColumn("cum", sum(col("n")).over(w))
+      .withColumn("r",
+        (lit(2L) * col("cum") - col("n") + lit(1L)).cast(DT(18, 0)))
+    def cd(c: Column) = c.cast(DT(12, 0))
+    val gv = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("ng"))
+    val per = gv.join(rk.select(col("v"), col("r")), Seq("v"))
+      .groupBy(col("g")).agg(sum(col("ng")).as("ni"),
+        sum(cd(col("ng")) * col("r")).as("si"))
+    val ties = rk.agg(coalesce(sum(col("n")), lit(0L)).as("nn"),
+      sum(cd(col("n")) * cd(col("n")) * cd(col("n")) - cd(col("n")))
+        .as("t3"))
+    def dbl(c: String) = col(c).cast("double")
+    val terms = per.agg(count(lit(1)).as("k"),
+      sum((dbl("si") / 2.0) * (dbl("si") / 2.0) / dbl("ni")).as("rterm"))
+    val g = terms.crossJoin(ties)
+    val nD = dbl("nn")
+    // nullif guards (ANSI): n<2 zeroes n^3-n; an all-tied corpus
+    // zeroes the tie correction; n == k zeroes the eps divisor
+    val h = (lit(12.0) / (nD * (nD + 1.0)) * col("rterm")
+      - lit(3.0) * (nD + 1.0))
+      .divide(nullif(
+        lit(1.0) - dbl("t3") / nullif(nD * nD * nD - nD, lit(0.0)),
+        lit(0.0)))
+    g.select(col("nn").as("n_rows"), col("k"), h.as("h"))
+      .select(col("n_rows"), col("k"), round(col("h"), 6).as("h_stat"),
+        (round((col("h") - (col("k").cast("double") - 1.0))
+          / nullif(col("n_rows").cast("double")
+            - col("k").cast("double"), lit(0.0)), 6)
+          + lit(0.0)).as("eps_sq"))
+  }
+
   private[graft] def eqDepthOn(df: DataFrame, valueCol: String,
                                k: Int): DataFrame = {
     require(k >= 2, s"equi-depth needs k >= 2 buckets, got $k")
@@ -1311,6 +1532,112 @@ object Aggregates {
             ROUND(ssb / stot, 6) AS eta_sq,
             ROUND((ssb / 2.0) / ((stot - ssb) / (nd - 3.0)), 6) AS f_stat
           FROM f""",
+    // Kruskal-Wallis: the 50-cell value collapse + doubled-rank window,
+    // HUGEINT power sums, the h CTE stage feeding eps_sq unrounded —
+    // operand order textually matched to the Spark chain.
+    "q_agg_kruskal" ->
+      s"""WITH vc AS (
+            SELECT CAST(l_quantity AS DECIMAL(9,2)) AS q, COUNT(*) AS n,
+              COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_a,
+              COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_n,
+              COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_r
+            FROM $li GROUP BY 1),
+          rk AS (SELECT *,
+              2 * SUM(n) OVER (ORDER BY q ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n + 1 AS r FROM vc),
+          g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+              CAST(SUM(n_a) AS BIGINT) AS na,
+              CAST(SUM(n_n) AS BIGINT) AS nb,
+              CAST(SUM(n_r) AS BIGINT) AS nc,
+              SUM(CAST(n_a AS HUGEINT) * CAST(r AS HUGEINT)) AS sa,
+              SUM(CAST(n_n AS HUGEINT) * CAST(r AS HUGEINT)) AS sb,
+              SUM(CAST(n_r AS HUGEINT) * CAST(r AS HUGEINT)) AS sc,
+              SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                  * CAST(n AS HUGEINT) - CAST(n AS HUGEINT)) AS t3
+            FROM rk),
+          t AS (SELECT nn,
+              (12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+               * ((CAST(sa AS DOUBLE) / 2.0) * (CAST(sa AS DOUBLE) / 2.0)
+                    / CAST(na AS DOUBLE)
+                  + (CAST(sb AS DOUBLE) / 2.0) * (CAST(sb AS DOUBLE) / 2.0)
+                    / CAST(nb AS DOUBLE)
+                  + (CAST(sc AS DOUBLE) / 2.0) * (CAST(sc AS DOUBLE) / 2.0)
+                    / CAST(nc AS DOUBLE))
+               - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+              / (1.0 - CAST(t3 AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                    * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))) AS h
+            FROM g)
+          SELECT nn AS n_rows, ROUND(h, 6) AS h_stat,
+            ROUND((h - 2.0) / (CAST(nn AS DOUBLE) - 3.0), 6) + 0.0
+              AS eps_sq
+          FROM t""",
+    // Mann-Whitney: same collapse keyed on the linestatus arms; U is
+    // exact and ships unrounded; z rounds 6dp.
+    "q_agg_mwu" ->
+      s"""WITH vc AS (
+            SELECT CAST(l_quantity AS DECIMAL(9,2)) AS q, COUNT(*) AS n,
+              COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o,
+              COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f
+            FROM $li GROUP BY 1),
+          rk AS (SELECT *,
+              2 * SUM(n) OVER (ORDER BY q ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n + 1 AS r FROM vc),
+          g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+              CAST(SUM(n_o) AS BIGINT) AS no, CAST(SUM(n_f) AS BIGINT) AS nf,
+              SUM(CAST(n_o AS HUGEINT) * CAST(r AS HUGEINT)) AS so,
+              SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                  * CAST(n AS HUGEINT) - CAST(n AS HUGEINT)) AS t3
+            FROM rk),
+          t AS (SELECT no AS n_o, nf AS n_f,
+              CAST(so AS DOUBLE) / 2.0
+                - CAST(no AS DOUBLE) * (CAST(no AS DOUBLE) + 1.0) / 2.0
+                AS u_stat,
+              CAST(no AS DOUBLE) * CAST(nf AS DOUBLE) / 12.0
+              * ((CAST(nn AS DOUBLE) + 1.0) - CAST(t3 AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))
+                AS sig2
+            FROM g)
+          SELECT n_o, n_f, u_stat,
+            ROUND((u_stat - CAST(n_o AS DOUBLE) * CAST(n_f AS DOUBLE) / 2.0)
+              / sqrt(sig2), 6) + 0.0 AS z
+          FROM t""",
+    // Kendall tau-b: joint-cell self-join on (g, x<x2); HUGEINT C/D and
+    // tie terms; the two sqrt factors multiplied (NOT sqrt of the
+    // product — pinned to the Spark operand order).
+    "q_agg_kendall" ->
+      s"""WITH jt AS (
+            SELECT l_returnflag AS g, CAST(l_quantity AS DECIMAL(9,2)) AS x,
+              CAST(l_discount AS DECIMAL(4,2)) AS y, COUNT(*) AS c
+            FROM $li GROUP BY 1, 2, 3),
+          ns AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM jt GROUP BY g),
+          n1 AS (SELECT g, SUM(CAST(tx AS HUGEINT)
+                * (CAST(tx AS HUGEINT) - 1)) AS n1p
+            FROM (SELECT g, x, SUM(c) AS tx FROM jt GROUP BY 1, 2)
+            GROUP BY g),
+          n2 AS (SELECT g, SUM(CAST(ty AS HUGEINT)
+                * (CAST(ty AS HUGEINT) - 1)) AS n2p
+            FROM (SELECT g, y, SUM(c) AS ty FROM jt GROUP BY 1, 2)
+            GROUP BY g),
+          cdp AS (SELECT a.g,
+              COALESCE(SUM(CASE WHEN a.y < b.y
+                THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END), 0)
+                AS ncon,
+              COALESCE(SUM(CASE WHEN a.y > b.y
+                THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END), 0)
+                AS ndis
+            FROM jt a JOIN jt b ON a.g = b.g AND a.x < b.x GROUP BY 1)
+          SELECT ns.g AS l_returnflag, n,
+            ROUND((CAST(ncon AS DOUBLE) - CAST(ndis AS DOUBLE))
+              / (sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                       - CAST(n1p AS DOUBLE)) / 2.0)
+                 * sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                         - CAST(n2p AS DOUBLE)) / 2.0)), 6) + 0.0 AS tau_b
+          FROM ns JOIN cdp ON ns.g = cdp.g JOIN n1 ON ns.g = n1.g
+               JOIN n2 ON ns.g = n2.g
+          ORDER BY l_returnflag""",
     "q_agg_gsets" ->
       s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
             ${sqlSum("o_totalprice")} AS sum_price,

@@ -1330,6 +1330,100 @@ object LlmOps {
     // (= agreeing positions / 64) ≥ 0.5.
     "q_llm_minhash" -> ((s, d) => minhashQuery(s, d, form = "native")),
 
+    // MinHash estimator-quality audit (r15) — the confusion matrix of
+    // the sketch against ground truth, the figure that justifies (or
+    // indicts) the 64-hash budget: over ALL banded LSH candidate pairs
+    // (no est threshold — the audit wants the estimator's full
+    // operating range), cross-tabulate floor(est·10) vs floor(true·10)
+    // where est = signature-match fraction and true = exact shingle-set
+    // Jaccard. Bin boundaries are deterministic cross-engine: est·10 =
+    // matches·(5∕32) is EXACT in binary (m ≤ 64), and the true-Jaccard
+    // double chain is the identical IEEE sequence in both engines.
+    // Scale: candidates come from banding (never all-pairs), the
+    // shingle-set join-backs are one-row-per-doc equi-joins, and the
+    // output is ≤ 11×11 cells — the audit costs one extra verify pass
+    // over the candidate set, nothing corpus-quadratic.
+    "q_llm_minhashconf" -> ((s, d) => {
+      graft.functions.MinHashSig.register(s, hashA.toSeq, hashB.toSeq, HashP)
+      val sig = minhashSig(T.documents(s, d), "native").persist()
+      def bandKey(b: Int): Column =
+        md5(concat_ws("#",
+          (b * RowsPerBand until (b + 1) * RowsPerBand)
+            .map(i => col(s"m$i")): _*))
+      val buckets = sig.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(bandKey): _*))
+          .as(Seq("band", "bkey")))
+      val x = buckets.select(col("doc_id").as("doc_a"), col("band"),
+        col("bkey"))
+      val y = buckets.select(col("doc_id").as("doc_b"),
+        col("band").as("band_b"), col("bkey").as("bkey_b"))
+      val cand = x.join(y, col("band") === col("band_b")
+          && col("bkey") === col("bkey_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val a = sig.select(sig.columns.map(c => col(c).as(s"a_$c")): _*)
+      val b = sig.select(sig.columns.map(c => col(c).as(s"b_$c")): _*)
+      val matches = (0 until NumHashes).map(i =>
+        when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = cand
+        .join(a, col("doc_a") === col("a_doc_id"))
+        .join(b, col("doc_b") === col("b_doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (matches / lit(NumHashes)).as("est_sim"))
+      val sets = T.documents(s, d)
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), shinglesCol(col("tk")).as("g"))
+      est
+        .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")),
+          Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")),
+          Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+        .withColumn("tj", col("inter").cast("double")
+          / (size(col("ga")) + size(col("gb")) - col("inter"))
+            .cast("double"))
+        .groupBy(floor(col("est_sim") * 10).cast("int").as("est_bin"),
+          floor(col("tj") * 10).cast("int").as("true_bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("est_bin"), col("true_bin"))
+    }),
+
+    // Cross-source duplication matrix (r15) — corpus governance's
+    // "who copies whom": for every source pair, how many distinct
+    // BOILERPLATE KEYS (the q_llm_prefixdup 32-char prefix — exact
+    // content never crosses sources in a dedup'd corpus, shared
+    // boilerplate does) appear in BOTH, with the key-set Jaccard.
+    // Shape: distinct (prefix, source) collapse (∝ distinct prefixes ×
+    // their source spread), self-join WITHIN a prefix (per-prefix
+    // group ≤ ∣sources∣ — candidate pairs stay LINEAR in distinct
+    // prefixes, never quadratic), two bounded aggs; jaccard is ONE
+    // IEEE division of exact ints, unrounded (§7.4.7).
+    "q_llm_xsrcdup" -> ((s, d) => {
+      val hs = T.documents(s, d)
+        .filter(length(col("text")) >= 32)
+        .select(substring(col("text"), 1, 32).as("h"), col("source"))
+        .distinct()
+        .persist()
+      val tot = hs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val shared = hs
+        .join(hs.select(col("h").as("h2"), col("source").as("source_b")),
+          col("h") === col("h2") && col("source") < col("source_b"))
+        .groupBy(col("source").as("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(tot.select(col("source").as("source_a"), col("n").as("n_a")),
+          Seq("source_a"))
+        .join(tot.select(col("source").as("source_b"), col("n").as("n_b")),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          (col("n_shared").cast("double")
+            / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // 16-bit SimHash signature per doc from md5-derived token hashes:
     // bit b of the signature = majority vote of bit b over distinct tokens.
     "q_llm_simhash" -> ((s, d) =>
@@ -2017,6 +2111,76 @@ object LlmOps {
                       JOIN sig sb ON doc_b = sb.doc_id) z
           WHERE est_sim >= $MinHashEstSim ORDER BY doc_a, doc_b"""
     },
+    // Confusion audit: the SAME generated signature/band/candidate
+    // pipeline (no est threshold), plus exact shingle-set Jaccard per
+    // candidate; floor-of-×10 binning is deterministic cross-engine
+    // (est·10 = matches·5∕32 exact; the tj chain is the identical IEEE
+    // sequence).
+    "q_llm_minhashconf" -> {
+      val mins = (0 until NumHashes).map(i =>
+        s"MIN((${hashA(i)} * x + ${hashB(i)}) % $HashP) AS m$i")
+        .mkString(",\n              ")
+      val bandSelects = (0 until Bands).map { bd =>
+        val ms = (bd * RowsPerBand until (bd + 1) * RowsPerBand)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $bd AS band, md5(concat_ws('#', $ms)) AS bkey FROM sig"
+      }.mkString("\n            UNION ALL ")
+      val matches = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM $doc
+            WHERE len(string_split(text, ' ')) >= 3),
+          toks AS (
+            SELECT doc_id,
+              ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x
+            FROM (SELECT doc_id, UNNEST($shingleSql) AS tok FROM base) u),
+          sig AS (
+            SELECT doc_id,
+              $mins
+            FROM toks GROUP BY doc_id),
+          buckets AS (
+            $bandSelects),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          est AS (
+            SELECT doc_a, doc_b, ($matches) / $NumHashes AS est_sim
+            FROM cand JOIN sig sa ON doc_a = sa.doc_id
+                      JOIN sig sb ON doc_b = sb.doc_id),
+          sets AS (SELECT doc_id, list_distinct($shingleSql) AS g FROM base),
+          tj AS (
+            SELECT est_sim,
+              CAST(len(list_intersect(a.g, b.g)) AS INTEGER)
+                / CAST(len(a.g) + len(b.g)
+                       - len(list_intersect(a.g, b.g)) AS INTEGER) AS tj
+            FROM est JOIN sets a ON doc_a = a.doc_id
+                     JOIN sets b ON doc_b = b.doc_id)
+          SELECT CAST(floor(est_sim * 10) AS INTEGER) AS est_bin,
+            CAST(floor(tj * 10) AS INTEGER) AS true_bin,
+            COUNT(*) AS n_pairs
+          FROM tj GROUP BY 1, 2 ORDER BY est_bin, true_bin"""
+    },
+    // Per-hash source groups are tiny (≤ |sources|), so the self-join
+    // stays linear in distinct contents; jaccard one exact-int division.
+    "q_llm_xsrcdup" ->
+      s"""WITH hs AS (
+            SELECT DISTINCT substr(text, 1, 32) AS h, source FROM $doc
+            WHERE length(text) >= 32),
+          tot AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY source),
+          sh AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+              COUNT(*) AS n_shared
+            FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT source_a, source_b, n_shared,
+            ta.n AS n_a, tb.n AS n_b,
+            CAST(n_shared AS DOUBLE)
+              / CAST(ta.n + tb.n - n_shared AS DOUBLE) AS jaccard
+          FROM sh JOIN tot ta ON sh.source_a = ta.source
+                  JOIN tot tb ON sh.source_b = tb.source
+          ORDER BY source_a, source_b""",
     "q_llm_simhash" -> {
       val votes = (0 until 16).map(bit =>
         s"SUM(CASE WHEN (h >> $bit) & 1 = 1 THEN 1 ELSE -1 END) AS v$bit")

@@ -31,6 +31,12 @@ case class PathState(lastType: String)
 
 case class PathStep(user_id: Long, prev_type: String, next_type: String)
 
+/** Second-order path state: the key's last TWO event types ("" = none). */
+case class Path2State(prev1: String, prev2: String)
+
+case class TrigramStep(user_id: Long, prev2: String, prev1: String,
+                       next_type: String)
+
 case class TypeCountOut(user_id: Long, event_type: String, n: Long)
 case class TtlCountOut(user_id: Long, n: Long)
 
@@ -838,6 +844,33 @@ object StreamOps {
             last = e.event_type
           }
           state.update(PathState(last))
+          out.result().iterator
+      }
+  }
+
+  /** Second-order twin of [[paths]] — the stateful feed of the graded
+    * q_event_markov2: TWO rows of history per key (the last two event
+    * types), each event emitting at most one (prev2, prev1, next)
+    * trigram once both slots are filled. State stays O(keys)
+    * regardless of history depth — the batch query's two lag windows
+    * collapse to one sliding pair. Same in-order contract as [[paths]]
+    * (micro-batch replay in event_id order; cross-batch exactness =
+    * per-key causal delivery, the reference's guarantee); the parity
+    * suite aggregates these steps and pins them equal to the graded
+    * trigram counts. */
+  def paths2(events: Dataset[Event]): Dataset[TrigramStep] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[Path2State]) =>
+          var s = state.getOption.getOrElse(Path2State("", ""))
+          val out = Seq.newBuilder[TrigramStep]
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            if (s.prev2.nonEmpty)
+              out += TrigramStep(user, s.prev2, s.prev1, e.event_type)
+            s = Path2State(prev1 = e.event_type, prev2 = s.prev1)
+          }
+          state.update(s)
           out.result().iterator
       }
   }

@@ -882,6 +882,23 @@ class GraftFacadeSuite extends SparkSuite {
         Graft.raLinkPrediction(emptyPairs, "a", "b")),
       "labelPropagate" -> (() =>
         Graft.labelPropagate(emptyPairs, "a", "b", 3)),
+      "kendallTau" -> (() =>
+        Graft.kendallTau(emptyGv.withColumn("y", col("v")),
+          "grp", "v", "y")),
+      "mannWhitney" -> (() => {
+        // 1-row degenerate pivot (the welchAbTest contract): zero
+        // counts, NULL u/z
+        val r = Graft.mannWhitney(emptyGv, "grp", "v", "a", "b").collect()
+        assert(r.length === 1 && r(0).getLong(0) === 0L &&
+          r(0).getLong(1) === 0L && r(0).isNullAt(2) && r(0).isNullAt(3))
+        spark.emptyDataFrame
+      }),
+      "kruskalWallis" -> (() => {
+        val r = Graft.kruskalWallis(emptyGv, "grp", "v").collect()
+        assert(r.length === 1 && r(0).getLong(0) === 0L &&
+          r(0).getLong(1) === 0L && r(0).isNullAt(2) && r(0).isNullAt(3))
+        spark.emptyDataFrame
+      }),
       "welchAbTest" -> (() => {
         // 1-row degenerate pivot is the contract (the abtest shape):
         // zero counts, NULL means/t — assert that instead of emptiness
@@ -987,6 +1004,63 @@ class GraftFacadeSuite extends SparkSuite {
       .map(r => r.getAs[Int]("rk") -> r.getAs[Long]("neighbor_id")).toMap
     assert(knn(1) === 12L, s"null vector outranked a real neighbor: $knn")
     spark.catalog.clearCache()
+  }
+
+  test("kendallTau: perfect concordance/discordance, the tie-corrected hand case, degenerate groups") {
+    // no ties, fully concordant -> +1; fully discordant -> -1
+    val kt = Graft.kendallTau(Seq(
+      ("up", 1, 1), ("up", 2, 2), ("up", 3, 3), ("up", 4, 4),
+      ("dn", 1, 4), ("dn", 2, 3), ("dn", 3, 2), ("dn", 4, 1))
+      .toDF("grp", "a", "b"), "grp", "a", "b")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kt === Map("up" -> 1.0, "dn" -> -1.0))
+    // hand-computed tie case: cells (1,1)(1,2)(2,1)(2,2)(3,3) ->
+    // C=5, D=1, n1p=n2p=4, n0p=20 => tau_b = 4 / (sqrt(8)*sqrt(8)) = 0.5
+    val tie = Graft.kendallTau(Seq(
+      ("g", 1, 1), ("g", 1, 2), ("g", 2, 1), ("g", 2, 2), ("g", 3, 3))
+      .toDF("grp", "a", "b"), "grp", "a", "b").collect()
+    assert(tie.length === 1 && tie(0).getDouble(2) === 0.5)
+    // all-tied x: no orderable pairs -> group drops; all-tied y: NULL tau
+    val degen = Graft.kendallTau(Seq(
+      ("flatx", 7, 1), ("flatx", 7, 2),
+      ("flaty", 1, 9), ("flaty", 2, 9))
+      .toDF("grp", "a", "b"), "grp", "a", "b").collect()
+    assert(degen.length === 1 && degen(0).getString(0) === "flaty" &&
+      degen(0).isNullAt(2))
+  }
+
+  test("mannWhitney: separated arms hit the exact hand-computed U and z; ties corrected") {
+    // arms fully separated, no ties: R_ctl = 1+2+3 = 6 => U = 0,
+    // z = -4.5/sqrt(5.25) = -1.963961 (the 1.96 boundary case)
+    val m1 = Graft.mannWhitney(Seq(
+      ("ctl", 1.0), ("ctl", 2.0), ("ctl", 3.0),
+      ("trt", 4.0), ("trt", 5.0), ("trt", 6.0))
+      .toDF("arm", "metric"), "arm", "metric", "ctl", "trt").collect()(0)
+    assert(m1.getLong(0) === 3L && m1.getLong(1) === 3L)
+    assert(m1.getDouble(2) === 0.0)
+    assert(m1.getDouble(3) === -1.963961)
+    // tie case, hand-computed: a={1,1}, b={1,2} -> doubled ranks 4/8,
+    // R_a=4, U=1, mu=2, t3=24, sig2=(4/12)*(5-24/12)=1 => z=-1
+    val m2 = Graft.mannWhitney(Seq(
+      ("a", 1), ("a", 1), ("b", 1), ("b", 2))
+      .toDF("arm", "v"), "arm", "v", "a", "b").collect()(0)
+    assert(m2.getDouble(2) === 1.0 && m2.getDouble(3) === -1.0)
+  }
+
+  test("kruskalWallis general-k: hand-computed 3-group H; shift detection vs null") {
+    // a={1,2} b={3,4} c={5,6}: H = 12/42*(4.5+24.5+60.5) - 21
+    //   = 4.571429 at 6dp; eps_sq = (H-2)/3 = 0.857143
+    val kw = Graft.kruskalWallis(Seq(
+      ("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5), ("c", 6))
+      .toDF("grp", "v"), "grp", "v").collect()(0)
+    assert(kw.getLong(0) === 6L && kw.getLong(1) === 3L)
+    assert(kw.getDouble(2) === 4.571429 && kw.getDouble(3) === 0.857143)
+    // interleaved (null-ish) groups score far lower than separated ones
+    val nullish = Graft.kruskalWallis(Seq(
+      ("a", 1), ("b", 2), ("c", 3), ("a", 4), ("b", 5), ("c", 6))
+      .toDF("grp", "v"), "grp", "v").collect()(0).getDouble(2)
+    assert(nullish < kw.getDouble(2),
+      s"interleaved groups must score below separated: $nullish")
   }
 
   test("labelPropagate drops self-loop edges: a node's own label never votes") {

@@ -81,7 +81,7 @@ class PlanAssertionsSuite extends SparkSuite {
     // global aggregates produce exactly one row — order vacuous
     val singleRow = Set("q_agg_global", "q_text_chisq", "q_event_abtest",
       "q_event_abtest_t", "q_sql_tpch14", "q_sql_tpch19", "q_sql_tpch6",
-      "q_sql_tpch17", "q_agg_anova",
+      "q_sql_tpch17", "q_agg_anova", "q_agg_kruskal", "q_agg_mwu",
       // global agg × 1-row broadcast count — single row by construction
       "q_graph_assort")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1839,6 +1839,47 @@ class StreamingParitySuite extends SparkSuite {
     assert(fn === graded && fn.nonEmpty)
   }
 
+  test("second-order path tracker: stream == batch == graded q_event_markov2 trigram counts") {
+    // miniEvents trigrams in event_id order — user 1:
+    // click→view→click→click→purchase; user 2:
+    // view→view→click→purchase→purchase→error — 7 trigrams total.
+    val expected = Map(
+      ("click", "view", "click") -> 1L, ("view", "click", "click") -> 1L,
+      ("click", "click", "purchase") -> 1L, ("view", "view", "click") -> 1L,
+      ("view", "click", "purchase") -> 1L,
+      ("click", "purchase", "purchase") -> 1L,
+      ("purchase", "purchase", "error") -> 1L)
+    def toCounts(rows: Array[TrigramStep]): Map[(String, String, String), Long] =
+      rows.groupBy(t => (t.prev2, t.prev1, t.next_type))
+        .map { case (k, v) => k -> v.length.toLong }
+    val batchOut = toCounts(StreamOps.paths2(miniEvents.toDS()).collect())
+    assert(batchOut === expected)
+    // stream: the two-slot state must carry trigrams across micro-batch
+    // boundaries (a trigram spanning three batches still emits once)
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.paths2(ms.toDS())
+      .writeStream.format("memory").queryName("paths2_par")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("paths2_par")
+      .groupBy(col("prev2"), col("prev1"), col("next_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(streamed === expected)
+    // and the stateful extraction aggregates to the graded corpus query
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val fn = toCounts(StreamOps.paths2(events).collect())
+    val graded = graft.queries.EventOps.queries("q_event_markov2")(spark, sf)
+      .collect().map(r => (r.getAs[String]("prev2"), r.getAs[String]("prev1"),
+        r.getAs[String]("next_type")) -> r.getAs[Long]("n")).toMap
+    assert(fn === graded && fn.nonEmpty)
+  }
+
   test("funnel tracker: stream == same function in batch == graded q_event_funnel; order-sensitivity preserved") {
     // mini-events funnel truth: user 1 has view@5, clicks@10/50, purchase@60
     // → full conversion; user 2 has views@0, click@29, purchases@55/60
