@@ -1230,4 +1230,47 @@ object Graft {
       .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"),
         col("sim"))
   }
+
+  /** Canonicalize an arbitrary undirected edge list: self-loops drop,
+    * (a, b)/(b, a) duplicates collapse, output is distinct (a < b). */
+  private def canonEdges(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+
+  /** Triangle census over any undirected edge list (graded
+    * q_graph_triangle's engine, r15): degree-ordered wedge enumeration
+    * (Suri & Vassilvitskii 2011 — work ∝ Σ C(outdeg, 2) bounded by the
+    * graph's degeneracy, so hubs cost nothing as wedge sources). Input
+    * edges are canonicalized (self-loops dropped, duplicates + reverse
+    * orientations collapsed). One row: n_nodes, n_edges, n_wedges,
+    * n_triangles, transitivity = 3·tri∕wedges (6dp, NULL if no wedge).
+    * Persists intermediates — callers clearCache or [[runScoped]]. */
+  def triangleCensus(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame =
+    graft.queries.GraphOps.triangleStatsOn(canonEdges(edges, srcCol, dstCol))
+
+  /** Per-node local clustering coefficient, top-k by triangle count
+    * (graded q_graph_localcc's engine, r15): only nodes in ≥ 1 triangle
+    * appear; local_cc = 2·triᵥ∕(degᵥ·(degᵥ−1)) at 6dp; total
+    * (tri desc, node asc) order makes the k-cut deterministic. */
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String,
+                      k: Int = 20): DataFrame =
+    graft.queries.GraphOps.localCcOn(canonEdges(edges, srcCol, dstCol), k)
+
+  /** KMV (k-minimum-values) distinct-count sketch per group (graded
+    * q_agg_kmv's engine, r15; Bar-Yossef et al. 2002): estimate =
+    * (k−1)·2³²∕h₍ₖ₎ off the k smallest engine-portable md5h32 values,
+    * EXACT below k; ships the exact count and audited err_pct beside
+    * the estimate (the sketch-certificate discipline). At scale the
+    * bottom-k plans as WindowGroupLimit — k-bounded shuffle — while
+    * the exact audit column is the pass the sketch replaces; drop
+    * `n_true`/`err_pct` downstream when running sketch-only. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 256): DataFrame =
+    graft.queries.Aggregates.kmvOn(
+      df.select(col(groupCol).as("g"), col(valueCol).cast("string").as("v")),
+      k)
 }

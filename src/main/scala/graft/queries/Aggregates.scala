@@ -957,8 +957,58 @@ object Aggregates {
           count(lit(1)).as("n_orders"))
         .withColumn("n_active_months", bit_count(col("month_mask")))
         .orderBy(col("o_custkey"))
-    })
+    }),
+
+    // §2.4 KMV distinct-count sketch (r15; Bar-Yossef et al. 2002,
+    // "Counting Distinct Elements in a Data Stream") — the
+    // cardinality member of the sketch family beside QuantileSketch/
+    // HeavyHitters: per return flag, the k = KmvK minimum values of an
+    // engine-portable 32-bit hash of l_partkey estimate the distinct
+    // part count as (k−1)·2³²∕h₍ₖ₎, with the exact count as the graded
+    // audit column (the err_bound discipline: a sketch row ships its
+    // own error). Deterministic end to end: Det.md5h32 (never a
+    // seeded/engine hash), EXACT integer floor division for the
+    // estimate, one audited IEEE division for err_pct at 6dp. Groups
+    // smaller than k take the exact-count branch (the estimator is
+    // exact below k — both tiny-sf scales exercise that branch, sf0.1
+    // the estimating branch). Scale: the (g, h) collapse is ONE
+    // map-side-combining hash agg (shuffle ∝ distinct pairs); the
+    // bottom-k rank filter plans as WindowGroupLimit (per-partition
+    // k-heaps — ≤ k·partitions rows reach the exchange, the whole
+    // point of KMV at 100 TB: the sketch is mergeable, the shuffle is
+    // k-bounded); the countDistinct audit is the expensive exact pass
+    // the sketch REPLACES at scale (kept here as its own certificate).
+    "q_agg_kmv" -> ((s, d) =>
+      kmvOn(T.lineitem(s, d).select(col("l_returnflag").as("g"),
+        col("l_partkey").cast("string").as("v")), KmvK))
   )
+
+  /** q_agg_kmv: sketch size (k minimum hash values per group). */
+  private[graft] val KmvK = 256
+
+  /** q_agg_kmv's engine over any (g, v: string) frame: per group the
+    * KMV estimate off the k minimum md5h32 values, the exact distinct
+    * count as audit, and the audited err_pct. Sub-k groups return the
+    * exact count (the estimator's exact regime). */
+  private[graft] def kmvOn(gv: DataFrame, k: Int): DataFrame = {
+    val hv = gv.select(col("g"), Det.md5h32(col("v")).as("h")).distinct()
+    val w = Window.partitionBy(col("g")).orderBy(col("h").asc)
+    val bot = hv.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_bot"), max(col("h")).as("h_k"))
+    val truth = gv.groupBy(col("g").as("g2"))
+      .agg(countDistinct(col("v")).as("n_true"))
+    bot.join(truth, col("g") === col("g2"))
+      .select(col("g"), col("n_true"), col("h_k"),
+        when(col("n_bot") < k, col("n_bot"))
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) div h_k"))
+          .as("est"))
+      .withColumn("err_pct",
+        round(((col("est") - col("n_true")) * 100).cast("double")
+          / col("n_true").cast("double"), 6))
+      .orderBy(col("g"))
+  }
 
   /** q_agg_mahal's engine over any lineitem-shaped (l_returnflag,
     * l_orderkey, l_linenumber, l_quantity, l_extendedprice) rows —
@@ -2099,6 +2149,29 @@ object Aggregates {
             COUNT(*) AS n_orders,
             CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (month(o_orderdate) - 1)))
                  AS INTEGER) AS n_active_months
-          FROM $ords GROUP BY o_custkey ORDER BY o_custkey"""
+          FROM $ords GROUP BY o_custkey ORDER BY o_custkey""",
+    // Same md5-derived hash both engines; bottom-k via ROW_NUMBER;
+    // exact integer floor-div estimate; sub-k groups take the exact
+    // branch; one audited IEEE division at 6dp.
+    "q_agg_kmv" ->
+      s"""WITH hv AS (SELECT DISTINCT l_returnflag AS g,
+              ${Det.sqlMd5h32("CAST(l_partkey AS VARCHAR)")} AS h
+            FROM $li),
+          bot AS (SELECT g, COUNT(*) AS n_bot, MAX(h) AS h_k
+                  FROM (SELECT g, h, ROW_NUMBER() OVER (
+                          PARTITION BY g ORDER BY h ASC) AS rk FROM hv) z
+                  WHERE rk <= $KmvK GROUP BY g),
+          tr AS (SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS n_true
+                 FROM $li GROUP BY 1),
+          j AS (SELECT tr.g, tr.n_true, bot.h_k,
+                  CASE WHEN bot.n_bot < $KmvK THEN bot.n_bot
+                    ELSE (${KmvK - 1} * 4294967296) // bot.h_k
+                  END AS est
+                FROM tr JOIN bot ON tr.g = bot.g)
+          SELECT g, CAST(n_true AS BIGINT) AS n_true, h_k,
+            CAST(est AS BIGINT) AS est,
+            ROUND(CAST((est - n_true) * 100 AS DOUBLE)
+              / CAST(n_true AS DOUBLE), 6) AS err_pct
+          FROM j ORDER BY g"""
   )
 }

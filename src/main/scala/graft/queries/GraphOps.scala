@@ -45,6 +45,15 @@ object GraphOps {
   /** q_graph_labelprop: synchronous majority-vote rounds. */
   private[graft] val LpRounds = 3
 
+  /** q_graph_triangle / q_graph_localcc: minimum shared-order count for
+    * a co-supplier edge (the co-supplier graph's density is SF-dependent
+    * — at small sf every supplier pair shares orders, at large sf almost
+    * none do; ≥ 4 shared orders keeps the graded graph in the sparse
+    * regime at sf0.1 while the tiny-sf near-cliques stay node-bounded)
+    * and the local-clustering top-k. */
+  private[graft] val TriMinPair = 4
+  private[graft] val LocalCcTopK = 20
+
   /** The graded co-purchase edge list: distinct (part,supplier) pairs
     * computed ONCE, both directed orientations derived from that one
     * aggregate by a map-side explode (never a second raw scan — the r11
@@ -150,6 +159,75 @@ object GraphOps {
       .filter(col("n_common") >= CosimMinCommon)
       .orderBy(col("ra_micro").desc, col("sa").asc, col("sb").asc)
       .limit(LinkTopK)
+  }
+
+  /** The q_graph_triangle/localcc edge list: UNIPARTITE co-supplier
+    * graph — suppliers co-appearing in ≥ `minOrders` orders (the
+    * bipartite co-purchase graph is triangle-free by construction, so
+    * the triangle family needs the one-mode projection). The self-join
+    * runs WITHIN an order: per-order supplier sets are bounded by the
+    * order's line count (≤ 7 in TPC-H-shaped data), so candidates are
+    * ≤ C(7,2) per order — LINEAR in lineitem, never supplier². The
+    * pair count rides the same hash agg that dedups the pair (groupBy
+    * + HAVING, the copurchaseEdgesMin discipline). Output is canonical
+    * (a < b) distinct undirected edges. */
+  private[graft] def cosupplierEdges(s: SparkSession, d: String,
+                                     minOrders: Int): DataFrame = {
+    val os = T.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("sv"))
+      .distinct()
+      .persist() // both self-join sides; caller clearCache
+    os.select(col("o"), col("sv").as("a"))
+      .join(os.select(col("o").as("o2"), col("sv").as("b")),
+        col("o") === col("o2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ord"))
+      .filter(col("n_ord") >= minOrders)
+      .select(col("a"), col("b"))
+  }
+
+  /** Degree-ordered triangle enumeration (the MPC-standard algorithm:
+    * Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of
+    * the Last Reducer") over any canonical (a < b) distinct undirected
+    * edge frame. Each edge is oriented from its lower-(deg, id)
+    * endpoint to its higher one; wedges enumerate ordered out-neighbor
+    * pairs of each source; a wedge closes iff its (b, c) candidate —
+    * already emitted in orientation order — exists as an oriented edge.
+    * Work is Σᵥ C(outdeg(v), 2) with outdeg ≤ O(√m) under degree
+    * orientation — the 100× story: a celebrity hub of degree 10⁶
+    * contributes NOTHING as a source (every edge points INTO it), so
+    * the quadratic term is bounded by the graph's degeneracy, not its
+    * max degree. All-integer; every triangle appears exactly once.
+    *
+    * Returns (triangles(a0, nb, nc), degrees(node, deg)); persists the
+    * edge + oriented frames (multi-consumer) — caller clearCache. */
+  private[graft] def trianglesOn(edges: DataFrame): (DataFrame, DataFrame) = {
+    val e = edges.persist() // degree agg + orientation join
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .persist() // two orientation join-backs + caller stats
+    // a < b always, so (da, a) < (db, b) ⟺ da ≤ db: the lower-key
+    // endpoint of a tied-degree edge is already the lower id.
+    val oriented = e
+      .join(deg.select(col("node").as("na"), col("deg").as("da")),
+        col("a") === col("na"))
+      .join(deg.select(col("node").as("nb2"), col("deg").as("db")),
+        col("b") === col("nb2"))
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("da"), col("db")).as("dd"))
+      .persist() // both wedge-join sides + the closing semi join
+    val cand = oriented.select(col("src"), col("dst").as("nb"), col("dd").as("degb"))
+      .join(oriented.select(col("src").as("s2"), col("dst").as("nc"),
+        col("dd").as("degc")),
+        col("src") === col("s2") &&
+          (col("degb") < col("degc") ||
+            (col("degb") === col("degc") && col("nb") < col("nc"))))
+      .select(col("src").as("a0"), col("nb"), col("nc"))
+    val tris = cand.join(
+      oriented.select(col("src").as("cs"), col("dst").as("cd")),
+      col("nb") === col("cs") && col("nc") === col("cd"), "left_semi")
+    (tris, deg)
   }
 
   val queries: Map[String, Q] = Map(
@@ -310,7 +388,65 @@ object GraphOps {
     // broadcasts the node-sized side at graded scale; ∝ edges
     // otherwise), ONE map-side-combining global agg to 6 power sums,
     // 1-row node count broadcast — output is a single row forever.
-    "q_graph_assort" -> ((s, d) => assortOn(copurchaseEdges(s, d))))
+    "q_graph_assort" -> ((s, d) => assortOn(copurchaseEdges(s, d))),
+
+    // Triangle census + global transitivity (r15) — the third classic
+    // graph sanity number beside degdist/assort: how clustered is the
+    // co-supplier graph? Edges: suppliers sharing ≥ TriMinPair orders
+    // (the one-mode projection — the bipartite co-purchase graph is
+    // triangle-free by construction). Engine: degree-ordered wedge
+    // enumeration (trianglesOn — Suri & Vassilvitskii 2011's MPC
+    // shape; work ∝ Σ C(outdeg,2) with outdeg bounded by degeneracy
+    // under the orientation, so a 10⁶-degree hub costs nothing as a
+    // wedge source). All counts exact integers; wedges = Σ deg(deg−1)/2
+    // in exact integer floor-div (deg(deg−1) is even); transitivity =
+    // 3·tri∕wedges is ONE IEEE division of exact ints, 6dp, NULL when
+    // the graph has no wedge. Single global row via broadcast 1-row
+    // crossJoins (the assort/cut-table discipline).
+    "q_graph_triangle" -> ((s, d) =>
+      triangleStatsOn(cosupplierEdges(s, d, TriMinPair))),
+
+    // Local clustering coefficient, top-k (r15) — WHERE the closure
+    // lives: per-node triangle counts (each enumerated triangle
+    // credits its 3 corners once) joined to true degrees; local_cc =
+    // 2·triᵥ∕(degᵥ·(degᵥ−1)), the Watts-Strogatz per-node form. Only
+    // nodes in ≥ 1 triangle appear (documented; the zero rows carry no
+    // ranking signal). Top-k by (tri desc, node asc) — a TOTAL order
+    // (node unique), so the limit cut is deterministic — plans as
+    // TakeOrderedAndProject (per-partition k-heaps, no full sort).
+    "q_graph_localcc" -> ((s, d) =>
+      localCcOn(cosupplierEdges(s, d, TriMinPair), LocalCcTopK)))
+
+  /** q_graph_triangle's engine over any canonical (a < b) distinct
+    * undirected edge frame — single global census row. */
+  private[graft] def triangleStatsOn(edges: DataFrame): DataFrame = {
+    val (tris, deg) = trianglesOn(edges)
+    val nn = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    val ne = deg.agg(expr("sum(deg) div 2").as("n_edges"))
+    val nt = tris.agg(count(lit(1)).as("n_triangles"))
+    nn.crossJoin(broadcast(ne)).crossJoin(broadcast(nt))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round((lit(3) * col("n_triangles")).cast("double")
+            / col("n_wedges").cast("double"), 6)).as("transitivity"))
+  }
+
+  /** q_graph_localcc's engine: per-node triangle credit + Watts-Strogatz
+    * local clustering, top-k by (tri desc, node asc). */
+  private[graft] def localCcOn(edges: DataFrame, k: Int): DataFrame = {
+    val (tris, deg) = trianglesOn(edges)
+    tris.select(explode(array(col("a0"), col("nb"), col("nc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      .join(deg, Seq("node"))
+      .select(col("node"), col("deg"), col("tri"),
+        round((lit(2) * col("tri")).cast("double")
+          / (col("deg") * (col("deg") - 1)).cast("double"), 6)
+          .as("local_cc"))
+      .orderBy(col("tri").desc, col("node").asc)
+      .limit(k)
+  }
 
   /** q_graph_assort's engine over any directed (src, dst) edge list —
     * extracted for the planted star/regular fixtures. */
@@ -606,5 +742,74 @@ object GraphOps {
                    * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
             END AS assort
-          FROM g CROSS JOIN nn""")
+          FROM g CROSS JOIN nn""",
+    // Mirrors trianglesOn stage for stage: per-order co-supplier pairs
+    // (bounded by order width) → ≥ TriMinPair threshold → degrees →
+    // degree orientation (a < b canonical, so da ≤ db picks src) →
+    // ordered wedge pairs → closing-edge join. All-integer until the
+    // single transitivity division.
+    "q_graph_triangle" ->
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sv
+            FROM $li),
+          e AS (SELECT x.sv AS a, y.sv AS b
+                FROM os x JOIN os y ON x.o = y.o AND x.sv < y.sv
+                GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinPair),
+          deg AS (SELECT node, COUNT(*) AS deg FROM (
+                    SELECT a AS node FROM e
+                    UNION ALL SELECT b FROM e) z GROUP BY node),
+          o AS (SELECT
+                  CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS src,
+                  CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS dst,
+                  GREATEST(da.deg, db.deg) AS dd
+                FROM e JOIN deg da ON e.a = da.node
+                       JOIN deg db ON e.b = db.node),
+          tri AS (SELECT t1.src AS a0, t1.dst AS nb, t2.dst AS nc
+                  FROM o t1 JOIN o t2 ON t1.src = t2.src
+                   AND (t1.dd < t2.dd OR (t1.dd = t2.dd AND t1.dst < t2.dst))
+                  WHERE EXISTS (SELECT 1 FROM o cl
+                    WHERE cl.src = t1.dst AND cl.dst = t2.dst)),
+          nn AS (SELECT COUNT(*) AS n_nodes,
+                   SUM((deg * (deg - 1)) // 2) AS n_wedges FROM deg),
+          ne AS (SELECT COUNT(*) AS n_edges FROM e),
+          nt AS (SELECT COUNT(*) AS n_triangles FROM tri)
+          SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+            CAST(n_edges AS BIGINT) AS n_edges,
+            CAST(n_wedges AS BIGINT) AS n_wedges,
+            CAST(n_triangles AS BIGINT) AS n_triangles,
+            CASE WHEN n_wedges > 0 THEN
+              ROUND(CAST(3 * n_triangles AS DOUBLE)
+                / CAST(n_wedges AS DOUBLE), 6) END AS transitivity
+          FROM nn CROSS JOIN ne CROSS JOIN nt""",
+    // Same machinery; each triangle credits its 3 corners, true degree
+    // joins back, one division, total (tri desc, node asc) order.
+    "q_graph_localcc" ->
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sv
+            FROM $li),
+          e AS (SELECT x.sv AS a, y.sv AS b
+                FROM os x JOIN os y ON x.o = y.o AND x.sv < y.sv
+                GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinPair),
+          deg AS (SELECT node, COUNT(*) AS deg FROM (
+                    SELECT a AS node FROM e
+                    UNION ALL SELECT b FROM e) z GROUP BY node),
+          o AS (SELECT
+                  CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS src,
+                  CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS dst,
+                  GREATEST(da.deg, db.deg) AS dd
+                FROM e JOIN deg da ON e.a = da.node
+                       JOIN deg db ON e.b = db.node),
+          tri AS (SELECT t1.src AS a0, t1.dst AS nb, t2.dst AS nc
+                  FROM o t1 JOIN o t2 ON t1.src = t2.src
+                   AND (t1.dd < t2.dd OR (t1.dd = t2.dd AND t1.dst < t2.dst))
+                  WHERE EXISTS (SELECT 1 FROM o cl
+                    WHERE cl.src = t1.dst AND cl.dst = t2.dst)),
+          tv AS (SELECT node, COUNT(*) AS tri FROM (
+                   SELECT a0 AS node FROM tri
+                   UNION ALL SELECT nb FROM tri
+                   UNION ALL SELECT nc FROM tri) z GROUP BY node)
+          SELECT tv.node, CAST(deg.deg AS BIGINT) AS deg,
+            CAST(tv.tri AS BIGINT) AS tri,
+            ROUND(CAST(2 * tv.tri AS DOUBLE)
+              / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6) AS local_cc
+          FROM tv JOIN deg ON tv.node = deg.node
+          ORDER BY tri DESC, tv.node ASC LIMIT $LocalCcTopK""")
 }

@@ -1101,4 +1101,26 @@ class PlanAssertionsSuite extends SparkSuite {
       !q15.contains("BroadcastNestedLoopJoin"),
       s"tpch15 degenerated:\n$q15")
   }
+
+  test("q_graph_triangle / q_graph_localcc (r15): wedge join stays an equi-join; top-k is TakeOrderedAndProject") {
+    // Degree-ordered enumeration: the only allowed quadratic is the
+    // within-source wedge join (equi on src). A cartesian — e.g. a
+    // regression that drops the src equi-key and leaves only the
+    // ordering conjunct — is the 100 TB killer pinned here.
+    val t = planString(q("q_graph_triangle"))
+    assert(!t.contains("CartesianProduct"), s"triangle cartesian:\n$t")
+    spark.catalog.clearCache()
+    val l = planString(q("q_graph_localcc"))
+    assert(!l.contains("CartesianProduct"), s"localcc cartesian:\n$l")
+    assert(l.contains("TakeOrderedAndProject"),
+      s"localcc top-k not take-ordered:\n$l")
+    spark.catalog.clearCache()
+  }
+
+  test("q_agg_kmv (r15): bottom-k ranks as WindowGroupLimit — the k-bounded-shuffle contract") {
+    val p = planString(q("q_agg_kmv"))
+    assert(p.contains("WindowGroupLimit"),
+      s"kmv bottom-k not group-limited:\n$p")
+    assert(!p.contains("CartesianProduct"), s"kmv cartesian:\n$p")
+  }
 }

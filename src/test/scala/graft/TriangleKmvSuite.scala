@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior pins for the r15 triangle census family (GraphOps.trianglesOn
+  * / triangleStatsOn / localCcOn, oracle parity in q_graph_triangle /
+  * q_graph_localcc) and the KMV distinct sketch (Aggregates.kmvOn, oracle
+  * parity in q_agg_kmv). Planted closed-form graphs + a brute-force
+  * mirror law + a JVM hash replay of the KMV estimator. */
+class TriangleKmvSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def census(edges: Seq[(Long, Long)]) = {
+    val r = Graft.triangleCensus(edges.toDF("s", "t"), "s", "t").collect()(0)
+    spark.catalog.clearCache()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) Double.NaN else r.getDouble(4))
+  }
+
+  test("K4: every wedge closes — transitivity exactly 1") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(census(k4) === ((4L, 6L, 12L, 4L, 1.0)))
+  }
+
+  test("4-cycle: wedges but no triangle — transitivity exactly 0") {
+    assert(census(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
+      === ((4L, 4L, 4L, 0L, 0.0)))
+  }
+
+  test("edgeless-wedge graph (single edge): transitivity is NULL, not 0/0") {
+    val (n, e, w, t, tr) = census(Seq(1L -> 2L))
+    assert((n, e, w, t) === ((2L, 1L, 0L, 0L)))
+    assert(tr.isNaN, "no wedge -> NULL transitivity (guarded division)")
+  }
+
+  test("bowtie (two triangles sharing an edge): 2 triangles, 8 wedges, 0.75") {
+    val bt = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(census(bt) === ((4L, 5L, 8L, 2L, 0.75)))
+  }
+
+  test("star hub: zero triangles; the hub is never a wedge source") {
+    // degree orientation points every spoke INTO the hub, so the 10⁶-hub
+    // cost argument reduces to: out-degree of the hub is 0.
+    val star = (2L to 9L).map(i => 1L -> i)
+    val (n, e, w, t, tr) = census(star)
+    assert((n, e, w, t) === ((9L, 8L, 28L, 0L)))
+    assert(tr === 0.0)
+  }
+
+  test("canonicalization: self-loops, duplicates, reversed orientations") {
+    val messy = Seq(1L -> 2L, 2L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L,
+      2L -> 2L)
+    assert(census(messy) === ((3L, 3L, 3L, 1L, 1.0)),
+      "messy input must census like the clean triangle")
+  }
+
+  test("brute-force mirror: pseudo-random 30-node graph") {
+    val n = 30L
+    val edges = for {
+      i <- 1L until n; j <- (i + 1) to n
+      if (i * 7 + j * 13) % 5 == 0
+    } yield (i, j)
+    val adj = edges.toSet
+    def has(a: Long, b: Long) = adj.contains((a min b, a max b))
+    val brute = (for {
+      a <- 1L to n; b <- (a + 1) to n; c <- (b + 1) to n
+      if has(a, b) && has(a, c) && has(b, c)
+    } yield 1).size.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val (nn, ne, nw, nt, _) = census(edges)
+    assert(ne === edges.size.toLong)
+    assert(nn === deg.size.toLong)
+    assert(nw === wedges)
+    assert(nt === brute, s"engine $nt vs brute-force $brute triangles")
+  }
+
+  test("localcc: bowtie per-node coefficients and total-order ranking") {
+    val bt = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val got = Graft.localClustering(bt.toDF("s", "t"), "s", "t", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    spark.catalog.clearCache()
+    // shared-edge nodes 2,3: deg 3, 2 triangles, cc = 4/6; outer 1,4:
+    // deg 2, 1 triangle, cc = 1. Rank: (tri desc, node asc).
+    assert(got.toSeq === Seq((2L, 3L, 2L, 0.666667), (3L, 3L, 2L, 0.666667),
+      (1L, 2L, 1L, 1.0), (4L, 2L, 1L, 1.0)))
+  }
+
+  // --- KMV ---
+
+  /** JVM replay of Det.md5h32: first 8 hex chars of md5(utf8) as long. */
+  private def jvmH32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  private def kmv(pairs: Seq[(String, String)], k: Int) =
+    Graft.kmvDistinct(pairs.toDF("g", "v"), "g", "v", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
+  test("KMV estimating branch replays the JVM hash-sort formula exactly") {
+    val vals = (1 to 2000).map(_.toString)
+    val k = 64
+    val hk = vals.map(jvmH32).distinct.sorted.apply(k - 1)
+    val expectEst = (k - 1).toLong * 4294967296L / hk
+    assert(kmv(vals.map(("a", _)), k)
+      === Seq(("a", 2000L, hk, expectEst)))
+    // 1/sqrt(k) standard error: 2000 ± ~3 sigma
+    assert(math.abs(expectEst - 2000L) < 800,
+      s"estimate $expectEst implausibly far from 2000")
+  }
+
+  test("KMV sub-k groups are exact; duplicates never perturb the sketch") {
+    val base = (1 to 100).map(i => ("b", i.toString))
+    val dups = base ++ base ++ base
+    val Seq((g, nTrue, _, est)) = kmv(dups, 256)
+    assert((g, nTrue, est) === (("b", 100L, 100L)),
+      "below k the estimator IS the exact count")
+  }
+
+  test("KMV per-group independence: mixed sub-k and super-k groups") {
+    val a = (1 to 3000).map(i => ("big", "x" + i))
+    val b = (1 to 10).map(i => ("small", "y" + i))
+    val gotMap = kmv(a ++ b, 32).map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(gotMap("small") === ((10L, 10L)))
+    val (bt, be) = gotMap("big")
+    assert(bt === 3000L)
+    assert(be > 1500L && be < 6000L, s"k=32 estimate $be off 3000 by > 2x")
+  }
+}
