@@ -61,6 +61,16 @@ object Det {
   def sqlMd5h32(x: String): String =
     s"('0x' || substr(md5($x), 1, 8))::BIGINT"
 
+  /** JVM twin of [[md5h32]] for Scala-side code (streaming state folds
+    * hash inside the executor): first 8 hex chars of md5(utf8) as a
+    * long — bit-identical to the Column and SQL forms (pinned by the
+    * TriangleKmvSuite mirror law). */
+  def jvmMd5h32(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
   /** Oracle table reference. The driver is expected to bind bare table
     * names as DuckDB views over the sf parquet dir (SURVEY §2 preamble);
     * one edit here switches every oracle to read_parquet(...) if round-1

@@ -1345,7 +1345,46 @@ object EventOps {
     // types × 9) → share from a ≤9-row type-partitioned window over
     // that Aggregate (§7.4.12 bounded), single unrounded IEEE
     // division.
-    "q_event_benford" -> ((s, d) => benfordOn(T.events(s, d)))
+    "q_event_benford" -> ((s, d) => benfordOn(T.events(s, d))),
+
+    // Case-control 2×2 association (r15) — the epidemiology triple
+    // (odds ratio ∕ risk ratio ∕ risk difference) beside q_event_abtest's
+    // z test: over (user, day) exposure units, exposure = ≥ 1 'error'
+    // event that day, outcome = ≥ 1 'purchase' — "do error days convert
+    // worse?". The day grain (not per-user) keeps all four cells
+    // populated at every sf (a 67-event user has every flag; a 2-event
+    // day does not). Determinism: cells are exact integer sums off ONE
+    // map-side-combining (user, day) collapse (shuffle ∝ user-days,
+    // then O(1)); each ratio is a pinned IEEE chain over double-cast
+    // exact ints — cross-products as double·double (scale-safe where an
+    // int64 product would overflow at 10¹² units — IEEE multiply is
+    // deterministic, overflow is not), 6dp once; structural NULL guards
+    // on empty margins; risk_diff takes the near-zero "+ 0.0" (−0.0 vs
+    // +0.0 cross-engine, the r15 wave-B lesson).
+    "q_event_oddsratio" -> ((s, d) => {
+      val ud = T.events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(max(when(col("event_type") === "error", 1).otherwise(0)).as("ex"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("oc"))
+      val cells = ud.agg(
+        sum(when(col("ex") === 1 && col("oc") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("ex") === 1 && col("oc") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("ex") === 0 && col("oc") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("ex") === 0 && col("oc") === 0, 1L).otherwise(0L)).as("n00"))
+      def dbl(c: String) = col(c).cast("double")
+      cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        when(col("n10") > 0 && col("n01") > 0,
+          round((dbl("n11") * dbl("n00")) / (dbl("n10") * dbl("n01")), 6))
+          .as("odds_ratio"),
+        when(col("n01") > 0 && col("n11") + col("n10") > 0,
+          round((dbl("n11") * (dbl("n01") + dbl("n00")))
+            / (dbl("n01") * (dbl("n11") + dbl("n10"))), 6))
+          .as("risk_ratio"),
+        when(col("n11") + col("n10") > 0 && col("n01") + col("n00") > 0,
+          round(dbl("n11") / (dbl("n11") + dbl("n10"))
+            - dbl("n01") / (dbl("n01") + dbl("n00")), 6) + lit(0.0))
+          .as("risk_diff"))
+    })
   )
 
   /** q_event_benford's engine over any (event_type, value) frame —
@@ -2700,6 +2739,40 @@ object EventOps {
             CAST(n AS DOUBLE)
               / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
               AS share
-          FROM g ORDER BY event_type, digit"""
+          FROM g ORDER BY event_type, digit""",
+    // Exact-integer cells off the (user, day) collapse; ratios are the
+    // identical double chains (cross-products in the double domain);
+    // risk_diff takes the near-zero + 0.0 on both engines.
+    "q_event_oddsratio" ->
+      s"""WITH ud AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+              MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ex,
+              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS oc
+            FROM $evt GROUP BY 1, 2),
+          c AS (SELECT
+              SUM(CASE WHEN ex = 1 AND oc = 1 THEN 1 ELSE 0 END) AS n11,
+              SUM(CASE WHEN ex = 1 AND oc = 0 THEN 1 ELSE 0 END) AS n10,
+              SUM(CASE WHEN ex = 0 AND oc = 1 THEN 1 ELSE 0 END) AS n01,
+              SUM(CASE WHEN ex = 0 AND oc = 0 THEN 1 ELSE 0 END) AS n00
+            FROM ud)
+          SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+            CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+            CASE WHEN n10 > 0 AND n01 > 0 THEN
+              ROUND((CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE))
+                / (CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE)), 6)
+            END AS odds_ratio,
+            CASE WHEN n01 > 0 AND n11 + n10 > 0 THEN
+              ROUND((CAST(n11 AS DOUBLE)
+                     * (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE)))
+                / (CAST(n01 AS DOUBLE)
+                   * (CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE))), 6)
+            END AS risk_ratio,
+            CASE WHEN n11 + n10 > 0 AND n01 + n00 > 0 THEN
+              ROUND(CAST(n11 AS DOUBLE)
+                  / (CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE))
+                - CAST(n01 AS DOUBLE)
+                  / (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE)), 6) + 0.0
+            END AS risk_diff
+          FROM c"""
   )
 }

@@ -198,9 +198,11 @@ object GraphOps {
     * the quadratic term is bounded by the graph's degeneracy, not its
     * max degree. All-integer; every triangle appears exactly once.
     *
-    * Returns (triangles(a0, nb, nc), degrees(node, deg)); persists the
-    * edge + oriented frames (multi-consumer) — caller clearCache. */
-  private[graft] def trianglesOn(edges: DataFrame): (DataFrame, DataFrame) = {
+    * Returns (triangles(a0, nb, nc), degrees(node, deg), the persisted
+    * canonical edge frame); persists the edge + oriented frames
+    * (multi-consumer) — caller clearCache. */
+  private[graft] def trianglesOn(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = edges.persist() // degree agg + orientation join
     val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -227,7 +229,7 @@ object GraphOps {
     val tris = cand.join(
       oriented.select(col("src").as("cs"), col("dst").as("cd")),
       col("nb") === col("cs") && col("nc") === col("cd"), "left_semi")
-    (tris, deg)
+    (tris, deg, e)
   }
 
   val queries: Map[String, Q] = Map(
@@ -415,12 +417,46 @@ object GraphOps {
     // (node unique), so the limit cut is deterministic — plans as
     // TakeOrderedAndProject (per-partition k-heaps, no full sort).
     "q_graph_localcc" -> ((s, d) =>
-      localCcOn(cosupplierEdges(s, d, TriMinPair), LocalCcTopK)))
+      localCcOn(cosupplierEdges(s, d, TriMinPair), LocalCcTopK)),
+
+    // Edge-support (truss) histogram (r15) — the EDGE-grain closure
+    // profile completing the triangle family: support(e) = number of
+    // triangles containing e (the quantity k-truss decomposition peels
+    // on; Cohen 2008). Ships as the (support, n_edges) histogram —
+    // support 0 edges included via the left join (they're the
+    // candidate-prune population a truss peel drops first). Same ONE
+    // trianglesOn enumeration: 3 edge credits per triangle explode
+    // map-side → hash agg ∝ distinct edges → left join back onto the
+    // persisted edge frame → histogram agg ∝ distinct supports.
+    // All-integer end to end — no float anywhere.
+    "q_graph_truss" -> ((s, d) =>
+      trussOn(cosupplierEdges(s, d, TriMinPair))))
+
+  /** q_graph_truss's engine: per-edge triangle support histogram over
+    * any canonical (a < b) distinct undirected edge frame. Triangle
+    * corners arrive in orientation (deg, id) order, so each of the 3
+    * edges re-canonicalizes by id before the count. */
+  private[graft] def trussOn(edges: DataFrame): DataFrame = {
+    val (tris, _, e) = trianglesOn(edges)
+    val sup = tris.select(explode(array(
+        struct(least(col("a0"), col("nb")).as("x"),
+          greatest(col("a0"), col("nb")).as("y")),
+        struct(least(col("a0"), col("nc")).as("x"),
+          greatest(col("a0"), col("nc")).as("y")),
+        struct(least(col("nb"), col("nc")).as("x"),
+          greatest(col("nb"), col("nc")).as("y")))).as("t"))
+      .select(col("t.x").as("x"), col("t.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
+    e.join(sup, col("a") === col("x") && col("b") === col("y"), "left")
+      .select(coalesce(col("support"), lit(0L)).as("support"))
+      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("support"))
+  }
 
   /** q_graph_triangle's engine over any canonical (a < b) distinct
     * undirected edge frame — single global census row. */
   private[graft] def triangleStatsOn(edges: DataFrame): DataFrame = {
-    val (tris, deg) = trianglesOn(edges)
+    val (tris, deg, _) = trianglesOn(edges)
     val nn = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
     val ne = deg.agg(expr("sum(deg) div 2").as("n_edges"))
@@ -436,7 +472,7 @@ object GraphOps {
   /** q_graph_localcc's engine: per-node triangle credit + Watts-Strogatz
     * local clustering, top-k by (tri desc, node asc). */
   private[graft] def localCcOn(edges: DataFrame, k: Int): DataFrame = {
-    val (tris, deg) = trianglesOn(edges)
+    val (tris, deg, _) = trianglesOn(edges)
     tris.select(explode(array(col("a0"), col("nb"), col("nc"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
       .join(deg, Seq("node"))
@@ -811,5 +847,38 @@ object GraphOps {
             ROUND(CAST(2 * tv.tri AS DOUBLE)
               / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6) AS local_cc
           FROM tv JOIN deg ON tv.node = deg.node
-          ORDER BY tri DESC, tv.node ASC LIMIT $LocalCcTopK""")
+          ORDER BY tri DESC, tv.node ASC LIMIT $LocalCcTopK""",
+    // Same triangle chain; 3 id-canonicalized edge credits per
+    // triangle, support-0 edges kept via the left join; all-integer.
+    "q_graph_truss" ->
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sv
+            FROM $li),
+          e AS (SELECT x.sv AS a, y.sv AS b
+                FROM os x JOIN os y ON x.o = y.o AND x.sv < y.sv
+                GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinPair),
+          deg AS (SELECT node, COUNT(*) AS deg FROM (
+                    SELECT a AS node FROM e
+                    UNION ALL SELECT b FROM e) z GROUP BY node),
+          o AS (SELECT
+                  CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS src,
+                  CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS dst,
+                  GREATEST(da.deg, db.deg) AS dd
+                FROM e JOIN deg da ON e.a = da.node
+                       JOIN deg db ON e.b = db.node),
+          tri AS (SELECT t1.src AS a0, t1.dst AS nb, t2.dst AS nc
+                  FROM o t1 JOIN o t2 ON t1.src = t2.src
+                   AND (t1.dd < t2.dd OR (t1.dd = t2.dd AND t1.dst < t2.dst))
+                  WHERE EXISTS (SELECT 1 FROM o cl
+                    WHERE cl.src = t1.dst AND cl.dst = t2.dst)),
+          sup AS (SELECT x, y, COUNT(*) AS support FROM (
+                    SELECT LEAST(a0, nb) AS x, GREATEST(a0, nb) AS y FROM tri
+                    UNION ALL
+                    SELECT LEAST(a0, nc), GREATEST(a0, nc) FROM tri
+                    UNION ALL
+                    SELECT LEAST(nb, nc), GREATEST(nb, nc) FROM tri) z
+                  GROUP BY x, y)
+          SELECT COALESCE(sup.support, 0) AS support,
+            COUNT(*) AS n_edges
+          FROM e LEFT JOIN sup ON e.a = sup.x AND e.b = sup.y
+          GROUP BY 1 ORDER BY support""")
 }

@@ -69,6 +69,11 @@ object LlmOps {
   private[graft] val NumHashes = 64
   private[graft] val Bands = 8
   private[graft] val RowsPerBand = NumHashes / Bands
+
+  /** q_llm_lshtune: the (bands, rows-per-band) sweep — strict → loose
+    * recall around the graded (8, 8) operating point; each must divide
+    * [[NumHashes]]. */
+  private[graft] val LshTuneSchemes = Seq((4, 16), (8, 8), (16, 4))
   private[graft] val MinHashEstSim = 0.5
 
   /** Universal-hash family h_i(x) = (a_i·x + b_i) mod p over a 31-bit
@@ -1389,6 +1394,68 @@ object LlmOps {
         .orderBy(col("est_bin"), col("true_bin"))
     }),
 
+    // LSH banding-parameter sweep (r15) — the tuning companion to
+    // q_llm_minhashconf: the SAME 64-hash signature re-banded three
+    // ways ((4,16) strict → (8,8) graded → (16,4) loose), per scheme
+    // the candidate-pair count and how many clear the est ≥ 0.5 dedup
+    // bar — the measured S-curve trade (more bands ⇒ higher recall,
+    // lower precision) that justifies the operating point instead of
+    // folklore. Determinism: the est ≥ 0.5 test is the EXACT integer
+    // compare matches·2 ≥ 64 (never a float threshold); hit_rate is
+    // ONE IEEE division at 6dp; the scheme dimension is a literal
+    // 3-row frame LEFT-joined so a candidate-less strict scheme still
+    // ships its zero row. Scale: one signature scan feeds all three
+    // bandings (3× band rows, same postings discipline as the graded
+    // banding); candidates come from equi-joins on (scheme, band,
+    // key) — never all-pairs; the signature join-backs are
+    // one-row-per-doc; output is 3 rows forever.
+    "q_llm_lshtune" -> ((s, d) => {
+      graft.functions.MinHashSig.register(s, hashA.toSeq, hashB.toSeq, HashP)
+      val sig = minhashSig(T.documents(s, d), "native").persist()
+      val buckets = LshTuneSchemes.map { case (nb, rpb) =>
+        def bandKey(bd: Int): Column = md5(concat_ws("#",
+          (bd * rpb until (bd + 1) * rpb).map(i => col(s"m$i")): _*))
+        sig.select(lit(nb).as("nb"), col("doc_id"),
+          posexplode(array((0 until nb).map(bandKey): _*))
+            .as(Seq("band", "bkey")))
+      }.reduce(_ unionByName _).persist()
+      val cand = buckets
+        .select(col("nb"), col("doc_id").as("doc_a"), col("band"),
+          col("bkey"))
+        .join(buckets.select(col("nb").as("nb2"),
+          col("doc_id").as("doc_b"), col("band").as("band_b"),
+          col("bkey").as("bkey_b")),
+          col("nb") === col("nb2") && col("band") === col("band_b")
+            && col("bkey") === col("bkey_b")
+            && col("doc_a") < col("doc_b"))
+        .select(col("nb"), col("doc_a"), col("doc_b")).distinct()
+      val a = sig.select(sig.columns.map(c => col(c).as(s"a_$c")): _*)
+      val b = sig.select(sig.columns.map(c => col(c).as(s"b_$c")): _*)
+      val matches = (0 until NumHashes).map(i =>
+        when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val agg = cand
+        .join(a, col("doc_a") === col("a_doc_id"))
+        .join(b, col("doc_b") === col("b_doc_id"))
+        .select(col("nb"), matches.as("m"))
+        .groupBy(col("nb"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("m") * 2 >= NumHashes, 1L).otherwise(0L))
+            .as("n_est_hi"))
+      val dims = LshTuneSchemes.map { case (nb, rpb) =>
+        s.range(1).select(lit(nb).as("n_bands"),
+          lit(rpb).as("rows_per_band"))
+      }.reduce(_ unionByName _)
+      dims.join(agg, col("n_bands") === col("nb"), "left")
+        .select(col("n_bands"), col("rows_per_band"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_est_hi"), lit(0L)).as("n_est_hi"),
+          when(coalesce(col("n_cand"), lit(0L)) > 0,
+            round(col("n_est_hi").cast("double")
+              / col("n_cand").cast("double"), 6)).as("hit_rate"))
+        .orderBy(col("n_bands"))
+    }),
+
     // Cross-source duplication matrix (r15) — corpus governance's
     // "who copies whom": for every source pair, how many distinct
     // BOILERPLATE KEYS (the q_llm_prefixdup 32-char prefix — exact
@@ -2161,6 +2228,64 @@ object LlmOps {
             CAST(floor(tj * 10) AS INTEGER) AS true_bin,
             COUNT(*) AS n_pairs
           FROM tj GROUP BY 1, 2 ORDER BY est_bin, true_bin"""
+    },
+    // One sig CTE feeds all three bandings; candidates equi-join on
+    // (scheme, band, key); est >= 0.5 is the exact matches*2 >= 64
+    // integer test; the VALUES dim keeps candidate-less schemes as
+    // zero rows.
+    "q_llm_lshtune" -> {
+      val mins = (0 until NumHashes).map(i =>
+        s"MIN((${hashA(i)} * x + ${hashB(i)}) % $HashP) AS m$i")
+        .mkString(",\n              ")
+      val bandSelects = LshTuneSchemes.flatMap { case (nb, rpb) =>
+        (0 until nb).map { bd =>
+          val ms = (bd * rpb until (bd + 1) * rpb)
+            .map(i => s"CAST(m$i AS VARCHAR)").mkString(", ")
+          s"SELECT doc_id, $nb AS nb, $bd AS band, md5(concat_ws('#', $ms)) AS bkey FROM sig"
+        }
+      }.mkString("\n            UNION ALL ")
+      val matches = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val dimVals = LshTuneSchemes
+        .map { case (nb, rpb) => s"($nb, $rpb)" }.mkString(", ")
+      s"""WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM $doc
+            WHERE len(string_split(text, ' ')) >= 3),
+          toks AS (
+            SELECT doc_id,
+              ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x
+            FROM (SELECT doc_id, UNNEST($shingleSql) AS tok FROM base) u),
+          sig AS (
+            SELECT doc_id,
+              $mins
+            FROM toks GROUP BY doc_id),
+          buckets AS (
+            $bandSelects),
+          cand AS (
+            SELECT DISTINCT x.nb, x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.nb = y.nb AND x.band = y.band AND x.bkey = y.bkey
+                AND x.doc_id < y.doc_id),
+          m AS (
+            SELECT nb, ($matches) AS m
+            FROM cand JOIN sig sa ON doc_a = sa.doc_id
+                      JOIN sig sb ON doc_b = sb.doc_id),
+          agg AS (
+            SELECT nb, COUNT(*) AS n_cand,
+              SUM(CASE WHEN m * 2 >= $NumHashes THEN 1 ELSE 0 END)
+                AS n_est_hi
+            FROM m GROUP BY nb),
+          dims AS (SELECT * FROM (VALUES $dimVals)
+                   AS t(n_bands, rows_per_band))
+          SELECT d.n_bands, d.rows_per_band,
+            CAST(COALESCE(a.n_cand, 0) AS BIGINT) AS n_cand,
+            CAST(COALESCE(a.n_est_hi, 0) AS BIGINT) AS n_est_hi,
+            CASE WHEN COALESCE(a.n_cand, 0) > 0 THEN
+              ROUND(CAST(a.n_est_hi AS DOUBLE)
+                / CAST(a.n_cand AS DOUBLE), 6) END AS hit_rate
+          FROM dims d LEFT JOIN agg a ON d.n_bands = a.nb
+          ORDER BY d.n_bands"""
     },
     // Per-hash source groups are tiny (≤ |sources|), so the self-join
     // stays linear in distinct contents; jaccard one exact-int division.

@@ -184,6 +184,13 @@ case class KllState(n: Long, parity: Seq[Boolean], levels: Seq[Seq[Double]])
 case class QuantOut(user_id: Long, n: Long, p50: Double, p90: Double,
                     err_bound: Double)
 
+/** KMV sketch state: ≤ k distinct minimum hashes, sorted ascending. */
+case class KmvState(hs: Seq[Long])
+
+/** Running per-type distinct-cardinality readout: sketch fill, k-th
+  * minimum hash, and the KMV estimate (exact below k). */
+case class KmvOut(event_type: String, n_bot: Long, h_k: Long, est: Long)
+
 case class TopkState(sums: Map[Long, Long], n: Long)
 
 case class TopkOut(window_us: Long, rk: Int, user_id: Long, value: Double,
@@ -444,6 +451,42 @@ object StreamOps {
           if (s.n == 0L) Iterator.empty
           else Iterator.single(QuantOut(user, s.n,
             s.quantile(0.5).get, s.quantile(0.9).get, s.errBound))
+      }
+  }
+
+  /** Streaming KMV distinct-cardinality tracker — the stateful twin of
+    * q_agg_kmv's batch sketch (r15): per event type, the k minimum
+    * [[graft.Det.jvmMd5h32]] values of the user-id stream estimate the
+    * distinct-user count as (k−1)·2³²∕h₍ₖ₎ (exact below k). State is
+    * O(k) longs per key FOREVER — the bounded-state story an exact
+    * streaming distinct count (state ∝ distinct values) cannot offer.
+    * KMV is a pure function of the value SET: insertion order, batch
+    * splits, duplicates, and replay/restart cannot change it, so NO
+    * within-batch sort is needed (unlike the ewma-class monitors) and
+    * stream ≡ batch holds bit-for-bit by construction — pinned against
+    * batch kmvOn in the parity suite. Per-event work is O(k) on the
+    * tiny sorted vector (k ≤ 256; a fill-rate miss exits on the first
+    * compare because the max sits last). Update mode: one readout row
+    * per touched key per batch. */
+  def kmvMonitor(events: Dataset[Event], k: Int = 256): Dataset[KmvOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[Event], state: GroupState[KmvState]) =>
+          var hs = state.getOption.map(_.hs.toVector)
+            .getOrElse(Vector.empty[Long])
+          it.foreach { e =>
+            val h = graft.Det.jvmMd5h32(e.user_id.toString)
+            if ((hs.size < k || h < hs.last) && !hs.contains(h)) {
+              val grown = if (hs.size < k) hs :+ h else hs.init :+ h
+              hs = grown.sorted
+            }
+          }
+          state.update(KmvState(hs))
+          if (hs.isEmpty) Iterator.empty
+          else Iterator.single(KmvOut(tp, hs.size.toLong, hs.last,
+            if (hs.size < k) hs.size.toLong
+            else (k - 1).toLong * 4294967296L / hs.last))
       }
   }
 

@@ -88,6 +88,16 @@ class TriangleKmvSuite extends SparkSuite {
       (1L, 2L, 1L, 1.0), (4L, 2L, 1L, 1.0)))
   }
 
+  test("truss histogram: bowtie shared edge carries support 2; pendant edge keeps support 0") {
+    val bt = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L)
+    val got = graft.queries.GraphOps.trussOn(bt.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.catalog.clearCache()
+    // (4,5) closes nothing -> support 0; the shared (2,3) edge sits in
+    // both triangles -> support 2; the four outer edges -> support 1.
+    assert(got === Seq((0L, 1L), (1L, 4L), (2L, 1L)))
+  }
+
   // --- KMV ---
 
   /** JVM replay of Det.md5h32: first 8 hex chars of md5(utf8) as long. */

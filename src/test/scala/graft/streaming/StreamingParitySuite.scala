@@ -2419,4 +2419,43 @@ class StreamingParitySuite extends SparkSuite {
     assert(run(java.time.Duration.ofSeconds(1), 5000) === Seq(1L, 1L),
       "state survived past its TTL — eviction broken")
   }
+
+  test("KMV tracker: stream across batches == batch sketch; duplicates and replays never perturb") {
+    val k = 64
+    // 500 users over 2 types; batch 2 REPLAYS the first 50 events
+    // (at-least-once delivery) — a set-function sketch must not move.
+    val evs = (1 to 500).map(i => Event(i, min(i % 60), i.toLong,
+      if (i % 2 == 0) "click" else "view", 1.0))
+    val sliced = Seq(evs.take(200), evs.slice(200, 400) ++ evs.take(50),
+      evs.drop(400))
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.kmvMonitor(ms.toDS(), k)
+      .writeStream.format("memory").queryName("kmv_par")
+      .outputMode("update").start()
+    try sliced.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // final readout per type: n_bot is nondecreasing and h_k
+    // nonincreasing over batches, so the last emission is the
+    // (max n_bot, min h_k) row.
+    val fin = spark.table("kmv_par").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.minBy(t => (-t._2, t._3))).toMap
+    // batch twin: the graded engine over the same (type, user) rows
+    val batch = graft.queries.Aggregates.kmvOn(
+        evs.toDF().select(col("event_type").as("g"),
+          col("user_id").cast("string").as("v")), k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    for (tp <- Seq("click", "view")) {
+      val (_, nBot, hk, est) = fin(tp)
+      assert(nBot === k.toLong, s"$tp sketch not full at 250 distinct")
+      assert((hk, est) === batch(tp),
+        s"$tp stream (h_k, est) diverged from the batch sketch")
+      // JVM replay: the same k-th minimum from a driver-side fold
+      val ids = evs.filter(_.event_type == tp).map(_.user_id.toString)
+      val hkJvm = ids.map(graft.Det.jvmMd5h32).distinct.sorted.apply(k - 1)
+      assert(hk === hkJvm)
+      assert(est === (k - 1).toLong * 4294967296L / hkJvm)
+    }
+  }
 }
