@@ -980,7 +980,49 @@ object Aggregates {
     // the sketch REPLACES at scale (kept here as its own certificate).
     "q_agg_kmv" -> ((s, d) =>
       kmvOn(T.lineitem(s, d).select(col("l_returnflag").as("g"),
-        col("l_partkey").cast("string").as("v")), KmvK))
+        col("l_partkey").cast("string").as("v")), KmvK)),
+
+    // §2.4 delete-one-bucket (grouped) jackknife (r15; Quenouille/
+    // Tukey) — a standard error for the NONLINEAR ratio estimator
+    // Σprice∕Σqty, which no closed-form per-group variance covers:
+    // rows hash into B = 10 deterministic buckets (md5h32 of orderkey
+    // — never rand(), so the replicate set is reproducible across
+    // runs/engines/layouts), replicate r_b = the ratio with bucket b
+    // deleted, SE² = (B−1)/B · Σ(r_b − r̄)². Determinism: bucket sums
+    // are exact decimals; each replicate is ONE IEEE division of exact
+    // decimal differences, then ROUND-quantized at 1e9 (the PageRank
+    // quantize-sum-divide contract) so the replicate moments are exact
+    // integer sums — order-free; the final SE chain is pinned doubles
+    // off those exact ints, 6dp once. Scale: ONE map-side-combining
+    // hash agg to 10 bucket rows (shuffle ∝ B forever), a broadcast
+    // 1-row total, and O(B) arithmetic — the estimator costs one scan
+    // at any corpus size.
+    "q_agg_jackknife" -> ((s, d) => {
+      val DT = org.apache.spark.sql.types.DecimalType
+      val b = T.lineitem(s, d)
+        .select((Det.md5h32(col("l_orderkey").cast("string")) % 10).as("b"),
+          col("l_extendedprice").cast(DT(12, 2)).as("p"),
+          col("l_quantity").cast(DT(9, 2)).as("q"))
+        .groupBy(col("b"))
+        .agg(sum(col("p")).as("sp"), sum(col("q")).as("sq"))
+      val tot = b.agg(sum(col("sp")).as("tp"), sum(col("sq")).as("tq"),
+        count(lit(1)).as("nb"))
+      val reps = b.crossJoin(broadcast(tot))
+        .select(col("tp"), col("tq"), col("nb"),
+          expr("cast(round(cast(tp - sp as double)" +
+            " / cast(tq - sq as double) * 1e9) as bigint)").as("rq"))
+      val dec = "decimal(38,0)"
+      reps.groupBy(col("tp"), col("tq"), col("nb"))
+        .agg(sum(col("rq").cast(dec)).as("s1"),
+          sum(col("rq").cast(dec) * col("rq")).as("s2"))
+        .select(
+          round(col("tp").cast("double") / col("tq").cast("double"), 6)
+            .as("ratio"),
+          col("nb").as("n_buckets"),
+          round(sqrt(lit(0.9) * (col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double")
+              / lit(10.0))) / lit(1e9), 6).as("se_jack"))
+    })
   )
 
   /** q_agg_kmv: sketch size (k minimum hash values per group). */
@@ -2172,6 +2214,30 @@ object Aggregates {
             CAST(est AS BIGINT) AS est,
             ROUND(CAST((est - n_true) * 100 AS DOUBLE)
               / CAST(n_true AS DOUBLE), 6) AS err_pct
-          FROM j ORDER BY g"""
+          FROM j ORDER BY g""",
+    // Exact-decimal bucket sums; each replicate one IEEE division,
+    // HUGEINT-quantized at 1e9; pinned SE chain; md5 buckets.
+    "q_agg_jackknife" ->
+      s"""WITH b AS (
+            SELECT ${Det.sqlMd5h32("CAST(l_orderkey AS VARCHAR)")} % 10 AS b,
+              SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+              SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sq
+            FROM $li GROUP BY 1),
+          t AS (SELECT SUM(sp) AS tp, SUM(sq) AS tq, COUNT(*) AS nb FROM b),
+          r AS (SELECT t.tp, t.tq, t.nb,
+              CAST(ROUND(CAST(t.tp - b.sp AS DOUBLE)
+                / CAST(t.tq - b.sq AS DOUBLE) * 1e9) AS BIGINT) AS rq
+            FROM b CROSS JOIN t),
+          a AS (SELECT tp, tq, nb,
+              SUM(CAST(rq AS HUGEINT)) AS s1,
+              SUM(CAST(rq AS HUGEINT) * rq) AS s2
+            FROM r GROUP BY tp, tq, nb)
+          SELECT
+            ROUND(CAST(tp AS DOUBLE) / CAST(tq AS DOUBLE), 6) AS ratio,
+            CAST(nb AS BIGINT) AS n_buckets,
+            ROUND(SQRT(0.9 * (CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 10.0))
+              / 1e9, 6) AS se_jack
+          FROM a"""
   )
 }

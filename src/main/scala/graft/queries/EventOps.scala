@@ -1384,6 +1384,48 @@ object EventOps {
           round(dbl("n11") / (dbl("n11") + dbl("n10"))
             - dbl("n01") / (dbl("n01") + dbl("n00")), 6) + lit(0.0))
           .as("risk_diff"))
+    }),
+
+    // Peak session concurrency per day (r15) — the capacity-planning
+    // gauge: a global sweep-line over session [start, end] intervals
+    // (+1 at start, −1 at end+1µs — inclusive ends), peak = max prefix
+    // sum. The running sum NEVER runs as one global window (the
+    // single-partition anti-pattern): the sweep decomposes exactly —
+    // per-day cumsums over day-partitioned windows (shuffle ∝ deltas,
+    // each partition day-bounded) + day totals prefix-summed over the
+    // ≤ |days| frame (§7.4.12 bounded unpartitioned window) as the
+    // carry-in of sessions still open at each midnight; peak_d =
+    // carry_d + max within-day running sum — identical to the global
+    // sweep by associativity of prefix sums. Same-instant deltas order
+    // (us, dlt asc, user): ends before starts, so a back-to-back
+    // handoff never double-counts the instant; the tie order among
+    // equal deltas cannot change any prefix VALUE reached (commuting
+    // equal summands), but is pinned anyway for window parity.
+    // All-integer; sessions are the graded sessionizedOn labels.
+    "q_event_concurrency" -> ((s, d) => {
+      val sess = sessionizedOn(T.events(s, d))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val deltas = sess.select(col("user_id"), explode(array(
+          struct(col("s_us").as("us"), lit(1L).as("dlt")),
+          struct((col("e_us") + 1L).as("us"), lit(-1L).as("dlt")))).as("x"))
+        .select(col("user_id"), col("x.us").as("us"), col("x.dlt").as("dlt"))
+        .withColumn("day", expr("us div 86400000000"))
+      val wDay = Window.partitionBy(col("day"))
+        .orderBy(col("us").asc, col("dlt").asc, col("user_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dayAgg = deltas.withColumn("run", sum(col("dlt")).over(wDay))
+        .groupBy(col("day"))
+        .agg(max(col("run")).as("max_run"), sum(col("dlt")).as("day_tot"),
+          sum(when(col("dlt") === 1L, 1L).otherwise(0L)).as("n_starts"))
+      val wAll = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      dayAgg.withColumn("carry",
+          coalesce(sum(col("day_tot")).over(wAll), lit(0L)))
+        .select((col("day") * 86400000000L).as("day_us"), col("n_starts"),
+          (col("carry") + col("max_run")).as("peak_concurrent"))
+        .orderBy(col("day_us"))
     })
   )
 
@@ -2773,6 +2815,51 @@ object EventOps {
                 - CAST(n01 AS DOUBLE)
                   / (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE)), 6) + 0.0
             END AS risk_diff
-          FROM c"""
+          FROM c""",
+    // Shared sessionizer text → interval endpoints → ±1 deltas →
+    // day-decomposed prefix sums + the ≤|days| carry window.
+    "q_event_concurrency" ->
+      s"""WITH flagged AS (
+            SELECT user_id, event_id, ts,
+              CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                   WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM $evt WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC)),
+          e AS (
+            SELECT user_id, ts,
+              SUM(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            FROM flagged),
+          sess AS (
+            SELECT user_id, sess, MIN(epoch_us(ts)) AS s_us,
+              MAX(epoch_us(ts)) AS e_us
+            FROM e GROUP BY 1, 2),
+          d AS (
+            SELECT user_id, s_us AS us, 1 AS dlt FROM sess
+            UNION ALL
+            SELECT user_id, e_us + 1, -1 FROM sess),
+          r AS (
+            SELECT us // 86400000000 AS day, us, dlt, user_id,
+              SUM(dlt) OVER (PARTITION BY us // 86400000000
+                ORDER BY us ASC, dlt ASC, user_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+            FROM d),
+          da AS (
+            SELECT day, MAX(run) AS max_run, SUM(dlt) AS day_tot,
+              SUM(CASE WHEN dlt = 1 THEN 1 ELSE 0 END) AS n_starts
+            FROM r GROUP BY day),
+          f AS (
+            SELECT day, n_starts, max_run,
+              COALESCE(SUM(day_tot) OVER (ORDER BY day ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS carry
+            FROM da)
+          SELECT day * 86400000000 AS day_us,
+            CAST(n_starts AS BIGINT) AS n_starts,
+            CAST(carry + max_run AS BIGINT) AS peak_concurrent
+          FROM f ORDER BY day_us"""
   )
 }

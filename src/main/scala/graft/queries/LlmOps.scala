@@ -1456,6 +1456,75 @@ object LlmOps {
         .orderBy(col("n_bands"))
     }),
 
+    // Dedup-cascade attribution (r15) — the stage-marginal audit a
+    // production pipeline runs before paying for each stage: docs
+    // flagged duplicate by (1) exact content (md5), (2) 32-char
+    // boilerplate prefix, (3) banded MinHash est ≥ 0.5 — and how many
+    // NEW docs each stage catches beyond the stages before it ("is
+    // the expensive near-dup pass earning its cost?"). Flag
+    // conventions: stages 1-2 keep the min doc_id per group; stage 3
+    // flags the larger id of any qualifying pair (pair-local — the CC
+    // closure is q_llm_cc's job, this audit prices stages). Scale:
+    // two hash-agg + join-back group stages (shuffle ∝ distinct
+    // keys), the graded banding for candidates (never all-pairs),
+    // set differences as left-anti equi-joins on doc_id; output is 3
+    // rows forever. All-integer.
+    "q_llm_cascade" -> ((s, d) => {
+      graft.functions.MinHashSig.register(s, hashA.toSeq, hashB.toSeq, HashP)
+      val docs = T.documents(s, d).persist()
+      def flaggedBy(key: Column, guard: Column) = {
+        val k = docs.filter(guard).select(col("doc_id"), key.as("k"))
+        val g = k.groupBy(col("k")).agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n"))
+        k.join(g, Seq("k"))
+          .filter(col("n") > 1 && col("doc_id") =!= col("keeper"))
+          .select(col("doc_id"))
+      }
+      val f1 = flaggedBy(md5(col("text")), lit(true)).persist()
+      val f2 = flaggedBy(substring(col("text"), 1, 32),
+        length(col("text")) >= 32).persist()
+      val sig = minhashSig(docs, "native").persist()
+      def bandKey(b: Int): Column =
+        md5(concat_ws("#",
+          (b * RowsPerBand until (b + 1) * RowsPerBand)
+            .map(i => col(s"m$i")): _*))
+      val buckets = sig.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(bandKey): _*))
+          .as(Seq("band", "bkey")))
+      val cand = buckets
+        .select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+        .join(buckets.select(col("doc_id").as("doc_b"),
+          col("band").as("band_b"), col("bkey").as("bkey_b")),
+          col("band") === col("band_b") && col("bkey") === col("bkey_b")
+            && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val a = sig.select(sig.columns.map(c => col(c).as(s"a_$c")): _*)
+      val b = sig.select(sig.columns.map(c => col(c).as(s"b_$c")): _*)
+      val matches = (0 until NumHashes).map(i =>
+        when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val f3 = cand
+        .join(a, col("doc_a") === col("a_doc_id"))
+        .join(b, col("doc_b") === col("b_doc_id"))
+        .select(col("doc_a"), col("doc_b"), matches.as("m"))
+        .filter(col("m") * 2 >= NumHashes)
+        .select(col("doc_b").as("doc_id")).distinct().persist()
+      val f2new = f2.join(f1, Seq("doc_id"), "left_anti")
+      val f3new = f3.join(f1.union(f2), Seq("doc_id"), "left_anti")
+      def cnt(df: DataFrame, nm: String) =
+        df.agg(count(lit(1)).as(nm))
+      val r1 = cnt(f1, "n_flagged")
+        .select(lit(1).as("stage_ord"), lit("exact").as("stage"),
+          col("n_flagged"), col("n_flagged").as("n_new"))
+      val r2 = cnt(f2, "n_flagged").crossJoin(broadcast(cnt(f2new, "n_new")))
+        .select(lit(2).as("stage_ord"), lit("prefix").as("stage"),
+          col("n_flagged"), col("n_new"))
+      val r3 = cnt(f3, "n_flagged").crossJoin(broadcast(cnt(f3new, "n_new")))
+        .select(lit(3).as("stage_ord"), lit("neardup").as("stage"),
+          col("n_flagged"), col("n_new"))
+      r1.union(r2).union(r3).orderBy(col("stage_ord"))
+    }),
+
     // Cross-source duplication matrix (r15) — corpus governance's
     // "who copies whom": for every source pair, how many distinct
     // BOILERPLATE KEYS (the q_llm_prefixdup 32-char prefix — exact
@@ -2228,6 +2297,76 @@ object LlmOps {
             CAST(floor(tj * 10) AS INTEGER) AS true_bin,
             COUNT(*) AS n_pairs
           FROM tj GROUP BY 1, 2 ORDER BY est_bin, true_bin"""
+    },
+    // Group/join-back mirrors of the Spark flag stages; the graded
+    // (8,8) banding for stage 3; anti-joins as NOT IN over doc_id.
+    "q_llm_cascade" -> {
+      val mins = (0 until NumHashes).map(i =>
+        s"MIN((${hashA(i)} * x + ${hashB(i)}) % $HashP) AS m$i")
+        .mkString(",\n              ")
+      val bandSelects = (0 until Bands).map { bd =>
+        val ms = (bd * RowsPerBand until (bd + 1) * RowsPerBand)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $bd AS band, md5(concat_ws('#', $ms)) AS bkey FROM sig"
+      }.mkString("\n            UNION ALL ")
+      val matches = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH f1g AS (
+            SELECT md5(text) AS k, MIN(doc_id) AS keeper, COUNT(*) AS n
+            FROM $doc GROUP BY 1),
+          f1 AS (
+            SELECT d.doc_id FROM $doc d JOIN f1g ON md5(d.text) = f1g.k
+            WHERE f1g.n > 1 AND d.doc_id <> f1g.keeper),
+          f2g AS (
+            SELECT substr(text, 1, 32) AS k, MIN(doc_id) AS keeper,
+              COUNT(*) AS n
+            FROM $doc WHERE length(text) >= 32 GROUP BY 1),
+          f2 AS (
+            SELECT d.doc_id FROM $doc d
+            JOIN f2g ON substr(d.text, 1, 32) = f2g.k
+            WHERE length(d.text) >= 32 AND f2g.n > 1
+              AND d.doc_id <> f2g.keeper),
+          base AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM $doc
+            WHERE len(string_split(text, ' ')) >= 3),
+          toks AS (
+            SELECT doc_id,
+              ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x
+            FROM (SELECT doc_id, UNNEST($shingleSql) AS tok FROM base) u),
+          sig AS (
+            SELECT doc_id,
+              $mins
+            FROM toks GROUP BY doc_id),
+          buckets AS (
+            $bandSelects),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bkey = y.bkey
+                AND x.doc_id < y.doc_id),
+          f3 AS (
+            SELECT DISTINCT doc_b AS doc_id
+            FROM cand JOIN sig sa ON doc_a = sa.doc_id
+                      JOIN sig sb ON doc_b = sb.doc_id
+            WHERE ($matches) * 2 >= $NumHashes),
+          n2new AS (SELECT COUNT(*) AS n FROM f2
+                    WHERE doc_id NOT IN (SELECT doc_id FROM f1)),
+          n3new AS (SELECT COUNT(*) AS n FROM f3
+                    WHERE doc_id NOT IN (SELECT doc_id FROM f1
+                                         UNION SELECT doc_id FROM f2))
+          SELECT 1 AS stage_ord, 'exact' AS stage,
+            CAST((SELECT COUNT(*) FROM f1) AS BIGINT) AS n_flagged,
+            CAST((SELECT COUNT(*) FROM f1) AS BIGINT) AS n_new
+          UNION ALL
+          SELECT 2, 'prefix',
+            CAST((SELECT COUNT(*) FROM f2) AS BIGINT),
+            CAST((SELECT n FROM n2new) AS BIGINT)
+          UNION ALL
+          SELECT 3, 'neardup',
+            CAST((SELECT COUNT(*) FROM f3) AS BIGINT),
+            CAST((SELECT n FROM n3new) AS BIGINT)
+          ORDER BY stage_ord"""
     },
     // One sig CTE feeds all three bandings; candidates equi-join on
     // (scheme, band, key); est >= 0.5 is the exact matches*2 >= 64
