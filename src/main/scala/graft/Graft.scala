@@ -1273,4 +1273,42 @@ object Graft {
     graft.queries.Aggregates.kmvOn(
       df.select(col(groupCol).as("g"), col(valueCol).cast("string").as("v")),
       k)
+
+  /** Hodges-Lehmann pseudo-median per group (graded
+    * q_agg_hodgeslehmann's engine, r15): the weighted discrete lower
+    * median of all Walsh averages (xᵢ+xⱼ)∕2, i ≤ j — the robust
+    * location dual of the Wilcoxon signed-rank (29% breakdown, ~0.955
+    * normal efficiency). Work ∝ ∣value domain∣² per group
+    * (SF-invariant) — best for discrete∕bucketed columns; quantize
+    * continuous ones first (the [[kendallTau]] guidance). Values cast
+    * to DECIMAL(18,2). Returns (g, n_pairs, hl). */
+  def hodgesLehmann(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame =
+    graft.queries.Aggregates.hlOn(
+      df.select(col(groupCol).as("g"),
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("x")),
+      org.apache.spark.sql.types.DecimalType(19, 2))
+
+  /** Wald-Wolfowitz runs test over any ordered (order, value) series
+    * (graded q_event_runstest's engine, r15): values dichotomize
+    * above∕below their discrete median (median rows drop), R = sign
+    * runs in order, z = (R − E[R])∕√Var under the i.i.d. null. One
+    * row: (n_used, n_above, n_below, n_runs, z — NULL when a side is
+    * empty or the variance degenerates). */
+  def runsTest(df: DataFrame, orderCol: String,
+               valueCol: String): DataFrame =
+    graft.queries.EventOps.runsOn(
+      df.select(col(orderCol).as("day"), col(valueCol).as("n")))
+
+  /** Count-min sketch frequency profile (graded q_agg_cms's engine,
+    * r15; Cormode & Muthukrishnan 2005): a d×w counter table (ONE
+    * map-side-combining agg into d·w cells — bounded state for
+    * unbounded key domains) probed for the top-k keys by exact count;
+    * ships the exact count and the guaranteed-nonnegative overcount
+    * beside the estimate (the sketch-certificate discipline). */
+  def cmsFrequency(df: DataFrame, keyCol: String, d: Int = 4,
+                   w: Int = 64, topK: Int = 10): DataFrame =
+    graft.queries.Aggregates.cmsOn(df.select(col(keyCol).as("k")),
+      d, w, topK)
 }

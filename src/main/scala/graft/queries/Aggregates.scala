@@ -1022,8 +1022,120 @@ object Aggregates {
           round(sqrt(lit(0.9) * (col("s2").cast("double")
             - col("s1").cast("double") * col("s1").cast("double")
               / lit(10.0))) / lit(1e9), 6).as("se_jack"))
-    })
+    }),
+
+    // §2.4 Hodges-Lehmann pseudo-median per group (r15) — the robust
+    // location estimator the rank-test family implies (the point
+    // estimate dual of the Wilcoxon signed-rank): the weighted
+    // discrete lower median of ALL Walsh averages (xᵢ+xⱼ)/2, i ≤ j —
+    // 29% breakdown, ~0.955 normal efficiency (beats the plain
+    // median's 0.64). Engine discipline (the kendall SF-invariance
+    // shape): the corpus collapses to ≤ 3×50 (g, x) cells FIRST, Walsh
+    // pairs self-join the AGGREGATE on (g, x ≤ x2) — ≤ C(50,2)+50
+    // cells per group, SF-INVARIANT work — with exact integer pair
+    // weights (w·w2 off-diagonal, w(w+1)/2 diagonal, integer
+    // floor-div of an even product). Determinism: DOUBLED averages
+    // (the spearman 2× trick — s2x = x+x2 stays an exact 2dp decimal;
+    // a /2 in decimal would drag engine division-scale rules in), the
+    // ceil(W/2) rank in exact integer math, the bounded ≤1275-cell
+    // cumulative window, and ONE exact IEEE halving at the end
+    // (division by 2 is exact in binary floating point — unrounded,
+    // §7.4.7).
+    "q_agg_hodgeslehmann" -> ((s, d) =>
+      hlOn(T.lineitem(s, d).select(col("l_returnflag").as("g"),
+        col("l_quantity").cast(
+          org.apache.spark.sql.types.DecimalType(9, 2)).as("x")),
+        org.apache.spark.sql.types.DecimalType(10, 2))),
+
+    // §2.4 count-min sketch with exact audit (r15; Cormode &
+    // Muthukrishnan 2005) — the point-frequency member completing the
+    // sketch quartet (KLL quantiles / MG heavy hitters / KMV
+    // cardinality / CMS frequency): d = 4 hash rows × w = 64 counters
+    // over l_partkey occurrences; for the top-10 parts (total
+    // (count desc, partkey) order) the sketch estimate = min over
+    // rows of the key's counter, beside the exact count and the
+    // guaranteed-nonnegative overcount (CMS never undercounts — the
+    // audit column certifies the one-sided error, the err_bound
+    // discipline). Determinism: row hashes are md5h32("i#key") —
+    // engine-portable, never seeded. Scale: the counter table is ONE
+    // map-side-combining hash agg into d·w = 256 cells — BOUNDED
+    // state for unbounded key domains, the whole point at 100 TB
+    // (the exact per-key pass it replaces is kept as the audit);
+    // top-k is TakeOrderedAndProject; the probe joins a broadcast
+    // 256-row frame.
+    "q_agg_cms" -> ((s, d) =>
+      cmsOn(T.lineitem(s, d).select(col("l_partkey").as("k")),
+        CmsRows, CmsWidth, CmsTopK)
+        .select(col("k").as("l_partkey"), col("n_true"), col("cms_est"),
+          col("overcount")))
   )
+
+  /** q_agg_cms: depth (hash rows), width (counters per row), audited
+    * key count. */
+  private[graft] val CmsRows = 4
+  private[graft] val CmsWidth = 64
+  private[graft] val CmsTopK = 10
+
+  /** q_agg_hodgeslehmann's engine over any (g, x: decimal) frame:
+    * weighted discrete lower median of Walsh averages off the
+    * distinct-value cell table (work ∝ |domain|² per group,
+    * SF-invariant). `s2t` is the doubled-average decimal type — one
+    * integer digit wider than x. Persists the cell table — caller
+    * clearCache. Returns (g, n_pairs, hl). */
+  private[graft] def hlOn(gx: DataFrame,
+                          s2t: org.apache.spark.sql.types.DecimalType)
+      : DataFrame = {
+    val cells = gx.groupBy(col("g"), col("x")).agg(count(lit(1)).as("w"))
+      .persist() // both Walsh self-join sides; caller clearCache
+    val pairs = cells
+      .join(cells.select(col("g").as("g2"), col("x").as("x2"),
+        col("w").as("w2")),
+        col("g") === col("g2") && col("x") <= col("x2"))
+      .select(col("g"), (col("x") + col("x2")).cast(s2t).as("s2x"),
+        when(col("x") < col("x2"), col("w") * col("w2"))
+          .otherwise(expr("w * (w + 1) div 2")).as("pw"))
+    val wa = pairs.groupBy(col("g"), col("s2x"))
+      .agg(sum(col("pw")).as("pw"))
+    val tot = wa.groupBy(col("g")).agg(sum(col("pw")).as("wt"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("s2x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wa.withColumn("cum", sum(col("pw")).over(wCum))
+      .join(tot, Seq("g"))
+      .filter(col("cum") - col("pw") < expr("(wt + 1) div 2")
+        && expr("(wt + 1) div 2") <= col("cum"))
+      .select(col("g"), col("wt").as("n_pairs"),
+        (col("s2x").cast("double") / lit(2.0)).as("hl"))
+      .orderBy(col("g"))
+  }
+
+  /** q_agg_cms's engine over any single-column (k) frame: d×w counter
+    * table (one map-side-combining agg into d·w cells), top-k keys by
+    * exact count (total (n desc, k asc) order), estimate = min over
+    * rows of the key's counter. Returns (k, n_true, cms_est,
+    * overcount ≥ 0). */
+  private[graft] def cmsOn(keys: DataFrame, d: Int, w: Int,
+                           topK: Int): DataFrame = {
+    def bkt(i: Int, key: Column): Column =
+      Det.md5h32(concat_ws("#", lit(i.toString), key.cast("string"))) % w
+    val ctr = keys.select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"), bkt(i, col("k")).as("bkt"))): _*)).as("x"))
+      .select(col("x.r").as("r"), col("x.bkt").as("bkt"))
+      .groupBy(col("r"), col("bkt")).agg(count(lit(1)).as("cnt"))
+    val top = keys.groupBy(col("k")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("k").asc)
+      .limit(topK)
+    top.select(col("k"), col("n_true"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("r"), bkt(i, col("k")).as("bkt"))): _*)).as("x"))
+      .select(col("k"), col("n_true"),
+        col("x.r").as("r"), col("x.bkt").as("bkt"))
+      .join(broadcast(ctr), Seq("r", "bkt"))
+      .groupBy(col("k"), col("n_true"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("k"), col("n_true"), col("cms_est"),
+        (col("cms_est") - col("n_true")).as("overcount"))
+      .orderBy(col("n_true").desc, col("k").asc)
+  }
 
   /** q_agg_kmv: sketch size (k minimum hash values per group). */
   private[graft] val KmvK = 256
@@ -2238,6 +2350,55 @@ object Aggregates {
             ROUND(SQRT(0.9 * (CAST(s2 AS DOUBLE)
               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 10.0))
               / 1e9, 6) AS se_jack
-          FROM a"""
+          FROM a""",
+    // Walsh pairs off the cell AGGREGATE; doubled averages stay exact
+    // decimals; ceil(W/2) integer rank; one exact halving at the end.
+    "q_agg_hodgeslehmann" ->
+      s"""WITH cells AS (
+            SELECT l_returnflag AS g, CAST(l_quantity AS DECIMAL(9,2)) AS x,
+              COUNT(*) AS w
+            FROM $li GROUP BY 1, 2),
+          p AS (
+            SELECT a.g, CAST(a.x + b.x AS DECIMAL(10,2)) AS s2x,
+              CASE WHEN a.x < b.x THEN a.w * b.w
+                   ELSE a.w * (a.w + 1) // 2 END AS pw
+            FROM cells a JOIN cells b ON a.g = b.g AND a.x <= b.x),
+          wa AS (SELECT g, s2x, SUM(pw) AS pw FROM p GROUP BY 1, 2),
+          t AS (SELECT g, SUM(pw) AS wt FROM wa GROUP BY g),
+          c AS (
+            SELECT wa.g, wa.s2x, wa.pw, t.wt,
+              SUM(wa.pw) OVER (PARTITION BY wa.g ORDER BY wa.s2x ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM wa JOIN t ON wa.g = t.g)
+          SELECT g, CAST(wt AS BIGINT) AS n_pairs,
+            CAST(s2x AS DOUBLE) / 2.0 AS hl
+          FROM c
+          WHERE cum - pw < (wt + 1) // 2 AND (wt + 1) // 2 <= cum
+          ORDER BY g""",
+    // Four UNION'd hash rows → 256-cell counter table; the same
+    // "i#key" hash probes it for the top-10 keys; min over rows.
+    "q_agg_cms" -> {
+      val hitRows = (0 until CmsRows).map { i =>
+        s"SELECT $i AS r, ${Det.sqlMd5h32(s"'$i#' || CAST(l_partkey AS VARCHAR)")} % $CmsWidth AS bkt FROM $li"
+      }.mkString("\n            UNION ALL ")
+      val probeRows = (0 until CmsRows).map { i =>
+        s"SELECT l_partkey, n_true, $i AS r, ${Det.sqlMd5h32(s"'$i#' || CAST(l_partkey AS VARCHAR)")} % $CmsWidth AS bkt FROM top"
+      }.mkString("\n            UNION ALL ")
+      s"""WITH hits AS (
+            $hitRows),
+          ctr AS (SELECT r, bkt, COUNT(*) AS cnt FROM hits GROUP BY 1, 2),
+          top AS (SELECT l_partkey, COUNT(*) AS n_true FROM $li
+                  GROUP BY 1 ORDER BY n_true DESC, l_partkey ASC
+                  LIMIT $CmsTopK),
+          probe AS (
+            $probeRows),
+          est AS (SELECT p.l_partkey, p.n_true, MIN(c.cnt) AS cms_est
+                  FROM probe p JOIN ctr c ON p.r = c.r AND p.bkt = c.bkt
+                  GROUP BY 1, 2)
+          SELECT l_partkey, CAST(n_true AS BIGINT) AS n_true,
+            CAST(cms_est AS BIGINT) AS cms_est,
+            CAST(cms_est - n_true AS BIGINT) AS overcount
+          FROM est ORDER BY n_true DESC, l_partkey ASC"""
+    }
   )
 }

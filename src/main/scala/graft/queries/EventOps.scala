@@ -1426,8 +1426,67 @@ object EventOps {
         .select((col("day") * 86400000000L).as("day_us"), col("n_starts"),
           (col("carry") + col("max_run")).as("peak_concurrent"))
         .orderBy(col("day_us"))
-    })
-  )
+    }),
+
+    // Wald-Wolfowitz runs test on daily volumes (r15) — "is the daily
+    // event count an i.i.d. sequence or does it trend/cluster?": days
+    // dichotomize above/below the discrete median daily count (median
+    // days drop, the classical treatment), R = number of sign runs in
+    // day order, z = (R − E[R])∕√Var with the closed-form null
+    // moments. The time-series randomness diagnostic beside acf/
+    // changepoint — distribution-free, so no normality assumption the
+    // synthetic volumes would break. Determinism: median via the exact
+    // ceil(N/2) integer rank over the value-collapsed counts; runs =
+    // exact sum of lag-inequality flags over the ≤∣days∣ bounded
+    // unpartitioned window (§7.4.12); E/Var/z ONE pinned double chain
+    // off exact ints, 6dp, near-zero "+ 0.0", structural NULL when a
+    // side is empty or Var degenerates. Plan: the corpus collapses to
+    // ∝ days immediately; everything downstream is calendar-sized.
+    "q_event_runstest" -> ((s, d) =>
+      runsOn(T.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n")))))
+
+  /** q_event_runstest's engine over any (day, n) ordered series:
+    * dichotomize by the discrete lower median of n (median rows
+    * drop), count sign runs in day order, closed-form z. Persists the
+    * series (median + signs) — caller clearCache. */
+  private[graft] def runsOn(daily0: DataFrame): DataFrame = {
+      val daily = daily0
+        .persist() // median derivation + sign sequence; caller clearCache
+      val vals = daily.groupBy(col("n")).agg(count(lit(1)).as("c"))
+      val nd = vals.agg(sum(col("c")).as("nd"))
+      val wCum = Window.orderBy(col("n").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = vals.withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(nd))
+        .filter(col("cum") - col("c") < expr("(nd + 1) div 2")
+          && expr("(nd + 1) div 2") <= col("cum"))
+        .select(col("n").as("med"))
+      val signs = daily.crossJoin(broadcast(med))
+        .filter(col("n") =!= col("med"))
+        .select(col("day"),
+          when(col("n") > col("med"), 1).otherwise(0).as("sgn"))
+      val wOrd = Window.orderBy(col("day").asc)
+      val seq2 = signs.withColumn("chg",
+        when(lag(col("sgn"), 1).over(wOrd).isNull
+          || lag(col("sgn"), 1).over(wOrd) =!= col("sgn"), 1L)
+          .otherwise(0L))
+      val a = seq2.agg(count(lit(1)).as("n_used"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("sgn") === 0, 1L).otherwise(0L)).as("n_below"),
+        sum(col("chg")).as("n_runs"))
+      def dbl(c: String) = col(c).cast("double")
+      val nn = dbl("n_above") + dbl("n_below")
+      val two = lit(2.0) * dbl("n_above") * dbl("n_below")
+      a.select(col("n_used"), col("n_above"), col("n_below"),
+        col("n_runs"),
+        when(col("n_above") > 0 && col("n_below") > 0
+          && col("n_used") > 1 && two - nn > 0,
+          round((dbl("n_runs") - (lit(1.0) + two / nn))
+            / sqrt((two * (two - nn))
+              / (nn * nn * (nn - lit(1.0)))), 6) + lit(0.0)).as("z"))
+  }
 
   /** q_event_benford's engine over any (event_type, value) frame —
     * [[graft.Graft.benfordProfile]] enters here. */
@@ -2860,6 +2919,61 @@ object EventOps {
           SELECT day * 86400000000 AS day_us,
             CAST(n_starts AS BIGINT) AS n_starts,
             CAST(carry + max_run AS BIGINT) AS peak_concurrent
-          FROM f ORDER BY day_us"""
+          FROM f ORDER BY day_us""",
+    // Exact integer median rank; lag-flag run count over the bounded
+    // day frame; the identical E/Var/z double chain; + 0.0 near zero.
+    "q_event_runstest" ->
+      s"""WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+            FROM $evt WHERE ts IS NOT NULL GROUP BY 1),
+          vals AS (SELECT n, COUNT(*) AS c FROM daily GROUP BY n),
+          nd AS (SELECT SUM(c) AS nd FROM vals),
+          m AS (
+            SELECT n AS med FROM (
+              SELECT n, c, SUM(c) OVER (ORDER BY n ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM vals) v CROSS JOIN nd
+            WHERE cum - c < (nd + 1) // 2 AND (nd + 1) // 2 <= cum),
+          sg AS (
+            SELECT day, CASE WHEN n > med THEN 1 ELSE 0 END AS sgn
+            FROM daily CROSS JOIN m WHERE n <> med),
+          sq AS (
+            SELECT sgn,
+              CASE WHEN LAG(sgn) OVER (ORDER BY day ASC) IS NULL
+                    OR LAG(sgn) OVER (ORDER BY day ASC) <> sgn
+                THEN 1 ELSE 0 END AS chg
+            FROM sg),
+          a AS (
+            SELECT COUNT(*) AS n_used,
+              SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n_above,
+              SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS n_below,
+              SUM(chg) AS n_runs
+            FROM sq)
+          SELECT CAST(n_used AS BIGINT) AS n_used,
+            CAST(n_above AS BIGINT) AS n_above,
+            CAST(n_below AS BIGINT) AS n_below,
+            CAST(n_runs AS BIGINT) AS n_runs,
+            CASE WHEN n_above > 0 AND n_below > 0 AND n_used > 1
+                  AND (2.0 * CAST(n_above AS DOUBLE)
+                         * CAST(n_below AS DOUBLE)
+                       - (CAST(n_above AS DOUBLE)
+                          + CAST(n_below AS DOUBLE))) > 0 THEN
+              ROUND((CAST(n_runs AS DOUBLE)
+                  - (1.0 + 2.0 * CAST(n_above AS DOUBLE)
+                       * CAST(n_below AS DOUBLE)
+                     / (CAST(n_above AS DOUBLE)
+                        + CAST(n_below AS DOUBLE))))
+                / SQRT((2.0 * CAST(n_above AS DOUBLE)
+                      * CAST(n_below AS DOUBLE)
+                    * (2.0 * CAST(n_above AS DOUBLE)
+                         * CAST(n_below AS DOUBLE)
+                       - (CAST(n_above AS DOUBLE)
+                          + CAST(n_below AS DOUBLE))))
+                  / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                     * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                     * ((CAST(n_above AS DOUBLE)
+                         + CAST(n_below AS DOUBLE)) - 1.0))), 6) + 0.0
+            END AS z
+          FROM a"""
   )
 }
