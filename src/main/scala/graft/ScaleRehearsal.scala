@@ -413,6 +413,40 @@ object ScaleRehearsal {
             pmod(col("id"), lit(1000L)).as("sp"))
           .distinct()).count()
       }
+      // Triangle family (r15): degree-ordered wedge enumeration. The
+      // 100× claim under test: work ∝ Σ C(outdeg, 2) bounded by
+      // DEGENERACY under the low→high orientation, NOT by max degree.
+      // tri_uniform: ~n distinct edges over n/10 nodes (avg deg ~20).
+      // tri_hub: the SAME graph plus a full star on node 0 (max degree
+      // jumps to n/10) — if the last-reducer curse were real here, the
+      // hub's C(n/10, 2) wedges would dominate; under orientation the
+      // hub is every edge's SINK (outdeg ~0) and the probe must price
+      // ≈ tri_uniform + the star edges' linear cost.
+      def triNodes = n / 10L
+      def triBase = spark.range(n).select(
+          pmod(col("id"), lit(triNodes)).as("x"),
+          pmod(xxhash64(col("id")), lit(triNodes)).as("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .filter(col("a") < col("b")).distinct()
+      if (want("tri_uniform")) time("tri_uniform", n) {
+        graft.queries.GraphOps.trianglesOn(triBase)._1.count()
+      }
+      if (want("tri_hub")) time("tri_hub", n) {
+        val hub = spark.range(triNodes).filter(col("id") > 0)
+          .select(lit(0L).as("a"), col("id").as("b"))
+        graft.queries.GraphOps.trianglesOn(
+          triBase.union(hub).distinct())._1.count()
+      }
+      // the curse isolated: a PURE n-spoke star has ZERO triangles,
+      // but a through-the-hub wedge enumerator would price C(n, 2)
+      // candidates (1.8·10¹¹ at 6M — unrunnable); the oriented engine
+      // gives the hub out-degree 0 and must finish in scan time.
+      if (want("tri_star")) time("tri_star", n) {
+        graft.queries.GraphOps.trianglesOn(
+          spark.range(n).filter(col("id") > 0)
+            .select(lit(0L).as("a"), col("id").as("b")))._1.count()
+      }
       // the buildPartitions knob: the sketch build ships one full-size
       // partial buffer per map partition, so coalescing the build to 8
       // should cut the screen's shuffle ~4× (32 → 8 partials) at some
