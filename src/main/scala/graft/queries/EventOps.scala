@@ -1445,7 +1445,71 @@ object EventOps {
     "q_event_runstest" -> ((s, d) =>
       runsOn(T.events(s, d).filter(col("ts").isNotNull)
         .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
-        .agg(count(lit(1)).as("n")))))
+        .agg(count(lit(1)).as("n")))),
+
+    // Behavioral-dynamics drift (r15) — "did user BEHAVIOR change, not
+    // just volume?": the per-row total-variation distance between the
+    // first-half and second-half first-order transition matrices
+    // (split at the calendar midpoint; transitions computed WITHIN a
+    // half so no edge spans the cut). The dynamics sibling of
+    // q_llm_tvdrift's static-distribution drift and the drift gate for
+    // q_event_markov's matrix. Determinism: row shares are
+    // FLOOR-quantized exact integers (n·10⁶ div rowtotal — the
+    // linkpred div discipline, never a float share), TV_micro =
+    // Σ∣p1−p2∣ is an exact order-free integer sum over the ≤∣types∣
+    // cells (full-join + coalesce 0 so a next-type seen in one half
+    // only still contributes), and tv = ONE UNROUNDED IEEE division
+    // by 2·10⁶ (§7.4.7 — rounding would land on exact .5·10⁻⁶
+    // boundaries where engines' half-up paths diverge). Plan: one
+    // user-hash window pass per half (same exchange the markov family
+    // pays), two ≤∣types∣² aggs, a ≤∣types∣² full join — everything
+    // after the lag is domain-sized.
+    "q_event_markovdrift" -> ((s, d) => {
+      val e0 = T.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("dd"))
+      val ref = e0.agg(expr("(min(dd) + max(dd) + 1) div 2").as("split_dd"))
+      val e = e0.crossJoin(broadcast(ref))
+        .withColumn("half", when(col("dd") < col("split_dd"), 1).otherwise(2))
+      val w = Window.partitionBy(col("user_id"), col("half"))
+        .orderBy(col("event_id").asc)
+      val t = e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("half"), col("prev_type"),
+          col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // ≤ 2·|types|² rows; every downstream branch reads
+                   // it (one window pass total); caller clearCache
+      val tot = t.groupBy(col("half"), col("prev_type"))
+        .agg(sum(col("n")).as("tot"))
+      val sh = t.join(tot, Seq("half", "prev_type"))
+        .select(col("half"), col("prev_type"), col("next_type"),
+          expr("n * 1000000 div tot").as("p_micro"))
+      val p1 = sh.filter(col("half") === 1)
+        .select(col("prev_type").as("pt1"), col("next_type").as("nt1"),
+          col("p_micro").as("p1"))
+      val p2 = sh.filter(col("half") === 2)
+        .select(col("prev_type").as("pt2"), col("next_type").as("nt2"),
+          col("p_micro").as("p2"))
+      val cells = p1.join(p2,
+        col("pt1") === col("pt2") && col("nt1") === col("nt2"), "full")
+        .select(coalesce(col("pt1"), col("pt2")).as("prev_type"),
+          abs(coalesce(col("p1"), lit(0L)) - coalesce(col("p2"), lit(0L)))
+            .as("ad"))
+      val n1 = tot.filter(col("half") === 1)
+        .select(col("prev_type").as("q1"), col("tot").as("n_first"))
+      val n2 = tot.filter(col("half") === 2)
+        .select(col("prev_type").as("q2"), col("tot").as("n_second"))
+      cells.groupBy(col("prev_type")).agg(sum(col("ad")).as("tv_micro"))
+        .join(n1, col("prev_type") === col("q1"), "left")
+        .join(n2, col("prev_type") === col("q2"), "left")
+        .select(col("prev_type"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("n_second"), lit(0L)).as("n_second"),
+          col("tv_micro"),
+          (col("tv_micro").cast("double") / lit(2000000.0)).as("tv"))
+        .orderBy(col("prev_type"))
+    }))
 
   /** q_event_runstest's engine over any (day, n) ordered series:
     * dichotomize by the discrete lower median of n (median rows
@@ -2974,6 +3038,56 @@ object EventOps {
                      * ((CAST(n_above AS DOUBLE)
                          + CAST(n_below AS DOUBLE)) - 1.0))), 6) + 0.0
             END AS z
-          FROM a"""
+          FROM a""",
+    // Half-split lag within (user, half); floor-quantized integer
+    // shares; full-join + coalesce cells; ONE unrounded division.
+    "q_event_markovdrift" ->
+      s"""WITH e0 AS (
+            SELECT user_id, event_id, event_type,
+              epoch_us(ts) // 86400000000 AS dd
+            FROM $evt WHERE ts IS NOT NULL),
+          r AS (SELECT (MIN(dd) + MAX(dd) + 1) // 2 AS split_dd FROM e0),
+          e AS (
+            SELECT user_id, event_id, event_type,
+              CASE WHEN dd < split_dd THEN 1 ELSE 2 END AS half
+            FROM e0 CROSS JOIN r),
+          l AS (
+            SELECT half, event_type,
+              LAG(event_type) OVER (PARTITION BY user_id, half
+                ORDER BY event_id ASC) AS prev_type
+            FROM e),
+          t AS (
+            SELECT half, prev_type, event_type AS next_type,
+              COUNT(*) AS n
+            FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2, 3),
+          tot AS (SELECT half, prev_type, SUM(n) AS tot
+                  FROM t GROUP BY 1, 2),
+          sh AS (
+            SELECT t.half, t.prev_type, t.next_type,
+              (t.n * 1000000) // tot.tot AS p_micro
+            FROM t JOIN tot ON t.half = tot.half
+              AND t.prev_type = tot.prev_type),
+          p1 AS (SELECT prev_type AS pt1, next_type AS nt1,
+                   p_micro AS p1 FROM sh WHERE half = 1),
+          p2 AS (SELECT prev_type AS pt2, next_type AS nt2,
+                   p_micro AS p2 FROM sh WHERE half = 2),
+          cells AS (
+            SELECT COALESCE(pt1, pt2) AS prev_type,
+              ABS(COALESCE(p1, 0) - COALESCE(p2, 0)) AS ad
+            FROM p1 FULL JOIN p2 ON pt1 = pt2 AND nt1 = nt2),
+          n1 AS (SELECT prev_type AS q1, tot AS n_first
+                 FROM tot WHERE half = 1),
+          n2 AS (SELECT prev_type AS q2, tot AS n_second
+                 FROM tot WHERE half = 2),
+          tv AS (SELECT prev_type, SUM(ad) AS tv_micro
+                 FROM cells GROUP BY prev_type)
+          SELECT tv.prev_type,
+            CAST(COALESCE(n1.n_first, 0) AS BIGINT) AS n_first,
+            CAST(COALESCE(n2.n_second, 0) AS BIGINT) AS n_second,
+            CAST(tv_micro AS BIGINT) AS tv_micro,
+            CAST(tv_micro AS DOUBLE) / 2000000.0 AS tv
+          FROM tv LEFT JOIN n1 ON tv.prev_type = n1.q1
+                  LEFT JOIN n2 ON tv.prev_type = n2.q2
+          ORDER BY tv.prev_type"""
   )
 }

@@ -1129,6 +1129,28 @@ object LlmOps {
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("prefix").asc)),
 
+    // Shared-SUFFIX boilerplate (r15) — q_llm_prefixdup's footer twin:
+    // web/templated corpora carry duplication in FOOTERS (copyright
+    // lines, nav blocks, signature stanzas) that a prefix key never
+    // sees; the last-16-chars key groups them the same way (16, not
+    // the prefix family's 32: footers — sign-offs, short nav lines —
+    // are shorter than templated headers, and the corpus audit shows
+    // the 32-char suffix key matching nothing below sf0.1 while 16
+    // keeps every scale populated without collapsing to single
+    // punctuation). Identical
+    // shape and scale story: ONE map-side-combining hash agg keyed by
+    // a per-row O(1) substring (shuffle ∝ distinct suffixes), count
+    // rides the dedup agg, top groups via the total (n desc, suffix)
+    // order. All-integer.
+    "q_llm_suffixdup" -> ((s, d) =>
+      T.documents(s, d)
+        .filter(length(col("text")) >= 16)
+        .groupBy(expr("substr(text, length(text) - 15, 16)").as("suffix"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("suffix").asc)),
+
     // Character-EDIT near-dup pairs (r14) — levenshtein ≤ 64 within the
     // same (lang, source) block: the near-identical-bytes criterion the
     // token-set/shingle/simhash/embedding families all miss (a doc with
@@ -2039,6 +2061,14 @@ object LlmOps {
           FROM $doc WHERE length(text) >= 32
           GROUP BY 1 HAVING COUNT(*) >= 2
           ORDER BY n_docs DESC, prefix ASC""",
+    // The footer twin: same one-agg shape on the last-16-chars key.
+    "q_llm_suffixdup" ->
+      s"""SELECT substr(text, length(text) - 15, 16) AS suffix,
+            COUNT(*) AS n_docs, MIN(doc_id) AS keeper,
+            CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+          FROM $doc WHERE length(text) >= 16
+          GROUP BY 1 HAVING COUNT(*) >= 2
+          ORDER BY n_docs DESC, suffix ASC""",
 
     // Naive blocked + length-filtered all-pairs with the FULL
     // levenshtein — result-identical to the banded+thresholded engine

@@ -187,6 +187,14 @@ case class QuantOut(user_id: Long, n: Long, p50: Double, p90: Double,
 /** KMV sketch state: ≤ k distinct minimum hashes, sorted ascending. */
 case class KmvState(hs: Seq[Long])
 
+/** CMS state: the d×w counter grid flattened row-major + event count. */
+case class CmsState(cnt: Seq[Long], n: Long)
+
+/** Per-probe frequency readout: events so far in the key's stream and
+  * the CMS estimate (min over rows) for the probed user id. */
+case class CmsProbeOut(event_type: String, probe_user: Long, n: Long,
+                       est: Long)
+
 /** Running per-type distinct-cardinality readout: sketch fill, k-th
   * minimum hash, and the KMV estimate (exact below k). */
 case class KmvOut(event_type: String, n_bot: Long, h_k: Long, est: Long)
@@ -487,6 +495,46 @@ object StreamOps {
           else Iterator.single(KmvOut(tp, hs.size.toLong, hs.last,
             if (hs.size < k) hs.size.toLong
             else (k - 1).toLong * 4294967296L / hs.last))
+      }
+  }
+
+  /** Streaming count-min frequency tracker — the stateful twin of
+    * q_agg_cms (r15), completing the streaming sketch family (KLL
+    * quantiles ∕ KMV cardinality ∕ CMS frequency): per event type, a
+    * d×w counter grid carried as keyed state — O(d·w) longs per key
+    * FOREVER over an unbounded user domain — incremented with the
+    * same [[graft.Det.jvmMd5h32]]("i#user") row hashes as the batch
+    * sketch, read out per micro-batch as the min-over-rows estimate
+    * for a fixed probe list. Counter addition is commutative, so
+    * batch splits and arrival order are provably inert; UNLIKE
+    * [[kmvMonitor]] (a set function), CMS is ADDITIVE — at-least-once
+    * replay inflates counts, so this monitor belongs behind an
+    * exactly-once source or an idempotent upstream dedup (documented
+    * trade, pinned in the parity suite). Estimates never undercount.
+    * Update mode: one row per (touched key, probe) per batch. */
+  def cmsMonitor(events: Dataset[Event], probes: Seq[Long],
+                 d: Int = 4, w: Int = 64): Dataset[CmsProbeOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[Event], state: GroupState[CmsState]) =>
+          val st = state.getOption
+          val cnt = st.map(_.cnt.toArray).getOrElse(new Array[Long](d * w))
+          var n = st.map(_.n).getOrElse(0L)
+          it.foreach { e =>
+            var i = 0
+            while (i < d) {
+              cnt(i * w + (graft.Det.jvmMd5h32(s"$i#${e.user_id}") % w).toInt) += 1
+              i += 1
+            }
+            n += 1
+          }
+          state.update(CmsState(cnt.toSeq, n))
+          probes.iterator.map { p =>
+            val est = (0 until d).map(i =>
+              cnt(i * w + (graft.Det.jvmMd5h32(s"$i#$p") % w).toInt)).min
+            CmsProbeOut(tp, p, n, est)
+          }
       }
   }
 

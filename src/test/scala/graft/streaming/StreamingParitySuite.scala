@@ -2458,4 +2458,42 @@ class StreamingParitySuite extends SparkSuite {
       assert(est === (k - 1).toLong * 4294967296L / hkJvm)
     }
   }
+
+  test("CMS tracker: additive counters — stream across batches == JVM fold; probes never undercount") {
+    val d = 4; val w = 16
+    // skewed user stream: user 1 hot (60x), user 2 warm (25x), tail
+    val evs = (1 to 100).map { i =>
+      val u = if (i <= 60) 1L else if (i <= 85) 2L else (i + 100).toLong
+      Event(i, min(i % 60), u, "click", 1.0)
+    }
+    val probes = Seq(1L, 2L, 999L) // hot, warm, never-seen
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.cmsMonitor(ms.toDS(), probes, d, w)
+      .writeStream.format("memory").queryName("cms_par")
+      .outputMode("update").start()
+    try Seq(evs.take(40), evs.slice(40, 80), evs.drop(80))
+      .foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // final readout per probe = the row with max n (n is monotone)
+    val fin = spark.table("cms_par").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    // JVM fold of the whole stream
+    val ctr = scala.collection.mutable.Map[(Int, Long), Long]()
+      .withDefaultValue(0L)
+    for (e <- evs; i <- 0 until d)
+      ctr((i, graft.Det.jvmMd5h32(s"$i#${e.user_id}") % w)) += 1
+    val truth = evs.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    for (p <- probes) {
+      val (_, n, est) = fin(p)
+      assert(n === 100L, "final readout must cover the full stream")
+      val expEst = (0 until d).map(i =>
+        ctr((i, graft.Det.jvmMd5h32(s"$i#$p") % w))).min
+      assert(est === expEst, s"probe $p diverged from the JVM fold")
+      assert(est >= truth(p), s"probe $p undercounted")
+    }
+    // the hot probe's estimate dominates the warm one's (signal survives)
+    assert(fin(1L)._3 > fin(2L)._3)
+  }
 }
