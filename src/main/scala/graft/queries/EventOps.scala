@@ -1509,7 +1509,112 @@ object EventOps {
           col("tv_micro"),
           (col("tv_micro").cast("double") / lit(2000000.0)).as("tv"))
         .orderBy(col("prev_type"))
-    }))
+    }),
+
+    // Goh-Barabási burstiness index per event type (r15) — B =
+    // (σ−μ)∕(σ+μ) over the type's per-user interarrival gaps: −1 for
+    // a metronome, 0 for Poisson, →1 for heavy-tailed bursts — the
+    // single-number complement to q_event_interarrival's quantile
+    // profile and q_text_burst's token bursts. Gaps are per (user,
+    // type) lags (one events-sized window exchange — never a global
+    // sequence); per-type moments are EXACT DECIMAL(38,0) sums of µs
+    // gaps and squares (a 30-day µs gap squares to ~7·10²⁴ — past
+    // int64, the assort discipline); B's n cancels: B = (√(n·S2−S1²)
+    // − S1)∕(√(n·S2−S1²) + S1), ONE pinned chain off exact sums, 6dp;
+    // mean gap ships as an exact integer floor-div. NULL structurally
+    // when n < 2 or every gap is 0.
+    "q_event_burstiness" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val gaps = T.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      val m = gaps.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(dec)).as("s1"),
+        sum(col("gap").cast(dec) * col("gap")).as("s2"))
+      def dbl(c: String) = col(c).cast("double")
+      val varNum = dbl("n_gaps") * dbl("s2") - dbl("s1") * dbl("s1")
+      m.select(col("event_type"), col("n_gaps"),
+        expr("cast(s1 div n_gaps as bigint)").as("mean_gap_us"),
+        when(col("n_gaps") >= 2 && dbl("s1") > 0,
+          round((sqrt(greatest(varNum, lit(0.0))) - dbl("s1"))
+            / (sqrt(greatest(varNum, lit(0.0))) + dbl("s1")), 6))
+          .as("b_index"))
+        .orderBy(col("event_type"))
+    }),
+
+    // CUPED variance-reduced A/B readout (r15; Deng, Xu, Kohavi,
+    // Walker 2013) — the experimentation-platform staple beside
+    // q_event_abtest's plain z: per user, X = pre-period (first-half)
+    // spend, Y = experiment-period (second-half) spend; the adjusted
+    // effect (ȳ_A−ȳ_B) − θ(x̄_A−x̄_B) with θ = cov(X,Y)∕var(X) strips
+    // the variance X explains (reduction factor = ρ²). The md5 arm
+    // split is the abtest null experiment — the query grades the
+    // MACHINERY; the planted-effect unit fixture grades the
+    // correction. Determinism: user collapses to exact integer cents
+    // (the decay cast discipline), moments are exact DECIMAL(38,0)
+    // sums, θ∕diffs∕ρ² are pinned double chains, 6dp each, near-zero
+    // "+ 0.0" on the two signed diffs; arm cells via conditional sums
+    // in ONE aggregate (the abtest pivot — an empty arm NULLs its
+    // columns structurally instead of emptying the row). Plan: one
+    // 1-row split broadcast, ONE map-side-combining user agg, ONE
+    // 1-row moment agg — O(users) shuffle then O(1) forever.
+    "q_event_cuped" -> ((s, d) => cupedOn(T.events(s, d))))
+
+  /** q_event_cuped's engine over any (user_id, ts, value) log —
+    * extracted for the planted-correlation fixture. */
+  private[graft] def cupedOn(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e0 = events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("dd"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val ref = e0.agg(expr("(min(dd) + max(dd) + 1) div 2").as("split_dd"))
+    val u = e0.crossJoin(broadcast(ref))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("dd") < col("split_dd"), col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("dd") >= col("split_dd"), col("cents"))
+          .otherwise(0L)).as("y"))
+      .withColumn("arm", Det.md5h32(col("user_id").cast("string")) % 2)
+    def cd(c: Column) = c.cast(dec)
+    val g = u.agg(count(lit(1)).as("n"),
+      sum(cd(col("x"))).as("sx"), sum(cd(col("y"))).as("sy"),
+      sum(cd(col("x")) * col("x")).as("sxx"),
+      sum(cd(col("x")) * col("y")).as("sxy"),
+      sum(cd(col("y")) * col("y")).as("syy"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, cd(col("x"))).otherwise(lit(0).cast(dec)))
+        .as("ax0"),
+      sum(when(col("arm") === 1, cd(col("x"))).otherwise(lit(0).cast(dec)))
+        .as("ax1"),
+      sum(when(col("arm") === 0, cd(col("y"))).otherwise(lit(0).cast(dec)))
+        .as("ay0"),
+      sum(when(col("arm") === 1, cd(col("y"))).otherwise(lit(0).cast(dec)))
+        .as("ay1"))
+    def dbl(c: String) = col(c).cast("double")
+    val varx = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val vary = dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")
+    val covxy = dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+    val theta = covxy / varx
+    val diffRaw = dbl("ay0") / dbl("n_a") - dbl("ay1") / dbl("n_b")
+    val diffX = dbl("ax0") / dbl("n_a") - dbl("ax1") / dbl("n_b")
+    val armsOk = col("n_a") > 0 && col("n_b") > 0
+    g.select(col("n_a"), col("n_b"),
+      when(varx > 0, round(theta, 6) + lit(0.0)).as("theta"),
+      when(armsOk, round(diffRaw, 6) + lit(0.0)).as("diff_raw_cents"),
+      when(armsOk && varx > 0,
+        round(diffRaw - theta * diffX, 6) + lit(0.0))
+        .as("diff_cuped_cents"),
+      when(varx > 0 && vary > 0,
+        round(covxy * covxy / (varx * vary), 6)).as("rho2"))
+  }
 
   /** q_event_runstest's engine over any (day, n) ordered series:
     * dichotomize by the discrete lower median of n (median rows
@@ -3088,6 +3193,82 @@ object EventOps {
             CAST(tv_micro AS DOUBLE) / 2000000.0 AS tv
           FROM tv LEFT JOIN n1 ON tv.prev_type = n1.q1
                   LEFT JOIN n2 ON tv.prev_type = n2.q2
-          ORDER BY tv.prev_type"""
+          ORDER BY tv.prev_type""",
+    // Per-(user, type) lags; HUGEINT moment sums (µs gaps square past
+    // int64); the identical n-cancelled B chain; floor-div mean.
+    "q_event_burstiness" ->
+      s"""WITH g AS (
+            SELECT event_type,
+              epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts ASC, event_id ASC) AS gap
+            FROM $evt WHERE ts IS NOT NULL),
+          m AS (
+            SELECT event_type, COUNT(*) AS n_gaps,
+              SUM(CAST(gap AS HUGEINT)) AS s1,
+              SUM(CAST(gap AS HUGEINT) * gap) AS s2
+            FROM g WHERE gap IS NOT NULL GROUP BY 1)
+          SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+            CAST(s1 // n_gaps AS BIGINT) AS mean_gap_us,
+            CASE WHEN n_gaps >= 2 AND CAST(s1 AS DOUBLE) > 0 THEN
+              ROUND((SQRT(GREATEST(CAST(n_gaps AS DOUBLE)
+                      * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))
+                  - CAST(s1 AS DOUBLE))
+                / (SQRT(GREATEST(CAST(n_gaps AS DOUBLE)
+                      * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))
+                  + CAST(s1 AS DOUBLE)), 6)
+            END AS b_index
+          FROM m ORDER BY event_type""",
+    // The abtest md5 arms + the markovdrift midpoint split; exact
+    // HUGEINT moments; identical theta/diff/rho2 double chains.
+    "q_event_cuped" ->
+      s"""WITH e0 AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS dd,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM $evt WHERE ts IS NOT NULL),
+          r AS (SELECT (MIN(dd) + MAX(dd) + 1) // 2 AS split_dd FROM e0),
+          u AS (
+            SELECT user_id,
+              SUM(CASE WHEN dd < split_dd THEN cents ELSE 0 END) AS x,
+              SUM(CASE WHEN dd >= split_dd THEN cents ELSE 0 END) AS y,
+              ${Det.sqlMd5h32("CAST(user_id AS VARCHAR)")} % 2 AS arm
+            FROM e0 CROSS JOIN r GROUP BY user_id),
+          g AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+              SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+              SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+              SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+              SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS ax0,
+              SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS ax1,
+              SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS ay0,
+              SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS ay1
+            FROM u),
+          d1 AS (
+            SELECT n_a, n_b,
+              CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+              CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+              CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covxy,
+              CAST(ay0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(ay1 AS DOUBLE) / CAST(n_b AS DOUBLE) AS diffraw,
+              CAST(ax0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(ax1 AS DOUBLE) / CAST(n_b AS DOUBLE) AS diffx
+            FROM g)
+          SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+            CASE WHEN varx > 0 THEN ROUND(covxy / varx, 6) + 0.0
+            END AS theta,
+            CASE WHEN n_a > 0 AND n_b > 0 THEN ROUND(diffraw, 6) + 0.0
+            END AS diff_raw_cents,
+            CASE WHEN n_a > 0 AND n_b > 0 AND varx > 0 THEN
+              ROUND(diffraw - covxy / varx * diffx, 6) + 0.0
+            END AS diff_cuped_cents,
+            CASE WHEN varx > 0 AND vary > 0 THEN
+              ROUND(covxy * covxy / (varx * vary), 6)
+            END AS rho2
+          FROM d1"""
   )
 }

@@ -67,6 +67,28 @@ class RobustStatsSuite extends SparkSuite {
     assert(nu0 === 0L && z0.isNaN)
   }
 
+  test("CUPED: perfectly pre-period-explained metric -> theta 1, rho2 1, adjusted diff 0") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val B = 1704067200000000L
+    // 40 users, Y(day 1) == X(day 0) == u dollars: whatever the md5
+    // arm split does to the RAW diff, CUPED must cancel it exactly.
+    val rows = (1 to 40).flatMap { u =>
+      Seq((u.toLong, B + u * 1000L, u.toDouble),
+        (u.toLong, B + 86400000000L + u * 1000L, u.toDouble))
+    }
+    val df = rows.toDF("user_id", "ts_us", "value")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("value"))
+    val r = graft.queries.EventOps.cupedOn(df).collect()(0)
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    assert(na > 0 && nb > 0 && na + nb === 40L)
+    assert(r.getDouble(2) === 1.0, "theta must be exactly cov/var = 1")
+    val rawDiff = r.getDouble(3)
+    assert(r.getDouble(4) === 0.0,
+      s"CUPED must cancel the raw arm imbalance ($rawDiff) exactly")
+    assert(r.getDouble(5) === 1.0, "rho2 = 1 when X explains Y fully")
+  }
+
   test("CMS: estimates replay the JVM fold exactly; overcount is one-sided") {
     // narrow w = 16 + a 61-singleton tail to force real collisions
     val data = Seq.fill(100)(1L) ++ Seq.fill(50)(2L) ++ Seq.fill(10)(3L) ++
