@@ -56,6 +56,11 @@ object GraphOps {
   private[graft] val TriMinPair = 6
   private[graft] val LocalCcTopK = 20
 
+  /** q_graph_trusspeel: minimum per-edge triangle support and the
+    * fixed cascade rounds (the KCore fixed-round unroll precedent). */
+  private[graft] val TrussMinSup = 2
+  private[graft] val TrussRounds = 2
+
   /** The graded co-purchase edge list: distinct (part,supplier) pairs
     * computed ONCE, both directed orientations derived from that one
     * aggregate by a map-side explode (never a second raw scan — the r11
@@ -435,15 +440,31 @@ object GraphOps {
     // persisted edge frame → histogram agg ∝ distinct supports.
     // All-integer end to end — no float anywhere.
     "q_graph_truss" -> ((s, d) =>
-      trussOn(cosupplierEdges(s, d, TriMinPair))))
+      trussOn(cosupplierEdges(s, d, TriMinPair))),
+
+    // k-truss peel (r15) — the DECOMPOSITION step on top of
+    // q_graph_truss's static histogram: TrussRounds cascaded rounds,
+    // each dropping edges in < TrussMinSup triangles and
+    // re-enumerating (a dropped edge can destroy a neighbor's last
+    // triangle — the cascade IS the semantics; fixed-round unroll,
+    // the KCore/PageRank precedent, oracle unrolled round for round).
+    // Output: survivors per round — the truss-cohesion curve. At the
+    // tiny sfs the co-supplier graph is near-complete and nothing
+    // peels; at sf0.1's sparse regime the first round does the
+    // cutting and the second documents the cascade. Cost = rounds ×
+    // one triangle enumeration, all-integer.
+    "q_graph_trusspeel" -> ((s, d) =>
+      trussPeelOn(cosupplierEdges(s, d, TriMinPair), TrussMinSup,
+        TrussRounds)))
 
   /** q_graph_truss's engine: per-edge triangle support histogram over
     * any canonical (a < b) distinct undirected edge frame. Triangle
     * corners arrive in orientation (deg, id) order, so each of the 3
     * edges re-canonicalizes by id before the count. */
-  private[graft] def trussOn(edges: DataFrame): DataFrame = {
-    val (tris, _, e) = trianglesOn(edges)
-    val sup = tris.select(explode(array(
+  /** Each enumerated triangle credits its 3 edges, id-canonicalized
+    * (corners arrive in orientation order, not id order). */
+  private def triEdgeCredits(tris: DataFrame): DataFrame =
+    tris.select(explode(array(
         struct(least(col("a0"), col("nb")).as("x"),
           greatest(col("a0"), col("nb")).as("y")),
         struct(least(col("a0"), col("nc")).as("x"),
@@ -451,11 +472,41 @@ object GraphOps {
         struct(least(col("nb"), col("nc")).as("x"),
           greatest(col("nb"), col("nc")).as("y")))).as("t"))
       .select(col("t.x").as("x"), col("t.y").as("y"))
+
+  private[graft] def trussOn(edges: DataFrame): DataFrame = {
+    val (tris, _, e) = trianglesOn(edges)
+    val sup = triEdgeCredits(tris)
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
     e.join(sup, col("a") === col("x") && col("b") === col("y"), "left")
       .select(coalesce(col("support"), lit(0L)).as("support"))
       .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
       .orderBy(col("support"))
+  }
+
+  /** q_graph_trusspeel's engine: `rounds` cascaded support peels —
+    * each round re-enumerates triangles on the SURVIVING edges and
+    * drops edges in < minSup triangles (dropping an edge can destroy
+    * a neighbor's last triangle, hence the cascade — k-truss
+    * decomposition's step, unrolled fixed rounds like KCore.peel).
+    * Per-round survivor counts compose LAZILY (one frame per round,
+    * unioned — no driver-side loop; trianglesOn's internal persists
+    * make each round's edge frame compute once for both its count row
+    * and the next round's enumeration). Returns (round, n_edges). */
+  private[graft] def trussPeelOn(edges0: DataFrame, minSup: Int,
+                                 rounds: Int): DataFrame = {
+    var e = edges0
+    val rows = (1 to rounds).map { r =>
+      val (tris, _, ep) = trianglesOn(e)
+      val sup = triEdgeCredits(tris)
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSup)
+        .select(col("x"), col("y"))
+      e = ep.join(sup,
+        col("a") === col("x") && col("b") === col("y"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .select(lit(r).as("round"), col("n_edges"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("round"))
   }
 
   /** q_graph_triangle's engine over any canonical (a < b) distinct
@@ -790,21 +841,21 @@ object GraphOps {
     // ordered wedge pairs → closing-edge join. All-integer until the
     // single transitivity division.
     "q_graph_triangle" ->
-      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sv
+      s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sv
             FROM $li),
-          e AS (SELECT x.sv AS a, y.sv AS b
+          e AS MATERIALIZED (SELECT x.sv AS a, y.sv AS b
                 FROM os x JOIN os y ON x.o = y.o AND x.sv < y.sv
                 GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinPair),
-          deg AS (SELECT node, COUNT(*) AS deg FROM (
+          deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
                     SELECT a AS node FROM e
                     UNION ALL SELECT b FROM e) z GROUP BY node),
-          o AS (SELECT
+          o AS MATERIALIZED (SELECT
                   CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS src,
                   CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS dst,
                   GREATEST(da.deg, db.deg) AS dd
                 FROM e JOIN deg da ON e.a = da.node
                        JOIN deg db ON e.b = db.node),
-          tri AS (SELECT t1.src AS a0, t1.dst AS nb, t2.dst AS nc
+          tri AS MATERIALIZED (SELECT t1.src AS a0, t1.dst AS nb, t2.dst AS nc
                   FROM o t1 JOIN o t2 ON t1.src = t2.src
                    AND (t1.dd < t2.dd OR (t1.dd = t2.dd AND t1.dst < t2.dst))
                   WHERE EXISTS (SELECT 1 FROM o cl
@@ -824,21 +875,21 @@ object GraphOps {
     // Same machinery; each triangle credits its 3 corners, true degree
     // joins back, one division, total (tri desc, node asc) order.
     "q_graph_localcc" ->
-      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sv
+      s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sv
             FROM $li),
-          e AS (SELECT x.sv AS a, y.sv AS b
+          e AS MATERIALIZED (SELECT x.sv AS a, y.sv AS b
                 FROM os x JOIN os y ON x.o = y.o AND x.sv < y.sv
                 GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinPair),
-          deg AS (SELECT node, COUNT(*) AS deg FROM (
+          deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
                     SELECT a AS node FROM e
                     UNION ALL SELECT b FROM e) z GROUP BY node),
-          o AS (SELECT
+          o AS MATERIALIZED (SELECT
                   CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS src,
                   CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS dst,
                   GREATEST(da.deg, db.deg) AS dd
                 FROM e JOIN deg da ON e.a = da.node
                        JOIN deg db ON e.b = db.node),
-          tri AS (SELECT t1.src AS a0, t1.dst AS nb, t2.dst AS nc
+          tri AS MATERIALIZED (SELECT t1.src AS a0, t1.dst AS nb, t2.dst AS nc
                   FROM o t1 JOIN o t2 ON t1.src = t2.src
                    AND (t1.dd < t2.dd OR (t1.dd = t2.dd AND t1.dst < t2.dst))
                   WHERE EXISTS (SELECT 1 FROM o cl
@@ -856,21 +907,21 @@ object GraphOps {
     // Same triangle chain; 3 id-canonicalized edge credits per
     // triangle, support-0 edges kept via the left join; all-integer.
     "q_graph_truss" ->
-      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sv
+      s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sv
             FROM $li),
-          e AS (SELECT x.sv AS a, y.sv AS b
+          e AS MATERIALIZED (SELECT x.sv AS a, y.sv AS b
                 FROM os x JOIN os y ON x.o = y.o AND x.sv < y.sv
                 GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinPair),
-          deg AS (SELECT node, COUNT(*) AS deg FROM (
+          deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
                     SELECT a AS node FROM e
                     UNION ALL SELECT b FROM e) z GROUP BY node),
-          o AS (SELECT
+          o AS MATERIALIZED (SELECT
                   CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS src,
                   CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS dst,
                   GREATEST(da.deg, db.deg) AS dd
                 FROM e JOIN deg da ON e.a = da.node
                        JOIN deg db ON e.b = db.node),
-          tri AS (SELECT t1.src AS a0, t1.dst AS nb, t2.dst AS nc
+          tri AS MATERIALIZED (SELECT t1.src AS a0, t1.dst AS nb, t2.dst AS nc
                   FROM o t1 JOIN o t2 ON t1.src = t2.src
                    AND (t1.dd < t2.dd OR (t1.dd = t2.dd AND t1.dst < t2.dst))
                   WHERE EXISTS (SELECT 1 FROM o cl
@@ -885,5 +936,52 @@ object GraphOps {
           SELECT COALESCE(sup.support, 0) AS support,
             COUNT(*) AS n_edges
           FROM e LEFT JOIN sup ON e.a = sup.x AND e.b = sup.y
-          GROUP BY 1 ORDER BY support""")
+          GROUP BY 1 ORDER BY support""",
+    // Unrolled cascade (TrussRounds fixed — the kcore precedent): each
+    // round re-derives degrees/orientation/triangles on the survivors.
+    "q_graph_trusspeel" -> {
+      // AS MATERIALIZED everywhere: DuckDB inlines plain CTEs per
+      // reference, so a two-round unroll whose round-2 CTEs each
+      // reference round-1 several times re-expands the WHOLE prior
+      // round multiplicatively — the preflight hung >9 min at sf0.01
+      // until the rounds were pinned materialized.
+      def round(r: Int): String =
+        s"""deg$r AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+           |    SELECT a AS node FROM e${r - 1}
+           |    UNION ALL SELECT b FROM e${r - 1}) z GROUP BY node),
+           |o$r AS MATERIALIZED (SELECT
+           |    CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS src,
+           |    CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS dst,
+           |    GREATEST(da.deg, db.deg) AS dd
+           |  FROM e${r - 1} e JOIN deg$r da ON e.a = da.node
+           |    JOIN deg$r db ON e.b = db.node),
+           |tri$r AS MATERIALIZED (SELECT t1.src AS a0, t1.dst AS nb, t2.dst AS nc
+           |  FROM o$r t1 JOIN o$r t2 ON t1.src = t2.src
+           |   AND (t1.dd < t2.dd OR (t1.dd = t2.dd AND t1.dst < t2.dst))
+           |  WHERE EXISTS (SELECT 1 FROM o$r cl
+           |    WHERE cl.src = t1.dst AND cl.dst = t2.dst)),
+           |sup$r AS MATERIALIZED (SELECT x, y FROM (
+           |    SELECT x, y, COUNT(*) AS support FROM (
+           |      SELECT LEAST(a0, nb) AS x, GREATEST(a0, nb) AS y
+           |      FROM tri$r
+           |      UNION ALL SELECT LEAST(a0, nc), GREATEST(a0, nc)
+           |      FROM tri$r
+           |      UNION ALL SELECT LEAST(nb, nc), GREATEST(nb, nc)
+           |      FROM tri$r) z GROUP BY x, y) w
+           |  WHERE support >= $TrussMinSup),
+           |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+           |  JOIN sup$r s ON e.a = s.x AND e.b = s.y)""".stripMargin
+      val finals = (1 to TrussRounds).map(r =>
+        s"SELECT $r AS round, CAST((SELECT COUNT(*) FROM e$r) AS BIGINT) AS n_edges")
+        .mkString("\n          UNION ALL ")
+      s"""WITH os AS MATERIALIZED (
+         |    SELECT DISTINCT l_orderkey AS o, l_suppkey AS sv
+         |    FROM $li),
+         |e0 AS MATERIALIZED (SELECT x.sv AS a, y.sv AS b
+         |  FROM os x JOIN os y ON x.o = y.o AND x.sv < y.sv
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinPair),
+         |${(1 to TrussRounds).map(round).mkString(",\n")}
+         |          $finals
+         |          ORDER BY round""".stripMargin
+    })
 }

@@ -149,27 +149,30 @@ object TextOps {
 
     // Language ID: marker-token counts per language, argmax with
     // lexicographic tiebreak; reports accuracy vs the labeled lang.
-    "q_text_langid" -> ((s, d) => {
-      val scored = T.documents(s, d).select(
-        (col("doc_id") +: col("lang").as("actual_lang") +:
-          markers.map { case (l, set) => countIn(set).as(s"s_$l") }): _*)
-      val langs = markers.map(_._1)
-      // argmax with ties to the earliest lang: lang L wins if its score is
-      // >= every later lang's score and > every earlier lang's score.
-      val predicted = langs.zipWithIndex.foldRight(lit(langs.last)) {
-        case ((l, idx), rest) =>
-          val beatsLater = langs.drop(idx + 1)
-            .map(o => col(s"s_$l") >= col(s"s_$o"))
-          val beatsEarlier = langs.take(idx)
-            .map(o => col(s"s_$l") > col(s"s_$o"))
-          val cond = (beatsLater ++ beatsEarlier)
-            .foldLeft(lit(true))(_ && _)
-          when(cond, lit(l)).otherwise(rest)
-      }
-      scored
-        .withColumn("predicted", predicted)
+    "q_text_langid" -> ((s, d) =>
+      langidPredOn(s, d)
         .withColumn("hit", (col("predicted") === col("actual_lang")).cast("int"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // Language-ID confusion audit (r15) — the EVAL the per-doc
+    // q_text_langid row implies: the (actual, predicted) confusion
+    // matrix with per-actual recall shares, graded against the lang
+    // column as ground truth — "which languages does the n-gram
+    // heuristic mix up, and how badly". Shares are FLOOR-quantized
+    // exact integers (n·10⁶ div rowtotal — the markovdrift
+    // discipline, no float share). Plan: the per-doc scorer is one
+    // scan-side projection (marker counts + an argmax CASE chain, no
+    // shuffle), then one ≤∣langs∣² hash agg + a ≤∣langs∣ row-total
+    // join-back — domain-sized after the scan.
+    "q_text_langconf" -> ((s, d) => {
+      val m = langidPredOn(s, d)
+        .groupBy(col("actual_lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val tot = m.groupBy(col("actual_lang")).agg(sum(col("n")).as("tot"))
+      m.join(tot, Seq("actual_lang"))
+        .select(col("actual_lang"), col("predicted"), col("n"),
+          expr("n * 1000000 div tot").as("share_micro"))
+        .orderBy(col("actual_lang"), col("predicted"))
     }),
 
     // Quality scoring: token stats + stopword ratio + type-token ratio,
@@ -558,6 +561,28 @@ object TextOps {
   /** q_text_langmix's engine over any (source, lang) corpus. Power
     * sums ride DECIMAL(38,0) (HUGEINT in the twin) — n² and Σc²
     * overflow BIGINT near 10¹⁰ docs per group, inside 100-TB range. */
+  /** Shared langid scorer (q_text_langid / q_text_langconf): per-doc
+    * marker scores + argmax prediction, ties to the earliest lang —
+    * lang L wins iff its score ≥ every later lang's and > every
+    * earlier lang's. Pure scan-side projection. */
+  private[graft] def langidPredOn(s: SparkSession, d: String): DataFrame = {
+    val scored = T.documents(s, d).select(
+      (col("doc_id") +: col("lang").as("actual_lang") +:
+        markers.map { case (l, set) => countIn(set).as(s"s_$l") }): _*)
+    val langs = markers.map(_._1)
+    val predicted = langs.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, idx), rest) =>
+        val beatsLater = langs.drop(idx + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o"))
+        val beatsEarlier = langs.take(idx)
+          .map(o => col(s"s_$l") > col(s"s_$o"))
+        val cond = (beatsLater ++ beatsEarlier)
+          .foldLeft(lit(true))(_ && _)
+        when(cond, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("predicted", predicted)
+  }
+
   private[graft] def langmixOn(docs: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val cl = docs.groupBy(col("source"), col("lang"))
@@ -706,6 +731,32 @@ object TextOps {
                 $scores
               FROM $doc) sc) p
           ORDER BY doc_id"""
+    },
+    // Same scorer subquery; floor-quantized shares; domain-sized aggs.
+    "q_text_langconf" -> {
+      val scores = markers
+        .map { case (l, set) => s"${sqlCountIn(set)} AS s_$l" }
+        .mkString(",\n            ")
+      val langs = markers.map(_._1)
+      val branches = langs.zipWithIndex.init.map { case (l, idx) =>
+        val conds = langs.drop(idx + 1).map(o => s"s_$l >= s_$o") ++
+          langs.take(idx).map(o => s"s_$l > s_$o")
+        s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+      }.mkString("\n              ")
+      s"""WITH p AS (
+            SELECT actual_lang,
+              CASE $branches
+                   ELSE '${langs.last}' END AS predicted
+            FROM (SELECT lang AS actual_lang,
+                $scores
+              FROM $doc) sc),
+          m AS (SELECT actual_lang, predicted, COUNT(*) AS n
+                FROM p GROUP BY 1, 2),
+          t AS (SELECT actual_lang, SUM(n) AS tot FROM m GROUP BY 1)
+          SELECT m.actual_lang, m.predicted, CAST(m.n AS BIGINT) AS n,
+            CAST((m.n * 1000000) // t.tot AS BIGINT) AS share_micro
+          FROM m JOIN t ON m.actual_lang = t.actual_lang
+          ORDER BY m.actual_lang, m.predicted"""
     },
     "q_text_quality" ->
       s"""SELECT doc_id, n_chars_txt, n_tokens, n_distinct, n_stop,
