@@ -604,31 +604,14 @@ object Aggregates {
     // ONE division + one subtraction, 6dp. All-equal values → G = 0
     // exactly; empty/zero-total groups → NULL structurally.
     "q_agg_gini" -> ((s, d) => {
-      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val cents = (col("o_totalprice")
         .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
         .cast("long")
-      val vc = T.orders(s, d)
+      giniCellsOn(T.orders(s, d)
         .filter(col("o_totalprice").isNotNull)
-        .groupBy(col("o_orderstatus"), cents.as("c"))
-        .agg(count(lit(1)).as("w"))
-      val wOrd = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("c").asc)
-      val cum = vc
-        .withColumn("s_cum", sum((col("w") * col("c")).cast(dec38)).over(wOrd))
-        .withColumn("term",
-          col("w").cast(dec38)
-            * (col("s_cum") + col("s_cum") - (col("w") * col("c")).cast(dec38)))
-      cum.groupBy(col("o_orderstatus"))
-        .agg(sum(col("term")).as("x"),
-          sum((col("w") * col("c")).cast(dec38)).as("s_tot"),
-          sum(col("w")).as("w_tot"))
-        .select(col("o_orderstatus"), col("w_tot").as("n"),
-          when(col("s_tot") > 0,
-            round(lit(1.0)
-              - col("x").cast("double")
-                / (col("w_tot").cast(dec38) * col("s_tot")).cast("double"),
-              6)).as("gini"))
+        .groupBy(col("o_orderstatus").as("g"), cents.as("c"))
+        .agg(count(lit(1)).as("w")))
+        .select(col("g").as("o_orderstatus"), col("n"), col("gini"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -1105,6 +1088,33 @@ object Aggregates {
         && expr("(wt + 1) div 2") <= col("cum"))
       .select(col("g"), col("wt").as("n_pairs"),
         (col("s2x").cast("double") / lit(2.0)).as("hl"))
+      .orderBy(col("g"))
+  }
+
+  /** q_agg_gini's engine over any value-collapsed (g, c, w) cell
+    * frame (c = nonnegative integer value, w = cell weight): the exact
+    * weighted Gini off the per-group cumulative mass window — shuffle
+    * ∝ cells, decimal-exact until the single 6dp division. Shared by
+    * the orders-concentration query and q_graph_deggini's
+    * degree-inequality profile. Returns (g, n, gini). */
+  private[graft] def giniCellsOn(vc: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("c").asc)
+    val cum = vc
+      .withColumn("s_cum", sum((col("w") * col("c")).cast(dec38)).over(wOrd))
+      .withColumn("term",
+        col("w").cast(dec38)
+          * (col("s_cum") + col("s_cum") - (col("w") * col("c")).cast(dec38)))
+    cum.groupBy(col("g"))
+      .agg(sum(col("term")).as("x"),
+        sum((col("w") * col("c")).cast(dec38)).as("s_tot"),
+        sum(col("w")).as("w_tot"))
+      .select(col("g"), col("w_tot").as("n"),
+        when(col("s_tot") > 0,
+          round(lit(1.0)
+            - col("x").cast("double")
+              / (col("w_tot").cast(dec38) * col("s_tot")).cast("double"),
+            6)).as("gini"))
       .orderBy(col("g"))
   }
 

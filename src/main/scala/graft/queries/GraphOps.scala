@@ -455,7 +455,23 @@ object GraphOps {
     // one triangle enumeration, all-integer.
     "q_graph_trusspeel" -> ((s, d) =>
       trussPeelOn(cosupplierEdges(s, d, TriMinPair), TrussMinSup,
-        TrussRounds)))
+        TrussRounds)),
+
+    // Degree-concentration Gini (r15) — "how unequal is attention in
+    // the graph?": the exact weighted Gini of the co-purchase degree
+    // distribution (0 = regular graph, →1 = a few hubs own the
+    // edges) — the single-number summary on top of q_graph_degdist's
+    // full histogram, through the SAME giniCellsOn engine the revenue
+    // query uses (value = degree, weight = node count). Everything
+    // after the degree collapse is ∝ distinct degrees.
+    "q_graph_deggini" -> ((s, d) =>
+      graft.queries.Aggregates.giniCellsOn(
+        copurchaseEdges(s, d)
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .groupBy(lit("copurchase").as("g"), col("deg").as("c"))
+          .agg(count(lit(1)).as("w")))
+        .select(col("g").as("graph"), col("n").as("n_nodes"),
+          col("gini").as("deg_gini"))))
 
   /** q_graph_truss's engine: per-edge triangle support histogram over
     * any canonical (a < b) distinct undirected edge frame. Triangle
@@ -983,5 +999,36 @@ object GraphOps {
          |${(1 to TrussRounds).map(round).mkString(",\n")}
          |          $finals
          |          ORDER BY round""".stripMargin
-    })
+    },
+    // Degree cells through the same cumulative-mass Gini SQL shape as
+    // q_agg_gini, single group.
+    "q_graph_deggini" ->
+      s"""WITH pairs AS (
+            SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+            FROM $li),
+          edges AS (
+            SELECT p AS src, q AS dst FROM pairs
+            UNION ALL SELECT q, p FROM pairs),
+          degs AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+          vc AS (SELECT 'copurchase' AS g, deg AS c, COUNT(*) AS w
+                 FROM degs GROUP BY 1, 2),
+          cum AS (
+            SELECT g, c, w,
+              SUM(CAST(w * c AS HUGEINT)) OVER (PARTITION BY g
+                ORDER BY c ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum
+            FROM vc),
+          t AS (
+            SELECT g,
+              SUM(CAST(w AS HUGEINT)
+                  * (s_cum + s_cum - CAST(w * c AS HUGEINT))) AS x,
+              SUM(CAST(w * c AS HUGEINT)) AS s_tot,
+              SUM(w) AS w_tot
+            FROM cum GROUP BY g)
+          SELECT g AS graph, CAST(w_tot AS BIGINT) AS n_nodes,
+            CASE WHEN s_tot > 0 THEN
+              ROUND(1.0 - CAST(x AS DOUBLE)
+                / CAST(CAST(w_tot AS HUGEINT) * s_tot AS DOUBLE), 6)
+            END AS deg_gini
+          FROM t ORDER BY graph""")
 }

@@ -164,6 +164,48 @@ object TextOps {
     // scan-side projection (marker counts + an argmax CASE chain, no
     // shuffle), then one ≤∣langs∣² hash agg + a ≤∣langs∣ row-total
     // join-back — domain-sized after the scan.
+    // Stylometric source fingerprinting (r15) — classic authorship
+    // attribution (Mosteller-Wallace's Federalist method): sources are
+    // compared by their FUNCTION-WORD frequency vectors (stopwords +
+    // the langid marker set — content-independent style carriers),
+    // pairwise cosine over exact integer count vectors. Near-1 pairs
+    // share a generator/template; a low pair is a styl. outlier — the
+    // provenance audit beside q_llm_xsrcdup's verbatim-boilerplate
+    // matrix. Scale: the exploded token stream filters to the ≤ ~20
+    // function words BEFORE any shuffle (predicate on the generator
+    // output), collapses to ≤ ∣sources∣·∣words∣ cells, and the
+    // pairwise dot is a within-word self-join of that cell table —
+    // candidates ∝ ∣words∣·∣sources∣². Dots/norms exact
+    // DECIMAL(38,0)/HUGEINT; cosine ONE pinned chain (two
+    // correctly-rounded sqrts), 6dp.
+    "q_text_stylometry" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val words = (stopwords ++ markers.flatMap(_._2)).distinct
+      val t = T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").isin(words: _*))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+        .persist() // norms + both dot sides; caller clearCache
+      val nrm = t.groupBy(col("source"))
+        .agg(sum(col("n").cast(dec) * col("n")).as("ss"))
+      val dots = t.select(col("source").as("sa"), col("w"), col("n").as("na"))
+        .join(t.select(col("source").as("sb"), col("w").as("w2"),
+          col("n").as("nb")),
+          col("w") === col("w2") && col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(sum(col("na").cast(dec) * col("nb")).as("dot"))
+      dots
+        .join(nrm.select(col("source").as("qa"), col("ss").as("ssa")),
+          col("sa") === col("qa"))
+        .join(nrm.select(col("source").as("qb"), col("ss").as("ssb")),
+          col("sb") === col("qb"))
+        .select(col("sa"), col("sb"),
+          round(col("dot").cast("double")
+            / (sqrt(col("ssa").cast("double"))
+               * sqrt(col("ssb").cast("double"))), 6).as("cosine"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     "q_text_langconf" -> ((s, d) => {
       val m = langidPredOn(s, d)
         .groupBy(col("actual_lang"), col("predicted"))
@@ -757,6 +799,30 @@ object TextOps {
             CAST((m.n * 1000000) // t.tot AS BIGINT) AS share_micro
           FROM m JOIN t ON m.actual_lang = t.actual_lang
           ORDER BY m.actual_lang, m.predicted"""
+    },
+    // Same cell collapse + within-word pair join; HUGEINT moments.
+    "q_text_stylometry" -> {
+      val words = (stopwords ++ markers.flatMap(_._2)).distinct
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+            SELECT source, w, COUNT(*) AS n FROM (
+              SELECT source, UNNEST(string_split(text, ' ')) AS w
+              FROM $doc) z
+            WHERE w IN ($words) GROUP BY 1, 2),
+          nrm AS (SELECT source, SUM(CAST(n AS HUGEINT) * n) AS ss
+                  FROM t GROUP BY source),
+          dots AS (
+            SELECT a.source AS sa, b.source AS sb,
+              SUM(CAST(a.n AS HUGEINT) * b.n) AS dot
+            FROM t a JOIN t b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT d.sa, d.sb,
+            ROUND(CAST(d.dot AS DOUBLE)
+              / (SQRT(CAST(na.ss AS DOUBLE))
+                 * SQRT(CAST(nb.ss AS DOUBLE))), 6) AS cosine
+          FROM dots d JOIN nrm na ON d.sa = na.source
+                      JOIN nrm nb ON d.sb = nb.source
+          ORDER BY d.sa, d.sb"""
     },
     "q_text_quality" ->
       s"""SELECT doc_id, n_chars_txt, n_tokens, n_distinct, n_stop,
