@@ -1563,7 +1563,48 @@ object EventOps {
     // columns structurally instead of emptying the row). Plan: one
     // 1-row split broadcast, ONE map-side-combining user agg, ONE
     // 1-row moment agg — O(users) shuffle then O(1) forever.
-    "q_event_cuped" -> ((s, d) => cupedOn(T.events(s, d))))
+    "q_event_cuped" -> ((s, d) => cupedOn(T.events(s, d))),
+
+    // Mann-Kendall trend test on daily volumes (r15) — the
+    // significance companion to q_event_trend's Theil-Sen slope and
+    // the monotone-trend sibling of q_event_runstest's randomness
+    // check: S = Σ_{i<j} sign(nⱼ − nᵢ) over day-ordered daily counts,
+    // tie-corrected Var(S), continuity-corrected z. Distribution-free.
+    // Determinism: S is an exact integer pair sum over the day-pair
+    // self-join (pairs ∝ days² — CALENDAR-bounded, the q_event_trend
+    // pairwise precedent: ~5·10⁶ pairs even at a 10-year corpus,
+    // SF-invariant); the tie term reads the value-collapsed (n, t)
+    // table; E∕Var∕z is ONE pinned double chain (÷18 in the double
+    // domain), 6dp, near-zero "+ 0.0"; the three-branch continuity
+    // correction is an integer CASE on S. Plan: corpus → days
+    // immediately; everything after is calendar-sized.
+    "q_event_mannkendall" -> ((s, d) => {
+      val daily = T.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // pair join both sides + ties + count; clearCache
+      val sPairs = daily.select(col("day"), col("n"))
+        .join(daily.select(col("day").as("d2"), col("n").as("n2")),
+          col("day") < col("d2"))
+        .agg(coalesce(sum(signum(col("n2") - col("n")).cast("long")),
+          lit(0L)).as("s_stat"))
+      val ties = daily.groupBy(col("n")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+          .as("tie_term"))
+      val nd = daily.agg(count(lit(1)).as("n_days"))
+      def dbl(c: String) = col(c).cast("double")
+      val varS = (dbl("n_days") * (dbl("n_days") - lit(1.0))
+        * (lit(2.0) * dbl("n_days") + lit(5.0))
+        - dbl("tie_term")) / lit(18.0)
+      sPairs.crossJoin(broadcast(ties)).crossJoin(broadcast(nd))
+        .select(col("n_days"), col("s_stat"),
+          when(col("n_days") > 1 && varS > 0,
+            round(when(col("s_stat") > 0,
+                (dbl("s_stat") - lit(1.0)) / sqrt(varS))
+              .when(col("s_stat") < 0,
+                (dbl("s_stat") + lit(1.0)) / sqrt(varS))
+              .otherwise(lit(0.0)), 6) + lit(0.0)).as("z"))
+    }))
 
   /** q_event_cuped's engine over any (user_id, ts, value) log —
     * extracted for the planted-correlation fixture. */
@@ -3269,6 +3310,40 @@ object EventOps {
             CASE WHEN varx > 0 AND vary > 0 THEN
               ROUND(covxy * covxy / (varx * vary), 6)
             END AS rho2
-          FROM d1"""
+          FROM d1""",
+    // Calendar-bounded day-pair sign sum; tie term off the value
+    // collapse; identical continuity-corrected z chain.
+    "q_event_mannkendall" ->
+      s"""WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+            FROM $evt WHERE ts IS NOT NULL GROUP BY 1),
+          sp AS (
+            SELECT COALESCE(SUM(CAST(SIGN(b.n - a.n) AS BIGINT)), 0)
+              AS s_stat
+            FROM daily a JOIN daily b ON a.day < b.day),
+          tt AS (
+            SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+              AS tie_term
+            FROM (SELECT n, COUNT(*) AS t FROM daily GROUP BY n) z),
+          nd AS (SELECT COUNT(*) AS n_days FROM daily)
+          SELECT CAST(n_days AS BIGINT) AS n_days,
+            CAST(s_stat AS BIGINT) AS s_stat,
+            CASE WHEN n_days > 1 AND
+                (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+                 * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
+                 - CAST(tie_term AS DOUBLE)) / 18.0 > 0 THEN
+              ROUND(CASE WHEN s_stat > 0 THEN
+                  (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(
+                (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+                 * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
+                 - CAST(tie_term AS DOUBLE)) / 18.0)
+                WHEN s_stat < 0 THEN
+                  (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(
+                (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+                 * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
+                 - CAST(tie_term AS DOUBLE)) / 18.0)
+                ELSE 0.0 END, 6) + 0.0
+            END AS z
+          FROM sp CROSS JOIN tt CROSS JOIN nd"""
   )
 }

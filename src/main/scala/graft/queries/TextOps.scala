@@ -178,6 +178,40 @@ object TextOps {
     // candidates ∝ ∣words∣·∣sources∣². Dots/norms exact
     // DECIMAL(38,0)/HUGEINT; cosine ONE pinned chain (two
     // correctly-rounded sqrts), 6dp.
+    // Out-of-vocabulary coverage audit (r15) — the tokenizer-pipeline
+    // gate q_llm_split implies: does the TRAIN split's vocabulary
+    // cover the val/test token streams? Per held-out split: token
+    // count, type count, OOV token count against the train-bucket
+    // (md5 % 10 < 8 — q_llm_split's exact assignment, re-derived not
+    // re-stored: any doc's split is computable without a scan) vocab,
+    // and the floor-quantized OOV share. High OOV = leakage into the
+    // tokenizer fit or a domain-shifted holdout. Scale: one token
+    // explode feeds train-vocab distinct AND the eval stream
+    // (persisted); the membership check is a left equi-join (shuffle
+    // ∝ tokens + vocab — never per-token broadcast state); all
+    // integers, share = n·10⁶ div total.
+    "q_text_oov" -> ((s, d) => {
+      val toks2 = T.documents(s, d)
+        .withColumn("bucket",
+          graft.Det.md5h32(col("doc_id").cast("string")) % 10)
+        .select(col("bucket"), explode(split(col("text"), " ")).as("w"))
+        .persist() // train vocab + eval stream; caller clearCache
+      val vocab = toks2.filter(col("bucket") < 8).select(col("w")).distinct()
+      val ev = toks2.filter(col("bucket") >= 8)
+        .withColumn("split",
+          when(col("bucket") === 8, "val").otherwise("test"))
+      ev.join(vocab.select(col("w").as("w2")), col("w") === col("w2"),
+          "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("n_types"),
+          sum(when(col("w2").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("split"), col("n_tokens"), col("n_types"),
+          col("n_oov"),
+          expr("n_oov * 1000000 div n_tokens").as("oov_micro"))
+        .orderBy(col("split"))
+    }),
+
     "q_text_stylometry" -> ((s, d) => {
       val dec = "decimal(38,0)"
       val words = (stopwords ++ markers.flatMap(_._2)).distinct
@@ -824,6 +858,29 @@ object TextOps {
                       JOIN nrm nb ON d.sb = nb.source
           ORDER BY d.sa, d.sb"""
     },
+    // Same split hash as q_llm_split; left-join membership; floor div.
+    "q_text_oov" ->
+      s"""WITH d0 AS (
+            SELECT doc_id, text,
+              ${Det.sqlMd5h32("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+            FROM $doc),
+          tk AS (SELECT bucket, UNNEST(string_split(text, ' ')) AS w
+                 FROM d0),
+          vocab AS (SELECT DISTINCT w FROM tk WHERE bucket < 8),
+          ev AS (SELECT CASE WHEN bucket = 8 THEN 'val' ELSE 'test' END
+                   AS split, w
+                 FROM tk WHERE bucket >= 8),
+          j AS (SELECT ev.split, ev.w, vocab.w AS w2
+                FROM ev LEFT JOIN vocab ON ev.w = vocab.w),
+          a AS (SELECT split, COUNT(*) AS n_tokens,
+                  COUNT(DISTINCT w) AS n_types,
+                  SUM(CASE WHEN w2 IS NULL THEN 1 ELSE 0 END) AS n_oov
+                FROM j GROUP BY split)
+          SELECT split, CAST(n_tokens AS BIGINT) AS n_tokens,
+            CAST(n_types AS BIGINT) AS n_types,
+            CAST(n_oov AS BIGINT) AS n_oov,
+            CAST((n_oov * 1000000) // n_tokens AS BIGINT) AS oov_micro
+          FROM a ORDER BY split""",
     "q_text_quality" ->
       s"""SELECT doc_id, n_chars_txt, n_tokens, n_distinct, n_stop,
             (n_chars_txt - (n_tokens - 1)) / n_tokens AS avg_tok_len,
