@@ -473,10 +473,6 @@ object GraphOps {
         .select(col("g").as("graph"), col("n").as("n_nodes"),
           col("gini").as("deg_gini"))))
 
-  /** q_graph_truss's engine: per-edge triangle support histogram over
-    * any canonical (a < b) distinct undirected edge frame. Triangle
-    * corners arrive in orientation (deg, id) order, so each of the 3
-    * edges re-canonicalizes by id before the count. */
   /** Each enumerated triangle credits its 3 edges, id-canonicalized
     * (corners arrive in orientation order, not id order). */
   private def triEdgeCredits(tris: DataFrame): DataFrame =
@@ -489,6 +485,8 @@ object GraphOps {
           greatest(col("nb"), col("nc")).as("y")))).as("t"))
       .select(col("t.x").as("x"), col("t.y").as("y"))
 
+  /** q_graph_truss's engine: per-edge triangle support histogram over
+    * any canonical (a < b) distinct undirected edge frame. */
   private[graft] def trussOn(edges: DataFrame): DataFrame = {
     val (tris, _, e) = trianglesOn(edges)
     val sup = triEdgeCredits(tris)
@@ -508,21 +506,50 @@ object GraphOps {
     * unioned — no driver-side loop; trianglesOn's internal persists
     * make each round's edge frame compute once for both its count row
     * and the next round's enumeration). Returns (round, n_edges). */
+  /** q_graph_trusspeel's engine: `rounds` cascaded support peels.
+    * Each round drops edges in < minSup triangles; a dropped edge can
+    * destroy a neighbor's last triangle — the cascade IS the
+    * semantics (fixed rounds, the KCore.peel unroll precedent). The
+    * graph is enumerated ONCE: a subgraph's triangles are exactly the
+    * parent triangles whose 3 edges survive, so each round PRUNES the
+    * persisted triangle list with three edge semi-joins instead of
+    * re-running the wedge phase (the oracle re-enumerates per round —
+    * value-identical by that subgraph identity; the re-enumerating
+    * form cost 6-22 s at sf0.1 vs ~3 s pruned). Per-round survivor
+    * counts are ONE bounded driver action each (a single long — the
+    * KMeans-centroid bounded-control-flow precedent; a lazy unioned
+    * form made the branches race to materialize the shared uncached
+    * prefix). Returns (round, n_edges). */
   private[graft] def trussPeelOn(edges0: DataFrame, minSup: Int,
                                  rounds: Int): DataFrame = {
-    var e = edges0
-    val rows = (1 to rounds).map { r =>
-      val (tris, _, ep) = trianglesOn(e)
+    val spark = edges0.sparkSession
+    val (tris0, _, e0) = trianglesOn(edges0)
+    var tris = tris0.persist()
+    var e = e0
+    val counts = (1 to rounds).map { r =>
       val sup = triEdgeCredits(tris)
         .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSup)
         .select(col("x"), col("y"))
-      e = ep.join(sup,
+      e = e.join(sup,
         col("a") === col("x") && col("b") === col("y"), "left_semi")
-      e.agg(count(lit(1)).as("n_edges"))
-        .select(lit(r).as("round"), col("n_edges"))
+        .persist()
+      val n = e.count()
+      tris = tris
+        .join(e.select(col("a").as("ea1"), col("b").as("eb1")),
+          least(col("a0"), col("nb")) === col("ea1")
+            && greatest(col("a0"), col("nb")) === col("eb1"), "left_semi")
+        .join(e.select(col("a").as("ea2"), col("b").as("eb2")),
+          least(col("a0"), col("nc")) === col("ea2")
+            && greatest(col("a0"), col("nc")) === col("eb2"), "left_semi")
+        .join(e.select(col("a").as("ea3"), col("b").as("eb3")),
+          least(col("nb"), col("nc")) === col("ea3")
+            && greatest(col("nb"), col("nc")) === col("eb3"), "left_semi")
+        .persist()
+      (r, n)
     }
-    rows.reduce(_ unionByName _).orderBy(col("round"))
+    import spark.implicits._
+    counts.toDF("round", "n_edges").orderBy(col("round"))
   }
 
   /** q_graph_triangle's engine over any canonical (a < b) distinct

@@ -98,6 +98,26 @@ class TriangleKmvSuite extends SparkSuite {
     assert(got === Seq((0L, 1L), (1L, 4L), (2L, 1L)))
   }
 
+  test("truss peel: the cascade kills the bowtie; K4 is 2-truss-stable") {
+    // bowtie: only the shared (2,3) edge has support 2, so round 1
+    // keeps 1 edge — which then sits in NO triangle, so round 2 kills
+    // it too: the cascade, pinned. (Also pins the subgraph identity
+    // the engine's prune-don't-re-enumerate optimization rests on.)
+    val bt = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+      .toDF("a", "b")
+    val got = graft.queries.GraphOps.trussPeelOn(bt, 2, 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    spark.catalog.clearCache()
+    assert(got === Seq((1, 1L), (2, 0L)))
+    // K4: every edge sits in exactly 2 triangles — a fixed point.
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("a", "b")
+    val g2 = graft.queries.GraphOps.trussPeelOn(k4, 2, 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    spark.catalog.clearCache()
+    assert(g2 === Seq((1, 6L), (2, 6L)))
+  }
+
   // --- KMV ---
 
   /** JVM replay of Det.md5h32: first 8 hex chars of md5(utf8) as long. */
