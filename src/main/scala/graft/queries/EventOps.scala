@@ -1662,8 +1662,11 @@ object EventOps {
     * drop), count sign runs in day order, closed-form z. Persists the
     * series (median + signs) — caller clearCache. */
   private[graft] def runsOn(daily0: DataFrame): DataFrame = {
+      // NOT persisted: caching would hide the bounding Aggregate
+      // behind an InMemoryRelation leaf and defeat the global
+      // §7.4.12 window pin; the days collapse is one cheap events
+      // agg, recomputed twice (median path + sign path)
       val daily = daily0
-        .persist() // median derivation + sign sequence; caller clearCache
       val vals = daily.groupBy(col("n")).agg(count(lit(1)).as("c"))
       val nd = vals.agg(sum(col("c")).as("nd"))
       val wCum = Window.orderBy(col("n").asc)

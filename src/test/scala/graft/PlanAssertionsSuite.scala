@@ -52,6 +52,10 @@ class PlanAssertionsSuite extends SparkSuite {
       case _: GlobalLimit => true
       case _: LocalLimit => true
       case u: UnaryNode => bounded(u.child)
+      // a join of two bounded frames is bounded (≤ their product):
+      // q_event_runstest's sign sequence = days-Aggregate × 1-row
+      // median — the lag window over it is days-bounded
+      case b: BinaryNode => bounded(b.left) && bounded(b.right)
       case _ => false
     }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -59,7 +63,15 @@ class PlanAssertionsSuite extends SparkSuite {
         val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
           case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
         }
-        if (bad.isEmpty) None else Some(name)
+        // the SparkEntry cache contract: clear between queries — an
+        // earlier query's persist() of a shared fragment (e.g.
+        // mannkendall's (day, n) collapse) would otherwise substitute
+        // an InMemoryRelation LEAF into this query's optimized plan
+        // and hide the bounding Aggregate from the walk
+        spark.catalog.clearCache()
+        if (bad.isEmpty) None
+        else Some(name + bad.map(w => s"\n--- offending window child:\n" +
+          w.child.treeString.take(2000)).mkString)
     }
     assert(offenders.isEmpty,
       s"corpus-wide unpartitioned windows in: $offenders")
@@ -83,10 +95,17 @@ class PlanAssertionsSuite extends SparkSuite {
       "q_event_abtest_t", "q_sql_tpch14", "q_sql_tpch19", "q_sql_tpch6",
       "q_sql_tpch17", "q_agg_anova", "q_agg_kruskal", "q_agg_mwu",
       // global agg × 1-row broadcast count — single row by construction
-      "q_graph_assort")
+      "q_graph_assort",
+      // r15 single-row statistics: global aggregates (× 1-row
+      // broadcasts) end to end — order vacuous
+      "q_agg_jackknife", "q_event_cuped", "q_event_mannkendall",
+      "q_event_oddsratio", "q_event_runstest", "q_graph_triangle")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !singleRow(name) =>
-        if (ordered(fn(spark, sf).queryExecution.analyzed)) None else Some(name)
+        val r = if (ordered(fn(spark, sf).queryExecution.analyzed)) None
+          else Some(name)
+        spark.catalog.clearCache() // the SparkEntry cache contract
+        r
       case _ => None
     }
     assert(offenders.isEmpty, s"unordered graded queries: $offenders")
