@@ -89,6 +89,47 @@ class RobustStatsSuite extends SparkSuite {
     assert(r.getDouble(5) === 1.0, "rho2 = 1 when X explains Y fully")
   }
 
+  test("HL mirror law: engine == driver-side weighted Walsh median on random multisets") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 8) {
+      val xs = Seq.fill(3 + rng.nextInt(12))(rng.nextInt(20).toDouble)
+      // driver mirror: all Walsh averages (i <= j over the multiset's
+      // SORTED elements), lower median at ceil(W/2)
+      val sorted = xs.sorted
+      val walsh = (for {
+        i <- sorted.indices; j <- i until sorted.length
+      } yield (sorted(i) + sorted(j)) / 2.0).sorted
+      val expect = walsh((walsh.size + 1) / 2 - 1)
+      val (n, got) = hl(xs)
+      assert(n === walsh.size.toLong, s"pair count for $xs")
+      assert(got === expect, s"HL($xs): engine $got vs mirror $expect")
+    }
+  }
+
+  test("runs-test mirror law: engine z == driver replay on random distinct series") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 8) {
+      // distinct values sidestep the tie-drop subtleties the fixtures pin
+      val ns = rng.shuffle((1L to (5 + rng.nextInt(20)).toLong).toList)
+      val (nu, na, nb, nr, z) = runs(ns)
+      val med = ns.sorted.apply((ns.size + 1) / 2 - 1)
+      val signs = ns.filter(_ != med).map(v => if (v > med) 1 else 0)
+      val r = 1 + signs.sliding(2).count(p => p.size == 2 && p(0) != p(1))
+      val (n1, n2) = (signs.count(_ == 1).toDouble, signs.count(_ == 0).toDouble)
+      assert((nu, na, nb, nr) ===
+        ((signs.size.toLong, n1.toLong, n2.toLong, r.toLong)))
+      if (n1 > 0 && n2 > 0 && signs.size > 1 && 2.0 * n1 * n2 - (n1 + n2) > 0) {
+        val two = 2.0 * n1 * n2; val nn = n1 + n2
+        val e = 1.0 + two / nn
+        val v = (two * (two - nn)) / (nn * nn * (nn - 1.0))
+        val raw = (r - e) / math.sqrt(v)
+        val expZ = BigDecimal(raw)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        assert(z === expZ, s"z for $ns")
+      } else assert(z.isNaN)
+    }
+  }
+
   test("CMS: estimates replay the JVM fold exactly; overcount is one-sided") {
     // narrow w = 16 + a 61-singleton tail to force real collisions
     val data = Seq.fill(100)(1L) ++ Seq.fill(50)(2L) ++ Seq.fill(10)(3L) ++
