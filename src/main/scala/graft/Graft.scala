@@ -39,6 +39,34 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Graft {
 
+  /** Persist + EAGERLY materialize a multi-consumer intermediate.
+    *
+    * `persist()` alone is lazy: when the downstream plan fans the
+    * cached frame into ≥ 2 INDEPENDENT subtrees (a normalizer
+    * aggregate broadcast beside the main projection, union branches,
+    * a self-join's two sides under separate exchanges), AQE submits
+    * those stages concurrently and each one that reaches the
+    * not-yet-populated InMemoryRelation recomputes the whole subtree
+    * — the r15 cache race (q_graph_hits 6.8→44.6 s, q_llm_clustco
+    * 2.1→17.7 s driver-measured, identical code). One bounded action
+    * here fills the cache BEFORE the fan-out, so every consumer is a
+    * cache read; the count's scan is work the first consumer would
+    * have paid anyway, making the eager form cost-neutral when the
+    * race is lost and strictly cheaper when it is won. The
+    * `q_graph_trusspeel` per-round count and ConnectedComponents'
+    * `localCheckpoint(eager = true)` are the two standing precedents;
+    * this is the reusable third. At 100 TB the stakes invert from
+    * "seconds" to "N extra full corpus scans" — eager is the only
+    * plan you'd want.
+    *
+    * Builders calling this run one Spark job at build time (the
+    * sanctioned trusspeel pattern — bounded, documented here once). */
+  private[graft] def eager(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
+
   /** Exact content dedup over any (id, content) pair: one row per input
     * row with its content hash, cluster size, and the cluster keeper
     * (min id). Aggregate + join-back — never a window over the hash, so
@@ -99,6 +127,7 @@ object Graft {
     val docs = df
       .select((col(idCol).as("doc_id") +: blockCols.map(col)) :+ toks.as("tk"): _*)
       .persist()
+    docs.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val feats = docs.select(
       (col("doc_id") +: blockCols.map(col)) :+
         size(col("tk")).cast("long").as("sz") :+ explode(col("tk")).as("feat"): _*)
@@ -144,6 +173,7 @@ object Graft {
     val docs = df
       .select((col(idCol).as("doc_id") +: blockCols.map(col)) :+ toks.as("tk"): _*)
       .persist()
+    docs.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val feats = docs.select(
       (col("doc_id") +: blockCols.map(col)) :+
         size(col("tk")).cast("long").as("sz") :+ explode(col("tk")).as("feat"): _*)

@@ -39,6 +39,15 @@ object LocalSession {
     graft.functions.CharHist64.register(spark)
     graft.functions.HistL1.register(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec logs "No Partition Defined" at WARN for every
+    // §7.4.12-sanctioned BOUNDED unpartitioned window (calendar/cell-
+    // sized frames, provably aggregate-scale — the scaladocs at each
+    // site carry the bound). The repeats eat the 2000-char tail budget
+    // the one-line bench JSON must survive in (r15 verdict item 4), so
+    // that single logger is raised to ERROR; all other WARNs stay.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

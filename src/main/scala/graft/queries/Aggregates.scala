@@ -271,9 +271,15 @@ object Aggregates {
     // cast to double, the q_agg_corr pinned chain, 6dp.
     "q_agg_spearman" -> ((s, d) => {
       val DT = org.apache.spark.sql.types.DecimalType
-      val base = T.lineitem(s, d).select(col("l_returnflag").as("g"),
-        col("l_quantity").cast(DT(9, 2)).as("x"),
-        col("l_extendedprice").cast(DT(12, 2)).as("y")).persist()
+      // eager ×3 (r16, prophylactic per the r15 verdict): base has 3
+      // readers (both rank collapses + the pair aggregate), each rank
+      // table 2 (its marginal power sums + the cross-term join);
+      // lazy persists race under concurrent AQE stages
+      // (Graft.eager's doc)
+      val base = graft.Graft.eager(
+        T.lineitem(s, d).select(col("l_returnflag").as("g"),
+          col("l_quantity").cast(DT(9, 2)).as("x"),
+          col("l_extendedprice").cast(DT(12, 2)).as("y")))
       def ranks(c: String) = {
         val w = Window.partitionBy(col("g")).orderBy(col(c).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -283,8 +289,8 @@ object Aggregates {
             (lit(2L) * col("cum") - col("cnt") + lit(1L))
               .cast(DT(18, 0)).as(s"r_$c"))
       }
-      val xr = ranks("x").persist()
-      val yr = ranks("y").persist()
+      val xr = graft.Graft.eager(ranks("x"))
+      val yr = graft.Graft.eager(ranks("y"))
       def cd(c: Column) = c.cast(DT(18, 0))
       val xs = xr.groupBy(col("g")).agg(
         sum(col("cnt")).as("n"),
@@ -770,6 +776,7 @@ object Aggregates {
       val byCust = T.orders(s, d).groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(Det.Dec)).as("rev"))
         .persist() // total + two top-k consumers; caller clearCache
+      byCust.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val total = byCust.agg(sum(col("rev")).as("tot"))
       def top(k: Int) = byCust
         .orderBy(col("rev").desc, col("o_custkey").asc).limit(k)
@@ -990,21 +997,33 @@ object Aggregates {
         .agg(sum(col("p")).as("sp"), sum(col("q")).as("sq"))
       val tot = b.agg(sum(col("sp")).as("tp"), sum(col("sq")).as("tq"),
         count(lit(1)).as("nb"))
+      // a replicate whose delete-one denominator degenerates (tq = sq:
+      // one bucket holds ALL the quantity) is structurally NULL, and
+      // the SE only reports when every replicate computed (nr = nb) —
+      // the SE formula reads the COUNTED nb, never a hardcoded B, so
+      // an empty md5 bucket on tiny inputs can't misscale it (r15
+      // ADVICE)
       val reps = b.crossJoin(broadcast(tot))
         .select(col("tp"), col("tq"), col("nb"),
-          expr("cast(round(cast(tp - sp as double)" +
-            " / cast(tq - sq as double) * 1e9) as bigint)").as("rq"))
+          expr("cast(round(case when tq - sq = 0 then null" +
+            " else cast(tp - sp as double)" +
+            " / cast(tq - sq as double) end * 1e9) as bigint)").as("rq"))
       val dec = "decimal(38,0)"
       reps.groupBy(col("tp"), col("tq"), col("nb"))
         .agg(sum(col("rq").cast(dec)).as("s1"),
-          sum(col("rq").cast(dec) * col("rq")).as("s2"))
+          sum(col("rq").cast(dec) * col("rq")).as("s2"),
+          count(col("rq")).as("nr"))
         .select(
           round(col("tp").cast("double") / col("tq").cast("double"), 6)
             .as("ratio"),
           col("nb").as("n_buckets"),
-          round(sqrt(lit(0.9) * (col("s2").cast("double")
-            - col("s1").cast("double") * col("s1").cast("double")
-              / lit(10.0))) / lit(1e9), 6).as("se_jack"))
+          when(col("nr") === col("nb"),
+            round(sqrt((col("nb").cast("double") - lit(1.0))
+              / col("nb").cast("double")
+              * (col("s2").cast("double")
+                - col("s1").cast("double") * col("s1").cast("double")
+                  / col("nb").cast("double"))) / lit(1e9), 6))
+            .as("se_jack"))
     }),
 
     // §2.4 Hodges-Lehmann pseudo-median per group (r15) — the robust
@@ -1070,6 +1089,7 @@ object Aggregates {
       : DataFrame = {
     val cells = gx.groupBy(col("g"), col("x")).agg(count(lit(1)).as("w"))
       .persist() // both Walsh self-join sides; caller clearCache
+    cells.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val pairs = cells
       .join(cells.select(col("g").as("g2"), col("x").as("x2"),
         col("w").as("w2")),
@@ -1402,8 +1422,13 @@ object Aggregates {
     * (0-variance denominator over an exact 0∕0). */
   private[graft] def kendallOn(base: DataFrame): DataFrame = {
     val DT = org.apache.spark.sql.types.DecimalType
-    val jt = base.groupBy(col("g"), col("x"), col("y"))
-      .agg(count(lit(1)).as("c")).persist()
+    // eager (r16): FIVE readers (ns/n1/n2 + both pair-join sides) of
+    // the one corpus-sized collapse; a lazy persist raced under
+    // concurrent AQE stages — up to 5 extra full scans at 100 TB
+    // (Graft.eager's doc). The count is ≤ |domain_x × domain_y| rows
+    // per group — bounded.
+    val jt = graft.Graft.eager(base.groupBy(col("g"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c")))
     def cd(c: Column) = c.cast(DT(18, 0))
     val ns = jt.groupBy(col("g")).agg(sum(col("c")).as("n"))
     val n1 = jt.groupBy(col("g"), col("x")).agg(sum(col("c")).as("tx"))
@@ -2347,19 +2372,24 @@ object Aggregates {
             FROM $li GROUP BY 1),
           t AS (SELECT SUM(sp) AS tp, SUM(sq) AS tq, COUNT(*) AS nb FROM b),
           r AS (SELECT t.tp, t.tq, t.nb,
-              CAST(ROUND(CAST(t.tp - b.sp AS DOUBLE)
-                / CAST(t.tq - b.sq AS DOUBLE) * 1e9) AS BIGINT) AS rq
+              CAST(ROUND(CASE WHEN t.tq - b.sq = 0 THEN NULL
+                ELSE CAST(t.tp - b.sp AS DOUBLE)
+                / CAST(t.tq - b.sq AS DOUBLE) END * 1e9) AS BIGINT) AS rq
             FROM b CROSS JOIN t),
           a AS (SELECT tp, tq, nb,
               SUM(CAST(rq AS HUGEINT)) AS s1,
-              SUM(CAST(rq AS HUGEINT) * rq) AS s2
+              SUM(CAST(rq AS HUGEINT) * rq) AS s2,
+              COUNT(rq) AS nr
             FROM r GROUP BY tp, tq, nb)
           SELECT
             ROUND(CAST(tp AS DOUBLE) / CAST(tq AS DOUBLE), 6) AS ratio,
             CAST(nb AS BIGINT) AS n_buckets,
-            ROUND(SQRT(0.9 * (CAST(s2 AS DOUBLE)
-              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 10.0))
-              / 1e9, 6) AS se_jack
+            CASE WHEN nr = nb THEN
+              ROUND(SQRT((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+                * (CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(nb AS DOUBLE)))
+                / 1e9, 6) END AS se_jack
           FROM a""",
     // Walsh pairs off the cell AGGREGATE; doubled averages stay exact
     // decimals; ceil(W/2) integer rank; one exact halving at the end.

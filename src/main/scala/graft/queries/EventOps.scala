@@ -73,6 +73,7 @@ object EventOps {
       // persisted for the 4 downstream consumers; released by the
       // caller's clearCache between queries (SparkEntry cache contract)
       .persist()
+    e.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("sess"))
       .agg(min(col("ts")).as("t_view"))
@@ -166,6 +167,7 @@ object EventOps {
       .select(col("user_id"), (col("gday") - col("uday")).as("rec_days"),
         col("freq"), col("monetary"))
       .persist() // 4 consumers (3 cut chains + scoring); caller clearCache
+    ru.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     def quartiles(c: String, p: String) =
       Percentiles.disc(ru.select(col(c)), Nil, c,
         Seq((1, 4, s"${p}1"), (2, 4, s"${p}2"), (3, 4, s"${p}3")))
@@ -200,6 +202,7 @@ object EventOps {
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
       .persist() // 3 consumers (median chain, dev, output); caller clearCache
+    daily.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val med = Percentiles.cont(daily.select(col("n")), Nil, "n",
       Seq(0.5 -> "med")).select(col("med"))
     val dev = daily.crossJoin(broadcast(med))
@@ -385,6 +388,7 @@ object EventOps {
     "q_event_funnel" -> ((s, d) => {
       val e = T.events(s, d)
         .select(col("user_id"), col("event_type"), col("ts")).persist()
+      e.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val v = e.groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
       val c = e.join(v.filter(col("t_view").isNotNull), "user_id")
@@ -419,6 +423,7 @@ object EventOps {
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
         .persist() // 3 consumers; caller clearCache
+      e.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val v = e.groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"))
       val c = e.join(v.filter(col("t_view").isNotNull), "user_id")
@@ -464,6 +469,7 @@ object EventOps {
         .groupBy(expr("unix_micros(ts) div 86400000000").as("dd"))
         .agg(count(lit(1)).as("n"))
         .persist() // both lag-join sides; caller clearCache
+      daily.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val pairs = daily
         .select(col("dd"), col("n").as("x"),
           explode(array((1 to 7).map(lit): _*)).as("lag"))
@@ -513,6 +519,7 @@ object EventOps {
           expr("unix_micros(ts) div 86400000000").as("dd"))
         .agg(count(lit(1)).as("n"))
         .persist() // both series slices; caller clearCache
+      daily.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val pairs = daily.filter(col("event_type") === "view")
         .select(col("dd"), col("n").as("x"),
           explode(array((0 to 3).map(lit): _*)).as("lag"))
@@ -869,6 +876,7 @@ object EventOps {
         .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
         .distinct()
         .persist() // 3 consumers (dau, contrib, days); caller clearCache
+      e.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val days = e.select(col("day")).distinct()
       val dau = e.groupBy(col("day")).agg(count(lit(1)).as("dau"))
       val wau = e
@@ -900,6 +908,7 @@ object EventOps {
         .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
         .distinct()
         .persist() // 3 consumers (dau, contrib, days); caller clearCache
+      e.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val days = e.select(col("day")).distinct()
       val dau = e.groupBy(col("day")).agg(count(lit(1)).as("dau"))
       val mau = e
@@ -1041,6 +1050,7 @@ object EventOps {
       val ut = T.events(s, d)
         .select(col("user_id"), col("event_type")).distinct()
         .persist() // 2 consumers (pair join + per-type counts); caller clearCache
+      ut.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
       ut.as("a")
         .join(ut.as("b"),
@@ -1138,6 +1148,7 @@ object EventOps {
           max(struct(col("us"), col("event_id"), col("value")))
             .getField("value").as("v_day"))
         .persist() // 2 consumers (span + join-back); caller clearCache
+      perDay.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val grid = perDay.groupBy(col("user_id"))
         .agg(min(col("dus")).as("d0"), max(col("dus")).as("d1"))
         .select(col("user_id"),
@@ -1395,8 +1406,10 @@ object EventOps {
     // each partition day-bounded) + day totals prefix-summed over the
     // ≤ |days| frame (§7.4.12 bounded unpartitioned window) as the
     // carry-in of sessions still open at each midnight; peak_d =
-    // carry_d + max within-day running sum — identical to the global
-    // sweep by associativity of prefix sums. Same-instant deltas order
+    // max(carry_d, carry_d + max within-day running sum) — identical
+    // to the global sweep by associativity of prefix sums, with the
+    // greatest() arm covering decline-only days whose level HELD at
+    // carry_d from midnight until the first delta (r15 ADVICE). Same-instant deltas order
     // (us, dlt asc, user): ends before starts, so a back-to-back
     // handoff never double-counts the instant; the tie order among
     // equal deltas cannot change any prefix VALUE reached (commuting
@@ -1424,7 +1437,12 @@ object EventOps {
       dayAgg.withColumn("carry",
           coalesce(sum(col("day_tot")).over(wAll), lit(0L)))
         .select((col("day") * 86400000000L).as("day_us"), col("n_starts"),
-          (col("carry") + col("max_run")).as("peak_concurrent"))
+          // greatest(carry, ·): a decline-only day (its deltas only
+          // lower the level) HELD carry from midnight until its first
+          // delta — the true intra-day maximum, not carry+max_run
+          // alone (r15 ADVICE)
+          greatest(col("carry"), col("carry") + col("max_run"))
+            .as("peak_concurrent"))
         .orderBy(col("day_us"))
     }),
 
@@ -1480,6 +1498,7 @@ object EventOps {
         .agg(count(lit(1)).as("n"))
         .persist() // ≤ 2·|types|² rows; every downstream branch reads
                    // it (one window pass total); caller clearCache
+      t.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val tot = t.groupBy(col("half"), col("prev_type"))
         .agg(sum(col("n")).as("tot"))
       val sh = t.join(tot, Seq("half", "prev_type"))
@@ -1583,6 +1602,7 @@ object EventOps {
         .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
         .agg(count(lit(1)).as("n"))
         .persist() // pair join both sides + ties + count; clearCache
+      daily.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val sPairs = daily.select(col("day"), col("n"))
         .join(daily.select(col("day").as("d2"), col("n").as("n2")),
           col("day") < col("d2"))
@@ -1659,8 +1679,10 @@ object EventOps {
 
   /** q_event_runstest's engine over any (day, n) ordered series:
     * dichotomize by the discrete lower median of n (median rows
-    * drop), count sign runs in day order, closed-form z. Persists the
-    * series (median + signs) — caller clearCache. */
+    * drop), count sign runs in day order, closed-form z. Deliberately
+    * NOT persisted (see the body comment): caching would hide the
+    * bounding Aggregate from the §7.4.12 plan pin, and the days
+    * collapse is cheap to recompute. */
   private[graft] def runsOn(daily0: DataFrame): DataFrame = {
       // NOT persisted: caching would hide the bounding Aggregate
       // behind an InMemoryRelation leaf and defeat the global
@@ -1759,6 +1781,7 @@ object EventOps {
         expr("unix_micros(ts) div 86400000000").as("dd"))
       .agg(count(lit(1)).as("n"))
       .persist() // both join sides; caller clearCache
+    daily.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val pairs = daily.select(col("event_type"), col("dd").as("d1"),
         col("n").as("n1"))
       .join(daily.select(col("event_type"), col("dd").as("d2"),
@@ -1985,6 +2008,7 @@ object EventOps {
         expr("unix_micros(ts) div 86400000000").as("dd"))
       .distinct()
       .persist() // 2 consumers (firsts, dau); caller clearCache
+    days.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val newu = days.groupBy(col("user_id"))
       .agg(min(col("dd")).as("dd"))
       .groupBy(col("dd")).agg(count(lit(1)).as("new_users"))
@@ -3131,7 +3155,8 @@ object EventOps {
             FROM da)
           SELECT day * 86400000000 AS day_us,
             CAST(n_starts AS BIGINT) AS n_starts,
-            CAST(carry + max_run AS BIGINT) AS peak_concurrent
+            CAST(GREATEST(carry, carry + max_run) AS BIGINT)
+              AS peak_concurrent
           FROM f ORDER BY day_us""",
     // Exact integer median rank; lag-flag run count over the bounded
     // day frame; the identical E/Var/z double chain; + 0.0 near zero.

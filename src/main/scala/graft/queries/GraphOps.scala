@@ -101,11 +101,13 @@ object GraphOps {
     * registration comment for the full scale argument. */
   private[graft] def cosimOn(pairs0: DataFrame): DataFrame = {
     val ps = pairs0.select(col("p"), col("sp")).persist() // 3 consumers
+    ps.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val keep = ps.groupBy(col("p")).agg(count(lit(1)).as("pd"))
       .filter(col("pd") <= CosimMaxDeg).select(col("p"))
     // persisted: BOTH self-join sides read it (without this the
     // degree agg + semi join evaluate twice — measured ~1s at sf0.1)
     val el = ps.join(keep, Seq("p"), "left_semi").persist()
+    el.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val sz = ps.groupBy(col("sp")).agg(count(lit(1)).as("nparts"))
     val pairs = el.select(col("p"), col("sp").as("sa"))
       .join(el.select(col("p").as("p2"), col("sp").as("sb")),
@@ -153,11 +155,13 @@ object GraphOps {
   private[graft] def linkpredOn(pairs0: DataFrame): DataFrame = {
     val ps = pairs0.select(col("p"), col("sp"))
       .persist() // 2 consumers (degree agg + edge join); caller clearCache
+    ps.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val deg = ps.groupBy(col("p")).agg(count(lit(1)).as("pd"))
     // one inner join both thins hubs AND attaches the weight
     val el = ps.join(deg.filter(col("pd") <= CosimMaxDeg), Seq("p"))
       .select(col("p"), col("sp"), expr("1000000 div pd").as("wt"))
       .persist() // both wedge-join sides read it; caller clearCache
+    el.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     el.select(col("p"), col("sp").as("sa"), col("wt"))
       .join(el.select(col("p").as("p2"), col("sp").as("sb")),
         col("p") === col("p2") && col("sa") < col("sb"))
@@ -214,9 +218,11 @@ object GraphOps {
   private[graft] def trianglesOn(edges: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     val e = edges.persist() // degree agg + orientation join
+    e.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .persist() // two orientation join-backs + caller stats
+    deg.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     // a < b always, so (da, a) < (db, b) ⟺ da ≤ db: the lower-key
     // endpoint of a tied-degree edge is already the lower id.
     val oriented = e
@@ -229,6 +235,7 @@ object GraphOps {
         when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"),
         greatest(col("da"), col("db")).as("dd"))
       .persist() // both wedge-join sides + the closing semi join
+    oriented.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val cand = oriented.select(col("src"), col("dst").as("nb"), col("dd").as("degb"))
       .join(oriented.select(col("src").as("s2"), col("dst").as("nc"),
         col("dd").as("degc")),
@@ -451,8 +458,14 @@ object GraphOps {
     // Output: survivors per round — the truss-cohesion curve. At the
     // tiny sfs the co-supplier graph is near-complete and nothing
     // peels; at sf0.1's sparse regime the first round does the
-    // cutting and the second documents the cascade. Cost = rounds ×
-    // one triangle enumeration, all-integer.
+    // cutting and the second documents the cascade. Cost = one
+    // enumeration + rounds × 3 semi-joins, all-integer. NOTE for plan
+    // audits: the RETURNED frame is a LocalTableScan of per-round
+    // scalars — deliberate; the heavy work runs eagerly inside this
+    // lambda as bounded driver actions (one count per round, the
+    // sanctioned fix for the r15 lazy-union race; trussPeelOn's
+    // scaladoc has the full argument), so plan pins apply to the
+    // in-lambda frames, not the output.
     "q_graph_trusspeel" -> ((s, d) =>
       trussPeelOn(cosupplierEdges(s, d, TriMinPair), TrussMinSup,
         TrussRounds)),
@@ -497,15 +510,6 @@ object GraphOps {
       .orderBy(col("support"))
   }
 
-  /** q_graph_trusspeel's engine: `rounds` cascaded support peels —
-    * each round re-enumerates triangles on the SURVIVING edges and
-    * drops edges in < minSup triangles (dropping an edge can destroy
-    * a neighbor's last triangle, hence the cascade — k-truss
-    * decomposition's step, unrolled fixed rounds like KCore.peel).
-    * Per-round survivor counts compose LAZILY (one frame per round,
-    * unioned — no driver-side loop; trianglesOn's internal persists
-    * make each round's edge frame compute once for both its count row
-    * and the next round's enumeration). Returns (round, n_edges). */
   /** q_graph_trusspeel's engine: `rounds` cascaded support peels.
     * Each round drops edges in < minSup triangles; a dropped edge can
     * destroy a neighbor's last triangle — the cascade IS the
@@ -525,8 +529,15 @@ object GraphOps {
     val spark = edges0.sparkSession
     val (tris0, _, e0) = trianglesOn(edges0)
     var tris = tris0.persist()
+    tris.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     var e = e0
     val counts = (1 to rounds).map { r =>
+      // superseded round frames are released one round later (r16):
+      // e_{r-1} is last read when e_r materializes (the count below),
+      // tris_{r-1} when tris_r does — so the cached footprint stays
+      // O(1), not O(rounds), for an embedded caller looping deep
+      val prevE = e
+      val prevTris = tris
       val sup = triEdgeCredits(tris)
         .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSup)
@@ -535,6 +546,7 @@ object GraphOps {
         col("a") === col("x") && col("b") === col("y"), "left_semi")
         .persist()
       val n = e.count()
+      if (prevE ne e0) prevE.unpersist() // e0 is trianglesOn's shared frame
       tris = tris
         .join(e.select(col("a").as("ea1"), col("b").as("eb1")),
           least(col("a0"), col("nb")) === col("ea1")
@@ -546,6 +558,8 @@ object GraphOps {
           least(col("nb"), col("nc")) === col("ea3")
             && greatest(col("nb"), col("nc")) === col("eb3"), "left_semi")
         .persist()
+      tris.count() // eager (r16): next round's sup + prune both read it
+      prevTris.unpersist() // consumed into tris_r (cached above)
       (r, n)
     }
     import spark.implicits._
@@ -589,6 +603,7 @@ object GraphOps {
     val dec = "decimal(38,0)"
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist() // 3 consumers (both join-backs + node count); caller clearCache
+    deg.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val e2 = edges
       .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
       .join(deg.select(col("src").as("dst"), col("deg").as("dy")),

@@ -292,6 +292,7 @@ object LlmOps {
   private[graft] def simDupPairsOn(sigs0: DataFrame,
                                    blockCols: Seq[String]): DataFrame = {
     val sigs = sigs0.persist()
+    sigs.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val bc = blockCols.map(col)
     val bands = sigs.select((col("doc_id") +: bc) :+
       posexplode(array((0 until SimBands).map(b =>
@@ -381,6 +382,7 @@ object LlmOps {
     // table outright when it is small (no hint needed either way). The
     // per-doc windows below are skew-free (doc sizes are bounded).
     val f = feats.persist() // two consumers: DF table + the ranked index
+    f.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val dfTab = f.groupBy(col("feat")).agg(count(lit(1)).as("df"))
     val withDf = f.join(dfTab, "feat")
     val prefix = (if (feats.columns.contains("sz")) withDf
@@ -389,6 +391,7 @@ object LlmOps {
       .filter(col("rn") <= col("sz") - ceilT + 1)
       .select(col("doc_id") +: col("feat") +: col("sz") +: blockCols.map(col): _*)
       .persist() // both sides of the self-join below
+    prefix.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val a = prefix.select(col("doc_id").as("doc_a") +: col("feat") +:
       col("sz").as("sz_a") +: blockCols.map(col): _*)
     val b = prefix.select(col("doc_id").as("doc_b") +: col("feat").as("feat_b") +:
@@ -438,11 +441,13 @@ object LlmOps {
     val wOrd = w.orderBy(col("df").asc, col("feat").asc)
     val ceilT = floor((lit(tNum) * col("sz") + lit(tDen - 1)) / lit(tDen))
     val f = feats.persist() // two consumers: DF table + both join sides
+    f.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val dfTab = f.groupBy(col("feat")).agg(count(lit(1)).as("df"))
     val withDf = f.join(dfTab, "feat")
     val sized = (if (feats.columns.contains("sz")) withDf
       else withDf.withColumn("sz", count(lit(1)).over(w)))
       .persist() // two consumers: the probe prefix AND the container side
+    sized.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     // probe side: a-prefix only (the pigeonhole bound above)
     val prefix = sized
       .withColumn("rn", row_number().over(wOrd))
@@ -537,6 +542,7 @@ object LlmOps {
     // persist each re-runs the caller's scan + cast + norm pipeline;
     // same cache contract as the other LSH helpers (caller clearCache)
     val base = base0.persist()
+    base.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val bc = blockCols.map(col)
     val bands = base.select((col("vec_id") +: bc) :+
       posexplode(array((0 until 8).map(bd =>
@@ -693,6 +699,7 @@ object LlmOps {
       .getOrElse(ivfDefaultQuantizer(base))
     val ranked = ivfRanked(base, cents, nprobe)
       .persist() // consumed by both the probe side and the list side
+    ranked.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val assigned = ranked.filter(col("crk") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))
     // nprobe rows per probe — one per probed list; lists partition the
@@ -737,10 +744,12 @@ object LlmOps {
     * scale argument. */
   private[graft] def winnowDupOn(docs: DataFrame): DataFrame = {
     val f = winnowFps(docs).select(col("doc_id"), col("fps")).persist()
+    f.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val e = f.select(col("doc_id"), explode(col("fps")).as("fp"))
     val keepFp = e.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowMaxPosting).select(col("fp"))
     val el = e.join(keepFp, Seq("fp"), "left_semi").persist()
+    el.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val pairs = el.select(col("fp"), col("doc_id").as("doc_a"))
       .join(el.select(col("fp").as("fp2"), col("doc_id").as("doc_b")),
         col("fp") === col("fp2") && col("doc_a") < col("doc_b"))
@@ -817,6 +826,7 @@ object LlmOps {
     val docs = T.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("tk"))
       .persist()
+    docs.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val feats = docs.select(col("doc_id"), col("lang"), col("source"),
       size(col("tk")).cast("long").as("sz"), explode(col("tk")).as("feat"))
     val cand = jaccardCandidates(feats, Seq("lang", "source"), 4, 5)
@@ -964,6 +974,7 @@ object LlmOps {
     // 100 TB scale this is the LSH signature table every production
     // pipeline persists before banding).
     val sig = minhashSig(T.documents(s, d), form).persist()
+    sig.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     // Band key: md5 of the concatenated in-band signature — one equi-join
     // key per band, so bucket collisions require all 8 in-band rows equal.
     def bandKey(b: Int): Column =
@@ -1188,6 +1199,7 @@ object LlmOps {
       val docs = T.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("tk"))
         .persist() // three consumers: feature rows + both verify sides
+      docs.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val feats = docs.select(col("doc_id"), col("lang"), col("source"),
         size(col("tk")).cast("long").as("sz"), explode(col("tk")).as("feat"))
       val cand = containmentCandidates(feats, Seq("lang", "source"), 9, 10)
@@ -1259,7 +1271,11 @@ object LlmOps {
     // the 0.8 threshold bounds cluster sizes), joined by plain
     // equi-joins that AQE sizes.
     "q_llm_tri" -> ((s, d) => {
-      val p = neardupPairs(s, d).select(col("doc_a"), col("doc_b")).persist()
+      // eager (r16): 3 readers of the pair list; lazy persist races
+      // under concurrent AQE stages (Graft.eager's doc — clustco's
+      // sibling site was the r15 8.4× regression)
+      val p = graft.Graft.eager(
+        neardupPairs(s, d).select(col("doc_a"), col("doc_b")))
       val e1 = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
       val e2 = p.select(col("doc_a").as("b2"), col("doc_b").as("c"))
       val e3 = p.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
@@ -1285,7 +1301,13 @@ object LlmOps {
     // IEEE division (unrounded §7.4), NULL at deg ≤ 1 (structural on
     // both engines). Same persist + caller-clearCache contract as tri.
     "q_llm_clustco" -> ((s, d) => {
-      val p = neardupPairs(s, d).select(col("doc_a"), col("doc_b")).persist()
+      // eager (r16): FOUR readers across two independent aggregate
+      // subtrees joined at the end — the r15 cache race's worst
+      // instance (2.1 s → 17.7 s driver-measured; Graft.eager's doc).
+      // The count is pair-list-sized — bounded, the trusspeel
+      // precedent.
+      val p = graft.Graft.eager(
+        neardupPairs(s, d).select(col("doc_a"), col("doc_b")))
       val degs = p.union(p.select(col("doc_b"), col("doc_a")))
         .groupBy(col("doc_a").as("node")).agg(count(lit(1)).as("deg"))
       val e1 = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -1373,6 +1395,7 @@ object LlmOps {
     "q_llm_minhashconf" -> ((s, d) => {
       graft.functions.MinHashSig.register(s, hashA.toSeq, hashB.toSeq, HashP)
       val sig = minhashSig(T.documents(s, d), "native").persist()
+      sig.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       def bandKey(b: Int): Column =
         md5(concat_ws("#",
           (b * RowsPerBand until (b + 1) * RowsPerBand)
@@ -1434,6 +1457,7 @@ object LlmOps {
     "q_llm_lshtune" -> ((s, d) => {
       graft.functions.MinHashSig.register(s, hashA.toSeq, hashB.toSeq, HashP)
       val sig = minhashSig(T.documents(s, d), "native").persist()
+      sig.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val buckets = LshTuneSchemes.map { case (nb, rpb) =>
         def bandKey(bd: Int): Column = md5(concat_ws("#",
           (bd * rpb until (bd + 1) * rpb).map(i => col(s"m$i")): _*))
@@ -1441,6 +1465,7 @@ object LlmOps {
           posexplode(array((0 until nb).map(bandKey): _*))
             .as(Seq("band", "bkey")))
       }.reduce(_ unionByName _).persist()
+      buckets.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val cand = buckets
         .select(col("nb"), col("doc_id").as("doc_a"), col("band"),
           col("bkey"))
@@ -1494,6 +1519,7 @@ object LlmOps {
     "q_llm_cascade" -> ((s, d) => {
       graft.functions.MinHashSig.register(s, hashA.toSeq, hashB.toSeq, HashP)
       val docs = T.documents(s, d).persist()
+      docs.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       def flaggedBy(key: Column, guard: Column) = {
         val k = docs.filter(guard).select(col("doc_id"), key.as("k"))
         val g = k.groupBy(col("k")).agg(min(col("doc_id")).as("keeper"),
@@ -1503,9 +1529,12 @@ object LlmOps {
           .select(col("doc_id"))
       }
       val f1 = flaggedBy(md5(col("text")), lit(true)).persist()
+      f1.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val f2 = flaggedBy(substring(col("text"), 1, 32),
         length(col("text")) >= 32).persist()
+      f2.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val sig = minhashSig(docs, "native").persist()
+      sig.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       def bandKey(b: Int): Column =
         md5(concat_ws("#",
           (b * RowsPerBand until (b + 1) * RowsPerBand)
@@ -1531,6 +1560,7 @@ object LlmOps {
         .select(col("doc_a"), col("doc_b"), matches.as("m"))
         .filter(col("m") * 2 >= NumHashes)
         .select(col("doc_b").as("doc_id")).distinct().persist()
+      f3.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val f2new = f2.join(f1, Seq("doc_id"), "left_anti")
       val f3new = f3.join(f1.union(f2), Seq("doc_id"), "left_anti")
       def cnt(df: DataFrame, nm: String) =
@@ -1563,6 +1593,7 @@ object LlmOps {
         .select(substring(col("text"), 1, 32).as("h"), col("source"))
         .distinct()
         .persist()
+      hs.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val tot = hs.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val shared = hs
         .join(hs.select(col("h").as("h2"), col("source").as("source_b")),
@@ -1622,6 +1653,7 @@ object LlmOps {
         .select(col("doc_id"), col("lang"), col("source"),
           shinglesCol(col("tk")).as("g"))
         .persist()
+      docs.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val feats = docs.select(col("doc_id"), col("lang"), col("source"),
         size(col("g")).cast("long").as("sz"), explode(col("g")).as("feat"))
       val cand = jaccardCandidates(feats, Seq("lang", "source"), 1, 5)
@@ -1850,6 +1882,7 @@ object LlmOps {
         .filter(col("crk") === 1)
         .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))
         .persist() // both pair-join sides + the output; caller clearCache
+      assigned.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val pairs = assigned
         .select(col("cent_id"), col("vec_id").as("ia"), col("e").as("ea"),
           col("nrm").as("na"))

@@ -318,6 +318,7 @@ object PipelineOps {
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(max(col("doc_len")).as("doc_len"), count(lit(1)).as("tf"))
       .persist()
+    tf.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -523,6 +524,7 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"),
         (Det.md5h32(col("s0")) % DsirBuckets).as("bkt"))
       .persist() // 3 consumers (cr, ct+tot, score); caller clearCache
+    sh.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val cr = sh.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
     val ct = sh.filter(col("lang") === DsirTargetLang)
       .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))

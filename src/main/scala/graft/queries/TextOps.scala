@@ -87,6 +87,7 @@ object TextOps {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
       .persist() // 2 consumers (total + ranked); caller clearCache
+    bg.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val uni = docs.select(explode(tk).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val nTot = bg.agg(sum(col("n_ab")).as("n_bg"))
@@ -196,6 +197,7 @@ object TextOps {
           graft.Det.md5h32(col("doc_id").cast("string")) % 10)
         .select(col("bucket"), explode(split(col("text"), " ")).as("w"))
         .persist() // train vocab + eval stream; caller clearCache
+      toks2.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val vocab = toks2.filter(col("bucket") < 8).select(col("w")).distinct()
       val ev = toks2.filter(col("bucket") >= 8)
         .withColumn("split",
@@ -220,6 +222,7 @@ object TextOps {
         .filter(col("w").isin(words: _*))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
         .persist() // norms + both dot sides; caller clearCache
+      t.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
       val nrm = t.groupBy(col("source"))
         .agg(sum(col("n").cast(dec) * col("n")).as("ss"))
       val dots = t.select(col("source").as("sa"), col("w"), col("n").as("na"))
@@ -613,6 +616,7 @@ object TextOps {
     val sw = docs.select(col("source"), explode(toks).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("a"))
       .persist() // 4 consumers (word/source/corpus totals + main); caller clearCache
+    sw.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     val wt = sw.groupBy(col("word")).agg(sum(col("a")).as("w_tot"))
     val st = sw.groupBy(col("source")).agg(sum(col("a")).as("s_tot"))
     val nt = sw.agg(sum(col("a")).as("n_tot"))

@@ -34,7 +34,11 @@ class CacheHygieneSuite extends SparkSuite {
       // r13 persist users
       "q_event_stickiness",
       // r14 persist users (the day-grain table feeding both consumers)
-      "q_event_lagcorr", "q_event_trend")
+      "q_event_lagcorr", "q_event_trend",
+      // r15-16 persist users (now EAGER per Graft.eager — the sweep
+      // contract is unchanged: persist in the builder, runner clears)
+      "q_graph_hits", "q_graph_triangle", "q_graph_trusspeel",
+      "q_agg_kendall", "q_agg_spearman", "q_agg_hodgeslehmann")
     persistUsers.foreach { name =>
       spark.catalog.clearCache() // clean slate regardless of suite order
       // EARLIER suites may have left locally-checkpointed RDDs that only
@@ -65,6 +69,54 @@ class CacheHygieneSuite extends SparkSuite {
       "non-checkpoint RDDs survived the sweep: " +
         leftovers.filterNot(_.isCheckpointed)
           .map(_.getClass.getSimpleName).mkString(", "))
+  }
+
+  test("iterative operators keep an O(1) cached footprint, not O(iterations) (r16)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val before = persisted.keySet
+    def fresh = persisted.keySet.diff(before).size
+    // HITS at 3 iterations: pre-r16 this held 2·iters+1 = 7 cached
+    // frames at return (every half-step's raw table); the in-loop
+    // unpersist must leave exactly edges + the LAST (aRaw, hRaw) pair.
+    // (3, not deeper: the LOGICAL tree quadruples per iteration — the
+    // score fans into the normalizer agg + the projection — so a deep
+    // loop must localCheckpoint per the operator's scaladoc; the
+    // graded query runs 2.)
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 11L),
+      (3L, 12L), (4L, 10L)).toDF("src", "dst")
+    val out = graft.operators.Hits.run(edges, iterations = 3)
+    assert(out.count() > 0)
+    assert(fresh <= 4,
+      s"Hits.run left $fresh cached RDD(s) — expected O(1) " +
+        "(edges + final half-step pair), got an O(iterations) leak")
+    spark.catalog.clearCache()
+    // deep mode (> DeepIters): half-steps localCheckpoint (lineage
+    // truncation — the logical tree would otherwise quadruple per
+    // iteration); only checkpoint blocks + the edge cache may remain
+    val deepBefore = persisted.keySet
+    val deepOut = graft.operators.Hits.run(edges, iterations = 6)
+    assert(deepOut.count() > 0)
+    val deepFresh = persisted.filterNot { case (id, r) =>
+      deepBefore(id) || r.isCheckpointed }
+    assert(deepFresh.size <= 1,
+      s"deep Hits.run left ${deepFresh.size} non-checkpoint cached " +
+        s"RDD(s): ${deepFresh.keys.mkString(", ")}")
+    spark.catalog.clearCache()
+    // trussPeelOn at 3 rounds: superseded round frames (e_{r-1},
+    // tris_{r-1}) must release one round later — bounded survivors
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 4L), (4L, 5L)).toDF("a", "b")
+    val peel = graft.queries.GraphOps.trussPeelOn(und, minSup = 2, rounds = 3)
+    assert(peel.count() === 3)
+    // trianglesOn persists 3 shared frames (e, deg, oriented) that the
+    // runner sweep owns; the loop itself may hold ≤ 1 superseded pair +
+    // the live (e, tris) pair beyond those
+    assert(fresh <= 7,
+      s"trussPeelOn left $fresh cached RDD(s) — expected O(1), " +
+        "not O(rounds)")
+    spark.catalog.clearCache()
   }
 
   test("Graft.runScoped: drops exactly the query's cache entries, host caches intact (r13)") {
