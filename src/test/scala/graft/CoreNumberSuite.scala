@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+import scala.util.Random
+
+class CoreNumberSuite extends SparkSuite {
+  import spark.implicits._
+
+  /** Symmetrize an undirected pair list (the GraphOps edge contract). */
+  private def sym(pairs: Seq[(Long, Long)]) = {
+    val p = pairs.toDF("src", "dst")
+    p.union(p.select(col("dst"), col("src")))
+  }
+
+  private def decompose(pairs: Seq[(Long, Long)], kMax: Int = 12,
+                        rounds: Int = 8): Map[Long, Long] =
+    operators.CoreNumber.decompose(sym(pairs), kMax, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  /** Exact core numbers by the textbook sequential min-degree peel
+    * (Matula-Beck) — the ground-truth mirror for the fixture laws. */
+  private def exactCore(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    val deg = mutable.Map(adj.view.mapValues(_.size.toLong).toSeq: _*)
+    val core = mutable.Map.empty[Long, Long]
+    var cur = 0L
+    while (deg.nonEmpty) {
+      val (v, d) = deg.minBy { case (n, dd) => (dd, n) }
+      cur = math.max(cur, d)
+      core(v) = cur
+      deg.remove(v)
+      adj(v).foreach { u => if (deg.contains(u)) deg(u) -= 1 }
+      adj.values.foreach(_ -= v)
+    }
+    core.toMap
+  }
+
+  // K5 {1..5} (core 4) — bridge — 6-ring {10..15} (core 2) — pendant
+  // path 15-20-21 (core 1): three nested density shells in one graph
+  private val nested = {
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val ring = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (14L, 15L), (15L, 10L))
+    k5 ++ ring ++ Seq((5L, 10L), (15L, 20L), (20L, 21L))
+  }
+
+  test("nested shells: K5 -> 4, ring -> 2, pendant path -> 1; the bridge does not inflate either side") {
+    val out = decompose(nested)
+    assert((1L to 5L).forall(out(_) == 4L), s"K5 shell wrong: $out")
+    assert((10L to 15L).forall(out(_) == 2L), s"ring shell wrong: $out")
+    assert(out(20L) === 1L && out(21L) === 1L, s"pendant wrong: $out")
+    assert(out.size === 13)
+  }
+
+  test("matches the exact Matula-Beck peel on the nested fixture and on random graphs") {
+    assert(decompose(nested) === exactCore(nested))
+    val rnd = new Random(16)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val pairs = (for (a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+                        if rnd.nextDouble() < 0.12) yield (a, b)).toSeq
+      if (pairs.nonEmpty)
+        assert(decompose(pairs) === exactCore(pairs),
+          s"random trial $trial diverged from the exact peel")
+    }
+  }
+
+  test("cascade across levels: a long path is all corenum 1 (each level peels from the previous remainder)") {
+    val path = (1L until 10L).map(i => (i, i + 1))
+    val out = decompose(path)
+    assert(out.values.forall(_ == 1L), s"path not all 1: $out")
+  }
+
+  test("kMax cap binds as DEFINED semantics: a K6 under kMax=3 reports 3") {
+    val k6 = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val out = decompose(k6.toSeq, kMax = 3)
+    assert(out.values.forall(_ == 3L), s"cap semantics wrong: $out")
+  }
+
+  test("rounds cap binds as DEFINED semantics: a 5-path at rounds=1 leaves stale inner nodes one level deep") {
+    // peel at k=2, round 1 drops both leaves only; with rounds=1 the
+    // level ends there, so 2 and 4 survive level 2 with stale degrees
+    // and report corenum 2 under the capped contract (fixpoint would
+    // peel them too). Both engines run the identical capped program.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val capped = decompose(path, rounds = 1)
+    assert(capped(1L) === 1L && capped(5L) === 1L)
+    assert(capped(2L) === 2L && capped(4L) === 2L,
+      s"rounds-cap semantics drifted: $capped")
+    val fix = decompose(path)
+    assert(fix.values.forall(_ == 1L))
+  }
+
+  test("graded q_graph_corenum at sf0.001: every node reported, levels consistent with q_graph_kcore's k=3 survivors") {
+    val out = SparkEntry.queries("q_graph_corenum")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty)
+    assert(out.values.forall(c => c >= 1L && c <= 12L))
+    // the fixed-round kcore peel is a capped UNDER-approximation of
+    // the 3-core, so every kcore survivor must sit at corenum >= 3
+    val kcore = SparkEntry.queries("q_graph_kcore")(spark, sf)
+      .select(col("node")).as[Long].collect().toSet
+    val below = kcore.filter(out(_) < 3L)
+    assert(below.isEmpty, s"kcore survivors below corenum 3: $below")
+  }
+}
