@@ -1702,6 +1702,47 @@ object LlmOps {
     // reduction-order dependent, so it cannot be oracle-graded).
     "q_llm_ivf" -> ((s, d) => ivfQuery(s, d, nprobe = 2, k = 3)),
 
+    // ANN recall audit (r16) — the quality loop GRADED: recall@3 of
+    // the two approximate indexes exactly as shipped (q_llm_ann's
+    // 4-bit multi-probe LSH at Hamming radius 1; q_llm_ivf's
+    // stride-quantized IVF at nprobe = 2) against the exact
+    // brute-force top-3 (q_llm_knn's rk ≤ 3 prefix) on the SAME probe
+    // set — the minhashconf precedent: every side is deterministic,
+    // so the recall matrix itself is oracle-expressible and the
+    // unit-only "recall ≥ 0.8" becomes a hash-matched certificate.
+    // Per (method, probe): n_hits = |approx ∩ truth| via ONE left
+    // join on (probe_id, neighbor_id) (approx sets are row_number'd
+    // — unique — so the join cannot fan out) + count of matches;
+    // recall = n_hits∕3, one IEEE division of exact ints, 6dp (no .5
+    // boundary exists in {0,1⁄3,2⁄3,1}). Cost = the three searches
+    // (each probe-bounded — see their own registrations) + joins over
+    // ≤ 3·|probes| rows; output is 2·|probes| rows forever. The truth
+    // table persists eagerly (4 consumers — Graft.eager). Honest
+    // reading: recall is DATA-dependent — the planted-cluster unit
+    // fixtures (LlmOpsSuite) hold ≥ 0.8 because near-dups share
+    // buckets/lists, while the graded synthetic embeddings are
+    // near-uniform (weak neighborhood structure: macro ≈ 0.4-0.5 at
+    // sf0.01), which is exactly what a recall audit exists to expose
+    // before anyone trusts an index on a new corpus.
+    "q_llm_annrecall" -> ((s, d) => {
+      graft.functions.DotF64.register(s)
+      val truth = graft.Graft.eager(
+        queries("q_llm_knn")(s, d).filter(col("rk") <= 3)
+          .select(col("probe_id"), col("neighbor_id")))
+      def recallOf(m: String, approx: DataFrame) =
+        truth.join(
+            approx.select(col("probe_id"), col("neighbor_id"),
+              lit(1).as("hit")),
+            Seq("probe_id", "neighbor_id"), "left")
+          .groupBy(col("probe_id"))
+          .agg(count(col("hit")).as("n_hits"))
+          .select(lit(m).as("method"), col("probe_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / lit(3.0), 6).as("recall"))
+      recallOf("ann", annQuery(s, d, bits = 4, radius = 1, k = 3))
+        .unionByName(recallOf("ivf", ivfQuery(s, d, nprobe = 2, k = 3)))
+        .orderBy(col("method"), col("probe_id"))
+    }),
+
     // One EXACT Lloyd iteration, graded end-to-end — the step the
     // unit-only float KMeans runs approximately, made oracle-checkable:
     // the fixed-K stride quantizer seeds ~32 centroids; every vector
@@ -2641,6 +2682,82 @@ object LlmOps {
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
               ORDER BY sim DESC, vec_id ASC) AS rk FROM pairs) x
           WHERE rk <= 3 ORDER BY probe_id, rk""",
+    // The knn/ann/ivf programs composed verbatim (one shared base CTE
+    // carrying the sign bucket), truth = knn's rk ≤ 3 prefix, then one
+    // LEFT JOIN + COUNT(match) per method — the engine's identical
+    // recall arithmetic.
+    "q_llm_annrecall" ->
+      s"""WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+              ${normSql("CAST(embedding AS DOUBLE[])")} AS nrm,
+              ${signBucketSql(0, 4)} AS bucket
+            FROM $emb),
+          kp AS (
+            SELECT p.vec_id AS probe_id, c.vec_id,
+              round(list_aggregate(list_transform(p.e, (x, i) -> x * c.e[i]), 'sum')
+                / (p.nrm * c.nrm), 6) AS sim
+            FROM base p JOIN base c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+          truth AS (
+            SELECT probe_id, vec_id AS neighbor_id
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY sim DESC, vec_id ASC) AS rk FROM kp) x
+            WHERE rk <= 3),
+          aprobes AS (
+            SELECT vec_id AS probe_id, e AS pe, nrm AS pn,
+              xor(bucket, f.flip) AS qbucket
+            FROM base, (SELECT UNNEST([0, 1, 2, 4, 8]) AS flip) f
+            WHERE vec_id < 5),
+          apairs AS (
+            SELECT p.probe_id, c.vec_id,
+              round(list_aggregate(list_transform(p.pe, (x, i) -> x * c.e[i]), 'sum')
+                / (p.pn * c.nrm), 6) AS sim
+            FROM aprobes p JOIN base c ON c.bucket = p.qbucket
+              AND c.vec_id <> p.probe_id),
+          ann AS (
+            SELECT probe_id, vec_id AS neighbor_id
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY sim DESC, vec_id ASC) AS rk FROM apairs) x
+            WHERE rk <= 3),
+          cents AS (
+            SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+            FROM base WHERE vec_id % greatest(1,
+              CAST(floor((SELECT COUNT(*) FROM base) / 32) AS BIGINT)) = 0),
+          ranked AS (
+            SELECT b.vec_id, b.e, b.nrm, c.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                round(list_aggregate(list_transform(b.e, (x, i) -> x * c.ce[i]), 'sum')
+                  / (b.nrm * c.cn), 6) DESC, c.cent_id ASC) AS crk
+            FROM base b CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, e, nrm, cent_id FROM ranked WHERE crk = 1),
+          iprobes AS (
+            SELECT vec_id AS probe_id, e AS pe, nrm AS pn, cent_id AS pcent
+            FROM ranked WHERE vec_id < 5 AND crk <= 2),
+          ipairs AS (
+            SELECT p.probe_id, a.vec_id,
+              round(list_aggregate(list_transform(p.pe, (x, i) -> x * a.e[i]), 'sum')
+                / (p.pn * a.nrm), 6) AS sim
+            FROM iprobes p JOIN assigned a ON a.cent_id = p.pcent
+              AND a.vec_id <> p.probe_id),
+          ivf AS (
+            SELECT probe_id, vec_id AS neighbor_id
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY sim DESC, vec_id ASC) AS rk FROM ipairs) x
+            WHERE rk <= 3),
+          hits AS (
+            SELECT 'ann' AS method, t.probe_id,
+              COUNT(a.neighbor_id) AS n_hits
+            FROM truth t LEFT JOIN ann a
+              ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT 'ivf', t.probe_id, COUNT(v.neighbor_id)
+            FROM truth t LEFT JOIN ivf v
+              ON t.probe_id = v.probe_id AND t.neighbor_id = v.neighbor_id
+            GROUP BY 1, 2)
+          SELECT method, probe_id, CAST(n_hits AS BIGINT) AS n_hits,
+            ROUND(CAST(n_hits AS DOUBLE) / 3.0, 6) AS recall
+          FROM hits ORDER BY method, probe_id""",
     // Same base/cents/ranked chain as q_llm_ivf's twin (crk = 1 is the
     // assignment); the update step is the zip-UNNEST decimal mean of
     // q_llm_centroid's twin, keyed by the won centroid.
