@@ -1475,6 +1475,32 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  /** The as-of enrichment on transformWithState (r16) — the
+    * reference's CORE per-key causal pattern ([[asofEnrich]], the
+    * fMGWS twin) ported to the Spark 4 successor API: ONE TTL'd
+    * ValueState[AsofState] per user holding the latest click. The TTL
+    * is the at-scale state bound the fMGWS twin lacks — a user whose
+    * last click has been idle past `ttl` has the state-store row
+    * itself expire (no timer bookkeeping), so an always-on enricher
+    * holds O(recently-active users), not O(all users ever seen);
+    * post-expiry purchases enrich as NULL, exactly the cold-start
+    * semantics of a user with no click on record. Same in-order
+    * per-key delivery contract and same within-batch (ts, purchase-
+    * last, event_id) ordering as the twin — parity vs the twin AND
+    * the graded q_join_asof is pinned under RocksDB in
+    * StreamingParitySuite. TTL requires TimeMode.ProcessingTime. */
+  def asofEnrichTws(events: Dataset[Event],
+      ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .transformWithState(new AsofEnrichProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append)
+  }
+
   /** Rolling 3-event decimal sum per key on the transformWithState
     * ListState primitive — the bounded-buffer shape of the new state
     * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
@@ -1519,6 +1545,43 @@ class DayCountProcessor(ttl: java.time.Duration)
       n.update(next)
       Iterator.single(DayCountOut(key._1, key._2 * 86400000000L, next))
     }
+  }
+}
+
+/** [[StreamOps.asofEnrichTws]]'s processor: ONE TTL'd
+  * ValueState[AsofState] per user — the identical last-click state
+  * shape and within-batch replay order as the flatMapGroupsWithState
+  * twin (clicks advance the watermark state monotonically by
+  * (ts, event_id); purchases read it), plus the store-enforced idle
+  * expiry (the builder's scaladoc has the at-scale argument). */
+class AsofEnrichProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AsofOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var last: ValueState[AsofState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[AsofState]("last",
+      Encoders.product[AsofState], TTLConfig(ttl))
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[AsofOut] = {
+    var cur = if (last.exists()) Option(last.get()) else None
+    val out = Seq.newBuilder[AsofOut]
+    rows.toSeq
+      .sortBy(e => (e.ts_us, if (e.event_type == "purchase") 1 else 0,
+        e.event_id))
+      .foreach { e =>
+        if (e.event_type == "click") {
+          if (cur.forall(s => s.cUs < e.ts_us
+              || (s.cUs == e.ts_us && s.cId < e.event_id)))
+            cur = Some(AsofState(e.event_id, e.ts_us))
+        } else out += AsofOut(e.event_id, user, e.ts_us,
+          cur.map(_.cId), cur.map(_.cUs), cur.map(s => e.ts_us - s.cUs))
+      }
+    cur.foreach(last.update)
+    out.result().iterator
   }
 }
 

@@ -1994,6 +1994,126 @@ class StreamingParitySuite extends SparkSuite {
     assert(fn === graded && fn.nonEmpty)
   }
 
+  test("transformWithState as-of enrichment (r16): RocksDB stream == fMGWS twin == graded q_join_asof") {
+    // The reference's core per-key causal pattern on the successor
+    // state API: sf0.001 click/purchase events streamed in 3 ORDERED
+    // micro-batches (global (ts, event_id) order implies the per-key
+    // in-order delivery both twins contract on) through the TTL'd
+    // ValueState processor under RocksDB; the appended enrichments
+    // must equal the fMGWS twin's batch output AND the graded as-of
+    // join.
+    val all = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime mode (the TTL's requirement) re-triggers for state
+    // cleanup — the dailyCountMonitorTws polling discipline applies
+    type Row6 = (Long, Long, Long, Option[Long], Option[Long], Option[Long])
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row6]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.asofEnrichTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[AsofOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          buf ++= rows.map(o =>
+            (o.p_id, o.user_id, o.p_us, o.c_id, o.c_us, o.gap_us))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsasof_cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    val expected = StreamOps.asofEnrich(
+      Tables.events(spark, sf)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value")).as[Event])
+      .collect()
+      .map(o => (o.p_id, o.user_id, o.p_us, o.c_id, o.c_us, o.gap_us)).toSet
+    try {
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.size) < expected.size) {
+        assert(System.nanoTime() < deadline,
+          s"TWS enrichment never reached ${expected.size} rows: " +
+            s"${buf.synchronized(buf.size)}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    val streamed = buf.synchronized(buf.toSeq).toSet
+    assert(streamed === expected, "TWS stream != fMGWS twin")
+    val graded = graft.queries.CoreRelational.queries("q_join_asof")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("p_us"),
+        Option(r.get(r.fieldIndex("c_id"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("c_us"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("gap_us"))).map(_.asInstanceOf[Long]))).toSet
+    spark.catalog.clearCache()
+    assert(streamed === graded && streamed.nonEmpty,
+      "TWS stream != graded q_join_asof")
+  }
+
+  test("transformWithState as-of TTL: an idle last-click expires; the purchase enriches NULL, a fresh click re-arms (r16)") {
+    // The at-scale point of the TWS port: the store itself evicts a
+    // dormant user's last click. A 1 s TTL + an idle wait makes the
+    // next purchase enrich from cold (NULL), while a fresh click
+    // afterwards re-arms enrichment.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    type Row6 = (Long, Long, Long, Option[Long], Option[Long], Option[Long])
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row6]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.asofEnrichTws(ms.toDS(),
+        java.time.Duration.ofSeconds(1))
+      .writeStream
+      .foreachBatch { (ds: Dataset[AsofOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          buf ++= rows.map(o =>
+            (o.p_id, o.user_id, o.p_us, o.c_id, o.c_us, o.gap_us))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsasofttl_cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitRows(k: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.size) < k) {
+        assert(System.nanoTime() < deadline,
+          s"sink never reached $k rows: ${buf.synchronized(buf.toSeq)}")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      ms.addData(Seq(Event(1, min(0), 7L, "click", 1.0),
+        Event(2, min(10), 7L, "purchase", 1.0)))
+      awaitRows(1) // warm: enriched by click 1
+      Thread.sleep(5000) // let the 1 s TTL lapse while user 7 idles
+      ms.addData(Seq(Event(3, min(20), 7L, "purchase", 1.0)))
+      awaitRows(2) // cold: the expired click cannot enrich
+      ms.addData(Seq(Event(4, min(30), 7L, "click", 1.0),
+        Event(5, min(40), 7L, "purchase", 1.0)))
+      awaitRows(3) // re-armed by click 4
+    } finally q.stop()
+    val rows = buf.synchronized(buf.toSeq).sortBy(_._1)
+    assert(rows.map(r => (r._1, r._4)) ===
+      Seq((2L, Some(1L)), (3L, None), (5L, Some(4L))),
+      s"TTL expiry semantics drifted: $rows")
+  }
+
   test("streaming near-dup ingest: LSH band probe == batch probe; copy hits all bands, unrelated doc none") {
     // Incremental NEAR-dup: new docs are minhash-banded per-row
     // (stateless) and probed against the static corpus band index.
