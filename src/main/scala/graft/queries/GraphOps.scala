@@ -558,16 +558,23 @@ object GraphOps {
                                  rounds: Int): DataFrame = {
     val spark = edges0.sparkSession
     val (tris0, _, e0) = trianglesOn(edges0)
+    // tris_r needs NO eager count (the Graft.eager exception): every
+    // consumer of a round frame sits under its own BOUNDED DRIVER
+    // ACTION — round r+1's e.count() is the single action that reads
+    // tris_r (once, via sup), and the r+1 prune then reads the cache
+    // that action just filled. Sequential driver actions cannot race;
+    // an r16 draft that counted every round frame eagerly paid a
+    // standalone pass over the triangle list per round (5.9 → 13.6 s
+    // at sf0.1) for a race that structurally cannot happen here.
     var tris = tris0.persist()
-    tris.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
     var e = e0
+    // superseded round frames release one round later (r16): e_{r-1}
+    // is last read when e_r materializes, tris_{r-1} once round r+1's
+    // action has filled tris_r's cache — O(1) cached footprint, not
+    // O(rounds), for an embedded caller looping deep
+    var prevTris: DataFrame = null
     val counts = (1 to rounds).map { r =>
-      // superseded round frames are released one round later (r16):
-      // e_{r-1} is last read when e_r materializes (the count below),
-      // tris_{r-1} when tris_r does — so the cached footprint stays
-      // O(1), not O(rounds), for an embedded caller looping deep
       val prevE = e
-      val prevTris = tris
       val sup = triEdgeCredits(tris)
         .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSup)
@@ -575,21 +582,23 @@ object GraphOps {
       e = e.join(sup,
         col("a") === col("x") && col("b") === col("y"), "left_semi")
         .persist()
-      val n = e.count()
+      val n = e.count() // materializes tris_{r-1}'s cache on the way
       if (prevE ne e0) prevE.unpersist() // e0 is trianglesOn's shared frame
-      tris = tris
-        .join(e.select(col("a").as("ea1"), col("b").as("eb1")),
-          least(col("a0"), col("nb")) === col("ea1")
-            && greatest(col("a0"), col("nb")) === col("eb1"), "left_semi")
-        .join(e.select(col("a").as("ea2"), col("b").as("eb2")),
-          least(col("a0"), col("nc")) === col("ea2")
-            && greatest(col("a0"), col("nc")) === col("eb2"), "left_semi")
-        .join(e.select(col("a").as("ea3"), col("b").as("eb3")),
-          least(col("nb"), col("nc")) === col("ea3")
-            && greatest(col("nb"), col("nc")) === col("eb3"), "left_semi")
-        .persist()
-      tris.count() // eager (r16): next round's sup + prune both read it
-      prevTris.unpersist() // consumed into tris_r (cached above)
+      if (prevTris != null) prevTris.unpersist()
+      if (r < rounds) { // the last round's prune has no reader — skip it
+        prevTris = tris
+        tris = tris
+          .join(e.select(col("a").as("ea1"), col("b").as("eb1")),
+            least(col("a0"), col("nb")) === col("ea1")
+              && greatest(col("a0"), col("nb")) === col("eb1"), "left_semi")
+          .join(e.select(col("a").as("ea2"), col("b").as("eb2")),
+            least(col("a0"), col("nc")) === col("ea2")
+              && greatest(col("a0"), col("nc")) === col("eb2"), "left_semi")
+          .join(e.select(col("a").as("ea3"), col("b").as("eb3")),
+            least(col("nb"), col("nc")) === col("ea3")
+              && greatest(col("nb"), col("nc")) === col("eb3"), "left_semi")
+          .persist()
+      }
       (r, n)
     }
     import spark.implicits._
