@@ -162,4 +162,45 @@ class TriangleKmvSuite extends SparkSuite {
     assert(bt === 3000L)
     assert(be > 1500L && be < 6000L, s"k=32 estimate $be off 3000 by > 2x")
   }
+
+  private def ams(keys: Seq[Long]) =
+    graft.queries.Aggregates.amsOn(keys.toDF("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).head
+
+  test("AMS: a single-key corpus is estimated EXACTLY (every signed sum is ±n)") {
+    val (exact, est, ratio) = ams(Seq.fill(37)(5L))
+    assert(exact === 37L * 37L)
+    assert(est === 37L * 37L, "single key: every z_i = ±37, mean of squares exact")
+    assert(ratio === Some(1.0))
+  }
+
+  test("AMS replays the JVM sign-sum formula exactly; the estimate is in the unbiased estimator's range") {
+    val keys = (1 to 500).flatMap(i => Seq.fill(1 + i % 7)(i.toLong))
+    val exact = keys.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+    val zs = (0 until 8).map { i =>
+      keys.map(k => if (Det.jvmMd5h32(s"$i#$k") % 2 == 0) 1L else -1L).sum
+    }
+    val expectEst = zs.map(z => z * z).sum / 8
+    val (gotExact, gotEst, _) = ams(keys)
+    assert(gotExact === exact)
+    assert(gotEst === expectEst, "engine sketch != JVM mirror")
+    // unbiased with relative sd sqrt(2/8): 4 sigma guard
+    assert(gotEst > exact / 5 && gotEst < exact * 5,
+      s"estimate $gotEst implausibly far from $exact")
+  }
+
+  test("AMS linearity: the sketch of a union is the sum of the sketches (mergeability)") {
+    val a = (1 to 200).map(_.toLong)
+    val b = (100 to 400).map(_.toLong)
+    def zs(keys: Seq[Long]) = (0 until 8).map { i =>
+      keys.map(k => if (Det.jvmMd5h32(s"$i#$k") % 2 == 0) 1L else -1L).sum
+    }
+    val merged = zs(a).zip(zs(b)).map { case (x, y) => x + y }
+    assert(zs(a ++ b) === merged,
+      "per-row signed sums must add across partitions/streams")
+    // and the engine's estimate off the union equals the JVM fold
+    val (_, gotEst, _) = ams(a ++ b)
+    assert(gotEst === merged.map(z => z * z).sum / 8)
+  }
 }
