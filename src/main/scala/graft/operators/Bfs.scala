@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-round breadth-first hop distances from a deterministic seed —
+  * the REACHABILITY primitive of the graph family ([[PageRank]] ranks,
+  * [[ConnectedComponents]] groups, [[KCore]]/[[CoreNumber]] trim, this
+  * MEASURES: how many hops does influence need to travel?). The hop
+  * histogram from a hub is the poor-man's diameter profile every graph
+  * pipeline sanity-checks before trusting a propagation result
+  * (label-prop rounds, PageRank iterations) that implicitly assumes a
+  * small world.
+  *
+  * Semantics: seed = MIN node id (a 1-row aggregate broadcast back —
+  * deterministic, no driver collect); `rounds` synchronous relaxation
+  * rounds, each setting d(v) = min(d(v), min over in-neighbors
+  * d(u) + 1). After round r every node within r hops carries its EXACT
+  * hop distance (BFS frontier property: a node first reached at round
+  * r has shortest distance r, and a settled distance never improves),
+  * so the fixed unroll is the DEFINED contract and the oracle mirrors
+  * it round for round; nodes beyond `rounds` hops (or in another
+  * component) are absent — documented. Early exit when a round adds no
+  * node is result-identical (an empty frontier can never improve a
+  * settled distance), so it is taken while the oracle runs the full
+  * unroll. All-integer.
+  *
+  * Scale shape: per round ONE node-sized equi-join against the
+  * persisted edge list + a map-side-combining min-aggregate (shuffle ∝
+  * reached nodes, never edges² — the frontier is implicit in the
+  * relaxation, which costs one pass over edges incident to reached
+  * nodes). The distance table persists EAGERLY each round
+  * (Graft.eager's discipline: the next round reads it through BOTH the
+  * join and the union — a lazy persist races under concurrent AQE
+  * stages) and the superseded round unpersists one round later — O(1)
+  * cached footprint at any depth.
+  */
+object Bfs {
+
+  /** @param edges  symmetrized directed edge list (`src`, `dst`) — the
+    *               [[graft.queries.GraphOps]] edge-builder contract.
+    * @param rounds fixed relaxation rounds (≥ 0).
+    * @return (`dist`, `n_nodes`): hop-distance histogram from the seed;
+    *         dist 0 is the seed row. */
+  def hops(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst")).persist()
+    e.count() // eager: the seed aggregate + every round's join read it
+    var dist: DataFrame = e.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0L).as("d"))
+    var prev: DataFrame = null
+    var nReached = 1L
+    var settled = false
+    var r = 0
+    while (!settled && r < rounds) {
+      r += 1
+      val cur = dist.persist()
+      val curCount = cur.count() // eager: join + union both read it
+      if (prev != null) prev.unpersist() // baked into cur's cache
+      settled = curCount == nReached && r > 1
+      nReached = curCount
+      if (!settled) {
+        val msgs = e
+          .join(cur.select(col("node").as("sn"), col("d")),
+            col("src") === col("sn"))
+          .select(col("dst").as("node"), (col("d") + 1L).as("d"))
+        dist = cur.unionByName(msgs)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+        prev = cur
+      } else prev = cur
+    }
+    dist.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("dist"))
+  }
+}

@@ -41,6 +41,12 @@ object GraphOps {
   private[graft] val CorenumKmax = 12
   private[graft] val CorenumRounds = 8
 
+  /** q_graph_bfs (r16): fixed relaxation rounds. The co-purchase
+    * graph's full reach from the min-id seed is ≤ 4 hops at every
+    * graded sf (measured: 2∕3∕4 at sf0.001∕0.01∕0.1) — 6 leaves the
+    * margin the fixed-unroll contract wants. */
+  private[graft] val BfsRounds = 6
+
   /** q_graph_cosim: hub cap on part degree (a part supplied by > cap
     * suppliers is a commodity — it says nothing about supplier
     * similarity and fans the pair join out by degree²; dropping it is
@@ -388,6 +394,22 @@ object GraphOps {
         .decompose(copurchaseEdgesMin(s, d, CoreMinPair),
           CorenumKmax, CorenumRounds)
         .orderBy(col("node"))),
+
+    // BFS hop-distance histogram (r16): the reachability primitive —
+    // how far does influence travel from the min-id seed over the
+    // full co-purchase graph (the pagerank/degdist edge set)? The
+    // small-world sanity profile every propagation result (label-prop
+    // rounds, PageRank iterations) implicitly assumes. Engine:
+    // operators.Bfs — BfsRounds synchronous relaxations, each ONE
+    // node-sized join vs the persisted edge list + a min-agg; after
+    // round r every node ≤ r hops carries its EXACT distance (the
+    // frontier property), so the fixed unroll is the contract and
+    // unreached nodes are absent (documented; full reach is ≤ 4 hops
+    // at graded sfs). Early exit on an empty frontier is
+    // result-identical. All-integer; oracle unrolls the identical
+    // rounds AS MATERIALIZED.
+    "q_graph_bfs" -> ((s, d) =>
+      graft.operators.Bfs.hops(copurchaseEdges(s, d), BfsRounds)),
 
     // Resource-Allocation link prediction (r12): top-100 predicted
     // supplier links by hub-discounted shared-part mass — the
@@ -889,6 +911,31 @@ object GraphOps {
          |SELECT node, CAST(MAX(k) AS BIGINT) AS corenum FROM (
          |  $members)
          |GROUP BY node ORDER BY node""".stripMargin
+    },
+    // The identical relaxation rounds unrolled; AS MATERIALIZED per
+    // the corenum/trusspeel inlining lesson (each round references
+    // its predecessor twice — join + union).
+    "q_graph_bfs" -> {
+      def round(r: Int): String =
+        s"""bd$r AS MATERIALIZED (
+           |  SELECT node, MIN(d) AS d FROM (
+           |    SELECT node, d FROM bd${r - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.d + 1 AS d
+           |    FROM e JOIN bd${r - 1} p ON e.src = p.node)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li),
+         |e AS MATERIALIZED (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |seed AS (SELECT MIN(src) AS s FROM e),
+         |bd0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS d FROM seed),
+         |${(1 to BfsRounds).map(round).mkString(",\n")}
+         |SELECT d AS dist, COUNT(*) AS n_nodes FROM bd$BfsRounds
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // True-degree weights attached by the same join that thins hubs;
     // 1000000 // pd is the engines' shared exact floor division.

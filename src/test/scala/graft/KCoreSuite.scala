@@ -49,6 +49,39 @@ class KCoreSuite extends SparkSuite {
     assert(minDeg >= queries.GraphOps.CoreK)
   }
 
+  test("BFS: path-graph hop histogram from the min-id seed; unreached stays absent under the rounds cap") {
+    // path 1-2-3-4-5 plus a disconnected pair 10-11: seed is 1
+    val g = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)))
+    val full = operators.Bfs.hops(g, 6).as[(Long, Long)].collect().toSeq
+    assert(full === Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)),
+      s"path distances wrong: $full")
+    // the cap is semantic: rounds = 2 reaches only 3 nodes
+    val capped = operators.Bfs.hops(g, 2).as[(Long, Long)].collect().toSeq
+    assert(capped === Seq((0L, 1L), (1L, 1L), (2L, 1L)),
+      s"rounds-cap semantics drifted: $capped")
+  }
+
+  test("BFS: early exit is result-identical — extra rounds past full reach change nothing") {
+    val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val r3 = operators.Bfs.hops(g, 3).as[(Long, Long)].collect().toSeq
+    val r10 = operators.Bfs.hops(g, 10).as[(Long, Long)].collect().toSeq
+    assert(r3 === Seq((0L, 1L), (1L, 2L)))
+    assert(r10 === r3)
+  }
+
+  test("graded q_graph_bfs at sf0.001: seed row present, every reached node counted once") {
+    val out = SparkEntry.queries("q_graph_bfs")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.head === ((0L, 1L)), s"seed row wrong: ${out.head}")
+    // the co-purchase graph is fully reached within the 6-round cap
+    // at every graded sf (measured; the constant's scaladoc) — the
+    // histogram must sum to the node count
+    val nodes = queries.GraphOps.copurchaseEdges(spark, sf)
+      .select(col("src")).distinct().count()
+    assert(out.map(_._2).sum === nodes)
+    spark.catalog.clearCache()
+  }
+
   test("LabelProp: disjoint triangles each converge to one community; a bridge does not merge them in 3 rounds") {
     // triangles {1,2,3} and {11,12,13}, bridged by one 3–11 edge
     val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),
