@@ -482,6 +482,44 @@ object ScaleRehearsal {
           pmod(col("id"), lit(m)).as("b"))
         graft.operators.KCore.peel(sym(ring.union(tails)), 3, 4).count()
       }
+      // Full decomposition on the same planted shells (r16): the ring
+      // is exactly 4-regular (±1, ±2 neighbors) so its core number is
+      // 4; every tail is 1. Claim: levels stop at degeneracy+1 (the
+      // emptied-graph exit), per-level cost ∝ surviving edges — the
+      // ×10 step should grow ≲ linearly, and the PLANTED truth
+      // (n−m at corenum 1, m at corenum 4) is recovered exactly.
+      if (want("corenum")) time("corenum", n) {
+        val m = n / 100L
+        val ring = spark.range(m).select(col("id").as("a"),
+            pmod(col("id") + 1L, lit(m)).as("b"))
+          .union(spark.range(m).select(col("id").as("a"),
+            pmod(col("id") + 2L, lit(m)).as("b")))
+        val tails = spark.range(m, n).select(col("id").as("a"),
+          pmod(col("id"), lit(m)).as("b"))
+        val out = graft.operators.CoreNumber
+          .decompose(sym(ring.union(tails)), 12, 8)
+          .groupBy(col("corenum")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        require(out == Map(1L -> (n - m), 4L -> m),
+          s"corenum planted truth not recovered at n=$n: $out")
+        n
+      }
+      // BFS on a planted two-level star-of-stars (r16): seed 0 → m mid
+      // hubs → the rest as leaves; exact histogram (1, m, n−1−m).
+      // Claim: per-round cost ∝ edges incident to the reached set,
+      // rounds fixed — the ×10 step grows ≲ linearly.
+      if (want("bfs_hops")) time("bfs_hops", n) {
+        val m = n / 1000L
+        val mids = spark.range(1L, m + 1).select(lit(0L).as("a"),
+          col("id").as("b"))
+        val leaves = spark.range(m + 1, n).select(
+          (pmod(col("id"), lit(m)) + 1L).as("a"), col("id").as("b"))
+        val out = graft.operators.Bfs.hops(sym(mids.union(leaves)), 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        require(out == Map(0L -> 1L, 1L -> m, 2L -> (n - 1 - m)),
+          s"bfs planted truth not recovered at n=$n: $out")
+        n
+      }
       // DSIR scoring (r13, same verdict item): the EXACT graded path
       // (PipelineOps.dsirOn) on the synthetic corpus with a 5-way lang
       // mix (L0 is the target). Claim: the shingle stream persists

@@ -1142,4 +1142,40 @@ class PlanAssertionsSuite extends SparkSuite {
       s"kmv bottom-k not group-limited:\n$p")
     assert(!p.contains("CartesianProduct"), s"kmv cartesian:\n$p")
   }
+
+  test("q_agg_ams (r16): the sketch is one windowless agg; the 1-row estimate broadcasts into the audit") {
+    val p = planString(q("q_agg_ams"))
+    assert(!p.contains("Window"), s"ams grew a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row estimate not broadcast:\n$p")
+    // the only sort anywhere may be inside an expression, not an
+    // operator: no corpus-sized Sort node
+    assert(!p.contains("SortMergeJoin"), s"ams shuffled a join:\n$p")
+  }
+
+  test("q_llm_annrecall (r16): truth/approx joins are hash joins off the cached truth — no cartesian beyond the sanctioned probe broadcast") {
+    val p = planString(q("q_llm_annrecall"))
+    assert(!p.contains("CartesianProduct"), s"annrecall cartesian:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"truth table not read through the eager cache:\n$p")
+  }
+
+  test("q_graph_bfs / q_graph_corenum (r16): driver-assembled iteratives — returned plans read materialized state, no corpus re-derivation") {
+    // both lambdas run their rounds eagerly (bounded driver actions);
+    // the RETURNED plan must read MATERIALIZED state — BFS through the
+    // eagerly-filled cache (an InMemoryRelation prints its recorded
+    // child, so a FileScan substring inside it is expected; the pin is
+    // that the READ is an InMemoryTableScan), corenum through
+    // checkpointed LogicalRDDs (no cache, no parquet at all)
+    val pb = planString(q("q_graph_bfs"))
+    assert(!pb.contains("CartesianProduct"), s"bfs cartesian:\n$pb")
+    assert(pb.contains("InMemoryTableScan"),
+      s"bfs result does not read the eager cache:\n$pb")
+    spark.catalog.clearCache()
+    val pc = planString(q("q_graph_corenum"))
+    assert(!pc.contains("CartesianProduct"), s"corenum cartesian:\n$pc")
+    assert(pc.contains("Scan ExistingRDD") && !pc.contains("FileScan"),
+      s"corenum result not off checkpointed rounds:\n$pc")
+    spark.catalog.clearCache()
+  }
 }
