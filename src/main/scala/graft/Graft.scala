@@ -1341,4 +1341,46 @@ object Graft {
                    w: Int = 64, topK: Int = 10): DataFrame =
     graft.queries.Aggregates.cmsOn(df.select(col(keyCol).as("k")),
       d, w, topK)
+
+  /** Full k-core decomposition over any undirected edge list (graded
+    * q_graph_corenum's engine): per-node core number by ascending-
+    * level capped peels — see [[graft.operators.CoreNumber]] for the
+    * cap contract. Returns (node, corenum). Runs bounded driver
+    * actions per round (the trusspeel pattern). */
+  def coreNumbers(edges: DataFrame, srcCol: String, dstCol: String,
+                  kMax: Int = 12, rounds: Int = 8): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    graft.operators.CoreNumber.decompose(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      kMax, rounds)
+  }
+
+  /** BFS hop-distance histogram from the min-id node over any
+    * undirected edge list (graded q_graph_bfs's engine): (dist,
+    * n_nodes) within `rounds` hops — see [[graft.operators.Bfs]] for
+    * the fixed-unroll contract. Runs bounded driver actions per
+    * round. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              rounds: Int = 6): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    graft.operators.Bfs.hops(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      rounds)
+  }
+
+  /** AMS F2 (second frequency moment ≡ self-join size) sketch + exact
+    * audit over any key column (graded q_agg_ams's engine): one
+    * map-side pass into 8 signed sums, exact-integer mean-of-squares
+    * estimate, exact Σc² audit, 6dp ratio. One row. */
+  def amsF2(df: DataFrame, keyCol: String): DataFrame =
+    graft.queries.Aggregates.amsOn(df.select(col(keyCol).as("k")))
+
+  /** Yule's K lexical-richness characteristic per group (graded
+    * q_text_yulek's engine): K = 10⁴·(Σ m²·V(m) − N)∕N² off the
+    * frequency-of-frequencies collapse; length-stable, unlike TTR.
+    * Returns (group, n_tokens, n_types, yule_k). */
+  def yuleK(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    graft.queries.TextOps.yulekOn(
+        df.select(col(groupCol).as("source"), col(textCol).as("text")))
+      .withColumnRenamed("source", groupCol)
 }

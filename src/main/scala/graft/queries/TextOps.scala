@@ -159,23 +159,9 @@ object TextOps {
     // collapse (∝ distinct m — dozens) → per-source exact BIGINT
     // power sums → ONE pinned IEEE chain, 6dp. Shuffle ∝ distinct
     // (source, word), never tokens.
-    "q_text_yulek" -> ((s, d) => {
-      val wc = T.documents(s, d)
-        .select(col("source"), explode(split(col("text"), " ")).as("word"))
-        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
-      val vm = wc.groupBy(col("source"), col("c").as("m"))
-        .agg(count(lit(1)).as("v"))
-      vm.groupBy(col("source"))
-        .agg(sum(col("m") * col("v")).as("n_tokens"),
-          sum(col("v")).as("n_types"),
-          sum(col("m") * col("m") * col("v")).as("s2"))
-        .select(col("source"), col("n_tokens"), col("n_types"),
-          round(lit(1e4) * (col("s2").cast("double")
-              - col("n_tokens").cast("double"))
-            / (col("n_tokens").cast("double")
-              * col("n_tokens").cast("double")), 6).as("yule_k"))
-        .orderBy(col("source"))
-    }),
+    "q_text_yulek" -> ((s, d) =>
+      yulekOn(T.documents(s, d).select(col("source"), col("text")))
+        .orderBy(col("source"))),
 
     // Language ID: marker-token counts per language, argmax with
     // lexicographic tiebreak; reports accuracy vs the labeled lang.
@@ -624,6 +610,27 @@ object TextOps {
   )
 
   /** q_text_rarity's engine over any (doc_id, text) corpus. */
+  /** q_text_yulek's engine over any (source, text) frame (the
+    * Graft.yuleK facade enters here): frequency-of-frequencies
+    * collapse → exact power sums → one pinned 6dp chain. Returns
+    * (source, n_tokens, n_types, yule_k), unordered. */
+  private[graft] def yulekOn(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    val vm = wc.groupBy(col("source"), col("c").as("m"))
+      .agg(count(lit(1)).as("v"))
+    vm.groupBy(col("source"))
+      .agg(sum(col("m") * col("v")).as("n_tokens"),
+        sum(col("v")).as("n_types"),
+        sum(col("m") * col("m") * col("v")).as("s2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(lit(1e4) * (col("s2").cast("double")
+            - col("n_tokens").cast("double"))
+          / (col("n_tokens").cast("double")
+            * col("n_tokens").cast("double")), 6).as("yule_k"))
+  }
+
   private[graft] def rarityOn(docs: DataFrame): DataFrame = {
     val pairs = docs.select(col("doc_id"),
       explode(array_distinct(toks)).as("word"))

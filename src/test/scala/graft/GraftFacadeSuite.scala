@@ -1191,4 +1191,36 @@ class GraftFacadeSuite extends SparkSuite {
       (2L, "C", 5000000L, -1L, 1)),
       s"unexpected SCD2 ranges: ${out.toSeq}")
   }
+
+  test("coreNumbers facade: symmetrizes arbitrary pair lists; K5+pendant shells recovered (r16)") {
+    // K5 on 1..5 (core 4) with a pendant 5-9 (core 1), given as
+    // one-directional pairs — the facade symmetrizes
+    val pairs = ((for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b))
+      :+ ((5L, 9L))).toDF("u", "v")
+    val out = Graft.coreNumbers(pairs, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(out(_) == 4L) && out(9L) === 1L,
+      s"facade shells wrong: $out")
+  }
+
+  test("bfsHops facade: path distances from the min node over one-directional input (r16)") {
+    val path = Seq((30L, 20L), (20L, 10L), (40L, 30L)).toDF("u", "v")
+    val out = Graft.bfsHops(path, "u", "v", rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 10-20-30-40: seed 10, one node per distance 0..3
+    assert(out === Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L)),
+      s"facade distances wrong: $out")
+  }
+
+  test("amsF2 / yuleK facades: delegate to the graded engines with caller column names (r16)") {
+    val keys = Seq.fill(12)("x") ++ Seq("y", "y", "z")
+    val ams = Graft.amsF2(keys.toDF("item"), "item").collect()(0)
+    assert(ams.getAs[Long]("f2_exact") === 144L + 4L + 1L)
+    val docs = Seq(("s1", "the a fast slow the")).toDF("grp", "body")
+    val yk = Graft.yuleK(docs, "grp", "body").collect()(0)
+    assert(yk.getAs[String]("grp") === "s1")
+    assert(yk.getAs[Long]("n_tokens") === 5L)
+    // V(1)=3, V(2)=1 -> N=5, s2=7; K = 1e4*2/25 = 800
+    assert(yk.getAs[Double]("yule_k") === 800.0)
+  }
 }
