@@ -189,6 +189,8 @@ case class KmvState(hs: Seq[Long])
 
 /** CMS state: the d×w counter grid flattened row-major + event count. */
 case class CmsState(cnt: Seq[Long], n: Long)
+case class AmsMonState(z: Seq[Long], n: Long)
+case class AmsMonOut(event_type: String, n: Long, f2_est: Long)
 
 /** Per-probe frequency readout: events so far in the key's stream and
   * the CMS estimate (min over rows) for the probed user id. */
@@ -535,6 +537,42 @@ object StreamOps {
               cnt(i * w + (graft.Det.jvmMd5h32(s"$i#$p") % w).toInt)).min
             CmsProbeOut(tp, p, n, est)
           }
+      }
+  }
+
+  /** Streaming AMS F2 tracker (r16) — the second-moment member of the
+    * sketch-monitor family ([[kmvMonitor]] cardinality /
+    * [[cmsMonitor]] point frequency / this: Σc², the self-join size
+    * an always-on join planner reads before shuffling two streams):
+    * per event type, the 8 signed sums of the graded q_agg_ams sketch
+    * fold incrementally — a LINEAR sketch, so per-key state is 8
+    * longs + n forever and the fold is plain addition. Estimate per
+    * readout = exact integer mean of the squares, identical to the
+    * batch engine on the same prefix (parity-pinned). Additive state
+    * shares [[cmsMonitor]]'s delivery contract: replays double-count
+    * — exactly-once required — the documented contrast with
+    * [[kmvMonitor]]'s replay-immune set semantics. */
+  def amsMonitor(events: Dataset[Event], rows: Int = 8)
+      : Dataset[AmsMonOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[Event], state: GroupState[AmsMonState]) =>
+          val st = state.getOption
+          val z = st.map(_.z.toArray).getOrElse(new Array[Long](rows))
+          var n = st.map(_.n).getOrElse(0L)
+          it.foreach { e =>
+            var i = 0
+            while (i < rows) {
+              z(i) +=
+                (if (graft.Det.jvmMd5h32(s"$i#${e.user_id}") % 2 == 0) 1L
+                 else -1L)
+              i += 1
+            }
+            n += 1
+          }
+          state.update(AmsMonState(z.toSeq, n))
+          Iterator.single(AmsMonOut(tp, n, z.map(v => v * v).sum / rows))
       }
   }
 

@@ -2616,4 +2616,39 @@ class StreamingParitySuite extends SparkSuite {
     // the hot probe's estimate dominates the warm one's (signal survives)
     assert(fin(1L)._3 > fin(2L)._3)
   }
+
+  test("AMS tracker (r16): linear sketch folds across batches == the graded batch engine on the same prefix") {
+    import org.apache.spark.sql.functions.lit
+    val evs = (1 to 90).map { i =>
+      val u = if (i <= 40) 1L else if (i <= 65) 2L else (i % 7 + 10).toLong
+      Event(i, min(i % 60), if (i % 3 == 0) 7L else u,
+        if (i % 2 == 0) "click" else "view", 1.0)
+    }
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.amsMonitor(ms.toDS())
+      .writeStream.format("memory").queryName("ams_par")
+      .outputMode("update").start()
+    try Seq(evs.take(30), evs.slice(30, 70), evs.drop(70))
+      .foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // final readout per type = the row with max n (n is monotone)
+    val fin = spark.table("ams_par").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    for (tp <- Seq("click", "view")) {
+      val keys = evs.filter(_.event_type == tp)
+      // the graded batch engine on the identical key multiset
+      val batch = graft.queries.Aggregates.amsOn(
+          keys.map(_.user_id).toDF("k"))
+        .collect()(0)
+      assert(fin(tp)._2 === keys.size.toLong)
+      assert(fin(tp)._3 === batch.getAs[Long]("f2_est"),
+        s"$tp: streaming fold != batch engine")
+      // and the JVM fold mirror
+      val z = (0 until 8).map(i => keys.map(e =>
+        if (graft.Det.jvmMd5h32(s"$i#${e.user_id}") % 2 == 0) 1L
+        else -1L).sum)
+      assert(fin(tp)._3 === z.map(v => v * v).sum / 8)
+    }
+  }
 }
