@@ -1097,8 +1097,42 @@ object Aggregates {
       amsOn(T.lineitem(s, d).select(col("l_partkey").as("k"))))
   )
 
-  /** q_agg_ams: independent sign rows (the median-of-8 estimate). */
+  /** q_agg_ams / q_event_amsjoin: independent sign rows. */
   private[graft] val AmsRows = 8
+
+  /** q_event_amsjoin's engine over two key frames (each a single `k`
+    * column): the AMS INNER-PRODUCT estimator — E[zᵃᵢ·zᵇᵢ] = Σ_k
+    * cₐ(k)·c_b(k), the equi-join SIZE of the two multisets (Alon-
+    * Matias-Szegedy 1996 §3) — from the same two 8-long linear
+    * sketches [[amsOn]] keeps, beside the exact join-size audit
+    * (Σ cₐ·c_b over the two collapses joined). Everything exact
+    * integer (signed sums, products, floor-div mean) except one
+    * guarded 6dp ratio; ONE map-side agg per side → two 1-row frames
+    * crossJoined broadcast — the sketch answers at 8 longs per side
+    * what the audit pays two collapses + a join for. Returns
+    * (join_exact, join_est, est_ratio) — one row forever. */
+  private[graft] def amsJoinOn(keysA: DataFrame, keysB: DataFrame)
+      : DataFrame = {
+    def sign(i: Int): Column =
+      when(Det.md5h32(concat_ws("#", lit(i.toString),
+        col("k").cast("string"))) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    def sketch(keys: DataFrame, p: String): DataFrame = {
+      val sums = (0 until AmsRows).map(i => sum(sign(i)).as(s"$p$i"))
+      keys.agg(sums.head, sums.tail: _*)
+    }
+    val prods = (0 until AmsRows).map(i => s"a$i * b$i").mkString(" + ")
+    val est = sketch(keysA, "a").crossJoin(broadcast(sketch(keysB, "b")))
+      .select(expr(s"($prods) div $AmsRows").as("join_est"))
+    val ca = keysA.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+    val cb = keysB.groupBy(col("k").as("k2")).agg(count(lit(1)).as("cb"))
+    val ex = ca.join(cb, col("k") === col("k2"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("join_exact"))
+    ex.crossJoin(broadcast(est))
+      .select(col("join_exact"), col("join_est"),
+        when(col("join_exact") > 0,
+          round(col("join_est").cast("double")
+            / col("join_exact").cast("double"), 6)).as("est_ratio"))
+  }
 
   /** q_agg_ams's engine over any single-column (k) key frame: the
     * 8-row AMS linear sketch, its lower-median F2 estimate, the exact

@@ -1372,6 +1372,23 @@ object EventOps {
     // deterministic, overflow is not), 6dp once; structural NULL guards
     // on empty margins; risk_diff takes the near-zero "+ 0.0" (−0.0 vs
     // +0.0 cross-engine, the r15 wave-B lesson).
+    // AMS join-size estimate (r16; Alon-Matias-Szegedy 1996 §3) — the
+    // INNER-PRODUCT use of the q_agg_ams linear sketch, answering the
+    // question a join planner asks before shuffling two corpus-sized
+    // streams: how big is views ⋈ clicks on user_id
+    // (= Σᵤ views(u)·clicks(u), the per-user interaction mass)? The
+    // sketch reads it from 8 longs per side (E[zᵃᵢ·zᵇᵢ] = the join
+    // size exactly); the exact audit pays the two collapses + join
+    // the sketch exists to avoid — kept because the certificate is
+    // the contract (the q_agg_ams discipline; engine scaladoc at
+    // Aggregates.amsJoinOn).
+    "q_event_amsjoin" -> ((s, d) => {
+      def keysOf(tp: String) = T.events(s, d)
+        .filter(col("event_type") === tp)
+        .select(col("user_id").as("k"))
+      graft.queries.Aggregates.amsJoinOn(keysOf("view"), keysOf("click"))
+    }),
+
     "q_event_oddsratio" -> ((s, d) => {
       val ud = T.events(s, d)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
@@ -3078,6 +3095,35 @@ object EventOps {
               / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
               AS share
           FROM g ORDER BY event_type, digit""",
+    // The identical two 8-sign sketches + exact-integer product mean;
+    // exact Σ cₐ·c_b audit; one guarded double ratio.
+    "q_event_amsjoin" -> {
+      def zCols(p: String) = (0 until 8).map { i =>
+        s"SUM(CASE WHEN ${graft.Det.sqlMd5h32(s"'$i#' || CAST(user_id AS VARCHAR)")} % 2 = 0 THEN 1 ELSE -1 END) AS $p$i"
+      }.mkString(",\n              ")
+      val prods = (0 until 8).map(i => s"a$i * b$i").mkString(" + ")
+      s"""WITH za AS (
+            SELECT ${zCols("a")}
+            FROM $evt WHERE event_type = 'view'),
+          zb AS (
+            SELECT ${zCols("b")}
+            FROM $evt WHERE event_type = 'click'),
+          est AS (
+            SELECT ($prods) // 8 AS join_est FROM za CROSS JOIN zb),
+          ca AS (SELECT user_id, COUNT(*) AS ca FROM $evt
+                 WHERE event_type = 'view' GROUP BY 1),
+          cb AS (SELECT user_id, COUNT(*) AS cb FROM $evt
+                 WHERE event_type = 'click' GROUP BY 1),
+          ex AS (
+            SELECT COALESCE(SUM(ca.ca * cb.cb), 0) AS join_exact
+            FROM ca JOIN cb ON ca.user_id = cb.user_id)
+          SELECT CAST(join_exact AS BIGINT) AS join_exact,
+            CAST(join_est AS BIGINT) AS join_est,
+            CASE WHEN join_exact > 0 THEN
+              ROUND(CAST(join_est AS DOUBLE) / CAST(join_exact AS DOUBLE), 6)
+            END AS est_ratio
+          FROM ex CROSS JOIN est"""
+    },
     // Exact-integer cells off the (user, day) collapse; ratios are the
     // identical double chains (cross-products in the double domain);
     // risk_diff takes the near-zero + 0.0 on both engines.

@@ -190,6 +190,38 @@ class TriangleKmvSuite extends SparkSuite {
       s"estimate $gotEst implausibly far from $exact")
   }
 
+  test("AMS inner product: single shared key is estimated EXACTLY (matched signs square out)") {
+    val out = graft.queries.Aggregates.amsJoinOn(
+        Seq.fill(13)(5L).toDF("k"), Seq.fill(7)(5L).toDF("k"))
+      .collect().head
+    assert(out.getLong(0) === 91L) // 13·7
+    assert(out.getLong(1) === 91L, "same key ⇒ every zᵃᵢ·zᵇᵢ = 13·7 exactly")
+    assert(out.getDouble(2) === 1.0)
+  }
+
+  test("AMS inner product: disjoint key sets audit to join_exact 0 with a NULL ratio; JVM mirror holds") {
+    val a = (1 to 300).flatMap(i => Seq.fill(1 + i % 3)(i.toLong))
+    val b = (250 to 500).map(_.toLong)
+    val out = graft.queries.Aggregates.amsJoinOn(a.toDF("k"), b.toDF("k"))
+      .collect().head
+    val exact = {
+      val ca = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // keys is a Set — map on it would DEDUPE equal products
+      ca.keys.toSeq.filter(cb.contains).map(k => ca(k) * cb(k)).sum
+    }
+    def zs(keys: Seq[Long]) = (0 until 8).map { i =>
+      keys.map(k => if (Det.jvmMd5h32(s"$i#$k") % 2 == 0) 1L else -1L).sum
+    }
+    val expEst = zs(a).zip(zs(b)).map { case (x, y) => x * y }.sum / 8
+    assert(out.getLong(0) === exact)
+    assert(out.getLong(1) === expEst, "engine sketch != JVM mirror")
+    val disj = graft.queries.Aggregates.amsJoinOn(
+        Seq(1L, 2L).toDF("k"), Seq(9L, 9L).toDF("k")).collect().head
+    assert(disj.getLong(0) === 0L && disj.isNullAt(2),
+      "empty join must audit 0 with a structural NULL ratio")
+  }
+
   test("AMS linearity: the sketch of a union is the sum of the sketches (mergeability)") {
     val a = (1 to 200).map(_.toLong)
     val b = (100 to 400).map(_.toLong)
