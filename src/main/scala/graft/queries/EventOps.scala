@@ -1372,6 +1372,26 @@ object EventOps {
     // deterministic, overflow is not), 6dp once; structural NULL guards
     // on empty margins; risk_diff takes the near-zero "+ 0.0" (−0.0 vs
     // +0.0 cross-engine, the r15 wave-B lesson).
+    // User-activity concentration Gini (r16) — "is engagement earned
+    // or bot-shaped?": the exact weighted Gini of the per-user
+    // event-count distribution per event type (0 = every user equally
+    // active, →1 = a few accounts own the type's volume) — the
+    // single-number summary over the q_event_powerlaw histogram,
+    // through the SAME giniCellsOn engine as revenue (q_agg_gini) and
+    // degrees (q_graph_deggini) — the facade-reuse discipline.
+    // Everything after the (type, user) collapse is ∝ distinct
+    // per-user counts.
+    "q_event_usergini" -> ((s, d) =>
+      graft.queries.Aggregates.giniCellsOn(
+        T.events(s, d)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type").as("g"), col("n").as("c"))
+          .agg(count(lit(1)).as("w")))
+        .select(col("g").as("event_type"), col("n").as("n_users"),
+          col("gini").as("activity_gini"))
+        .orderBy(col("event_type"))),
+
     // AMS join-size estimate (r16; Alon-Matias-Szegedy 1996 §3) — the
     // INNER-PRODUCT use of the q_agg_ams linear sketch, answering the
     // question a join planner asks before shuffling two corpus-sized
@@ -3095,6 +3115,33 @@ object EventOps {
               / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
               AS share
           FROM g ORDER BY event_type, digit""",
+    // Per-user count cells through the same cumulative-mass Gini SQL
+    // shape as q_agg_gini / q_graph_deggini.
+    "q_event_usergini" ->
+      s"""WITH un AS (
+            SELECT event_type, user_id, COUNT(*) AS n
+            FROM $evt GROUP BY 1, 2),
+          vc AS (SELECT event_type AS g, n AS c, COUNT(*) AS w
+                 FROM un GROUP BY 1, 2),
+          cum AS (
+            SELECT g, c, w,
+              SUM(CAST(w * c AS HUGEINT)) OVER (PARTITION BY g
+                ORDER BY c ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum
+            FROM vc),
+          t AS (
+            SELECT g,
+              SUM(CAST(w AS HUGEINT)
+                  * (s_cum + s_cum - CAST(w * c AS HUGEINT))) AS x,
+              SUM(CAST(w * c AS HUGEINT)) AS s_tot,
+              SUM(w) AS w_tot
+            FROM cum GROUP BY g)
+          SELECT g AS event_type, CAST(w_tot AS BIGINT) AS n_users,
+            CASE WHEN s_tot > 0 THEN
+              ROUND(1.0 - CAST(x AS DOUBLE)
+                / CAST(CAST(w_tot AS HUGEINT) * s_tot AS DOUBLE), 6)
+            END AS activity_gini
+          FROM t ORDER BY event_type""",
     // The identical two 8-sign sketches + exact-integer product mean;
     // exact Σ cₐ·c_b audit; one guarded double ratio.
     "q_event_amsjoin" -> {

@@ -1613,6 +1613,69 @@ object LlmOps {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // Source-level MinHash similarity matrix (r16) — cross-source
+    // near-dup mass at SKETCH cost, the q_llm_xsrcdup complement
+    // (xsrcdup counts exact 32-char prefix collisions; this estimates
+    // whole-shingle-set Jaccard between sources from 64 longs per
+    // source). The load-bearing identity: a source's signature over
+    // the UNION of its docs' shingle sets is the per-hash MIN of its
+    // docs' signatures (min over a union = min of minima) — so the
+    // per-source sketch folds off the SAME per-doc signature table
+    // q_llm_minhash builds, one bounded agg, no second shingle pass;
+    // at 100 TB the source sketch is |sources|×64 longs however big
+    // the corpus. est_sim = matching positions ∕ 64; the exact
+    // Jaccard audit (distinct (source, shingle) collapse; inter via
+    // shingle equi-join with ≤ |sources|² fan-out per shingle) is
+    // kept because the certificate is the contract. The pair
+    // enumeration is a nested loop over the BOUNDED source domain
+    // (|sources| rows — a domain constant, never corpus-scaled) —
+    // sanctioned like the 1-row normalizer crossJoins.
+    "q_llm_srcsim" -> ((s, d) => {
+      graft.functions.MinHashSig.register(s, hashA.toSeq, hashB.toSeq, HashP)
+      val docs = T.documents(s, d)
+      val sig = minhashSig(docs, "native")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val ssig = graft.Graft.eager(sig.groupBy(col("source"))
+        .agg(min(col("m0")).as("m0"),
+          (1 until NumHashes).map(i => min(col(s"m$i")).as(s"m$i")): _*))
+      val matches = (0 until NumHashes)
+        .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = ssig
+        .select(col("source").as("source_a") +:
+          (0 until NumHashes).map(i => col(s"m$i").as(s"am$i")): _*)
+        .join(broadcast(ssig
+            .select(col("source").as("source_b") +:
+              (0 until NumHashes).map(i => col(s"m$i").as(s"bm$i")): _*)),
+          col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          (matches.cast("double") / lit(NumHashes.toDouble)).as("est_sim"))
+      val ss = graft.Graft.eager(docs
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 3)
+        .select(col("source"), explode(shinglesCol(col("tk"))).as("sh"))
+        .distinct())
+      val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("nsz"))
+      val inter = ss
+        .join(ss.select(col("source").as("sb"), col("sh").as("sh2")),
+          col("sh") === col("sh2") && col("source") < col("sb"))
+        .groupBy(col("source").as("ia"), col("sb").as("ib"))
+        .agg(count(lit(1)).as("n_inter"))
+      est
+        .join(inter, col("source_a") === col("ia")
+          && col("source_b") === col("ib"), "left")
+        .join(sz.select(col("source").as("source_a"), col("nsz").as("n_a")),
+          Seq("source_a"))
+        .join(sz.select(col("source").as("source_b"), col("nsz").as("n_b")),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("est_sim"),
+          round(coalesce(col("n_inter"), lit(0L)).cast("double")
+            / (col("n_a") + col("n_b")
+              - coalesce(col("n_inter"), lit(0L))).cast("double"), 6)
+            .as("exact_jacc"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // 16-bit SimHash signature per doc from md5-derived token hashes:
     // bit b of the signature = majority vote of bit b over distinct tokens.
     "q_llm_simhash" -> ((s, d) =>
@@ -2350,6 +2413,58 @@ object LlmOps {
             FROM cand JOIN sig sa ON doc_a = sa.doc_id
                       JOIN sig sb ON doc_b = sb.doc_id) z
           WHERE est_sim >= $MinHashEstSim ORDER BY doc_a, doc_b"""
+    },
+    // Per-source signature = per-hash MIN over the per-doc signature
+    // table (min over a union = min of minima); bounded-domain pair
+    // nested loop; the identical exact shingle-set audit.
+    "q_llm_srcsim" -> {
+      val mins = (0 until NumHashes).map(i =>
+        s"MIN((${hashA(i)} * x + ${hashB(i)}) % $HashP) AS m$i")
+        .mkString(",\n              ")
+      val smins = (0 until NumHashes).map(i => s"MIN(m$i) AS m$i")
+        .mkString(",\n              ")
+      val matches = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+            SELECT doc_id,
+              ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x
+            FROM (SELECT doc_id, UNNEST($shingleSql) AS tok
+                  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $doc
+                        WHERE len(string_split(text, ' ')) >= 3) t) u),
+          sig AS (
+            SELECT doc_id,
+              $mins
+            FROM toks GROUP BY doc_id),
+          ssig AS (
+            SELECT d.source,
+              $smins
+            FROM sig JOIN $doc d ON sig.doc_id = d.doc_id
+            GROUP BY d.source),
+          est AS (
+            SELECT sa.source AS source_a, sb.source AS source_b,
+              ($matches) / $NumHashes AS est_sim
+            FROM ssig sa JOIN ssig sb ON sa.source < sb.source),
+          sh AS (
+            SELECT DISTINCT source, tok
+            FROM (SELECT source, UNNEST($shingleSql) AS tok
+                  FROM (SELECT source, string_split(text, ' ') AS tk FROM $doc
+                        WHERE len(string_split(text, ' ')) >= 3) t) u),
+          sz AS (SELECT source, COUNT(*) AS nsz FROM sh GROUP BY source),
+          inter AS (
+            SELECT a.source AS ia, b.source AS ib, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.tok = b.tok AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT est.source_a, est.source_b, est.est_sim,
+            ROUND(CAST(COALESCE(n_inter, 0) AS DOUBLE)
+              / CAST(za.nsz + zb.nsz - COALESCE(n_inter, 0) AS DOUBLE), 6)
+              AS exact_jacc
+          FROM est
+          LEFT JOIN inter ON est.source_a = inter.ia
+            AND est.source_b = inter.ib
+          JOIN sz za ON est.source_a = za.source
+          JOIN sz zb ON est.source_b = zb.source
+          ORDER BY source_a, source_b"""
     },
     // Confusion audit: the SAME generated signature/band/candidate
     // pipeline (no est threshold), plus exact shingle-set Jaccard per
