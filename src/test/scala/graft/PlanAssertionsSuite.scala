@@ -99,7 +99,10 @@ class PlanAssertionsSuite extends SparkSuite {
       // r15 single-row statistics: global aggregates (× 1-row
       // broadcasts) end to end — order vacuous
       "q_agg_jackknife", "q_event_cuped", "q_event_mannkendall",
-      "q_event_oddsratio", "q_event_runstest", "q_graph_triangle")
+      "q_event_oddsratio", "q_event_runstest", "q_graph_triangle",
+      // r16 sketch certificates: global agg × 1-row broadcast sketch —
+      // single row by construction
+      "q_agg_ams", "q_event_amsjoin")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !singleRow(name) =>
         val r = if (ordered(fn(spark, sf).queryExecution.analyzed)) None
