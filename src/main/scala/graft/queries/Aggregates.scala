@@ -1120,13 +1120,17 @@ object Aggregates {
       val sums = (0 until AmsRows).map(i => sum(sign(i)).as(s"$p$i"))
       keys.agg(sums.head, sums.tail: _*)
     }
-    val prods = (0 until AmsRows).map(i => s"a$i * b$i").mkString(" + ")
+    // decimal-exact products — the amsOn overflow discipline
+    val dec = "decimal(38,0)"
+    val prods = (0 until AmsRows)
+      .map(i => s"cast(a$i as $dec) * b$i").mkString(" + ")
     val est = sketch(keysA, "a").crossJoin(broadcast(sketch(keysB, "b")))
-      .select(expr(s"($prods) div $AmsRows").as("join_est"))
+      .select(expr(s"cast(($prods) div $AmsRows as bigint)").as("join_est"))
     val ca = keysA.groupBy(col("k")).agg(count(lit(1)).as("ca"))
     val cb = keysB.groupBy(col("k").as("k2")).agg(count(lit(1)).as("cb"))
     val ex = ca.join(cb, col("k") === col("k2"))
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("join_exact"))
+      .agg(coalesce(sum(col("ca").cast(dec) * col("cb")).cast("long"),
+        lit(0L)).as("join_exact"))
     ex.crossJoin(broadcast(est))
       .select(col("join_exact"), col("join_est"),
         when(col("join_exact") > 0,
@@ -1141,12 +1145,18 @@ object Aggregates {
     def sign(i: Int): Column =
       when(Det.md5h32(concat_ws("#", lit(i.toString),
         col("k").cast("string"))) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    // squares and the exact audit run in DECIMAL(38,0): a hot key's
+    // c² (or a 10¹²-row z²) silently wraps a long at 100× — the §7.4
+    // exact-sum discipline; outputs stay BIGINT (the graded domain)
+    val dec = "decimal(38,0)"
     val sums = (0 until AmsRows).map(i => sum(sign(i)).as(s"z$i"))
     val z = keys.agg(sums.head, sums.tail: _*)
-    val sq = (0 until AmsRows).map(i => s"z$i * z$i").mkString(" + ")
-    val est = z.select(expr(s"($sq) div $AmsRows").as("f2_est"))
+    val sq = (0 until AmsRows)
+      .map(i => s"cast(z$i as $dec) * z$i").mkString(" + ")
+    val est = z.select(
+      expr(s"cast(($sq) div $AmsRows as bigint)").as("f2_est"))
     val ex = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * col("c")).as("f2_exact"))
+      .agg(sum(col("c").cast(dec) * col("c")).cast("long").as("f2_exact"))
     ex.crossJoin(broadcast(est))
       .select(col("f2_exact"), col("f2_est"),
         when(col("f2_exact") > 0,

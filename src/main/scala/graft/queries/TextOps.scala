@@ -620,10 +620,13 @@ object TextOps {
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
     val vm = wc.groupBy(col("source"), col("c").as("m"))
       .agg(count(lit(1)).as("v"))
+    // m²·v in DECIMAL(38,0): a 10⁹-count stopword's cube wraps a long
+    // at 100× (the §7.4 exact-sum discipline); outputs stay BIGINT
+    val dec = "decimal(38,0)"
     vm.groupBy(col("source"))
-      .agg(sum(col("m") * col("v")).as("n_tokens"),
+      .agg(sum(col("m").cast(dec) * col("v")).cast("long").as("n_tokens"),
         sum(col("v")).as("n_types"),
-        sum(col("m") * col("m") * col("v")).as("s2"))
+        sum(col("m").cast(dec) * col("m") * col("v")).as("s2"))
       .select(col("source"), col("n_tokens"), col("n_types"),
         round(lit(1e4) * (col("s2").cast("double")
             - col("n_tokens").cast("double"))
