@@ -38,7 +38,10 @@ class CacheHygieneSuite extends SparkSuite {
       // r15-16 persist users (now EAGER per Graft.eager — the sweep
       // contract is unchanged: persist in the builder, runner clears)
       "q_graph_hits", "q_graph_triangle", "q_graph_trusspeel",
-      "q_agg_kendall", "q_agg_spearman", "q_agg_hodgeslehmann")
+      "q_agg_kendall", "q_agg_spearman", "q_agg_hodgeslehmann",
+      // r16 wave 2 (annrecall's eager truth table; bfs's per-round
+      // distance caches; srcsim's signature + shingle-set tables)
+      "q_llm_annrecall", "q_graph_bfs", "q_llm_srcsim")
     persistUsers.foreach { name =>
       spark.catalog.clearCache() // clean slate regardless of suite order
       // EARLIER suites may have left locally-checkpointed RDDs that only
