@@ -43,11 +43,46 @@ object LocalSession {
     // §7.4.12-sanctioned BOUNDED unpartitioned window (calendar/cell-
     // sized frames, provably aggregate-scale — the scaladocs at each
     // site carry the bound). The repeats eat the 2000-char tail budget
-    // the one-line bench JSON must survive in (r15 verdict item 4), so
-    // that single logger is raised to ERROR; all other WARNs stay.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
+    // the one-line bench JSON must survive in (r15 verdict item 4).
+    // A message-matched DENY filter drops ONLY that line; every other
+    // WARN from window execution (e.g. spill warnings) still flows —
+    // r16 ADVICE: raising the whole logger to ERROR muted those too.
+    muteWindowNoPartitionWarn()
     spark
+  }
+
+  /** Attach a log4j2 filter to the WindowExec logger that DENIES the
+    * known-benign "No Partition Defined" repeat and passes everything
+    * else NEUTRAL. Idempotent (the logger config is created once and
+    * re-filtering it is harmless). */
+  private def muteWindowNoPartitionWarn(): Unit = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.AbstractFilter
+    val name = "org.apache.spark.sql.execution.window"
+    LogManager.getContext(false) match {
+      case ctx: LoggerContext =>
+        val cfg = ctx.getConfiguration
+        val lc = cfg.getLoggerConfig(name) match {
+          case exact if exact.getName == name => exact
+          case parent =>
+            // no config node for this logger yet — create an additive
+            // one at the parent's level so appenders/level still
+            // inherit and ONLY the filter below is added behavior
+            val fresh = new LoggerConfig(name, parent.getLevel, true)
+            cfg.addLogger(name, fresh)
+            fresh
+        }
+        lc.addFilter(new AbstractFilter() {
+          override def filter(event: LogEvent): Filter.Result =
+            if (event.getMessage.getFormattedMessage
+                  .contains("No Partition Defined")) Filter.Result.DENY
+            else Filter.Result.NEUTRAL
+        })
+        ctx.updateLoggers()
+      case _ => // non-core log4j context (shouldn't happen on Spark's
+        // bundled log4j2): leave logging untouched rather than mute
+    }
   }
 }

@@ -25,11 +25,14 @@ import org.apache.spark.sql.functions._
   * settled distance), so it is taken while the oracle runs the full
   * unroll. All-integer.
   *
-  * Scale shape: per round ONE node-sized equi-join against the
-  * persisted edge list + a map-side-combining min-aggregate (shuffle ∝
-  * reached nodes, never edges² — the frontier is implicit in the
-  * relaxation, which costs one pass over edges incident to reached
-  * nodes). The distance table persists EAGERLY each round
+  * Scale shape: per round ONE equi-join of the persisted edge list
+  * against the node-sized distance table + a map-side-combining
+  * min-aggregate — shuffle ∝ EDGES per round (the standard synchronous
+  * Pregel cost, and exactly what ScaleRehearsal measured: shuffle
+  * linear in edges, never edges²; when AQE broadcasts the distance
+  * table the edge side stays in place and the shuffle drops to the
+  * aggregate's node-sized exchange). The distance table persists
+  * EAGERLY each round
   * (Graft.eager's discipline: the next round reads it through BOTH the
   * join and the union — a lazy persist races under concurrent AQE
   * stages) and the superseded round unpersists one round later — O(1)
@@ -46,7 +49,12 @@ object Bfs {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val e = edges.select(col("src"), col("dst")).persist()
     e.count() // eager: the seed aggregate + every round's join read it
+    // On an EMPTY edge frame min(src) yields one NULL row — filter it
+    // so hops() returns an empty histogram instead of a spurious
+    // (dist=0, n_nodes=1) seed for a nonexistent node (the public
+    // Graft.bfsHops facade exposes this path to arbitrary input).
     var dist: DataFrame = e.agg(min(col("src")).as("node"))
+      .where(col("node").isNotNull)
       .select(col("node"), lit(0L).as("d"))
     var prev: DataFrame = null
     var nReached = 1L

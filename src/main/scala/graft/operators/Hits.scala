@@ -70,6 +70,12 @@ object Hits {
     val deep = iterations > DeepIters
     val edges = edges0.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).persist()
+    // eager (Graft.eager's discipline): the first job fans edges into
+    // THREE independent subtrees (srcs distinct, the nSrc aggregate,
+    // and the first half-step join) — a lazy persist races under
+    // concurrent AQE stages, the exact r15 defect this file fixes for
+    // the half-steps.
+    edges.count()
     val srcs = edges.select(col("src")).distinct()
     val nSrc = srcs.agg(count(lit(1)).cast("double").as("n"))
     var h: DataFrame = srcs.crossJoin(nSrc)

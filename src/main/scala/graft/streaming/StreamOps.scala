@@ -572,7 +572,15 @@ object StreamOps {
             n += 1
           }
           state.update(AmsMonState(z.toSeq, n))
-          Iterator.single(AmsMonOut(tp, n, z.map(v => v * v).sum / rows))
+          // square into BigInt before the mean — z_i can reach n per
+          // event type, so z_i² wraps a Long past |z_i| ≈ 3.04e9; the
+          // batch engine (Aggregates.amsOn) accumulates the squares in
+          // DECIMAL(38,0) for exactly this reason and this monitor
+          // advertises an always-on lifetime where such counts are
+          // plausible. The final narrowing mirrors the batch's
+          // `cast(... as bigint)` readout contract.
+          val f2 = z.map(v => BigInt(v) * BigInt(v)).sum / rows
+          Iterator.single(AmsMonOut(tp, n, f2.toLong))
       }
   }
 

@@ -61,6 +61,11 @@ class KCoreSuite extends SparkSuite {
       s"rounds-cap semantics drifted: $capped")
   }
 
+  test("BFS: empty edge frame yields an empty histogram, not a NULL-seed (dist=0, n_nodes=1) row (r17, ADVICE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(operators.Bfs.hops(empty, 6).count() === 0L)
+  }
+
   test("BFS: early exit is result-identical — extra rounds past full reach change nothing") {
     val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
     val r3 = operators.Bfs.hops(g, 3).as[(Long, Long)].collect().toSeq
