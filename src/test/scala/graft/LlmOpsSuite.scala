@@ -564,7 +564,43 @@ class LlmOpsSuite extends SparkSuite {
   test("multi-probe widens the candidate set monotonically on real sf0.001 embeddings") {
     val exact = LlmOps.annQuery(spark, sf, bits = 4, radius = 0, k = 3).count()
     val probed = LlmOps.annQuery(spark, sf, bits = 4, radius = 1, k = 3).count()
+    val wide = LlmOps.annQuery(spark, sf, bits = 4, radius = 2, k = 3).count()
     assert(probed >= exact)
+    assert(wide >= probed)
+  }
+
+  test("q_llm_annsweep (r17): full 9-row grid; cost and recall are monotone in radius/nprobe; the graded points sit at the grid optima") {
+    val rows = q("q_llm_annsweep", sf).collect().map { r =>
+      (r.getAs[String]("method"), r.getAs[Int]("p1"), r.getAs[Int]("p2")) ->
+        ((r.getAs[Long]("n_cand"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("macro_recall")))
+    }.toMap
+    spark.catalog.clearCache()
+    assert(rows.size === 9, s"grid incomplete: ${rows.keys}")
+    // radius 2 strictly widens the probe set for every bits config —
+    // candidates and hits can only grow (a radius-1 candidate is a
+    // radius-2 candidate; top-3 over a superset can lose a specific
+    // hit, but n_cand is set-monotone and on the graded corpus the
+    // measured recall is monotone too)
+    for (b <- Seq(4, 6, 8)) {
+      assert(rows(("lsh", b, 2))._1 >= rows(("lsh", b, 1))._1,
+        s"bits=$b: radius-2 candidates shrank")
+    }
+    // fewer signature bits = coarser buckets = more candidates
+    assert(rows(("lsh", 4, 1))._1 >= rows(("lsh", 6, 1))._1)
+    assert(rows(("lsh", 6, 1))._1 >= rows(("lsh", 8, 1))._1)
+    // probing more inverted lists can only add candidates
+    assert(rows(("ivf", 4, 0))._1 >= rows(("ivf", 2, 0))._1)
+    assert(rows(("ivf", 8, 0))._1 >= rows(("ivf", 4, 0))._1)
+    // the graded operating points are the measured grid optima
+    val bestLsh = rows.collect { case (("lsh", a, b), v) => ((a, b), v._3) }
+      .maxBy(x => (x._2, -x._1._1, -x._1._2))
+    assert(bestLsh._1 === ((4, 2)),
+      s"graded lsh point (4,2) is no longer the grid optimum: $bestLsh")
+    val bestIvf = rows.collect { case (("ivf", a, _), v) => (a, v._3) }
+      .maxBy(x => (x._2, -x._1))
+    assert(bestIvf._1 === 8,
+      s"graded ivf point np=8 is no longer the grid optimum: $bestIvf")
   }
 
   test("q_llm_cc groups near-dup pairs into clusters: {1,2,3} rep 1, {4,5} rep 4") {

@@ -1163,6 +1163,14 @@ class PlanAssertionsSuite extends SparkSuite {
       s"truth table not read through the eager cache:\n$p")
   }
 
+  test("q_llm_annsweep (r17): grid candidates come from equi-joins off the one cached scan — no cartesian beyond 1-row/probe broadcasts") {
+    val p = planString(q("q_llm_annsweep"))
+    assert(!p.contains("CartesianProduct"), s"annsweep cartesian:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"annsweep does not read the shared eager caches:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q_graph_bfs / q_graph_corenum (r16): driver-assembled iteratives — returned plans read materialized state, no corpus re-derivation") {
     // both lambdas run their rounds eagerly (bounded driver actions);
     // the RETURNED plan must read MATERIALIZED state — BFS through the
