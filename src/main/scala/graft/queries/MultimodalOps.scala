@@ -72,6 +72,78 @@ object MultimodalOps {
       .orderBy(col("kind_stub"))
   }
 
+  /** q_mm_cdc: rolling-hash window, boundary modulus, and the
+    * polynomial base (engine-portable integer arithmetic — the
+    * md5-for-rand discipline: no float, no engine RNG). A cut lands
+    * after byte i when the base-31 polynomial of the w=8 bytes ending
+    * at i is ≡ 0 (mod 61) — expected chunk ≈ 61 B against the corpus's
+    * ~300 B payloads (measured ~5 cuts/doc at sf0.01). */
+  private[graft] val CdcWindow = 8
+  private[graft] val CdcMod = 61
+  private[graft] val CdcBase = 31
+
+  /** q_mm_cdc's engine over any frame with a binary `payload` column —
+    * content-defined chunking dedup (the rolling-hash sibling of
+    * [[chunkDedupOn]]'s fixed 16-byte blocks): chunk boundaries cut
+    * where a position-local window hash hits 0 mod [[CdcMod]], so an
+    * INSERTION only reshapes chunks up to the first boundary past the
+    * edit — the shifted copy's remaining chunks realign and dedup,
+    * which fixed blocks structurally miss (every block after the
+    * insertion shifts; planted fixture pinned in MultimodalSuite).
+    *
+    * Semantics: boundary positions are PURE per-position functions
+    * (hash of the w bytes ending at i — no sequential state, no
+    * min/max chunk clamp), so the cut set is order-free and the oracle
+    * mirrors it verbatim; a cut at exactly n is a no-op (the chunk
+    * ends at n regardless — excluded on both engines); docs shorter
+    * than w form one whole-doc chunk (CDC degrades to exact dedup).
+    * All-integer: byte·31^j sums peak at 8·255·31⁷ ≈ 5.6e13 — BIGINT.
+    *
+    * Scale shape: the cut scan is a pure per-row map (O(w) byte reads
+    * per position — work ∝ bytes, the honest CDC cost, zero shuffle);
+    * the chunk explode is ∝ bytes∕avg_chunk; then the dedupstats
+    * two-stacked-hash-agg shape — shuffle ∝ DISTINCT chunks (viral
+    * chunks combine map-side), then ∝ kinds. */
+  private[graft] def cdcDedupOn(docs: DataFrame): DataFrame = {
+    val p = col("payload")
+    val terms = (0 until CdcWindow).map(j =>
+      s"CAST(conv(hex(substring(payload, i - $j, 1)), 16, 10) AS BIGINT)" +
+        s" * ${BigInt(CdcBase).pow(j)}").mkString(" + ")
+    docs
+      .filter(length(p) >= 1)
+      .select(
+        when(byteVal(p, 1) % 3 === 0, "image")
+          .when(byteVal(p, 1) % 3 === 1, "audio")
+          .otherwise("video").as("kind_stub"),
+        col("payload"))
+      // sequence(w, max(n, w)) never descends; i < n drops the no-op
+      // cut at n; short docs filter to zero cuts = one whole-doc chunk
+      .withColumn("cuts", expr(
+        s"""filter(sequence(CAST($CdcWindow AS BIGINT),
+              greatest(CAST(length(payload) AS BIGINT),
+                       CAST($CdcWindow AS BIGINT))),
+            i -> i < length(payload) AND ($terms) % $CdcMod = 0)"""))
+      .withColumn("bounds", expr(
+        """concat(array(CAST(0 AS BIGINT)), cuts,
+             array(CAST(length(payload) AS BIGINT)))"""))
+      .select(col("kind_stub"), explode(expr(
+        """transform(sequence(2, size(bounds)), k ->
+             substring(payload,
+               CAST(element_at(bounds, k - 1) + 1 AS INT),
+               CAST(element_at(bounds, k) - element_at(bounds, k - 1)
+                    AS INT)))""")).as("chunk"))
+      .select(col("kind_stub"), md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("nb"))
+      .groupBy(col("kind_stub"), col("h"))
+      .agg(count(lit(1)).as("copies"), max(col("nb")).as("nb"))
+      .groupBy(col("kind_stub"))
+      .agg(sum(col("copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("copies") - 1).as("n_dups"),
+        sum((col("copies") - 1) * col("nb")).as("bytes_dedupable"))
+      .orderBy(col("kind_stub"))
+  }
+
   /** The (kind_stub, byte_val, cnt) first-16-bytes histogram shared by
     * q_mm_bytehist (raw rows) and q_mm_diversity (its langmix tail). */
   private def byteHistOn(s: SparkSession, d: String): DataFrame =
@@ -191,6 +263,20 @@ object MultimodalOps {
     // sequence(0,−1) would DESCEND).
     "q_mm_chunkdup" -> ((s, d) =>
       chunkDedupOn(T.documents(s, d).withColumn("payload",
+        col("text").cast("binary")))),
+
+    // Content-defined chunking dedup audit (r17) — the rolling-hash
+    // sibling of q_mm_chunkdup's fixed 16-byte blocks: boundaries cut
+    // where the base-31 hash of the 8 bytes ending at a position hits
+    // 0 mod 61, so an insertion-shifted copy realigns and dedups past
+    // the first post-edit boundary — the case fixed blocks
+    // structurally miss (planted shifted-copy fixture pinned in
+    // MultimodalSuite: CDC dedups it, fixed blocks don't). Semantics,
+    // determinism (pure per-position integer hash — no sequential
+    // state, no float) and the ∝-bytes scale shape in cdcDedupOn's
+    // scaladoc; same output grain as chunkdup for side-by-side reads.
+    "q_mm_cdc" -> ((s, d) =>
+      cdcDedupOn(T.documents(s, d).withColumn("payload",
         col("text").cast("binary")))),
 
     // Stubbed decode + feature extraction: fake decoded dimensions from
@@ -405,6 +491,46 @@ object MultimodalOps {
             CAST(SUM(copies - 1) AS BIGINT) AS n_dups,
             CAST(SUM((copies - 1) * nb) AS BIGINT) AS bytes_dedupable
           FROM g GROUP BY 1 ORDER BY kind_stub""",
+    // The CDC twin: the identical base-31 window polynomial per
+    // position (list_filter over range — DuckDB's range(w, n+1) is
+    // empty when n < w, matching the engine's greatest() guard), the
+    // same bounds-concat chunk slicing, then the chunkdup rollup.
+    "q_mm_cdc" -> {
+      val terms = (0 until CdcWindow).map(j =>
+        s"CAST(('0x' || hex(substring(text, i - $j, 1)::BLOB)) AS BIGINT)" +
+          s" * ${BigInt(CdcBase).pow(j)}").mkString(" + ")
+      s"""WITH d AS (
+            SELECT text,
+              CASE WHEN ${sqlByteVal(1)} % 3 = 0 THEN 'image'
+                   WHEN ${sqlByteVal(1)} % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS kind_stub,
+              CAST(octet_length(text::BLOB) AS BIGINT) AS n
+            FROM $doc WHERE octet_length(text::BLOB) >= 1),
+          cut AS (
+            SELECT text, kind_stub, n,
+              list_filter(range($CdcWindow, n + 1),
+                i -> i < n AND ($terms) % $CdcMod = 0) AS cuts
+            FROM d),
+          bd AS (
+            SELECT kind_stub, text,
+              list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [n])
+                AS bounds
+            FROM cut),
+          ch AS (
+            SELECT kind_stub,
+              md5(substring(text, CAST(bounds[k - 1] + 1 AS INT),
+                CAST(bounds[k] - bounds[k - 1] AS INT))) AS h,
+              bounds[k] - bounds[k - 1] AS nb
+            FROM bd, UNNEST(range(2, len(bounds) + 1)) t(k)),
+          g AS (SELECT kind_stub, h, COUNT(*) AS copies, MAX(nb) AS nb
+                FROM ch GROUP BY 1, 2)
+          SELECT kind_stub,
+            CAST(SUM(copies) AS BIGINT) AS n_chunks,
+            COUNT(*) AS n_distinct,
+            CAST(SUM(copies - 1) AS BIGINT) AS n_dups,
+            CAST(SUM((copies - 1) * nb) AS BIGINT) AS bytes_dedupable
+          FROM g GROUP BY 1 ORDER BY kind_stub"""
+    },
     "q_mm_features" ->
       s"""SELECT doc_id,
             CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,

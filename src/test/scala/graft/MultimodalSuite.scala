@@ -117,4 +117,68 @@ class MultimodalSuite extends SparkSuite {
     assert(d1.width === 112 % 64 + 1)
     assert(d1.kind === "audio")
   }
+
+  /** Deterministic non-periodic printable byte stream — per-index
+    * String.hashCode avalanche (spec-fixed across JVMs), so no
+    * repeated 16-gram and the fixed-block audit sees zero duplicate
+    * blocks. (A multiplicative stepper mod 90 is NEAR-PERIODIC and
+    * planted accidental block dups — measured before this form.) */
+  private def scrambled(n: Int): String =
+    (0 until n).map(i =>
+      (33 + (math.abs(s"cdc-fixture-$i".hashCode) % 90)).toChar).mkString
+
+  test("q_mm_cdc (r17): an insertion-shifted copy dedups under CDC and NOT under fixed 16-byte blocks") {
+    val base = scrambled(600)
+    // insertion keeps the kind byte class ('Z' = 90 ≡ 0 ≡ '!' = 33
+    // mod 3 — both docs stay in the same per-kind dedup group)
+    val docs = Seq((1L, base), (2L, "ZZZ" + base))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val cdc = MultimodalOps.cdcDedupOn(docs).collect()
+    val cdcDups = cdc.map(_.getAs[Long]("n_dups")).sum
+    val cdcBytes = cdc.map(_.getAs[Long]("bytes_dedupable")).sum
+    assert(cdcDups >= 1,
+      s"CDC found no shared chunks on a shifted copy: ${cdc.mkString(";")}")
+    assert(cdcBytes > 0)
+    val fixed = MultimodalOps.chunkDedupOn(docs).collect()
+    val fixedDups = fixed.map(_.getAs[Long]("n_dups")).sum
+    assert(fixedDups === 0L,
+      s"fixed blocks unexpectedly aligned: ${fixed.mkString(";")}")
+  }
+
+  test("q_mm_cdc: docs shorter than the window form one whole-doc chunk — CDC degrades to exact dedup") {
+    val docs = Seq((1L, "abcde"), (2L, "abcde"), (3L, "vwxyz"))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    // all three share byte-1 kind ('a','a','v' — 97%3=1 audio, 118%3=1
+    // audio): one kind row with 3 chunks, 2 distinct, 1 dup of 5 bytes
+    val out = MultimodalOps.cdcDedupOn(docs).collect()
+    val tot = (out.map(_.getAs[Long]("n_chunks")).sum,
+      out.map(_.getAs[Long]("n_distinct")).sum,
+      out.map(_.getAs[Long]("n_dups")).sum,
+      out.map(_.getAs[Long]("bytes_dedupable")).sum)
+    assert(tot === ((3L, 2L, 1L, 5L)), s"got $tot: ${out.mkString(";")}")
+  }
+
+  test("q_mm_cdc: exact JVM mirror of the cut rule — engine chunk count equals the driver-side polynomial replay") {
+    // the textbook replay: 1-based cut position i (8 ≤ i < n) where
+    // Σ_{j<8} byte(i−j)·31^j ≡ 0 (mod 61); chunks = cuts + 1, and the
+    // mirror's slices reassemble to the doc by construction
+    def jvmCuts(s: String): Seq[Int] = {
+      val b = s.getBytes("UTF-8").map(_ & 0xff)
+      val n = b.length
+      (8 until n).filter { i =>
+        val h = (0 until 8).map(j => BigInt(b(i - 1 - j)) * BigInt(31).pow(j)).sum
+        h % 61 == 0
+      }
+    }
+    val texts = Seq(scrambled(600), scrambled(300).reverse, "tinydoc")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val expChunks = texts.map(t => jvmCuts(t).size + 1L).sum
+    val out = MultimodalOps.cdcDedupOn(docs).collect()
+    assert(out.map(_.getAs[Long]("n_chunks")).sum === expChunks,
+      s"engine chunking diverged from the JVM mirror: ${out.mkString(";")}")
+  }
 }
