@@ -1547,6 +1547,52 @@ object StreamOps {
         OutputMode.Append)
   }
 
+  /** The funnel tracker on transformWithState (r17, wave 2 of the
+    * successor-API ports — asofEnrichTws proved the pattern): ONE
+    * TTL'd ValueState[FunnelState] per user, the identical three-
+    * stage-timestamp state machine and within-batch (ts, stage,
+    * event_id) replay order as the [[funnel]] fMGWS twin (views before
+    * clicks before purchases at an equal timestamp — the batch `>=`
+    * contract; greedy first-match ≡ the min-based derivation in that
+    * order). The TTL is the at-scale state bound the twin lacks: a
+    * user idle past `ttl` has the state-store row itself expire, so an
+    * always-on tracker holds O(recently-active users) — post-expiry
+    * events restart the funnel from stage 0, exactly a cold user's
+    * semantics. Same one-sided per-key in-order delivery contract
+    * across batches; parity vs the twin AND the graded q_event_funnel
+    * is pinned under RocksDB in StreamingParitySuite. */
+  def funnelTws(events: Dataset[Event],
+      ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelTwsProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update)
+  }
+
+  /** The cohort-retention tracker on transformWithState (r17, wave 2):
+    * ONE TTL'd ValueState[RetState] per user — the identical two-word
+    * (cohort hour, 4-bit offset mask) COMMUTATIVE fold as the
+    * [[retention]] fMGWS twin (no delivery-order contract at all: OR
+    * and rebase commute). The TTL bounds an always-on tracker to
+    * O(recently-active users); a user whose state expired and returns
+    * REBASES as a fresh cohort at their next event — for a metric
+    * whose graded window is offsets 0..3 of the FIRST-ever hour, that
+    * is a documented semantic narrowing (ttl below the 4-offset span
+    * truncates deep-offset returns), so the parity test runs the
+    * default 24 h TTL where no graded key can expire mid-stream and
+    * the TTL unit pins the expiry behavior in isolation. */
+  def retentionTws(events: Dataset[Event],
+      ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[RetOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RetentionTwsProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update)
+  }
+
   /** Rolling 3-event decimal sum per key on the transformWithState
     * ListState primitive — the bounded-buffer shape of the new state
     * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
@@ -1628,6 +1674,87 @@ class AsofEnrichProcessor(ttl: java.time.Duration)
       }
     cur.foreach(last.update)
     out.result().iterator
+  }
+}
+
+/** [[StreamOps.funnelTws]]'s processor: ONE TTL'd
+  * ValueState[FunnelState] per user — the identical greedy three-stage
+  * machine and within-batch (ts, stage, event_id) replay order as the
+  * flatMapGroupsWithState twin; the store-enforced idle expiry
+  * restarts an expired user's funnel from stage 0 (the builder's
+  * scaladoc has the at-scale argument). */
+class FunnelTwsProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, FunnelOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[FunnelState] = _
+
+  private def stageRank(t: String): Int =
+    t match { case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3 }
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelState]("funnel",
+      Encoders.product[FunnelState], TTLConfig(ttl))
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[FunnelOut] = {
+    var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+    rows.toSeq
+      .sortBy(e => (e.ts_us, stageRank(e.event_type), e.event_id))
+      .foreach { e =>
+        e.event_type match {
+          case "view" if s.tView < 0L => s = s.copy(tView = e.ts_us)
+          case "click" if s.tClick < 0L && s.tView >= 0L
+            && e.ts_us >= s.tView => s = s.copy(tClick = e.ts_us)
+          case "purchase" if s.tPurchase < 0L && s.tClick >= 0L
+            && e.ts_us >= s.tClick => s = s.copy(tPurchase = e.ts_us)
+          case _ => ()
+        }
+      }
+    st.update(s)
+    Iterator.single(FunnelOut(user,
+      if (s.tView >= 0L) 1 else 0,
+      if (s.tClick >= 0L) 1 else 0,
+      if (s.tPurchase >= 0L) 1 else 0))
+  }
+}
+
+/** [[StreamOps.retentionTws]]'s processor: ONE TTL'd
+  * ValueState[RetState] per user — the identical commutative
+  * (cohort, mask) fold as the flatMapGroupsWithState twin (no replay
+  * sort needed: OR and rebase commute); an expired user rebases as a
+  * fresh cohort at their next event. */
+class RetentionTwsProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RetOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  private val HourUs = 3600000000L
+  @transient private var st: ValueState[RetState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[RetState]("ret",
+      Encoders.product[RetState], TTLConfig(ttl))
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[RetOut] = {
+    var s = if (st.exists()) st.get() else RetState(Long.MaxValue, 0)
+    rows.foreach { e =>
+      val h = e.ts_us - java.lang.Math.floorMod(e.ts_us, HourUs)
+      if (s.cohortUs == Long.MaxValue) s = RetState(h, 1)
+      else if (h < s.cohortUs) {
+        val shift = (s.cohortUs - h) / HourUs
+        val shifted =
+          if (shift > 3) 1 else ((s.mask << shift.toInt) & 0xF) | 1
+        s = RetState(h, shifted)
+      } else {
+        val k = (h - s.cohortUs) / HourUs
+        if (k <= 3) s = RetState(s.cohortUs, s.mask | (1 << k.toInt))
+      }
+    }
+    st.update(s)
+    Iterator.single(RetOut(user, s.cohortUs, s.mask))
   }
 }
 

@@ -2061,6 +2061,206 @@ class StreamingParitySuite extends SparkSuite {
       "TWS stream != graded q_join_asof")
   }
 
+  test("transformWithState funnel (r17): RocksDB stream == fMGWS twin == graded q_event_funnel") {
+    // Wave 2 of the successor-API ports: sf0.001 events streamed in 3
+    // ORDERED micro-batches (global (ts, stage, event_id) order implies
+    // the per-key in-order delivery the twin contracts on) through the
+    // TTL'd ValueState processor under RocksDB; the last-write-wins
+    // per-user flags must equal the fMGWS twin AND the graded query.
+    def stageRank(t: String): Int =
+      t match { case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3 }
+    val all = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts_us, stageRank(e.event_type), e.event_id))
+    val graded = graft.queries.EventOps.queries("q_event_funnel")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("s_view"), r.getAs[Int]("s_click"),
+          r.getAs[Int]("s_purchase")))).toMap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.Map.empty[Long, (Int, Int, Int)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.funnelTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[FunnelOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o =>
+            buf(o.user_id) = ((o.s_view, o.s_click, o.s_purchase)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsfunnel_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != graded) {
+        assert(System.nanoTime() < deadline,
+          s"TWS funnel never converged: ${buf.synchronized(buf.size)} " +
+            s"users vs ${graded.size}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    // and the fMGWS twin agrees on the identical input
+    val evDs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val fmgws = StreamOps.funnel(evDs).collect()
+      .map(o => o.user_id -> ((o.s_view, o.s_click, o.s_purchase))).toMap
+    spark.catalog.clearCache()
+    assert(fmgws === graded && graded.nonEmpty)
+  }
+
+  test("transformWithState funnel TTL: an idle part-way funnel expires and restarts from stage 0 (r17)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.funnelTws(ms.toDS(), java.time.Duration.ofSeconds(1))
+      .writeStream
+      .foreachBatch { (ds: Dataset[FunnelOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          buf ++= rows.map(o => (o.s_view, o.s_click, o.s_purchase))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsfunnelttl_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitRows(k: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.size) < k) {
+        assert(System.nanoTime() < deadline,
+          s"sink never reached $k rows: ${buf.synchronized(buf.toSeq)}")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      ms.addData(Seq(Event(1, min(0), 7L, "view", 1.0),
+        Event(2, min(10), 7L, "click", 1.0)))
+      awaitRows(1) // warm: (1,1,0)
+      Thread.sleep(5000) // the 1 s TTL lapses while user 7 idles
+      ms.addData(Seq(Event(3, min(20), 7L, "purchase", 1.0)))
+      awaitRows(2) // cold restart: purchase with no click is a no-op
+      ms.addData(Seq(Event(4, min(30), 7L, "view", 1.0),
+        Event(5, min(40), 7L, "click", 1.0),
+        Event(6, min(50), 7L, "purchase", 1.0)))
+      awaitRows(3) // fresh full funnel
+    } finally q.stop()
+    val rows = buf.synchronized(buf.toSeq)
+    assert(rows === Seq((1, 1, 0), (0, 0, 0), (1, 1, 1)),
+      s"TTL restart semantics drifted: $rows")
+  }
+
+  test("transformWithState retention (r17): RocksDB stream == fMGWS twin == graded q_event_retention") {
+    // The commutative fold needs NO ordering contract: arbitrary
+    // thirds streamed through the TTL'd ValueState processor under
+    // RocksDB; last-write-wins masks aggregated to (cohort, k,
+    // n_users) must equal the graded query.
+    def agg(rows: Seq[(Long, Int)]): Map[(Long, Long), Long] =
+      rows.flatMap { case (cohort, mask) =>
+        (0 to 3).filter(k => (mask & (1 << k)) != 0)
+          .map(k => (cohort, k.toLong)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val all = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val graded = graft.queries.EventOps.queries("q_event_retention")(spark, sf)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("cohort").getTime * 1000L,
+        r.getAs[Long]("k")) -> r.getAs[Long]("n_users")).toMap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, Int)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.retentionTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[RetOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o => buf(o.user_id) = ((o.cohort_us, o.mask)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsret_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (agg(buf.synchronized(buf.values.toSeq)) != graded) {
+        assert(System.nanoTime() < deadline,
+          s"TWS retention never converged to the graded cohort table")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    // and the fMGWS twin agrees on the identical input
+    val evDs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val fmgws = agg(StreamOps.retention(evDs).collect().toSeq
+      .map(o => (o.cohort_us, o.mask)))
+    spark.catalog.clearCache()
+    assert(fmgws === graded && graded.nonEmpty)
+  }
+
+  test("transformWithState retention TTL: an expired user rebases as a fresh cohort on return (r17)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.retentionTws(ms.toDS(), java.time.Duration.ofSeconds(1))
+      .writeStream
+      .foreachBatch { (ds: Dataset[RetOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { buf ++= rows.map(o => (o.cohort_us, o.mask)) }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsretttl_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitRows(k: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.size) < k) {
+        assert(System.nanoTime() < deadline,
+          s"sink never reached $k rows: ${buf.synchronized(buf.toSeq)}")
+        Thread.sleep(50)
+      }
+    }
+    val HourUs = 3600000000L
+    try {
+      ms.addData(Seq(Event(1, 0L, 7L, "view", 1.0)))
+      awaitRows(1) // cohort hour 0, mask 1
+      Thread.sleep(5000) // the 1 s TTL lapses while user 7 idles
+      ms.addData(Seq(Event(2, 2L * HourUs, 7L, "view", 1.0)))
+      awaitRows(2) // expired: rebases as a FRESH cohort at hour 2
+    } finally q.stop()
+    val rows = buf.synchronized(buf.toSeq)
+    assert(rows === Seq((0L, 1), (2L * HourUs, 1)),
+      s"without expiry this would be (0, 0b101); got $rows")
+  }
+
   test("transformWithState as-of TTL: an idle last-click expires; the purchase enriches NULL, a fresh click re-arms (r16)") {
     // The at-scale point of the TWS port: the store itself evicts a
     // dormant user's last click. A 1 s TTL + an idle wait makes the
