@@ -520,6 +520,64 @@ object ScaleRehearsal {
           s"bfs planted truth not recovered at n=$n: $out")
         n
       }
+      // q_llm_srcsim's EXACT-audit half on a planted hot-shingle
+      // corpus (r17, verdict item 5): every doc carries the shingle
+      // "hot hot hot", so it lands in ALL 20 sources and its
+      // self-join fan-out is the documented ≤ |sources|² bound (190
+      // pairs) NO MATTER how large n grows; the per-doc tail shingles
+      // are vocabulary-drawn, so the distinct (source, shingle) table
+      // grows ∝ docs and the ×10 step should be ≲ linear in time and
+      // shuffle. Truth: with every pair sharing the hot shingle, the
+      // aggregated inter table is EXACTLY C(20,2) = 190 rows, each
+      // n_inter ≥ 1.
+      if (want("srcsim_exact")) time("srcsim_exact", n) {
+        val srcDocs = spark.range(n).select(
+          col("id").as("doc_id"),
+          concat(lit("s"), pmod(col("id"), lit(20L))).as("source"),
+          concat_ws(" ",
+            (Seq(lit("hot"), lit("hot"), lit("hot")) ++
+              (1 to 6).map(j => concat(lit("w"),
+                pmod(xxhash64(col("id") * 16L + j), lit(n))))): _*)
+            .as("text"))
+        val ss = srcDocs
+          .withColumn("tk", split(col("text"), " "))
+          .select(col("source"), explode(
+            graft.queries.LlmOps.shinglesCol(col("tk"))).as("sh"))
+          .distinct().persist()
+        ss.count() // eager: both self-join sides read it
+        val inter = ss
+          .join(ss.select(col("source").as("sb"), col("sh").as("sh2")),
+            col("sh") === col("sh2") && col("source") < col("sb"))
+          .groupBy(col("source"), col("sb"))
+          .agg(count(lit(1)).as("n_inter"))
+          .collect()
+        ss.unpersist()
+        require(inter.length == 190
+            && inter.forall(_.getAs[Long]("n_inter") >= 1L),
+          s"srcsim exact-audit bound violated at n=$n: ${inter.length} pairs")
+        inter.length.toLong
+      }
+      // q_event_amsjoin's sketch vs exact on a planted uniform join
+      // (r17, verdict item 5): K = n/100 keys, 100 copies per key in
+      // A, 10 in B (B = n/10 rows) ⟹ exact join size = K·100·10 = 10n.
+      // Claims: the SKETCH side is two map-side-combining global aggs
+      // to 8 longs each — cost flat-ish, shuffle ~constant at ×10;
+      // the exact audit is hash aggs ∝ distinct keys (linear). The
+      // md5 signs are fixed ⟹ the estimate is deterministic per n;
+      // the recorded ratio band (estimator relative std ≈ 0.5 at 8
+      // rows on uniform keys) is the honest AMS variance.
+      if (want("amsjoin")) time("amsjoin", n) {
+        val k = n / 100L
+        val a = spark.range(n).select(pmod(col("id"), lit(k)).as("k"))
+        val b = spark.range(n / 10L).select(pmod(col("id"), lit(k)).as("k"))
+        val r = graft.queries.Aggregates.amsJoinOn(a, b).collect()(0)
+        require(r.getAs[Long]("join_exact") == 10L * n,
+          s"planted exact join size wrong at n=$n: $r")
+        val ratio = r.getAs[Double]("est_ratio")
+        require(ratio > 0.05 && ratio < 5.0,
+          s"AMS estimate implausible at n=$n: $r")
+        n
+      }
       // DSIR scoring (r13, same verdict item): the EXACT graded path
       // (PipelineOps.dsirOn) on the synthetic corpus with a 5-way lang
       // mix (L0 is the target). Claim: the shingle stream persists
