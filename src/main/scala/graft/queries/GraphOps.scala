@@ -467,6 +467,23 @@ object GraphOps {
       out
     }),
 
+    // Per-community conductance (r17) — the community family's
+    // PER-COMMUNITY quality number beside q_graph_modularity's global
+    // Q: φ(c) = cut(c)∕min(vol(c), vol(V∖c)) for the 10 largest
+    // labelprop communities (Q can look acceptable while one flagship
+    // community leaks half its edges; φ names it). Same labels
+    // program as q_graph_labelprop (oracle unrolls the identical
+    // rounds); semantics/determinism/scale in conductanceOn's
+    // scaladoc. On this BIPARTITE graph the labelprop side-partition
+    // communities are maximally leaky — φ ≈ 1 (every in-community
+    // edge crosses sides) — the per-community confirmation of
+    // modularity's global REJECT.
+    "q_graph_conductance" -> ((s, d) => {
+      val edges = graft.Graft.eager(copurchaseEdgesMin(s, d, CoreMinPair))
+      conductanceOn(edges,
+        graft.operators.LabelProp.run(edges, LpRounds), 10)
+    }),
+
     // Degree assortativity (r14) — Newman 2002's single-number mixing
     // summary: the Pearson correlation of (deg(src), deg(dst)) over the
     // directed edge list of the same co-purchase graph (bipartite here,
@@ -739,6 +756,60 @@ object GraphOps {
           .as("q_micro"))
       .withColumn("q_modularity",
         col("q_micro").cast("double") / lit(1000000.0))
+  }
+
+  /** q_graph_conductance's engine — per-community conductance
+    * φ(c) = cut(c) ∕ min(vol(c), vol(V∖c)) of ANY node partition over
+    * a symmetrized directed edge list: the PER-COMMUNITY quality
+    * number beside [[modularityOn]]'s global Q (a partition can score
+    * a decent Q while one flagship community leaks half its edges —
+    * φ names the leaky one). On the symmetrized list vol(c) = directed
+    * edges with src in c and cut(c) = directed edges leaving c, so φ
+    * is the standard cut∕volume ratio with both orientations of every
+    * crossing edge counted on its own side — the textbook form.
+    *
+    * Determinism: vol, cut, node counts are exact integer sums; φ is
+    * FLOOR-quantized to micros from the exact integers ((cut·10⁶) div
+    * min(vol, m2−vol), DECIMAL(38,0) — non-negative, so truncating
+    * `div` ≡ flooring `//`; the markovdrift discipline); the readable
+    * double is ONE IEEE division; NULL-guarded when min(vol, m2−vol)
+    * = 0 (the whole-graph community has no outside). Top-k by
+    * community size with the (n_nodes desc, label asc) total
+    * tiebreak.
+    *
+    * Scale shape: the same two label join-backs + community-grain
+    * hash agg as modularityOn (shuffle ∝ edges then ∝ communities), a
+    * node-count agg ∝ nodes, one 1-row total broadcast back; top-k is
+    * a TakeOrderedAndProject over community-grain rows, never a
+    * corpus sort. */
+  private[graft] def conductanceOn(edges: DataFrame, labels: DataFrame,
+                                   k: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lab = labels.select(col("node"), col("label")).persist()
+    lab.count() // eager: 2 join-backs + the node count read it (Graft.eager doc)
+    val e2 = edges.select(col("src"), col("dst"))
+      .join(lab.select(col("node").as("src"), col("label").as("la")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("lb")),
+        Seq("dst"))
+    val comm = e2.groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("vol_deg"),
+        sum(when(col("lb") =!= col("la"), 1L).otherwise(0L)).as("cut_deg"))
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    val m2 = comm.agg(sum(col("vol_deg").cast(dec)).as("m2"))
+    comm.join(sizes, Seq("label"))
+      .crossJoin(broadcast(m2))
+      .withColumn("phi_micro", when(
+        expr(s"least(cast(vol_deg as $dec), m2 - vol_deg)") > 0,
+        expr(s"""cast((cast(cut_deg as $dec) * 1000000)
+                 div least(cast(vol_deg as $dec), m2 - vol_deg)
+                 as bigint)""")))
+      .select(col("label"), col("n_nodes"), col("vol_deg"),
+        col("cut_deg"), col("phi_micro"),
+        (col("phi_micro").cast("double") / lit(1000000.0))
+          .as("conductance"))
+      .orderBy(col("n_nodes").desc, col("label").asc)
+      .limit(k)
   }
 
   /** q_graph_assort's engine over any directed (src, dst) edge list —
@@ -1116,6 +1187,58 @@ object GraphOps {
          |SELECT n_comms, m_edges, q_micro,
          |  CAST(q_micro AS DOUBLE) / 1000000.0 AS q_modularity
          |FROM qq""".stripMargin
+    },
+    // The labelprop rounds unrolled verbatim (the modularity oracle's
+    // chain), then the conductance fold: per-community exact integer
+    // (vol, cut) + node counts, HUGEINT floor division for the micros
+    // (non-negative ⟹ `//` ≡ Spark's `div`), ONE IEEE division, the
+    // (n_nodes desc, label asc) top-10.
+    "q_graph_conductance" -> {
+      def round(r: Int): String =
+        s"""c$r AS (
+           |  SELECT e.src, l.label, COUNT(*) AS cnt
+           |  FROM e0 e JOIN l${r - 1} l ON e.dst = l.node
+           |  GROUP BY 1, 2),
+           |l$r AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label,
+           |      ROW_NUMBER() OVER (PARTITION BY src
+           |        ORDER BY cnt DESC, label ASC) AS rn
+           |    FROM c$r) x WHERE rn = 1)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li GROUP BY 1, 2 HAVING COUNT(*) >= $CoreMinPair),
+         |e0 AS (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
+         |${(1 to LpRounds).map(round).mkString(",\n")},
+         |e2 AS (
+         |  SELECT la.label AS la, lb.label AS lb
+         |  FROM e0 e
+         |    JOIN l$LpRounds la ON e.src = la.node
+         |    JOIN l$LpRounds lb ON e.dst = lb.node),
+         |comm AS (
+         |  SELECT la AS label, COUNT(*) AS vol_deg,
+         |    SUM(CASE WHEN lb <> la THEN 1 ELSE 0 END) AS cut_deg
+         |  FROM e2 GROUP BY 1),
+         |sizes AS (SELECT label, COUNT(*) AS n_nodes
+         |          FROM l$LpRounds GROUP BY 1),
+         |tot AS (SELECT SUM(CAST(vol_deg AS HUGEINT)) AS m2 FROM comm)
+         |SELECT c.label, CAST(s.n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(c.vol_deg AS BIGINT) AS vol_deg,
+         |  CAST(c.cut_deg AS BIGINT) AS cut_deg,
+         |  CASE WHEN least(CAST(c.vol_deg AS HUGEINT), m2 - c.vol_deg) > 0
+         |    THEN CAST((CAST(c.cut_deg AS HUGEINT) * 1000000)
+         |      // least(CAST(c.vol_deg AS HUGEINT), m2 - c.vol_deg)
+         |      AS BIGINT) END AS phi_micro,
+         |  CAST(CASE WHEN least(CAST(c.vol_deg AS HUGEINT), m2 - c.vol_deg) > 0
+         |    THEN CAST((CAST(c.cut_deg AS HUGEINT) * 1000000)
+         |      // least(CAST(c.vol_deg AS HUGEINT), m2 - c.vol_deg)
+         |      AS BIGINT) END AS DOUBLE) / 1000000.0 AS conductance
+         |FROM comm c JOIN sizes s USING (label) CROSS JOIN tot
+         |ORDER BY n_nodes DESC, label ASC LIMIT 10""".stripMargin
     },
     // Same pairs-CTE edge derivation as degdist; HUGEINT power sums
     // (the q_event_acf chain), IEEE-exact SQRT, ROUND 6, zero-variance

@@ -133,6 +133,31 @@ class KCoreSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("conductance (r17): two-clique-bridge fixture — exact phi pin; whole-graph community ships the null guard") {
+    // same fixture as the modularity pin: K4 {1..4} — bridge — K4
+    // {5..8}; per side vol = 13 directed edges, cut = 1 (the bridge),
+    // phi = 10⁶ div min(13, 26−13) = 76923 floor-micros
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val g = sym(k4a ++ k4b ++ Seq((4L, 5L)))
+    val goodLabels = (1L to 8L).map(n => (n, if (n <= 4) 1L else 5L))
+      .toDF("node", "label")
+    val out = queries.GraphOps.conductanceOn(g, goodLabels, 10).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") === 4L)
+      assert(r.getAs[Long]("vol_deg") === 13L)
+      assert(r.getAs[Long]("cut_deg") === 1L)
+      assert(r.getAs[Long]("phi_micro") === 76923L)
+    }
+    // the whole-graph community has no outside: phi is NULL, not 0/0
+    val single = goodLabels.select(col("node"), lit(1L).as("label"))
+    val one = queries.GraphOps.conductanceOn(g, single, 10).collect()(0)
+    assert(one.getAs[Long]("cut_deg") === 0L)
+    assert(one.isNullAt(one.fieldIndex("phi_micro")))
+    spark.catalog.clearCache()
+  }
+
   test("modularity (r17): empty labeled edge set ships the null-guarded row, not a division error") {
     val g = sym(Seq((1L, 2L)))
     val noLabels = Seq.empty[(Long, Long)].toDF("node", "label")
