@@ -1321,6 +1321,59 @@ object EventOps {
     // scan read ONCE.
     "q_event_trend" -> ((s, d) => trendOn(T.events(s, d))),
 
+    // Seasonal-naive forecast error audit (r17) — the forecast-quality
+    // number beside the daily family's descriptive rows (seasonality
+    // says "day-of-week concentration exists"; this says whether the
+    // week-ago value actually PREDICTS — the first baseline every
+    // capacity-planning pipeline scores before buying a model): per
+    // type, the MAE of the lag-7 seasonal-naive forecast vs the lag-1
+    // persistence forecast over the GAP-FILLED daily series (silent
+    // days count as 0 — the fillforward calendar discipline; without
+    // it lag-7 rows would silently mean "7 active days ago"). mae7 <
+    // mae1 ⟹ weekly seasonality beats persistence. Determinism:
+    // all-integer absolute errors; MAE FLOOR-quantized to micros
+    // ((Σ|err|·10⁶) div n_scored in DECIMAL(38,0) — the markovdrift
+    // discipline; a 100×-scale day count squared into the product
+    // stays inside 38 digits). Scale: day-grain hash agg (∝ active
+    // days, map-side), per-type calendar explode (∝ span days —
+    // calendar-bounded), ONE type-hash window pass for both lags
+    // (rows ∝ days), final agg ∝ types. Types with < 8 calendar days
+    // score nothing and drop (documented).
+    "q_event_fcstnaive" -> ((s, d) => {
+      val D = 86400000000L
+      val perDay = T.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) div $D * $D").as("dus"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // 2 consumers (span + join-back); caller clearCache
+      perDay.count() // eager: fill the cache before the fan-out (Graft.eager doc)
+      val grid = perDay.groupBy(col("event_type"))
+        .agg(min(col("dus")).as("d0"), max(col("dus")).as("d1"))
+        .select(col("event_type"),
+          explode(sequence(lit(0L), expr(s"(d1 - d0) div $D"))).as("k"),
+          col("d0"))
+        .select(col("event_type"), (col("d0") + col("k") * D).as("dus"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("dus").asc)
+      val dec = "decimal(38,0)"
+      grid.join(perDay, Seq("event_type", "dus"), "left")
+        .select(col("event_type"), col("dus"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .withColumn("f7", lag(col("n"), 7).over(w))
+        .withColumn("f1", lag(col("n"), 1).over(w))
+        .filter(col("f7").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(abs(col("n") - col("f7"))).as("sae7"),
+          sum(abs(col("n") - col("f1"))).as("sae1"))
+        .select(col("event_type"), col("n_scored"), col("sae7"),
+          col("sae1"),
+          expr(s"cast((cast(sae7 as $dec) * 1000000) div n_scored as bigint)")
+            .as("mae7_micro"),
+          expr(s"cast((cast(sae1 as $dec) * 1000000) div n_scored as bigint)")
+            .as("mae1_micro"))
+        .orderBy(col("event_type"))
+    }),
+
     // Point-in-time SCD2 lookup (r14) — the feature-store join the
     // q_event_scd2 build exists to serve: each purchase takes the
     // browsing-context attribute (the SCD2 dimension compacted from
@@ -3063,6 +3116,43 @@ object EventOps {
           SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
             slope AS slope_med
           FROM r WHERE rk = (m + 1) // 2 ORDER BY event_type""",
+
+    // The identical gap-filled calendar (per-type range explode, 0 on
+    // silent days), the same one window pass for both lags, HUGEINT
+    // floor division for the micros (non-negative ⟹ `//` ≡ `div`).
+    "q_event_fcstnaive" ->
+      s"""WITH pd AS (
+            SELECT event_type,
+              epoch_us(ts) // 86400000000 * 86400000000 AS dus,
+              COUNT(*) AS n
+            FROM $evt WHERE ts IS NOT NULL GROUP BY 1, 2),
+          span AS (
+            SELECT event_type, MIN(dus) AS d0, MAX(dus) AS d1
+            FROM pd GROUP BY 1),
+          grid AS (
+            SELECT event_type,
+              d0 + UNNEST(range(0, (d1 - d0) // 86400000000 + 1))
+                * 86400000000 AS dus
+            FROM span),
+          series AS (
+            SELECT g.event_type, g.dus, COALESCE(pd.n, 0) AS n
+            FROM grid g LEFT JOIN pd
+              ON g.event_type = pd.event_type AND g.dus = pd.dus),
+          lags AS (
+            SELECT event_type, n,
+              LAG(n, 7) OVER (PARTITION BY event_type ORDER BY dus) AS f7,
+              LAG(n, 1) OVER (PARTITION BY event_type ORDER BY dus) AS f1
+            FROM series),
+          agg AS (
+            SELECT event_type, COUNT(*) AS n_scored,
+              SUM(CAST(abs(n - f7) AS HUGEINT)) AS sae7,
+              SUM(CAST(abs(n - f1) AS HUGEINT)) AS sae1
+            FROM lags WHERE f7 IS NOT NULL GROUP BY 1)
+          SELECT event_type, n_scored,
+            CAST(sae7 AS BIGINT) AS sae7, CAST(sae1 AS BIGINT) AS sae1,
+            CAST((sae7 * 1000000) // n_scored AS BIGINT) AS mae7_micro,
+            CAST((sae1 * 1000000) // n_scored AS BIGINT) AS mae1_micro
+          FROM agg ORDER BY event_type""",
 
     // INDEPENDENT derivation from the Spark side's windowed as-of: the
     // SCD2 dimension CTE (the q_event_scd2 oracle machinery over

@@ -411,6 +411,45 @@ class ScalarsTextSuite extends SparkSuite {
     assert(out("buy") === ((11L, 2L, 9L, 9L, 1L)))
   }
 
+  test("q_event_fcstnaive (r17): a planted period-7 series scores sae7 = 0 while persistence pays the full swing; silent days forecast as 0") {
+    val dir = Files.createTempDirectory("graft_fcst").toString
+    val B = 1704067200000000L
+    // per: 3 full weeks of the weekly pattern (5,1,1,1,1,1,1) — the
+    // lag-7 forecast is EXACT (sae7 = 0 over the 14 scored days);
+    // lag-1 pays |1−5| + |5−1| = 8 per week boundary crossing: scored
+    // days 7..20 contain the d=7 and d=14 spikes → per spike |5−1|
+    // (enter) + |1−5| (leave) = 8, total sae1 = 16.
+    // gap: active days 0 and 9 only (count 2 each) — the CALENDAR
+    // fill makes day 7's forecast = day 0's 2 (miss, err 2), day 9's
+    // lag-7 = silent day 2 = 0 (err 2), day 16's = day 9 (err 2):
+    // scored days 7..9, sae7 = 2+0+2... day 8 err 0 → sae7 = 4 over
+    // 3 scored days (computed by the same replay below).
+    val weekly = (0 until 21).flatMap { day =>
+      val c = if (day % 7 == 0) 5 else 1
+      (0 until c).map(j => ("per", day.toLong, j))
+    }
+    val gappy = Seq(("gap", 0L, 0), ("gap", 0L, 1), ("gap", 9L, 0),
+      ("gap", 9L, 1))
+    (weekly ++ gappy).zipWithIndex.map { case ((t, day, j), id) =>
+      (id.toLong, B + day * 86400000000L + j * 1000000L, 1L, t, 1.0)
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_event_fcstnaive")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_scored"), r.getAs[Long]("sae7"),
+          r.getAs[Long]("sae1"), r.getAs[Long]("mae7_micro")))).toMap
+    spark.catalog.clearCache()
+    assert(out("per") === ((14L, 0L, 16L, 0L)),
+      s"periodic series must score a perfect lag-7: ${out("per")}")
+    // gap: span 0..9 → 10 calendar days, scored days 7,8,9:
+    // d7: n=0, f7=n(0)=2 → 2; d8: n=0, f7=n(1)=0 → 0; d9: n=2,
+    // f7=n(2)=0 → 2 ⟹ sae7 = 4; lag-1: d7 |0−0|=0, d8 0, d9 |2−0|=2
+    assert(out("gap") === ((3L, 4L, 2L, 1333333L)),
+      s"calendar fill drifted: ${out("gap")}")
+  }
+
   test("q_event_trend: hand-computed pairwise-slope medians, odd and even pair counts") {
     val dir = Files.createTempDirectory("graft_trend").toString
     val B = 1704067200000000L
