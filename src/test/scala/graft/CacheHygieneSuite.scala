@@ -41,7 +41,12 @@ class CacheHygieneSuite extends SparkSuite {
       "q_agg_kendall", "q_agg_spearman", "q_agg_hodgeslehmann",
       // r16 wave 2 (annrecall's eager truth table; bfs's per-round
       // distance caches; srcsim's signature + shingle-set tables)
-      "q_llm_annrecall", "q_graph_bfs", "q_llm_srcsim")
+      "q_llm_annrecall", "q_graph_bfs", "q_llm_srcsim",
+      // r17 persist users (annsweep's shared scan/truth/candidate
+      // tables; modularity/conductance's edge + label tables;
+      // fcstnaive's day-grain table)
+      "q_llm_annsweep", "q_graph_modularity", "q_graph_conductance",
+      "q_event_fcstnaive")
     persistUsers.foreach { name =>
       spark.catalog.clearCache() // clean slate regardless of suite order
       // EARLIER suites may have left locally-checkpointed RDDs that only

@@ -699,6 +699,31 @@ class StreamingParitySuite extends SparkSuite {
         r.getAs[Long]("s_n"), r.getAs[Long]("dstat"))).toSeq
     assert(twin === batch)
     assert(twin.nonEmpty)
+    // seasonal-naive forecast tail composed from the same TWS table
+    // (r17 — q_event_fcstnaive joins the daily family): gap-filled
+    // calendar, lag-7/lag-1 absolute errors, floor-micros
+    val D = 86400000000L
+    val fcstTwin = twsMap.groupBy(_._1._1).flatMap { case (t, m) =>
+      val byDay = m.map { case ((_, d), n) => (d, n) }
+      val (d0, d1) = (byDay.keys.min, byDay.keys.max)
+      val series = (0L to (d1 - d0) / D)
+        .map(k => byDay.getOrElse(d0 + k * D, 0L))
+      if (series.size < 8) None
+      else {
+        val scored = (7 until series.size)
+        val sae7 = scored.map(i => math.abs(series(i) - series(i - 7))).sum
+        val sae1 = scored.map(i => math.abs(series(i) - series(i - 1))).sum
+        Some((t, scored.size.toLong, sae7, sae1,
+          sae7 * 1000000L / scored.size, sae1 * 1000000L / scored.size))
+      }
+    }.toSeq.sortBy(_._1)
+    val fcstBatch = graft.queries.EventOps.queries("q_event_fcstnaive")(
+      spark, sf).collect().map(r => (r.getString(0),
+        r.getAs[Long]("n_scored"), r.getAs[Long]("sae7"),
+        r.getAs[Long]("sae1"), r.getAs[Long]("mae7_micro"),
+        r.getAs[Long]("mae1_micro"))).toSeq
+    assert(fcstTwin === fcstBatch && fcstBatch.nonEmpty,
+      "fcstnaive tail composed from the TWS day grain != graded query")
     spark.catalog.clearCache()
   }
 
