@@ -1383,4 +1383,46 @@ object Graft {
     graft.queries.TextOps.yulekOn(
         df.select(col(groupCol).as("source"), col(textCol).as("text")))
       .withColumnRenamed("source", groupCol)
+
+  /** Newman modularity Q of a node partition over a ONE-DIRECTIONAL
+    * undirected edge list (symmetrized internally; graded
+    * q_graph_modularity's engine): the community-quality accept/reject
+    * number — Q ≈ 0 means no structure beyond the degree-preserving
+    * baseline, the single-community partition scores exactly 0.
+    * Returns one row (n_comms, m_edges, q_micro, q_modularity);
+    * q_micro is the exact floor-quantized value, the double is one
+    * IEEE division of it. See [[graft.queries.GraphOps.modularityOn]]
+    * for the exact-integer determinism contract. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    graft.queries.GraphOps.modularityOn(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      labels.select(col(nodeCol).as("node"), col(labelCol).as("label")))
+  }
+
+  /** Per-community conductance φ(c) = cut∕min(vol, vol-complement) for
+    * the k largest communities of a partition (graded
+    * q_graph_conductance's engine) — the per-community quality number
+    * beside [[modularity]]'s global Q. NULL φ for a community with no
+    * outside. Returns (label, n_nodes, vol_deg, cut_deg, phi_micro,
+    * conductance). */
+  def conductance(edges: DataFrame, srcCol: String, dstCol: String,
+                  labels: DataFrame, nodeCol: String, labelCol: String,
+                  k: Int = 10): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    graft.queries.GraphOps.conductanceOn(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      labels.select(col(nodeCol).as("node"), col(labelCol).as("label")), k)
+  }
+
+  /** Content-defined-chunking dedup audit over any binary payload
+    * column (graded q_mm_cdc's engine): rolling-hash chunk boundaries
+    * realign across insertion-shifted copies, catching the dups fixed
+    * blocks structurally miss. Returns per-kind (n_chunks, n_distinct,
+    * n_dups, bytes_dedupable). */
+  def cdcDedup(df: DataFrame, payloadCol: String): DataFrame =
+    graft.queries.MultimodalOps.cdcDedupOn(
+      df.select(col(payloadCol).as("payload")))
 }

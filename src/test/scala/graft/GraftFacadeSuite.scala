@@ -1223,4 +1223,37 @@ class GraftFacadeSuite extends SparkSuite {
     // V(1)=3, V(2)=1 -> N=5, s2=7; K = 1e4*2/25 = 800
     assert(yk.getAs[Double]("yule_k") === 800.0)
   }
+
+  test("modularity / conductance facades: symmetrize one-directional input and carry caller column names (r17)") {
+    // two triangles bridged once: the natural partition scores the
+    // hand-computed exact micros (m = 7, M2 = 14; per side vol = 7,
+    // in = 6, cut = 1): Q = 12/14 − 2·49/196 = 5/14 → 357142 micros;
+    // φ = 10⁶ div min(7, 7) = 142857
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L)).toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (11L, 11L), (12L, 11L), (13L, 11L)).toDF("id", "community")
+    val q = Graft.modularity(edges, "u", "v", labels, "id", "community")
+      .collect()(0)
+    assert(q.getAs[Long]("n_comms") === 2L)
+    assert(q.getAs[Long]("m_edges") === 7L)
+    assert(q.getAs[Long]("q_micro") === 357142L)
+    val phi = Graft.conductance(edges, "u", "v", labels, "id", "community")
+      .collect()
+    assert(phi.length === 2)
+    phi.foreach { r =>
+      assert(r.getAs[Long]("vol_deg") === 7L)
+      assert(r.getAs[Long]("cut_deg") === 1L)
+      assert(r.getAs[Long]("phi_micro") === 142857L)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("cdcDedup facade: two identical payloads dedup whole-doc below the window (r17)") {
+    val docs = Seq((1L, "abc"), (2L, "abc")).toDF("id", "text")
+      .withColumn("blob", col("text").cast("binary"))
+    val out = Graft.cdcDedup(docs, "blob").collect()
+    assert(out.map(_.getAs[Long]("n_dups")).sum === 1L)
+    assert(out.map(_.getAs[Long]("bytes_dedupable")).sum === 3L)
+  }
 }
