@@ -17,6 +17,9 @@ class PlanAssertionsSuite extends SparkSuite {
   }
   private def optimized(df: DataFrame): String =
     df.queryExecution.optimizedPlan.toString
+  /** Occurrences of a physical-node token in a plan string. */
+  private def countOf(plan: String, token: String): Int =
+    plan.sliding(token.length).count(_ == token)
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
@@ -102,7 +105,10 @@ class PlanAssertionsSuite extends SparkSuite {
       "q_event_oddsratio", "q_event_runstest", "q_graph_triangle",
       // r16 sketch certificates: global agg × 1-row broadcast sketch —
       // single row by construction
-      "q_agg_ams", "q_event_amsjoin")
+      "q_agg_ams", "q_event_amsjoin",
+      // r17: global fold over the community table — single row by
+      // construction (the assort/ams shape)
+      "q_graph_modularity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !singleRow(name) =>
         val r = if (ordered(fn(spark, sf).queryExecution.analyzed)) None
@@ -1161,6 +1167,36 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"annrecall cartesian:\n$p")
     assert(p.contains("InMemoryTableScan"),
       s"truth table not read through the eager cache:\n$p")
+  }
+
+  test("q_graph_modularity / q_graph_conductance (r17): label join-backs are equi-joins off the cached tables; totals broadcast — no cartesian") {
+    val pm = planString(q("q_graph_modularity"))
+    assert(!pm.contains("CartesianProduct"), s"modularity cartesian:\n$pm")
+    assert(pm.contains("InMemoryTableScan"),
+      s"modularity does not read the eager caches:\n$pm")
+    spark.catalog.clearCache()
+    val pc = planString(q("q_graph_conductance"))
+    assert(!pc.contains("CartesianProduct"), s"conductance cartesian:\n$pc")
+    assert(pc.contains("TakeOrderedAndProject"),
+      s"conductance top-k is not TakeOrdered:\n$pc")
+    spark.catalog.clearCache()
+  }
+
+  test("q_event_fcstnaive (r17): ONE type-hash window pass computes both lags; day-grain table cached; no cartesian") {
+    val p = planString(q("q_event_fcstnaive"))
+    assert(!p.contains("CartesianProduct"), s"fcstnaive cartesian:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"fcstnaive does not read the cached day grain:\n$p")
+    assert(countOf(p, "Window") === 1,
+      s"both lags must ride ONE window pass:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q_text_heaps (r17): two 1-row aggregates stack — no window, no corpus sort, no cartesian") {
+    val p = planString(q("q_text_heaps"))
+    assert(!p.contains("CartesianProduct"), s"heaps cartesian:\n$p")
+    assert(!p.contains("Window"), s"heaps grew a window:\n$p")
+    spark.catalog.clearCache()
   }
 
   test("q_llm_annsweep (r17): grid candidates come from equi-joins off the one cached scan — no cartesian beyond 1-row/probe broadcasts") {
