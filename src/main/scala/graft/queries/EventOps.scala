@@ -1339,6 +1339,43 @@ object EventOps {
     // calendar-bounded), ONE type-hash window pass for both lags
     // (rows ∝ days), final agg ∝ types. Types with < 8 calendar days
     // score nothing and drop (documented).
+    // Session-gap sensitivity sweep (r17) — the tuning companion to
+    // q_session_stats exactly as q_llm_lshtune∕q_llm_annsweep
+    // companion their graded operating points: the 30-minute session
+    // boundary is folklore until measured, so this ships the session
+    // count and mean session size at gap ∈ {15, 30, 60} minutes — the
+    // knob curve a pipeline reads before trusting sessionized metrics.
+    // ONE user-hash window pass computes every inter-event gap (the
+    // sessionizedOn ordering contract: (ts, event_id) total order,
+    // null-ts dropped); each threshold is then a CONDITIONAL SUM over
+    // the SAME gap column (a boundary event is gap IS NULL ∕ gap > G)
+    // — never a re-sessionization per threshold — and the three 1-row
+    // aggregates STACK in-plan. mean events∕session is FLOOR-micros
+    // of exact ints (the markovdrift discipline). Shuffle: one window
+    // exchange ∝ events, one global fold — 3 rows forever.
+    "q_event_gapsweep" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val th = Seq(15L, 30L, 60L)
+      val dec = "decimal(38,0)"
+      val gaps = T.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("gap_us", unix_micros(col("ts"))
+          - lag(unix_micros(col("ts")), 1).over(wOrd))
+      gaps.agg(
+          count(lit(1)).as("n_events"),
+          th.map(m => sum(when(col("gap_us").isNull
+              || col("gap_us") > m * 60000000L, 1L).otherwise(0L))
+            .as(s"s$m")): _*)
+        .select(expr(s"stack(3, ${th.map(m =>
+          s"${m}L, n_events, s$m").mkString(", ")})")
+          .as(Seq("gap_min", "n_events", "n_sessions")))
+        .withColumn("mean_sess_events_micro",
+          expr(s"cast((cast(n_events as $dec) * 1000000) div n_sessions" +
+            " as bigint)"))
+        .orderBy(col("gap_min"))
+    }),
+
     "q_event_fcstnaive" -> ((s, d) => {
       val D = 86400000000L
       val perDay = T.events(s, d).filter(col("ts").isNotNull)
@@ -3117,6 +3154,29 @@ object EventOps {
             slope AS slope_med
           FROM r WHERE rk = (m + 1) // 2 ORDER BY event_type""",
 
+    // The identical one-window gap extraction ((ts, event_id) order,
+    // null-ts dropped), per-threshold conditional sums over the same
+    // column, UNION ALL for the stack, HUGEINT floor-micros.
+    "q_event_gapsweep" -> {
+      def row(m: Long) =
+        s"""SELECT CAST($m AS BIGINT) AS gap_min, n_events,
+           |  s$m AS n_sessions,
+           |  CAST((CAST(n_events AS HUGEINT) * 1000000) // s$m AS BIGINT)
+           |    AS mean_sess_events_micro
+           |FROM a""".stripMargin
+      s"""WITH g AS (
+         |  SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         |  FROM $evt WHERE ts IS NOT NULL),
+         |a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    ${Seq(15L, 30L, 60L).map(m =>
+        s"CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > ${m * 60000000L} " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) AS s$m").mkString(",\n    ")}
+         |  FROM g)
+         |${Seq(15L, 30L, 60L).map(row).mkString("\nUNION ALL\n")}
+         |ORDER BY gap_min""".stripMargin
+    },
     // The identical gap-filled calendar (per-type range explode, 0 on
     // silent days), the same one window pass for both lags, HUGEINT
     // floor division for the micros (non-negative ⟹ `//` ≡ `div`).

@@ -450,6 +450,29 @@ class ScalarsTextSuite extends SparkSuite {
       s"calendar fill drifted: ${out("gap")}")
   }
 
+  test("q_event_gapsweep (r17): planted 20/45-min gaps split exactly at the thresholds; sessions are monotone in the gap") {
+    val dir = Files.createTempDirectory("graft_gapsw").toString
+    val B = 1704067200000000L
+    // user 1: events at 0, 20 min, 65 min — gaps 20 and 45 min:
+    //   G=15 → both gaps break (3 sessions), G=30 → only the 45-min
+    //   gap breaks (2), G=60 → none break (1)
+    // user 2: one event — one session at every threshold
+    val rows = Seq((1L, 0L), (1L, 20L), (1L, 65L), (2L, 0L))
+    rows.zipWithIndex.map { case ((u, m), id) =>
+      (id.toLong, B + m * 60000000L, u, "view", 1.0)
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_event_gapsweep")(spark, dir).collect()
+      .map(r => r.getAs[Long]("gap_min") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions"),
+          r.getAs[Long]("mean_sess_events_micro")))).toMap
+    assert(out(15L) === ((4L, 4L, 1000000L)))
+    assert(out(30L) === ((4L, 3L, 1333333L)))
+    assert(out(60L) === ((4L, 2L, 2000000L)))
+  }
+
   test("q_event_trend: hand-computed pairwise-slope medians, odd and even pair counts") {
     val dir = Files.createTempDirectory("graft_trend").toString
     val B = 1704067200000000L
