@@ -1686,6 +1686,62 @@ object LlmOps {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // Near-dup verify-threshold sweep (r17) — the tuning companion to
+    // q_llm_neardup exactly as lshtune∕annsweep∕gapsweep companion
+    // their graded points: the 0.8 Jaccard bar is folklore until
+    // measured, so this ships, per threshold ∈ {0.5, 0.7, 0.8, 0.9},
+    // the qualifying pair count and the distinct docs flagged — the
+    // dedup-aggressiveness curve a pipeline reads before committing
+    // to an operating point ("how much MORE would 0.7 delete?").
+    // Determinism: the lshtune discipline — thresholds are EXACT
+    // integer ratio tests (inter·den ≥ num·union over graft_overlap's
+    // distinct-intersection count), never a float compare. Scale: ONE
+    // candidate generation at the sweep FLOOR t = 1∕2 (the same
+    // prefix-filtered AllPairs as the graded query — lossless for
+    // every threshold above the floor), ONE codegen overlap pass per
+    // candidate, then conditional sums ∕ conditional distinct counts
+    // over the SAME scored pair table (persisted — 2 consumers);
+    // output 4 rows forever.
+    "q_llm_simsweep" -> ((s, d) => {
+      graft.functions.OverlapCount.register(s) // graft_overlap; idempotent
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), tokensCol.as("tk"))
+        .persist()
+      docs.count() // eager (r16): fill the cache before the fan-out (Graft.eager doc)
+      val feats = docs.select(col("doc_id"), col("lang"), col("source"),
+        size(col("tk")).cast("long").as("sz"), explode(col("tk")).as("feat"))
+      val cand = jaccardCandidates(feats, Seq("lang", "source"), 1, 2)
+      val th = Seq((1, 2, 50L), (7, 10, 70L), (4, 5, 80L), (9, 10, 90L))
+      def qual(n: Int, dd: Int) = col("inter") * dd >= col("uni") * n
+      val pairs = graft.Graft.eager(cand
+        .join(docs.select(col("doc_id").as("a_id"), col("tk").as("tk_a")),
+          col("doc_a") === col("a_id"))
+        .join(docs.select(col("doc_id").as("b_id"), col("tk").as("tk_b")),
+          col("doc_b") === col("b_id"))
+        .select(col("doc_a"), col("doc_b"),
+          call_function("graft_overlap", col("tk_a"), col("tk_b"))
+            .cast("long").as("inter"),
+          (size(col("tk_a")) + size(col("tk_b"))).cast("long").as("szsum"))
+        .withColumn("uni", col("szsum") - col("inter"))
+        .filter(col("inter") * 2 >= col("uni")) // the sweep floor
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni")))
+      val nPairs = pairs.agg(
+        sum(when(qual(1, 2), 1L).otherwise(0L)).as("p50"),
+        th.tail.map { case (n, dd, p) =>
+          sum(when(qual(n, dd), 1L).otherwise(0L)).as(s"p$p") }: _*)
+      val nDocs = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"),
+          col("inter"), col("uni"))
+        .agg(countDistinct(when(qual(1, 2), col("doc"))).as("d50"),
+          th.tail.map { case (n, dd, p) =>
+            countDistinct(when(qual(n, dd), col("doc"))).as(s"d$p") }: _*)
+      nPairs.crossJoin(nDocs)
+        .select(expr(s"stack(4, ${th.map { case (_, _, p) =>
+          s"${p}L, p$p, d$p" }.mkString(", ")})")
+          .as(Seq("t_pct", "n_pairs", "n_docs")))
+        .orderBy(col("t_pct"))
+    }),
+
     // 16-bit SimHash signature per doc from md5-derived token hashes:
     // bit b of the signature = majority vote of bit b over distinct tokens.
     "q_llm_simhash" -> ((s, d) =>
@@ -2345,6 +2401,39 @@ object LlmOps {
             FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
               AND a.doc_id < b.doc_id) x
           WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""",
+    // Naive blocked all-pairs with the identical exact integer ratio
+    // tests (the engine's candidates are a lossless superset at the
+    // t = 1/2 floor, so both engines score the same qualifying set).
+    "q_llm_simsweep" -> {
+      val th = Seq((1, 2, 50L), (7, 10, 70L), (4, 5, 80L), (9, 10, 90L))
+      def row(p: Long) =
+        s"""SELECT CAST($p AS BIGINT) AS t_pct, p$p AS n_pairs,
+           |  d$p AS n_docs FROM np CROSS JOIN nd""".stripMargin
+      s"""WITH t AS (SELECT doc_id, lang, source,
+           |    list_distinct(string_split(text, ' ')) AS tk FROM $doc),
+           |p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter,
+           |    CAST(len(a.tk) + len(b.tk)
+           |      - len(list_intersect(a.tk, b.tk)) AS BIGINT) AS uni
+           |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+           |    AND a.doc_id < b.doc_id),
+           |f AS (SELECT * FROM p WHERE inter * 2 >= uni),
+           |np AS (
+           |  SELECT ${th.map { case (n, dd, p) =>
+        s"CAST(SUM(CASE WHEN inter * $dd >= uni * $n THEN 1 ELSE 0 END)" +
+          s" AS BIGINT) AS p$p" }.mkString(",\n    ")}
+           |  FROM f),
+           |ex AS (SELECT doc_a AS doc, inter, uni FROM f
+           |       UNION ALL SELECT doc_b, inter, uni FROM f),
+           |nd AS (
+           |  SELECT ${th.map { case (n, dd, p) =>
+        s"CAST(COUNT(DISTINCT CASE WHEN inter * $dd >= uni * $n " +
+          s"THEN doc END) AS BIGINT) AS d$p" }.mkString(",\n    ")}
+           |  FROM ex)
+           |${th.map { case (_, _, p) => row(p) }.mkString("\nUNION ALL\n")}
+           |ORDER BY t_pct""".stripMargin
+    },
     // Same one-agg shape; substr is 1-based in both dialects, the
     // ASCII corpus has no grapheme divergence.
     "q_llm_prefixdup" ->

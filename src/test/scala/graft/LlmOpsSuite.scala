@@ -71,6 +71,20 @@ class LlmOpsSuite extends SparkSuite {
     assert(out((4L, 5L)) === 0.8) // |∩|=8, |∪|=10 — exactly the threshold
   }
 
+  test("q_llm_simsweep (r17): threshold curve on the mini corpus — inclusive integer boundaries, monotone counts") {
+    val out = q("q_llm_simsweep", docsDir).collect()
+      .map(r => r.getAs[Long]("t_pct") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs")))).toMap
+    spark.catalog.clearCache()
+    // pairs ≥ 0.5: the J=1 triangle {1,2,3} + the J=0.8 pair (4,5)
+    assert(out(50L) === ((4L, 5L)))
+    assert(out(70L) === ((4L, 5L)))
+    // 0.8 is INCLUSIVE via the exact integer test (8·5 ≥ 4·10)
+    assert(out(80L) === ((4L, 5L)))
+    // only the exact-dup triangle survives 0.9
+    assert(out(90L) === ((3L, 3L)))
+  }
+
   test("q_llm_ngram is order-sensitive: permutation is NOT an n-gram dup") {
     val out = q("q_llm_ngram", docsDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jacc"))
