@@ -484,6 +484,33 @@ object GraphOps {
         graft.operators.LabelProp.run(edges, LpRounds), 10)
     }),
 
+    // Rich-club coefficient at degree checkpoints (r17; Colizza et
+    // al. 2006) — the fourth classic mixing number beside
+    // degdist/assort/triangle: φ(k) = E_{>k} ∕ (N_{>k}·(N_{>k}−1)∕2)
+    // over the co-purchase graph — do the hubs form a club (φ → 1) or
+    // avoid each other (φ → 0)? Complements assort: assort is the
+    // degree-degree correlation over ALL edges, φ(k) reads only the
+    // >k-degree core, where the interesting concentration lives. On
+    // the symmetrized directed list both quantities double, so
+    // φ = E2_k ∕ (N_k·(N_k−1)) with E2_k = directed edges with BOTH
+    // endpoint degrees > k. Checkpoints {16, 64, 256} span the graph's
+    // BIMODAL degree range (parts ~10-40, suppliers ~200-700) — and
+    // the measured curve is the bipartite structural signature: φ > 0
+    // at k=16 where both sides mix in the club, then EXACTLY 0 once k
+    // exceeds the part side's max (a >k club of suppliers only has no
+    // supplier-supplier edges) — the rich-club counterpart of
+    // modularity's −0.5 and conductance's 1.0 on this graph; the
+    // accept direction (a planted clique club scores φ = 1) is pinned
+    // in-unit. Determinism: exact integer counts; φ FLOOR-quantized
+    // to micros (DECIMAL(38,0) div — non-negative); one IEEE division
+    // for the double; NULL when N_k < 2. Plan: the
+    // assort shape — per-node degree hash agg (persisted, 2
+    // consumers), two equi join-backs onto the edge list, then ONE
+    // conditional fold per side for ALL checkpoints (never a per-k
+    // rejoin) and a 3-row stack. Shuffle ∝ edges once, ∝ nodes once.
+    "q_graph_richclub" -> ((s, d) =>
+      richclubOn(copurchaseEdges(s, d), RichClubKs)),
+
     // Degree assortativity (r14) — Newman 2002's single-number mixing
     // summary: the Pearson correlation of (deg(src), deg(dst)) over the
     // directed edge list of the same co-purchase graph (bipartite here,
@@ -756,6 +783,46 @@ object GraphOps {
           .as("q_micro"))
       .withColumn("q_modularity",
         col("q_micro").cast("double") / lit(1000000.0))
+  }
+
+  /** q_graph_richclub's degree checkpoints — they span the graded
+    * graph's bimodal range (parts ~10-40, suppliers ~200-700); the
+    * registration comment has the measured bipartite-collapse story. */
+  private[graft] val RichClubKs = Seq(16L, 64L, 256L)
+
+  /** q_graph_richclub's engine over any symmetrized directed edge list
+    * — see the registration comment for semantics; extracted for the
+    * planted-clique-club fixture. */
+  private[graft] def richclubOn(edges: DataFrame,
+                                ks: Seq[Long]): DataFrame = {
+    val dec = "decimal(38,0)"
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist() // 2 join-backs + the node fold; caller clearCache
+    deg.count() // eager (r16): fill the cache before the fan-out
+    val e2 = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+    val eAgg = e2.agg(
+      sum(when(col("dx") > ks.head && col("dy") > ks.head, 1L)
+        .otherwise(0L)).as(s"e${ks.head}"),
+      ks.tail.map(k => sum(when(col("dx") > k && col("dy") > k, 1L)
+        .otherwise(0L)).as(s"e$k")): _*)
+    val nAgg = deg.agg(
+      sum(when(col("deg") > ks.head, 1L).otherwise(0L)).as(s"n${ks.head}"),
+      ks.tail.map(k => sum(when(col("deg") > k, 1L).otherwise(0L))
+        .as(s"n$k")): _*)
+    eAgg.crossJoin(nAgg)
+      .select(expr(s"stack(${ks.size}, ${ks.map(k =>
+        s"${k}L, n$k, e$k").mkString(", ")})")
+        .as(Seq("k", "n_nodes", "n_edges_dir")))
+      .withColumn("phi_micro", when(col("n_nodes") >= 2,
+        expr(s"""cast((cast(n_edges_dir as $dec) * 1000000)
+                 div (cast(n_nodes as $dec) * (n_nodes - 1))
+                 as bigint)""")))
+      .withColumn("rich_phi",
+        col("phi_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("k"))
   }
 
   /** q_graph_conductance's engine — per-community conductance
@@ -1187,6 +1254,48 @@ object GraphOps {
          |SELECT n_comms, m_edges, q_micro,
          |  CAST(q_micro AS DOUBLE) / 1000000.0 AS q_modularity
          |FROM qq""".stripMargin
+    },
+    // The assort pairs/edges/deg chain, then ONE conditional fold per
+    // side for all checkpoints, UNION ALL stack, HUGEINT floor-micros.
+    "q_graph_richclub" -> {
+      val ks = Seq(16L, 64L, 256L)
+      def row(k: Long) =
+        s"""SELECT CAST($k AS BIGINT) AS k, n$k AS n_nodes,
+           |  e$k AS n_edges_dir,
+           |  CASE WHEN n$k >= 2 THEN
+           |    CAST((CAST(e$k AS HUGEINT) * 1000000)
+           |      // (CAST(n$k AS HUGEINT) * (n$k - 1)) AS BIGINT) END
+           |    AS phi_micro,
+           |  CAST(CASE WHEN n$k >= 2 THEN
+           |    CAST((CAST(e$k AS HUGEINT) * 1000000)
+           |      // (CAST(n$k AS HUGEINT) * (n$k - 1)) AS BIGINT) END
+           |    AS DOUBLE) / 1000000.0 AS rich_phi
+           |FROM ea CROSS JOIN na""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li),
+         |edges AS (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |e2 AS (
+         |  SELECT dx.deg AS dx, dy.deg AS dy
+         |  FROM edges e
+         |    JOIN deg dx ON e.src = dx.src
+         |    JOIN deg dy ON e.dst = dy.src),
+         |ea AS (
+         |  SELECT ${ks.map(k =>
+        s"CAST(SUM(CASE WHEN dx > $k AND dy > $k THEN 1 ELSE 0 END)" +
+          s" AS BIGINT) AS e$k").mkString(",\n    ")}
+         |  FROM e2),
+         |na AS (
+         |  SELECT ${ks.map(k =>
+        s"CAST(SUM(CASE WHEN deg > $k THEN 1 ELSE 0 END) AS BIGINT)" +
+          s" AS n$k").mkString(",\n    ")}
+         |  FROM deg)
+         |${ks.map(row).mkString("\nUNION ALL\n")}
+         |ORDER BY k""".stripMargin
     },
     // The labelprop rounds unrolled verbatim (the modularity oracle's
     // chain), then the conductance fold: per-community exact integer

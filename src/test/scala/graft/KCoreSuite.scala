@@ -158,6 +158,24 @@ class KCoreSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("richclub (r17): a planted K5 club over leaf-padded hubs scores phi = 1 exactly; empty club ships NULL") {
+    // nodes 1..5 form K5 AND each carries 10 private leaves, so their
+    // degree is 14 (> 8) while every leaf has degree 1: the >8 club is
+    // exactly the K5 — 20 directed edges over 5·4 possible → φ = 1.
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val leaves = for (h <- 1L to 5L; j <- 0L until 10L)
+      yield (h, 100L + h * 10L + j)
+    val out = queries.GraphOps
+      .richclubOn(sym(k5 ++ leaves), Seq(8L, 100L)).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(out(8L).getAs[Long]("n_nodes") === 5L)
+    assert(out(8L).getAs[Long]("n_edges_dir") === 20L)
+    assert(out(8L).getAs[Long]("phi_micro") === 1000000L)
+    assert(out(100L).getAs[Long]("n_nodes") === 0L)
+    assert(out(100L).isNullAt(out(100L).fieldIndex("phi_micro")))
+    spark.catalog.clearCache()
+  }
+
   test("modularity (r17): empty labeled edge set ships the null-guarded row, not a division error") {
     val g = sym(Seq((1L, 2L)))
     val noLabels = Seq.empty[(Long, Long)].toDF("node", "label")
