@@ -1199,6 +1199,26 @@ class PlanAssertionsSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_event_gapsweep / q_graph_richclub (r17): one window pass / one conditional fold per side — no cartesian, no per-threshold rescans") {
+    val pg = planString(q("q_event_gapsweep"))
+    assert(!pg.contains("CartesianProduct"), s"gapsweep cartesian:\n$pg")
+    assert(countOf(pg, "Window") === 1,
+      s"gapsweep must compute every threshold off ONE window pass:\n$pg")
+    spark.catalog.clearCache()
+    val pr = planString(q("q_graph_richclub"))
+    assert(!pr.contains("CartesianProduct"), s"richclub cartesian:\n$pr")
+    assert(!pr.contains("Window"), s"richclub grew a window:\n$pr")
+    spark.catalog.clearCache()
+  }
+
+  test("q_llm_simsweep (r17): candidates ride the graded AllPairs equi-join; thresholds fold over one cached pair table") {
+    val p = planString(q("q_llm_simsweep"))
+    assert(!p.contains("CartesianProduct"), s"simsweep cartesian:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"simsweep does not read the cached pair table:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q_llm_annsweep (r17): grid candidates come from equi-joins off the one cached scan — no cartesian beyond 1-row/probe broadcasts") {
     val p = planString(q("q_llm_annsweep"))
     assert(!p.contains("CartesianProduct"), s"annsweep cartesian:\n$p")
