@@ -530,6 +530,51 @@ object ScaleRehearsal {
       // shuffle. Truth: with every pair sharing the hot shingle, the
       // aggregated inter table is EXACTLY C(20,2) = 190 rows, each
       // n_inter ≥ 1.
+      // q_mm_cdc's cut scan + chunk dedup on synthetic ~120-byte
+      // payloads (r17): work is ∝ bytes·window by construction (the
+      // honest CDC cost — every position hashes an 8-byte window), so
+      // the ×10 step should be ≲ linear in time AND shuffle; the
+      // planted pairing (two docs per base id differing only in a
+      // trailing tag — the synthDocs trick at the byte level) plants
+      // shared chunks whose dedup the fold must find at every size.
+      if (want("cdc_chunks")) time("cdc_chunks", n) {
+        val payloads = spark.range(n).select(
+          concat(lit("doc "),
+            // base-pair text: even/odd ids share the first ~96 bytes
+            concat_ws(" ", (1 to 12).map(j => concat(lit("w"),
+              pmod(xxhash64((col("id") - pmod(col("id"), lit(2L))) * 16L
+                + j), lit(n)))): _*),
+            lit(" tail"), col("id")).cast("binary").as("payload"))
+        val out = graft.queries.MultimodalOps.cdcDedupOn(payloads)
+          .agg(sum(col("n_chunks")).as("nc"), sum(col("n_dups")).as("nd"))
+          .collect()(0)
+        require(out.getAs[Long]("nd") > 0,
+          s"planted shared chunks not deduped at n=$n: $out")
+        out.getAs[Long]("nc")
+      }
+      // q_graph_modularity's labeled-edge fold on the planted
+      // ring+tails graph with the CORRECT 2-coloring... a ring is
+      // 2-colorable only when even; use per-node parity labels — the
+      // exact Q is then computable: all ring edges cross (ring
+      // neighbors differ in parity for even m), tails cross or not by
+      // parity of the pair. The CLAIM under test is cost, not Q:
+      // two equi join-backs + a community-grain fold — time/shuffle
+      // ≲ linear at ×10, output 1 row.
+      if (want("modularity_fold")) time("modularity_fold", n) {
+        val m = n / 100L
+        val ring = spark.range(m).select(col("id").as("a"),
+          pmod(col("id") + 1L, lit(m)).as("b"))
+        val tails = spark.range(m, n).select(col("id").as("a"),
+          pmod(col("id"), lit(m)).as("b"))
+        val edges = sym(ring.union(tails))
+        val labels = spark.range(n).select(col("id").as("node"),
+          pmod(col("id"), lit(2L)).as("label"))
+        val r = graft.queries.GraphOps.modularityOn(edges, labels)
+          .collect()(0)
+        require(r.getAs[Long]("m_edges") == n,
+          s"edge count drifted at n=$n: $r")
+        n
+      }
       if (want("srcsim_exact")) time("srcsim_exact", n) {
         val srcDocs = spark.range(n).select(
           col("id").as("doc_id"),
