@@ -23,6 +23,10 @@ case class RunningOut(event_id: Long, user_id: Long,
 case class GapState(lastId: Long, n: Long, nGaps: Long,
                     missing: Long, maxGap: Long)
 
+case class GapSweepState(lastUs: Long, n: Long, s15: Long, s30: Long,
+                         s60: Long)
+case class GapSweepOut(user_id: Long, n_events: Long, s15: Long,
+                       s30: Long, s60: Long)
 case class GapOut(user_id: Long, n_events: Long, n_gaps: Long,
                   missing_total: Long, max_gap: Long)
 
@@ -338,6 +342,38 @@ object StreamOps {
     * row). In-batch events are replayed in sequence order; exact across
     * micro-batches under per-key in-order delivery, the same one-sided
     * contract as [[asofEnrich]]/[[dedupFirstArrival]]. */
+  /** Streaming twin of the graded q_event_gapsweep: per key, ONE row
+    * of state (last event µs + the four counters) maintains the
+    * running event count and the session-boundary counts at the
+    * 15∕30∕60-minute thresholds — a boundary at threshold G is "no
+    * prior event" or "gap > G", exactly the batch lag-window test, so
+    * summing the per-user counters over keys equals the graded 3-row
+    * sweep at every instant. Within a micro-batch events replay in
+    * (ts_us, event_id) order (the sessionizedOn total order); across
+    * batches exactness needs per-key causal in-order delivery — the
+    * same one-sided contract as [[gapAudit]]∕[[paths]] (a late event
+    * would compute both its own gap and the next event's gap wrong).
+    * State is O(keys) — 5 longs — against an unbounded timeline. */
+  def gapsweepMonitor(events: Dataset[Event]): Dataset[GapSweepOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[GapSweepState]) =>
+          var s = state.getOption.getOrElse(
+            GapSweepState(Long.MinValue, 0L, 0L, 0L, 0L))
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            def brk(m: Long) = s.lastUs == Long.MinValue ||
+              e.ts_us - s.lastUs > m * 60000000L
+            s = GapSweepState(e.ts_us, s.n + 1,
+              s.s15 + (if (brk(15)) 1 else 0),
+              s.s30 + (if (brk(30)) 1 else 0),
+              s.s60 + (if (brk(60)) 1 else 0))
+          }
+          state.update(s)
+          Iterator.single(GapSweepOut(user, s.n, s.s15, s.s30, s.s60))
+      }
+  }
+
   def gapAudit(events: Dataset[Event]): Dataset[GapOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

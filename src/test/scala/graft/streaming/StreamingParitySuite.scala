@@ -1784,6 +1784,48 @@ class StreamingParitySuite extends SparkSuite {
     assert(fn === graded && fn.nonEmpty)
   }
 
+  test("gapsweep monitor (r17): per-key counters summed over users == graded q_event_gapsweep; boundaries carry across batches") {
+    // batch evaluation of the stateful fold over the full sf0.001
+    // events table must reproduce the graded 3-row sweep exactly
+    val events = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val fold = StreamOps.gapsweepMonitor(events).collect()
+    val totals = Map(
+      15L -> fold.map(_.s15).sum, 30L -> fold.map(_.s30).sum,
+      60L -> fold.map(_.s60).sum)
+    val nEv = fold.map(_.n_events).sum
+    val graded = graft.queries.EventOps.queries("q_event_gapsweep")(
+      spark, sf).collect()
+      .map(r => r.getAs[Long]("gap_min") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions")))).toMap
+    spark.catalog.clearCache()
+    graded.foreach { case (m, (ne, ns)) =>
+      assert(nEv === ne, s"event count drifted at $m")
+      assert(totals(m) === ns, s"session count drifted at threshold $m")
+    }
+    // a session boundary straddling a micro-batch split: user 9's
+    // 20-min and 45-min gaps arrive in three separate batches — the
+    // carried last-ts must classify each gap exactly as in batch
+    val B = 1704067200000000L
+    val mini = Seq(Event(1, B, 9L, "view", 1.0),
+      Event(2, B + 20L * 60000000L, 9L, "view", 1.0),
+      Event(3, B + 65L * 60000000L, 9L, "view", 1.0))
+    val ms = MemoryStream[Event](spark)
+    val q = StreamOps.gapsweepMonitor(ms.toDS())
+      .writeStream.format("memory").queryName("gapsw_par")
+      .outputMode("update").start()
+    try mini.grouped(1).foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val last = spark.table("gapsw_par").orderBy(col("n_events").desc)
+      .collect()(0)
+    assert((last.getAs[Long]("n_events"), last.getAs[Long]("s15"),
+      last.getAs[Long]("s30"), last.getAs[Long]("s60"))
+      === ((3L, 3L, 2L, 1L)),
+      "cross-batch gap classification drifted")
+  }
+
   test("retention tracker: O(1) mask state == graded q_event_retention, including an out-of-order cohort rebase") {
     def agg(rows: Seq[RetOut]): Map[(Long, Long), Long] =
       rows.flatMap(r => (0 to 3).filter(k => (r.mask & (1 << k)) != 0)
