@@ -172,7 +172,11 @@ class MultimodalSuite extends SparkSuite {
         h % 61 == 0
       }
     }
-    val texts = Seq(scrambled(600), scrambled(300).reverse, "tinydoc")
+    // edge lengths around the window (7/8/9), longer scrambled bodies,
+    // and a reversed twin — every boundary case of the cut rule
+    val texts = Seq(scrambled(600), scrambled(300).reverse, "tinydoc",
+      scrambled(7), scrambled(8), scrambled(9), scrambled(63),
+      scrambled(64), scrambled(1000), "x")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
       .withColumn("payload", col("text").cast("binary"))

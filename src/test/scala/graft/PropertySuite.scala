@@ -727,6 +727,70 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("gapsweep laws (r17): session counts are monotone non-increasing in the gap, bracketed by [users, events], translation-invariant") {
+    // pure-Scala mirror of the boundary rule: a session boundary at
+    // threshold G is "first event of the key" or "gap > G"
+    def sessions(ts: Map[Long, List[Long]], gUs: Long): Long =
+      ts.values.map { xs =>
+        val s = xs.sorted
+        1L + s.zip(s.tail).count { case (a, b) => b - a > gUs }
+      }.sum
+    val events: Gen[Map[Long, List[Long]]] =
+      Gen.chooseNum(1, 5).flatMap(nu => Gen.mapOfN(nu,
+        Gen.zip(Gen.chooseNum(1L, 5L),
+          Gen.nonEmptyListOf(Gen.chooseNum(0L, 10000L)))))
+    check("gapsweep")(Prop.forAll(events, Gen.chooseNum(1L, 500L),
+      Gen.chooseNum(0L, 9999L)) { (ev, g, shift) =>
+      val s1 = sessions(ev, g)
+      val s2 = sessions(ev, g * 2)
+      val nU = ev.size.toLong
+      val nE = ev.values.map(_.size.toLong).sum
+      s2 <= s1 && s1 <= nE && s2 >= nU &&
+        sessions(ev.view.mapValues(_.map(_ + shift)).toMap, g) == s1
+    })
+  }
+
+  test("modularity mirror law (r17): Spark modularityOn equals a BigInt driver replay on random labeled graphs; single community is exactly 0") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 6) {
+      val n = 6 + rnd.nextInt(6)
+      val und = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.4
+      } yield (a, b)).toList
+      if (und.nonEmpty) {
+        val labels = (1L to n.toLong).map(v =>
+          (v, (rnd.nextInt(3) + 1).toLong))
+        val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        // BigInt replay of the exact contract: A = directed
+        // in-community edges, B = sum of squared community degree
+        // sums, M2 = directed edges; q_micro = the shifted floor
+        val lab = labels.toMap
+        val m2 = BigInt(edges.size)
+        val byC = edges.groupBy(e => lab(e._1))
+        val aSum = BigInt(edges.count(e => lab(e._1) == lab(e._2)))
+        val bSum = byC.values.map(es => BigInt(es.size) * es.size).sum
+        val expMicro =
+          (((aSum * m2 - bSum + m2 * m2) * 1000000) / (m2 * m2)
+            - 1000000).toLong
+        val got = queries.GraphOps.modularityOn(
+            edges.toDF("src", "dst"), labels.toDF("node", "label"))
+          .collect()(0)
+        assert(got.getAs[Long]("q_micro") === expMicro,
+          s"trial $trial: engine diverged from the BigInt replay")
+        val gotOne = queries.GraphOps.modularityOn(
+            edges.toDF("src", "dst"),
+            labels.map { case (v, _) => (v, 1L) }.toDF("node", "label"))
+          .collect()(0)
+        assert(gotOne.getAs[Long]("q_micro") === 0L,
+          s"trial $trial: single-community Q must be exactly 0")
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("Theil-Sen law: a perfect line's median slope is its slope; translation never moves any slope; the median is bracketed") {
     val series: Gen[List[(Long, Long)]] = Gen.chooseNum(2, 14).flatMap(k =>
       Gen.listOfN(k, Gen.zip(Gen.chooseNum(0L, 200L), Gen.chooseNum(1L, 50L)))
