@@ -1686,6 +1686,42 @@ object LlmOps {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // Duplicate token share per source (r17) — the TOKEN-WEIGHTED
+    // capacity number q_text_dupstats' doc counts miss (a duplicated
+    // 10k-token doc costs 100× a duplicated boilerplate stub) with
+    // GLOBAL dedup scope (q_text_dupstats dedups within (lang,
+    // source); a source whose docs are copies of ANOTHER source's —
+    // the xsrcdup matrix — pays here in its own row): per source, doc
+    // and token totals, the non-keeper (doc_id ≠ global min per
+    // content md5) share of both, and the micro-quantized token
+    // share — "what fraction of this source's token budget is exact
+    // duplication", the first number a capacity plan reads. Plan: the
+    // q_llm_dedup shape — content-hash agg ∝ distinct contents
+    // (map-side combine on viral payloads) + one join-back + a
+    // per-source fold; share FLOOR-micros of exact ints
+    // (DECIMAL(38,0), the markovdrift discipline). Output ∝ sources.
+    "q_llm_dupshare" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .persist() // 2 consumers (keeper agg + join-back); caller clearCache
+      docs.count() // eager (r16): fill the cache before the fan-out
+      val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+      docs.join(keep, Seq("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+            .as("n_dup_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(when(col("doc_id") =!= col("keeper"), col("ntok"))
+            .otherwise(0L)).as("n_dup_tokens"))
+        .withColumn("dup_token_share_micro",
+          expr(s"cast((cast(n_dup_tokens as $dec) * 1000000)" +
+            " div n_tokens as bigint)"))
+        .orderBy(col("source"))
+    }),
+
     // Near-dup verify-threshold sweep (r17) — the tuning companion to
     // q_llm_neardup exactly as lshtune∕annsweep∕gapsweep companion
     // their graded points: the 0.8 Jaccard bar is folklore until
@@ -2401,6 +2437,25 @@ object LlmOps {
             FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
               AND a.doc_id < b.doc_id) x
           WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""",
+    // The q_llm_dedup keeper chain + a per-source conditional fold;
+    // HUGEINT floor-micros (non-negative ⟹ `//` ≡ `div`).
+    "q_llm_dupshare" ->
+      s"""WITH d AS (
+            SELECT doc_id, source, md5(text) AS h,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+            FROM $doc),
+          k AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_docs,
+            CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+            CAST(SUM(CASE WHEN doc_id <> keeper THEN ntok ELSE 0 END)
+              AS BIGINT) AS n_dup_tokens,
+            CAST((CAST(SUM(CASE WHEN doc_id <> keeper THEN ntok ELSE 0 END)
+                AS HUGEINT) * 1000000) // SUM(ntok) AS BIGINT)
+              AS dup_token_share_micro
+          FROM d JOIN k USING (h)
+          GROUP BY source ORDER BY source""",
     // Naive blocked all-pairs with the identical exact integer ratio
     // tests (the engine's candidates are a lossless superset at the
     // t = 1/2 floor, so both engines score the same qualifying set).

@@ -85,6 +85,27 @@ class LlmOpsSuite extends SparkSuite {
     assert(out(90L) === ((3L, 3L)))
   }
 
+  test("q_llm_dupshare (r17): token-weighted global-scope dup share — the non-keeper copy pays, exact micros") {
+    // docsDir: docs 1,2 identical (10 tokens each, keeper 1) in src0;
+    // all 7 docs are src0 ⟹ one row: 7 docs, 1 dup doc, dup tokens
+    // = 10 of 54 total (10+10+10+9+9+8+... doc7 has 5 tokens incl a
+    // repeat — size(split) counts occurrences: 10·3 + 9·2 + 8 + 5
+    // hmm — assert against a recomputation instead of a hand sum
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val expTok = docs.selectExpr("size(split(text, ' ')) AS n")
+      .collect().map(_.getInt(0).toLong).sum
+    val out = q("q_llm_dupshare", docsDir).collect()
+    spark.catalog.clearCache()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_docs") === 7L)
+    assert(r.getAs[Long]("n_dup_docs") === 1L)
+    assert(r.getAs[Long]("n_tokens") === expTok)
+    assert(r.getAs[Long]("n_dup_tokens") === 10L)
+    assert(r.getAs[Long]("dup_token_share_micro")
+      === 10L * 1000000L / expTok)
+  }
+
   test("q_llm_ngram is order-sensitive: permutation is NOT an n-gram dup") {
     val out = q("q_llm_ngram", docsDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jacc"))
