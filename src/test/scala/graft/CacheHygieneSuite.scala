@@ -46,7 +46,8 @@ class CacheHygieneSuite extends SparkSuite {
       // tables; modularity/conductance's edge + label tables;
       // fcstnaive's day-grain table)
       "q_llm_annsweep", "q_graph_modularity", "q_graph_conductance",
-      "q_event_fcstnaive")
+      "q_event_fcstnaive", "q_llm_simsweep", "q_graph_richclub",
+      "q_llm_dupshare")
     persistUsers.foreach { name =>
       spark.catalog.clearCache() // clean slate regardless of suite order
       // EARLIER suites may have left locally-checkpointed RDDs that only

@@ -1219,6 +1219,15 @@ class PlanAssertionsSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_llm_dupshare (r17): keeper agg + join-back + per-source fold — no window, no cartesian") {
+    val p = planString(q("q_llm_dupshare"))
+    assert(!p.contains("CartesianProduct"), s"dupshare cartesian:\n$p")
+    assert(!p.contains("Window"), s"dupshare grew a window:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"dupshare does not read the cached projection:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q_llm_annsweep (r17): grid candidates come from equi-joins off the one cached scan — no cartesian beyond 1-row/probe broadcasts") {
     val p = planString(q("q_llm_annsweep"))
     assert(!p.contains("CartesianProduct"), s"annsweep cartesian:\n$p")
