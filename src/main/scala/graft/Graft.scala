@@ -1392,11 +1392,19 @@ object Graft {
     * Returns one row (n_comms, m_edges, q_micro, q_modularity);
     * q_micro is the exact floor-quantized value, the double is one
     * IEEE division of it. See [[graft.queries.GraphOps.modularityOn]]
-    * for the exact-integer determinism contract. */
+    * for the exact-integer determinism contract.
+    *
+    * Self-loops are DROPPED before symmetrizing (simple-graph
+    * convention): union+distinct would otherwise keep a loop as a
+    * single directed edge counted once in the volume/in-community
+    * sums, which matches neither the standard 2·A_ii adjacency
+    * convention nor ignoring it — so we take the unambiguous
+    * loop-free semantics (r17 ADVICE). */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
                  labels: DataFrame, nodeCol: String,
                  labelCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
     graft.queries.GraphOps.modularityOn(
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
       labels.select(col(nodeCol).as("node"), col(labelCol).as("label")))
@@ -1407,11 +1415,14 @@ object Graft {
     * q_graph_conductance's engine) — the per-community quality number
     * beside [[modularity]]'s global Q. NULL φ for a community with no
     * outside. Returns (label, n_nodes, vol_deg, cut_deg, phi_micro,
-    * conductance). */
+    * conductance). Self-loops are DROPPED before symmetrizing — the
+    * same simple-graph convention as [[modularity]] (a loop neither
+    * cuts nor should count once in volume). */
   def conductance(edges: DataFrame, srcCol: String, dstCol: String,
                   labels: DataFrame, nodeCol: String, labelCol: String,
                   k: Int = 10): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
     graft.queries.GraphOps.conductanceOn(
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
       labels.select(col(nodeCol).as("node"), col(labelCol).as("label")), k)

@@ -1377,6 +1377,13 @@ object EventOps {
     }),
 
     "q_event_fcstnaive" -> ((s, d) => {
+      // Positive-epoch corpus contract (r17 ADVICE): the day bucketing
+      // below uses Spark `div` (truncates toward zero) while the DuckDB
+      // twin uses `//` (floors) — identical for unix_micros >= 0, which
+      // the events corpus guarantees (all timestamps post-1970; the
+      // same contract every unix_micros-div idiom in this file relies
+      // on, incl. q_event_gapsweep's gap math). Pre-1970 timestamps
+      // would need floor-consistent bucketing on the Spark side.
       val D = 86400000000L
       val perDay = T.events(s, d).filter(col("ts").isNotNull)
         .groupBy(col("event_type"),

@@ -596,6 +596,12 @@ object LlmOps {
     * form [[graft.Graft.annCandidates]] exposes to caller corpora. */
   def annQueryOn(base0: DataFrame, bits: Int, radius: Int, k: Int,
                  probePred: Column => Column): DataFrame = {
+    // flip enumeration below covers Hamming distance 0/1/2 only — fail
+    // loudly rather than silently serve radius-2 probes to a caller
+    // asking for a wider ball (r17 ADVICE)
+    require(radius >= 0 && radius <= 2,
+      s"multi-probe radius must be in [0, 2] (flip enumeration covers " +
+        s"Hamming <= 2); got $radius")
     graft.functions.DotF64.register(base0.sparkSession) // idempotent
     val base = base0.withColumn("bucket", signBucket(col("e"), 0, bits))
     val flips = (lit(0) +:
@@ -1975,12 +1981,15 @@ object LlmOps {
           col("vec_id"), col("e"), col("nrm"),
           col("b8").bitwiseAND(lit((1 << b) - 1)).as("bkey")))
         .reduce(_ unionByName _)
-      def flipsFor(b: Int, r: Int): Seq[Int] =
+      def flipsFor(b: Int, r: Int): Seq[Int] = {
+        // same Hamming-<=2 coverage bound as annQueryOn (r17 ADVICE)
+        require(r >= 0 && r <= 2, s"radius must be in [0, 2]; got $r")
         (0 +: (0 until b).map(1 << _)) ++
           (if (r >= 2)
             for { i <- 0 until b; j <- (i + 1) until b }
               yield (1 << i) | (1 << j)
           else Seq.empty)
+      }
       val lshGrid = for { b <- bitsList; r <- Seq(1, 2) } yield (b, r)
       val probeRows = lshGrid.map { case (b, r) =>
         base.filter(col("vec_id") < 5)

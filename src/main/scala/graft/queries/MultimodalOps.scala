@@ -495,6 +495,12 @@ object MultimodalOps {
     // position (list_filter over range — DuckDB's range(w, n+1) is
     // empty when n < w, matching the engine's greatest() guard), the
     // same bounds-concat chunk slicing, then the chunkdup rollup.
+    // ASCII-corpus assumption (r17 ADVICE): the twin slices chunks
+    // with character-based substring on VARCHAR while the engine
+    // slices the BINARY payload by bytes — they agree because the
+    // documents corpus is ASCII (1 char = 1 byte; the same contract
+    // the other text↔binary twins state). A multi-byte corpus would
+    // need ::BLOB slicing on the DuckDB side.
     "q_mm_cdc" -> {
       val terms = (0 until CdcWindow).map(j =>
         s"CAST(('0x' || hex(substring(text, i - $j, 1)::BLOB)) AS BIGINT)" +
