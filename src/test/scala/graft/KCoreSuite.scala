@@ -184,4 +184,140 @@ class KCoreSuite extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("q_micro")))
     spark.catalog.clearCache()
   }
+
+  /** Symmetrize an undirected weighted pair list. */
+  private def symW(pairs: Seq[(Long, Long, Long)]) = {
+    val p = pairs.toDF("src", "dst", "w")
+    p.union(p.select(col("dst"), col("src"), col("w")))
+  }
+
+  test("modularity_w/conductance_w (r18): weight-1 edges reproduce the unweighted engines exactly") {
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val pairs = k4a ++ k4b ++ Seq((4L, 5L))
+    val gw = symW(pairs.map { case (a, b) => (a, b, 1L) })
+    val goodLabels = (1L to 8L).map(n => (n, if (n <= 4) 1L else 5L))
+      .toDF("node", "label")
+    val qw = queries.GraphOps.modularityWOn(gw, goodLabels).collect()(0)
+    // the unweighted pin from the r17 fixture, verbatim
+    assert(qw.getAs[Long]("n_comms") === 2L)
+    assert(qw.getAs[Long]("w_total") === 13L)
+    assert(qw.getAs[Long]("q_micro") === 423076L)
+    val cw = queries.GraphOps.conductanceWOn(gw, goodLabels, 10).collect()
+    assert(cw.length === 2)
+    cw.foreach { r =>
+      assert(r.getAs[Long]("vol_w") === 13L)
+      assert(r.getAs[Long]("cut_w") === 1L)
+      assert(r.getAs[Long]("phi_micro") === 76923L)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("modularity_w (r18): heavier in-community edges raise Q — exact hand-computed pin") {
+    // bridge fixture with in-clique weight 3, bridge weight 1:
+    // A = 24·3 = 72, W2 = 72 + 2 = 74, dsum = 37/side, B = 2·37² = 2738
+    // ⟹ Q_w = 72/74 − 2738/5476 = 0.47297297…, floor-micros 472972 —
+    // strictly above the unweighted 423076 (the bridge's relative
+    // weight shrank).
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b, 3L)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b, 3L)
+    val gw = symW(k4a ++ k4b ++ Seq((4L, 5L, 1L)))
+    val goodLabels = (1L to 8L).map(n => (n, if (n <= 4) 1L else 5L))
+      .toDF("node", "label")
+    val qw = queries.GraphOps.modularityWOn(gw, goodLabels).collect()(0)
+    assert(qw.getAs[Long]("w_total") === 37L)
+    assert(qw.getAs[Long]("q_micro") === 472972L)
+    assert(qw.getAs[Long]("q_micro") > 423076L)
+    spark.catalog.clearCache()
+  }
+
+  test("refine (r18): a mislabeled bridge-fixture node moves home and Q strictly rises to the optimum pin") {
+    // node 4 mislabeled into the right clique's community: in-community
+    // directed edges A = 6 (triangle 123) + 12 (K4b) + 2 (bridge, both
+    // endpoints now in 5's community) = 20, dsum = (9, 17), B = 370 ⟹
+    // Q0 = 20/26 − 370/676 = 0.221893 (floor-micros 221893). The best
+    // move is 4 → home (ΔQ·M2² = 4·26 + 32 = 136 > 0); after it the
+    // partition is the r17 good-partition pin 423076 and the loop
+    // exhausts (no single move improves the optimum).
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val g = sym(k4a ++ k4b ++ Seq((4L, 5L)))
+    val badLabels = (1L to 8L).map(n => (n, if (n <= 3) 1L else 5L))
+      .toDF("node", "label")
+    val q0 = queries.GraphOps.modularityOn(g, badLabels)
+      .collect()(0).getAs[Long]("q_micro")
+    assert(q0 === 221893L)
+    val refined = queries.GraphOps.refineOn(g, badLabels, 6)
+    val q1 = queries.GraphOps.modularityOn(g, refined)
+      .collect()(0).getAs[Long]("q_micro")
+    assert(q1 === 423076L)
+    assert(q1 > q0, s"refine did not strictly raise Q: $q0 -> $q1")
+    // idempotence at the optimum: re-refining the refined partition
+    // is the identity (exhaustion on the first round)
+    val again = queries.GraphOps.refineOn(g, refined, 6)
+      .as[(Long, Long)].collect().toMap
+    assert(again === refined.as[(Long, Long)].collect().toMap)
+    spark.catalog.clearCache()
+  }
+
+  test("refine (r18): randomized law — engine == exact BigInt driver replay, and Q never decreases") {
+    val rnd = new scala.util.Random(42)
+    // the exact greedy trajectory, replayed driver-side in BigInt
+    def mirror(dir: Seq[(Long, Long)], labels0: Map[Long, Long],
+               moves: Int): Map[Long, Long] = {
+      var lab = labels0
+      val deg = dir.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+      val m2 = BigInt(dir.size)
+      var done = false
+      var r = 0
+      while (!done && r < moves) {
+        r += 1
+        val dsum = lab.toSeq.groupBy(_._2).map { case (l, ns) =>
+          l -> ns.map(x => deg.getOrElse(x._1, 0L)).sum }
+        val kv = dir.groupBy(e => (e._1, lab(e._2)))
+          .map { case (k, es) => k -> es.size.toLong }
+        val pos = kv.toSeq.collect {
+          case ((v, b), kvb) if b != lab(v) =>
+            val a = lab(v)
+            val kva = kv.getOrElse((v, a), 0L)
+            val da = BigInt(2) * (BigInt(kvb) - BigInt(kva))
+            val db = BigInt(2) * deg(v) * (BigInt(dsum(b)) - BigInt(dsum(a))) +
+              BigInt(2) * deg(v) * deg(v)
+            (da * m2 - db, v, b)
+        }.filter(_._1 > 0)
+        if (pos.isEmpty) done = true
+        else {
+          val best = pos.reduce { (x, y) =>
+            if (y._1 > x._1 || (y._1 == x._1 &&
+              (y._2 < x._2 || (y._2 == x._2 && y._3 < x._3)))) y else x
+          }
+          lab = lab.updated(best._2, best._3)
+        }
+      }
+      lab
+    }
+    (1 to 4).foreach { trial =>
+      val n = 8 + rnd.nextInt(5)
+      val und = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      if (und.nonEmpty) {
+        val dir = und ++ und.map { case (a, b) => (b, a) }
+        val nodes = dir.map(_._1).distinct
+        val lab0 = nodes.map(v => v -> (1L + rnd.nextInt(3))).toMap
+        val g = sym(und)
+        val l0df = lab0.toSeq.toDF("node", "label")
+        val q0 = queries.GraphOps.modularityOn(g, l0df)
+          .collect()(0).getAs[Long]("q_micro")
+        val refined = queries.GraphOps.refineOn(g, l0df, 5)
+        val got = refined.as[(Long, Long)].collect().toMap
+        val want = mirror(dir, lab0, 5)
+        assert(got === want, s"trial $trial diverged from the exact replay")
+        val q1 = queries.GraphOps.modularityOn(g, refined)
+          .collect()(0).getAs[Long]("q_micro")
+        assert(q1 >= q0, s"trial $trial: Q decreased $q0 -> $q1")
+        spark.catalog.clearCache()
+      }
+    }
+  }
 }
