@@ -100,4 +100,58 @@ object Bfs {
     dist.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("dist"))
   }
+
+  /** Multi-seed generalization of [[hops]] (r18): per-seed hop
+    * histograms for a CALLER-CHOSEN seed set, all seeds relaxed in ONE
+    * plan via a `seed` key column — k sources cost the same number of
+    * driver⇄executor barriers as one (the whole point at cluster
+    * scale; the per-round join fans out ∝ k·edges worst case, the
+    * standard multi-source Pregel cost, and stays one exchange).
+    * Same synchronous-relaxation contract, pair fusion, eager per-pair
+    * persist with O(1) cached footprint, and result-identical early
+    * exit as [[hops]] — the min-agg and frontier property hold per
+    * seed independently because `seed` rides every key.
+    *
+    * @param edges  symmetrized directed edge list (`src`, `dst`).
+    * @param seeds  (`seed`, `node`) start rows — typically seed == node;
+    *               distinct rows (duplicates would double-count the
+    *               histogram).
+    * @param rounds fixed relaxation rounds (≥ 0).
+    * @return (`seed`, `dist`, `n_nodes`) ordered by (seed, dist);
+    *         nodes beyond `rounds` hops of a seed are absent from that
+    *         seed's histogram. */
+  def hopsFrom(edges: DataFrame, seeds: DataFrame,
+               rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst")).persist()
+    e.count() // eager: every round's join reads it
+    var dist: DataFrame = seeds
+      .select(col("seed"), col("node"), lit(0L).as("d"))
+    def relax(d: DataFrame): DataFrame = d.unionByName(
+        e.join(d.select(col("seed"), col("node").as("sn"), col("d")),
+            col("src") === col("sn"))
+          .select(col("seed"), col("dst").as("node"),
+            (col("d") + 1L).as("d")))
+      .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+    var prev: DataFrame = null
+    var nReached = -1L // unknown until the first materialization
+    var settled = false
+    var r = 0
+    while (!settled && r < rounds) {
+      val step = math.min(2, rounds - r)
+      r += step
+      val cur = dist.persist()
+      val curCount = cur.count() // eager: join + union both read it
+      if (prev != null) prev.unpersist()
+      settled = curCount == nReached && r > step
+      nReached = curCount
+      if (!settled) {
+        dist = (1 to step).foldLeft(cur)((d, _) => relax(d))
+        prev = cur
+      } else prev = cur
+    }
+    dist.groupBy(col("seed"), col("d").as("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("seed"), col("dist"))
+  }
 }

@@ -47,6 +47,13 @@ object GraphOps {
     * margin the fixed-unroll contract wants. */
   private[graft] val BfsRounds = 6
 
+  /** q_graph_kbfs (r18): seed-set size — the top-KbfsSeeds nodes by
+    * degree ((deg desc, node asc) total tiebreak). 3 spans the graded
+    * graph's hub tier while keeping the per-round multi-source join
+    * fan-out (∝ seeds·edges worst case) a small constant multiple of
+    * the single-seed q_graph_bfs. */
+  private[graft] val KbfsSeeds = 3
+
   /** q_graph_cosim: hub cap on part degree (a part supplied by > cap
     * suppliers is a commodity — it says nothing about supplier
     * similarity and fans the pair join out by degree²; dropping it is
@@ -410,6 +417,26 @@ object GraphOps {
     // rounds AS MATERIALIZED.
     "q_graph_bfs" -> ((s, d) =>
       graft.operators.Bfs.hops(copurchaseEdges(s, d), BfsRounds)),
+
+    // k-seed BFS hop histograms (r18) — q_graph_bfs generalized from
+    // the min-id seed to the top-KbfsSeeds HUBS by degree ((deg desc,
+    // node asc) tiebreak — the closeness-checkpoint reading: per hub,
+    // how much of the graph sits at each hop?). All seeds relax in ONE
+    // plan via a seed key column (operators/Bfs.hopsFrom — k sources,
+    // the same 3 fused driver actions as one source; per-round shuffle
+    // ∝ seeds·edges worst case, the standard multi-source Pregel
+    // cost). Seed selection is a TakeOrderedAndProject over node-grain
+    // degrees — never a corpus sort. All-integer; unreached-within-cap
+    // absent per seed (documented, full reach ≤ 4 hops at graded sfs);
+    // oracle unrolls the identical rounds AS MATERIALIZED with the
+    // seed column riding every key.
+    "q_graph_kbfs" -> ((s, d) => {
+      val e = graft.Graft.eager(copurchaseEdges(s, d))
+      val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src").asc).limit(KbfsSeeds)
+        .select(col("src").as("seed"), col("src").as("node"))
+      graft.operators.Bfs.hopsFrom(e, seeds, BfsRounds)
+    }),
 
     // Resource-Allocation link prediction (r12): top-100 predicted
     // supplier links by hub-discounted shared-part mass — the
@@ -1425,6 +1452,33 @@ object GraphOps {
          |${(1 to BfsRounds).map(round).mkString(",\n")}
          |SELECT d AS dist, COUNT(*) AS n_nodes FROM bd$BfsRounds
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // The bfs unroll with the seed column riding every key; seeds =
+    // the (deg desc, node asc) top-k over the same edge set.
+    "q_graph_kbfs" -> {
+      def round(r: Int): String =
+        s"""bd$r AS MATERIALIZED (
+           |  SELECT seed, node, MIN(d) AS d FROM (
+           |    SELECT seed, node, d FROM bd${r - 1}
+           |    UNION ALL
+           |    SELECT p.seed, e.dst AS node, p.d + 1 AS d
+           |    FROM e JOIN bd${r - 1} p ON e.src = p.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li),
+         |e AS MATERIALIZED (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1),
+         |seeds AS (SELECT src AS seed FROM deg
+         |          ORDER BY dg DESC, src ASC LIMIT $KbfsSeeds),
+         |bd0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d
+         |        FROM seeds),
+         |${(1 to BfsRounds).map(round).mkString(",\n")}
+         |SELECT seed, d AS dist, COUNT(*) AS n_nodes FROM bd$BfsRounds
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     // True-degree weights attached by the same join that thins hubs;
     // 1000000 // pd is the engines' shared exact floor division.

@@ -87,6 +87,30 @@ class KCoreSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("kbfs (r18): multi-seed path-graph mirror — per-seed distances exact; one seed reproduces hops; early exit free") {
+    // path 1-2-3-4-5, seeds {1, 3}: from 1 one node per hop 0..4;
+    // from 3 the fan is (0→{3}, 1→{2,4}, 2→{1,5})
+    val g = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val seeds = Seq((1L, 1L), (3L, 3L)).toDF("seed", "node")
+    val out = operators.Bfs.hopsFrom(g, seeds, 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 1L), (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (3L, 0L, 1L), (3L, 1L, 2L), (3L, 2L, 2L)), s"got $out")
+    // extra rounds past full reach change nothing (early exit law)
+    val more = operators.Bfs.hopsFrom(g, seeds, 12)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(more === out)
+    // single-seed hopsFrom == hops on the same seed
+    val one = operators.Bfs
+      .hopsFrom(g, Seq((1L, 1L)).toDF("seed", "node"), 6)
+      .select(col("dist"), col("n_nodes"))
+      .as[(Long, Long)].collect().toSeq
+    val ref = operators.Bfs.hops(g, 6).as[(Long, Long)].collect().toSeq
+    assert(one === ref)
+    spark.catalog.clearCache()
+  }
+
   test("LabelProp: disjoint triangles each converge to one community; a bridge does not merge them in 3 rounds") {
     // triangles {1,2,3} and {11,12,13}, bridged by one 3–11 edge
     val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),
