@@ -106,16 +106,42 @@ object MultimodalOps {
     * chunks combine map-side), then ∝ kinds. */
   private[graft] def cdcDedupOn(docs: DataFrame): DataFrame = {
     val p = col("payload")
+    cdcChunkRows(
+      docs
+        .filter(length(p) >= 1)
+        .select(
+          when(byteVal(p, 1) % 3 === 0, "image")
+            .when(byteVal(p, 1) % 3 === 1, "audio")
+            .otherwise("video").as("kind_stub"),
+          col("payload")),
+      Seq("kind_stub"))
+      .groupBy(col("kind_stub"), col("h"))
+      .agg(count(lit(1)).as("copies"), max(col("nb")).as("nb"))
+      .groupBy(col("kind_stub"))
+      .agg(sum(col("copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("copies") - 1).as("n_dups"),
+        sum((col("copies") - 1) * col("nb")).as("bytes_dedupable"))
+      .orderBy(col("kind_stub"))
+  }
+
+  /** The per-row CDC chunk projection shared by [[cdcDedupOn]] and the
+    * streaming ingest probe
+    * ([[graft.streaming.StreamOps.cdcIngestProbe]]): expects a binary
+    * `payload` column (empty payloads filtered here — Spark's
+    * sequence() would descend, not empty out), carries `carry` columns
+    * through, and emits one row per chunk with its md5 `h` and byte
+    * length `nb`. A PURE per-row map (cut scan O(bytes·window), chunk
+    * explode ∝ bytes∕avg_chunk) — stateless and therefore
+    * streaming-safe with no watermark or state store. */
+  private[graft] def cdcChunkRows(docs: DataFrame,
+                                  carry: Seq[String]): DataFrame = {
     val terms = (0 until CdcWindow).map(j =>
       s"CAST(conv(hex(substring(payload, i - $j, 1)), 16, 10) AS BIGINT)" +
         s" * ${BigInt(CdcBase).pow(j)}").mkString(" + ")
+    val cc = carry.map(col)
     docs
-      .filter(length(p) >= 1)
-      .select(
-        when(byteVal(p, 1) % 3 === 0, "image")
-          .when(byteVal(p, 1) % 3 === 1, "audio")
-          .otherwise("video").as("kind_stub"),
-        col("payload"))
+      .filter(length(col("payload")) >= 1)
       // sequence(w, max(n, w)) never descends; i < n drops the no-op
       // cut at n; short docs filter to zero cuts = one whole-doc chunk
       .withColumn("cuts", expr(
@@ -126,22 +152,14 @@ object MultimodalOps {
       .withColumn("bounds", expr(
         """concat(array(CAST(0 AS BIGINT)), cuts,
              array(CAST(length(payload) AS BIGINT)))"""))
-      .select(col("kind_stub"), explode(expr(
+      .select(cc :+ explode(expr(
         """transform(sequence(2, size(bounds)), k ->
              substring(payload,
                CAST(element_at(bounds, k - 1) + 1 AS INT),
                CAST(element_at(bounds, k) - element_at(bounds, k - 1)
-                    AS INT)))""")).as("chunk"))
-      .select(col("kind_stub"), md5(col("chunk")).as("h"),
-        length(col("chunk")).cast("long").as("nb"))
-      .groupBy(col("kind_stub"), col("h"))
-      .agg(count(lit(1)).as("copies"), max(col("nb")).as("nb"))
-      .groupBy(col("kind_stub"))
-      .agg(sum(col("copies")).as("n_chunks"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("copies") - 1).as("n_dups"),
-        sum((col("copies") - 1) * col("nb")).as("bytes_dedupable"))
-      .orderBy(col("kind_stub"))
+                    AS INT)))""")).as("chunk"): _*)
+      .select(cc :+ md5(col("chunk")).as("h")
+        :+ length(col("chunk")).cast("long").as("nb"): _*)
   }
 
   /** The (kind_stub, byte_val, cnt) first-16-bytes histogram shared by

@@ -1215,6 +1215,40 @@ object StreamOps {
         col("band") === col("cband") && col("bkey") === col("cbkey"))
       .select(col("doc_id"), col("corpus_doc"), col("band"))
 
+  /** Streaming CDC-chunk ingest probe (r18) — the content-defined
+    * sibling of [[neardupIngestProbe]]/[[winnowIngestProbe]]: arriving
+    * payloads chunk per-row with q_mm_cdc's rolling-hash cut rule
+    * ([[graft.queries.MultimodalOps.cdcChunkRows]] — a pure stateless
+    * projection, ZERO streaming state, no watermark) and stream-static
+    * equi-join a standing corpus chunk index on the chunk hash.
+    * Because CDC boundaries REALIGN across insertion-shifted copies, a
+    * shifted re-upload collides with its original — the dedup catch
+    * fixed-size blocks structurally miss — while an unrelated payload
+    * shares nothing. Emits one row per (new doc, corpus doc, shared
+    * chunk hash); the ≥-k-shared decision and any cluster fold compose
+    * downstream (foreachBatch / [[ccIncrementalFold]]) — the
+    * minhash-probe contract that keeps THIS stage stateless at any
+    * corpus size. The same call evaluates in batch mode unchanged
+    * (parity-pinned).
+    *
+    * @param newDocs     (doc_id, payload binary) — streaming or batch.
+    * @param corpusIndex (doc_id, h) distinct chunk hashes per standing
+    *                    corpus doc, from [[cdcChunkIndex]]. */
+  def cdcIngestProbe(newDocs: DataFrame, corpusIndex: DataFrame): DataFrame =
+    graft.queries.MultimodalOps.cdcChunkRows(newDocs, Seq("doc_id"))
+      .join(corpusIndex.select(col("doc_id").as("corpus_doc"),
+          col("h").as("ch")),
+        col("h") === col("ch"))
+      .select(col("doc_id"), col("corpus_doc"), col("h"))
+
+  /** Standing corpus chunk index for [[cdcIngestProbe]]: one row per
+    * (corpus doc, DISTINCT chunk hash) — duplicates within a doc
+    * collapse so a probe hit names each (new, corpus) doc pair once
+    * per shared content region, not once per repeat. */
+  def cdcChunkIndex(corpus: DataFrame): DataFrame =
+    graft.queries.MultimodalOps.cdcChunkRows(corpus, Seq("doc_id"))
+      .select(col("doc_id"), col("h")).distinct()
+
   /** Streaming winnow-ingest probe (r12) — [[neardupIngestProbe]]'s
     * sibling on the winnow index (q_llm_winnowdup's scheme instead of
     * MinHash banding): arriving docs sketch to winnow fingerprints

@@ -2512,6 +2512,57 @@ class StreamingParitySuite extends SparkSuite {
     assert(streamed.sorted.toSeq === batch.sorted.toSeq)
   }
 
+  test("streaming CDC ingest: chunk probe == batch probe; shifted copy collides, unrelated payload does not") {
+    // the q_mm_cdc fixture generator: deterministic printable bytes
+    def scrambled(tag: String, n: Int) = (1 to n).map(i =>
+      (33 + (math.abs(s"$tag-$i".hashCode) % 90)).toChar).mkString
+    val base = scrambled("cdc-ingest", 600)
+    val corpus = Seq(
+      (1L, base),
+      (2L, scrambled("cdc-other", 500))) // unrelated standing doc
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+      .select("doc_id", "payload")
+    val index = graft.streaming.StreamOps.cdcChunkIndex(corpus)
+    val newDocs = Seq(
+      (100L, "ZZZ" + base), // insertion-shifted copy of 1
+      (101L, scrambled("cdc-novel", 400))) // unrelated upload
+    val ms = MemoryStream[(Long, String)](spark)
+    val probed = graft.streaming.StreamOps.cdcIngestProbe(
+      ms.toDF().toDF("doc_id", "text")
+        .withColumn("payload", col("text").cast("binary"))
+        .select("doc_id", "payload"),
+      index)
+    val q = probed.writeStream.format("memory").queryName("cdc_ingest")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(newDocs.head))
+      q.processAllAvailable()
+      ms.addData(Seq(newDocs(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cdc_ingest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nominated = streamed.map(t => (t._1, t._2)).distinct.toSet
+    // CDC realignment: the shifted copy shares chunks with its
+    // original once boundaries resync past the insertion
+    assert(nominated.contains((100L, 1L)),
+      s"shifted copy missed its original: $nominated")
+    // distinct scrambles share no content → no cross hits
+    assert(!nominated.contains((100L, 2L)), s"false hit: $nominated")
+    assert(!nominated.exists(_._1 == 101L),
+      s"unrelated payload nominated: $nominated")
+    // batch evaluation of the SAME call is identical row-for-row
+    val batch = graft.streaming.StreamOps.cdcIngestProbe(
+      newDocs.toDF("doc_id", "text")
+        .withColumn("payload", col("text").cast("binary"))
+        .select("doc_id", "payload"),
+      index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(streamed.sorted.toSeq === batch.sorted.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("streaming winnow ingest: fingerprint probe == batch probe; shared-run doc nominates, unrelated and boilerplate-capped do not") {
     // winnow sibling of the LSH band probe: arriving docs sketch
     // stateless and stream-static join the capped posting index
