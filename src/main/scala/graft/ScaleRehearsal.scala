@@ -575,6 +575,133 @@ object ScaleRehearsal {
           s"edge count drifted at n=$n: $r")
         n
       }
+      // q_graph_conductance's fold on the SAME planted ring+tails
+      // graph + parity labels (r18, verdict item 4: the join-back
+      // sibling with no measured curve). Claim: identical shape to
+      // modularity_fold — two label join-backs (shuffle ∝ edges) + a
+      // community-grain agg + a node-count agg — time/shuffle ≲
+      // linear at ×10; truth: exactly 2 parity communities out, total
+      // volume = all 2n directed edges.
+      if (want("conductance_fold")) time("conductance_fold", n) {
+        val m = n / 100L
+        val ring = spark.range(m).select(col("id").as("a"),
+          pmod(col("id") + 1L, lit(m)).as("b"))
+        val tails = spark.range(m, n).select(col("id").as("a"),
+          pmod(col("id"), lit(m)).as("b"))
+        val edges = sym(ring.union(tails))
+        val labels = spark.range(n).select(col("id").as("node"),
+          pmod(col("id"), lit(2L)).as("label"))
+        val out = graft.queries.GraphOps
+          .conductanceOn(edges, labels, 10).collect()
+        require(out.length == 2 &&
+          out.map(_.getAs[Long]("vol_deg")).sum == 2L * n,
+          s"conductance planted truth drifted at n=$n: ${out.mkString(";")}")
+        n
+      }
+      // q_graph_richclub's double degree join-back on a planted
+      // hub-club graph (r18, verdict item 4): m = n/100 hubs in a
+      // ±1/±2 ring (4 hub-hub edges each) with the other n−m nodes as
+      // leaves hanging off hub id%m (hub degree ≈ 4 + n/m ≈ 104,
+      // leaf degree 1). At checkpoint k=50 ONLY hubs qualify: N = m,
+      // E2 = the 4m directed hub-hub edges — the planted club truth;
+      // k=10·n/m is above every degree → empty club (NULL φ). Claim:
+      // per-node degree agg + TWO edge join-backs + one conditional
+      // fold for all checkpoints — shuffle ∝ edges, time ≲ linear at
+      // ×10, output 2 rows forever.
+      if (want("richclub_deg")) time("richclub_deg", n) {
+        val m = n / 100L
+        val ring = spark.range(m).select(col("id").as("a"),
+            pmod(col("id") + 1L, lit(m)).as("b"))
+          .union(spark.range(m).select(col("id").as("a"),
+            pmod(col("id") + 2L, lit(m)).as("b")))
+        val tails = spark.range(m, n).select(col("id").as("a"),
+          pmod(col("id"), lit(m)).as("b"))
+        val out = graft.queries.GraphOps
+          .richclubOn(sym(ring.union(tails)), Seq(50L, 10L * n / m))
+          .collect().map(r => r.getAs[Long]("k") -> r).toMap
+        require(out(50L).getAs[Long]("n_nodes") == m &&
+          out(50L).getAs[Long]("n_edges_dir") == 4L * m,
+          s"club truth drifted at n=$n: ${out.mkString(";")}")
+        require(out(10L * n / m).getAs[Long]("n_nodes") == 0L,
+          s"empty club not empty at n=$n")
+        n
+      }
+      // q_graph_modularity_w's weighted fold (r18 newcomer): the
+      // modularity_fold graph with integer weights 1 + id%3 riding the
+      // edges. Claim: identical join-back shape (the weight is one
+      // extra summed column, zero extra shuffles); truth: 2 parity
+      // communities.
+      if (want("modularityw_fold")) time("modularityw_fold", n) {
+        val m = n / 100L
+        val ring = spark.range(m).select(col("id").as("a"),
+          pmod(col("id") + 1L, lit(m)).as("b"),
+          (pmod(col("id"), lit(3L)) + 1L).as("w"))
+        val tails = spark.range(m, n).select(col("id").as("a"),
+          pmod(col("id"), lit(m)).as("b"),
+          (pmod(col("id"), lit(3L)) + 1L).as("w"))
+        val e = ring.union(tails)
+        val edges = e.select(col("a").as("src"), col("b").as("dst"),
+            col("w"))
+          .union(e.select(col("b").as("src"), col("a").as("dst"),
+            col("w")))
+        val labels = spark.range(n).select(col("id").as("node"),
+          pmod(col("id"), lit(2L)).as("label"))
+        val r = graft.queries.GraphOps.modularityWOn(edges, labels)
+          .collect()(0)
+        require(r.getAs[Long]("n_comms") == 2L,
+          s"parity communities drifted at n=$n: $r")
+        n
+      }
+      // q_graph_refine's per-move cost (r18 newcomer): 2 argmax moves
+      // on the planted ring+tails graph from the parity start. Claim:
+      // each move is ONE edges-shuffle scoring pass (labels join +
+      // per-(node, target) agg) + a 1-row argmax — time/shuffle ≲
+      // linear in edges at ×10, rounds bounded; truth: Q never
+      // decreases across the pass (the in-unit law, held at scale).
+      if (want("refine_move")) time("refine_move", n) {
+        val m = n / 100L
+        val ring = spark.range(m).select(col("id").as("a"),
+          pmod(col("id") + 1L, lit(m)).as("b"))
+        val tails = spark.range(m, n).select(col("id").as("a"),
+          pmod(col("id"), lit(m)).as("b"))
+        val edges = sym(ring.union(tails))
+        val labels = spark.range(n).select(col("id").as("node"),
+          pmod(col("id"), lit(2L)).as("label"))
+        val q0 = graft.queries.GraphOps.modularityOn(edges, labels)
+          .collect()(0).getAs[Long]("q_micro")
+        val refined = graft.queries.GraphOps.refineOn(edges, labels, 2)
+        val q1 = graft.queries.GraphOps.modularityOn(edges, refined)
+          .collect()(0).getAs[Long]("q_micro")
+        require(q1 >= q0, s"Q decreased at n=$n: $q0 -> $q1")
+        n
+      }
+      // q_graph_kbfs's multi-seed relaxation (r18 newcomer) on the
+      // bfs_hops star-of-stars with TWO seeds (the root hub + one mid
+      // hub) in one plan. Claim: per-round cost ∝ seeds·edges incident
+      // to the reached sets, same fused driver actions as one seed —
+      // ×10 ≲ linear; truth: the root's histogram is the exact
+      // (1, m, n−1−m) plant and BOTH seeds reach all n nodes within
+      // the cap.
+      if (want("kbfs_hops")) time("kbfs_hops", n) {
+        val m = n / 1000L
+        val mids = spark.range(1L, m + 1).select(lit(0L).as("a"),
+          col("id").as("b"))
+        val leaves = spark.range(m + 1, n).select(
+          (pmod(col("id"), lit(m)) + 1L).as("a"), col("id").as("b"))
+        val seeds = Seq((0L, 0L), (1L, 1L)).toDF("seed", "node")
+        val out = graft.operators.Bfs
+          .hopsFrom(sym(mids.union(leaves)), seeds, 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        require(out((0L, 0L)) == 1L && out((0L, 1L)) == m &&
+          out((0L, 2L)) == n - 1 - m,
+          s"root histogram drifted at n=$n: $out")
+        Seq(0L, 1L).foreach { s =>
+          val reach = out.collect { case ((`s`, _), c) => c }.sum
+          require(reach == n, s"seed $s reached $reach of $n at n=$n")
+        }
+        n
+      }
       if (want("srcsim_exact")) time("srcsim_exact", n) {
         val srcDocs = spark.range(n).select(
           col("id").as("doc_id"),
