@@ -1436,4 +1436,77 @@ object Graft {
   def cdcDedup(df: DataFrame, payloadCol: String): DataFrame =
     graft.queries.MultimodalOps.cdcDedupOn(
       df.select(col(payloadCol).as("payload")))
+
+  /** Multi-seed BFS hop histograms over a ONE-DIRECTIONAL undirected
+    * edge list (symmetrized internally; graded q_graph_kbfs's engine):
+    * per-seed (dist, n_nodes) within `rounds` hops, all seeds relaxed
+    * in one plan — see [[graft.operators.Bfs.hopsFrom]] for the
+    * fixed-unroll contract. Returns (seed, dist, n_nodes). */
+  def kSeedBfs(edges: DataFrame, srcCol: String, dstCol: String,
+               seedIds: Seq[Long], rounds: Int = 6): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val g = e.union(
+      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // seed ids absent from the graph are dropped (a phantom seed would
+    // otherwise report itself at distance 0) — empty graph ⟹ empty
+    // result, the Bfs.hops empty-edge convention
+    val seeds = seedIds.distinct.map(i => (i, i)).toDF("seed", "node")
+      .join(g.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_semi")
+    graft.operators.Bfs.hopsFrom(g, seeds, rounds)
+  }
+
+  /** Greedy modularity refinement of a node partition (graded
+    * q_graph_refine's engine): up to `moves` exact-integer argmax
+    * single-node moves, each provably ΔQ > 0 — Q never decreases.
+    * Self-loops dropped before symmetrizing (the [[modularity]]
+    * convention). Returns the refined (nodeCol, labelCol) frame with
+    * the caller's column names. */
+  def refineCommunities(edges: DataFrame, srcCol: String, dstCol: String,
+                        labels: DataFrame, nodeCol: String,
+                        labelCol: String, moves: Int = 6): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.queries.GraphOps.refineOn(
+        e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct(),
+        labels.select(col(nodeCol).as("node"), col(labelCol).as("label")),
+        moves)
+      .select(col("node").as(nodeCol), col("label").as(labelCol))
+  }
+
+  /** Weighted Newman modularity over a ONE-DIRECTIONAL undirected edge
+    * list carrying an integer weight column (graded
+    * q_graph_modularity_w's engine; weight-1 reproduces
+    * [[modularity]]). Self-loops dropped before symmetrizing. Returns
+    * one row (n_comms, w_total, q_micro, q_modularity). */
+  def modularityWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                         wCol: String, labels: DataFrame, nodeCol: String,
+                         labelCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .filter(col("src") =!= col("dst"))
+    graft.queries.GraphOps.modularityWOn(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+        col("w"))).distinct(),
+      labels.select(col(nodeCol).as("node"), col(labelCol).as("label")))
+  }
+
+  /** Weighted per-community conductance (graded q_graph_conductance_w's
+    * engine; weight-1 reproduces [[conductance]]). Self-loops dropped
+    * before symmetrizing. Returns (label, n_nodes, vol_w, cut_w,
+    * phi_micro, conductance) for the k largest communities. */
+  def conductanceWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                          wCol: String, labels: DataFrame, nodeCol: String,
+                          labelCol: String, k: Int = 10): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .filter(col("src") =!= col("dst"))
+    graft.queries.GraphOps.conductanceWOn(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+        col("w"))).distinct(),
+      labels.select(col(nodeCol).as("node"), col(labelCol).as("label")), k)
+  }
 }

@@ -438,6 +438,37 @@ object GraphOps {
       graft.operators.Bfs.hopsFrom(e, seeds, BfsRounds)
     }),
 
+    // Closeness-centrality checkpoints (r18) — the FOLD of
+    // q_graph_kbfs's per-seed distances into the classic hub-quality
+    // number: closeness(s) = (reached−1) ∕ Σ dist (Bavelas' inverse
+    // average distance, restricted to the reached component — the
+    // standard finite-graph reading; full reach ≤ 4 hops here so the
+    // restriction is vacuous at graded sfs). Answers "which hub sits
+    // closest to everything" where kbfs shows the whole fan-out
+    // profile. Same top-degree seeds, same hopsFrom unroll (the
+    // oracle replays it verbatim); the fold is a seed-grain hash agg
+    // over the ≤ seeds·rounds histogram rows — free. Determinism:
+    // reach/sum_dist exact integers; closeness FLOOR-quantized to
+    // micros ((reached−1)·10⁶ div sum_dist, non-negative ⟹ `div` ≡
+    // `//`), ONE IEEE division for the double; NULL-guarded when
+    // sum_dist = 0 (a seed with no reachable neighbor).
+    "q_graph_closeness" -> ((s, d) => {
+      val e = graft.Graft.eager(copurchaseEdges(s, d))
+      val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src").asc).limit(KbfsSeeds)
+        .select(col("src").as("seed"), col("src").as("node"))
+      graft.operators.Bfs.hopsFrom(e, seeds, BfsRounds)
+        .groupBy(col("seed"))
+        .agg(sum(col("n_nodes")).as("n_reached"),
+          sum(col("dist") * col("n_nodes")).as("sum_dist"))
+        .withColumn("closeness_micro", when(col("sum_dist") > 0,
+          expr("""cast((cast(n_reached - 1 as decimal(38,0)) * 1000000)
+                  div sum_dist as bigint)""")))
+        .withColumn("closeness",
+          col("closeness_micro").cast("double") / lit(1000000.0))
+        .orderBy(col("seed"))
+    }),
+
     // Resource-Allocation link prediction (r12): top-100 predicted
     // supplier links by hub-discounted shared-part mass — the
     // recommendation sibling of q_graph_cosim that weights each shared
@@ -1479,6 +1510,44 @@ object GraphOps {
          |${(1 to BfsRounds).map(round).mkString(",\n")}
          |SELECT seed, d AS dist, COUNT(*) AS n_nodes FROM bd$BfsRounds
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // The kbfs unroll + the seed-grain closeness fold (non-negative
+    // HUGEINT floor division ≡ Spark's div).
+    "q_graph_closeness" -> {
+      def round(r: Int): String =
+        s"""bd$r AS MATERIALIZED (
+           |  SELECT seed, node, MIN(d) AS d FROM (
+           |    SELECT seed, node, d FROM bd${r - 1}
+           |    UNION ALL
+           |    SELECT p.seed, e.dst AS node, p.d + 1 AS d
+           |    FROM e JOIN bd${r - 1} p ON e.src = p.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li),
+         |e AS MATERIALIZED (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1),
+         |seeds AS (SELECT src AS seed FROM deg
+         |          ORDER BY dg DESC, src ASC LIMIT $KbfsSeeds),
+         |bd0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d
+         |        FROM seeds),
+         |${(1 to BfsRounds).map(round).mkString(",\n")},
+         |f AS (
+         |  SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |    CAST(SUM(d) AS BIGINT) AS sum_dist
+         |  FROM bd$BfsRounds GROUP BY 1)
+         |SELECT seed, n_reached, sum_dist,
+         |  CASE WHEN sum_dist > 0 THEN
+         |    CAST((CAST(n_reached - 1 AS HUGEINT) * 1000000)
+         |      // sum_dist AS BIGINT) END AS closeness_micro,
+         |  CAST(CASE WHEN sum_dist > 0 THEN
+         |    CAST((CAST(n_reached - 1 AS HUGEINT) * 1000000)
+         |      // sum_dist AS BIGINT) END AS DOUBLE) / 1000000.0
+         |    AS closeness
+         |FROM f ORDER BY seed""".stripMargin
     },
     // True-degree weights attached by the same join that thins hubs;
     // 1000000 // pd is the engines' shared exact floor division.

@@ -899,6 +899,27 @@ class GraftFacadeSuite extends SparkSuite {
           r(0).getLong(1) === 0L && r(0).isNullAt(2) && r(0).isNullAt(3))
         spark.emptyDataFrame
       }),
+      // r18 facade entries
+      "kSeedBfs" -> (() => Graft.kSeedBfs(emptyPairs, "a", "b", Seq(1L))),
+      "refineCommunities" -> (() => Graft.refineCommunities(
+        emptyPairs, "a", "b",
+        Seq.empty[(Long, Long)].toDF("id", "community"),
+        "id", "community", 2)),
+      "conductanceWeighted" -> (() => Graft.conductanceWeighted(
+        Seq.empty[(Long, Long, Long)].toDF("a", "b", "wt"), "a", "b", "wt",
+        Seq.empty[(Long, Long)].toDF("id", "community"),
+        "id", "community")),
+      "modularityWeighted" -> (() => {
+        // 1-row degenerate (the modularityOn null-guard contract):
+        // zero communities, NULL totals — assert instead of emptiness
+        val r = Graft.modularityWeighted(
+          Seq.empty[(Long, Long, Long)].toDF("a", "b", "wt"), "a", "b",
+          "wt", Seq.empty[(Long, Long)].toDF("id", "community"),
+          "id", "community").collect()
+        assert(r.length === 1 && r(0).getLong(0) === 0L &&
+          r(0).isNullAt(2))
+        spark.emptyDataFrame
+      }),
       "welchAbTest" -> (() => {
         // 1-row degenerate pivot is the contract (the abtest shape):
         // zero counts, NULL means/t — assert that instead of emptiness
@@ -1244,6 +1265,50 @@ class GraftFacadeSuite extends SparkSuite {
     phi.foreach { r =>
       assert(r.getAs[Long]("vol_deg") === 7L)
       assert(r.getAs[Long]("cut_deg") === 1L)
+      assert(r.getAs[Long]("phi_micro") === 142857L)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("r18 facades: kSeedBfs, refineCommunities, and weighted modularity/conductance carry caller column names") {
+    // kSeedBfs: path 1-2-3-4-5 from seeds {1, 3} over one-directional
+    // input with custom column names
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val kb = Graft.kSeedBfs(path, "u", "v", Seq(1L, 3L), 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(kb === Seq(
+      (1L, 0L, 1L), (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (3L, 0L, 1L), (3L, 1L, 2L), (3L, 2L, 2L)), s"got $kb")
+    // refineCommunities: the mislabeled bridge fixture (one-directional
+    // input + a self-loop that must be ignored); node 4 moves home
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val bridge = (k4a ++ k4b ++ Seq((4L, 5L), (1L, 1L))).toDF("u", "v")
+    val bad = (1L to 8L).map(n => (n, if (n <= 3) 1L else 5L))
+      .toDF("id", "community")
+    val refined = Graft
+      .refineCommunities(bridge, "u", "v", bad, "id", "community")
+    assert(refined.columns.toSeq === Seq("id", "community"))
+    val q1 = Graft.modularity(bridge, "u", "v", refined, "id", "community")
+      .collect()(0).getAs[Long]("q_micro")
+    assert(q1 === 423076L, s"refined partition not at the optimum: $q1")
+    // weighted facades at weight 1 == the r17 unweighted facade pins
+    // (two bridged triangles: Q = 357142, phi = 142857 micros)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L))
+      .toDF("u", "v").withColumn("wt", lit(1L))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (11L, 11L), (12L, 11L), (13L, 11L)).toDF("id", "community")
+    val qw = Graft.modularityWeighted(tri, "u", "v", "wt",
+      labels, "id", "community").collect()(0)
+    assert(qw.getAs[Long]("w_total") === 7L)
+    assert(qw.getAs[Long]("q_micro") === 357142L)
+    val pw = Graft.conductanceWeighted(tri, "u", "v", "wt",
+      labels, "id", "community").collect()
+    assert(pw.length === 2)
+    pw.foreach { r =>
+      assert(r.getAs[Long]("vol_w") === 7L)
+      assert(r.getAs[Long]("cut_w") === 1L)
       assert(r.getAs[Long]("phi_micro") === 142857L)
     }
     spark.catalog.clearCache()
