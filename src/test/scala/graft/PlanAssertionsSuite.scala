@@ -108,7 +108,11 @@ class PlanAssertionsSuite extends SparkSuite {
       "q_agg_ams", "q_event_amsjoin",
       // r17: global fold over the community table — single row by
       // construction (the assort/ams shape)
-      "q_graph_modularity")
+      "q_graph_modularity",
+      // r18: the weighted fold (same shape) and the refine output
+      // (global fold × 1-row broadcast base score) — single row by
+      // construction
+      "q_graph_modularity_w", "q_graph_refine")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !singleRow(name) =>
         val r = if (ordered(fn(spark, sf).queryExecution.analyzed)) None
@@ -1252,6 +1256,51 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!pc.contains("CartesianProduct"), s"corenum cartesian:\n$pc")
     assert(pc.contains("Scan ExistingRDD") && !pc.contains("FileScan"),
       s"corenum result not off checkpointed rounds:\n$pc")
+    spark.catalog.clearCache()
+  }
+
+  test("q_graph_modularity_w / q_graph_conductance_w (r18): the weighted folds keep the r17 plan shapes — equi join-backs, no cartesian") {
+    val pm = planString(q("q_graph_modularity_w"))
+    assert(!pm.contains("CartesianProduct"), s"modularity_w cartesian:\n$pm")
+    assert(pm.contains("InMemoryTableScan"),
+      s"modularity_w does not read the eager caches:\n$pm")
+    spark.catalog.clearCache()
+    val pc = planString(q("q_graph_conductance_w"))
+    assert(!pc.contains("CartesianProduct"),
+      s"conductance_w cartesian:\n$pc")
+    assert(pc.contains("TakeOrderedAndProject"),
+      s"conductance_w top-k is not TakeOrdered:\n$pc")
+    spark.catalog.clearCache()
+  }
+
+  test("q_graph_kbfs / q_graph_closeness (r18): multi-seed rounds run eagerly — returned plans read the materialized distance state") {
+    // the bfs pin generalized: hopsFrom materializes every fused pair
+    // of rounds, so the RETURNED plan is the histogram/closeness fold
+    // over the eagerly-persisted distance table — never a corpus
+    // re-derivation
+    val pk = planString(q("q_graph_kbfs"))
+    assert(!pk.contains("CartesianProduct"), s"kbfs cartesian:\n$pk")
+    assert(pk.contains("InMemoryTableScan"),
+      s"kbfs result does not read the eager cache:\n$pk")
+    spark.catalog.clearCache()
+    val pc = planString(q("q_graph_closeness"))
+    assert(!pc.contains("CartesianProduct"), s"closeness cartesian:\n$pc")
+    assert(pc.contains("InMemoryTableScan"),
+      s"closeness result does not read the eager cache:\n$pc")
+    assert(!pc.contains("Window"), s"closeness grew a window:\n$pc")
+    spark.catalog.clearCache()
+  }
+
+  test("q_graph_refine (r18): the returned plan is the modularity fold of checkpointed labels x a 1-row broadcast base score — no cartesian, no window") {
+    // the move loop runs eagerly in the lambda (the corenum
+    // precedent); the returned plan folds the final localCheckpointed
+    // label table (LogicalRDD) against the eagerly-cached edge list,
+    // with the base score attached as a 1-row broadcast
+    val p = planString(q("q_graph_refine"))
+    assert(!p.contains("CartesianProduct"), s"refine cartesian:\n$p")
+    assert(!p.contains("Window"), s"refine grew a window:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"refine result not off checkpointed labels:\n$p")
     spark.catalog.clearCache()
   }
 }
