@@ -1437,6 +1437,17 @@ object Graft {
     graft.queries.MultimodalOps.cdcDedupOn(
       df.select(col(payloadCol).as("payload")))
 
+  /** Hapax/dis legomena vocabulary profile per group (graded
+    * q_text_hapax's engine): the share of a group's vocabulary seen
+    * exactly once — hapax-heavy = open∕noisy vocabulary, hapax-poor =
+    * closed boilerplate. Returns (group, n_tokens, n_types, n_hapax,
+    * n_dis, hapax_micro, hapax_share). */
+  def hapaxProfile(df: DataFrame, groupCol: String,
+                   textCol: String): DataFrame =
+    graft.queries.TextOps.hapaxOn(
+        df.select(col(groupCol).as("source"), col(textCol).as("text")))
+      .withColumnRenamed("source", groupCol)
+
   /** Multi-seed BFS hop histograms over a ONE-DIRECTIONAL undirected
     * edge list (symmetrized internally; graded q_graph_kbfs's engine):
     * per-seed (dist, n_nodes) within `rounds` hops, all seeds relaxed

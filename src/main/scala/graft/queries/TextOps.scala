@@ -163,6 +163,24 @@ object TextOps {
       yulekOn(T.documents(s, d).select(col("source"), col("text")))
         .orderBy(col("source"))),
 
+    // Hapax/dis legomena profile per source (r18) — the PRODUCTIVITY
+    // coordinate of the lexical family (Baayen's P is hapax∕tokens;
+    // this ships the share of VOCABULARY seen exactly once, plus the
+    // dis count that trends it): TTR scores size-biased richness,
+    // Yule's K repetitiveness, Heaps the growth curve — hapax share
+    // says how much singleton TAIL a source carries (hapax-heavy =
+    // open vocabulary∕noise∕typos, the rows a min-df filter would
+    // drop; hapax-poor = closed template∕boilerplate vocabulary).
+    // Same tokenization and (source, word) collapse as q_text_yulek;
+    // the per-source fold conditional-sums the count column directly
+    // (no frequency-of-frequencies detour — one agg fewer). Exact
+    // integers end to end; share FLOOR-micros (DECIMAL(38,0)∕HUGEINT,
+    // non-negative ⟹ `div` ≡ `//`), ONE IEEE division; shuffle ∝
+    // distinct (source, word), never tokens.
+    "q_text_hapax" -> ((s, d) =>
+      hapaxOn(T.documents(s, d).select(col("source"), col("text")))
+        .orderBy(col("source"))),
+
     // Heaps-law vocabulary-growth checkpoints (r17; Heaps 1978) — the
     // corpus-SIZE axis the lexical family lacks: q_text_vocab scores
     // the endpoint, Yule's K is size-invariant; this ships V(N) at
@@ -689,6 +707,26 @@ object TextOps {
             * col("n_tokens").cast("double")), 6).as("yule_k"))
   }
 
+  /** q_text_hapax's engine over any (source, text) frame — see the
+    * registration comment; extracted for the hand fixture and the
+    * [[graft.Graft.hapaxProfile]] facade. */
+  private[graft] def hapaxOn(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c").cast(dec)).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .withColumn("hapax_micro", when(col("n_types") > 0,
+        expr(s"""cast((cast(n_hapax as $dec) * 1000000) div n_types
+                 as bigint)""")))
+      .withColumn("hapax_share",
+        col("hapax_micro").cast("double") / lit(1000000.0))
+  }
+
   private[graft] def rarityOn(docs: DataFrame): DataFrame = {
     val pairs = docs.select(col("doc_id"),
       explode(array_distinct(toks)).as("word"))
@@ -885,6 +923,30 @@ object TextOps {
           FROM wc GROUP BY lang ORDER BY lang""",
     // The identical two collapses and exact HUGEINT power sums; the
     // same one-expression double chain, 6dp.
+    // The yulek collapse with the fold conditional-summing the count
+    // column directly; HUGEINT floor-micros for the share.
+    "q_text_hapax" ->
+      s"""WITH wc AS (
+            SELECT source, word, COUNT(*) AS c
+            FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+                  FROM $doc)
+            GROUP BY source, word),
+          ps AS (
+            SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+              SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+              SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n_dis
+            FROM wc GROUP BY source)
+          SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+            CAST(n_types AS BIGINT) AS n_types,
+            CAST(n_hapax AS BIGINT) AS n_hapax,
+            CAST(n_dis AS BIGINT) AS n_dis,
+            CASE WHEN n_types > 0 THEN
+              CAST((CAST(n_hapax AS HUGEINT) * 1000000) // n_types
+                AS BIGINT) END AS hapax_micro,
+            CAST(CASE WHEN n_types > 0 THEN
+              CAST((CAST(n_hapax AS HUGEINT) * 1000000) // n_types
+                AS BIGINT) END AS DOUBLE) / 1000000.0 AS hapax_share
+          FROM ps ORDER BY source""",
     "q_text_yulek" ->
       s"""WITH wc AS (
             SELECT source, word, COUNT(*) AS c

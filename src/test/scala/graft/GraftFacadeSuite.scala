@@ -900,6 +900,8 @@ class GraftFacadeSuite extends SparkSuite {
         spark.emptyDataFrame
       }),
       // r18 facade entries
+      "hapaxProfile" -> (() =>
+        Graft.hapaxProfile(emptyCorpus, "shelf", "body")),
       "kSeedBfs" -> (() => Graft.kSeedBfs(emptyPairs, "a", "b", Seq(1L))),
       "refineCommunities" -> (() => Graft.refineCommunities(
         emptyPairs, "a", "b",

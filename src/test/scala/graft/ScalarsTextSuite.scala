@@ -46,6 +46,27 @@ class ScalarsTextSuite extends SparkSuite {
     assert(k2(0).getAs[Double]("yule_k") === 1800.0)
   }
 
+  test("q_text_hapax (r18): hand-computed hapax/dis profile on the mini corpus; facade carries caller columns") {
+    // src0 combined counts: 13 words once ("the" twice) → types 14,
+    // hapax 13, dis 1, share = 13·10⁶ div 14 = 928571 floor-micros
+    val h = SparkEntry.queries("q_text_hapax")(spark, miniDir).collect()
+    assert(h.length === 1)
+    assert(h(0).getAs[Long]("n_tokens") === 15L)
+    assert(h(0).getAs[Long]("n_types") === 14L)
+    assert(h(0).getAs[Long]("n_hapax") === 13L)
+    assert(h(0).getAs[Long]("n_dis") === 1L)
+    assert(h(0).getAs[Long]("hapax_micro") === 928571L)
+    // facade: custom schema, "a a b c" → tokens 4, types 3, hapax 2
+    // (b, c), dis 1 (a) — share 666666 floor-micros
+    val f = Graft.hapaxProfile(
+        Seq(("g1", "a a b c")).toDF("grp", "body"), "grp", "body")
+      .collect()(0)
+    assert(f.getAs[String]("grp") === "g1")
+    assert(f.getAs[Long]("n_hapax") === 2L)
+    assert(f.getAs[Long]("n_dis") === 1L)
+    assert(f.getAs[Long]("hapax_micro") === 666666L)
+  }
+
   test("q_str string functions replicated for one part row") {
     val row = q("q_str").orderBy(col("p_partkey")).limit(1).collect()(0)
     val src = Tables.part(spark, sf).orderBy(col("p_partkey")).limit(1).collect()(0)
