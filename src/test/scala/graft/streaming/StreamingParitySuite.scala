@@ -2186,6 +2186,108 @@ class StreamingParitySuite extends SparkSuite {
     assert(fmgws === graded && graded.nonEmpty)
   }
 
+  test("transformWithState gap-sweep (r18): RocksDB stream == fMGWS twin == graded q_event_gapsweep totals; cross-batch straddle exact") {
+    // Wave 3 of the successor-API ports: sf0.001 events streamed in 3
+    // ORDERED micro-batches (global (ts, event_id) order implies the
+    // per-key in-order delivery the twin contracts on) through the
+    // TTL'd ValueState processor under RocksDB; last-write-wins
+    // per-user counters must equal the fMGWS twin, and their sums the
+    // graded 3-row sweep.
+    val all = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts_us, e.event_id))
+    val expected = StreamOps.gapsweepMonitor(
+        spark.createDataset(all)).collect()
+      .map(o => o.user_id -> ((o.n_events, o.s15, o.s30, o.s60))).toMap
+    val graded = graft.queries.EventOps.queries("q_event_gapsweep")(
+        spark, sf).collect()
+      .map(r => r.getAs[Long]("gap_min") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions")))).toMap
+    spark.catalog.clearCache()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.gapsweepTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[GapSweepOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o =>
+            buf(o.user_id) = ((o.n_events, o.s15, o.s30, o.s60)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsgapsw_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS gap-sweep never converged: ${buf.synchronized(buf.size)} " +
+            s"users vs ${expected.size}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    val streamed = buf.synchronized(buf.toMap)
+    assert(streamed === expected && streamed.nonEmpty,
+      "TWS stream != fMGWS twin")
+    // summing the per-user counters reproduces the graded 3-row sweep
+    graded.foreach { case (m, (ne, ns)) =>
+      assert(streamed.values.map(_._1).sum === ne,
+        s"event count drifted at threshold $m")
+      val got = m match {
+        case 15L => streamed.values.map(_._2).sum
+        case 30L => streamed.values.map(_._3).sum
+        case 60L => streamed.values.map(_._4).sum
+      }
+      assert(got === ns, s"session count drifted at threshold $m")
+    }
+    // a session boundary straddling a micro-batch split under TWS:
+    // user 9's 20-min and 45-min gaps arrive in three batches — the
+    // carried last-ts must classify each gap exactly as in batch
+    val B = 1704067200000000L
+    val mini = Seq(Event(1, B, 9L, "view", 1.0),
+      Event(2, B + 20L * 60000000L, 9L, "view", 1.0),
+      Event(3, B + 65L * 60000000L, 9L, "view", 1.0))
+    val ms2 = MemoryStream[Event](s2)
+    val buf2 = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    val q2 = StreamOps.gapsweepTws(ms2.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[GapSweepOut], _: Long) =>
+        val rows = ds.collect()
+        buf2.synchronized {
+          rows.foreach(o =>
+            buf2(o.user_id) = ((o.n_events, o.s15, o.s30, o.s60)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsgapsw2_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      mini.grouped(1).foreach(ms2.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf2.synchronized(buf2.get(9L)) != Some((3L, 3L, 2L, 1L))) {
+        assert(System.nanoTime() < deadline,
+          s"TWS straddle never converged: ${buf2.synchronized(buf2.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally q2.stop()
+  }
+
   test("transformWithState funnel TTL: an idle part-way funnel expires and restarts from stage 0 (r17)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
