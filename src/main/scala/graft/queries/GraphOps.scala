@@ -607,6 +607,33 @@ object GraphOps {
           ew.select(col("src"), col("dst")), LpRounds), 10)
     }),
 
+    // Modularity of the ONE-MODE projection (r18) — the second half
+    // of the community-audit story q_graph_modularity's bipartite
+    // REJECT points at ("communities on this graph need the one-mode
+    // projection, not raw LPA" — that registration's own conclusion,
+    // now graded): labelprop + the Newman fold over the SUPPLIER
+    // projection (suppliers linked iff their shared hub-capped part
+    // count clears the ABOVE-MEAN affinity cut — an absolute
+    // min-shared threshold is SF-dependent on this near-complete
+    // projection, see supplierProjection). Same LpRounds labels
+    // program and exact-integer fold. Honest measured finding: the
+    // projection delivers the correct NULL verdict where the raw
+    // graph delivered anti-structure — LPA collapses to ONE community
+    // and Q = 0 EXACTLY at sf0.01/sf0.1 (the single-community
+    // baseline: uniform part-supplier assignment has no supplier
+    // communities, and the audit now says so instead of the raw
+    // bipartite Q < 0, which scored the WRONG object); at the 10-node
+    // sf0.001 the dense half-graph makes synchronous LPA fragment
+    // (2 communities, Q = −0.329868) — the documented small-graph
+    // oscillation mode, not structure. The accept direction (planted
+    // clusters ⟹ Q > 0) is pinned in-unit on modularityOn's
+    // two-clique fixture.
+    "q_graph_projmod" -> ((s, d) => {
+      val edges = graft.Graft.eager(supplierProjection(s, d))
+      modularityOn(edges,
+        graft.operators.LabelProp.run(edges, LpRounds))
+    }),
+
     // Greedy modularity refinement (r18; Louvain level-1 style,
     // Blondel et al. 2008) — CLOSES the community-quality loop the r17
     // trio opened: labelprop PROPOSES a partition, modularity SCORES
@@ -1001,6 +1028,43 @@ object GraphOps {
           .as("conductance"))
       .orderBy(col("n_nodes").desc, col("label").asc)
       .limit(k)
+  }
+
+  /** q_graph_projmod's ONE-MODE supplier projection (r18): suppliers
+    * linked iff they share ≥ [[CosimMinCommon]] (hub-capped ≤
+    * [[CosimMaxDeg]]) parts — the q_graph_cosim candidate pair table
+    * symmetrized into an edge list. The hub cap is the same posting-
+    * cap discipline as cosim/linkpred: a commodity part fans the pair
+    * join out by degree² while saying nothing about supplier
+    * affinity. Shuffle ∝ Σ deg(part)² under the cap; the (p, sp)
+    * table persists for its two self-join sides (caller clearCache
+    * per the SparkEntry cache contract). */
+  private[graft] def supplierProjection(s: SparkSession,
+                                        d: String): DataFrame = {
+    val ps = T.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+      .distinct().persist()
+    ps.count() // eager: both self-join sides read it (Graft.eager doc)
+    val deg = ps.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+    val el = ps.join(deg, Seq("p")).filter(col("pd") <= CosimMaxDeg)
+    val prs = el.select(col("p"), col("sp").as("sa"))
+      .join(el.select(col("p"), col("sp").as("sb")), Seq("p"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_common"))
+    // scale-invariant edge rule: keep ABOVE-MEAN-affinity pairs. An
+    // absolute min-shared threshold is SF-dependent on this corpus
+    // (the full projection is near-complete: min shared = 175∕98∕2 at
+    // the three sfs — measured), so the affinity cut must come from
+    // the distribution itself. Exact integers: nc·n_pairs > Σnc
+    // (never a float mean), 1-row broadcast.
+    val tot = prs.agg(count(lit(1)).cast("decimal(38,0)").as("np"),
+      sum(col("n_common")).cast("decimal(38,0)").as("snc"))
+    prs.crossJoin(broadcast(tot))
+      .filter(col("n_common") * col("np") > col("snc"))
+      .select(explode(array(
+        struct(col("sa").as("src"), col("sb").as("dst")),
+        struct(col("sb").as("src"), col("sa").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** q_graph_modularity_w / q_graph_conductance_w (r18): the WEIGHTED
@@ -1739,6 +1803,66 @@ object GraphOps {
          |      AS BIGINT) END AS DOUBLE) / 1000000.0 AS conductance
          |FROM comm c JOIN sizes s USING (label) CROSS JOIN tot
          |ORDER BY n_nodes DESC, label ASC LIMIT 10""".stripMargin
+    },
+    // The projection twin (r18): the cosim hub-capped pair derivation
+    // as the edge list, then the labelprop unroll + modularity fold
+    // verbatim.
+    "q_graph_projmod" -> {
+      def round(r: Int): String =
+        s"""c$r AS (
+           |  SELECT e.src, l.label, COUNT(*) AS cnt
+           |  FROM e0 e JOIN l${r - 1} l ON e.dst = l.node
+           |  GROUP BY 1, 2),
+           |l$r AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label,
+           |      ROW_NUMBER() OVER (PARTITION BY src
+           |        ORDER BY cnt DESC, label ASC) AS rn
+           |    FROM c$r) x WHERE rn = 1)""".stripMargin
+      s"""WITH ps AS (
+         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM $li),
+         |deg AS (SELECT p, COUNT(*) AS pd FROM ps GROUP BY 1),
+         |el AS (SELECT ps.p, ps.sp FROM ps JOIN deg USING (p)
+         |       WHERE pd <= $CosimMaxDeg),
+         |prs AS (
+         |  SELECT a.sp AS sa, b.sp AS sb, COUNT(*) AS nc
+         |  FROM el a JOIN el b ON a.p = b.p AND a.sp < b.sp
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS np,
+         |               CAST(SUM(nc) AS HUGEINT) AS snc FROM prs),
+         |keep AS (SELECT sa, sb FROM prs CROSS JOIN tot
+         |         WHERE nc * np > snc),
+         |e0 AS MATERIALIZED (
+         |  SELECT sa AS src, sb AS dst FROM keep
+         |  UNION ALL
+         |  SELECT sb AS src, sa AS dst FROM keep),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
+         |${(1 to LpRounds).map(round).mkString(",\n")},
+         |e2 AS (
+         |  SELECT la.label AS la, lb.label AS lb
+         |  FROM e0 e
+         |    JOIN l$LpRounds la ON e.src = la.node
+         |    JOIN l$LpRounds lb ON e.dst = lb.node),
+         |comm AS (
+         |  SELECT la, COUNT(*) AS dsum,
+         |    SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS inc
+         |  FROM e2 GROUP BY 1),
+         |g AS (
+         |  SELECT COUNT(*) AS n_comms,
+         |    SUM(CAST(inc AS HUGEINT)) AS a,
+         |    SUM(CAST(dsum AS HUGEINT)) AS m2,
+         |    SUM(CAST(dsum AS HUGEINT) * dsum) AS b
+         |  FROM comm),
+         |qq AS (
+         |  SELECT CAST(n_comms AS BIGINT) AS n_comms,
+         |    CAST(m2 // 2 AS BIGINT) AS m_edges,
+         |    CASE WHEN m2 > 0 THEN
+         |      CAST(((a * m2 - b + m2 * m2) * 1000000) // (m2 * m2)
+         |        AS BIGINT) - 1000000 END AS q_micro
+         |  FROM g)
+         |SELECT n_comms, m_edges, q_micro,
+         |  CAST(q_micro AS DOUBLE) / 1000000.0 AS q_modularity
+         |FROM qq""".stripMargin
     },
     // The weighted modularity twin (r18): the modularity oracle's
     // labelprop unroll verbatim (votes stay unweighted row counts —
