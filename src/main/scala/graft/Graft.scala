@@ -1437,6 +1437,19 @@ object Graft {
     graft.queries.MultimodalOps.cdcDedupOn(
       df.select(col(payloadCol).as("payload")))
 
+  /** One-mode projection with the above-mean affinity cut (graded
+    * q_graph_projmod's edge engine): actors sharing more items than
+    * the pair-population MEAN become edges — the scale-invariant cut
+    * for near-complete projections where any absolute min-shared
+    * threshold is corpus-size-dependent. Hub-capped on the item side
+    * (an item shared by everyone says nothing about affinity).
+    * Returns a symmetrized (src, dst) actor edge list ready for the
+    * community/centrality operators. */
+  def affinityProjection(df: DataFrame, itemCol: String,
+                         actorCol: String): DataFrame =
+    graft.queries.GraphOps.projectionEdges(
+      df.select(col(itemCol).as("p"), col(actorCol).as("sp")).distinct())
+
   /** Hapax/dis legomena vocabulary profile per group (graded
     * q_text_hapax's engine): the share of a group's vocabulary seen
     * exactly once — hapax-heavy = open∕noisy vocabulary, hapax-poor =

@@ -1045,18 +1045,26 @@ object GraphOps {
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
       .distinct().persist()
     ps.count() // eager: both self-join sides read it (Graft.eager doc)
+    projectionEdges(ps)
+  }
+
+  /** The projection engine over ANY distinct (p, sp) bipartite pair
+    * frame — extracted for the planted two-block fixture and the
+    * [[graft.Graft.affinityProjection]] facade (the cosimOn
+    * precedent). Hub-capped wedge self-join to pair-grain shared
+    * counts, then the scale-invariant ABOVE-MEAN affinity cut: an
+    * absolute min-shared threshold is SF-dependent on a near-complete
+    * projection (min shared = 175∕98∕2 at the three graded sfs —
+    * measured), so the cut comes from the distribution itself. Exact
+    * integers: nc·n_pairs > Σnc (never a float mean), 1-row
+    * broadcast; both orientations from one explode. */
+  private[graft] def projectionEdges(ps: DataFrame): DataFrame = {
     val deg = ps.groupBy(col("p")).agg(count(lit(1)).as("pd"))
     val el = ps.join(deg, Seq("p")).filter(col("pd") <= CosimMaxDeg)
     val prs = el.select(col("p"), col("sp").as("sa"))
       .join(el.select(col("p"), col("sp").as("sb")), Seq("p"))
       .filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_common"))
-    // scale-invariant edge rule: keep ABOVE-MEAN-affinity pairs. An
-    // absolute min-shared threshold is SF-dependent on this corpus
-    // (the full projection is near-complete: min shared = 175∕98∕2 at
-    // the three sfs — measured), so the affinity cut must come from
-    // the distribution itself. Exact integers: nc·n_pairs > Σnc
-    // (never a float mean), 1-row broadcast.
     val tot = prs.agg(count(lit(1)).cast("decimal(38,0)").as("np"),
       sum(col("n_common")).cast("decimal(38,0)").as("snc"))
     prs.crossJoin(broadcast(tot))

@@ -902,6 +902,8 @@ class GraftFacadeSuite extends SparkSuite {
       // r18 facade entries
       "hapaxProfile" -> (() =>
         Graft.hapaxProfile(emptyCorpus, "shelf", "body")),
+      "affinityProjection" -> (() =>
+        Graft.affinityProjection(emptyPairs, "a", "b")),
       "kSeedBfs" -> (() => Graft.kSeedBfs(emptyPairs, "a", "b", Seq(1L))),
       "refineCommunities" -> (() => Graft.refineCommunities(
         emptyPairs, "a", "b",

@@ -284,6 +284,38 @@ class KCoreSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("projmod (r18): planted two-block bipartite ACCEPT — the full projection+LPA+fold pipeline scores Q = 0.5 exactly") {
+    // suppliers {1..4} share parts {100..105} (6 each), suppliers
+    // {11..14} share {200..205}; suppliers 4 and 11 share ONLY part
+    // 300. Pair affinities: 12 within-block pairs at nc = 6, one
+    // cross pair at nc = 1 → mean = 73/13, the above-mean cut keeps
+    // exactly the within pairs (6·13 = 78 > 73) and drops the bridge
+    // (13 < 73). The projection is two disjoint K4s; LPA gives one
+    // label per block; Q = 24/24 − 2·12²/24² = 0.5 → 500000 micros —
+    // the ACCEPT direction for the WHOLE graded pipeline, not just
+    // the fold.
+    val ps = (
+      (for (sp <- 1L to 4L; p <- 100L to 105L) yield (p, sp)) ++
+      (for (sp <- 11L to 14L; p <- 200L to 205L) yield (p, sp)) ++
+      Seq((300L, 4L), (300L, 11L))).toDF("p", "sp")
+    val edges = queries.GraphOps.projectionEdges(ps)
+    val e = edges.as[(Long, Long)].collect().toSet
+    assert(e.size === 24, s"projection edge count drifted: ${e.size}")
+    assert(!e.contains((4L, 11L)) && !e.contains((11L, 4L)),
+      "below-mean bridge survived the affinity cut")
+    val q = queries.GraphOps.modularityOn(edges,
+      operators.LabelProp.run(edges, 3)).collect()(0)
+    assert(q.getAs[Long]("n_comms") === 2L)
+    assert(q.getAs[Long]("m_edges") === 12L)
+    assert(q.getAs[Long]("q_micro") === 500000L)
+    // the facade carries caller column names onto the same engine
+    val f = Graft.affinityProjection(
+        ps.toDF("item", "actor"), "item", "actor")
+      .as[(Long, Long)].collect().toSet
+    assert(f === e)
+    spark.catalog.clearCache()
+  }
+
   test("refine (r18): randomized law — engine == exact BigInt driver replay, and Q never decreases") {
     val rnd = new scala.util.Random(42)
     // the exact greedy trajectory, replayed driver-side in BigInt

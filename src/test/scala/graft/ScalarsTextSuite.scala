@@ -67,6 +67,29 @@ class ScalarsTextSuite extends SparkSuite {
     assert(f.getAs[Long]("hapax_micro") === 666666L)
   }
 
+  test("hapax (r18): randomized law — engine == driver-side token-count mirror") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 40).map { _ =>
+      val src = s"s${rnd.nextInt(3)}"
+      val words = (0 until 1 + rnd.nextInt(12)).map(_ => s"w${rnd.nextInt(20)}")
+      (src, words.mkString(" "))
+    }
+    val got = Graft.hapaxProfile(docs.toDF("g", "t"), "g", "t").collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_hapax"), r.getAs[Long]("n_dis"),
+          r.getAs[Long]("hapax_micro")))).toMap
+    val want = docs.groupBy(_._1).map { case (g, ds) =>
+      val counts = ds.flatMap(_._2.split(" "))
+        .groupBy(identity).map(_._2.size)
+      val types = counts.size.toLong
+      g -> ((counts.map(_.toLong).sum, types,
+        counts.count(_ == 1).toLong, counts.count(_ == 2).toLong,
+        counts.count(_ == 1).toLong * 1000000L / types))
+    }
+    assert(got === want)
+  }
+
   test("q_str string functions replicated for one part row") {
     val row = q("q_str").orderBy(col("p_partkey")).limit(1).collect()(0)
     val src = Tables.part(spark, sf).orderBy(col("p_partkey")).limit(1).collect()(0)
