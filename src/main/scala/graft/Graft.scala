@@ -504,6 +504,49 @@ object Graft {
       rounds)
   }
 
+  /** WEIGHTED label-propagation communities (graded
+    * q_graph_labelprop_w's engine; weight-1 reproduces
+    * [[labelPropagate]]): the vote is a neighbor WEIGHT SUM, so heavy
+    * edges pull harder. Self-loops dropped. CALLER CONTRACT: one
+    * orientation per undirected pair (or both with identical
+    * weights), parallel edges pre-aggregated — the
+    * [[modularityWeighted]] symmetrization contract. Returns (node,
+    * label). */
+  def labelPropagateWeighted(edges: DataFrame, srcCol: String,
+                             dstCol: String, wCol: String,
+                             rounds: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .filter(col("src") =!= col("dst"))
+    graft.operators.LabelProp.runW(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+        col("w"))).distinct(),
+      rounds)
+  }
+
+  /** WEIGHTED greedy modularity refinement (graded q_graph_refine_w's
+    * engine; weight-1 reproduces [[refineCommunities]]): up to `moves`
+    * exact-integer argmax single-node moves maximizing WEIGHTED ΔQ —
+    * Q_w never decreases. Self-loops dropped; the
+    * [[modularityWeighted]] symmetrization caller contract applies.
+    * Returns the refined (nodeCol, labelCol) frame with the caller's
+    * column names. */
+  def refineCommunitiesWeighted(edges: DataFrame, srcCol: String,
+                                dstCol: String, wCol: String,
+                                labels: DataFrame, nodeCol: String,
+                                labelCol: String,
+                                moves: Int = 6): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .filter(col("src") =!= col("dst"))
+    graft.queries.GraphOps.refineWOn(
+        e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+          col("w"))).distinct(),
+        labels.select(col(nodeCol).as("node"), col(labelCol).as("label")),
+        moves)
+      .select(col("node").as(nodeCol), col("label").as(labelCol))
+  }
+
   /** Trailing event-time rolling aggregate over any (key, ts, value)
     * rows (graded q_win_timerange's engine generalized, r13): per row,
     * the count and decimal value sum of the same key's rows in the
@@ -1504,8 +1547,22 @@ object Graft {
   /** Weighted Newman modularity over a ONE-DIRECTIONAL undirected edge
     * list carrying an integer weight column (graded
     * q_graph_modularity_w's engine; weight-1 reproduces
-    * [[modularity]]). Self-loops dropped before symmetrizing. Returns
-    * one row (n_comms, w_total, q_micro, q_modularity). */
+    * [[modularity]]). Self-loops dropped before symmetrizing.
+    *
+    * CALLER CONTRACT (r18 ADVICE): supply each undirected pair ONCE
+    * (either orientation), or — if both orientations are present —
+    * with the SAME weight; supply parallel edges pre-aggregated to
+    * one weight per pair. Symmetrization is `union(reversed)
+    * .distinct()`, which collapses exact (src, dst, w) triples only:
+    * both orientations with DIFFERING weights, or same-pair rows with
+    * different weights, survive as a multigraph and silently skew the
+    * volume/in-community sums (the unweighted [[modularity]] facade
+    * has no such trap — distinct() fully dedupes orientations there).
+    * We do not auto-aggregate: summing would silently double weight-1
+    * both-orientation input vs [[modularity]], and max/min would pick
+    * an arbitrary winner — an explicit per-pair pre-aggregation by the
+    * caller is the only unambiguous semantics.
+    * Returns one row (n_comms, w_total, q_micro, q_modularity). */
   def modularityWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                          wCol: String, labels: DataFrame, nodeCol: String,
                          labelCol: String): DataFrame = {
@@ -1520,7 +1577,12 @@ object Graft {
 
   /** Weighted per-community conductance (graded q_graph_conductance_w's
     * engine; weight-1 reproduces [[conductance]]). Self-loops dropped
-    * before symmetrizing. Returns (label, n_nodes, vol_w, cut_w,
+    * before symmetrizing. CALLER CONTRACT: one orientation per
+    * undirected pair (or both with identical weights), parallel edges
+    * pre-aggregated — see [[modularityWeighted]] for why the
+    * `union(reversed).distinct()` symmetrization makes inconsistent
+    * duplicate weights a silent multigraph, and why we don't
+    * auto-aggregate. Returns (label, n_nodes, vol_w, cut_w,
     * phi_micro, conductance) for the k largest communities. */
   def conductanceWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                           wCol: String, labels: DataFrame, nodeCol: String,

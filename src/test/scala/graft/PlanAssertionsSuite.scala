@@ -113,7 +113,10 @@ class PlanAssertionsSuite extends SparkSuite {
       // (global fold × 1-row broadcast base score) — single row by
       // construction
       "q_graph_modularity_w", "q_graph_refine", "q_graph_projmod",
-      "q_mm_crosskind")
+      "q_mm_crosskind",
+      // r19: the fully-weighted refine output — same global fold ×
+      // 1-row broadcast base-score shape as q_graph_refine
+      "q_graph_refine_w")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !singleRow(name) =>
         val r = if (ordered(fn(spark, sf).queryExecution.analyzed)) None
@@ -1302,6 +1305,22 @@ class PlanAssertionsSuite extends SparkSuite {
     assert(!p.contains("Window"), s"refine grew a window:\n$p")
     assert(p.contains("Scan ExistingRDD"),
       s"refine result not off checkpointed labels:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q_graph_refine_w (r19): the weighted loop keeps the refine shapes — no cartesian, no window, checkpointed labels") {
+    val p = planString(q("q_graph_refine_w"))
+    assert(!p.contains("CartesianProduct"), s"refine_w cartesian:\n$p")
+    assert(!p.contains("Window"), s"refine_w grew a window:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"refine_w result not off checkpointed labels:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q_graph_labelprop_w (r19): the weighted vote keeps labelprop's shape — struct-max aggregate argmax, no window over the edge list, no cartesian") {
+    val p = planString(q("q_graph_labelprop_w"))
+    assert(!p.contains("CartesianProduct"), s"labelprop_w cartesian:\n$p")
+    assert(!p.contains("Window"), s"labelprop_w argmax must be the struct-max AGGREGATE, not a window:\n$p")
     spark.catalog.clearCache()
   }
 }
