@@ -1525,6 +1525,21 @@ object Graft {
     graft.operators.Bfs.hopsFrom(g, seeds, rounds)
   }
 
+  /** Truncated harmonic centrality per seed (graded q_graph_harmonic's
+    * engine): h(s) = Σ_{v ≠ s, d(s,v) ≤ rounds} 1∕d(s, v) over the
+    * [[kSeedBfs]] hop histogram — the DISCONNECTED-SAFE centrality:
+    * unreached nodes contribute 0 instead of being dropped, so more
+    * reach always scores higher (closeness's reached-component
+    * restriction lets a 2-node-island seed score a perfect 1.0 —
+    * the rank-flip KCoreSuite pins). Returns (seed, n_reached,
+    * harmonic_micro, harmonic); harmonic_micro is the exact
+    * per-distance floor-quantized sum Σ_d (n_d·10⁶ div d). */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         seedIds: Seq[Long],
+                         rounds: Int = 6): DataFrame =
+    graft.queries.GraphOps.harmonicFold(
+      kSeedBfs(edges, srcCol, dstCol, seedIds, rounds))
+
   /** Greedy modularity refinement of a node partition (graded
     * q_graph_refine's engine): up to `moves` exact-integer argmax
     * single-node moves, each provably ΔQ > 0 — Q never decreases.

@@ -469,6 +469,45 @@ object ScaleRehearsal {
       if (want("labelprop_flat")) time("labelprop_flat", n) {
         graft.operators.LabelProp.run(sym(pairEdges(n)), 3).count()
       }
+      // projectionEdges (r19, verdict item 3 — the one r18 shape with
+      // no dedicated curve: the pair table BEFORE vs AFTER the
+      // above-mean affinity cut). Planted two-block-family bipartite:
+      // n/34 cliques of 4 actors, each sharing 8 items (within-pair
+      // n_common = 8), plus ONE bridge item linking consecutive
+      // cliques (bridge-pair n_common = 1). Exact truths: pre-cut
+      // pair table = 7 pairs/clique (6 within + 1 bridge); the cut
+      // keeps nc·np > snc ⇔ nc > 7 ⇒ EXACTLY the 6 within pairs ⇒
+      // out = 12·cliques directed edges, bridges gone. Claims: wedge
+      // join shuffle ∝ Σ deg(item)² (deg 4 and 2 here, far under
+      // CosimMaxDeg — time/shuffle ∝ rows), cut is a 1-row broadcast
+      // — the pre/post probes should price the SAME because the cut
+      // adds one global fold over the pair table.
+      def projPs = {
+        val c = n / 34L
+        val within = spark.range(c * 8L)
+          .select(col("id").as("p"), expr("id div 8").as("g"))
+          .select(col("p"), explode(array(
+            (0 to 3).map(k => col("g") * 4L + k): _*)).as("sp"))
+        val bridges = spark.range(n / 34L).select(
+          (col("id") + c * 8L).as("p"),
+          explode(array(col("id") * 4L,
+            pmod(col("id") + 1L, lit(c)) * 4L)).as("sp"))
+        within.union(bridges)
+      }
+      if (want("projpairs_all")) time("projpairs_all", n) {
+        // the engine's wedge join up to the pair table, pre-cut
+        val ps = projPs
+        val deg = ps.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+        val el = ps.join(deg, Seq("p")).filter(col("pd") <= 50)
+        el.select(col("p"), col("sp").as("sa"))
+          .join(el.select(col("p"), col("sp").as("sb")), Seq("p"))
+          .filter(col("sa") < col("sb"))
+          .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_common"))
+          .count()
+      }
+      if (want("projpairs_cut")) time("projpairs_cut", n) {
+        graft.queries.GraphOps.projectionEdges(projPs).count()
+      }
       if (want("labelprop_chain8")) time("labelprop_chain8", n) {
         graft.operators.LabelProp.run(sym(chainEdges(n)), 3).count()
       }

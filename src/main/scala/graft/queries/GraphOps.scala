@@ -469,6 +469,29 @@ object GraphOps {
         .orderBy(col("seed"))
     }),
 
+    // Harmonic-centrality checkpoints (r19; Boldi & Vigna 2014's
+    // axiomatic pick) — the DISCONNECTED-SAFE sibling of
+    // q_graph_closeness, fixing the bias its scaladoc documents:
+    // closeness restricts to the reached component, so a seed with
+    // tiny reach can outscore a hub (a 2-node clique seed scores a
+    // perfect 1.0). Harmonic h(s) = Σ_{v≠s} 1∕d(s, v) counts the
+    // unreached as 0 instead of dropping them — more reach ALWAYS
+    // scores higher; the rank-flip fixture is pinned in KCoreSuite.
+    // Same top-degree seeds, same hopsFrom unroll (the oracle replays
+    // it verbatim); the fold is a seed-grain agg over the ≤
+    // seeds·rounds histogram rows — free. Determinism: per-DISTANCE
+    // floor-quantized contributions — harmonic_micro =
+    // Σ_d (n_d·10⁶ div d) over dist ≥ 1 (exact integers; `div` ≡ `//`
+    // on the non-negative numerator; the histogram grain makes the
+    // sum order-free) — then ONE IEEE division for the double.
+    "q_graph_harmonic" -> ((s, d) => {
+      val e = graft.Graft.eager(copurchaseEdges(s, d))
+      val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src").asc).limit(KbfsSeeds)
+        .select(col("src").as("seed"), col("src").as("node"))
+      harmonicFold(graft.operators.Bfs.hopsFrom(e, seeds, BfsRounds))
+    }),
+
     // Resource-Allocation link prediction (r12): top-100 predicted
     // supplier links by hub-discounted shared-part mass — the
     // recommendation sibling of q_graph_cosim that weights each shared
@@ -1119,6 +1142,28 @@ object GraphOps {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
+  /** q_graph_harmonic's fold (r19) — per-seed truncated harmonic
+    * centrality over a [[graft.operators.Bfs.hopsFrom]] hop histogram:
+    * h(seed) = Σ_{dist ≥ 1} n_dist ∕ dist, with nodes beyond the
+    * rounds cap (or in another component) contributing 0 — the
+    * disconnected-safe centrality (unlike closeness's
+    * reached-component restriction, more reach always scores higher).
+    * Exact per-distance floor quantization: harmonic_micro =
+    * Σ_d (n_d·10⁶ div d) — each term an exact integer, the sum
+    * order-free at the histogram grain; the readable double is ONE
+    * IEEE division. Input is ≤ seeds·(rounds+1) rows, so the fold is
+    * a free seed-grain hash agg. */
+  private[graft] def harmonicFold(hops: DataFrame): DataFrame =
+    hops.groupBy(col("seed"))
+      .agg(sum(col("n_nodes")).as("n_reached"),
+        sum(when(col("dist") > 0,
+          expr("""cast((cast(n_nodes as decimal(38,0)) * 1000000)
+                  div dist as bigint)"""))
+          .otherwise(0L)).as("harmonic_micro"))
+      .withColumn("harmonic",
+        col("harmonic_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("seed"))
+
   /** q_graph_modularity_w / q_graph_conductance_w (r18): the WEIGHTED
     * co-purchase edge list — the same one-aggregate-both-orientations
     * groupBy+HAVING pass as [[copurchaseEdgesMin]], but the per-pair
@@ -1744,6 +1789,44 @@ object GraphOps {
          |    CAST((CAST(n_reached - 1 AS HUGEINT) * 1000000)
          |      // sum_dist AS BIGINT) END AS DOUBLE) / 1000000.0
          |    AS closeness
+         |FROM f ORDER BY seed""".stripMargin
+    },
+    // The kbfs unroll + the per-distance floor-quantized harmonic
+    // fold over the histogram grain (n_d·10⁶ // d per distance — the
+    // engine's exact-integer contributions verbatim).
+    "q_graph_harmonic" -> {
+      def round(r: Int): String =
+        s"""bd$r AS MATERIALIZED (
+           |  SELECT seed, node, MIN(d) AS d FROM (
+           |    SELECT seed, node, d FROM bd${r - 1}
+           |    UNION ALL
+           |    SELECT p.seed, e.dst AS node, p.d + 1 AS d
+           |    FROM e JOIN bd${r - 1} p ON e.src = p.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li),
+         |e AS MATERIALIZED (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1),
+         |seeds AS (SELECT src AS seed FROM deg
+         |          ORDER BY dg DESC, src ASC LIMIT $KbfsSeeds),
+         |bd0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d
+         |        FROM seeds),
+         |${(1 to BfsRounds).map(round).mkString(",\n")},
+         |h AS (
+         |  SELECT seed, d AS dist, COUNT(*) AS n_nodes
+         |  FROM bd$BfsRounds GROUP BY 1, 2),
+         |f AS (
+         |  SELECT seed, CAST(SUM(n_nodes) AS BIGINT) AS n_reached,
+         |    CAST(SUM(CASE WHEN dist > 0 THEN
+         |      (CAST(n_nodes AS HUGEINT) * 1000000) // dist
+         |      ELSE 0 END) AS BIGINT) AS harmonic_micro
+         |  FROM h GROUP BY 1)
+         |SELECT seed, n_reached, harmonic_micro,
+         |  CAST(harmonic_micro AS DOUBLE) / 1000000.0 AS harmonic
          |FROM f ORDER BY seed""".stripMargin
     },
     // True-degree weights attached by the same join that thins hubs;

@@ -111,6 +111,46 @@ class KCoreSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("harmonic (r19): disconnected-component fixture — closeness and harmonic RANK the two seeds differently") {
+    // component 1: triangle {1,2,3} — seed 1 reaches 2 nodes at dist 1
+    //   closeness(1) = 2/2 = 1.0 (a perfect score from a tiny island)
+    //   harmonic(1)  = 2/1 = 2.0
+    // component 2: star 10—{11..16} plus tails 11—17, 12—18 — seed 10
+    //   reaches 8 nodes, Σd = 6·1 + 2·2 = 10
+    //   closeness(10) = 8/10 = 0.8  < closeness(1)   (island wins)
+    //   harmonic(10)  = 6/1 + 2/2 = 7.0 > harmonic(1) (reach wins)
+    val comp1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val comp2 = (11L to 16L).map(l => (10L, l)) ++
+      Seq((11L, 17L), (12L, 18L))
+    val g = sym(comp1 ++ comp2)
+    val seeds = Seq((1L, 1L), (10L, 10L)).toDF("seed", "node")
+    val hops = operators.Bfs.hopsFrom(g, seeds, 6)
+    val h = queries.GraphOps.harmonicFold(hops)
+      .select(col("seed"), col("n_reached"), col("harmonic_micro"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, n, m) => s -> ((n, m)) }.toMap
+    assert(h(1L) === ((3L, 2000000L)), s"triangle seed: ${h(1L)}")
+    assert(h(10L) === ((9L, 7000000L)), s"star seed: ${h(10L)}")
+    // closeness over the SAME hops ranks them the OTHER way
+    val c = hops.groupBy(col("seed"))
+      .agg(sum(col("n_nodes")).as("n_reached"),
+        sum(col("dist") * col("n_nodes")).as("sum_dist"))
+      .withColumn("c_micro",
+        expr("cast((cast(n_reached - 1 as decimal(38,0)) * 1000000) div sum_dist as bigint)"))
+      .select(col("seed"), col("c_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(c(1L) === 1000000L && c(10L) === 800000L)
+    assert(c(1L) > c(10L) && h(1L)._2 < h(10L)._2,
+      "the fixture must flip the ranking between the two centralities")
+    // facade: one-directional input, caller columns, seed dedup
+    val f = Graft.harmonicCentrality(
+        (comp1 ++ comp2).toDF("u", "v"), "u", "v", Seq(1L, 10L, 1L))
+      .select(col("seed"), col("harmonic_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(f === Map(1L -> 2000000L, 10L -> 7000000L))
+    spark.catalog.clearCache()
+  }
+
   test("LabelProp: disjoint triangles each converge to one community; a bridge does not merge them in 3 rounds") {
     // triangles {1,2,3} and {11,12,13}, bridged by one 3–11 edge
     val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),

@@ -1293,6 +1293,13 @@ class PlanAssertionsSuite extends SparkSuite {
       s"closeness result does not read the eager cache:\n$pc")
     assert(!pc.contains("Window"), s"closeness grew a window:\n$pc")
     spark.catalog.clearCache()
+    // r19: the harmonic fold rides the same materialized state
+    val ph = planString(q("q_graph_harmonic"))
+    assert(!ph.contains("CartesianProduct"), s"harmonic cartesian:\n$ph")
+    assert(ph.contains("InMemoryTableScan"),
+      s"harmonic result does not read the eager cache:\n$ph")
+    assert(!ph.contains("Window"), s"harmonic grew a window:\n$ph")
+    spark.catalog.clearCache()
   }
 
   test("q_graph_refine (r18): the returned plan is the modularity fold of checkpointed labels x a 1-row broadcast base score — no cartesian, no window") {

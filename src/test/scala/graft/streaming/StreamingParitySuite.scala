@@ -2288,6 +2288,93 @@ class StreamingParitySuite extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("transformWithState streak (r19): RocksDB stream == fMGWS twin == graded q_event_streak; split streak extends across batches") {
+    // Wave 4 of the successor-API ports: sf0.001 events streamed in 3
+    // ORDERED micro-batches through the TTL'd ValueState processor
+    // under RocksDB; last-write-wins per-user standings must equal the
+    // fMGWS twin and therefore the graded gaps-and-islands query.
+    val all = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts_us, e.event_id))
+    val expected = StreamOps.streakMonitor(
+        spark.createDataset(all)).collect()
+      .map(o => o.user_id ->
+        ((o.n_active_days, o.longest_streak, o.current_streak))).toMap
+    val graded = graft.queries.EventOps.queries("q_event_streak")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    spark.catalog.clearCache()
+    assert(expected === graded && graded.nonEmpty,
+      "fMGWS twin drifted from the graded query — fix that first")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.streakTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[StreakOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o => buf(o.user_id) =
+            ((o.n_active_days, o.longest_streak, o.current_streak)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsstreak_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS streak never converged: ${buf.synchronized(buf.size)} " +
+            s"users vs ${expected.size}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    // a streak split ACROSS batches under TWS: days 10,11 in batch 1
+    // and 12 in batch 2 extend to current 3; the day-15 gap resets —
+    // the carried (lastDay, current) must fold exactly as in batch
+    val mini = Seq((10L, 1L), (11L, 2L), (12L, 3L), (15L, 4L)).map {
+      case (day, id) => Event(id, day * 86400000000L + 5L, 7L, "view", 1.0)
+    }
+    val ms2 = MemoryStream[Event](s2)
+    val buf2 = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val q2 = StreamOps.streakTws(ms2.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[StreakOut], _: Long) =>
+        val rows = ds.collect()
+        buf2.synchronized {
+          rows.foreach(o => buf2(o.user_id) =
+            ((o.n_active_days, o.longest_streak, o.current_streak)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsstreak2_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Seq(mini.take(2), mini.slice(2, 3), mini.drop(3)).foreach(ms2.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf2.synchronized(buf2.get(7L)) != Some((4L, 3L, 1L))) {
+        assert(System.nanoTime() < deadline,
+          s"TWS streak straddle never converged: ${buf2.synchronized(buf2.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally q2.stop()
+  }
+
   test("transformWithState funnel TTL: an idle part-way funnel expires and restarts from stage 0 (r17)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -2662,6 +2749,61 @@ class StreamingParitySuite extends SparkSuite {
       index).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(streamed.sorted.toSeq === batch.sorted.toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("streaming cross-kind CDC fold: maintained state == one-shot == graded q_mm_crosskind totals; same-batchId redelivery is a no-op (r19)") {
+    val S = graft.streaming.StreamOps
+    def asDocs(df: DataFrame) = df
+      .withColumn("payload", col("text").cast("binary"))
+      .filter(length(col("payload")) >= 1)
+      .select(
+        when(expr("CAST(conv(hex(substring(payload, 1, 1)), 16, 10) AS INT)")
+          % 3 === 0, "image")
+          .when(expr("CAST(conv(hex(substring(payload, 1, 1)), 16, 10) AS INT)")
+            % 3 === 1, "audio")
+          .otherwise("video").as("kind_stub"),
+        col("payload"))
+    // the graded documents table arrives in 2 micro-batches (odd/even
+    // doc_id split — cross-kind chunks span the batches)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val stateDir = Files.createTempDirectory("xkind_state").toString
+    val cp = Files.createTempDirectory("xkind_cp").toString
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val batches = Seq(rows.filter(_._1 % 2 == 0), rows.filter(_._1 % 2 == 1))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = S.crosskindMaintainer(
+        asDocs(ms.toDF().toDF("doc_id", "text")), stateDir)
+      .option("checkpointLocation", cp).start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val state = spark.read.parquet(s"$stateDir/state")
+    val streamTotals = S.crosskindTotals(state).collect()(0)
+    // graded parity: the maintained state's decision fold == the
+    // graded q_mm_crosskind one-shot over the same corpus
+    val graded = graft.queries.MultimodalOps
+      .queries("q_mm_crosskind")(spark, sf).collect()(0)
+    spark.catalog.clearCache()
+    assert(streamTotals.toSeq === graded.toSeq,
+      s"stream ${streamTotals.toSeq} != graded ${graded.toSeq}")
+    assert(streamTotals.getAs[Long]("n_chunks_xkind") > 0L,
+      "fixture has no cross-kind chunk — the parity is vacuous")
+    // same-batchId REDELIVERY: the marker guard makes the fold a no-op
+    // (the copies-sum is NOT duplicate-proof, unlike CC — the guard is
+    // the idempotence mechanism, so test it directly)
+    val before = state.collect().map(_.toSeq).toSet
+    S.crosskindFoldBatch(asDocs(batches(1).toDF("doc_id", "text")),
+      1L, stateDir)
+    val after = spark.read.parquet(s"$stateDir/state")
+      .collect().map(_.toSeq).toSet
+    assert(after === before, "redelivered batch mutated the state")
+    // a FRESH batchId does fold — the guard is per delivery, not per
+    // content: a novel payload adds its (kind, chunk) rows
+    val novel = Seq((9999999L, "xkind novel growth probe payload"))
+    S.crosskindFoldBatch(asDocs(novel.toDF("doc_id", "text")), 99L, stateDir)
+    assert(spark.read.parquet(s"$stateDir/state").count() > before.size,
+      "fresh batch id did not fold")
     spark.catalog.clearCache()
   }
 
