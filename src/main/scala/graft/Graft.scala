@@ -1540,6 +1540,31 @@ object Graft {
     graft.queries.GraphOps.harmonicFold(
       kSeedBfs(edges, srcCol, dstCol, seedIds, rounds))
 
+  /** Pivot-sampled approximate betweenness (graded
+    * q_graph_betweenness's engine): Brandes dependency accumulation
+    * from a caller-chosen deterministic pivot set, all pivots in one
+    * plan — forward (dist, σ) layers, backward FLOOR-micros
+    * dependency folds, both bounded by `rounds` (see
+    * [[graft.operators.Betweenness]] for the exact-integer term and
+    * the 2·diameter-action scale shape). Seed ids absent from the
+    * graph are dropped (the [[kSeedBfs]] convention). Returns the
+    * top-`k` (node, bc_micro, bc_est) by (bc_micro desc, node asc);
+    * bc_est is the (n∕pivots) extrapolation. */
+  def betweennessApprox(edges: DataFrame, srcCol: String, dstCol: String,
+                        seedIds: Seq[Long], rounds: Int = 6,
+                        k: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val g = e.union(
+      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val seeds = seedIds.distinct.map(i => (i, i)).toDF("seed", "node")
+      .join(g.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_semi")
+    graft.operators.Betweenness.pivotBetweenness(g, seeds, rounds, k)
+  }
+
   /** Greedy modularity refinement of a node partition (graded
     * q_graph_refine's engine): up to `moves` exact-integer argmax
     * single-node moves, each provably ΔQ > 0 — Q never decreases.

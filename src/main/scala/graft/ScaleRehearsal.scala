@@ -494,6 +494,21 @@ object ScaleRehearsal {
             pmod(col("id") + 1L, lit(c)) * 4L)).as("sp"))
         within.union(bridges)
       }
+      // Pivot-sampled Brandes (r19): 3 fixed chain-start pivots over
+      // the 8-node-chain graph. Planted truths (per own chain, rounds
+      // 6 reach ≤ dist 6): nodes 1..5 carry δ = 5·10⁶ … 1·10⁶ — node
+      // 6 is ABSENT (its below-level sits past the rounds cap, so it
+      // brokers nothing within the horizon; the documented truncation
+      // semantics) — out = 3·5 = 15 at every n. Claim: cost is the
+      // 2·diameter driver-action floor + per-round shuffle ∝ edges
+      // (the join reshuffles the full edge list each round even when
+      // the frontier is 3 chains — exactly what a cluster pays, and
+      // why pivots ride ONE plan).
+      if (want("betweenness_chain")) time("betweenness_chain", n) {
+        val seeds = Seq(0L, 8L, 16L).map(i => (i, i)).toDF("seed", "node")
+        graft.operators.Betweenness
+          .pivotBetweenness(sym(chainEdges(n)), seeds, 6, 20).count()
+      }
       if (want("projpairs_all")) time("projpairs_all", n) {
         // the engine's wedge join up to the pair table, pre-cut
         val ps = projPs

@@ -54,6 +54,11 @@ object GraphOps {
     * the single-seed q_graph_bfs. */
   private[graft] val KbfsSeeds = 3
 
+  /** q_graph_betweenness (r19): output cap — the brokerage ranking is
+    * read at the top, never materialized corpus-wide (the linkpred
+    * TakeOrderedAndProject discipline). */
+  private[graft] val BetwTopK = 20
+
   /** q_graph_cosim: hub cap on part degree (a part supplied by > cap
     * suppliers is a commodity — it says nothing about supplier
     * similarity and fans the pair join out by degree²; dropping it is
@@ -490,6 +495,33 @@ object GraphOps {
         .orderBy(col("dg").desc, col("src").asc).limit(KbfsSeeds)
         .select(col("src").as("seed"), col("src").as("node"))
       harmonicFold(graft.operators.Bfs.hopsFrom(e, seeds, BfsRounds))
+    }),
+
+    // Approximate betweenness — pivot-sampled Brandes (r19; Brandes
+    // 2001, Brandes & Pich 2007) — the LAST classic centrality absent
+    // from the family (pagerank/HITS endorse, closeness/harmonic
+    // measure proximity, kcore/truss trim density; betweenness ranks
+    // BROKERAGE: which suppliers sit on the shortest paths between
+    // everyone else). Exact Brandes is one SSSP per node — a
+    // driver-side loop over the corpus by definition — so the
+    // distributed contract is the standard pivot estimate from the
+    // same top-degree deterministic seeds as kbfs/closeness, all
+    // relaxed in ONE plan: forward rounds settle exact (dist, σ
+    // path-count) layers, backward levels accumulate Brandes'
+    // dependency as exact FLOOR-micros integers (every contribution
+    // ONE integer floor division (σ_v·(10⁶ + dq_w)) div σ_w — never a
+    // float; derivation, absence semantics, and the 2·diameter-action
+    // scale shape in operators/Betweenness's scaladoc). The oracle
+    // unrolls both sweeps verbatim; top-BetwTopK by (bc_micro desc,
+    // node asc) via TakeOrderedAndProject; bc_est = the (n∕k)
+    // extrapolation as ONE IEEE expression of exact integers.
+    "q_graph_betweenness" -> ((s, d) => {
+      val e = graft.Graft.eager(copurchaseEdges(s, d))
+      val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src").asc).limit(KbfsSeeds)
+        .select(col("src").as("seed"), col("src").as("node"))
+      graft.operators.Betweenness
+        .pivotBetweenness(e, seeds, BfsRounds, BetwTopK)
     }),
 
     // Resource-Allocation link prediction (r12): top-100 predicted
@@ -1828,6 +1860,75 @@ object GraphOps {
          |SELECT seed, n_reached, harmonic_micro,
          |  CAST(harmonic_micro AS DOUBLE) / 1000000.0 AS harmonic
          |FROM f ORDER BY seed""".stripMargin
+    },
+    // Both Brandes sweeps unrolled verbatim: forward rounds settle
+    // (dist, HUGEINT σ) layers (anti-join via LEFT JOIN ... IS NULL),
+    // backward levels accumulate the FLOOR-micros dependency with the
+    // engine's integer term (σ_v·(10⁶ + dq_w)) // σ_w; d6 is the
+    // empty base so level 5's LEFT JOIN coalesces to 0.
+    "q_graph_betweenness" -> {
+      def fwd(r: Int): String =
+        s"""f$r AS MATERIALIZED (
+           |  SELECT x.seed, x.node, x.sigma
+           |  FROM (
+           |    SELECT p.seed, e.dst AS node, SUM(p.sigma) AS sigma
+           |    FROM e JOIN f${r - 1} p ON e.src = p.node
+           |    GROUP BY 1, 2) x
+           |  LEFT JOIN st${r - 1} s
+           |    ON s.seed = x.seed AND s.node = x.node
+           |  WHERE s.node IS NULL),
+           |st$r AS MATERIALIZED (
+           |  SELECT seed, node, d, sigma FROM st${r - 1}
+           |  UNION ALL
+           |  SELECT seed, node, CAST($r AS BIGINT) AS d, sigma FROM f$r)"""
+          .stripMargin
+      def bwd(lev: Int): String =
+        s"""d$lev AS MATERIALIZED (
+           |  SELECT v.seed, v.node,
+           |    SUM((v.sigma * (1000000 + COALESCE(dw.dq, 0)))
+           |        // w.sigma) AS dq
+           |  FROM st$BfsRounds v
+           |    JOIN e ON e.src = v.node
+           |    JOIN st$BfsRounds w
+           |      ON w.seed = v.seed AND w.node = e.dst AND w.d = ${lev + 1}
+           |    LEFT JOIN d${lev + 1} dw
+           |      ON dw.seed = v.seed AND dw.node = w.node
+           |  WHERE v.d = $lev
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li),
+         |e AS MATERIALIZED (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1),
+         |seeds AS (SELECT src AS seed FROM deg
+         |          ORDER BY dg DESC, src ASC LIMIT $KbfsSeeds),
+         |f0 AS (SELECT seed, seed AS node, CAST(1 AS HUGEINT) AS sigma
+         |       FROM seeds),
+         |st0 AS (SELECT seed, node, CAST(0 AS BIGINT) AS d, sigma
+         |        FROM f0),
+         |${(1 to BfsRounds).map(fwd).mkString(",\n")},
+         |d$BfsRounds AS (
+         |  SELECT CAST(NULL AS BIGINT) AS seed,
+         |    CAST(NULL AS BIGINT) AS node, CAST(0 AS HUGEINT) AS dq
+         |  WHERE FALSE),
+         |${(BfsRounds - 1 to 0 by -1).map(bwd).mkString(",\n")},
+         |alld AS (
+         |  ${(0 until BfsRounds).map(l => s"SELECT * FROM d$l")
+          .mkString("\n  UNION ALL\n  ")}),
+         |nn AS (SELECT COUNT(*) AS n_nodes
+         |       FROM (SELECT DISTINCT src FROM e)),
+         |np AS (SELECT COUNT(DISTINCT seed) AS n_pivots FROM seeds),
+         |bc AS (
+         |  SELECT node, SUM(dq) AS bc_q FROM alld
+         |  WHERE node <> seed GROUP BY 1)
+         |SELECT node, CAST(bc_q AS BIGINT) AS bc_micro,
+         |  CAST(bc_q AS DOUBLE) * CAST(n_nodes AS DOUBLE)
+         |    / (CAST(n_pivots AS DOUBLE) * 1000000.0) AS bc_est
+         |FROM bc CROSS JOIN nn CROSS JOIN np
+         |ORDER BY bc_micro DESC, node ASC LIMIT $BetwTopK""".stripMargin
     },
     // True-degree weights attached by the same join that thins hubs;
     // 1000000 // pd is the engines' shared exact floor division.

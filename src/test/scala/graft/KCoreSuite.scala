@@ -151,6 +151,118 @@ class KCoreSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("betweenness (r19): exact on a path graph — interior nodes carry the hand-computed Brandes dependencies") {
+    // path 1-2-3-4-5, pivot 1: δ(4) = 1, δ(3) = 2, δ(2) = 3 (each
+    // interior node brokers every pair (1, beyond)); endpoint 5
+    // brokers nothing (absent); the seed is excluded
+    val g = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val seeds = Seq((1L, 1L)).toDF("seed", "node")
+    val r = operators.Betweenness.pivotBetweenness(g, seeds, 6, 100)
+      .select(col("node"), col("bc_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(2L -> 3000000L, 3L -> 2000000L, 4L -> 1000000L),
+      s"path dependencies drifted: $r")
+    // mid-path pivot 3: only its immediate flanks broker (δ = 1 each)
+    val seeds3 = Seq((3L, 3L)).toDF("seed", "node")
+    val r3 = operators.Betweenness.pivotBetweenness(g, seeds3, 6, 100)
+      .select(col("node"), col("bc_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(r3 === Map(2L -> 1000000L, 4L -> 1000000L), s"got $r3")
+    spark.catalog.clearCache()
+  }
+
+  test("betweenness (r19): diamond fixture — sigma > 1 splits dependency exactly; bc_est is the (n/k) extrapolation") {
+    // 1-{2,3}-4-{5,6}: σ(4) = 2 via the two arms; δ(4) = 2 (both 5
+    // and 6 route through it), δ(2) = δ(3) = (1∕2)(1 + 2) = 1.5 →
+    // FLOOR-micros 1500000 exactly (σ_v·(10⁶ + dq_w)) div σ_w =
+    // (1·3·10⁶) div 2
+    val g = sym(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L)))
+    val seeds = Seq((1L, 1L)).toDF("seed", "node")
+    val r = operators.Betweenness.pivotBetweenness(g, seeds, 6, 100)
+      .select(col("node"), col("bc_micro"), col("bc_est"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r.view.mapValues(_._1).toMap ===
+      Map(2L -> 1500000L, 3L -> 1500000L, 4L -> 2000000L), s"got $r")
+    // bc_est = bc_micro · n_nodes ∕ (pivots · 10⁶); n = 6, k = 1
+    assert(r(4L)._2 === 12.0 && r(2L)._2 === 9.0)
+    // the facade symmetrizes one-directional caller input, drops
+    // self-loops and phantom seeds, and keeps column names
+    val f = Graft.betweennessApprox(
+        Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+          (4L, 6L), (2L, 2L)).toDF("u", "v"),
+        "u", "v", Seq(1L, 999L))
+      .select(col("node"), col("bc_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(f === r.view.mapValues(_._1).toMap, s"facade drifted: $f")
+    spark.catalog.clearCache()
+  }
+
+  test("betweenness (r19): randomized law — engine == exact BigInt driver replay of both sweeps") {
+    val rnd = new scala.util.Random(7)
+    def mirror(und: Seq[(Long, Long)], pivots: Seq[Long],
+               rounds: Int): Map[Long, BigInt] = {
+      val adj = (und ++ und.map { case (a, b) => (b, a) })
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val acc = scala.collection.mutable.Map.empty[Long, BigInt]
+      pivots.foreach { s =>
+        // forward: exact BFS layers with path counts
+        var dist = Map(s -> 0)
+        var sigma = Map(s -> BigInt(1))
+        var frontier = Set(s)
+        var r = 0
+        while (frontier.nonEmpty && r < rounds) {
+          r += 1
+          val nxt = scala.collection.mutable.Map.empty[Long, BigInt]
+          frontier.foreach { u =>
+            adj.getOrElse(u, Set.empty).foreach { v =>
+              if (!dist.contains(v))
+                nxt(v) = nxt.getOrElse(v, BigInt(0)) + sigma(u)
+            }
+          }
+          nxt.foreach { case (v, sg) =>
+            dist += v -> r; sigma += v -> sg }
+          frontier = nxt.keySet.toSet
+        }
+        // backward: floor-micros dependency, deepest level first
+        val dq = scala.collection.mutable.Map.empty[Long, BigInt]
+        val maxD = if (dist.isEmpty) -1 else dist.values.max
+        (maxD - 1 to 0 by -1).foreach { lev =>
+          dist.filter(_._2 == lev).keys.foreach { v =>
+            val terms = adj.getOrElse(v, Set.empty).toSeq
+              .filter(w => dist.get(w).contains(lev + 1))
+              .map(w => (sigma(v) * (BigInt(1000000) + dq.getOrElse(w,
+                BigInt(0)))) / sigma(w))
+            if (terms.nonEmpty) dq(v) = terms.sum
+          }
+        }
+        dq.foreach { case (v, q) =>
+          if (v != s) acc(v) = acc.getOrElse(v, BigInt(0)) + q }
+      }
+      acc.toMap
+    }
+    (1 to 4).foreach { trial =>
+      val n = 7 + rnd.nextInt(6)
+      val und = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      if (und.nonEmpty) {
+        val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val pivots = nodes.take(2)
+        val seeds = pivots.map(i => (i, i)).toDF("seed", "node")
+        val got = operators.Betweenness
+          .pivotBetweenness(sym(und), seeds, 6, 1000)
+          .select(col("node"), col("bc_micro"))
+          .as[(Long, Long)].collect().toMap
+        val want = mirror(und, pivots, 6)
+          .map { case (k, v) => k -> v.toLong }
+        assert(got === want, s"trial $trial: engine $got != mirror $want")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("LabelProp: disjoint triangles each converge to one community; a bridge does not merge them in 3 rounds") {
     // triangles {1,2,3} and {11,12,13}, bridged by one 3–11 edge
     val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),

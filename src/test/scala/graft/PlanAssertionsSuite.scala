@@ -1315,6 +1315,20 @@ class PlanAssertionsSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_graph_betweenness (r19): the returned plan is a top-k over checkpointed dependency state — TakeOrderedAndProject, no cartesian, no window") {
+    // both sweeps run eagerly in the lambda (the refine/kbfs
+    // precedent); the returned plan aggregates the localCheckpointed
+    // per-level dependency frames against two 1-row broadcast scalars
+    val p = planString(q("q_graph_betweenness"))
+    assert(!p.contains("CartesianProduct"), s"betweenness cartesian:\n$p")
+    assert(!p.contains("Window"), s"betweenness grew a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"betweenness top-k must never be a full sort:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"betweenness result not off checkpointed dependency state:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q_graph_refine_w (r19): the weighted loop keeps the refine shapes — no cartesian, no window, checkpointed labels") {
     val p = planString(q("q_graph_refine_w"))
     assert(!p.contains("CartesianProduct"), s"refine_w cartesian:\n$p")
