@@ -1540,6 +1540,21 @@ object Graft {
     graft.queries.GraphOps.harmonicFold(
       kSeedBfs(edges, srcCol, dstCol, seedIds, rounds))
 
+  /** Truncated eccentricity per seed (graded q_graph_ecc's engine):
+    * ecc(s) = max hop distance within `rounds` over the [[kSeedBfs]]
+    * histogram — the worst-case leg of the distance-centrality trio
+    * (closeness = mean, harmonic = mean inverse). With unreached
+    * nodes the true eccentricity is ≥ the reported value (a lower
+    * bound — the truncation contract). All-integer. Returns
+    * (seed, n_reached, ecc). */
+  def eccentricity(edges: DataFrame, srcCol: String, dstCol: String,
+                   seedIds: Seq[Long], rounds: Int = 6): DataFrame =
+    kSeedBfs(edges, srcCol, dstCol, seedIds, rounds)
+      .groupBy(col("seed"))
+      .agg(sum(col("n_nodes")).as("n_reached"),
+        max(col("dist")).as("ecc"))
+      .orderBy(col("seed"))
+
   /** Pivot-sampled approximate betweenness (graded
     * q_graph_betweenness's engine): Brandes dependency accumulation
     * from a caller-chosen deterministic pivot set, all pivots in one

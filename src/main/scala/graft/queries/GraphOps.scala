@@ -497,6 +497,29 @@ object GraphOps {
       harmonicFold(graft.operators.Bfs.hopsFrom(e, seeds, BfsRounds))
     }),
 
+    // Eccentricity checkpoints (r19) — the THIRD fold over the kbfs
+    // hop histograms, completing the distance-centrality trio:
+    // closeness reads the MEAN distance, harmonic the mean INVERSE,
+    // ecc(s) = max_v d(s, v) reads the WORST case — the radius/
+    // diameter profile (max ecc over seeds lower-bounds the diameter,
+    // min upper-bounds nothing but estimates the radius when seeds
+    // include center candidates). Truncated at BfsRounds like its
+    // siblings: with unreached nodes the true ecc is ≥ the reported
+    // value (a LOWER bound — documented; vacuous at graded sfs where
+    // full reach ≤ 4 hops). All-integer — no quantization at all; a
+    // seed-grain max/sum agg over ≤ seeds·rounds histogram rows.
+    "q_graph_ecc" -> ((s, d) => {
+      val e = graft.Graft.eager(copurchaseEdges(s, d))
+      val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src").asc).limit(KbfsSeeds)
+        .select(col("src").as("seed"), col("src").as("node"))
+      graft.operators.Bfs.hopsFrom(e, seeds, BfsRounds)
+        .groupBy(col("seed"))
+        .agg(sum(col("n_nodes")).as("n_reached"),
+          max(col("dist")).as("ecc"))
+        .orderBy(col("seed"))
+    }),
+
     // Approximate betweenness — pivot-sampled Brandes (r19; Brandes
     // 2001, Brandes & Pich 2007) — the LAST classic centrality absent
     // from the family (pagerank/HITS endorse, closeness/harmonic
@@ -682,6 +705,28 @@ object GraphOps {
       conductanceWOn(ew,
         graft.operators.LabelProp.run(
           ew.select(col("src"), col("dst")), LpRounds), 10)
+    }),
+
+    // FULLY-weighted per-community conductance (r19) — the
+    // conductance leg of the weighted loop: q_graph_conductance_w
+    // scores the UNWEIGHTED labelprop proposal (kept stable as the
+    // r18 row); this scores the WEIGHTED proposal
+    // (LabelProp.runW — q_graph_labelprop_w's partition) with the
+    // same weighted φ fold, completing the symmetry q_graph_refine_w
+    // opened on the modularity side (its q_micro_base IS weighted-Q
+    // of the weighted proposal). Honest measured finding: the φ_w =
+    // 1.0 wall STANDS at every sf — labelprop_w's part-anchored
+    // districts are finer (187 vs 89 communities at sf0.01) but the
+    // LARGEST ones still send all weight outside; the bipartite-
+    // parity edge set has no in-community weight to find at any vote
+    // rule — the per-community audit agreeing with modularity_w's
+    // ≤ 0 global verdict. Engine semantics/determinism in
+    // conductanceWOn's scaladoc; oracle unrolls the SUM(w)-vote
+    // rounds + the weighted fold.
+    "q_graph_conductance_ww" -> ((s, d) => {
+      val ew = graft.Graft.eager(copurchaseEdgesW(s, d, CoreMinPair))
+      conductanceWOn(ew,
+        graft.operators.LabelProp.runW(ew, LpRounds), 10)
     }),
 
     // Modularity of the ONE-MODE projection (r18) — the second half
@@ -1861,6 +1906,33 @@ object GraphOps {
          |  CAST(harmonic_micro AS DOUBLE) / 1000000.0 AS harmonic
          |FROM f ORDER BY seed""".stripMargin
     },
+    // The kbfs unroll + the all-integer max/sum eccentricity fold.
+    "q_graph_ecc" -> {
+      def round(r: Int): String =
+        s"""bd$r AS MATERIALIZED (
+           |  SELECT seed, node, MIN(d) AS d FROM (
+           |    SELECT seed, node, d FROM bd${r - 1}
+           |    UNION ALL
+           |    SELECT p.seed, e.dst AS node, p.d + 1 AS d
+           |    FROM e JOIN bd${r - 1} p ON e.src = p.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li),
+         |e AS MATERIALIZED (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1),
+         |seeds AS (SELECT src AS seed FROM deg
+         |          ORDER BY dg DESC, src ASC LIMIT $KbfsSeeds),
+         |bd0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d
+         |        FROM seeds),
+         |${(1 to BfsRounds).map(round).mkString(",\n")}
+         |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |  CAST(MAX(d) AS BIGINT) AS ecc
+         |FROM bd$BfsRounds GROUP BY 1 ORDER BY seed""".stripMargin
+    },
     // Both Brandes sweeps unrolled verbatim: forward rounds settle
     // (dist, HUGEINT σ) layers (anti-join via LEFT JOIN ... IS NULL),
     // backward levels accumulate the FLOOR-micros dependency with the
@@ -2279,6 +2351,56 @@ object GraphOps {
            |    SELECT src, label,
            |      ROW_NUMBER() OVER (PARTITION BY src
            |        ORDER BY cnt DESC, label ASC) AS rn
+           |    FROM c$r) x WHERE rn = 1)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q,
+         |    COUNT(*) AS w
+         |  FROM $li GROUP BY 1, 2 HAVING COUNT(*) >= $CoreMinPair),
+         |e0 AS (
+         |  SELECT p AS src, q AS dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst, w FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
+         |${(1 to LpRounds).map(round).mkString(",\n")},
+         |e2 AS (
+         |  SELECT la.label AS la, lb.label AS lb, e.w
+         |  FROM e0 e
+         |    JOIN l$LpRounds la ON e.src = la.node
+         |    JOIN l$LpRounds lb ON e.dst = lb.node),
+         |comm AS (
+         |  SELECT la AS label, SUM(w) AS vol_w,
+         |    SUM(CASE WHEN lb <> la THEN w ELSE 0 END) AS cut_w
+         |  FROM e2 GROUP BY 1),
+         |sizes AS (SELECT label, COUNT(*) AS n_nodes
+         |          FROM l$LpRounds GROUP BY 1),
+         |tot AS (SELECT SUM(CAST(vol_w AS HUGEINT)) AS m2 FROM comm)
+         |SELECT c.label, CAST(s.n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(c.vol_w AS BIGINT) AS vol_w,
+         |  CAST(c.cut_w AS BIGINT) AS cut_w,
+         |  CASE WHEN least(CAST(c.vol_w AS HUGEINT), m2 - c.vol_w) > 0
+         |    THEN CAST((CAST(c.cut_w AS HUGEINT) * 1000000)
+         |      // least(CAST(c.vol_w AS HUGEINT), m2 - c.vol_w)
+         |      AS BIGINT) END AS phi_micro,
+         |  CAST(CASE WHEN least(CAST(c.vol_w AS HUGEINT), m2 - c.vol_w) > 0
+         |    THEN CAST((CAST(c.cut_w AS HUGEINT) * 1000000)
+         |      // least(CAST(c.vol_w AS HUGEINT), m2 - c.vol_w)
+         |      AS BIGINT) END AS DOUBLE) / 1000000.0 AS conductance
+         |FROM comm c JOIN sizes s USING (label) CROSS JOIN tot
+         |ORDER BY n_nodes DESC, label ASC LIMIT 10""".stripMargin
+    },
+    // The fully-weighted twin (r19): the SUM(w)-vote labelprop_w
+    // unroll, then the identical weighted conductance fold.
+    "q_graph_conductance_ww" -> {
+      def round(r: Int): String =
+        s"""c$r AS (
+           |  SELECT e.src, l.label, SUM(e.w) AS wsum
+           |  FROM e0 e JOIN l${r - 1} l ON e.dst = l.node
+           |  GROUP BY 1, 2),
+           |l$r AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label,
+           |      ROW_NUMBER() OVER (PARTITION BY src
+           |        ORDER BY wsum DESC, label ASC) AS rn
            |    FROM c$r) x WHERE rn = 1)""".stripMargin
       s"""WITH pairs AS (
          |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q,

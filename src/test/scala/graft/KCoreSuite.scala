@@ -148,6 +148,14 @@ class KCoreSuite extends SparkSuite {
       .select(col("seed"), col("harmonic_micro"))
       .as[(Long, Long)].collect().toMap
     assert(f === Map(1L -> 2000000L, 10L -> 7000000L))
+    // eccentricity (r19): the worst-case fold over the same hops —
+    // triangle seed ecc 1, star-with-tails seed ecc 2, all-integer
+    val ec = Graft.eccentricity(
+        (comp1 ++ comp2).toDF("u", "v"), "u", "v", Seq(1L, 10L))
+      .select(col("seed"), col("n_reached"), col("ecc"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(ec === Map(1L -> ((3L, 1L)), 10L -> ((9L, 2L))), s"got $ec")
     spark.catalog.clearCache()
   }
 
