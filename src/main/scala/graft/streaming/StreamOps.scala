@@ -1829,6 +1829,30 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  /** Last-touch attribution on transformWithState (r19, wave 4): ONE
+    * TTL'd ValueState[AttribState] per user — a single last-touch
+    * string, the identical fold and within-batch (ts_us, event_id)
+    * replay order as the [[attribMonitor]] fMGWS twin (purchases emit
+    * the carried touch or "direct", non-purchases move the touch).
+    * Here the TTL is not a caveat but the FEATURE marketers actually
+    * specify: an expired touch makes the next purchase "direct" —
+    * i.e. the default 24 h ttl IS a 24-hour last-touch attribution
+    * WINDOW (processing-time; an event-time window composes the same
+    * fold with the ts carried in state). Within the no-expiry horizon
+    * emissions equal the twin and the graded q_event_attrib exactly
+    * (the parity suite pins it under RocksDB); emissions are FINAL
+    * (Append) — an expiry never rewrites history, it only changes
+    * future credits. State is O(recently-active users) × one string. */
+  def attribTws(events: Dataset[Event],
+      ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttribTwsProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append)
+  }
+
   /** Rolling 3-event decimal sum per key on the transformWithState
     * ListState primitive — the bounded-buffer shape of the new state
     * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
@@ -2085,6 +2109,36 @@ class StreakTwsProcessor(ttl: java.time.Duration)
     }
     st.update(s)
     Iterator.single(StreakOut(user, s.nActive, s.longest, s.current))
+  }
+}
+
+/** [[StreamOps.attribTws]]'s processor: ONE TTL'd
+  * ValueState[AttribState] per user — the same one-string state shape
+  * as the flatMapGroupsWithState twin; the store-enforced expiry IS
+  * the attribution window (see the builder's scaladoc). */
+class AttribTwsProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AttribOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[AttribState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[AttribState]("touch",
+      Encoders.product[AttribState], TTLConfig(ttl))
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[AttribOut] = {
+    var touch = if (st.exists()) st.get().touch else ""
+    val out = Seq.newBuilder[AttribOut]
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      if (e.event_type == "purchase")
+        out += AttribOut(user, e.event_id,
+          if (touch.isEmpty) "direct" else touch)
+      else touch = e.event_type
+    }
+    st.update(AttribState(touch))
+    out.result().iterator
   }
 }
 

@@ -2375,6 +2375,88 @@ class StreamingParitySuite extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("transformWithState attribution (r19): RocksDB stream == fMGWS twin == graded q_event_attrib; cross-batch touch carry exact") {
+    // Wave 4, second member: Append-mode emissions — every purchase
+    // credited exactly once, the carried touch surviving batch splits.
+    val all = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts_us, e.event_id))
+    val expected = StreamOps.attribMonitor(
+        spark.createDataset(all)).collect()
+      .map(o => o.event_id -> o.touch_type).toMap
+    val graded = graft.queries.EventOps.queries("q_event_attrib")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        === graded && graded.nonEmpty,
+      "fMGWS twin drifted from the graded query — fix that first")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.Map.empty[Long, String]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.attribTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[AttribOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o => buf(o.event_id) = o.touch_type)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsattrib_cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS attribution never converged: ${buf.synchronized(buf.size)} " +
+            s"purchases vs ${expected.size}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    // the carry across a batch split: a view in batch 1 credits the
+    // purchase in batch 2; a purchase-first user is direct
+    val mini = Seq(
+      Event(1L, 10L, 7L, "view", 1.0), Event(2L, 20L, 8L, "purchase", 1.0),
+      Event(3L, 30L, 7L, "purchase", 1.0), Event(4L, 40L, 7L, "purchase", 1.0))
+    val ms2 = MemoryStream[Event](s2)
+    val buf2 = scala.collection.mutable.Map.empty[Long, String]
+    val q2 = StreamOps.attribTws(ms2.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[AttribOut], _: Long) =>
+        val rows = ds.collect()
+        buf2.synchronized {
+          rows.foreach(o => buf2(o.event_id) = o.touch_type)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsattrib2_cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Seq(mini.take(2), mini.drop(2)).foreach(ms2.addData(_))
+      val want = Map(2L -> "direct", 3L -> "view", 4L -> "view")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf2.synchronized(buf2.toMap) != want) {
+        assert(System.nanoTime() < deadline,
+          s"TWS attrib straddle never converged: ${buf2.synchronized(buf2.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally q2.stop()
+  }
+
   test("transformWithState funnel TTL: an idle part-way funnel expires and restarts from stage 0 (r17)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
