@@ -729,6 +729,45 @@ object ScaleRehearsal {
         require(q1 >= q0, s"Q decreased at n=$n: $q0 -> $q1")
         n
       }
+      // The fully-weighted loop's newcomers (r19): the SAME planted
+      // shapes as labelprop_flat / refine_move with an integer weight
+      // riding every edge. Claims: runW ≡ run's per-round join +
+      // two-agg shape with the count swapped for a weight sum (zero
+      // extra shuffles — time within the unweighted curve's band);
+      // refineWOn ≡ refineOn's per-move scoring pass (the
+      // modularityw_fold precedent: weight sums add no exchange).
+      // Truths: labelprop_w over n/2 disjoint weighted pairs emits one
+      // label per node (out = n); weighted refine never lowers Q_w.
+      if (want("labelpropw_flat")) time("labelpropw_flat", n) {
+        val ew = pairEdges(n)
+          .withColumn("w", pmod(col("a"), lit(5L)) + 1L)
+        val g = ew.select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .union(ew.select(col("b").as("src"), col("a").as("dst"),
+            col("w")))
+        graft.operators.LabelProp.runW(g, 3).count()
+      }
+      if (want("refinew_move")) time("refinew_move", n) {
+        val m = n / 100L
+        val ring = spark.range(m).select(col("id").as("a"),
+          pmod(col("id") + 1L, lit(m)).as("b"))
+        val tails = spark.range(m, n).select(col("id").as("a"),
+          pmod(col("id"), lit(m)).as("b"))
+        val und = ring.union(tails)
+          .withColumn("w", pmod(col("a"), lit(5L)) + 1L)
+        val edges = und
+          .select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .union(und.select(col("b").as("src"), col("a").as("dst"),
+            col("w")))
+        val labels = spark.range(n).select(col("id").as("node"),
+          pmod(col("id"), lit(2L)).as("label"))
+        val q0 = graft.queries.GraphOps.modularityWOn(edges, labels)
+          .collect()(0).getAs[Long]("q_micro")
+        val refined = graft.queries.GraphOps.refineWOn(edges, labels, 2)
+        val q1 = graft.queries.GraphOps.modularityWOn(edges, refined)
+          .collect()(0).getAs[Long]("q_micro")
+        require(q1 >= q0, s"Q_w decreased at n=$n: $q0 -> $q1")
+        n
+      }
       // q_graph_kbfs's multi-seed relaxation (r18 newcomer) on the
       // bfs_hops star-of-stars with TWO seeds (the root hub + one mid
       // hub) in one plan. Claim: per-round cost ∝ seeds·edges incident

@@ -62,26 +62,35 @@ object Betweenness {
     var settled = seeds.select(col("seed"), col("node"),
         lit(0).cast("long").as("d"), lit(1).cast(dec).as("sigma"))
       .localCheckpoint()
-    var frontier = settled
+    // ONE materialization per round: the frontier is a filter over
+    // the just-checkpointed settled table (never its own checkpoint),
+    // and the early exit reads the settled count — an unchanged count
+    // means the round's frontier was empty, result-identical to
+    // continuing (an empty frontier settles nothing). The count on a
+    // just-checkpointed frame is a cached scan. Honest same-yard A/B
+    // (BASELINE.md r19): 9.3-10.0 → 8.8-9.8 s warm at sf0.1 — a
+    // marginal win inside host noise; the per-round cost floor is the
+    // join/agg stages, not the extra checkpoint job, so the real
+    // value is the simpler single-owner state.
+    var prevCount = settled.count()
     var r = 0
-    var done = frontier.isEmpty
+    var done = prevCount == 0
     while (!done && r < rounds) {
       r += 1
       val nxt = e
-        .join(frontier.select(col("seed"), col("node").as("src"),
-          col("sigma")), Seq("src"))
+        .join(settled.filter(col("d") === r - 1)
+          .select(col("seed"), col("node").as("src"), col("sigma")),
+          Seq("src"))
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("sigma")).as("sigma"))
         .join(settled.select(col("seed"), col("node")),
           Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(r).cast("long").as("d"),
           col("sigma").cast(dec).as("sigma"))
-        .localCheckpoint()
-      if (nxt.isEmpty) done = true // empty frontier: settled is final
-      else {
-        settled = settled.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-      }
+      settled = settled.unionByName(nxt).localCheckpoint()
+      val c = settled.count()
+      if (c == prevCount) done = true
+      prevCount = c
     }
     settled
   }

@@ -921,6 +921,12 @@ class GraftFacadeSuite extends SparkSuite {
         Seq.empty[(Long, Long, Long)].toDF("a", "b", "wt"), "a", "b", "wt",
         Seq.empty[(Long, Long)].toDF("id", "community"),
         "id", "community", 2)),
+      "harmonicCentrality" -> (() =>
+        Graft.harmonicCentrality(emptyPairs, "a", "b", Seq(1L))),
+      "eccentricity" -> (() =>
+        Graft.eccentricity(emptyPairs, "a", "b", Seq(1L))),
+      "betweennessApprox" -> (() =>
+        Graft.betweennessApprox(emptyPairs, "a", "b", Seq(1L))),
       "modularityWeighted" -> (() => {
         // 1-row degenerate (the modularityOn null-guard contract):
         // zero communities, NULL totals — assert instead of emptiness
