@@ -1555,6 +1555,43 @@ object Graft {
         max(col("dist")).as("ecc"))
       .orderBy(col("seed"))
 
+  /** Weighted closeness over bounded Bellman-Ford affinity distances
+    * (graded q_graph_wcloseness's engine): edge cost = 10⁶ div w
+    * micro-hops (heavier tie ⟹ cheaper edge — the exact-integer 1∕w
+    * transform), distances = minimum cost over ≤ `rounds`-edge paths
+    * ([[graft.operators.Bfs.costFrom]]'s bounded-hop contract — a
+    * longer-hop cheaper path displaces a settled entry, which hop-BFS
+    * cannot express), fold = (reached−1)·10¹² div Σcost. Self-loops
+    * dropped; one orientation per pair (or both with identical
+    * weights) — the [[modularityWeighted]] contract. Phantom seeds
+    * dropped. Returns (seed, n_reached, sum_cost, wclose_micro,
+    * wcloseness). */
+  def weightedCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+                        wCol: String, seedIds: Seq[Long],
+                        rounds: Int = 6): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .filter(col("src") =!= col("dst"))
+    val g = e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+        col("w"))).distinct()
+      .select(col("src"), col("dst"),
+        expr("cast(1000000 div w as bigint)").as("cost"))
+    val seeds = seedIds.distinct.map(i => (i, i)).toDF("seed", "node")
+      .join(g.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_semi")
+    graft.operators.Bfs.costFrom(g, seeds, rounds)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_cost"))
+      .withColumn("wclose_micro", when(col("sum_cost") > 0,
+        expr("""cast((cast(n_reached - 1 as decimal(38,0))
+                * 1000000000000) div sum_cost as bigint)""")))
+      .withColumn("wcloseness",
+        col("wclose_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("seed"))
+  }
+
   /** Pivot-sampled approximate betweenness (graded
     * q_graph_betweenness's engine): Brandes dependency accumulation
     * from a caller-chosen deterministic pivot set, all pivots in one

@@ -154,4 +154,53 @@ object Bfs {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("seed"), col("dist"))
   }
+
+  /** Bounded-round WEIGHTED relaxation from a seed set (r19) —
+    * Bellman-Ford's distributed form: after round r every reached
+    * node carries the exact minimum COST over paths of ≤ r edges
+    * (the textbook bounded-hop contract; the fixed unroll IS the
+    * semantics and the oracle mirrors it round for round; nodes
+    * beyond `rounds` edges absent — documented). Integer edge costs
+    * ride the edge row; all arithmetic is integer add/min.
+    *
+    * The structural difference from [[hopsFrom]]: a SETTLED entry can
+    * IMPROVE in a later round (a longer-hop but cheaper path — the
+    * very case hop-BFS cannot express), so there is no frontier and
+    * no early exit: every round relaxes the FULL distance table.
+    * Uniform cost c reproduces hopsFrom's distances × c exactly (the
+    * law KCoreSuite pins) because with equal costs no longer path is
+    * ever cheaper.
+    *
+    * Scale shape: per round ONE equi-join of the checkpointed edge
+    * list against the (seed, node)-grain distance table + a map-side-
+    * combining min-agg — shuffle ∝ seeds·edges, the hopsFrom Pregel
+    * cost with the cost column riding along; per-round
+    * localCheckpoint, O(1) cached footprint; exactly `rounds` driver
+    * jobs (no data-dependent control flow at all).
+    *
+    * @param edges  symmetrized directed (`src`, `dst`, `cost`) —
+    *               non-negative integer costs, both orientations with
+    *               the same cost (the weighted edge-builder contract).
+    * @param seeds  (`seed`, `node`) start rows, distinct.
+    * @param rounds fixed relaxation rounds (≥ 0).
+    * @return (`seed`, `node`, `d`): minimum ≤`rounds`-edge path cost. */
+  def costFrom(edges: DataFrame, seeds: DataFrame,
+               rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("cost")).persist()
+    e.count() // eager: every round's join reads it
+    var dist: DataFrame = seeds
+      .select(col("seed"), col("node"), lit(0L).as("d"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      dist = dist.unionByName(
+          e.join(dist.select(col("seed"), col("node").as("src"),
+              col("d")), Seq("src"))
+            .select(col("seed"), col("dst").as("node"),
+              (col("d") + col("cost")).as("d")))
+        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

@@ -497,6 +497,42 @@ object GraphOps {
       harmonicFold(graft.operators.Bfs.hopsFrom(e, seeds, BfsRounds))
     }),
 
+    // WEIGHTED closeness — bounded Bellman-Ford affinity distances
+    // (r19, post-seal wave): the one distance question the hop family
+    // cannot ask — when repeat co-purchases make a tie CLOSER, which
+    // hub is nearest to everything in AFFINITY cost? Edge cost =
+    // 10⁶ div w micro-hops (heavier pair ⟹ cheaper edge — the exact
+    // integer transform of the standard 1∕w length), distances by
+    // operators/Bfs.costFrom: BfsRounds synchronous Bellman-Ford
+    // relaxations, after which every node carries the exact minimum
+    // cost over ≤ rounds-edge paths (the textbook bounded-hop
+    // contract; a longer-hop cheaper path CAN displace a settled
+    // entry — the semantics hop-BFS can't express, pinned in-unit).
+    // Seeds: top-KbfsSeeds by STRENGTH ((Σw desc, node asc) — the
+    // weighted analog of the kbfs degree seeds). Fold: closeness over
+    // cost — wclose_micro = ((reached−1)·10¹²) div sum_cost (exact
+    // integers; sum_cost is micro-hops so the 10¹² keeps micro
+    // precision of the per-hop closeness), ONE IEEE division,
+    // NULL-guarded. Uniform-cost ≡ hops law in-unit; oracle unrolls
+    // the identical rounds.
+    "q_graph_wcloseness" -> ((s, d) => {
+      val ew = graft.Graft.eager(copurchaseEdgesW(s, d, CoreMinPair))
+      val seeds = ew.groupBy(col("src")).agg(sum(col("w")).as("st"))
+        .orderBy(col("st").desc, col("src").asc).limit(KbfsSeeds)
+        .select(col("src").as("seed"), col("src").as("node"))
+      val ce = ew.select(col("src"), col("dst"),
+        expr("cast(1000000 div w as bigint)").as("cost"))
+      graft.operators.Bfs.costFrom(ce, seeds, BfsRounds)
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_cost"))
+        .withColumn("wclose_micro", when(col("sum_cost") > 0,
+          expr("""cast((cast(n_reached - 1 as decimal(38,0))
+                  * 1000000000000) div sum_cost as bigint)""")))
+        .withColumn("wcloseness",
+          col("wclose_micro").cast("double") / lit(1000000.0))
+        .orderBy(col("seed"))
+    }),
+
     // Eccentricity checkpoints (r19) — the THIRD fold over the kbfs
     // hop histograms, completing the distance-centrality trio:
     // closeness reads the MEAN distance, harmonic the mean INVERSE,
@@ -1904,6 +1940,50 @@ object GraphOps {
          |  FROM h GROUP BY 1)
          |SELECT seed, n_reached, harmonic_micro,
          |  CAST(harmonic_micro AS DOUBLE) / 1000000.0 AS harmonic
+         |FROM f ORDER BY seed""".stripMargin
+    },
+    // The Bellman-Ford rounds unrolled verbatim over the cost-carrying
+    // weighted edge CTE (strength-ranked seeds; min-agg per round —
+    // settled entries CAN improve, so no settled/frontier split), then
+    // the closeness-over-cost fold (non-negative HUGEINT // ≡ div).
+    "q_graph_wcloseness" -> {
+      def round(r: Int): String =
+        s"""wd$r AS MATERIALIZED (
+           |  SELECT seed, node, MIN(d) AS d FROM (
+           |    SELECT seed, node, d FROM wd${r - 1}
+           |    UNION ALL
+           |    SELECT p.seed, e.dst AS node, p.d + e.cost AS d
+           |    FROM e JOIN wd${r - 1} p ON e.src = p.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q,
+         |    COUNT(*) AS w
+         |  FROM $li GROUP BY 1, 2 HAVING COUNT(*) >= $CoreMinPair),
+         |e0 AS (
+         |  SELECT p AS src, q AS dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst, w FROM pairs),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, CAST(1000000 // w AS BIGINT) AS cost
+         |  FROM e0),
+         |strength AS (SELECT src, SUM(w) AS st FROM e0 GROUP BY 1),
+         |seeds AS (SELECT src AS seed FROM strength
+         |          ORDER BY st DESC, src ASC LIMIT $KbfsSeeds),
+         |wd0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d
+         |        FROM seeds),
+         |${(1 to BfsRounds).map(round).mkString(",\n")},
+         |f AS (
+         |  SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |    CAST(SUM(d) AS BIGINT) AS sum_cost
+         |  FROM wd$BfsRounds GROUP BY 1)
+         |SELECT seed, n_reached, sum_cost,
+         |  CASE WHEN sum_cost > 0 THEN
+         |    CAST((CAST(n_reached - 1 AS HUGEINT) * 1000000000000)
+         |      // sum_cost AS BIGINT) END AS wclose_micro,
+         |  CAST(CASE WHEN sum_cost > 0 THEN
+         |    CAST((CAST(n_reached - 1 AS HUGEINT) * 1000000000000)
+         |      // sum_cost AS BIGINT) END AS DOUBLE) / 1000000.0
+         |    AS wcloseness
          |FROM f ORDER BY seed""".stripMargin
     },
     // The kbfs unroll + the all-integer max/sum eccentricity fold.

@@ -159,6 +159,54 @@ class KCoreSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("costFrom (r19): a longer-hop cheaper path displaces a settled entry — the case hop-BFS cannot express") {
+    // 1—2 at w=1 (cost 10⁶), 1—3 and 3—2 at w=4 (cost 250000 each):
+    // the 2-hop route to node 2 costs 500000 < the direct 10⁶
+    val ew = Seq((1L, 2L, 1L), (1L, 3L, 4L), (3L, 2L, 4L))
+    val g = symW(ew).select(col("src"), col("dst"),
+      expr("cast(1000000 div w as bigint)").as("cost"))
+    val seeds = Seq((1L, 1L)).toDF("seed", "node")
+    val d6 = operators.Bfs.costFrom(g, seeds, 6)
+      .select(col("node"), col("d")).as[(Long, Long)].collect().toMap
+    assert(d6 === Map(1L -> 0L, 2L -> 500000L, 3L -> 250000L), s"got $d6")
+    // at rounds = 1 only the direct edge exists — round 2 IMPROVES it
+    val d1 = operators.Bfs.costFrom(g, seeds, 1)
+      .select(col("node"), col("d")).as[(Long, Long)].collect().toMap
+    assert(d1(2L) === 1000000L, s"1-round distance must be direct: $d1")
+    spark.catalog.clearCache()
+  }
+
+  test("costFrom (r19): uniform costs reproduce hopsFrom x cost exactly — the weight-blind law") {
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val g = sym(k4a ++ k4b ++ Seq((4L, 5L)))
+    val seeds = Seq((1L, 1L), (6L, 6L)).toDF("seed", "node")
+    val hops = operators.Bfs.hopsFrom(g, seeds, 6)
+      .select(col("seed"), col("dist"), col("n_nodes"))
+      .as[(Long, Long, Long)].collect().toSet
+    val costs = operators.Bfs.costFrom(
+        g.withColumn("cost", lit(7L)), seeds, 6)
+      .groupBy(col("seed"), (col("d") / 7L).cast("long").as("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("seed"), col("dist"), col("n_nodes"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(costs === hops, s"uniform-cost law broke: $costs vs $hops")
+    // and the weightedCloseness facade on the same graph at w=1:
+    // cost = 10⁶ per hop, so sum_cost = 10⁶·Σdist and wclose_micro
+    // equals the unweighted closeness_micro
+    val fw = Graft.weightedCloseness(
+        (k4a ++ k4b ++ Seq((4L, 5L))).map { case (a, b) => (a, b, 1L) }
+          .toDF("u", "v", "wt"), "u", "v", "wt", Seq(1L, 6L, 99L))
+      .select(col("seed"), col("n_reached"), col("sum_cost"),
+        col("wclose_micro"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // seed 1: dists (0,1,1,1,2,3,3,3) -> sum 14; (8-1)*1e6/14 = 500000
+    assert(fw(1L) === ((8L, 14000000L, 500000L)), s"got ${fw(1L)}")
+    assert(fw.size === 2, s"phantom seed survived: ${fw.keySet}")
+    spark.catalog.clearCache()
+  }
+
   test("betweenness (r19): exact on a path graph — interior nodes carry the hand-computed Brandes dependencies") {
     // path 1-2-3-4-5, pivot 1: δ(4) = 1, δ(3) = 2, δ(2) = 3 (each
     // interior node brokers every pair (1, beyond)); endpoint 5

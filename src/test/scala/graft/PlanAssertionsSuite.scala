@@ -1300,6 +1300,14 @@ class PlanAssertionsSuite extends SparkSuite {
       s"harmonic result does not read the eager cache:\n$ph")
     assert(!ph.contains("Window"), s"harmonic grew a window:\n$ph")
     spark.catalog.clearCache()
+    // r19 post-seal: wcloseness folds the checkpointed Bellman-Ford
+    // distance table (costFrom materializes every round)
+    val pw = planString(q("q_graph_wcloseness"))
+    assert(!pw.contains("CartesianProduct"), s"wcloseness cartesian:\n$pw")
+    assert(pw.contains("Scan ExistingRDD"),
+      s"wcloseness result not off checkpointed distances:\n$pw")
+    assert(!pw.contains("Window"), s"wcloseness grew a window:\n$pw")
+    spark.catalog.clearCache()
   }
 
   test("q_graph_refine (r18): the returned plan is the modularity fold of checkpointed labels x a 1-row broadcast base score — no cartesian, no window") {
