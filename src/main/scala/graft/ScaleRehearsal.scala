@@ -509,6 +509,21 @@ object ScaleRehearsal {
         graft.operators.Betweenness
           .pivotBetweenness(sym(chainEdges(n)), seeds, 6, 20).count()
       }
+      // Bounded Bellman-Ford (r19 post-seal): costFrom's full-table
+      // relaxation on the 8-node chains, 3 chain-start seeds, edge
+      // cost = (src mod 5) + 1. Planted truth: every reached node's
+      // cost is the exact prefix sum along its chain (chains never
+      // interact), out = 3·7 = 21 (seeds reach their whole chain
+      // within 6 rounds... dist ≤ 6 edges reaches nodes 1..6 + seed =
+      // 7 rows per seed). Claim: per-round shuffle ∝ edges (the full
+      // edge list reshuffles every round — no frontier by design),
+      // time = the fixed rounds·job floor, flat at ×10.
+      if (want("wsssp_chain")) time("wsssp_chain", n) {
+        val seeds = Seq(0L, 8L, 16L).map(i => (i, i)).toDF("seed", "node")
+        val ce = sym(chainEdges(n)).withColumn("cost",
+          pmod(col("src"), lit(5L)) + 1L)
+        graft.operators.Bfs.costFrom(ce, seeds, 6).count()
+      }
       if (want("projpairs_all")) time("projpairs_all", n) {
         // the engine's wedge join up to the pair table, pre-cut
         val ps = projPs

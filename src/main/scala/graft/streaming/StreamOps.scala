@@ -1853,6 +1853,31 @@ object StreamOps {
         OutputMode.Append)
   }
 
+  /** The SCD2 dimension maintainer on transformWithState (r19, wave
+    * 4, third member): ONE ValueState[Scd2State] per key — the open
+    * range's (attr, from_ts, from_id), the identical fold and
+    * within-batch (ts_us, event_id) replay order as the
+    * [[scd2Monitor]] fMGWS twin (an attr change closes the carried
+    * range at the new ts and opens a new one; same-attr runs merge).
+    * Deliberately NO TTL — the one wave-4 port where expiry is WRONG
+    * rather than a trade: an idle-expired key's standing open row
+    * could never be closed retroactively, leaving the materialized
+    * dimension with OVERLAPPING is_current rows (the half-open tiling
+    * invariant q_event_scd2 grades would break), and unlike activity
+    * counters a dimension's state is bounded by the ENTITY count (one
+    * small row per key ever seen), not by activity — O(entities) is
+    * the honest floor for any SCD2 engine. Update-mode emissions,
+    * last-write-wins materialization downstream (the twin's
+    * contract); parity vs the twin and the graded query pinned under
+    * RocksDB with a change-across-batches straddle. */
+  def scd2Tws(events: Dataset[Event]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new Scd2TwsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** Rolling 3-event decimal sum per key on the transformWithState
     * ListState primitive — the bounded-buffer shape of the new state
     * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
@@ -2138,6 +2163,43 @@ class AttribTwsProcessor(ttl: java.time.Duration)
       else touch = e.event_type
     }
     st.update(AttribState(touch))
+    out.result().iterator
+  }
+}
+
+/** [[StreamOps.scd2Tws]]'s processor: ONE un-TTL'd
+  * ValueState[Scd2State] per key — the same open-range state shape as
+  * the flatMapGroupsWithState twin; TTLConfig.NONE by design (see the
+  * builder's scaladoc: expiry would break the tiling invariant, and
+  * dimension state is O(entities) regardless). */
+class Scd2TwsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Scd2Out] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[Scd2State] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Scd2State]("open",
+      Encoders.product[Scd2State], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[Scd2Out] = {
+    var open = if (st.exists()) Option(st.get()) else None
+    val out = Seq.newBuilder[Scd2Out]
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      open match {
+        case None =>
+          open = Some(Scd2State(e.event_type, e.ts_us, e.event_id))
+          out += Scd2Out(user, e.event_type, e.ts_us, e.event_id, -1L, 1)
+        case Some(o) if o.attr != e.event_type =>
+          out += Scd2Out(user, o.attr, o.fromUs, o.fromId, e.ts_us, 0)
+          open = Some(Scd2State(e.event_type, e.ts_us, e.event_id))
+          out += Scd2Out(user, e.event_type, e.ts_us, e.event_id, -1L, 1)
+        case _ => // same attr: the run merges, nothing to emit
+      }
+    }
+    open.foreach(st.update)
     out.result().iterator
   }
 }

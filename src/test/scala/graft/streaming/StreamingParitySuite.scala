@@ -344,6 +344,106 @@ class StreamingParitySuite extends SparkSuite {
       (7L, "click", 300L, 3L, -1L, 1)))
   }
 
+  test("transformWithState SCD2 (r19): RocksDB stream == fMGWS twin == graded q_event_scd2; change across batches closes the carried range") {
+    // Wave 4, third member — the un-TTL'd port (expiry would break
+    // the tiling invariant; dimension state is O(entities) by nature).
+    val all = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts_us, e.event_id))
+    def materialize(rows: Iterable[Scd2Out]) = rows
+      .groupBy(o => (o.user_id, o.eff_from_us, o.eff_from_id))
+      .view.mapValues(_.last).toMap.values
+      .map(o => (o.user_id, o.attr, o.eff_from_us, o.eff_from_id,
+        o.eff_to_us, o.is_current)).toSet
+    val expected = materialize(
+      StreamOps.scd2Monitor(spark.createDataset(all)).collect().toSeq)
+    val graded = graft.queries.EventOps.queries("q_event_scd2")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getInt(5))).toSet
+    spark.catalog.clearCache()
+    assert(expected === graded && graded.nonEmpty,
+      "fMGWS twin drifted from the graded query — fix that first")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // upsert buffer keyed like the materialization — last write wins
+    val buf = scala.collection.mutable.Map
+      .empty[(Long, Long, Long), Scd2Out]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.scd2Tws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[Scd2Out], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o =>
+            buf((o.user_id, o.eff_from_us, o.eff_from_id)) = o)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsscd2_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def got() = buf.synchronized {
+        buf.values.map(o => (o.user_id, o.attr, o.eff_from_us,
+          o.eff_from_id, o.eff_to_us, o.is_current)).toSet
+      }
+      while (got() != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS SCD2 never converged: ${got().size} rows vs ${expected.size}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    // a change arriving in batch 2 CLOSES the range opened in batch 1
+    val mini = Seq(
+      Event(1L, 100L, 7L, "view", 1.0), Event(2L, 200L, 7L, "view", 1.0),
+      Event(3L, 300L, 7L, "click", 1.0))
+    val ms2 = MemoryStream[Event](s2)
+    val buf2 = scala.collection.mutable.Map
+      .empty[(Long, Long, Long), Scd2Out]
+    val q2 = StreamOps.scd2Tws(ms2.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[Scd2Out], _: Long) =>
+        val rows = ds.collect()
+        buf2.synchronized {
+          rows.foreach(o =>
+            buf2((o.user_id, o.eff_from_us, o.eff_from_id)) = o)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsscd22_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Seq(mini.take(2), mini.drop(2)).foreach(ms2.addData(_))
+      val want = Set(
+        (7L, "view", 100L, 1L, 300L, 0),
+        (7L, "click", 300L, 3L, -1L, 1))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def got2() = buf2.synchronized {
+        buf2.values.map(o => (o.user_id, o.attr, o.eff_from_us,
+          o.eff_from_id, o.eff_to_us, o.is_current)).toSet
+      }
+      while (got2() != want) {
+        assert(System.nanoTime() < deadline,
+          s"TWS SCD2 straddle never converged: ${got2()}")
+        Thread.sleep(100)
+      }
+    } finally q2.stop()
+  }
+
   test("timegap monitor: emitted gap multiset == the batch lag window on sf0.001; the gap spans a batch boundary, a key's first event emits nothing") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
