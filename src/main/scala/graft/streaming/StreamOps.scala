@@ -1878,6 +1878,30 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  /** The per-key quantile sketch on transformWithState (r19, wave 4,
+    * fourth member — completing the port of every fMGWS-only
+    * maintainer the r18 verdict named): ONE ValueState[KllState] per
+    * user carrying the [[graft.operators.QuantileSketch]] compactor
+    * hierarchy's EXACT structural snapshot (n, parity flags, level
+    * buffers — nested Seqs through the product encoder), the
+    * identical (ts_us, event_id)-ordered fold as the
+    * [[quantileMonitor]] twin, so restore(fold(A)) then fold(B) ≡
+    * fold(A++B) bit-for-bit across any batch split (the twin's
+    * round-trip claim, re-pinned here under RocksDB). No TTL — the
+    * sketch IS the bounded-state story: O(k·log(n∕k)) doubles per key
+    * at ANY history length, so expiry would trade exactness of the
+    * deterministic error bound for a saving the structure already
+    * provides. Update mode: one (n, p50, p90, err_bound) readout per
+    * touched key per batch. */
+  def quantileTws(events: Dataset[Event], k: Int = 64)
+      : Dataset[QuantOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new QuantileTwsProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** Rolling 3-event decimal sum per key on the transformWithState
     * ListState primitive — the bounded-buffer shape of the new state
     * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
@@ -2201,6 +2225,38 @@ class Scd2TwsProcessor
     }
     open.foreach(st.update)
     out.result().iterator
+  }
+}
+
+/** [[StreamOps.quantileTws]]'s processor: ONE un-TTL'd
+  * ValueState[KllState] per key — the sketch's exact structural
+  * snapshot, restored and re-snapshotted per batch exactly like the
+  * flatMapGroupsWithState twin (bit-identical round trip). */
+class QuantileTwsProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, QuantOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[KllState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[KllState]("kll",
+      Encoders.product[KllState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[QuantOut] = {
+    val s = if (st.exists()) {
+      val kst = st.get()
+      graft.operators.QuantileSketch.restore(k, kst.n, kst.parity,
+        kst.levels)
+    } else new graft.operators.QuantileSketch.Summary(k)
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      .foreach(e => s.update(e.value))
+    val (sn, sp, sl) = s.snapshot
+    st.update(KllState(sn, sp, sl))
+    if (s.n == 0L) Iterator.empty
+    else Iterator.single(QuantOut(user, s.n,
+      s.quantile(0.5).get, s.quantile(0.9).get, s.errBound))
   }
 }
 

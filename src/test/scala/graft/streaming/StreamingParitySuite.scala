@@ -304,6 +304,64 @@ class StreamingParitySuite extends SparkSuite {
       whole.quantile(0.9).get, whole.errBound)))
   }
 
+  test("transformWithState quantile sketch (r19): RocksDB stream == fMGWS twin == driver fold; split-batch round trip bit-exact") {
+    // Wave 4, fourth member — the structural-snapshot state (nested
+    // Seqs through the product encoder) surviving the RocksDB store.
+    val k = 64
+    val all = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts_us, e.event_id))
+    val expected = StreamOps.quantileMonitor(
+        spark.createDataset(all), k).collect()
+      .map(o => o.user_id -> ((o.n, o.p50, o.p90, o.err_bound))).toMap
+    // the driver-side truth: the identical ordered fold per key
+    val byUser = all.groupBy(_.user_id).view.mapValues { es =>
+      val s = new graft.operators.QuantileSketch.Summary(k)
+      es.sortBy(e => (e.ts_us, e.event_id)).foreach(e => s.update(e.value))
+      (s.n, s.quantile(0.5).get, s.quantile(0.9).get, s.errBound)
+    }.toMap
+    spark.catalog.clearCache()
+    assert(expected === byUser && byUser.nonEmpty,
+      "fMGWS twin drifted from the driver fold — fix that first")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable
+      .Map.empty[Long, (Long, Double, Double, Double)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.quantileTws(ms.toDS(), k)
+      .writeStream
+      .foreachBatch { (ds: Dataset[QuantOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o =>
+            buf(o.user_id) = ((o.n, o.p50, o.p90, o.err_bound)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twskll_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      // 3 ordered batches: the round trip restore∘fold ≡ fold must be
+      // BIT-exact for the final standings to equal the one-shot twin
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS quantile never converged: ${buf.synchronized(buf.size)} " +
+            s"keys vs ${expected.size}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+  }
+
   test("scd2 monitor: last-write-wins materialization == graded q_event_scd2 on sf0.001; a change across batches closes the carried range") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
