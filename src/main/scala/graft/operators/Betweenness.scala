@@ -39,7 +39,11 @@ import org.apache.spark.sql.functions._
   * they brokerage nothing. Magnitude bound: σ·(10⁶ + dq) stays inside
   * 38 digits for σ ≤ 10¹⁵ and dq ≤ 10¹⁶ (dq ≤ reach·10⁶, so this
   * holds to 10¹⁰-node reach on graphs whose path counts fit 10¹⁵ —
-  * the co-purchase graphs' σ max out far below).
+  * the co-purchase graphs' σ max out far below). The bound is
+  * ENFORCED, not just documented (r20, ADVICE): [[dependencies]]
+  * asserts it on the same 1-row aggregate that reads the max depth,
+  * so an out-of-contract graph fails loudly instead of silently
+  * undercounting through a NULLed overflow.
   *
   * Scale shape: per round/level ONE equi-join of the checkpointed edge
   * list against the (seed, node)-grain state + a map-side-combining
@@ -96,14 +100,35 @@ object Betweenness {
   }
 
   /** Backward sweep over a [[forward]] table: per (seed, node) the
-    * FLOOR-micros dependency dq; rows with zero dependency absent. */
+    * FLOOR-micros dependency dq; rows with zero dependency absent.
+    *
+    * Contract guard (r20, ADVICE): under Spark's default non-ANSI mode
+    * the decimal(38,0) product σ·(10⁶ + dq) silently overflows to NULL
+    * and `sum` then DROPS the term — a graph whose path counts exceed
+    * the documented bound would undercount dependencies instead of
+    * failing. So the sweep asserts the bound up front: max σ ≤ 10¹⁵
+    * and settled reach ≤ 10¹⁰ (⟹ dq ≤ reach·10⁶ ≤ 10¹⁶ and the
+    * product ≤ ~10³¹ ≪ 10³⁸). Both ride the SAME 1-row aggregate that
+    * already reads the max depth — zero extra driver actions; an
+    * out-of-contract graph now fails loudly (pinned in-unit). */
   private[graft] def dependencies(edges: DataFrame,
                                   settled: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val maxD = settled.agg(max(col("d"))).collect()(0) match {
-      case row if row.isNullAt(0) => -1L // empty settled table
-      case row => row.getLong(0)
+    val hdr = settled.agg(max(col("d")), max(col("sigma")),
+      count(lit(1))).collect()(0)
+    val maxD = if (hdr.isNullAt(0)) -1L else hdr.getLong(0)
+    if (!hdr.isNullAt(1)) {
+      val maxSigma = hdr.getDecimal(1)
+      val reach = hdr.getLong(2)
+      if (maxSigma.compareTo(new java.math.BigDecimal(10L).pow(15)) > 0
+          || reach > 10000000000L)
+        throw new IllegalStateException(
+          s"betweenness contract violated: max sigma = $maxSigma " +
+            s"(bound 1e15), settled rows = $reach (bound 1e10) — the " +
+            "decimal(38,0) dependency product would overflow to NULL " +
+            "and silently undercount; this graph is out of the " +
+            "documented floor-micros contract")
     }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

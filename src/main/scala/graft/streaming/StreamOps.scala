@@ -162,6 +162,11 @@ case class PitOut(user_id: Long, p_id: Long, p_us: Long,
 /** Per-key last-touch state: the most recent non-purchase event type seen
   * so far ("" = none yet — the batch query's 'direct' case). */
 case class AttribState(touch: String)
+/** [[AttribTwsProcessor]]'s state: the carried touch PLUS its event
+  * time, so the attribution window is measured from the touch itself
+  * (r20, ADVICE — the store TTL refreshes on every update and is only
+  * a state bound, never a window). touchUs = Long.MinValue ⟺ no touch. */
+case class AttribWState(touch: String, touchUs: Long)
 
 case class AttribOut(user_id: Long, event_id: Long, touch_type: String)
 
@@ -1287,34 +1292,91 @@ object StreamOps {
         coalesce(sum((col("n_kinds") - 1) * col("nb2")), lit(0L))
           .as("extra_bytes"))
 
+  /** The largest committed batchId in a cross-kind state dir — the
+    * `_folded_<id>` markers ARE the commit pointers (r20): a marker is
+    * created only AFTER its versioned state parquet is fully written,
+    * so the max marker always names a complete state. None before the
+    * first fold (or when the dir does not exist yet). */
+  private[graft] def crosskindLatestMarked(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Long] = {
+    if (!fs.exists(dir)) return None
+    val ids = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_folded_") =>
+        n.stripPrefix("_folded_").toLong }
+      .toSeq
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** The CURRENT cross-kind state, resolved via the latest commit
+    * marker — the read side of [[crosskindFoldBatch]]'s versioned
+    * layout. None before the first committed fold. A marker whose
+    * state parquet is missing its _SUCCESS is CORRUPTION (markers
+    * commit complete states by construction) and fails loudly rather
+    * than bootstrapping empty — the r19 ADVICE failure mode. */
+  def crosskindState(spark: org.apache.spark.sql.SparkSession,
+                     stateDir: String): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    crosskindLatestMarked(fs, dir).map { id =>
+      val p = new org.apache.hadoop.fs.Path(dir, s"state-$id")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        throw new IllegalStateException(
+          s"cross-kind state committed as _folded_$id has no complete " +
+            s"parquet at $p — state corruption, refusing to treat it " +
+            "as an empty bootstrap")
+      spark.read.parquet(p.toString)
+    }
+  }
+
   /** One micro-batch of the cross-kind maintainer: chunk the arriving
-    * (kind_stub, payload) docs (stateless per-row CDC map), fold into
-    * the parquet state at `stateDir/state`, guarded by a
-    * per-batchId marker file (the [[IdempotentSink]] discipline) so
-    * an at-least-once REDELIVERY of the same batch is a no-op — the
-    * sum-fold itself is not duplicate-proof. The fold output is
-    * localCheckpointed (eager) before the overwrite so the new state
-    * never reads the parquet it replaces (the ccClusterMaintainer
-    * lesson). Exposed for direct testing; [[crosskindMaintainer]]
-    * wires it as the foreachBatch body. */
+    * (kind_stub, payload) docs (stateless per-row CDC map) and fold
+    * into a VERSIONED parquet state at `stateDir/state-<batchId>`,
+    * committed by the per-batchId `_folded_<batchId>` marker (the
+    * [[IdempotentSink]] discipline). The marker is the ATOMIC commit
+    * point (r20, ADVICE — the r19 layout overwrote one live `state`
+    * path before creating the marker, so a crash between the two
+    * re-folded the batch on retry, and a crash mid-overwrite destroyed
+    * all prior history): the new state is written to its own path
+    * first, the marker lands after, and superseded state dirs are
+    * deleted last. Every crash window is now safe — before the marker,
+    * a retry re-reads the PREVIOUS committed state (still intact,
+    * cleanup runs only post-commit) and rewrites the versioned path;
+    * after the marker, redelivery of any batchId ≤ the latest marker
+    * is a no-op (foreachBatch ids are monotonic). A marker without a
+    * complete state parquet fails loudly via [[crosskindState]]'s
+    * check. The fold output is localCheckpointed (eager) before the
+    * write so the new state never reads a parquet being replaced (the
+    * ccClusterMaintainer lesson). Exposed for direct testing;
+    * [[crosskindMaintainer]] wires it as the foreachBatch body. */
   def crosskindFoldBatch(batch: DataFrame, batchId: Long,
                          stateDir: String): Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(stateDir, s"_folded_$batchId")
-    if (fs.exists(marker)) return // redelivered batch: already folded
-    val statePath = s"$stateDir/state"
-    val success = new org.apache.hadoop.fs.Path(statePath, "_SUCCESS")
-    val prev =
-      if (fs.exists(success)) Some(s.read.parquet(statePath)) else None
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val latest = crosskindLatestMarked(fs, dir)
+    if (latest.exists(_ >= batchId)) return // redelivered: already folded
+    val prev = crosskindState(s, stateDir)
     val chunks = graft.queries.MultimodalOps
       .cdcChunkRows(batch, Seq("kind_stub"))
     crosskindIncrementalFold(prev, chunks)
       .localCheckpoint() // eager: sever lineage from the prior parquet
-      .write.mode("overwrite").parquet(statePath)
-    fs.create(marker).close()
+      .write.mode("overwrite").parquet(s"$stateDir/state-$batchId")
+    // COMMIT: readers and redelivery checks switch to the new state here
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"_folded_$batchId"))
+      .close()
+    // post-commit cleanup (best-effort: a crash here leaves harmless
+    // superseded files that the next fold's sweep removes)
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      val old =
+        (n.startsWith("state-") &&
+          n.stripPrefix("state-").toLong < batchId) ||
+        (n.startsWith("_folded_") &&
+          n.stripPrefix("_folded_").toLong < batchId)
+      if (old) fs.delete(st.getPath, true)
+    }
   }
 
   /** [[crosskindFoldBatch]] as a foreachBatch maintainer over a
@@ -1829,26 +1891,36 @@ object StreamOps {
         OutputMode.Update)
   }
 
-  /** Last-touch attribution on transformWithState (r19, wave 4): ONE
-    * TTL'd ValueState[AttribState] per user — a single last-touch
-    * string, the identical fold and within-batch (ts_us, event_id)
-    * replay order as the [[attribMonitor]] fMGWS twin (purchases emit
-    * the carried touch or "direct", non-purchases move the touch).
-    * Here the TTL is not a caveat but the FEATURE marketers actually
-    * specify: an expired touch makes the next purchase "direct" —
-    * i.e. the default 24 h ttl IS a 24-hour last-touch attribution
-    * WINDOW (processing-time; an event-time window composes the same
-    * fold with the ts carried in state). Within the no-expiry horizon
-    * emissions equal the twin and the graded q_event_attrib exactly
-    * (the parity suite pins it under RocksDB); emissions are FINAL
-    * (Append) — an expiry never rewrites history, it only changes
-    * future credits. State is O(recently-active users) × one string. */
+  /** Last-touch attribution on transformWithState (r19, wave 4; window
+    * semantics corrected r20 per ADVICE): ONE TTL'd
+    * ValueState[AttribWState] per user — the last-touch string PLUS
+    * its EVENT TIME, the identical fold and within-batch (ts_us,
+    * event_id) replay order as the [[attribMonitor]] fMGWS twin
+    * (purchases emit the carried touch or "direct", non-purchases move
+    * the touch). The attribution WINDOW is the explicit `window`
+    * parameter, enforced at purchase time against the touch's own
+    * carried timestamp — a touch older than `window` credits "direct"
+    * even when intervening activity kept the state row alive. The
+    * store TTL is NOT the window (the r19 ADVICE finding: TTL
+    * refreshes on every state update — including purchase-only
+    * batches — so it measures idle time since the key's LAST ACTIVITY,
+    * not since the touch); it remains what it honestly is, the
+    * at-scale state bound — O(recently-active users) × one small row,
+    * and an expired-then-returning user restarts cold ("direct" until
+    * the next touch, a conservative credit). `window = None` (default)
+    * is the twin's unwindowed semantics: emissions equal the twin and
+    * the graded q_event_attrib exactly within the no-expiry horizon
+    * (the parity suite pins it under RocksDB); the windowed direction
+    * has its own pin (a stale touch credits "direct" where the twin
+    * still credits the touch). Emissions are FINAL (Append) — an
+    * expiry never rewrites history, it only changes future credits. */
   def attribTws(events: Dataset[Event],
-      ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      ttl: java.time.Duration = java.time.Duration.ofHours(24),
+      window: Option[java.time.Duration] = None)
       : Dataset[AttribOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .transformWithState(new AttribTwsProcessor(ttl),
+      .transformWithState(new AttribTwsProcessor(ttl, window),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Append)
   }
@@ -2162,31 +2234,40 @@ class StreakTwsProcessor(ttl: java.time.Duration)
 }
 
 /** [[StreamOps.attribTws]]'s processor: ONE TTL'd
-  * ValueState[AttribState] per user — the same one-string state shape
-  * as the flatMapGroupsWithState twin; the store-enforced expiry IS
-  * the attribution window (see the builder's scaladoc). */
-class AttribTwsProcessor(ttl: java.time.Duration)
+  * ValueState[AttribWState] per user — the twin's one-string state
+  * plus the touch's own event time (r20, ADVICE): the window check at
+  * purchase time reads the CARRIED touchUs, because the store TTL
+  * refreshes on every update and therefore cannot be the window. */
+class AttribTwsProcessor(ttl: java.time.Duration,
+                         window: Option[java.time.Duration] = None)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AttribOut] {
   import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
   import org.apache.spark.sql.Encoders
 
-  @transient private var st: ValueState[AttribState] = _
+  private val windowUs: Long =
+    window.map(w => w.toMillis * 1000L).getOrElse(Long.MaxValue)
+
+  @transient private var st: ValueState[AttribWState] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    st = getHandle.getValueState[AttribState]("touch",
-      Encoders.product[AttribState], TTLConfig(ttl))
+    st = getHandle.getValueState[AttribWState]("touch",
+      Encoders.product[AttribWState], TTLConfig(ttl))
 
   override def handleInputRows(user: Long, rows: Iterator[Event],
                                tv: TimerValues): Iterator[AttribOut] = {
-    var touch = if (st.exists()) st.get().touch else ""
+    var s = if (st.exists()) st.get() else AttribWState("", Long.MinValue)
     val out = Seq.newBuilder[AttribOut]
     rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-      if (e.event_type == "purchase")
+      if (e.event_type == "purchase") {
+        // a stale touch is expired AT PURCHASE TIME, from the touch's
+        // own event time — never from the TTL clock
+        val stale = s.touchUs != Long.MinValue &&
+          e.ts_us - s.touchUs > windowUs
         out += AttribOut(user, e.event_id,
-          if (touch.isEmpty) "direct" else touch)
-      else touch = e.event_type
+          if (s.touch.isEmpty || stale) "direct" else s.touch)
+      } else s = AttribWState(e.event_type, e.ts_us)
     }
-    st.update(AttribState(touch))
+    st.update(s)
     out.result().iterator
   }
 }

@@ -319,6 +319,30 @@ class KCoreSuite extends SparkSuite {
     }
   }
 
+  test("betweenness (r20, ADVICE): out-of-contract path counts fail LOUDLY — the sigma bound is asserted, never silently NULLed") {
+    // sigma-multiplier gadget: 6 chained width-1000 bipartite fans
+    // (collector -> 1000 mids -> next collector) multiply the path
+    // count by 1000 per stage — sigma(c6) = 10^18 > the documented
+    // 1e15 bound, where the decimal(38,0) dependency product would
+    // overflow to NULL and sum() would silently drop terms.
+    val stages = 6
+    val width = 1000
+    val und = (1 to stages).flatMap { k =>
+      val prev = (k - 1) * 10000L
+      val cur = k * 10000L
+      (1 to width).flatMap(i =>
+        Seq((prev, k * 10000L + i), (k * 10000L + i, cur)))
+    }
+    val seeds = Seq((0L, 0L)).toDF("seed", "node")
+    val ex = intercept[IllegalStateException] {
+      operators.Betweenness
+        .pivotBetweenness(sym(und), seeds, 2 * stages, 5).collect()
+    }
+    assert(ex.getMessage.contains("sigma"),
+      s"wrong failure shape: ${ex.getMessage}")
+    spark.catalog.clearCache()
+  }
+
   test("LabelProp: disjoint triangles each converge to one community; a bridge does not merge them in 3 rounds") {
     // triangles {1,2,3} and {11,12,13}, bridged by one 3–11 edge
     val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),

@@ -2615,6 +2615,57 @@ class StreamingParitySuite extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("transformWithState attribution WINDOW (r20, ADVICE): a touch stale past the event-time window credits direct even when intervening purchases kept the state row alive") {
+    // the r19 ADVICE failure mode: TTL refreshes on every st.update —
+    // including purchase-only batches — so TTL alone never expires a
+    // touch under steady traffic. The window is now measured from the
+    // CARRIED touch timestamp: purchases inside 24h credit the touch,
+    // a purchase 25h after the touch is direct, with the purchases
+    // themselves being the only intervening activity.
+    val hourUs = 3600L * 1000000L
+    val evs = Seq(
+      Event(1L, 0L, 7L, "click", 1.0),
+      Event(2L, 1L * hourUs, 7L, "purchase", 1.0),   // inside: click
+      Event(3L, 23L * hourUs, 7L, "purchase", 1.0),  // inside: click
+      Event(4L, 25L * hourUs, 7L, "purchase", 1.0))  // stale: direct
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event](s2)
+    val buf = scala.collection.mutable.Map.empty[Long, String]
+    val q = StreamOps.attribTws(ms.toDS(),
+        window = Some(java.time.Duration.ofHours(24)))
+      .writeStream
+      .foreachBatch { (ds: Dataset[AttribOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { rows.foreach(o => buf(o.event_id) = o.touch_type) }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsattribw_cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      // batch split between the in-window and stale purchases: the
+      // touch TIMESTAMP must carry through RocksDB, not just the touch
+      Seq(evs.take(2), evs.drop(2)).foreach(ms.addData(_))
+      val want = Map(2L -> "click", 3L -> "click", 4L -> "direct")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != want) {
+        assert(System.nanoTime() < deadline,
+          s"windowed TWS attrib never converged: ${buf.synchronized(buf.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    // the unwindowed twin credits the touch at ANY age — the split the
+    // window parameter exists to express
+    val twin = StreamOps.attribMonitor(spark.createDataset(evs)).collect()
+      .map(o => o.event_id -> o.touch_type).toMap
+    assert(twin === Map(2L -> "click", 3L -> "click", 4L -> "click"))
+  }
+
   test("transformWithState funnel TTL: an idle part-way funnel expires and restarts from stage 0 (r17)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -3018,7 +3069,7 @@ class StreamingParitySuite extends SparkSuite {
     try {
       batches.foreach { b => ms.addData(b); q.processAllAvailable() }
     } finally q.stop()
-    val state = spark.read.parquet(s"$stateDir/state")
+    val state = S.crosskindState(spark, stateDir).get
     val streamTotals = S.crosskindTotals(state).collect()(0)
     // graded parity: the maintained state's decision fold == the
     // graded q_mm_crosskind one-shot over the same corpus
@@ -3035,15 +3086,60 @@ class StreamingParitySuite extends SparkSuite {
     val before = state.collect().map(_.toSeq).toSet
     S.crosskindFoldBatch(asDocs(batches(1).toDF("doc_id", "text")),
       1L, stateDir)
-    val after = spark.read.parquet(s"$stateDir/state")
+    val after = S.crosskindState(spark, stateDir).get
       .collect().map(_.toSeq).toSet
     assert(after === before, "redelivered batch mutated the state")
     // a FRESH batchId does fold — the guard is per delivery, not per
     // content: a novel payload adds its (kind, chunk) rows
     val novel = Seq((9999999L, "xkind novel growth probe payload"))
     S.crosskindFoldBatch(asDocs(novel.toDF("doc_id", "text")), 99L, stateDir)
-    assert(spark.read.parquet(s"$stateDir/state").count() > before.size,
+    assert(S.crosskindState(spark, stateDir).get.count() > before.size,
       "fresh batch id did not fold")
+    spark.catalog.clearCache()
+  }
+
+  test("cross-kind fold crash safety: the marker is the commit point — an unmarked state rewrite refolds from the prior commit; a marker without its parquet fails loudly (r20, ADVICE)") {
+    val S = graft.streaming.StreamOps
+    def asDocs(df: DataFrame) = df
+      .withColumn("payload", col("text").cast("binary"))
+      .select(lit("image").as("kind_stub"), col("payload"))
+    val b0 = Seq((1L, "alpha shared content block one"),
+      (2L, "beta payload two")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "alpha shared content block one"),
+      (4L, "gamma payload four")).toDF("doc_id", "text")
+    val fsDir = Files.createTempDirectory("xkind_crash").toString
+    val dir = new org.apache.hadoop.fs.Path(fsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // clean two-fold run = the expected end state
+    val cleanDir = Files.createTempDirectory("xkind_clean").toString
+    S.crosskindFoldBatch(asDocs(b0), 0L, cleanDir)
+    S.crosskindFoldBatch(asDocs(b1), 1L, cleanDir)
+    val expected = S.crosskindState(spark, cleanDir).get
+      .collect().map(_.toSeq).toSet
+    // crashed run: fold 0 commits, then batch 1 "crashes" AFTER its
+    // state parquet is written but BEFORE the marker lands — simulated
+    // by writing garbage to the versioned path with no marker
+    S.crosskindFoldBatch(asDocs(b0), 0L, fsDir)
+    Seq(("zz", 123L, 1L, 3L)).toDF("kind_stub", "h", "k_copies", "nb")
+      .write.mode("overwrite").parquet(s"$fsDir/state-1")
+    // the retry must IGNORE the unmarked state-1, refold batch 1 from
+    // the batch-0 commit, and land on the clean-run state exactly
+    S.crosskindFoldBatch(asDocs(b1), 1L, fsDir)
+    val recovered = S.crosskindState(spark, fsDir).get
+      .collect().map(_.toSeq).toSet
+    assert(recovered === expected,
+      "crash-window retry diverged from the clean two-fold run")
+    assert(!recovered.exists(_.head == "zz"),
+      "the pre-crash partial state leaked into the recovery")
+    // marker WITHOUT a complete state parquet = corruption, never an
+    // empty bootstrap: the read side (and thus the next fold) fails
+    val corrupt = Files.createTempDirectory("xkind_corrupt").toString
+    val cdir = new org.apache.hadoop.fs.Path(corrupt)
+    fs.create(new org.apache.hadoop.fs.Path(cdir, "_folded_7")).close()
+    val ex = intercept[IllegalStateException] {
+      S.crosskindState(spark, corrupt)
+    }
+    assert(ex.getMessage.contains("corruption"))
     spark.catalog.clearCache()
   }
 
