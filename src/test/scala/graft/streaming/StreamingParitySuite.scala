@@ -3642,4 +3642,154 @@ class StreamingParitySuite extends SparkSuite {
       assert(fin(tp)._3 === z.map(v => v * v).sum / 8)
     }
   }
+
+  test("transformWithState KMV (r20, wave 5): RocksDB stream == fMGWS twin == graded kmvOn grain; a replayed slice never perturbs the set sketch") {
+    val k = 64
+    val evs = (1 to 500).map(i => Event(i, min(i % 60), i.toLong,
+      if (i % 2 == 0) "click" else "view", 1.0))
+    // the fMGWS twin's final standings (batch execution of the fold)
+    val expected = StreamOps.kmvMonitor(spark.createDataset(evs), k)
+      .collect().map(o => o.event_type -> ((o.n_bot, o.h_k, o.est))).toMap
+    // anchored against the graded q_agg_kmv engine on the same rows
+    val batch = graft.queries.Aggregates.kmvOn(
+        evs.toDF().select(col("event_type").as("g"),
+          col("user_id").cast("string").as("v")), k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    spark.catalog.clearCache()
+    for (tp <- Seq("click", "view"))
+      assert((expected(tp)._2, expected(tp)._3) === batch(tp),
+        s"$tp: fMGWS twin drifted from the graded engine — fix that first")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.kmvTws(ms.toDS(), k)
+      .writeStream
+      .foreachBatch { (ds: Dataset[KmvOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o => buf(o.event_type) = ((o.n_bot, o.h_k, o.est)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twskmv_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      // 3 batches with an AT-LEAST-ONCE replay of the first 50 events
+      // in batch 2 — the set function must land on the twin anyway
+      Seq(evs.take(200), evs.slice(200, 400) ++ evs.take(50),
+        evs.drop(400)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS KMV never converged: ${buf.synchronized(buf.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+  }
+
+  test("transformWithState CMS (r20, wave 5): RocksDB stream == fMGWS twin across batch straddles; probes never undercount") {
+    val d = 4; val w = 16
+    val evs = (1 to 100).map { i =>
+      val u = if (i <= 60) 1L else if (i <= 85) 2L else (i + 100).toLong
+      Event(i, min(i % 60), u, "click", 1.0)
+    }
+    val probes = Seq(1L, 2L, 999L)
+    val expected = StreamOps.cmsMonitor(
+        spark.createDataset(evs), probes, d, w)
+      .collect().map(o => (o.event_type, o.probe_user) -> ((o.n, o.est)))
+      .toMap
+    val truth = evs.groupBy(_.user_id).view.mapValues(_.size.toLong)
+      .toMap.withDefaultValue(0L)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable
+      .Map.empty[(String, Long), (Long, Long)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.cmsTws(ms.toDS(), probes, d, w)
+      .writeStream
+      .foreachBatch { (ds: Dataset[CmsProbeOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o =>
+            buf((o.event_type, o.probe_user)) = ((o.n, o.est)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twscms_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Seq(evs.take(40), evs.slice(40, 80), evs.drop(80))
+        .foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS CMS never converged: ${buf.synchronized(buf.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    for (p <- probes)
+      assert(expected(("click", p))._2 >= truth(p),
+        s"probe $p undercounted — CMS one-sidedness broke")
+  }
+
+  test("transformWithState AMS (r20, wave 5 complete): RocksDB stream == fMGWS twin == graded amsOn grain across batch straddles") {
+    val evs = (1 to 90).map { i =>
+      val u = if (i <= 40) 1L else if (i <= 65) 2L else (i % 7 + 10).toLong
+      Event(i, min(i % 60), if (i % 3 == 0) 7L else u,
+        if (i % 2 == 0) "click" else "view", 1.0)
+    }
+    val expected = StreamOps.amsMonitor(spark.createDataset(evs))
+      .collect().map(o => o.event_type -> ((o.n, o.f2_est))).toMap
+    // anchored against the graded q_agg_ams engine on the same keys
+    for (tp <- Seq("click", "view")) {
+      val keys = evs.filter(_.event_type == tp)
+      val batch = graft.queries.Aggregates.amsOn(
+        keys.map(_.user_id).toDF("k")).collect()(0)
+      assert(expected(tp)._2 === batch.getAs[Long]("f2_est"),
+        s"$tp: fMGWS twin drifted from the graded engine — fix that first")
+    }
+    spark.catalog.clearCache()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.amsTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[AmsMonOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o => buf(o.event_type) = ((o.n, o.f2_est)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsams_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Seq(evs.take(30), evs.slice(30, 70), evs.drop(70))
+        .foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS AMS never converged: ${buf.synchronized(buf.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+  }
 }
