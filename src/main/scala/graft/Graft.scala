@@ -1617,6 +1617,100 @@ object Graft {
     graft.operators.Betweenness.pivotBetweenness(g, seeds, rounds, k)
   }
 
+  /** Pivot-sampled WEIGHTED betweenness (graded
+    * q_graph_betweenness_w's engine, r20): σ counted over
+    * MINIMAL-COST paths — [[betweennessApprox]]'s brokerage question
+    * on [[weightedCloseness]]'s affinity-cost metric. Edge cost =
+    * max(1, 10⁶ div w) micro-hops (the 1∕w transform clamped positive:
+    * a zero-cost edge would put cycles in the shortest-path DAG; the
+    * clamp binds only past 10⁶-weight edges). Three bounded fixpoints
+    * — costFrom distances, σ over the minimal-cost DAG, the
+    * FLOOR-micros dependency — see [[graft.operators.BetweennessW]];
+    * uniform weights reproduce [[betweennessApprox]] exactly.
+    * Self-loops dropped; the [[modularityWeighted]] symmetrization
+    * contract; phantom seeds dropped. Returns the top-`k`
+    * (node, wbc_micro, wbc_est) by (wbc_micro desc, node asc). */
+  def betweennessWeighted(edges: DataFrame, srcCol: String,
+                          dstCol: String, wCol: String,
+                          seedIds: Seq[Long], rounds: Int = 6,
+                          k: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .filter(col("src") =!= col("dst"))
+    val g = e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+        col("w"))).distinct()
+      .select(col("src"), col("dst"),
+        expr("greatest(cast(1000000 div w as bigint), 1L)").as("cost"))
+    val seeds = seedIds.distinct.map(i => (i, i)).toDF("seed", "node")
+      .join(g.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_semi")
+    graft.operators.BetweennessW.pivotBetweennessW(g, seeds, rounds, k)
+  }
+
+  /** Betweenness pivot-count stability audit over any undirected edge
+    * list (graded q_graph_betwsweep's engine, r20): for each pivot
+    * count in `ks` (deterministic top-degree seeds, (deg desc, id asc)
+    * ranks), the top-`topK` rank overlap vs the LARGEST k — ONE
+    * forward+backward sweep at max(ks) serves every k (each estimate
+    * is a rank filter over the same dependency table). The empirical
+    * answer to "how many pivots does [[betweennessApprox]] need on MY
+    * graph". Self-loops dropped. Returns (k_pivots, n_top, n_overlap,
+    * overlap_micro, overlap) ordered by k_pivots; the k = max row is
+    * the tautological 100% anchor. */
+  def betweennessStability(edges: DataFrame, srcCol: String,
+                           dstCol: String, ks: Seq[Int] = Seq(4, 8, 16),
+                           topK: Int = 20): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.queries.GraphOps.betwsweepOn(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(), ks, topK)
+  }
+
+  /** TWO-LEVEL weighted community refinement (graded q_graph_louvain2's
+    * engine, r20; Blondel et al. 2008 phases 1+2): [[refineCommunitiesWeighted]]'s
+    * bounded single-node moves, then ONE community contraction (nodes =
+    * communities, weights = inter-community sums incl. self-loops) and
+    * the same bounded argmax loop on the contracted graph — the move
+    * that merges whole communities, which single-node refinement
+    * provably cannot; labels project back. Weighted Q never decreases
+    * across levels (exact-integer law). Self-loops dropped; the
+    * [[modularityWeighted]] symmetrization contract. Returns the
+    * projected (nodeCol, labelCol) frame with the caller's names. */
+  def refineCommunitiesTwoLevel(edges: DataFrame, srcCol: String,
+                                dstCol: String, wCol: String,
+                                labels: DataFrame, nodeCol: String,
+                                labelCol: String,
+                                moves: Int = 6): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .filter(col("src") =!= col("dst"))
+    val (_, l2) = graft.queries.GraphOps.louvain2On(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+        col("w"))).distinct(),
+      labels.select(col(nodeCol).as("node"), col(labelCol).as("label")),
+      moves)
+    l2.select(col("node").as(nodeCol), col("label").as(labelCol))
+  }
+
+  /** s-core — WEIGHTED k-core peel (graded q_graph_score's engine,
+    * r20): repeatedly drop nodes whose incident weight sum is < `s`
+    * (strength cascade; weight-1 reproduces [[kCore]]). Self-loops
+    * dropped; the [[modularityWeighted]] symmetrization contract.
+    * Returns (node, strength) for the survivors. */
+  def sCore(edges: DataFrame, srcCol: String, dstCol: String,
+            wCol: String, s: Long, rounds: Int = 4): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .filter(col("src") =!= col("dst"))
+    graft.operators.KCore.peelW(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+        col("w"))).distinct(), s, rounds)
+  }
+
   /** Greedy modularity refinement of a node partition (graded
     * q_graph_refine's engine): up to `moves` exact-integer argmax
     * single-node moves, each provably ΔQ > 0 — Q never decreases.

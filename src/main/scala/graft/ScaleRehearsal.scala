@@ -524,6 +524,99 @@ object ScaleRehearsal {
           pmod(col("src"), lit(5L)) + 1L)
         graft.operators.Bfs.costFrom(ce, seeds, 6).count()
       }
+      // Weighted Brandes (r20): the betweenness_chain probe with the
+      // wsssp_chain costs — on a chain every minimal-cost path is
+      // unique (σ = 1, the DAG is the chain itself), so the planted
+      // truth is dq(offset i) = (6−i)·10⁶ for i ∈ 1..5, offset 6
+      // absent (no settled successor within the rounds horizon) —
+      // out = 3·5 = 15 at every n. Claim: 3·rounds driver jobs (the
+      // costFrom no-control-flow floor, time FLAT at ×10), per-step
+      // shuffle ∝ pivots·edges (the d/σ/dq fixpoints each rejoin the
+      // full edge/DAG table — exactly what a cluster pays).
+      if (want("wbetweenness_chain")) time("wbetweenness_chain", n) {
+        val seeds = Seq(0L, 8L, 16L).map(i => (i, i)).toDF("seed", "node")
+        val ce = sym(chainEdges(n)).withColumn("cost",
+          pmod(col("src"), lit(5L)) + 1L)
+        graft.operators.BetweennessW
+          .pivotBetweennessW(ce, seeds, 6, 20).count()
+      }
+      // Backward sweep at DEPTH (r20, the r19 verdict's item 6): the
+      // per-LEVEL cost of Brandes' dependency accumulation, isolated —
+      // the forward table is built OUTSIDE the timed body (settled is
+      // localCheckpointed by construction), so each probe times ONLY
+      // the backward levels: depth 2 runs 2 levels, depth 6 runs 6.
+      // Claim: time ∝ levels (d6/d2 ≈ 3) and shuffle ∝
+      // pivots·edges·levels — each level is ONE equi-join of the full
+      // edge list vs the level slice + a hash agg, the per-level price
+      // a cluster pays as diameter grows.
+      if (want("betwback")) {
+        val seeds = Seq(0L, 8L, 16L).map(i => (i, i)).toDF("seed", "node")
+        val e = sym(chainEdges(n))
+        Seq(2, 6).foreach { d =>
+          val fw = graft.operators.Betweenness.forward(e, seeds, d)
+          fw.count() // settle the checkpointed forward state pre-clock
+          time(s"betwback_d$d", n) {
+            graft.operators.Betweenness.dependencies(e, fw).count()
+          }
+        }
+      }
+      // s-core peel (r20): the kcore_peel shells with weights — ring
+      // edges w=2 (the 4-regular ring holds strength 8 exactly), tails
+      // w=1 (strength 1, peeled round 1; their loss re-exposes nothing
+      // because the ring's own strength already clears s=8). Planted
+      // truth: exactly m ring survivors, each strength 8. Claim:
+      // per-round cost ∝ surviving edges (monotone shrinking), ×10
+      // ≲ linear — the kcore curve with a SUM agg in place of COUNT.
+      if (want("score_peel")) time("score_peel", n) {
+        val m = n / 100L
+        val ring = spark.range(m).select(col("id").as("a"),
+            pmod(col("id") + 1L, lit(m)).as("b"), lit(2L).as("w"))
+          .union(spark.range(m).select(col("id").as("a"),
+            pmod(col("id") + 2L, lit(m)).as("b"), lit(2L).as("w")))
+        val tails = spark.range(m, n).select(col("id").as("a"),
+          pmod(col("id"), lit(m)).as("b"), lit(1L).as("w"))
+        val und = ring.union(tails)
+        val ew = und.union(und.select(col("b").as("a"), col("a").as("b"),
+          col("w"))).toDF("src", "dst", "w")
+        val out = graft.operators.KCore.peelW(ew, 8L, 4)
+          .agg(count(lit(1)), min(col("strength")), max(col("strength")))
+          .collect()(0)
+        require(out.getLong(0) == m && out.getLong(1) == 8L
+            && out.getLong(2) == 8L,
+          s"score planted truth not recovered at n=$n: $out")
+        n
+      }
+      // Louvain contraction level (r20): a ring of n∕3 triangles —
+      // level 1 is provably stuck (the KCoreSuite fixture at scale),
+      // so the timed cost is refineWOn's bounded no-move scoring
+      // passes (∝ edges) + ONE contraction join (∝ edges) + level-2
+      // moves ∝ CONTRACTED edges (n∕3 ≪ n — the whole point of phase
+      // 2). Budget 2 ⟹ exactly 2 pair-merges land (each ΔQ·W2² =
+      // 2·W2 − 128 > 0 at any scale ring); planted truth: community
+      // count drops by exactly 2. Claim: ×10 ≲ linear (edge-pass
+      // dominated), contracted-level cost invisible beside it.
+      if (want("louvain_contract")) time("louvain_contract", n) {
+        val c = n / 3L
+        val base = spark.range(c).select((col("id") * 3L).as("b"))
+        val cl = base.select(col("b").as("a"), (col("b") + 1L).as("bb"))
+          .union(base.select(col("b"), (col("b") + 2L).as("bb")))
+          .union(base.select((col("b") + 1L).as("b"),
+            (col("b") + 2L).as("bb")))
+          .select(col("a"), col("bb").as("b"), lit(1L).as("w"))
+        val bridges = spark.range(c).select(
+          (col("id") * 3L + 2L).as("a"),
+          (pmod(col("id") + 1L, lit(c)) * 3L).as("b"), lit(1L).as("w"))
+        val und = cl.union(bridges)
+        val ew = und.union(und.select(col("b").as("a"), col("a").as("b"),
+          col("w"))).toDF("src", "dst", "w")
+        val l0 = spark.range(n).select(col("id").as("node"),
+          (expr("id div 3") * 3L).as("label"))
+        val (_, l2) = graft.queries.GraphOps.louvain2On(ew, l0, 2)
+        val comms = l2.select(col("label")).distinct().count()
+        require(comms == c - 2L,
+          s"contraction planted truth not recovered at n=$n: $comms")
+        n
+      }
       if (want("projpairs_all")) time("projpairs_all", n) {
         // the engine's wedge join up to the pair table, pre-cut
         val ps = projPs

@@ -947,7 +947,20 @@ class GraftFacadeSuite extends SparkSuite {
         assert(r.length === 1 && r(0).getLong(0) === 0L &&
           r(0).isNullAt(4) && r(0).isNullAt(5))
         spark.emptyDataFrame
-      }))
+      }),
+      // r20 facade entries
+      "betweennessWeighted" -> (() => Graft.betweennessWeighted(
+        Seq.empty[(Long, Long, Long)].toDF("a", "b", "wt"),
+        "a", "b", "wt", Seq(1L))),
+      "betweennessStability" -> (() =>
+        Graft.betweennessStability(emptyPairs, "a", "b", Seq(2, 4), 3)),
+      "refineCommunitiesTwoLevel" -> (() => Graft.refineCommunitiesTwoLevel(
+        Seq.empty[(Long, Long, Long)].toDF("a", "b", "wt"), "a", "b", "wt",
+        Seq.empty[(Long, Long)].toDF("id", "community"),
+        "id", "community", 2)),
+      "sCore" -> (() => Graft.sCore(
+        Seq.empty[(Long, Long, Long)].toDF("a", "b", "wt"),
+        "a", "b", "wt", 2L)))
     cases.foreach { case (name, mk) =>
       val rows =
         try mk().collect()
@@ -960,6 +973,56 @@ class GraftFacadeSuite extends SparkSuite {
       .contSelect(emptyGv, Seq("grp"), "v", Seq(0.5 -> "med"))
       .collect()
     assert(sel.isEmpty, s"contSelect produced rows from an empty input")
+    spark.catalog.clearCache()
+  }
+
+  test("r20 graph facades: one-directional caller input drives the graded engines — weighted broker found, stability anchored, two-level merge lands, s-core splits the peel") {
+    // betweennessWeighted: cheap 2-hop route (w=5 edges -> cost 200000
+    // each) vs a heavy-cost direct edge (w=1 -> cost 10^6): broker 2
+    // carries the dependency (the KCoreSuite fixture through the
+    // facade's 1/w transform; one orientation per pair)
+    val bw = Graft.betweennessWeighted(
+        Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 1L))
+          .toDF("u", "v", "wt"), "u", "v", "wt", Seq(1L))
+      .select(col("node"), col("wbc_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(bw === Map(2L -> 1000000L), s"facade broker drifted: $bw")
+    // betweennessStability: the two-component misranking fixture
+    // through the facade — k=2 overlap 0 of 2, k=4 anchors at 3/3
+    val und = Seq((1L, 2L),
+      (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 21L), (2L, 22L), (2L, 23L),
+      (100L, 101L), (101L, 102L), (102L, 103L), (103L, 104L),
+      (100L, 200L), (100L, 201L), (104L, 202L), (104L, 203L))
+    val sw = Graft.betweennessStability(und.toDF("u", "v"), "u", "v",
+        Seq(2, 4), 3)
+      .select(col("k_pivots"), col("n_top"), col("n_overlap"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(sw === Seq((2L, 2L, 0L), (4L, 3L, 3L)), s"facade sweep: $sw")
+    // refineCommunitiesTwoLevel: the pinned ring-of-cliques fixture
+    // through the facade's one-directional input — level 1 is stuck,
+    // the contraction pairs the 10 triangles into 5 communities of 6
+    val ring = (0 until 10).flatMap { i =>
+      val b = 100L * i
+      Seq((b + 1, b + 2, 1L), (b + 1, b + 3, 1L), (b + 2, b + 3, 1L),
+        (b + 3, 100L * ((i + 1) % 10) + 1, 1L))
+    }
+    val labs = (0 until 10).flatMap { i =>
+      val b = 100L * i
+      Seq((b + 1, b + 1), (b + 2, b + 1), (b + 3, b + 1))
+    }.toDF("id", "community")
+    val l2 = Graft.refineCommunitiesTwoLevel(ring.toDF("u", "v", "wt"),
+        "u", "v", "wt", labs, "id", "community", 6)
+      .groupBy(col("community")).count()
+      .as[(Long, Long)].collect().toSeq
+    assert(l2.size === 5 && l2.forall(_._2 === 6L),
+      s"two-level pairing drifted through the facade: $l2")
+    // sCore: the heavy-pendant/feather-hub split through the facade
+    val ew = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, 2L),
+      (1L, 4L, 5L), (5L, 1L, 1L), (5L, 2L, 1L), (5L, 3L, 1L))
+    val sc = Graft.sCore(ew.toDF("u", "v", "wt"), "u", "v", "wt", 4L)
+      .select(col("node")).as[Long].collect().toSet
+    assert(sc === Set(1L, 2L, 3L, 4L), s"facade s-core drifted: $sc")
     spark.catalog.clearCache()
   }
 
