@@ -577,6 +577,83 @@ object GraphOps {
         .orderBy(col("seed"))
     }),
 
+    // FUSED distance centralities (r20) — the r19 verdict's standing
+    // pricing note turned into a GRADED row: kbfs/closeness/harmonic/
+    // ecc each pay the same fused-BFS floor standalone because the
+    // harness prices queries alone (~12% of the bench), and every
+    // registration since r18 documents that "a real pipeline folds all
+    // the distance centralities off ONE kSeedBfs pass — the facades
+    // compose". This row IS that pipeline: ONE Bfs.hopsFrom unroll
+    // (the identical top-degree seeds), then ALL THREE folds off the
+    // one ≤ seeds·rounds histogram — closeness (mean distance),
+    // harmonic (mean inverse, disconnected-safe), eccentricity (worst
+    // case) — per seed in a single seed-grain hash agg. Each output
+    // column is BIT-IDENTICAL to its standalone query (the
+    // composition law KCoreSuite pins by joining the three graded
+    // outputs), so the row grades the claim, and the bench prices it:
+    // three centralities at ONE BFS floor. Determinism: the three
+    // folds' exact-integer quantizations verbatim.
+    "q_graph_central" -> ((s, d) => {
+      val e = graft.Graft.eager(copurchaseEdges(s, d))
+      val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src").asc).limit(KbfsSeeds)
+        .select(col("src").as("seed"), col("src").as("node"))
+      graft.operators.Bfs.hopsFrom(e, seeds, BfsRounds)
+        .groupBy(col("seed"))
+        .agg(sum(col("n_nodes")).as("n_reached"),
+          sum(col("dist") * col("n_nodes")).as("sum_dist"),
+          sum(when(col("dist") > 0,
+            expr("(cast(n_nodes as decimal(38,0)) * 1000000) div dist"))
+            .otherwise(lit(0L).cast("decimal(38,0)")))
+            .cast("bigint").as("harmonic_micro"),
+          max(col("dist")).as("ecc"))
+        .withColumn("closeness_micro", when(col("sum_dist") > 0,
+          expr("""cast((cast(n_reached - 1 as decimal(38,0)) * 1000000)
+                  div sum_dist as bigint)""")))
+        .select(col("seed"), col("n_reached"), col("sum_dist"),
+          col("closeness_micro"), col("harmonic_micro"), col("ecc"))
+        .orderBy(col("seed"))
+    }),
+
+    // FUSED weighted distance centralities (r20) — q_graph_central's
+    // discipline on the affinity-cost metric, completing the weighted
+    // distance family in one stroke: q_graph_wcloseness asked only the
+    // MEAN-cost question; the harmonic (disconnected-safe inverse) and
+    // eccentricity (worst-case cost radius) legs existed only in hop
+    // space. ONE Bfs.costFrom relaxation (wcloseness's strength-ranked
+    // seeds and clamp-free 10⁶ div w costs verbatim — its oracle
+    // precedent), then all three folds off the one (seed, node, d)
+    // table: wclose_micro = ((reached−1)·10¹²) div Σd (bit-identical
+    // to q_graph_wcloseness — the composition law pinned in-unit),
+    // wharm_micro = Σ_v 10¹² div d_v over d > 0 (per-(seed, node)
+    // exact integer floor terms, order-free; a one-unit-weight hop
+    // costs 10⁶ so its contribution is 10⁶ — micro scale preserved),
+    // wecc = max cost (all-integer; a LOWER bound past the rounds
+    // horizon, the ecc truncation discipline). Three weighted
+    // centralities at ONE Bellman-Ford floor.
+    "q_graph_wcentral" -> ((s, d) => {
+      val ew = graft.Graft.eager(copurchaseEdgesW(s, d, CoreMinPair))
+      val seeds = ew.groupBy(col("src")).agg(sum(col("w")).as("st"))
+        .orderBy(col("st").desc, col("src").asc).limit(KbfsSeeds)
+        .select(col("src").as("seed"), col("src").as("node"))
+      val ce = ew.select(col("src"), col("dst"),
+        expr("cast(1000000 div w as bigint)").as("cost"))
+      graft.operators.Bfs.costFrom(ce, seeds, BfsRounds)
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_cost"),
+          sum(when(col("d") > 0,
+            expr("cast(1000000000000 as decimal(38,0)) div d"))
+            .otherwise(lit(0L).cast("decimal(38,0)")))
+            .cast("bigint").as("wharm_micro"),
+          max(col("d")).as("wecc"))
+        .withColumn("wclose_micro", when(col("sum_cost") > 0,
+          expr("""cast((cast(n_reached - 1 as decimal(38,0))
+                  * 1000000000000) div sum_cost as bigint)""")))
+        .select(col("seed"), col("n_reached"), col("sum_cost"),
+          col("wclose_micro"), col("wharm_micro"), col("wecc"))
+        .orderBy(col("seed"))
+    }),
+
     // Approximate betweenness — pivot-sampled Brandes (r19; Brandes
     // 2001, Brandes & Pich 2007) — the LAST classic centrality absent
     // from the family (pagerank/HITS endorse, closeness/harmonic
@@ -2259,6 +2336,92 @@ object GraphOps {
          |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
          |  CAST(MAX(d) AS BIGINT) AS ecc
          |FROM bd$BfsRounds GROUP BY 1 ORDER BY seed""".stripMargin
+    },
+    // The kbfs unroll + ALL THREE distance-centrality folds off the
+    // one histogram (r20) — each column the standalone oracle's fold
+    // verbatim.
+    "q_graph_central" -> {
+      def round(r: Int): String =
+        s"""bd$r AS MATERIALIZED (
+           |  SELECT seed, node, MIN(d) AS d FROM (
+           |    SELECT seed, node, d FROM bd${r - 1}
+           |    UNION ALL
+           |    SELECT p.seed, e.dst AS node, p.d + 1 AS d
+           |    FROM e JOIN bd${r - 1} p ON e.src = p.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM $li),
+         |e AS MATERIALIZED (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1),
+         |seeds AS (SELECT src AS seed FROM deg
+         |          ORDER BY dg DESC, src ASC LIMIT $KbfsSeeds),
+         |bd0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d
+         |        FROM seeds),
+         |${(1 to BfsRounds).map(round).mkString(",\n")},
+         |h AS (
+         |  SELECT seed, d AS dist, COUNT(*) AS n_nodes
+         |  FROM bd$BfsRounds GROUP BY 1, 2),
+         |f AS (
+         |  SELECT seed, CAST(SUM(n_nodes) AS BIGINT) AS n_reached,
+         |    CAST(SUM(dist * n_nodes) AS BIGINT) AS sum_dist,
+         |    CAST(SUM(CASE WHEN dist > 0 THEN
+         |      (CAST(n_nodes AS HUGEINT) * 1000000) // dist
+         |      ELSE 0 END) AS BIGINT) AS harmonic_micro,
+         |    CAST(MAX(dist) AS BIGINT) AS ecc
+         |  FROM h GROUP BY 1)
+         |SELECT seed, n_reached, sum_dist,
+         |  CASE WHEN sum_dist > 0 THEN
+         |    CAST((CAST(n_reached - 1 AS HUGEINT) * 1000000)
+         |      // sum_dist AS BIGINT) END AS closeness_micro,
+         |  harmonic_micro, ecc
+         |FROM f ORDER BY seed""".stripMargin
+    },
+    // The wcloseness Bellman-Ford unroll + all three weighted folds
+    // off the one distance table (r20).
+    "q_graph_wcentral" -> {
+      def round(r: Int): String =
+        s"""wd$r AS MATERIALIZED (
+           |  SELECT seed, node, MIN(d) AS d FROM (
+           |    SELECT seed, node, d FROM wd${r - 1}
+           |    UNION ALL
+           |    SELECT p.seed, e.dst AS node, p.d + e.cost AS d
+           |    FROM e JOIN wd${r - 1} p ON e.src = p.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q,
+         |    COUNT(*) AS w
+         |  FROM $li GROUP BY 1, 2 HAVING COUNT(*) >= $CoreMinPair),
+         |e0 AS (
+         |  SELECT p AS src, q AS dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT q AS src, p AS dst, w FROM pairs),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, CAST(1000000 // w AS BIGINT) AS cost
+         |  FROM e0),
+         |strength AS (SELECT src, SUM(w) AS st FROM e0 GROUP BY 1),
+         |seeds AS (SELECT src AS seed FROM strength
+         |          ORDER BY st DESC, src ASC LIMIT $KbfsSeeds),
+         |wd0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d
+         |        FROM seeds),
+         |${(1 to BfsRounds).map(round).mkString(",\n")},
+         |f AS (
+         |  SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |    CAST(SUM(d) AS BIGINT) AS sum_cost,
+         |    CAST(SUM(CASE WHEN d > 0 THEN
+         |      CAST(1000000000000 AS HUGEINT) // d
+         |      ELSE 0 END) AS BIGINT) AS wharm_micro,
+         |    CAST(MAX(d) AS BIGINT) AS wecc
+         |  FROM wd$BfsRounds GROUP BY 1)
+         |SELECT seed, n_reached, sum_cost,
+         |  CASE WHEN sum_cost > 0 THEN
+         |    CAST((CAST(n_reached - 1 AS HUGEINT) * 1000000000000)
+         |      // sum_cost AS BIGINT) END AS wclose_micro,
+         |  wharm_micro, wecc
+         |FROM f ORDER BY seed""".stripMargin
     },
     // Both Brandes sweeps unrolled verbatim: forward rounds settle
     // (dist, HUGEINT σ) layers (anti-join via LEFT JOIN ... IS NULL),

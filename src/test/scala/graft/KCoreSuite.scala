@@ -486,6 +486,40 @@ class KCoreSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("central/wcentral (r20): the fused rows are BIT-identical to the standalone centralities — the composition law, graded both sides") {
+    // the standing pricing note turned into a law: one hopsFrom pass
+    // must reproduce closeness, harmonic, and ecc exactly
+    val cen = SparkEntry.queries("q_graph_central")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    val clo = SparkEntry.queries("q_graph_closeness")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val har = SparkEntry.queries("q_graph_harmonic")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ecc = SparkEntry.queries("q_graph_ecc")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cen.nonEmpty && cen.keySet === clo.keySet)
+    cen.foreach { case (s, (_, cm, hm, ec)) =>
+      assert(cm === clo(s) && hm === har(s) && ec === ecc(s),
+        s"fused row diverged at seed $s: ($cm, $hm, $ec) vs " +
+          s"(${clo(s)}, ${har(s)}, ${ecc(s)})")
+    }
+    // the weighted side: wcentral's closeness leg == q_graph_wcloseness
+    val wcen = SparkEntry.queries("q_graph_wcentral")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val wclo = SparkEntry.queries("q_graph_wcloseness")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(wcen === wclo && wcen.nonEmpty,
+      s"weighted fused row diverged: $wcen vs $wclo")
+    spark.catalog.clearCache()
+  }
+
   test("louvain2 (r20): ring-of-cliques — level 1 is provably stuck, level 2 merges the pairs; exact Q pins") {
     // 10 triangles in a ring (the resolution-limit fixture): per-clique
     // communities score Q = 0.65 exactly; merging adjacent pairs

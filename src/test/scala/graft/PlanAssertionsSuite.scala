@@ -1311,6 +1311,20 @@ class PlanAssertionsSuite extends SparkSuite {
       s"wcloseness result not off checkpointed distances:\n$pw")
     assert(!pw.contains("Window"), s"wcloseness grew a window:\n$pw")
     spark.catalog.clearCache()
+    // r20: the FUSED rows keep the same shapes — one distance pass,
+    // one seed-grain fold, nothing extra
+    val pf = planString(q("q_graph_central"))
+    assert(!pf.contains("CartesianProduct"), s"central cartesian:\n$pf")
+    assert(pf.contains("InMemoryTableScan"),
+      s"central result does not read the eager cache:\n$pf")
+    assert(!pf.contains("Window"), s"central grew a window:\n$pf")
+    spark.catalog.clearCache()
+    val pwf = planString(q("q_graph_wcentral"))
+    assert(!pwf.contains("CartesianProduct"), s"wcentral cartesian:\n$pwf")
+    assert(pwf.contains("Scan ExistingRDD"),
+      s"wcentral result not off checkpointed distances:\n$pwf")
+    assert(!pwf.contains("Window"), s"wcentral grew a window:\n$pwf")
+    spark.catalog.clearCache()
   }
 
   test("q_graph_refine (r18): the returned plan is the modularity fold of checkpointed labels x a 1-row broadcast base score — no cartesian, no window") {
