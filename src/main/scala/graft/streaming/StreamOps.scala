@@ -2036,6 +2036,84 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  /** The per-key causal-order audit on transformWithState (r20, wave
+    * 6 — the reference's raison d'être on the successor API): ONE
+    * un-TTL'd ValueState[CausalState] per user — the identical
+    * (max ts, n, violations) fold and within-batch event_id replay
+    * (event_id IS the arrival order — FIXTURES.md) as the
+    * [[causalTracker]] fMGWS twin, so per-key standings equal the twin
+    * and the graded q_causal row at any instant (pinned under
+    * RocksDB). NO TTL by design: the audit's n∕violations are LIFETIME
+    * delivery-guarantee counters — expiry would silently undercount
+    * the very violations the reference exists to surface, and the
+    * state is 3 longs per key, O(keys) — the honest floor of any
+    * per-key ordering audit (the scd2Tws reasoning). Update mode. */
+  def causalTws(events: Dataset[Event]): Dataset[CausalOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CausalTwsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
+  /** The exact-moments maintainer on transformWithState (r20, wave 6):
+    * ONE un-TTL'd ValueState[MomentsState] per user — the identical
+    * exact BigInteger power sums (carried as decimal strings through
+    * the product encoder) and cents quantization as the
+    * [[momentsMonitor]] fMGWS twin, with the same pinned IEEE combine
+    * at readout (one correctly-rounded BigInteger→double conversion
+    * per sum). Addition of exact integers commutes — no within-batch
+    * sort, no delivery-order contract, and any batch split is provably
+    * inert. NO TTL: lifetime moments are the contract (expiry would
+    * reset the sums), and state is five small values per key. Update
+    * mode: one standings row per touched key per batch. */
+  def momentsTws(events: Dataset[Event]): Dataset[MomentsOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new MomentsTwsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
+  /** The presence-bitmap maintainer on transformWithState (r20, wave
+    * 6): ONE un-TTL'd ValueState[BitmaskState] per user — the
+    * identical OR∕XOR hour-bit fold as the [[bitmaskMonitor]] fMGWS
+    * twin. OR and XOR are commutative AND associative, so the final
+    * emission is bit-identical to the batch aggregate under ANY
+    * micro-batch split or arrival order — the strongest delivery
+    * contract in the family (the parity test replays a deliberately
+    * SHUFFLED stream). NO TTL: the bitmap is lifetime presence
+    * algebra in 3 longs per key. Update mode. */
+  def bitmaskTws(events: Dataset[Event]): Dataset[BitmaskOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BitmaskTwsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
+  /** The inter-arrival gap feed on transformWithState (r20, wave 6,
+    * fourth member): ONE TTL'd ValueState[TimeGapState] per user — the
+    * identical one-long state and (ts_us, event_id) within-batch
+    * replay as the [[timeGapMonitor]] fMGWS twin; emissions are FINAL
+    * (Append — a gap never revises). The TTL is the pathsTws
+    * discipline: a key idle past `ttl` of PROCESSING time has its
+    * last-timestamp expire, so the returning event emits NO cross-idle
+    * gap (a stale inter-arrival spanning a week of silence is noise to
+    * the percentile consumers downstream) — cold-start semantics, with
+    * the processing-time caveat (a replayed backlog does not expire
+    * mid-replay, so twin parity holds on any replay — pinned under
+    * RocksDB). State O(recently-active users) × one long. */
+  def timeGapTws(events: Dataset[Event],
+      ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[TimeGapOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TimeGapTwsProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append)
+  }
+
   /** Rolling 3-event decimal sum per key on the transformWithState
     * ListState primitive — the bounded-buffer shape of the new state
     * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
@@ -2505,6 +2583,141 @@ class AmsTwsProcessor(rows: Int)
     st.update(AmsMonState(z.toSeq, n))
     val f2 = z.map(v => BigInt(v) * BigInt(v)).sum / rows
     Iterator.single(AmsMonOut(tp, n, f2.toLong))
+  }
+}
+
+/** [[StreamOps.causalTws]]'s processor: ONE un-TTL'd
+  * ValueState[CausalState] per key — the twin's (max ts, n,
+  * violations) fold with event_id as the arrival order. */
+class CausalTwsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, CausalOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[CausalState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CausalState]("causal",
+      Encoders.product[CausalState], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[CausalOut] = {
+    var s = if (st.exists()) st.get()
+      else CausalState(Long.MinValue, 0L, 0L)
+    rows.toSeq.sortBy(_.event_id).foreach { e =>
+      val viol = if (s.n > 0 && e.ts_us < s.maxTsUs) 1L else 0L
+      s = CausalState(math.max(s.maxTsUs, e.ts_us), s.n + 1, s.viol + viol)
+    }
+    st.update(s)
+    Iterator.single(CausalOut(uid, s.n, s.viol))
+  }
+}
+
+/** [[StreamOps.momentsTws]]'s processor: ONE un-TTL'd
+  * ValueState[MomentsState] per key — exact BigInteger power sums as
+  * decimal strings through the product encoder (commutative fold, no
+  * sort), the twin's pinned IEEE combine at readout. */
+class MomentsTwsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, MomentsOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+  import java.math.BigInteger
+
+  @transient private var st: ValueState[MomentsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[MomentsState]("moments",
+      Encoders.product[MomentsState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[MomentsOut] = {
+    var n = 0L
+    var s1 = BigInteger.ZERO; var s2 = BigInteger.ZERO
+    var s3 = BigInteger.ZERO; var s4 = BigInteger.ZERO
+    if (st.exists()) {
+      val s = st.get()
+      n = s.n
+      s1 = new BigInteger(s.s1); s2 = new BigInteger(s.s2)
+      s3 = new BigInteger(s.s3); s4 = new BigInteger(s.s4)
+    }
+    rows.foreach { e =>
+      val c = BigDecimal(e.value)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue
+      val c2 = c.multiply(c)
+      n += 1L
+      s1 = s1.add(c); s2 = s2.add(c2)
+      s3 = s3.add(c2.multiply(c)); s4 = s4.add(c2.multiply(c2))
+    }
+    st.update(MomentsState(n, s1.toString, s2.toString,
+      s3.toString, s4.toString))
+    val nD = n.toDouble
+    val (d1, d2, d3, d4) =
+      (s1.doubleValue, s2.doubleValue, s3.doubleValue, s4.doubleValue)
+    val m2 = (nD * d2 - d1 * d1) / (nD * nD)
+    val m3 = (nD * nD * d3 - 3.0 * nD * d1 * d2 + 2.0 * d1 * d1 * d1) /
+      (nD * nD * nD)
+    val m4 = (nD * nD * nD * d4 - 4.0 * nD * nD * d1 * d3 +
+      6.0 * nD * d1 * d1 * d2 - 3.0 * d1 * d1 * d1 * d1) /
+      (nD * nD * nD * nD)
+    val ok = n > 1 && m2 > 0
+    Iterator.single(MomentsOut(user, n, d1 / nD, m2,
+      if (ok) Some(m3 / (m2 * math.sqrt(m2))) else None,
+      if (ok) Some(m4 / (m2 * m2) - 3.0) else None))
+  }
+}
+
+/** [[StreamOps.bitmaskTws]]'s processor: ONE un-TTL'd
+  * ValueState[BitmaskState] per key — the twin's OR∕XOR hour-bit
+  * fold (commutative AND associative: any order, any split). */
+class BitmaskTwsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, BitmaskOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[BitmaskState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[BitmaskState]("bits",
+      Encoders.product[BitmaskState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[BitmaskOut] = {
+    var s = if (st.exists()) st.get() else BitmaskState(0L, 0L, 0L)
+    rows.foreach { e =>
+      val bit = 1L << ((e.ts_us % 86400000000L) / 3600000000L)
+      s = BitmaskState(s.orMask | bit, s.xorMask ^ bit, s.n + 1L)
+    }
+    st.update(s)
+    Iterator.single(BitmaskOut(user, s.orMask, s.xorMask, s.n,
+      java.lang.Long.bitCount(s.orMask)))
+  }
+}
+
+/** [[StreamOps.timeGapTws]]'s processor: ONE TTL'd
+  * ValueState[TimeGapState] per key — the twin's one-long state; an
+  * expired key's next event emits no cross-idle gap (cold start). */
+class TimeGapTwsProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TimeGapOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[TimeGapState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[TimeGapState]("lastts",
+      Encoders.product[TimeGapState], TTLConfig(ttl))
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[TimeGapOut] = {
+    var last: Option[Long] = if (st.exists()) Some(st.get().lastUs) else None
+    val out = Seq.newBuilder[TimeGapOut]
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      last.foreach(l => out += TimeGapOut(user, e.event_type, e.ts_us - l))
+      last = Some(e.ts_us)
+    }
+    last.foreach(l => st.update(TimeGapState(l)))
+    out.result().iterator
   }
 }
 

@@ -3792,4 +3792,180 @@ class StreamingParitySuite extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("transformWithState causal audit (r20, wave 6): RocksDB stream == fMGWS twin == graded q_causal; violations survive batch straddles") {
+    val all = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+      .sortBy(_.event_id)
+    val expected = StreamOps.causalTracker(spark.createDataset(all))
+      .collect().map(c => c.user_id -> ((c.n_events, c.n_violations)))
+      .toMap
+    val graded = graft.queries.EventOps.queries("q_causal")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    spark.catalog.clearCache()
+    assert(expected === graded && graded.nonEmpty,
+      "fMGWS twin drifted from the graded q_causal — fix that first")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.causalTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[CausalOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(c => buf(c.user_id) = ((c.n_events, c.n_violations)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twscausal_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      // arrival-order batches (event_id IS the arrival order): the
+      // per-key max-ts watermark must straddle the splits for the
+      // violation counts to land exactly
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS causal never converged: ${buf.synchronized(buf.size)} " +
+            s"keys vs ${expected.size}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+  }
+
+  test("transformWithState moments (r20, wave 6): RocksDB stream == fMGWS twin — exact BigInteger sums through string state, bitwise IEEE readout") {
+    val evs = (1 to 240).map(i => Event(i, min(i % 60), (i % 5).toLong,
+      "view", (i * 7 % 23) + i / 40.0))
+    val expected = StreamOps.momentsMonitor(spark.createDataset(evs))
+      .collect().map(o => o.user_id ->
+        ((o.n, o.mean_cents, o.var_cents, o.skewness, o.kurtosis))).toMap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable
+      .Map.empty[Long, (Long, Double, Double, Option[Double], Option[Double])]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.momentsTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[MomentsOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o => buf(o.user_id) =
+            ((o.n, o.mean_cents, o.var_cents, o.skewness, o.kurtosis)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsmom_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Seq(evs.take(80), evs.slice(80, 160), evs.drop(160))
+        .foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS moments never converged: ${buf.synchronized(buf.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+  }
+
+  test("transformWithState bitmask (r20, wave 6): a deliberately SHUFFLED RocksDB replay lands bit-identical to the in-order fMGWS twin") {
+    val evs = (1 to 300).map(i => Event(i, min(i * 37 % 300), (i % 7).toLong,
+      "view", 1.0))
+    val expected = StreamOps.bitmaskMonitor(spark.createDataset(evs))
+      .collect().map(o => o.user_id ->
+        ((o.hour_or, o.hour_xor, o.n_events, o.n_active_hours))).toMap
+    // the OR/XOR fold is commutative AND associative: feed the stream
+    // a hash-shuffled order across 3 batches and demand equality
+    val shuffled = evs.sortBy(e => graft.Det.jvmMd5h32(e.event_id.toString))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable
+      .Map.empty[Long, (Long, Long, Long, Int)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.bitmaskTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[BitmaskOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o => buf(o.user_id) =
+            ((o.hour_or, o.hour_xor, o.n_events, o.n_active_hours)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsbits_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Seq(shuffled.take(100), shuffled.slice(100, 200), shuffled.drop(200))
+        .foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toMap) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS bitmask never converged: ${buf.synchronized(buf.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+  }
+
+  test("transformWithState inter-arrival feed (r20, wave 6): Append emissions == the fMGWS twin's multiset across batch straddles") {
+    val evs = (1 to 120).map(i => Event(i, min(i * 13 % 240),
+      (i % 4).toLong, if (i % 3 == 0) "click" else "view", 1.0))
+      .sortBy(e => (e.ts_us, e.event_id))
+    val expected = StreamOps.timeGapMonitor(spark.createDataset(evs))
+      .collect().map(o => (o.user_id, o.event_type, o.gap_us)).sorted.toSeq
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.timeGapTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[TimeGapOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o => buf += ((o.user_id, o.event_type, o.gap_us)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsgapfeed_cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      // in-order batches (the ewma-class cross-batch contract); the
+      // straddle: each batch's first gap reaches back into the
+      // previous batch's carried last-timestamp
+      Seq(evs.take(40), evs.slice(40, 80), evs.drop(80))
+        .foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.sorted.toSeq) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS gap feed never converged: ${buf.synchronized(buf.size)} " +
+            s"gaps vs ${expected.size}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+  }
 }
