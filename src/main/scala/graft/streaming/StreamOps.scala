@@ -211,6 +211,15 @@ case class CmsProbeOut(event_type: String, probe_user: Long, n: Long,
 case class KmvOut(event_type: String, n_bot: Long, h_k: Long, est: Long)
 
 case class TopkState(sums: Map[Long, Long], n: Long)
+/** [[WindowTopkTwsProcessor]]'s state: [[TopkState]]'s map FLATTENED
+  * to parallel Seqs — transformWithState's Avro state encoding rejects
+  * MapType (measured: IncompatibleSchemaException on
+  * MapType(Long, Long)), so map-shaped state rides the successor API
+  * as sorted parallel columns and rebuilds per batch. */
+case class TopkTwsState(users: Seq[Long], sums: Seq[Long], n: Long)
+/** [[KsDriftTwsProcessor]]'s state: [[DriftHist]]'s map flattened the
+  * same way (value, count-A, count-B as parallel sorted Seqs). */
+case class DriftTwsState(vs: Seq[Long], ca: Seq[Long], cb: Seq[Long])
 
 case class TopkOut(window_us: Long, rk: Int, user_id: Long, value: Double,
                    n_events: Long)
@@ -2114,6 +2123,92 @@ object StreamOps {
         OutputMode.Append)
   }
 
+  /** The new-vs-returning feed on transformWithState (r20, wave 7 —
+    * the wave that FINISHES the r19 verdict's twelve-name list: no
+    * fMGWS-only maintainer from it remains): ONE un-TTL'd
+    * ValueState[NewretState] per user — the twin's (first-ever day,
+    * last day) pair, Append-mode one-row-per-(user, day) emissions
+    * with is_new = 1 only on the key's first-ever day. NO TTL: the
+    * first-day is a LIFETIME fact — an expired key's return would be
+    * wrongly re-flagged new, corrupting the new∕returning split the
+    * feed exists to compute; state is 2 longs per key. Same
+    * forward-day in-order contract as the twin. */
+  def newretTws(events: Dataset[Event]): Dataset[NewretOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new NewretTwsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
+  }
+
+  /** The user-lifetime maintainer on transformWithState (r20, wave
+    * 7): ONE un-TTL'd ValueState[LifetimeState] per user — the twin's
+    * first∕last-day min∕max fold (commutative: no sort, no delivery
+    * contract), Update-mode upserts only when the lifetime GROWS. NO
+    * TTL by definition of the metric. */
+  def lifetimeTws(events: Dataset[Event]): Dataset[LifetimeOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LifetimeTwsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
+  /** The point-in-time enrichment on transformWithState (r20, wave
+    * 7): ONE un-TTL'd ValueState[PitState] per user — the twin's
+    * (attr, run-start) row, facts emitted ONCE with the attribute
+    * active at their instant, changes-before-facts at an equal µs in
+    * event_id order (the batch interleave's tie rule). NO TTL — the
+    * scd2Tws reasoning verbatim: an expired active attribute would
+    * NULL-enrich facts that a never-expiring feature store answers,
+    * and dimension state is O(entities) regardless. */
+  def pitTws(events: Dataset[Event]): Dataset[PitOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PitTwsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
+  }
+
+  /** The windowed top-k leaderboard on transformWithState (r20, wave
+    * 7): ONE ValueState[TopkTwsState] per tumbling-hour window — the
+    * twin's user→scaled-sum map FLATTENED to sorted parallel Seqs,
+    * because the TWS Avro state encoding rejects MapType outright
+    * (measured: IncompatibleSchemaException — the one structural
+    * constraint the successor API adds over fMGWS, recorded on the
+    * state class); the same exact scaled-long ranking either way.
+    * Un-TTL'd for twin parity; at scale
+    * the principled bound is a TTL at the window-retention horizon (a
+    * CLOSED window under event-time order never updates again — the
+    * documented trade, unlike the lifetime families where expiry is
+    * wrong). Update mode: the window's standings re-emit per batch. */
+  def windowTopkTws(events: Dataset[Event], k: Int = 3)
+      : Dataset[TopkOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => math.floorDiv(e.ts_us, 3600000000L) * 3600000000L)
+      .transformWithState(new WindowTopkTwsProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
+  /** The KS drift gauge on transformWithState (r20, wave 7, last
+    * member — the twelve-name list CLOSES here): ONE un-TTL'd
+    * ValueState[DriftTwsState] per group — the distinct-value
+    * histogram flattened to sorted parallel Seqs (the MapType
+    * constraint on [[TopkTwsState]]'s scaladoc), integer
+    * counts so state is arrival-order-free, the identical IEEE KS
+    * program at each readout. State bounded by the VALUE DOMAIN,
+    * never the stream — the bounded-state story is the histogram
+    * itself, so no TTL. Update mode. */
+  def ksDriftTws(rows: Dataset[DriftRowIn]): Dataset[DriftOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.grp)
+      .transformWithState(new KsDriftTwsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** Rolling 3-event decimal sum per key on the transformWithState
     * ListState primitive — the bounded-buffer shape of the new state
     * API (ValueState: one scalar row — gap audit; MapState: sub-keyed
@@ -2718,6 +2813,191 @@ class TimeGapTwsProcessor(ttl: java.time.Duration)
     }
     last.foreach(l => st.update(TimeGapState(l)))
     out.result().iterator
+  }
+}
+
+/** [[StreamOps.newretTws]]'s processor: ONE un-TTL'd
+  * ValueState[NewretState] per key — the twin's (firstDay, lastDay)
+  * pair; first-day is a lifetime fact, never expired. */
+class NewretTwsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, NewretOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[NewretState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[NewretState]("newret",
+      Encoders.product[NewretState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[NewretOut] = {
+    var s = if (st.exists()) st.get()
+      else NewretState(Long.MinValue, Long.MinValue)
+    val out = Seq.newBuilder[NewretOut]
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      val day = Math.floorDiv(e.ts_us, 86400000000L)
+      if (day != s.lastDay) {
+        val isNew = if (s.firstDay == Long.MinValue) 1 else 0
+        out += NewretOut(user, day * 86400000000L, isNew)
+        s = NewretState(
+          if (s.firstDay == Long.MinValue) day else s.firstDay, day)
+      }
+    }
+    st.update(s)
+    out.result().iterator
+  }
+}
+
+/** [[StreamOps.lifetimeTws]]'s processor: ONE un-TTL'd
+  * ValueState[LifetimeState] per key — the twin's min∕max fold,
+  * upserting only on growth. */
+class LifetimeTwsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, LifetimeOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[LifetimeState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[LifetimeState]("lifetime",
+      Encoders.product[LifetimeState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[LifetimeOut] = {
+    val days = rows.map(e => Math.floorDiv(e.ts_us, 86400000000L)).toSeq
+    if (days.isEmpty) Iterator.empty
+    else {
+      val prev = if (st.exists()) Option(st.get()) else None
+      val nf = math.min(prev.map(_.firstDay).getOrElse(Long.MaxValue),
+        days.min)
+      val nl = math.max(prev.map(_.lastDay).getOrElse(Long.MinValue),
+        days.max)
+      val changed = prev.forall(p => p.firstDay != nf || p.lastDay != nl)
+      st.update(LifetimeState(nf, nl))
+      if (changed)
+        Iterator.single(LifetimeOut(user, nf * 86400000000L, nl - nf))
+      else Iterator.empty
+    }
+  }
+}
+
+/** [[StreamOps.pitTws]]'s processor: ONE un-TTL'd ValueState[PitState]
+  * per key — the twin's (attr, run-start) row; expiry would
+  * NULL-enrich facts wrongly (the scd2 reasoning). */
+class PitTwsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, PitOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[PitState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[PitState]("pit",
+      Encoders.product[PitState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[PitOut] = {
+    var cur: Option[PitState] = if (st.exists()) Some(st.get()) else None
+    val out = Seq.newBuilder[PitOut]
+    rows.toSeq
+      .sortBy(e => (e.ts_us, e.event_type == "purchase", e.event_id))
+      .foreach { e =>
+        if (e.event_type == "purchase")
+          out += PitOut(user, e.event_id, e.ts_us,
+            cur.map(_.attr), cur.map(_.fromUs),
+            cur.map(e.ts_us - _.fromUs))
+        else if (!cur.exists(_.attr == e.event_type))
+          cur = Some(PitState(e.event_type, e.ts_us))
+      }
+    cur.foreach(st.update)
+    out.result().iterator
+  }
+}
+
+/** [[StreamOps.windowTopkTws]]'s processor: ONE
+  * ValueState[TopkTwsState] per tumbling window — the twin's
+  * user→scaled-sum map flattened to sorted parallel Seqs (the TWS
+  * Avro state encoding rejects MapType — TopkTwsState's scaladoc);
+  * exact scaled-long ranking, the twin verbatim. */
+class WindowTopkTwsProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TopkOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[TopkTwsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[TopkTwsState]("topk",
+      Encoders.product[TopkTwsState], TTLConfig.NONE)
+
+  override def handleInputRows(winUs: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[TopkOut] = {
+    val m = collection.mutable.Map.empty[Long, Long]
+    var n = 0L
+    if (st.exists()) {
+      val s = st.get()
+      m ++= s.users.iterator.zip(s.sums.iterator)
+      n = s.n
+    }
+    rows.foreach { e =>
+      m(e.user_id) = m.getOrElse(e.user_id, 0L) +
+        StreamOps.scaled4(e.value)
+      n += 1L
+    }
+    val flat = m.toSeq.sortBy(_._1)
+    st.update(TopkTwsState(flat.map(_._1), flat.map(_._2), n))
+    m.toSeq.sortBy { case (u, s) => (-s, u) }.take(k).zipWithIndex
+      .map { case ((u, s), i) =>
+        TopkOut(winUs, i + 1, u,
+          BigDecimal(java.math.BigDecimal.valueOf(s, 4)).toDouble, n)
+      }.iterator
+  }
+}
+
+/** [[StreamOps.ksDriftTws]]'s processor: ONE un-TTL'd
+  * ValueState[DriftTwsState] per group — the twin's distinct-value
+  * histogram flattened to sorted parallel Seqs (the MapType
+  * constraint above); the identical IEEE KS program at each readout. */
+class KsDriftTwsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, DriftRowIn, DriftOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[DriftTwsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[DriftTwsState]("hist",
+      Encoders.product[DriftTwsState], TTLConfig.NONE)
+
+  override def handleInputRows(grp: String, rows: Iterator[DriftRowIn],
+                               tv: TimerValues): Iterator[DriftOut] = {
+    val m = collection.mutable.Map.empty[Long, (Long, Long)]
+    if (st.exists()) {
+      val s = st.get()
+      s.vs.indices.foreach(i => m(s.vs(i)) = ((s.ca(i), s.cb(i))))
+    }
+    rows.foreach { r =>
+      val (ca, cb) = m.getOrElse(r.v, (0L, 0L))
+      m(r.v) = if (r.a) (ca + 1L, cb) else (ca, cb + 1L)
+    }
+    val flat = m.toSeq.sortBy(_._1)
+    st.update(DriftTwsState(flat.map(_._1), flat.map(_._2._1),
+      flat.map(_._2._2)))
+    val na = m.valuesIterator.map(_._1).sum
+    val nb = m.valuesIterator.map(_._2).sum
+    if (na == 0L || nb == 0L) Iterator.single(DriftOut(grp, None, None, na, nb))
+    else {
+      var cumA = 0L; var cumB = 0L
+      var best = Double.NegativeInfinity; var bestAt = 0L
+      m.keysIterator.toSeq.sorted.foreach { v =>
+        val c = m(v); cumA += c._1; cumB += c._2
+        val gap = math.abs(cumA.toDouble / na.toDouble
+          - cumB.toDouble / nb.toDouble)
+        if (gap > best) { best = gap; bestAt = v }
+      }
+      Iterator.single(DriftOut(grp, Some(best), Some(bestAt), na, nb))
+    }
   }
 }
 

@@ -3968,4 +3968,212 @@ class StreamingParitySuite extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("transformWithState new-vs-returning + lifetime (r20, wave 7): RocksDB streams == fMGWS twins across day straddles") {
+    val dayUs = 86400000000L
+    // 4 users over 6 days with returns and gaps; day boundaries
+    // straddle the batch splits
+    val evs = (1 to 96).map { i =>
+      val u = (i % 4).toLong
+      Event(i, (i / 4).toLong * (dayUs / 4) + u, u, "view", 1.0)
+    }.sortBy(e => (e.ts_us, e.event_id))
+    val expNew = StreamOps.newretMonitor(spark.createDataset(evs))
+      .collect().map(o => (o.user_id, o.day_us, o.is_new)).toSet
+    val expLife = StreamOps.lifetimeMonitor(spark.createDataset(evs))
+      .collect().map(o => o.user_id -> ((o.first_day_us, o.lifetime_days)))
+      .toMap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // new-vs-returning (Append: the emission set IS the feed)
+    val bufN = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val msN = MemoryStream[Event](s2)
+    val qN = StreamOps.newretTws(msN.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[NewretOut], _: Long) =>
+        val rows = ds.collect()
+        bufN.synchronized {
+          rows.foreach(o => bufN += ((o.user_id, o.day_us, o.is_new)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsnewret_cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Seq(evs.take(30), evs.slice(30, 70), evs.drop(70))
+        .foreach(msN.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (bufN.synchronized(bufN.toSet) != expNew) {
+        assert(System.nanoTime() < deadline,
+          s"TWS newret never converged: ${bufN.synchronized(bufN.size)} " +
+            s"rows vs ${expNew.size}")
+        Thread.sleep(100)
+      }
+    } finally qN.stop()
+    // lifetime (Update: last write per user is the standing)
+    val bufL = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val msL = MemoryStream[Event](s2)
+    val qL = StreamOps.lifetimeTws(msL.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[LifetimeOut], _: Long) =>
+        val rows = ds.collect()
+        bufL.synchronized {
+          rows.foreach(o =>
+            bufL(o.user_id) = ((o.first_day_us, o.lifetime_days)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twslife_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Seq(evs.take(30), evs.slice(30, 70), evs.drop(70))
+        .foreach(msL.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (bufL.synchronized(bufL.toMap) != expLife) {
+        assert(System.nanoTime() < deadline,
+          s"TWS lifetime never converged: ${bufL.synchronized(bufL.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally qL.stop()
+  }
+
+  test("transformWithState point-in-time enrichment (r20, wave 7): RocksDB stream == fMGWS twin on the graded events — changes before facts at equal microseconds") {
+    val all = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts_us, e.event_id))
+    val expected = StreamOps.pitMonitor(spark.createDataset(all))
+      .collect()
+      .map(o => (o.user_id, o.p_id, o.p_us, o.ctx_attr, o.ctx_from_us,
+        o.ctx_age_us)).toSet
+    spark.catalog.clearCache()
+    assert(expected.nonEmpty)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable
+      .Set.empty[(Long, Long, Long, Option[String], Option[Long], Option[Long])]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.pitTws(ms.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[PitOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized {
+          rows.foreach(o => buf += ((o.user_id, o.p_id, o.p_us, o.ctx_attr,
+            o.ctx_from_us, o.ctx_age_us)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twspit_cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      all.grouped(math.max(all.size / 3, 1)).foreach(ms.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.toSet) != expected) {
+        assert(System.nanoTime() < deadline,
+          s"TWS pit never converged: ${buf.synchronized(buf.size)} " +
+            s"facts vs ${expected.size}")
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+  }
+
+  test("transformWithState windowed top-k + KS drift (r20, wave 7 complete): map-valued state round-trips RocksDB; standings and gauges == the fMGWS twins") {
+    // leaderboard: 3 hour-windows, value sums forcing rank flips
+    val evs = (1 to 120).map { i =>
+      Event(i, (i % 3).toLong * 3600000000L + i * 1000L,
+        (i % 5).toLong, "view", (i % 7) + 0.25)
+    }
+    val expTop = StreamOps.windowTopkMonitor(spark.createDataset(evs), 3)
+      .collect().map(o => (o.window_us, o.rk) ->
+        ((o.user_id, o.value, o.n_events))).toMap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val bufT = scala.collection.mutable
+      .Map.empty[(Long, Int), (Long, Double, Long)]
+    val msT = MemoryStream[Event](s2)
+    val qT = StreamOps.windowTopkTws(msT.toDS(), 3)
+      .writeStream
+      .foreachBatch { (ds: Dataset[TopkOut], _: Long) =>
+        val rows = ds.collect()
+        bufT.synchronized {
+          rows.foreach(o => bufT((o.window_us, o.rk)) =
+            ((o.user_id, o.value, o.n_events)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twstopk_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Seq(evs.take(40), evs.slice(40, 80), evs.drop(80))
+        .foreach(msT.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (bufT.synchronized(bufT.toMap) != expTop) {
+        assert(System.nanoTime() < deadline,
+          s"TWS topk never converged: ${bufT.synchronized(bufT.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally qT.stop()
+    // KS drift: two groups, one genuinely drifted
+    val rows = (1 to 200).map { i =>
+      val grp = if (i % 2 == 0) "stable" else "drift"
+      val a = i % 4 < 2
+      val v = if (grp == "stable" || a) (i % 10).toLong
+        else (i % 10).toLong + 7L
+      DriftRowIn(grp, v, a)
+    }
+    val expKs = StreamOps.ksDriftMonitor(spark.createDataset(rows))
+      .collect().map(o => o.grp -> ((o.ks_stat, o.ks_at, o.n_a, o.n_b)))
+      .toMap
+    val bufK = scala.collection.mutable
+      .Map.empty[String, (Option[Double], Option[Long], Long, Long)]
+    val msK = MemoryStream[DriftRowIn](s2)
+    val qK = StreamOps.ksDriftTws(msK.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[DriftOut], _: Long) =>
+        val outRows = ds.collect()
+        bufK.synchronized {
+          outRows.foreach(o =>
+            bufK(o.grp) = ((o.ks_stat, o.ks_at, o.n_a, o.n_b)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsks_cp").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Seq(rows.take(70), rows.slice(70, 140), rows.drop(140))
+        .foreach(msK.addData(_))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (bufK.synchronized(bufK.toMap) != expKs) {
+        assert(System.nanoTime() < deadline,
+          s"TWS ksdrift never converged: ${bufK.synchronized(bufK.toMap)}")
+        Thread.sleep(100)
+      }
+    } finally qK.stop()
+    assert(expKs("drift")._1.exists(_ > expKs("stable")._1.getOrElse(1.0)),
+      "the planted drift must out-score the stable group")
+  }
 }
