@@ -4092,6 +4092,53 @@ class StreamingParitySuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState gap-feed TTL (r20): an idle-expired key's return emits NO stale cross-idle gap — the cold-start direction") {
+    // the documented feature of the timeGapTws port (vs the
+    // never-expiring twin, which would emit the cross-idle gap):
+    // state lapses after 1 s of PROCESSING-time idleness, so the
+    // returning event starts cold and only the NEXT in-batch pair
+    // emits
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ms = MemoryStream[Event](s2)
+    val q = StreamOps.timeGapTws(ms.toDS(),
+        ttl = java.time.Duration.ofSeconds(1))
+      .writeStream
+      .foreachBatch { (ds: Dataset[TimeGapOut], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { buf ++= rows.map(o => (o.user_id, o.gap_us)) }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsgapttl_cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitRows(k: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (buf.synchronized(buf.size) < k) {
+        assert(System.nanoTime() < deadline,
+          s"sink never reached $k rows: ${buf.synchronized(buf.toSeq)}")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      ms.addData(Seq(Event(1, min(0), 7L, "view", 1.0),
+        Event(2, min(10), 7L, "view", 1.0)))
+      awaitRows(1) // warm: one 10-minute gap
+      Thread.sleep(5000) // the 1 s TTL lapses while user 7 idles
+      ms.addData(Seq(Event(3, min(60), 7L, "view", 1.0),
+        Event(4, min(65), 7L, "view", 1.0)))
+      awaitRows(2) // cold: NO 50-min cross-idle gap; only the 5-min pair
+    } finally q.stop()
+    val rows = buf.synchronized(buf.toSeq)
+    assert(rows === Seq((7L, 10L * 60000000L), (7L, 5L * 60000000L)),
+      s"gap-feed TTL semantics drifted: $rows")
+  }
+
   test("transformWithState windowed top-k + KS drift (r20, wave 7 complete): map-valued state round-trips RocksDB; standings and gauges == the fMGWS twins") {
     // leaderboard: 3 hour-windows, value sums forcing rank flips
     val evs = (1 to 120).map { i =>
