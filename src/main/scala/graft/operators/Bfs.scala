@@ -25,20 +25,66 @@ import org.apache.spark.sql.functions._
   * settled distance), so it is taken while the oracle runs the full
   * unroll. All-integer.
   *
-  * Scale shape: per round ONE equi-join of the persisted edge list
-  * against the node-sized distance table + a map-side-combining
-  * min-aggregate — shuffle ∝ EDGES per round (the standard synchronous
-  * Pregel cost, and exactly what ScaleRehearsal measured: shuffle
-  * linear in edges, never edges²; when AQE broadcasts the distance
-  * table the edge side stays in place and the shuffle drops to the
-  * aggregate's node-sized exchange). The distance table persists
-  * EAGERLY each round
-  * (Graft.eager's discipline: the next round reads it through BOTH the
-  * join and the union — a lazy persist races under concurrent AQE
-  * stages) and the superseded round unpersists one round later — O(1)
-  * cached footprint at any depth.
+  * Execution (r21, the optimization round): the same frontier property
+  * that defines the semantics drives the EXECUTION — each round joins
+  * the edge list against ONLY the nodes first settled in the previous
+  * round (the [[Betweenness]] forward-sweep shape), dedups the reached
+  * set, and anti-joins the already-settled table; the settled table is
+  * the lazy UNION of the per-round persisted pieces, never rewritten.
+  * The r17-r20 form instead min-aggregated the FULL distance table
+  * every round and fused round pairs into one plan; ProfJobs measured
+  * (BASELINE.md r21) that (a) the fused inner round's aggregate was
+  * computed TWICE — the union branch and the join branch each
+  * materialized their own copy of the identical exchange because the
+  * join's pushed-down isnotnull de-canonicalized one side and defeated
+  * ReusedExchange under AQE — and (b) every round paid a full
+  * node-grain re-aggregation (~11 MB exchange per round at sf0.1)
+  * for rows the frontier property proves cannot change. Frontier
+  * propagation removes both at ANY scale: per round ONE equi-join of
+  * the persisted columnar edge list against the (tiny) frontier + a
+  * map-side-combining dedup ∝ frontier-adjacent edges + a node-grain
+  * anti-join against the settled union. The edge list persists
+  * COLUMNAR (a localCheckpoint stores uncompressed rows — measured
+  * 6.3x the columnar cache size per scan); the per-round pieces
+  * localCheckpoint (new rows only — tiny, and the lineage truncation
+  * is load-bearing: see [[frontierLoop]]). One checkpoint job + one
+  * cached-scan count per round; checkpointed footprint across pieces
+  * = the final settled table, the same O(nodes) the old single cached
+  * table held.
   */
 object Bfs {
+
+  /** The shared frontier loop over an ALREADY-PERSISTED edge frame:
+    * per-round pieces (seed, node, d) eagerly localCheckpointed (the
+    * piece is NEW rows only — tiny; the checkpoint truncates lineage,
+    * without which each piece's logical plan embeds every prior
+    * piece's through the union + anti-join and analysis time grows
+    * exponentially with rounds — measured as multi-second driver gaps
+    * when the pieces were persist()ed instead), settled = lazy union
+    * of the pieces; the count on a just-checkpointed piece is a cached
+    * scan (the early-exit probe). */
+  private def frontierLoop(e: DataFrame, seeds0: DataFrame,
+                           rounds: Int): DataFrame = {
+    var settled = seeds0.localCheckpoint()
+    var frontier = settled
+    var frontierCount = frontier.count()
+    var r = 0
+    while (frontierCount > 0 && r < rounds) {
+      r += 1
+      val nxt = e
+        .join(frontier.select(col("seed"), col("node").as("src")),
+          Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(settled.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(r.toLong).as("d"))
+        .localCheckpoint()
+      frontierCount = nxt.count()
+      settled = settled.unionByName(nxt)
+      frontier = nxt
+    }
+    settled
+  }
 
   /** @param edges  symmetrized directed edge list (`src`, `dst`) — the
     *               [[graft.queries.GraphOps]] edge-builder contract.
@@ -53,51 +99,11 @@ object Bfs {
     // so hops() returns an empty histogram instead of a spurious
     // (dist=0, n_nodes=1) seed for a nonexistent node (the public
     // Graft.bfsHops facade exposes this path to arbitrary input).
-    var dist: DataFrame = e.agg(min(col("src")).as("node"))
+    val seeds0 = e.agg(min(col("src")).as("node"))
       .where(col("node").isNotNull)
-      .select(col("node"), lit(0L).as("d"))
-    // one synchronous relaxation: d(v) = min(d(v), min over in-nbrs
-    // d(u) + 1) — composition of two of these IS two rounds, which is
-    // what the pair fusion below exploits
-    def relax(d: DataFrame): DataFrame = d.unionByName(
-        e.join(d.select(col("node").as("sn"), col("d")),
-            col("src") === col("sn"))
-          .select(col("dst").as("node"), (col("d") + 1L).as("d")))
-      .groupBy(col("node")).agg(min(col("d")).as("d"))
-    var prev: DataFrame = null
-    var nReached = 1L
-    var settled = false
-    var r = 0
-    while (!settled && r < rounds) {
-      // PAIR FUSION (r17): materialize every TWO rounds instead of
-      // every round — the per-round cost at graded scale is the
-      // job-dispatch floor, not data, so this halves the driver
-      // actions (6 → 3 scheduling round-trips at the graded depth; on
-      // a real cluster each action is a driver⇄executor barrier).
-      // Wall-clock at sf0.1 measured ~15% better in a same-host A/B
-      // (6.4-7.3 s → 5.7-5.8 s warm) with later runs inside the
-      // host-noise band — the honest claim is the action count, not a
-      // wall-clock halving. Within a
-      // fused plan the inner round's aggregate exchange appears twice
-      // (the outer join and the outer union both read it) and
-      // ReusedExchange computes it once; the MATERIALIZED table (cur)
-      // still persists eagerly before its fan-out, so the AQE
-      // cache race stays closed. Early exit now tests every two
-      // rounds — result-identical (an empty frontier can never
-      // improve a settled distance; extra relaxations are no-ops).
-      val step = math.min(2, rounds - r)
-      r += step
-      val cur = dist.persist()
-      val curCount = cur.count() // eager: join + union both read it
-      if (prev != null) prev.unpersist() // baked into cur's cache
-      settled = curCount == nReached && r > step
-      nReached = curCount
-      if (!settled) {
-        dist = (1 to step).foldLeft(cur)((d, _) => relax(d))
-        prev = cur
-      } else prev = cur
-    }
-    dist.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_nodes"))
+      .select(col("node").as("seed"), col("node"), lit(0L).as("d"))
+    frontierLoop(e, seeds0, rounds)
+      .groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("dist"))
   }
 
@@ -105,12 +111,12 @@ object Bfs {
     * histograms for a CALLER-CHOSEN seed set, all seeds relaxed in ONE
     * plan via a `seed` key column — k sources cost the same number of
     * driver⇄executor barriers as one (the whole point at cluster
-    * scale; the per-round join fans out ∝ k·edges worst case, the
-    * standard multi-source Pregel cost, and stays one exchange).
-    * Same synchronous-relaxation contract, pair fusion, eager per-pair
-    * persist with O(1) cached footprint, and result-identical early
-    * exit as [[hops]] — the min-agg and frontier property hold per
-    * seed independently because `seed` rides every key.
+    * scale; the per-round join fans out ∝ k·frontier-edges worst case,
+    * the standard multi-source Pregel cost, and stays one exchange).
+    * Same synchronous-relaxation contract, frontier execution, eager
+    * per-round persist, and result-identical early exit as [[hops]] —
+    * the dedup and frontier property hold per seed independently
+    * because `seed` rides every key.
     *
     * @param edges  symmetrized directed edge list (`src`, `dst`).
     * @param seeds  (`seed`, `node`) start rows — typically seed == node;
@@ -125,32 +131,10 @@ object Bfs {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val e = edges.select(col("src"), col("dst")).persist()
     e.count() // eager: every round's join reads it
-    var dist: DataFrame = seeds
+    val seeds0 = seeds
       .select(col("seed"), col("node"), lit(0L).as("d"))
-    def relax(d: DataFrame): DataFrame = d.unionByName(
-        e.join(d.select(col("seed"), col("node").as("sn"), col("d")),
-            col("src") === col("sn"))
-          .select(col("seed"), col("dst").as("node"),
-            (col("d") + 1L).as("d")))
-      .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
-    var prev: DataFrame = null
-    var nReached = -1L // unknown until the first materialization
-    var settled = false
-    var r = 0
-    while (!settled && r < rounds) {
-      val step = math.min(2, rounds - r)
-      r += step
-      val cur = dist.persist()
-      val curCount = cur.count() // eager: join + union both read it
-      if (prev != null) prev.unpersist()
-      settled = curCount == nReached && r > step
-      nReached = curCount
-      if (!settled) {
-        dist = (1 to step).foldLeft(cur)((d, _) => relax(d))
-        prev = cur
-      } else prev = cur
-    }
-    dist.groupBy(col("seed"), col("d").as("dist"))
+    frontierLoop(e, seeds0, rounds)
+      .groupBy(col("seed"), col("d").as("dist"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("seed"), col("dist"))
   }
@@ -171,12 +155,24 @@ object Bfs {
     * law KCoreSuite pins) because with equal costs no longer path is
     * ever cheaper.
     *
-    * Scale shape: per round ONE equi-join of the checkpointed edge
+    * Execution (r21): the per-round union of the state with its own
+    * relaxation is folded into ONE join by adding a cost-0 SELF-LOOP
+    * per node (min(d(v), min_u d(u) + c(u,v)) = the same min over
+    * in-neighbors-plus-self) — the state is read ONCE per round, so
+    * consecutive rounds chain into one plan with every intermediate a
+    * single-consumer exchange (no duplicated subtree — the hazard the
+    * r17 pair fusion measured) and the loop materializes every
+    * `CostFuseRounds` rounds instead of every round, cutting the
+    * driver-action floor ~3x (the r20 verdict's ordered item). The
+    * self-loop set covers edge sources AND seed nodes, so an isolated
+    * seed keeps its d = 0 row exactly as the union form did. The
+    * edge+self list persists columnar; the state localCheckpoints per
+    * materialization (lineage truncation — the frontierLoop finding).
+    *
+    * Scale shape: per round ONE equi-join of the persisted edge+self
     * list against the (seed, node)-grain distance table + a map-side-
     * combining min-agg — shuffle ∝ seeds·edges, the hopsFrom Pregel
-    * cost with the cost column riding along; per-round
-    * localCheckpoint, O(1) cached footprint; exactly `rounds` driver
-    * jobs (no data-dependent control flow at all).
+    * cost with the cost column riding along; ⌈rounds∕3⌉ driver jobs.
     *
     * @param edges  symmetrized directed (`src`, `dst`, `cost`) —
     *               non-negative integer costs, both orientations with
@@ -187,20 +183,37 @@ object Bfs {
   def costFrom(edges: DataFrame, seeds: DataFrame,
                rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst"), col("cost")).persist()
+    val e0 = edges.select(col("src"), col("dst"), col("cost"))
+    val e = e0.unionByName(
+        e0.select(col("src"))
+          .unionByName(seeds.select(col("node").as("src")))
+          .distinct()
+          .select(col("src"), col("src").as("dst"),
+            lit(0L).as("cost")))
+      .persist()
     e.count() // eager: every round's join reads it
     var dist: DataFrame = seeds
       .select(col("seed"), col("node"), lit(0L).as("d"))
       .localCheckpoint()
-    (1 to rounds).foreach { _ =>
-      dist = dist.unionByName(
-          e.join(dist.select(col("seed"), col("node").as("src"),
-              col("d")), Seq("src"))
-            .select(col("seed"), col("dst").as("node"),
-              (col("d") + col("cost")).as("d")))
-        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+    var r = 0
+    while (r < rounds) {
+      val step = math.min(CostFuseRounds, rounds - r)
+      r += step
+      dist = (1 to step).foldLeft(dist)((d, _) =>
+        e.join(d.select(col("seed"), col("node").as("src"),
+            col("d")), Seq("src"))
+          .select(col("seed"), col("dst").as("node"),
+            (col("d") + col("cost")).as("d"))
+          .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d")))
         .localCheckpoint()
     }
     dist
   }
+
+  /** Rounds chained per materialization in [[costFrom]] — each fused
+    * round is a single-consumer join+agg (the self-loop form), so
+    * fusing trades driver actions for plan depth with no duplicated
+    * work; 3 keeps the fused plan small while cutting the per-round
+    * action floor to a third. */
+  private[graft] val CostFuseRounds = 3
 }

@@ -1249,15 +1249,15 @@ class PlanAssertionsSuite extends SparkSuite {
 
   test("q_graph_bfs / q_graph_corenum (r16): driver-assembled iteratives — returned plans read materialized state, no corpus re-derivation") {
     // both lambdas run their rounds eagerly (bounded driver actions);
-    // the RETURNED plan must read MATERIALIZED state — BFS through the
-    // eagerly-filled cache (an InMemoryRelation prints its recorded
-    // child, so a FileScan substring inside it is expected; the pin is
-    // that the READ is an InMemoryTableScan), corenum through
-    // checkpointed LogicalRDDs (no cache, no parquet at all)
+    // the RETURNED plan must read MATERIALIZED state — since r21 the
+    // frontier loop checkpoints each round's NEW rows, so the BFS
+    // histogram folds a union of checkpointed LogicalRDD pieces
+    // (no cache, no parquet at all), like corenum's checkpointed
+    // rounds
     val pb = planString(q("q_graph_bfs"))
     assert(!pb.contains("CartesianProduct"), s"bfs cartesian:\n$pb")
-    assert(pb.contains("InMemoryTableScan"),
-      s"bfs result does not read the eager cache:\n$pb")
+    assert(pb.contains("Scan ExistingRDD") && !pb.contains("FileScan"),
+      s"bfs result not off checkpointed frontier pieces:\n$pb")
     spark.catalog.clearCache()
     val pc = planString(q("q_graph_corenum"))
     assert(!pc.contains("CartesianProduct"), s"corenum cartesian:\n$pc")
@@ -1281,26 +1281,26 @@ class PlanAssertionsSuite extends SparkSuite {
   }
 
   test("q_graph_kbfs / q_graph_closeness (r18): multi-seed rounds run eagerly — returned plans read the materialized distance state") {
-    // the bfs pin generalized: hopsFrom materializes every fused pair
-    // of rounds, so the RETURNED plan is the histogram/closeness fold
-    // over the eagerly-persisted distance table — never a corpus
-    // re-derivation
+    // the bfs pin generalized: since r21 hopsFrom checkpoints each
+    // round's frontier piece, so the RETURNED plan is the histogram/
+    // closeness fold over the union of checkpointed pieces — never a
+    // corpus re-derivation
     val pk = planString(q("q_graph_kbfs"))
     assert(!pk.contains("CartesianProduct"), s"kbfs cartesian:\n$pk")
-    assert(pk.contains("InMemoryTableScan"),
-      s"kbfs result does not read the eager cache:\n$pk")
+    assert(pk.contains("Scan ExistingRDD") && !pk.contains("FileScan"),
+      s"kbfs result not off checkpointed frontier pieces:\n$pk")
     spark.catalog.clearCache()
     val pc = planString(q("q_graph_closeness"))
     assert(!pc.contains("CartesianProduct"), s"closeness cartesian:\n$pc")
-    assert(pc.contains("InMemoryTableScan"),
-      s"closeness result does not read the eager cache:\n$pc")
+    assert(pc.contains("Scan ExistingRDD") && !pc.contains("FileScan"),
+      s"closeness result not off checkpointed frontier pieces:\n$pc")
     assert(!pc.contains("Window"), s"closeness grew a window:\n$pc")
     spark.catalog.clearCache()
     // r19: the harmonic fold rides the same materialized state
     val ph = planString(q("q_graph_harmonic"))
     assert(!ph.contains("CartesianProduct"), s"harmonic cartesian:\n$ph")
-    assert(ph.contains("InMemoryTableScan"),
-      s"harmonic result does not read the eager cache:\n$ph")
+    assert(ph.contains("Scan ExistingRDD") && !ph.contains("FileScan"),
+      s"harmonic result not off checkpointed frontier pieces:\n$ph")
     assert(!ph.contains("Window"), s"harmonic grew a window:\n$ph")
     spark.catalog.clearCache()
     // r19 post-seal: wcloseness folds the checkpointed Bellman-Ford
@@ -1315,8 +1315,8 @@ class PlanAssertionsSuite extends SparkSuite {
     // one seed-grain fold, nothing extra
     val pf = planString(q("q_graph_central"))
     assert(!pf.contains("CartesianProduct"), s"central cartesian:\n$pf")
-    assert(pf.contains("InMemoryTableScan"),
-      s"central result does not read the eager cache:\n$pf")
+    assert(pf.contains("Scan ExistingRDD") && !pf.contains("FileScan"),
+      s"central result not off checkpointed frontier pieces:\n$pf")
     assert(!pf.contains("Window"), s"central grew a window:\n$pf")
     spark.catalog.clearCache()
     val pwf = planString(q("q_graph_wcentral"))
