@@ -11,7 +11,8 @@ import scala.collection.mutable
   */
 object ProfJobs {
   private case class St(stageId: Int, name: String, ms: Long, tasks: Int,
-                        shufRead: Long, shufWrite: Long, input: Long)
+                        shufRead: Long, shufWrite: Long, input: Long,
+                        run: Long, gc: Long, fetchW: Long, spillM: Long)
   private case class Jb(id: Int, desc: String, t0: Long, var t1: Long = 0L,
                         stages: mutable.ArrayBuffer[St] = mutable.ArrayBuffer())
 
@@ -38,7 +39,10 @@ object ProfJobs {
           si.name.take(60), ms, si.numTasks,
           tm.shuffleReadMetrics.totalBytesRead,
           tm.shuffleWriteMetrics.bytesWritten,
-          tm.inputMetrics.bytesRead))
+          tm.inputMetrics.bytesRead,
+          tm.executorRunTime, tm.jvmGCTime,
+          tm.shuffleReadMetrics.fetchWaitTime,
+          tm.memoryBytesSpilled))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -62,7 +66,7 @@ object ProfJobs {
           println(f"  job ${j.id}%3d ${j.t1 - j.t0}%6d ms gap=$gap%5d ms stages=${j.stages.size}%2d tasks=${j.stages.map(_.tasks).sum}%4d shR=${j.stages.map(_.shufRead).sum / 1024}%7d K shW=${j.stages.map(_.shufWrite).sum / 1024}%7d K in=${j.stages.map(_.input).sum / 1024}%8d K  ${j.desc.take(50)}")
           j.stages.sortBy(_.stageId).foreach { s =>
             if (s.ms > 200)
-              println(f"      stage ${s.stageId}%4d ${s.ms}%6d ms tasks=${s.tasks}%4d ${s.name}")
+              println(f"      stage ${s.stageId}%4d ${s.ms}%6d ms tasks=${s.tasks}%4d run=${s.run}%6d gc=${s.gc}%5d fetchW=${s.fetchW}%5d spillM=${s.spillM / 1024}%7d K ${s.name}")
           }
         }
         println(f"  [sum] jobs=${jobSum} ms gaps=${gapSum} ms wall=${(wall * 1000).toLong} ms (driver-side = wall - jobs - gaps-before-first)")

@@ -57,32 +57,36 @@ import org.apache.spark.sql.functions._
 object Betweenness {
 
   /** Forward sweep: (seed, node, d, sigma) for every node within
-    * `rounds` hops of its seed. σ(seed) = 1 at d = 0. */
+    * `rounds` hops of its seed. σ(seed) = 1 at d = 0.
+    *
+    * Execution (r21): the edge list persists COLUMNAR (the r17-r20
+    * localCheckpoint stored uncompressed rows — 6.3x the columnar
+    * cache size, re-scanned by every round's join), and the settled
+    * table is the lazy UNION of per-round checkpointed frontier
+    * pieces instead of a whole-table re-checkpoint per round (the old
+    * form rewrote all O(pivots·nodes) settled rows every round — at
+    * 16 pivots∕sf0.1 a measured 1.6 s job per round for rows that
+    * cannot change). The frontier is the previous round's piece
+    * directly (level-homogeneous by construction); each piece's d is
+    * a literal, so downstream level filters constant-fold to branch
+    * pruning over the union. One checkpoint job + one cached-scan
+    * count (the early-exit probe) per round. */
   private[graft] def forward(edges: DataFrame, seeds: DataFrame,
                              rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val dec = "decimal(38,0)"
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var settled = seeds.select(col("seed"), col("node"),
-        lit(0).cast("long").as("d"), lit(1).cast(dec).as("sigma"))
-      .localCheckpoint()
-    // ONE materialization per round: the frontier is a filter over
-    // the just-checkpointed settled table (never its own checkpoint),
-    // and the early exit reads the settled count — an unchanged count
-    // means the round's frontier was empty, result-identical to
-    // continuing (an empty frontier settles nothing). The count on a
-    // just-checkpointed frame is a cached scan. Honest same-yard A/B
-    // (BASELINE.md r19): 9.3-10.0 → 8.8-9.8 s warm at sf0.1 — a
-    // marginal win inside host noise; the per-round cost floor is the
-    // join/agg stages, not the extra checkpoint job, so the real
-    // value is the simpler single-owner state.
-    var prevCount = settled.count()
+    val e = edges.select(col("src"), col("dst")).persist()
+    e.count() // eager: every round's join reads it
+    import org.apache.spark.sql.graftbridge.PlanBridge.eagerCut
+    var (settled, frontierCount) = eagerCut(
+      seeds.select(col("seed"), col("node"),
+        lit(0).cast("long").as("d"), lit(1).cast(dec).as("sigma")))
+    var frontier = settled
     var r = 0
-    var done = prevCount == 0
-    while (!done && r < rounds) {
+    while (frontierCount > 0 && r < rounds) {
       r += 1
-      val nxt = e
-        .join(settled.filter(col("d") === r - 1)
+      val (nxt, c) = eagerCut(e
+        .join(frontier
           .select(col("seed"), col("node").as("src"), col("sigma")),
           Seq("src"))
         .groupBy(col("seed"), col("dst").as("node"))
@@ -90,11 +94,10 @@ object Betweenness {
         .join(settled.select(col("seed"), col("node")),
           Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(r).cast("long").as("d"),
-          col("sigma").cast(dec).as("sigma"))
-      settled = settled.unionByName(nxt).localCheckpoint()
-      val c = settled.count()
-      if (c == prevCount) done = true
-      prevCount = c
+          col("sigma").cast(dec).as("sigma")))
+      frontierCount = c
+      settled = settled.unionByName(nxt)
+      frontier = nxt
     }
     settled
   }
@@ -114,7 +117,8 @@ object Betweenness {
   private[graft] def dependencies(edges: DataFrame,
                                   settled: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).persist()
+    e.count() // eager: every level's join reads it (columnar — r21)
     val hdr = settled.agg(max(col("d")), max(col("sigma")),
       count(lit(1))).collect()(0)
     val maxD = if (hdr.isNullAt(0)) -1L else hdr.getLong(0)
@@ -144,16 +148,16 @@ object Betweenness {
         .select(col("seed"), col("node").as("dst"),
           col("sigma").as("sw"),
           coalesce(col("dq"), lit(0).cast("decimal(38,0)")).as("dqw"))
-      val dl = settled.filter(col("d") === lev)
-        .select(col("seed"), col("node"), col("sigma"))
-        .join(e, col("node") === col("src"))
-        .join(w, Seq("seed", "dst"))
-        .groupBy(col("seed"), col("node"))
-        .agg(sum(expr(
-          "(sigma * (1000000 + dqw)) div sw")).as("dq"))
-        .select(col("seed"), col("node"),
-          col("dq").cast("decimal(38,0)").as("dq"))
-        .localCheckpoint()
+      val dl = org.apache.spark.sql.graftbridge.PlanBridge.eagerCut(
+        settled.filter(col("d") === lev)
+          .select(col("seed"), col("node"), col("sigma"))
+          .join(e, col("node") === col("src"))
+          .join(w, Seq("seed", "dst"))
+          .groupBy(col("seed"), col("node"))
+          .agg(sum(expr(
+            "(sigma * (1000000 + dqw)) div sw")).as("dq"))
+          .select(col("seed"), col("node"),
+            col("dq").cast("decimal(38,0)").as("dq")))._1
       out = out.unionByName(dl)
       below = dl
       lev -= 1

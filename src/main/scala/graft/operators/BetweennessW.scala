@@ -72,7 +72,8 @@ object BetweennessW {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val dec = "decimal(38,0)"
     val e = edges.select(col("src"), col("dst"), col("cost"))
-      .localCheckpoint()
+      .persist() // columnar (r21) — the DAG join reads it
+    e.count()
     val d = Bfs.costFrom(e, seeds, rounds)
     // the minimal-cost DAG: edge kept iff it LIES ON a minimal route
     val dag = d.select(col("seed"), col("node").as("src"),
@@ -82,18 +83,31 @@ object BetweennessW {
         col("d").as("dw")), Seq("seed", "dst"))
       .filter(col("dw") === col("dv") + col("cost"))
       .select(col("seed"), col("src"), col("dst"))
-      .localCheckpoint()
-    val base = seeds.select(col("seed"), col("node"),
-      lit(1).cast(dec).as("sigma"))
-    var sigma = base.localCheckpoint()
-    (1 to rounds).foreach { _ =>
-      sigma = base.unionByName(
-          dag.join(sigma.select(col("seed"), col("node").as("src"),
-              col("sigma")), Seq("seed", "src"))
-            .select(col("seed"), col("dst").as("node"), col("sigma")))
-        .groupBy(col("seed"), col("node"))
-        .agg(sum(col("sigma")).cast(dec).as("sigma"))
-        .localCheckpoint()
+      .persist() // columnar (r21) — every σ∕dq step's join reads it
+    dag.count()
+    val base = org.apache.spark.sql.graftbridge.PlanBridge.eagerCut(
+      seeds.select(col("seed"), col("node"),
+        lit(1).cast(dec).as("sigma")))._1
+    // r21: each σ step reads the previous state ONCE (the base union
+    // side is the tiny checkpointed seed frame), so steps chain into
+    // fused plans with every intermediate a single-consumer exchange —
+    // materialize every Bfs.CostFuseRounds steps instead of every step
+    // (the costFrom fusion discipline; lineage truncated per
+    // materialization).
+    var sigma = base
+    var r = 0
+    while (r < rounds) {
+      val step = math.min(Bfs.CostFuseRounds, rounds - r)
+      r += step
+      sigma = org.apache.spark.sql.graftbridge.PlanBridge.eagerCut(
+        (1 to step).foldLeft(sigma)((s, _) =>
+          base.unionByName(
+              dag.join(s.select(col("seed"), col("node").as("src"),
+                  col("sigma")), Seq("seed", "src"))
+                .select(col("seed"), col("dst").as("node"),
+                  col("sigma")))
+            .groupBy(col("seed"), col("node"))
+            .agg(sum(col("sigma")).cast(dec).as("sigma"))))._1
     }
     (sigma, dag)
   }
@@ -124,23 +138,29 @@ object BetweennessW {
       .join(sigma.select(col("seed"), col("node").as("dst"),
         col("sigma").as("sw")), Seq("seed", "dst"))
       .select(col("seed"), col("src"), col("dst"), col("sv"), col("sw"))
-      .localCheckpoint()
+      .persist() // columnar (r21) — every dq step's join reads it
+    dagS.count()
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       new org.apache.spark.sql.types.StructType()
         .add("seed", "long").add("node", "long")
         .add("dq", org.apache.spark.sql.types.DecimalType(38, 0)))
+    // r21: each dq step reads the previous state ONCE (the left join),
+    // so steps chain into fused plans — the forwardW fusion discipline.
     var dq = empty
-    (1 to rounds).foreach { _ =>
-      dq = dagS
-        .join(dq.select(col("seed"), col("node").as("dst"),
-          col("dq").as("dqw")), Seq("seed", "dst"), "left")
-        .groupBy(col("seed"), col("src").as("node"))
-        .agg(sum(expr(
-          "(sv * (1000000 + coalesce(dqw, 0))) div sw")).as("dq"))
-        .select(col("seed"), col("node"),
-          col("dq").cast("decimal(38,0)").as("dq"))
-        .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val step = math.min(Bfs.CostFuseRounds, rounds - r)
+      r += step
+      dq = org.apache.spark.sql.graftbridge.PlanBridge.eagerCut(
+        (1 to step).foldLeft(dq)((s, _) => dagS
+          .join(s.select(col("seed"), col("node").as("dst"),
+            col("dq").as("dqw")), Seq("seed", "dst"), "left")
+          .groupBy(col("seed"), col("src").as("node"))
+          .agg(sum(expr(
+            "(sv * (1000000 + coalesce(dqw, 0))) div sw")).as("dq"))
+          .select(col("seed"), col("node"),
+            col("dq").cast("decimal(38,0)").as("dq"))))._1
     }
     dq
   }

