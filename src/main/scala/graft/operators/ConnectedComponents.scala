@@ -72,10 +72,10 @@ object ConnectedComponents {
     // is one groupBy-min over (neighbor ids ∪ self) — no join, and no
     // separate distinct-nodes pass (the node set is exactly src of the
     // symmetrized edge list).
-    var labels = e.select(col("dst").as("node"), col("src").as("rep"))
-      .union(e.select(col("src").as("node"), col("src").as("rep")))
-      .groupBy(col("node")).agg(min(col("rep")).as("rep"))
-      .localCheckpoint(true)
+    var labels = org.apache.spark.sql.graftbridge.PlanBridge.eagerCut(
+      e.select(col("dst").as("node"), col("src").as("rep"))
+        .union(e.select(col("src").as("node"), col("src").as("rep")))
+        .groupBy(col("node")).agg(min(col("rep")).as("rep")))._1
     // e is materialized by the (eager) init above; the raw list's cache
     // has served its one purpose
     fwd.unpersist()
@@ -99,11 +99,11 @@ object ConnectedComponents {
       // for the two consumers (sum check now, join next round)
       val msgs = e.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("rep"))
-      val next = msgs.union(labels)
-        .groupBy(col("node")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint(true)
+      val next = org.apache.spark.sql.graftbridge.PlanBridge.eagerCut(
+        msgs.union(labels)
+          .groupBy(col("node")).agg(min(col("rep")).as("rep")))._1
       val nextSum = repSum(next)
-      labels.unpersist()
+      org.apache.spark.sql.graftbridge.PlanBridge.free(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -52,13 +52,13 @@ object CoreNumber {
   def decompose(edges: DataFrame, kMax: Int, rounds: Int): DataFrame = {
     require(kMax >= 1, s"kMax must be >= 1, got $kMax")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    import org.apache.spark.sql.graftbridge.PlanBridge.{eagerCut, free}
+    var (e, nEdges) = eagerCut(edges.select(col("src"), col("dst")))
     // membership frames: (node, k) — corenum = max k per node. Level 0
     // seeds every node so the aggregate is total over the input graph.
     var members = List[DataFrame](
-      e.select(col("src").as("node")).distinct()
-        .select(col("node"), lit(0L).as("k")).localCheckpoint(true))
-    var nEdges = e.count()
+      eagerCut(e.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(0L).as("k")))._1)
     var k = 1
     while (k <= kMax && nEdges > 0) {
       var it = 0
@@ -67,12 +67,10 @@ object CoreNumber {
         it += 1
         val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select(col("src").as("kn"))
-        val next = e
+        val (next, nextCount) = eagerCut(e
           .join(keep, e("src") === keep("kn"), "left_semi")
-          .join(keep, e("dst") === keep("kn"), "left_semi")
-          .localCheckpoint(true)
-        val nextCount = next.count()
-        e.unpersist()
+          .join(keep, e("dst") === keep("kn"), "left_semi"))
+        free(e)
         e = next
         // dropping any node removes its ≥1 edges, so equal edge counts
         // over a monotone subset chain mean an identical edge set
@@ -80,8 +78,8 @@ object CoreNumber {
         nEdges = nextCount
       }
       if (nEdges > 0) {
-        members ::= e.select(col("src").as("node")).distinct()
-          .select(col("node"), lit(k.toLong).as("k")).localCheckpoint(true)
+        members ::= eagerCut(e.select(col("src").as("node")).distinct()
+          .select(col("node"), lit(k.toLong).as("k")))._1
       }
       k += 1
     }

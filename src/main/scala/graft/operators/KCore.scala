@@ -47,20 +47,18 @@ object KCore {
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var prevCount = e.count()
+    import org.apache.spark.sql.graftbridge.PlanBridge.{eagerCut, free}
+    var (e, prevCount) = eagerCut(edges.select(col("src"), col("dst")))
     var stable = false
     var it = 0
     while (!stable && it < rounds) {
       it += 1
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("kn"))
-      val next = e
+      val (next, nextCount) = eagerCut(e
         .join(keep, e("src") === keep("kn"), "left_semi")
-        .join(keep, e("dst") === keep("kn"), "left_semi")
-        .localCheckpoint(true)
-      val nextCount = next.count()
-      e.unpersist()
+        .join(keep, e("dst") === keep("kn"), "left_semi"))
+      free(e)
       e = next
       stable = nextCount == prevCount
       prevCount = nextCount
@@ -98,21 +96,19 @@ object KCore {
   def peelW(edges: DataFrame, s: Long, rounds: Int): DataFrame = {
     require(s >= 1, s"s must be >= 1, got $s")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    var e = edges.select(col("src"), col("dst"), col("w"))
-      .localCheckpoint(true)
-    var prevCount = e.count()
+    import org.apache.spark.sql.graftbridge.PlanBridge.{eagerCut, free}
+    var (e, prevCount) = eagerCut(
+      edges.select(col("src"), col("dst"), col("w")))
     var stable = false
     var it = 0
     while (!stable && it < rounds) {
       it += 1
       val keep = e.groupBy(col("src")).agg(sum(col("w")).as("st"))
         .filter(col("st") >= s).select(col("src").as("kn"))
-      val next = e
+      val (next, nextCount) = eagerCut(e
         .join(keep, e("src") === keep("kn"), "left_semi")
-        .join(keep, e("dst") === keep("kn"), "left_semi")
-        .localCheckpoint(true)
-      val nextCount = next.count()
-      e.unpersist()
+        .join(keep, e("dst") === keep("kn"), "left_semi"))
+      free(e)
       e = next
       stable = nextCount == prevCount
       prevCount = nextCount

@@ -37,23 +37,37 @@ object LabelProp {
     * @return (node, label) — the label after `rounds` rounds. */
   def run(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    import org.apache.spark.sql.graftbridge.PlanBridge.eagerCut
+    val e = edges.select(col("src"), col("dst")).persist()
+    e.count() // eager: every round's join reads it (columnar — r21)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    (1 to rounds).foreach { _ =>
-      labels = e
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+    // r21: each round reads the previous labels ONCE (the single join),
+    // so rounds chain into one fused plan with every intermediate a
+    // single-consumer exchange — materialize every FuseRounds rounds
+    // instead of every round (the Bfs.costFrom fusion discipline; the
+    // stats-carrying cut lets the label side broadcast when small).
+    var r = 0
+    while (r < rounds) {
+      val step = math.min(FuseRounds, rounds - r)
+      r += step
+      labels = eagerCut((1 to step).foldLeft(labels)((l, _) => e
+        .join(l.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         // (cnt desc, label asc) argmax as a struct max: larger cnt wins,
         // then larger -label = SMALLER label
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("src").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))))._1
     }
     labels
   }
+
+  /** Rounds chained per materialization — each fused round is a
+    * single-consumer join+agg chain, so fusing trades driver actions
+    * for plan depth with no duplicated work. */
+  private[graft] val FuseRounds = 3
 
   /** WEIGHTED label propagation (r19): [[run]] with the majority vote
     * a WEIGHT SUM instead of a neighbor count — a neighborhood's label
@@ -74,20 +88,25 @@ object LabelProp {
     * @return (node, label) — the label after `rounds` rounds. */
   def runW(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    import org.apache.spark.sql.graftbridge.PlanBridge.eagerCut
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    e.count() // eager: every round's join reads it (columnar — r21)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    (1 to rounds).foreach { _ =>
-      labels = e
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+    // r21: fused rounds — the [[run]] discipline verbatim
+    var r = 0
+    while (r < rounds) {
+      val step = math.min(FuseRounds, rounds - r)
+      r += step
+      labels = eagerCut((1 to step).foldLeft(labels)((l, _) => e
+        .join(l.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src"), col("label"))
         .agg(sum(col("w")).as("wsum"))
         // (wsum desc, label asc) argmax as a struct max — run's
         // tiebreak with the count replaced by the exact weight sum
         .groupBy(col("src"))
         .agg(max(struct(col("wsum"), (-col("label")).as("nl"))).as("m"))
-        .select(col("src").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))))._1
     }
     labels
   }

@@ -1618,12 +1618,14 @@ object GraphOps {
                               moves: Int): DataFrame = {
     require(moves >= 0, s"moves must be >= 0, got $moves")
     val dec = "decimal(38,0)"
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).persist()
+    e.count() // eager: every round's scoring join reads it (columnar — r21)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
       .persist() // read every round; unpersisted before return
     deg.count() // eager: fill the cache before the fan-out
     val m2row = deg.agg(sum(col("d")).cast(dec).as("m2"))
-    var labels = labels0.select(col("node"), col("label")).localCheckpoint()
+    var labels = org.apache.spark.sql.graftbridge.PlanBridge
+      .eagerCut(labels0.select(col("node"), col("label")))._1
     var r = 0
     var exhausted = false
     while (!exhausted && r < moves) {
@@ -1662,10 +1664,10 @@ object GraphOps {
         exhausted = true
         best.unpersist()
       } else {
-        labels = labels.join(best, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("nl"), col("label")).as("label"))
-          .localCheckpoint()
+        labels = org.apache.spark.sql.graftbridge.PlanBridge.eagerCut(
+          labels.join(best, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("nl"), col("label")).as("label")))._1
         best.unpersist()
       }
     }
@@ -1697,7 +1699,8 @@ object GraphOps {
     * per-round driver action reads ≤1 row. */
   private[graft] def refineWOn(edges: DataFrame, labels0: DataFrame,
                                moves: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    e.count() // eager: every round's scoring join reads it (columnar — r21)
     val deg = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("d"))
       .persist() // read every round; unpersisted by the core
     deg.count() // eager: fill the cache before the fan-out
@@ -1714,16 +1717,18 @@ object GraphOps {
     * the original-graph ΔQ of the projected move (the contraction
     * invariant in [[contractW]]'s scaladoc), so level-2 moves carry
     * refineOn's never-decreases law up to the original graph.
-    * Contract: `e` localCheckpointed, no self-loops; `deg` persisted
-    * by the caller and covering every node of `e` (unpersisted here
-    * before return); m2 = Σ deg is the FULL directed weight. */
+    * Contract: `e` materialized (persisted) by the caller, no
+    * self-loops; `deg` persisted by the caller and covering every node
+    * of `e` (unpersisted here before return); m2 = Σ deg is the FULL
+    * directed weight. */
   private[graft] def refineWCore(e: DataFrame, deg: DataFrame,
                                  labels0: DataFrame,
                                  moves: Int): DataFrame = {
     require(moves >= 0, s"moves must be >= 0, got $moves")
     val dec = "decimal(38,0)"
     val m2row = deg.agg(sum(col("d")).cast(dec).as("m2"))
-    var labels = labels0.select(col("node"), col("label")).localCheckpoint()
+    var labels = org.apache.spark.sql.graftbridge.PlanBridge
+      .eagerCut(labels0.select(col("node"), col("label")))._1
     var r = 0
     var exhausted = false
     while (!exhausted && r < moves) {
@@ -1762,10 +1767,10 @@ object GraphOps {
         exhausted = true
         best.unpersist()
       } else {
-        labels = labels.join(best, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("nl"), col("label")).as("label"))
-          .localCheckpoint()
+        labels = org.apache.spark.sql.graftbridge.PlanBridge.eagerCut(
+          labels.join(best, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("nl"), col("label")).as("label")))._1
         best.unpersist()
       }
     }
@@ -1878,8 +1883,10 @@ object GraphOps {
   private[graft] def louvain2On(ew: DataFrame, l0: DataFrame,
                                 moves: Int): (DataFrame, DataFrame) = {
     val l1 = refineWOn(ew, l0, moves)
-    val cg = contractW(ew, l1).localCheckpoint()
-    val ce = cg.filter(col("src") =!= col("dst")).localCheckpoint()
+    val cg = org.apache.spark.sql.graftbridge.PlanBridge
+      .eagerCut(contractW(ew, l1))._1
+    val ce = cg.filter(col("src") =!= col("dst")).persist()
+    ce.count() // eager: every level-2 scoring join reads it
     val cdeg = cg.groupBy(col("src").as("node")).agg(sum(col("w")).as("d"))
       .persist() // read every level-2 round; unpersisted by the core
     cdeg.count() // eager: fill the cache before the fan-out

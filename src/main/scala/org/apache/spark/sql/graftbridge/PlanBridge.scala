@@ -59,4 +59,13 @@ object PlanBridge {
       Nil, false, None)(cs, Some(stats), None)
     (org.apache.spark.sql.classic.Dataset.ofRows(cs, plan), n)
   }
+
+  /** Release the checkpoint blocks of a frame produced by [[eagerCut]]
+    * (Dataset.unpersist only reaches the SQL cache manager, which never
+    * owned them) — the iterative engines call this on superseded rounds
+    * to keep an O(1) materialized footprint. No-op on other frames. */
+  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
 }
