@@ -1700,9 +1700,16 @@ object Graft {
     * r20): repeatedly drop nodes whose incident weight sum is < `s`
     * (strength cascade; weight-1 reproduces [[kCore]]). Self-loops
     * dropped; the [[modularityWeighted]] symmetrization contract.
-    * Returns (node, strength) for the survivors. */
+    * Returns (node, strength) for the survivors.
+    *
+    * Default rounds = 6 (r21, ADVICE fix): the graded calibration
+    * (GraphOps.ScoreRounds) measured a genuinely 5-round cascade at
+    * sf0.1 and chose 6 for margin — the old default of 4 silently
+    * truncated deeper cascades on comparable graphs. Callers on graphs
+    * that may cascade deeper should raise `rounds` until the peel's
+    * early exit triggers (an unchanged round is the fixpoint). */
   def sCore(edges: DataFrame, srcCol: String, dstCol: String,
-            wCol: String, s: Long, rounds: Int = 4): DataFrame = {
+            wCol: String, s: Long, rounds: Int = 6): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).as("w"))
       .filter(col("src") =!= col("dst"))

@@ -1322,19 +1322,34 @@ object StreamOps {
     * layout. None before the first committed fold. A marker whose
     * state parquet is missing its _SUCCESS is CORRUPTION (markers
     * commit complete states by construction) and fails loudly rather
-    * than bootstrapping empty — the r19 ADVICE failure mode. */
+    * than bootstrapping empty — the r19 ADVICE failure mode.
+    *
+    * Legacy migration (r21, ADVICE fix): a state dir written by the
+    * r19 layout — one unversioned `state/` path plus `_folded_<id>`
+    * markers — satisfies the marker scan but has no `state-<id>` path,
+    * which the r20 check misread as corruption, permanently failing an
+    * upgraded deployment's first fold. A marker with no versioned path
+    * now falls back to the COMPLETE legacy `state/` parquet (the next
+    * fold rewrites it versioned); only a marker with NEITHER layout's
+    * complete state is corruption. */
   def crosskindState(spark: org.apache.spark.sql.SparkSession,
                      stateDir: String): Option[DataFrame] = {
     val dir = new org.apache.hadoop.fs.Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     crosskindLatestMarked(fs, dir).map { id =>
       val p = new org.apache.hadoop.fs.Path(dir, s"state-$id")
-      if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      val legacy = new org.apache.hadoop.fs.Path(dir, "state")
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        spark.read.parquet(p.toString)
+      else if (!fs.exists(p) &&
+          fs.exists(new org.apache.hadoop.fs.Path(legacy, "_SUCCESS")))
+        spark.read.parquet(legacy.toString) // pre-versioned layout
+      else
         throw new IllegalStateException(
           s"cross-kind state committed as _folded_$id has no complete " +
-            s"parquet at $p — state corruption, refusing to treat it " +
-            "as an empty bootstrap")
-      spark.read.parquet(p.toString)
+            s"parquet at $p (and no complete legacy state/ to migrate " +
+            "from) — state corruption, refusing to treat it as an " +
+            "empty bootstrap")
     }
   }
 

@@ -1024,6 +1024,15 @@ class GraftFacadeSuite extends SparkSuite {
       .select(col("node")).as[Long].collect().toSet
     assert(sc === Set(1L, 2L, 3L, 4L), s"facade s-core drifted: $sc")
     spark.catalog.clearCache()
+    // default rounds match the graded calibration (r21, ADVICE fix):
+    // a 12-node weight-1 path at s = 2 is a genuinely 6-round cascade
+    // (each round peels both endpoints) — the old default of 4 left 4
+    // mid-path survivors, silently truncating the peel
+    val path = (1L to 11L).map(i => (i, i + 1, 1L))
+    val deep = Graft.sCore(path.toDF("u", "v", "wt"), "u", "v", "wt", 2L)
+    assert(deep.isEmpty,
+      "default-rounds s-core truncated a 6-round cascade")
+    spark.catalog.clearCache()
   }
 
   test("edge sweep: NULL texts, vectors, blocks, and scores degrade per documented semantics, never throw") {

@@ -3143,6 +3143,52 @@ class StreamingParitySuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("cross-kind legacy layout migrates: a marker with only the pre-versioned state/ parquet reads it and the next fold rewrites versioned (r21, ADVICE)") {
+    val S = graft.streaming.StreamOps
+    def asDocs(df: DataFrame) = df
+      .withColumn("payload", col("text").cast("binary"))
+      .select(lit("image").as("kind_stub"), col("payload"))
+    val b0 = Seq((1L, "alpha shared content block one"),
+      (2L, "beta payload two")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "gamma payload three")).toDF("doc_id", "text")
+    // clean versioned run = the expected end state after migration
+    val cleanDir = Files.createTempDirectory("xkind_vclean").toString
+    S.crosskindFoldBatch(asDocs(b0), 0L, cleanDir)
+    val expect0 = S.crosskindState(spark, cleanDir).get
+      .collect().map(_.toSeq).toSet
+    S.crosskindFoldBatch(asDocs(b1), 1L, cleanDir)
+    val expect1 = S.crosskindState(spark, cleanDir).get
+      .collect().map(_.toSeq).toSet
+    // fabricate the r19 LEGACY layout: unversioned state/ + _folded_0,
+    // no state-0 path (what an upgraded deployment finds on disk)
+    val legacyDir = Files.createTempDirectory("xkind_legacy").toString
+    val ldir = new org.apache.hadoop.fs.Path(legacyDir)
+    val lfs = ldir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    S.crosskindState(spark, cleanDir) // (cleanDir state-0 was superseded)
+    spark.read.parquet(s"$cleanDir/state-1") // sanity: versioned exists
+    // rebuild batch-0's state content under the legacy path
+    val tmp0 = Files.createTempDirectory("xkind_b0").toString
+    S.crosskindFoldBatch(asDocs(b0), 0L, tmp0)
+    spark.read.parquet(s"$tmp0/state-0").write
+      .mode("overwrite").parquet(s"$legacyDir/state")
+    lfs.create(new org.apache.hadoop.fs.Path(ldir, "_folded_0")).close()
+    // the read side must fall back to the legacy parquet, not corrupt
+    val migratedRead = S.crosskindState(spark, legacyDir).get
+      .collect().map(_.toSeq).toSet
+    assert(migratedRead === expect0,
+      "legacy state/ read diverged from the versioned batch-0 state")
+    // the next fold reads legacy, writes VERSIONED, and matches the
+    // clean two-fold run exactly
+    S.crosskindFoldBatch(asDocs(b1), 1L, legacyDir)
+    assert(lfs.exists(new org.apache.hadoop.fs.Path(ldir,
+      "state-1/_SUCCESS")), "post-migration fold did not write versioned")
+    val migrated = S.crosskindState(spark, legacyDir).get
+      .collect().map(_.toSeq).toSet
+    assert(migrated === expect1,
+      "migrated fold diverged from the clean versioned run")
+    spark.catalog.clearCache()
+  }
+
   test("streaming winnow ingest: fingerprint probe == batch probe; shared-run doc nominates, unrelated and boilerplate-capped do not") {
     // winnow sibling of the LSH band probe: arriving docs sketch
     // stateless and stream-static join the capped posting index
